@@ -1,0 +1,265 @@
+"""``Database`` — the engine's connection/catalog object.
+
+Reference: ``datum/database.py`` (proxy over adapter classes picked by URL
+scheme, ``datum/database.py:7-20``).  Here there is no proxy/adapter split:
+one class routes to Spark sources.  The "connection" is a lazy
+``SparkSession`` handle — no I/O happens until an action (SURVEY §3 EP1).
+
+Fixes applied vs. the reference (SURVEY §1.4):
+- #2 ``Database.count`` raised AttributeError in the reference; it is
+  dropped here (row counts live on ``Table.count``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+
+from . import util
+from .functions.dialect import translate_sql
+from .session import get_session
+from .table import Table
+
+_SCHEMES = ("file", "parquet", "memory", "jdbc")
+
+
+class Database:
+    """A catalog of tables behind one URL.
+
+    - ``file://dir`` / bare path: every ``<name>.parquet`` in the directory
+      is a table (the engine's native format; TESTDATA.md layout).
+    - ``memory://``: session-scoped catalog, tables are temp views.
+    - ``jdbc:...``: tables load via ``spark.read.format("jdbc")``.
+    """
+
+    def __init__(self, url: str, spark=None):
+        self.url = url
+        self.scheme, self.path = util.parse_url(url)
+        if self.scheme == "parquet":
+            self.scheme = "file"
+        if self.scheme not in _SCHEMES:
+            # Reference: ValueError on unknown scheme (datum/database.py:17-19)
+            raise ValueError(f"invalid url scheme: {self.scheme!r}")
+        self.spark = spark or get_session()
+        self._memory_tables: dict[str, DataFrame] = {}
+        self._views: set[str] = set()
+        self._mviews: set[str] = set()
+        self._registered: set[str] = set()
+
+    # -- table handles ------------------------------------------------------
+
+    def table(self, name: str) -> Table:
+        """Bind a table handle (reference: ``datum/database.py:53-55``)."""
+        return Table(self, name)
+
+    def __getitem__(self, name: str) -> Table:
+        """``db['table']`` sugar (reference: ``datum/database.py:28-30``)."""
+        return self.table(name)
+
+    @property
+    def tables(self) -> list[str]:
+        """Base-table names, sorted — excludes views, mirroring the
+        reference's base-table filters (``datum/postgis/database.py:60-69``,
+        ``datum/oracle_stgeom/database.py:52-61``)."""
+        if self.scheme == "memory":
+            names = set(self._memory_tables)
+        elif self.scheme == "file":
+            names = set()
+            if os.path.isdir(self.path):
+                for entry in os.listdir(self.path):
+                    if entry.endswith(".parquet"):
+                        names.add(entry[: -len(".parquet")])
+        else:
+            names = set()
+        names -= self._views
+        return sorted(names)
+
+    # -- storage primitives used by Table ------------------------------------
+
+    def _table_path(self, name: str) -> str:
+        return os.path.join(self.path, f"{util.check_identifier(name)}.parquet")
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.path, "_meta", f"{name}.json")
+
+    def _load_meta(self, name: str) -> dict:
+        try:
+            with open(self._meta_path(name)) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def _store_meta(self, name: str, meta: dict) -> None:
+        path = self._meta_path(name)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+
+    def _table_df(self, name: str) -> DataFrame:
+        if self.scheme == "memory":
+            try:
+                return self._memory_tables[name]
+            except KeyError:
+                raise ValueError(f"no such table: {name!r}") from None
+        if self.scheme == "jdbc":
+            return (self.spark.read.format("jdbc")
+                    .option("url", self.url).option("dbtable", name).load())
+        path = self._table_path(name)
+        if not os.path.exists(path):
+            if name in self._views or self.spark.catalog.tableExists(name):
+                return self.spark.table(name)
+            raise ValueError(f"no such table: {name!r}")
+        from .sources.registry import read_parquet_normalized
+        return read_parquet_normalized(self.spark, path)
+
+    def _write_table(self, name: str, df: DataFrame, mode: str) -> None:
+        if self.scheme == "memory":
+            if mode == "append" and name in self._memory_tables:
+                df = self._memory_tables[name].unionByName(df)
+            # materialize to avoid recompute chains on repeated appends
+            self._memory_tables[name] = self.spark.createDataFrame(
+                df.collect(), df.schema)
+            self._registered.discard(name)  # view must see the new data
+            self._register(name)
+            return
+        if self.scheme == "jdbc":
+            (df.write.format("jdbc").option("url", self.url)
+               .option("dbtable", name).mode(mode).save())
+            return
+        df.write.mode(mode).parquet(self._table_path(name))
+        self._registered.discard(name)  # re-register to pick up new data
+
+    def _register(self, name: str) -> None:
+        """Expose a table as a temp view so ``execute`` SQL can see it."""
+        if name in self._registered:
+            return
+        self._table_df(name).createOrReplaceTempView(name)
+        self._registered.add(name)
+
+    def register_all(self) -> None:
+        for name in self.tables:
+            self._register(name)
+
+    # -- SQL gateway (Tier B) -------------------------------------------------
+
+    def execute(self, stmt: str):
+        """Run arbitrary SQL and return rows as dicts (or None for DDL).
+
+        Reference: ``datum/database.py:44-45`` + adapters.  The pg/oracle
+        dialect shim (SURVEY §4) rewrites common idioms; the statement then
+        goes through Spark's own parser (no string splicing, §1.4#7).
+        """
+        self.register_all()
+        df = self.spark.sql(translate_sql(stmt))
+        if not df.columns:
+            return None
+        return [row.asDict() for row in df.collect()]
+
+    def sql(self, stmt: str) -> DataFrame:
+        """Spark-native variant of :meth:`execute`: returns the DataFrame
+        (lazy logical plan) instead of collecting."""
+        self.register_all()
+        return self.spark.sql(translate_sql(stmt))
+
+    # -- DDL -----------------------------------------------------------------
+
+    def create_table(self, name: str, cols: list[dict]) -> None:
+        """Create an empty table from ``[{'name','type'}]`` specs.
+
+        Reference: ``datum/postgis/database.py:75-103`` — auto-adds an
+        ``id`` auto-increment primary key; types restricted to
+        num/text/date/geom.  IF NOT EXISTS semantics: existing table wins.
+        """
+        if self.scheme == "file" and os.path.exists(self._table_path(name)):
+            return
+        if self.scheme == "memory" and name in self._memory_tables:
+            return
+        specs = list(cols)
+        col_names = [c["name"] for c in specs]
+        meta: dict = {}
+        if "id" not in col_names:
+            specs = [{"name": "id", "type": "num"}] + specs
+            meta["pk_field"] = "id"
+            meta["pk_auto"] = True
+        geom_cols = [c["name"] for c in specs if c["type"] == "geom"]
+        if len(geom_cols) > 1:
+            # single-geometry enforcement (datum/postgis/table.py:93-99)
+            raise ValueError("at most one geom column per table")
+        if geom_cols:
+            meta["geom_field"] = geom_cols[0]
+        schema = util.struct_type_for(specs)
+        empty = self.spark.createDataFrame([], schema)
+        self._write_table(name, empty, mode="overwrite")
+        if meta and self.scheme == "file":
+            self._store_meta(name, {**self._load_meta(name), **meta})
+        elif meta:
+            self._memory_meta = getattr(self, "_memory_meta", {})
+            self._memory_meta[name] = meta
+
+    def drop_table(self, name: str) -> None:
+        if self.scheme == "memory":
+            self._memory_tables.pop(name, None)
+        elif self.scheme == "file":
+            path = self._table_path(name)
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            elif os.path.exists(path):
+                os.remove(path)
+            meta = self._meta_path(name)
+            if os.path.exists(meta):
+                os.remove(meta)
+        if name in self._registered:
+            self.spark.catalog.dropTempView(name)
+            self._registered.discard(name)
+
+    # -- views ----------------------------------------------------------------
+
+    def create_view(self, name: str, select_stmt: str) -> None:
+        """CREATE VIEW (reference: ``datum/postgis/database.py:108-111``)."""
+        util.check_identifier(name)
+        self.register_all()
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW {name} AS {translate_sql(select_stmt)}")
+        self._views.add(name)
+
+    def drop_view(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+        self._views.discard(name)
+
+    def create_mview(self, name: str, select_stmt: str) -> None:
+        """Materialized view → CTAS to storage
+        (reference: ``datum/postgis/database.py:118-121``)."""
+        util.check_identifier(name)
+        self.register_all()
+        df = self.spark.sql(translate_sql(select_stmt))
+        self._write_table(name, df, mode="overwrite")
+        self._mviews.add(name)
+        self._register(name)
+
+    def drop_mview(self, name: str) -> None:
+        self.drop_table(name)
+        self._mviews.discard(name)
+
+    def refresh_mview(self, name: str, select_stmt: str) -> None:
+        """REFRESH MATERIALIZED VIEW equivalent: re-run the CTAS."""
+        self.create_mview(name, select_stmt)
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def save(self) -> None:
+        """No-op: Parquet job commits are atomic per write (the reference
+        committed per chunk — ``datum/postgis/table.py:304``)."""
+
+    def close(self, stop_spark: bool = False) -> None:
+        """Release catalog state; optionally stop the SparkSession."""
+        for name in list(self._registered):
+            try:
+                self.spark.catalog.dropTempView(name)
+            except Exception:
+                pass
+        self._registered.clear()
+        if stop_spark:
+            self.spark.stop()

@@ -1,0 +1,261 @@
+"""Deduplication family for large-scale (training-data) pipelines.
+
+All operators are pure DataFrame compositions (JVM-side expressions, no
+Python row loops) unless noted.  Scale posture per operator:
+
+- exact:      one hash shuffle on the dedup key; map-side partial agg.
+- MinHash:    signatures map-side (array exprs, no shuffle); LSH banding
+              explodes DOC×BANDS rows (constant factor), one shuffle on
+              band bucket; candidate verification joins only within buckets —
+              sub-quadratic vs. the all-pairs O(n²).
+- SimHash:    64-bit signature map-side; pigeonhole banding on 16-bit chunks
+              → hamming-≤3 pairs without all-pairs comparison.
+- n-gram Jaccard: inverted-index join on n-grams with a frequency cap on
+              hot n-grams (skew guard), then per-pair intersection counts.
+- embedding:  cosine-threshold pairs via the similarity module's LSH path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact
+
+def exact_dedup(df: DataFrame, cols: list[str] | None = None,
+                keep_by: str | None = None) -> DataFrame:
+    """Exact dedup on ``cols`` (default: all columns).
+
+    With ``keep_by`` set, keeps the row with the smallest value of that
+    column per key (deterministic winner — ``dropDuplicates`` keeps an
+    arbitrary row, which is fine for identical full rows but not for keyed
+    dedup); otherwise uses ``dropDuplicates`` (hash shuffle + first-row).
+    """
+    if cols is None:
+        return df.dropDuplicates()
+    if keep_by is None:
+        return df.dropDuplicates(cols)
+    from pyspark.sql import Window
+    w = Window.partitionBy(*cols).orderBy(F.col(keep_by).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def exact_dup_groups(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Groups with more than one occurrence of the key (audit view)."""
+    return (df.groupBy(*cols)
+              .agg(F.count(F.lit(1)).alias("n_dups"))
+              .filter(F.col("n_dups") > 1))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+def _char_shingles(text_col, k: int):
+    """Array of character k-shingles, computed JVM-side.
+
+    ``sequence(1, len-k+1)`` + ``transform``/``substring`` keeps the whole
+    thing in whole-stage codegen — no Python boundary.
+    """
+    t = F.lower(text_col)
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(t, i, k)))
+
+
+def minhash_signature(text_col, num_hashes: int = 32, shingle_k: int = 5):
+    """MinHash signature as an array<bigint> column (map-side only).
+
+    Hash family: ``xxhash64(seed_i, shingle)`` — 64-bit, JVM-side; the
+    signature element i is the min over shingles.
+    """
+    shingles = _char_shingles(text_col, shingle_k)
+    return F.array(*[
+        F.array_min(F.transform(shingles,
+                                lambda s, i=i: F.xxhash64(F.lit(i), s)))
+        for i in range(num_hashes)
+    ])
+
+
+def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_k: int = 5,
+                      threshold: float = 0.7) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and estimated
+    Jaccard (signature agreement rate) ≥ threshold.  Two shuffles total:
+    bucket join + pair dedup; never materializes all pairs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(F.col(id_col).alias("__id"),
+                    minhash_signature(F.col(text_col), num_hashes,
+                                      shingle_k).alias("__sig"))
+    sig = sig.persist()
+
+    banded = sig.select(
+        "__id", "__sig",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("__sig")[b * rows_per_band + r]
+                         for r in range(rows_per_band)])
+            for b in range(bands)
+        ])).alias("__band", "__bucket"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
+                   & (F.col("a.__bucket") == F.col("b.__bucket"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"),
+                     F.col("a.__sig").alias("__sa"),
+                     F.col("b.__sig").alias("__sb"))
+             .dropDuplicates(["id_a", "id_b"]))
+
+    est = (F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                           lambda v: v)) / F.lit(float(num_hashes)))
+    return (cand.withColumn("est_jaccard", est)
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("id_a", "id_b", "est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+def simhash64(text_col):
+    """64-bit SimHash over whitespace tokens, as a bigint column (map-side).
+
+    Per token: 64-bit xxhash64; per bit: +1 if set else -1; sign of the
+    per-bit sum forms the signature.  Expressed with array ops so it stays
+    JVM-side (aggregate over tokens of a 64-wide int array).
+    """
+    tokens = F.array_distinct(
+        F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != ""))
+    bits = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(
+                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                    F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, v: a + v),
+    )
+    return F.aggregate(
+        F.zip_with(bits, F.sequence(F.lit(0), F.lit(63)),
+                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b))
+                                 .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ ``max_hamming`` (pigeonhole
+    banding on 4×16-bit chunks — a pair within distance 3 must agree on at
+    least one chunk, so candidates come from 4 equi-joins, not all pairs)."""
+    sig = df.select(F.col(id_col).alias("__id"),
+                    simhash64(F.col(text_col)).alias("__sig")).persist()
+    chunks = sig.select(
+        "__id", "__sig",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("__sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ])).alias("__chunk", "__val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    xor = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
+    cand = (a.join(b, (F.col("a.__chunk") == F.col("b.__chunk"))
+                   & (F.col("a.__val") == F.col("b.__val"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"),
+                     F.bit_count(xor).alias("hamming"))
+             .dropDuplicates(["id_a", "id_b"]))
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (word n-grams, inverted-index join)
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 1, threshold: float = 0.6,
+                        max_ngram_freq: int | None = None) -> DataFrame:
+    """Exact Jaccard over distinct word n-grams for candidate pairs sharing
+    at least one n-gram.  Returns ``(id_a, id_b, jaccard)``, id_a < id_b.
+
+    ``max_ngram_freq`` drops n-grams appearing in more than that many docs
+    (stopword/skew guard — at 100 TB a hot n-gram would otherwise create a
+    quadratic bucket; dropping ultra-frequent grams only lowers recall for
+    pairs that share *nothing rarer*, standard practice for LSH-style dedup).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != "")
+    if n == 1:
+        grams = F.array_distinct(words)
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+        grams = F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+
+    base = df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
+    sizes = base.select("__id", F.size("__grams").alias("__n")).persist()
+    inv = base.select("__id", F.explode("__grams").alias("__g"))
+    if max_ngram_freq is not None:
+        hot = (inv.groupBy("__g").count()
+                  .filter(F.col("count") > max_ngram_freq).select("__g"))
+        inv = inv.join(hot, "__g", "left_anti")
+
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
+                     & (F.col("a.__id") < F.col("b.__id")))
+               .groupBy(F.col("a.__id").alias("id_a"),
+                        F.col("b.__id").alias("id_b"))
+               .agg(F.count(F.lit(1)).alias("__common")))
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
+    jac = F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
+    return (common.join(sa, "id_a").join(sb, "id_b")
+                  .withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dups
+
+def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
+                          threshold: float = 0.95,
+                          use_lsh: bool = True, planes: int = 16,
+                          seed: int = 42) -> DataFrame:
+    """Pairs of near-identical embeddings (cosine ≥ threshold).
+
+    With ``use_lsh``, candidates are restricted to sign-LSH bucket
+    collisions (random hyperplanes) — sub-quadratic, slight recall loss;
+    without it, all pairs are compared (only for modest corpus sizes).
+    """
+    from .similarity import _cosine_expr, _signature_col
+
+    sel = df.select(F.col(id_col).alias("__id"),
+                    F.col(vec_col).cast("array<double>").alias("__v"))
+    if use_lsh:
+        dim = _infer_dim(df, vec_col)
+        sel = sel.withColumn("__bucket", _signature_col("__v", dim, planes, seed))
+        join_cond = (F.col("a.__bucket") == F.col("b.__bucket")) \
+            & (F.col("a.__id") < F.col("b.__id"))
+    else:
+        join_cond = F.col("a.__id") < F.col("b.__id")
+    a, b = sel.alias("a"), sel.alias("b")
+    cos = _cosine_expr(F.col("a.__v"), F.col("b.__v"))
+    return (a.join(b, join_cond)
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"),
+                     cos.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"])

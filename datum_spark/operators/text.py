@@ -1,0 +1,114 @@
+"""Text-analysis operators for document pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` column expressions —
+map-side, whole-stage-codegen'd, embarrassingly parallel (no shuffle), which
+is the correct posture for per-document scoring at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic
+# language guesser.  Deliberately small: the goal is a deterministic,
+# shuffle-free heuristic, not a model.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it"],
+    "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+    "es": ["el", "la", "los", "las", "y", "de", "que", "es"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "人"],
+}
+
+
+def _words(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column, mode: str = "whitespace") -> Column:
+    """Token count: ``whitespace`` (split on runs of whitespace) or ``bpe``
+    (a BPE-ish segmentation: word pieces, numbers, punctuation runs)."""
+    if mode == "whitespace":
+        return F.size(_words(col))
+    if mode == "bpe":
+        # contiguous letter runs (≤4 chars per piece ≈ subword), digit runs,
+        # and single punctuation marks each count as one token
+        pieces = F.regexp_extract_all(
+            F.lower(col), F.lit(r"([a-z]{1,4}|[0-9]+|[^a-z0-9\s])"), 1)
+        return F.size(pieces)
+    raise ValueError(f"unknown token mode: {mode!r}")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text",
+                     out_col: str = "n_tokens",
+                     mode: str = "whitespace") -> DataFrame:
+    return df.withColumn(out_col, token_count(F.col(text_col), mode))
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic document quality in [0, 1] from length, punctuation ratio,
+    stopword ratio and mean word length — the standard cheap pre-filters in
+    training-data pipelines (all regexp/length exprs, no UDF)."""
+    n_chars = F.length(col).cast("double")
+    words = _words(col)
+    n_words = F.size(words).cast("double")
+    n_punct = (n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
+               ).cast("double")
+    stop = F.size(F.filter(
+        words, lambda w: w.isin(*_LANG_MARKERS["en"]))).cast("double")
+    mean_wlen = F.when(n_words > 0,
+                       F.length(F.regexp_replace(col, r"\s+", "")) / n_words
+                       ).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_score = F.greatest(F.lit(1.0) - (n_punct / F.greatest(n_chars, F.lit(1.0))) * 5.0,
+                             F.lit(0.0))
+    stop_score = F.least(stop / F.greatest(n_words, F.lit(1.0)) * 5.0, F.lit(1.0))
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)) \
+                  .otherwise(F.lit(0.3))
+    return F.round(
+        len_score * 0.3 + punct_score * 0.2 + stop_score * 0.2 + wlen_score * 0.3,
+        4)
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text",
+                       out_col: str = "quality") -> DataFrame:
+    return df.withColumn(out_col, quality_score(F.col(text_col)))
+
+
+def language_guess(col: Column) -> Column:
+    """Stopword-marker language guess over the marker sets above: the
+    language with the most distinct marker hits wins (ties → lexicographic
+    language code; no hits → ``'und'``)."""
+    words = F.array_distinct(_words(col))
+    scores = [
+        (lang, F.size(F.filter(words, lambda w, m=markers: w.isin(*m))))
+        for lang, markers in sorted(_LANG_MARKERS.items())
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    # reversed so earlier (lexicographically smaller) languages win ties
+    for lang, score in reversed(scores):
+        guess = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(guess)
+    return guess
+
+
+def with_language_guess(df: DataFrame, text_col: str = "text",
+                        out_col: str = "lang_guess") -> DataFrame:
+    return df.withColumn(out_col, language_guess(F.col(text_col)))
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive 64-bit document fingerprint (rolling polynomial hash
+    over normalized words): ``h = h*1000003 + xxhash64(word)`` with natural
+    64-bit overflow — a streaming-friendly content hash whose value is
+    independent of partitioning."""
+    return F.aggregate(
+        _words(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: acc * F.lit(1000003).cast("long") + F.xxhash64(w))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    return df.withColumn(out_col, fingerprint(F.col(text_col)))

@@ -1,0 +1,111 @@
+"""Format-dispatching load/write — the engine's source/sink surface.
+
+The reference's only sources were PostGIS/Oracle connections; its README
+TODO ("should support things other than databases, like CSV sheets",
+``datum/__init__.py`` module docstring area) is delivered here via Spark's
+native readers.  Parquet is the engine-preferred format (columnar, predicate
+pushdown, self-describing schema); CSV/JSON exist for interchange; JDBC
+covers the reference's original databases; ORC comes free.
+
+Delta/Iceberg/Hudi would need their jars on the classpath — not present in
+this runtime, so they are gated with a clear error rather than stubbed
+silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "jdbc")
+
+_LAKE_FORMATS = ("delta", "iceberg", "hudi")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as Parquet TIMESTAMP(NANOS) (footer-level probe)."""
+    try:
+        import pyarrow.dataset as ds
+        import pyarrow as pa
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [f.name for f in schema
+                if pa.types.is_timestamp(f.type) and f.type.unit == "ns"]
+    except Exception:
+        return []
+
+
+def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's Parquet reader rejects nanosecond timestamps; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session defaults) they
+    arrive as BIGINT nanos and are converted here to microsecond timestamps
+    with JVM expressions — same truncation DuckDB applies, and the scan stays
+    fully distributed/pushdown-capable for every other column.
+    """
+    df = spark.read.parquet(path)
+    nanos = set(_nanos_timestamp_cols(path))
+    if nanos:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        for f in df.schema.fields:
+            # guard on the Spark-side type: pyarrow also reports legacy
+            # INT96 timestamps as ns, but Spark reads those as TIMESTAMP
+            # already — only BIGINT columns need the conversion.
+            if f.name in nanos and isinstance(f.dataType, T.LongType):
+                df = df.withColumn(f.name, F.timestamp_micros(
+                    (F.col(f.name) / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_table(spark: SparkSession, path: str, fmt: str = "parquet",
+               schema=None, **options) -> DataFrame:
+    """Load a table from ``path`` in the given format.
+
+    CSV/JSON without an explicit ``schema`` infer it (fine for exploration;
+    pass a schema in pipelines — inference costs an extra pass and can
+    mis-type at scale).
+    """
+    fmt = fmt.lower()
+    if fmt in _LAKE_FORMATS:
+        raise NotImplementedError(
+            f"{fmt} requires its connector jar on the Spark classpath, "
+            "which this runtime does not ship")
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "parquet":
+        return reader.options(**options).parquet(path)
+    if fmt == "orc":
+        return reader.options(**options).orc(path)
+    if fmt == "csv":
+        options.setdefault("header", True)
+        if schema is None:
+            options.setdefault("inferSchema", True)
+        return reader.options(**options).csv(path)
+    if fmt == "json":
+        return reader.options(**options).json(path)
+    # jdbc: path is the url, options must carry dbtable/query
+    return reader.format("jdbc").option("url", path).options(**options).load()
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet",
+                mode: str = "error", partition_by: list[str] | None = None,
+                **options) -> None:
+    fmt = fmt.lower()
+    if fmt in _LAKE_FORMATS:
+        raise NotImplementedError(
+            f"{fmt} requires its connector jar on the Spark classpath, "
+            "which this runtime does not ship")
+    if fmt not in SUPPORTED_FORMATS:
+        raise ValueError(f"unsupported format: {fmt!r}")
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "jdbc":
+        writer.format("jdbc").option("url", path).save()
+    else:
+        getattr(writer, fmt)(path)

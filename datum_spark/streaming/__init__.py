@@ -1,0 +1,16 @@
+"""Structured Streaming operators (extensions; the reference has no
+streaming — SURVEY §1.1 'not present')."""
+
+from .windows import (
+    tumbling_agg,
+    sliding_agg,
+    session_agg,
+    stream_dedup,
+    read_events_stream,
+    run_stream_to_memory,
+)
+
+__all__ = [
+    "tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
+    "read_events_stream", "run_stream_to_memory",
+]

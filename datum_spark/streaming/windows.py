@@ -1,0 +1,87 @@
+"""Windowed streaming aggregations over event streams.
+
+Builders are written against a generic DataFrame so the SAME logical plan
+serves batch (t2 Q31 determinism gate) and streaming (``readStream``)
+inputs — Structured Streaming's core design point.  Watermarks bound state:
+late rows beyond the watermark are dropped instead of growing state forever,
+which is what makes these runnable continuously at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark, sf_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """``events`` as a file-source stream (schema pinned from the batch
+    footer — streaming sources must not infer)."""
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(f"{sf_dir}/events.parquet"))
+
+
+def tumbling_agg(events: DataFrame, window: str = "5 minutes",
+                 watermark: str = "10 minutes",
+                 ts_col: str = "ts") -> DataFrame:
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.window(F.col(ts_col), window).alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 3).alias("sv"))
+              .select(F.col("w.start").alias("w_start"),
+                      F.col("w.end").alias("w_end"), "event_type", "n", "sv"))
+
+
+def sliding_agg(events: DataFrame, window: str = "10 minutes",
+                slide: str = "5 minutes", watermark: str = "10 minutes",
+                ts_col: str = "ts") -> DataFrame:
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.window(F.col(ts_col), window, slide).alias("w"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("w_start"),
+                      F.col("w.end").alias("w_end"), "event_type", "n"))
+
+
+def session_agg(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "30 minutes", key: str = "user_id",
+                ts_col: str = "ts") -> DataFrame:
+    """Session windows (gap-based).  ``session_window`` works in both batch
+    and streaming; streaming needs the watermark to close sessions."""
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key)
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 3).alias("sv"))
+              .select(F.col("w.start").alias("session_start"),
+                      F.col("w.end").alias("session_end"), key,
+                      "n_events", "sv"))
+
+
+def stream_dedup(events: DataFrame, keys: list[str],
+                 watermark: str = "10 minutes", ts_col: str = "ts") -> DataFrame:
+    """Stateful exact dedup bounded by the watermark
+    (``dropDuplicatesWithinWatermark``): state for a key is released once
+    the watermark passes it — constant state at any throughput."""
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                      .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         output_mode: str = "complete"):
+    """Drive a streaming query synchronously to completion against the
+    file source (test/smoke harness): memory sink + processAllAvailable."""
+    q = (stream_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    q.processAllAvailable()
+    q.stop()
+    return q

@@ -1,0 +1,325 @@
+"""``Table`` — a named relation with the reference's read/write API.
+
+Reference: ``datum/table.py`` (proxy), ``datum/postgis/table.py``,
+``datum/oracle_stgeom/table.py``.  Every method here builds a Catalyst
+logical plan (select → filter → orderBy → limit + geometry expressions) and
+defers execution to the terminal action — the reference's driver-side
+post-processing loops (SURVEY §3 EP2 step 5) become distributed column ops.
+
+Fixes applied vs. the reference (SURVEY §1.4):
+- #3 ``count`` is a property returning ``int`` on every backend.
+- #4 ``sort=`` honored uniformly (Oracle silently dropped it).
+- #5 single canonical name resolution (no double schema-qualification).
+- #6 only ``None`` maps to SQL NULL on write (``0``/``False`` kept).
+- #8 Force2D is an explicit transform, not a substring accident.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import util
+from .functions.dialect import translate_predicate
+from .functions.geometry import (
+    empty_wkt,
+    force_2d,
+    multi_cast,
+    reproject_wkt,
+    scrub_m_values,
+)
+
+
+class Table:
+    def __init__(self, db, name: str):
+        # schema-qualified names split like the reference
+        # (datum/table.py:16-22); Parquet dirs are flat, so the schema part
+        # only namespaces the identifier.
+        self.db = db
+        self.schema, self.name = util.split_schema(util.check_identifier(name))
+        self.qualified_name = name
+        self._meta_cache: dict | None = None
+        self._schema_cache = None
+
+    # -- plumbing ---------------------------------------------------------
+
+    def df(self) -> DataFrame:
+        """The table as a DataFrame — the Spark-native access path."""
+        return self.db._table_df(self.name)
+
+    @property
+    def _props(self) -> dict:
+        if self._meta_cache is None:
+            if self.db.scheme == "file":
+                self._meta_cache = self.db._load_meta(self.name)
+            else:
+                self._meta_cache = getattr(self.db, "_memory_meta", {}).get(
+                    self.name, {})
+        return self._meta_cache
+
+    @property
+    def _schema(self):
+        if self._schema_cache is None:
+            # Parquet footers make introspection free (SURVEY §1.3) — the
+            # reference needed information_schema / zero-row probe queries.
+            self._schema_cache = self.df().schema
+        return self._schema_cache
+
+    # -- introspection (SURVEY §2-A op 20) ----------------------------------
+
+    @property
+    def metadata(self) -> list[dict]:
+        """``[{'name','type'}]`` in the datum 4-type model
+        (reference: ``datum/table.py:34-38``)."""
+        geom = self._props.get("geom_field")
+        return [
+            {"name": f.name,
+             "type": "geom" if f.name == geom else util.datum_type_of(f.dataType)}
+            for f in self._schema.fields
+        ]
+
+    @property
+    def fields(self) -> list[str]:
+        return [f.name for f in self._schema.fields]
+
+    @property
+    def geom_field(self) -> str | None:
+        return self._props.get("geom_field")
+
+    @property
+    def non_geom_fields(self) -> list[str]:
+        geom = self.geom_field
+        return [f for f in self.fields if f != geom]
+
+    @property
+    def geom_type(self) -> str | None:
+        return self._props.get("geom_type")
+
+    @property
+    def srid(self) -> int | None:
+        return self._props.get("srid")
+
+    @property
+    def pk_field(self) -> str | None:
+        return self._props.get("pk_field")
+
+    # Oracle spelling (datum/oracle_stgeom/table.py:170-187)
+    @property
+    def objectid_field(self) -> str | None:
+        return self._props.get("pk_field")
+
+    @property
+    def count(self) -> int:
+        """Row count as int (fix §1.4#3; reference Q01 semantics)."""
+        return self.df().count()
+
+    # -- read (SURVEY §2-A ops 5-12) -----------------------------------------
+
+    def query(self, fields=None, aliases=None, geom_field=None, to_srid=None,
+              return_geom: bool = True, limit: int | None = None,
+              where: str | None = None, sort=None) -> DataFrame:
+        """Build the read plan and return it as a DataFrame (lazy).
+
+        This is the engine-native spelling of ``read``; ``read`` collects it
+        to row dicts for reference-API fidelity.
+        """
+        df = self.df()
+        geom = geom_field or self.geom_field
+
+        # field list: default all, minus geometry when return_geom=False
+        # (the reference's Oracle default excluded geometry entirely).
+        if fields is None:
+            cols = list(self.fields)
+            if not return_geom and geom in cols:
+                cols.remove(geom)
+        else:
+            cols = list(fields)
+            unknown = [c for c in cols if c not in self.fields]
+            if unknown:
+                raise ValueError(f"fields not in table: {unknown}")
+            if return_geom and geom and geom not in cols:
+                cols.append(geom)
+
+        aliases = aliases or {}
+        exprs: list[Column] = []
+        for c in cols:
+            col: Column = F.col(c)
+            if c == geom:
+                # WKT output expr: m-value scrub distributed
+                # (ref driver loop datum/oracle_stgeom/table.py:289-297)
+                col = scrub_m_values(col)
+                if to_srid is not None and self.srid and to_srid != self.srid:
+                    col = reproject_wkt(col, self.srid, to_srid)
+            exprs.append(col.alias(aliases.get(c, c)))
+        df = df.select(*exprs)
+
+        if where:
+            df = df.filter(F.expr(translate_predicate(where)))
+        if sort is not None:
+            df = df.orderBy(*self._sort_exprs(sort, aliases))
+        if limit is not None:
+            df = df.limit(int(limit))
+        return df
+
+    @staticmethod
+    def _sort_exprs(sort, aliases) -> list[Column]:
+        """``"a DESC"`` or ``["a", "b DESC"]`` → order expressions
+        (reference: ``datum/postgis/table.py:159-163``)."""
+        if isinstance(sort, str):
+            sort = [s.strip() for s in sort.split(",") if s.strip()]
+        exprs = []
+        for item in sort:
+            parts = item.split()
+            name = aliases.get(parts[0], parts[0])
+            col = F.col(name)
+            if len(parts) > 1 and parts[1].upper() == "DESC":
+                col = col.desc()
+            exprs.append(col)
+        return exprs
+
+    def read(self, fields=None, aliases=None, geom_field=None, to_srid=None,
+             return_geom: bool = True, limit=None, where=None,
+             sort=None) -> list[dict]:
+        """Materialize rows as dicts (reference: ``datum/table.py:68-86``)."""
+        df = self.query(fields, aliases, geom_field, to_srid, return_geom,
+                        limit, where, sort)
+        return [row.asDict() for row in df.collect()]
+
+    def read_iter(self, **kwargs) -> Iterator[dict]:
+        """Streaming variant: iterate row dicts without materializing the
+        whole result in driver memory (for large scans)."""
+        for row in self.query(**kwargs).toLocalIterator():
+            yield row.asDict()
+
+    # -- write (SURVEY §2-A op 14) ---------------------------------------------
+
+    def write(self, rows, from_srid: int | None = None,
+              chunk_size: int | None = None) -> None:
+        """Append rows (list of dicts or a DataFrame).
+
+        The reference chunked INSERTs with a commit per chunk
+        (``datum/postgis/table.py:266-304``) — partial failures left earlier
+        chunks committed.  Here one atomic Parquet job commit replaces that;
+        ``chunk_size`` is accepted for API compatibility and ignored.
+        """
+        if isinstance(rows, DataFrame):
+            df = rows
+            write_fields = df.columns
+        else:
+            rows = list(rows)
+            if not rows:
+                return
+            write_fields = list(rows[0].keys())
+            df = self._rows_to_df(rows, write_fields)
+
+        # field-exists validation (datum/postgis/table.py:256-262)
+        unknown = [f for f in write_fields if f not in self.fields]
+        if unknown:
+            raise ValueError(f"fields not in table: {unknown}")
+
+        geom = self.geom_field
+        if geom and geom in write_fields:
+            df = df.withColumn(geom, self._prepare_geom(F.col(geom), from_srid))
+
+        # auto primary key injection (ref: SDE.GDB_UTIL.NEXT_ROWID,
+        # datum/oracle_stgeom/table.py:437-443). monotonically_increasing_id
+        # is unique across partitions without any shuffle or driver round-trip.
+        pk = self.pk_field
+        if pk and self._props.get("pk_auto") and pk not in write_fields:
+            base = self._next_pk_base()
+            # cast to the declared pk type happens in the alignment below
+            df = df.withColumn(pk, F.monotonically_increasing_id() + F.lit(base))
+
+        # align to table schema: missing cols → NULL, cast to declared types
+        target = self._schema
+        aligned = [
+            (F.col(f.name) if f.name in df.columns else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in target.fields
+        ]
+        self.db._write_table(self.name, df.select(*aligned), mode="append")
+        self._schema_cache = None
+
+    def _next_pk_base(self) -> int:
+        pk = self.pk_field
+        try:
+            current = self.df().agg(F.max(F.col(pk))).collect()[0][0]
+        except Exception:
+            current = None
+        return int(current or 0) + 1
+
+    def _rows_to_df(self, rows: list[dict], write_fields: list[str]) -> DataFrame:
+        # Only None → NULL (fix §1.4#6: the reference coerced 0/False/'' all
+        # to empty string). NaN floats are preserved as NaN.
+        target_fields = {f.name: f for f in self._schema.fields}
+        from pyspark.sql import types as T
+        fields = [target_fields.get(f, T.StructField(f, T.StringType(), True))
+                  for f in write_fields]
+        schema = T.StructType([T.StructField(f.name, f.dataType, True)
+                               for f in fields])
+        cleaned = [tuple(r.get(f) for f in write_fields) for r in rows]
+        return self.db.spark.createDataFrame(cleaned, schema)
+
+    def _prepare_geom(self, col: Column, from_srid: int | None) -> Column:
+        """Geometry write normalization as column expressions
+        (reference ``_prepare_geom``: ``datum/postgis/table.py:179-201``,
+        ``datum/oracle_stgeom/table.py:317-340``)."""
+        out = force_2d(scrub_m_values(col))
+        gtype = self.geom_type
+        if gtype:
+            out = multi_cast(out, gtype)
+            # null geometry → typed EMPTY (datum/oracle_stgeom/table.py:320-322)
+            out = F.coalesce(out, F.lit(empty_wkt(gtype)))
+        if from_srid and self.srid and from_srid != self.srid:
+            out = reproject_wkt(out, from_srid, self.srid)
+        return out
+
+    # -- delete / truncate (SURVEY §2-A op 15) -----------------------------------
+
+    def delete(self, cascade: bool = False) -> None:
+        """Remove all rows, keep schema (reference TRUNCATE,
+        ``datum/postgis/table.py:170-177``).  ``cascade`` accepted for API
+        compatibility (no FK graph in Parquet)."""
+        empty = self.db.spark.createDataFrame([], self._schema)
+        self.db._write_table(self.name, empty, mode="overwrite")
+
+    truncate = delete
+
+    # -- index ops (SURVEY §2-A op 18) --------------------------------------------
+
+    def create_index(self, *fields: str, name: str | None = None) -> str:
+        """Accept-and-record: Parquet has no secondary indexes; the index
+        request is recorded as table metadata, and future writes could
+        sort-within-partitions on these columns.  Auto-name mirrors the
+        reference: ``{table}_{f1}_{f2}_idx``
+        (``datum/postgis/table.py:309-333``)."""
+        for f in fields:
+            if f not in self.fields:
+                raise ValueError(f"field not in table: {f}")
+        idx_name = name or f"{self.name}_{'_'.join(fields)}_idx"
+        meta = dict(self._props)
+        indexes = {i["name"]: i for i in meta.get("indexes", [])}
+        indexes[idx_name] = {"name": idx_name, "fields": list(fields)}
+        meta["indexes"] = sorted(indexes.values(), key=lambda i: i["name"])
+        self._store_props(meta)
+        return idx_name
+
+    def drop_index(self, name: str) -> None:
+        meta = dict(self._props)
+        meta["indexes"] = [i for i in meta.get("indexes", [])
+                           if i["name"] != name]
+        self._store_props(meta)
+
+    @property
+    def indexes(self) -> list[dict]:
+        return list(self._props.get("indexes", []))
+
+    def _store_props(self, meta: dict) -> None:
+        if self.db.scheme == "file":
+            self.db._store_meta(self.name, meta)
+        else:
+            self.db._memory_meta = getattr(self.db, "_memory_meta", {})
+            self.db._memory_meta[self.name] = meta
+        self._meta_cache = meta

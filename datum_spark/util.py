@@ -1,0 +1,107 @@
+"""URL parsing, identifier handling and the datum 4-type logical type map.
+
+Reference: ``datum/util.py:8-17`` (URL scheme parse) and the two
+``FIELD_TYPE_MAP`` tables (``datum/postgis/table.py:7-21``,
+``datum/oracle_stgeom/table.py:10-32``) which collapse backend types into
+``num | text | date | geom`` (+ ``nclob``/``name`` aliases of text).
+"""
+
+from __future__ import annotations
+
+import re
+from urllib.parse import urlparse
+
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# URL handling
+
+
+def parse_url(url: str) -> tuple[str, str]:
+    """Return (scheme, rest).  Bare paths get scheme ``file``."""
+    if "://" not in url and not url.startswith("jdbc:"):
+        return "file", url
+    if url.startswith("jdbc:"):
+        return "jdbc", url
+    parsed = urlparse(url)
+    path = (parsed.netloc or "") + (parsed.path or "")
+    return parsed.scheme or "file", path
+
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def check_identifier(name: str) -> str:
+    """Validate a table/column identifier (schema-qualified allowed).
+
+    The reference string-interpolates identifiers into SQL
+    (``datum/postgis/table.py:150-166``) — SURVEY §1.4#7 flags this as
+    injection-by-design.  Here every identifier is validated instead.
+    """
+    for part in name.split("."):
+        if not _IDENT_RE.match(part):
+            raise ValueError(f"invalid identifier: {name!r}")
+    return name
+
+
+def split_schema(name: str) -> tuple[str | None, str]:
+    """Split ``schema.table`` (reference: ``datum/table.py:16-22``)."""
+    if "." in name:
+        schema, _, table = name.partition(".")
+        return schema, table
+    return None, name
+
+
+# ---------------------------------------------------------------------------
+# datum logical type model (num | text | date | geom)
+
+_SPARK_TO_DATUM = {
+    "byte": "num", "short": "num", "integer": "num", "long": "num",
+    "float": "num", "double": "num",
+    "string": "text", "binary": "text", "char": "text", "varchar": "text",
+    "date": "date", "timestamp": "date", "timestamp_ntz": "date",
+    "boolean": "num",
+}
+
+_DATUM_TO_SPARK = {
+    "num": T.DoubleType(),
+    "text": T.StringType(),
+    "date": T.TimestampType(),
+    # The reference stores geometry as WKT text even in DDL
+    # (``datum/postgis/database.py:83-88`` creates `geom` columns as
+    # Postgres `text`), so WKT-as-StringType is behavior-preserving.
+    "geom": T.StringType(),
+    "nclob": T.StringType(),
+    "name": T.StringType(),
+}
+
+
+def datum_type_of(spark_type: T.DataType) -> str:
+    """Project a Spark type into the datum 4-type model."""
+    if isinstance(spark_type, T.DecimalType):
+        return "num"
+    return _SPARK_TO_DATUM.get(spark_type.typeName(), "text")
+
+
+def spark_type_of(datum_type: str) -> T.DataType:
+    """Map a datum DDL type to the Spark type used for storage.
+
+    Reference DDL accepts only num/text/date/geom
+    (``datum/postgis/database.py:83-88``); unknown types raise, matching
+    the reference's ``ValueError``.
+    """
+    try:
+        return _DATUM_TO_SPARK[datum_type]
+    except KeyError:
+        raise ValueError(f"unknown datum type: {datum_type!r}") from None
+
+
+def struct_type_for(cols: list[dict]) -> T.StructType:
+    """Build a StructType from ``[{'name': ..., 'type': ...}]`` col specs
+    (the reference's ``create_table`` input shape,
+    ``datum/postgis/database.py:75-103``)."""
+    fields = [
+        T.StructField(check_identifier(c["name"]), spark_type_of(c["type"]), True)
+        for c in cols
+    ]
+    return T.StructType(fields)
