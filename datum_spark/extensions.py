@@ -1,0 +1,342 @@
+"""North-star extension queries (SURVEY §2-C): dedup, similarity search,
+text analysis, as-of/sessionization, multimodal plumbing — each wired as a
+driver-checkable query over the documents/embeddings/events fixtures.
+
+Oracle parity notes: where DuckDB can express the same computation
+(list lambdas, ASOF JOIN, window functions), the entry carries oracle SQL
+and is hash-checked; operators whose hashes are engine-specific (xxhash64
+in MinHash/SimHash/fingerprint) are declared without an oracle → the driver
+records a rows-only check, and unit tests cover their semantics instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .operators import asof as asof_mod
+from .operators import dedup as dedup_mod
+from .operators import similarity as sim_mod
+from .operators import text as text_mod
+from .tierb import load
+
+EXTENSIONS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def x(name: str, oracle: str | None):
+    def deco(fn):
+        EXTENSIONS[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+
+@x("x01_dedup_exact", """
+SELECT lang, source, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY lang, source ORDER BY lang, source""")
+def x01(spark, sf):
+    """Exact keyed dedup: keep-first winner per (lang, source) + group size."""
+    docs = load(spark, sf, "documents")
+    kept = dedup_mod.exact_dedup(docs, ["lang", "source"], keep_by="doc_id")
+    sizes = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_dups"))
+    return (kept.select("lang", "source", F.col("doc_id").alias("keep_id"))
+                .join(sizes, ["lang", "source"])
+                .orderBy("lang", "source"))
+
+
+@x("x02_dup_groups", """
+SELECT SUBSTR(text, 1, 20) AS pre, COUNT(*) AS n_dups FROM documents
+GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY pre""")
+def x02(spark, sf):
+    """Exact-duplicate group audit on a text prefix key."""
+    docs = load(spark, sf, "documents").withColumn(
+        "pre", F.substring("text", 1, 20))
+    return dedup_mod.exact_dup_groups(docs, ["pre"]).orderBy("pre")
+
+
+@x("x03_ngram_jaccard", """
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws
+  FROM documents WHERE doc_id < 100
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.ws, b.ws)) AS common,
+         len(a.ws) AS na, len(b.ws) AS nb
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(common / (na + nb - common), 4) AS jaccard
+FROM pairs WHERE common / (na + nb - common) >= 0.8
+ORDER BY id_a, id_b""")
+def x03(spark, sf):
+    """Word-set Jaccard near-dup pairs (inverted-index join, threshold 0.8)."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup_mod.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          n=1, threshold=0.8)
+    return (pairs.select("id_a", "id_b",
+                         F.round("jaccard", 4).alias("jaccard"))
+                 .orderBy("id_a", "id_b"))
+
+
+@x("x04_minhash_lsh", None)  # xxhash64 signatures are engine-specific
+def x04(spark, sf):
+    """MinHash-LSH candidate near-dup pairs (banded, sub-quadratic)."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return (dedup_mod.minhash_near_dups(docs, "doc_id", "text",
+                                        num_hashes=32, bands=8,
+                                        threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+@x("x05_simhash", None)  # xxhash64-based signature
+def x05(spark, sf):
+    """SimHash hamming-≤6 near-dup pairs via 16-bit pigeonhole banding."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    return (dedup_mod.simhash_near_dups(docs, "doc_id", "text", max_hamming=6)
+            .orderBy("id_a", "id_b"))
+
+
+@x("x06_embedding_dups", """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+         / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+           AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cosine, 4) AS cosine FROM p WHERE cosine >= 0.95
+ORDER BY id_a, id_b""")
+def x06(spark, sf):
+    """Embedding near-dup pairs: exact all-pairs cosine ≥ 0.95 (the oracle-
+    checkable exact path; the LSH-bucketed scale path is x07)."""
+    emb = load(spark, sf, "embeddings")
+    pairs = dedup_mod.embedding_cosine_dups(emb, "vec_id", "embedding",
+                                            threshold=0.95, use_lsh=False)
+    return (pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+                 .orderBy("id_a", "id_b"))
+
+
+@x("x07_embedding_dups_lsh", None)  # LSH recall is approximate by design
+def x07(spark, sf):
+    """Sign-LSH bucketed variant of x06 — the 100 TB path (bucket-local
+    pair generation instead of all-pairs)."""
+    emb = load(spark, sf, "embeddings")
+    pairs = dedup_mod.embedding_cosine_dups(emb, "vec_id", "embedding",
+                                            threshold=0.95, use_lsh=True,
+                                            planes=8)
+    return (pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+                 .orderBy("id_a", "id_b"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+
+@x("x08_cosine_topk", """
+WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 4) AS cosine
+  FROM q CROSS JOIN c
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
+ORDER BY query_id, rnk""")
+def x08(spark, sf):
+    """Brute-force cosine top-5 per query (exact ANN baseline)."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return (sim_mod.cosine_top_k(q, c, k=5, round_to=4)
+            .orderBy("query_id", "rnk"))
+
+
+@x("x09_cosine_topk_lsh", None)  # approximate recall by design
+def x09(spark, sf):
+    """Sign-LSH bucketed ANN top-5 (the scale path: each query scans
+    ~1/2^planes of the corpus, multiprobe widens recall)."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return (sim_mod.lsh_cosine_top_k(q, c, k=5, planes=8, multiprobe=4)
+            .orderBy("query_id", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+@x("x10_token_count", """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS INTEGER) AS n_tokens
+FROM documents ORDER BY doc_id""")
+def x10(spark, sf):
+    docs = load(spark, sf, "documents")
+    return (text_mod.with_token_count(docs, "text", "n_tokens")
+            .select("doc_id", "n_tokens").orderBy("doc_id"))
+
+
+@x("x11_language_guess", """
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], x))) AS de,
+    len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS en,
+    len(list_filter(ws, x -> list_contains(['el','la','los','las','y','de','que','es'], x))) AS es,
+    len(list_filter(ws, x -> list_contains(['le','la','les','et','de','un','une','est'], x))) AS fr,
+    len(list_filter(ws, x -> list_contains(['的','是','了','在','我','有','和','人'], x))) AS zh
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'und'
+       WHEN de = greatest(de,en,es,fr,zh) THEN 'de'
+       WHEN en = greatest(de,en,es,fr,zh) THEN 'en'
+       WHEN es = greatest(de,en,es,fr,zh) THEN 'es'
+       WHEN fr = greatest(de,en,es,fr,zh) THEN 'fr'
+       ELSE 'zh' END AS lang_guess
+FROM s ORDER BY doc_id""")
+def x11(spark, sf):
+    """Stopword-marker language ID (deterministic heuristic, no model)."""
+    docs = load(spark, sf, "documents")
+    return (text_mod.with_language_guess(docs, "text", "lang_guess")
+            .select("doc_id", "lang_guess").orderBy("doc_id"))
+
+
+@x("x12_fingerprint", None)  # xxhash64-based rolling hash
+def x12(spark, sf):
+    docs = load(spark, sf, "documents")
+    return (text_mod.with_fingerprint(docs, "text", "fingerprint")
+            .select("doc_id", "fingerprint").orderBy("doc_id"))
+
+
+@x("x13_quality_score", None)  # regex classes differ subtly across engines
+def x13(spark, sf):
+    docs = load(spark, sf, "documents")
+    return (text_mod.with_quality_score(docs, "text", "quality")
+            .select("doc_id", "quality").orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Temporal operators over events
+
+@x("x14_asof_join", """
+WITH clicks AS (SELECT * FROM events WHERE event_type = 'click'),
+purch AS (SELECT * FROM events WHERE event_type = 'purchase')
+SELECT c.event_id,
+       ROUND((SELECT max_by(p.value, p.ts) FROM purch p
+              WHERE p.user_id = c.user_id AND p.ts <= c.ts), 3) AS last_purchase
+FROM clicks c ORDER BY c.event_id""")
+def x14(spark, sf):
+    """As-of join: each click gets the user's most recent purchase value."""
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("user_id", "ts", F.col("value").alias("last_purchase")))
+    joined = asof_mod.asof_join(clicks, purchases, on=["user_id"],
+                                left_ts="ts", right_ts="ts",
+                                right_cols=["last_purchase"])
+    return (joined.select("event_id",
+                          F.round("last_purchase", 3).alias("last_purchase"))
+                  .orderBy("event_id"))
+
+
+@x("x15_sessionize", """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+)
+SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""")
+def x15(spark, sf):
+    """Batch sessionization via session_window (30 min gap) — the same
+    builder serves Structured Streaming (streaming/windows.py)."""
+    from .streaming.windows import session_agg
+
+    ev = load(spark, sf, "events")
+    return (session_agg(ev, gap="30 minutes")
+            .select("user_id", "session_start",
+                    F.col("n_events").cast("long").alias("n_events"))
+            .orderBy("user_id", "session_start"))
+
+
+@x("x16_tumbling_window", """
+SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS w_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 3) AS sv
+FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")
+def x16(spark, sf):
+    """5-minute tumbling windows via F.window — the batch twin of the
+    streaming tumbling_agg (same groupBy plan, watermark added on streams)."""
+    from .streaming.windows import tumbling_agg
+
+    ev = load(spark, sf, "events")
+    return (tumbling_agg(ev, window="5 minutes")
+            .select(F.col("w_start"), "event_type", "n", "sv")
+            .orderBy("w_start", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+
+@x("x17_media_metadata", """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+FROM documents ORDER BY doc_id""")
+def x17(spark, sf):
+    """Binary-column metadata: documents' text re-encoded as an opaque
+    binary payload, byte length computed without decoding (the cheap
+    map-side pass every multimodal pipeline starts with)."""
+    from .operators.multimodal import attach_media_metadata
+
+    docs = load(spark, sf, "documents").withColumn(
+        "content", F.encode("text", "UTF-8"))
+    return (attach_media_metadata(docs, "content")
+            .select("doc_id", F.col("n_bytes").cast("int").alias("n_bytes"))
+            .orderBy("doc_id"))
+
+
+@x("x18_image_features", None)  # fake decoder (real lib absent) → rows-only
+def x18(spark, sf):
+    """Image decode plumbing with the deterministic fake decoder: binary →
+    mapInPandas → width/height columns (Arrow batch shape is the real
+    contract being exercised)."""
+    from .operators.multimodal import extract_image_features
+
+    docs = (load(spark, sf, "documents")
+            .select("doc_id", F.encode("text", "UTF-8").alias("content")))
+    return (extract_image_features(docs, "content", fake_decode=True)
+            .orderBy("doc_id"))
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in EXTENSIONS.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: " ".join(sql.split())
+            for name, (_, sql) in EXTENSIONS.items() if sql is not None}

@@ -72,11 +72,14 @@ def minhash_signature(text_col, num_hashes: int = 32, shingle_k: int = 5):
     signature element i is the min over shingles.
     """
     shingles = _char_shingles(text_col, shingle_k)
-    return F.array(*[
-        F.array_min(F.transform(shingles,
-                                lambda s, i=i: F.xxhash64(F.lit(i), s)))
-        for i in range(num_hashes)
-    ])
+
+    def hash_with(seed):
+        # closure factory: a default-arg lambda would be seen by PySpark as
+        # the two-arg (element, index) variant and bind the index instead
+        return lambda s: F.xxhash64(F.lit(seed), s)
+
+    return F.array(*[F.array_min(F.transform(shingles, hash_with(i)))
+                     for i in range(num_hashes)])
 
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
@@ -132,24 +135,30 @@ def simhash64(text_col):
     """
     tokens = F.array_distinct(
         F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != ""))
+
+    def token_bits(t):
+        # literal shift amounts (shiftright needs a Python int), one ±1
+        # entry per bit of the token's 64-bit hash
+        return F.array(*[
+            F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+                   F.lit(1)).otherwise(F.lit(-1))
+            for b in range(64)
+        ])
+
     bits = F.aggregate(
         tokens,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                    F.lit(1)).otherwise(F.lit(-1))),
-            lambda a, v: a + v),
+        lambda acc, t: F.zip_with(acc, token_bits(t), lambda a, v: a + v),
     )
-    return F.aggregate(
-        F.zip_with(bits, F.sequence(F.lit(0), F.lit(63)),
-                   lambda v, b: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b))
-                                 .otherwise(F.lit(0).cast("long"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseOR(x))
+    # pack sign bits into one bigint: zip the 64 counters with the literal
+    # bit values and OR-fold (single reference to `bits` keeps the
+    # expression tree linear)
+    bit_values = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+    signed = F.zip_with(
+        bits, F.array(*[F.lit(v).cast("long") for v in bit_values]),
+        lambda v, bv: F.when(v > 0, bv).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(signed, F.lit(0).cast("long"),
+                       lambda acc, x: acc.bitwiseOR(x))
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,

@@ -81,8 +81,14 @@ def language_guess(col: Column) -> Column:
     language with the most distinct marker hits wins (ties → lexicographic
     language code; no hits → ``'und'``)."""
     words = F.array_distinct(_words(col))
+
+    def matcher(markers):
+        # closure factory — a default-arg lambda would be treated as the
+        # two-arg (element, index) form and bind the index column
+        return lambda w: w.isin(*markers)
+
     scores = [
-        (lang, F.size(F.filter(words, lambda w, m=markers: w.isin(*m))))
+        (lang, F.size(F.filter(words, matcher(markers))))
         for lang, markers in sorted(_LANG_MARKERS.items())
     ]
     best = F.greatest(*[s for _, s in scores])
@@ -99,14 +105,20 @@ def with_language_guess(df: DataFrame, text_col: str = "text",
 
 
 def fingerprint(col: Column) -> Column:
-    """Order-sensitive 64-bit document fingerprint (rolling polynomial hash
-    over normalized words): ``h = h*1000003 + xxhash64(word)`` with natural
-    64-bit overflow — a streaming-friendly content hash whose value is
-    independent of partitioning."""
+    """Order-sensitive document fingerprint: rolling polynomial hash over
+    normalized words, ``h = (h*31 + xxhash64(word) mod 2^31) mod (2^56-5)``.
+
+    The modulus keeps every intermediate inside signed-64 range
+    (max ≈ 2^56·31 + 2^31 < 2^63; Spark runs ANSI mode, where silent
+    wraparound is an overflow error); the value is partitioning-independent
+    and streaming-friendly (O(1) state per doc).
+    """
+    m = F.lit((1 << 56) - 5).cast("long")
     return F.aggregate(
         _words(col),
         F.lit(0).cast("long"),
-        lambda acc, w: acc * F.lit(1000003).cast("long") + F.xxhash64(w))
+        lambda acc, w: (acc * F.lit(31).cast("long")
+                        + F.pmod(F.xxhash64(w), F.lit(1 << 31).cast("long"))) % m)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text",

@@ -56,6 +56,14 @@ def get_session(app_name: str = "datum_spark", master: str | None = None,
     active = SparkSession.getActiveSession()
     if active is not None:
         return active
+    # Python workers (pandas UDF / mapInPandas) unpickle functions by module
+    # reference; make the package importable in them regardless of where the
+    # driver script runs from.  On a real cluster this would be --py-files.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root)
     cores = default_parallelism()
     builder = SparkSession.builder.appName(app_name)
     builder = builder.master(master or f"local[{cores}]")

@@ -54,8 +54,10 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
             # INT96 timestamps as ns, but Spark reads those as TIMESTAMP
             # already — only BIGINT columns need the conversion.
             if f.name in nanos and isinstance(f.dataType, T.LongType):
+                # integer division — float division would round-trip the
+                # ns-since-epoch through double and lose microseconds
                 df = df.withColumn(f.name, F.timestamp_micros(
-                    (F.col(f.name) / F.lit(1000)).cast("long")))
+                    F.expr(f"`{f.name}` DIV 1000")))
     return df
 
 

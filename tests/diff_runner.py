@@ -1,0 +1,117 @@
+"""Differential harness: run every ``queries()`` entry on Spark and its
+``oracle_sql()`` on DuckDB over the same parquet, compare row count +
+column names + order-insensitive normalized values.
+
+Usage: ``python tests/diff_runner.py [sf_dir] [query_name ...]``
+Exit code 0 iff every checked query matches.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _norm(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        # collapse float noise below ~1e-9 relative
+        return f"{v:.9g}"
+    try:
+        import decimal
+        if isinstance(v, decimal.Decimal):
+            return f"{float(v):.9g}"
+    except ImportError:
+        pass
+    if isinstance(v, datetime.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def normalize(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for c in sorted(cols)], out
+
+
+def run(sf_dir: str, only: list[str]):
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from datum_spark.session import get_session
+
+    spark = get_session(app_name="diff_runner")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = only or list(qs)
+    failures = []
+    for name in names:
+        fn = qs[name]
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"SPARK ERROR: {exc}"))
+            print(f"FAIL  {name}: spark error: {str(exc)[:300]}")
+            continue
+        if name not in oracles:
+            print(f"ok*   {name}: rows-only ({len(s_rows)} rows)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"DUCKDB ERROR: {exc}"))
+            print(f"FAIL  {name}: duckdb error: {str(exc)[:300]}")
+            continue
+
+        sc, sr = normalize(s_cols, s_rows)
+        dc, dr = normalize(d_cols, d_rows)
+        if sc != dc:
+            failures.append((name, f"columns {sc} != {dc}"))
+            print(f"FAIL  {name}: columns {sc} != {dc}")
+            continue
+        if len(sr) != len(dr):
+            failures.append((name, f"rowcount {len(sr)} != {len(dr)}"))
+            print(f"FAIL  {name}: rowcount {len(sr)} != {len(dr)}")
+            continue
+        bad = [(a, b) for a, b in zip(sr, dr) if a != b]
+        if bad:
+            failures.append((name, f"{len(bad)} mismatched rows"))
+            print(f"FAIL  {name}: {len(bad)}/{len(sr)} rows differ; "
+                  f"first: spark={bad[0][0]} duckdb={bad[0][1]}")
+            continue
+        print(f"ok    {name}: {len(sr)} rows, {len(sc)} cols")
+    print(f"\n{len(names) - len(failures)}/{len(names)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:]
+    sf = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.01"
+    only = args[1:] if args and os.path.isdir(args[0]) else args
+    sys.exit(run(sf, only))
