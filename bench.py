@@ -1,0 +1,70 @@
+"""BENCH harness: run the engine's headline queries and print ONE JSON line.
+
+Config via env:
+- ``SPARK_GRAFT_SF_DIR``  input dir (default /root/testdata/sf0.1)
+- ``SPARK_GRAFT_CPUS``    local[] parallelism (default: all cores)
+- ``SPARK_GRAFT_BENCH_REPS``  timed reps per query (default 3, median)
+
+Output: ``{"metric": "t2_suite_seconds", "value": <sum of per-query
+medians>, "unit": "sec", "queries": {...}, "sf": ...}``
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+    import __spark_entry__ as entry_mod
+    from datum_spark.session import get_session
+
+    spark = get_session(app_name="datum_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        # warm-up run: JIT/codegen caches, file listing, broadcast build
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"# {name} ERROR {str(exc)[:120]}", file=sys.stderr)
+            continue
+        samples = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    ok = {k: v for k, v in timings.items() if v >= 0}
+    total = round(sum(ok.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "t2_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "reps": reps,
+    }))
+    return 0 if len(ok) == len(timings) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

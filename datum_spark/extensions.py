@@ -103,7 +103,8 @@ def x05(spark, sf):
 
 
 @x("x06_embedding_dups", """
-WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+           WHERE vec_id < 2000),
 p AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.e, b.e)
@@ -115,8 +116,9 @@ SELECT id_a, id_b, ROUND(cosine, 4) AS cosine FROM p WHERE cosine >= 0.95
 ORDER BY id_a, id_b""")
 def x06(spark, sf):
     """Embedding near-dup pairs: exact all-pairs cosine ≥ 0.95 (the oracle-
-    checkable exact path; the LSH-bucketed scale path is x07)."""
-    emb = load(spark, sf, "embeddings")
+    checkable exact path, bounded to 2k vectors — all-pairs is quadratic by
+    definition; the LSH-bucketed scale path is x07)."""
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
     pairs = dedup_mod.embedding_cosine_dups(emb, "vec_id", "embedding",
                                             threshold=0.95, use_lsh=False)
     return (pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))

@@ -245,19 +245,27 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
     collisions (random hyperplanes) — sub-quadratic, slight recall loss;
     without it, all pairs are compared (only for modest corpus sizes).
     """
-    from .similarity import _cosine_expr, _signature_col
+    from ..session import default_parallelism
+    from .similarity import _dot_expr, _normalize_col, _signature_col
 
+    # normalize once map-side → single dot product per candidate pair
     sel = df.select(F.col(id_col).alias("__id"),
-                    F.col(vec_col).cast("array<double>").alias("__v"))
+                    _normalize_col(F.col(vec_col).cast("array<double>"))
+                    .alias("__v"))
     if use_lsh:
         dim = _infer_dim(df, vec_col)
         sel = sel.withColumn("__bucket", _signature_col("__v", dim, planes, seed))
         join_cond = (F.col("a.__bucket") == F.col("b.__bucket")) \
             & (F.col("a.__id") < F.col("b.__id"))
+        a, b = sel.alias("a"), sel.alias("b")
     else:
         join_cond = F.col("a.__id") < F.col("b.__id")
-    a, b = sel.alias("a"), sel.alias("b")
-    cos = _cosine_expr(F.col("a.__v"), F.col("b.__v"))
+        # the nested-loop's parallelism = streamed-side partitions; a small
+        # input often arrives as ONE file split → repartition so the
+        # quadratic compare uses every core
+        a = sel.repartition(default_parallelism()).alias("a")
+        b = sel.alias("b")
+    cos = _dot_expr(F.col("a.__v"), F.col("b.__v"))
     return (a.join(b, join_cond)
              .select(F.col("a.__id").alias("id_a"),
                      F.col("b.__id").alias("id_b"),
