@@ -191,6 +191,14 @@ class Database:
         if geom_cols:
             meta["geom_field"] = geom_cols[0]
         schema = util.struct_type_for(specs)
+        if meta.get("pk_auto"):
+            # auto pk is a bigint sequence (reference: `id serial PRIMARY
+            # KEY`, datum/postgis/database.py:92-95), not a datum `num`
+            from pyspark.sql import types as T
+            schema = T.StructType([
+                T.StructField("id", T.LongType(), True) if f.name == "id" else f
+                for f in schema.fields
+            ])
         empty = self.spark.createDataFrame([], schema)
         self._write_table(name, empty, mode="overwrite")
         if meta and self.scheme == "file":

@@ -168,12 +168,12 @@ def x08(spark, sf):
 
 @x("x09_cosine_topk_lsh", None)  # approximate recall by design
 def x09(spark, sf):
-    """Sign-LSH bucketed ANN top-5 (the scale path: each query scans
-    ~1/2^planes of the corpus, multiprobe widens recall)."""
+    """Multi-table sign-LSH ANN top-5 (the scale path: each query scores
+    ~tables/2^planes of the corpus instead of all of it)."""
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return (sim_mod.lsh_cosine_top_k(q, c, k=5, planes=8, multiprobe=4)
+    return (sim_mod.lsh_cosine_top_k(q, c, k=5, planes=4, tables=8)
             .orderBy("query_id", "rnk"))
 
 

@@ -237,13 +237,16 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
-                          use_lsh: bool = True, planes: int = 16,
-                          seed: int = 42) -> DataFrame:
+                          use_lsh: bool = True, planes: int = 8,
+                          tables: int = 6, seed: int = 42) -> DataFrame:
     """Pairs of near-identical embeddings (cosine ≥ threshold).
 
-    With ``use_lsh``, candidates are restricted to sign-LSH bucket
-    collisions (random hyperplanes) — sub-quadratic, slight recall loss;
-    without it, all pairs are compared (only for modest corpus sizes).
+    With ``use_lsh``, candidates are restricted to multi-table sign-LSH
+    bucket collisions (``tables`` independent tables of ``planes`` random
+    hyperplanes each; a pair is a candidate iff it collides in ANY table) —
+    sub-quadratic, recall ≈ 1-(1-p^planes)^tables with p = 1-θ/π per bit
+    (cosine 0.95 → p≈0.9 → recall ≈ 0.97 at the defaults).  Without it, all
+    pairs are compared (only for modest corpus sizes).
     """
     from ..session import default_parallelism
     from .similarity import _dot_expr, _normalize_col, _signature_col
@@ -254,19 +257,35 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
                     .alias("__v"))
     if use_lsh:
         dim = _infer_dim(df, vec_col)
-        sel = sel.withColumn("__bucket", _signature_col("__v", dim, planes, seed))
-        join_cond = (F.col("a.__bucket") == F.col("b.__bucket")) \
-            & (F.col("a.__id") < F.col("b.__id"))
-        a, b = sel.alias("a"), sel.alias("b")
-    else:
-        join_cond = F.col("a.__id") < F.col("b.__id")
-        # the nested-loop's parallelism = streamed-side partitions; a small
-        # input often arrives as ONE file split → repartition so the
-        # quadratic compare uses every core
-        a = sel.repartition(default_parallelism()).alias("a")
-        b = sel.alias("b")
+        # explode id × per-table bucket (cheap 16-byte keys); candidate pair
+        # generation joins buckets only, vectors rejoin by id afterwards
+        buckets = sel.select(
+            "__id",
+            F.explode(F.array(*[
+                F.struct(F.lit(t).alias("t"),
+                         _signature_col("__v", dim, planes, seed + 7919 * t)
+                         .alias("b"))
+                for t in range(tables)
+            ])).alias("__tb"))
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = (a.join(b, (F.col("a.__tb") == F.col("b.__tb"))
+                       & (F.col("a.__id") < F.col("b.__id")))
+                 .select(F.col("a.__id").alias("id_a"),
+                         F.col("b.__id").alias("id_b"))
+                 .dropDuplicates(["id_a", "id_b"]))
+        va = sel.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+        vb = sel.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+        cos = _dot_expr(F.col("__va"), F.col("__vb"))
+        return (cand.join(va, "id_a").join(vb, "id_b")
+                    .select("id_a", "id_b", cos.alias("cosine"))
+                    .filter(F.col("cosine") >= threshold))
+    # the nested-loop's parallelism = streamed-side partitions; a small
+    # input often arrives as ONE file split → repartition so the
+    # quadratic compare uses every core
+    a = sel.repartition(default_parallelism()).alias("a")
+    b = sel.alias("b")
     cos = _dot_expr(F.col("a.__v"), F.col("b.__v"))
-    return (a.join(b, join_cond)
+    return (a.join(b, F.col("a.__id") < F.col("b.__id"))
              .select(F.col("a.__id").alias("id_a"),
                      F.col("b.__id").alias("id_b"),
                      cos.alias("cosine"))

@@ -100,39 +100,68 @@ def cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
 def lsh_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
                      query_id: str = "vec_id", query_vec: str = "embedding",
                      corpus_id: str = "vec_id", corpus_vec: str = "embedding",
-                     planes: int = 12, seed: int = 42,
-                     multiprobe: int = 1) -> DataFrame:
-    """Approximate top-k: compare only within sign-LSH buckets.
+                     planes: int = 4, tables: int = 8, seed: int = 42,
+                     multiprobe: int = 0) -> DataFrame:
+    """Approximate top-k via multi-table sign-LSH (random hyperplanes).
 
-    ``multiprobe`` > 0 additionally probes the buckets at hamming distance 1
-    from the query's bucket (flip each of the first ``multiprobe`` bits),
-    trading compute for recall.  Scale posture: the corpus is scanned once to
-    bucket it; each query touches ~(1+multiprobe)/2^planes of the corpus.
+    ``tables`` independent hash tables of ``planes`` bits each; a corpus
+    vector is a candidate for a query iff they share a bucket in ANY table
+    (recall ≈ 1-(1-p^planes)^tables for per-bit agreement probability p).
+    ``multiprobe`` > 0 additionally probes, per table, the buckets at hamming
+    distance 1 on the first ``multiprobe`` bits (query side only).
+
+    Scale posture: the corpus is bucketed map-side (tables × (id, bucket)
+    rows after the explode — vectors are joined back by id AFTER candidate
+    dedup, so the L-fold blow-up carries only 16-byte keys, not embeddings);
+    each query scores ~tables·(1+multiprobe)/2^planes of the corpus instead
+    of all of it.  The scoring join broadcasts the (small) query set.
     """
     from pyspark.sql.types import LongType
 
     dim_row = corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()
     dim = int(dim_row["d"])
 
-    c = (corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                       _normalize_col(F.col(corpus_vec).cast("array<double>"))
-                       .alias("__cv"))
-               .withColumn("__bucket", _signature_col("__cv", dim, planes, seed)))
-    q = (queries.select(F.col(query_id).alias("query_id"),
-                        _normalize_col(F.col(query_vec).cast("array<double>"))
-                        .alias("__qv"))
-                .withColumn("__b0", _signature_col("__qv", dim, planes, seed)))
-    probes = [F.col("__b0")] + [
-        F.col("__b0").bitwiseXOR(F.shiftleft(F.lit(1).cast(LongType()), i))
-        for i in range(max(0, multiprobe))
-    ]
-    q = q.withColumn("__bucket", F.explode(F.array(*probes)))
+    c_vec = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                          _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                          .alias("__cv"))
+    # per-table bucket columns (seed varies per table → independent planes)
+    def _tagged_buckets(vec_col: str) -> list:
+        return [
+            F.struct(F.lit(t).alias("t"),
+                     _signature_col(vec_col, dim, planes, seed + 7919 * t)
+                     .alias("b"))
+            for t in range(tables)
+        ]
 
+    c_buckets = (c_vec
+                 .withColumn("__tb", F.explode(F.array(*_tagged_buckets("__cv"))))
+                 .select("neighbor_id", "__tb"))
+
+    q_vec = queries.select(F.col(query_id).alias("query_id"),
+                           _normalize_col(F.col(query_vec).cast("array<double>"))
+                           .alias("__qv"))
+    q_probes = []
+    for tb in _tagged_buckets("__qv"):
+        q_probes.append(tb)
+        for i in range(max(0, multiprobe)):
+            q_probes.append(F.struct(
+                tb["t"].alias("t"),
+                tb["b"].bitwiseXOR(
+                    F.shiftleft(F.lit(1).cast(LongType()), i)).alias("b")))
+    q_buckets = (q_vec
+                 .withColumn("__tb", F.explode(F.array(*q_probes)))
+                 .select("query_id", "__tb"))
+
+    # candidate pairs: bucket-join on (table, bucket), dedup, then join the
+    # vectors back by id so heavy arrays never ride through the explode
+    cand = (F.broadcast(q_buckets).join(c_buckets, "__tb")
+            .select("query_id", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"]))
     cos = _dot_expr(F.col("__qv"), F.col("__cv"))
-    scored = (F.broadcast(q).join(c, "__bucket")
-              .select("query_id", "neighbor_id",
-                      F.round(cos, 6).alias("cosine"))
-              .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = (cand.join(F.broadcast(q_vec), "query_id")
+                  .join(c_vec, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(cos, 6).alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))

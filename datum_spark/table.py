@@ -252,14 +252,44 @@ class Table:
 
     def _rows_to_df(self, rows: list[dict], write_fields: list[str]) -> DataFrame:
         # Only None → NULL (fix §1.4#6: the reference coerced 0/False/'' all
-        # to empty string). NaN floats are preserved as NaN.
+        # to empty string). NaN floats are preserved as NaN.  Python values
+        # are coerced to the declared column type the way the reference's
+        # _prepare_val did (datum/postgis/table.py:203-222): int→float for
+        # num(double) columns, ISO-8601 strings→date/timestamp, str() for
+        # text columns.
         target_fields = {f.name: f for f in self._schema.fields}
         from pyspark.sql import types as T
         fields = [target_fields.get(f, T.StructField(f, T.StringType(), True))
                   for f in write_fields]
         schema = T.StructType([T.StructField(f.name, f.dataType, True)
                                for f in fields])
-        cleaned = [tuple(r.get(f) for f in write_fields) for r in rows]
+
+        import datetime
+
+        def coerce(v, dt):
+            if v is None:
+                return None
+            if isinstance(dt, (T.DoubleType, T.FloatType)):
+                if isinstance(v, bool):
+                    return float(int(v))
+                if isinstance(v, int):
+                    return float(v)
+            elif isinstance(dt, (T.LongType, T.IntegerType, T.ShortType,
+                                 T.ByteType)):
+                if isinstance(v, bool):
+                    return int(v)
+                if isinstance(v, float) and v.is_integer():
+                    return int(v)
+            elif isinstance(dt, T.TimestampType) and isinstance(v, str):
+                return datetime.datetime.fromisoformat(v)
+            elif isinstance(dt, T.DateType) and isinstance(v, str):
+                return datetime.date.fromisoformat(v)
+            elif isinstance(dt, T.StringType) and not isinstance(v, str):
+                return str(v)
+            return v
+
+        cleaned = [tuple(coerce(r.get(f.name), f.dataType) for f in fields)
+                   for r in rows]
         return self.db.spark.createDataFrame(cleaned, schema)
 
     def _prepare_geom(self, col: Column, from_srid: int | None) -> Column:

@@ -1,0 +1,170 @@
+"""Semantic unit tests for operators whose driver check is rows-only
+(engine-specific hashes / approximate recall), plus top-k and as-of."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datum_spark.operators import (
+    asof_join,
+    cosine_top_k,
+    exact_dedup,
+    exact_dup_groups,
+    lsh_cosine_top_k,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+    top_k,
+    top_k_per_group,
+    with_fingerprint,
+    with_language_guess,
+    with_quality_score,
+    with_token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank now"),
+        (3, "completely different content about spark query engines and columnar io"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (5, "le chat est sur la table et le chien est dans le jardin"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keep_by(docs):
+    out = exact_dedup(docs, ["text"], keep_by="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 2, 3, 5]  # doc 4 is an exact dup of 1; keep-first wins
+
+
+def test_exact_dup_groups(docs):
+    out = exact_dup_groups(docs, ["text"]).collect()
+    assert len(out) == 1 and out[0]["n_dups"] == 2
+
+
+def test_minhash_finds_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_near_dups(docs, "doc_id", "text",
+                                        num_hashes=32, bands=16,
+                                        threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # identical docs
+    assert (1, 2) in pairs  # one-word difference
+    assert (1, 3) not in pairs and (3, 5) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dups(docs, "doc_id", "text",
+                                        max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0  # identical → identical signature
+    assert (1, 2) in pairs    # near dup within hamming budget
+    assert (1, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_values(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          n=1, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    # docs 1,2 each have 12 distinct words, sharing 11 (today vs now differ):
+    # J = |∩| / |∪| = 11 / 13
+    assert abs(pairs[(1, 2)] - 11 / 13) < 1e-12
+
+
+def test_fingerprint_properties(spark, docs):
+    fp = {r["doc_id"]: r["fp"] for r in
+          with_fingerprint(docs, "text", "fp").select("doc_id", "fp").collect()}
+    assert fp[1] == fp[4]          # identical text → identical fingerprint
+    assert fp[1] != fp[2]          # different text → different
+    # order sensitivity: reversed words give a different fingerprint
+    rev = spark.createDataFrame(
+        [(1, "dog lazy the over jumps fox brown quick the")],
+        "doc_id long, text string")
+    assert with_fingerprint(rev, "text", "fp").collect()[0]["fp"] != fp[1]
+
+
+def test_quality_score_range(docs):
+    rows = with_quality_score(docs, "text", "q").collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in rows)
+
+
+def test_language_guess(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat is in the house and it is warm"),
+         (2, "le chat est dans la maison et il fait chaud"),
+         (3, "el gato es de la casa y los perros"),
+         (4, "der hund ist nicht mit der katze und das ist gut"),
+         (5, "xyzzy plugh")],
+        "id long, text string")
+    out = {r["id"]: r["g"] for r in
+           with_language_guess(df, "text", "g").select("id", "g").collect()}
+    assert out == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "und"}
+
+
+def test_token_count_modes(spark):
+    df = spark.createDataFrame([(1, "  hello,  world! 123  ")], "id long, t string")
+    ws = with_token_count(df, "t", "n", mode="whitespace").collect()[0]["n"]
+    assert ws == 3
+    bpe = with_token_count(df, "t", "n", mode="bpe").collect()[0]["n"]
+    # hell, o, ",", worl, d, "!", 123 → 7 pieces
+    assert bpe == 7
+
+
+def test_cosine_top_k_exact(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (10, [1.0, 0.1]), (11, [0.0, 1.0]), (12, [1.0, 0.0]),
+         (13, [-1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    c = emb.filter(F.col("vec_id") >= 10)
+    out = cosine_top_k(q, c, k=2, round_to=6).collect()
+    assert [(r["neighbor_id"], r["rnk"]) for r in out] == [(12, 1), (10, 2)]
+    assert out[0]["cosine"] == 1.0
+
+
+def test_lsh_recall_on_fixture(spark, smoke_db):
+    """LSH top-1 must agree with exact top-1 for most queries (recall check
+    on the real embeddings fixture)."""
+    emb = smoke_db.table("embeddings").df()
+    q = emb.filter(F.col("vec_id") < 20)
+    c = emb.filter(F.col("vec_id") >= 20)
+    exact = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_top_k(q, c, k=1, round_to=6).collect()}
+    approx = {r["query_id"]: r["neighbor_id"]
+              for r in lsh_cosine_top_k(q, c, k=1, planes=4,
+                                        tables=8).collect()}
+    hits = sum(1 for k in exact if approx.get(k) == exact[k])
+    assert hits >= len(exact) * 0.5, f"LSH top-1 recall too low: {hits}/{len(exact)}"
+
+
+def test_top_k_global(smoke_db):
+    o = smoke_db.table("orders").df()
+    out = top_k(o, [F.col("o_totalprice").desc()], 3).collect()
+    prices = [r["o_totalprice"] for r in out]
+    assert prices == sorted(prices, reverse=True) and len(prices) == 3
+
+
+def test_top_k_per_group(smoke_db):
+    c = smoke_db.table("customer").df()
+    out = top_k_per_group(c, "c_mktsegment",
+                          [F.col("c_acctbal").desc(), "c_custkey"], 2)
+    counts = out.groupBy("c_mktsegment").count().collect()
+    assert all(r["count"] <= 2 for r in counts)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")],
+        "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 200.0), (1, 25, 300.0), (2, 99, 999.0)],
+        "k long, ts long, val double")
+    out = {r["tag"]: r["val"]
+           for r in asof_join(left, right, on=["k"], left_ts="ts",
+                              right_ts="ts", right_cols=["val"]).collect()}
+    assert out == {"a": 100.0,   # latest right ts<=10 is 5
+                   "b": 200.0,   # equal ts matches (<= semantics)
+                   "c": None}    # no right row at or before 15 for k=2
