@@ -20,7 +20,9 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
 def assert_pushed_filters(df: DataFrame, *column_names: str) -> None:
     """Assert every named column appears in the scan's PushedFilters."""
     plan = explain_str(df)
-    m = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    # greedy to the last ] on the line: filters like In(c, [A,R]) nest
+    # brackets inside the list
+    m = re.search(r"PushedFilters: \[(.*)\]", plan)
     pushed = m.group(1) if m else ""
     missing = [c for c in column_names if c not in pushed]
     if missing:

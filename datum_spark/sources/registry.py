@@ -34,16 +34,10 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
         return []
 
 
-def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
-    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
-
-    Spark's Parquet reader rejects nanosecond timestamps; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session defaults) they
-    arrive as BIGINT nanos and are converted here to microsecond timestamps
-    with JVM expressions — same truncation DuckDB applies, and the scan stays
-    fully distributed/pushdown-capable for every other column.
+def normalize_nanos(df: DataFrame, path: str) -> DataFrame:
+    """Convert BIGINT-nanos columns (from ``nanosAsLong``) to microsecond
+    timestamps.  Works on batch AND streaming DataFrames (pure projection).
     """
-    df = spark.read.parquet(path)
     nanos = set(_nanos_timestamp_cols(path))
     if nanos:
         from pyspark.sql import functions as F
@@ -59,6 +53,19 @@ def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
                 df = df.withColumn(f.name, F.timestamp_micros(
                     F.expr(f"`{f.name}` DIV 1000")))
     return df
+
+
+def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
+
+    Spark's Parquet reader rejects nanosecond timestamps; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session defaults) they
+    arrive as BIGINT nanos and are converted by :func:`normalize_nanos` to
+    microsecond timestamps with JVM expressions — same truncation DuckDB
+    applies, and the scan stays fully distributed/pushdown-capable for every
+    other column.
+    """
+    return normalize_nanos(spark.read.parquet(path), path)
 
 
 def load_table(spark: SparkSession, path: str, fmt: str = "parquet",

@@ -1,0 +1,93 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference has no streaming at all (SURVEY §1.1 — no streams anywhere in
+its 15 files); these are north-star extensions (SURVEY §2-C) built on
+Structured Streaming's arbitrary-stateful API.  Design rules for scale:
+
+- State per key is O(1) (a handful of scalars) — never an unbounded list.
+- Every operator sets a timeout/watermark policy so state is dropped for
+  quiet keys instead of accumulating forever.
+- The grouped-map functions consume whole Arrow batches (pandas), never
+  per-row Python.
+
+Each operator also has a *batch twin* with identical output semantics, so
+the same pipeline can be validated deterministically (the streaming run
+must equal the batch run once all input is processed).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RUNNING_TOTALS_SCHEMA = ("user_id bigint, n_events bigint, total_value double, "
+                         "last_ts timestamp")
+RUNNING_TOTALS_STATE = "n bigint, total double, last_ts_us bigint"
+
+
+_STATE_TTL_MS = 60 * 60 * 1000  # 1 h beyond the watermark → state dropped
+
+
+def _running_totals_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (count, sum(value), max(ts)) — O(1) state."""
+    if state.hasTimedOut:
+        # quiet key: emit nothing, drop state (bounded-state guarantee)
+        state.remove()
+        return
+    n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        if len(pdf):
+            batch_max_us = int(pd.to_datetime(pdf["ts"]).astype("int64").max()
+                               // 1_000)
+            last_us = max(last_us, batch_max_us)
+    state.update((n, total, last_us))
+    # event-time TTL: once the watermark passes last activity + TTL the key
+    # times out and its state is removed.  (ProcessingTimeTimeout would make
+    # the engine run micro-batches forever even with no input — with
+    # EventTimeTimeout the query quiesces between data arrivals.)
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs(), last_us // 1000) + _STATE_TTL_MS)
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "n_events": [n],
+        "total_value": [round(total, 6)],
+        "last_ts": [pd.Timestamp(last_us, unit="us")],
+    })
+
+
+def running_totals(events: DataFrame, key: str = "user_id",
+                   ts_col: str = "ts",
+                   watermark: str = "10 minutes") -> DataFrame:
+    """Streaming: per-key running totals updated every micro-batch
+    (``applyInPandasWithState`` — the custom-stateful-operator surface).
+
+    Batch twin: :func:`running_totals_batch` (groupBy aggregate) — identical
+    final rows once a stream has consumed the same input.
+    """
+    stream = events.withWatermark(ts_col, watermark)
+    return (stream
+            .groupBy(key)
+            .applyInPandasWithState(
+                _running_totals_fn,
+                outputStructType=RUNNING_TOTALS_SCHEMA,
+                stateStructType=RUNNING_TOTALS_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def running_totals_batch(events: DataFrame, key: str = "user_id") -> DataFrame:
+    return (events.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6)
+                 .alias("total_value"),
+                 F.max("ts").alias("last_ts")))

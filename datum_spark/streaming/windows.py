@@ -16,11 +16,20 @@ from pyspark.sql import functions as F
 def read_events_stream(spark, sf_dir: str,
                        max_files_per_trigger: int = 1) -> DataFrame:
     """``events`` as a file-source stream (schema pinned from the batch
-    footer — streaming sources must not infer)."""
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    return (spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", max_files_per_trigger)
-            .parquet(f"{sf_dir}/events.parquet"))
+    footer — streaming sources must not infer).  TIMESTAMP(NANOS) columns
+    arrive as BIGINT nanos (``nanosAsLong``) and are normalized to real
+    timestamps so watermarks/windows work, same as the batch loader."""
+    from ..sources.registry import normalize_nanos
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource needs a directory: stream the sf dir, glob-filtered
+    # to the events file(s)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .option("pathGlobFilter", "events*.parquet")
+              .parquet(sf_dir))
+    return normalize_nanos(stream, path)
 
 
 def tumbling_agg(events: DataFrame, window: str = "5 minutes",

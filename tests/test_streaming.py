@@ -1,0 +1,95 @@
+"""Structured Streaming parity tests: every streaming operator's final
+output must equal its batch twin over the same (finite) input — the
+batch/stream unification that is Structured Streaming's core contract."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datum_spark.sources.registry import read_parquet_normalized
+from datum_spark.streaming import (
+    read_events_stream,
+    run_stream_to_memory,
+    running_totals,
+    running_totals_batch,
+    session_agg,
+    sliding_agg,
+    stream_dedup,
+    tumbling_agg,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return read_parquet_normalized(spark, f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return read_events_stream(spark, SF)
+
+
+def _rows(df, *order_cols):
+    return [tuple(r) for r in df.orderBy(*order_cols).collect()]
+
+
+def test_stream_is_streaming(events_stream):
+    assert events_stream.isStreaming
+    # nanos ts must arrive as a real timestamp on the stream too
+    assert dict(events_stream.dtypes)["ts"] == "timestamp"
+
+
+def test_tumbling_parity(spark, events_batch, events_stream):
+    run_stream_to_memory(tumbling_agg(events_stream), "t_tumble",
+                         output_mode="complete")
+    got = _rows(spark.table("t_tumble"), "w_start", "event_type")
+    want = _rows(tumbling_agg(events_batch), "w_start", "event_type")
+    assert got == want and len(want) > 0
+
+
+def test_sliding_parity(spark, events_batch, events_stream):
+    run_stream_to_memory(sliding_agg(events_stream), "t_slide",
+                         output_mode="complete")
+    got = _rows(spark.table("t_slide"), "w_start", "event_type")
+    want = _rows(sliding_agg(events_batch), "w_start", "event_type")
+    assert got == want and len(want) > 0
+
+
+def test_session_parity(spark, events_batch, events_stream):
+    # session windows require watermark + append/update in streaming
+    run_stream_to_memory(session_agg(events_stream), "t_sess",
+                         output_mode="complete")
+    got = _rows(spark.table("t_sess"), "user_id", "session_start")
+    want = _rows(session_agg(events_batch), "user_id", "session_start")
+    assert got == want and len(want) > 0
+
+
+def test_stream_dedup(spark, events_batch, events_stream):
+    run_stream_to_memory(
+        stream_dedup(events_stream, ["user_id", "event_type"]),
+        "t_dedup", output_mode="append")
+    # watermark-bounded dedup can keep more rows than a global batch dedup
+    # (keys recur beyond the watermark horizon), never fewer; and it must
+    # actually drop within-watermark duplicates.
+    n_stream = spark.table("t_dedup").count()
+    n_batch = events_batch.dropDuplicates(["user_id", "event_type"]).count()
+    n_all = events_batch.count()
+    assert n_batch <= n_stream < n_all
+
+
+def test_running_totals_stateful_parity(spark, events_batch, events_stream):
+    """applyInPandasWithState running totals: the LAST update emitted per key
+    must equal the batch groupBy aggregate over the full input."""
+    run_stream_to_memory(running_totals(events_stream), "t_state",
+                         output_mode="update")
+    # in update mode each micro-batch appends a row per touched key; the
+    # final state per key is the row with the max n_events
+    latest = (spark.table("t_state")
+              .groupBy("user_id")
+              .agg(F.max(F.struct("n_events", "total_value", "last_ts"))
+                   .alias("s"))
+              .select("user_id", "s.n_events", "s.total_value", "s.last_ts"))
+    got = _rows(latest, "user_id")
+    want = _rows(running_totals_batch(events_batch), "user_id")
+    assert got == want and len(want) > 0
