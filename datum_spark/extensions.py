@@ -303,6 +303,86 @@ def x16(spark, sf):
             .orderBy("w_start", "event_type"))
 
 
+@x("x19_sliding_window", """
+WITH e AS (
+  SELECT unnest([to_timestamp(floor(epoch(ts) / 300) * 300),
+                 to_timestamp(floor(epoch(ts) / 300) * 300 - 300)]) AS w_start,
+         event_type
+  FROM events
+)
+SELECT w_start, event_type, COUNT(*) AS n FROM e
+GROUP BY w_start, event_type ORDER BY w_start, event_type""")
+def x19(spark, sf):
+    """10-min windows sliding by 5 min (each event lands in two windows) —
+    batch twin of streaming sliding_agg; oracle enumerates both window
+    starts per event."""
+    from .streaming.windows import sliding_agg
+
+    ev = load(spark, sf, "events")
+    return (sliding_agg(ev, window="10 minutes", slide="5 minutes")
+            .select("w_start", "event_type", "n")
+            .orderBy("w_start", "event_type"))
+
+
+@x("x20_running_totals", """
+SELECT user_id, COUNT(*) AS n_events,
+       ROUND(SUM(COALESCE(value, 0)), 6) AS total_value,
+       CAST(MAX(ts) AS TIMESTAMP) AS last_ts
+FROM events GROUP BY user_id ORDER BY user_id""")
+def x20(spark, sf):
+    """Per-user running totals, batch twin of the applyInPandasWithState
+    streaming operator (streaming/stateful.py) — the parity test proves the
+    stream converges to exactly these rows."""
+    from .streaming.stateful import running_totals_batch
+
+    ev = load(spark, sf, "events")
+    return running_totals_batch(ev).orderBy("user_id")
+
+
+@x("x21_quality_pipeline", """
+WITH w AS (
+  SELECT doc_id, source, text,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), lang AS (
+  SELECT doc_id, source, text, n_tokens,
+    len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], x))) AS de_hits,
+    len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','it'], x))) AS en_hits,
+    greatest(
+      len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','nicht','mit'], x))),
+      len(list_filter(ws, x -> list_contains(['the','and','of','to','is','in','that','it'], x))),
+      len(list_filter(ws, x -> list_contains(['el','la','los','las','y','de','que','es'], x))),
+      len(list_filter(ws, x -> list_contains(['le','la','les','et','de','un','une','est'], x))),
+      len(list_filter(ws, x -> list_contains(['的','是','了','在','我','有','和','人'], x)))) AS best
+  FROM w
+), kept AS (
+  SELECT DISTINCT ON (text) doc_id, source FROM (
+    SELECT * FROM lang
+    WHERE n_tokens >= 10 AND en_hits = best AND best > 0 AND en_hits > de_hits
+    ORDER BY doc_id) ORDER BY text, doc_id
+)
+SELECT source, COUNT(*) AS n_docs FROM kept
+GROUP BY source ORDER BY source""")
+def x21(spark, sf):
+    """Composite training-data filter: token-count floor → English-guess
+    filter → exact text dedup (keep lowest doc_id) → survivors per source.
+    The shape every LLM data pipeline runs; entirely JVM-side expressions.
+    (Oracle mirrors the tie-break: 'en' wins only when it beats 'de', the
+    lone lexicographically-earlier language code.)"""
+    docs = load(spark, sf, "documents")
+    scored = text_mod.with_token_count(docs, "text", "n_tokens")
+    scored = text_mod.with_language_guess(scored, "text", "lang_guess")
+    kept = scored.filter((F.col("n_tokens") >= 10)
+                         & (F.col("lang_guess") == "en"))
+    deduped = dedup_mod.exact_dedup(kept, ["text"], keep_by="doc_id")
+    return (deduped.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("source"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 

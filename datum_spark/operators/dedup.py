@@ -249,7 +249,7 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
     pairs are compared (only for modest corpus sizes).
     """
     from ..session import default_parallelism
-    from .similarity import _dot_expr, _normalize_col, _signature_col
+    from .similarity import _all_signatures_udf, _dot_expr, _normalize_col
 
     # normalize once map-side → single dot product per candidate pair
     sel = df.select(F.col(id_col).alias("__id"),
@@ -257,18 +257,14 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
                     .alias("__v"))
     if use_lsh:
         dim = _infer_dim(df, vec_col)
+        sig = _all_signatures_udf(dim, planes, tables, seed)
         # explode id × per-table bucket (cheap 16-byte keys); candidate pair
         # generation joins buckets only, vectors rejoin by id afterwards
         buckets = sel.select(
-            "__id",
-            F.explode(F.array(*[
-                F.struct(F.lit(t).alias("t"),
-                         _signature_col("__v", dim, planes, seed + 7919 * t)
-                         .alias("b"))
-                for t in range(tables)
-            ])).alias("__tb"))
+            "__id", F.posexplode(sig("__v")).alias("__t", "__b"))
         a, b = buckets.alias("a"), buckets.alias("b")
-        cand = (a.join(b, (F.col("a.__tb") == F.col("b.__tb"))
+        cand = (a.join(b, (F.col("a.__t") == F.col("b.__t"))
+                       & (F.col("a.__b") == F.col("b.__b"))
                        & (F.col("a.__id") < F.col("b.__id")))
                  .select(F.col("a.__id").alias("id_a"),
                          F.col("b.__id").alias("id_b"))

@@ -67,6 +67,38 @@ def _signature_col(vec_col: str, dim: int, planes: int, seed: int):
     return out
 
 
+def _all_signatures_udf(dim: int, planes: int, tables: int, seed: int):
+    """Pandas UDF: vector → array of ``tables`` bucket ids, all tables in ONE
+    NumPy matmul per Arrow batch.
+
+    Spark's higher-order array lambdas (``aggregate``/``zip_with``) are
+    interpreted per element, so tables×planes JVM-side dot products cost
+    ~100× more than one (batch × dim) @ (dim × tables·planes) BLAS call.
+    Hyperplanes are identical to :func:`_signature_col` (same seed schedule:
+    table t uses ``seed + 7919·t``), so the two paths give identical buckets.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.functions import PandasUDFType
+
+    mats = [np.array(_planes(dim, planes, seed + 7919 * t)).T  # dim×planes
+            for t in range(tables)]
+    w = np.concatenate(mats, axis=1)  # dim × (tables·planes)
+    powers = (1 << np.arange(planes)).astype(np.int64)
+
+    def sig(vecs):
+        m = np.vstack(vecs.to_numpy())          # batch × dim
+        proj = m @ w                            # batch × tables·planes
+        bits = (proj >= 0).reshape(len(m), tables, planes)
+        buckets = (bits * powers).sum(axis=2)   # batch × tables
+        return pd.Series(list(buckets))
+
+    # explicit SCALAR type: `from __future__ import annotations` makes type
+    # hints strings, which pandas_udf's hint inference can't resolve
+    return pandas_udf(sig, "array<long>", PandasUDFType.SCALAR)
+
+
 def cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
                  query_id: str = "vec_id", query_vec: str = "embedding",
                  corpus_id: str = "vec_id", corpus_vec: str = "embedding",
@@ -116,45 +148,32 @@ def lsh_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     each query scores ~tables·(1+multiprobe)/2^planes of the corpus instead
     of all of it.  The scoring join broadcasts the (small) query set.
     """
-    from pyspark.sql.types import LongType
-
     dim_row = corpus.select(F.size(F.col(corpus_vec)).alias("d")).first()
     dim = int(dim_row["d"])
+    sig = _all_signatures_udf(dim, planes, tables, seed)
 
     c_vec = corpus.select(F.col(corpus_id).alias("neighbor_id"),
                           _normalize_col(F.col(corpus_vec).cast("array<double>"))
                           .alias("__cv"))
-    # per-table bucket columns (seed varies per table → independent planes)
-    def _tagged_buckets(vec_col: str) -> list:
-        return [
-            F.struct(F.lit(t).alias("t"),
-                     _signature_col(vec_col, dim, planes, seed + 7919 * t)
-                     .alias("b"))
-            for t in range(tables)
-        ]
-
-    c_buckets = (c_vec
-                 .withColumn("__tb", F.explode(F.array(*_tagged_buckets("__cv"))))
-                 .select("neighbor_id", "__tb"))
+    c_buckets = c_vec.select(
+        "neighbor_id", F.posexplode(sig("__cv")).alias("__t", "__b"))
 
     q_vec = queries.select(F.col(query_id).alias("query_id"),
                            _normalize_col(F.col(query_vec).cast("array<double>"))
                            .alias("__qv"))
-    q_probes = []
-    for tb in _tagged_buckets("__qv"):
-        q_probes.append(tb)
-        for i in range(max(0, multiprobe)):
-            q_probes.append(F.struct(
-                tb["t"].alias("t"),
-                tb["b"].bitwiseXOR(
-                    F.shiftleft(F.lit(1).cast(LongType()), i)).alias("b")))
+    probes = [F.col("__b")] + [
+        F.col("__b").bitwiseXOR(F.lit(1 << i).cast("long"))
+        for i in range(max(0, multiprobe))
+    ]
     q_buckets = (q_vec
-                 .withColumn("__tb", F.explode(F.array(*q_probes)))
-                 .select("query_id", "__tb"))
+                 .select("query_id", F.posexplode(sig("__qv"))
+                         .alias("__t", "__b"))
+                 .select("query_id", "__t",
+                         F.explode(F.array(*probes)).alias("__b")))
 
     # candidate pairs: bucket-join on (table, bucket), dedup, then join the
     # vectors back by id so heavy arrays never ride through the explode
-    cand = (F.broadcast(q_buckets).join(c_buckets, "__tb")
+    cand = (F.broadcast(q_buckets).join(c_buckets, ["__t", "__b"])
             .select("query_id", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"]))
     cos = _dot_expr(F.col("__qv"), F.col("__cv"))
