@@ -237,16 +237,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
-                          use_lsh: bool = True, planes: int = 8,
-                          tables: int = 6, seed: int = 42) -> DataFrame:
+                          use_lsh: bool = True, planes: int = 12,
+                          tables: int = 8, seed: int = 42) -> DataFrame:
     """Pairs of near-identical embeddings (cosine ≥ threshold).
 
     With ``use_lsh``, candidates are restricted to multi-table sign-LSH
     bucket collisions (``tables`` independent tables of ``planes`` random
     hyperplanes each; a pair is a candidate iff it collides in ANY table) —
     sub-quadratic, recall ≈ 1-(1-p^planes)^tables with p = 1-θ/π per bit
-    (cosine 0.95 → p≈0.9 → recall ≈ 0.97 at the defaults).  Without it, all
-    pairs are compared (only for modest corpus sizes).
+    (cosine 0.95 → p≈0.9 → recall ≈ 0.93 at the defaults; fewer planes =
+    higher recall but quadratically bigger buckets).  Without it, all pairs
+    are compared block-GEMM style (fine up to ~10⁵ vectors).
     """
     from ..session import default_parallelism
     from .similarity import _all_signatures_udf, _dot_expr, _normalize_col
@@ -275,17 +276,12 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
         return (cand.join(va, "id_a").join(vb, "id_b")
                     .select("id_a", "id_b", cos.alias("cosine"))
                     .filter(F.col("cosine") >= threshold))
-    # the nested-loop's parallelism = streamed-side partitions; a small
-    # input often arrives as ONE file split → repartition so the
-    # quadratic compare uses every core
-    a = sel.repartition(default_parallelism()).alias("a")
-    b = sel.alias("b")
-    cos = _dot_expr(F.col("a.__v"), F.col("b.__v"))
-    return (a.join(b, F.col("a.__id") < F.col("b.__id"))
-             .select(F.col("a.__id").alias("id_a"),
-                     F.col("b.__id").alias("id_b"),
-                     cos.alias("cosine"))
-             .filter(F.col("cosine") >= threshold))
+    # exact all-pairs via block-partitioned GEMM (one BLAS matmul per
+    # unordered block pair) — see block_allpairs_cosine for the scale story
+    from .similarity import block_allpairs_cosine
+
+    return block_allpairs_cosine(sel, threshold,
+                                 blocks=max(2, default_parallelism() // 4))
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
