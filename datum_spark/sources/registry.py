@@ -111,6 +111,10 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
             "which this runtime does not ship")
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format: {fmt!r}")
+    if fmt == "csv":
+        # symmetric with load_table's header default — otherwise a read
+        # consumes the first data row of every part-file as a header
+        options.setdefault("header", True)
     writer = df.write.mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
