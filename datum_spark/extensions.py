@@ -384,6 +384,87 @@ def x21(spark, sf):
 
 
 # ---------------------------------------------------------------------------
+# Tier-B variants beyond the declared 31 (set ops, cube, percentiles, pivot)
+
+@x("x22_union_all_agg", """
+SELECT k, COUNT(*) AS n FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION ALL
+  SELECT s_nationkey AS k FROM supplier)
+GROUP BY k ORDER BY k""")
+def x22(spark, sf):
+    """UNION ALL (bag semantics) + group count — complements Q21 INTERSECT."""
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return (c.unionAll(s).groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n")).orderBy("k"))
+
+
+@x("x23_except", """
+SELECT o_custkey AS k FROM orders
+EXCEPT
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+ORDER BY k""")
+def x23(spark, sf):
+    """EXCEPT (set difference, distinct semantics) via subtract."""
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    rich = (load(spark, sf, "customer")
+            .filter(F.col("c_acctbal") > 5000)
+            .select(F.col("c_custkey").alias("k")))
+    return o.subtract(rich).orderBy("k")
+
+
+@x("x24_cube", """
+SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+       COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY rf, ls""")
+def x24(spark, sf):
+    """CUBE grouping sets (all 4 combinations) — complements Q14 ROLLUP."""
+    li = load(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                      F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                      "n")
+              .orderBy("rf", "ls"))
+
+
+@x("x25_percentiles", """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+def x25(spark, sf):
+    """Exact interpolated percentiles (Spark `percentile` and DuckDB
+    `quantile_cont` share linear interpolation) — complements Q16 median."""
+    li = load(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.expr("percentile(l_quantity, 0.25)"), 4)
+                   .alias("p25"),
+                   F.round(F.expr("percentile(l_quantity, 0.75)"), 4)
+                   .alias("p75"))
+              .orderBy("l_returnflag"))
+
+
+@x("x26_pivot", """
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS st_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS st_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS st_p
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def x26(spark, sf):
+    """Pivot (status → columns); the oracle spells it as FILTERed counts."""
+    o = load(spark, sf, "orders")
+    piv = (o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["F", "O", "P"]).count())
+    return (piv.select("o_orderpriority",
+                       F.coalesce("F", F.lit(0)).alias("st_f"),
+                       F.coalesce("O", F.lit(0)).alias("st_o"),
+                       F.coalesce("P", F.lit(0)).alias("st_p"))
+               .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 
 @x("x17_media_metadata", """

@@ -15,14 +15,35 @@ from __future__ import annotations
 
 import re
 
+# pg type names (incl. multiword) → Spark SQL types; multiword names must
+# be matched explicitly or the regex can't tell a type from the next keyword
+_PG_TYPE_MAP = {
+    "double precision": "double",
+    "character varying": "string",
+    "timestamp without time zone": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "text": "string",
+    "int4": "int",
+    "int8": "bigint",
+    "float8": "double",
+}
+_MULTIWORD_TYPES = "|".join(
+    t.replace(" ", r"\s+") for t in _PG_TYPE_MAP if " " in t)
+
+
+def _map_type(name: str) -> str:
+    return _PG_TYPE_MAP.get(" ".join(name.lower().split()), name)
+
+
 # (pattern, replacement) applied outside single-quoted literals.
 _RULES: list[tuple[re.Pattern, str]] = [
     # pg :: casts  ->  CAST(expr AS type). Handles simple operand on the left:
     # identifier, number, or a parenthesized/function expression is left to
     # the explicit-CAST fallback below.
     (re.compile(r"(\b[A-Za-z_][A-Za-z0-9_.]*|\d+(?:\.\d+)?)\s*::\s*"
-                r"([A-Za-z_][A-Za-z0-9_ ]*)"),
-     r"CAST(\1 AS \2)"),
+                rf"({_MULTIWORD_TYPES}|[A-Za-z_][A-Za-z0-9_]*)",
+                re.IGNORECASE),
+     lambda m: f"CAST({m.group(1)} AS {_map_type(m.group(2))})"),
     # Oracle NVL -> coalesce
     (re.compile(r"\bNVL\s*\(", re.IGNORECASE), "coalesce("),
     # Oracle SYSDATE / pg NOW() -> current_timestamp
