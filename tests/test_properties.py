@@ -1,0 +1,94 @@
+"""Property-based spot checks (SURVEY §5.5): algebraic invariants that must
+hold for ANY predicate/limit, run over the real fixtures.
+
+Each hypothesis example costs a Spark job, so max_examples is kept small —
+the point is randomized coverage of thresholds and limits, not volume.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+FAST = settings(max_examples=6, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@given(t=st.floats(min_value=0, max_value=60, allow_nan=False))
+@FAST
+def test_filter_partition_law(smoke_db, t):
+    """count(p) + count(NOT p) == count() for a non-null column."""
+    li = smoke_db["lineitem"]
+    lo = li.query(where=f"l_quantity <= {t}").count()
+    hi = li.query(where=f"l_quantity > {t}").count()
+    assert lo + hi == li.count
+
+
+@given(n=st.integers(min_value=0, max_value=7000))
+@FAST
+def test_limit_bound(smoke_db, n):
+    li = smoke_db["lineitem"]
+    got = li.query(fields=["l_orderkey", "l_linenumber"], limit=n).count()
+    assert got == min(n, li.count)
+
+
+@given(t=st.floats(min_value=0, max_value=60, allow_nan=False))
+@FAST
+def test_union_of_split_is_identity(smoke_db, t):
+    """split by predicate then UNION ALL == original (bag equality via
+    row-hash checksum, order-independent)."""
+    df = smoke_db["lineitem"].df().select("l_orderkey", "l_linenumber",
+                                          "l_quantity")
+    lo = df.filter(F.col("l_quantity") <= t)
+    hi = df.filter(F.col("l_quantity") > t)
+    back = lo.unionAll(hi)
+
+    def checksum(d):
+        # sum as decimal: bigint sum of ~6k xxhash64 values overflows
+        # (ANSI mode raises instead of wrapping)
+        row = (d.select(F.xxhash64(*d.columns).cast("decimal(38,0)")
+                        .alias("h"))
+                .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()[0])
+        return (row["s"], row["n"])
+
+    assert checksum(back) == checksum(df)
+
+
+@given(n=st.integers(min_value=1, max_value=50))
+@FAST
+def test_topk_agrees_with_sort_prefix(smoke_db, n):
+    """top_k(n) == first n rows of the fully sorted relation (total order
+    via unique tiebreak)."""
+    from datum_spark.operators import top_k
+
+    o = smoke_db["orders"].df().select("o_orderkey", "o_totalprice")
+    keys = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    got = [tuple(r) for r in top_k(o, keys, n).collect()]
+    want = [tuple(r) for r in o.orderBy(*keys).collect()][:n]
+    assert got == want
+
+
+def test_write_read_roundtrip_random_rows(tmp_db):
+    """Randomized write→read round trip through the type-coercion path."""
+    import random
+
+    rng = random.Random(7)
+    tmp_db.create_table("rt", [{"name": "a", "type": "num"},
+                               {"name": "b", "type": "text"},
+                               {"name": "d", "type": "date"}])
+    rows = []
+    for i in range(50):
+        rows.append({
+            "a": rng.choice([None, rng.randint(-10**9, 10**9),
+                             rng.uniform(-1e6, 1e6)]),
+            "b": rng.choice([None, f"s{i}", "", "0", "naïve-ütf"]),
+            "d": rng.choice([None, "2021-03-04T05:06:07"]),
+        })
+    tmp_db["rt"].write(rows)
+    got = tmp_db["rt"].read(fields=["a", "b", "d"], sort="a")
+    assert len(got) == 50
+    # every non-null numeric survives as float; only None became NULL
+    n_null_a = sum(1 for r in rows if r["a"] is None)
+    assert sum(1 for r in got if r["a"] is None) == n_null_a
+    n_empty_b = sum(1 for r in rows if r["b"] == "")
+    assert sum(1 for r in got if r["b"] == "") == n_empty_b  # '' stays ''
