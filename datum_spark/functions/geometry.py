@@ -92,28 +92,38 @@ _COORD_RE = r"(-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)\s+(-?\d+(?:\.\d+)?(?:[eE][+-]?\
 def reproject_wkt(col: Column, from_srid: int, to_srid: int) -> Column:
     """Reproject every coordinate pair of a WKT column.
 
-    Implemented as an Arrow-batched pandas UDF wrapping a
-    ``pyproj.Transformer`` (built once per executor, reused across batches).
-    Requires ``pyproj``; without it this raises ``NotImplementedError`` at
-    plan-build time — the Spark-side plumbing is real and unit-tested with a
-    deterministic fake transform (tests/test_geometry.py).
+    Implemented as an Arrow-batched pandas UDF wrapping a coordinate
+    transform (built once per executor, reused across batches).  Transform
+    resolution order:
+
+    1. ``pyproj`` (any SRID pair) when installed;
+    2. the built-in LCC math in :mod:`.projection` for datum's SRIDs of
+       record (2272 ↔ 4326) — no external deps;
+    3. otherwise ``NotImplementedError`` at plan-build time.
     """
     if from_srid == to_srid:
         return col
-    if not _HAVE_PYPROJ:
-        raise NotImplementedError(
-            "reproject_wkt requires pyproj (not present in this runtime); "
-            "use _reproject_with(col, fn) with a custom coordinate fn for "
-            "testing the distributed plumbing"
-        )
+    if _HAVE_PYPROJ:
+        def make_fn():
+            transformer = pyproj.Transformer.from_crs(
+                f"EPSG:{from_srid}", f"EPSG:{to_srid}", always_xy=True
+            )
+            return transformer.transform
 
-    def make_fn():
-        transformer = pyproj.Transformer.from_crs(
-            f"EPSG:{from_srid}", f"EPSG:{to_srid}", always_xy=True
-        )
-        return transformer.transform
+        return _reproject_with(col, make_fn)
 
-    return _reproject_with(col, make_fn)
+    from .projection import builtin_transform
+
+    if builtin_transform(from_srid, to_srid) is not None:
+        def make_builtin():
+            return builtin_transform(from_srid, to_srid)
+
+        return _reproject_with(col, make_builtin)
+    raise NotImplementedError(
+        f"no transform for EPSG:{from_srid} -> EPSG:{to_srid}: pyproj is "
+        "not installed and the pair is outside the built-in LCC zones; "
+        "use _reproject_with(col, fn) with a custom coordinate fn"
+    )
 
 
 def _reproject_with(col: Column, make_fn) -> Column:

@@ -76,11 +76,79 @@ def test_reproject_plumbing_with_fake_transform(spark):
     assert out[2] is None
 
 
-def test_reproject_requires_pyproj():
+def test_reproject_unsupported_pair_gated():
     if G._HAVE_PYPROJ:
         pytest.skip("pyproj present; gate not exercised")
     with pytest.raises(NotImplementedError):
-        G.reproject_wkt(F.col("x"), 2272, 4326)
+        G.reproject_wkt(F.col("x"), 32618, 3857)  # outside built-in zones
+
+
+# ---------------------------------------------------------------------------
+# Built-in LCC transform (EPSG:2272 ↔ 4326, projection.py)
+
+def test_lcc_projection_anchors():
+    """Parameter-definition anchors: the false origin (λ0, φ0) maps to
+    exactly (FE, FN) = (1968500 ftUS, 0)."""
+    from datum_spark.functions.projection import builtin_transform
+
+    fwd = builtin_transform(4326, 2272)
+    x, y = fwd(-77.75, 39.0 + 20.0 / 60.0)
+    assert abs(float(x) - 1968500.0) < 1e-6
+    assert abs(float(y) - 0.0) < 1e-6
+
+
+def test_lcc_round_trip_identity():
+    import numpy as np
+    from datum_spark.functions.projection import builtin_transform
+
+    fwd = builtin_transform(4326, 2272)
+    inv = builtin_transform(2272, 4326)
+    lons = np.array([-75.1652, -77.75, -80.2, -74.7])
+    lats = np.array([39.9526, 39.3333, 40.9, 39.95])
+    lon2, lat2 = inv(*fwd(lons, lats))
+    assert np.allclose(lon2, lons, atol=1e-9)
+    assert np.allclose(lat2, lats, atol=1e-9)
+
+
+def test_lcc_scale_unity_on_standard_parallel():
+    """Conformal property: scale factor is exactly 1 on a standard
+    parallel — projected distance along lat1 equals the ellipsoidal
+    parallel arc length."""
+    import numpy as np
+    from datum_spark.functions.projection import (
+        _A, _E2, _FT_US, builtin_transform)
+
+    lat1 = 40.0 + 58.0 / 60.0
+    dlam = 0.001  # degrees
+    fwd = builtin_transform(4326, 2272)
+    x1, y1 = fwd(-77.75, lat1)
+    x2, y2 = fwd(-77.75 + dlam, lat1)
+    proj_m = float(np.hypot(x2 - x1, y2 - y1)) * _FT_US
+    phi = np.radians(lat1)
+    arc_m = (_A / np.sqrt(1 - _E2 * np.sin(phi) ** 2) * np.cos(phi)
+             * np.radians(dlam))
+    assert abs(proj_m / arc_m - 1.0) < 1e-7
+
+
+def test_lcc_orientation_sanity():
+    """Philadelphia (east of λ0, north of φ0) lands east of FE / north of
+    FN, in the zone's plausible coordinate range."""
+    from datum_spark.functions.projection import builtin_transform
+
+    fwd = builtin_transform(4326, 2272)
+    x, y = fwd(-75.1652, 39.9526)
+    assert 1968500 < float(x) < 2.9e6
+    assert 0 < float(y) < 4.0e5
+
+
+def test_reproject_wkt_builtin_end_to_end(spark):
+    """reproject_wkt without pyproj: built-in LCC drives the distributed
+    WKT plumbing; 2272 → 4326 on a Philadelphia point round-trips."""
+    df = spark.createDataFrame([("POINT (2694000 234000)",)], "wkt string")
+    out = (df.select(G.reproject_wkt(F.col("wkt"), 2272, 4326).alias("o"))
+             .collect()[0]["o"])
+    lon, lat = map(float, out[len("POINT ("):-1].split())
+    assert -76.0 < lon < -74.5 and 39.5 < lat < 40.5
 
 
 def test_write_applies_geometry_prep(tmp_db):
@@ -101,3 +169,17 @@ def test_write_applies_geometry_prep(tmp_db):
     assert rows["multi"] == "MULTILINESTRING ((0 0, 1 1))"
     assert rows["measured"] == "MULTILINESTRING ((0 0, 1 1))"
     assert rows["missing"] == "MULTILINESTRING EMPTY"
+
+
+def test_read_to_srid_applies_builtin_transform(tmp_db):
+    """The reference's read(to_srid=...) — broken there (SURVEY §1.4#1) —
+    works here end-to-end via the built-in 2272→4326 transform."""
+    tmp_db.create_table("pts", [{"name": "shape", "type": "geom"},
+                                {"name": "nm", "type": "text"}])
+    t = tmp_db.table("pts")
+    t._store_props({**t._props, "geom_type": "POINT", "srid": 2272})
+    t = tmp_db.table("pts")
+    t.write([{"nm": "phl", "shape": "POINT (2694000 234000)"}])
+    row = t.read(fields=["nm", "shape"], to_srid=4326)[0]
+    lon, lat = map(float, row["shape"][len("POINT ("):-1].split())
+    assert -76.0 < lon < -74.5 and 39.5 < lat < 40.5
