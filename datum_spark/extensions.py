@@ -177,6 +177,17 @@ def x09(spark, sf):
             .orderBy("query_id", "rnk"))
 
 
+@x("x27_cosine_topk_ivf", None)  # approximate recall by design
+def x27(spark, sf):
+    """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query
+    scores ~nprobe/centroids of the corpus)."""
+    emb = load(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+    return (sim_mod.ivf_cosine_top_k(q, c, k=5, centroids=32, nprobe=6)
+            .orderBy("query_id", "rnk"))
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 

@@ -11,7 +11,7 @@ from .dedup import (
     ngram_jaccard_pairs,
     embedding_cosine_dups,
 )
-from .similarity import cosine_top_k, lsh_cosine_top_k
+from .similarity import cosine_top_k, ivf_cosine_top_k, lsh_cosine_top_k
 from .text import (
     with_token_count,
     with_quality_score,
@@ -23,7 +23,7 @@ __all__ = [
     "top_k", "top_k_per_group", "asof_join",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
     "simhash_near_dups", "ngram_jaccard_pairs", "embedding_cosine_dups",
-    "cosine_top_k", "lsh_cosine_top_k",
+    "cosine_top_k", "ivf_cosine_top_k", "lsh_cosine_top_k",
     "with_token_count", "with_quality_score", "with_language_guess",
     "with_fingerprint",
 ]

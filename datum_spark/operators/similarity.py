@@ -183,6 +183,96 @@ def cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
                   .filter(F.col("rnk") <= k))
 
 
+def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
+                     query_id: str = "vec_id", query_vec: str = "embedding",
+                     corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+                     centroids: int = 32, nprobe: int = 4,
+                     refine_iters: int = 1, seed: int = 42) -> DataFrame:
+    """Approximate top-k via an IVF-style coarse quantizer.
+
+    Corpus vectors are assigned to their nearest of ``centroids`` coarse
+    centers; each query scores only the vectors in its ``nprobe`` nearest
+    cells (~nprobe/centroids of the corpus).  Centers start as a
+    deterministic hash-ordered sample of the corpus (so results are
+    partition-count independent) and are optionally refined with
+    ``refine_iters`` Lloyd steps (assign → mean per cell), each one
+    map-reduce pass.
+
+    Scale posture: the centroid matrix (centroids × dim) lives in the UDF
+    closure — broadcast with the plan, never shuffled; assignment is one
+    batched matmul per Arrow batch; the probe join shuffles only
+    (id, cell) pairs plus the final candidate scoring.  Complements
+    :func:`lsh_cosine_top_k` — IVF adapts to clustered data, sign-LSH is
+    data-independent.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c_vec = corpus.select(F.col(corpus_id).alias("neighbor_id"),
+                          _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                          .alias("__cv"))
+    # deterministic coarse centers: take the `centroids` corpus vectors with
+    # the smallest xxhash64(id) — a uniform pseudo-random sample that does
+    # not depend on partitioning (no Math.random in driver code)
+    sample = (c_vec.withColumn("__h", F.xxhash64(F.col("neighbor_id"),
+                                                 F.lit(seed)))
+                   .orderBy("__h").limit(centroids)
+                   .select("__cv").collect())
+    centers = np.vstack([np.array(r["__cv"]) for r in sample])
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def assign_udf(cents: np.ndarray, top: int):
+        def assign(vecs):
+            m = np.vstack(vecs.to_numpy())
+            sims = m @ cents.T
+            if top == 1:
+                out = np.argmax(sims, axis=1)[:, None]
+            else:
+                out = np.argsort(-sims, axis=1)[:, :top]
+            return pd.Series(list(out.astype(np.int64)))
+        return pandas_udf(assign, "array<long>", PandasUDFType.SCALAR)
+
+    for _ in range(max(0, refine_iters)):
+        # one Lloyd step: mean of members per cell (JVM avg over array
+        # positions via posexplode keeps the pass shuffle-light)
+        a1 = assign_udf(centers, 1)
+        assigned = c_vec.select(F.element_at(a1("__cv"), 1).alias("__cell"),
+                                F.posexplode("__cv").alias("__d", "__x"))
+        means = (assigned.groupBy("__cell", "__d")
+                 .agg(F.avg("__x").alias("m"))
+                 .groupBy("__cell")
+                 .agg(F.array_sort(F.collect_list(F.struct("__d", "m")))
+                      .alias("vs"))
+                 .select("__cell", F.transform("vs", lambda s: s["m"])
+                         .alias("mean"))
+                 .collect())
+        for r in means:
+            centers[int(r["__cell"])] = np.array(r["mean"])
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+
+    a1 = assign_udf(centers, 1)
+    c_cells = c_vec.select("neighbor_id",
+                           F.element_at(a1("__cv"), 1).alias("__cell"))
+    q_vec = queries.select(F.col(query_id).alias("query_id"),
+                           _normalize_col(F.col(query_vec).cast("array<double>"))
+                           .alias("__qv"))
+    ap = assign_udf(centers, max(1, nprobe))
+    q_cells = q_vec.select("query_id", F.explode(ap("__qv")).alias("__cell"))
+
+    cand = (F.broadcast(q_cells).join(c_cells, "__cell")
+            .select("query_id", "neighbor_id").distinct())
+    cos = _dot_expr(F.col("__qv"), F.col("__cv"))
+    scored = (cand.join(F.broadcast(q_vec), "query_id")
+                  .join(c_vec, "neighbor_id")
+                  .select("query_id", "neighbor_id",
+                          F.round(cos, 6).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))
+
+
 def lsh_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
                      query_id: str = "vec_id", query_vec: str = "embedding",
                      corpus_id: str = "vec_id", corpus_vec: str = "embedding",

@@ -9,6 +9,7 @@ from datum_spark.operators import (
     cosine_top_k,
     exact_dedup,
     exact_dup_groups,
+    ivf_cosine_top_k,
     lsh_cosine_top_k,
     minhash_near_dups,
     ngram_jaccard_pairs,
@@ -138,6 +139,20 @@ def test_lsh_recall_on_fixture(spark, smoke_db):
                                         tables=8).collect()}
     hits = sum(1 for k in exact if approx.get(k) == exact[k])
     assert hits >= len(exact) * 0.5, f"LSH top-1 recall too low: {hits}/{len(exact)}"
+
+
+def test_ivf_recall_on_fixture(spark, smoke_db):
+    """IVF top-1 must agree with exact top-1 for most queries."""
+    emb = smoke_db.table("embeddings").df()
+    q = emb.filter(F.col("vec_id") < 20)
+    c = emb.filter(F.col("vec_id") >= 20)
+    exact = {r["query_id"]: r["neighbor_id"]
+             for r in cosine_top_k(q, c, k=1, round_to=6).collect()}
+    approx = {r["query_id"]: r["neighbor_id"]
+              for r in ivf_cosine_top_k(q, c, k=1, centroids=16,
+                                        nprobe=6).collect()}
+    hits = sum(1 for kk in exact if approx.get(kk) == exact[kk])
+    assert hits >= len(exact) * 0.5, f"IVF top-1 recall: {hits}/{len(exact)}"
 
 
 def test_top_k_global(smoke_db):
