@@ -3,6 +3,7 @@ deduplication families, similarity search, text analysis."""
 
 from .topk import top_k, top_k_per_group
 from .asof import asof_join
+from .skew import salted_join
 from .dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -20,7 +21,7 @@ from .text import (
 )
 
 __all__ = [
-    "top_k", "top_k_per_group", "asof_join",
+    "top_k", "top_k_per_group", "asof_join", "salted_join",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
     "simhash_near_dups", "ngram_jaccard_pairs", "embedding_cosine_dups",
     "cosine_top_k", "ivf_cosine_top_k", "lsh_cosine_top_k",

@@ -170,6 +170,35 @@ def test_top_k_per_group(smoke_db):
     assert all(r["count"] <= 2 for r in counts)
 
 
+def test_salted_join_equals_plain_join(smoke_db, spark):
+    """Salt-and-replicate must return exactly the unsalted join's rows,
+    including under heavy key skew."""
+    from datum_spark.operators import salted_join
+
+    o = smoke_db["orders"].df().select("o_orderkey", "o_custkey")
+    # make a skewed probe side: 80% of rows forced onto one hot key
+    skewed = o.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 != 0, F.lit(7)).otherwise(
+            F.col("o_custkey")))
+    c = smoke_db["customer"].df().select("c_custkey", "c_mktsegment")
+    dim = c.withColumnRenamed("c_custkey", "o_custkey")
+    plain = skewed.join(dim, "o_custkey")
+    salted = salted_join(skewed, dim, "o_custkey", salt=8)
+    key = lambda d: sorted(tuple(r) for r in d.collect())  # noqa: E731
+    assert key(salted) == key(plain) and plain.count() > 0
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    from datum_spark.operators import salted_join
+
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (9, "z")], "k long, v string")
+    small = spark.createDataFrame([(1, "X"), (2, "Y")], "k long, w string")
+    out = {(r["k"], r["w"]) for r in salted_join(big, small, "k", how="left")
+           .collect()}
+    assert out == {(1, "X"), (2, "Y"), (9, None)}
+
+
 def test_asof_join_semantics(spark):
     left = spark.createDataFrame(
         [(1, 10, "a"), (1, 20, "b"), (2, 15, "c")],
