@@ -152,6 +152,31 @@ def test_index_noop_recorded(tmp_db):
         t.create_index("nope")
 
 
+def test_memory_scheme_lifecycle(spark):
+    import datum_spark
+
+    mdb = datum_spark.connect("memory://", spark=spark)
+    assert mdb.tables == []
+    mdb.create_table("m", [{"name": "a", "type": "num"},
+                           {"name": "b", "type": "text"}])
+    t = mdb.table("m")
+    assert t.pk_field == "id"
+    t.write([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    assert t.count == 2
+    assert mdb.execute(
+        "SELECT b FROM m WHERE a = 2") == [{"b": "y"}]
+    t.write([{"a": 3, "b": "z"}])          # append keeps earlier rows
+    assert t.count == 3
+    mdb.create_view("mv", "SELECT COUNT(*) AS n FROM m")
+    assert mdb.execute("SELECT n FROM mv") == [{"n": 3}]
+    assert "mv" not in mdb.tables          # views excluded from base tables
+    t.delete()
+    assert t.count == 0 and t.fields == ["id", "a", "b"]
+    mdb.drop_table("m")
+    assert mdb.tables == []
+    mdb.close()
+
+
 def test_single_geom_enforced(tmp_db):
     with pytest.raises(ValueError):
         tmp_db.create_table("bad", [{"name": "g1", "type": "geom"},
