@@ -82,13 +82,12 @@ def language_guess(col: Column) -> Column:
     language code; no hits → ``'und'``)."""
     words = F.array_distinct(_words(col))
 
-    def matcher(markers):
-        # closure factory — a default-arg lambda would be treated as the
-        # two-arg (element, index) form and bind the index column
-        return lambda w: w.isin(*markers)
-
+    # array_intersect is a native (non-lambda) expression — unlike
+    # F.filter's interpreted per-element lambda, it runs JVM-side at
+    # codegen speed
     scores = [
-        (lang, F.size(F.filter(words, matcher(markers))))
+        (lang, F.size(F.array_intersect(
+            words, F.array(*[F.lit(m) for m in markers]))))
         for lang, markers in sorted(_LANG_MARKERS.items())
     ]
     best = F.greatest(*[s for _, s in scores])
