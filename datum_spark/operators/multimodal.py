@@ -77,6 +77,79 @@ def extract_image_features(df: DataFrame, content_col: str = "content",
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def resize_images(df: DataFrame, content_col: str = "content",
+                  target: tuple[int, int] = (224, 224),
+                  fake_decode: bool = False) -> DataFrame:
+    """Resize plumbing: content → resized content + final dims.
+
+    STUB decode/re-encode (no image lib in this runtime): with
+    ``fake_decode`` the "resized" payload is a deterministic fixed-length
+    digest of the original bytes (stable, exercises the binary-in/binary-out
+    Arrow path and the schema contract); the batch flow, column pruning and
+    output schema are the real interface a PIL-backed version drops into.
+    """
+    if not fake_decode:
+        raise NotImplementedError(
+            "image resizing requires an image library (e.g. PIL) not present "
+            "in this runtime; pass fake_decode=True to exercise the pipeline")
+    carry = [c for c in df.columns if c != content_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != content_col
+    ) + f", {content_col} binary, width int, height int"
+    w, h = target
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            out = pdf[carry].copy()
+            out[content_col] = pdf[content_col].map(
+                lambda b: hashlib.sha256(bytes(b or b"")).digest())
+            out["width"] = w
+            out["height"] = h
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def extract_audio_features(df: DataFrame, content_col: str = "content",
+                           sample_rate: int = 16000,
+                           fake_decode: bool = False) -> DataFrame:
+    """Audio feature plumbing: content → (duration_ms, n_samples, rms).
+
+    STUB decoder (no audio lib in this runtime): ``fake_decode`` derives
+    deterministic pseudo-features from the byte length/content so the
+    mapInPandas contract (schema, batching, null handling) is exercised;
+    a librosa/soundfile decoder is a one-function swap.
+    """
+    if not fake_decode:
+        raise NotImplementedError(
+            "audio decoding requires an audio library (e.g. soundfile) not "
+            "present in this runtime; pass fake_decode=True to exercise "
+            "the pipeline")
+    carry = [c for c in df.columns if c != content_col]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields if f.name != content_col
+    ) + ", duration_ms int, n_samples int, rms double"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf[content_col].map(lambda b: len(b) if b is not None else 0)
+            out = pdf[carry].copy()
+            # fake: 2 bytes/sample at the nominal rate
+            out["n_samples"] = (n // 2).astype("int32")
+            out["duration_ms"] = (out["n_samples"] * 1000
+                                  // sample_rate).astype("int32")
+            out["rms"] = pdf[content_col].map(
+                lambda b: round(sum(b[:64]) / max(1, len(b[:64])) / 255.0, 6)
+                if b else 0.0)
+            yield out
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def sample_video_frames(df: DataFrame, content_col: str = "content",
                         every_n_ms: int = 1000,
                         fake_decode: bool = True) -> DataFrame:
