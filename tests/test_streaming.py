@@ -78,6 +78,23 @@ def test_stream_dedup(spark, events_batch, events_stream):
     assert n_batch <= n_stream < n_all
 
 
+def test_stream_to_parquet_sink(tmp_path, spark, events_batch, events_stream):
+    """Checkpointed file sink: append-mode windowed agg lands in Parquet.
+    Append emits only watermark-finalized windows, so the sink holds a
+    subset of the batch result (and the tail windows stay open)."""
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (tumbling_agg(events_stream).writeStream
+         .outputMode("append").format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ckpt)
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+    want = {tuple(r) for r in tumbling_agg(events_batch).collect()}
+    assert got and got.issubset(want)
+
+
 def test_running_totals_stateful_parity(spark, events_batch, events_stream):
     """applyInPandasWithState running totals: the LAST update emitted per key
     must equal the batch groupBy aggregate over the full input."""
