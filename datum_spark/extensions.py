@@ -177,6 +177,40 @@ def x09(spark, sf):
             .orderBy("query_id", "rnk"))
 
 
+@x("x28_time_rollup", """
+WITH m AS (
+  SELECT date_trunc('minute', ts) AS bucket, event_type,
+         COUNT(*) AS n, SUM(value) AS sv
+  FROM events GROUP BY 1, 2
+), h AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         SUM(n) AS n, SUM(sv) AS sv
+  FROM m GROUP BY 1, 2
+), d AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         SUM(n) AS n, SUM(sv) AS sv
+  FROM h GROUP BY 1, 2
+)
+SELECT grain, CAST(bucket AS TIMESTAMP) AS bucket, event_type, n,
+       ROUND(sv, 3) AS sv
+FROM (
+  SELECT 'minute' AS grain, * FROM m
+  UNION ALL SELECT 'hour', * FROM h
+  UNION ALL SELECT 'day', * FROM d)
+ORDER BY grain, bucket, event_type""")
+def x28(spark, sf):
+    """Hypertable rollup cascade: minute → hour → day, each coarser level
+    re-aggregated from the finer one (one raw scan total)."""
+    from .operators.rollup import time_rollup_cascade
+
+    ev = load(spark, sf, "events")
+    out = time_rollup_cascade(ev, "ts", "value",
+                              grains=["minute", "hour", "day"])
+    return (out.select("grain", "bucket", "event_type", "n",
+                       F.round("sv", 3).alias("sv"))
+               .orderBy("grain", "bucket", "event_type"))
+
+
 @x("x27_cosine_topk_ivf", None)  # approximate recall by design
 def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query

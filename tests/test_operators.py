@@ -170,6 +170,29 @@ def test_top_k_per_group(smoke_db):
     assert all(r["count"] <= 2 for r in counts)
 
 
+def test_time_rollup_cascade_conserves_totals(smoke_db):
+    """Every grain of the rollup cascade must conserve the global count
+    and value sum (re-aggregation loses nothing)."""
+    from datum_spark.operators.rollup import time_rollup_cascade
+
+    ev = smoke_db["events"].df()
+    out = time_rollup_cascade(ev, "ts", "value").persist()
+    totals = {r["grain"]: (r["n"], round(r["sv"], 6)) for r in
+              out.groupBy("grain")
+                 .agg(F.sum("n").alias("n"),
+                      F.sum("sv").alias("sv")).collect()}
+    want_n = ev.count()
+    want_sv = round(ev.agg(F.sum("value")).collect()[0][0], 6)
+    assert set(totals) == {"minute", "hour", "day"}
+    for grain, (n, sv) in totals.items():
+        assert n == want_n, grain
+        assert abs(sv - want_sv) < 1e-6, grain
+    # coarser grains have (weakly) fewer buckets
+    sizes = {r["grain"]: r["c"] for r in
+             out.groupBy("grain").agg(F.count(F.lit(1)).alias("c")).collect()}
+    assert sizes["day"] <= sizes["hour"] <= sizes["minute"]
+
+
 def test_salted_join_equals_plain_join(smoke_db, spark):
     """Salt-and-replicate must return exactly the unsalted join's rows,
     including under heavy key skew."""
