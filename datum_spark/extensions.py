@@ -211,6 +211,27 @@ def x28(spark, sf):
                .orderBy("grain", "bucket", "event_type"))
 
 
+@x("x29_part_revenue", """
+SELECT p.p_brand, p.p_type,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS rev,
+       COUNT(*) AS n
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 20
+GROUP BY p.p_brand, p.p_type ORDER BY p_brand, p_type""")
+def x29(spark, sf):
+    """Fact-to-dimension revenue rollup over `part` (TPC-H Q14 flavor) —
+    the dimension broadcasts; only the fact side shuffles for the agg."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part").filter(F.col("p_size") <= 20)
+    return (li.join(F.broadcast(p),
+                    li["l_partkey"] == p["p_partkey"])
+              .groupBy("p_brand", "p_type")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2).alias("rev"),
+                   F.count(F.lit(1)).alias("n"))
+              .orderBy("p_brand", "p_type"))
+
+
 @x("x27_cosine_topk_ivf", None)  # approximate recall by design
 def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query
