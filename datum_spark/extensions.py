@@ -232,6 +232,22 @@ def x29(spark, sf):
               .orderBy("p_brand", "p_type"))
 
 
+@x("x30_json_typed", """
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sk,
+       COUNT(*) AS n
+FROM events GROUP BY event_type ORDER BY event_type""")
+def x30(spark, sf):
+    """Typed JSON parsing: from_json with a declared schema → struct column
+    (vs Q30's stringly get_json_object), then aggregate the typed field."""
+    ev = load(spark, sf, "events")
+    parsed = ev.withColumn("__p", F.from_json("props", "k int"))
+    return (parsed.groupBy("event_type")
+            .agg(F.sum(F.col("__p.k")).alias("sk"),
+                 F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type"))
+
+
 @x("x27_cosine_topk_ivf", None)  # approximate recall by design
 def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query
