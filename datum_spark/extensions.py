@@ -251,11 +251,14 @@ def x30(spark, sf):
 @x("x27_cosine_topk_ivf", None)  # approximate recall by design
 def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query
-    scores ~nprobe/centroids of the corpus)."""
+    scores ~nprobe/centroids of the corpus).  refine_iters=0 here: the
+    Lloyd step is a train-once cost, not a per-query one — re-training in
+    a timed query loop would misrepresent serving cost."""
     emb = load(spark, sf, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return (sim_mod.ivf_cosine_top_k(q, c, k=5, centroids=32, nprobe=6)
+    return (sim_mod.ivf_cosine_top_k(q, c, k=5, centroids=32, nprobe=6,
+                                     refine_iters=0)
             .orderBy("query_id", "rnk"))
 
 

@@ -212,13 +212,19 @@ def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     c_vec = corpus.select(F.col(corpus_id).alias("neighbor_id"),
                           _normalize_col(F.col(corpus_vec).cast("array<double>"))
                           .alias("__cv"))
-    # deterministic coarse centers: take the `centroids` corpus vectors with
-    # the smallest xxhash64(id) — a uniform pseudo-random sample that does
-    # not depend on partitioning (no Math.random in driver code)
-    sample = (c_vec.withColumn("__h", F.xxhash64(F.col("neighbor_id"),
-                                                 F.lit(seed)))
-                   .orderBy("__h").limit(centroids)
-                   .select("__cv").collect())
+    # deterministic coarse centers: the `centroids` corpus vectors with the
+    # smallest xxhash64(id) — a uniform pseudo-random sample independent of
+    # partitioning.  A hash-residue pre-filter (~1/64 of the corpus) keeps
+    # the sort tiny; if the corpus is too small for the filter to yield
+    # enough rows, fall back to sorting everything.
+    hashed = c_vec.withColumn("__h", F.xxhash64(F.col("neighbor_id"),
+                                                F.lit(seed)))
+    sample = (hashed.filter(F.pmod(F.col("__h"), F.lit(64)) == 0)
+                    .orderBy("__h").limit(centroids)
+                    .select("__cv").collect())
+    if len(sample) < centroids:
+        sample = (hashed.orderBy("__h").limit(centroids)
+                        .select("__cv").collect())
     centers = np.vstack([np.array(r["__cv"]) for r in sample])
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
 
@@ -233,19 +239,19 @@ def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
             return pd.Series(list(out.astype(np.int64)))
         return pandas_udf(assign, "array<long>", PandasUDFType.SCALAR)
 
+    def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["__cv"].to_numpy())
+        return pd.DataFrame({"__cell": [int(pdf["__cell"].iloc[0])],
+                             "mean": [m.mean(axis=0)]})
+
     for _ in range(max(0, refine_iters)):
-        # one Lloyd step: mean of members per cell (JVM avg over array
-        # positions via posexplode keeps the pass shuffle-light)
+        # one Lloyd step: assign, then mean whole vectors per cell in
+        # applyInPandas — shuffles 1 row per corpus vector, not dim rows
         a1 = assign_udf(centers, 1)
-        assigned = c_vec.select(F.element_at(a1("__cv"), 1).alias("__cell"),
-                                F.posexplode("__cv").alias("__d", "__x"))
-        means = (assigned.groupBy("__cell", "__d")
-                 .agg(F.avg("__x").alias("m"))
+        means = (c_vec
+                 .select(F.element_at(a1("__cv"), 1).alias("__cell"), "__cv")
                  .groupBy("__cell")
-                 .agg(F.array_sort(F.collect_list(F.struct("__d", "m")))
-                      .alias("vs"))
-                 .select("__cell", F.transform("vs", lambda s: s["m"])
-                         .alias("mean"))
+                 .applyInPandas(cell_mean, "__cell long, mean array<double>")
                  .collect())
         for r in means:
             centers[int(r["__cell"])] = np.array(r["mean"])
