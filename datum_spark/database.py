@@ -49,6 +49,28 @@ class Database:
         self._mviews: set[str] = set()
         self._registered: set[str] = set()
 
+    def __str__(self) -> str:
+        """Reference shape ``Database: scheme://.../name`` with credentials
+        masked (``datum/database.py:22-26``)."""
+        return f"Database: {self.scheme}://{self.name or ''}"
+
+    @property
+    def name(self) -> str | None:
+        """Database name (reference: ``datum/database.py:32-34`` — the URL
+        path component).  file → directory basename; memory → 'memory'."""
+        if self.scheme == "memory":
+            return "memory"
+        if self.scheme == "file":
+            return os.path.basename(os.path.normpath(self.path)) or None
+        from urllib.parse import urlparse
+        return (urlparse(self.url).path or "").lstrip("/") or None
+
+    @property
+    def user(self) -> str | None:
+        """URL username (reference: ``datum/database.py:36-38``)."""
+        from urllib.parse import urlparse
+        return urlparse(self.url).username
+
     # -- table handles ------------------------------------------------------
 
     def table(self, name: str) -> Table:

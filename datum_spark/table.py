@@ -43,6 +43,10 @@ class Table:
         self._meta_cache: dict | None = None
         self._schema_cache = None
 
+    def __str__(self) -> str:
+        """Reference shape ``Table: schema.name`` (``datum/table.py:27-32``)."""
+        return f"Table: {self.qualified_name}"
+
     # -- plumbing ---------------------------------------------------------
 
     def df(self) -> DataFrame:
@@ -336,10 +340,14 @@ class Table:
         self._store_props(meta)
         return idx_name
 
-    def drop_index(self, name: str) -> None:
+    def drop_index(self, *fields: str, name: str | None = None) -> None:
+        """Drop by explicit ``name`` or by the auto-name derived from
+        ``fields`` — the reference accepts either
+        (``datum/table.py:102-104``, ``datum/postgis/table.py:327-333``)."""
+        idx_name = name or f"{self.name}_{'_'.join(fields)}_idx"
         meta = dict(self._props)
         meta["indexes"] = [i for i in meta.get("indexes", [])
-                           if i["name"] != name]
+                           if i["name"] != idx_name]
         self._store_props(meta)
 
     @property

@@ -21,6 +21,14 @@ def test_getitem_sugar(smoke_db):
     assert smoke_db["region"].count == 5
 
 
+def test_str_name_user(smoke_db):
+    assert str(smoke_db).startswith("Database: file://")
+    assert smoke_db.name == "sf0.001"
+    assert smoke_db.user is None
+    assert str(smoke_db["lineitem"]) == "Table: lineitem"
+    assert str(smoke_db["public.lineitem"]) == "Table: public.lineitem"
+
+
 def test_count_is_int(smoke_db):
     # §1.4#3: count is a property returning int on every backend
     n = smoke_db.table("lineitem").count
@@ -146,7 +154,10 @@ def test_index_noop_recorded(tmp_db):
     name = t.create_index("a", "b")
     assert name == "i1_a_b_idx"
     assert t.indexes == [{"name": "i1_a_b_idx", "fields": ["a", "b"]}]
-    t.drop_index(name)
+    t.drop_index("a", "b")          # reference style: drop by fields
+    assert t.indexes == []
+    t.create_index("a", "b")
+    t.drop_index(name="i1_a_b_idx")  # or by explicit name
     assert t.indexes == []
     with pytest.raises(ValueError):
         t.create_index("nope")
