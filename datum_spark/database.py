@@ -245,6 +245,24 @@ class Database:
             self.spark.catalog.dropTempView(name)
             self._registered.discard(name)
 
+    # -- adapter-level conveniences (reference: Oracle adapter exposed these
+    # directly on the database object) --------------------------------------
+
+    def bulk_insert(self, table: str, rows, geom_field: str | None = None,
+                    from_srid: int | None = None,
+                    chunk_size: int | None = None) -> None:
+        """Insert rows into ``table``
+        (reference: ``datum/oracle_stgeom/database.py:146-193``).
+        ``geom_field`` is accepted for signature parity; geometry handling
+        comes from the table's registered metadata."""
+        self.table(table).write(rows, from_srid=from_srid,
+                                chunk_size=chunk_size)
+
+    def truncate(self, table: str) -> None:
+        """Remove all rows from ``table``
+        (reference: ``datum/oracle_stgeom/database.py:196-202``)."""
+        self.table(table).delete()
+
     # -- views ----------------------------------------------------------------
 
     def create_view(self, name: str, select_stmt: str) -> None:

@@ -163,6 +163,14 @@ def test_index_noop_recorded(tmp_db):
         t.create_index("nope")
 
 
+def test_db_level_bulk_insert_and_truncate(tmp_db):
+    tmp_db.create_table("bi", [{"name": "a", "type": "num"}])
+    tmp_db.bulk_insert("bi", [{"a": 1}, {"a": 2}], chunk_size=1)
+    assert tmp_db.table("bi").count == 2
+    tmp_db.truncate("bi")
+    assert tmp_db.table("bi").count == 0
+
+
 def test_memory_scheme_lifecycle(spark):
     import datum_spark
 
