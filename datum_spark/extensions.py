@@ -248,6 +248,48 @@ def x30(spark, sf):
             .orderBy("event_type"))
 
 
+@x("x31_grouping_sets", """
+SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+       COALESCE(o_orderpriority, 'ALL') AS pr, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY st, pr""")
+def x31(spark, sf):
+    """Explicit GROUPING SETS (arbitrary set list — beyond the rollup/cube
+    shorthands of Q14/x24) via DataFrame.groupingSets."""
+    o = load(spark, sf, "orders")
+    return (o.groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                           "o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("st"),
+                     F.coalesce("o_orderpriority", F.lit("ALL")).alias("pr"),
+                     "n")
+             .orderBy("st", "pr"))
+
+
+@x("x32_stream_stream_join", """
+WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts FROM events
+           WHERE event_type = 'click'),
+p AS (SELECT user_id, ts AS p_ts, value FROM events
+      WHERE event_type = 'purchase')
+SELECT c.click_id, c.user_id, p.p_ts, ROUND(p.value, 3) AS value
+FROM c JOIN p
+ON p.user_id = c.user_id
+AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+ORDER BY click_id, p_ts""")
+def x32(spark, sf):
+    """Batch twin of the stream-stream interval join (clicks ⋈ purchases
+    within 30 min) — the same builder runs on two readStream inputs with
+    watermarks (streaming/joins.py, parity-tested)."""
+    from .streaming.joins import clicks_purchases_join
+
+    ev = load(spark, sf, "events")
+    return (clicks_purchases_join(ev, ev, within="30 minutes")
+            .select("click_id", "user_id", "p_ts",
+                    F.round("value", 3).alias("value"))
+            .orderBy("click_id", "p_ts"))
+
+
 @x("x27_cosine_topk_ivf", None)  # approximate recall by design
 def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query

@@ -1,6 +1,7 @@
 """Structured Streaming operators (extensions; the reference has no
 streaming — SURVEY §1.1 'not present')."""
 
+from .joins import clicks_purchases_join
 from .stateful import running_totals, running_totals_batch
 from .windows import (
     tumbling_agg,
@@ -14,5 +15,5 @@ from .windows import (
 __all__ = [
     "tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
     "read_events_stream", "run_stream_to_memory",
-    "running_totals", "running_totals_batch",
+    "running_totals", "running_totals_batch", "clicks_purchases_join",
 ]

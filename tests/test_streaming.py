@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from datum_spark.sources.registry import read_parquet_normalized
 from datum_spark.streaming import (
+    clicks_purchases_join,
     read_events_stream,
     run_stream_to_memory,
     running_totals,
@@ -93,6 +94,19 @@ def test_stream_to_parquet_sink(tmp_path, spark, events_batch, events_stream):
     got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
     want = {tuple(r) for r in tumbling_agg(events_batch).collect()}
     assert got and got.issubset(want)
+
+
+def test_stream_stream_join_parity(spark, events_batch):
+    """Stream-stream time-interval join (two watermarked readStream inputs)
+    must produce exactly the batch join's rows once input is exhausted."""
+    s1 = read_events_stream(spark, SF)
+    s2 = read_events_stream(spark, SF)
+    run_stream_to_memory(clicks_purchases_join(s1, s2), "t_ssj",
+                         output_mode="append")
+    got = _rows(spark.table("t_ssj"), "click_id", "p_ts")
+    want = _rows(clicks_purchases_join(events_batch, events_batch),
+                 "click_id", "p_ts")
+    assert got == want and len(want) > 0
 
 
 def test_running_totals_stateful_parity(spark, events_batch, events_stream):
