@@ -290,6 +290,22 @@ def x32(spark, sf):
             .orderBy("click_id", "p_ts"))
 
 
+@x("x33_string_agg", """
+SELECT o_orderpriority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS sts,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+def x33(spark, sf):
+    """Ordered string aggregation — spelled as sort_array(collect_set()) +
+    array_join for cross-engine determinism (collect order is free)."""
+    o = load(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.array_join(F.array_sort(F.collect_set("o_orderstatus")),
+                               ",").alias("sts"),
+                  F.count(F.lit(1)).alias("n"))
+             .orderBy("o_orderpriority"))
+
+
 @x("x27_cosine_topk_ivf", None)  # approximate recall by design
 def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query

@@ -46,6 +46,9 @@ _RULES: list[tuple[re.Pattern, str]] = [
      lambda m: f"CAST({m.group(1)} AS {_map_type(m.group(2))})"),
     # Oracle NVL -> coalesce
     (re.compile(r"\bNVL\s*\(", re.IGNORECASE), "coalesce("),
+    # pg regex-match operators (binary, spaced): a !~ 'p' / a ~ 'p'
+    (re.compile(r"\s+!~\s+"), " NOT RLIKE "),
+    (re.compile(r"\s+~\s+"), " RLIKE "),
     # Oracle SYSDATE / pg NOW() -> current_timestamp
     (re.compile(r"\bSYSDATE\b", re.IGNORECASE), "current_timestamp()"),
     (re.compile(r"\bNOW\s*\(\s*\)", re.IGNORECASE), "current_timestamp()"),

@@ -38,6 +38,11 @@ def test_escaped_quote_literal():
     assert translate_sql(sql) == "note = 'it''s a::b' AND CAST(a AS int) = 1"
 
 
+def test_pg_regex_operators():
+    assert (translate_sql("name ~ '^A.*' AND name !~ 'x$'")
+            == "name RLIKE '^A.*' AND name NOT RLIKE 'x$'")
+
+
 def test_predicate_passthrough():
     p = "a BETWEEN 1 AND 2 AND b IN ('x','y') AND c IS NOT NULL"
     assert translate_predicate(p) == p
