@@ -134,8 +134,17 @@ class Database:
             if name in self._views or self.spark.catalog.tableExists(name):
                 return self.spark.table(name)
             raise ValueError(f"no such table: {name!r}")
+        from pyspark.sql.utils import AnalysisException
+
         from .sources.registry import read_parquet_normalized
-        return read_parquet_normalized(self.spark, path)
+        try:
+            return read_parquet_normalized(self.spark, path)
+        except AnalysisException:
+            # footer-less dir (empty partitioned table): declared schema
+            ddl = self._load_meta(name).get("schema_ddl")
+            if ddl:
+                return self.spark.createDataFrame([], ddl)
+            raise
 
     def _write_table(self, name: str, df: DataFrame, mode: str) -> None:
         if self.scheme == "memory":
@@ -151,7 +160,13 @@ class Database:
             (df.write.format("jdbc").option("url", self.url)
                .option("dbtable", name).mode(mode).save())
             return
-        df.write.mode(mode).parquet(self._table_path(name))
+        writer = df.write.mode(mode)
+        part_cols = self._load_meta(name).get("partition_by")
+        if part_cols:
+            # hive layout: partition values become directories, and filters
+            # on them prune whole directories (PartitionFilters) at scale
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(self._table_path(name))
         self._registered.discard(name)  # re-register to pick up new data
 
     def _register(self, name: str) -> None:
@@ -188,12 +203,18 @@ class Database:
 
     # -- DDL -----------------------------------------------------------------
 
-    def create_table(self, name: str, cols: list[dict]) -> None:
+    def create_table(self, name: str, cols: list[dict],
+                     partition_by: list[str] | None = None) -> None:
         """Create an empty table from ``[{'name','type'}]`` specs.
 
         Reference: ``datum/postgis/database.py:75-103`` — auto-adds an
         ``id`` auto-increment primary key; types restricted to
         num/text/date/geom.  IF NOT EXISTS semantics: existing table wins.
+
+        ``partition_by`` (extension, no reference analog — Postgres tables
+        weren't hive-partitioned): declared columns become hive partition
+        directories on every subsequent write, so partition-key filters
+        prune whole directories at scan time.
         """
         if self.scheme == "file" and os.path.exists(self._table_path(name)):
             return
@@ -212,6 +233,12 @@ class Database:
             raise ValueError("at most one geom column per table")
         if geom_cols:
             meta["geom_field"] = geom_cols[0]
+        if partition_by:
+            spec_names = [c["name"] for c in specs]
+            unknown = [c for c in partition_by if c not in spec_names]
+            if unknown:
+                raise ValueError(f"partition columns not in table: {unknown}")
+            meta["partition_by"] = list(partition_by)
         schema = util.struct_type_for(specs)
         if meta.get("pk_auto"):
             # auto pk is a bigint sequence (reference: `id serial PRIMARY
@@ -221,13 +248,20 @@ class Database:
                 T.StructField("id", T.LongType(), True) if f.name == "id" else f
                 for f in schema.fields
             ])
-        empty = self.spark.createDataFrame([], schema)
-        self._write_table(name, empty, mode="overwrite")
+        # declared schema rides in meta: an empty partitioned write emits no
+        # parquet footers, so reads of a never-written partitioned table
+        # need a schema source other than file inference
+        meta["schema_ddl"] = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+        # meta BEFORE the first write: _write_table reads partition_by from
+        # it, and a mixed partitioned/unpartitioned layout would not read
         if meta and self.scheme == "file":
             self._store_meta(name, {**self._load_meta(name), **meta})
         elif meta:
             self._memory_meta = getattr(self, "_memory_meta", {})
             self._memory_meta[name] = meta
+        empty = self.spark.createDataFrame([], schema)
+        self._write_table(name, empty, mode="overwrite")
 
     def drop_table(self, name: str) -> None:
         if self.scheme == "memory":

@@ -163,6 +163,33 @@ def test_index_noop_recorded(tmp_db):
         t.create_index("nope")
 
 
+def test_partitioned_table_writes_and_prunes(tmp_db):
+    """create_table(partition_by=...): writes land in hive partition dirs
+    and partition-key filters prune at scan time."""
+    import os
+
+    from datum_spark.plans.inspect import explain_str
+
+    tmp_db.create_table("pt", [{"name": "region", "type": "text"},
+                               {"name": "v", "type": "num"}],
+                        partition_by=["region"])
+    t = tmp_db.table("pt")
+    t.write([{"region": "east", "v": 1.0}, {"region": "west", "v": 2.0},
+             {"region": "east", "v": 3.0}])
+    # hive layout on disk
+    entries = os.listdir(tmp_db._table_path("pt"))
+    assert any(e.startswith("region=east") for e in entries), entries
+    # read sees all rows; partition filter prunes
+    assert t.count == 3
+    df = t.query(where="region = 'east'")
+    assert df.count() == 2
+    assert "PartitionFilters: [isnotnull(region" in explain_str(df) \
+        or "region" in explain_str(df).split("PartitionFilters")[1][:80]
+    with pytest.raises(ValueError):
+        tmp_db.create_table("bad_pt", [{"name": "a", "type": "num"}],
+                            partition_by=["nope"])
+
+
 def test_db_level_bulk_insert_and_truncate(tmp_db):
     tmp_db.create_table("bi", [{"name": "a", "type": "num"}])
     tmp_db.bulk_insert("bi", [{"a": 1}, {"a": 2}], chunk_size=1)
