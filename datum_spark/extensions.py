@@ -306,6 +306,50 @@ def x33(spark, sf):
              .orderBy("o_orderpriority"))
 
 
+@x("x34_topk_per_group", """
+SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+  FROM customer) WHERE rn <= 3
+ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""")
+def x34(spark, sf):
+    """Per-group top-k through the operator (row_number + filter — no
+    global sort; each group's k rows found within its partition)."""
+    from .operators import top_k_per_group
+
+    c = load(spark, sf, "customer")
+    out = top_k_per_group(c, "c_mktsegment",
+                          [F.col("c_acctbal").desc(), F.col("c_custkey")], 3)
+    return (out.select("c_mktsegment", "c_custkey", "c_acctbal")
+               .orderBy("c_mktsegment", F.col("c_acctbal").desc(),
+                        "c_custkey"))
+
+
+@x("x35_stats_aggs", """
+SELECT l_returnflag,
+       ROUND(stddev_samp(l_quantity), 4) + 0 AS sd,
+       ROUND(var_samp(l_quantity), 4) + 0 AS vr,
+       ROUND(corr(l_quantity, l_extendedprice), 4) + 0 AS cr,
+       ROUND(covar_samp(l_discount, l_tax), 6) + 0 AS cv
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+def x35(spark, sf):
+    """Statistical aggregates (all decomposable — partial+final at scale).
+    ``+ 0`` normalizes IEEE negative zero, which otherwise hash-mismatches
+    across engines after rounding a tiny negative covariance."""
+    li = load(spark, sf, "lineitem")
+    zero = F.lit(0.0)
+    return (li.groupBy("l_returnflag")
+              .agg((F.round(F.stddev_samp("l_quantity"), 4) + zero)
+                   .alias("sd"),
+                   (F.round(F.var_samp("l_quantity"), 4) + zero).alias("vr"),
+                   (F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+                    + zero).alias("cr"),
+                   (F.round(F.covar_samp("l_discount", "l_tax"), 6)
+                    + zero).alias("cv"))
+              .orderBy("l_returnflag"))
+
+
 @x("x27_cosine_topk_ivf", None)  # approximate recall by design
 def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query
