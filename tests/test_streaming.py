@@ -109,6 +109,36 @@ def test_stream_stream_join_parity(spark, events_batch):
     assert got == want and len(want) > 0
 
 
+def test_timer_sessionizer_matches_session_window(spark, events_batch):
+    """transformWithStateInPandas sessionizer: every eagerly-emitted
+    session must exactly match a session_window session from the batch
+    twin (same user, start, end, count). Tail sessions that the final
+    watermark never closed may be absent — that's the eager-emission
+    contract, so emitted ⊆ batch and emitted is non-trivial."""
+    from datum_spark.streaming.sessionizer import (
+        sessionize_with_timers,
+        tws_available,
+    )
+
+    if not tws_available():
+        with pytest.raises(NotImplementedError):
+            sessionize_with_timers(read_events_stream(spark, SF))
+        pytest.skip("google.protobuf absent: transformWithState worker "
+                    "protocol unavailable in this runtime")
+    stream = read_events_stream(spark, SF)
+    run_stream_to_memory(sessionize_with_timers(stream, gap="30 minutes"),
+                         "t_timer_sess", output_mode="append")
+    got = {tuple(r) for r in spark.table("t_timer_sess")
+           .select("user_id", "session_start", "session_end", "n_events")
+           .collect()}
+    want = {tuple(r) for r in session_agg(events_batch, gap="30 minutes")
+            .select("user_id", "session_start", "session_end",
+                    F.col("n_events").cast("long")).collect()}
+    assert got, "no sessions emitted"
+    assert got.issubset(want), sorted(got - want)[:3]
+    assert len(got) > len(want) * 0.5, (len(got), len(want))
+
+
 def test_running_totals_stateful_parity(spark, events_batch, events_stream):
     """applyInPandasWithState running totals: the LAST update emitted per key
     must equal the batch groupBy aggregate over the full input."""
