@@ -177,8 +177,15 @@ class Database:
         self._registered.add(name)
 
     def register_all(self) -> None:
+        from .functions.geometry_sql import register_geometry_sql_functions
+
         for name in self.tables:
             self._register(name)
+        if not getattr(self, "_geom_fns_registered", False):
+            # ST_* SQL functions for the execute() gateway (reference users
+            # wrote PostGIS functions in raw SQL)
+            register_geometry_sql_functions(self.spark)
+            self._geom_fns_registered = True
 
     # -- SQL gateway (Tier B) -------------------------------------------------
 

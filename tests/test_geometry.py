@@ -171,6 +171,29 @@ def test_write_applies_geometry_prep(tmp_db):
     assert rows["missing"] == "MULTILINESTRING EMPTY"
 
 
+def test_st_functions_in_sql_gateway(tmp_db):
+    """PostGIS-style ST_* callable from execute(): SQL scalar UDFs on WKT."""
+    tmp_db.create_table("geo", [{"name": "shape", "type": "geom"}])
+    tmp_db["geo"].write([{"shape": "POINT (2.5 -3.5)"},
+                         {"shape": "LINESTRING (0 0, 1 1, 2 0)"},
+                         {"shape": "POLYGON EMPTY"}])
+    rows = tmp_db.execute("""
+        SELECT ST_AsText(shape) AS t, ST_GeometryType(shape) AS gt,
+               ST_X(shape) AS x, ST_Y(shape) AS y,
+               ST_IsEmpty(shape) AS e, ST_NPoints(shape) AS np,
+               ST_Multi(shape) AS m
+        FROM geo ORDER BY t""")
+    by_type = {r["gt"]: r for r in rows}
+    pt = by_type["POINT"]
+    assert (pt["x"], pt["y"]) == (2.5, -3.5)
+    assert pt["m"] == "MULTIPOINT ((2.5 -3.5))"
+    ls = by_type["LINESTRING"]
+    assert ls["np"] == 3 and ls["x"] is None
+    assert ls["m"] == "MULTILINESTRING ((0 0, 1 1, 2 0))"
+    pg = by_type["POLYGON"]
+    assert pg["e"] is True and pg["m"] == "POLYGON EMPTY"
+
+
 def test_read_to_srid_applies_builtin_transform(tmp_db):
     """The reference's read(to_srid=...) — broken there (SURVEY §1.4#1) —
     works here end-to-end via the built-in 2272→4326 transform."""
