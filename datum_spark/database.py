@@ -181,6 +181,7 @@ class Database:
 
         for name in self.tables:
             self._register(name)
+        self._restore_views()
         if not getattr(self, "_geom_fns_registered", False):
             # ST_* SQL functions for the execute() gateway (reference users
             # wrote PostGIS functions in raw SQL)
@@ -307,16 +308,44 @@ class Database:
     # -- views ----------------------------------------------------------------
 
     def create_view(self, name: str, select_stmt: str) -> None:
-        """CREATE VIEW (reference: ``datum/postgis/database.py:108-111``)."""
+        """CREATE VIEW (reference: ``datum/postgis/database.py:108-111``).
+
+        File-scheme views PERSIST: the defining SQL is stored beside the
+        data (``_meta/_views.json``) and re-registered on the next
+        ``connect`` — matching the reference, where views lived in the
+        backend catalog rather than the client session.
+        """
         util.check_identifier(name)
         self.register_all()
         self.spark.sql(
             f"CREATE OR REPLACE TEMP VIEW {name} AS {translate_sql(select_stmt)}")
         self._views.add(name)
+        if self.scheme == "file":
+            views = self._load_meta("_views")
+            views[name] = select_stmt
+            self._store_meta("_views", views)
 
     def drop_view(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
         self._views.discard(name)
+        if self.scheme == "file":
+            views = self._load_meta("_views")
+            if name in views:
+                del views[name]
+                self._store_meta("_views", views)
+
+    def _restore_views(self) -> None:
+        """Re-register persisted view definitions (file scheme only)."""
+        if self.scheme != "file":
+            return
+        for name, stmt in self._load_meta("_views").items():
+            if name in self._views:
+                continue
+            for table in self.tables:
+                self._register(table)
+            self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} "
+                           f"AS {translate_sql(stmt)}")
+            self._views.add(name)
 
     def create_mview(self, name: str, select_stmt: str) -> None:
         """Materialized view → CTAS to storage

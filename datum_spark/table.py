@@ -169,17 +169,28 @@ class Table:
 
     @staticmethod
     def _sort_exprs(sort, aliases) -> list[Column]:
-        """``"a DESC"`` or ``["a", "b DESC"]`` → order expressions
-        (reference: ``datum/postgis/table.py:159-163``)."""
+        """``"a DESC"`` / ``["a", "b DESC NULLS LAST"]`` → order expressions
+        (reference: ``datum/postgis/table.py:159-163``; NULLS FIRST/LAST
+        honored like the backends did)."""
         if isinstance(sort, str):
             sort = [s.strip() for s in sort.split(",") if s.strip()]
         exprs = []
         for item in sort:
             parts = item.split()
             name = aliases.get(parts[0], parts[0])
+            upper = [p.upper() for p in parts[1:]]
+            desc = "DESC" in upper
+            nulls = None
+            if "NULLS" in upper:
+                nulls = upper[upper.index("NULLS") + 1]  # FIRST | LAST
             col = F.col(name)
-            if len(parts) > 1 and parts[1].upper() == "DESC":
-                col = col.desc()
+            if desc:
+                col = (col.desc_nulls_first() if nulls == "FIRST"
+                       else col.desc_nulls_last() if nulls == "LAST"
+                       else col.desc())
+            elif nulls:
+                col = (col.asc_nulls_first() if nulls == "FIRST"
+                       else col.asc_nulls_last())
             exprs.append(col)
         return exprs
 

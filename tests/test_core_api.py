@@ -163,6 +163,36 @@ def test_index_noop_recorded(tmp_db):
         t.create_index("nope")
 
 
+def test_views_persist_across_connections(spark, tmp_path):
+    import datum_spark
+
+    db1 = datum_spark.connect(str(tmp_path), spark=spark)
+    db1.create_table("base", [{"name": "a", "type": "num"}])
+    db1["base"].write([{"a": 1.0}, {"a": 2.0}, {"a": 5.0}])
+    db1.create_view("big_a", "SELECT a FROM base WHERE a > 1.5")
+    db1.close()
+    # a NEW connection to the same directory sees the view
+    db2 = datum_spark.connect(str(tmp_path), spark=spark)
+    assert db2.execute("SELECT COUNT(*) AS n FROM big_a") == [{"n": 2}]
+    assert "big_a" not in db2.tables
+    db2.drop_view("big_a")
+    db3 = datum_spark.connect(str(tmp_path), spark=spark)
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        db3.execute("SELECT * FROM big_a")
+
+
+def test_sort_nulls_ordering(tmp_db):
+    tmp_db.create_table("ns", [{"name": "a", "type": "num"}])
+    tmp_db["ns"].write([{"a": 2.0}, {"a": None}, {"a": 1.0}])
+    first = [r["a"] for r in tmp_db["ns"].read(
+        fields=["a"], sort="a DESC NULLS FIRST")]
+    assert first == [None, 2.0, 1.0]
+    last = [r["a"] for r in tmp_db["ns"].read(
+        fields=["a"], sort="a ASC NULLS LAST")]
+    assert last == [1.0, 2.0, None]
+
+
 def test_partitioned_table_writes_and_prunes(tmp_db):
     """create_table(partition_by=...): writes land in hive partition dirs
     and partition-key filters prune at scan time."""
