@@ -350,6 +350,26 @@ def x35(spark, sf):
               .orderBy("l_returnflag"))
 
 
+@x("x36_word_count", """
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT word, COUNT(*) AS n FROM w GROUP BY word
+ORDER BY n DESC, word LIMIT 20""")
+def x36(spark, sf):
+    """Distributed word count (explode → hash agg → top-k): the canonical
+    shape — map-side explode, partial+final count, TakeOrdered for the
+    top 20 (no global sort of the full vocabulary)."""
+    docs = load(spark, sf, "documents")
+    words = docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda t: t != "")).alias("word"))
+    return (words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+                 .orderBy(F.col("n").desc(), "word").limit(20))
+
+
 @x("x27_cosine_topk_ivf", None)  # approximate recall by design
 def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query

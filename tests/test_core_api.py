@@ -131,6 +131,18 @@ def test_write_unknown_field_raises(tmp_db):
         tmp_db.table("g").write([{"nope": 1}])
 
 
+def test_write_accepts_dataframe(tmp_db, spark):
+    """write() takes a DataFrame directly — the Spark-native ingestion path
+    (no row-dict round trip)."""
+    tmp_db.create_table("wdf", [{"name": "a", "type": "num"},
+                                {"name": "b", "type": "text"}])
+    src = spark.createDataFrame([(1.0, "x"), (2.0, None)],
+                                "a double, b string")
+    tmp_db["wdf"].write(src)
+    rows = tmp_db["wdf"].read(fields=["a", "b"], sort="a")
+    assert rows == [{"a": 1.0, "b": "x"}, {"a": 2.0, "b": None}]
+
+
 def test_write_chunk_size_accepted(tmp_db):
     tmp_db.create_table("h", [{"name": "a", "type": "num"}])
     tmp_db.table("h").write([{"a": float(i)} for i in range(10)], chunk_size=3)
