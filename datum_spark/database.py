@@ -169,6 +169,28 @@ class Database:
         writer.parquet(self._table_path(name))
         self._registered.discard(name)  # re-register to pick up new data
 
+    def _rewrite_table(self, name: str, df: DataFrame) -> None:
+        """Replace a table's files with ``df``'s data via write-then-swap.
+
+        A direct overwrite of the path a lazy plan is READING corrupts the
+        read (Spark deletes the input mid-scan); staging to a sibling dir
+        and renaming keeps the rewrite safe.
+        """
+        if self.scheme != "file":
+            df = self.spark.createDataFrame(df.collect(), df.schema)
+            self._write_table(name, df, mode="overwrite")
+            return
+        path = self._table_path(name)
+        tmp = path + ".__rewrite__"
+        writer = df.write.mode("overwrite")
+        part_cols = self._load_meta(name).get("partition_by")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        self._registered.discard(name)
+
     def _register(self, name: str) -> None:
         """Expose a table as a temp view so ``execute`` SQL can see it."""
         if name in self._registered:

@@ -332,6 +332,32 @@ class Table:
 
     truncate = delete
 
+    # -- maintenance ---------------------------------------------------------
+
+    def optimize(self, cluster_by: list[str] | str,
+                 target_partitions: int | None = None) -> None:
+        """Rewrite the table range-clustered and sorted on ``cluster_by``
+        (the OPTIMIZE/Z-ORDER analog for plain Parquet).
+
+        Range partitioning puts disjoint key ranges in separate files and
+        the within-partition sort tightens row-group min/max stats, so
+        selective filters on the cluster columns skip whole files and row
+        groups at scan time — the cheap lever when a 100 TB table is mostly
+        read through one predicate column.  One shuffle, same data.
+        """
+        cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
+        for c in cols:
+            if c not in self.fields:
+                raise ValueError(f"field not in table: {c}")
+        from .session import default_parallelism
+        n = target_partitions or default_parallelism()
+        df = (self.df()
+              .repartitionByRange(n, *[F.col(c) for c in cols])
+              .sortWithinPartitions(*cols))
+        # stage to a temp dir via collect-free rewrite: write new, swap
+        self.db._rewrite_table(self.name, df)
+        self._schema_cache = None
+
     # -- index ops (SURVEY §2-A op 18) --------------------------------------------
 
     def create_index(self, *fields: str, name: str | None = None) -> str:

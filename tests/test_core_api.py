@@ -232,6 +232,41 @@ def test_partitioned_table_writes_and_prunes(tmp_db):
                             partition_by=["nope"])
 
 
+def test_optimize_clusters_files_by_range(tmp_db, spark):
+    """optimize(cluster_by): after the rewrite, each parquet file holds a
+    narrow, (near-)disjoint range of the cluster column — the property
+    that makes min/max file skipping work."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    tmp_db.create_table("opt", [{"name": "k", "type": "num"}])
+    # write shuffled data so pre-optimize files have overlapping ranges
+    src = (spark.range(0, 4000)
+           .select((F.xxhash64("id") % 100000).alias("k").cast("double")
+                   .alias("k")))
+    tmp_db["opt"].write(src)
+    before = tmp_db["opt"].count
+    tmp_db["opt"].optimize("k", target_partitions=8)
+    assert tmp_db["opt"].count == before  # same data
+    ranges = []
+    for f in glob.glob(tmp_db._table_path("opt") + "/*.parquet"):
+        pf = pq.ParquetFile(f)
+        ki = pf.schema_arrow.names.index("k")
+        md = pf.metadata
+        stats = [md.row_group(i).column(ki).statistics
+                 for i in range(md.num_row_groups)]
+        lo = min(s.min for s in stats if s is not None)
+        hi = max(s.max for s in stats if s is not None)
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 4
+    # disjoint (clustered) file ranges: each file's max < next file's min
+    overlaps = sum(1 for (a, b), (c, d) in zip(ranges, ranges[1:]) if b > c)
+    assert overlaps == 0, ranges
+
+
 def test_db_level_bulk_insert_and_truncate(tmp_db):
     tmp_db.create_table("bi", [{"name": "a", "type": "num"}])
     tmp_db.bulk_insert("bi", [{"a": 1}, {"a": 2}], chunk_size=1)
