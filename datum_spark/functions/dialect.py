@@ -49,6 +49,9 @@ _RULES: list[tuple[re.Pattern, str]] = [
     # pg regex-match operators (binary, spaced): a !~ 'p' / a ~ 'p'
     (re.compile(r"\s+!~\s+"), " NOT RLIKE "),
     (re.compile(r"\s+~\s+"), " RLIKE "),
+    # length-less VARCHAR (pg/duckdb allow it; Spark demands a length):
+    # map to STRING. VARCHAR(n) stays as-is.
+    (re.compile(r"\bVARCHAR\b(?!\s*\()", re.IGNORECASE), "STRING"),
     # Oracle SYSDATE / pg NOW() -> current_timestamp
     (re.compile(r"\bSYSDATE\b", re.IGNORECASE), "current_timestamp()"),
     (re.compile(r"\bNOW\s*\(\s*\)", re.IGNORECASE), "current_timestamp()"),

@@ -38,6 +38,13 @@ def test_escaped_quote_literal():
     assert translate_sql(sql) == "note = 'it''s a::b' AND CAST(a AS int) = 1"
 
 
+def test_bare_varchar_to_string():
+    assert (translate_sql("CAST(a AS VARCHAR) = b")
+            == "CAST(a AS STRING) = b")
+    assert (translate_sql("CAST(a AS VARCHAR(10)) = b")
+            == "CAST(a AS VARCHAR(10)) = b")
+
+
 def test_pg_regex_operators():
     assert (translate_sql("name ~ '^A.*' AND name !~ 'x$'")
             == "name RLIKE '^A.*' AND name NOT RLIKE 'x$'")
