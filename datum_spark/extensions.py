@@ -94,6 +94,18 @@ def x04(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+@x("x37_minhash_fast", None)  # engine-specific hash family
+def x37(spark, sf):
+    """MinHash-LSH near-dups over the FULL documents table — the vectorized
+    signature path (NumPy rolling hash per Arrow batch) removes the doc
+    cap the interpreted JVM version needs (x04)."""
+    docs = load(spark, sf, "documents")
+    return (dedup_mod.minhash_near_dups_fast(docs, "doc_id", "text",
+                                             num_hashes=32, bands=8,
+                                             threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
 @x("x05_simhash", None)  # xxhash64-based signature
 def x05(spark, sf):
     """SimHash hamming-≤6 near-dup pairs via 16-bit pigeonhole banding."""

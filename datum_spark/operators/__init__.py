@@ -8,6 +8,7 @@ from .dedup import (
     exact_dedup,
     exact_dup_groups,
     minhash_near_dups,
+    minhash_near_dups_fast,
     simhash_near_dups,
     ngram_jaccard_pairs,
     embedding_cosine_dups,
@@ -23,6 +24,7 @@ from .text import (
 __all__ = [
     "top_k", "top_k_per_group", "asof_join", "salted_join",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
+    "minhash_near_dups_fast",
     "simhash_near_dups", "ngram_jaccard_pairs", "embedding_cosine_dups",
     "cosine_top_k", "ivf_cosine_top_k", "lsh_cosine_top_k",
     "with_token_count", "with_quality_score", "with_language_guess",

@@ -82,22 +82,12 @@ def minhash_signature(text_col, num_hashes: int = 32, shingle_k: int = 5):
                      for i in range(num_hashes)])
 
 
-def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
-                      num_hashes: int = 32, bands: int = 8,
-                      shingle_k: int = 5,
-                      threshold: float = 0.7) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash-LSH.
-
-    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and estimated
-    Jaccard (signature agreement rate) ≥ threshold.  Two shuffles total:
-    bucket join + pair dedup; never materializes all pairs.
-    """
+def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
+                            threshold: float) -> DataFrame:
+    """Shared LSH banding: ``sig`` has ``(__id, __sig array<bigint>)``.
+    Returns ``(id_a, id_b, est_jaccard)`` with est ≥ threshold."""
     rows_per_band = num_hashes // bands
-    sig = df.select(F.col(id_col).alias("__id"),
-                    minhash_signature(F.col(text_col), num_hashes,
-                                      shingle_k).alias("__sig"))
     sig = sig.persist()
-
     banded = sig.select(
         "__id", "__sig",
         F.posexplode(F.array(*[
@@ -121,6 +111,81 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     return (cand.withColumn("est_jaccard", est)
                 .filter(F.col("est_jaccard") >= threshold)
                 .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 32, bands: int = 8,
+                      shingle_k: int = 5,
+                      threshold: float = 0.7) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and estimated
+    Jaccard (signature agreement rate) ≥ threshold.  Two shuffles total:
+    bucket join + pair dedup; never materializes all pairs.
+    """
+    sig = df.select(F.col(id_col).alias("__id"),
+                    minhash_signature(F.col(text_col), num_hashes,
+                                      shingle_k).alias("__sig"))
+    return _banded_candidate_pairs(sig, num_hashes, bands, threshold)
+
+
+def minhash_signature_fast(num_hashes: int = 32, shingle_k: int = 5,
+                           seed: int = 42):
+    """Vectorized MinHash signature pandas UDF (text → array<bigint>).
+
+    The JVM expression version (:func:`minhash_signature`) evaluates
+    num_hashes × shingles interpreted lambdas per document; this one builds
+    a uint64 rolling polynomial hash of every char k-shingle in k NumPy
+    passes, then takes the min of num_hashes affine transforms — whole
+    Arrow batches at NumPy speed (~100× on long documents), the signature
+    stage that dominates MinHash at corpus scale.  Hash family differs from
+    the JVM version (both are valid MinHash families; don't mix signatures
+    across the two).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    rng = np.random.RandomState(seed)
+    # odd multipliers → bijective affine maps modulo 2^64
+    a = (rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64) << 1) + 1
+    b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+    B = np.uint64(1099511628211)  # FNV prime as the rolling base
+
+    empty = ((a * np.uint64(0x9E3779B97F4A7C15)) + b).astype(np.int64)
+
+    def one(text):
+        if text is None or len(text) < shingle_k:
+            return empty
+        c = np.frombuffer(text.lower().encode("utf-8"),
+                          dtype=np.uint8).astype(np.uint64)
+        n = len(c) - shingle_k + 1
+        if n <= 0:
+            return empty
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(shingle_k):
+            h = h * B + c[j:j + n]
+        # distinct shingles only (MinHash is over the SET)
+        h = np.unique(h)
+        sims = a[:, None] * h[None, :] + b[:, None]  # uint64 wraparound
+        return sims.min(axis=1).astype(np.int64)
+
+    def sig(texts):
+        return pd.Series([one(t) for t in texts])
+
+    return pandas_udf(sig, "array<long>", PandasUDFType.SCALAR)
+
+
+def minhash_near_dups_fast(df: DataFrame, id_col: str, text_col: str,
+                           num_hashes: int = 32, bands: int = 8,
+                           shingle_k: int = 5, threshold: float = 0.7,
+                           seed: int = 42) -> DataFrame:
+    """:func:`minhash_near_dups` with the vectorized signature stage — the
+    spelling to use on large corpora (no doc-count cap needed)."""
+    sig_udf = minhash_signature_fast(num_hashes, shingle_k, seed)
+    sig = df.select(F.col(id_col).alias("__id"),
+                    sig_udf(F.col(text_col)).alias("__sig"))
+    return _banded_candidate_pairs(sig, num_hashes, bands, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,20 @@ def test_minhash_finds_near_dups(docs):
     assert (1, 3) not in pairs and (3, 5) not in pairs
 
 
+def test_minhash_fast_finds_near_dups(docs):
+    """The vectorized signature family must find the same near-dup
+    structure as the JVM one (values differ — different hash family)."""
+    from datum_spark.operators import minhash_near_dups_fast
+
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in minhash_near_dups_fast(docs, "doc_id", "text",
+                                             num_hashes=32, bands=16,
+                                             threshold=0.5).collect()}
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (3, 5) not in pairs
+
+
 def test_simhash_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_near_dups(docs, "doc_id", "text",
