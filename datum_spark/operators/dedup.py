@@ -155,15 +155,19 @@ def minhash_signature_fast(num_hashes: int = 32, shingle_k: int = 5,
     empty = ((a * np.uint64(0x9E3779B97F4A7C15)) + b).astype(np.int64)
 
     def one(text):
-        if text is None or len(text) < shingle_k:
+        if text is None:
             return empty
         c = np.frombuffer(text.lower().encode("utf-8"),
                           dtype=np.uint8).astype(np.uint64)
-        n = len(c) - shingle_k + 1
-        if n <= 0:
+        if len(c) == 0:
             return empty
+        # sub-k text: the whole string is the single shingle (JVM version
+        # parity — otherwise every short doc shares one signature and all
+        # short docs pair up as perfect duplicates)
+        k = min(shingle_k, len(c))
+        n = len(c) - k + 1
         h = np.zeros(n, dtype=np.uint64)
-        for j in range(shingle_k):
+        for j in range(k):
             h = h * B + c[j:j + n]
         # distinct shingles only (MinHash is over the SET)
         h = np.unique(h)

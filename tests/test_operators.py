@@ -70,6 +70,19 @@ def test_minhash_fast_finds_near_dups(docs):
     assert (1, 3) not in pairs and (3, 5) not in pairs
 
 
+def test_minhash_fast_short_texts_not_all_dups(spark):
+    from datum_spark.operators import minhash_near_dups_fast
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, "cd"), (3, "ab"), (4, None)],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_near_dups_fast(df, "doc_id", "text",
+                                    threshold=0.9).collect()}
+    assert (1, 3) in pairs       # identical short texts match
+    assert (1, 2) not in pairs   # different short texts don't
+
+
 def test_simhash_near_dups(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
              for r in simhash_near_dups(docs, "doc_id", "text",
