@@ -327,6 +327,26 @@ class Database:
         (reference: ``datum/oracle_stgeom/database.py:196-202``)."""
         self.table(table).delete()
 
+    def import_table(self, name: str, path: str, fmt: str = "csv",
+                     schema=None, **options) -> None:
+        """Load an external file (csv/json/orc/parquet) into a new table —
+        the reference README's TODO ("should support things other than
+        databases, like CSV sheets", ``datum/__init__.py`` docstring),
+        delivered through Spark's readers."""
+        from .sources.registry import load_table
+
+        util.check_identifier(name)
+        df = load_table(self.spark, path, fmt=fmt, schema=schema, **options)
+        self._write_table(name, df, mode="overwrite")
+
+    def export_table(self, name: str, path: str, fmt: str = "csv",
+                     mode: str = "error", **options) -> None:
+        """Write a table out in another format (csv/json/orc/parquet)."""
+        from .sources.registry import write_table
+
+        write_table(self._table_df(name), path, fmt=fmt, mode=mode,
+                    **options)
+
     # -- views ----------------------------------------------------------------
 
     def create_view(self, name: str, select_stmt: str) -> None:

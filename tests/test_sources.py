@@ -64,6 +64,23 @@ def test_unknown_format_rejected(tmp_path, spark, sample):
         load_table(spark, str(tmp_path / "x"), fmt="avroish")
 
 
+def test_db_import_export_csv(tmp_path, spark, sample):
+    """README-TODO delivery: CSV sheets in and out through the Database API."""
+    import datum_spark
+
+    db = datum_spark.connect(str(tmp_path / "warehouse"), spark=spark)
+    (tmp_path / "warehouse").mkdir()
+    csv_in = str(tmp_path / "in_csv")
+    sample.write.option("header", True).csv(csv_in)
+    db.import_table("ext", csv_in, fmt="csv", schema=sample.schema)
+    assert db["ext"].count == 3
+    assert sorted(db.tables) == ["ext"]
+    out = str(tmp_path / "out_json")
+    db.export_table("ext", out, fmt="json")
+    back = spark.read.json(out)
+    assert back.count() == 3
+
+
 def test_nanos_events_normalized(spark):
     df = read_parquet_normalized(spark, "/root/testdata/sf0.001/events.parquet")
     assert dict(df.dtypes)["ts"] == "timestamp"
