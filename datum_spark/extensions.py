@@ -94,6 +94,20 @@ def x04(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+@x("x38_train_test_split", None)  # xxhash64 membership is engine-specific
+def x38(spark, sf):
+    """Deterministic leak-proof train/test split labeling (per-source
+    counts): membership is a pure function of doc_id, stable across
+    partitioning and cluster size."""
+    from .operators import with_split_label
+
+    docs = load(spark, sf, "documents")
+    return (with_split_label(docs, "doc_id", test_fraction=0.1)
+            .groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("split", "source"))
+
+
 @x("x37_minhash_fast", None)  # engine-specific hash family
 def x37(spark, sf):
     """MinHash-LSH near-dups over the FULL documents table — the vectorized

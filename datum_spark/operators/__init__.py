@@ -4,6 +4,7 @@ deduplication families, similarity search, text analysis."""
 from .topk import top_k, top_k_per_group
 from .asof import asof_join
 from .skew import salted_join
+from .sampling import hash_split, stratified_sample, with_split_label
 from .dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -23,6 +24,7 @@ from .text import (
 
 __all__ = [
     "top_k", "top_k_per_group", "asof_join", "salted_join",
+    "hash_split", "stratified_sample", "with_split_label",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
     "minhash_near_dups_fast",
     "simhash_near_dups", "ngram_jaccard_pairs", "embedding_cosine_dups",

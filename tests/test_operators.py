@@ -197,6 +197,53 @@ def test_top_k_per_group(smoke_db):
     assert all(r["count"] <= 2 for r in counts)
 
 
+def test_hash_split_disjoint_exhaustive_stable(smoke_db):
+    from datum_spark.operators import hash_split
+
+    docs = smoke_db["documents"].df()
+    train, test = hash_split(docs, "doc_id", test_fraction=0.2)
+    n, tr, te = docs.count(), train.count(), test.count()
+    assert tr + te == n and te > 0
+    assert 0.1 < te / n < 0.3  # fraction roughly honored
+    # stable: same ids land in test on a second evaluation
+    _, test2 = hash_split(docs, "doc_id", test_fraction=0.2)
+    ids = {r["doc_id"] for r in test.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in test2.select("doc_id").collect()}
+    assert ids == ids2
+    # repartitioning must not change membership
+    _, test3 = hash_split(docs.repartition(7), "doc_id", test_fraction=0.2)
+    assert {r["doc_id"] for r in test3.select("doc_id").collect()} == ids
+
+
+def test_with_split_label_matches_hash_split(smoke_db):
+    from datum_spark.operators import hash_split, with_split_label
+
+    docs = smoke_db["documents"].df()
+    labeled = with_split_label(docs, "doc_id", test_fraction=0.2)
+    lab_test = {r["doc_id"] for r in
+                labeled.filter(F.col("split") == "test")
+                       .select("doc_id").collect()}
+    _, test = hash_split(docs, "doc_id", test_fraction=0.2)
+    assert lab_test == {r["doc_id"] for r in test.select("doc_id").collect()}
+
+
+def test_stratified_sample_respects_fractions(smoke_db):
+    from datum_spark.operators import stratified_sample
+
+    docs = smoke_db["documents"].df()
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    fr = {lang: (1.0 if i == 0 else 0.2) for i, lang in enumerate(sorted(langs))}
+    out = stratified_sample(docs, "lang", fr)
+    counts = {r["lang"]: r["count"] for r in
+              out.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"] for r in
+            docs.groupBy("lang").count().collect()}
+    keep_all = sorted(langs)[0]
+    assert counts[keep_all] == full[keep_all]  # fraction 1.0 keeps all
+    for lang in sorted(langs)[1:]:
+        assert counts.get(lang, 0) < full[lang]  # downsampled
+
+
 def test_time_rollup_cascade_conserves_totals(smoke_db):
     """Every grain of the rollup cascade must conserve the global count
     and value sum (re-aggregation loses nothing)."""
