@@ -94,6 +94,37 @@ def x04(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+@x("x39_pack_documents", """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before
+  FROM t
+)
+SELECT CAST(FLOOR(before / 1000) AS BIGINT) AS pack_id,
+       COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+FROM c GROUP BY 1 ORDER BY pack_id""")
+def x39(spark, sf):
+    """Sequence packing (1000-token packs over doc_id order) — the oracle
+    spells the same semantics as ONE global window; the operator computes
+    it as a distributed prefix sum (per-partition totals + offsets), which
+    is the version that survives 100 TB."""
+    from .operators import pack_documents, pack_summary
+
+    docs = text_mod.with_token_count(load(spark, sf, "documents"),
+                                     "text", "n_tokens")
+    docs = docs.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+    packed = pack_documents(docs, "doc_id", "n_tokens", budget=1000)
+    return (pack_summary(packed, "n_tokens")
+            .orderBy("pack_id"))
+
+
 @x("x38_train_test_split", None)  # xxhash64 membership is engine-specific
 def x38(spark, sf):
     """Deterministic leak-proof train/test split labeling (per-source

@@ -5,6 +5,7 @@ from .topk import top_k, top_k_per_group
 from .asof import asof_join
 from .skew import salted_join
 from .sampling import hash_split, stratified_sample, with_split_label
+from .packing import pack_documents, pack_summary
 from .dedup import (
     exact_dedup,
     exact_dup_groups,
@@ -25,6 +26,7 @@ from .text import (
 __all__ = [
     "top_k", "top_k_per_group", "asof_join", "salted_join",
     "hash_split", "stratified_sample", "with_split_label",
+    "pack_documents", "pack_summary",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
     "minhash_near_dups_fast",
     "simhash_near_dups", "ngram_jaccard_pairs", "embedding_cosine_dups",

@@ -1,0 +1,69 @@
+"""Document packing: group consecutive documents into fixed token-budget
+packs (the pre-tokenization "sequence packing" step of LLM training
+pipelines).
+
+Semantics: documents are taken in ``order_col`` order; a document's pack is
+``floor(tokens_before_it / budget)`` — greedy concatenation where a pack
+absorbs the document that crosses the boundary (standard practice; true
+bin-packing is sequential and NP-hard, and the overflow per pack is
+bounded by one document).
+
+Scale design — the global running sum is a **distributed prefix sum**, not
+a single-partition window: range-partition by the order key, compute each
+partition's token total (tiny), cumulate those driver-side into per-
+partition offsets, and add the offset to a within-partition window.  No
+stage ever funnels the data through one task, which is what the naive
+``Window.orderBy`` over an unpartitioned frame would do at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_documents(df: DataFrame, order_col: str, token_col: str,
+                   budget: int, num_partitions: int | None = None,
+                   out_col: str = "pack_id") -> DataFrame:
+    """Assign each row a ``pack_id`` so consecutive rows (by ``order_col``)
+    share a pack until ``budget`` tokens are consumed."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    from ..session import default_parallelism
+
+    n = num_partitions or default_parallelism()
+    # persist pins the partition assignment: repartitionByRange picks its
+    # boundaries by sampling, so a recompute could re-draw them and
+    # invalidate the collected offsets
+    d = (df.repartitionByRange(n, F.col(order_col))
+           .withColumn("__pid", F.spark_partition_id())
+           .persist())
+    # per-partition totals are tiny (one row per partition): the ONLY
+    # driver-side data in the prefix sum
+    part_rows = (d.groupBy("__pid")
+                  .agg(F.sum(token_col).alias("t"))
+                  .collect())
+    totals = {r["__pid"]: r["t"] or 0 for r in part_rows}
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_col = F.coalesce(*[
+        F.when(F.col("__pid") == pid, F.lit(off))
+        for pid, off in offsets.items()
+    ], F.lit(0)) if offsets else F.lit(0)
+
+    w = (Window.partitionBy("__pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0)) + off_col
+    return (d.withColumn(out_col,
+                         F.floor(before / F.lit(budget)).cast("long"))
+             .drop("__pid"))
+
+
+def pack_summary(packed: DataFrame, token_col: str,
+                 pack_col: str = "pack_id") -> DataFrame:
+    """Per-pack audit: document count and token total."""
+    return (packed.groupBy(pack_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(token_col).alias("total_tokens")))

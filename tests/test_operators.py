@@ -244,6 +244,33 @@ def test_stratified_sample_respects_fractions(smoke_db):
         assert counts.get(lang, 0) < full[lang]  # downsampled
 
 
+def test_pack_documents_invariants(smoke_db, spark):
+    """Packing: contiguous in order, conserves tokens, pack totals bounded
+    by budget + one document, and equals the single-window spelling."""
+    from datum_spark.operators import pack_documents, pack_summary
+    from datum_spark.operators.text import with_token_count
+
+    docs = with_token_count(smoke_db["documents"].df(), "text", "nt")
+    docs = docs.select("doc_id", F.col("nt").cast("long").alias("nt"))
+    budget = 500
+    packed = pack_documents(docs, "doc_id", "nt", budget=budget).persist()
+    rows = packed.select("doc_id", "nt", "pack_id").orderBy("doc_id").collect()
+    # contiguity: pack_id is non-decreasing in doc order
+    pids = [r["pack_id"] for r in rows]
+    assert pids == sorted(pids)
+    # equivalence with the naive single-window definition
+    cum = 0
+    for r in rows:
+        assert r["pack_id"] == cum // budget, r
+        cum += r["nt"]
+    # conservation + bounded overflow
+    summary = pack_summary(packed, "nt").collect()
+    assert sum(s["total_tokens"] for s in summary) == cum
+    max_doc = max(r["nt"] for r in rows)
+    for s in summary:
+        assert s["total_tokens"] <= budget + max_doc
+
+
 def test_time_rollup_cascade_conserves_totals(smoke_db):
     """Every grain of the rollup cascade must conserve the global count
     and value sum (re-aggregation loses nothing)."""
