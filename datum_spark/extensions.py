@@ -760,6 +760,153 @@ def x18(spark, sf):
             .orderBy("doc_id"))
 
 
+# ---------------------------------------------------------------------------
+# Window-function completions (SURVEY §2-B window rows: ntile / first / last /
+# percent_rank / cume_dist / RANGE frames) and UNION distinct
+
+@x("x40_ntile_first_last", """
+SELECT c_mktsegment, c_custkey,
+       NTILE(4) OVER w AS quartile,
+       FIRST_VALUE(c_custkey) OVER w AS top_cust,
+       ROUND(LAST_VALUE(c_acctbal) OVER (PARTITION BY c_mktsegment
+             ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS min_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+ORDER BY c_mktsegment, c_custkey LIMIT 1000""")
+def x40(spark, sf):
+    """NTILE quartiles + FIRST_VALUE / LAST_VALUE analytic functions
+    (deterministic: the window order is a total order). Completes the
+    SURVEY §2-B window-function row alongside Q17/Q18/Q19."""
+    c = load(spark, sf, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.col("c_acctbal").desc(), "c_custkey"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (c.select(
+                "c_mktsegment", "c_custkey",
+                F.ntile(4).over(w).alias("quartile"),
+                F.first("c_custkey").over(w).alias("top_cust"),
+                F.round(F.last("c_acctbal").over(wfull), 2).alias("min_bal"))
+            .orderBy("c_mktsegment", "c_custkey").limit(1000))
+
+
+@x("x41_range_frame", """
+SELECT l_orderkey, l_linenumber,
+       COUNT(*) OVER (PARTITION BY l_orderkey ORDER BY l_quantity
+                      RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS near_qty,
+       ROUND(SUM(l_extendedprice) OVER (PARTITION BY l_orderkey
+             ORDER BY l_quantity
+             RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING), 2) AS near_price
+FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 1000""")
+def x41(spark, sf):
+    """Value-based RANGE frame (±5 quantity units) — frame membership is a
+    function of values, so the result is tie-order independent; complements
+    Q19's ROWS frame."""
+    li = load(spark, sf, "lineitem")
+    w = (Window.partitionBy("l_orderkey").orderBy("l_quantity")
+         .rangeBetween(-5, 5))
+    return (li.select(
+                "l_orderkey", "l_linenumber",
+                F.count(F.lit(1)).over(w).alias("near_qty"),
+                F.round(F.sum("l_extendedprice").over(w), 2)
+                 .alias("near_price"))
+            .orderBy("l_orderkey", "l_linenumber").limit(1000))
+
+
+@x("x42_percent_rank", """
+SELECT c_custkey,
+       ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pr,
+       ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd
+FROM customer ORDER BY c_custkey LIMIT 1000""")
+def x42(spark, sf):
+    """PERCENT_RANK and CUME_DIST over a global total order (single
+    partition is fine at any scale when the consumer LIMITs; for unbounded
+    output, rank via distributed sort + zipWithIndex-style two-pass)."""
+    c = load(spark, sf, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (c.select(
+                "c_custkey",
+                F.round(F.percent_rank().over(w), 6).alias("pr"),
+                F.round(F.cume_dist().over(w), 6).alias("cd"))
+            .orderBy("c_custkey").limit(1000))
+
+
+@x("x43_union_distinct", """
+SELECT c_nationkey AS k FROM customer
+UNION
+SELECT s_nationkey FROM supplier ORDER BY k""")
+def x43(spark, sf):
+    """UNION with set (distinct) semantics — completes the set-ops row
+    (Q21 INTERSECT, x22 UNION ALL, x23 EXCEPT)."""
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("k"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("k"))
+    return c.union(s).distinct().orderBy("k")
+
+
+@x("x44_except_all", """
+SELECT o_custkey AS k FROM orders
+EXCEPT ALL
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+ORDER BY k""")
+def x44(spark, sf):
+    """EXCEPT ALL (bag semantics: multiplicities subtract) — complements
+    x23's distinct-set EXCEPT."""
+    o = load(spark, sf, "orders").select(F.col("o_custkey").alias("k"))
+    rich = (load(spark, sf, "customer")
+            .filter(F.col("c_acctbal") > 5000)
+            .select(F.col("c_custkey").alias("k")))
+    return o.exceptAll(rich).orderBy("k")
+
+
+@x("x45_date_arith", """
+SELECT o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due,
+       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+            AS INTEGER) AS age_days,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start
+FROM orders ORDER BY o_orderkey LIMIT 1000""")
+def x45(spark, sf):
+    """Date arithmetic beyond Q26's extracts: interval add, day diff from an
+    anchor, last_day, month truncation.  (Oracle text is DuckDB dialect —
+    arg orders differ — but the values and column names match.)"""
+    o = load(spark, sf, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (o.select(
+                "o_orderkey",
+                F.date_add(d, 30).alias("due"),
+                F.datediff(d, F.lit("1995-01-01").cast("date"))
+                 .cast("int").alias("age_days"),
+                F.last_day(d).alias("month_end"),
+                F.date_trunc("month", "o_orderdate").cast("date")
+                 .alias("month_start"))
+            .orderBy("o_orderkey").limit(1000))
+
+
+@x("x46_string_regex", """
+SELECT c_custkey,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded,
+       string_split(c_name, '#')[1] AS prefix,
+       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS devowel
+FROM customer ORDER BY c_custkey LIMIT 1000""")
+def x46(spark, sf):
+    """Regex + padding + split string functions beyond Q25 (DuckDB spells
+    global regexp_replace with the 'g' flag and 1-indexes list access;
+    Spark's regexp_replace is global by default and split is 0-indexed)."""
+    c = load(spark, sf, "customer")
+    return (c.select(
+                "c_custkey",
+                F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+                F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+                 .alias("padded"),
+                F.split("c_name", "#").getItem(0).alias("prefix"),
+                F.regexp_replace("c_mktsegment", "[AEIOU]", "_")
+                 .alias("devowel"))
+            .orderBy("c_custkey").limit(1000))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 
