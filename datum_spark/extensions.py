@@ -907,6 +907,69 @@ def x46(spark, sf):
             .orderBy("c_custkey").limit(1000))
 
 
+@x("x47_pii_redact", """
+WITH seeded AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 10 = 0
+                 THEN ' contact: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com (555-867-5309)' ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+         AS redacted,
+       CAST(len(regexp_extract_all(t,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))
+          + len(regexp_extract_all(t,
+              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+          AS INTEGER) AS n_pii
+FROM seeded ORDER BY doc_id""")
+def x47(spark, sf):
+    """PII redaction (emails / phones / IPv4 → typed placeholders) — the
+    scrub pass before text enters a training corpus.  The fixture text has
+    no real PII, so every 10th doc gets a deterministic synthetic
+    email+phone suffix; the redactor must catch exactly those."""
+    docs = load(spark, sf, "documents")
+    seeded = docs.withColumn(
+        "t", F.concat(
+            "text",
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.lit(" contact: user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com (555-867-5309)")))
+             .otherwise(F.lit(""))))
+    red = text_mod.with_pii_redaction(seeded, "t")
+    return (red.select("doc_id", "redacted",
+                       F.col("n_pii").cast("int").alias("n_pii"))
+               .orderBy("doc_id"))
+
+
+@x("x48_repetition", """
+SELECT source, ROUND(AVG(CASE WHEN n > 0 THEN (n - d) / n ELSE 0 END), 4)
+       AS avg_rep
+FROM (
+  SELECT source,
+    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '')) AS DOUBLE) AS n,
+    CAST(len(list_distinct(list_filter(string_split_regex(lower(text),
+                         '\\s+'), x -> x <> ''))) AS DOUBLE) AS d
+  FROM documents)
+GROUP BY source ORDER BY source""")
+def x48(spark, sf):
+    """Duplicate-word repetition ratio (Gopher-style repetitiveness
+    pre-filter), averaged per source — pure map-side column exprs plus one
+    partial+final aggregation."""
+    docs = load(spark, sf, "documents")
+    rep = text_mod.with_repetition_ratio(docs, "text", "repetition")
+    return (rep.groupBy("source")
+               .agg(F.round(F.avg("repetition"), 4).alias("avg_rep"))
+               .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

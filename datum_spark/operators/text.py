@@ -123,3 +123,57 @@ def fingerprint(col: Column) -> Column:
 def with_fingerprint(df: DataFrame, text_col: str = "text",
                      out_col: str = "fingerprint") -> DataFrame:
     return df.withColumn(out_col, fingerprint(F.col(text_col)))
+
+
+# Patterns are deliberately RE2-compatible (no backrefs/lookaround) so the
+# same text works in Spark (java.util.regex) and DuckDB (RE2) oracles.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace email / phone / IPv4 literals with typed placeholder tokens —
+    the standard scrub pass before text enters a training corpus.  A chain
+    of native ``regexp_replace`` exprs: map-side, no UDF, no shuffle."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_count(col: Column) -> Column:
+    """Number of PII matches in the text (sum over pattern families)."""
+    counts = [F.size(F.regexp_extract_all(col, F.lit(pat), 0))
+              for pat, _ in PII_PATTERNS]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return total
+
+
+def with_pii_redaction(df: DataFrame, text_col: str = "text",
+                       out_col: str = "redacted",
+                       count_col: str | None = "n_pii") -> DataFrame:
+    out = df.withColumn(out_col, redact_pii(F.col(text_col)))
+    if count_col:
+        out = out.withColumn(count_col, pii_count(F.col(text_col)))
+    return out
+
+
+def repetition_ratio(col: Column) -> Column:
+    """Duplicate-word fraction ``(n_words - n_distinct) / n_words`` — the
+    cheap Gopher-style repetitiveness signal (boilerplate / spam / generated
+    junk score high).  Unrounded so aggregates of it stay exact; round at
+    the consumer."""
+    words = _words(col)
+    n = F.size(words).cast("double")
+    d = F.size(F.array_distinct(words)).cast("double")
+    return F.when(n > 0, (n - d) / n).otherwise(F.lit(0.0))
+
+
+def with_repetition_ratio(df: DataFrame, text_col: str = "text",
+                          out_col: str = "repetition") -> DataFrame:
+    return df.withColumn(out_col, repetition_ratio(F.col(text_col)))

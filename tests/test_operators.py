@@ -141,6 +141,34 @@ def test_token_count_modes(spark):
     assert bpe == 7
 
 
+def test_pii_redaction(spark):
+    from datum_spark.operators.text import with_pii_redaction
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org or call 215-555-0100"),
+         (2, "server at 10.0.12.3 answered"),
+         (3, "no pii here at all")],
+        "id long, text string")
+    out = {r["id"]: (r["redacted"], r["n_pii"]) for r in
+           with_pii_redaction(df, "text").collect()}
+    assert out[1] == ("mail <EMAIL> or call <PHONE>", 2)
+    assert out[2] == ("server at <IP> answered", 1)
+    assert out[3] == ("no pii here at all", 0)
+
+
+def test_repetition_ratio(spark):
+    from datum_spark.operators.text import with_repetition_ratio
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here differ"), (3, "")],
+        "id long, text string")
+    out = {r["id"]: r["rep"] for r in
+           with_repetition_ratio(df, "text", "rep").collect()}
+    assert out[1] == 0.75       # 4 words, 1 distinct
+    assert out[2] == 0.0
+    assert out[3] == 0.0        # empty text guarded, no div-by-zero
+
+
 def test_cosine_top_k_exact(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (10, [1.0, 0.1]), (11, [0.0, 1.0]), (12, [1.0, 0.0]),
