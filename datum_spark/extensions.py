@@ -970,6 +970,36 @@ def x48(spark, sf):
                .orderBy("source"))
 
 
+@x("x49_contamination", """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3)
+)
+SELECT c.doc_id, CAST(COUNT(DISTINCT c.gram) AS BIGINT) AS n_shared
+FROM (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0) c
+JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0) b USING (gram)
+GROUP BY c.doc_id ORDER BY c.doc_id""")
+def x49(spark, sf):
+    """Benchmark decontamination: corpus docs (doc_id % 50 != 0) that share
+    a word 3-gram with the 'benchmark' subset (doc_id % 50 == 0), with the
+    count of distinct shared grams.  Benchmark grams broadcast; the corpus
+    side only shuffles for the final per-doc count."""
+    from .operators.contamination import ngram_overlap
+
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return (ngram_overlap(corpus, bench, "doc_id", "text", n=3)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

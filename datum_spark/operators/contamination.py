@@ -1,0 +1,56 @@
+"""Benchmark-contamination check: flag corpus documents that share word
+n-grams with a benchmark/eval set (the standard decontamination pass before
+a corpus is used for training).
+
+Scale posture (100 TB corpus, small benchmark set): benchmark n-grams are
+generated map-side and deduplicated once — the result is tiny relative to
+the corpus and is broadcast into the probe join, so the corpus side never
+shuffles its grams; the only corpus shuffle is the final per-doc count
+aggregation (partial+final).  Gram generation itself is native array exprs
+(``split``/``sequence``/``slice``/``transform``) — no UDF, whole-stage
+codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_grams(col: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined, lowercased) for a text column.
+
+    NOTE: Spark's ``sequence(1, m)`` generates a DESCENDING sequence when
+    ``m < 1``, so short texts must be guarded to an empty array explicitly.
+    """
+    ws = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    idx = F.when(F.size(ws) >= n,
+                 F.sequence(F.lit(1), F.size(ws) - (n - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+
+
+def ngram_overlap(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    """Per corpus document, the number of DISTINCT word ``n``-grams it
+    shares with any benchmark document.  Returns ``(id_col, n_shared)``
+    for contaminated docs only (inner join — clean docs drop out).
+    """
+    grams = F.explode(_word_grams(F.col(text_col), n)).alias("gram")
+    c_grams = corpus.select(F.col(id_col), grams).dropDuplicates([id_col, "gram"])
+    b_grams = benchmark.select(grams).distinct()
+    return (c_grams.join(F.broadcast(b_grams), "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3, max_shared: int = 0) -> DataFrame:
+    """Drop corpus documents sharing more than ``max_shared`` distinct
+    n-grams with the benchmark set (left-anti join on the flagged ids)."""
+    flagged = (ngram_overlap(corpus, benchmark, id_col, text_col, n)
+               .filter(F.col("n_shared") > max_shared)
+               .select(id_col))
+    return corpus.join(flagged, id_col, "left_anti")

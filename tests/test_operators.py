@@ -169,6 +169,27 @@ def test_repetition_ratio(spark):
     assert out[3] == 0.0        # empty text guarded, no div-by-zero
 
 
+def test_contamination_overlap_and_decontaminate(spark):
+    from datum_spark.operators.contamination import (decontaminate,
+                                                     ngram_overlap)
+
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),   # shares "the quick brown"
+         (2, "completely unrelated words entirely"),
+         (3, "too short")],                        # < 3 words → no grams
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown dog")], "doc_id long, text string")
+
+    overlap = {r["doc_id"]: r["n_shared"]
+               for r in ngram_overlap(corpus, bench).collect()}
+    assert overlap == {1: 1}   # only doc 1, exactly one shared 3-gram
+
+    clean = sorted(r["doc_id"]
+                   for r in decontaminate(corpus, bench).collect())
+    assert clean == [2, 3]
+
+
 def test_cosine_top_k_exact(spark):
     emb = spark.createDataFrame(
         [(0, [1.0, 0.0]), (10, [1.0, 0.1]), (11, [0.0, 1.0]), (12, [1.0, 0.0]),
