@@ -1000,6 +1000,64 @@ def x49(spark, sf):
             .orderBy("doc_id"))
 
 
+@x("x50_corpus_pipeline", """
+WITH w AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')
+           AS ws
+  FROM documents
+), scored AS (
+  SELECT doc_id, source, text,
+         CAST(len(ws) AS DOUBLE) AS n,
+         CAST(len(list_distinct(ws)) AS DOUBLE) AS d
+  FROM w
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 2), ' ') AS gram
+  FROM (SELECT doc_id, ws,
+               unnest(generate_series(1, len(ws) - 2)) AS i
+        FROM w WHERE len(ws) >= 3)
+), contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 <> 0) c
+  JOIN (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0) b USING (gram)
+), kept AS (
+  SELECT doc_id, source, text, n FROM scored
+  WHERE doc_id % 50 <> 0
+    AND n >= 10
+    AND (n - d) / n < 0.5
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+), deduped AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+)
+SELECT source, COUNT(*) AS n_docs, ROUND(AVG(n), 2) AS avg_tokens
+FROM (SELECT k.source, k.n FROM kept k JOIN deduped d USING (doc_id))
+GROUP BY source ORDER BY source""")
+def x50(spark, sf):
+    """The end-to-end corpus-preparation pipeline, composed from the
+    operator library: token floor → repetition-ratio cap → benchmark
+    decontamination (3-gram overlap, x49's split) → exact text dedup
+    (keep lowest doc_id) → per-source doc count + mean tokens.  Every
+    stage is an operator with its own oracle; this query proves they
+    compose into one Catalyst plan (one job, no driver round-trips
+    between stages)."""
+    from .operators.contamination import decontaminate
+
+    docs = load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    scored = text_mod.with_token_count(corpus, "text", "n_tokens")
+    scored = text_mod.with_repetition_ratio(scored, "text", "repetition")
+    kept = scored.filter((F.col("n_tokens") >= 10)
+                         & (F.col("repetition") < 0.5))
+    clean = decontaminate(kept, bench, "doc_id", "text", n=3)
+    deduped = dedup_mod.exact_dedup(clean, ["text"], keep_by="doc_id")
+    return (deduped.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(F.col("n_tokens").cast("double")), 2)
+                  .alias("avg_tokens"))
+            .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 
