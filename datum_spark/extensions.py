@@ -21,6 +21,15 @@ from .operators import dedup as dedup_mod
 from .operators import similarity as sim_mod
 from .operators import text as text_mod
 from .tierb import load
+from .util import ensure_parallelism
+
+
+def load_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The documents fixture, fanned out to all cores: its text-heavy
+    consumers (shingling, n-grams, quality UDFs) are compute-bound, and the
+    small fixture file arrives as a single split (util.ensure_parallelism
+    is a no-op on real multi-split inputs)."""
+    return ensure_parallelism(load(spark, sf, "documents"))
 
 EXTENSIONS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
@@ -494,7 +503,7 @@ def x12(spark, sf):
 
 @x("x13_quality_score", None)  # regex classes differ subtly across engines
 def x13(spark, sf):
-    docs = load(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     return (text_mod.with_quality_score(docs, "text", "quality")
             .select("doc_id", "quality").orderBy("doc_id"))
 
@@ -933,7 +942,7 @@ def x47(spark, sf):
     scrub pass before text enters a training corpus.  The fixture text has
     no real PII, so every 10th doc gets a deterministic synthetic
     email+phone suffix; the redactor must catch exactly those."""
-    docs = load(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     seeded = docs.withColumn(
         "t", F.concat(
             "text",
@@ -963,7 +972,7 @@ def x48(spark, sf):
     """Duplicate-word repetition ratio (Gopher-style repetitiveness
     pre-filter), averaged per source — pure map-side column exprs plus one
     partial+final aggregation."""
-    docs = load(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     rep = text_mod.with_repetition_ratio(docs, "text", "repetition")
     return (rep.groupBy("source")
                .agg(F.round(F.avg("repetition"), 4).alias("avg_rep"))
@@ -993,7 +1002,7 @@ def x49(spark, sf):
     side only shuffles for the final per-doc count."""
     from .operators.contamination import ngram_overlap
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     return (ngram_overlap(corpus, bench, "doc_id", "text", n=3)
@@ -1042,7 +1051,7 @@ def x50(spark, sf):
     between stages)."""
     from .operators.contamination import decontaminate
 
-    docs = load(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = docs.filter(F.col("doc_id") % 50 != 0)
     scored = text_mod.with_token_count(corpus, "text", "n_tokens")

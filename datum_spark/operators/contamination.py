@@ -38,11 +38,15 @@ def ngram_overlap(corpus: DataFrame, benchmark: DataFrame,
     for contaminated docs only (inner join — clean docs drop out).
     """
     grams = F.explode(_word_grams(F.col(text_col), n)).alias("gram")
-    c_grams = corpus.select(F.col(id_col), grams).dropDuplicates([id_col, "gram"])
+    # Join BEFORE deduplicating the corpus side: the broadcast hash join
+    # filters map-side, so the per-doc gram dedup (count DISTINCT) only
+    # shuffles grams that actually hit the benchmark set — a tiny fraction
+    # of the corpus.  Deduping first would shuffle every corpus gram.
+    c_grams = corpus.select(F.col(id_col), grams)
     b_grams = benchmark.select(grams).distinct()
     return (c_grams.join(F.broadcast(b_grams), "gram")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_shared")))
+            .agg(F.count_distinct(F.col("gram")).alias("n_shared")))
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,
@@ -50,7 +54,16 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
                   n: int = 3, max_shared: int = 0) -> DataFrame:
     """Drop corpus documents sharing more than ``max_shared`` distinct
     n-grams with the benchmark set (left-anti join on the flagged ids)."""
-    flagged = (ngram_overlap(corpus, benchmark, id_col, text_col, n)
-               .filter(F.col("n_shared") > max_shared)
-               .select(id_col))
+    if max_shared <= 0:
+        # Existence is enough — skip the per-doc distinct count entirely;
+        # one hit flags the doc, and the anti join dedups ids for free.
+        grams = F.explode(_word_grams(F.col(text_col), n)).alias("gram")
+        b_grams = benchmark.select(grams).distinct()
+        flagged = (corpus.select(F.col(id_col), grams)
+                   .join(F.broadcast(b_grams), "gram")
+                   .select(id_col))
+    else:
+        flagged = (ngram_overlap(corpus, benchmark, id_col, text_col, n)
+                   .filter(F.col("n_shared") > max_shared)
+                   .select(id_col))
     return corpus.join(flagged, id_col, "left_anti")

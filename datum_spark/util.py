@@ -105,3 +105,24 @@ def struct_type_for(cols: list[dict]) -> T.StructType:
         for c in cols
     ]
     return T.StructType(fields)
+
+
+# ---------------------------------------------------------------------------
+# Parallelism
+
+
+def ensure_parallelism(df, min_partitions: int | None = None):
+    """Round-robin repartition a narrow scan so compute-heavy downstream
+    expressions (explode / n-gram generation / pandas UDFs) use every core.
+
+    Small single-file inputs arrive as ONE split (Parquet splits by row
+    group), so without this an ``explode`` over a 600 KB documents file
+    runs on one core while 31 idle.  At 100 TB the scan already has
+    thousands of splits and this is a no-op — only small inputs pay the
+    (tiny) round-robin shuffle.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
