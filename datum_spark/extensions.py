@@ -24,6 +24,13 @@ from .tierb import load
 from .util import ensure_parallelism
 
 
+def load_emb(spark: SparkSession, sf: str) -> DataFrame:
+    """The embeddings fixture fanned out to all cores (signature /
+    block-GEMM pandas UDFs are compute-bound; no-op on multi-split
+    inputs)."""
+    return ensure_parallelism(load(spark, sf, "embeddings"))
+
+
 def load_docs(spark: SparkSession, sf: str) -> DataFrame:
     """The documents fixture, fanned out to all cores: its text-heavy
     consumers (shingling, n-grams, quality UDFs) are compute-bound, and the
@@ -184,7 +191,7 @@ def x06(spark, sf):
     """Embedding near-dup pairs: exact all-pairs cosine ≥ 0.95 (the oracle-
     checkable exact path, bounded to 2k vectors — all-pairs is quadratic by
     definition; the LSH-bucketed scale path is x07)."""
-    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 2000)
+    emb = load_emb(spark, sf).filter(F.col("vec_id") < 2000)
     pairs = dedup_mod.embedding_cosine_dups(emb, "vec_id", "embedding",
                                             threshold=0.95, use_lsh=False)
     return (pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
@@ -195,7 +202,7 @@ def x06(spark, sf):
 def x07(spark, sf):
     """Sign-LSH bucketed variant of x06 — the 100 TB path (bucket-local
     pair generation instead of all-pairs)."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_emb(spark, sf)
     pairs = dedup_mod.embedding_cosine_dups(emb, "vec_id", "embedding",
                                             threshold=0.95, use_lsh=True,
                                             planes=8)
@@ -225,7 +232,7 @@ SELECT query_id, neighbor_id, cosine, rnk FROM ranked WHERE rnk <= 5
 ORDER BY query_id, rnk""")
 def x08(spark, sf):
     """Brute-force cosine top-5 per query (exact ANN baseline)."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_emb(spark, sf)
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
     return (sim_mod.cosine_top_k(q, c, k=5, round_to=4)
@@ -236,7 +243,7 @@ def x08(spark, sf):
 def x09(spark, sf):
     """Multi-table sign-LSH ANN top-5 (the scale path: each query scores
     ~tables/2^planes of the corpus instead of all of it)."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_emb(spark, sf)
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
     return (sim_mod.lsh_cosine_top_k(q, c, k=5, planes=4, tables=8)
@@ -442,7 +449,7 @@ def x27(spark, sf):
     scores ~nprobe/centroids of the corpus).  refine_iters=0 here: the
     Lloyd step is a train-once cost, not a per-query one — re-training in
     a timed query loop would misrepresent serving cost."""
-    emb = load(spark, sf, "embeddings")
+    emb = load_emb(spark, sf)
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
     return (sim_mod.ivf_cosine_top_k(q, c, k=5, centroids=32, nprobe=6,
