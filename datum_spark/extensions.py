@@ -1074,6 +1074,46 @@ def x50(spark, sf):
             .orderBy("source"))
 
 
+@x("x51_dup_clusters", """
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws
+  FROM documents WHERE doc_id < 100
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))
+        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach
+GROUP BY u ORDER BY doc_id""")
+def x51(spark, sf):
+    """Near-dup pairs → duplicate CLUSTERS: connected components over the
+    x03 Jaccard pair graph via alternating large-star/small-star (O(log n)
+    rounds, each one keyed shuffle with map-side min-combine; lineage
+    truncated per round).  cluster_id = minimum member = the canonical
+    document.  The oracle computes the same components by recursive-CTE
+    transitive closure — feasible only at fixture scale, which is the
+    point of the distributed algorithm."""
+    from .operators.components import dup_clusters
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup_mod.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          n=1, threshold=0.8)
+    return (dup_clusters(pairs.select("id_a", "id_b"))
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

@@ -2,6 +2,7 @@
 deduplication families, similarity search, text analysis."""
 
 from .topk import top_k, top_k_per_group
+from .components import connected_components, dup_clusters
 from .asof import asof_join
 from .skew import salted_join
 from .sampling import hash_split, stratified_sample, with_split_label
@@ -25,6 +26,7 @@ from .text import (
 
 __all__ = [
     "top_k", "top_k_per_group", "asof_join", "salted_join",
+    "connected_components", "dup_clusters",
     "hash_split", "stratified_sample", "with_split_label",
     "pack_documents", "pack_summary",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
