@@ -1114,6 +1114,74 @@ def x51(spark, sf):
             .orderBy("doc_id"))
 
 
+@x("x52_tfidf_terms", """
+WITH tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents WHERE doc_id < 200)
+  WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(*) AS n FROM documents WHERE doc_id < 200
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+         ROUND(tf.tf * LN(CAST(n.n AS DOUBLE) / dfq.df), 4) AS score,
+         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfq.df ASC, tf.term) AS rk
+  FROM tf JOIN dfq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rk, term, tf, df, score FROM ranked WHERE rk <= 3
+ORDER BY doc_id, rk""")
+def x52(spark, sf):
+    """TF-IDF top-3 terms per document.  Ranking is on the integer key
+    (tf DESC, df ASC, term) so no float comparison decides order; the
+    rounded float score is a value column only.  One (doc, term) count
+    shuffle with map-side combine, a vocabulary-sized df re-agg, and the
+    corpus size broadcast in as a 1-row cross join."""
+    from .operators.keywords import tf_idf_terms
+
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 200)
+    return tf_idf_terms(docs, "doc_id", "text", top_k=3).orderBy("doc_id", "rk")
+
+
+@x("x53_bm25", """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 300
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+    SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM d
+  ) WHERE term IN ('join', 'hash', 'scan') GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+)
+SELECT tf.doc_id,
+       ROUND(SUM( LN((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                 * tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))),
+             4) AS score
+FROM tf JOIN dfq USING (term) CROSS JOIN stats
+GROUP BY tf.doc_id ORDER BY tf.doc_id""")
+def x53(spark, sf):
+    """Okapi BM25 retrieval scores for the query {join, hash, scan}.
+    Non-matching tokens are filtered BEFORE the count shuffle; per-term
+    document frequencies (3 rows) and corpus stats broadcast back, so the
+    only full exchange is the (doc, term) partial count."""
+    from .operators.keywords import bm25_scores
+
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    return (bm25_scores(docs, ["join", "hash", "scan"], "doc_id", "text")
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

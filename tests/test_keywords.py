@@ -1,0 +1,53 @@
+"""TF-IDF / BM25 semantics on a tiny hand-computable corpus."""
+
+import math
+
+from datum_spark.operators.keywords import bm25_scores, tf_idf_terms
+
+
+DOCS = [
+    (1, "cat cat dog"),
+    (2, "dog bird"),
+    (3, "fish fish fish cat"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_tf_idf_top_terms(spark):
+    out = tf_idf_terms(_df(spark), top_k=1).collect()
+    best = {r["doc_id"]: (r["term"], r["tf"], r["df"]) for r in out}
+    # doc 1: cat tf=2 (beats dog tf=1); doc 3: fish tf=3
+    assert best[1] == ("cat", 2, 2)
+    assert best[2][0] == "bird"  # tf ties at 1 → smaller df wins (bird df=1)
+    assert best[3] == ("fish", 3, 1)
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[3] == round(3 * math.log(3 / 1), 4)
+    assert scores[1] == round(2 * math.log(3 / 2), 4)
+
+
+def test_bm25_matches_hand_formula(spark):
+    out = {r["doc_id"]: r["score"]
+           for r in bm25_scores(_df(spark), ["cat"]).collect()}
+    assert set(out) == {1, 3}  # doc 2 has no query term
+    n, avgdl, df = 3, (3 + 2 + 4) / 3, 2
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1)
+
+    def score(tf, dl, k1=1.2, b=0.75):
+        return round(idf * tf * (k1 + 1)
+                     / (tf + k1 * (1 - b + b * dl / avgdl)), 4)
+
+    assert out[1] == score(2, 3)
+    assert out[3] == score(1, 4)
+
+
+def test_bm25_multi_term_sums(spark):
+    one = {r["doc_id"]: r["score"]
+           for r in bm25_scores(_df(spark), ["cat"]).collect()}
+    two = {r["doc_id"]: r["score"]
+           for r in bm25_scores(_df(spark), ["cat", "bird"]).collect()}
+    # adding a term only adds non-negative contributions and new matches
+    assert set(two) == {1, 2, 3}
+    assert two[3] == one[3]  # doc 3 has no 'bird'
