@@ -92,3 +92,26 @@ def test_count_prunes_to_zero_columns(smoke_db):
     counts): ReadSchema is struct<>."""
     df = smoke_db["lineitem"].df().groupBy().count()
     assert scan_columns(df) == [], scan_columns(df)
+
+
+def test_tfidf_agg_partial_then_final(spark):
+    """Keyword scoring: the (doc, term) count must map-side combine —
+    partial+final HashAggregate around the exchange — and the corpus-size
+    scalar must arrive as a broadcast, not a shuffle."""
+    from datum_spark import extensions
+
+    df = extensions.EXTENSIONS["x52_tfidf_terms"][0](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 2, plan[:2000]
+    assert "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_bm25_broadcasts_df_and_stats(spark):
+    """BM25: per-term document frequencies and (N, avgdl) are tiny —
+    both must broadcast; the only shuffle is the (doc, term) count."""
+    from datum_spark import extensions
+
+    df = extensions.EXTENSIONS["x53_bm25"][0](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 2, plan[:2000]
