@@ -1182,6 +1182,41 @@ def x53(spark, sf):
             .orderBy("doc_id"))
 
 
+@x("x54_vector_stats", """
+SELECT vec_id,
+       len(embedding) AS dim,
+       ROUND(sqrt(list_reduce(list_transform(embedding,
+                                             x -> CAST(x AS DOUBLE)
+                                                  * CAST(x AS DOUBLE)),
+                              (a, b) -> a + b)), 4) AS l2,
+       ROUND(list_reduce(list_transform(embedding,
+                                        x -> CAST(x AS DOUBLE)),
+                         (a, b) -> a + b) / len(embedding), 4) AS mean,
+       CAST(list_min(embedding) AS DOUBLE) AS vmin,
+       CAST(list_max(embedding) AS DOUBLE) AS vmax
+FROM embeddings WHERE vec_id < 400 ORDER BY vec_id""")
+def x54(spark, sf):
+    """Per-vector stats via higher-order array lambdas — dim, L2 norm,
+    element mean/min/max — entirely JVM-side (transform/aggregate/
+    array_min/array_max), no explode and no shuffle: a map-only plan
+    whose only exchange is the final presentation sort.  Parity note:
+    both engines fold the sum left-to-right in element order, so the
+    rounded doubles hash-match despite float32 inputs."""
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 400)
+    as_d = F.transform("embedding", lambda v: v.cast("double"))
+    sq = F.transform("embedding",
+                     lambda v: v.cast("double") * v.cast("double"))
+    fold = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(fold(sq)), 4).alias("l2"),
+        F.round(fold(as_d) / F.size("embedding"), 4).alias("mean"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 
