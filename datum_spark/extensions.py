@@ -1217,6 +1217,20 @@ def x54(spark, sf):
     ).orderBy("vec_id")
 
 
+@x("x55_kmeans", None)
+def x55(spark, sf):
+    """Distributed k-means over the embeddings (k=8, 2 Lloyd passes):
+    per-vector cluster + squared distance.  Centers ride in the UDF
+    closure; each iteration is one map-only partial-sum pass (full
+    vectors never shuffled).  No oracle: iterative/ML, not
+    SQL-expressible — invariants covered by test_clustering.py."""
+    from .operators.clustering import kmeans_assign
+
+    emb = load_emb(spark, sf)
+    return (kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+            .orderBy("vec_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

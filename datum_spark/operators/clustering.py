@@ -1,0 +1,156 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column —
+semantic clustering for corpus curation (cluster-then-dedup, diversity
+sampling, topic bucketing) and the trainable half of an IVF ANN index.
+
+Not in the reference (CityOfPhiladelphia/datum has no ML/vector ops in its
+15 files); north-star extension beside ``operators/similarity.py``, whose
+IVF coarse quantizer uses the same assign/refine pattern inline.
+
+Scale posture (10⁹ vectors × hundreds of dims):
+- the center matrix (k × dim) lives in the assignment UDF's closure —
+  broadcast with the plan, never shuffled;
+- assignment is one NumPy GEMM per Arrow batch (vectorized, JVM↔Python via
+  Arrow), not a per-row loop;
+- each Lloyd iteration is ONE map-only pass: ``mapInPandas`` emits partial
+  ``(cell, sum, count)`` per Arrow batch — k rows per batch, combined on
+  the driver.  Full vectors are never shuffled; the per-iteration driver
+  traffic is k × num_batches small rows (vs. the naive
+  ``groupBy(cell)`` of whole vectors, which shuffles the entire corpus
+  every iteration);
+- floating-point caveat: partial sums combine in arrival order, so
+  centers can differ in the last ulp across runs — assignments are stable
+  away from cell boundaries, and the unit tests assert invariants
+  (argmin property, non-increasing inertia), not bit-equal centers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _center_sample(vecs: DataFrame, id_col: str, vec_col: str, k: int,
+                   seed: int):
+    """Deterministic init: hash-order a ~8k-candidate uniform sample
+    (smallest ``xxhash64(id, seed)`` — partitioning-independent, same
+    trick as similarity.ivf_cosine_top_k), then greedy farthest-point
+    selection on the driver.  Farthest-point spreads the seeds across
+    blobs, which plain uniform sampling misses (two seeds in one blob →
+    Lloyd merges true clusters)."""
+    import numpy as np
+
+    m = 8 * k
+    hashed = vecs.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
+    sample = (hashed.filter(F.pmod(F.col("__h"), F.lit(64)) == 0)
+                    .orderBy("__h").limit(m).select(vec_col).collect())
+    if len(sample) < m:
+        sample = hashed.orderBy("__h").limit(m).select(vec_col).collect()
+    cand = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
+                      for r in sample])
+    if len(cand) <= k:
+        return cand
+    chosen = [0]  # smallest hash
+    d2 = ((cand - cand[0]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    return cand[chosen]
+
+
+def _assign_udf(centers, with_dist: bool):
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = np.ascontiguousarray(centers)
+    c_sq = (c * c).sum(axis=1)
+
+    def assign(vecs):
+        m = np.vstack(vecs.to_numpy()).astype(np.float64)
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+        d2 = c_sq[None, :] - 2.0 * (m @ c.T)
+        cell = np.argmin(d2, axis=1)
+        if not with_dist:
+            return pd.Series(cell.astype(np.int64))
+        best = d2[np.arange(len(cell)), cell] + (m * m).sum(axis=1)
+        out = np.stack([cell.astype(np.float64),
+                        np.maximum(best, 0.0)], axis=1)
+        return pd.Series(list(out))
+
+    rtype = "array<double>" if with_dist else "long"
+    return pandas_udf(assign, rtype, PandasUDFType.SCALAR)
+
+
+def _lloyd_step(vecs: DataFrame, vec_col: str, centers):
+    """One iteration: map-only partial (cell, sum, count) per Arrow batch,
+    tiny driver combine.  Empty cells keep their previous center."""
+    import numpy as np
+
+    k, dim = centers.shape
+    a = _assign_udf(centers, with_dist=False)
+    assigned = vecs.select(a(F.col(vec_col)).alias("__cell"),
+                           F.col(vec_col).alias("__v"))
+
+    def partials(batches):
+        import pandas as pd
+        for pdf in batches:
+            m = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+            cells = pdf["__cell"].to_numpy()
+            present = np.unique(cells)
+            sums = [m[cells == c].sum(axis=0) for c in present]
+            yield pd.DataFrame({"cell": present.astype(np.int64),
+                                "vsum": sums,
+                                "n": [int((cells == c).sum())
+                                      for c in present]})
+
+    rows = (assigned.mapInPandas(partials,
+                                 "cell long, vsum array<double>, n long")
+                    .collect())
+    sums = np.zeros((k, dim)); counts = np.zeros(k)
+    for r in sorted(rows, key=lambda r: r["cell"]):
+        sums[r["cell"]] += np.asarray(r["vsum"])
+        counts[r["cell"]] += r["n"]
+    out = centers.copy()
+    nonempty = counts > 0
+    out[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return out
+
+
+def kmeans_fit(df: DataFrame, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 8, iters: int = 5,
+               seed: int = 42):
+    """Fit k-means and return the final ``k × dim`` center matrix
+    (NumPy, driver-side — it is closure/broadcast-sized by design)."""
+    vecs = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    centers = _center_sample(vecs, id_col, "__v", k, seed)
+    for _ in range(max(0, iters)):
+        centers = _lloyd_step(vecs, "__v", centers)
+    return centers
+
+
+def kmeans_assign(df: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding", k: int = 8, iters: int = 5,
+                  seed: int = 42, centers=None) -> DataFrame:
+    """Cluster an embedding column with k-means; return
+    ``(id_col, cluster, dist)`` where ``dist`` is the squared Euclidean
+    distance to the final center (rounded to 6 places).  Pass a
+    pre-fitted ``centers`` matrix to skip training (e.g. fit on a sample,
+    assign the full corpus)."""
+    vecs = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("__v"))
+    if centers is None:
+        centers = kmeans_fit(df, id_col, vec_col, k, iters, seed)
+    a = _assign_udf(centers, with_dist=True)
+    pair = a(F.col("__v"))
+    return vecs.select(
+        id_col,
+        F.element_at(pair, 1).cast("long").alias("cluster"),
+        F.round(F.element_at(pair, 2), 6).alias("dist"))
+
+
+def kmeans_inertia(assigned: DataFrame) -> float:
+    """Total within-cluster sum of squares of a `kmeans_assign` result."""
+    row = assigned.agg(F.sum("dist").alias("s")).first()
+    return float(row["s"] or 0.0)

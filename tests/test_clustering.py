@@ -1,0 +1,52 @@
+"""k-means invariants: argmin assignment, non-increasing inertia,
+well-separated blobs recovered."""
+
+import numpy as np
+
+from datum_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_inertia,
+)
+
+
+def _blobs(spark, seed=7, n_per=40, k=3, dim=8, spread=0.05):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(k, dim)) * 5
+    rows = []
+    for i in range(k * n_per):
+        c = i % k
+        rows.append((i, (centers[c] + rng.normal(size=dim) * spread).tolist()))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_assignment_is_argmin_of_final_centers(spark):
+    df = _blobs(spark)
+    centers = kmeans_fit(df, k=3, iters=4)
+    got = kmeans_assign(df, k=3, centers=centers).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"])
+            for r in df.collect()}
+    for r in got:
+        d2 = ((vecs[r["vec_id"]][None, :] - centers) ** 2).sum(axis=1)
+        assert r["cluster"] == int(np.argmin(d2))
+        assert abs(r["dist"] - d2.min()) < 1e-4
+
+
+def test_inertia_non_increasing_with_iterations(spark):
+    df = _blobs(spark, spread=1.0)
+    inertias = [kmeans_inertia(kmeans_assign(df, k=3, iters=i))
+                for i in (0, 2, 5)]
+    assert inertias[0] >= inertias[1] - 1e-6
+    assert inertias[1] >= inertias[2] - 1e-6
+
+
+def test_separated_blobs_land_in_pure_clusters(spark):
+    df = _blobs(spark)
+    got = kmeans_assign(df, k=3, iters=5).collect()
+    by_truth = {}
+    for r in got:
+        by_truth.setdefault(r["vec_id"] % 3, set()).add(r["cluster"])
+    # every ground-truth blob maps to exactly one k-means cluster and the
+    # three clusters are distinct
+    assert all(len(s) == 1 for s in by_truth.values())
+    assert len(set.union(*by_truth.values())) == 3
