@@ -1231,6 +1231,24 @@ def x55(spark, sf):
             .orderBy("vec_id"))
 
 
+@x("x56_source_mixing", None)
+def x56(spark, sf):
+    """Deterministic corpus re-weighting: per-source keep probabilities
+    decided by the id hash (map-only CASE filter, no rand(), no shuffle,
+    partitioning-independent).  Rows-only: the keep decision depends on
+    xxhash64, which DuckDB lacks; determinism/monotonicity are
+    unit-tested instead."""
+    from .operators.sampling import mix_sources
+
+    docs = load(spark, sf, "documents")
+    mixed = mix_sources(docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                        source_col="source", id_col="doc_id",
+                        default_weight=0.75)
+    return (mixed.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n_kept"))
+                 .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

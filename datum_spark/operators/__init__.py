@@ -7,7 +7,8 @@ from .keywords import tf_idf_terms, bm25_scores
 from .clustering import kmeans_assign, kmeans_fit, kmeans_inertia
 from .asof import asof_join
 from .skew import salted_join
-from .sampling import hash_split, stratified_sample, with_split_label
+from .sampling import (hash_split, mix_sources, stratified_sample,
+                       with_split_label)
 from .packing import pack_documents, pack_summary
 from .dedup import (
     exact_dedup,
@@ -31,7 +32,7 @@ __all__ = [
     "connected_components", "dup_clusters",
     "tf_idf_terms", "bm25_scores",
     "kmeans_assign", "kmeans_fit", "kmeans_inertia",
-    "hash_split", "stratified_sample", "with_split_label",
+    "hash_split", "mix_sources", "stratified_sample", "with_split_label",
     "pack_documents", "pack_summary",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
     "minhash_near_dups_fast",

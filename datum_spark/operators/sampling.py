@@ -52,3 +52,32 @@ def stratified_sample(df: DataFrame, strata_col: str,
     """Per-stratum Bernoulli sampling (``sampleBy``): e.g. downsample an
     over-represented language while keeping rare ones whole."""
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def mix_sources(df: DataFrame, weights: dict, source_col: str = "source",
+                id_col: str = "doc_id", seed: int = 42,
+                default_weight: float = 1.0) -> DataFrame:
+    """Deterministic corpus re-weighting ("data mixing"): keep each row of
+    source ``s`` with probability ``weights.get(s, default_weight)``,
+    decided by the row's id hash — not by ``rand()``.
+
+    Properties a 100 TB mixing job needs (all unit-tested):
+
+    - map-only, no shuffle; the weight table compiles into the plan as a
+      CASE expression (no join, even for thousands of sources);
+    - reproducible from the data alone: stable across runs, partitioning,
+      and cluster size (same reason :func:`hash_split` avoids
+      ``randomSplit``);
+    - monotone in the weight: the keep-set at weight 0.2 is a subset of
+      the keep-set at 0.5, so mixture ratios can be re-tuned without
+      resampling churn (epoch-over-epoch cache reuse);
+    - weights > 1 are capped at 1 (upsampling needs row replication —
+      ``F.explode(F.array_repeat(...))`` — deliberately out of scope for
+      a keep/drop filter).
+    """
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(_BUCKETS))
+    expr = F.lit(float(default_weight))
+    for src, w in sorted(weights.items()):
+        expr = F.when(F.col(source_col) == src, F.lit(float(w))
+                      ).otherwise(expr)
+    return df.filter(bucket < expr * _BUCKETS)

@@ -385,3 +385,36 @@ def test_asof_join_semantics(spark):
     assert out == {"a": 100.0,   # latest right ts<=10 is 5
                    "b": 200.0,   # equal ts matches (<= semantics)
                    "c": None}    # no right row at or before 15 for k=2
+
+
+# -- mix_sources ------------------------------------------------------------
+
+def _mix_fixture(spark):
+    rows = [(i, "web" if i % 2 == 0 else "books") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    from datum_spark.operators.sampling import mix_sources
+
+    df = _mix_fixture(spark)
+    kept = mix_sources(df, {"web": 0.3, "books": 1.0})
+    counts = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["books"] == 1000          # weight 1.0 keeps everything
+    assert 200 <= counts["web"] <= 400      # ~0.3 of 1000
+    # deterministic: identical keep-set regardless of partitioning
+    again = mix_sources(df.repartition(7), {"web": 0.3, "books": 1.0})
+    assert sorted(r["doc_id"] for r in kept.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
+
+
+def test_mix_sources_monotone_in_weight(spark):
+    from datum_spark.operators.sampling import mix_sources
+
+    df = _mix_fixture(spark)
+    low = {r["doc_id"] for r in
+           mix_sources(df, {"web": 0.2, "books": 0.2}).collect()}
+    high = {r["doc_id"] for r in
+            mix_sources(df, {"web": 0.5, "books": 0.5}).collect()}
+    assert low <= high
