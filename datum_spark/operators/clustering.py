@@ -41,10 +41,9 @@ def _center_sample(vecs: DataFrame, id_col: str, vec_col: str, k: int,
 
     m = 8 * k
     hashed = vecs.withColumn("__h", F.xxhash64(F.col(id_col), F.lit(seed)))
-    sample = (hashed.filter(F.pmod(F.col("__h"), F.lit(64)) == 0)
-                    .orderBy("__h").limit(m).select(vec_col).collect())
-    if len(sample) < m:
-        sample = hashed.orderBy("__h").limit(m).select(vec_col).collect()
+    # orderBy+limit compiles to TakeOrderedAndProject: per-partition top-m
+    # heaps + driver merge, no shuffle, no full sort — cheap at any scale
+    sample = hashed.orderBy("__h").limit(m).select(vec_col).collect()
     cand = np.vstack([np.asarray(r[vec_col], dtype=np.float64)
                       for r in sample])
     if len(cand) <= k:
@@ -124,9 +123,18 @@ def kmeans_fit(df: DataFrame, id_col: str = "vec_id",
     (NumPy, driver-side — it is closure/broadcast-sized by design)."""
     vecs = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("__v"))
-    centers = _center_sample(vecs, id_col, "__v", k, seed)
-    for _ in range(max(0, iters)):
-        centers = _lloyd_step(vecs, "__v", centers)
+    # iterative ML reads its input once per pass — persist across passes
+    # (MEMORY_AND_DISK: spills instead of failing when it doesn't fit)
+    cache = max(0, iters) > 0
+    if cache:
+        vecs = vecs.persist()
+    try:
+        centers = _center_sample(vecs, id_col, "__v", k, seed)
+        for _ in range(max(0, iters)):
+            centers = _lloyd_step(vecs, "__v", centers)
+    finally:
+        if cache:
+            vecs.unpersist()
     return centers
 
 
