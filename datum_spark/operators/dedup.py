@@ -332,13 +332,18 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
         # generation joins buckets only, vectors rejoin by id afterwards
         buckets = sel.select(
             "__id", F.posexplode(sig("__v")).alias("__t", "__b"))
-        a, b = buckets.alias("a"), buckets.alias("b")
-        cand = (a.join(b, (F.col("a.__t") == F.col("b.__t"))
-                       & (F.col("a.__b") == F.col("b.__b"))
-                       & (F.col("a.__id") < F.col("b.__id")))
-                 .select(F.col("a.__id").alias("id_a"),
-                         F.col("b.__id").alias("id_b"))
-                 .dropDuplicates(["id_a", "id_b"]))
+        # group-by-bucket + pairwise explode instead of a bucket self-join:
+        # the signature UDF runs ONCE (a self-join evaluates it per side —
+        # measured as 2× ArrowEvalPython) and only one exchange moves the
+        # (t, b, id) keys; pair volume is identical (quadratic within a
+        # bucket either way — `planes` bounds expected bucket size)
+        grouped = (buckets.groupBy("__t", "__b")
+                   .agg(F.collect_list("__id").alias("__ids"))
+                   .filter(F.size("__ids") > 1))
+        cand = (grouped.select(F.explode("__ids").alias("id_a"), "__ids")
+                       .select("id_a", F.explode("__ids").alias("id_b"))
+                       .filter(F.col("id_a") < F.col("id_b"))
+                       .dropDuplicates(["id_a", "id_b"]))
         va = sel.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
         vb = sel.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
         cos = _dot_expr(F.col("__va"), F.col("__vb"))
