@@ -236,22 +236,28 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     banding on 4×16-bit chunks — a pair within distance 3 must agree on at
     least one chunk, so candidates come from 4 equi-joins, not all pairs)."""
     sig = df.select(F.col(id_col).alias("__id"),
-                    simhash64(F.col(text_col)).alias("__sig")).persist()
+                    simhash64(F.col(text_col)).alias("__sig"))
     chunks = sig.select(
-        "__id", "__sig",
+        F.struct("__id", "__sig").alias("__m"),
         F.posexplode(F.array(*[
             F.shiftright(F.col("__sig"), 16 * c).bitwiseAND(F.lit(0xFFFF))
             for c in range(4)
         ])).alias("__chunk", "__val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
+    # group-by-band + pairwise explode (same shape as the MinHash/embedding
+    # LSH paths): one exchange of (chunk, val, id, sig) keys, signatures
+    # computed once, no self-join.  16-bit bands keep buckets ~N/65536 per
+    # chunk, so per-bucket lists stay small even at corpus scale.
+    grouped = (chunks.groupBy("__chunk", "__val")
+               .agg(F.collect_list("__m").alias("__ms"))
+               .filter(F.size("__ms") > 1))
+    pairs = (grouped.select(F.explode("__ms").alias("a"), "__ms")
+                    .select("a", F.explode("__ms").alias("b"))
+                    .filter(F.col("a.__id") < F.col("b.__id")))
     xor = F.col("a.__sig").bitwiseXOR(F.col("b.__sig"))
-    cand = (a.join(b, (F.col("a.__chunk") == F.col("b.__chunk"))
-                   & (F.col("a.__val") == F.col("b.__val"))
-                   & (F.col("a.__id") < F.col("b.__id")))
-             .select(F.col("a.__id").alias("id_a"),
-                     F.col("b.__id").alias("id_b"),
-                     F.bit_count(xor).alias("hamming"))
-             .dropDuplicates(["id_a", "id_b"]))
+    cand = (pairs.select(F.col("a.__id").alias("id_a"),
+                         F.col("b.__id").alias("id_b"),
+                         F.bit_count(xor).alias("hamming"))
+                 .dropDuplicates(["id_a", "id_b"]))
     return cand.filter(F.col("hamming") <= max_hamming)
 
 
