@@ -1249,6 +1249,22 @@ def x56(spark, sf):
                  .orderBy("source"))
 
 
+@x("x57_semantic_dedup", None)
+def x57(spark, sf):
+    """Semantic near-dup pairs via k-means blocking: fit 16 centers,
+    assign each vector to its 2 nearest cells, one normalized GEMM per
+    cell (applyInPandas group — vectors move `probes` times total, never
+    per candidate pair).  The clustered-data complement to x07's
+    sign-LSH.  Rows-only: iterative fit; exact-recovery semantics
+    covered by test_clustering.py against brute force."""
+    from .operators.clustering import semantic_dedup_pairs
+
+    emb = load_emb(spark, sf)
+    return (semantic_dedup_pairs(emb, "vec_id", "embedding", k=16,
+                                 iters=2, threshold=0.45, probes=2)
+            .orderBy("id_a", "id_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

@@ -50,3 +50,30 @@ def test_separated_blobs_land_in_pure_clusters(spark):
     # three clusters are distinct
     assert all(len(s) == 1 for s in by_truth.values())
     assert len(set.union(*by_truth.values())) == 3
+
+
+def test_semantic_dedup_matches_brute_force(spark):
+    from datum_spark.operators.clustering import semantic_dedup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 8)) * 3
+    rows = [(i, base[i].tolist()) for i in range(60)]
+    # plant near-duplicates: tiny perturbations of existing vectors
+    for j, src in enumerate((3, 17, 42, 55)):
+        rows.append((100 + j, (base[src] + rng.normal(size=8) * 1e-3).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {(r["id_a"], r["id_b"])
+           for r in semantic_dedup_pairs(df, k=4, iters=3,
+                                         threshold=0.999).collect()}
+
+    m = np.vstack([np.array(v) for _, v in rows])
+    ids = np.array([i for i, _ in rows])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ia, ib = np.where(np.triu(sims >= 0.999, 1))
+    want = {(min(ids[a], ids[b]), max(ids[a], ids[b]))
+            for a, b in zip(ia, ib)}
+    assert want, "fixture must contain planted near-dups"
+    # probes=2 blocking must recover every planted pair on this fixture
+    assert got == want
