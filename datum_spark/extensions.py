@@ -1265,6 +1265,20 @@ def x57(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
+@x("x58_coreset_sample", None)
+def x58(spark, sf):
+    """Diversity (coreset) sampling: the 10 vectors nearest each of 8
+    k-means centers — kmeans_assign composed with the per-group window
+    top-k.  Rows-only: iterative fit; nearest-per-cluster semantics
+    verified in test_clustering.py."""
+    from .operators.clustering import cluster_coreset
+
+    emb = load_emb(spark, sf)
+    return (cluster_coreset(emb, per_cluster=10, id_col="vec_id",
+                            vec_col="embedding", k=8, iters=2)
+            .orderBy("cluster", "rnk"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

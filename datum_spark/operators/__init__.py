@@ -4,8 +4,8 @@ deduplication families, similarity search, text analysis."""
 from .topk import top_k, top_k_per_group
 from .components import connected_components, dup_clusters
 from .keywords import tf_idf_terms, bm25_scores
-from .clustering import (kmeans_assign, kmeans_fit, kmeans_inertia,
-                         semantic_dedup_pairs)
+from .clustering import (cluster_coreset, kmeans_assign, kmeans_fit,
+                         kmeans_inertia, semantic_dedup_pairs)
 from .asof import asof_join
 from .skew import salted_join
 from .sampling import (hash_split, mix_sources, stratified_sample,
@@ -33,6 +33,7 @@ __all__ = [
     "connected_components", "dup_clusters",
     "tf_idf_terms", "bm25_scores",
     "kmeans_assign", "kmeans_fit", "kmeans_inertia", "semantic_dedup_pairs",
+    "cluster_coreset",
     "hash_split", "mix_sources", "stratified_sample", "with_split_label",
     "pack_documents", "pack_summary",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",

@@ -225,3 +225,25 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
                                "id_a long, id_b long, cosine double"))
     return (out.groupBy("id_a", "id_b")
                .agg(F.round(F.max("cosine"), 6).alias("cosine")))
+
+
+def cluster_coreset(df: DataFrame, per_cluster: int, id_col: str = "vec_id",
+                    vec_col: str = "embedding", k: int = 8, iters: int = 2,
+                    seed: int = 42) -> DataFrame:
+    """Diversity (coreset) sampling: the ``per_cluster`` vectors nearest
+    to each k-means center — a spread-out representative subset for
+    curriculum seeding, eval-set construction, or annotation budgets.
+
+    Composes :func:`kmeans_assign` with the standard window top-k
+    (rank over ``dist`` within each cluster, deterministic tie-break on
+    id); the only exchange beyond the fit is the per-cluster window
+    partition.  Returns ``(id_col, cluster, dist, rnk)``.
+    """
+    from pyspark.sql import Window
+
+    assigned = kmeans_assign(df, id_col, vec_col, k=k, iters=iters,
+                             seed=seed)
+    w = (Window.partitionBy("cluster")
+               .orderBy(F.col("dist").asc(), F.col(id_col).asc()))
+    return (assigned.withColumn("rnk", F.row_number().over(w))
+                    .filter(F.col("rnk") <= per_cluster))

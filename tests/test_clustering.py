@@ -77,3 +77,19 @@ def test_semantic_dedup_matches_brute_force(spark):
     assert want, "fixture must contain planted near-dups"
     # probes=2 blocking must recover every planted pair on this fixture
     assert got == want
+
+
+def test_coreset_picks_nearest_per_cluster(spark):
+    from datum_spark.operators.clustering import cluster_coreset, kmeans_assign
+
+    df = _blobs(spark, spread=1.0)
+    core = cluster_coreset(df, per_cluster=5, k=3, iters=3).collect()
+    full = kmeans_assign(df, k=3, iters=3).collect()
+    by_cluster = {}
+    for r in full:
+        by_cluster.setdefault(r["cluster"], []).append((r["dist"], r["vec_id"]))
+    for c, members in by_cluster.items():
+        want = {vid for _, vid in sorted(members)[:5]}
+        got = {r["vec_id"] for r in core if r["cluster"] == c}
+        assert got == want
+    assert all(r["rnk"] <= 5 for r in core)
