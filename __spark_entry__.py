@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-join (t2 Q10, TPC-H Q5 skeleton) at
 sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
-(Tier-B Q01–Q31 + §2-C extensions x01–x29); ``oracle_sql()`` carries the
+(Tier-B Q01–Q31 + §2-C extensions x01–x58); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
 """
 
