@@ -124,7 +124,7 @@ WITH t AS (
   FROM t
 )
 SELECT CAST(FLOOR(before / 1000) AS BIGINT) AS pack_id,
-       COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM c GROUP BY 1 ORDER BY pack_id""")
 def x39(spark, sf):
     """Sequence packing (1000-token packs over doc_id order) — the oracle
@@ -307,7 +307,7 @@ def x29(spark, sf):
 
 @x("x30_json_typed", """
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sk,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sk,
        COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type""")
 def x30(spark, sf):

@@ -55,16 +55,34 @@ def normalize_nanos(df: DataFrame, path: str) -> DataFrame:
     return df
 
 
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def ensure_nanos_readable(spark: SparkSession, path: str) -> None:
+    """Enable ``nanosAsLong`` at runtime iff the footer carries
+    TIMESTAMP(NANOS) columns, so the scan works even under a caller-built
+    vanilla session (it is a regular SQL conf, not a static one)."""
+    if _nanos_timestamp_cols(path) and \
+            spark.conf.get(_NANOS_CONF, "false") != "true":
+        spark.conf.set(_NANOS_CONF, "true")
+
+
 def read_parquet_normalized(spark: SparkSession, path: str) -> DataFrame:
     """Parquet scan that tolerates TIMESTAMP(NANOS) columns.
 
     Spark's Parquet reader rejects nanosecond timestamps; with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session defaults) they
-    arrive as BIGINT nanos and are converted by :func:`normalize_nanos` to
-    microsecond timestamps with JVM expressions — same truncation DuckDB
-    applies, and the scan stays fully distributed/pushdown-capable for every
-    other column.
+    ``spark.sql.legacy.parquet.nanosAsLong`` they arrive as BIGINT nanos and
+    are converted by :func:`normalize_nanos` to microsecond timestamps with
+    JVM expressions — same truncation DuckDB applies, and the scan stays
+    fully distributed/pushdown-capable for every other column.
+
+    The conf is set here at runtime rather than relying on session
+    defaults: callers may hand us a vanilla SparkSession they built
+    themselves, and the scan must still work.  Setting it only when the
+    footer actually carries NANOS columns avoids surprising behavior
+    changes for nanos-free data.
     """
+    ensure_nanos_readable(spark, path)
     return normalize_nanos(spark.read.parquet(path), path)
 
 

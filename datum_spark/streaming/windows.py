@@ -19,9 +19,13 @@ def read_events_stream(spark, sf_dir: str,
     footer — streaming sources must not infer).  TIMESTAMP(NANOS) columns
     arrive as BIGINT nanos (``nanosAsLong``) and are normalized to real
     timestamps so watermarks/windows work, same as the batch loader."""
-    from ..sources.registry import normalize_nanos
+    from ..sources.registry import ensure_nanos_readable, normalize_nanos
 
     path = f"{sf_dir}/events.parquet"
+    # the stream must be pinned to the RAW footer schema (bigint nanos);
+    # normalize_nanos converts after the source — ensure the conf first so
+    # this works under a caller-built vanilla session too
+    ensure_nanos_readable(spark, path)
     schema = spark.read.parquet(path).schema
     # FileStreamSource needs a directory: stream the sf dir, glob-filtered
     # to the events file(s)

@@ -85,3 +85,19 @@ def test_nanos_events_normalized(spark):
     df = read_parquet_normalized(spark, "/root/testdata/sf0.001/events.parquet")
     assert dict(df.dtypes)["ts"] == "timestamp"
     assert df.count() > 0
+
+
+def test_nanos_read_without_session_default(spark):
+    """The driver hands us a vanilla session without nanosAsLong in its
+    defaults; read_parquet_normalized must set the conf itself
+    (CORRECTNESS_r01: q30/q31/x28/x30/x32 all failed on this)."""
+    conf = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(conf)
+    try:
+        df = read_parquet_normalized(
+            spark, "/root/testdata/sf0.001/events.parquet")
+        assert dict(df.dtypes)["ts"] == "timestamp"
+        assert df.count() > 0
+        assert spark.conf.get(conf) == "true"
+    finally:
+        spark.conf.set(conf, "true")
