@@ -175,6 +175,12 @@ class Database:
         A direct overwrite of the path a lazy plan is READING corrupts the
         read (Spark deletes the input mid-scan); staging to a sibling dir
         and renaming keeps the rewrite safe.
+
+        Swap order is crash-safe: rename the live dir ASIDE (one atomic
+        rename — the table is never missing with only staged data left),
+        rename the staged dir into place, then delete the backup.  A
+        leftover staging/backup dir from a previous crashed run is removed
+        up front so the renames land cleanly.
         """
         if self.scheme != "file":
             df = self.spark.createDataFrame(df.collect(), df.schema)
@@ -182,13 +188,22 @@ class Database:
             return
         path = self._table_path(name)
         tmp = path + ".__rewrite__"
+        old = path + ".__old__"
+        for stale in (tmp, old):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
         writer = df.write.mode("overwrite")
         part_cols = self._load_meta(name).get("partition_by")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        os.rename(path, old)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            os.rename(old, path)  # roll back: the table stays readable
+            raise
+        shutil.rmtree(old)
         self._registered.discard(name)
 
     def _register(self, name: str) -> None:

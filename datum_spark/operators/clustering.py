@@ -220,9 +220,12 @@ def semantic_dedup_pairs(df: DataFrame, id_col: str = "vec_id",
         return pd.DataFrame({"id_a": lo, "id_b": hi,
                              "cosine": sims[ia, ib]})
 
+    # pair schema mirrors the caller's id type (string doc_ids are common
+    # in corpora) instead of hardcoding bigint
+    id_t = df.schema[id_col].dataType.simpleString()
     out = (cells.groupBy("__cell")
                 .applyInPandas(cell_pairs,
-                               "id_a long, id_b long, cosine double"))
+                               f"id_a {id_t}, id_b {id_t}, cosine double"))
     return (out.groupBy("id_a", "id_b")
                .agg(F.round(F.max("cosine"), 6).alias("cosine")))
 

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..util import retain_cache as _retain_cache
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -90,8 +92,9 @@ def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
     # materialize the signatures: without this, Catalyst inlines the whole
     # minhash expression into the struct AND each band element — bands+1
     # evaluations of the costliest expression in the plan (measured 7×
-    # slower).  The cache holds (id, sig) only, not the source text.
-    sig = sig.persist()
+    # slower).  The cache holds (id, sig) only, not the source text, and
+    # is released by cache-ring rotation (_retain_cache).
+    sig = _retain_cache(sig)
     banded = sig.select(
         F.struct("__id", "__sig").alias("__m"),
         F.posexplode(F.array(*[
@@ -294,7 +297,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
             idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
 
     base = df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
-    sizes = base.select("__id", F.size("__grams").alias("__n")).persist()
+    # compute-once for the two size joins below; released by cache-ring
+    # rotation (_retain_cache)
+    sizes = _retain_cache(
+        base.select("__id", F.size("__grams").alias("__n")))
     inv = base.select("__id", F.explode("__grams").alias("__g"))
     if max_ngram_freq is not None:
         hot = (inv.groupBy("__g").count()
@@ -336,10 +342,15 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
     from ..session import default_parallelism
     from .similarity import _all_signatures_udf, _dot_expr, _normalize_col
 
-    # normalize once map-side → single dot product per candidate pair
-    sel = df.select(F.col(id_col).alias("__id"),
-                    _normalize_col(F.col(vec_col).cast("array<double>"))
-                    .alias("__v"))
+    # normalize once map-side → single dot product per candidate pair;
+    # zero/NULL vectors are pre-filtered on the RAW column (no direction →
+    # can't be a near-dup; must not reach the NumPy signature/GEMM stages)
+    from .similarity import _nonzero_vec
+
+    sel = (df.filter(_nonzero_vec(F.col(vec_col)))
+             .select(F.col(id_col).alias("__id"),
+                     _normalize_col(F.col(vec_col).cast("array<double>"))
+                     .alias("__v")))
     if use_lsh:
         dim = _infer_dim(df, vec_col)
         sig = _all_signatures_udf(dim, planes, tables, seed)

@@ -32,12 +32,16 @@ def pack_documents(df: DataFrame, order_col: str, token_col: str,
     from ..session import default_parallelism
 
     n = num_partitions or default_parallelism()
-    # persist pins the partition assignment: repartitionByRange picks its
-    # boundaries by sampling, so a recompute could re-draw them and
-    # invalidate the collected offsets
-    d = (df.repartitionByRange(n, F.col(order_col))
-           .withColumn("__pid", F.spark_partition_id())
-           .persist())
+    from ..util import retain_cache
+
+    # the cache pins the partition assignment between the totals job and
+    # the caller's final job; even if the ring rotates it out, a recompute
+    # re-draws the SAME range boundaries (RangePartitioner's sample seed
+    # derives from the RDD id, which is fixed for this plan instance), so
+    # the collected offsets stay valid.  Enrolled in the bounded cache
+    # ring so long-lived sessions don't accumulate cached blocks.
+    d = retain_cache(df.repartitionByRange(n, F.col(order_col))
+                       .withColumn("__pid", F.spark_partition_id()))
     # per-partition totals are tiny (one row per partition): the ONLY
     # driver-side data in the prefix sum
     part_rows = (d.groupBy("__pid")

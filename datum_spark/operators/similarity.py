@@ -39,17 +39,41 @@ def _cosine_expr(a, b):
 
 
 def _normalize_col(v):
-    """Unit-normalize an array<double> column (map-side, once per vector)."""
+    """Unit-normalize an array<double> column (map-side, once per vector).
+
+    An all-zero vector has no direction: dividing by its zero norm would
+    produce NaN, and NaN sorts ABOVE every number in Spark's descending
+    orderings — a zero vector would rank as everyone's top neighbor and
+    pass `cosine >= threshold` filters.  Return NULL instead: downstream
+    dot products go NULL, NULLS LAST in rankings, and threshold filters
+    drop them — same net behavior as the NumPy paths, which guard zero
+    norms explicitly.
+
+    The guard predicate is `exists(x != 0)` — an O(dim) comparison scan —
+    NOT `norm > 0`: guarding on the norm would embed the multiply-add
+    aggregate a second time and double the per-vector cost (measured ~2×
+    on the IVF/LSH paths).
+    """
     norm = F.sqrt(_dot_expr(v, v))
-    return F.transform(v, lambda x: x / norm)
+    return F.when(_nonzero_vec(v), F.transform(v, lambda x: x / norm))
+
+
+def _nonzero_vec(v):
+    """Cheap predicate: vector is non-NULL with at least one non-zero
+    element (i.e. it has a direction and a finite unit-normalization).
+    Used to pre-filter RAW vectors before the normalize projection so the
+    expensive normalize expression is never evaluated twice per row (once
+    in a null-check filter, once in the projection)."""
+    return F.exists(v, lambda x: x != 0)
 
 
 def block_allpairs_cosine(sel: DataFrame, threshold: float,
                           blocks: int = 8) -> DataFrame:
     """All-pairs cosine ≥ threshold via block-partitioned matrix multiply.
 
-    Input ``sel`` has columns ``(__id bigint, __v array<double>)``; output
-    ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+    Input ``sel`` has columns ``(__id, __v array<double>)`` — ``__id`` may
+    be any orderable type (bigint, string doc ids, ...); the output schema
+    ``(id_a, id_b, cosine)`` with ``id_a < id_b`` mirrors it.
 
     This is the scale-correct brute force: vectors are hashed into
     ``blocks`` buckets, every unordered bucket pair becomes ONE group, and
@@ -94,8 +118,11 @@ def block_allpairs_cosine(sel: DataFrame, threshold: float,
         hi = np.maximum(ia[r], ib[c])
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": s[r, c]})
 
+    # pair schema mirrors the caller's id type (string doc_ids are common
+    # in corpora) instead of hardcoding bigint
+    id_t = sel.schema["__id"].dataType.simpleString()
     return rep.groupBy("__grp").applyInPandas(
-        score, "id_a long, id_b long, cosine double")
+        score, f"id_a {id_t}, id_b {id_t}, cosine double")
 
 
 def _planes(dim: int, planes: int, seed: int) -> list[list[float]]:
@@ -166,12 +193,14 @@ def cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     """
     # unit-normalize ONCE per vector map-side; the quadratic stage is then a
     # single dot product per pair instead of three aggregates
-    q = queries.select(F.col(query_id).alias("query_id"),
-                       _normalize_col(F.col(query_vec).cast("array<double>"))
-                       .alias("__qv"))
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                      _normalize_col(F.col(corpus_vec).cast("array<double>"))
-                      .alias("__cv"))
+    q = (queries.filter(_nonzero_vec(F.col(query_vec)))
+         .select(F.col(query_id).alias("query_id"),
+                 _normalize_col(F.col(query_vec).cast("array<double>"))
+                 .alias("__qv")))
+    c = (corpus.filter(_nonzero_vec(F.col(corpus_vec)))
+         .select(F.col(corpus_id).alias("neighbor_id"),
+                 _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                 .alias("__cv")))
     cos = _dot_expr(F.col("__qv"), F.col("__cv"))
     if round_to is not None:
         cos = F.round(cos, round_to)
@@ -209,9 +238,10 @@ def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
-    c_vec = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                          _normalize_col(F.col(corpus_vec).cast("array<double>"))
-                          .alias("__cv"))
+    c_vec = (corpus.filter(_nonzero_vec(F.col(corpus_vec)))
+             .select(F.col(corpus_id).alias("neighbor_id"),
+                     _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                     .alias("__cv")))
     # deterministic coarse centers: the `centroids` corpus vectors with the
     # smallest xxhash64(id) — a uniform pseudo-random sample independent of
     # partitioning.  A hash-residue pre-filter (~1/64 of the corpus) keeps
@@ -260,9 +290,10 @@ def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     a1 = assign_udf(centers, 1)
     c_cells = c_vec.select("neighbor_id",
                            F.element_at(a1("__cv"), 1).alias("__cell"))
-    q_vec = queries.select(F.col(query_id).alias("query_id"),
-                           _normalize_col(F.col(query_vec).cast("array<double>"))
-                           .alias("__qv"))
+    q_vec = (queries.filter(_nonzero_vec(F.col(query_vec)))
+             .select(F.col(query_id).alias("query_id"),
+                     _normalize_col(F.col(query_vec).cast("array<double>"))
+                     .alias("__qv")))
     ap = assign_udf(centers, max(1, nprobe))
     q_cells = q_vec.select("query_id", F.explode(ap("__qv")).alias("__cell"))
 
@@ -302,15 +333,17 @@ def lsh_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     dim = int(dim_row["d"])
     sig = _all_signatures_udf(dim, planes, tables, seed)
 
-    c_vec = corpus.select(F.col(corpus_id).alias("neighbor_id"),
-                          _normalize_col(F.col(corpus_vec).cast("array<double>"))
-                          .alias("__cv"))
+    c_vec = (corpus.filter(_nonzero_vec(F.col(corpus_vec)))
+             .select(F.col(corpus_id).alias("neighbor_id"),
+                     _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                     .alias("__cv")))
     c_buckets = c_vec.select(
         "neighbor_id", F.posexplode(sig("__cv")).alias("__t", "__b"))
 
-    q_vec = queries.select(F.col(query_id).alias("query_id"),
-                           _normalize_col(F.col(query_vec).cast("array<double>"))
-                           .alias("__qv"))
+    q_vec = (queries.filter(_nonzero_vec(F.col(query_vec)))
+             .select(F.col(query_id).alias("query_id"),
+                     _normalize_col(F.col(query_vec).cast("array<double>"))
+                     .alias("__qv")))
     probes = [F.col("__b")] + [
         F.col("__b").bitwiseXOR(F.lit(1 << i).cast("long"))
         for i in range(max(0, multiprobe))

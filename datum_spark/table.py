@@ -239,13 +239,18 @@ class Table:
             df = df.withColumn(geom, self._prepare_geom(F.col(geom), from_srid))
 
         # auto primary key injection (ref: SDE.GDB_UTIL.NEXT_ROWID,
-        # datum/oracle_stgeom/table.py:437-443). monotonically_increasing_id
-        # is unique across partitions without any shuffle or driver round-trip.
+        # datum/oracle_stgeom/table.py:437-443) — DENSE sequential ids
+        # matching the reference's `serial` semantics.  Raw
+        # monotonically_increasing_id leaves ~2^33 gaps between partitions,
+        # so each multi-partition write would jump the next base by
+        # billions (and a double-typed pk column loses exactness past
+        # 2^53).  Instead: per-partition row counts (one tiny collect)
+        # cumulate into offsets, and the id is offset + within-partition
+        # position (the mono id's low 33 bits) — dense, no shuffle.
         pk = self.pk_field
         if pk and self._props.get("pk_auto") and pk not in write_fields:
             base = self._next_pk_base()
-            # cast to the declared pk type happens in the alignment below
-            df = df.withColumn(pk, F.monotonically_increasing_id() + F.lit(base))
+            df = self._with_dense_ids(df, pk, base)
 
         # align to table schema: missing cols → NULL, cast to declared types
         target = self._schema
@@ -256,6 +261,33 @@ class Table:
         ]
         self.db._write_table(self.name, df.select(*aligned), mode="append")
         self._schema_cache = None
+
+    @staticmethod
+    def _with_dense_ids(df: DataFrame, pk: str, base: int) -> DataFrame:
+        """Add a dense sequential ``pk`` column: base, base+1, ...
+
+        zipWithIndex pattern, DataFrame-native: lazily localCheckpoint to
+        pin the partition assignment (so the counted partitions are the
+        written ones), collect one count per partition, and add the
+        cumulated offset to the within-partition position.  The position
+        comes from ``monotonically_increasing_id``'s documented layout
+        (partition id in the high 31 bits, record index in the low 33) —
+        no window, no shuffle, one tiny driver round-trip.
+        """
+        d = df.localCheckpoint(eager=False)
+        pos = F.monotonically_increasing_id().bitwiseAND(
+            F.lit((1 << 33) - 1))
+        counts = (d.groupBy(F.spark_partition_id().alias("__pid"))
+                   .agg(F.count(F.lit(1)).alias("n")).collect())
+        offsets, acc = {}, base
+        for r in sorted(counts, key=lambda r: r["__pid"]):
+            offsets[r["__pid"]] = acc
+            acc += r["n"]
+        if not offsets:
+            return d.withColumn(pk, pos + F.lit(base))
+        off = F.coalesce(*[F.when(F.spark_partition_id() == pid, F.lit(o))
+                           for pid, o in offsets.items()], F.lit(base))
+        return d.withColumn(pk, (off + pos).cast("long"))
 
     def _next_pk_base(self) -> int:
         pk = self.pk_field

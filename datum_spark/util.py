@@ -126,3 +126,46 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+# ---------------------------------------------------------------------------
+# Bounded ring of operator-internal caches.
+#
+# Lazy-returning operators persist intermediates (compute-once barriers)
+# but have no post-materialization hook to unpersist them — a long-lived
+# session would accumulate cached blocks until LRU pressure (ADVICE r01).
+# Eager alternatives measured badly: localCheckpoint stores row copies
+# instead of the columnar cache (5× slower on the MinHash bench path), and
+# a GC-finalizer tied to the returned plan fires before execution whenever
+# the caller derives a new DataFrame and drops ours.  A FIFO cap keeps the
+# most recent caches warm through their use window and deterministically
+# frees older ones; an evicted cache that some still-unexecuted plan
+# references just recomputes (correct, slower).
+
+from collections import deque as _deque
+
+_CACHE_RING = _deque()
+_CACHE_RING_CAP = 8
+
+
+def retain_cache(df):
+    """persist ``df`` and enroll it in the bounded cache ring."""
+    cached = df.persist()
+    _CACHE_RING.append(cached)
+    while len(_CACHE_RING) > _CACHE_RING_CAP:
+        old = _CACHE_RING.popleft()
+        try:
+            old.unpersist(False)
+        except Exception:  # noqa: BLE001 — session may already be stopped
+            pass
+    return cached
+
+
+def clear_operator_caches() -> None:
+    """Unpersist every operator-internal cache (e.g. at pipeline end)."""
+    while _CACHE_RING:
+        old = _CACHE_RING.popleft()
+        try:
+            old.unpersist(False)
+        except Exception:  # noqa: BLE001
+            pass

@@ -309,3 +309,43 @@ def test_single_geom_enforced(tmp_db):
 def test_save_close_noop(tmp_db):
     tmp_db.save()
     tmp_db.close()
+
+
+def test_auto_pk_dense_sequential(tmp_db, spark):
+    """Auto-PK matches the reference's `serial` semantics: dense 1..N ids
+    even for multi-partition writes, continuing at N+1 on the next write
+    (no ~2^33 monotonically_increasing_id gaps between partitions)."""
+    from pyspark.sql import functions as F
+
+    tmp_db.create_table("seq", [{"name": "a", "type": "num"}])
+    src = spark.range(0, 500).repartition(8).select(
+        F.col("id").cast("double").alias("a"))
+    tmp_db["seq"].write(src)
+    ids = sorted(r["id"] for r in tmp_db["seq"].df().select("id").collect())
+    assert ids == list(range(1, 501))
+    tmp_db["seq"].write([{"a": -1.0}, {"a": -2.0}])
+    ids = sorted(r["id"] for r in tmp_db["seq"].df().select("id").collect())
+    assert ids == list(range(1, 503))
+
+
+def test_rewrite_survives_stale_staging_dirs(tmp_db, spark):
+    """A leftover staging/backup dir from a crashed rewrite must not break
+    the next optimize, and the table dir is never the rename target's
+    sibling leftover."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    tmp_db.create_table("rw", [{"name": "k", "type": "num"}])
+    tmp_db["rw"].write(spark.range(0, 100).select(
+        F.col("id").cast("double").alias("k")))
+    path = tmp_db._table_path("rw")
+    for suffix in (".__rewrite__", ".__old__"):
+        os.makedirs(path + suffix, exist_ok=True)
+        with open(path + suffix + "/junk", "w") as fh:
+            fh.write("stale")
+    tmp_db["rw"].optimize("k", target_partitions=2)
+    assert tmp_db["rw"].count == 100
+    assert not os.path.exists(path + ".__rewrite__")
+    assert not os.path.exists(path + ".__old__")

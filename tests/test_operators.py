@@ -202,6 +202,49 @@ def test_cosine_top_k_exact(spark):
     assert out[0]["cosine"] == 1.0
 
 
+def test_zero_vector_never_ranks_or_passes_threshold(spark):
+    """A zero embedding has no direction: it must not appear as anyone's
+    neighbor (NaN cosine would sort ABOVE all numbers in desc order), and a
+    zero query must return no rows."""
+    from datum_spark.operators import embedding_cosine_dups
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (10, [1.0, 0.1]), (11, [0.0, 0.0]),
+         (12, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    c = emb.filter(F.col("vec_id") >= 10)
+    out = cosine_top_k(q, c, k=3, round_to=6).collect()
+    assert [r["neighbor_id"] for r in out] == [12, 10]  # 11 excluded
+    zq = emb.filter(F.col("vec_id") == 11)
+    assert cosine_top_k(zq, c, k=3).count() == 0
+    # threshold paths (LSH and exact GEMM): no pair may involve the zero id
+    for use_lsh in (True, False):
+        pairs = embedding_cosine_dups(emb, "vec_id", "embedding",
+                                      threshold=0.9,
+                                      use_lsh=use_lsh).collect()
+        ids = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+        assert 11 not in ids
+        assert (0, 12) in {(r["id_a"], r["id_b"]) for r in pairs}
+
+
+def test_string_ids_through_pair_operators(spark):
+    """Pair-producing operators must mirror the caller's id type — string
+    doc ids are the common case in corpora."""
+    from datum_spark.operators import embedding_cosine_dups
+    from datum_spark.operators.clustering import semantic_dedup_pairs
+
+    emb = spark.createDataFrame(
+        [("docA", [1.0, 0.0]), ("docB", [1.0, 0.01]), ("docC", [0.0, 1.0])],
+        "doc_id string, embedding array<double>")
+    got = embedding_cosine_dups(emb, "doc_id", "embedding", threshold=0.95,
+                                use_lsh=False).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {("docA", "docB")}
+    got = semantic_dedup_pairs(emb, "doc_id", "embedding", k=2, iters=1,
+                               threshold=0.95).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {("docA", "docB")}
+
+
 def test_lsh_recall_on_fixture(spark, smoke_db):
     """LSH top-1 must agree with exact top-1 for most queries (recall check
     on the real embeddings fixture)."""
