@@ -1279,6 +1279,145 @@ def x58(spark, sf):
             .orderBy("cluster", "rnk"))
 
 
+@x("x59_split_md5", """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substring(md5('split-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 3435973836 THEN 'train'
+            WHEN bk < 3865470566 THEN 'val'
+            ELSE 'test' END AS split,
+       source, COUNT(*) AS n
+FROM b GROUP BY 1, 2 ORDER BY split, source""")
+def x59(spark, sf):
+    """Portable deterministic 3-way split (md5 bucket — any engine can
+    recompute membership, unlike xxhash64's x38): per (split, source)
+    counts, fully value-checked against the SQL oracle."""
+    from .operators import with_md5_split_label
+
+    docs = load(spark, sf, "documents")
+    return (with_md5_split_label(docs, "doc_id",
+                                 {"train": 0.8, "val": 0.1, "test": 0.1})
+            .groupBy("split", "source")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("split", "source"))
+
+
+@x("x60_group_sample", """
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(('0x' || substring(
+                     md5('sample-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT), doc_id) AS rnk
+  FROM documents
+)
+SELECT doc_id, lang, rnk FROM r WHERE rnk <= 20 ORDER BY lang, rnk""")
+def x60(spark, sf):
+    """Fixed-size-per-group deterministic sample: 20 docs per language,
+    ranked by a portable md5 pseudo-random order (eval-set construction
+    that any engine can audit row for row)."""
+    from .operators import deterministic_group_sample
+
+    docs = load(spark, sf, "documents")
+    return (deterministic_group_sample(docs, "lang", 20, "doc_id")
+            .select("doc_id", "lang", "rnk")
+            .orderBy("lang", "rnk"))
+
+
+@x("x61_doc_frequency", """
+WITH w AS (
+  SELECT unnest(list_distinct(
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> ''))) AS word
+  FROM documents
+), t AS (SELECT COUNT(*) AS n FROM documents)
+SELECT w.word, COUNT(*) AS df_count
+FROM w, t GROUP BY w.word, t.n HAVING COUNT(*) > 0.05 * t.n
+ORDER BY word""")
+def x61(spark, sf):
+    """Exact document-frequency heavy hitters (words in > 5% of docs) —
+    stopword discovery / vocabulary pruning.  Per-doc array_distinct,
+    explode, partial+final count, broadcast total; no driver action in
+    the plan."""
+    from .operators import doc_frequency
+
+    docs = load_docs(spark, sf)
+    return (doc_frequency(docs, "text", min_fraction=0.05)
+            .orderBy("word"))
+
+
+@x("x62_minhash_md5", """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       list_sum(list_transform(range(1, 17),
+         i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+         AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+    OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+    OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+    OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+  AND list_sum(list_transform(range(1, 17),
+        i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+ORDER BY id_a, id_b""")
+def x62(spark, sf):
+    """MinHash-LSH near-dup pairs over the PORTABLE md5 hash family —
+    the one MinHash variant whose signatures (and therefore candidate
+    pairs AND estimated Jaccard values) an external SQL engine can
+    recompute exactly.  Same banded pipeline as x04/x37; the oracle
+    spells banding as pairwise band equality, which is identical up to
+    negligible (~2^-64) bucket-hash collisions."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return (dedup_mod.minhash_near_dups_md5(docs, "doc_id", "text",
+                                            num_hashes=16, bands=4,
+                                            threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+@x("x63_top_bigrams", """
+WITH ws AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), bg AS (
+  SELECT unnest(CASE WHEN length(w) >= 2
+                     THEN list_transform(range(1, length(w)),
+                                         i -> w[i] || ' ' || w[i + 1])
+                     ELSE CAST([] AS VARCHAR[]) END) AS ngram
+  FROM ws
+)
+SELECT ngram, COUNT(*) AS n_occ FROM bg GROUP BY ngram
+ORDER BY n_occ DESC, ngram LIMIT 20""")
+def x63(spark, sf):
+    """Top-20 word bigrams (boilerplate / contamination screens):
+    map-side n-gram generation in whole-stage codegen, explode, hash
+    count, TakeOrdered top-k — no global vocabulary sort."""
+    from .operators import top_ngrams
+
+    docs = load_docs(spark, sf)
+    return top_ngrams(docs, "text", n=2, k=20).orderBy(
+        F.col("n_occ").desc(), F.col("ngram").asc())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

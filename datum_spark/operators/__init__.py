@@ -8,20 +8,24 @@ from .clustering import (cluster_coreset, kmeans_assign, kmeans_fit,
                          kmeans_inertia, semantic_dedup_pairs)
 from .asof import asof_join
 from .skew import salted_join
-from .sampling import (hash_split, mix_sources, stratified_sample,
-                       with_split_label)
+from .sampling import (deterministic_group_sample, hash_split,
+                       md5_bucket, mix_sources, stratified_sample,
+                       with_md5_split_label, with_split_label)
 from .packing import pack_documents, pack_summary
 from .dedup import (
     exact_dedup,
     exact_dup_groups,
     minhash_near_dups,
     minhash_near_dups_fast,
+    minhash_near_dups_md5,
     simhash_near_dups,
     ngram_jaccard_pairs,
     embedding_cosine_dups,
 )
 from .similarity import cosine_top_k, ivf_cosine_top_k, lsh_cosine_top_k
 from .text import (
+    doc_frequency,
+    top_ngrams,
     with_token_count,
     with_quality_score,
     with_language_guess,
@@ -35,6 +39,8 @@ __all__ = [
     "kmeans_assign", "kmeans_fit", "kmeans_inertia", "semantic_dedup_pairs",
     "cluster_coreset",
     "hash_split", "mix_sources", "stratified_sample", "with_split_label",
+    "md5_bucket", "with_md5_split_label", "deterministic_group_sample",
+    "doc_frequency", "top_ngrams", "minhash_near_dups_md5",
     "pack_documents", "pack_summary",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
     "minhash_near_dups_fast",

@@ -141,6 +141,50 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     return _banded_candidate_pairs(sig, num_hashes, bands, threshold)
 
 
+# modulus for the portable (md5) MinHash affine family: 2^61 - 1 (prime).
+# Multipliers stay < 2^30 so a*h (< 2^62) never overflows a bigint in
+# either engine — both Spark (ANSI mode) and DuckDB would raise on
+# overflow rather than wrap.
+_MD5_MINHASH_P = (1 << 61) - 1
+
+
+def minhash_signature_md5(text_col, num_hashes: int = 16,
+                          shingle_k: int = 5):
+    """MinHash signature over a PORTABLE hash family: shingle →
+    ``int(md5(shingle)[:8], 16)`` → ``min((2i+1)·h + 7919·i mod 2^61-1)``.
+
+    Any md5-capable engine reproduces these signatures exactly (the
+    engine-native families in :func:`minhash_signature` /
+    :func:`minhash_signature_fast` are faster but Spark-specific), which
+    makes the whole MinHash pipeline value-checkable against an external
+    SQL oracle — use this variant when audits matter more than
+    throughput.
+    """
+    shingles = _char_shingles(text_col, shingle_k)
+    hashes = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+
+    def affine(i):
+        a, b = 2 * i + 1, 7919 * i
+        return lambda h: (h * a + b) % F.lit(_MD5_MINHASH_P)
+
+    return F.array(*[F.array_min(F.transform(hashes, affine(i)))
+                     for i in range(num_hashes)])
+
+
+def minhash_near_dups_md5(df: DataFrame, id_col: str, text_col: str,
+                          num_hashes: int = 16, bands: int = 4,
+                          shingle_k: int = 5,
+                          threshold: float = 0.5) -> DataFrame:
+    """:func:`minhash_near_dups` over the portable md5 hash family —
+    identical banding/pair semantics, externally reproducible values."""
+    sig = df.select(F.col(id_col).alias("__id"),
+                    minhash_signature_md5(F.col(text_col), num_hashes,
+                                          shingle_k).alias("__sig"))
+    return _banded_candidate_pairs(sig, num_hashes, bands, threshold)
+
+
 def minhash_signature_fast(num_hashes: int = 32, shingle_k: int = 5,
                            seed: int = 42):
     """Vectorized MinHash signature pandas UDF (text → array<bigint>).

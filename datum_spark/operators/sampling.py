@@ -47,6 +47,70 @@ def with_split_label(df: DataFrame, key_col: str,
                                    .otherwise(F.lit("train")))
 
 
+def md5_bucket(col, salt: str = "split"):
+    """Deterministic uniform bucket in ``[0, 2^32)`` from a key — computed
+    identically by ANY engine with ``md5`` (Spark, DuckDB, Postgres, ...):
+    ``int(md5(salt-key)[:8], 16)``.
+
+    Use when split/sample membership must be auditable OUTSIDE Spark
+    (xxhash64 in :func:`hash_split` is Spark-specific; md5 costs more per
+    row but is the portable contract).  Map-side only.
+    """
+    s = F.concat_ws("-", F.lit(salt), col.cast("string"))
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def md5_split_cuts(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """Cumulative bucket-space cut points for :func:`with_md5_split_label`,
+    in the dict's insertion order: ``[(label, upper_bound), ...]``."""
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    cuts, acc = [], 0.0
+    for label, frac in fractions.items():
+        acc += frac
+        cuts.append((label, int(acc * (1 << 32))))
+    return cuts
+
+
+def with_md5_split_label(df: DataFrame, key_col: str,
+                         fractions: dict[str, float] | None = None,
+                         salt: str = "split",
+                         out_col: str = "split") -> DataFrame:
+    """Multi-way deterministic split ('train'/'val'/'test' by default)
+    whose membership any md5-capable engine can recompute — the portable
+    sibling of :func:`with_split_label`.  Same leak-proofness: membership
+    is a pure function of the key."""
+    fractions = fractions or {"train": 0.8, "val": 0.1, "test": 0.1}
+    cuts = md5_split_cuts(fractions)
+    bucket = md5_bucket(F.col(key_col), salt)
+    # ascending when-chain over cumulative bounds; the last label is the
+    # otherwise-branch and catches rounding residue at 2^32
+    expr = None
+    for label, bound in cuts[:-1]:
+        expr = (F.when(bucket < bound, F.lit(label)) if expr is None
+                else expr.when(bucket < bound, F.lit(label)))
+    expr = F.lit(cuts[0][0]) if expr is None else expr.otherwise(
+        F.lit(cuts[-1][0]))
+    return df.withColumn(out_col, expr)
+
+
+def deterministic_group_sample(df: DataFrame, group_col: str, n: int,
+                               key_col: str,
+                               salt: str = "sample") -> DataFrame:
+    """Fixed-size-per-group sample (e.g. 20 docs per language for an eval
+    set): rank rows within each group by their md5 bucket (a deterministic
+    pseudo-random order any engine can reproduce) and keep the first
+    ``n``.  One shuffle on ``group_col``; ties broken by the key so the
+    result is unique.  Adds ``rnk`` (1-based)."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(group_col)
+               .orderBy(md5_bucket(F.col(key_col), salt).asc(),
+                        F.col(key_col).asc()))
+    return (df.withColumn("rnk", F.row_number().over(w))
+              .filter(F.col("rnk") <= n))
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict, seed: int = 42) -> DataFrame:
     """Per-stratum Bernoulli sampling (``sampleBy``): e.g. downsample an

@@ -177,3 +177,52 @@ def repetition_ratio(col: Column) -> Column:
 def with_repetition_ratio(df: DataFrame, text_col: str = "text",
                           out_col: str = "repetition") -> DataFrame:
     return df.withColumn(out_col, repetition_ratio(F.col(text_col)))
+
+
+def doc_frequency(df: DataFrame, text_col: str = "text",
+                  min_fraction: float = 0.05) -> DataFrame:
+    """Document-frequency heavy hitters: words appearing in more than
+    ``min_fraction`` of documents (exact, not sketched) — the standard
+    stopword-discovery / vocabulary-pruning pass of corpus pipelines.
+
+    Shape: map-side ``array_distinct`` per document (a word counts once
+    per doc), explode, one hash aggregation, then a broadcast cross join
+    of the single-row total — no driver-side ``count()`` action inside
+    the plan, so the operator composes lazily.  At 100 TB the explode's
+    partial aggregation collapses each partition's vocabulary before the
+    shuffle, so the exchange carries ~|vocab| rows per partition, not
+    |tokens|.
+    """
+    words = df.select(F.explode(F.array_distinct(_words(F.col(text_col))))
+                      .alias("word"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (words.groupBy("word")
+                 .agg(F.count(F.lit(1)).alias("df_count"))
+                 .crossJoin(F.broadcast(total))
+                 .filter(F.col("df_count") > F.lit(min_fraction)
+                         * F.col("__total"))
+                 .drop("__total"))
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
+               k: int = 20) -> DataFrame:
+    """Top-``k`` word ``n``-grams by total occurrence count (``n_occ``),
+    ties broken by the n-gram string — n-gram frequency analysis for
+    boilerplate detection and contamination screens.
+
+    Map-side n-gram generation (``transform`` over an index sequence —
+    whole-stage codegen, no UDF), explode, partial+final count, and a
+    ``TakeOrdered`` top-k instead of a global sort of the vocabulary.
+    """
+    ws = _words(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(ws) - (n - 1), F.lit(0)))
+    grams = F.when(
+        F.size(ws) >= n,
+        F.transform(idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + j) for j in range(n)]))
+    ).otherwise(F.array().cast("array<string>"))
+    return (df.select(F.explode(grams).alias("ngram"))
+              .groupBy("ngram")
+              .agg(F.count(F.lit(1)).alias("n_occ"))
+              .orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
+              .limit(k))

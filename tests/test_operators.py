@@ -461,3 +461,78 @@ def test_mix_sources_monotone_in_weight(spark):
     high = {r["doc_id"] for r in
             mix_sources(df, {"web": 0.5, "books": 0.5}).collect()}
     assert low <= high
+
+
+def test_md5_split_portable_and_leakproof(spark):
+    """md5 bucket matches an independent Python computation (the portable
+    contract) and membership is a pure function of the key."""
+    import hashlib
+
+    from datum_spark.operators import with_md5_split_label
+
+    df = spark.range(0, 500).select(F.col("id").alias("k"))
+    out = {r["k"]: r["split"]
+           for r in with_md5_split_label(df, "k").collect()}
+    for k in (0, 1, 42, 499):
+        b = int(hashlib.md5(f"split-{k}".encode()).hexdigest()[:8], 16)
+        want = ("train" if b < 3435973836
+                else "val" if b < 3865470566 else "test")
+        assert out[k] == want
+    # stable under repartitioning
+    out2 = {r["k"]: r["split"]
+            for r in with_md5_split_label(df.repartition(13), "k").collect()}
+    assert out == out2
+
+
+def test_deterministic_group_sample_sizes_and_stability(spark):
+    from datum_spark.operators import deterministic_group_sample
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(90)], "id long, g string")
+    out = deterministic_group_sample(df, "g", 5, "id")
+    assert out.groupBy("g").count().collect()[0]["count"] == 5
+    a = sorted((r["g"], r["id"]) for r in out.collect())
+    b = sorted((r["g"], r["id"]) for r in deterministic_group_sample(
+        df.repartition(7), "g", 5, "id").collect())
+    assert a == b
+
+
+def test_top_ngrams_short_docs_and_counts(spark):
+    from datum_spark.operators import top_ngrams
+
+    df = spark.createDataFrame(
+        [("a b a b",), ("a b",), ("solo",), ("",)], "text string")
+    got = {r["ngram"]: r["n_occ"] for r in top_ngrams(df, "text").collect()}
+    assert got == {"a b": 3, "b a": 1}  # single-word/empty docs contribute 0
+
+
+def test_minhash_md5_matches_reference_computation(spark):
+    """Signatures equal an independent Python md5 MinHash — the property
+    that makes x62 externally auditable."""
+    import hashlib
+
+    from datum_spark.operators.dedup import (_MD5_MINHASH_P,
+                                             minhash_signature_md5)
+
+    text = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(minhash_signature_md5(
+        F.col("text"), num_hashes=4).alias("s")).first()["s"]
+    t = text.lower()
+    shingles = {t[i:i + 5] for i in range(len(t) - 4)}
+    hv = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+          for s in shingles]
+    want = [min((h * (2 * i + 1) + 7919 * i) % _MD5_MINHASH_P for h in hv)
+            for i in range(4)]
+    assert list(got) == want
+
+
+def test_doc_frequency_exact(spark):
+    from datum_spark.operators import doc_frequency
+
+    df = spark.createDataFrame(
+        [("cat dog",), ("cat cat bird",), ("cat fish",), ("dog",)],
+        "text string")
+    got = {r["word"]: r["df_count"]
+           for r in doc_frequency(df, "text", min_fraction=0.4).collect()}
+    assert got == {"cat": 3, "dog": 2}  # per-doc distinct: 'cat cat' = 1
