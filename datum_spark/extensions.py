@@ -1418,6 +1418,62 @@ def x63(spark, sf):
         F.col("n_occ").desc(), F.col("ngram").asc())
 
 
+@x("x64_mix_md5", """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substring(md5('mix-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS bk
+  FROM documents
+)
+SELECT source, COUNT(*) AS n FROM b
+WHERE bk < (CASE source WHEN 'src0' THEN 0.25 WHEN 'src1' THEN 0.5
+                        WHEN 'src2' THEN 0.0 ELSE 1.0 END) * 4294967296.0
+GROUP BY source ORDER BY source""")
+def x64(spark, sf):
+    """Portable deterministic corpus mixing (md5 keep/drop): per-source
+    kept counts, fully value-checked — the auditable sibling of x56's
+    xxhash64 mixing."""
+    from .operators import mix_sources_md5
+
+    docs = load(spark, sf, "documents")
+    kept = mix_sources_md5(docs, {"src0": 0.25, "src1": 0.5, "src2": 0.0})
+    return (kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("source"))
+
+
+@x("x65_upsample", """
+WITH w AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(
+               md5('upsample-' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) AS bk,
+         CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                     ELSE 1.0 END AS wt
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(wt) AS BIGINT)
+         + CASE WHEN bk < (wt - FLOOR(wt)) * 4294967296.0
+                THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT doc_id, source,
+       unnest(range(0, CAST(n_copies AS INTEGER))) AS copy_idx
+FROM n WHERE n_copies > 0 ORDER BY doc_id, copy_idx""")
+def x65(spark, sf):
+    """Deterministic upsampling (weights > 1 → row replication with a
+    copy index; the fractional copy decided by the portable md5 bucket).
+    Map-only explode in codegen, reproducible epoch over epoch; the
+    oracle re-derives every replica row."""
+    from .operators import upsample_sources
+
+    docs = load(spark, sf, "documents")
+    out = upsample_sources(docs, {"src0": 2.5, "src1": 0.4})
+    return (out.select("doc_id", "source",
+                       F.col("copy_idx").cast("long").alias("copy_idx"))
+               .orderBy("doc_id", "copy_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in EXTENSIONS.items()}
 

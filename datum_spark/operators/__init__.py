@@ -9,7 +9,8 @@ from .clustering import (cluster_coreset, kmeans_assign, kmeans_fit,
 from .asof import asof_join
 from .skew import salted_join
 from .sampling import (deterministic_group_sample, hash_split,
-                       md5_bucket, mix_sources, stratified_sample,
+                       md5_bucket, mix_sources, mix_sources_md5,
+                       stratified_sample, upsample_sources,
                        with_md5_split_label, with_split_label)
 from .packing import pack_documents, pack_summary
 from .dedup import (
@@ -40,6 +41,7 @@ __all__ = [
     "cluster_coreset",
     "hash_split", "mix_sources", "stratified_sample", "with_split_label",
     "md5_bucket", "with_md5_split_label", "deterministic_group_sample",
+    "mix_sources_md5", "upsample_sources",
     "doc_frequency", "top_ngrams", "minhash_near_dups_md5",
     "pack_documents", "pack_summary",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",

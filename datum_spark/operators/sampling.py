@@ -145,3 +145,52 @@ def mix_sources(df: DataFrame, weights: dict, source_col: str = "source",
         expr = F.when(F.col(source_col) == src, F.lit(float(w))
                       ).otherwise(expr)
     return df.filter(bucket < expr * _BUCKETS)
+
+
+def mix_sources_md5(df: DataFrame, weights: dict, source_col: str = "source",
+                    id_col: str = "doc_id", salt: str = "mix",
+                    default_weight: float = 1.0) -> DataFrame:
+    """:func:`mix_sources` over the portable md5 bucket — keep/drop
+    decisions any engine can recompute (same monotone-in-weight and
+    partitioning-independence properties)."""
+    bucket = md5_bucket(F.col(id_col), salt)
+    expr = F.lit(float(default_weight))
+    for src, w in sorted(weights.items()):
+        expr = F.when(F.col(source_col) == src, F.lit(float(w))
+                      ).otherwise(expr)
+    return df.filter(bucket < expr * F.lit(float(1 << 32)))
+
+
+def upsample_sources(df: DataFrame, weights: dict,
+                     source_col: str = "source", id_col: str = "doc_id",
+                     salt: str = "upsample",
+                     default_weight: float = 1.0,
+                     copy_col: str = "copy_idx") -> DataFrame:
+    """Deterministic corpus re-weighting with weights ABOVE 1: a row of
+    source ``s`` with weight ``w`` appears ``floor(w)`` or ``ceil(w)``
+    times, the fractional extra copy decided by the row's md5 bucket —
+    epochs of an upsampled mixture are reproducible from the data alone.
+
+    ``copy_idx`` (0-based) distinguishes the replicas, so downstream
+    shuffles can spread them (e.g. salt a groupBy with it) and exact
+    dedup can fold them back.  Map-only: the replication is
+    ``explode(sequence(...))`` in whole-stage codegen — no UDF, no join,
+    no shuffle; sub-1 weights degenerate to the :func:`mix_sources_md5`
+    keep/drop filter (0 or 1 copies).
+    """
+    bucket = md5_bucket(F.col(id_col), salt)
+    w_expr = F.lit(float(default_weight))
+    for src, w in sorted(weights.items()):
+        if w < 0:
+            raise ValueError(f"negative weight for {src!r}")
+        w_expr = F.when(F.col(source_col) == src, F.lit(float(w))
+                        ).otherwise(w_expr)
+    base = F.floor(w_expr).cast("long")
+    frac = w_expr - base
+    n_copies = base + F.when(bucket < frac * F.lit(float(1 << 32)),
+                             F.lit(1)).otherwise(F.lit(0)).cast("long")
+    return (df.withColumn("__n", n_copies)
+              .filter(F.col("__n") > 0)
+              .withColumn(copy_col,
+                          F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+              .drop("__n"))

@@ -536,3 +536,27 @@ def test_doc_frequency_exact(spark):
     got = {r["word"]: r["df_count"]
            for r in doc_frequency(df, "text", min_fraction=0.4).collect()}
     assert got == {"cat": 3, "dog": 2}  # per-doc distinct: 'cat cat' = 1
+
+
+def test_upsample_sources_copy_counts(spark):
+    """weight 2.5 -> 2 or 3 copies decided by the portable md5 bucket;
+    weight 0.4 -> 0 or 1; copy_idx dense from 0."""
+    import hashlib
+
+    from datum_spark.operators import upsample_sources
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 50 else "b") for i in range(100)],
+        "doc_id long, source string")
+    out = upsample_sources(df, {"a": 2.5, "b": 0.4}).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], []).append(r["copy_idx"])
+    for i in range(100):
+        b = int(hashlib.md5(f"upsample-{i}".encode()).hexdigest()[:8], 16)
+        w = 2.5 if i < 50 else 0.4
+        import math
+        want = int(math.floor(w)) + (1 if b < (w - math.floor(w)) * (1 << 32)
+                                     else 0)
+        got = sorted(by_id.get(i, []))
+        assert got == list(range(want)), (i, got, want)
