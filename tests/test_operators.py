@@ -92,6 +92,19 @@ def test_simhash_near_dups(docs):
     assert (1, 3) not in pairs
 
 
+def test_simhash_near_dups_fast(docs):
+    """The vectorized signature stage preserves the SimHash invariants
+    (identical docs → distance 0; near dups within budget; distinct docs
+    outside it) even though its hash family differs from the JVM path."""
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_dups(docs, "doc_id", "text",
+                                        max_hamming=10,
+                                        fast=True).collect()}
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs
+
+
 def test_ngram_jaccard_exact_values(docs):
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
              for r in ngram_jaccard_pairs(docs, "doc_id", "text",
