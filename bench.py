@@ -24,6 +24,15 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
+    # The contract is ONE JSON line on stdout.  The JVM writes its startup
+    # banner ("Setting default log level...", ivy resolution, GC warnings)
+    # straight to fd 1, bypassing sys.stdout — so save the real stdout and
+    # point fd 1 at stderr for the duration of the run; only the final JSON
+    # goes to the saved fd.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(2), "w")
+
     import __spark_entry__ as entry_mod
     from datum_spark.session import get_session
 
@@ -54,7 +63,7 @@ def main() -> int:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    line = json.dumps({
         "metric": "t2_suite_seconds",
         "value": total,
         "unit": "sec",
@@ -62,7 +71,8 @@ def main() -> int:
         "sf": sf_val,
         "n_queries": len(timings),
         "reps": reps,
-    }))
+    }) + "\n"
+    os.write(real_stdout_fd, line.encode())
     return 0 if len(ok) == len(timings) else 1
 
 

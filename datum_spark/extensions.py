@@ -256,7 +256,7 @@ def x09(spark, sf):
 @x("x28_time_rollup", """
 WITH m AS (
   SELECT date_trunc('minute', ts) AS bucket, event_type,
-         COUNT(*) AS n, SUM(value) AS sv
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(20,6))) AS sv
   FROM events GROUP BY 1, 2
 ), h AS (
   SELECT date_trunc('hour', bucket) AS bucket, event_type,
@@ -268,7 +268,7 @@ WITH m AS (
   FROM h GROUP BY 1, 2
 )
 SELECT grain, CAST(bucket AS TIMESTAMP) AS bucket, event_type, n,
-       ROUND(sv, 3) AS sv
+       CAST(ROUND(sv, 3) AS DOUBLE) AS sv
 FROM (
   SELECT 'minute' AS grain, * FROM m
   UNION ALL SELECT 'hour', * FROM h
@@ -276,14 +276,18 @@ FROM (
 ORDER BY grain, bucket, event_type""")
 def x28(spark, sf):
     """Hypertable rollup cascade: minute → hour → day, each coarser level
-    re-aggregated from the finer one (one raw scan total)."""
+    re-aggregated from the finer one (one raw scan total).  Sums accumulate
+    as exact DECIMAL (order-independent) so the cascade hash-matches the
+    oracle regardless of partial-aggregation order; the API surfaces a
+    rounded double."""
     from .operators.rollup import time_rollup_cascade
 
-    ev = load(spark, sf, "events")
+    ev = load(spark, sf, "events").withColumn(
+        "value", F.col("value").cast("decimal(20,6)"))
     out = time_rollup_cascade(ev, "ts", "value",
                               grains=["minute", "hour", "day"])
     return (out.select("grain", "bucket", "event_type", "n",
-                       F.round("sv", 3).alias("sv"))
+                       F.round("sv", 3).cast("double").alias("sv"))
                .orderBy("grain", "bucket", "event_type"))
 
 
@@ -1478,7 +1482,12 @@ def x65(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in EXTENSIONS.items()}
+    """Oracle-checked queries first: the driver hash-verifies queries in
+    dict order up to a cap, so rows-only entries (engine-specific hashes)
+    must not displace hash-checkable ones from the verified set."""
+    ordered = ([n for n, (_, sql) in EXTENSIONS.items() if sql is not None]
+               + [n for n, (_, sql) in EXTENSIONS.items() if sql is None])
+    return {name: EXTENSIONS[name][0] for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:
