@@ -267,7 +267,8 @@ WITH m AS (
          SUM(n) AS n, SUM(sv) AS sv
   FROM h GROUP BY 1, 2
 )
-SELECT grain, CAST(bucket AS TIMESTAMP) AS bucket, event_type, n,
+SELECT grain, CAST(bucket AS TIMESTAMP) AS bucket, event_type,
+       CAST(n AS BIGINT) AS n,
        CAST(ROUND(sv, 3) AS DOUBLE) AS sv
 FROM (
   SELECT 'minute' AS grain, * FROM m

@@ -35,33 +35,57 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 
 
 def normalize_nanos(df: DataFrame, path: str) -> DataFrame:
-    """Convert BIGINT-nanos columns (from ``nanosAsLong``) to microsecond
-    timestamps.  Works on batch AND streaming DataFrames (pure projection).
-    """
-    nanos = set(_nanos_timestamp_cols(path))
-    if nanos:
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    """Normalize Parquet TIMESTAMP(NANOS) columns to session-zoned
+    microsecond TIMESTAMP.  Works on batch AND streaming DataFrames (pure
+    projection).
 
-        for f in df.schema.fields:
-            # guard on the Spark-side type: pyarrow also reports legacy
-            # INT96 timestamps as ns, but Spark reads those as TIMESTAMP
-            # already — only BIGINT columns need the conversion.
-            if f.name in nanos and isinstance(f.dataType, T.LongType):
-                # integer division — float division would round-trip the
-                # ns-since-epoch through double and lose microseconds
-                df = df.withColumn(f.name, F.timestamp_micros(
-                    F.expr(f"`{f.name}` DIV 1000")))
+    Two reader behaviors exist across PySpark versions:
+    - with ``nanosAsLong`` honored, a TIMESTAMP(NANOS) column arrives as
+      BIGINT ns-since-epoch → convert via integer division;
+    - under PySpark 4.1.x ANY parquet timestamp with isAdjustedToUTC=false
+      (micros or nanos) is inferred as TIMESTAMP_NTZ → cast to TIMESTAMP.
+      The session is pinned to UTC, so the cast is value-preserving, and
+      it is required for event-time ops: ``withWatermark`` rejects
+      TIMESTAMP_NTZ (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    nanos = set(_nanos_timestamp_cols(path))
+    for f in df.schema.fields:
+        # LongType conversion is gated on the footer probe: pyarrow also
+        # reports legacy INT96 timestamps as ns, but Spark reads those as
+        # TIMESTAMP already — only true BIGINT-nanos columns need it.
+        if f.name in nanos and isinstance(f.dataType, T.LongType):
+            # integer division — float division would round-trip the
+            # ns-since-epoch through double and lose microseconds
+            df = df.withColumn(f.name, F.timestamp_micros(
+                F.expr(f"`{f.name}` DIV 1000")))
+        elif isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(
+                f.name, F.col(f.name).cast(T.TimestampType()))
     return df
 
 
 _NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 
 
+_NTZ_CONF = "spark.sql.parquet.inferTimestampNTZ.enabled"
+
+
 def ensure_nanos_readable(spark: SparkSession, path: str) -> None:
     """Enable ``nanosAsLong`` at runtime iff the footer carries
     TIMESTAMP(NANOS) columns, so the scan works even under a caller-built
-    vanilla session (it is a regular SQL conf, not a static one)."""
+    vanilla session (it is a regular SQL conf, not a static one).
+
+    Also disables TIMESTAMP_NTZ inference (PySpark 4.1 default): the
+    engine's timestamp contract is session-zoned TIMESTAMP (session pinned
+    UTC), and event-time operators reject NTZ.  ``normalize_nanos`` still
+    casts any NTZ column that slips through (e.g. a caller-supplied
+    DataFrame that never went through this reader).
+    """
+    if spark.conf.get(_NTZ_CONF, "true") != "false":
+        spark.conf.set(_NTZ_CONF, "false")
     if _nanos_timestamp_cols(path) and \
             spark.conf.get(_NANOS_CONF, "false") != "true":
         spark.conf.set(_NANOS_CONF, "true")

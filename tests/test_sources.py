@@ -87,17 +87,52 @@ def test_nanos_events_normalized(spark):
     assert df.count() > 0
 
 
-def test_nanos_read_without_session_default(spark):
+def test_nanos_read_without_session_default(tmp_path, spark):
     """The driver hands us a vanilla session without nanosAsLong in its
-    defaults; read_parquet_normalized must set the conf itself
-    (CORRECTNESS_r01: q30/q31/x28/x30/x32 all failed on this)."""
+    defaults; read_parquet_normalized must set the conf itself when the
+    footer carries TIMESTAMP(NANOS) columns (CORRECTNESS_r01: q30/q31/
+    x28/x30/x32 all failed on this).  The events fixture is micros under
+    this runtime, so the nanos path is exercised with a synthetic file."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "nanos.parquet")
+    base = datetime.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([base + datetime.timedelta(seconds=i)
+                        for i in range(3)], pa.timestamp("ns")),
+    })
+    pq.write_table(tbl, path)
+
     conf = "spark.sql.legacy.parquet.nanosAsLong"
     spark.conf.unset(conf)
     try:
-        df = read_parquet_normalized(
-            spark, "/root/testdata/sf0.001/events.parquet")
+        df = read_parquet_normalized(spark, path)
         assert dict(df.dtypes)["ts"] == "timestamp"
-        assert df.count() > 0
+        assert df.count() == 3
         assert spark.conf.get(conf) == "true"
     finally:
         spark.conf.set(conf, "true")
+
+
+def test_ntz_micros_normalized(tmp_path, spark):
+    """Parquet micros timestamps with isAdjustedToUTC=false must come back
+    as session-zoned TIMESTAMP, not TIMESTAMP_NTZ (PySpark 4.1 default
+    inference), value-preserved under the UTC session."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "micros.parquet")
+    base = datetime.datetime(2024, 1, 1, 12, 34, 56, 789000)
+    tbl = pa.table({"ts": pa.array([base], pa.timestamp("us"))})
+    pq.write_table(tbl, path)
+
+    df = read_parquet_normalized(spark, path)
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    [row] = df.collect()
+    assert row["ts"].replace(tzinfo=None) == base
