@@ -2,8 +2,14 @@
 
 ``entry(spark)`` runs the flagship star-join (t2 Q10, TPC-H Q5 skeleton) at
 sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
-(Tier-B Q01–Q31 + §2-C extensions x01–x58); ``oracle_sql()`` carries the
+(Tier-B Q01–Q31 + §2-C extensions x01–x72); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
+
+Ordering: the driver hash-verifies entries in dict order up to a cap (50 in
+rounds 1–3), so the dict leads with oracle-bearing entries that have NOT yet
+been driver-checked (rounds 1–3 all verified the same first 50: Q01–Q31 +
+19 x-entries — see CORRECTNESS_r03.json), then x28 (fixed this round), then
+the new x66–x72, then the already-verified rest, then rows-only entries.
 """
 
 from __future__ import annotations
@@ -20,11 +26,46 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
+# Names hash-verified by the driver in rounds 1–3 (CORRECTNESS_r01–r03):
+# every run covered the same 50-entry prefix.  Everything oracle-bearing
+# outside this set goes first this round so the driver's cap reaches it.
+_DRIVER_CHECKED = {
+    "q01_count", "q02_project", "q03_predicates", "q04_inner_join",
+    "q05_left_join", "q06_semi_join", "q07_anti_join", "q08_cross_join",
+    "q09_theta_join", "q10_star_join", "q11_interval_join",
+    "q12_groupby_agg", "q13_count_distinct", "q14_rollup", "q15_having",
+    "q16_median", "q17_rank_window", "q18_lag", "q19_running_sum",
+    "q20_topk", "q21_intersect", "q22_distinct", "q23_scalar_subquery",
+    "q24_cte", "q25_string_fns", "q26_date_fns", "q27_math_fns",
+    "q28_case", "q29_casts", "q30_json", "q31_window_agg",
+    "x01_dedup_exact", "x02_dup_groups", "x03_ngram_jaccard",
+    "x39_pack_documents", "x06_embedding_dups", "x08_cosine_topk",
+    "x29_part_revenue", "x30_json_typed", "x31_grouping_sets",
+    "x32_stream_stream_join", "x33_string_agg", "x34_topk_per_group",
+    "x35_stats_aggs", "x36_word_count", "x10_token_count",
+    "x11_language_guess", "x14_asof_join", "x15_sessionize",
+    # x28_time_rollup was in the driver set but hash-FAILED through r3;
+    # its oracle was fixed this round → re-verify early (priority 1).
+}
+
+
+def _priority(name: str, has_oracle: bool) -> int:
+    if not has_oracle:
+        return 3                      # rows-only: after every oracle entry
+    if name == "x28_time_rollup":
+        return 1                      # fixed this round — re-check early
+    if name not in _DRIVER_CHECKED:
+        return 0                      # never driver-verified: lead
+    return 2                          # verified green in r1–r3
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(tierb.queries())
-    out.update(extensions.queries())
-    return out
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged.update(tierb.queries())
+    merged.update(extensions.queries())
+    oracles = oracle_sql()
+    names = sorted(merged, key=lambda n: (_priority(n, n in oracles), n))
+    return {n: merged[n] for n in names}
 
 
 def oracle_sql() -> dict[str, str]:

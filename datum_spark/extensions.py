@@ -801,18 +801,38 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
 ORDER BY c_mktsegment, c_custkey LIMIT 1000""")
 def x40(spark, sf):
     """NTILE quartiles + FIRST_VALUE / LAST_VALUE analytic functions
-    (deterministic: the window order is a total order). Completes the
-    SURVEY §2-B window-function row alongside Q17/Q18/Q19."""
-    c = load(spark, sf, "customer")
-    w = (Window.partitionBy("c_mktsegment")
-         .orderBy(F.col("c_acctbal").desc(), "c_custkey"))
-    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return (c.select(
-                "c_mktsegment", "c_custkey",
-                F.ntile(4).over(w).alias("quartile"),
-                F.first("c_custkey").over(w).alias("top_cust"),
-                F.round(F.last("c_acctbal").over(wfull), 2).alias("min_bal"))
-            .orderBy("c_mktsegment", "c_custkey").limit(1000))
+    (deterministic: the window order is a total order), spelled scale-safe
+    for LOW-cardinality window partitions: c_mktsegment has 5 values, so
+    Window.partitionBy would funnel 1/5 of the table through each task.
+    Instead the per-segment rank comes from curriculum's grouped
+    distributed prefix sum; NTILE is arithmetic on (rank, group size)
+    (first n%4 tiles get one extra row — SQL NTILE's exact fill rule);
+    FIRST_VALUE/LAST_VALUE reduce to per-segment min_by/min aggregates,
+    broadcast back."""
+    from .operators.curriculum import grouped_global_position
+
+    c = (load(spark, sf, "customer")
+         .select("c_mktsegment", "c_custkey", "c_acctbal"))
+    pos = grouped_global_position(
+        c, ["c_mktsegment"],
+        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
+        "__pos", size_col="__sz")
+    aggs = F.broadcast(
+        c.groupBy("c_mktsegment").agg(
+            F.expr("min_by(c_custkey, struct(-c_acctbal, c_custkey))")
+             .alias("top_cust"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal")))
+    r, gn = F.col("__pos"), F.col("__sz")
+    q, rem = (gn / 4).cast("long"), gn % 4
+    head = rem * (q + 1)
+    quartile = (F.when(r < head, F.floor(r / (q + 1)))
+                 .otherwise(rem + F.floor((r - head) /
+                                          F.greatest(q, F.lit(1))))
+                + 1).cast("int")
+    return (pos.join(aggs, "c_mktsegment")
+               .select("c_mktsegment", "c_custkey",
+                       quartile.alias("quartile"), "top_cust", "min_bal")
+               .orderBy("c_mktsegment", "c_custkey").limit(1000))
 
 
 @x("x41_range_frame", """
@@ -844,15 +864,23 @@ SELECT c_custkey,
        ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cd
 FROM customer ORDER BY c_custkey LIMIT 1000""")
 def x42(spark, sf):
-    """PERCENT_RANK and CUME_DIST over a global total order (single
-    partition is fine at any scale when the consumer LIMITs; for unbounded
-    output, rank via distributed sort + zipWithIndex-style two-pass)."""
-    c = load(spark, sf, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (c.select(
+    """PERCENT_RANK and CUME_DIST over a global total order, spelled
+    scale-safe: the rank comes from curriculum's distributed prefix sum
+    (range partition + local row_number + driver-side offsets), never a
+    single-partition Window.orderBy.  The order includes the unique key,
+    so there are no peers and pr = pos/(n-1), cd = (pos+1)/n exactly."""
+    from .operators.curriculum import _global_position
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    pos = _global_position(
+        c, [F.col("c_acctbal"), F.col("c_custkey")], "__pos")
+    total = pos.count()  # input cached inside _global_position
+    return (pos.select(
                 "c_custkey",
-                F.round(F.percent_rank().over(w), 6).alias("pr"),
-                F.round(F.cume_dist().over(w), 6).alias("cd"))
+                F.round(F.col("__pos") / F.lit(float(max(total - 1, 1))), 6)
+                 .alias("pr"),
+                F.round((F.col("__pos") + 1) / F.lit(float(total)), 6)
+                 .alias("cd"))
             .orderBy("c_custkey").limit(1000))
 
 
@@ -1480,6 +1508,197 @@ def x65(spark, sf):
     return (out.select("doc_id", "source",
                        F.col("copy_idx").cast("long").alias("copy_idx"))
                .orderBy("doc_id", "copy_idx"))
+
+
+# ---------------------------------------------------------------------------
+# Curriculum / corpus ordering (operators/curriculum.py) — each op is a pure
+# function of the data keyed on portable md5 buckets, so the oracle re-derives
+# every position/cutoff in SQL.
+
+@x("x66_epoch_shuffle", """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('epoch-1-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS bk
+  FROM documents
+)
+SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bk, doc_id) - 1 AS position
+FROM b ORDER BY position""")
+def x66(spark, sf):
+    """Deterministic per-epoch global shuffle: every doc gets a position
+    0..n-1 ordered by md5(epoch-key).  Spark side is the distributed
+    prefix sum of curriculum._global_position (range partition + local
+    row_number + driver-side partition offsets — never a one-partition
+    Window.orderBy); the oracle spells the same total order as a plain
+    window."""
+    from .operators import curriculum
+
+    docs = load(spark, sf, "documents")
+    out = curriculum.epoch_shuffle(docs, "doc_id", epoch=1)
+    return out.select("doc_id", "position").orderBy("position")
+
+
+@x("x67_interleave_sources", """
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substring(md5('epoch-0-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS bk
+  FROM documents
+), r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rnd
+  FROM b
+)
+SELECT doc_id, source,
+       ROW_NUMBER() OVER (ORDER BY rnd, source, doc_id) - 1 AS position
+FROM r ORDER BY position""")
+def x67(spark, sf):
+    """Round-robin source interleaving: the k-th doc of each source lands
+    in the k-th block of the epoch, so the training stream never sees a
+    long run of one source.  Global positions via the same distributed
+    prefix sum as x66."""
+    from .operators import curriculum
+
+    docs = load(spark, sf, "documents")
+    out = curriculum.interleave_sources(docs, "source", "doc_id", epoch=0)
+    return out.select("doc_id", "source", "position").orderBy("position")
+
+
+@x("x68_token_budget", """
+WITH w AS (
+  SELECT doc_id, source, n_chars,
+         CAST(('0x' || substring(md5('budget-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS bk
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY bk, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM w
+)
+SELECT doc_id, source, n_chars, CAST(cum AS BIGINT) AS cum_tokens
+FROM c WHERE cum <= 60000 ORDER BY source, cum_tokens""")
+def x68(spark, sf):
+    """Per-source token-budget prefix ("N tokens per domain"): docs are
+    ordered by their md5 bucket (an unbiased deterministic sample) and
+    kept while the running n_chars total stays within budget.  One hash
+    exchange on source + a window.  Oracle CASTs the DuckDB HUGEINT
+    window sum back to BIGINT (the x28 lesson)."""
+    from .operators import curriculum
+
+    docs = load(spark, sf, "documents")
+    out = curriculum.token_budget_sample(docs, 60000, token_col="n_chars",
+                                         group_col="source",
+                                         key_col="doc_id", salt="budget")
+    return (out.select("doc_id", "source", "n_chars", "cum_tokens")
+               .orderBy("source", "cum_tokens"))
+
+
+@x("x69_quality_percentile", """
+WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         PERCENT_RANK() OVER (PARTITION BY lang
+                              ORDER BY n_chars DESC, doc_id) AS pct
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, CAST(ROUND(pct, 6) AS DOUBLE) AS pctile
+FROM r WHERE pct <= 0.5 ORDER BY lang, pctile, doc_id""")
+def x69(spark, sf):
+    """Keep the top half of each language by length — per-group percentile
+    cutoffs, so low-resource languages are not wiped out by a global
+    threshold.  percent_rank is (rank-1)/(n-1) in double on both engines;
+    output rounded to 6 for hash stability."""
+    from .operators import curriculum
+
+    docs = load(spark, sf, "documents")
+    out = curriculum.quality_percentile_filter(docs, "n_chars",
+                                               keep_top=0.5,
+                                               group_col="lang",
+                                               key_col="doc_id")
+    return (out.select("doc_id", "lang", "n_chars",
+                       F.round("pctile", 6).cast("double").alias("pctile"))
+               .orderBy("lang", "pctile", "doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (operators/events.py) — per-user features, funnels, cohort
+# retention over the events fixture.
+
+@x("x70_user_features", """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       CAST(ROUND(SUM(value), 3) AS DOUBLE) AS sum_value,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       date_diff('second', MIN(ts), MAX(ts)) AS span_s
+FROM events GROUP BY user_id ORDER BY user_id""")
+def x70(spark, sf):
+    """Per-user feature vector (volume, breadth, value moments, lifetime
+    span) in one partial-aggregating hash exchange on user_id.  sum_value
+    rounded to 3: double addition order differs across engines."""
+    from .operators import events as events_mod
+
+    ev = load(spark, sf, "events")
+    out = events_mod.user_features(ev)
+    return (out.withColumn("sum_value",
+                           F.round("sum_value", 3).cast("double"))
+               .orderBy("user_id"))
+
+
+@x("x71_funnel", """
+WITH a AS (
+  SELECT user_id, MIN(ts) AS ts_a FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), j AS (
+  SELECT a.user_id, a.ts_a, MIN(b.ts) AS ts_b
+  FROM a LEFT JOIN events b
+    ON b.user_id = a.user_id AND b.event_type = 'purchase'
+   AND b.ts > a.ts_a
+   AND date_diff('second', a.ts_a, b.ts) <= 86400
+  GROUP BY a.user_id, a.ts_a
+)
+SELECT user_id, ts_a, ts_b,
+       CAST(CASE WHEN ts_b IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS converted,
+       date_diff('second', ts_a, ts_b) AS delay_s
+FROM j ORDER BY user_id""")
+def x71(spark, sf):
+    """Two-step signup→purchase funnel within 24h: both sides reduce to
+    one row per user BEFORE the join (min-ts aggregates), so the join is
+    1:1 on user_id — never event×event."""
+    from .operators import events as events_mod
+
+    ev = load(spark, sf, "events")
+    out = events_mod.funnel(ev, "signup", "purchase", within_s=86400)
+    return (out.select("user_id", "ts_a", "ts_b",
+                       F.col("converted").cast("int").alias("converted"),
+                       F.col("delay_s").cast("long").alias("delay_s"))
+               .orderBy("user_id"))
+
+
+@x("x72_retention_cohorts", """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), fst AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, d.day) AS INTEGER) AS day_offset,
+       COUNT(DISTINCT d.user_id) AS n_users
+FROM days d JOIN fst f USING (user_id)
+WHERE date_diff('day', f.cohort_day, d.day) <= 14
+GROUP BY 1, 2 ORDER BY 1, 2""")
+def x72(spark, sf):
+    """Cohort retention: users grouped by first active day, counted on
+    each later day they return (offsets 0..14).  Two aggregations, both
+    partial+final on user/cohort keys."""
+    from .operators import events as events_mod
+
+    ev = load(spark, sf, "events")
+    out = events_mod.retention_cohorts(ev, max_offset_days=14)
+    return (out.withColumn("day_offset",
+                           F.col("day_offset").cast("int"))
+               .orderBy("cohort_day", "day_offset"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

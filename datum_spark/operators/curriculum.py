@@ -54,6 +54,60 @@ def _global_position(df: DataFrame, order_cols: list[Column],
              .drop("__pid"))
 
 
+def grouped_global_position(df: DataFrame, group_cols: list[str],
+                            order_cols: list[Column], out_col: str,
+                            size_col: str | None = None,
+                            num_partitions: int | None = None) -> DataFrame:
+    """0-based rank of each row WITHIN its group by ``order_cols``, without
+    funneling whole groups through single window tasks.
+
+    ``Window.partitionBy(group)`` is scale-safe only when groups are small;
+    for LOW-cardinality groups (a handful of segments over billions of
+    rows) each group becomes one task.  This spelling range-partitions on
+    ``(group, order)``, collects the per-(partition, group) counts (bounded
+    by partitions + groups — small exactly when this path is needed),
+    broadcast-joins the cumulative offsets back, and adds a
+    within-partition row_number.  High-cardinality groups should keep
+    using ``Window.partitionBy``.
+
+    ``order_cols`` must be a total order within each group.  If
+    ``size_col`` is given, the group's total row count is attached too
+    (for ntile/percentile math downstream).
+    """
+    from ..session import default_parallelism
+    from ..util import retain_cache
+
+    n = num_partitions or default_parallelism()
+    gcols = [F.col(c) for c in group_cols]
+    d = retain_cache(df.repartitionByRange(n, *gcols, *order_cols)
+                       .withColumn("__pid", F.spark_partition_id()))
+    pairs = (d.groupBy("__pid", *group_cols)
+              .agg(F.count(F.lit(1)).alias("__c")).collect())
+    by_group: dict[tuple, list] = {}
+    for r in pairs:
+        key = tuple(r[c] for c in group_cols)
+        by_group.setdefault(key, []).append((r["__pid"], r["__c"]))
+    rows = []
+    for key, lst in by_group.items():
+        total = sum(c for _, c in lst)
+        acc = 0
+        for pid, c in sorted(lst):
+            rows.append((*key, pid, acc, total))
+            acc += c
+    spark = df.sparkSession
+    off_schema = (d.select(*group_cols).schema.add("__pid", "integer")
+                   .add("__off", "long").add("__gn", "long"))
+    offsets = F.broadcast(spark.createDataFrame(rows, off_schema))
+    w = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
+    out = (d.join(offsets, ["__pid", *group_cols])
+            .withColumn(out_col,
+                        (F.row_number().over(w) - F.lit(1)
+                         + F.col("__off")).cast("long")))
+    if size_col is not None:
+        out = out.withColumn(size_col, F.col("__gn"))
+    return out.drop("__pid", "__off", "__gn")
+
+
 def epoch_shuffle(df: DataFrame, key_col: str, epoch: int = 0,
                   out_col: str = "position") -> DataFrame:
     """Deterministic global shuffle for one training epoch.

@@ -51,6 +51,62 @@ def normalize(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def spark_dtype_cats(schema) -> dict[str, str]:
+    """Column → coarse type category for representation-sensitive compare.
+
+    The driver's hash is representation-sensitive: x28 failed two rounds
+    because DuckDB's SUM(BIGINT) is HUGEINT while every VALUE matched
+    (_norm erases exactly that).  Categories: i=int, h=hugeint (never
+    produced by Spark — always a mismatch), f=float, d=decimal, t=date or
+    timestamp, b=bool, s=string, o=other (arrays, structs, binary).
+    """
+    from pyspark.sql import types as T
+
+    def cat(dt):
+        if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType)):
+            return "i"
+        if isinstance(dt, (T.FloatType, T.DoubleType)):
+            return "f"
+        if isinstance(dt, T.DecimalType):
+            return "d"
+        if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+            return "t"
+        if isinstance(dt, T.BooleanType):
+            return "b"
+        if isinstance(dt, T.StringType):
+            return "s"
+        return "o"
+
+    return {f.name: cat(f.dataType) for f in schema.fields}
+
+
+def duckdb_dtype_cats(con, sql: str) -> dict[str, str]:
+    """Same categories from ``DESCRIBE <query>`` — no query execution."""
+    def cat(t):
+        t = t.upper()
+        if t.endswith("[]") or t.startswith(("STRUCT", "MAP", "UNION")):
+            return "o"
+        if t == "HUGEINT" or t == "UHUGEINT":
+            return "h"
+        if "INT" in t:
+            return "i"
+        if t in ("DOUBLE", "FLOAT", "REAL"):
+            return "f"
+        if t.startswith("DECIMAL"):
+            return "d"
+        if t.startswith(("TIMESTAMP", "DATE")):
+            return "t"
+        if t == "BOOLEAN":
+            return "b"
+        if t in ("VARCHAR", "TEXT", "STRING"):
+            return "s"
+        return "o"
+
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: cat(r[1]) for r in rows}
+
+
 def run(sf_dir: str, only: list[str]):
     import duckdb
 
@@ -94,6 +150,18 @@ def run(sf_dir: str, only: list[str]):
         if sc != dc:
             failures.append((name, f"columns {sc} != {dc}"))
             print(f"FAIL  {name}: columns {sc} != {dc}")
+            continue
+        s_cats = spark_dtype_cats(sdf.schema)
+        try:
+            d_cats = duckdb_dtype_cats(con, oracles[name])
+        except Exception:  # noqa: BLE001 — DESCRIBE quirk: fall back
+            d_cats = {}
+        dtype_bad = [(c, s_cats.get(c), d_cats[c]) for c in d_cats
+                     if c in s_cats and s_cats[c] != d_cats[c]]
+        if dtype_bad:
+            failures.append((name, f"dtype mismatch {dtype_bad}"))
+            print(f"FAIL  {name}: dtype mismatch (spark vs duckdb): "
+                  f"{dtype_bad}")
             continue
         if len(sr) != len(dr):
             failures.append((name, f"rowcount {len(sr)} != {len(dr)}"))
