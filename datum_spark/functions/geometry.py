@@ -121,7 +121,8 @@ def reproject_wkt(col: Column, from_srid: int, to_srid: int) -> Column:
         return _reproject_with(col, make_builtin)
     raise NotImplementedError(
         f"no transform for EPSG:{from_srid} -> EPSG:{to_srid}: pyproj is "
-        "not installed and the pair is outside the built-in LCC zones; "
+        "not installed and the pair is outside the built-in projections "
+        "(LCC state-plane zones, UTM, Web Mercator, composed via 4326); "
         "use _reproject_with(col, fn) with a custom coordinate fn"
     )
 

@@ -80,7 +80,8 @@ def test_reproject_unsupported_pair_gated():
     if G._HAVE_PYPROJ:
         pytest.skip("pyproj present; gate not exercised")
     with pytest.raises(NotImplementedError):
-        G.reproject_wkt(F.col("x"), 32618, 3857)  # outside built-in zones
+        # EPSG:27700 (British National Grid) is outside the built-in tables
+        G.reproject_wkt(F.col("x"), 27700, 3857)
 
 
 # ---------------------------------------------------------------------------
@@ -206,3 +207,87 @@ def test_read_to_srid_applies_builtin_transform(tmp_db):
     row = t.read(fields=["nm", "shape"], to_srid=4326)[0]
     lon, lat = map(float, row["shape"][len("POINT ("):-1].split())
     assert -76.0 < lon < -74.5 and 39.5 < lat < 40.5
+
+
+# ---------------------------------------------------------------------------
+# Built-in Transverse Mercator (UTM), Web Mercator, and hub composition
+
+def test_utm_round_trip_identity():
+    import numpy as np
+    from datum_spark.functions.projection import builtin_transform
+
+    fwd = builtin_transform(4326, 32618)  # WGS84 / UTM 18N
+    inv = builtin_transform(32618, 4326)
+    lons = np.array([-75.0, -77.0365, -72.1, -76.5])
+    lats = np.array([0.0, 38.8977, 43.2, 61.0])
+    lon2, lat2 = inv(*fwd(lons, lats))
+    assert np.allclose(lon2, lons, atol=1e-9)
+    assert np.allclose(lat2, lats, atol=1e-9)
+
+
+def test_utm_anchors():
+    """Definition anchors: central meridian maps to FE=500000 with
+    northing k0 × meridian arc; the southern-hemisphere twin adds FN=1e7;
+    the NAD83 code shares zone geometry."""
+    import numpy as np
+    from datum_spark.functions.projection import builtin_transform
+
+    fwd = builtin_transform(4326, 32618)  # zone 18: lon0 = -75
+    x, y = fwd(-75.0, 0.0)
+    assert abs(float(x) - 500000.0) < 1e-6 and abs(float(y)) < 1e-6
+    xs, ys = builtin_transform(4326, 32718)(-75.0, 0.0)
+    assert abs(float(ys) - 10000000.0) < 1e-6
+    xn, yn = builtin_transform(4326, 26918)(-75.0, 40.0)
+    x2, y2 = fwd(-75.0, 40.0)
+    assert abs(float(xn) - float(x2)) < 1e-9
+    assert abs(float(yn) - float(y2)) < 1e-9
+
+
+def test_utm_meridian_arc_vs_numerical_integration():
+    """Independent check of the Snyder series: northing on the central
+    meridian equals k0 × the meridian arc, integrated numerically from
+    the ellipsoid definition (no shared coefficients)."""
+    import numpy as np
+    from datum_spark.functions.projection import (
+        _A, _E2, builtin_transform)
+
+    lat = 40.0
+    phi = np.linspace(0.0, np.radians(lat), 200001)
+    integrand = _A * (1 - _E2) / (1 - _E2 * np.sin(phi) ** 2) ** 1.5
+    arc = float(np.trapz(integrand, phi))
+    _, y = builtin_transform(4326, 32618)(-75.0, lat)
+    assert abs(float(y) - 0.9996 * arc) < 1e-3  # sub-mm agreement
+
+
+def test_web_mercator_known_values():
+    from datum_spark.functions.projection import builtin_transform
+
+    fwd = builtin_transform(4326, 3857)
+    x, y = fwd(180.0, 0.0)
+    assert abs(float(x) - 20037508.342789244) < 1e-6
+    assert abs(float(y)) < 1e-9
+    inv = builtin_transform(3857, 4326)
+    lon, lat = inv(-8238310.24, 4970071.58)  # NYC-ish
+    assert -74.1 < float(lon) < -73.9 and 40.6 < float(lat) < 40.8
+
+
+def test_composed_projected_to_projected():
+    """2272 → 3857 routes through 4326; verified against the explicit
+    two-step route."""
+    import numpy as np
+    from datum_spark.functions.projection import builtin_transform
+
+    direct = builtin_transform(2272, 3857)
+    assert direct is not None
+    x, y = direct(2694000.0, 234000.0)   # Philadelphia City Hall-ish
+    lon, lat = builtin_transform(2272, 4326)(2694000.0, 234000.0)
+    x2, y2 = builtin_transform(4326, 3857)(lon, lat)
+    assert np.allclose([x, y], [x2, y2])
+    assert -8.39e6 < float(x) < -8.35e6 and 4.85e6 < float(y) < 4.88e6
+
+
+def test_identity_srid_transform():
+    from datum_spark.functions.projection import builtin_transform
+
+    fn = builtin_transform(4326, 4326)
+    assert fn(1.5, 2.5) == (1.5, 2.5)
