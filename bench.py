@@ -80,6 +80,10 @@ def main() -> int:
     }, separators=(",", ":")) + "\n"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
     with open(full_path, "w") as fh:
         json.dump({
             "metric": "t2_suite_seconds",
@@ -89,6 +93,10 @@ def main() -> int:
             "sf": sf_val,
             "n_queries": len(timings),
             "reps": reps,
+            # shared-box context: r2→r3 showed a uniform 1.5× drift that
+            # was load, not regression — record load so rounds can tell
+            "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
+            "cpus": os.cpu_count(),
         }, fh, indent=1)
         fh.write("\n")
     os.write(real_stdout_fd, line.encode())

@@ -123,6 +123,28 @@ def ensure_parallelism(df, min_partitions: int | None = None):
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:  # noqa: BLE001 — non-file plans (in-memory tests)
+        files = []
+    if files:
+        # estimate the scan's split count WITHOUT df.rdd (which forces a
+        # plan→RDD conversion per call): a many-file input already fans
+        # out, and Parquet additionally splits big files ~every 128 MB.
+        if len(files) >= target:
+            return df
+        import os
+        from urllib.parse import urlparse
+
+        total = 0
+        for f in files:
+            try:
+                total += os.path.getsize(urlparse(f).path or f)
+            except OSError:  # non-local FS: len(files) is the estimate
+                total = 0
+                break
+        est = max(len(files), total // (128 << 20) + (1 if total else 0))
+        return df if est >= target else df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
