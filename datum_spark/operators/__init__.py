@@ -24,6 +24,10 @@ from .dedup import (
     embedding_cosine_dups,
 )
 from .similarity import cosine_top_k, ivf_cosine_top_k, lsh_cosine_top_k
+from .curriculum import (epoch_shuffle, grouped_global_position,
+                         interleave_sources, quality_percentile_filter,
+                         token_budget_sample)
+from .events import funnel, retention_cohorts, user_features
 from .text import (
     doc_frequency,
     top_ngrams,
@@ -50,4 +54,7 @@ __all__ = [
     "cosine_top_k", "ivf_cosine_top_k", "lsh_cosine_top_k",
     "with_token_count", "with_quality_score", "with_language_guess",
     "with_fingerprint",
+    "epoch_shuffle", "interleave_sources", "token_budget_sample",
+    "quality_percentile_filter", "grouped_global_position",
+    "user_features", "funnel", "retention_cohorts",
 ]

@@ -40,18 +40,23 @@ def _global_position(df: DataFrame, order_cols: list[Column],
     counts = {r["__pid"]: r["c"]
               for r in d.groupBy("__pid").agg(F.count(F.lit(1)).alias("c"))
                         .collect()}
-    offsets, acc = {}, 0
+    rows, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        rows.append((pid, acc))
         acc += counts[pid]
-    off = F.coalesce(*[F.when(F.col("__pid") == pid, F.lit(o))
-                       for pid, o in offsets.items()],
-                     F.lit(0)) if offsets else F.lit(0)
+    # broadcast-join the offsets rather than compiling a per-partition
+    # when-chain: at cluster scale (10k partitions) the chain becomes a
+    # 10k-deep expression tree; the join is O(1) plan size
+    spark = df.sparkSession
+    offsets = F.broadcast(spark.createDataFrame(
+        rows or [(0, 0)], "__pid int, __off long"))
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (d.withColumn(out_col,
-                         (F.row_number().over(w) - F.lit(1) + off)
+    return (d.join(offsets, "__pid", "left")
+             .withColumn(out_col,
+                         (F.row_number().over(w) - F.lit(1)
+                          + F.coalesce(F.col("__off"), F.lit(0)))
                          .cast("long"))
-             .drop("__pid"))
+             .drop("__pid", "__off"))
 
 
 def grouped_global_position(df: DataFrame, group_cols: list[str],
