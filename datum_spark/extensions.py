@@ -1701,6 +1701,95 @@ def x72(spark, sf):
                .orderBy("cohort_day", "day_offset"))
 
 
+# ---------------------------------------------------------------------------
+# SQL-surface completions: correlated subqueries, quantified comparison,
+# conditional aggregation, IGNORE NULLS windows.
+
+@x("x73_exists_subquery", """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+ORDER BY c_custkey""")
+def x73(spark, sf):
+    """Correlated EXISTS — in Spark the declarative spelling is a LEFT
+    SEMI join on the correlation key; Catalyst plans the same for SQL
+    EXISTS, so both engines run one semi hash join."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders").filter(F.col("o_totalprice") > 300000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+             .select("c_custkey", "c_mktsegment")
+             .orderBy("c_custkey"))
+
+
+@x("x74_quantified_all", """
+SELECT s_suppkey, s_nationkey FROM supplier
+WHERE s_acctbal > ALL (SELECT AVG(c_acctbal) FROM customer
+                       GROUP BY c_nationkey)
+ORDER BY s_suppkey""")
+def x74(spark, sf):
+    """Quantified > ALL (subquery): algebraically > MAX of the subquery —
+    one tiny aggregate broadcast into the filter, no join explosion."""
+    s = load(spark, sf, "supplier")
+    c = load(spark, sf, "customer")
+    mx = (c.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("a"))
+           .agg(F.max("a").alias("mx")))
+    return (s.join(F.broadcast(mx))
+             .filter(F.col("s_acctbal") > F.col("mx"))
+             .select("s_suppkey", "s_nationkey")
+             .orderBy("s_suppkey"))
+
+
+@x("x75_conditional_agg", """
+SELECT l_returnflag,
+       COUNT(*) AS n_all,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       CAST(ROUND(SUM(l_extendedprice)
+                  FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE)
+         AS disc_rev,
+       CAST(ROUND(AVG(CASE WHEN l_tax > 0.04 THEN l_extendedprice END), 2)
+            AS DOUBLE) AS taxed_avg
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+def x75(spark, sf):
+    """Conditional aggregation (SQL FILTER clause): one pass over
+    lineitem, partial+final combine; the filters live inside the
+    aggregate expressions, not as separate scans."""
+    li = load(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag").agg(
+                F.count(F.lit(1)).alias("n_all"),
+                F.count(F.when(F.col("l_quantity") > 25, 1))
+                 .alias("n_big"),
+                F.round(F.sum(F.when(F.col("l_discount") > 0.05,
+                                     F.col("l_extendedprice"))), 2)
+                 .cast("double").alias("disc_rev"),
+                F.round(F.avg(F.when(F.col("l_tax") > 0.04,
+                                     F.col("l_extendedprice"))), 2)
+                 .cast("double").alias("taxed_avg"))
+            .orderBy("l_returnflag"))
+
+
+@x("x76_ignore_nulls_window", """
+SELECT event_id, user_id,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS last_purchase
+FROM events
+QUALIFY user_id < 30
+ORDER BY event_id""")
+def x76(spark, sf):
+    """Running 'most recent purchase id per user' — LAST_VALUE IGNORE
+    NULLS over event time (the standard gap-filling / last-observation-
+    carried-forward spelling).  Spark: F.last(ignorenulls=True)."""
+    ev = load(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marked = F.when(F.col("event_type") == "purchase", F.col("event_id"))
+    return (ev.withColumn("last_purchase",
+                          F.last(marked, ignorenulls=True).over(w))
+              .filter(F.col("user_id") < 30)
+              .select("event_id", "user_id", "last_purchase")
+              .orderBy("event_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
