@@ -1790,6 +1790,41 @@ def x76(spark, sf):
               .orderBy("event_id"))
 
 
+@x("x77_approx_aggregates", """
+WITH a AS (
+  SELECT o_orderpriority,
+         approx_count_distinct(o_custkey) AS ad,
+         COUNT(DISTINCT o_custkey) AS xd,
+         approx_quantile(o_totalprice, 0.5) AS aq,
+         median(o_totalprice) AS xq
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       CAST(ROUND(CAST(ad AS DOUBLE) / xd, 1) AS DOUBLE) AS distinct_ratio,
+       CAST(ROUND(aq / xq, 1) AS DOUBLE) AS median_ratio
+FROM a ORDER BY o_orderpriority""")
+def x77(spark, sf):
+    """Approximate aggregates — the sketches a 100 TB pipeline actually
+    runs (HLL distinct counts, quantile sketches: one pass, mergeable,
+    bounded memory; exact DISTINCT/median need a full shuffle).  Sketch
+    internals differ per engine, so the oracle checks the ACCURACY
+    CONTRACT instead of sketch equality: approx/exact rounds to 1.0 on
+    both engines (HLL rsd 5%, quantile within rounding) — a real value
+    check that fails if either approximation degrades."""
+    o = load(spark, sf, "orders")
+    return (o.groupBy("o_orderpriority").agg(
+                F.approx_count_distinct("o_custkey", rsd=0.02).alias("ad"),
+                F.countDistinct("o_custkey").alias("xd"),
+                F.percentile_approx("o_totalprice", 0.5).alias("aq"),
+                F.expr("median(o_totalprice)").alias("xq"))
+             .select("o_orderpriority",
+                     F.round(F.col("ad") / F.col("xd"), 1)
+                      .cast("double").alias("distinct_ratio"),
+                     F.round(F.col("aq") / F.col("xq"), 1)
+                      .cast("double").alias("median_ratio"))
+             .orderBy("o_orderpriority"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

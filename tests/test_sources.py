@@ -136,3 +136,23 @@ def test_ntz_micros_normalized(tmp_path, spark):
     assert dict(df.dtypes)["ts"] == "timestamp"
     [row] = df.collect()
     assert row["ts"].replace(tzinfo=None) == base
+
+
+def test_sorted_write_tightens_rowgroup_stats(tmp_path, spark):
+    """sort_by yields per-file sorted data, so parquet row-group min/max
+    on the sort key are tight (disjoint ranges → skippable scans)."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(100000).withColumn("k", (F.col("id") * 7919) % 100000)
+    path = str(tmp_path / "sorted")
+    write_table(df.repartition(4), path, fmt="parquet", sort_by=["k"])
+    import glob
+    for f in glob.glob(path + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ranges = []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(1)  # k
+            ranges.append((col.statistics.min, col.statistics.max))
+        # within a file, row groups must be non-overlapping and ordered
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, ranges
