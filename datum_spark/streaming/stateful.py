@@ -91,3 +91,87 @@ def running_totals_batch(events: DataFrame, key: str = "user_id") -> DataFrame:
                  F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 6)
                  .alias("total_value"),
                  F.max("ts").alias("last_ts")))
+
+
+# ---------------------------------------------------------------------------
+# Streaming two-step funnel (twin of operators.events.funnel / query x71)
+
+FUNNEL_SCHEMA = ("user_id bigint, ts_a timestamp, ts_b timestamp, "
+                 "converted int, delay_s bigint")
+# 0 is the null sentinel (no event seen yet)
+FUNNEL_STATE = "ts_a_us bigint, min_b_all_us bigint, min_b_q_us bigint"
+
+
+def _funnel_fn_factory(step_a: str, step_b: str, within_s: int):
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ts_a, b_all, b_q = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000
+            a_us = us[pdf["event_type"] == step_a]
+            if len(a_us):
+                mn = int(a_us.min())
+                ts_a = mn if ts_a == 0 else min(ts_a, mn)
+            b_us = us[pdf["event_type"] == step_b]
+            if len(b_us):
+                mn = int(b_us.min())
+                b_all = mn if b_all == 0 else min(b_all, mn)
+                if ts_a:
+                    # qualifying = strictly after A, within the window
+                    # (same floor-seconds arithmetic as the batch twin)
+                    q = b_us[(b_us > ts_a)
+                             & (b_us // 1_000_000 - ts_a // 1_000_000
+                                <= within_s)]
+                    if len(q):
+                        mn = int(q.min())
+                        b_q = mn if b_q == 0 else min(b_q, mn)
+        # a late-arriving EARLIER signup can re-qualify the earliest
+        # purchase seen so far; O(1) state covers the min (completeness
+        # beyond that is watermark-bounded, as with any single-pass state)
+        if ts_a and b_all > ts_a and \
+                b_all // 1_000_000 - ts_a // 1_000_000 <= within_s:
+            b_q = b_all if b_q == 0 else min(b_q, b_all)
+        state.update((ts_a, b_all, b_q))
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + _STATE_TTL_MS)
+        if not ts_a:
+            return  # user has not reached step A: nothing to emit yet
+        conv = 1 if b_q else 0
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "ts_a": [pd.Timestamp(ts_a, unit="us")],
+            "ts_b": [pd.Timestamp(b_q, unit="us") if b_q else pd.NaT],
+            "converted": [conv],
+            "delay_s": [b_q // 1_000_000 - ts_a // 1_000_000
+                        if b_q else None],
+        })
+    return fn
+
+
+def streaming_funnel(events: DataFrame, step_a: str, step_b: str,
+                     within_s: int = 86400, ts_col: str = "ts",
+                     watermark: str = "10 minutes") -> DataFrame:
+    """Streaming two-step funnel: per user, the first ``step_a`` event and
+    the earliest ``step_b`` within ``within_s`` seconds after it — updated
+    every micro-batch via ``applyInPandasWithState``.
+
+    State per user is three scalars (first-A ts, earliest-B ts, earliest
+    qualifying-B ts), never an event list; quiet users are dropped by the
+    event-time TTL.  Exactly matches the batch twin
+    (:func:`datum_spark.operators.events.funnel`, query x71) for in-order
+    and single-batch input; a signup arriving later than ``watermark``
+    after a mid-window purchase is the documented completeness bound.
+    """
+    stream = events.withWatermark(ts_col, watermark)
+    return (stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _funnel_fn_factory(step_a, step_b, within_s),
+                outputStructType=FUNNEL_SCHEMA,
+                stateStructType=FUNNEL_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -154,3 +154,35 @@ def test_running_totals_stateful_parity(spark, events_batch, events_stream):
     got = _rows(latest, "user_id")
     want = _rows(running_totals_batch(events_batch), "user_id")
     assert got == want and len(want) > 0
+
+
+def test_streaming_funnel_parity(spark, events_batch, events_stream):
+    """applyInPandasWithState funnel: the final update per user must equal
+    the batch funnel (operators.events.funnel, query x71) over the same
+    finite input."""
+    from datum_spark.operators.events import funnel
+    from datum_spark.streaming import streaming_funnel
+
+    run_stream_to_memory(
+        streaming_funnel(events_stream, "signup", "purchase",
+                         within_s=86400),
+        "t_funnel", output_mode="update")
+    # update mode: keep the latest state per user = min ts_a, then best
+    # (converted, earliest qualifying ts_b) — later updates only improve
+    latest = (spark.table("t_funnel")
+              .groupBy("user_id")
+              .agg(F.min("ts_a").alias("ts_a"),
+                   F.min("ts_b").alias("ts_b"),
+                   F.max("converted").alias("converted"))
+              .withColumn(
+                  "delay_s",
+                  (F.unix_timestamp("ts_b")
+                   - F.unix_timestamp("ts_a")).cast("long")))
+    want_df = funnel(events_batch, "signup", "purchase", within_s=86400)
+    got = _rows(latest.select("user_id", "ts_a", "ts_b", "converted",
+                              "delay_s"), "user_id")
+    want = _rows(want_df.select(
+        "user_id", "ts_a", "ts_b",
+        F.col("converted").cast("int").alias("converted"),
+        F.col("delay_s").cast("long").alias("delay_s")), "user_id")
+    assert got == want and len(want) > 0
