@@ -1825,6 +1825,83 @@ def x77(spark, sf):
              .orderBy("o_orderpriority"))
 
 
+@x("x78_posexplode", """
+SELECT doc_id, CAST(u.pos AS INTEGER) AS pos, u.word FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ws) + 1),
+                i -> struct_pack(pos := i - 1, word := ws[i]))) AS u
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'),
+                       t -> t <> '') AS ws
+    FROM documents WHERE doc_id < 40
+  )
+)
+ORDER BY doc_id, pos""")
+def x78(spark, sf):
+    """Positional explode (LATERAL unnest WITH ORDINALITY): tokenization
+    that keeps token order — the shape sequence-labeling features need.
+    Map-side generator in whole-stage codegen, no shuffle before the
+    consumer."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    ws = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    return (docs.select("doc_id", F.posexplode(ws).alias("pos", "word"))
+                .orderBy("doc_id", "pos"))
+
+
+@x("x79_union_by_name", """
+SELECT k, src, v FROM (
+  SELECT c_custkey AS k, 'cust' AS src, c_acctbal AS v FROM customer
+  UNION ALL BY NAME
+  SELECT s_acctbal AS v, 's' || 'upp' AS src, s_suppkey AS k FROM supplier
+)
+WHERE k <= 100 ORDER BY src, k""")
+def x79(spark, sf):
+    """Schema-aligned union (unionByName): columns match by NAME across
+    differently-ordered inputs — the safe spelling for federating
+    heterogeneous sources (positional UNION would silently mis-bind)."""
+    c = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"), F.lit("cust").alias("src"),
+        F.col("c_acctbal").alias("v"))
+    s = load(spark, sf, "supplier").select(
+        F.col("s_acctbal").alias("v"), F.lit("supp").alias("src"),
+        F.col("s_suppkey").alias("k"))
+    return (c.unionByName(s).filter(F.col("k") <= 100)
+             .select("k", "src", "v").orderBy("src", "k"))
+
+
+@x("x80_share_of_total", """
+SELECT l_returnflag, l_linestatus,
+       CAST(ROUND(SUM(l_extendedprice), 2) AS DOUBLE) AS rev,
+       CAST(ROUND(SUM(l_extendedprice) * 100.0
+                  / SUM(SUM(l_extendedprice)) OVER (), 4) AS DOUBLE)
+         AS pct_total,
+       CAST(ROUND(SUM(l_extendedprice) * 100.0
+                  / SUM(SUM(l_extendedprice))
+                    OVER (PARTITION BY l_returnflag), 4) AS DOUBLE)
+         AS pct_flag
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus""")
+def x80(spark, sf):
+    """Share-of-total (ratio_to_report): aggregate first, THEN window over
+    the tiny aggregate — the window never sees fact-table rows, so the
+    'global' OVER () is a handful of rows, not a single-partition sort of
+    the input."""
+    li = load(spark, sf, "lineitem")
+    agg = (li.groupBy("l_returnflag", "l_linestatus")
+             .agg(F.sum("l_extendedprice").alias("r")))
+    w_all = Window.partitionBy()
+    w_flag = Window.partitionBy("l_returnflag")
+    return (agg.select(
+                "l_returnflag", "l_linestatus",
+                F.round("r", 2).cast("double").alias("rev"),
+                F.round(F.col("r") * 100.0 / F.sum("r").over(w_all), 4)
+                 .cast("double").alias("pct_total"),
+                F.round(F.col("r") * 100.0 / F.sum("r").over(w_flag), 4)
+                 .cast("double").alias("pct_flag"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
