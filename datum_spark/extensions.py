@@ -1812,17 +1812,24 @@ def x77(spark, sf):
     both engines (HLL rsd 5%, quantile within rounding) — a real value
     check that fails if either approximation degrades."""
     o = load(spark, sf, "orders")
-    return (o.groupBy("o_orderpriority").agg(
-                F.approx_count_distinct("o_custkey", rsd=0.02).alias("ad"),
-                F.countDistinct("o_custkey").alias("xd"),
-                F.percentile_approx("o_totalprice", 0.5).alias("aq"),
-                F.expr("median(o_totalprice)").alias("xq"))
-             .select("o_orderpriority",
-                     F.round(F.col("ad") / F.col("xd"), 1)
-                      .cast("double").alias("distinct_ratio"),
-                     F.round(F.col("aq") / F.col("xq"), 1)
-                      .cast("double").alias("median_ratio"))
-             .orderBy("o_orderpriority"))
+    # keep COUNT(DISTINCT) in its OWN aggregation: mixing it with the
+    # sketch aggregates makes Spark's distinct-rewrite run the percentile
+    # partials keyed by (priority, custkey) — one quantile digest per
+    # distinct pair (measured 6 s vs 0.3 s at sf0.1).  Two cheap aggs +
+    # a 5-row join beat one slow one.
+    sk = o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("ad"),
+        F.percentile_approx("o_totalprice", 0.5).alias("aq"),
+        F.expr("median(o_totalprice)").alias("xq"))
+    xd = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("xd"))
+    return (sk.join(xd, "o_orderpriority")
+              .select("o_orderpriority",
+                      F.round(F.col("ad") / F.col("xd"), 1)
+                       .cast("double").alias("distinct_ratio"),
+                      F.round(F.col("aq") / F.col("xq"), 1)
+                       .cast("double").alias("median_ratio"))
+              .orderBy("o_orderpriority"))
 
 
 @x("x78_posexplode", """

@@ -137,3 +137,46 @@ def test_x40_broadcasts_segment_aggregates(spark):
     df = extensions.EXTENSIONS["x40_ntile_first_last"][0](spark, SF)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_x73_exists_is_semi_join(spark):
+    """EXISTS spelled as left-semi: no row multiplication, one hash join."""
+    from datum_spark import extensions
+
+    plan = explain_str(extensions.EXTENSIONS["x73_exists_subquery"][0](
+        spark, SF))
+    assert "LeftSemi" in plan, plan[:1500]
+
+
+def test_x74_subquery_broadcasts(spark):
+    """> ALL reduces to a 1-row max broadcast, not a join explosion."""
+    from datum_spark import extensions
+
+    plan = explain_str(extensions.EXTENSIONS["x74_quantified_all"][0](
+        spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, \
+        plan[:1500]
+
+
+def test_x75_single_pass_aggregation(spark):
+    """FILTER-clause aggregates fold into ONE partial+final pass — no
+    per-condition scans."""
+    from datum_spark import extensions
+
+    plan = explain_str(extensions.EXTENSIONS["x75_conditional_agg"][0](
+        spark, SF))
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan[:1500]
+    assert plan.count("HashAggregate") >= 2, plan[:1500]
+
+
+def test_x80_window_after_aggregation(spark):
+    """Share-of-total: the global window runs over the aggregate (handful
+    of rows), never over fact rows — the Window node sits above the final
+    HashAggregate in the plan."""
+    from datum_spark import extensions
+
+    plan = explain_str(extensions.EXTENSIONS["x80_share_of_total"][0](
+        spark, SF))
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("Scan parquet"), \
+        "window must consume the aggregate, not the scan"
