@@ -349,3 +349,32 @@ def test_rewrite_survives_stale_staging_dirs(tmp_db, spark):
     assert tmp_db["rw"].count == 100
     assert not os.path.exists(path + ".__rewrite__")
     assert not os.path.exists(path + ".__old__")
+
+
+def test_incremental_mview_reads_only_new_files(tmp_db):
+    """refresh_mview_incremental: Trigger.AvailableNow + checkpoint reads
+    only files appended since the last refresh, folds them into persisted
+    aggregation state, and rewrites the mview atomically."""
+    from pyspark.sql import functions as F
+
+    tmp_db.create_table("ev", [{"name": "k", "type": "text"},
+                               {"name": "v", "type": "num"}])
+    tmp_db["ev"].write([{"k": "a", "v": 1.0}, {"k": "b", "v": 2.0}])
+
+    def agg(df):
+        return df.groupBy("k").agg(F.count(F.lit(1)).alias("n"),
+                                   F.sum("v").alias("s"))
+
+    r1 = tmp_db.refresh_mview_incremental("ev_agg", "ev", agg)
+    assert r1["rows_read"] == 2
+    got = sorted((r["k"], r["n"], r["s"]) for r in tmp_db["ev_agg"].read())
+    assert got == [("a", 1, 1.0), ("b", 1, 2.0)]
+
+    tmp_db["ev"].write([{"k": "a", "v": 10.0}])
+    r2 = tmp_db.refresh_mview_incremental("ev_agg", "ev", agg)
+    assert r2["rows_read"] == 1  # only the appended file
+    got = sorted((r["k"], r["n"], r["s"]) for r in tmp_db["ev_agg"].read())
+    assert got == [("a", 2, 11.0), ("b", 1, 2.0)]
+
+    r3 = tmp_db.refresh_mview_incremental("ev_agg", "ev", agg)
+    assert r3["rows_read"] == 0  # idempotent when nothing arrived
