@@ -390,6 +390,41 @@ class Table:
         self.db._rewrite_table(self.name, df)
         self._schema_cache = None
 
+    def upsert(self, rows, keys: list[str] | str) -> None:
+        """MERGE/upsert: rows whose ``keys`` match an existing row replace
+        it; the rest append.  (The reference's pattern was delete-then-
+        write around its ``delete(where)``; this is the atomic single-job
+        spelling a Parquet warehouse needs.)
+
+        Implemented as existing ⟕-anti new on the keys, union, rewrite —
+        one join (broadcast when the incoming batch is small, which is the
+        common upsert shape) and one write; no per-row driver loop.
+        """
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        for k in keys:
+            if k not in self.fields:
+                raise ValueError(f"field not in table: {k}")
+        if isinstance(rows, DataFrame):
+            new = rows
+        else:
+            rows = list(rows)
+            if not rows:
+                return
+            new = self._rows_to_df(rows, list(rows[0].keys()))
+        for k in keys:
+            if k not in new.columns:
+                raise ValueError(f"upsert rows missing key field: {k}")
+        cur = self.df()
+        # align incoming columns to the table schema (missing → null)
+        aligned = new.select(*[
+            (F.col(c) if c in new.columns else F.lit(None)).cast(
+                dict(cur.dtypes)[c]).alias(c)
+            for c in cur.columns])
+        kept = cur.join(F.broadcast(aligned.select(*keys).distinct()),
+                        keys, "left_anti")
+        self.db._rewrite_table(self.name, kept.unionByName(aligned))
+        self._schema_cache = None
+
     # -- index ops (SURVEY §2-A op 18) --------------------------------------------
 
     def create_index(self, *fields: str, name: str | None = None) -> str:

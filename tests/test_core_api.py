@@ -378,3 +378,28 @@ def test_incremental_mview_reads_only_new_files(tmp_db):
 
     r3 = tmp_db.refresh_mview_incremental("ev_agg", "ev", agg)
     assert r3["rows_read"] == 0  # idempotent when nothing arrived
+
+
+def test_upsert_replaces_and_appends(tmp_db):
+    tmp_db.create_table("u", [{"name": "id", "type": "num"},
+                              {"name": "s", "type": "text"}])
+    tmp_db["u"].write([{"id": 1, "s": "a"}, {"id": 2, "s": "b"}])
+    tmp_db["u"].upsert([{"id": 2, "s": "B2"}, {"id": 3, "s": "c"}],
+                       keys="id")
+    got = sorted((r["id"], r["s"]) for r in tmp_db["u"].read())
+    assert got == [(1.0, "a"), (2.0, "B2"), (3.0, "c")]
+    # idempotent re-upsert of the same batch
+    tmp_db["u"].upsert([{"id": 3, "s": "c"}], keys=["id"])
+    assert tmp_db["u"].count == 3
+
+
+def test_upsert_validates_keys(tmp_db):
+    import pytest as _pytest
+
+    tmp_db.create_table("u2", [{"name": "id", "type": "num"},
+                               {"name": "s", "type": "text"}])
+    tmp_db["u2"].write([{"id": 1, "s": "a"}])
+    with _pytest.raises(ValueError):
+        tmp_db["u2"].upsert([{"id": 2, "s": "x"}], keys="nope")
+    with _pytest.raises(ValueError):
+        tmp_db["u2"].upsert([{"s": "x"}], keys="id")
