@@ -92,3 +92,65 @@ def test_write_read_roundtrip_random_rows(tmp_db):
     assert sum(1 for r in got if r["a"] is None) == n_null_a
     n_empty_b = sum(1 for r in rows if r["b"] == "")
     assert sum(1 for r in got if r["b"] == "") == n_empty_b  # '' stays ''
+
+
+# ---------------------------------------------------------------------------
+# Pure-NumPy properties (no Spark job per example → generous max_examples)
+
+@given(lon=st.floats(min_value=-179.5, max_value=179.5, allow_nan=False),
+       lat=st.floats(min_value=-80.0, max_value=84.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_web_mercator_round_trip_property(lon, lat):
+    from datum_spark.functions.projection import builtin_transform
+
+    x, y = builtin_transform(4326, 3857)(lon, lat)
+    lon2, lat2 = builtin_transform(3857, 4326)(x, y)
+    assert abs(float(lon2) - lon) < 1e-9
+    assert abs(float(lat2) - lat) < 1e-9
+
+
+@given(lon=st.floats(min_value=-78.0, max_value=-72.0, allow_nan=False),
+       lat=st.floats(min_value=0.5, max_value=84.0, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_utm_round_trip_property(lon, lat):
+    """Zone 18 ± one neighboring zone width — the domain the TM series is
+    specified for."""
+    from datum_spark.functions.projection import builtin_transform
+
+    x, y = builtin_transform(4326, 32618)(lon, lat)
+    lon2, lat2 = builtin_transform(32618, 4326)(x, y)
+    # series truncation reaches ~1e-8 deg (≈1 mm) at the zone edge
+    assert abs(float(lon2) - lon) < 1e-7
+    assert abs(float(lat2) - lat) < 1e-7
+
+
+@given(lon=st.floats(min_value=-80.5, max_value=-74.7, allow_nan=False),
+       lat=st.floats(min_value=39.72, max_value=42.5, allow_nan=False))
+@settings(max_examples=200, deadline=None)
+def test_pa_north_lcc_round_trip_property(lon, lat):
+    from datum_spark.functions.projection import builtin_transform
+
+    x, y = builtin_transform(4326, 2271)(lon, lat)
+    lon2, lat2 = builtin_transform(2271, 4326)(x, y)
+    assert abs(float(lon2) - lon) < 1e-9
+    assert abs(float(lat2) - lat) < 1e-9
+
+
+@given(frac=st.floats(min_value=0.01, max_value=0.99),
+       keys=st.lists(st.integers(min_value=0, max_value=10**12),
+                     min_size=1, max_size=200, unique=True))
+@settings(max_examples=50, deadline=None)
+def test_md5_split_monotone_membership(frac, keys):
+    """The md5 keep-set at fraction f is a SUBSET of the keep-set at any
+    f' > f (monotone in the threshold) — the property that lets mixing
+    ratios be re-tuned without resampling churn.  Pure-python twin of the
+    Spark expression (same md5(salt-key) bucket contract)."""
+    import hashlib
+
+    def bucket(k, salt="mix"):
+        return int(hashlib.md5(f"{salt}-{k}".encode()).hexdigest()[:8], 16)
+
+    hi = frac + (1 - frac) / 2
+    kept_lo = {k for k in keys if bucket(k) < frac * (1 << 32)}
+    kept_hi = {k for k in keys if bucket(k) < hi * (1 << 32)}
+    assert kept_lo <= kept_hi
