@@ -873,13 +873,14 @@ def x42(spark, sf):
 
     c = load(spark, sf, "customer").select("c_custkey", "c_acctbal")
     pos = _global_position(
-        c, [F.col("c_acctbal"), F.col("c_custkey")], "__pos")
-    total = pos.count()  # input cached inside _global_position
+        c, [F.col("c_acctbal"), F.col("c_custkey")], "__pos",
+        size_col="__n")
     return (pos.select(
                 "c_custkey",
-                F.round(F.col("__pos") / F.lit(float(max(total - 1, 1))), 6)
+                F.round(F.col("__pos")
+                        / F.greatest(F.col("__n") - 1, F.lit(1)), 6)
                  .alias("pr"),
-                F.round((F.col("__pos") + 1) / F.lit(float(total)), 6)
+                F.round((F.col("__pos") + 1) / F.col("__n"), 6)
                  .alias("cd"))
             .orderBy("c_custkey").limit(1000))
 

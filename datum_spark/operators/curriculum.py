@@ -27,10 +27,15 @@ from .sampling import md5_bucket
 
 def _global_position(df: DataFrame, order_cols: list[Column],
                      out_col: str,
-                     num_partitions: int | None = None) -> DataFrame:
+                     num_partitions: int | None = None,
+                     size_col: str | None = None) -> DataFrame:
     """0-based global rank by ``order_cols`` (must be a total order) as a
     distributed prefix sum: range partition → per-partition counts (one row
-    each, the only driver-side data) → offset + local row_number."""
+    each, the only driver-side data) → offset + local row_number.
+
+    ``size_col`` attaches the total row count (already known from the
+    offsets pass — saves consumers a separate ``count()`` job for
+    percent-rank-style denominators)."""
     from ..session import default_parallelism
     from ..util import retain_cache
 
@@ -51,12 +56,15 @@ def _global_position(df: DataFrame, order_cols: list[Column],
     offsets = F.broadcast(spark.createDataFrame(
         rows or [(0, 0)], "__pid int, __off long"))
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (d.join(offsets, "__pid", "left")
-             .withColumn(out_col,
-                         (F.row_number().over(w) - F.lit(1)
-                          + F.coalesce(F.col("__off"), F.lit(0)))
-                         .cast("long"))
-             .drop("__pid", "__off"))
+    out = (d.join(offsets, "__pid", "left")
+            .withColumn(out_col,
+                        (F.row_number().over(w) - F.lit(1)
+                         + F.coalesce(F.col("__off"), F.lit(0)))
+                        .cast("long"))
+            .drop("__pid", "__off"))
+    if size_col is not None:
+        out = out.withColumn(size_col, F.lit(acc).cast("long"))
+    return out
 
 
 def grouped_global_position(df: DataFrame, group_cols: list[str],
