@@ -1997,6 +1997,27 @@ def x82(spark, sf):
                 .orderBy(F.col("n_occ").desc(), "k").limit(100))
 
 
+# rows-only (iterative fixpoint — not SQL-expressible; invariants are
+# unit-tested in test_graph.py, and the pair graph itself is the
+# oracle-checked x03)
+@x("x83_pagerank", None)
+def x83(spark, sf):
+    """PageRank over the x03 near-dup pair graph: centrality-based
+    canonical-document selection (the 'which mirror do we keep' policy a
+    min-id rule can't express).  One shuffle per iteration, lineage
+    checkpoint-truncated, dangling mass redistributed — see
+    operators/graph.py."""
+    from .operators.graph import pagerank
+
+    docs = load_docs(spark, sf)
+    pairs = dedup_mod.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          n=3, threshold=0.8)
+    ranks = pagerank(pairs.select("id_a", "id_b"), max_iter=10)
+    return (ranks.select("node",
+                         F.round("rank", 8).cast("double").alias("rank"))
+                 .orderBy(F.col("rank").desc(), "node").limit(50))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

@@ -28,6 +28,7 @@ from .curriculum import (epoch_shuffle, grouped_global_position,
                          interleave_sources, quality_percentile_filter,
                          token_budget_sample)
 from .events import funnel, retention_cohorts, user_features
+from .graph import pagerank
 from .text import (
     doc_frequency,
     top_ngrams,
@@ -56,5 +57,5 @@ __all__ = [
     "with_fingerprint",
     "epoch_shuffle", "interleave_sources", "token_budget_sample",
     "quality_percentile_filter", "grouped_global_position",
-    "user_features", "funnel", "retention_cohorts",
+    "user_features", "funnel", "retention_cohorts", "pagerank",
 ]

@@ -1,0 +1,80 @@
+"""PageRank over a pair list — ranking documents inside near-duplicate /
+citation / link graphs (e.g. picking the canonical page among mirrors by
+centrality instead of min-id).
+
+Not in the reference (no graph ops in its 15 files); north-star extension
+alongside ``components.py``, same scale discipline:
+
+- one shuffle per iteration (contributions grouped by destination, with
+  map-side partial sums);
+- ranks and degrees ride (node, value) rows — edge data never collects to
+  the driver; the only driver-side values are the dangling-mass and
+  convergence scalars (one tiny aggregate per iteration);
+- lineage truncated with ``localCheckpoint`` every iteration, like
+  ``components.py`` — otherwise the iterative plan re-executes history;
+- dangling nodes (no out-edges) redistribute their mass uniformly, so the
+  rank vector stays a probability distribution (sums to 1) — the standard
+  PageRank completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(edges: DataFrame, damping: float = 0.85,
+             max_iter: int = 20, tol: float = 1e-6,
+             directed: bool = False) -> DataFrame:
+    """Rank nodes of the graph given as a 2-column edge DataFrame.
+
+    Returns ``(node, rank)`` with ranks summing to 1.  ``directed=False``
+    (the near-dup-graph default) symmetrizes the edge list first.
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    if not directed:
+        e = e.union(e.select(F.col("dst").alias("src"),
+                             F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("node"))
+              .union(e.select(F.col("dst").alias("node")))
+              .distinct()).localCheckpoint()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-degree table rides the iteration unchanged; checkpoint once
+    deg = deg.localCheckpoint()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    base = (1.0 - damping) / n
+    for _ in range(max_iter):
+        withdeg = ranks.join(deg, ranks.node == deg.src, "left")
+        # dangling mass: ranks of nodes with no out-edges (deg null)
+        dangling = (withdeg.filter(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                    .collect()[0][0])
+        contribs = (e.join(ranks.withColumnRenamed("node", "src"), "src")
+                     .join(deg, "src")
+                     .select("dst",
+                             (F.col("rank") / F.col("deg")).alias("c"))
+                     .groupBy("dst")
+                     .agg(F.sum("c").alias("contrib")))
+        new_ranks = (nodes.join(contribs, nodes.node == contribs.dst,
+                                "left")
+                     .select(
+                         "node",
+                         (F.lit(base)
+                          + F.lit(damping)
+                          * (F.coalesce(F.col("contrib"), F.lit(0.0))
+                             + F.lit(dangling / n))).alias("rank"))
+                     ).localCheckpoint()
+        delta = (new_ranks.join(ranks.withColumnRenamed("rank", "old"),
+                                "node")
+                 .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                 .collect()[0][0])
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+    return ranks
