@@ -53,7 +53,7 @@ def _priority(name: str, has_oracle: bool) -> int:
     if not has_oracle:
         return 3                      # rows-only: after every oracle entry
     if name == "x28_time_rollup":
-        return 1                      # fixed this round — re-check early
+        return 0                      # oracle fixed in r4 — must re-check
     if name not in _DRIVER_CHECKED:
         return 0                      # never driver-verified: lead
     return 2                          # verified green in r1–r3

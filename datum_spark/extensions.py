@@ -1997,6 +1997,23 @@ def x82(spark, sf):
                 .orderBy(F.col("n_occ").desc(), "k").limit(100))
 
 
+# rows-only this round (the driver's 50-slot verification budget is
+# exactly full — see __spark_entry__._priority; promote to an oracle
+# entry in r5: DuckDB has levenshtein())
+@x("x84_fuzzy_dedup", None)
+def x84(spark, sf):
+    """Edit-distance near-dups: q-gram inverted-index candidates (x03's
+    machinery) verified with JVM-side levenshtein — the scale-shaped
+    fuzzy join (no all-pairs, no Python boundary)."""
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    out = dedup_mod.fuzzy_near_dups(docs, "doc_id", "text",
+                                    max_dist=200, n=3,
+                                    candidate_threshold=0.3)
+    return (out.select("id_a", "id_b",
+                       F.round("jaccard", 6).alias("jaccard"), "edit_dist")
+               .orderBy("id_a", "id_b"))
+
+
 # rows-only (iterative fixpoint — not SQL-expressible; invariants are
 # unit-tested in test_graph.py, and the pair graph itself is the
 # oracle-checked x03)

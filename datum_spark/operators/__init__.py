@@ -21,6 +21,7 @@ from .dedup import (
     minhash_near_dups_md5,
     simhash_near_dups,
     ngram_jaccard_pairs,
+    fuzzy_near_dups,
     embedding_cosine_dups,
 )
 from .similarity import cosine_top_k, ivf_cosine_top_k, lsh_cosine_top_k
@@ -51,7 +52,8 @@ __all__ = [
     "pack_documents", "pack_summary",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
     "minhash_near_dups_fast",
-    "simhash_near_dups", "ngram_jaccard_pairs", "embedding_cosine_dups",
+    "simhash_near_dups", "ngram_jaccard_pairs", "fuzzy_near_dups",
+    "embedding_cosine_dups",
     "cosine_top_k", "ivf_cosine_top_k", "lsh_cosine_top_k",
     "with_token_count", "with_quality_score", "with_language_guess",
     "with_fingerprint",

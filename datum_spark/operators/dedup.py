@@ -480,3 +480,39 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).first()
     return int(row["d"])
+
+
+def fuzzy_near_dups(df: DataFrame, id_col: str, text_col: str,
+                    max_dist: int = 20, n: int = 3,
+                    candidate_threshold: float = 0.3,
+                    max_ngram_freq: int | None = 1000) -> DataFrame:
+    """Edit-distance near-duplicates: pairs whose texts are within
+    ``max_dist`` Levenshtein edits, found WITHOUT an all-pairs comparison.
+
+    Two-stage, the standard fuzzy-join shape at scale:
+
+    1. candidate generation — the :func:`ngram_jaccard_pairs` inverted
+       index (word ``n``-grams, hot-gram cap): only pairs sharing a
+       sufficiently rare n-gram and clearing a loose Jaccard floor are
+       ever compared;
+    2. verification — JVM-side ``levenshtein`` on the candidate pairs
+       only (Spark's builtin; no Python boundary).
+
+    A true edit-distance pair that shares no word n-gram with Jaccard ≥
+    ``candidate_threshold`` is missed — the recall/cost dial every fuzzy
+    join exposes (tighten with smaller ``n`` / lower threshold).
+    Returns ``(id_a, id_b, jaccard, edit_dist)``, ``id_a < id_b``.
+    """
+    cands = ngram_jaccard_pairs(df, id_col, text_col, n=n,
+                                threshold=candidate_threshold,
+                                max_ngram_freq=max_ngram_freq)
+    txt = df.select(F.col(id_col).alias("__tid"),
+                    F.col(text_col).alias("__txt"))
+    return (cands
+            .join(txt.select(F.col("__tid").alias("id_a"),
+                             F.col("__txt").alias("__ta")), "id_a")
+            .join(txt.select(F.col("__tid").alias("id_b"),
+                             F.col("__txt").alias("__tb")), "id_b")
+            .withColumn("edit_dist", F.levenshtein("__ta", "__tb"))
+            .filter(F.col("edit_dist") <= max_dist)
+            .select("id_a", "id_b", "jaccard", "edit_dist"))

@@ -573,3 +573,24 @@ def test_upsample_sources_copy_counts(spark):
                                      else 0)
         got = sorted(by_id.get(i, []))
         assert got == list(range(want)), (i, got, want)
+
+
+def test_fuzzy_near_dups_semantics(spark):
+    """Candidates from shared n-grams, verified by edit distance: the
+    near-identical pair survives, the unrelated one never forms, and the
+    shared-gram-but-distant pair is filtered by max_dist."""
+    from datum_spark.operators import fuzzy_near_dups
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # 3 edits
+        (3, "the quick brown fox sat on a completely different mat today"),
+        (4, "unrelated text with no overlap whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["edit_dist"]
+           for r in fuzzy_near_dups(df, "doc_id", "text", max_dist=5,
+                                    n=2, candidate_threshold=0.1).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 3
+    assert all(4 not in pair for pair in got)
+    assert (1, 3) not in got  # candidate via shared grams, too distant
