@@ -1997,6 +1997,29 @@ def x82(spark, sf):
                 .orderBy(F.col("n_occ").desc(), "k").limit(100))
 
 
+# rows-only (sketch bytes are engine-specific; the ACCURACY contract is
+# asserted in test_operators.py::test_hll_rollup_accuracy instead)
+@x("x85_sketch_rollup", None)
+def x85(spark, sf):
+    """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: build
+    one HLL sketch per (day, event_type) partition, then union sketches
+    up to per-type totals WITHOUT touching raw data again.  At scale the
+    daily sketches are KB-sized table properties; re-aggregation windows
+    (7d/30d/all-time) become sketch unions instead of fact-table scans.
+    Native Spark ``hll_sketch_agg`` / ``hll_union_agg`` — JVM-side,
+    partial-aggregating."""
+    ev = load(spark, sf, "events")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+               .agg(F.hll_sketch_agg("user_id").alias("sk"),
+                    F.count(F.lit(1)).alias("n_events")))
+    return (daily.groupBy("event_type")
+                 .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                       .alias("approx_users"),
+                      F.sum("n_events").alias("n_events"),
+                      F.count(F.lit(1)).alias("n_days"))
+                 .orderBy("event_type"))
+
+
 # rows-only this round (the driver's 50-slot verification budget is
 # exactly full — see __spark_entry__._priority; promote to an oracle
 # entry in r5: DuckDB has levenshtein())

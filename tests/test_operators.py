@@ -594,3 +594,22 @@ def test_fuzzy_near_dups_semantics(spark):
     assert (1, 2) in got and got[(1, 2)] == 3
     assert all(4 not in pair for pair in got)
     assert (1, 3) not in got  # candidate via shared grams, too distant
+
+
+def test_hll_rollup_accuracy(spark):
+    """Sketch-union rollup (x85 shape): estimating distinct users from
+    unioned daily sketches must agree with the exact count within HLL
+    error (~2% at default lgK=12)."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.sources.registry import read_parquet_normalized
+
+    ev = read_parquet_normalized(spark,
+                                 "/root/testdata/sf0.01/events.parquet")
+    daily = (ev.groupBy(F.to_date("ts").alias("day"))
+               .agg(F.hll_sketch_agg("user_id").alias("sk")))
+    est = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05
