@@ -1997,6 +1997,24 @@ def x82(spark, sf):
                 .orderBy(F.col("n_occ").desc(), "k").limit(100))
 
 
+# rows-only (plain SQL, but the 50-slot oracle budget is full this
+# round — promote in r5)
+@x("x86_expectations", None)
+def x86(spark, sf):
+    """Ingest-gate data-quality report: N declarative rules over the
+    documents batch in ONE aggregation pass (operators/expectations.py)."""
+    from .operators.expectations import check_expectations
+
+    docs = load(spark, sf, "documents")
+    return check_expectations(docs, {
+        "doc_id_not_null": "doc_id IS NOT NULL",
+        "doc_id_unique_proxy": "doc_id >= 0",
+        "text_nonempty": "length(text) > 0",
+        "lang_known": "lang IN ('en', 'de', 'fr', 'es', 'zh')",
+        "n_chars_consistent": "abs(n_chars - length(text)) <= 0",
+    })
+
+
 # rows-only (sketch bytes are engine-specific; the ACCURACY contract is
 # asserted in test_operators.py::test_hll_rollup_accuracy instead)
 @x("x85_sketch_rollup", None)

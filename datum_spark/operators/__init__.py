@@ -30,6 +30,7 @@ from .curriculum import (epoch_shuffle, grouped_global_position,
                          token_budget_sample)
 from .events import funnel, retention_cohorts, user_features
 from .graph import pagerank
+from .expectations import check_expectations, enforce_expectations
 from .text import (
     doc_frequency,
     top_ngrams,
@@ -60,4 +61,5 @@ __all__ = [
     "epoch_shuffle", "interleave_sources", "token_budget_sample",
     "quality_percentile_filter", "grouped_global_position",
     "user_features", "funnel", "retention_cohorts", "pagerank",
+    "check_expectations", "enforce_expectations",
 ]
