@@ -2067,9 +2067,9 @@ def x83(spark, sf):
     operators/graph.py."""
     from .operators.graph import pagerank
 
-    docs = load_docs(spark, sf)
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 500)
     pairs = dedup_mod.ngram_jaccard_pairs(docs, "doc_id", "text",
-                                          n=3, threshold=0.8)
+                                          n=2, threshold=0.5)
     ranks = pagerank(pairs.select("id_a", "id_b"), max_iter=10)
     return (ranks.select("node",
                          F.round("rank", 8).cast("double").alias("rank"))
