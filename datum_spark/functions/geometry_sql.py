@@ -45,6 +45,82 @@ _FUNCTIONS: dict[str, tuple[str, str, str]] = {
 }
 
 
+def _coords(var: str) -> str:
+    """SQL expression: WKT coordinate pairs of ``var`` as
+    ``array<struct<x double, y double>>`` (vertex order preserved)."""
+    pair = f"({_COORD}\\\\s+{_COORD})"
+    return (
+        f"transform(regexp_extract_all({var}, '{pair}', 1), "
+        "s -> named_struct("
+        "'x', try_cast(element_at(split(s, '\\\\s+'), 1) AS DOUBLE), "
+        "'y', try_cast(element_at(split(s, '\\\\s+'), 2) AS DOUBLE)))"
+    )
+
+
+def _seg_fold(var: str, seg_expr: str, init: str = "0D") -> str:
+    """Fold ``seg_expr`` (a lambda over consecutive vertices p, q) across
+    the vertex list of ``var``."""
+    c = _coords(var)
+    return (
+        f"CASE WHEN size({c}) < 2 THEN 0D ELSE "
+        f"aggregate(zip_with(slice({c}, 1, size({c}) - 1), "
+        f"slice({c}, 2, size({c}) - 1), (p, q) -> {seg_expr}), "
+        f"{init}, (acc, v) -> acc + v) END"
+    )
+
+
+# Cartesian measures on WKT (planar, in the geometry's own unit — the same
+# semantics PostGIS gives for projected CRS like the reference's 2272).
+_FUNCTIONS.update({
+    "st_makepoint": ("(x DOUBLE, y DOUBLE)", "STRING",
+                     "concat('POINT (', x, ' ', y, ')')"),
+    "st_point": ("(x DOUBLE, y DOUBLE)", "STRING",
+                 "concat('POINT (', x, ' ', y, ')')"),
+    # point-to-point distance (the reference's use: station-to-parcel
+    # checks in projected feet)
+    "st_distance": (
+        "(a STRING, b STRING)", "DOUBLE",
+        "sqrt(power("
+        f"try_cast(regexp_extract(a, 'POINT \\\\(\\\\s*({_COORD})', 1) "
+        "AS DOUBLE) - "
+        f"try_cast(regexp_extract(b, 'POINT \\\\(\\\\s*({_COORD})', 1) "
+        "AS DOUBLE), 2) + power("
+        f"try_cast(regexp_extract(a, 'POINT \\\\(\\\\s*{_COORD}\\\\s+"
+        f"({_COORD})', 1) AS DOUBLE) - "
+        f"try_cast(regexp_extract(b, 'POINT \\\\(\\\\s*{_COORD}\\\\s+"
+        f"({_COORD})', 1) AS DOUBLE), 2))"),
+    "st_dwithin": (
+        "(a STRING, b STRING, d DOUBLE)", "BOOLEAN",
+        "st_distance(a, b) <= d"),
+    # sum of segment lengths over the vertex list (LINESTRING length /
+    # single-ring POLYGON perimeter)
+    "st_length": ("(w STRING)", "DOUBLE",
+                  _seg_fold("w", "sqrt(power(q.x - p.x, 2) "
+                                 "+ power(q.y - p.y, 2))")),
+    "st_perimeter": ("(w STRING)", "DOUBLE",
+                     _seg_fold("w", "sqrt(power(q.x - p.x, 2) "
+                                    "+ power(q.y - p.y, 2))")),
+    # shoelace over the (closed) vertex list — simple single-ring
+    # polygons; holes/multipolygons need a real geometry lib
+    "st_area": ("(w STRING)", "DOUBLE",
+                f"abs({_seg_fold('w', 'p.x * q.y - q.x * p.y')}) / 2"),
+    "st_envelope": (
+        "(w STRING)", "STRING",
+        f"CASE WHEN size({_coords('w')}) = 0 THEN NULL ELSE "
+        "concat('POLYGON ((', "
+        f"array_min(transform({_coords('w')}, p -> p.x)), ' ', "
+        f"array_min(transform({_coords('w')}, p -> p.y)), ', ', "
+        f"array_max(transform({_coords('w')}, p -> p.x)), ' ', "
+        f"array_min(transform({_coords('w')}, p -> p.y)), ', ', "
+        f"array_max(transform({_coords('w')}, p -> p.x)), ' ', "
+        f"array_max(transform({_coords('w')}, p -> p.y)), ', ', "
+        f"array_min(transform({_coords('w')}, p -> p.x)), ' ', "
+        f"array_max(transform({_coords('w')}, p -> p.y)), ', ', "
+        f"array_min(transform({_coords('w')}, p -> p.x)), ' ', "
+        f"array_min(transform({_coords('w')}, p -> p.y)), '))') END"),
+})
+
+
 def register_geometry_sql_functions(spark: SparkSession) -> None:
     """Idempotently register the ST_* pack as temporary SQL functions."""
     for name, (sig, ret, body) in _FUNCTIONS.items():

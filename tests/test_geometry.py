@@ -291,3 +291,39 @@ def test_identity_srid_transform():
 
     fn = builtin_transform(4326, 4326)
     assert fn(1.5, 2.5) == (1.5, 2.5)
+
+
+def test_st_measures_in_sql_gateway(tmp_db):
+    """Cartesian ST_* measures: distance/dwithin/length/area/envelope/
+    makepoint as pure SQL expressions over WKT."""
+    tmp_db.create_table("m", [{"name": "shape", "type": "geom"}])
+    tmp_db["m"].write([{"shape": "POINT (0 0)"}])
+    [r] = tmp_db.execute("""
+        SELECT ST_Distance('POINT (0 0)', 'POINT (3 4)') AS d,
+               ST_DWithin('POINT (0 0)', 'POINT (3 4)', 5.0) AS w1,
+               ST_DWithin('POINT (0 0)', 'POINT (3 4)', 4.9) AS w0,
+               ST_Length('LINESTRING (0 0, 3 4, 3 0)') AS len,
+               ST_Area('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))') AS area,
+               ST_Perimeter('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))') AS per,
+               ST_Envelope('LINESTRING (1 2, 5 0, 3 4)') AS env,
+               ST_MakePoint(2.5, -1.0) AS mp
+        FROM m""")
+    assert r["d"] == 5.0
+    assert r["w1"] is True and r["w0"] is False
+    assert r["len"] == 9.0
+    assert r["area"] == 12.0
+    assert r["per"] == 14.0
+    assert r["env"] == "POLYGON ((1.0 0.0, 5.0 0.0, 5.0 4.0, 1.0 4.0, 1.0 0.0))"
+    assert r["mp"] == "POINT (2.5 -1.0)"
+
+
+def test_st_measures_null_and_empty(tmp_db):
+    tmp_db.create_table("m2", [{"name": "shape", "type": "geom"}])
+    tmp_db["m2"].write([{"shape": "POLYGON EMPTY"}])
+    [r] = tmp_db.execute("""
+        SELECT ST_Length(shape) AS len, ST_Area(shape) AS area,
+               ST_Envelope(shape) AS env, ST_Distance(shape, shape) AS d
+        FROM m2""")
+    assert r["len"] == 0.0 and r["area"] == 0.0
+    assert r["env"] is None
+    assert r["d"] is None  # non-POINT input → NULL, not an error
