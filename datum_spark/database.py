@@ -213,17 +213,23 @@ class Database:
         self._table_df(name).createOrReplaceTempView(name)
         self._registered.add(name)
 
-    def register_all(self) -> None:
-        from .functions.geometry_sql import register_geometry_sql_functions
+    def ensure_geom_fns(self) -> None:
+        """Idempotently register the ST_* SQL pack (used by the execute()
+        gateway AND by ``where=`` fragments on Table.query/read — reference
+        users wrote PostGIS functions in both places)."""
+        if not getattr(self, "_geom_fns_registered", False):
+            from .functions.geometry_sql import (
+                register_geometry_sql_functions,
+            )
 
+            register_geometry_sql_functions(self.spark)
+            self._geom_fns_registered = True
+
+    def register_all(self) -> None:
         for name in self.tables:
             self._register(name)
         self._restore_views()
-        if not getattr(self, "_geom_fns_registered", False):
-            # ST_* SQL functions for the execute() gateway (reference users
-            # wrote PostGIS functions in raw SQL)
-            register_geometry_sql_functions(self.spark)
-            self._geom_fns_registered = True
+        self.ensure_geom_fns()
 
     # -- SQL gateway (Tier B) -------------------------------------------------
 

@@ -160,6 +160,10 @@ class Table:
         df = df.select(*exprs)
 
         if where:
+            # where= fragments may call ST_* (reference users filtered on
+            # PostGIS functions); make the SQL pack available on the read
+            # path, not just through execute()
+            self.db.ensure_geom_fns()
             df = df.filter(F.expr(translate_predicate(where)))
         if sort is not None:
             df = df.orderBy(*self._sort_exprs(sort, aliases))

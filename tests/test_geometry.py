@@ -327,3 +327,16 @@ def test_st_measures_null_and_empty(tmp_db):
     assert r["len"] == 0.0 and r["area"] == 0.0
     assert r["env"] is None
     assert r["d"] is None  # non-POINT input → NULL, not an error
+
+
+def test_st_functions_in_read_where(tmp_db):
+    """ST_* usable directly in Table.read(where=...) without a prior
+    execute() — the reference's PostGIS-function-in-where pattern."""
+    tmp_db.create_table("pts", [{"name": "shape", "type": "geom"},
+                                {"name": "nm", "type": "text"}])
+    tmp_db["pts"].write([{"nm": "near", "shape": "POINT (1 1)"},
+                         {"nm": "far", "shape": "POINT (100 100)"}])
+    rows = tmp_db["pts"].read(
+        fields=["nm"],
+        where="ST_DWithin(shape, 'POINT (0 0)', 5.0)")
+    assert [r["nm"] for r in rows] == ["near"]
