@@ -104,6 +104,19 @@ _FUNCTIONS.update({
     # polygons; holes/multipolygons need a real geometry lib
     "st_area": ("(w STRING)", "DOUBLE",
                 f"abs({_seg_fold('w', 'p.x * q.y - q.x * p.y')}) / 2"),
+    # vertex-mean centroid — EXACT for POINT/MULTIPOINT (PostGIS
+    # semantics); NULL for measure-weighted types (line/polygon centroids
+    # need a real geometry library)
+    "st_centroid": (
+        "(w STRING)", "STRING",
+        "CASE WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+        "NOT IN ('POINT', 'MULTIPOINT') THEN NULL "
+        f"WHEN size({_coords('w')}) = 0 THEN NULL ELSE "
+        f"concat('POINT (', "
+        f"aggregate(transform({_coords('w')}, p -> p.x), 0D, "
+        f"(a, v) -> a + v) / size({_coords('w')}), ' ', "
+        f"aggregate(transform({_coords('w')}, p -> p.y), 0D, "
+        f"(a, v) -> a + v) / size({_coords('w')}), ')') END"),
     "st_envelope": (
         "(w STRING)", "STRING",
         f"CASE WHEN size({_coords('w')}) = 0 THEN NULL ELSE "

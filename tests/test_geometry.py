@@ -340,3 +340,16 @@ def test_st_functions_in_read_where(tmp_db):
         fields=["nm"],
         where="ST_DWithin(shape, 'POINT (0 0)', 5.0)")
     assert [r["nm"] for r in rows] == ["near"]
+
+
+def test_st_centroid(tmp_db):
+    tmp_db.create_table("c1", [{"name": "shape", "type": "geom"}])
+    tmp_db["c1"].write([{"shape": "POINT (0 0)"}])
+    [r] = tmp_db.execute("""
+        SELECT ST_Centroid('MULTIPOINT ((0 0), (4 0), (2 6))') AS mc,
+               ST_Centroid('POINT (3.5 -1)') AS pc,
+               ST_Centroid('LINESTRING (0 0, 1 1)') AS lc
+        FROM c1""")
+    assert r["mc"] == "POINT (2.0 2.0)"
+    assert r["pc"] == "POINT (3.5 -1.0)"
+    assert r["lc"] is None
