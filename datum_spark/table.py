@@ -371,7 +371,8 @@ class Table:
     # -- maintenance ---------------------------------------------------------
 
     def optimize(self, cluster_by: list[str] | str,
-                 target_partitions: int | None = None) -> None:
+                 target_partitions: int | None = None,
+                 zorder: bool = False) -> None:
         """Rewrite the table range-clustered and sorted on ``cluster_by``
         (the OPTIMIZE/Z-ORDER analog for plain Parquet).
 
@@ -380,6 +381,16 @@ class Table:
         selective filters on the cluster columns skip whole files and row
         groups at scan time — the cheap lever when a 100 TB table is mostly
         read through one predicate column.  One shuffle, same data.
+
+        ``zorder=True`` clusters on the bit-interleaved Z-value of the
+        columns instead of their lexicographic order: with plain
+        ``(a, b)`` clustering, a filter on ``b`` alone skips nothing;
+        Z-ordering makes every clustered column's min/max ranges tight
+        simultaneously (each file covers a small square of (a, b) space,
+        not a thin full-height stripe).  Ranks come from Spark-side
+        ``ntile`` over each column (one window per column over the rewrite
+        shuffle — acceptable for a maintenance job), interleaved JVM-side
+        with shift/or expressions.
         """
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         for c in cols:
@@ -387,9 +398,17 @@ class Table:
                 raise ValueError(f"field not in table: {c}")
         from .session import default_parallelism
         n = target_partitions or default_parallelism()
-        df = (self.df()
-              .repartitionByRange(n, *[F.col(c) for c in cols])
-              .sortWithinPartitions(*cols))
+        if zorder and len(cols) >= 2:
+            from .functions.zorder import zorder_value
+
+            df = zorder_value(self.df(), cols, out_col="__z")
+            df = (df.repartitionByRange(n, F.col("__z"))
+                    .sortWithinPartitions("__z")
+                    .drop("__z"))
+        else:
+            df = (self.df()
+                  .repartitionByRange(n, *[F.col(c) for c in cols])
+                  .sortWithinPartitions(*cols))
         # stage to a temp dir via collect-free rewrite: write new, swap
         self.db._rewrite_table(self.name, df)
         self._schema_cache = None
