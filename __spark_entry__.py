@@ -49,13 +49,23 @@ _DRIVER_CHECKED = {
 }
 
 
+# Round-5 re-check set: x16/x19 oracles were fixed this round (DuckDB
+# TIMESTAMPTZ → CAST AS TIMESTAMP), and x84/x12/x13 were promoted from
+# rows-only to oracle-checked — all five must land inside the driver's
+# 50-entry verification cap.
+_RECHECK_R5 = {
+    "x16_tumbling_window", "x19_sliding_window",
+    "x84_fuzzy_dedup", "x12_fingerprint", "x13_quality_score",
+}
+
+
 def _priority(name: str, has_oracle: bool) -> int:
     if not has_oracle:
         return 3                      # rows-only: after every oracle entry
-    if name == "x28_time_rollup":
-        return 0                      # oracle fixed in r4 — must re-check
+    if name in _RECHECK_R5:
+        return 0                      # fixed/promoted this round — re-check
     if name not in _DRIVER_CHECKED:
-        return 0                      # never driver-verified: lead
+        return 1                      # verified only once (r4 rotation)
     return 2                          # verified green in r1–r3
 
 

@@ -577,7 +577,7 @@ def x15(spark, sf):
 
 
 @x("x16_tumbling_window", """
-SELECT to_timestamp(floor(epoch(ts) / 300) * 300) AS w_start, event_type,
+SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS w_start, event_type,
        COUNT(*) AS n, ROUND(SUM(value), 3) AS sv
 FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""")
 def x16(spark, sf):
@@ -593,8 +593,8 @@ def x16(spark, sf):
 
 @x("x19_sliding_window", """
 WITH e AS (
-  SELECT unnest([to_timestamp(floor(epoch(ts) / 300) * 300),
-                 to_timestamp(floor(epoch(ts) / 300) * 300 - 300)]) AS w_start,
+  SELECT unnest([CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP),
+                 CAST(to_timestamp(floor(epoch(ts) / 300) * 300 - 300) AS TIMESTAMP)]) AS w_start,
          event_type
   FROM events
 )

@@ -95,6 +95,12 @@ def duckdb_dtype_cats(con, sql: str) -> dict[str, str]:
             return "f"
         if t.startswith("DECIMAL"):
             return "d"
+        if "WITH TIME ZONE" in t or t == "TIMESTAMPTZ":
+            # Spark never emits TIMESTAMPTZ → always a schema mismatch.
+            # DuckDB's to_timestamp() returns TIMESTAMP WITH TIME ZONE; an
+            # oracle must CAST(... AS TIMESTAMP) to match Spark (the x16/x19
+            # failure class the driver caught in r4 but this runner missed).
+            return "z"
         if t.startswith(("TIMESTAMP", "DATE")):
             return "t"
         if t == "BOOLEAN":

@@ -28,6 +28,26 @@ def test_matching_cast_passes(spark):
     assert s["n"] == d["n"] == "i"
 
 
+def test_timestamptz_flagged(spark):
+    """DuckDB's to_timestamp() yields TIMESTAMP WITH TIME ZONE ('z'); Spark
+    window starts are plain TIMESTAMP ('t') — the x16/x19 class of bug must
+    surface locally, not only in the driver's exact schema check."""
+    con = duckdb.connect()
+    d = duckdb_dtype_cats(con, "SELECT to_timestamp(300) AS w_start")
+    assert d["w_start"] == "z"
+    s = spark_dtype_cats(
+        spark.sql("SELECT timestamp_seconds(300) AS w_start").schema)
+    assert s["w_start"] == "t"
+    assert s["w_start"] != d["w_start"]
+
+
+def test_timestamptz_cast_passes(spark):
+    con = duckdb.connect()
+    d = duckdb_dtype_cats(
+        con, "SELECT CAST(to_timestamp(300) AS TIMESTAMP) AS w_start")
+    assert d["w_start"] == "t"
+
+
 def test_common_categories_align(spark):
     con = duckdb.connect()
     d = duckdb_dtype_cats(con, """
