@@ -509,15 +509,64 @@ def x11(spark, sf):
             .select("doc_id", "lang_guess").orderBy("doc_id"))
 
 
-@x("x12_fingerprint", None)  # xxhash64-based rolling hash
+@x("x12_fingerprint", """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ws,
+             w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT))),
+         (acc, h) -> (acc * 31 + h) % 72057594037927931) AS fingerprint
+FROM w ORDER BY doc_id""")
 def x12(spark, sf):
+    """Order-sensitive rolling-hash document fingerprint (portable md5
+    word bucket — the oracle recomputes the identical fold in DuckDB via
+    list_reduce; xxhash64 fast path stays unit-tested)."""
     docs = load(spark, sf, "documents")
-    return (text_mod.with_fingerprint(docs, "text", "fingerprint")
+    return (text_mod.with_fingerprint(docs, "text", "fingerprint",
+                                      portable=True)
             .select("doc_id", "fingerprint").orderBy("doc_id"))
 
 
-@x("x13_quality_score", None)  # regex classes differ subtly across engines
+@x("x13_quality_score", """
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS nc,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              t -> t <> '')) AS DOUBLE) AS nw,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+              AS DOUBLE) AS np,
+         CAST(len(list_filter(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> ''),
+               w -> list_contains(['the','and','of','to','is','in',
+                                   'that','it'], w))) AS DOUBLE) AS st,
+         CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) AS nws
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+         least(nc / 500.0, 1.0) AS len_score,
+         greatest(1.0 - (np / greatest(nc, 1.0)) * 5.0, 0.0) AS punct_score,
+         least(st / greatest(nw, 1.0) * 5.0, 1.0) AS stop_score,
+         CASE WHEN nw > 0 AND nws / nw >= 3 AND nws / nw <= 10
+              THEN 1.0 ELSE 0.3 END AS wlen_score
+  FROM s
+)
+SELECT doc_id,
+       CAST(ROUND(CAST(len_score * 0.3 + punct_score * 0.2 + stop_score * 0.2
+                       + wlen_score * 0.3 AS DECIMAL(30,15)), 4) AS DOUBLE)
+         AS quality
+FROM sc ORDER BY doc_id""")
 def x13(spark, sf):
+    """Heuristic quality score (length/punct/stopword/word-length mix) —
+    pure arithmetic over RE2-compatible regex counts, re-derived in the
+    DuckDB oracle expression by expression."""
     docs = load_docs(spark, sf)
     return (text_mod.with_quality_score(docs, "text", "quality")
             .select("doc_id", "quality").orderBy("doc_id"))
@@ -2038,14 +2087,38 @@ def x85(spark, sf):
                  .orderBy("event_type"))
 
 
-# rows-only this round (the driver's 50-slot verification budget is
-# exactly full — see __spark_entry__._priority; promote to an oracle
-# entry in r5: DuckDB has levenshtein())
-@x("x84_fuzzy_dedup", None)
+@x("x84_fuzzy_dedup", """
+WITH w AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS ws
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id, text,
+         list_distinct(list_transform(
+           range(0, greatest(len(ws) - 3, 0) + 1),
+           i -> array_to_string(list_slice(ws, i + 1, i + 3), ' '))) AS gs
+  FROM w
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         len(list_intersect(a.gs, b.gs)) AS common,
+         len(a.gs) AS na, len(b.gs) AS nb,
+         levenshtein(a.text, b.text) AS edit_dist
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(common / (na + nb - common), 6) AS jaccard, edit_dist
+FROM pairs
+WHERE common / (na + nb - common) >= 0.3 AND edit_dist <= 200
+ORDER BY id_a, id_b""")
 def x84(spark, sf):
     """Edit-distance near-dups: q-gram inverted-index candidates (x03's
     machinery) verified with JVM-side levenshtein — the scale-shaped
-    fuzzy join (no all-pairs, no Python boundary)."""
+    fuzzy join (no all-pairs, no Python boundary).  The DuckDB oracle
+    re-derives the same 3-gram Jaccard floor + levenshtein verify as an
+    all-pairs join (fine at sf0.01; the Spark plan stays sub-quadratic —
+    a pair with jaccard > 0 necessarily shares an n-gram, so the
+    inverted-index candidate set is lossless above the floor)."""
     docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
     out = dedup_mod.fuzzy_near_dups(docs, "doc_id", "text",
                                     max_dist=200, n=3,

@@ -120,9 +120,32 @@ def fingerprint(col: Column) -> Column:
                         + F.pmod(F.xxhash64(w), F.lit(1 << 31).cast("long"))) % m)
 
 
+def fingerprint_md5(col: Column) -> Column:
+    """Portable sibling of :func:`fingerprint`: the same rolling polynomial
+    fold, but over the md5 word bucket (``int(md5(word)[:8], 16)`` — the
+    :func:`~datum_spark.operators.sampling.md5_bucket` contract), so ANY
+    md5-capable engine (DuckDB, Postgres, ...) can recompute the value:
+
+        ``h = (h*31 + int(md5(word)[:8], 16)) mod (2^56-5)``
+
+    Max intermediate ≈ 2^56·31 + 2^32 < 2^63, safe under ANSI mode.
+    Use when fingerprints must be auditable outside Spark; xxhash64-based
+    :func:`fingerprint` is cheaper per row.
+    """
+    m = F.lit((1 << 56) - 5).cast("long")
+    return F.aggregate(
+        _words(col),
+        F.lit(0).cast("long"),
+        lambda acc, w: (acc * F.lit(31).cast("long")
+                        + F.conv(F.substring(F.md5(w), 1, 8), 16, 10)
+                           .cast("long")) % m)
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text",
-                     out_col: str = "fingerprint") -> DataFrame:
-    return df.withColumn(out_col, fingerprint(F.col(text_col)))
+                     out_col: str = "fingerprint",
+                     portable: bool = False) -> DataFrame:
+    fn = fingerprint_md5 if portable else fingerprint
+    return df.withColumn(out_col, fn(F.col(text_col)))
 
 
 # Patterns are deliberately RE2-compatible (no backrefs/lookaround) so the

@@ -127,6 +127,26 @@ def test_fingerprint_properties(spark, docs):
     assert with_fingerprint(rev, "text", "fp").collect()[0]["fp"] != fp[1]
 
 
+def test_fingerprint_md5_portable(spark, docs):
+    """The portable variant matches a pure-Python recomputation of the
+    documented contract: h = (h*31 + int(md5(w)[:8],16)) mod (2^56-5)."""
+    import hashlib
+
+    fp = {r["doc_id"]: r["fp"] for r in
+          with_fingerprint(docs, "text", "fp", portable=True)
+          .select("doc_id", "fp").collect()}
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select("doc_id", "text").collect()}
+    m = (1 << 56) - 5
+    for did, text in texts.items():
+        h = 0
+        for w in text.lower().split():
+            h = (h * 31
+                 + int(hashlib.md5(w.encode()).hexdigest()[:8], 16)) % m
+        assert fp[did] == h, did
+    assert fp[1] == fp[4] and fp[1] != fp[2]
+
+
 def test_quality_score_range(docs):
     rows = with_quality_score(docs, "text", "q").collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in rows)
