@@ -33,6 +33,13 @@ def main() -> int:
     os.dup2(2, 1)
     sys.stdout = os.fdopen(os.dup(2), "w")
 
+    # pre-run load: measured BEFORE the suite so it reflects competing
+    # box activity, not the bench's own 32-way parallelism
+    try:
+        load_pre = round(os.getloadavg()[0], 1)
+    except OSError:
+        load_pre = -1.0
+
     import __spark_entry__ as entry_mod
     from datum_spark.session import get_session
 
@@ -71,19 +78,23 @@ def main() -> int:
     # the full-name 4-decimal detail goes to BENCH_FULL.json next to this
     # script.  json.dumps compact separators keep every byte.
     short = {k.split("_", 1)[0]: round(v, 2) for k, v in timings.items()}
-    line = json.dumps({
-        "metric": "t2_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": short,
-        "sf": sf_val,
-    }, separators=(",", ":")) + "\n"
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
     try:
         load1, load5, load15 = os.getloadavg()
     except OSError:
         load1 = load5 = load15 = -1.0
+    line = json.dumps({
+        "metric": "t2_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": short,
+        "sf": sf_val,
+        # box context so rounds can tell load drift from regression
+        "load_pre": load_pre,
+        "load_post": round(load1, 1),
+        "reps": reps,
+    }, separators=(",", ":")) + "\n"
     with open(full_path, "w") as fh:
         json.dump({
             "metric": "t2_suite_seconds",
@@ -95,6 +106,7 @@ def main() -> int:
             "reps": reps,
             # shared-box context: r2→r3 showed a uniform 1.5× drift that
             # was load, not regression — record load so rounds can tell
+            "load_pre_run": load_pre,
             "loadavg": [round(load1, 2), round(load5, 2), round(load15, 2)],
             "cpus": os.cpu_count(),
         }, fh, indent=1)

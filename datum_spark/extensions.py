@@ -856,8 +856,9 @@ def x40(spark, sf):
     Instead the per-segment rank comes from curriculum's grouped
     distributed prefix sum; NTILE is arithmetic on (rank, group size)
     (first n%4 tiles get one extra row — SQL NTILE's exact fill rule);
-    FIRST_VALUE/LAST_VALUE reduce to per-segment min_by/min aggregates,
-    broadcast back."""
+    FIRST_VALUE/LAST_VALUE are the rank-0 and rank-(n-1) rows of the SAME
+    prefix-sum output (no second scan+aggregate job: the endpoint filter
+    runs over the operator's cached repartitioned data), broadcast back."""
     from .operators.curriculum import grouped_global_position
 
     c = (load(spark, sf, "customer")
@@ -866,12 +867,13 @@ def x40(spark, sf):
         c, ["c_mktsegment"],
         [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
         "__pos", size_col="__sz")
-    aggs = F.broadcast(
-        c.groupBy("c_mktsegment").agg(
-            F.expr("min_by(c_custkey, struct(-c_acctbal, c_custkey))")
-             .alias("top_cust"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal")))
     r, gn = F.col("__pos"), F.col("__sz")
+    ends = pos.filter((r == 0) | (r == gn - 1))
+    aggs = F.broadcast(
+        ends.groupBy("c_mktsegment").agg(
+            F.expr("min_by(c_custkey, __pos)").alias("top_cust"),
+            F.round(F.expr("max_by(c_acctbal, __pos)"), 2)
+             .alias("min_bal")))
     q, rem = (gn / 4).cast("long"), gn % 4
     head = rem * (q + 1)
     quartile = (F.when(r < head, F.floor(r / (q + 1)))

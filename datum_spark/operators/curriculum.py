@@ -110,15 +110,25 @@ def grouped_global_position(df: DataFrame, group_cols: list[str],
     spark = df.sparkSession
     off_schema = (d.select(*group_cols).schema.add("__pid", "integer")
                    .add("__off", "long").add("__gn", "long"))
-    offsets = F.broadcast(spark.createDataFrame(rows, off_schema))
+    odf = spark.createDataFrame(rows, off_schema)
+    # null-safe join keys: a plain equi-join would silently drop rows
+    # whose group value is NULL (NULL never equals NULL), so rename the
+    # offset side and join with eqNullSafe per group column
+    renamed = {c: f"__og{i}" for i, c in enumerate(group_cols)}
+    for c, rc in renamed.items():
+        odf = odf.withColumnRenamed(c, rc)
+    offsets = F.broadcast(odf.withColumnRenamed("__pid", "__opid"))
+    cond = F.col("__pid") == F.col("__opid")
+    for c, rc in renamed.items():
+        cond = cond & F.col(c).eqNullSafe(F.col(rc))
     w = Window.partitionBy("__pid", *group_cols).orderBy(*order_cols)
-    out = (d.join(offsets, ["__pid", *group_cols])
+    out = (d.join(offsets, cond)
             .withColumn(out_col,
                         (F.row_number().over(w) - F.lit(1)
                          + F.col("__off")).cast("long")))
     if size_col is not None:
         out = out.withColumn(size_col, F.col("__gn"))
-    return out.drop("__pid", "__off", "__gn")
+    return out.drop("__pid", "__opid", "__off", "__gn", *renamed.values())
 
 
 def epoch_shuffle(df: DataFrame, key_col: str, epoch: int = 0,

@@ -129,6 +129,13 @@ def _funnel_fn_factory(step_a: str, step_b: str, within_s: int):
                     if len(q):
                         mn = int(q.min())
                         b_q = mn if b_q == 0 else min(b_q, mn)
+        # a late-arriving EARLIER step_a moves the window start: a B that
+        # qualified under the OLD ts_a may now fall outside within_s, so
+        # re-validate the stored b_q against the current ts_a (idempotent
+        # for unchanged ts_a) before the re-derive step below
+        if b_q and not (ts_a and b_q > ts_a
+                        and b_q // 1_000_000 - ts_a // 1_000_000 <= within_s):
+            b_q = 0
         # a late-arriving EARLIER signup can re-qualify the earliest
         # purchase seen so far; O(1) state covers the min (completeness
         # beyond that is watermark-bounded, as with any single-pass state)
@@ -163,8 +170,15 @@ def streaming_funnel(events: DataFrame, step_a: str, step_b: str,
     qualifying-B ts), never an event list; quiet users are dropped by the
     event-time TTL.  Exactly matches the batch twin
     (:func:`datum_spark.operators.events.funnel`, query x71) for in-order
-    and single-batch input; a signup arriving later than ``watermark``
-    after a mid-window purchase is the documented completeness bound.
+    and single-batch input.  Completeness bounds of the O(1) state, both
+    arising when a step_a arrives LATER than (and timestamped EARLIER
+    than) already-processed step_b events: (1) the stored qualifying B is
+    re-validated against the moved window and re-derived from the
+    earliest-B scalar, but a NON-min B that only qualifies under the new
+    ts_a was not retained and cannot be recovered; (2) a signup arriving
+    later than ``watermark`` after a mid-window purchase may miss it
+    entirely.  Both collapse to zero for in-order streams; an event list
+    per user would remove them at O(events) state.
     """
     stream = events.withWatermark(ts_col, watermark)
     return (stream

@@ -387,10 +387,13 @@ class Table:
         ``(a, b)`` clustering, a filter on ``b`` alone skips nothing;
         Z-ordering makes every clustered column's min/max ranges tight
         simultaneously (each file covers a small square of (a, b) space,
-        not a thin full-height stripe).  Ranks come from Spark-side
-        ``ntile`` over each column (one window per column over the rewrite
-        shuffle — acceptable for a maintenance job), interleaved JVM-side
-        with shift/or expressions.
+        not a thin full-height stripe).  Per-column bucket ranks come from
+        one min/max aggregate + ``width_bucket`` over the column's value
+        range (``functions/zorder.py`` — deliberately NOT a global
+        ``ntile`` window, which would funnel the table through one task),
+        interleaved JVM-side with shift/or expressions.  Uniform-width
+        buckets skew on heavy-tailed columns (a hot bucket clusters less
+        tightly) — the tradeoff for staying aggregate-only.
         """
         cols = [cluster_by] if isinstance(cluster_by, str) else list(cluster_by)
         for c in cols:
@@ -420,13 +423,19 @@ class Table:
         spelling a Parquet warehouse needs.)
 
         Implemented as existing ⟕-anti new on the keys, union, rewrite —
-        one join (broadcast when the incoming batch is small, which is the
-        common upsert shape) and one write; no per-row driver loop.
+        one join and one write; no per-row driver loop.  The key slice is
+        explicitly broadcast only when the batch arrived as a Python list
+        (size known and small); DataFrame batches of unknown size go
+        through Catalyst/AQE's autoBroadcastJoinThreshold so a large
+        upsert cannot OOM the driver.  Duplicate keys WITHIN the batch are
+        collapsed first (last occurrence wins for list input, matching
+        MERGE's \"each target row matched at most once\" contract).
         """
         keys = [keys] if isinstance(keys, str) else list(keys)
         for k in keys:
             if k not in self.fields:
                 raise ValueError(f"field not in table: {k}")
+        small_batch = False
         if isinstance(rows, DataFrame):
             new = rows
         else:
@@ -434,17 +443,28 @@ class Table:
             if not rows:
                 return
             new = self._rows_to_df(rows, list(rows[0].keys()))
+            small_batch = len(rows) <= 1_000_000
         for k in keys:
             if k not in new.columns:
                 raise ValueError(f"upsert rows missing key field: {k}")
+        # dedupe the incoming batch on the keys: last-wins in input order
+        # (parallelize preserves list order → max __seq is the last row)
+        from pyspark.sql import Window
+
+        seq = new.withColumn("__seq", F.monotonically_increasing_id())
+        w = Window.partitionBy(*keys).orderBy(F.col("__seq").desc())
+        new = (seq.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__seq", "__rn"))
         cur = self.df()
         # align incoming columns to the table schema (missing → null)
         aligned = new.select(*[
             (F.col(c) if c in new.columns else F.lit(None)).cast(
                 dict(cur.dtypes)[c]).alias(c)
             for c in cur.columns])
-        kept = cur.join(F.broadcast(aligned.select(*keys).distinct()),
-                        keys, "left_anti")
+        key_slice = aligned.select(*keys).distinct()
+        if small_batch:
+            key_slice = F.broadcast(key_slice)
+        kept = cur.join(key_slice, keys, "left_anti")
         self.db._rewrite_table(self.name, kept.unionByName(aligned))
         self._schema_cache = None
 

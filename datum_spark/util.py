@@ -129,25 +129,77 @@ def ensure_parallelism(df, min_partitions: int | None = None):
         files = []
     if files:
         # estimate the scan's split count WITHOUT df.rdd (which forces a
-        # plan→RDD conversion per call): a many-file input already fans
-        # out, and Parquet additionally splits big files ~every 128 MB.
-        if len(files) >= target:
-            return df
+        # plan→RDD conversion per call), mirroring FilePartition packing:
+        # many tiny files BIN-PACK into few partitions (maxPartitionBytes /
+        # openCostInBytes), so a raw len(files) >= target check would
+        # over-estimate fan-out exactly when this helper is needed.
         import os
         from urllib.parse import urlparse
 
-        total = 0
+        sizes, local = [], True
         for f in files:
             try:
-                total += os.path.getsize(urlparse(f).path or f)
-            except OSError:  # non-local FS: len(files) is the estimate
-                total = 0
+                sizes.append(os.path.getsize(urlparse(f).path or f))
+            except OSError:  # non-local FS: sizes unknown
+                local = False
                 break
-        est = max(len(files), total // (128 << 20) + (1 if total else 0))
-        return df if est >= target else df.repartition(target)
+        if local:
+            est = _estimate_scan_partitions(spark, sizes, target)
+            return df if est >= target else df.repartition(target)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _estimate_scan_partitions(spark, sizes: list[int], target: int) -> int:
+    """Simulate FilePartition bin-packing (FilePartition.getFilePartitions):
+    split big files at maxSplitBytes, sort chunks descending, pack greedily
+    with each chunk padded by openCostInBytes.  This is why many tiny
+    files collapse into few scan partitions — ~2 per bin at the defaults."""
+    if not sizes:
+        return 0
+    max_split = _bytes_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf(
+        spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    padded = sum(sizes) + len(sizes) * open_cost
+    split = min(max_split, max(open_cost, padded // max(target, 1) or 1))
+    chunks = []
+    for s in sizes:
+        while s > split:
+            chunks.append(split)
+            s -= split
+        chunks.append(s)
+    chunks.sort(reverse=True)
+    bins, cur = 0, split + 1  # force a new bin on the first chunk
+    for s in chunks:
+        if cur + s > split:
+            bins += 1
+            cur = 0
+        cur += s + open_cost
+    return bins
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A Spark size conf ('128MB', '4m', '134217728b', ...) in bytes."""
+    try:
+        v = spark.conf.get(key)
+    except Exception:  # noqa: BLE001
+        return default
+    v = str(v).strip().lower()
+    units = {"pb": 1 << 50, "tb": 1 << 40, "gb": 1 << 30, "mb": 1 << 20,
+             "kb": 1 << 10, "p": 1 << 50, "t": 1 << 40, "g": 1 << 30,
+             "m": 1 << 20, "k": 1 << 10, "b": 1}
+    for suf in sorted(units, key=len, reverse=True):
+        if v.endswith(suf):
+            try:
+                return int(float(v[: -len(suf)]) * units[suf])
+            except ValueError:
+                return default
+    try:
+        return int(v)
+    except ValueError:
+        return default
 
 
 # ---------------------------------------------------------------------------

@@ -393,6 +393,18 @@ def test_upsert_replaces_and_appends(tmp_db):
     assert tmp_db["u"].count == 3
 
 
+def test_upsert_dedupes_batch_last_wins(tmp_db):
+    """Duplicate keys inside one batch collapse to the LAST occurrence —
+    MERGE's 'each target row matched at most once' contract."""
+    tmp_db.create_table("u3", [{"name": "id", "type": "num"},
+                               {"name": "s", "type": "text"}])
+    tmp_db["u3"].write([{"id": 1, "s": "a"}])
+    tmp_db["u3"].upsert([{"id": 1, "s": "first"}, {"id": 2, "s": "x"},
+                         {"id": 1, "s": "last"}], keys="id")
+    got = sorted((r["id"], r["s"]) for r in tmp_db["u3"].read())
+    assert got == [(1.0, "last"), (2.0, "x")]
+
+
 def test_upsert_validates_keys(tmp_db):
     import pytest as _pytest
 

@@ -122,3 +122,17 @@ def test_grouped_global_position_matches_window(docs):
         pos, sz = g[(r["source"], r["doc_id"])]
         assert pos == r["pos"]
         assert sz == 20
+
+
+def test_grouped_global_position_keeps_null_groups(spark):
+    """Rows whose group value is NULL must not be dropped (the offsets
+    join is null-safe); they form their own group like Window.partitionBy."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None), (5, "b")],
+        "id long, grp string")
+    out = curriculum.grouped_global_position(
+        df, ["grp"], [F.col("id").asc()], "pos", size_col="sz").collect()
+    assert len(out) == 5
+    nulls = sorted((r["id"], r["pos"], r["sz"])
+                   for r in out if r["grp"] is None)
+    assert nulls == [(2, 0, 2), (4, 1, 2)]

@@ -180,3 +180,21 @@ def test_x80_window_after_aggregation(spark):
     assert "Window" in plan and "HashAggregate" in plan
     assert plan.index("Window") < plan.index("Scan parquet"), \
         "window must consume the aggregate, not the scan"
+
+
+def test_ensure_parallelism_many_tiny_files(spark, tmp_path):
+    """Spark bin-packs tiny files (openCostInBytes) into few scan
+    partitions; the file-count fast path must not skip the repartition
+    (ADVICE r4).  The packing estimate should match Spark's actual
+    FilePartition count."""
+    from datum_spark.util import _estimate_scan_partitions, ensure_parallelism
+
+    p = str(tmp_path / "tiny")
+    spark.range(100).repartition(40).write.parquet(p)
+    df = spark.read.parquet(p)
+    import os
+
+    sizes = [os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()]
+    assert _estimate_scan_partitions(spark, sizes, 32) == \
+        df.rdd.getNumPartitions()
+    assert ensure_parallelism(df, 32).rdd.getNumPartitions() >= 32

@@ -186,3 +186,62 @@ def test_streaming_funnel_parity(spark, events_batch, events_stream):
         F.col("converted").cast("int").alias("converted"),
         F.col("delay_s").cast("long").alias("delay_s")), "user_id")
     assert got == want and len(want) > 0
+
+
+class _FakeState:
+    """Minimal GroupState stub for driving the funnel state fn directly."""
+
+    def __init__(self):
+        self.exists = False
+        self.hasTimedOut = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+        self.exists = True
+
+    def remove(self):
+        self._v, self.exists = None, False
+
+    def getCurrentWatermarkMs(self):
+        return 0
+
+    def setTimeoutTimestamp(self, ms):
+        pass
+
+
+def test_funnel_late_earlier_step_a_invalidates_stale_b():
+    """A later micro-batch delivering an EARLIER step_a moves the window
+    start; a B that qualified under the old ts_a but is outside within_s
+    of the new one must stop counting as converted (ADVICE r4)."""
+    import pandas as pd
+
+    from datum_spark.streaming.stateful import _funnel_fn_factory
+
+    fn = _funnel_fn_factory("signup", "purchase", within_s=100)
+    st = _FakeState()
+
+    def batch(rows):
+        return list(fn((7,), iter([pd.DataFrame(
+            {"user_id": [7] * len(rows),
+             "event_type": [r[0] for r in rows],
+             "ts": [pd.Timestamp(r[1], unit="s") for r in rows]})]), st))
+
+    # batch 1: A @1000, B @1050 → qualifies (within 100s), converted
+    out = batch([("signup", 1000), ("purchase", 1050)])
+    assert out[0]["converted"].iloc[0] == 1
+
+    # batch 2: late EARLIER A @100 → window is now [100, 200]; the stored
+    # B @1050 no longer qualifies and min-B re-derive can't save it
+    out = batch([("signup", 100)])
+    assert out[0]["converted"].iloc[0] == 0
+    assert out[0]["ts_b"].isna().iloc[0]
+
+    # batch 3: B @150 arrives → converts under the new window
+    out = batch([("purchase", 150)])
+    assert out[0]["converted"].iloc[0] == 1
+    assert out[0]["delay_s"].iloc[0] == 50
