@@ -853,37 +853,62 @@ def x40(spark, sf):
     (deterministic: the window order is a total order), spelled scale-safe
     for LOW-cardinality window partitions: c_mktsegment has 5 values, so
     Window.partitionBy would funnel 1/5 of the table through each task.
-    Instead the per-segment rank comes from curriculum's grouped
-    distributed prefix sum; NTILE is arithmetic on (rank, group size)
-    (first n%4 tiles get one extra row — SQL NTILE's exact fill rule);
-    FIRST_VALUE/LAST_VALUE are the rank-0 and rank-(n-1) rows of the SAME
-    prefix-sum output (no second scan+aggregate job: the endpoint filter
-    runs over the operator's cached repartitioned data), broadcast back."""
-    from .operators.curriculum import grouped_global_position
+    Instead the per-segment rank comes from a grouped distributed prefix
+    sum whose per-(partition, segment) collect ALSO carries the endpoint
+    aggregates (first-row customer via min_by over the sort struct, last
+    row's balance = segment min), combined driver-side — offsets, group
+    sizes, FIRST_VALUE and LAST_VALUE all ride ONE tiny collect
+    (≤ partitions × segments rows) and come back as one broadcast: two
+    jobs total, the fused form of curriculum.grouped_global_position.
+    NTILE is arithmetic on (rank, group size); the first n%4 tiles get
+    one extra row — SQL NTILE's exact fill rule."""
+    from .session import default_parallelism
+    from .util import retain_cache
 
     c = (load(spark, sf, "customer")
          .select("c_mktsegment", "c_custkey", "c_acctbal"))
-    pos = grouped_global_position(
-        c, ["c_mktsegment"],
-        [F.col("c_acctbal").desc(), F.col("c_custkey").asc()],
-        "__pos", size_col="__sz")
-    r, gn = F.col("__pos"), F.col("__sz")
-    ends = pos.filter((r == 0) | (r == gn - 1))
-    aggs = F.broadcast(
-        ends.groupBy("c_mktsegment").agg(
-            F.expr("min_by(c_custkey, __pos)").alias("top_cust"),
-            F.round(F.expr("max_by(c_acctbal, __pos)"), 2)
-             .alias("min_bal")))
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    d = retain_cache(
+        c.repartitionByRange(default_parallelism(),
+                             F.col("c_mktsegment"), *order)
+         .withColumn("__pid", F.spark_partition_id()))
+    pairs = (d.groupBy("__pid", "c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("c"),
+                   F.expr("min_by(c_custkey, struct(-c_acctbal, c_custkey))")
+                    .alias("top"),
+                   F.min("c_acctbal").alias("mb"))
+              .collect())
+    by_seg: dict = {}
+    for p in pairs:
+        by_seg.setdefault(p["c_mktsegment"], []).append(p)
+    rows = []
+    for seg, lst in by_seg.items():
+        lst.sort(key=lambda p: p["__pid"])
+        total = sum(p["c"] for p in lst)
+        top = lst[0]["top"]            # rank 0 lives in the lowest pid
+        mb = round(min(p["mb"] for p in lst), 2)
+        acc = 0
+        for p in lst:
+            rows.append((seg, p["__pid"], acc, total, top, mb))
+            acc += p["c"]
+    offsets = F.broadcast(spark.createDataFrame(
+        rows, "__oseg string, __opid int, __off long, __gn long, "
+              "top_cust long, min_bal double"))
+    w = Window.partitionBy("__pid", "c_mktsegment").orderBy(*order)
+    r = (F.row_number().over(w) - 1 + F.col("__off")).cast("long")
+    gn = F.col("__gn")
     q, rem = (gn / 4).cast("long"), gn % 4
     head = rem * (q + 1)
     quartile = (F.when(r < head, F.floor(r / (q + 1)))
                  .otherwise(rem + F.floor((r - head) /
                                           F.greatest(q, F.lit(1))))
                 + 1).cast("int")
-    return (pos.join(aggs, "c_mktsegment")
-               .select("c_mktsegment", "c_custkey",
-                       quartile.alias("quartile"), "top_cust", "min_bal")
-               .orderBy("c_mktsegment", "c_custkey").limit(1000))
+    return (d.join(offsets,
+                   (F.col("__pid") == F.col("__opid"))
+                   & F.col("c_mktsegment").eqNullSafe(F.col("__oseg")))
+             .select("c_mktsegment", "c_custkey",
+                     quartile.alias("quartile"), "top_cust", "min_bal")
+             .orderBy("c_mktsegment", "c_custkey").limit(1000))
 
 
 @x("x41_range_frame", """

@@ -83,6 +83,96 @@ def empty_wkt(geom_type: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Curve linearization — the reference wraps curve WKT in ST_CurveToLine
+# before insert (datum/postgis/table.py:189-191: "Convert curve geometries
+# (these aren't supported by PostGIS)"); a Parquet warehouse has no PostGIS
+# to delegate to, so CIRCULARSTRING is chord-linearized here.
+
+_MAX_SEG_ANGLE = 3.141592653589793 / 16  # ≤11.25° per chord ≈ ST_CurveToLine default
+
+
+def _arc_points(p0, p1, p2, max_seg_angle=_MAX_SEG_ANGLE):
+    """Points along the circular arc from p0 through p1 to p2 (inclusive).
+    Collinear triples degenerate to the straight segment [p0, p2]."""
+    import math
+
+    (x0, y0), (x1, y1), (x2, y2) = p0, p1, p2
+    d = 2.0 * (x0 * (y1 - y2) + x1 * (y2 - y0) + x2 * (y0 - y1))
+    if abs(d) < 1e-12 * max(abs(x0), abs(y0), abs(x1), abs(y1), 1.0):
+        return [p0, p2]
+    ux = ((x0 * x0 + y0 * y0) * (y1 - y2) + (x1 * x1 + y1 * y1) * (y2 - y0)
+          + (x2 * x2 + y2 * y2) * (y0 - y1)) / d
+    uy = ((x0 * x0 + y0 * y0) * (x2 - x1) + (x1 * x1 + y1 * y1) * (x0 - x2)
+          + (x2 * x2 + y2 * y2) * (x1 - x0)) / d
+    r = math.hypot(x0 - ux, y0 - uy)
+    a0 = math.atan2(y0 - uy, x0 - ux)
+    a1 = math.atan2(y1 - uy, x1 - ux)
+    a2 = math.atan2(y2 - uy, x2 - ux)
+    two_pi = 2.0 * math.pi
+    # sweep from a0 to a2 in the direction that passes through a1
+    ccw1, ccw2 = (a1 - a0) % two_pi, (a2 - a0) % two_pi
+    if ccw1 <= ccw2:            # counter-clockwise passes through p1
+        sweep = ccw2 if ccw2 else two_pi
+    else:                       # clockwise
+        sweep = -((a0 - a2) % two_pi or two_pi)
+    n = max(2, int(abs(sweep) / max_seg_angle) + 1)
+    pts = [(ux + r * math.cos(a0 + sweep * i / n),
+            uy + r * math.sin(a0 + sweep * i / n)) for i in range(1, n)]
+    return [p0] + pts + [p2]
+
+
+def linearize_circularstring(wkt: str,
+                             max_seg_angle: float = _MAX_SEG_ANGLE) -> str:
+    """``CIRCULARSTRING (...)`` → chord-approximated ``LINESTRING (...)``
+    (arcs defined by consecutive point triples, SQL/MM semantics)."""
+    body = wkt.strip()[len("CIRCULARSTRING"):].strip()
+    if body.upper() == "EMPTY":
+        return "LINESTRING EMPTY"
+    inner = body[body.index("(") + 1: body.rindex(")")]
+    pts = [tuple(float(v) for v in p.split()[:2])
+           for p in inner.split(",") if p.strip()]
+    if len(pts) < 3 or len(pts) % 2 == 0:
+        raise ValueError(f"invalid CIRCULARSTRING ({len(pts)} points); "
+                         "need an odd count >= 3")
+    out = [pts[0]]
+    for i in range(0, len(pts) - 2, 2):
+        out.extend(_arc_points(pts[i], pts[i + 1], pts[i + 2],
+                               max_seg_angle)[1:])
+    coords = ", ".join(f"{x:.10g} {y:.10g}" for x, y in out)
+    return f"LINESTRING ({coords})"
+
+
+def curve_to_line(col: Column) -> Column:
+    """ST_CurveToLine analog over a WKT column: CIRCULARSTRING is
+    chord-linearized; COMPOUNDCURVE / CURVEPOLYGON / MULTICURVE raise a
+    clear error (no silent write of WKT a reader can't parse); everything
+    else passes through unchanged.
+
+    Arrow-batched pandas UDF (string parse + trig is not expressible as
+    JVM column ops) — the cost is one Arrow round-trip of the geometry
+    column on write, vs the reference's per-row DRIVER loop for the same
+    normalization family.
+    """
+    @F.pandas_udf("string")
+    def _f(s: pd.Series) -> pd.Series:
+        def one(w):
+            if w is None:
+                return None
+            head = w.lstrip()[:16].upper()
+            if head.startswith("CIRCULARSTRING"):
+                return linearize_circularstring(w)
+            if "CURVE" in head:
+                raise NotImplementedError(
+                    f"curve geometry {head.split()[0].split('(')[0]} is not "
+                    "supported on write: only CIRCULARSTRING is "
+                    "linearized (reference delegated to PostGIS "
+                    "ST_CurveToLine, datum/postgis/table.py:189-191)")
+            return w
+        return s.map(one)
+    return _f(col)
+
+
+# ---------------------------------------------------------------------------
 # Reprojection — vectorized executor-side, replacing the reference's
 # single-threaded driver loop (datum/oracle_stgeom/table.py:307-313).
 

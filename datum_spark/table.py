@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from . import util
 from .functions.dialect import translate_predicate
 from .functions.geometry import (
+    curve_to_line,
     empty_wkt,
     force_2d,
     multi_cast,
@@ -348,6 +349,9 @@ class Table:
         (reference ``_prepare_geom``: ``datum/postgis/table.py:179-201``,
         ``datum/oracle_stgeom/table.py:317-340``)."""
         out = force_2d(scrub_m_values(col))
+        # curve conversion before MULTI promotion, matching the reference's
+        # ST_CurveToLine-inside-ST_Multi nesting (postgis/table.py:189-191)
+        out = curve_to_line(out)
         gtype = self.geom_type
         if gtype:
             out = multi_cast(out, gtype)

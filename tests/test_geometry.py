@@ -353,3 +353,49 @@ def test_st_centroid(tmp_db):
     assert r["mc"] == "POINT (2.0 2.0)"
     assert r["pc"] == "POINT (3.5 -1.0)"
     assert r["lc"] is None
+
+
+def test_linearize_circularstring_semicircle():
+    """Half circle (0,0)→(1,1)→(2,0): chords lie on the r=1 circle centered
+    (1,0) and endpoints are exact."""
+    import math
+
+    from datum_spark.functions.geometry import linearize_circularstring
+
+    out = linearize_circularstring("CIRCULARSTRING (0 0, 1 1, 2 0)")
+    assert out.startswith("LINESTRING (")
+    pts = [tuple(map(float, p.split()))
+           for p in out[len("LINESTRING ("):-1].split(",")]
+    assert pts[0] == (0.0, 0.0) and pts[-1] == (2.0, 0.0)
+    assert len(pts) >= 10          # pi sweep at <=11.25deg per chord
+    for x, y in pts:
+        assert abs(math.hypot(x - 1.0, y) - 1.0) < 1e-9
+    assert any(y > 0.9 for _, y in pts)  # passes through the top, not below
+
+
+def test_linearize_circularstring_collinear_and_empty():
+    from datum_spark.functions.geometry import linearize_circularstring
+
+    assert linearize_circularstring(
+        "CIRCULARSTRING (0 0, 1 1, 2 2)") == "LINESTRING (0 0, 2 2)"
+    assert linearize_circularstring(
+        "CIRCULARSTRING EMPTY") == "LINESTRING EMPTY"
+
+
+def test_curve_write_linearizes_and_gates(tmp_db):
+    """Write path parity with reference ST_CurveToLine
+    (datum/postgis/table.py:189-191): CIRCULARSTRING becomes a LINESTRING
+    on disk; unsupported curve types fail with a clear error."""
+    import pytest as _pytest
+
+    tmp_db.create_table("curves", [{"name": "shape", "type": "geom"}])
+    tmp_db["curves"].write([{"shape": "CIRCULARSTRING (0 0, 1 1, 2 0)"},
+                            {"shape": "POINT (5 5)"}])
+    got = sorted(r["shape"].split(" ")[0]
+                 for r in tmp_db["curves"].read())
+    assert got == ["LINESTRING", "POINT"]
+
+    tmp_db.create_table("curves2", [{"name": "shape", "type": "geom"}])
+    with _pytest.raises(Exception, match="(?i)curve.*not.*supported"):
+        tmp_db["curves2"].write(
+            [{"shape": "COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0))"}])
