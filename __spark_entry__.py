@@ -56,6 +56,7 @@ _DRIVER_CHECKED = {
 _RECHECK_R5 = {
     "x16_tumbling_window", "x19_sliding_window",
     "x84_fuzzy_dedup", "x12_fingerprint", "x13_quality_score",
+    "x86_expectations", "x05_simhash",
 }
 
 

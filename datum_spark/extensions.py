@@ -167,11 +167,49 @@ def x37(spark, sf):
             .orderBy("id_a", "id_b"))
 
 
-@x("x05_simhash", None)  # engine-specific signature hash family
+@x("x05_simhash", """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+tok AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws
+  FROM d
+), hs AS (
+  SELECT doc_id,
+         list_transform(ws, w -> xor(
+           CAST(('0x' || substring(md5(w), 1, 16)) AS UBIGINT),
+           CAST(1366493713 AS UBIGINT))) AS hv
+  FROM tok
+), sig AS (
+  SELECT doc_id, CAST(
+    COALESCE(list_sum(list_transform(range(0, 63), b ->
+      CASE WHEN list_sum(list_transform(hv,
+             h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN CAST(1 AS HUGEINT) << b ELSE CAST(0 AS HUGEINT) END)), 0)
+    - CASE WHEN COALESCE(list_sum(list_transform(hv,
+             h -> CASE WHEN (h >> 63) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+           THEN CAST(1 AS HUGEINT) << 63 ELSE CAST(0 AS HUGEINT) END
+    AS BIGINT) AS sg
+  FROM hs
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sg, b.sg)) AS INTEGER) AS hamming,
+         xor(a.sg, b.sg) AS x
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs
+WHERE hamming <= 6
+  AND ((x & 65535) = 0 OR ((x >> 16) & 65535) = 0
+       OR ((x >> 32) & 65535) = 0 OR ((x >> 48) & 65535) = 0)
+ORDER BY id_a, id_b""")
 def x05(spark, sf):
     """SimHash hamming-≤6 near-dup pairs via 16-bit pigeonhole banding,
-    vectorized signature stage (hashlib-C token hashes + one NumPy bit
-    broadcast per doc — ~20× the 64-when-per-token JVM expression)."""
+    vectorized signature stage (hashlib-C md5 token hashes + one NumPy bit
+    broadcast per doc — ~20× the 64-when-per-token JVM expression).  The
+    md5 hash family is portable, so the DuckDB oracle re-derives the exact
+    signatures (token hash, seed xor, bit votes, sign packing) and the
+    banding restriction (pairs must agree on >=1 of the 4 chunks) in pure
+    SQL — the x62 discipline applied to SimHash."""
     docs = load_docs(spark, sf).filter(F.col("doc_id") < 200)
     return (dedup_mod.simhash_near_dups(docs, "doc_id", "text",
                                         max_hamming=6, fast=True)
@@ -2073,21 +2111,43 @@ def x82(spark, sf):
                 .orderBy(F.col("n_occ").desc(), "k").limit(100))
 
 
-# rows-only (plain SQL, but the 50-slot oracle budget is full this
-# round — promote in r5)
-@x("x86_expectations", None)
+@x("x86_expectations", """
+WITH a AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CASE WHEN NOT COALESCE(doc_id IS NOT NULL, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         CAST(SUM(CASE WHEN NOT COALESCE(doc_id >= 0, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+         CAST(SUM(CASE WHEN NOT COALESCE(length(text) > 0, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+         CAST(SUM(CASE WHEN NOT COALESCE(lang IN ('en','de','fr','es','zh'),
+                  FALSE) THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+         CAST(SUM(CASE WHEN NOT COALESCE(n_chars >= 200, FALSE)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v5
+  FROM documents
+)
+SELECT rule, n_violations, ROUND(n_violations / n, 6) AS violation_rate
+FROM (
+  SELECT n, 'doc_id_not_null' AS rule, v1 AS n_violations FROM a
+  UNION ALL SELECT n, 'doc_id_nonneg', v2 FROM a
+  UNION ALL SELECT n, 'text_nonempty', v3 FROM a
+  UNION ALL SELECT n, 'lang_known', v4 FROM a
+  UNION ALL SELECT n, 'min_length_200', v5 FROM a
+) ORDER BY rule""")
 def x86(spark, sf):
     """Ingest-gate data-quality report: N declarative rules over the
-    documents batch in ONE aggregation pass (operators/expectations.py)."""
+    documents batch in ONE aggregation pass (operators/expectations.py).
+    min_length_200 genuinely fails for short docs, so the oracle checks a
+    non-zero violation_rate, not just the all-green path."""
     from .operators.expectations import check_expectations
 
     docs = load(spark, sf, "documents")
     return check_expectations(docs, {
         "doc_id_not_null": "doc_id IS NOT NULL",
-        "doc_id_unique_proxy": "doc_id >= 0",
+        "doc_id_nonneg": "doc_id >= 0",
         "text_nonempty": "length(text) > 0",
         "lang_known": "lang IN ('en', 'de', 'fr', 'es', 'zh')",
-        "n_chars_consistent": "abs(n_chars - length(text)) <= 0",
+        "min_length_200": "n_chars >= 200",
     })
 
 
@@ -2151,7 +2211,10 @@ def x84(spark, sf):
                                     max_dist=200, n=3,
                                     candidate_threshold=0.3)
     return (out.select("id_a", "id_b",
-                       F.round("jaccard", 6).alias("jaccard"), "edit_dist")
+                       F.round("jaccard", 6).alias("jaccard"),
+                       # DuckDB levenshtein is BIGINT; match it exactly
+                       # (the driver's schema check is width-sensitive)
+                       F.col("edit_dist").cast("long").alias("edit_dist"))
                .orderBy("id_a", "id_b"))
 
 

@@ -56,9 +56,13 @@ def spark_dtype_cats(schema) -> dict[str, str]:
 
     The driver's hash is representation-sensitive: x28 failed two rounds
     because DuckDB's SUM(BIGINT) is HUGEINT while every VALUE matched
-    (_norm erases exactly that).  Categories: i=int, h=hugeint (never
-    produced by Spark — always a mismatch), f=float, d=decimal, t=date or
-    timestamp, b=bool, s=string, o=other (arrays, structs, binary).
+    (_norm erases exactly that).  Categories: i=machine int (the driver
+    provably tolerates INT-vs-BIGINT width differences — q17/x08/x40/
+    x52/x54/x60 were driver-green for rounds with Spark INT against
+    DuckDB BIGINT ranks — so width is deliberately NOT split), h=hugeint
+    (not a machine int in pandas — always a mismatch), f=float,
+    d=decimal, t=date or timestamp, z=timestamptz (never produced by
+    Spark), b=bool, s=string, o=other (arrays, structs, binary).
     """
     from pyspark.sql import types as T
 
