@@ -2218,22 +2218,75 @@ def x84(spark, sf):
                .orderBy("id_a", "id_b"))
 
 
-# rows-only (iterative fixpoint — not SQL-expressible; invariants are
-# unit-tested in test_graph.py, and the pair graph itself is the
-# oracle-checked x03)
-@x("x83_pagerank", None)
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    """DuckDB twin of x83: the bigram-Jaccard pair graph (x84's gram
+    derivation) symmetrized, then ``iters`` power-iteration steps
+    UNROLLED as chained CTEs — possible because x83 pins ``tol=0`` so
+    the Spark side runs exactly the same fixed iteration count.  The
+    symmetrized graph has no dangling nodes (every dst is also a src),
+    so the dangling-mass term is identically zero on both engines and
+    is omitted here."""
+    step = """r{j} AS (
+  SELECT n.node,
+         CAST(0.15 AS DOUBLE) / nn.n
+           + CAST(0.85 AS DOUBLE) * COALESCE(c.contrib, 0) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM(r.rank / d.deg) AS contrib
+             FROM e JOIN r{i} r ON e.src = r.node
+                    JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) c ON n.node = c.dst
+)"""
+    chain = ",\n".join(step.format(i=i, j=i + 1) for i in range(iters))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 500
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 1, 1)),
+           i -> coalesce(array_to_string(ws[i:i+1], ' '), ''))) AS gs
+  FROM w
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs))
+        / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM e GROUP BY src
+), r0 AS (
+  SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn
+),
+{chain}
+SELECT node, ROUND(rank, 8) AS rank FROM r{iters}
+ORDER BY rank DESC, node LIMIT 50"""
+
+
+@x("x83_pagerank", _pagerank_oracle_sql(10))
 def x83(spark, sf):
     """PageRank over the x03 near-dup pair graph: centrality-based
     canonical-document selection (the 'which mirror do we keep' policy a
     min-id rule can't express).  One shuffle per iteration, lineage
     checkpoint-truncated, dangling mass redistributed — see
-    operators/graph.py."""
+    operators/graph.py.  ``tol=0`` pins exactly 10 iterations (no
+    convergence probe, no driver action inside the loop) so the DuckDB
+    oracle can unroll the identical fixed-point computation."""
     from .operators.graph import pagerank
 
     docs = load_docs(spark, sf).filter(F.col("doc_id") < 500)
     pairs = dedup_mod.ngram_jaccard_pairs(docs, "doc_id", "text",
                                           n=2, threshold=0.5)
-    ranks = pagerank(pairs.select("id_a", "id_b"), max_iter=10)
+    ranks = pagerank(pairs.select("id_a", "id_b"), max_iter=10, tol=0.0)
     return (ranks.select("node",
                          F.round("rank", 8).cast("double").alias("rank"))
                  .orderBy(F.col("rank").desc(), "node").limit(50))

@@ -30,6 +30,14 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
 
     Returns ``(node, rank)`` with ranks summing to 1.  ``directed=False``
     (the near-dup-graph default) symmetrizes the edge list first.
+
+    ``tol <= 0`` disables the convergence probe entirely: exactly
+    ``max_iter`` iterations run, with NO driver action inside the loop —
+    the lazy checkpoints fuse into one job triggered by the caller's
+    action.  That is the deterministic spelling (used by the
+    oracle-checked x83, whose DuckDB twin unrolls the same fixed
+    iteration count) and also the fastest one when the iteration budget
+    is known up front.
     """
     a, b = edges.columns[0], edges.columns[1]
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -84,7 +92,8 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
                      ).localCheckpoint(eager=False)
         old = ranks
         ranks = new_ranks
-        if it % check_every == check_every - 1 or it == max_iter - 1:
+        if tol > 0 and (it % check_every == check_every - 1
+                        or it == max_iter - 1):
             delta = (ranks.join(old.withColumnRenamed("rank", "old"),
                                 "node")
                      .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
