@@ -2151,6 +2151,140 @@ def x86(spark, sf):
     })
 
 
+@x("x87_doc_chunking", """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 300
+), c AS (
+  SELECT doc_id,
+         CAST((s - 1) // 30 AS INTEGER) AS chunk_idx,
+         array_to_string(ws[s:s+39], ' ') AS chunk_text,
+         CAST(len(ws[s:s+39]) AS INTEGER) AS chunk_tokens
+  FROM w, UNNEST(generate_series(1, greatest(len(ws), 1), 30)) AS t(s)
+)
+SELECT doc_id, chunk_idx, chunk_text, chunk_tokens
+FROM c WHERE chunk_tokens > 0 ORDER BY doc_id, chunk_idx""")
+def x87(spark, sf):
+    """Fixed token-window chunking with overlap (40-token chunks,
+    10-token overlap → stride 30): the context-window prep step of a
+    pretraining/RAG pipeline.  Map-only sequence+slice+explode in
+    whole-stage codegen — see operators/chunking.py."""
+    from .operators.chunking import chunk_documents
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return (chunk_documents(docs, "doc_id", "text",
+                            chunk_size=40, overlap=10)
+            .select("doc_id", "chunk_idx", "chunk_text", "chunk_tokens")
+            .orderBy("doc_id", "chunk_idx"))
+
+
+@x("x88_column_profile", """
+WITH a AS (
+  SELECT COUNT(*) AS n,
+         COUNT(o_custkey) AS nn1, COUNT(DISTINCT o_custkey) AS nd1,
+         CAST(MIN(o_custkey) AS VARCHAR) AS mi1,
+         CAST(MAX(o_custkey) AS VARCHAR) AS ma1,
+         ROUND(AVG(o_custkey), 4) AS av1,
+         COUNT(o_totalprice) AS nn2, COUNT(DISTINCT o_totalprice) AS nd2,
+         CAST(MIN(o_totalprice) AS VARCHAR) AS mi2,
+         CAST(MAX(o_totalprice) AS VARCHAR) AS ma2,
+         ROUND(AVG(o_totalprice), 4) AS av2,
+         COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+         CAST(MIN(o_orderstatus) AS VARCHAR) AS mi3,
+         CAST(MAX(o_orderstatus) AS VARCHAR) AS ma3,
+         CAST(NULL AS DOUBLE) AS av3
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_custkey' AS col_name, n AS n_rows, n - nn1 AS n_nulls,
+         nd1 AS n_distinct, mi1 AS min_str, ma1 AS max_str,
+         av1 AS avg_num FROM a
+  UNION ALL
+  SELECT 'o_totalprice', n, n - nn2, nd2, mi2, ma2, av2 FROM a
+  UNION ALL
+  SELECT 'o_orderstatus', n, n - nn3, nd3, mi3, ma3, av3 FROM a
+) ORDER BY col_name""")
+def x88(spark, sf):
+    """One-pass column profiling (rows/nulls/distinct/min/max/mean
+    stacked long) — operators/profile.py.  Exact distinct here for the
+    oracle; ``approx=True`` is the 100 TB spelling (HLL, no Expand)."""
+    from .operators.profile import profile_columns
+
+    orders = load(spark, sf, "orders")
+    prof = profile_columns(
+        orders, ["o_custkey", "o_totalprice", "o_orderstatus"])
+    return (prof.select(F.col("column").alias("col_name"),
+                        "n_rows", "n_nulls", "n_distinct",
+                        "min_str", "max_str",
+                        F.round("avg_num", 4).alias("avg_num"))
+                .orderBy("col_name"))
+
+
+@x("x89_robust_outliers", """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS INTEGER) AS n_tokens
+  FROM documents
+), s AS (
+  SELECT median(CAST(n_tokens AS DOUBLE)) AS med FROM t
+), m AS (
+  SELECT median(abs(CAST(n_tokens AS DOUBLE) - s.med)) AS mad
+  FROM t CROSS JOIN s
+)
+SELECT doc_id, n_tokens,
+       ROUND(s.med, 4) AS med, ROUND(m.mad, 4) AS mad
+FROM t CROSS JOIN s CROSS JOIN m
+WHERE abs(CAST(n_tokens AS DOUBLE) - s.med) > 1.5 * m.mad
+ORDER BY doc_id""")
+def x89(spark, sf):
+    """Median/MAD outlier hunt over token counts (robust to the very
+    tail being hunted; k=1.5).  Two single-row aggregates broadcast back —
+    no shuffle of the data itself (operators/text.py
+    ``robust_outliers``)."""
+    docs = text_mod.with_token_count(
+        load(spark, sf, "documents"), "text", "n_tokens")
+    flagged = text_mod.robust_outliers(docs, "n_tokens", k=1.5)
+    return (flagged.filter("is_outlier")
+            .select("doc_id", "n_tokens",
+                    F.round("__med", 4).alias("med"),
+                    F.round("__mad", 4).alias("mad"))
+            .orderBy("doc_id"))
+
+
+@x("x90_event_debounce", """
+WITH d AS (
+  SELECT user_id, event_type,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                     (PARTITION BY user_id, event_type ORDER BY ts)) > 600
+                   OR LAG(ts) OVER
+                     (PARTITION BY user_id, event_type ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS opener
+  FROM events
+)
+SELECT user_id, event_type,
+       COUNT(*) AS n_total,
+       CAST(SUM(opener) AS BIGINT) AS n_kept
+FROM d GROUP BY user_id, event_type ORDER BY user_id, event_type""")
+def x90(spark, sf):
+    """Burst debounce: keep only the opener of each gap-delimited burst
+    per (user, event_type) (10-min gap) — instrumentation dedup for
+    click/retry logs.  One window shuffle; counts are tie-order
+    invariant (operators/events.py ``debounce``)."""
+    from .operators.events import debounce
+
+    ev = load(spark, sf, "events")
+    kept = (debounce(ev, ["user_id", "event_type"], "ts", within_s=600)
+            .groupBy("user_id", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_kept")))
+    totals = (ev.groupBy("user_id", "event_type")
+                .agg(F.count(F.lit(1)).alias("n_total")))
+    return (totals.join(kept, ["user_id", "event_type"])
+            .select("user_id", "event_type", "n_total", "n_kept")
+            .orderBy("user_id", "event_type"))
+
+
 # rows-only (sketch bytes are engine-specific; the ACCURACY contract is
 # asserted in test_operators.py::test_hll_rollup_accuracy instead)
 @x("x85_sketch_rollup", None)

@@ -83,3 +83,29 @@ def retention_cohorts(events: DataFrame, user_col: str = "user_id",
             .filter(F.col("day_offset") <= max_offset_days)
             .groupBy("cohort_day", "day_offset")
             .agg(F.countDistinct(user_col).alias("n_users")))
+
+
+def debounce(events: DataFrame, key_cols: list[str] | None = None,
+             ts_col: str = "ts", within_s: int = 300) -> DataFrame:
+    """Collapse bursts: keep only the FIRST event of each gap-delimited
+    burst per key — two events of the same key belong to one burst when
+    they are within ``within_s`` seconds of the previous event (chained,
+    i.e. the x15 sessionization grouping with a short gap), and only the
+    burst opener survives.  The instrumentation-dedup step for click /
+    retry / sensor logs where repeats within seconds are noise.
+
+    One window shuffle on the key columns; the lag frame streams within
+    sorted partitions — no self-join, no state beyond one previous row.  Ties on ``ts_col`` within a key are broken arbitrarily but
+    deterministically only if the input has no exact-duplicate
+    timestamps per key; pass a finer key when they exist.
+    """
+    from pyspark.sql import Window
+
+    key_cols = key_cols if key_cols is not None else ["user_id", "event_type"]
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    gap = (F.unix_timestamp(F.col(ts_col))
+           - F.unix_timestamp(F.lag(ts_col).over(w)))
+    new_burst = F.when(gap.isNull() | (gap > within_s), 1).otherwise(0)
+    return (events.withColumn("__nb", new_burst)
+                  .filter(F.col("__nb") == 1)
+                  .drop("__nb"))

@@ -249,3 +249,31 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
               .agg(F.count(F.lit(1)).alias("n_occ"))
               .orderBy(F.col("n_occ").desc(), F.col("ngram").asc())
               .limit(k))
+
+
+def robust_outliers(df: DataFrame, value_col: str,
+                    k: float = 3.0) -> DataFrame:
+    """Median/MAD outlier flagging — the robust quality filter for corpus
+    stats (token counts, perplexity proxies) where means are dragged by
+    the very outliers being hunted.
+
+    Adds ``__med``, ``__mad`` (the population median and median absolute
+    deviation of ``value_col``) and ``is_outlier``
+    (|x - med| > k * MAD).  Exact percentiles: two aggregation passes
+    whose outputs are single rows, broadcast back — the data itself is
+    scanned twice but never shuffled (percentile is an aggregate, and
+    the join is a broadcast of one row).  At 100 TB swap the exact
+    ``percentile`` for ``percentile_approx`` (one pass, mergeable
+    sketch) — same plan shape, bounded-error cutoffs.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.agg(F.expr(f"percentile({value_col}, 0.5)").alias("__med"))
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = (with_med
+           .agg(F.expr("percentile(abs(CAST(" + value_col
+                       + " AS DOUBLE) - __med), 0.5)").alias("__mad"),
+                F.first("__med").alias("__med")))
+    return (df.crossJoin(F.broadcast(mad))
+              .withColumn("is_outlier",
+                          F.abs(v - F.col("__med"))
+                          > F.lit(float(k)) * F.col("__mad")))

@@ -1,0 +1,140 @@
+"""Chunking / profiling / debounce / robust-outlier operators (round 5).
+Oracle parity for the wired queries lives in x87–x90; these pin semantics
+on hand-computable fixtures.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from datum_spark.operators.chunking import chunk_documents
+from datum_spark.operators.events import debounce
+from datum_spark.operators.profile import profile_columns
+from datum_spark.operators.text import robust_outliers
+
+
+# ---------------------------------------------------------------------------
+# chunking
+
+def test_chunk_exact_cover_no_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string")
+    out = (chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=0)
+           .orderBy("chunk_idx").collect())
+    # stride 4 over 10 tokens → starts 0,4,8 → sizes 4,4,2
+    assert [r["chunk_tokens"] for r in out] == [4, 4, 2]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[2]["chunk_text"] == "w8 w9"
+    assert [r["chunk_idx"] for r in out] == [0, 1, 2]
+
+
+def test_chunk_overlap_shares_tokens(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")],
+                               "doc_id long, text string")
+    out = (chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=2)
+           .orderBy("chunk_idx").collect())
+    # stride 2 → starts 0,2,4 → [a b c d], [c d e f], [e f]
+    assert [r["chunk_text"] for r in out] == ["a b c d", "c d e f", "e f"]
+
+
+def test_chunk_preserves_case_and_drops_empty_docs(spark):
+    df = spark.createDataFrame([(1, "Hello World"), (2, "   "), (3, "")],
+                               "doc_id long, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_size=8).collect()
+    assert len(out) == 1 and out[0]["chunk_text"] == "Hello World"
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_size=4, overlap=4)
+
+
+def test_chunk_is_map_only(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (chunk_documents(df, "doc_id", "text", chunk_size=2)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan  # no shuffle: pure generate/project
+
+
+# ---------------------------------------------------------------------------
+# profiling
+
+@pytest.fixture(scope="module")
+def pdf(spark):
+    return spark.createDataFrame(
+        [(1, 2.0, "b"), (2, None, "a"), (2, 8.0, None), (4, 2.0, "c")],
+        "k long, v double, s string")
+
+
+def test_profile_stats(pdf):
+    out = {r["column"]: r for r in profile_columns(pdf).collect()}
+    assert set(out) == {"k", "v", "s"}
+    k = out["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_str"], k["max_str"]) == ("1", "4")
+    assert k["avg_num"] == pytest.approx(9 / 4)
+    v = out["v"]
+    assert (v["n_nulls"], v["n_distinct"]) == (1, 2)
+    assert v["avg_num"] == pytest.approx(4.0)
+    s = out["s"]
+    assert (s["n_nulls"], s["min_str"], s["max_str"]) == (1, "a", "c")
+    assert s["avg_num"] is None  # non-numeric
+
+
+def test_profile_subset_and_unknown(pdf):
+    assert profile_columns(pdf, ["k"]).count() == 1
+    with pytest.raises(ValueError):
+        profile_columns(pdf, ["nope"])
+
+
+def test_profile_approx_close(pdf):
+    out = {r["column"]: r["n_distinct"]
+           for r in profile_columns(pdf, approx=True).collect()}
+    assert out["k"] in (2, 3, 4)  # HLL estimate near 3
+
+
+# ---------------------------------------------------------------------------
+# robust outliers
+
+def test_robust_outliers_flags_tail(spark):
+    rows = [(i, float(v)) for i, v in enumerate([10, 11, 12, 13, 14, 1000])]
+    df = spark.createDataFrame(rows, "id long, x double")
+    out = robust_outliers(df, "x", k=3.0).collect()
+    flags = {r["id"]: r["is_outlier"] for r in out}
+    # median 12.5, MAD 1.5 → only 1000 is beyond 3*MAD
+    assert flags == {0: False, 1: False, 2: False, 3: False, 4: False,
+                     5: True}
+    assert out[0]["__med"] == pytest.approx(12.5)
+    assert out[0]["__mad"] == pytest.approx(1.5)
+
+
+# ---------------------------------------------------------------------------
+# debounce
+
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def test_debounce_chained_bursts(spark):
+    def ev(uid, sec, etype="click"):
+        return (uid, T0 + datetime.timedelta(seconds=sec), etype)
+    rows = [
+        # user 1: chained burst — each gap 200s <= 300 though the burst
+        # spans 600s total; only the opener survives (chained semantics)
+        ev(1, 0), ev(1, 200), ev(1, 400), ev(1, 600),
+        # then a real gap → new burst
+        ev(1, 2000),
+        # different event_type is an independent key
+        ev(1, 100, "view"),
+        # user 2: exact-boundary gap (300s) is NOT a new burst (> only)
+        ev(2, 0), ev(2, 300), ev(2, 601),
+    ]
+    df = spark.createDataFrame(rows,
+                               "user_id long, ts timestamp, event_type string")
+    out = debounce(df, ["user_id", "event_type"], "ts", within_s=300)
+    kept = sorted((r["user_id"], r["event_type"], r["ts"].second +
+                   r["ts"].minute * 60 + r["ts"].hour * 3600)
+                  for r in out.collect())
+    assert kept == [(1, "click", 0), (1, "click", 2000), (1, "view", 100),
+                    (2, "click", 0), (2, "click", 601)]
