@@ -2253,6 +2253,68 @@ def x89(spark, sf):
             .orderBy("doc_id"))
 
 
+@x("x91_bpe_tokens", """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text),
+            '([a-z]{1,4}|[0-9]+|[^a-z0-9\\s])', 1)) AS INTEGER) AS bpe_tokens,
+       ROUND(len(regexp_extract_all(lower(text),
+            '([a-z]{1,4}|[0-9]+|[^a-z0-9\\s])', 1))
+            / greatest(len(list_filter(string_split_regex(lower(text),
+                       '\\s+'), x -> x <> '')), 1), 4) AS fertility
+FROM documents ORDER BY doc_id""")
+def x91(spark, sf):
+    """Tokenizer cost estimation: whitespace vs BPE-ish subword counts
+    per doc plus fertility (subwords per word) — the budget metric that
+    decides packing/chunking sizes.  Both counters are single JVM regex
+    expressions (operators/text.py ``token_count``), map-only."""
+    docs = load(spark, sf, "documents")
+    out = (text_mod.with_token_count(docs, "text", "ws_tokens")
+           .withColumn("bpe_tokens",
+                       text_mod.token_count(F.col("text"), mode="bpe")))
+    return (out.select(
+        "doc_id", "ws_tokens", "bpe_tokens",
+        F.round(F.col("bpe_tokens")
+                / F.greatest(F.col("ws_tokens"), F.lit(1)), 4)
+         .alias("fertility"))
+        .orderBy("doc_id"))
+
+
+@x("x92_substring_dedup", """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         md5(array_to_string(ws[s:s+7], ' ')) AS h
+  FROM w, UNNEST(generate_series(1, greatest(len(ws) - 7, 1))) AS t(s)
+), dps AS (
+  SELECT h, COUNT(*) AS n_docs
+  FROM (SELECT DISTINCT doc_id, h FROM pos) GROUP BY h
+)
+SELECT doc_id,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       ROUND(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)
+             / COUNT(*), 4) AS dup_ratio
+FROM pos JOIN dps USING (h)
+GROUP BY doc_id ORDER BY doc_id""")
+def x92(spark, sf):
+    """Exact-substring duplication stats: fraction of rolling word
+    8-gram positions whose span recurs in another document (Lee et al.
+    2022's span-level dedup signal; catches templated boilerplate that
+    document-level near-dup misses).  Spans travel as md5 hashes — the
+    same portable-hash discipline as x59–x65, so DuckDB re-derives them
+    value-for-value (operators/dedup.py ``duplicated_span_stats``)."""
+    docs = load(spark, sf, "documents")
+    return (dedup_mod.duplicated_span_stats(docs, "doc_id", "text", n=8)
+            .orderBy("doc_id"))
+
+
 @x("x90_event_debounce", """
 WITH d AS (
   SELECT user_id, event_type,

@@ -516,3 +516,51 @@ def fuzzy_near_dups(df: DataFrame, id_col: str, text_col: str,
             .withColumn("edit_dist", F.levenshtein("__ta", "__tb"))
             .filter(F.col("edit_dist") <= max_dist)
             .select("id_a", "id_b", "jaccard", "edit_dist"))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (span-level) duplication stats
+
+def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
+                          n: int = 8,
+                          max_span_freq: int | None = None) -> DataFrame:
+    """Per-document exact-substring duplication: the fraction of rolling
+    word ``n``-gram positions whose span also occurs in ANOTHER document
+    — the span-level signal of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al., 2022), where near-dup document
+    filters miss templated boilerplate repeated inside otherwise-unique
+    pages.
+
+    Returns ``(id, n_spans, n_dup_spans, dup_ratio)``; docs shorter than
+    ``n`` tokens contribute one whole-doc span.  Two shuffles: span →
+    distinct-doc count (partial-aggregated; the span text itself never
+    shuffles — spans travel as 16-byte md5 prefixes), then the count
+    joins back to positions.  No posting lists ever materialize (the
+    groupBy aggregates counts), so unlike the pair generators no skew
+    guard is needed for correctness; ``max_span_freq`` instead DROPS
+    spans present in more docs than the cap from the signal — the
+    stopword-phrase analogue of ``ngram_jaccard_pairs``'s hot-gram cap
+    (a span in half the corpus is boilerplate language, not
+    duplication).
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    spans = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))))
+    pos = (df.select(F.col(id_col).alias("__id"), spans.alias("__spans"))
+             .select("__id", F.explode("__spans").alias("__h")))
+    docs_per_span = (pos.distinct()
+                     .groupBy("__h")
+                     .agg(F.count(F.lit(1)).alias("__docs")))
+    if max_span_freq is not None:
+        docs_per_span = docs_per_span.filter(F.col("__docs")
+                                             <= max_span_freq)
+    flagged = (pos.join(docs_per_span, "__h", "left")
+                  .withColumn("__dup",
+                              F.when(F.col("__docs") >= 2, 1).otherwise(0)))
+    return (flagged.groupBy(F.col("__id").alias(id_col))
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("__dup").alias("n_dup_spans"))
+            .withColumn("dup_ratio",
+                        F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)))

@@ -6,7 +6,6 @@ on hand-computable fixtures.
 import datetime
 
 import pytest
-from pyspark.sql import functions as F
 
 from datum_spark.operators.chunking import chunk_documents
 from datum_spark.operators.events import debounce
@@ -138,3 +137,48 @@ def test_debounce_chained_bursts(spark):
                   for r in out.collect())
     assert kept == [(1, "click", 0), (1, "click", 2000), (1, "view", 100),
                     (2, "click", 0), (2, "click", 601)]
+
+
+# ---------------------------------------------------------------------------
+# substring (span-level) duplication
+
+def test_duplicated_span_stats(spark):
+    from datum_spark.operators.dedup import duplicated_span_stats
+
+    shared = "one two three four five six seven eight"   # exactly 8 tokens
+    rows = [
+        (1, shared + " alpha beta"),          # 3 spans, 1 shared (pos 0)
+        (2, "x " + shared),                   # 2 spans, 1 shared (pos 1)
+        (3, "totally unrelated text here"),   # short doc → 1 whole-doc span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           duplicated_span_stats(df, "doc_id", "text", n=8).collect()}
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"]) == (3, 1)
+    assert (out[2]["n_spans"], out[2]["n_dup_spans"]) == (2, 1)
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"]) == (1, 0)
+    assert out[1]["dup_ratio"] == pytest.approx(0.3333)
+
+
+def test_duplicated_span_within_doc_repeat_not_dup(spark):
+    from datum_spark.operators.dedup import duplicated_span_stats
+
+    eight = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [(1, eight + " " + eight)],  # same 8-gram repeats WITHIN one doc
+        "doc_id long, text string")
+    out = duplicated_span_stats(df, "doc_id", "text", n=8).collect()[0]
+    assert out["n_dup_spans"] == 0  # cross-document signal only
+
+
+def test_duplicated_span_hot_cap(spark):
+    from datum_spark.operators.dedup import duplicated_span_stats
+
+    boiler = "p q r s t u v w"
+    df = spark.createDataFrame([(i, boiler) for i in range(5)],
+                               "doc_id long, text string")
+    capped = duplicated_span_stats(df, "doc_id", "text", n=8,
+                                   max_span_freq=3).collect()
+    assert all(r["n_dup_spans"] == 0 for r in capped)  # span in 5 docs > cap
+    uncapped = duplicated_span_stats(df, "doc_id", "text", n=8).collect()
+    assert all(r["n_dup_spans"] == 1 for r in uncapped)
