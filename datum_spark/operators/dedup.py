@@ -85,50 +85,65 @@ def minhash_signature(text_col, num_hashes: int = 32, shingle_k: int = 5):
 
 
 def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
-                            threshold: float) -> DataFrame:
+                            threshold: float,
+                            max_bucket_size: int | None = 1000) -> DataFrame:
     """Shared LSH banding: ``sig`` has ``(__id, __sig array<bigint>)``.
-    Returns ``(id_a, id_b, est_jaccard)`` with est ≥ threshold."""
+    Returns ``(id_a, id_b, est_jaccard)`` with est ≥ threshold.
+
+    Pair generation is id-only: buckets collect and explode bare ids
+    (8 bytes each), and signatures re-join by id AFTER pair dedup — the
+    same discipline as the embedding LSH path.  Carrying the signature
+    structs through the pair explosion instead was measured at 599 MB
+    shuffled / 1188 s on a 50k-doc 10×-replica stress corpus vs ~3 MB /
+    seconds this way (the pair shuffle is width × pair count).
+
+    ``max_bucket_size`` skips buckets bigger than the cap (default
+    1000 → ≤ ~0.5M pairs from one bucket, one task's worth).  A bucket
+    that large means degenerate similarity — boilerplate or replica
+    floods — and would otherwise contribute |B|² pairs; skipping loses
+    only pairs that collide in *no smaller* band-bucket, the same recall
+    rationale as ``ngram_jaccard_pairs``'s hot-gram cap.  ``None``
+    disables the guard.
+    """
     rows_per_band = num_hashes // bands
     # materialize the signatures: without this, Catalyst inlines the whole
-    # minhash expression into the struct AND each band element — bands+1
-    # evaluations of the costliest expression in the plan (measured 7×
-    # slower).  The cache holds (id, sig) only, not the source text, and
-    # is released by cache-ring rotation (_retain_cache).
+    # minhash expression into each band element AND both re-join sides —
+    # bands+2 evaluations of the costliest expression in the plan
+    # (measured 7× slower).  The cache holds (id, sig) only, not the
+    # source text, and is released by cache-ring rotation (_retain_cache).
     sig = _retain_cache(sig)
     banded = sig.select(
-        F.struct("__id", "__sig").alias("__m"),
+        "__id",
         F.posexplode(F.array(*[
             F.xxhash64(*[F.col("__sig")[b * rows_per_band + r]
                          for r in range(rows_per_band)])
             for b in range(bands)
         ])).alias("__band", "__bucket"))
 
-    # group-by-band + pairwise explode (the shared shape of all LSH paths
-    # here): the signature column is computed and shuffled ONCE, with no
-    # persist and no two-sided self-join
     grouped = (banded.groupBy("__band", "__bucket")
-               .agg(F.collect_list("__m").alias("__ms"))
-               .filter(F.size("__ms") > 1))
-    cand = (grouped.select(F.explode("__ms").alias("a"), "__ms")
-                   .select("a", F.explode("__ms").alias("b"))
-                   .filter(F.col("a.__id") < F.col("b.__id"))
-                   .select(F.col("a.__id").alias("id_a"),
-                           F.col("b.__id").alias("id_b"),
-                           F.col("a.__sig").alias("__sa"),
-                           F.col("b.__sig").alias("__sb"))
+               .agg(F.collect_list("__id").alias("__ids"))
+               .filter(F.size("__ids") > 1))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
+    cand = (grouped.select(F.explode("__ids").alias("id_a"), "__ids")
+                   .select("id_a", F.explode("__ids").alias("id_b"))
+                   .filter(F.col("id_a") < F.col("id_b"))
                    .dropDuplicates(["id_a", "id_b"]))
+    sa = sig.select(F.col("__id").alias("id_a"), F.col("__sig").alias("__sa"))
+    sb = sig.select(F.col("__id").alias("id_b"), F.col("__sig").alias("__sb"))
 
     est = (F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
                            lambda v: v)) / F.lit(float(num_hashes)))
-    return (cand.withColumn("est_jaccard", est)
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("est_jaccard", est)
                 .filter(F.col("est_jaccard") >= threshold)
                 .select("id_a", "id_b", "est_jaccard"))
 
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_k: int = 5,
-                      threshold: float = 0.7) -> DataFrame:
+                      shingle_k: int = 5, threshold: float = 0.7,
+                      max_bucket_size: int | None = 1000) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and estimated
@@ -138,7 +153,8 @@ def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     sig = df.select(F.col(id_col).alias("__id"),
                     minhash_signature(F.col(text_col), num_hashes,
                                       shingle_k).alias("__sig"))
-    return _banded_candidate_pairs(sig, num_hashes, bands, threshold)
+    return _banded_candidate_pairs(sig, num_hashes, bands, threshold,
+                                   max_bucket_size)
 
 
 # modulus for the portable (md5) MinHash affine family: 2^61 - 1 (prime).
@@ -175,14 +191,15 @@ def minhash_signature_md5(text_col, num_hashes: int = 16,
 
 def minhash_near_dups_md5(df: DataFrame, id_col: str, text_col: str,
                           num_hashes: int = 16, bands: int = 4,
-                          shingle_k: int = 5,
-                          threshold: float = 0.5) -> DataFrame:
+                          shingle_k: int = 5, threshold: float = 0.5,
+                          max_bucket_size: int | None = 1000) -> DataFrame:
     """:func:`minhash_near_dups` over the portable md5 hash family —
     identical banding/pair semantics, externally reproducible values."""
     sig = df.select(F.col(id_col).alias("__id"),
                     minhash_signature_md5(F.col(text_col), num_hashes,
                                           shingle_k).alias("__sig"))
-    return _banded_candidate_pairs(sig, num_hashes, bands, threshold)
+    return _banded_candidate_pairs(sig, num_hashes, bands, threshold,
+                                   max_bucket_size)
 
 
 def minhash_signature_fast(num_hashes: int = 32, shingle_k: int = 5,
@@ -239,13 +256,15 @@ def minhash_signature_fast(num_hashes: int = 32, shingle_k: int = 5,
 def minhash_near_dups_fast(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_k: int = 5, threshold: float = 0.7,
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42,
+                           max_bucket_size: int | None = 1000) -> DataFrame:
     """:func:`minhash_near_dups` with the vectorized signature stage — the
     spelling to use on large corpora (no doc-count cap needed)."""
     sig_udf = minhash_signature_fast(num_hashes, shingle_k, seed)
     sig = df.select(F.col(id_col).alias("__id"),
                     sig_udf(F.col(text_col)).alias("__sig"))
-    return _banded_candidate_pairs(sig, num_hashes, bands, threshold)
+    return _banded_candidate_pairs(sig, num_hashes, bands, threshold,
+                                   max_bucket_size)
 
 
 # ---------------------------------------------------------------------------
@@ -329,15 +348,19 @@ def simhash64_fast(seed: int = 0x5173_0A11):
 
 
 def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
-                      max_hamming: int = 3,
-                      fast: bool = False) -> DataFrame:
+                      max_hamming: int = 3, fast: bool = False,
+                      max_bucket_size: int | None = 1000) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ ``max_hamming`` (pigeonhole
     banding on 4×16-bit chunks — a pair within distance 3 must agree on at
     least one chunk, so candidates come from 4 equi-joins, not all pairs).
 
     ``fast=True`` swaps the JVM expression signature for the vectorized
     pandas UDF (:func:`simhash64_fast`) — the spelling for large corpora;
-    the banding/verification plan is identical.
+    the banding/verification plan is identical.  ``max_bucket_size``
+    skips degenerate chunk buckets (replica floods make every copy share
+    the full signature) — same guard and recall rationale as
+    ``_banded_candidate_pairs``; the structs here are 16 bytes so the
+    id-only rejoin is not worth two extra joins.
     """
     sig_col = (simhash64_fast()(F.col(text_col)) if fast
                else simhash64(F.col(text_col)))
@@ -355,6 +378,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     grouped = (chunks.groupBy("__chunk", "__val")
                .agg(F.collect_list("__m").alias("__ms"))
                .filter(F.size("__ms") > 1))
+    if max_bucket_size is not None:
+        grouped = grouped.filter(F.size("__ms") <= max_bucket_size)
     pairs = (grouped.select(F.explode("__ms").alias("a"), "__ms")
                     .select("a", F.explode("__ms").alias("b"))
                     .filter(F.col("a.__id") < F.col("b.__id")))

@@ -103,7 +103,12 @@ def main() -> int:
     pairs_holder = {}
 
     def _pairs():
-        p = ngram_jaccard_pairs(docs, "doc_id", "text", n=1,
+        # word TRIgrams: the synthetic vocabulary is ~30 words, so at 50k
+        # docs every unigram exceeds any sane hot-gram cap and the pair
+        # stage is vacuous (first stress run returned 0 rows); trigram
+        # doc-frequency stays near the replica count, so the cap guards
+        # skew without erasing the signal
+        p = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
                                 threshold=0.8, max_ngram_freq=1000)
         p = p.persist()
         n = p.count()

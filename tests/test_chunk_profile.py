@@ -182,3 +182,37 @@ def test_duplicated_span_hot_cap(spark):
     assert all(r["n_dup_spans"] == 0 for r in capped)  # span in 5 docs > cap
     uncapped = duplicated_span_stats(df, "doc_id", "text", n=8).collect()
     assert all(r["n_dup_spans"] == 1 for r in uncapped)
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket cap (round-5 stress finding)
+
+def test_minhash_bucket_cap_drops_replica_floods(spark):
+    from datum_spark.operators.dedup import minhash_near_dups
+
+    # 40 exact replicas: every band bucket holds all 40 → cap 10 skips them
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog " * 3)
+         for i in range(40)], "doc_id long, text string")
+    capped = minhash_near_dups(df, "doc_id", "text", threshold=0.5,
+                               max_bucket_size=10)
+    assert capped.count() == 0
+    uncapped = minhash_near_dups(df, "doc_id", "text", threshold=0.5,
+                                 max_bucket_size=None)
+    assert uncapped.count() == 40 * 39 // 2
+
+
+def test_minhash_cap_no_effect_below_cap(spark):
+    from datum_spark.operators.dedup import minhash_near_dups
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "completely different words entirely unrelated here now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted((r["id_a"], r["id_b"]) for r in
+               minhash_near_dups(df, "doc_id", "text",
+                                 threshold=0.5).collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in
+               minhash_near_dups(df, "doc_id", "text", threshold=0.5,
+                                 max_bucket_size=None).collect())
+    assert a == b  # default cap is invisible on non-degenerate input
