@@ -446,7 +446,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
                           use_lsh: bool = True, planes: int = 12,
-                          tables: int = 8, seed: int = 42) -> DataFrame:
+                          tables: int = 8, seed: int = 42,
+                          max_bucket_size: int | None = 1000) -> DataFrame:
     """Pairs of near-identical embeddings (cosine ≥ threshold).
 
     With ``use_lsh``, candidates are restricted to multi-table sign-LSH
@@ -484,6 +485,12 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
         grouped = (buckets.groupBy("__t", "__b")
                    .agg(F.collect_list("__id").alias("__ids"))
                    .filter(F.size("__ids") > 1))
+        if max_bucket_size is not None:
+            # replica floods / collapsed embeddings put every copy in the
+            # same bucket in EVERY table; cap = the B^2 guard shared with
+            # _banded_candidate_pairs (recall loss only for pairs with no
+            # smaller shared bucket)
+            grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
         cand = (grouped.select(F.explode("__ids").alias("id_a"), "__ids")
                        .select("id_a", F.explode("__ids").alias("id_b"))
                        .filter(F.col("id_a") < F.col("id_b"))

@@ -62,18 +62,26 @@ def main() -> int:
 
     docs0 = read_parquet_normalized(spark, f"{sf_dir}/documents.parquet")
     # 10× corpus: every source weighted 10.0 → exactly 10 deterministic
-    # copies per doc; copy_idx re-keys doc_id so ids stay unique
+    # copies per doc; copy_idx re-keys doc_id so ids stay unique.
+    # repartition: the fixture is ONE small parquet file → one scan split,
+    # so without an explicit fan-out every downstream map stage (shingles,
+    # signatures, gram explode) runs in a single task — the first stress
+    # attempt spent minutes single-threaded on a 32-core box.  On a real
+    # cluster the corpus arrives as many splits and this is a no-op
+    # concern; persist so the 10× explode isn't re-run per operator.
     docs = (upsample_sources(docs0, {}, default_weight=10.0)
             .withColumn("doc_id",
                         F.col("doc_id") * 16 + F.col("copy_idx"))
-            .drop("copy_idx"))
+            .drop("copy_idx")
+            .repartition(64).persist())
     emb0 = read_parquet_normalized(spark, f"{sf_dir}/embeddings.parquet")
     emb = (emb0.select("vec_id", "embedding",
                        F.explode(F.sequence(F.lit(0), F.lit(9)))
                         .alias("copy_idx"))
                .withColumn("vec_id",
                            F.col("vec_id") * 16 + F.col("copy_idx"))
-               .drop("copy_idx"))
+               .drop("copy_idx")
+               .repartition(64).persist())
 
     n_docs, n_vecs = docs.count(), emb.count()
     results: dict[str, dict] = {}
@@ -127,6 +135,11 @@ def main() -> int:
     run("semantic_dedup_pairs",
         lambda: semantic_dedup_pairs(emb, "vec_id", "embedding", k=16,
                                      iters=2, threshold=0.95).count())
+
+    from datum_spark.operators.dedup import duplicated_span_stats
+    run("substring_span_stats",
+        lambda: duplicated_span_stats(docs, "doc_id", "text", n=8)
+        .filter("dup_ratio > 0.5").count())
 
     print(json.dumps({
         "corpus": {"documents": n_docs, "embeddings": n_vecs,
