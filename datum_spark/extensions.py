@@ -565,7 +565,7 @@ def x12(spark, sf):
     """Order-sensitive rolling-hash document fingerprint (portable md5
     word bucket — the oracle recomputes the identical fold in DuckDB via
     list_reduce; xxhash64 fast path stays unit-tested)."""
-    docs = load(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     return (text_mod.with_fingerprint(docs, "text", "fingerprint",
                                       portable=True)
             .select("doc_id", "fingerprint").orderBy("doc_id"))
@@ -2310,7 +2310,7 @@ def x92(spark, sf):
     document-level near-dup misses).  Spans travel as md5 hashes — the
     same portable-hash discipline as x59–x65, so DuckDB re-derives them
     value-for-value (operators/dedup.py ``duplicated_span_stats``)."""
-    docs = load(spark, sf, "documents")
+    docs = load_docs(spark, sf)
     return (dedup_mod.duplicated_span_stats(docs, "doc_id", "text", n=8)
             .orderBy("doc_id"))
 

@@ -582,6 +582,10 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))))
     pos = (df.select(F.col(id_col).alias("__id"), spans.alias("__spans"))
              .select("__id", F.explode("__spans").alias("__h")))
+    # both aggregation branches (docs-per-span and the per-doc flag join)
+    # consume pos; cache it so the tokenize+md5 explode runs once
+    # (released by cache-ring rotation, like the other dedup internals)
+    pos = _retain_cache(pos)
     docs_per_span = (pos.distinct()
                      .groupBy("__h")
                      .agg(F.count(F.lit(1)).alias("__docs")))
