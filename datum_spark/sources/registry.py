@@ -16,7 +16,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "jdbc")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "jdbc",
+                     "text", "binaryfile")
 
 _LAKE_FORMATS = ("delta", "iceberg", "hudi")
 
@@ -139,6 +140,17 @@ def load_table(spark: SparkSession, path: str, fmt: str = "parquet",
         return reader.options(**options).csv(path)
     if fmt == "json":
         return reader.options(**options).json(path)
+    if fmt == "text":
+        # one string row per line (or per file with wholetext=true) — the
+        # raw-corpus ingestion format; pair with operators/text.py scoring
+        return reader.options(**options).text(path)
+    if fmt == "binaryfile":
+        # built-in binary-file source: (path, modificationTime, length,
+        # content) — the multimodal ingestion path (images/audio/video as
+        # opaque bytes + typed metadata; see operators/multimodal.py).
+        # Spark never splits a file, so partition count tracks file count;
+        # pathGlobFilter/recursiveFileLookup options pass through.
+        return reader.format("binaryFile").options(**options).load(path)
     # jdbc: path is the url, options must carry dbtable/query
     return reader.format("jdbc").option("url", path).options(**options).load()
 
@@ -163,6 +175,10 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
             "which this runtime does not ship")
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported format: {fmt!r}")
+    if fmt == "binaryfile":
+        raise ValueError("binaryFile is a read-only source; write media "
+                         "as a parquet binary column instead "
+                         "(operators/multimodal.py)")
     if fmt == "csv":
         # symmetric with load_table's header default — otherwise a read
         # consumes the first data row of every part-file as a header

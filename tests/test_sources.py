@@ -185,3 +185,34 @@ def test_jdbc_roundtrip_embedded_derby(spark, tmp_path):
     plan = flt._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThanOrEqual(id,7)" in plan, plan[:800]
     assert flt.count() == 3
+
+
+def test_text_source_roundtrip(spark, tmp_path):
+    from datum_spark.sources.registry import load_table, write_table
+
+    df = spark.createDataFrame([("line one",), ("line two",)], "value string")
+    path = str(tmp_path / "txt")
+    write_table(df, path, fmt="text")
+    back = load_table(spark, path, fmt="text")
+    assert back.columns == ["value"]
+    assert sorted(r["value"] for r in back.collect()) == [
+        "line one", "line two"]
+
+
+def test_binaryfile_source_reads_bytes(spark, tmp_path):
+    from datum_spark.sources.registry import load_table, write_table
+
+    media = tmp_path / "media"
+    media.mkdir()
+    (media / "a.bin").write_bytes(b"\x00\x01\x02")
+    (media / "b.bin").write_bytes(b"abcdef")
+    df = load_table(spark, str(media), fmt="binaryFile",
+                    pathGlobFilter="*.bin")
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in df.collect()}
+    assert set(rows) == {"a.bin", "b.bin"}
+    assert rows["a.bin"]["length"] == 3
+    assert bytes(rows["b.bin"]["content"]) == b"abcdef"
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="read-only"):
+        write_table(df, str(tmp_path / "nope"), fmt="binaryFile")
