@@ -2211,7 +2211,7 @@ def x88(spark, sf):
     oracle; ``approx=True`` is the 100 TB spelling (HLL, no Expand)."""
     from .operators.profile import profile_columns
 
-    orders = load(spark, sf, "orders")
+    orders = ensure_parallelism(load(spark, sf, "orders"))
     prof = profile_columns(
         orders, ["o_custkey", "o_totalprice", "o_orderstatus"])
     return (prof.select(F.col("column").alias("col_name"),
