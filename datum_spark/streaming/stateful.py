@@ -189,3 +189,73 @@ def streaming_funnel(events: DataFrame, step_a: str, step_b: str,
                 stateStructType=FUNNEL_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming burst debounce (twin of operators.events.debounce / query x90)
+
+DEBOUNCE_SCHEMA = "user_id bigint, event_type string, ts timestamp"
+DEBOUNCE_STATE = "last_ts_us bigint"  # ts of the last event SEEN (not kept)
+
+
+def _debounce_fn_factory(within_s: int):
+    within_us = within_s * 1_000_000
+
+    def fn(key: Tuple[Any, ...],
+           pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us = state.get[0] if state.exists else None
+        # the iterator may deliver the group's rows as several chunks in
+        # arbitrary order — chained gaps need ONE time-sorted pass, so
+        # concatenate first (buffers one micro-batch × one key, not state)
+        chunks = [p for p in pdfs if not p.empty]
+        if chunks:
+            ts = (pd.concat([c["ts"] for c in chunks])
+                  .sort_values().reset_index(drop=True))
+            # pin µs: Arrow may hand datetime64[ns] or [us] depending on
+            # version; int64-of-[us] is unambiguous
+            us = ts.astype("datetime64[us]").astype("int64")
+            keep = us.diff() > within_us
+            keep.iloc[0] = (last_us is None
+                            or int(us.iloc[0]) - last_us > within_us)
+            last_us = int(us.iloc[-1])
+            kept = ts[keep]
+            if len(kept):
+                yield pd.DataFrame({
+                    "user_id": key[0], "event_type": key[1], "ts": kept})
+        state.update((last_us,))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs()
+                                  + _STATE_TTL_MS)
+
+    return fn
+
+
+def streaming_debounce(events: DataFrame, within_s: int = 600,
+                       ts_col: str = "ts",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming burst debounce: emit only the opener of each
+    gap-delimited burst per (user, event_type) — the streaming twin of
+    :func:`datum_spark.operators.events.debounce` (query x90), same
+    chained semantics (an event extends a burst when within ``within_s``
+    of the PREVIOUS event, opener-only output).
+
+    State per key is ONE scalar (last-seen event time, µs) regardless of
+    burst length; quiet keys are dropped by the event-time TTL.  Exactly
+    matches the batch twin for in-order and single-batch input; an event
+    arriving across micro-batches out of ts order can mis-open a burst
+    (the scalar cannot recall events between the late ts and the stored
+    last) — the same O(1)-state bound documented on streaming_funnel,
+    zero for in-order streams.
+    """
+    stream = events.withWatermark(ts_col, watermark)
+    return (stream
+            .groupBy("user_id", "event_type")
+            .applyInPandasWithState(
+                _debounce_fn_factory(within_s),
+                outputStructType=DEBOUNCE_SCHEMA,
+                stateStructType=DEBOUNCE_STATE,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

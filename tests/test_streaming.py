@@ -245,3 +245,17 @@ def test_funnel_late_earlier_step_a_invalidates_stale_b():
     out = batch([("purchase", 150)])
     assert out[0]["converted"].iloc[0] == 1
     assert out[0]["delay_s"].iloc[0] == 50
+
+
+def test_streaming_debounce_parity(spark, events_batch, events_stream):
+    from datum_spark.operators.events import debounce
+    from datum_spark.streaming.stateful import streaming_debounce
+
+    run_stream_to_memory(streaming_debounce(events_stream, within_s=600),
+                         "t_debounce", output_mode="append")
+    got = _rows(spark.table("t_debounce"), "user_id", "event_type", "ts")
+    want = _rows(debounce(events_batch, ["user_id", "event_type"], "ts",
+                          within_s=600)
+                 .select("user_id", "event_type", "ts"),
+                 "user_id", "event_type", "ts")
+    assert got == want
