@@ -49,14 +49,18 @@ _DRIVER_CHECKED = {
 }
 
 
-# Round-5 re-check set: x16/x19 oracles were fixed this round (DuckDB
-# TIMESTAMPTZ → CAST AS TIMESTAMP), and x84/x12/x13 were promoted from
-# rows-only to oracle-checked — all five must land inside the driver's
-# 50-entry verification cap.
+# Round-5 re-check set — everything whose oracle is NEW or CHANGED this
+# round, so it must land inside the driver's 50-entry verification cap:
+# x16/x19 oracle fixes (DuckDB TIMESTAMPTZ → CAST AS TIMESTAMP);
+# rows-only → oracle promotions x84/x12/x13/x86/x05/x83; the brand-new
+# x87–x92 operators.
 _RECHECK_R5 = {
     "x16_tumbling_window", "x19_sliding_window",
     "x84_fuzzy_dedup", "x12_fingerprint", "x13_quality_score",
     "x86_expectations", "x05_simhash",
+    "x83_pagerank", "x87_doc_chunking", "x88_column_profile",
+    "x89_robust_outliers", "x90_event_debounce", "x91_bpe_tokens",
+    "x92_substring_dedup",
 }
 
 
