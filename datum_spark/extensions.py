@@ -2347,9 +2347,13 @@ def x90(spark, sf):
             .orderBy("user_id", "event_type"))
 
 
-# rows-only (sketch bytes are engine-specific; the ACCURACY contract is
-# asserted in test_operators.py::test_hll_rollup_accuracy instead)
-@x("x85_sketch_rollup", None)
+@x("x85_sketch_rollup", """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(ROUND(CAST(approx_count_distinct(user_id) AS DOUBLE)
+                  / COUNT(DISTINCT user_id), 1) AS DOUBLE) AS users_ratio
+FROM events GROUP BY event_type ORDER BY event_type""")
 def x85(spark, sf):
     """Mergeable-sketch rollup — THE 100 TB distinct-count pattern: build
     one HLL sketch per (day, event_type) partition, then union sketches
@@ -2357,17 +2361,28 @@ def x85(spark, sf):
     daily sketches are KB-sized table properties; re-aggregation windows
     (7d/30d/all-time) become sketch unions instead of fact-table scans.
     Native Spark ``hll_sketch_agg`` / ``hll_union_agg`` — JVM-side,
-    partial-aggregating."""
+    partial-aggregating.  Sketch bytes are engine-specific, so the
+    oracle checks the ACCURACY CONTRACT (x77's pattern): the
+    union-of-daily-sketches estimate over the exact distinct count
+    rounds to 1.0, as does DuckDB's own HLL over the same data — a real
+    value check that fails if the sketch rollup degrades."""
     ev = load(spark, sf, "events")
     daily = (ev.groupBy(F.to_date("ts").alias("day"), "event_type")
                .agg(F.hll_sketch_agg("user_id").alias("sk"),
                     F.count(F.lit(1)).alias("n_events")))
-    return (daily.groupBy("event_type")
-                 .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
-                       .alias("approx_users"),
-                      F.sum("n_events").alias("n_events"),
-                      F.count(F.lit(1)).alias("n_days"))
-                 .orderBy("event_type"))
+    rolled = (daily.groupBy("event_type")
+              .agg(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                    .alias("__approx"),
+                   F.sum("n_events").alias("n_events"),
+                   F.count(F.lit(1)).alias("n_days")))
+    exact = (ev.groupBy("event_type")
+               .agg(F.countDistinct("user_id").alias("__exact")))
+    return (rolled.join(exact, "event_type")
+            .select("event_type", "n_events", "n_days",
+                    F.round(F.col("__approx").cast("double")
+                            / F.col("__exact"), 1).cast("double")
+                     .alias("users_ratio"))
+            .orderBy("event_type"))
 
 
 @x("x84_fuzzy_dedup", """
