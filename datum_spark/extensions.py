@@ -2315,6 +2315,39 @@ def x92(spark, sf):
             .orderBy("doc_id"))
 
 
+@x("x93_length_histogram", """
+WITH b AS (
+  SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+              WHEN n_chars >= 1000 THEN 11
+              ELSE n_chars // 100 + 1 END AS BIGINT) AS bucket
+  FROM documents
+)
+SELECT bucket,
+       CAST(bucket * 100 - 100 AS BIGINT) AS lo,
+       CAST(bucket * 100 AS BIGINT) AS hi,
+       COUNT(*) AS n_docs
+FROM b GROUP BY bucket ORDER BY bucket""")
+def x93(spark, sf):
+    """Corpus length histogram: fixed-width ``width_bucket`` binning of
+    n_chars (10 buckets over [0, 1000), clamped ends) — the profiling
+    companion to x88.  One partial-aggregating exchange of at most
+    12 rows per task; the same JVM ``width_bucket`` powers the Z-order
+    clustering (functions/zorder.py)."""
+    docs = load(spark, sf, "documents")
+    bucket = (F.when(F.col("n_chars") < 0, 0)
+               .when(F.col("n_chars") >= 1000, 11)
+               .otherwise(F.width_bucket("n_chars", F.lit(0), F.lit(1000),
+                                         F.lit(10))))
+    return (docs.select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select("bucket",
+                    (F.col("bucket") * 100 - 100).cast("long").alias("lo"),
+                    (F.col("bucket") * 100).cast("long").alias("hi"),
+                    "n_docs")
+            .orderBy("bucket"))
+
+
 @x("x90_event_debounce", """
 WITH d AS (
   SELECT user_id, event_type,
