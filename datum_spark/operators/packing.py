@@ -71,3 +71,37 @@ def pack_summary(packed: DataFrame, token_col: str,
     return (packed.groupBy(pack_col)
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum(token_col).alias("total_tokens")))
+
+
+def write_training_shards(df: DataFrame, path: str, order_col: str,
+                          token_col: str, n_shards: int,
+                          fmt: str = "parquet", mode: str = "error",
+                          **options) -> DataFrame:
+    """Write the corpus as ``n_shards`` token-balanced hive partitions
+    (``shard=K/`` directories) — the end-of-pipeline layout step that
+    turns a curriculum-ordered corpus into equal-work training shards.
+
+    Shard assignment reuses the distributed token prefix sum:
+    ``shard = floor(tokens_before / ceil(total/n_shards))`` — every shard
+    holds a CONTIGUOUS ``order_col`` range (curriculum order survives
+    sharding) and shard token totals differ by at most one document, the
+    same greedy bound as :func:`pack_documents`.  Deterministic: a
+    function of the data alone, so a re-run (or another engine) derives
+    the identical layout.  Cost beyond the write itself: one scalar
+    aggregate for the total plus the prefix sum's per-partition counts —
+    no single-task stage anywhere.
+
+    Returns the sharded DataFrame (with the ``shard`` column) so callers
+    can audit with :func:`pack_summary`.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    from ..sources.registry import write_table
+
+    total = df.agg(F.sum(token_col)).collect()[0][0] or 0
+    budget = max(1, -(-int(total) // n_shards))  # ceil
+    sharded = pack_documents(df, order_col, token_col, budget,
+                             out_col="shard")
+    write_table(sharded, path, fmt=fmt, mode=mode,
+                partition_by=["shard"], **options)
+    return sharded

@@ -6,6 +6,7 @@ on hand-computable fixtures.
 import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from datum_spark.operators.chunking import chunk_documents
 from datum_spark.operators.events import debounce
@@ -216,3 +217,51 @@ def test_minhash_cap_no_effect_below_cap(spark):
                minhash_near_dups(df, "doc_id", "text", threshold=0.5,
                                  max_bucket_size=None).collect())
     assert a == b  # default cap is invisible on non-degenerate input
+
+
+# ---------------------------------------------------------------------------
+# token-balanced training shards
+
+def test_write_training_shards_balanced_and_contiguous(spark, tmp_path):
+    from datum_spark.operators.packing import write_training_shards
+
+    rows = [(i, 10 + (i % 7)) for i in range(200)]   # ~2600 tokens
+    df = spark.createDataFrame(rows, "doc_id long, nt long")
+    path = str(tmp_path / "shards")
+    sharded = write_training_shards(df, path, "doc_id", "nt", n_shards=4)
+
+    stats = {r["shard"]: r for r in
+             sharded.groupBy("shard").agg(
+                 F.sum("nt").alias("t"), F.min("doc_id").alias("lo"),
+                 F.max("doc_id").alias("mx"),
+                 F.count(F.lit(1)).alias("n")).collect()}
+    assert set(stats) == {0, 1, 2, 3}
+    total = sum(r["t"] for r in stats.values())
+    budget = -(-total // 4)
+    # greedy bound: every shard except the last is within one doc of budget
+    for k in (0, 1, 2):
+        assert budget - 17 <= stats[k]["t"] <= budget + 17
+    # contiguous doc_id ranges in shard order (curriculum order survives)
+    for k in (0, 1, 2):
+        assert stats[k]["mx"] < stats[k + 1]["lo"]
+
+    # hive layout on disk + identical data back
+    import os
+    assert sorted(d for d in os.listdir(path) if d.startswith("shard=")) == [
+        "shard=0", "shard=1", "shard=2", "shard=3"]
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # deterministic: a second run derives the identical assignment
+    again = write_training_shards(df, str(tmp_path / "shards2"),
+                                  "doc_id", "nt", n_shards=4)
+    a = {r["doc_id"]: r["shard"] for r in sharded.collect()}
+    b = {r["doc_id"]: r["shard"] for r in again.collect()}
+    assert a == b
+
+
+def test_write_training_shards_rejects_bad_n(spark, tmp_path):
+    from datum_spark.operators.packing import write_training_shards
+
+    df = spark.createDataFrame([(1, 5)], "doc_id long, nt long")
+    with pytest.raises(ValueError):
+        write_training_shards(df, str(tmp_path / "x"), "doc_id", "nt", 0)
