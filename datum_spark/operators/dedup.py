@@ -396,14 +396,28 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 1, threshold: float = 0.6,
-                        max_ngram_freq: int | None = None) -> DataFrame:
+                        max_ngram_freq: int | None = None,
+                        prefix_filter: bool = True) -> DataFrame:
     """Exact Jaccard over distinct word n-grams for candidate pairs sharing
     at least one n-gram.  Returns ``(id_a, id_b, jaccard)``, id_a < id_b.
 
-    ``max_ngram_freq`` drops n-grams appearing in more than that many docs
-    (stopword/skew guard — at 100 TB a hot n-gram would otherwise create a
-    quadratic bucket; dropping ultra-frequent grams only lowers recall for
-    pairs that share *nothing rarer*, standard practice for LSH-style dedup).
+    ``prefix_filter`` (default on) applies PPJoin-style prefix filtering:
+    under any global total order on grams (here: xxhash64, computed
+    map-side), a pair with Jaccard ≥ t must share a gram inside each
+    side's first ``|g| - ceil(t·|g|) + 1`` grams — because a no-prefix
+    overlap would confine the intersection to the last ``ceil(t·|g|)-1``
+    grams, below the ``c ≥ ceil(t·|g|)`` overlap that J ≥ t forces.  So
+    only prefixes are indexed (the postings shuffle shrinks by ~t) and
+    candidate verification joins the full gram ARRAYS by id for the few
+    surviving pairs (``array_intersect``, JVM-side) — LOSSLESS: the
+    result set is identical to the full-index join, as the x03/x83/x84
+    oracles verify value-for-value.
+
+    ``max_ngram_freq`` drops (prefix) grams appearing in more than that
+    many docs (stopword/skew guard — at 100 TB a hot n-gram would
+    otherwise create a quadratic bucket; dropping ultra-frequent grams
+    only lowers recall for pairs that share *nothing rarer*, standard
+    practice for LSH-style dedup).
     """
     words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
                      lambda t: t != "")
@@ -414,30 +428,45 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         grams = F.array_distinct(F.transform(
             idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
 
-    base = df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
-    # compute-once for the two size joins below; released by cache-ring
-    # rotation (_retain_cache)
-    sizes = _retain_cache(
-        base.select("__id", F.size("__grams").alias("__n")))
-    inv = base.select("__id", F.explode("__grams").alias("__g"))
+    # compute-once: the inverted index and both verification joins read
+    # the gram arrays; released by cache-ring rotation (_retain_cache)
+    base = _retain_cache(
+        df.select(F.col(id_col).alias("__id"), grams.alias("__grams")))
+    if prefix_filter:
+        # prefix length ceil() runs on floats: subtract an epsilon so
+        # t·|g| landing a hair ABOVE an integer (0.8×5 → 4.0000…02)
+        # doesn't shorten the prefix and silently drop true pairs
+        plen = (F.size("__grams")
+                - F.ceil(F.lit(float(threshold)) * F.size("__grams")
+                         - F.lit(1e-9)) + 1)
+        ordered = F.array_sort(F.transform(
+            "__grams", lambda g: F.struct(F.xxhash64(g).alias("h"),
+                                          g.alias("g"))))
+        pref = F.transform(F.slice(ordered, 1, plen), lambda s: s["g"])
+        inv = base.select("__id", F.explode(pref).alias("__g"))
+    else:
+        inv = base.select("__id", F.explode("__grams").alias("__g"))
     if max_ngram_freq is not None:
         hot = (inv.groupBy("__g").count()
                   .filter(F.col("count") > max_ngram_freq).select("__g"))
         inv = inv.join(hot, "__g", "left_anti")
 
     a, b = inv.alias("a"), inv.alias("b")
-    common = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
-                     & (F.col("a.__id") < F.col("b.__id")))
-               .groupBy(F.col("a.__id").alias("id_a"),
-                        F.col("b.__id").alias("id_b"))
-               .agg(F.count(F.lit(1)).alias("__common")))
-    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"))
-    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"))
-    jac = F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
-    return (common.join(sa, "id_a").join(sb, "id_b")
-                  .withColumn("jaccard", jac)
-                  .filter(F.col("jaccard") >= threshold)
-                  .select("id_a", "id_b", "jaccard"))
+    cand = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
+                   & (F.col("a.__id") < F.col("b.__id")))
+             .select(F.col("a.__id").alias("id_a"),
+                     F.col("b.__id").alias("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ga = base.select(F.col("__id").alias("id_a"),
+                     F.col("__grams").alias("__ga"))
+    gb = base.select(F.col("__id").alias("id_b"),
+                     F.col("__grams").alias("__gb"))
+    common = F.size(F.array_intersect("__ga", "__gb"))
+    jac = common / (F.size("__ga") + F.size("__gb") - common)
+    return (cand.join(ga, "id_a").join(gb, "id_b")
+                .withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
 
 
 # ---------------------------------------------------------------------------

@@ -265,3 +265,23 @@ def test_write_training_shards_rejects_bad_n(spark, tmp_path):
     df = spark.createDataFrame([(1, 5)], "doc_id long, nt long")
     with pytest.raises(ValueError):
         write_training_shards(df, str(tmp_path / "x"), "doc_id", "nt", 0)
+
+
+# ---------------------------------------------------------------------------
+# prefix filtering losslessness (round-5 PPJoin optimization)
+
+def test_prefix_filter_lossless(spark):
+    from datum_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .selectExpr("doc_id", "text"))
+    for n, t in ((1, 0.8), (2, 0.5), (3, 0.3)):
+        fast = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                      for r in ngram_jaccard_pairs(
+                          docs, "doc_id", "text", n=n, threshold=t,
+                          prefix_filter=True).collect())
+        full = sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                      for r in ngram_jaccard_pairs(
+                          docs, "doc_id", "text", n=n, threshold=t,
+                          prefix_filter=False).collect())
+        assert fast == full and len(fast) > 0
