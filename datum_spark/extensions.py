@@ -2348,6 +2348,63 @@ def x93(spark, sf):
             .orderBy("bucket"))
 
 
+@x("x94_variant_json", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(MIN(CAST(props->>'$.k' AS INTEGER)) AS INT) AS min_k,
+       CAST(MAX(CAST(props->>'$.k' AS INTEGER)) AS INT) AS max_k,
+       ROUND(AVG(CAST(props->>'$.k' AS INTEGER)), 4) AS avg_k
+FROM events GROUP BY event_type ORDER BY event_type""")
+def x94(spark, sf):
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` once into
+    the binary VARIANT encoding, then typed ``variant_get`` extraction —
+    the modern engine spelling for schema-on-read event properties
+    (x30's get_json_object twin; VARIANT avoids re-parsing the JSON text
+    per extracted field)."""
+    ev = load(spark, sf, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (ev.select("event_type", k.alias("__k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("__k").alias("min_k"),
+                 F.max("__k").alias("max_k"),
+                 F.round(F.avg("__k"), 4).alias("avg_k"))
+            .orderBy("event_type"))
+
+
+@x("x95_recursive_calendar", """
+WITH RECURSIVE cal(d) AS (
+  SELECT MIN(CAST(ts AS DATE)) FROM events
+  UNION ALL
+  SELECT d + INTERVAL 1 DAY FROM cal
+  WHERE d < (SELECT MAX(CAST(ts AS DATE)) FROM events)
+), p AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT CAST(cal.d AS DATE) AS day, CAST(COALESCE(p.n, 0) AS BIGINT) AS n
+FROM cal LEFT JOIN p ON cal.d = p.day ORDER BY day""")
+def x95(spark, sf):
+    """Gap-filled daily counts via a RECURSIVE CTE calendar (Spark 4's
+    WITH RECURSIVE; UNION ALL anchor+step, acyclic, bounded by the data's
+    date span) — the SQL-native twin of x81's sequence()+explode grid.
+    Days with zero purchases appear with n=0 instead of vanishing."""
+    ev = load(spark, sf, "events")
+    ev.createOrReplaceTempView("__x95_events")
+    return spark.sql("""
+      WITH RECURSIVE cal(d) AS (
+        SELECT MIN(CAST(ts AS DATE)) FROM __x95_events
+        UNION ALL
+        SELECT date_add(d, 1) FROM cal
+        WHERE d < (SELECT MAX(CAST(ts AS DATE)) FROM __x95_events)
+      ), p AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM __x95_events WHERE event_type = 'purchase' GROUP BY 1
+      )
+      SELECT cal.d AS day, COALESCE(p.n, CAST(0 AS BIGINT)) AS n
+      FROM cal LEFT JOIN p ON cal.d = p.day ORDER BY day""")
+
+
 @x("x90_event_debounce", """
 WITH d AS (
   SELECT user_id, event_type,
