@@ -12,8 +12,12 @@ from .sampling import (deterministic_group_sample, hash_split,
                        md5_bucket, mix_sources, mix_sources_md5,
                        stratified_sample, upsample_sources,
                        with_md5_split_label, with_split_label)
-from .packing import pack_documents, pack_summary
+from .packing import (pack_documents, pack_summary,
+                      write_training_shards)
+from .chunking import chunk_documents
+from .profile import profile_columns
 from .dedup import (
+    duplicated_span_stats,
     exact_dedup,
     exact_dup_groups,
     minhash_near_dups,
@@ -28,11 +32,12 @@ from .similarity import cosine_top_k, ivf_cosine_top_k, lsh_cosine_top_k
 from .curriculum import (epoch_shuffle, grouped_global_position,
                          interleave_sources, quality_percentile_filter,
                          token_budget_sample)
-from .events import funnel, retention_cohorts, user_features
+from .events import debounce, funnel, retention_cohorts, user_features
 from .graph import pagerank
 from .expectations import check_expectations, enforce_expectations
 from .text import (
     doc_frequency,
+    robust_outliers,
     top_ngrams,
     with_token_count,
     with_quality_score,
@@ -41,6 +46,8 @@ from .text import (
 )
 
 __all__ = [
+    "chunk_documents", "profile_columns", "robust_outliers",
+    "debounce", "duplicated_span_stats", "write_training_shards",
     "top_k", "top_k_per_group", "asof_join", "salted_join",
     "connected_components", "dup_clusters",
     "tf_idf_terms", "bm25_scores",

@@ -3,7 +3,7 @@ streaming — SURVEY §1.1 'not present')."""
 
 from .joins import clicks_purchases_join
 from .stateful import (running_totals, running_totals_batch,
-                       streaming_funnel)
+                       streaming_debounce, streaming_funnel)
 from .windows import (
     tumbling_agg,
     sliding_agg,
@@ -16,5 +16,6 @@ from .windows import (
 __all__ = [
     "tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
     "read_events_stream", "run_stream_to_memory",
-    "running_totals", "running_totals_batch", "streaming_funnel", "clicks_purchases_join",
+    "running_totals", "running_totals_batch", "streaming_funnel",
+    "streaming_debounce", "clicks_purchases_join",
 ]
