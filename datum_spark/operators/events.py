@@ -103,8 +103,11 @@ def debounce(events: DataFrame, key_cols: list[str] | None = None,
 
     key_cols = key_cols if key_cols is not None else ["user_id", "event_type"]
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    gap = (F.unix_timestamp(F.col(ts_col))
-           - F.unix_timestamp(F.lag(ts_col).over(w)))
+    # cast-to-double keeps the microsecond fraction (exact in a double up
+    # to 2^53 µs); unix_timestamp would TRUNCATE to whole seconds and
+    # mis-classify gaps within 1 s of the boundary
+    gap = (F.col(ts_col).cast("double")
+           - F.lag(F.col(ts_col).cast("double")).over(w))
     new_burst = F.when(gap.isNull() | (gap > within_s), 1).otherwise(0)
     return (events.withColumn("__nb", new_burst)
                   .filter(F.col("__nb") == 1)

@@ -198,3 +198,50 @@ def test_ensure_parallelism_many_tiny_files(spark, tmp_path):
     assert _estimate_scan_partitions(spark, sizes, 32) == \
         df.rdd.getNumPartitions()
     assert ensure_parallelism(df, 32).rdd.getNumPartitions() >= 32
+
+
+def test_debounce_single_exchange(spark):
+    """Debounce is one window shuffle on the key — a second exchange
+    would mean the lag/filter left the sorted partitions."""
+    from datum_spark.operators.events import debounce
+    from datum_spark.sources.registry import read_parquet_normalized
+
+    ev = read_parquet_normalized(spark, f"{SF}/events.parquet")
+    plan = (debounce(ev, ["user_id", "event_type"], "ts")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange") == 1
+
+
+def test_profile_single_scan(spark):
+    """Column profiling reads the table once: one scan node however many
+    columns are profiled (the stack runs on the 1-row aggregate)."""
+    from datum_spark.operators.profile import profile_columns
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (profile_columns(
+        orders, ["o_custkey", "o_totalprice", "o_orderstatus"])
+        ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("FileScan") == 1
+
+
+def test_ngram_prefix_filter_shrinks_index(spark):
+    """PPJoin prefix filtering must explode FEWER posting rows than the
+    full index — measured, not assumed (the lossless-result twin test
+    lives in test_chunk_profile.py)."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.operators.dedup import ngram_jaccard_pairs  # noqa: F401
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+    full = docs.select(F.explode(F.array_distinct(words))).count()
+    t = 0.8
+    plen = (F.size(F.array_distinct(words))
+            - F.ceil(F.lit(t) * F.size(F.array_distinct(words))
+                     - F.lit(1e-9)) + 1)
+    pref = docs.select(F.explode(F.slice(
+        F.array_sort(F.transform(F.array_distinct(words),
+                                 lambda g: F.struct(F.xxhash64(g).alias("h"),
+                                                    g.alias("g")))),
+        1, plen))).count()
+    assert pref < 0.4 * full  # ~0.2x at t=0.8 plus the +1 per doc
