@@ -61,7 +61,7 @@ _RECHECK_R5 = {
     "x83_pagerank", "x87_doc_chunking", "x88_column_profile",
     "x89_robust_outliers", "x90_event_debounce", "x91_bpe_tokens",
     "x92_substring_dedup", "x85_sketch_rollup", "x93_length_histogram",
-    "x94_variant_json", "x95_recursive_calendar",
+    "x94_variant_json", "x95_recursive_calendar", "x96_session_stats",
 }
 
 

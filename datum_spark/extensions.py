@@ -2348,6 +2348,55 @@ def x93(spark, sf):
             .orderBy("bucket"))
 
 
+@x("x96_session_stats", """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), g AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM d
+), s AS (
+  SELECT user_id, sid, COUNT(*) AS n_events,
+         epoch(MAX(ts)) - epoch(MIN(ts)) AS dur_s
+  FROM g GROUP BY user_id, sid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(AVG(n_events), 4) AS avg_events,
+       ROUND(AVG(dur_s), 4) AS avg_dur_s,
+       ROUND(median(dur_s), 4) AS p50_dur_s,
+       ROUND(quantile_cont(dur_s, 0.9), 4) AS p90_dur_s
+FROM s""")
+def x96(spark, sf):
+    """Session-duration distribution: the x15 sessionizer's output rolled
+    into corpus-level engagement stats (count / mean events / mean and
+    p50/p90 duration).  Exact percentiles over the SESSION table — tiny
+    relative to events — so the sort-based percentile is cheap at any
+    scale; the only wide exchange is x15's window on user_id."""
+    from .streaming.windows import session_agg
+
+    ev = load(spark, sf, "events")
+    s = session_agg(ev, gap="30 minutes")
+    # session_window.end = last event + gap; active duration is max-min,
+    # so subtract the 30-minute gap back out
+    dur = (F.col("session_end").cast("double")
+           - F.col("session_start").cast("double") - F.lit(1800.0))
+    return (s.select(F.col("n_events").cast("long").alias("n_events"),
+                     dur.alias("dur_s"))
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.round(F.avg("n_events"), 4).alias("avg_events"),
+                 F.round(F.avg("dur_s"), 4).alias("avg_dur_s"),
+                 F.round(F.expr("percentile(dur_s, 0.5)"), 4)
+                  .alias("p50_dur_s"),
+                 F.round(F.expr("percentile(dur_s, 0.9)"), 4)
+                  .alias("p90_dur_s")))
+
+
 @x("x94_variant_json", """
 SELECT event_type,
        COUNT(*) AS n,
