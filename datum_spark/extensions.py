@@ -2397,6 +2397,32 @@ def x96(spark, sf):
                   .alias("p90_dur_s")))
 
 
+@x("x97_char_entropy", """
+WITH c AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ''), ch -> ch <> '') AS cs
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       ROUND(COALESCE(-list_aggregate(
+         list_transform(list_distinct(cs),
+           ch -> (CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE) / len(cs))
+                 * log2(CAST(len(list_filter(cs, x -> x = ch)) AS DOUBLE)
+                        / len(cs))), 'sum'), 0.0), 6) AS entropy
+FROM c ORDER BY doc_id""")
+def x97(spark, sf):
+    """Character-entropy quality proxy (Shannon bits of the char unigram
+    distribution): gibberish and padding floods score low, prose ~4 bits
+    — the cheap perplexity stand-in a filter pipeline runs before any
+    model-based scoring.  Map-only JVM expressions
+    (operators/text.py ``char_entropy``); both engines round to 6
+    decimals, well above log2 ulp differences."""
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 200)
+    return (text_mod.with_char_entropy(docs, "text", "__h")
+            .select("doc_id", F.round("__h", 6).alias("entropy"))
+            .orderBy("doc_id"))
+
+
 @x("x94_variant_json", """
 SELECT event_type,
        COUNT(*) AS n,

@@ -36,8 +36,10 @@ from .events import debounce, funnel, retention_cohorts, user_features
 from .graph import pagerank
 from .expectations import check_expectations, enforce_expectations
 from .text import (
+    char_entropy,
     doc_frequency,
     robust_outliers,
+    with_char_entropy,
     top_ngrams,
     with_token_count,
     with_quality_score,
@@ -48,6 +50,7 @@ from .text import (
 __all__ = [
     "chunk_documents", "profile_columns", "robust_outliers",
     "debounce", "duplicated_span_stats", "write_training_shards",
+    "char_entropy", "with_char_entropy",
     "top_k", "top_k_per_group", "asof_join", "salted_join",
     "connected_components", "dup_clusters",
     "tf_idf_terms", "bm25_scores",

@@ -277,3 +277,28 @@ def robust_outliers(df: DataFrame, value_col: str,
               .withColumn("is_outlier",
                           F.abs(v - F.col("__med"))
                           > F.lit(float(k)) * F.col("__mad")))
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits) of the character unigram distribution — a
+    perplexity proxy for corpus quality filtering: gibberish / repeated
+    padding scores low, natural prose lands ~4 bits for English.
+
+    Pure JVM expressions (split → distinct → per-char count → Σ -p·log₂p
+    via ``aggregate``), map-only.  Cost is O(distinct_chars × length) per
+    doc — fine for text; for multi-KB docs switch to a grouped count
+    (explode + groupBy) if profiling ever shows this expression hot.
+    """
+    cs = F.filter(F.split(F.lower(col), ""), lambda c: c != "")
+    n = F.size(cs)
+    p_of = lambda c: F.size(F.filter(cs, lambda x: x == c)) / n  # noqa: E731
+    terms = F.transform(F.array_distinct(cs),
+                        lambda c: -p_of(c) * F.log2(p_of(c)))
+    return F.when(n > 0,
+                  F.aggregate(terms, F.lit(0.0), lambda acc, t: acc + t)
+                  ).otherwise(F.lit(0.0))
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text",
+                      out_col: str = "char_entropy") -> DataFrame:
+    return df.withColumn(out_col, char_entropy(F.col(text_col)))

@@ -325,3 +325,18 @@ def test_debounce_idempotent(spark):
     # the identity (idempotency = the output really is burst-free)
     assert sorted(map(tuple, once.collect())) == \
         sorted(map(tuple, twice.collect()))
+
+
+def test_char_entropy_values(spark):
+    import math
+
+    from datum_spark.operators.text import with_char_entropy
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, ""), (4, "abcd")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["h"] for r in
+           with_char_entropy(df, "text", "h").collect()}
+    assert out[1] == pytest.approx(0.0)          # single symbol
+    assert out[2] == pytest.approx(1.0)          # two equiprobable
+    assert out[3] == pytest.approx(0.0)          # empty → 0, not NULL
+    assert out[4] == pytest.approx(math.log2(4))  # four equiprobable
