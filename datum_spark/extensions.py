@@ -2423,6 +2423,39 @@ def x97(spark, sf):
             .orderBy("doc_id"))
 
 
+@x("x98_novelty", """
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 1, 1)),
+           i -> coalesce(array_to_string(ws[i:i+1], ' '), ''))) AS gs
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents)
+), pos AS (
+  SELECT doc_id, unnest(gs) AS g FROM w
+), f AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM pos GROUP BY g
+)
+SELECT pos.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(SUM(CASE WHEN pos.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN pos.doc_id = f.first_doc THEN 1 ELSE 0 END)
+             / COUNT(*), 4) AS novelty
+FROM pos JOIN f USING (g)
+GROUP BY pos.doc_id ORDER BY pos.doc_id""")
+def x98(spark, sf):
+    """Per-doc bigram novelty: fraction of a doc's distinct bigrams no
+    earlier doc contains — the cheapest "what does this add" curation
+    signal (two count shuffles, no pair generation;
+    operators/dedup.py ``novelty_scores``)."""
+    docs = load_docs(spark, sf)
+    return (dedup_mod.novelty_scores(docs, "doc_id", "text", n=2)
+            .orderBy("doc_id"))
+
+
 @x("x94_variant_json", """
 SELECT event_type,
        COUNT(*) AS n,

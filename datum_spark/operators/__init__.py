@@ -18,6 +18,7 @@ from .chunking import chunk_documents
 from .profile import profile_columns
 from .dedup import (
     duplicated_span_stats,
+    novelty_scores,
     exact_dedup,
     exact_dup_groups,
     minhash_near_dups,
@@ -50,7 +51,7 @@ from .text import (
 __all__ = [
     "chunk_documents", "profile_columns", "robust_outliers",
     "debounce", "duplicated_span_stats", "write_training_shards",
-    "char_entropy", "with_char_entropy",
+    "char_entropy", "with_char_entropy", "novelty_scores",
     "top_k", "top_k_per_group", "asof_join", "salted_join",
     "connected_components", "dup_clusters",
     "tf_idf_terms", "bm25_scores",

@@ -340,3 +340,19 @@ def test_char_entropy_values(spark):
     assert out[2] == pytest.approx(1.0)          # two equiprobable
     assert out[3] == pytest.approx(0.0)          # empty → 0, not NULL
     assert out[4] == pytest.approx(math.log2(4))  # four equiprobable
+
+
+def test_novelty_scores(spark):
+    from datum_spark.operators.dedup import novelty_scores
+
+    rows = [
+        (1, "a b c"),        # bigrams {a b, b c} — all first
+        (2, "a b x"),        # {a b, b x}: a b seen in doc 1 → 1/2 novel
+        (3, "a b c"),        # exact repeat → 0 novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           novelty_scores(df, "doc_id", "text", n=2).collect()}
+    assert (out[1]["n_novel"], out[1]["novelty"]) == (2, 1.0)
+    assert (out[2]["n_novel"], out[2]["novelty"]) == (1, 0.5)
+    assert (out[3]["n_novel"], out[3]["novelty"]) == (0, 0.0)
