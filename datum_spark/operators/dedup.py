@@ -602,6 +602,9 @@ def novelty_scores(df: DataFrame, id_col: str, text_col: str,
             idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
     pos = (df.select(F.col(id_col).alias("__id"), grams.alias("__gs"))
              .select("__id", F.explode("__gs").alias("__g")))
+    # both the first-doc aggregate and the join read pos: cache so the
+    # tokenize+explode runs once (cache-ring released, as in span stats)
+    pos = _retain_cache(pos)
     first = pos.groupBy("__g").agg(F.min("__id").alias("__first"))
     return (pos.join(first, "__g")
             .groupBy(F.col("__id").alias(id_col))
