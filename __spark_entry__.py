@@ -62,7 +62,9 @@ _RECHECK_R5 = {
     "x89_robust_outliers", "x90_event_debounce", "x91_bpe_tokens",
     "x92_substring_dedup", "x85_sketch_rollup", "x93_length_histogram",
     "x94_variant_json", "x95_recursive_calendar", "x96_session_stats",
-    "x97_char_entropy", "x98_novelty",
+    "x97_char_entropy", "x98_novelty", "x99_containment",
+    "x100_golden_record", "x101_weighted_sample", "x102_source_drift",
+    "x103_centroid_outliers",
 }
 
 

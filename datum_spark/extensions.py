@@ -2703,6 +2703,45 @@ def x83(spark, sf):
                  .orderBy(F.col("rank").desc(), "node").limit(50))
 
 
+
+# ---------------------------------------------------------------------------
+# asymmetric containment dedup (round 5)
+
+@x("x99_containment", """
+WITH w0 AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 200
+), w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 1)),
+           i -> array_to_string(ws[i:i+2], ' '))) AS gs
+  FROM w0
+), pairs AS (
+  SELECT a.doc_id AS src_id, b.doc_id AS dst_id,
+         len(list_intersect(a.gs, b.gs)) AS common, len(a.gs) AS ns
+  FROM w a JOIN w b ON a.doc_id <> b.doc_id
+  WHERE len(a.gs) > 0
+)
+SELECT src_id, dst_id, ROUND(common / ns, 4) AS containment
+FROM pairs WHERE common / ns >= 0.7
+ORDER BY src_id, dst_id""")
+def x99(spark, sf):
+    """Directional trigram containment ≥ 0.7 — the near-SUPERSET dedup
+    case (short doc quoted whole inside a longer one) that symmetric
+    Jaccard structurally misses (J = |A∩B|/|A∪B| ≈ |A|/|B| → 0 while
+    C(A→B) → 1).  Spark side generates candidates with the asymmetric
+    PPJoin prefix index of ``ngram_containment_pairs`` (lossless; the
+    oracle's all-pairs join verifies the pruning drops nothing)."""
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 200)
+    pairs = dedup_mod.ngram_containment_pairs(docs, "doc_id", "text",
+                                              n=3, threshold=0.7)
+    return (pairs.select("src_id", "dst_id",
+                         F.round("containment", 4).alias("containment"))
+                 .orderBy("src_id", "dst_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

@@ -665,3 +665,76 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
                  F.sum("__dup").alias("n_dup_spans"))
             .withColumn("dup_ratio",
                         F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)))
+
+
+# ---------------------------------------------------------------------------
+# asymmetric n-gram containment (near-superset detection)
+
+def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 1, threshold: float = 0.8,
+                            max_ngram_freq: int | None = None) -> DataFrame:
+    """Directional n-gram containment ``C(src→dst) = |G(src)∩G(dst)| /
+    |G(src)|`` for every ordered pair with ``C ≥ threshold`` — the
+    asymmetric sibling of :func:`ngram_jaccard_pairs`.  Jaccard misses
+    near-SUPERSETS (a short doc quoted whole inside a long one scores
+    ``|A|/|B| ≈ 0`` on Jaccard but ``1.0`` on containment), the classic
+    doc-in-doc / boilerplate-inclusion case of web-corpus dedup.
+
+    Returns ``(src_id, dst_id, containment)``, ``src_id ≠ dst_id``,
+    where src is the (near-)contained side.  Candidate generation is the
+    asymmetric PPJoin variant: under the global xxhash64 gram order,
+    ``C(src→dst) ≥ t`` forces an overlap of ``ceil(t·|G(src)|)`` grams,
+    so src must share a gram within its first
+    ``|G(src)| - ceil(t·|G(src)|) + 1`` grams with dst's FULL gram set —
+    only src prefixes are exploded for probing (the probe shuffle
+    shrinks by ~t) while the dst index stays full.  LOSSLESS: identical
+    result set to the full×full index join.
+
+    ``max_ngram_freq`` is the hot-gram skew guard (computed on the FULL
+    index — a gram in more docs than the cap is dropped from BOTH sides,
+    so the filter stays symmetric and candidates are only lost for pairs
+    sharing nothing rarer, the same recall contract as the Jaccard/fuzzy
+    cap).  Docs with zero grams (empty text) are excluded: containment
+    is undefined on an empty source set.
+    """
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != "")
+    if n == 1:
+        grams = F.array_distinct(words)
+    else:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+        grams = F.array_distinct(F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+    base = _retain_cache(
+        df.select(F.col(id_col).alias("__id"), grams.alias("__grams"))
+          .filter(F.size("__grams") > 0))
+    # src probe side: prefix only (pigeonhole on |G(src)|)
+    plen = (F.size("__grams")
+            - F.ceil(F.lit(float(threshold)) * F.size("__grams")
+                     - F.lit(1e-9)) + 1)
+    ordered = F.array_sort(F.transform(
+        "__grams", lambda g: F.struct(F.xxhash64(g).alias("h"),
+                                      g.alias("g"))))
+    pref = F.transform(F.slice(ordered, 1, plen), lambda s: s["g"])
+    probe = base.select("__id", F.explode(pref).alias("__g"))
+    index = base.select("__id", F.explode("__grams").alias("__g"))
+    if max_ngram_freq is not None:
+        hot = (index.groupBy("__g").count()
+                    .filter(F.col("count") > max_ngram_freq).select("__g"))
+        probe = probe.join(hot, "__g", "left_anti")
+        index = index.join(hot, "__g", "left_anti")
+    s, d = probe.alias("s"), index.alias("d")
+    cand = (s.join(d, (F.col("s.__g") == F.col("d.__g"))
+                   & (F.col("s.__id") != F.col("d.__id")))
+             .select(F.col("s.__id").alias("src_id"),
+                     F.col("d.__id").alias("dst_id"))
+             .dropDuplicates(["src_id", "dst_id"]))
+    gs = base.select(F.col("__id").alias("src_id"),
+                     F.col("__grams").alias("__gs"))
+    gd = base.select(F.col("__id").alias("dst_id"),
+                     F.col("__grams").alias("__gd"))
+    cont = F.size(F.array_intersect("__gs", "__gd")) / F.size("__gs")
+    return (cand.join(gs, "src_id").join(gd, "dst_id")
+                .withColumn("containment", cont)
+                .filter(F.col("containment") >= threshold)
+                .select("src_id", "dst_id", "containment"))

@@ -633,3 +633,45 @@ def test_hll_rollup_accuracy(spark):
     ).collect()[0]["e"]
     exact = ev.select("user_id").distinct().count()
     assert abs(est - exact) / exact < 0.05
+
+
+def test_ngram_containment_superset(spark):
+    """Containment flags the doc-in-doc case Jaccard misses: src is a
+    strict prefix of dst, so C(src→dst)=1 while J ≈ |A|/|B| < threshold.
+    Also: directionality (dst→src well below 1) and losslessness of the
+    asymmetric prefix filter vs a thresholdless full join."""
+    from datum_spark.operators.dedup import (ngram_containment_pairs,
+                                             ngram_jaccard_pairs)
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + (" " + " ".join(f"w{i}" for i in range(40)))
+    rows = [(1, short), (2, long),
+            (3, "nothing shared with the others at all whatsoever")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["src_id"], r["dst_id"]): r["containment"]
+           for r in ngram_containment_pairs(df, "doc_id", "text",
+                                            n=1, threshold=0.9).collect()}
+    assert got[(1, 2)] == 1.0          # short fully contained in long
+    assert (2, 1) not in got           # reverse direction far below 0.9
+    assert not any(3 in p for p in got)
+    jac = {(r["id_a"], r["id_b"])
+           for r in ngram_jaccard_pairs(df, "doc_id", "text",
+                                        n=1, threshold=0.9).collect()}
+    assert (1, 2) not in jac           # Jaccard blind to the superset
+
+
+def test_ngram_containment_prefix_lossless(spark):
+    """Same result set with threshold prefix pruning as with an
+    effectively unpruned run (threshold≈0 → prefix = whole gram set)."""
+    from datum_spark.operators.dedup import ngram_containment_pairs
+    rows = [(i, f"shared tokens here plus unique{i} and unique{i+100}")
+            for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    t = 0.6
+    pruned = {(r["src_id"], r["dst_id"], round(r["containment"], 6))
+              for r in ngram_containment_pairs(df, "doc_id", "text",
+                                               n=1, threshold=t).collect()}
+    full = {(r["src_id"], r["dst_id"], round(r["containment"], 6))
+            for r in ngram_containment_pairs(df, "doc_id", "text",
+                                             n=1, threshold=1e-9).collect()
+            if r["containment"] >= t}
+    assert pruned == full and pruned
