@@ -2742,6 +2742,66 @@ def x99(spark, sf):
                  .orderBy("src_id", "dst_id"))
 
 
+
+@x("x100_golden_record", """
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws
+  FROM documents WHERE doc_id < 300
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))
+        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+), m AS (
+  SELECT c.cluster_id, d.doc_id, d.source, d.n_chars
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT cluster_id,
+       arg_max(doc_id, n_chars * 10000000 - doc_id) AS rep_id,
+       count(*) AS n_members,
+       list_sort(list_distinct(list(source))) AS sources,
+       CAST(sum(n_chars) AS BIGINT) AS total_n_chars
+FROM m GROUP BY cluster_id HAVING count(*) >= 2
+ORDER BY cluster_id""")
+def x100(spark, sf):
+    """Golden-record survivorship: near-dup clusters (the x51 components)
+    collapsed to one merged survivor each — representative = longest
+    text (tie: lowest id), provenance = sorted distinct sources, plus
+    total characters absorbed.  One groupBy on the cluster key after the
+    clustering; the oracle re-derives clusters by recursive-CTE closure
+    and the same keep policy via an encoded arg_max (n_chars·10^7 − id
+    ranks exactly like (n_chars DESC, doc_id ASC) at fixture scale)."""
+    from .operators.components import dup_clusters
+    from .operators.dedup import golden_records
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup_mod.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          n=1, threshold=0.8)
+    comp = dup_clusters(pairs.select("id_a", "id_b"))
+    members = (comp.select(F.col("node").alias("doc_id"),
+                           F.col("component").alias("__cluster"))
+                   .join(docs.select("doc_id", "source", "n_chars"),
+                         "doc_id"))
+    return (golden_records(members, "doc_id", "__cluster", "n_chars",
+                           collect_cols=("source",),
+                           sum_cols=("n_chars",))
+            .filter(F.col("n_members") >= 2)
+            .select("cluster_id", "rep_id", "n_members", "sources",
+                    "total_n_chars")
+            .orderBy("cluster_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

@@ -738,3 +738,35 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
                 .withColumn("containment", cont)
                 .filter(F.col("containment") >= threshold)
                 .select("src_id", "dst_id", "containment"))
+
+
+# ---------------------------------------------------------------------------
+# survivorship: merge each duplicate cluster into one golden record
+
+def golden_records(df: DataFrame, id_col: str, cluster_col: str,
+                   quality_col: str,
+                   collect_cols: tuple[str, ...] = (),
+                   sum_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Survivorship after dedup clustering: collapse each cluster to ONE
+    merged "golden" row — the keep-policy step between "we found the dup
+    clusters" (``dup_clusters``) and "write the deduped corpus".
+
+    Representative = the member with the highest ``quality_col`` (ties →
+    lowest ``id_col``), the usual keep-longest / keep-best rule of
+    training-corpus dedup.  ``collect_cols`` come back as sorted distinct
+    arrays (provenance: every source that contributed), ``sum_cols`` as
+    totals.  One hash aggregation on the cluster key, map-side partial
+    aggregates, no window and no join — the cheapest shape there is, so
+    it scales wherever the clustering that produced ``cluster_col``
+    does.  Returns one row per cluster (singletons included; filter
+    ``n_members >= 2`` for dup-only reporting).
+    """
+    aggs = [F.expr(f"max_by({id_col}, struct({quality_col}, -{id_col}))")
+              .alias("rep_id"),
+            F.count(F.lit(1)).alias("n_members")]
+    for c in collect_cols:
+        aggs.append(F.array_sort(F.collect_set(c)).alias(f"{c}s"))
+    for c in sum_cols:
+        aggs.append(F.sum(c).alias(f"total_{c}"))
+    return (df.groupBy(F.col(cluster_col).alias("cluster_id"))
+              .agg(*aggs))

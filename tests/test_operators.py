@@ -675,3 +675,23 @@ def test_ngram_containment_prefix_lossless(spark):
                                              n=1, threshold=1e-9).collect()
             if r["containment"] >= t}
     assert pruned == full and pruned
+
+
+def test_golden_records_survivorship(spark):
+    """Keep-policy: highest quality wins, ties break to LOWEST id;
+    provenance arrays are sorted distinct; sums cover all members."""
+    from datum_spark.operators.dedup import golden_records
+    rows = [  # (id, cluster, quality, source)
+        (10, 1, 50, "b"), (11, 1, 90, "a"), (12, 1, 90, "a"),
+        (20, 2, 5, "c"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, cl long, q long, source string")
+    out = {r["cluster_id"]: r for r in
+           golden_records(df, "doc_id", "cl", "q",
+                          collect_cols=("source",),
+                          sum_cols=("q",)).collect()}
+    assert out[1]["rep_id"] == 11          # q=90 tie → lowest id
+    assert out[1]["n_members"] == 3
+    assert out[1]["sources"] == ["a", "b"]
+    assert out[1]["total_q"] == 230
+    assert out[2]["rep_id"] == 20 and out[2]["n_members"] == 1
