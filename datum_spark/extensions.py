@@ -2802,6 +2802,39 @@ def x100(spark, sf):
             .orderBy("cluster_id"))
 
 
+
+@x("x101_weighted_sample", """
+WITH kk AS (
+  SELECT source, doc_id, n_chars,
+         ln((CAST(('0x' || substring(md5('wsample-' || CAST(doc_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) + 0.5) / 4294967296.0)
+           / n_chars AS k
+  FROM documents WHERE n_chars > 0
+), r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source ORDER BY k DESC, doc_id) AS rn
+  FROM kk
+)
+SELECT source, doc_id, n_chars FROM r WHERE rn <= 5
+ORDER BY source, doc_id""")
+def x101(spark, sf):
+    """Stratified weighted sampling without replacement (5 docs per
+    source, probability ∝ n_chars) via the Efraimidis–Spirtes key
+    ln(u)/w with u derived from the portable md5 bucket — the draw is a
+    pure function of (doc_id, salt): reproducible across engines,
+    partitionings and cluster sizes, which is why the DuckDB oracle can
+    re-derive the exact member set (a rand()-based sample never could)."""
+    from .operators.sampling import weighted_sample
+
+    docs = (load(spark, sf, "documents")
+            .filter(F.col("n_chars") > 0)
+            .select("source", "doc_id", "n_chars"))
+    return (weighted_sample(docs, 5, "n_chars", "doc_id",
+                            group_col="source")
+            .select("source", "doc_id", "n_chars")
+            .orderBy("source", "doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

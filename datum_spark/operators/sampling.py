@@ -194,3 +194,36 @@ def upsample_sources(df: DataFrame, weights: dict,
               .withColumn(copy_col,
                           F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
               .drop("__n"))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str, id_col: str,
+                    group_col: str | None = None,
+                    salt: str = "wsample",
+                    key_col: str = "sample_key") -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement — the A-ES /
+    exponential-jumps scheme (Efraimidis & Spirtes): each row gets the
+    key ``ln(u) / w`` with ``u`` a uniform in (0,1) derived from the
+    portable md5 bucket of its id, and the ``k`` LARGEST keys win; a
+    row's win probability is proportional to its weight, and the whole
+    draw is a pure function of (id, salt) — reproducible on any engine,
+    any partitioning, any cluster size (the same auditable-membership
+    contract as :func:`md5_split` / :func:`mix_sources_md5`, which a
+    ``rand()``-based sampler cannot give).
+
+    With ``group_col``, k rows per group (stratified weighted draw).
+    Rows with weight ≤ 0 or NULL never win.  Global draw plans as
+    ``TakeOrderedAndProject`` (per-partition heap, no full sort); the
+    grouped draw is one ranking window on the group key.
+    """
+    u = (md5_bucket(F.col(id_col), salt=salt).cast("double") + 0.5) \
+        / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w)
+    out = df.withColumn(key_col, key).filter(F.col(key_col).isNotNull())
+    if group_col is None:
+        return (out.orderBy(F.col(key_col).desc(), F.col(id_col))
+                   .limit(k))
+    from .topk import top_k_per_group
+    return top_k_per_group(out, group_col,
+                           [F.col(key_col).desc(), F.col(id_col)],
+                           k, keep_rank=False)

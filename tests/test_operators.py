@@ -695,3 +695,21 @@ def test_golden_records_survivorship(spark):
     assert out[1]["sources"] == ["a", "b"]
     assert out[1]["total_q"] == 230
     assert out[2]["rep_id"] == 20 and out[2]["n_members"] == 1
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    """Same draw under repartitioning (pure function of id); a heavily
+    weighted row wins essentially always; zero/NULL weights never win."""
+    from datum_spark.operators.sampling import weighted_sample
+    rows = [(i, "g", 1.0 if i else 1e9) for i in range(50)]
+    rows += [(100, "g", 0.0), (101, "g", None)]
+    df = spark.createDataFrame(rows, "id long, g string, w double")
+    pick = lambda d: sorted(r["id"] for r in
+                            weighted_sample(d, 10, "w", "id").collect())
+    a = pick(df)
+    b = pick(df.repartition(13))
+    assert a == b and len(a) == 10
+    assert 0 in a                      # w=1e9 → key ≈ 0 → always first
+    assert 100 not in a and 101 not in a
+    per_g = weighted_sample(df, 3, "w", "id", group_col="g").collect()
+    assert len(per_g) == 3
