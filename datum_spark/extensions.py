@@ -2835,6 +2835,53 @@ def x101(spark, sf):
             .orderBy("source", "doc_id"))
 
 
+
+@x("x102_source_drift", """
+WITH b AS (
+  SELECT CAST(CASE WHEN n_chars < 0 THEN 0
+              WHEN n_chars >= 600 THEN 11
+              ELSE n_chars // 60 + 1 END AS BIGINT) AS bucket,
+         source
+  FROM documents WHERE source IN ('src0', 'src1')
+), c AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cb
+  FROM b GROUP BY bucket
+), t AS (
+  SELECT bucket, ca, cb,
+         (ca + 0.5) / (sum(ca) OVER () + 6.0) AS pa,
+         (cb + 0.5) / (sum(cb) OVER () + 6.0) AS pb
+  FROM c
+)
+SELECT bucket, ca AS n_a, cb AS n_b,
+       ROUND(pa, 6) AS pa, ROUND(pb, 6) AS pb,
+       ROUND((pa - pb) * ln(pa / pb), 6) AS psi
+FROM t ORDER BY bucket""")
+def x102(spark, sf):
+    """Population Stability Index of the length distribution between two
+    corpus sources — the snapshot-drift monitor (PSI > 0.25 = shifted).
+    Fixed x93-style width_bucket bins (identical across engines/scales,
+    unlike quantile bins), +0.5 Laplace smoothing so empty bins stay
+    finite; per-bucket contributions sum to the index.  Nothing
+    data-proportional leaves the mappers: the groupBy ships ≤ 12 rows
+    per task and the totals ride a window over that bounded table."""
+    from .operators.profile import distribution_psi
+
+    docs = load(spark, sf, "documents")
+    out = distribution_psi(docs, "n_chars", "source", "src0", "src1",
+                           lo=0.0, hi=600.0, buckets=10)
+    return (out.select("bucket",
+                       F.col("__ca").alias("n_a"),
+                       F.col("__cb").alias("n_b"),
+                       F.round("pa", 6).alias("pa"),
+                       F.round("pb", 6).alias("pb"),
+                       F.round("psi", 6).alias("psi"))
+               .orderBy("bucket"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

@@ -17,7 +17,7 @@ always acceptable for profiling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -64,3 +64,57 @@ def profile_columns(df: DataFrame, cols: list[str] | None = None,
         "(column, n_nulls, n_distinct, min_str, max_str, avg_num)"
     ).select("column", "n_rows", "n_nulls", "n_distinct",
              "min_str", "max_str", "avg_num")
+
+
+def distribution_psi(df: DataFrame, value_col: str, group_col: str,
+                     group_a: str, group_b: str,
+                     lo: float = 0.0, hi: float = 1000.0,
+                     buckets: int = 10) -> DataFrame:
+    """Population Stability Index between two slices of one column — the
+    standard drift monitor between corpus snapshots / sources / train-vs-
+    serve populations (PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25
+    shifted).
+
+    Fixed-width ``width_bucket`` bins over ``[lo, hi)`` with clamped end
+    buckets (0 and ``buckets``+1), exactly the x93 histogram contract —
+    fixed bounds keep the binning identical across engines, runs and
+    data scales, which a quantile-derived binning cannot.  Laplace
+    smoothing (+0.5 per bin) keeps ``ln`` finite for empty bins without
+    disturbing well-populated ones.
+
+    Returns one row per bucket: both shares (``pa``, ``pb``) and the
+    bucket's PSI contribution; ``SUM(psi)`` over the result is the
+    index.  Plan: one map-side bucket expression, one partial-aggregated
+    groupBy of ≤ ``buckets``+2 × 2 rows per task, a tiny pivot — nothing
+    data-proportional leaves the mappers, so it runs unchanged at 100 TB.
+    """
+    width = (hi - lo) / buckets
+    v = F.col(value_col)
+    bucket = (F.when(v < lo, 0)
+               .when(v >= hi, buckets + 1)
+               .otherwise(F.width_bucket(v, F.lit(lo), F.lit(hi),
+                                         F.lit(buckets))))
+    g = F.col(group_col)
+    counts = (df.filter(g.isin([group_a, group_b]))
+                .select(bucket.alias("bucket"), g.alias("__g"))
+                .groupBy("bucket")
+                .agg(F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
+                      .alias("__ca"),
+                     F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
+                      .alias("__cb")))
+    # totals via an unpartitioned frame over the ALREADY-AGGREGATED bucket
+    # table (≤ buckets+2 rows) — bounded input, so the single-task window
+    # is safe at any data scale
+    ta = F.sum("__ca").over(Window.partitionBy())
+    tb = F.sum("__cb").over(Window.partitionBy())
+    nb = F.lit(float(buckets + 2))
+    pa = (F.col("__ca") + 0.5) / (ta + 0.5 * nb)
+    pb = (F.col("__cb") + 0.5) / (tb + 0.5 * nb)
+    return (counts
+            .withColumn("pa", pa).withColumn("pb", pb)
+            .withColumn("psi", (F.col("pa") - F.col("pb"))
+                               * F.log(F.col("pa") / F.col("pb")))
+            .select("bucket",
+                    (F.lit(lo) + (F.col("bucket") - 1) * width).alias("lo"),
+                    (F.lit(lo) + F.col("bucket") * width).alias("hi"),
+                    "__ca", "__cb", "pa", "pb", "psi"))

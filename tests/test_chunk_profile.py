@@ -356,3 +356,22 @@ def test_novelty_scores(spark):
     assert (out[1]["n_novel"], out[1]["novelty"]) == (2, 1.0)
     assert (out[2]["n_novel"], out[2]["novelty"]) == (1, 0.5)
     assert (out[3]["n_novel"], out[3]["novelty"]) == (0, 0.0)
+
+
+def test_distribution_psi_identical_and_shifted(spark):
+    """Identical slices → PSI ≈ 0 (smoothing only); a hard shift →
+    PSI well above the 0.25 'shifted' bar; contributions are per-bucket."""
+    from datum_spark.operators.profile import distribution_psi
+    same = [(float(v), g) for v in range(0, 100) for g in ("a", "b")]
+    df = spark.createDataFrame(same, "v double, g string")
+    psi = sum(r["psi"] for r in
+              distribution_psi(df, "v", "g", "a", "b",
+                               lo=0.0, hi=100.0, buckets=10).collect())
+    assert abs(psi) < 1e-9
+    shifted = [(float(v), "a") for v in range(0, 50)] + \
+              [(float(v), "b") for v in range(50, 100)]
+    df2 = spark.createDataFrame(shifted, "v double, g string")
+    out = distribution_psi(df2, "v", "g", "a", "b",
+                           lo=0.0, hi=100.0, buckets=10).collect()
+    assert sum(r["psi"] for r in out) > 0.25
+    assert all(r["psi"] >= 0 or abs(r["psi"]) < 1e-12 for r in out)
