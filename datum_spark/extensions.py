@@ -2882,6 +2882,44 @@ def x102(spark, sf):
                .orderBy("bucket"))
 
 
+
+@x("x103_centroid_outliers", """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), n AS (
+  SELECT vec_id, label,
+         list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+  FROM v WHERE list_dot_product(e, e) > 0
+), p AS (
+  SELECT label, i, ROUND(avg(u[i]), 6) AS c
+  FROM n, generate_series(1, 64) AS t(i)
+  GROUP BY label, i
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM p GROUP BY label
+)
+SELECT n.vec_id, n.label,
+       ROUND(list_dot_product(n.u, cent.cv)
+             / sqrt(list_dot_product(cent.cv, cent.cv)), 4) AS cos_centroid
+FROM n JOIN cent ON n.label = cent.label
+ORDER BY cos_centroid, vec_id LIMIT 100""")
+def x103(spark, sf):
+    """Per-label embedding coherence: cosine of each vector to its
+    label's (quantized) centroid, worst 100 first — the mislabeled /
+    off-topic outlier signal.  Shuffles carry only labels × dim partial
+    sums; the 1e-6 centroid quantization pins the one place float
+    summation order could differ between engines, making the score a
+    pure function of the data (see centroid_cosines).  The oracle
+    hardcodes the fixture dim (64) because DuckDB cannot lateral-join
+    generate_series on a list column."""
+    from .operators.similarity import centroid_cosines
+
+    emb = load(spark, sf, "embeddings")
+    out = centroid_cosines(emb, "vec_id", "embedding", "label")
+    return (out.select("vec_id", "label",
+                       F.round("cos_centroid", 4).alias("cos_centroid"))
+               .orderBy("cos_centroid", "vec_id").limit(100))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

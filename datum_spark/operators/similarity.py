@@ -368,3 +368,46 @@ def lsh_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k))
+
+
+def centroid_cosines(df: DataFrame, id_col: str, vec_col: str,
+                     group_col: str,
+                     round_centroid: int | None = 6) -> DataFrame:
+    """Cosine of every vector to its GROUP centroid — the per-cluster
+    coherence / outlier signal (a mislabeled or off-topic embedding sits
+    far from its label's mean direction).  Complements the pairwise
+    near-dup family: one score per row, no pair generation at all.
+
+    Plan: vectors are unit-normalized map-side, then the centroid is an
+    elementwise mean via ``posexplode`` → ``groupBy(group, position)``
+    (partial-aggregated; the shuffle carries ``groups × dim`` partial
+    sums per task, never vectors), reassembled into ``groups`` rows and
+    broadcast back for a single deterministic per-row dot product.
+    ``round_centroid`` quantizes the centroid components (default 1e-6)
+    so the cross-row float-summation order — which neither Spark nor any
+    other engine pins — cannot leak into downstream comparisons: the
+    score becomes a pure function of the data, reproducible anywhere.
+    Rows with zero/NULL vectors are dropped (no direction → no cosine).
+    """
+    nv = (df.filter(_nonzero_vec(F.col(vec_col)))
+            .select(F.col(id_col).alias("__id"),
+                    F.col(group_col).alias("__g"),
+                    _normalize_col(F.col(vec_col).cast("array<double>"))
+                    .alias("__u")))
+    pos = nv.select("__g", F.posexplode("__u").alias("__p", "__x"))
+    comp = pos.groupBy("__g", "__p").agg(F.avg("__x").alias("__c"))
+    if round_centroid is not None:
+        comp = comp.withColumn("__c", F.round("__c", round_centroid))
+    cent = (comp.groupBy("__g")
+                .agg(F.array_sort(F.collect_list(F.struct("__p", "__c")))
+                      .alias("__pc"))
+                .select("__g", F.transform("__pc", lambda s: s["__c"])
+                               .alias("__cv")))
+    dot = F.aggregate(F.zip_with("__u", "__cv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    cn = F.sqrt(F.aggregate(F.transform("__cv", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (nv.join(F.broadcast(cent), "__g")
+              .select(F.col("__id").alias(id_col),
+                      F.col("__g").alias(group_col),
+                      (dot / cn).alias("cos_centroid")))

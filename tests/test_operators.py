@@ -713,3 +713,20 @@ def test_weighted_sample_deterministic_and_weighted(spark):
     assert 100 not in a and 101 not in a
     per_g = weighted_sample(df, 3, "w", "id", group_col="g").collect()
     assert len(per_g) == 3
+
+
+def test_centroid_cosines_outlier(spark):
+    """Vectors aligned with their group's mean score ~1; an
+    opposite-direction member scores ~-1; zero vectors are dropped."""
+    from datum_spark.operators.similarity import centroid_cosines
+    rows = [(1, "g", [1.0, 0.0]), (2, "g", [1.0, 0.1]),
+            (3, "g", [-1.0, 0.0]),           # the outlier
+            (4, "g", [0.0, 0.0]),            # no direction → dropped
+            (5, "h", [0.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id long, g string, v array<double>")
+    out = {r["vec_id"]: r["cos_centroid"]
+           for r in centroid_cosines(df, "vec_id", "v", "g").collect()}
+    assert 4 not in out
+    assert out[5] == pytest.approx(1.0, abs=1e-6)
+    assert out[1] > 0.5 and out[2] > 0.5
+    assert out[3] < min(out[1], out[2])      # outlier ranks worst
