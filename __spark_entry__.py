@@ -64,7 +64,7 @@ _RECHECK_R5 = {
     "x94_variant_json", "x95_recursive_calendar", "x96_session_stats",
     "x97_char_entropy", "x98_novelty", "x99_containment",
     "x100_golden_record", "x101_weighted_sample", "x102_source_drift",
-    "x103_centroid_outliers",
+    "x103_centroid_outliers", "x104_cms_heavy_hitters",
 }
 
 

@@ -2920,6 +2920,60 @@ def x103(spark, sf):
                .orderBy("cos_centroid", "vec_id").limit(100))
 
 
+
+@x("x104_cms_heavy_hitters", """
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), exact AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_n FROM w GROUP BY word
+  ORDER BY exact_n DESC, word LIMIT 15
+), cells AS (
+  SELECT j, CAST(('0x' || substring(md5('cms-' || j || '-' || word), 1, 8))
+                 AS BIGINT) % 1024 AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM w, generate_series(0, 3) AS t(j)
+  GROUP BY 1, 2
+), probe AS (
+  SELECT e.word, e.exact_n, j,
+         CAST(('0x' || substring(md5('cms-' || j || '-' || e.word), 1, 8))
+              AS BIGINT) % 1024 AS bucket
+  FROM exact e, generate_series(0, 3) AS t(j)
+), est AS (
+  SELECT p.word, p.exact_n,
+         MIN(COALESCE(c.n, 0)) AS est_n
+  FROM probe p LEFT JOIN cells c ON p.j = c.j AND p.bucket = c.bucket
+  GROUP BY p.word, p.exact_n
+)
+SELECT word, exact_n, est_n,
+       ROUND(CAST(est_n AS DOUBLE) / exact_n, 4) AS ratio
+FROM est ORDER BY exact_n DESC, word""")
+def x104(spark, sf):
+    """Count-min sketch heavy hitters: a 4×1024 re-aggregable counter
+    table over ALL word occurrences, probed for the exact top-15 terms —
+    est ≥ exact always (one-sided CMS error), ratio shows the overcount.
+    Portable md5 bucket hashing makes the whole sketch reproducible in
+    the oracle cell-for-cell (x59/x62 discipline applied to a sketch);
+    building ships ≤ 4096 combiner cells per task no matter the corpus
+    size, and estimation broadcast-joins the tiny counter table."""
+    from .operators.sketches import cms_build, cms_estimate
+    from .util import retain_cache
+
+    docs = load_docs(spark, sf)
+    words = retain_cache(docs.select(
+        F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                           lambda t: t != "")).alias("word")))
+    counters = cms_build(words, "word", depth=4, width=1024)
+    top = (words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_n"))
+                .orderBy(F.col("exact_n").desc(), "word").limit(15))
+    est = cms_estimate(counters, top, "word", depth=4, width=1024)
+    return (est.select("word", "exact_n", "est_n",
+                       F.round(F.col("est_n").cast("double")
+                               / F.col("exact_n"), 4).alias("ratio"))
+               .orderBy(F.col("exact_n").desc(), "word"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

@@ -744,3 +744,27 @@ def test_top_k_per_group_prune_lossless(spark):
     b = sorted((r["g"], r["id"]) for r in
                top_k_per_group(df, "g", order, 7, local_prune=False).collect())
     assert a == b and len(a) == 21
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """CMS invariants: estimate ≥ exact for every term; unioning two
+    shard sketches then re-grouping equals the whole-corpus sketch."""
+    from datum_spark.operators.sketches import cms_build, cms_estimate
+    terms = [(i, t) for i, t in enumerate(
+             ["apple"] * 30 + ["pear"] * 10 + ["fig"] * 3 +
+             [f"rare{i}" for i in range(60)])]
+    df = spark.createDataFrame(terms, "i long, word string")
+    ctr = cms_build(df, "word", depth=4, width=64)
+    q = spark.createDataFrame([("apple", 30), ("pear", 10), ("fig", 3),
+                               ("absent", 0)], "word string, exact long")
+    est = {r["word"]: r["est_n"]
+           for r in cms_estimate(ctr, q, "word", depth=4, width=64).collect()}
+    for w, n in [("apple", 30), ("pear", 10), ("fig", 3), ("absent", 0)]:
+        assert est[w] >= n
+    a, b = df.filter("i < 40"), df.filter("i >= 40")
+    merged = (cms_build(a, "word", depth=4, width=64)
+              .unionByName(cms_build(b, "word", depth=4, width=64))
+              .groupBy("row", "bucket").agg(F.sum("n").alias("n")))
+    whole = {(r["row"], r["bucket"]): r["n"] for r in ctr.collect()}
+    assert {(r["row"], r["bucket"]): r["n"]
+            for r in merged.collect()} == whole
