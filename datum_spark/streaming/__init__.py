@@ -5,6 +5,7 @@ from .joins import clicks_purchases_join
 from .stateful import (running_totals, running_totals_batch,
                        streaming_debounce, streaming_funnel)
 from .windows import (
+    streaming_cms,
     tumbling_agg,
     sliding_agg,
     session_agg,
@@ -17,5 +18,5 @@ __all__ = [
     "tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
     "read_events_stream", "run_stream_to_memory",
     "running_totals", "running_totals_batch", "streaming_funnel",
-    "streaming_debounce", "clicks_purchases_join",
+    "streaming_debounce", "clicks_purchases_join", "streaming_cms",
 ]

@@ -98,3 +98,30 @@ def run_stream_to_memory(stream_df: DataFrame, name: str,
     q.processAllAvailable()
     q.stop()
     return q
+
+
+def streaming_cms(terms: DataFrame, term_col: str,
+                  depth: int = 4, width: int = 1024,
+                  salt: str = "cms",
+                  weight_col: str | None = None) -> DataFrame:
+    """Streaming count-min sketch: heavy-hitter counters maintained over
+    an unbounded term stream with STATE THAT CANNOT GROW — the aggregate's
+    key space is the sketch's ``depth × width`` cells (4096 at the
+    defaults), so unlike a streaming word count (state ∝ vocabulary, i.e.
+    unbounded) the state store holds at most that many rows forever.  No
+    watermark is needed for boundedness; the result is the same
+    re-aggregable counter table as the batch ``cms_build`` (stream==batch
+    parity is the test contract), queryable at any time via
+    ``cms_estimate``."""
+    from ..operators.sketches import _cms_bucket
+
+    t = F.col(term_col)
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    cells = F.array(*[
+        F.struct(F.lit(j).alias("row"),
+                 _cms_bucket(t, j, width, salt).alias("bucket"))
+        for j in range(depth)])
+    return (terms.select(F.explode(cells).alias("c"), w.alias("__w"))
+                 .groupBy(F.col("c.row").alias("row"),
+                          F.col("c.bucket").alias("bucket"))
+                 .agg(F.sum("__w").cast("long").alias("n")))

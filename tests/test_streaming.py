@@ -259,3 +259,21 @@ def test_streaming_debounce_parity(spark, events_batch, events_stream):
                  .select("user_id", "event_type", "ts"),
                  "user_id", "event_type", "ts")
     assert got == want
+
+
+def test_streaming_cms_parity(spark, events_batch, events_stream):
+    """Stream==batch: the streaming CMS counter table over event_type
+    equals cms_build on the same finite input — and its state is the
+    fixed cell space, not the key universe."""
+    from datum_spark.operators.sketches import cms_build
+    from datum_spark.streaming.windows import streaming_cms
+
+    run_stream_to_memory(
+        streaming_cms(events_stream, "event_type", depth=4, width=64),
+        "cms_stream", output_mode="complete")
+    got = {(r["row"], r["bucket"]): r["n"]
+           for r in spark.table("cms_stream").collect()}
+    want = {(r["row"], r["bucket"]): r["n"]
+            for r in cms_build(events_batch, "event_type",
+                               depth=4, width=64).collect()}
+    assert got == want and len(want) <= 4 * 64
