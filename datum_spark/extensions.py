@@ -2974,6 +2974,48 @@ def x104(spark, sf):
                .orderBy(F.col("exact_n").desc(), "word"))
 
 
+
+@x("x105_radius_join", """
+WITH c AS (
+  SELECT c_custkey, abs(c_acctbal) % 100 AS x,
+         CAST(c_custkey % 100 AS DOUBLE) AS y
+  FROM customer
+), s AS (
+  SELECT s_suppkey, abs(s_acctbal) % 100 AS x,
+         CAST(s_suppkey % 100 AS DOUBLE) AS y
+  FROM supplier
+)
+SELECT c.c_custkey, s.s_suppkey,
+       ROUND(sqrt((c.x - s.x)*(c.x - s.x) + (c.y - s.y)*(c.y - s.y)), 4)
+         AS dist
+FROM c, s
+WHERE (c.x - s.x)*(c.x - s.x) + (c.y - s.y)*(c.y - s.y) <= 2.25
+ORDER BY c_custkey, s_suppkey""")
+def x105(spark, sf):
+    """ST_DWithin as a JOIN STRATEGY: all (customer, supplier) point
+    pairs within planar distance 1.5, via the uniform-grid cell join of
+    operators/spatial.py — one equi-join on snapped cell keys with a 3×3
+    neighborhood expansion on one side, never a cross join (the oracle's
+    all-pairs form IS the naive translation this operator exists to
+    avoid).  Points are derived deterministically from acctbal/key so
+    both engines see identical coordinates; distances compare as plain
+    multiplications (same IEEE ops everywhere)."""
+    from .operators.spatial import radius_join
+
+    cust = (load(spark, sf, "customer")
+            .select("c_custkey",
+                    (F.abs(F.col("c_acctbal")) % 100).alias("cx"),
+                    (F.col("c_custkey") % 100).cast("double").alias("cy")))
+    supp = (load(spark, sf, "supplier")
+            .select("s_suppkey",
+                    (F.abs(F.col("s_acctbal")) % 100).alias("sx"),
+                    (F.col("s_suppkey") % 100).cast("double").alias("sy")))
+    out = radius_join(cust, supp, "cx", "cy", "sx", "sy", 1.5)
+    return (out.select("c_custkey", "s_suppkey",
+                       F.round("dist", 4).alias("dist"))
+               .orderBy("c_custkey", "s_suppkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

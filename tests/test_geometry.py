@@ -399,3 +399,36 @@ def test_curve_write_linearizes_and_gates(tmp_db):
     with _pytest.raises(Exception, match="(?i)curve.*not.*supported"):
         tmp_db["curves2"].write(
             [{"shape": "COMPOUNDCURVE (CIRCULARSTRING (0 0, 1 1, 2 0))"}])
+
+
+def test_radius_join_equals_bruteforce(spark):
+    """Grid cell join == brute-force cross join + distance filter on a
+    random-ish lattice (closed boundary; pairs meeting in a neighbor
+    cell are found exactly once)."""
+    from datum_spark.operators.spatial import radius_join
+    L = [(i, float(i * 7 % 23), float(i * 13 % 19)) for i in range(60)]
+    R = [(j, float(j * 5 % 23) + 0.25, float(j * 11 % 19) - 0.5)
+         for j in range(40)]
+    ldf = spark.createDataFrame(L, "lid long, lx double, ly double")
+    rdf = spark.createDataFrame(R, "rid long, rx double, ry double")
+    got = sorted((r["lid"], r["rid"], round(r["dist"], 9)) for r in
+                 radius_join(ldf, rdf, "lx", "ly", "rx", "ry", 2.0).collect())
+    brute = sorted(
+        (a[0], b[0], round(((a[1]-b[1])**2 + (a[2]-b[2])**2) ** 0.5, 9))
+        for a in L for b in R
+        if (a[1]-b[1])**2 + (a[2]-b[2])**2 <= 4.0)
+    assert got == brute and got
+
+
+def test_nearest_neighbor_join_picks_closest(spark):
+    from datum_spark.operators.spatial import nearest_neighbor_join
+    ldf = spark.createDataFrame([(1, 0.0, 0.0), (2, 50.0, 50.0)],
+                                "lid long, lx double, ly double")
+    rdf = spark.createDataFrame([(10, 0.5, 0.0), (11, 0.0, 0.2),
+                                 (12, 9.0, 9.0)],
+                                "rid long, rx double, ry double")
+    out = {r["lid"]: (r["rid"], round(r["dist"], 3)) for r in
+           nearest_neighbor_join(ldf, rdf, "lx", "ly", "rx", "ry",
+                                 "lid", 5.0).collect()}
+    assert out[1] == (11, 0.2)     # nearest of the two in range
+    assert 2 not in out            # nothing within max_radius
