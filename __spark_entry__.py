@@ -53,7 +53,7 @@ _DRIVER_CHECKED = {
 # round, so it must land inside the driver's 50-entry verification cap:
 # x16/x19 oracle fixes (DuckDB TIMESTAMPTZ → CAST AS TIMESTAMP);
 # rows-only → oracle promotions x84/x12/x13/x86/x05/x83; the brand-new
-# x87–x92 operators.
+# x87–x105 operators.
 _RECHECK_R5 = {
     "x16_tumbling_window", "x19_sliding_window",
     "x84_fuzzy_dedup", "x12_fingerprint", "x13_quality_score",
