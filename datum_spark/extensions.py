@@ -3016,6 +3016,40 @@ def x105(spark, sf):
                .orderBy("c_custkey", "s_suppkey"))
 
 
+
+@x("x106_unpivot", """
+WITH long AS (
+  SELECT l_returnflag, 'discount' AS measure, l_discount AS v FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'price', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'quantity', l_quantity FROM lineitem
+)
+SELECT l_returnflag, measure,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(v), 4) AS avg_v,
+       ROUND(SUM(v), 2) AS sum_v
+FROM long GROUP BY l_returnflag, measure
+ORDER BY l_returnflag, measure""")
+def x106(spark, sf):
+    """Wide→long UNPIVOT (melt) via Spark's native ``unpivot`` operator —
+    ONE scan produces all three measure rows per input row (the oracle's
+    UNION ALL form reads the table three times; at 100 TB that's the
+    difference), then a plain partial-aggregated rollup per measure."""
+    li = (load(spark, sf, "lineitem")
+          .select("l_returnflag",
+                  F.col("l_quantity").alias("quantity"),
+                  F.col("l_extendedprice").alias("price"),
+                  F.col("l_discount").alias("discount")))
+    long = li.unpivot(["l_returnflag"], ["discount", "price", "quantity"],
+                      "measure", "v")
+    return (long.groupBy("l_returnflag", "measure")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.avg("v"), 4).alias("avg_v"),
+                     F.round(F.sum("v"), 2).alias("sum_v"))
+                .orderBy("l_returnflag", "measure"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
