@@ -2913,7 +2913,7 @@ def x103(spark, sf):
     generate_series on a list column."""
     from .operators.similarity import centroid_cosines
 
-    emb = load(spark, sf, "embeddings")
+    emb = load_emb(spark, sf)
     out = centroid_cosines(emb, "vec_id", "embedding", "label")
     return (out.select("vec_id", "label",
                        F.round("cos_centroid", 4).alias("cos_centroid"))

@@ -141,6 +141,36 @@ def main() -> int:
         lambda: duplicated_span_stats(docs, "doc_id", "text", n=8)
         .filter("dup_ratio > 0.5").count())
 
+    # round-5 additions: containment (asymmetric prefix probe), centroid
+    # coherence (no pair generation), CMS build (bounded combiner table),
+    # stratified weighted draw (pruned per-group top-k)
+    from datum_spark.operators.dedup import ngram_containment_pairs
+    run("ngram_containment_pairs",
+        lambda: ngram_containment_pairs(docs, "doc_id", "text", n=3,
+                                        threshold=0.8,
+                                        max_ngram_freq=1000).count())
+
+    from datum_spark.operators.similarity import centroid_cosines
+    emb_lbl = (emb.join(emb0.select("vec_id", "label")
+                            .withColumnRenamed("vec_id", "__orig"),
+                        (F.col("vec_id") / 16).cast("long")
+                        == F.col("__orig")).drop("__orig"))
+    run("centroid_cosines",
+        lambda: centroid_cosines(emb_lbl, "vec_id", "embedding",
+                                 "label").count())
+
+    from datum_spark.operators.sketches import cms_build
+    run("cms_build_words",
+        lambda: cms_build(
+            docs.select(F.explode(F.split(F.lower("text"), r"\s+"))
+                         .alias("word")),
+            "word", depth=4, width=1024).count())
+
+    from datum_spark.operators.sampling import weighted_sample
+    run("weighted_sample_per_source",
+        lambda: weighted_sample(docs, 100, "n_chars", "doc_id",
+                                group_col="source").count())
+
     print(json.dumps({
         "corpus": {"documents": n_docs, "embeddings": n_vecs,
                    "upsample": 10},
