@@ -3050,6 +3050,31 @@ def x106(spark, sf):
                 .orderBy("l_returnflag", "measure"))
 
 
+
+@x("x107_regression_aggs", """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       CAST(count_if(l_extendedprice > 50000) AS BIGINT) AS n_big
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+def x107(spark, sf):
+    """Per-group least-squares aggregates (regr_slope / regr_intercept /
+    regr_r2) + count_if — single-pass JVM aggregates (no window, no
+    second scan; the moments fold map-side like any partial agg)."""
+    li = load(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+              .agg(F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4)
+                    .alias("slope"),
+                   F.round(F.regr_intercept("l_extendedprice",
+                                            "l_quantity"), 4).alias("icept"),
+                   F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6)
+                    .alias("r2"),
+                   F.count_if(F.col("l_extendedprice") > 50000)
+                    .alias("n_big"))
+              .orderBy("l_returnflag"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
