@@ -858,11 +858,25 @@ def x17(spark, sf):
             .orderBy("doc_id"))
 
 
-@x("x18_image_features", None)  # fake decoder (real lib absent) → rows-only
+@x("x18_image_features", """
+WITH h AS (
+  SELECT doc_id,
+         CAST(('0x' || hex(encode(substring(text, 1, 8)))) AS BIGINT) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(16 + hv % 1024 AS INT) AS width,
+       CAST(16 + (hv // 1024) % 1024 AS INT) AS height
+FROM h ORDER BY doc_id""")
 def x18(spark, sf):
     """Image decode plumbing with the deterministic fake decoder: binary →
     mapInPandas → width/height columns (Arrow batch shape is the real
-    contract being exercised)."""
+    contract being exercised).  PROMOTED to oracle-checked: the fake
+    decoder is a pure function of the first 8 payload bytes
+    (big-endian int → width/height buckets), and the fixture text is
+    ASCII, so DuckDB re-derives the identical values via
+    hex(encode(substring(text,1,8))) — the plumbing's output is verified
+    value-for-value, not just row-counted."""
     from .operators.multimodal import extract_image_features
 
     docs = (load(spark, sf, "documents")
