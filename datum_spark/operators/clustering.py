@@ -250,3 +250,70 @@ def cluster_coreset(df: DataFrame, per_cluster: int, id_col: str = "vec_id",
                .orderBy(F.col("dist").asc(), F.col(id_col).asc()))
     return (assigned.withColumn("rnk", F.row_number().over(w))
                     .filter(F.col("rnk") <= per_cluster))
+
+
+def kmeans_verifiable(df: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      k: int = 4, iters: int = 3,
+                      quantize: int = 6) -> DataFrame:
+    """Lloyd's k-means spelled so the ENTIRE trajectory is a pure
+    function of the data — every step reproducible bit-for-bit in any
+    engine, which makes even an iterative clustering hash-verifiable
+    (the x83 PageRank discipline applied to k-means):
+
+    - init = the first ``k`` vectors by ``id_col`` (no sampling, no RNG);
+    - squared distances are ROUNDED to ``quantize`` decimals before the
+      argmin, ties broken by lowest center index — float noise between a
+      GEMM, an elementwise fold, or another engine's evaluation order
+      (≪ the rounding step) can never flip an assignment;
+    - each Lloyd update rounds the new centers to ``quantize`` decimals,
+      so summation-order noise cannot COMPOUND across iterations.
+
+    Plan: assignment is a map-side expression over ``k`` broadcast
+    center literals (no shuffle, no UDF); the update is the
+    posexplode → groupBy(center, dim) partial-sum used by
+    ``centroid_cosines`` (k × dim rows shuffle per task); the driver
+    holds only k × dim center floats per iteration.  For raw
+    throughput the Arrow/NumPy path (:func:`kmeans_fit`) is the fast
+    twin; this one is the auditable twin.
+
+    Returns ``(id_col, cluster)``.  An empty cluster keeps its previous
+    center (no members → no update rows for it).
+    """
+    from pyspark.sql import functions as F
+
+    from ..util import retain_cache
+
+    v = retain_cache(
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).cast("array<double>").alias("__e"))
+          .filter(F.col("__e").isNotNull()))
+    init = v.orderBy("__id").limit(k).collect()
+    centers = [list(r["__e"]) for r in init]
+
+    def _assign(cs):
+        dists = []
+        for c in cs:
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with("__e", lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            dists.append(F.round(d2, quantize))
+        cluster, best = F.lit(0), dists[0]
+        for j in range(1, len(cs)):
+            cluster = F.when(dists[j] < best, F.lit(j)).otherwise(cluster)
+            best = F.least(best, dists[j])
+        return cluster.cast("int")
+
+    for _ in range(iters):
+        upd = (v.withColumn("__c", _assign(centers))
+                .select("__c", F.posexplode("__e").alias("__p", "__x"))
+                .groupBy("__c", "__p").agg(F.avg("__x").alias("__m"))
+                .collect())
+        nxt = [list(c) for c in centers]
+        for r in upd:
+            nxt[r["__c"]][r["__p"]] = round(r["__m"], quantize)
+        centers = nxt
+
+    return v.select(F.col("__id").alias(id_col),
+                    _assign(centers).alias("cluster"))

@@ -93,3 +93,23 @@ def test_coreset_picks_nearest_per_cluster(spark):
         got = {r["vec_id"] for r in core if r["cluster"] == c}
         assert got == want
     assert all(r["rnk"] <= 5 for r in core)
+
+
+def test_kmeans_verifiable_separated_and_deterministic(spark):
+    """Well-separated blobs cluster together; assignment is identical
+    under repartitioning (pure function of the data, no RNG)."""
+    from datum_spark.operators.clustering import kmeans_verifiable
+    rows = []   # ids interleave the blobs so first-k init seeds each one
+    for g, base in enumerate([0.0, 100.0, 200.0, 300.0]):
+        for i in range(12):
+            rows.append((i * 4 + g, [base + (i % 3) * 0.1, base - 0.05]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cluster"] for r in
+           kmeans_verifiable(df, k=4, iters=3).collect()}
+    for g in range(4):
+        labels = {out[i * 4 + g] for i in range(12)}
+        assert len(labels) == 1            # each blob is one cluster
+    assert len({out[g] for g in range(4)}) == 4        # blobs separated
+    out2 = {r["vec_id"]: r["cluster"] for r in
+            kmeans_verifiable(df.repartition(7), k=4, iters=3).collect()}
+    assert out == out2
