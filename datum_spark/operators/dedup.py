@@ -729,10 +729,16 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
              .select(F.col("s.__id").alias("src_id"),
                      F.col("d.__id").alias("dst_id"))
              .dropDuplicates(["src_id", "dst_id"]))
+    # verification ships 8-byte gram HASHES, not gram strings: the two
+    # array joins dominate the operator's shuffle at scale (measured 10×
+    # stress: string arrays were most of a 5.7 GB exchange), and overlap
+    # counting only needs equality — xxhash64 collisions inside one doc's
+    # ≤10³-gram set are ~10⁻¹³, far below any float rounding in the score
+    hashes = F.array_sort(F.transform("__grams", lambda g: F.xxhash64(g)))
     gs = base.select(F.col("__id").alias("src_id"),
-                     F.col("__grams").alias("__gs"))
+                     hashes.alias("__gs"))
     gd = base.select(F.col("__id").alias("dst_id"),
-                     F.col("__grams").alias("__gd"))
+                     hashes.alias("__gd"))
     cont = F.size(F.array_intersect("__gs", "__gd")) / F.size("__gs")
     return (cand.join(gs, "src_id").join(gd, "dst_id")
                 .withColumn("containment", cont)
