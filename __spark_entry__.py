@@ -66,7 +66,7 @@ _RECHECK_R5 = {
     "x100_golden_record", "x101_weighted_sample", "x102_source_drift",
     "x103_centroid_outliers", "x104_cms_heavy_hitters",
     "x105_radius_join", "x106_unpivot", "x107_regression_aggs",
-    "x18_image_features", "x108_kmeans_verified",
+    "x18_image_features", "x108_kmeans_verified", "x109_incremental_dedup",
 }
 
 

@@ -3146,6 +3146,53 @@ def x108(spark, sf):
             .orderBy("vec_id"))
 
 
+
+@x("x109_incremental_dedup", """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+)
+SELECT a.doc_id AS delta_id, b.doc_id AS corpus_id,
+       list_sum(list_transform(range(1, 17),
+         i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+         AS est_jaccard
+FROM sig a JOIN sig b ON a.doc_id >= 400 AND b.doc_id < 400
+WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+    OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+    OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+    OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+  AND list_sum(list_transform(range(1, 17),
+        i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+ORDER BY delta_id, corpus_id""")
+def x109(spark, sf):
+    """Incremental dedup: docs ≥ 400 are "today's delta", docs < 400 the
+    standing corpus — near-dups are found delta-vs-corpus ONLY (the
+    broadcast banded delta probes the corpus scan map-side; corpus
+    buckets nobody probes never shuffle), which is how dedup actually
+    runs against a 100 TB lake.  Portable md5 MinHash family → the
+    oracle re-derives every signature, band collision and estimate."""
+    from .operators.dedup import incremental_near_dups_md5
+
+    docs = load_docs(spark, sf)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    corpus = docs.filter(F.col("doc_id") < 400)
+    return (incremental_near_dups_md5(delta, corpus, "doc_id", "text",
+                                      threshold=0.5)
+            .orderBy("delta_id", "corpus_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

@@ -776,3 +776,78 @@ def golden_records(df: DataFrame, id_col: str, cluster_col: str,
         aggs.append(F.sum(c).alias(f"total_{c}"))
     return (df.groupBy(F.col(cluster_col).alias("cluster_id"))
               .agg(*aggs))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a new delta against an existing corpus
+
+def incremental_near_dups_md5(delta: DataFrame, corpus: DataFrame,
+                              id_col: str, text_col: str,
+                              num_hashes: int = 16, bands: int = 4,
+                              shingle_k: int = 5, threshold: float = 0.5,
+                              max_bucket_size: int | None = 1000,
+                              broadcast_delta: bool = True) -> DataFrame:
+    """Near-dups of a NEW batch against an EXISTING corpus — the daily
+    ingest shape: at 100 TB you re-dedup the delta, never the corpus
+    against itself.  Only delta×corpus candidate pairs exist (corpus
+    band buckets that no delta doc hashes into are pruned by the join
+    and never leave their mappers), so the cost scales with
+    |delta| × local collision density, not |corpus|².
+
+    With ``broadcast_delta`` (the normal case: the delta is a day, the
+    corpus is the lake) the delta's banded buckets broadcast, making
+    candidate generation a map-side join over the corpus scan — no
+    corpus shuffle at all.  Portable md5 MinHash family
+    (:func:`minhash_signature_md5`), so results stay externally
+    auditable.  Returns ``(delta_id, corpus_id, est_jaccard)``.
+    """
+    rows_per_band = num_hashes // bands
+
+    def _sig(df):
+        return _retain_cache(df.select(
+            F.col(id_col).alias("__id"),
+            minhash_signature_md5(F.col(text_col), num_hashes,
+                                  shingle_k).alias("__sig")))
+
+    def _banded(sig):
+        return sig.select(
+            "__id",
+            F.posexplode(F.array(*[
+                F.xxhash64(*[F.col("__sig")[b * rows_per_band + r]
+                             for r in range(rows_per_band)])
+                for b in range(bands)
+            ])).alias("__band", "__bucket"))
+
+    sd, sc = _sig(delta), _sig(corpus)
+    bd, bc = _banded(sd), _banded(sc)
+    if max_bucket_size is not None:
+        # cap on the CORPUS side (the delta is small by assumption):
+        # a corpus bucket bigger than the cap is a boilerplate/replica
+        # flood — same recall contract as _banded_candidate_pairs
+        hot = (bc.groupBy("__band", "__bucket")
+                 .agg(F.count(F.lit(1)).alias("__n"))
+                 .filter(F.col("__n") > max_bucket_size)
+                 .select("__band", "__bucket"))
+        bc = bc.join(hot, ["__band", "__bucket"], "left_anti")
+    probe = (F.broadcast(bd.select(F.col("__id").alias("delta_id"),
+                                   "__band", "__bucket"))
+             if broadcast_delta else
+             bd.select(F.col("__id").alias("delta_id"), "__band",
+                       "__bucket"))
+    cand = (probe.join(bc.select(F.col("__id").alias("corpus_id"),
+                                 "__band", "__bucket"),
+                       ["__band", "__bucket"])
+                 .select("delta_id", "corpus_id")
+                 .dropDuplicates(["delta_id", "corpus_id"]))
+    sa = sd.select(F.col("__id").alias("delta_id"),
+                   F.col("__sig").alias("__sa"))
+    sb = sc.select(F.col("__id").alias("corpus_id"),
+                   F.col("__sig").alias("__sb"))
+    est = (F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
+                           lambda v: v)) / F.lit(float(num_hashes)))
+    return (cand.join(F.broadcast(sa) if broadcast_delta else sa,
+                      "delta_id")
+                .join(sb, "corpus_id")
+                .withColumn("est_jaccard", est)
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("delta_id", "corpus_id", "est_jaccard"))

@@ -768,3 +768,29 @@ def test_cms_never_undercounts_and_merges(spark):
     whole = {(r["row"], r["bucket"]): r["n"] for r in ctr.collect()}
     assert {(r["row"], r["bucket"]): r["n"]
             for r in merged.collect()} == whole
+
+
+def test_incremental_near_dups_matches_full_subset(spark):
+    """Delta-vs-corpus pairs == the cross-side subset of the full-corpus
+    banded pairs (same family/threshold), and no corpus×corpus or
+    delta×delta pair ever appears."""
+    from datum_spark.operators.dedup import (incremental_near_dups_md5,
+                                             minhash_near_dups_md5)
+    base = "the quick brown fox jumps over the lazy dog number"
+    rows = [(i, f"{base} {i % 3}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    delta = df.filter("doc_id >= 15")
+    corpus = df.filter("doc_id < 15")
+    inc = {(r["delta_id"], r["corpus_id"]): r["est_jaccard"] for r in
+           incremental_near_dups_md5(delta, corpus, "doc_id", "text",
+                                     threshold=0.5).collect()}
+    full = {}
+    for r in minhash_near_dups_md5(df, "doc_id", "text",
+                                   threshold=0.5).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a >= 15 and b < 15:
+            full[(a, b)] = r["est_jaccard"]
+        elif b >= 15 and a < 15:
+            full[(b, a)] = r["est_jaccard"]
+    assert inc == full and inc
+    assert all(d >= 15 and c < 15 for d, c in inc)
