@@ -20,7 +20,7 @@ def test_oracle_sql_has_no_line_comments():
 
 def test_query_names_are_well_formed():
     for name in entry.queries():
-        assert re.fullmatch(r"[qx]\d{2}_[a-z0-9_]+", name), name
+        assert re.fullmatch(r"[qx]\d{2,3}_[a-z0-9_]+", name), name
 
 
 def test_all_callables():
