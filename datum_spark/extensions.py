@@ -3193,6 +3193,105 @@ def x109(spark, sf):
             .orderBy("delta_id", "corpus_id"))
 
 
+@x("x110_rolling_distinct", """
+WITH r AS (
+  SELECT user_id,
+         COUNT(DISTINCT event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS w_nd
+  FROM events
+)
+SELECT user_id,
+       CAST(MAX(w_nd) AS BIGINT) AS max_window_types,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM r GROUP BY user_id ORDER BY user_id""")
+def x110(spark, sf):
+    """Rolling DISTINCT count over a bounded row window — Spark has no
+    COUNT(DISTINCT) OVER, so it's spelled ``size(collect_set() over w)``:
+    the frame is ROWS-bounded (≤10 elements of state per row, never the
+    whole partition) and the window is keyed by user_id, so the single
+    hash exchange is on the natural key and the per-task state is O(frame).
+    The same exchange is reused by the groupBy that follows (same key)."""
+    ev = load(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-9, 0))
+    return (ev.withColumn("w_nd", F.size(F.collect_set("event_type").over(w)))
+              .groupBy("user_id")
+              .agg(F.max("w_nd").cast("long").alias("max_window_types"),
+                   F.count(F.lit(1)).alias("n_events"))
+              .orderBy("user_id"))
+
+
+@x("x111_decayed_engagement", """
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT user_id,
+       ROUND(SUM(value * exp(-((epoch_us(m) - epoch_us(ts)) / 86400e6)
+                             / 7.0)), 4) AS decayed_score,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events, mx
+GROUP BY user_id ORDER BY user_id""")
+def x111(spark, sf):
+    """Time-decayed engagement score: weight = exp(-age/7 days) relative
+    to the corpus max timestamp.  The reference point is ONE scalar
+    (broadcast cross join of a 1-row aggregate — the PageRank dangling-
+    mass pattern), ages are exact integer microsecond diffs (unix_micros
+    ↔ DuckDB epoch_us), and the rest is a single map-side-combined
+    groupBy.  No window, no second scan of the fact table at scale."""
+    ev = load(spark, sf, "events")
+    mx = ev.agg(F.max("ts").alias("m"))
+    return (ev.crossJoin(F.broadcast(mx))
+              .groupBy("user_id")
+              .agg(F.round(F.sum(
+                      F.col("value") * F.exp(
+                          -((F.unix_micros("m") - F.unix_micros("ts"))
+                            / F.lit(86400e6)) / F.lit(7.0))), 4)
+                    .alias("decayed_score"),
+                   F.count(F.lit(1)).alias("n_events"))
+              .orderBy("user_id"))
+
+
+@x("x112_cdc_apply", """
+WITH ch AS (
+  SELECT user_id AS c_custkey, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ROUND(value * 100, 2) AS c_acctbal
+  FROM events
+), eff AS (
+  SELECT c_custkey, op, c_acctbal,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ch
+), e1 AS (SELECT * FROM eff WHERE rn = 1)
+SELECT COALESCE(e.c_custkey, c.c_custkey) AS c_custkey,
+       ROUND(CASE WHEN e.c_custkey IS NOT NULL THEN e.c_acctbal
+                  ELSE c.c_acctbal END, 2) AS c_acctbal
+FROM customer c FULL JOIN e1 e USING (c_custkey)
+WHERE e.op IS NULL OR e.op <> 'D'
+ORDER BY c_custkey""")
+def x112(spark, sf):
+    """CDC changelog apply (Delta-style MERGE / APPLY CHANGES on raw
+    parquet): events become a keyed changelog (error = delete, anything
+    else = upsert of the latest value), reduced last-wins per key by
+    (ts, event_id), then full-outer resolved onto the customer snapshot.
+    Both shuffles hash on c_custkey, so the exchange from the last-wins
+    window is reused by the join; the changelog side broadcasts under AQE
+    when small.  operators/cdc.py::apply_changes."""
+    from .operators.cdc import apply_changes
+
+    snap = (load(spark, sf, "customer")
+            .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")))
+    ch = (load(spark, sf, "events")
+          .select(F.col("user_id").alias("c_custkey"), "ts", "event_id",
+                  F.when(F.col("event_type") == "error", F.lit("D"))
+                   .otherwise(F.lit("U")).alias("op"),
+                  F.round(F.col("value") * 100, 2).alias("c_acctbal")))
+    nxt = apply_changes(snap, ch, keys=["c_custkey"],
+                        seq_cols=["ts", "event_id"], op_col="op")
+    return (nxt.select("c_custkey", F.round("c_acctbal", 2)
+                       .alias("c_acctbal"))
+               .orderBy("c_custkey"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
