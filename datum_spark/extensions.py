@@ -3292,6 +3292,44 @@ def x112(spark, sf):
                .orderBy("c_custkey"))
 
 
+@x("x113_interval_join", """
+WITH a AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         MIN(epoch_us(ts)) AS a_s, MAX(epoch_us(ts)) AS a_e
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), b AS (
+  SELECT event_id, epoch_us(ts) - 1800000000 AS b_s,
+         epoch_us(ts) + 1800000000 AS b_e
+  FROM events WHERE event_type = 'error'
+)
+SELECT a.user_id,
+       CAST(COUNT(DISTINCT a.d) AS BIGINT) AS n_days_hit,
+       CAST(COUNT(*) AS BIGINT) AS n_overlaps
+FROM a JOIN b ON a.a_s <= b.b_e AND b.b_s <= a.a_e
+GROUP BY a.user_id ORDER BY a.user_id""")
+def x113(spark, sf):
+    """Interval overlap join at scale: per-user daily activity spans ×
+    ±30 min incident windows around error events.  The oracle writes the
+    inequality join directly (DuckDB plans IEJoin); Spark would plan a
+    BroadcastNestedLoopJoin for that, so the engine uses the bucketized
+    equi-join instead — explode to 1 h buckets, hash-join on the bucket,
+    exact predicate re-check, canonical-bucket emission (no distinct).
+    operators/intervals.py::interval_overlap_join."""
+    from .operators.intervals import interval_overlap_join
+
+    ev = load(spark, sf, "events").withColumn("__us", F.unix_micros("ts"))
+    a = (ev.groupBy("user_id", F.to_date("ts").alias("d"))
+           .agg(F.min("__us").alias("a_s"), F.max("__us").alias("a_e")))
+    b = (ev.filter(F.col("event_type") == "error")
+           .select("event_id", (F.col("__us") - 1_800_000_000).alias("b_s"),
+                   (F.col("__us") + 1_800_000_000).alias("b_e")))
+    pairs = interval_overlap_join(a, b, "a_s", "a_e", "b_s", "b_e")
+    return (pairs.groupBy("user_id")
+                 .agg(F.countDistinct("d").alias("n_days_hit"),
+                      F.count(F.lit(1)).alias("n_overlaps"))
+                 .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

@@ -7,6 +7,8 @@ from .keywords import tf_idf_terms, bm25_scores
 from .clustering import (cluster_coreset, kmeans_assign, kmeans_fit,
                          kmeans_inertia, semantic_dedup_pairs)
 from .asof import asof_join
+from .cdc import apply_changes, last_wins
+from .intervals import interval_overlap_join
 from .skew import salted_join
 from .sampling import (deterministic_group_sample, hash_split,
                        md5_bucket, mix_sources, mix_sources_md5,
