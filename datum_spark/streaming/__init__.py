@@ -3,7 +3,8 @@ streaming — SURVEY §1.1 'not present')."""
 
 from .joins import clicks_purchases_join
 from .stateful import (running_totals, running_totals_batch,
-                       streaming_debounce, streaming_funnel)
+                       streaming_debounce, streaming_funnel,
+                       streaming_last_wins)
 from .windows import (
     streaming_cms,
     tumbling_agg,
@@ -18,5 +19,5 @@ __all__ = [
     "tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
     "read_events_stream", "run_stream_to_memory",
     "running_totals", "running_totals_batch", "streaming_funnel",
-    "streaming_debounce", "clicks_purchases_join", "streaming_cms",
+    "streaming_debounce", "streaming_last_wins", "clicks_purchases_join", "streaming_cms",
 ]

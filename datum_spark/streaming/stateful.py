@@ -259,3 +259,67 @@ def streaming_debounce(events: DataFrame, within_s: int = 600,
                 stateStructType=DEBOUNCE_STATE,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC materialization (twin of operators.cdc.last_wins / query x112)
+
+CDC_SCHEMA = "user_id bigint, op string, value double, ts timestamp"
+CDC_STATE = "best_us bigint, best_eid bigint, op string, value double"
+
+
+def _last_wins_fn(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key effective changelog row — state is ONE (seq, op, value)
+    triple however many changes arrive; late rows with a lower sequence
+    are ignored, so out-of-order delivery cannot regress the state (the
+    property the batch twin gets from its row_number window)."""
+    if state.hasTimedOut:
+        state.remove()
+        return
+    best_us, best_eid, op, value = (
+        state.get if state.exists else (-1, -1, None, None))
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        us = pd.to_datetime(pdf["ts"]).astype("int64") // 1_000
+        eid = pdf["event_id"].astype("int64")
+        i = eid[us == us.max()].idxmax()   # lexicographic (ts, event_id) max
+        cand = (int(us[i]), int(eid[i]))
+        if cand > (best_us, best_eid):
+            best_us, best_eid = cand
+            op = str(pdf["op"][i])
+            v = pdf["value"][i]
+            value = None if pd.isna(v) else float(v)
+    state.update((best_us, best_eid, op, value))
+    state.setTimeoutTimestamp(
+        max(state.getCurrentWatermarkMs(), best_us // 1000) + _STATE_TTL_MS)
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "op": [op],                    # 'D' rows are tombstones downstream
+        "value": [value],
+        "ts": [pd.Timestamp(best_us, unit="us")],
+    })
+
+
+def streaming_last_wins(changes: DataFrame, ts_col: str = "ts",
+                        watermark: str = "10 minutes") -> DataFrame:
+    """Streaming CDC: maintain the latest effective change per key from a
+    changelog stream (columns user_id, ts, event_id, op, value) — the
+    streaming twin of :func:`datum_spark.operators.cdc.last_wins` with
+    seq = (ts, event_id).  Emits the key's current winner every
+    micro-batch (update mode); delete ops surface as ``op='D'``
+    tombstones for the sink to apply.  O(1) state per key, event-time
+    TTL for quiet keys."""
+    stream = changes.withWatermark(ts_col, watermark)
+    return (stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _last_wins_fn,
+                outputStructType=CDC_SCHEMA,
+                stateStructType=CDC_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))

@@ -277,3 +277,31 @@ def test_streaming_cms_parity(spark, events_batch, events_stream):
             for r in cms_build(events_batch, "event_type",
                                depth=4, width=64).collect()}
     assert got == want and len(want) <= 4 * 64
+
+
+def test_streaming_last_wins_cdc_parity(spark, events_batch, events_stream):
+    """Streaming CDC materialization: the final update per key must equal
+    the batch last_wins reduction with seq = (ts, event_id)."""
+    from datum_spark.operators.cdc import last_wins
+    from datum_spark.streaming.stateful import streaming_last_wins
+
+    def to_changelog(df):
+        return df.select(
+            "user_id", "ts", "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+             .otherwise(F.lit("U")).alias("op"),
+            "value")
+
+    run_stream_to_memory(streaming_last_wins(to_changelog(events_stream)),
+                         "t_cdc", output_mode="update")
+    # final state per key = emission with the greatest ts (state is
+    # monotone in (ts, event_id), and ts alone is unique per key here)
+    latest = (spark.table("t_cdc")
+              .groupBy("user_id")
+              .agg(F.max(F.struct("ts", "op", "value")).alias("s"))
+              .select("user_id", "s.ts", "s.op", "s.value"))
+    got = _rows(latest, "user_id")
+    want = _rows(last_wins(to_changelog(events_batch),
+                           ["user_id"], ["ts", "event_id"])
+                 .select("user_id", "ts", "op", "value"), "user_id")
+    assert got == want and len(want) > 0
