@@ -3330,6 +3330,67 @@ def x113(spark, sf):
                  .orderBy("user_id"))
 
 
+def _bpe_oracle_sql(iters: int = 5) -> str:
+    """Unrolled BPE merge iterations as DuckDB CTEs (the _kmeans_oracle_sql
+    discipline): pair counts from the word-frequency table, argmax with
+    (count DESC, pair-key) tie-break, and the same 2-pass delimited-string
+    replace the engine uses (see operators/bpe.py for the proof that two
+    passes equal one greedy left-to-right merge scan)."""
+    parts = ["""w AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM documents)
+  WHERE word <> '' GROUP BY word
+)""", """s0 AS (
+  SELECT cnt,
+         chr(30) || array_to_string(
+           list_transform(range(1, length(word) + 1),
+                          i -> substr(word, i, 1)), chr(30)) || chr(30) AS s
+  FROM w
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""c{t} AS (
+  SELECT p, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_transform(range(1, len(l)),
+                       i -> l[i] || chr(31) || l[i+1])) AS p
+    FROM (SELECT cnt, list_filter(string_split(s, chr(30)),
+                                  x -> x <> '') AS l FROM s{t-1})
+  ) GROUP BY p
+)""")
+        parts.append(f"""t{t} AS (
+  SELECT string_split(p, chr(31))[1] AS a, string_split(p, chr(31))[2] AS b,
+         c
+  FROM c{t} ORDER BY c DESC, p LIMIT 1
+)""")
+        parts.append(f"""s{t} AS (
+  SELECT cnt,
+         replace(replace(s, chr(30) || a || chr(30) || b || chr(30),
+                            chr(30) || a || b || chr(30)),
+                 chr(30) || a || chr(30) || b || chr(30),
+                 chr(30) || a || b || chr(30)) AS s
+  FROM s{t - 1}, t{t}
+)""")
+    final = "\nUNION ALL\n".join(
+        f"SELECT {t} AS it, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS freq "
+        f"FROM t{t}" for t in range(1, iters + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + final + "\nORDER BY it"
+
+
+@x("x114_bpe_train", _bpe_oracle_sql(5))
+def x114(spark, sf):
+    """Distributed BPE merge training: one corpus-wide word-frequency
+    pass, then each iteration counts adjacent symbol pairs over the VOCAB
+    table (not the corpus), collects only the argmax pair (O(1) driver
+    data), and merges it with pure JVM string replace — no UDF, no
+    per-row Python.  The learned merge table is the result; the oracle
+    replays the identical deterministic trajectory.
+    operators/bpe.py::learn_bpe_merges."""
+    from .operators.bpe import bpe_merge_table
+
+    docs = load_docs(spark, sf)
+    return bpe_merge_table(spark, docs, iters=5).orderBy("it")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

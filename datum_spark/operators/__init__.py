@@ -7,6 +7,7 @@ from .keywords import tf_idf_terms, bm25_scores
 from .clustering import (cluster_coreset, kmeans_assign, kmeans_fit,
                          kmeans_inertia, semantic_dedup_pairs)
 from .asof import asof_join
+from .bpe import bpe_merge_table, learn_bpe_merges, word_frequencies
 from .cdc import apply_changes, last_wins
 from .intervals import interval_overlap_join
 from .skew import salted_join

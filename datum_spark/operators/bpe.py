@@ -1,0 +1,94 @@
+"""Byte-pair-encoding merge training over a distributed corpus.
+
+Classic BPE training scales the way Sennrich's original does: work on the
+WORD-FREQUENCY table, not the corpus — a 100 TB corpus has a vocabulary
+of maybe 10^7 distinct words, so after one corpus-wide
+`groupBy(word).count()` every iteration touches only the vocab table.
+Each iteration is: count adjacent symbol pairs weighted by word
+frequency (one small agg), pick the argmax pair (an O(1) driver collect,
+the k-means/PageRank scalar discipline), and merge that pair in every
+word's symbol sequence.
+
+The merge step is pure JVM string work, no UDF: a word's symbol sequence
+is kept as a \\x1e-delimited string ("\\x1ea\\x1eb\\x1ec\\x1e") and
+merging pair (a, b) is TWO passes of plain `replace(s, "\\x1ea\\x1eb\\x1e",
+"\\x1eab\\x1e")`.  One pass is not greedy-left-to-right-correct (in
+"a b a b a b" the scanner consumes the shared delimiter, skipping every
+second occurrence), but after pass one no two remaining occurrences are
+adjacent — pass one always takes the left of any adjacent pair — so pass
+two catches exactly the skipped ones and the result equals a single
+greedy left-to-right merge scan.  Over-merging is impossible: a new
+(a, b) adjacency would need the merged token "ab" to equal "a" or "b".
+
+Determinism: ties on pair count break by the pair's symbol order; the
+pair key is `a || \\x1f || b`, and since \\x1f sorts below every corpus
+symbol byte, string order == (a, b) tuple order.  The whole trajectory
+is therefore exactly replayable — the x114 oracle unrolls the same
+iterations as DuckDB CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+D = "\x1e"   # symbol delimiter inside a sequence string
+U = "\x1f"   # pair-key separator; sorts below any real symbol byte
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lowercase alpha word-frequency table — the one corpus-wide pass."""
+    return (docs.select(F.explode(F.split(F.lower(F.col(text_col)),
+                                          "[^a-z]+")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def _pairs(col):
+    """Adjacent symbol pairs of a sequence, keyed ``sym_a \\x1f sym_b``.
+    zip_with pads the shorter side with null and concat null-propagates,
+    so the trailing (last, null) pair filters away; 1-symbol words give
+    an empty list."""
+    tail = F.slice(col, 2, F.greatest(F.size(col) - 1, F.lit(0)))
+    zipped = F.zip_with(col, tail, lambda a, b: F.concat(a, F.lit(U), b))
+    return F.filter(zipped, lambda p: p.isNotNull())
+
+
+def learn_bpe_merges(words: DataFrame, iters: int = 5,
+                     ) -> list[tuple[int, str, str, int]]:
+    """Run ``iters`` BPE merge iterations over a (word, cnt) table.
+    Returns the learned merge list [(iteration, sym_a, sym_b, freq)] —
+    O(iters) driver data, like k-means centers."""
+    seqs = words.select(
+        "cnt",
+        F.concat(F.lit(D), F.array_join(F.split("word", ""), D), F.lit(D))
+         .alias("s")).persist()
+    seqs.count()
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, iters + 1):
+        toks = F.filter(F.split("s", D), lambda x: x != F.lit(""))
+        top = (seqs.select("cnt", F.explode(_pairs(toks)).alias("p"))
+               .groupBy("p").agg(F.sum("cnt").alias("c"))
+               .orderBy(F.desc("c"), "p").limit(1).collect())
+        if not top:
+            break
+        a, b = top[0]["p"].split(U)
+        merges.append((it, a, b, int(top[0]["c"])))
+        pat, rep = F.lit(D + a + D + b + D), F.lit(D + a + b + D)
+        nxt = seqs.select(
+            "cnt",
+            F.replace(F.replace("s", pat, rep), pat, rep).alias("s")
+        ).persist()
+        nxt.count()
+        seqs.unpersist()
+        seqs = nxt
+    seqs.unpersist()
+    return merges
+
+
+def bpe_merge_table(spark: SparkSession, docs: DataFrame,
+                    iters: int = 5, text_col: str = "text") -> DataFrame:
+    """The learned merge table as a DataFrame (it, sym_a, sym_b, freq)."""
+    merges = learn_bpe_merges(word_frequencies(docs, text_col), iters)
+    return spark.createDataFrame(
+        merges, "it int, sym_a string, sym_b string, freq bigint")

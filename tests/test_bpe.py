@@ -1,0 +1,68 @@
+"""BPE merge training: hand-computed trajectories and the 2-pass-replace
+== greedy-left-to-right-merge equivalence."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datum_spark.operators.bpe import (D, bpe_merge_table,
+                                       learn_bpe_merges, word_frequencies)
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(
+        [("a", 1), ("abab", 2), ("aaa", 3)], "word string, cnt long")
+
+
+def test_hand_computed_trajectory(spark, tiny):
+    # it1: (a,a)=6 from aaa; it2: (a,b)=4 from abab; it3: (aa,a)=3
+    assert learn_bpe_merges(tiny, iters=3) == [
+        (1, "a", "a", 6), (2, "a", "b", 4), (3, "aa", "a", 3)]
+
+
+def test_stops_when_no_pairs_left(spark):
+    words = spark.createDataFrame([("ab", 5)], "word string, cnt long")
+    merges = learn_bpe_merges(words, iters=10)
+    assert merges == [(1, "a", "b", 5)]   # then every word is one symbol
+
+
+def test_word_frequencies_splits_non_alpha(spark):
+    docs = spark.createDataFrame([("The cat, the CAT!",)], "text string")
+    got = {r.word: r.cnt for r in word_frequencies(docs).collect()}
+    assert got == {"the": 2, "cat": 2}
+
+
+def test_merge_table_schema(spark, tiny):
+    docs = spark.createDataFrame([("aa ab aa",)], "text string")
+    df = bpe_merge_table(spark, docs, iters=2)
+    assert df.columns == ["it", "sym_a", "sym_b", "freq"]
+    assert df.count() == 2
+
+
+def _greedy_merge(toks, a, b):
+    """Reference single-scan greedy left-to-right merge."""
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return out
+
+
+def _two_pass_replace(toks, a, b):
+    s = D + D.join(toks) + D
+    pat, rep = D + a + D + b + D, D + a + b + D
+    s = s.replace(pat, rep).replace(pat, rep)
+    return [t for t in s.split(D) if t != ""]
+
+
+@given(st.lists(st.sampled_from(["a", "b", "ab", "c"]), max_size=12),
+       st.sampled_from([("a", "b"), ("a", "a"), ("ab", "c"), ("b", "a")]))
+@settings(max_examples=300, deadline=None)
+def test_two_pass_replace_equals_greedy_scan(toks, pair):
+    a, b = pair
+    assert _two_pass_replace(toks, a, b) == _greedy_merge(toks, a, b)
