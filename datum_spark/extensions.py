@@ -3391,6 +3391,64 @@ def x114(spark, sf):
     return bpe_merge_table(spark, docs, iters=5).orderBy("it")
 
 
+@x("x115_audio_features", """
+WITH a AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         hex(encode(substring(text, 1, 64))) AS hx
+  FROM documents
+), b AS (
+  SELECT doc_id, n,
+         least(n, 64) AS l64,
+         COALESCE(list_sum(list_transform(range(1, least(n, 64) + 1),
+                  i -> CAST(('0x' || substr(hx, 2*i - 1, 2)) AS INT))), 0)
+           AS s64
+  FROM a
+)
+SELECT doc_id,
+       CAST((n // 2) * 1000 // 16000 AS INT) AS duration_ms,
+       CAST(n // 2 AS INT) AS n_samples,
+       CASE WHEN n = 0 THEN 0.0
+            ELSE round_even(s64 / (CASE WHEN l64 < 1 THEN 1 ELSE l64 END)
+                            / 255.0, 6) END AS rms
+FROM b ORDER BY doc_id""")
+def x115(spark, sf):
+    """Audio feature plumbing with the deterministic fake decoder:
+    binary → mapInPandas → (duration_ms, n_samples, rms).  Oracle-checked
+    the x18 way: the fake features are pure functions of the payload
+    BYTES (length and first-64-byte mean), which DuckDB re-derives from
+    hex(encode(...)) byte-exactly — so the Arrow-batch plumbing's output
+    is verified value-for-value.  round_even matches Python's banker's
+    rounding.  operators/multimodal.py::extract_audio_features."""
+    from .operators.multimodal import extract_audio_features
+
+    docs = (load(spark, sf, "documents")
+            .select("doc_id", F.encode("text", "UTF-8").alias("content")))
+    return (extract_audio_features(docs, "content", fake_decode=True)
+            .orderBy("doc_id"))
+
+
+@x("x116_video_frames", """
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(f * 1000 AS INT) AS frame_ts_ms
+FROM (SELECT doc_id, octet_length(encode(text)) % 10 + 1 AS nf
+      FROM documents),
+     unnest(range(0, nf)) AS t(f)
+ORDER BY doc_id, frame_idx""")
+def x116(spark, sf):
+    """Video frame-sampling plumbing: one row per sampled frame
+    (explode of a per-payload frame count — the real partition-expansion
+    shape; the decode itself is the documented deterministic stub).
+    operators/multimodal.py::sample_video_frames."""
+    from .operators.multimodal import sample_video_frames
+
+    docs = (load(spark, sf, "documents")
+            .select("doc_id", F.encode("text", "UTF-8").alias("content")))
+    return (sample_video_frames(docs, "content", every_n_ms=1000)
+            .select("doc_id", F.col("frame_idx").cast("int"),
+                    F.col("frame_ts_ms").cast("int"))
+            .orderBy("doc_id", "frame_idx"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
