@@ -70,6 +70,7 @@ _RECHECK_R5 = {
     "x110_rolling_distinct", "x111_decayed_engagement", "x112_cdc_apply",
     "x113_interval_join", "x114_bpe_train",
     "x115_audio_features", "x116_video_frames",
+    "x117_copurchase", "x118_impute",
 }
 
 

@@ -3449,6 +3449,70 @@ def x116(spark, sf):
             .orderBy("doc_id", "frame_idx"))
 
 
+@x("x117_copurchase", """
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM it a JOIN it b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, p1, p2 LIMIT 20""")
+def x117(spark, sf):
+    """Market-basket co-occurrence mining: part pairs ordered together.
+    The self-join is keyed on l_orderkey (one hash shuffle, reused by
+    both sides), and the per-order pair blowup is bounded by the max
+    basket size squared — never corpus-quadratic.  Top-k with full
+    deterministic tie-break."""
+    it = (load(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a = it.alias("a")
+    b = it.alias("b")
+    pairs = a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+    return (pairs.groupBy(F.col("a.l_partkey").alias("p1"),
+                          F.col("b.l_partkey").alias("p2"))
+                 .agg(F.count(F.lit(1)).alias("n_orders"))
+                 .orderBy(F.desc("n_orders"), "p1", "p2").limit(20))
+
+
+@x("x118_impute", """
+WITH base AS (
+  SELECT user_id, event_type, value,
+         CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+  FROM events
+), med AS (
+  SELECT user_id, ROUND(median(v), 4) AS m
+  FROM base WHERE v IS NOT NULL GROUP BY user_id
+)
+SELECT b.user_id,
+       CAST(COUNT(*) FILTER (WHERE b.v IS NULL) AS BIGINT) AS n_imputed,
+       ROUND(SUM(COALESCE(b.v, m.m)), 4) AS total_after,
+       ROUND(MAX(m.m), 4) AS fill_value
+FROM base b JOIN med m ON b.user_id = m.user_id
+GROUP BY b.user_id ORDER BY b.user_id""")
+def x118(spark, sf):
+    """Missing-value imputation: error events' values are treated as
+    missing and filled with the per-user EXACT median of the rest.  The
+    median table is one aggregate over the fact (exact `median`, a JVM
+    sort-based agg per group), broadcast back onto the fact under AQE —
+    the standard fill-from-group-statistic cleaning pass.  Both the join
+    and the final rollup hash on user_id (exchange reuse)."""
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", "value",
+        F.when(F.col("event_type") == "error", F.lit(None))
+         .otherwise(F.col("value")).alias("v"))
+    med = (ev.filter(F.col("v").isNotNull())
+             .groupBy("user_id")
+             .agg(F.round(F.median("v"), 4).alias("m")))
+    return (ev.join(med, "user_id")
+              .groupBy("user_id")
+              .agg(F.count_if(F.col("v").isNull()).alias("n_imputed"),
+                   F.round(F.sum(F.coalesce("v", "m")), 4)
+                    .alias("total_after"),
+                   F.round(F.max("m"), 4).alias("fill_value"))
+              .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
