@@ -71,6 +71,7 @@ _RECHECK_R5 = {
     "x113_interval_join", "x114_bpe_train",
     "x115_audio_features", "x116_video_frames",
     "x117_copurchase", "x118_impute",
+    "x119_bpe_encode", "x120_assoc_rules",
 }
 
 

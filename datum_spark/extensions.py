@@ -3336,13 +3336,24 @@ def _bpe_oracle_sql(iters: int = 5) -> str:
     (count DESC, pair-key) tie-break, and the same 2-pass delimited-string
     replace the engine uses (see operators/bpe.py for the proof that two
     passes equal one greedy left-to-right merge scan)."""
+    parts = _bpe_cte_parts(iters)
+    final = "\nUNION ALL\n".join(
+        f"SELECT {t} AS it, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS freq "
+        f"FROM t{t}" for t in range(1, iters + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + final + "\nORDER BY it"
+
+
+def _bpe_cte_parts(iters: int) -> list[str]:
+    """Shared CTE chain: word freqs → delimited char sequences → per-
+    iteration (pair counts, argmax pair, 2-pass merge).  The word column
+    rides along so the encode oracle (x119) can map word → tokens."""
     parts = ["""w AS (
   SELECT word, COUNT(*) AS cnt
   FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
         FROM documents)
   WHERE word <> '' GROUP BY word
 )""", """s0 AS (
-  SELECT cnt,
+  SELECT word, cnt,
          chr(30) || array_to_string(
            list_transform(range(1, length(word) + 1),
                           i -> substr(word, i, 1)), chr(30)) || chr(30) AS s
@@ -3363,17 +3374,14 @@ def _bpe_oracle_sql(iters: int = 5) -> str:
   FROM c{t} ORDER BY c DESC, p LIMIT 1
 )""")
         parts.append(f"""s{t} AS (
-  SELECT cnt,
+  SELECT word, cnt,
          replace(replace(s, chr(30) || a || chr(30) || b || chr(30),
                             chr(30) || a || b || chr(30)),
                  chr(30) || a || chr(30) || b || chr(30),
                  chr(30) || a || b || chr(30)) AS s
   FROM s{t - 1}, t{t}
 )""")
-    final = "\nUNION ALL\n".join(
-        f"SELECT {t} AS it, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS freq "
-        f"FROM t{t}" for t in range(1, iters + 1))
-    return "WITH " + ",\n".join(parts) + "\n" + final + "\nORDER BY it"
+    return parts
 
 
 @x("x114_bpe_train", _bpe_oracle_sql(5))
@@ -3511,6 +3519,110 @@ def x118(spark, sf):
                     .alias("total_after"),
                    F.round(F.max("m"), 4).alias("fill_value"))
               .orderBy("user_id"))
+
+
+def _bpe_encode_oracle_sql(iters: int = 5) -> str:
+    parts = _bpe_cte_parts(iters)
+    parts.append(f"""tok AS (
+  SELECT word,
+         len(list_filter(string_split(s, chr(30)), x -> x <> ''))
+           AS n_tokens
+  FROM s{iters}
+)""")
+    parts.append("""dw AS (
+  SELECT lang, word FROM (
+    SELECT lang, unnest(regexp_split_to_array(lower(text), '[^a-z]+'))
+           AS word
+    FROM documents)
+  WHERE word <> ''
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT dw.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(tok.n_tokens) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tok.n_tokens) * 1.0 / COUNT(*), 6) AS tokens_per_word
+FROM dw JOIN tok ON dw.word = tok.word
+GROUP BY dw.lang ORDER BY dw.lang""")
+
+
+@x("x119_bpe_encode", _bpe_encode_oracle_sql(5))
+def x119(spark, sf):
+    """BPE corpus encoding with the x114-learned merges: the merge chain
+    compiles to ONE static JVM replace expression over the VOCAB (map-
+    only, whole-stage codegen), and the corpus is tokenized by broadcast-
+    joining exploded words onto that tiny (word → n_tokens) table — the
+    shape that holds when the corpus is 100 TB and the vocab is megabytes.
+    operators/bpe.py::bpe_encode_vocab."""
+    from .operators.bpe import (bpe_encode_vocab, learn_bpe_merges,
+                                word_frequencies)
+
+    docs = load_docs(spark, sf)
+    words = word_frequencies(docs)
+    merges = learn_bpe_merges(words, iters=5)
+    tok = bpe_encode_vocab(words.select("word"), merges)
+    dw = (docs.select("lang", F.explode(F.split(F.lower("text"),
+                                                "[^a-z]+")).alias("word"))
+              .filter(F.col("word") != ""))
+    return (dw.join(F.broadcast(tok), "word")
+              .groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n_words"),
+                   F.sum("n_tokens").alias("n_tokens"),
+                   F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6)
+                    .alias("tokens_per_word"))
+              .orderBy("lang"))
+
+
+@x("x120_assoc_rules", """
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM lineitem),
+sup AS (SELECT l_partkey, COUNT(*) AS n_p FROM it GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_pair
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT p.p1 AS antecedent, p.p2 AS consequent,
+       CAST(p.n_pair AS BIGINT) AS support,
+       ROUND(p.n_pair * 1.0 / s1.n_p, 6) AS confidence,
+       ROUND((p.n_pair * 1.0 / s1.n_p) / (s2.n_p * 1.0 / n_ord.n), 6)
+         AS lift
+FROM pairs p
+JOIN sup s1 ON p.p1 = s1.l_partkey
+JOIN sup s2 ON p.p2 = s2.l_partkey, n_ord
+ORDER BY lift DESC, support DESC, antecedent, consequent LIMIT 15""")
+def x120(spark, sf):
+    """Association rules from co-purchase pairs: support / confidence /
+    lift with a min-support prune BEFORE the metric joins (the Apriori
+    candidate cut).  Directional pairs come from the same order-keyed
+    self-join as x117; the per-part support table and the 1-row order
+    count are broadcast.  Deterministic multi-key tie-break."""
+    it = (load(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_ord = it.select("l_orderkey").distinct().count()
+    sup = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = it.alias("a"), it.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") != F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("p1"),
+                      F.col("b.l_partkey").alias("p2"))
+             .agg(F.count(F.lit(1)).alias("n_pair"))
+             .filter(F.col("n_pair") >= 2))
+    s1 = F.broadcast(sup.select(F.col("l_partkey").alias("p1"),
+                                F.col("n_p").alias("n_p1")))
+    s2 = F.broadcast(sup.select(F.col("l_partkey").alias("p2"),
+                                F.col("n_p").alias("n_p2")))
+    conf = F.col("n_pair") / F.col("n_p1")
+    return (pairs.join(s1, "p1").join(s2, "p2")
+            .select(F.col("p1").alias("antecedent"),
+                    F.col("p2").alias("consequent"),
+                    F.col("n_pair").alias("support"),
+                    F.round(conf, 6).alias("confidence"),
+                    F.round(conf / (F.col("n_p2") / F.lit(n_ord)), 6)
+                     .alias("lift"))
+            .orderBy(F.desc("lift"), F.desc("support"),
+                     "antecedent", "consequent").limit(15))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

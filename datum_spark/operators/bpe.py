@@ -92,3 +92,22 @@ def bpe_merge_table(spark: SparkSession, docs: DataFrame,
     merges = learn_bpe_merges(word_frequencies(docs, text_col), iters)
     return spark.createDataFrame(
         merges, "it int, sym_a string, sym_b string, freq bigint")
+
+
+def bpe_encode_vocab(words: DataFrame,
+                     merges: list[tuple[int, str, str, int]],
+                     word_col: str = "word") -> DataFrame:
+    """Apply a learned merge list to the vocabulary: (word, n_tokens).
+
+    The merge applications are ONE static chained-replace expression
+    (2 passes per merge, all JVM string ops inside whole-stage codegen) —
+    encoding is a single map-only pass over the vocab, and corpus
+    encoding is then a broadcast join of this table onto exploded words
+    (the vocab is tiny next to the corpus)."""
+    col = F.concat(F.lit(D),
+                   F.array_join(F.split(word_col, ""), D), F.lit(D))
+    for _, a, b, _ in merges:
+        pat, rep = F.lit(D + a + D + b + D), F.lit(D + a + b + D)
+        col = F.replace(F.replace(col, pat, rep), pat, rep)
+    n_tok = F.size(F.filter(F.split(col, D), lambda x: x != F.lit("")))
+    return words.withColumn("n_tokens", n_tok)

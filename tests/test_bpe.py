@@ -66,3 +66,13 @@ def _two_pass_replace(toks, a, b):
 def test_two_pass_replace_equals_greedy_scan(toks, pair):
     a, b = pair
     assert _two_pass_replace(toks, a, b) == _greedy_merge(toks, a, b)
+
+
+def test_encode_vocab_token_counts(spark, tiny):
+    from datum_spark.operators.bpe import bpe_encode_vocab
+
+    merges = learn_bpe_merges(tiny, iters=3)
+    got = {r.word: r.n_tokens for r in
+           bpe_encode_vocab(tiny.select("word"), merges).collect()}
+    # after (a,a), (a,b), (aa,a): a->[a]; abab->[ab,ab]; aaa->[aaa]
+    assert got == {"a": 1, "abab": 2, "aaa": 1}
