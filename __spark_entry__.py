@@ -72,6 +72,7 @@ _RECHECK_R5 = {
     "x115_audio_features", "x116_video_frames",
     "x117_copurchase", "x118_impute",
     "x119_bpe_encode", "x120_assoc_rules",
+    "x121_decile_lift", "x122_winsorize",
 }
 
 

@@ -3625,6 +3625,99 @@ def x120(spark, sf):
                      "antecedent", "consequent").limit(15))
 
 
+@x("x121_decile_lift", """
+WITH sp AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+  FROM orders GROUP BY o_custkey
+), r AS (
+  SELECT spend,
+         row_number() OVER (ORDER BY spend DESC, o_custkey) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM sp
+), agg AS (
+  SELECT CAST(rk * 10 // n + 1 AS INT) AS decile,
+         COUNT(*) AS n_cust, SUM(spend) AS rev
+  FROM r GROUP BY 1
+)
+SELECT decile, CAST(n_cust AS BIGINT) AS n_customers,
+       ROUND(rev, 2) AS revenue,
+       ROUND(rev / SUM(rev) OVER (), 6) AS rev_share,
+       ROUND(SUM(rev) OVER (ORDER BY decile) / SUM(rev) OVER (), 6)
+         AS cum_share
+FROM agg ORDER BY decile""")
+def x121(spark, sf):
+    """Decile lift / gains table (model-eval analytics): customers ranked
+    by total spend, cut into population deciles, per-decile revenue share
+    and cumulative share.  The global rank is the x42 distributed prefix
+    sum (range partition + per-partition offsets — never a single-
+    partition window over the customer table); deciles use the explicit
+    floor(rank*10/n) cut on BOTH engines (NTILE's uneven-remainder rule
+    is avoided).  The only ordered windows run on the 10-row decile
+    aggregate."""
+    from .operators.curriculum import _global_position
+
+    sp = (load(spark, sf, "orders")
+          .groupBy("o_custkey")
+          .agg(F.round(F.sum("o_totalprice"), 2).alias("spend")))
+    r = _global_position(sp, [F.col("spend").desc(), F.col("o_custkey")],
+                         "rk", size_col="n")
+    agg = (r.withColumn("decile", (F.floor(F.col("rk") * 10 / F.col("n"))
+                                   + 1).cast("int"))
+            .groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("spend").alias("rev")))
+    w_all = Window.partitionBy()                       # 10-row aggregate
+    w_cum = (Window.partitionBy().orderBy("decile")    # 10-row aggregate
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (agg.select("decile", "n_customers",
+                       F.round("rev", 2).alias("revenue"),
+                       F.round(F.col("rev") / F.sum("rev").over(w_all), 6)
+                        .alias("rev_share"),
+                       F.round(F.sum("rev").over(w_cum)
+                               / F.sum("rev").over(w_all), 6)
+                        .alias("cum_share"))
+               .orderBy("decile"))
+
+
+@x("x122_winsorize", """
+WITH q AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.10) AS lo,
+         quantile_cont(l_extendedprice, 0.90) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       ROUND(AVG(l.l_extendedprice), 4) AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, q.lo), q.hi)), 4)
+         AS mean_winsorized,
+       CAST(COUNT(*) FILTER (WHERE l.l_extendedprice < q.lo
+                                OR l.l_extendedprice > q.hi) AS BIGINT)
+         AS n_clipped
+FROM lineitem l JOIN q ON l.l_returnflag = q.l_returnflag
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")
+def x122(spark, sf):
+    """Winsorization (outlier clipping at exact p10/p90 per group): the
+    quantile table is one exact-percentile aggregate (Spark `percentile`
+    == DuckDB quantile_cont, both linear interpolation), broadcast back
+    onto the fact; clip + re-aggregate is map-side.  The standard robust-
+    statistics cleaning pass, same fill-from-group-statistic shape as
+    x118."""
+    li = load(spark, sf, "lineitem")
+    q = (li.groupBy("l_returnflag")
+           .agg(F.expr("percentile(l_extendedprice, 0.10)").alias("lo"),
+                F.expr("percentile(l_extendedprice, 0.90)").alias("hi")))
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")),
+                      F.col("hi"))
+    return (li.join(F.broadcast(q), "l_returnflag")
+              .groupBy("l_returnflag")
+              .agg(F.round(F.avg("l_extendedprice"), 4).alias("mean_raw"),
+                   F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+                   F.count_if((F.col("l_extendedprice") < F.col("lo"))
+                              | (F.col("l_extendedprice") > F.col("hi")))
+                    .alias("n_clipped"))
+              .orderBy("l_returnflag"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

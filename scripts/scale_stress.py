@@ -171,6 +171,67 @@ def main() -> int:
         lambda: weighted_sample(docs, 100, "n_chars", "doc_id",
                                 group_col="source").count())
 
+    # round-5 late additions: interval join / CDC apply on 10× events,
+    # BPE training on the 10× corpus, basket mining on 10× lineitem
+    ev0 = read_parquet_normalized(spark, f"{sf_dir}/events.parquet")
+    ev = (ev0.select("*", F.explode(F.sequence(F.lit(0), F.lit(9)))
+                     .alias("copy_idx"))
+          .withColumn("event_id", F.col("event_id") * 16 + F.col("copy_idx"))
+          .drop("copy_idx").repartition(64).persist())
+    ev.count()
+
+    from datum_spark.operators.intervals import interval_overlap_join
+
+    def _ivl():
+        us = ev.withColumn("__us", F.unix_micros("ts"))
+        a = (us.groupBy("user_id", F.to_date("ts").alias("d"))
+               .agg(F.min("__us").alias("a_s"), F.max("__us").alias("a_e")))
+        b = (us.filter(F.col("event_type") == "error")
+               .select("event_id", (F.col("__us") - 1_800_000_000)
+                       .alias("b_s"),
+                       (F.col("__us") + 1_800_000_000).alias("b_e")))
+        return interval_overlap_join(a, b, "a_s", "a_e", "b_s",
+                                     "b_e").count()
+
+    run("interval_overlap_join", _ivl)
+
+    from datum_spark.operators.cdc import apply_changes
+
+    def _cdc():
+        snap = (read_parquet_normalized(spark, f"{sf_dir}/customer.parquet")
+                .select("c_custkey", "c_acctbal"))
+        ch = ev.select(F.col("user_id").alias("c_custkey"), "ts", "event_id",
+                       F.when(F.col("event_type") == "error", F.lit("D"))
+                        .otherwise(F.lit("U")).alias("op"),
+                       F.col("value").alias("c_acctbal"))
+        return apply_changes(snap, ch, keys=["c_custkey"],
+                             seq_cols=["ts", "event_id"],
+                             op_col="op").count()
+
+    run("cdc_apply", _cdc)
+
+    from datum_spark.operators.bpe import learn_bpe_merges, word_frequencies
+    run("bpe_train_5_iters",
+        lambda: len(learn_bpe_merges(word_frequencies(docs), iters=5)))
+
+    li0 = read_parquet_normalized(spark, f"{sf_dir}/lineitem.parquet")
+    li = (li0.select("l_orderkey", "l_partkey",
+                     F.explode(F.sequence(F.lit(0), F.lit(9)))
+                      .alias("copy_idx"))
+          .withColumn("l_orderkey",
+                      F.col("l_orderkey") * 16 + F.col("copy_idx"))
+          .drop("copy_idx").repartition(64).persist())
+
+    def _basket():
+        it = li.distinct()
+        a, b = it.alias("a"), it.alias("b")
+        return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                       & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+                .groupBy(F.col("a.l_partkey"), F.col("b.l_partkey"))
+                .agg(F.count(F.lit(1)).alias("n")).count())
+
+    run("copurchase_pairs", _basket)
+
     print(json.dumps({
         "corpus": {"documents": n_docs, "embeddings": n_vecs,
                    "upsample": 10},
