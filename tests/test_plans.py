@@ -245,3 +245,34 @@ def test_ngram_prefix_filter_shrinks_index(spark):
                                                     g.alias("g")))),
         1, plen))).count()
     assert pref < 0.4 * full  # ~0.2x at t=0.8 plus the +1 per doc
+
+
+def test_winsorize_broadcasts_quantile_table(spark):
+    """x122: the 3-row quantile table must broadcast onto the fact, not
+    shuffle it."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x122_winsorize"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bpe_encode_broadcasts_vocab(spark):
+    """x119: corpus tokenization joins exploded words to the vocab token
+    table via broadcast (the vocab is tiny next to the corpus)."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x119_bpe_encode"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_copurchase_self_join_is_hash_equi(spark):
+    """x117: the basket self-join must be planned on the l_orderkey
+    equi-key — a nested loop here is corpus-quadratic."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x117_copurchase"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
