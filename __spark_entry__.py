@@ -73,6 +73,7 @@ _RECHECK_R5 = {
     "x117_copurchase", "x118_impute",
     "x119_bpe_encode", "x120_assoc_rules",
     "x121_decile_lift", "x122_winsorize",
+    "x123_scd2", "x124_activity_streaks",
 }
 
 

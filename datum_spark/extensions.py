@@ -3718,6 +3718,67 @@ def x122(spark, sf):
               .orderBy("l_returnflag"))
 
 
+@x("x123_scd2", """
+SELECT user_id, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       ROUND(value, 2) AS value,
+       CAST(CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS INT)
+         AS is_current
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, valid_from""")
+def x123(spark, sf):
+    """Slowly-changing-dimension Type 2 build: each profile update
+    (purchase event) becomes a versioned row with a [valid_from,
+    valid_to) interval from lead() over the per-key change sequence —
+    one window shuffle keyed by user_id, the standard warehouse
+    versioning pass.  Pairs with x112: CDC apply materializes current
+    state, SCD2 keeps the full history."""
+    ev = load(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("user_id", F.col("ts").alias("valid_from"),
+                      F.lead("ts").over(w).alias("valid_to"),
+                      F.round("value", 2).alias("value"),
+                      F.when(F.lead("ts").over(w).isNull(), 1)
+                       .otherwise(0).cast("int").alias("is_current"))
+              .orderBy("user_id", "valid_from"))
+
+
+@x("x124_activity_streaks", """
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), g AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INT) AS anchor
+  FROM d
+), s AS (
+  SELECT user_id, anchor, COUNT(*) AS len FROM g GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(SUM(len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id ORDER BY user_id""")
+def x124(spark, sf):
+    """Gaps-and-islands: consecutive-day activity streaks per user via
+    the date-minus-rank anchor trick — the window, the island rollup and
+    the final aggregate all hash on user_id (one exchange, reused).
+    Classic engagement analytics shape (longest streak / streak count)."""
+    ev = load(spark, sf, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = d.withColumn("anchor",
+                     F.date_sub("d", F.row_number().over(w)))
+    s = g.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    return (s.groupBy("user_id")
+             .agg(F.sum("len").alias("n_active_days"),
+                  F.count(F.lit(1)).alias("n_streaks"),
+                  F.max("len").alias("max_streak"))
+             .orderBy("user_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
