@@ -40,6 +40,13 @@ def load_docs(spark: SparkSession, sf: str) -> DataFrame:
 
 EXTENSIONS: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
+# Size gate for the rank queries' physical choice (x40/x42): inputs whose
+# Catalyst size estimate is below this take the plain window (one job);
+# above it, the distributed prefix sum (no task ever sees a whole window
+# partition).  512 MB ≈ one comfortably-in-memory task; tests force the
+# distributed path by monkeypatching this to 0.
+_RANK_SMALL_BYTES = 512 << 20
+
 
 def x(name: str, oracle: str | None):
     def deco(fn):
@@ -848,13 +855,16 @@ FROM documents ORDER BY doc_id""")
 def x17(spark, sf):
     """Binary-column metadata: documents' text re-encoded as an opaque
     binary payload, byte length computed without decoding (the cheap
-    map-side pass every multimodal pipeline starts with)."""
-    from .operators.multimodal import attach_media_metadata
-
-    docs = load(spark, sf, "documents").withColumn(
-        "content", F.encode("text", "UTF-8"))
-    return (attach_media_metadata(docs, "content")
-            .select("doc_id", F.col("n_bytes").cast("int").alias("n_bytes"))
+    map-side pass every multimodal pipeline starts with).  Expression
+    inlined per the r4 re-measure: the 2× gap vs baseline was per-call
+    DataFrame-build (py4j) latency, not execution — the executed job is
+    0.07 s at sf0.1 (BASELINE.md §5 note) — so the query keeps the
+    minimum op count; `attach_media_metadata` remains the API surface
+    (x18 and unit tests exercise it)."""
+    docs = load(spark, sf, "documents")
+    return (docs.select("doc_id",
+                        F.octet_length(F.encode("text", "UTF-8"))
+                         .cast("int").alias("n_bytes"))
             .orderBy("doc_id"))
 
 
@@ -915,11 +925,26 @@ def x40(spark, sf):
     NTILE is arithmetic on (rank, group size); the first n%4 tiles get
     one extra row — SQL NTILE's exact fill rule."""
     from .session import default_parallelism
-    from .util import retain_cache
+    from .util import estimated_bytes, retain_cache
 
     c = (load(spark, sf, "customer")
          .select("c_mktsegment", "c_custkey", "c_acctbal"))
     order = [F.col("c_acctbal").desc(), F.col("c_custkey").asc()]
+    if estimated_bytes(c) < _RANK_SMALL_BYTES:
+        # size-gated physical choice (Catalyst's broadcast-decision
+        # pattern): below the threshold the partition skew the prefix sum
+        # exists to avoid cannot occur, and the plain window wins by two
+        # whole jobs.  The distributed path below is the one the 10×
+        # stress exercises; tests force it by zeroing the threshold.
+        w = Window.partitionBy("c_mktsegment").orderBy(*order)
+        wf = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+        return (c.select("c_mktsegment", "c_custkey",
+                         F.ntile(4).over(w).alias("quartile"),
+                         F.first("c_custkey").over(w).alias("top_cust"),
+                         F.round(F.last("c_acctbal").over(wf), 2)
+                          .alias("min_bal"))
+                 .orderBy("c_mktsegment", "c_custkey").limit(1000))
     d = retain_cache(
         c.repartitionByRange(default_parallelism(),
                              F.col("c_mktsegment"), *order)
@@ -998,8 +1023,18 @@ def x42(spark, sf):
     single-partition Window.orderBy.  The order includes the unique key,
     so there are no peers and pr = pos/(n-1), cd = (pos+1)/n exactly."""
     from .operators.curriculum import _global_position
+    from .util import estimated_bytes
 
     c = load(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    if estimated_bytes(c) < _RANK_SMALL_BYTES:
+        # same size gate as x40: a sub-threshold input fits one task, so
+        # the single-partition window is strictly cheaper; the prefix-sum
+        # path below is what runs at scale (tests force it)
+        w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+        return (c.select("c_custkey",
+                         F.round(F.percent_rank().over(w), 6).alias("pr"),
+                         F.round(F.cume_dist().over(w), 6).alias("cd"))
+                 .orderBy("c_custkey").limit(1000))
     pos = _global_position(
         c, [F.col("c_acctbal"), F.col("c_custkey")], "__pos",
         size_col="__n")

@@ -243,3 +243,16 @@ def clear_operator_caches() -> None:
             old.unpersist(False)
         except Exception:  # noqa: BLE001
             pass
+
+
+def estimated_bytes(df) -> int:
+    """Catalyst's own size estimate for a plan (file sizes × estimated
+    row width for scans, propagated through the operators) — the same
+    statistic the optimizer uses for its broadcast-vs-shuffle decision.
+    Used for size-gated physical choices (e.g. small input → plain
+    window rank, large input → distributed prefix sum)."""
+    try:
+        return int(str(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # noqa: BLE001 — unresolvable plan: assume large
+        return 1 << 62

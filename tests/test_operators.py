@@ -794,3 +794,19 @@ def test_incremental_near_dups_matches_full_subset(spark):
             full[(b, a)] = r["est_jaccard"]
     assert inc == full and inc
     assert all(d >= 15 and c < 15 for d, c in inc)
+
+
+def test_rank_queries_size_gate_paths_agree(spark, monkeypatch):
+    """x40/x42 pick their physical plan by Catalyst size estimate; both
+    paths must return identical rows (the gated window path runs locally,
+    the prefix-sum path is what runs at scale)."""
+    import datum_spark.extensions as ext
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("x40_ntile_first_last", "x42_percent_rank"):
+        fn = ext.EXTENSIONS[name][0]
+        small = [tuple(r) for r in fn(spark, sf).collect()]
+        monkeypatch.setattr(ext, "_RANK_SMALL_BYTES", 0)
+        big = [tuple(r) for r in fn(spark, sf).collect()]
+        monkeypatch.setattr(ext, "_RANK_SMALL_BYTES", 512 << 20)
+        assert small == big and len(small) > 0, name
