@@ -3814,6 +3814,110 @@ def x124(spark, sf):
              .orderBy("user_id"))
 
 
+@x("x125_snapshot_diff", """
+WITH ch AS (
+  SELECT user_id AS c_custkey, ts, event_id,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         ROUND(value * 100, 2) AS c_acctbal
+  FROM events
+), eff AS (
+  SELECT c_custkey, op, c_acctbal,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM ch
+), e1 AS (SELECT * FROM eff WHERE rn = 1),
+nxt AS (
+  SELECT COALESCE(e.c_custkey, c.c_custkey) AS c_custkey,
+         ROUND(CASE WHEN e.c_custkey IS NOT NULL THEN e.c_acctbal
+                    ELSE c.c_acctbal END, 2) AS c_acctbal
+  FROM customer c FULL JOIN e1 e USING (c_custkey)
+  WHERE e.op IS NULL OR e.op <> 'D'
+), old AS (
+  SELECT c_custkey, ROUND(c_acctbal, 2) AS c_acctbal FROM customer
+)
+SELECT CAST(COUNT(*) FILTER (WHERE o.c_custkey IS NULL) AS BIGINT)
+         AS n_added,
+       CAST(COUNT(*) FILTER (WHERE n.c_custkey IS NULL) AS BIGINT)
+         AS n_removed,
+       CAST(COUNT(*) FILTER (WHERE o.c_custkey IS NOT NULL
+              AND n.c_custkey IS NOT NULL
+              AND o.c_acctbal <> n.c_acctbal) AS BIGINT) AS n_changed,
+       CAST(COUNT(*) FILTER (WHERE o.c_custkey IS NOT NULL
+              AND n.c_custkey IS NOT NULL
+              AND o.c_acctbal = n.c_acctbal) AS BIGINT) AS n_unchanged
+FROM old o FULL JOIN nxt n USING (c_custkey)""")
+def x125(spark, sf):
+    """Snapshot diff / reconciliation audit: the x112 CDC-applied state
+    vs the original snapshot, classified into added / removed / changed /
+    unchanged by ONE key-partitioned full-outer join folded straight into
+    conditional counts (no materialized diff rows; at 100 TB the answer
+    is 4 numbers, not a third table)."""
+    from .operators.cdc import apply_changes
+
+    snap = (load(spark, sf, "customer")
+            .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal")))
+    ch = (load(spark, sf, "events")
+          .select(F.col("user_id").alias("c_custkey"), "ts", "event_id",
+                  F.when(F.col("event_type") == "error", F.lit("D"))
+                   .otherwise(F.lit("U")).alias("op"),
+                  F.round(F.col("value") * 100, 2).alias("c_acctbal")))
+    nxt = (apply_changes(snap, ch, keys=["c_custkey"],
+                         seq_cols=["ts", "event_id"], op_col="op")
+           .select("c_custkey", F.round("c_acctbal", 2).alias("nb")))
+    old = snap.select("c_custkey", F.col("c_acctbal").alias("ob"))
+    j = old.join(nxt, "c_custkey", "full_outer")
+    both = F.col("ob").isNotNull() & F.col("nb").isNotNull()
+    return j.agg(
+        F.count_if(F.col("ob").isNull()).alias("n_added"),
+        F.count_if(F.col("nb").isNull()).alias("n_removed"),
+        F.count_if(both & (F.col("ob") != F.col("nb"))).alias("n_changed"),
+        F.count_if(both & (F.col("ob") == F.col("nb")))
+         .alias("n_unchanged"))
+
+
+@x("x126_ref_integrity", """
+SELECT 'orders.o_custkey->customer' AS fk,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+         AS n_orphans
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE od.o_orderkey IS NULL) AS BIGINT)
+FROM lineitem l LEFT JOIN orders od ON l.l_orderkey = od.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+ORDER BY fk""")
+def x126(spark, sf):
+    """Referential-integrity audit: orphan counts for three FK edges via
+    left joins folded into conditional counts.  Each parent key set is a
+    broadcast-eligible dimension (AQE decides); the fact tables stream
+    through map-side — the whole audit is one pass per edge with a 1-row
+    result, the shape that survives a 100 TB fact table."""
+    def edge(fact, fk, dim, pk, label):
+        d = dim.select(F.col(pk).alias("__pk")).distinct()
+        return (fact.join(F.broadcast(d), F.col(fk) == F.col("__pk"),
+                          "left")
+                .agg(F.count(F.lit(1)).alias("n_rows"),
+                     F.count_if(F.col("__pk").isNull()).alias("n_orphans"))
+                .select(F.lit(label).alias("fk"), "n_rows", "n_orphans"))
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    return (edge(o, "o_custkey", c, "c_custkey",
+                 "orders.o_custkey->customer")
+            .unionAll(edge(li, "l_orderkey", o, "o_orderkey",
+                           "lineitem.l_orderkey->orders"))
+            .unionAll(edge(li, "l_partkey", p, "p_partkey",
+                           "lineitem.l_partkey->part"))
+            .orderBy("fk"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
