@@ -3918,6 +3918,41 @@ def x126(spark, sf):
             .orderBy("fk"))
 
 
+@x("x127_ohlc_bars", """
+SELECT event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bar,
+       ROUND(arg_min(value, printf('%020d-%012d', epoch_us(ts), event_id)),
+             2) AS open,
+       ROUND(MAX(value), 2) AS high,
+       ROUND(MIN(value), 2) AS low,
+       ROUND(arg_max(value, printf('%020d-%012d', epoch_us(ts), event_id)),
+             2) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+HAVING COUNT(*) >= 3
+ORDER BY event_type, bar LIMIT 500""")
+def x127(spark, sf):
+    """OHLC candle bars (time-series downsampling): open/close via
+    min_by/max_by over a deterministic zero-padded (µs, event_id) sort
+    key (portable across engines — DuckDB's arg_min rejects struct keys),
+    high/low plain MIN/MAX — ONE partial-aggregating pass, no window, no
+    sort of the fact table; the classic market-data rollup every metrics
+    store implements."""
+    ev = load(spark, sf, "events")
+    seq = F.format_string("%020d-%012d", F.unix_micros("ts"),
+                          F.col("event_id"))
+    return (ev.groupBy("event_type",
+                       F.date_trunc("hour", "ts").alias("bar"))
+              .agg(F.round(F.min_by("value", seq), 2).alias("open"),
+                   F.round(F.max("value"), 2).alias("high"),
+                   F.round(F.min("value"), 2).alias("low"),
+                   F.round(F.max_by("value", seq), 2).alias("close"),
+                   F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= 3)
+              .orderBy("event_type", "bar").limit(500))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
