@@ -7,6 +7,7 @@ from .stateful import (running_totals, running_totals_batch,
                        streaming_last_wins)
 from .windows import (
     streaming_cms,
+    ohlc_agg,
     tumbling_agg,
     sliding_agg,
     session_agg,
@@ -16,7 +17,7 @@ from .windows import (
 )
 
 __all__ = [
-    "tumbling_agg", "sliding_agg", "session_agg", "stream_dedup",
+    "tumbling_agg", "sliding_agg", "session_agg", "ohlc_agg", "stream_dedup",
     "read_events_stream", "run_stream_to_memory",
     "running_totals", "running_totals_batch", "streaming_funnel",
     "streaming_debounce", "streaming_last_wins", "clicks_purchases_join", "streaming_cms",

@@ -125,3 +125,26 @@ def streaming_cms(terms: DataFrame, term_col: str,
                  .groupBy(F.col("c.row").alias("row"),
                           F.col("c.bucket").alias("bucket"))
                  .agg(F.sum("__w").cast("long").alias("n")))
+
+
+def ohlc_agg(events: DataFrame, window: str = "1 hour",
+             watermark: str = "10 minutes", ts_col: str = "ts") -> DataFrame:
+    """OHLC candle bars per (window, event_type) — the streaming twin of
+    query x127 (same min_by/max_by over the portable zero-padded sort
+    key); works identically on a batch frame, so stream==batch parity is
+    testable on finite input.  State per open window is the O(1) partial
+    aggregate, dropped once the watermark closes the bar."""
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    seq = F.format_string("%020d-%012d", F.unix_micros(ts_col),
+                          F.col("event_id"))
+    return (df.groupBy(F.window(F.col(ts_col), window).alias("w"),
+                       "event_type")
+              .agg(F.round(F.min_by("value", seq), 2).alias("open"),
+                   F.round(F.max("value"), 2).alias("high"),
+                   F.round(F.min("value"), 2).alias("low"),
+                   F.round(F.max_by("value", seq), 2).alias("close"),
+                   F.count(F.lit(1)).alias("n"))
+              .select(F.col("w.start").alias("w_start"), "event_type",
+                      "open", "high", "low", "close", "n"))

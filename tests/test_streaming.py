@@ -305,3 +305,15 @@ def test_streaming_last_wins_cdc_parity(spark, events_batch, events_stream):
                            ["user_id"], ["ts", "event_id"])
                  .select("user_id", "ts", "op", "value"), "user_id")
     assert got == want and len(want) > 0
+
+
+def test_streaming_ohlc_parity(spark, events_batch, events_stream):
+    """OHLC bars: streaming result over the finite input equals the batch
+    run of the same aggregation (stream==batch unification)."""
+    from datum_spark.streaming.windows import ohlc_agg
+
+    run_stream_to_memory(ohlc_agg(events_stream), "t_ohlc",
+                         output_mode="complete")
+    got = _rows(spark.table("t_ohlc"), "w_start", "event_type")
+    want = _rows(ohlc_agg(events_batch), "w_start", "event_type")
+    assert got == want and len(want) > 0
