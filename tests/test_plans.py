@@ -117,23 +117,26 @@ def test_bm25_broadcasts_df_and_stats(spark):
         "BroadcastNestedLoopJoin") >= 2, plan[:2000]
 
 
-def test_global_rank_windows_not_single_partition(spark):
-    """x40/x42 (global-order ranking) must NOT funnel the table through a
-    one-partition Window sort — the rank comes from the range-partitioned
-    prefix sum (VERDICT r3 §What's-wrong #5)."""
+def test_global_rank_windows_not_single_partition(spark, monkeypatch):
+    """x40/x42 (global-order ranking) size-gate their physical plan; the
+    AT-SCALE path (forced by zeroing the gate) must NOT funnel the table
+    through a one-partition Window sort — the rank comes from the
+    range-partitioned prefix sum (VERDICT r3 §What's-wrong #5)."""
     from datum_spark import extensions
 
+    monkeypatch.setattr(extensions, "_RANK_SMALL_BYTES", 0)
     for name in ("x40_ntile_first_last", "x42_percent_rank"):
         df = extensions.EXTENSIONS[name][0](spark, SF)
         plan = explain_str(df)
         assert "SinglePartition" not in plan, f"{name}: {plan[:2000]}"
 
 
-def test_x40_broadcasts_segment_aggregates(spark):
-    """x40's FIRST/LAST per-segment aggregates are 5 rows — they must
-    broadcast back, never shuffle the fact side."""
+def test_x40_broadcasts_segment_aggregates(spark, monkeypatch):
+    """x40's at-scale path: the FIRST/LAST per-segment aggregates are 5
+    rows — they must broadcast back, never shuffle the fact side."""
     from datum_spark import extensions
 
+    monkeypatch.setattr(extensions, "_RANK_SMALL_BYTES", 0)
     df = extensions.EXTENSIONS["x40_ntile_first_last"][0](spark, SF)
     plan = explain_str(df)
     assert "BroadcastHashJoin" in plan, plan[:2000]
