@@ -3953,6 +3953,100 @@ def x127(spark, sf):
               .orderBy("event_type", "bar").limit(500))
 
 
+@x("x128_topk_ties", """
+SELECT c_mktsegment, c_custkey, ROUND(c_acctbal, 2) AS bal,
+       CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT c_mktsegment, c_custkey, c_acctbal,
+         rank() OVER (PARTITION BY c_mktsegment
+                      ORDER BY ROUND(c_acctbal, 2) DESC) AS rnk
+  FROM customer
+) WHERE rnk <= 3
+ORDER BY c_mktsegment, rnk, c_custkey""")
+def x128(spark, sf):
+    """Top-k per group KEEPING ties (RANK, not ROW_NUMBER — a different
+    result set when balances collide at the cut line): the tie-aware
+    variant of x34's per-group top-k.  Ranking over the rounded value so
+    tie semantics are identical across engines' float formatting."""
+    c = load(spark, sf, "customer")
+    w = (Window.partitionBy("c_mktsegment")
+         .orderBy(F.round("c_acctbal", 2).desc()))
+    return (c.withColumn("rnk", F.rank().over(w))
+             .filter(F.col("rnk") <= 3)
+             .select("c_mktsegment", "c_custkey",
+                     F.round("c_acctbal", 2).alias("bal"),
+                     F.col("rnk").cast("int"))
+             .orderBy("c_mktsegment", "rnk", "c_custkey"))
+
+
+def _lpa_oracle_sql(iters: int = 3) -> str:
+    """DuckDB twin of x129: the x83 bigram-Jaccard pair graph, then
+    ``iters`` synchronous label-propagation rounds unrolled (argmax
+    neighbor label, count DESC then label ASC — exactly
+    operators/graph.py::label_propagation's tie rule)."""
+    step = """s{j} AS (
+  SELECT e.dst AS node, l.label, COUNT(*) AS c
+  FROM e JOIN l{i} l ON e.src = l.node GROUP BY e.dst, l.label
+), l{j} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM s{j}) WHERE rn = 1
+)"""
+    chain = ",\n".join(step.format(i=i, j=i + 1) for i in range(iters))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 500
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 1, 1)),
+           i -> coalesce(array_to_string(ws[i:i+1], ' '), ''))) AS gs
+  FROM w
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs))
+        / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM p
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM e
+),
+{chain}
+SELECT label AS community,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_node
+FROM l{iters} GROUP BY label
+ORDER BY n_members DESC, community LIMIT 50"""
+
+
+@x("x129_communities", _lpa_oracle_sql(3))
+def x129(spark, sf):
+    """Label-propagation communities over the x83 near-dup graph —
+    coarser than x51's connected components (a bridge node joins one
+    dense blob instead of merging both).  Fixed synchronous iterations
+    with the count-then-min-label tie rule make the trajectory exactly
+    replayable; one shuffle per round, lazy checkpoints, no driver data.
+    operators/graph.py::label_propagation."""
+    from .operators.graph import label_propagation
+
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 500)
+    pairs = dedup_mod.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          n=2, threshold=0.5)
+    labels = label_propagation(pairs.select("id_a", "id_b"), iters=3)
+    return (labels.groupBy(F.col("label").alias("community"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min("node").alias("min_node"))
+            .orderBy(F.desc("n_members"), "community").limit(50))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

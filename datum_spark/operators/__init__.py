@@ -37,7 +37,7 @@ from .curriculum import (epoch_shuffle, grouped_global_position,
                          interleave_sources, quality_percentile_filter,
                          token_budget_sample)
 from .events import debounce, funnel, retention_cohorts, user_features
-from .graph import pagerank
+from .graph import label_propagation, pagerank
 from .expectations import check_expectations, enforce_expectations
 from .text import (
     char_entropy,

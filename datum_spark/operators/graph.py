@@ -101,3 +101,34 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
             if delta is not None and delta < tol:
                 break
     return ranks
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation over an undirected pair list
+    (columns id_a, id_b): community detection for near-dup graphs —
+    coarser than connected components (a hub bridging two dense blobs
+    ends up in ONE of them, components would merge both).
+
+    Deterministic: labels start as node ids; each round every node takes
+    the most frequent neighbor label, ties broken toward the SMALLEST
+    label, all nodes updating simultaneously — so a fixed ``iters`` is
+    exactly replayable (the x129 oracle unrolls it).  One shuffle per
+    iteration (join on src + count on (node, label)), lineage truncated
+    with lazy localCheckpoint like pagerank; no driver-side data.
+    """
+    e = (edges.selectExpr("id_a AS src", "id_b AS dst")
+         .union(edges.selectExpr("id_b AS src", "id_a AS dst"))
+         .distinct()
+         .localCheckpoint(eager=False))
+    labels = (e.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(iters):
+        nbr = (e.join(labels.withColumnRenamed("node", "src"), "src")
+               .select(F.col("dst").alias("node"), "label"))
+        cnt = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        labels = (cnt.groupBy("node")
+                  .agg(F.max_by("label",
+                                F.struct(F.col("c"), (-F.col("label"))
+                                         .alias("nl"))).alias("label"))
+                  .localCheckpoint(eager=False))
+    return labels

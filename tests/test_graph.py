@@ -40,3 +40,27 @@ def test_directed_dangling_mass_conserved(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "u long, v long")
     assert pagerank(df).count() == 0
+
+
+def test_label_propagation_hand_computed(spark):
+    """Triangle {1,2,3} + pendant 4—1: after 3 synchronous rounds with
+    the count-then-min-label tie rule, every node lands in community 1
+    (worked by hand: l1 = {1:2, 2:1, 3:1, 4:1}; l2 = {1:1, 2:1, 3:1,
+    4:2}; l3 = all 1)."""
+    from datum_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "id_a long, id_b long")
+    got = {r.node: r.label
+           for r in label_propagation(pairs, iters=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_label_propagation_two_iter_intermediate(spark):
+    from datum_spark.operators.graph import label_propagation
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4)], "id_a long, id_b long")
+    got = {r.node: r.label
+           for r in label_propagation(pairs, iters=2).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2}
