@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "jdbc",
                      "text", "binaryfile")
 
-_LAKE_FORMATS = ("delta", "iceberg", "hudi")
+_LAKE_FORMATS = ("delta", "iceberg", "hudi",
+                 # avro is Spark-built-in but ships as an external module
+                 # (spark-avro jar), absent from this runtime
+                 "avro")
 
 
 def _nanos_timestamp_cols(path: str) -> list[str]:
