@@ -3369,8 +3369,8 @@ def _bpe_oracle_sql(iters: int = 5) -> str:
     """Unrolled BPE merge iterations as DuckDB CTEs (the _kmeans_oracle_sql
     discipline): pair counts from the word-frequency table, argmax with
     (count DESC, pair-key) tie-break, and the same 2-pass delimited-string
-    replace the engine uses (see operators/bpe.py for the proof that two
-    passes equal one greedy left-to-right merge scan)."""
+    replace the engine uses (operators/bpe.py documents the exact merge
+    semantics, including the self-pair variant)."""
     parts = _bpe_cte_parts(iters)
     final = "\nUNION ALL\n".join(
         f"SELECT {t} AS it, a AS sym_a, b AS sym_b, CAST(c AS BIGINT) AS freq "

@@ -12,13 +12,25 @@ word's symbol sequence.
 The merge step is pure JVM string work, no UDF: a word's symbol sequence
 is kept as a \\x1e-delimited string ("\\x1ea\\x1eb\\x1ec\\x1e") and
 merging pair (a, b) is TWO passes of plain `replace(s, "\\x1ea\\x1eb\\x1e",
-"\\x1eab\\x1e")`.  One pass is not greedy-left-to-right-correct (in
-"a b a b a b" the scanner consumes the shared delimiter, skipping every
-second occurrence), but after pass one no two remaining occurrences are
-adjacent — pass one always takes the left of any adjacent pair — so pass
-two catches exactly the skipped ones and the result equals a single
-greedy left-to-right merge scan.  Over-merging is impossible: a new
-(a, b) adjacency would need the merged token "ab" to equal "a" or "b".
+"\\x1eab\\x1e")`.  One pass alone skips occurrences whose leading
+delimiter the previous match consumed; pass two picks those up.
+Over-merging is impossible in either pass: a new (a, b) adjacency would
+need the merged token "ab" to equal "a" or "b".
+
+Exact merge semantics (property-tested in tests/test_bpe.py):
+- a ≠ b: occurrences cannot share a token, so the maximal match set is
+  unique and the 2-pass result EQUALS the canonical greedy
+  left-to-right BPE scan.
+- a == b (run merging, e.g. doubled letters): the result is a
+  deterministic MAXIMAL matching — valid (only (a,a) pairs merged),
+  content-preserving, with no adjacent (a,a) left — but for runs ≥5 the
+  chosen positions differ from the canonical scan, and an even run of
+  2k ≥ 6 yields k-1 merges where the canonical scan yields k
+  ("aaaaaa" → [aa,a,aa,a], canonical [aa,aa,aa]).  This variant is the
+  engine's DEFINED semantics: training and encoding apply it
+  identically, and the DuckDB oracle replays the same two-pass replace,
+  so pair counts, argmax choices and encodings agree bit-for-bit across
+  engines.
 
 Determinism: ties on pair count break by the pair's symbol order; the
 pair key is `a || \\x1f || b`, and since \\x1f sorts below every corpus
