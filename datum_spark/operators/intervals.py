@@ -36,6 +36,11 @@ def interval_overlap_join(a: DataFrame, b: DataFrame,
     [start, end] (microseconds, but any integer unit works) overlap.
     All four column names must be distinct. Returns each overlapping
     pair exactly once, with all columns of both inputs.
+
+    Input contract: every interval must satisfy start <= end — Spark's
+    ``sequence`` generates DESCENDING buckets for an inverted interval,
+    which would silently probe the wrong buckets; validate upstream
+    (e.g. via operators/expectations.py) if inversions are possible.
     """
     names = {a_start, a_end, b_start, b_end}
     if len(names) != 4:
