@@ -38,6 +38,7 @@ from .curriculum import (epoch_shuffle, grouped_global_position,
                          token_budget_sample)
 from .events import debounce, funnel, retention_cohorts, user_features
 from .graph import label_propagation, pagerank
+from .metrics import observe
 from .expectations import check_expectations, enforce_expectations
 from .text import (
     char_entropy,

@@ -810,3 +810,31 @@ def test_rank_queries_size_gate_paths_agree(spark, monkeypatch):
         big = [tuple(r) for r in fn(spark, sf).collect()]
         monkeypatch.setattr(ext, "_RANK_SMALL_BYTES", 512 << 20)
         assert small == big and len(small) > 0, name
+
+
+def test_observe_metrics_single_pass(spark, tmp_path):
+    """Observation metrics ride the write action itself — values are
+    available after ONE job, and match a direct aggregate."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.operators.metrics import observe
+    from datum_spark.sources.registry import read_parquet_normalized
+
+    ev = read_parquet_normalized(spark,
+                                 "/root/testdata/sf0.001/events.parquet")
+    df, obs = observe(ev, rows=F.count(F.lit(1)),
+                      errs=F.count_if(F.col("event_type") == "error"),
+                      max_val=F.round(F.max("value"), 2))
+    df.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["rows"] == ev.count()
+    assert got["errs"] == ev.filter("event_type = 'error'").count()
+
+
+def test_observe_requires_metrics(spark):
+    import pytest as _pytest
+
+    from datum_spark.operators.metrics import observe
+
+    with _pytest.raises(ValueError):
+        observe(spark.range(1))
