@@ -4,7 +4,7 @@ streaming — SURVEY §1.1 'not present')."""
 from .joins import clicks_purchases_join
 from .stateful import (running_totals, running_totals_batch,
                        streaming_debounce, streaming_funnel,
-                       streaming_last_wins)
+                       streaming_last_wins, upsert_sink)
 from .windows import (
     streaming_cms,
     ohlc_agg,
@@ -20,5 +20,5 @@ __all__ = [
     "tumbling_agg", "sliding_agg", "session_agg", "ohlc_agg", "stream_dedup",
     "read_events_stream", "run_stream_to_memory",
     "running_totals", "running_totals_batch", "streaming_funnel",
-    "streaming_debounce", "streaming_last_wins", "clicks_purchases_join", "streaming_cms",
+    "streaming_debounce", "streaming_last_wins", "upsert_sink", "clicks_purchases_join", "streaming_cms",
 ]

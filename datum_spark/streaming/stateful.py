@@ -323,3 +323,26 @@ def streaming_last_wins(changes: DataFrame, ts_col: str = "ts",
                 stateStructType=CDC_STATE,
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.EventTimeTimeout))
+
+
+def upsert_sink(stream: DataFrame, table, keys, checkpoint_dir: str):
+    """Exactly-once streaming materialization into a datum Table:
+    ``foreachBatch`` + :meth:`Table.upsert` — each micro-batch MERGEs on
+    ``keys``, so a replayed batch (restart between sink write and offset
+    commit, Structured Streaming's at-least-once window) lands on the
+    same keys and changes nothing.  Idempotent sink + checkpointed
+    offsets = effective exactly-once, the standard recipe when the sink
+    has no native transactions.
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.upsert(batch_df, keys)
+
+    return (stream.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("update")
+            .start())
