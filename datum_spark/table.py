@@ -374,6 +374,45 @@ class Table:
 
     # -- maintenance ---------------------------------------------------------
 
+    def overwrite_partitions(self, rows) -> None:
+        """Backfill: replace ONLY the hive partitions present in ``rows``
+        (dynamic partition overwrite), leaving every other partition's
+        files untouched.  The incremental-recompute primitive at scale —
+        re-deriving three changed days of a 100 TB date-partitioned table
+        rewrites three directories, not the table.  Requires the table to
+        have been created with ``partition_by``.
+        """
+        part_cols = self._props.get("partition_by")
+        if not part_cols:
+            raise ValueError(
+                f"table {self.name!r} is not partitioned; "
+                "overwrite_partitions needs a partition_by table")
+        df = rows if isinstance(rows, DataFrame) else self._rows_to_df(
+            list(rows), list(rows[0].keys()) if rows else self.fields)
+        for c in part_cols:
+            if c not in df.columns:
+                raise ValueError(f"rows missing partition field: {c!r}")
+        pk = self.pk_field
+        if pk and self._props.get("pk_auto") and pk not in df.columns:
+            df = self._with_dense_ids(df, pk, self._next_pk_base())
+        aligned = [
+            (F.col(f.name) if f.name in df.columns else F.lit(None))
+            .cast(f.dataType).alias(f.name)
+            for f in self._schema.fields
+        ]
+        spark = self.db.spark
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            (df.select(*aligned).write.mode("overwrite")
+             .partitionBy(*part_cols)
+             .parquet(self.db._table_path(self.name)))
+        finally:
+            spark.conf.set(key, prev)
+        self.db._registered.discard(self.name)
+        self._schema_cache = None
+
     def optimize(self, cluster_by: list[str] | str,
                  target_partitions: int | None = None,
                  zorder: bool = False) -> None:

@@ -415,3 +415,35 @@ def test_upsert_validates_keys(tmp_db):
         tmp_db["u2"].upsert([{"id": 2, "s": "x"}], keys="nope")
     with _pytest.raises(ValueError):
         tmp_db["u2"].upsert([{"s": "x"}], keys="id")
+
+
+def test_overwrite_partitions_touches_only_changed(tmp_db):
+    """Dynamic partition overwrite: backfilling one partition's rows must
+    leave the other partitions' parquet files physically untouched."""
+    import glob
+    import os
+
+    db = tmp_db
+    db.create_table("m", [{"name": "day", "type": "text"},
+                          {"name": "v", "type": "num"}],
+                    partition_by=["day"])
+    db["m"].write([{"day": "d1", "v": 1}, {"day": "d1", "v": 2},
+                   {"day": "d2", "v": 3}])
+    path = db._table_path("m")
+    d2_files = {f: os.path.getmtime(f)
+                for f in glob.glob(f"{path}/day=d2/*.parquet")}
+    assert d2_files
+    db["m"].overwrite_partitions([{"day": "d1", "v": 10}])
+    got = sorted((r["day"], r["v"]) for r in db["m"].read())
+    assert got == [("d1", 10.0), ("d2", 3.0)]
+    after = {f: os.path.getmtime(f)
+             for f in glob.glob(f"{path}/day=d2/*.parquet")}
+    assert after == d2_files    # untouched files, same mtimes
+
+
+def test_overwrite_partitions_requires_partitioned_table(tmp_db):
+    import pytest as _pytest
+
+    tmp_db.create_table("u", [{"name": "a", "type": "num"}])
+    with _pytest.raises(ValueError):
+        tmp_db["u"].overwrite_partitions([{"a": 1}])
