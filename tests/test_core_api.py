@@ -447,3 +447,36 @@ def test_overwrite_partitions_requires_partitioned_table(tmp_db):
     tmp_db.create_table("u", [{"name": "a", "type": "num"}])
     with _pytest.raises(ValueError):
         tmp_db["u"].overwrite_partitions([{"a": 1}])
+
+
+def test_compact_reduces_file_count(tmp_db):
+    """Many small appends → one compaction pass → fewer files, same rows."""
+    import glob
+
+    db = tmp_db
+    db.create_table("c", [{"name": "a", "type": "num"}])
+    for i in range(6):                       # 6 appends → ≥6 small files
+        db["c"].write([{"a": i}, {"a": i + 100}])
+    path = db._table_path("c")
+    before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+    rows_before = sorted(r["a"] for r in db["c"].read())
+    n_after = db["c"].compact(target_file_mb=128)
+    assert n_after < before
+    assert sorted(r["a"] for r in db["c"].read()) == rows_before
+
+
+def test_compact_preserves_hive_partitions(tmp_db):
+    import glob
+    import os
+
+    db = tmp_db
+    db.create_table("cp", [{"name": "day", "type": "text"},
+                           {"name": "v", "type": "num"}],
+                    partition_by=["day"])
+    for i in range(4):
+        db["cp"].write([{"day": "d1", "v": i}, {"day": "d2", "v": i}])
+    db["cp"].compact()
+    path = db._table_path("cp")
+    assert os.path.isdir(f"{path}/day=d1") and os.path.isdir(f"{path}/day=d2")
+    got = sorted((r["day"], r["v"]) for r in db["cp"].read())
+    assert len(got) == 8 and got[0][0] == "d1"
