@@ -74,11 +74,12 @@ _RECHECK_R5 = {
     "x119_bpe_encode", "x120_assoc_rules",
     "x121_decile_lift", "x122_winsorize",
     "x123_scd2", "x124_activity_streaks",
+    "x125_snapshot_diff", "x129_communities",
 }
-# x125–x129 (snapshot diff, ref-integrity, OHLC, top-k-with-ties, LPA
-# communities) are NOT in the set: it already fills the driver's 50-entry
-# verification cap.  Each is diff_runner-green locally (see COVERAGE.md)
-# and rotates into the r6 driver check via the not-in-_DRIVER_CHECKED
+# The set fills the driver's 50-entry verification cap exactly.  The
+# remaining brand-new entries (x126 ref-integrity, x127 OHLC, x128
+# top-k-with-ties) are diff_runner-green locally (see COVERAGE.md) and
+# rotate into the r6 driver check via the not-in-_DRIVER_CHECKED
 # priority tier.
 
 
