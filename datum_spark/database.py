@@ -475,6 +475,36 @@ class Database:
             self._register(name)
         return {"rows_read": rows}
 
+    def vacuum(self) -> list[str]:
+        """Remove stale maintenance debris from the warehouse directory:
+        crashed rewrite staging/backup dirs (``*.__rewrite__`` /
+        ``*.__old__`` — left only if a write-then-swap died mid-flight;
+        the next rewrite would also clear its own) and Spark's
+        ``_temporary`` job-attempt dirs.  Returns the removed paths.
+
+        Deliberately conservative: only recognizably-transient names are
+        touched — never data files, so a concurrent reader of a LIVE
+        table is unaffected.  (Time-travel-style retention vacuums are a
+        lake-format feature; plain Parquet has no snapshot manifest to
+        vacuum against.)
+        """
+        if self.scheme != "file":
+            return []
+        removed: list[str] = []
+        for entry in sorted(os.listdir(self.path)):
+            p = os.path.join(self.path, entry)
+            if entry.endswith((".__rewrite__", ".__old__")) \
+                    and os.path.isdir(p):
+                shutil.rmtree(p)
+                removed.append(p)
+                continue
+            if os.path.isdir(p):
+                tmp = os.path.join(p, "_temporary")
+                if os.path.isdir(tmp):
+                    shutil.rmtree(tmp)
+                    removed.append(tmp)
+        return removed
+
     # -- lifecycle -------------------------------------------------------------
 
     def save(self) -> None:

@@ -480,3 +480,22 @@ def test_compact_preserves_hive_partitions(tmp_db):
     assert os.path.isdir(f"{path}/day=d1") and os.path.isdir(f"{path}/day=d2")
     got = sorted((r["day"], r["v"]) for r in db["cp"].read())
     assert len(got) == 8 and got[0][0] == "d1"
+
+
+def test_vacuum_removes_stale_staging_only(tmp_db):
+    """vacuum clears crashed-rewrite debris and _temporary dirs but never
+    touches live table data."""
+    import os
+
+    db = tmp_db
+    db.create_table("v", [{"name": "a", "type": "num"}])
+    db["v"].write([{"a": 1}])
+    root = db.path
+    os.makedirs(os.path.join(root, "v.parquet.__rewrite__"))
+    os.makedirs(os.path.join(root, "v.parquet.__old__"))
+    os.makedirs(os.path.join(root, "v.parquet", "_temporary"))
+    removed = db.vacuum()
+    assert len(removed) == 3
+    assert not os.path.exists(os.path.join(root, "v.parquet.__rewrite__"))
+    assert [r["a"] for r in db["v"].read()] == [1.0]
+    assert db.vacuum() == []     # idempotent
