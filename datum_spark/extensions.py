@@ -4047,6 +4047,114 @@ def x129(spark, sf):
             .orderBy(F.desc("n_members"), "community").limit(50))
 
 
+@x("x130_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+), t AS (
+  SELECT prev, event_type AS next, COUNT(*) AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+)
+SELECT prev, next, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev), 6) AS p
+FROM t ORDER BY n DESC, prev, next LIMIT 25""")
+def x130(spark, sf):
+    """Event-path analysis: the first-order Markov transition matrix of
+    per-user event sequences — lag over the user-keyed window (one hash
+    exchange), then a transition rollup whose row-count is bounded by
+    |event_type|², so the probability window runs on a 25-row table.
+    The clickstream-path building block (next-step prediction, funnel
+    discovery)."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (ev.withColumn("prev", F.lag("event_type").over(w))
+           .filter(F.col("prev").isNotNull())
+           .groupBy("prev", F.col("event_type").alias("next"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    wp = Window.partitionBy("prev")     # ≤ |event_type|² rows here
+    return (t.select("prev", "next", "n",
+                     F.round(F.col("n") / F.sum("n").over(wp), 6)
+                      .alias("p"))
+             .orderBy(F.desc("n"), "prev", "next").limit(25))
+
+
+@x("x131_survival", """
+WITH su AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS s_us
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), pu AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_us
+  FROM events e JOIN su ON e.user_id = su.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > su.s_us
+  GROUP BY e.user_id
+), mx AS (SELECT MAX(epoch_us(ts)) AS m_us FROM events),
+durs AS (
+  SELECT su.user_id,
+         CAST((COALESCE(pu.p_us, mx.m_us) - su.s_us) // 86400000000
+              AS BIGINT) AS dur,
+         CASE WHEN pu.p_us IS NULL THEN 0 ELSE 1 END AS ev
+  FROM su LEFT JOIN pu ON su.user_id = pu.user_id, mx
+), hist AS (
+  SELECT dur, SUM(ev) AS d, COUNT(*) AS c FROM durs GROUP BY dur
+), km AS (
+  SELECT dur, d,
+         SUM(c) OVER (ORDER BY dur DESC) AS n_risk
+  FROM hist
+)
+SELECT dur AS day, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       ROUND(CASE WHEN MIN(1 - d * 1.0 / n_risk) OVER w = 0 THEN 0.0
+             ELSE exp(SUM(ln(NULLIF(1 - d * 1.0 / n_risk, 0))) OVER w)
+             END, 6) AS survival
+FROM km WHERE d > 0
+WINDOW w AS (ORDER BY dur)
+ORDER BY day""")
+def x131(spark, sf):
+    """Kaplan–Meier survival: signup → first-purchase time-to-event with
+    right-censoring at the corpus horizon.  The heavy work is two
+    user-keyed aggregates (first signup, first qualifying purchase) and
+    one groupBy(duration); the KM product-limit estimator then runs as
+    exp(Σ ln(1−d/n)) windows over the DAY HISTOGRAM (≤ observation-window
+    days, here ≤31 rows) — never a window over users.  Survival analysis
+    for conversion/retention at 100 TB in three bounded aggregates."""
+    ev = load(spark, sf, "events").withColumn("__us", F.unix_micros("ts"))
+    su = (ev.filter(F.col("event_type") == "signup")
+            .groupBy("user_id").agg(F.min("__us").alias("s_us")))
+    pu = (ev.filter(F.col("event_type") == "purchase")
+            .join(su, "user_id")
+            .filter(F.col("__us") > F.col("s_us"))
+            .groupBy("user_id").agg(F.min("__us").alias("p_us")))
+    mx = ev.agg(F.max("__us").alias("m_us"))
+    durs = (su.join(pu, "user_id", "left").crossJoin(F.broadcast(mx))
+            .select(F.floor((F.coalesce("p_us", "m_us") - F.col("s_us"))
+                            / F.lit(86_400_000_000)).alias("dur"),
+                    F.when(F.col("p_us").isNull(), 0).otherwise(1)
+                     .alias("ev")))
+    hist = durs.groupBy("dur").agg(F.sum("ev").alias("d"),
+                                   F.count(F.lit(1)).alias("c"))
+    w_desc = (Window.orderBy(F.desc("dur"))        # ≤31-row histogram
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_asc = (Window.orderBy("dur")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    km = hist.withColumn("n_risk", F.sum("c").over(w_desc))
+    term = 1 - F.col("d") / F.col("n_risk")
+    # final-day survival can be exactly 0 (everyone at risk converts):
+    # ln(0) is out of range, so zero terms go through NULLIF (ignored by
+    # the sum — Spark's log(0) is null anyway) and a min-term guard pins
+    # the curve to 0.0 from that day on.
+    surv = F.when(F.min(term).over(w_asc) == 0, F.lit(0.0)) \
+            .otherwise(F.exp(F.sum(F.log(F.nullif(term, F.lit(0))))
+                             .over(w_asc)))
+    return (km.filter(F.col("d") > 0)
+              .select(F.col("dur").alias("day"),
+                      F.col("n_risk").cast("long"),
+                      F.col("d").cast("long").alias("n_events"),
+                      F.round(surv, 6).alias("survival"))
+              .orderBy("day"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
