@@ -4155,6 +4155,117 @@ def x131(spark, sf):
               .orderBy("day"))
 
 
+@x("x132_bigram_lm", """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT word, COUNT(*) AS c
+  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+), v AS (SELECT COUNT(*) AS nv FROM uni),
+bi AS (
+  SELECT w1, w2, COUNT(*) AS c FROM (
+    SELECT ws[i] AS w1, ws[i+1] AS w2
+    FROM w, unnest(range(1, len(ws))) AS t(i)
+  ) GROUP BY w1, w2
+), scored AS (
+  SELECT d.doc_id,
+         AVG(ln((COALESCE(bi.c, 0) + 1.0) / (uni.c + v.nv))) AS lp,
+         COUNT(*) AS n_bi
+  FROM (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        FROM w, unnest(range(1, len(ws))) AS t(i)) d
+  JOIN uni ON d.w1 = uni.word
+  LEFT JOIN bi ON d.w1 = bi.w1 AND d.w2 = bi.w2, v
+  GROUP BY d.doc_id
+)
+SELECT doc_id, ROUND(lp, 6) AS avg_logprob,
+       CAST(n_bi AS BIGINT) AS n_bigrams
+FROM scored ORDER BY doc_id""")
+def x132(spark, sf):
+    """Bigram language-model quality score: add-one-smoothed
+    P(w2|w1) trained on the corpus itself, per-doc mean log-probability —
+    the statistical-LM quality filter that complements char-entropy (x97)
+    and n-gram novelty (x98).  The unigram/bigram count tables are
+    corpus-bounded aggregates joined back BY KEY (no broadcast
+    assumption: at 100 TB the bigram table is itself large, and the join
+    hashes on w1/w2); the vocab size rides as one broadcast scalar."""
+    docs = load_docs(spark, sf)
+    ws = F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                  lambda x: x != F.lit(""))
+    w = docs.select("doc_id", ws.alias("ws"))
+    pairs = (w.select("doc_id", "ws",
+                      F.posexplode(F.slice("ws", 1,
+                                           F.greatest(F.size("ws") - 1,
+                                                      F.lit(0))))
+                      .alias("i", "w1"))
+             .select("doc_id", "w1",
+                     F.element_at("ws", F.col("i") + 2).alias("w2")))
+    uni = (w.select(F.explode("ws").alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("uc")))
+    nv = uni.agg(F.count(F.lit(1)).alias("nv"))
+    bi = (pairs.groupBy(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
+               .agg(F.count(F.lit(1)).alias("bc")))
+    scored = (pairs
+              .join(uni, pairs.w1 == uni.word)
+              .join(bi, (pairs.w1 == bi.b1) & (pairs.w2 == bi.b2), "left")
+              .crossJoin(F.broadcast(nv))
+              .groupBy("doc_id")
+              .agg(F.round(F.avg(F.log(
+                      (F.coalesce("bc", F.lit(0)) + 1.0)
+                      / (F.col("uc") + F.col("nv")))), 6)
+                    .alias("avg_logprob"),
+                   F.count(F.lit(1)).alias("n_bigrams")))
+    return scored.orderBy("doc_id")
+
+
+@x("x133_quantization_error", """
+WITH q AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         GREATEST(list_max(list_transform(embedding::DOUBLE[],
+                                          x -> abs(x))), 1e-12) AS s
+  FROM embeddings WHERE embedding IS NOT NULL
+), r AS (
+  SELECT vec_id,
+         list_max(list_transform(
+           list_zip(e, list_transform(e,
+             x -> round(x / s * 127) / 127.0 * s)),
+           p -> abs(p[1] - p[2]))) AS max_err,
+         s
+  FROM q
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(max_err), 8) AS mean_max_err,
+       ROUND(MAX(max_err), 8) AS worst_err,
+       ROUND(MAX(max_err / s), 8) AS worst_rel_err
+FROM r""")
+def x133(spark, sf):
+    """Int8 symmetric quantization audit for the embedding lake: each
+    vector quantized with its own scale (max-abs / 127), then the
+    per-vector max reconstruction error and the corpus-level error stats
+    — the 4× storage-reduction sanity check run before swapping a 100 TB
+    float32 embedding store to int8.  Pure array-lambda JVM expressions,
+    map-only, one final 1-row aggregate."""
+    emb = load_emb(spark, sf).filter(F.col("embedding").isNotNull())
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    q = emb.select(
+        "vec_id", e.alias("e"),
+        F.greatest(F.array_max(F.transform(e, F.abs)), F.lit(1e-12))
+         .alias("s"))
+    rec = F.transform("e", lambda x:
+                      F.round(x / F.col("s") * 127) / 127.0 * F.col("s"))
+    r = q.select(
+        "s",
+        F.array_max(F.zip_with("e", rec,
+                               lambda a, b: F.abs(a - b))).alias("max_err"))
+    return r.agg(F.count(F.lit(1)).alias("n_vectors"),
+                 F.round(F.avg("max_err"), 8).alias("mean_max_err"),
+                 F.round(F.max("max_err"), 8).alias("worst_err"),
+                 F.round(F.max(F.col("max_err") / F.col("s")), 8)
+                  .alias("worst_rel_err"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
