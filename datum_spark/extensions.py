@@ -4266,6 +4266,36 @@ def x133(spark, sf):
                   .alias("worst_rel_err"))
 
 
+@x("x134_k_anonymity", """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COUNT(*) FILTER (WHERE sz < 5) AS BIGINT) AS classes_lt_k,
+       CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+         AS rows_at_risk,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size
+FROM g""")
+def x134(spark, sf):
+    """k-anonymity audit (k=5) over the quasi-identifier pair
+    (nation, market segment): equivalence-class sizes from ONE keyed
+    aggregate, then a 1-row risk summary — classes smaller than k and
+    the row count they expose.  The privacy gate a training-data release
+    runs before shipping; the class table is |QI-combinations|-bounded,
+    never row-bounded."""
+    c = load(spark, sf, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("sz")))
+    lt = F.col("sz") < 5
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count_if(lt).alias("classes_lt_k"),
+        F.coalesce(F.sum(F.when(lt, F.col("sz"))), F.lit(0))
+         .cast("long").alias("rows_at_risk"),
+        F.min("sz").cast("long").alias("min_class_size"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
