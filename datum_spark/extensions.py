@@ -4296,6 +4296,86 @@ def x134(spark, sf):
         F.min("sz").cast("long").alias("min_class_size"))
 
 
+def _copurchase_edges(spark, sf, min_support: int = 2) -> DataFrame:
+    """Canonical (p1 < p2) co-purchase part graph from lineitem: the
+    x117 pair generator with a support threshold — one hash shuffle on
+    l_orderkey, per-order fan-out bounded by basket size squared."""
+    it = (load(spark, sf, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    a, b = it.alias("a"), it.alias("b")
+    return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("p1"),
+                      F.col("b.l_partkey").alias("p2"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter(F.col("n") >= min_support)
+             .select("p1", "p2"))
+
+
+_COPURCHASE_EDGE_SQL = """
+it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ec AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2 FROM it a JOIN it b
+       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2)"""
+
+
+@x("x135_triangle_count", f"""
+WITH {_COPURCHASE_EDGE_SQL},
+deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT p1 AS v FROM ec UNION ALL SELECT p2 AS v FROM ec) GROUP BY v),
+tri AS (
+  SELECT COUNT(*) AS n_tri
+  FROM ec e1 JOIN ec e2 ON e2.p1 = e1.p2
+             JOIN ec e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
+       CAST((SELECT COUNT(*) FROM ec) AS BIGINT) AS n_edges,
+       CAST(n_tri AS BIGINT) AS n_triangles,
+       ROUND(3.0 * n_tri
+             / NULLIF((SELECT SUM(d * (d - 1) / 2) FROM deg), 0), 6)
+         AS clustering_coeff
+FROM tri""")
+def x135(spark, sf):
+    """Triangle census + global clustering coefficient of the
+    co-purchase part graph (support ≥ 2): cohesion audit of a
+    similarity/co-occurrence graph before community detection (x129) —
+    a near-zero coefficient means the LSH/co-occurrence edges are noise,
+    not clusters.  graph.triangle_stats uses degree-ordered orientation
+    (O(m^1.5) node-iterator), so the count survives celebrity vertices
+    at 100 TB; the DuckDB twin counts the same triangles via the
+    canonical p1<p2 three-way join."""
+    from .operators.graph import triangle_stats
+    return triangle_stats(_copurchase_edges(spark, sf))
+
+
+@x("x136_reachability", f"""
+WITH RECURSIVE {_COPURCHASE_EDGE_SQL},
+e AS (SELECT p1 AS src, p2 AS dst FROM ec
+      UNION ALL SELECT p2, p1 FROM ec),
+r(node, hop) AS (
+  SELECT DISTINCT src AS node, 0 AS hop FROM e WHERE src <= 25
+  UNION ALL
+  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node WHERE r.hop < 3)
+SELECT node AS part_id, CAST(MIN(hop) AS BIGINT) AS hops
+FROM r GROUP BY node ORDER BY hops, part_id""")
+def x136(spark, sf):
+    """3-hop BFS reachability from seed parts (ids ≤ 25) over the
+    co-purchase graph: min-hop distance per reached node — the blast
+    radius query behind contaminated-source spread and recommendation
+    candidate generation.  graph.bfs_min_hops expands a frontier with
+    one keyed join + anti-join per level (never re-expanding visited
+    nodes), depth-bounded not data-bounded; the oracle replays it with a
+    recursive CTE and MIN(hop)."""
+    from .operators.graph import bfs_min_hops
+    edges = _copurchase_edges(spark, sf)
+    seeds = (edges.select(F.col("p1").alias("node"))
+             .union(edges.select(F.col("p2").alias("node")))
+             .filter(F.col("node") <= 25).distinct())
+    return (bfs_min_hops(edges, seeds, max_hops=3)
+            .select(F.col("node").alias("part_id"), "hops")
+            .orderBy("hops", "part_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

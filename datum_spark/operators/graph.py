@@ -103,6 +103,97 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     return ranks
 
 
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """Triangle census of an undirected graph given as a canonical pair
+    list (2 columns, ``src < dst``, deduplicated): one row with
+    ``(n_vertices, n_edges, n_triangles, clustering_coeff)`` where the
+    global clustering coefficient is ``3·triangles / wedges``.
+
+    Scale shape is the degree-ordered orientation (node-iterator of
+    Schank & Wagner): each edge is directed from its lower-``(deg, id)``
+    endpoint to the higher one, so every triangle is counted exactly once
+    as ``a→b, b→c, a→c`` and the wedge join's fan-out per node is
+    bounded by its ORIENTED out-degree — ``O(m^{3/2})`` total work
+    instead of the ``Σ deg²`` of the naive wedge join; a celebrity node
+    with 10⁶ neighbors contributes almost no oriented wedges.  Three
+    hash joins on node keys, no driver-side data.
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    e = (edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+         .filter(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=False))
+    deg = (e.select(F.col("u").alias("node"))
+            .union(e.select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=False))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient low-(deg, id) → high-(deg, id)
+    o = (e.join(du, "u").join(dv, "v")
+          .select(F.when((F.col("du") < F.col("dv"))
+                         | ((F.col("du") == F.col("dv"))
+                            & (F.col("u") < F.col("v"))),
+                         F.struct(F.col("u").alias("s"),
+                                  F.col("v").alias("d")))
+                  .otherwise(F.struct(F.col("v").alias("s"),
+                                      F.col("u").alias("d")))
+                  .alias("o"))
+          .select(F.col("o.s").alias("s"), F.col("o.d").alias("d"))
+          .localCheckpoint(eager=False))
+    o1 = o.select(F.col("s").alias("x"), F.col("d").alias("y"))
+    o2 = o.select(F.col("s").alias("y"), F.col("d").alias("z"))
+    wedges = o1.join(o2, "y").select("x", "z")
+    closing = o.select(F.col("s").alias("x"), F.col("d").alias("z"))
+    tri = wedges.join(closing, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_tri"))
+    summary = (deg.agg(F.count(F.lit(1)).alias("n_vertices"),
+                       (F.sum("deg") / 2).cast("long").alias("n_edges"),
+                       F.sum(F.col("deg") * (F.col("deg") - 1) / 2)
+                        .alias("wedges"))
+               .crossJoin(F.broadcast(tri)))
+    return summary.select(
+        "n_vertices", "n_edges",
+        F.col("n_tri").cast("long").alias("n_triangles"),
+        F.round(3.0 * F.col("n_tri") / F.nullif(F.col("wedges"), F.lit(0)),
+                6).alias("clustering_coeff"))
+
+
+def bfs_min_hops(edges: DataFrame, seeds: DataFrame,
+                 max_hops: int = 3) -> DataFrame:
+    """Minimum hop distance from a seed set over an undirected canonical
+    pair list (2 columns): frontier-expanding BFS, returning
+    ``(node, hops)`` for every node within ``max_hops`` of any seed
+    (seeds themselves at hop 0).  ``seeds`` is a 1-column DataFrame.
+
+    One hash join + distinct per level — the frontier is joined against
+    the edge list keyed on src, and already-visited nodes are pruned with
+    a left-anti join so the frontier never re-expands (the visited set
+    grows monotonically; lineage truncated per level).  No driver-side
+    data; the loop is depth-bounded, not data-bounded.
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    e = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+         .union(edges.select(F.col(b).alias("src"),
+                             F.col(a).alias("dst")))
+         .filter(F.col("src") != F.col("dst")).distinct()
+         .localCheckpoint(eager=False))
+    nodes = (e.select(F.col("src").alias("node")).distinct())
+    frontier = (nodes.join(
+        seeds.select(F.col(seeds.columns[0]).alias("node")).distinct(),
+        "node", "semi")
+        .withColumn("hops", F.lit(0)).localCheckpoint(eager=False))
+    visited = frontier
+    for h in range(1, max_hops + 1):
+        nxt = (e.join(frontier.select(F.col("node").alias("src")), "src")
+                .select(F.col("dst").alias("node")).distinct()
+                .join(visited, "node", "anti")
+                .withColumn("hops", F.lit(h))
+                .localCheckpoint(eager=False))
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("long").alias("hops"))
+
+
 def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Synchronous label propagation over an undirected pair list
     (columns id_a, id_b): community detection for near-dup graphs —

@@ -64,3 +64,71 @@ def test_label_propagation_two_iter_intermediate(spark):
     got = {r.node: r.label
            for r in label_propagation(pairs, iters=2).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 2}
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats / bfs_min_hops (x135 / x136)
+
+from datum_spark.operators.graph import bfs_min_hops, triangle_stats  # noqa: E402
+
+
+def _tri(spark, pairs):
+    df = spark.createDataFrame(pairs, "u long, v long")
+    return triangle_stats(df).collect()[0].asDict()
+
+
+def test_triangle_k4_has_four_triangles(spark):
+    # complete graph on 4 nodes: C(4,3)=4 triangles, coeff 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _tri(spark, k4)
+    assert (r["n_vertices"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert abs(r["clustering_coeff"] - 1.0) < 1e-9
+
+
+def test_triangle_path_has_none(spark):
+    r = _tri(spark, [(1, 2), (2, 3), (3, 4)])
+    assert r["n_triangles"] == 0
+    assert r["clustering_coeff"] == 0.0
+
+
+def test_triangle_orientation_matches_naive_on_star_plus_tri(spark):
+    # hub with many leaves (degree skew) plus one triangle off to the side:
+    # degree-ordered orientation must still count exactly 1
+    pairs = [(0, i) for i in range(1, 9)] + [(10, 11), (11, 12), (10, 12)]
+    r = _tri(spark, pairs)
+    assert r["n_triangles"] == 1
+
+
+def test_triangle_input_order_and_dupes_ignored(spark):
+    # duplicate + self edges are scrubbed before counting
+    pairs = [(1, 2), (1, 2), (2, 3), (1, 3), (2, 2)]
+    r = _tri(spark, pairs)
+    assert (r["n_edges"], r["n_triangles"]) == (3, 1)
+
+
+def _hops(spark, pairs, seeds, max_hops=3):
+    e = spark.createDataFrame(pairs, "u long, v long")
+    s = spark.createDataFrame([(x,) for x in seeds], "node long")
+    return {r["node"]: r["hops"]
+            for r in bfs_min_hops(e, s, max_hops).collect()}
+
+
+def test_bfs_path_graph_hops(spark):
+    h = _hops(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1])
+    assert h == {1: 0, 2: 1, 3: 2, 4: 3}  # 5 is 4 hops away: excluded
+
+
+def test_bfs_min_over_multiple_seeds(spark):
+    # node 3 reachable from both ends; min hop wins
+    h = _hops(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], [1, 5], max_hops=2)
+    assert h[3] == 2 and h[2] == 1 and h[4] == 1
+
+
+def test_bfs_undirected_and_cycle_terminates(spark):
+    h = _hops(spark, [(1, 2), (2, 3), (3, 1)], [2], max_hops=3)
+    assert h == {1: 1, 2: 0, 3: 1}
+
+
+def test_bfs_seed_not_in_graph_ignored(spark):
+    h = _hops(spark, [(1, 2)], [99])
+    assert h == {}
