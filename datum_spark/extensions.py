@@ -4376,6 +4376,76 @@ def x136(spark, sf):
             .orderBy("hops", "part_id"))
 
 
+@x("x137_rolling_corr", """
+SELECT l_partkey, l_orderkey, l_linenumber,
+       ROUND(corr(l_quantity, l_discount) OVER (
+         PARTITION BY l_partkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 4) + 0.0 AS roll_corr
+FROM lineitem WHERE l_partkey < 200
+ORDER BY l_partkey, l_orderkey, l_linenumber""")
+def x137(spark, sf):
+    """Trailing 10-row Pearson correlation between quantity and discount
+    per part, ordered by ship date with a full deterministic tie-break —
+    the rolling co-movement feature behind drift monitors and pairs
+    signals.  The window is partitioned by l_partkey (bounded per-key
+    history, never a global sort) and the frame is ROWS-bounded, so
+    state per task is 10 rows.  Spelled as covar_pop / (σx·σy) with
+    try_divide rather than `F.corr`: under ANSI mode Spark's corr raises
+    DIVIDE_BY_ZERO on degenerate frames (1 row / zero variance) where
+    DuckDB yields NULL — the explicit ratio gives the NULL semantics
+    while staying a JVM window aggregate.  Both sides add +0.0 after the
+    round to collapse IEEE -0.0 into 0.0 for hash parity."""
+    li = load(spark, sf, "lineitem").filter(F.col("l_partkey") < 200)
+    w = (Window.partitionBy("l_partkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(-9, 0))
+    corr = F.try_divide(
+        F.covar_pop("l_quantity", "l_discount").over(w),
+        F.nullif(F.stddev_pop("l_quantity").over(w)
+                 * F.stddev_pop("l_discount").over(w), F.lit(0.0)))
+    return (li.select(
+                "l_partkey", "l_orderkey", "l_linenumber",
+                (F.round(corr, 4) + 0.0).alias("roll_corr"))
+              .orderBy("l_partkey", "l_orderkey", "l_linenumber"))
+
+
+@x("x138_attribution", """
+WITH t AS (
+  SELECT user_id, event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 4) AS revenue
+FROM t WHERE event_type = 'purchase'
+GROUP BY 1 ORDER BY 1""")
+def x138(spark, sf):
+    """Last-touch marketing attribution: each purchase's value credited
+    to the user's most recent preceding non-purchase event type
+    ('direct' when none), then revenue by channel.  One window keyed on
+    user_id (per-user history, no global order) using
+    `last(..., ignorenulls=True)` over an unbounded-preceding frame that
+    EXCLUDES the current row, then a tiny keyed aggregate — the
+    standard attribution shape that at 100 TB rides a single hash
+    exchange on user_id."""
+    ev = load(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ch = F.last(F.when(F.col("event_type") != "purchase",
+                       F.col("event_type")), ignorenulls=True).over(w)
+    return (ev.withColumn("channel", ch)
+              .filter(F.col("event_type") == "purchase")
+              .groupBy(F.coalesce("channel", F.lit("direct"))
+                        .alias("channel"))
+              .agg(F.count(F.lit(1)).alias("n_purchases"),
+                   F.round(F.sum("value"), 4).alias("revenue"))
+              .orderBy("channel"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
