@@ -4446,6 +4446,119 @@ def x138(spark, sf):
               .orderBy("channel"))
 
 
+@x("x139_ab_test", """
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5('ab-' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS v,
+         CASE WHEN COUNT(*) FILTER (WHERE event_type = 'purchase') >= 13
+              THEN 1 ELSE 0 END AS conv
+  FROM events GROUP BY user_id
+), s AS (
+  SELECT CAST(COUNT(*) FILTER (WHERE v = 0) AS BIGINT) AS n_a,
+         CAST(COUNT(*) FILTER (WHERE v = 1) AS BIGINT) AS n_b,
+         CAST(SUM(conv) FILTER (WHERE v = 0) AS BIGINT) AS conv_a,
+         CAST(SUM(conv) FILTER (WHERE v = 1) AS BIGINT) AS conv_b
+  FROM u
+)
+SELECT n_a, n_b, conv_a, conv_b,
+       ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+       ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+       ROUND((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+             / sqrt((conv_a + conv_b) * 1.0 / (n_a + n_b)
+                    * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)), 6) AS z_score
+FROM s""")
+def x139(spark, sf):
+    """Two-proportion z-test over a deterministic 50/50 user split:
+    variant from the portable md5 bucket (the x59 discipline — any
+    engine reproduces the assignment), conversion = 13+ purchases (mid-
+    range rate at the test SF, so the variance term is live), then the
+    pooled z-score in one row; try_divide keeps a degenerate pool
+    (p ∈ {0,1}) a NULL z instead of an ANSI error.  Experiment readout shape: one
+    keyed aggregate per user then a single global reduce — no windows,
+    no shuffle beyond the user_id hash."""
+    from .operators.sampling import md5_bucket
+
+    u = (load(spark, sf, "events")
+         .groupBy("user_id")
+         .agg(F.when(F.count_if(F.col("event_type") == "purchase")
+                     >= 13, 1).otherwise(0).alias("conv"))
+         .withColumn("v", md5_bucket(F.col("user_id"), "ab") % 2))
+    s = u.agg(
+        F.count_if(F.col("v") == 0).alias("n_a"),
+        F.count_if(F.col("v") == 1).alias("n_b"),
+        F.sum(F.when(F.col("v") == 0, F.col("conv"))).alias("conv_a"),
+        F.sum(F.when(F.col("v") == 1, F.col("conv"))).alias("conv_b"))
+    ra = F.col("conv_a") / F.col("n_a")
+    rb = F.col("conv_b") / F.col("n_b")
+    p = (F.col("conv_a") + F.col("conv_b")) / (F.col("n_a") + F.col("n_b"))
+    z = F.try_divide(
+        ra - rb,
+        F.nullif(F.sqrt(p * (1 - p)
+                        * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+                 F.lit(0.0)))
+    return s.select("n_a", "n_b", "conv_a", "conv_b",
+                    F.round(ra, 6).alias("rate_a"),
+                    F.round(rb, 6).alias("rate_b"),
+                    F.round(z, 6).alias("z_score"))
+
+
+@x("x140_gini", """
+WITH rev AS (
+  SELECT c_custkey, c_nationkey,
+         COALESCE(SUM(o_totalprice), 0) AS r
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), rk AS (
+  SELECT c_nationkey, r,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY r, c_custkey) AS i
+  FROM rev
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(r), 2) AS total_rev,
+       ROUND(2.0 * SUM(i * r) / NULLIF(COUNT(*) * SUM(r), 0)
+             - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+FROM rk JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name""")
+def x140(spark, sf):
+    """Per-nation Gini coefficient of customer revenue (inequality /
+    concentration audit — the fairness twin of the x121 gains table).
+    Rank-within-nation comes from curriculum.grouped_global_position
+    (range partition + broadcast offsets), NOT Window.partitionBy(nation)
+    — 25 nations over billions of customers would funnel each nation
+    through one window task; zero-revenue customers kept via the left
+    join so the coefficient covers the whole population."""
+    from .operators.curriculum import grouped_global_position
+
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    rev = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+               .groupBy("c_custkey", "c_nationkey")
+               .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))
+                    .alias("r")))
+    rk = grouped_global_position(
+        rev, ["c_nationkey"], [F.col("r"), F.col("c_custkey")], "rk0")
+    nation = load(spark, sf, "nation")
+    g = (rk.withColumn("i", F.col("rk0") + 1)
+           .groupBy("c_nationkey")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("r").alias("sr"),
+                F.sum(F.col("i") * F.col("r")).alias("sir")))
+    gini = (2.0 * F.col("sir") / F.nullif(F.col("n") * F.col("sr"),
+                                          F.lit(0))
+            - (F.col("n") + 1.0) / F.col("n"))
+    return (g.join(F.broadcast(nation),
+                   g.c_nationkey == nation.n_nationkey)
+             .select("n_name",
+                     F.col("n").alias("n_customers"),
+                     F.round("sr", 2).alias("total_rev"),
+                     F.round(gini, 6).alias("gini"))
+             .orderBy("n_name"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
