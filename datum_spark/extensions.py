@@ -4559,6 +4559,87 @@ def x140(spark, sf):
              .orderBy("n_name"))
 
 
+@x("x141_benford", """
+WITH d AS (
+  SELECT CAST(FLOOR(o_totalprice
+              / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS digit
+  FROM orders WHERE o_totalprice > 0
+), c AS (
+  SELECT digit, COUNT(*) AS n, SUM(COUNT(*)) OVER () AS total
+  FROM d GROUP BY digit
+)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / total, 6) AS obs_freq,
+       ROUND(LOG10(1 + 1.0 / digit), 6) AS exp_freq,
+       ROUND(POWER(n * 1.0 / total - LOG10(1 + 1.0 / digit), 2)
+             / LOG10(1 + 1.0 / digit) * total, 4) AS chi2_contrib
+FROM c ORDER BY digit""")
+def x141(spark, sf):
+    """Benford's-law first-digit audit of order totals: observed vs
+    expected log-distribution frequency per leading digit and the
+    chi-square contribution — the forensic data-quality screen for
+    fabricated or truncated numeric columns.  First digit extracted
+    arithmetically (floor(x / 10^floor(log10 x)) — no string casts), one
+    9-group aggregate; the OVER () total rides the 9-row result, not the
+    fact table."""
+    o = (load(spark, sf, "orders")
+         .filter(F.col("o_totalprice") > 0)
+         .select(F.floor(F.col("o_totalprice")
+                         / F.pow(10, F.floor(F.log10("o_totalprice"))))
+                 .cast("long").alias("digit")))
+    c = o.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())   # 9-row result
+    obs = F.col("n") / total
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return (c.select("digit", "n",
+                     F.round(obs, 6).alias("obs_freq"),
+                     F.round(exp, 6).alias("exp_freq"),
+                     F.round(F.pow(obs - exp, 2) / exp * total, 4)
+                      .alias("chi2_contrib"))
+             .orderBy("digit"))
+
+
+@x("x142_hhi", """
+WITH rev AS (
+  SELECT n_name, l_suppkey,
+         SUM(l_extendedprice * (1 - l_discount)) AS r
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY 1, 2
+), tot AS (
+  SELECT n_name, SUM(r) AS t, COUNT(*) AS n_suppliers FROM rev GROUP BY 1
+)
+SELECT rev.n_name, CAST(n_suppliers AS BIGINT) AS n_suppliers,
+       ROUND(SUM(POWER(r / t, 2)), 6) AS hhi
+FROM rev JOIN tot ON rev.n_name = tot.n_name
+GROUP BY rev.n_name, n_suppliers ORDER BY rev.n_name""")
+def x142(spark, sf):
+    """Herfindahl–Hirschman concentration index of supplier revenue per
+    nation: Σ share² over each nation's suppliers — the market-/source-
+    concentration audit (a training corpus dominated by one source scores
+    near 1).  Two keyed aggregates; the per-nation totals table is
+    nation-cardinality-bounded and broadcast back — no windows over the
+    fact."""
+    li = load(spark, sf, "lineitem")
+    sup = load(spark, sf, "supplier")
+    nat = load(spark, sf, "nation")
+    rev = (li.join(sup, li.l_suppkey == sup.s_suppkey)
+             .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+             .groupBy("n_name", "l_suppkey")
+             .agg(F.sum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))).alias("r")))
+    tot = (rev.groupBy("n_name")
+              .agg(F.sum("r").alias("t"),
+                   F.count(F.lit(1)).alias("n_suppliers")))
+    return (rev.join(F.broadcast(tot), "n_name")
+               .groupBy("n_name", "n_suppliers")
+               .agg(F.round(F.sum(F.pow(F.col("r") / F.col("t"), 2)), 6)
+                    .alias("hhi"))
+               .select("n_name", "n_suppliers", "hhi")
+               .orderBy("n_name"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
