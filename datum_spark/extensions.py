@@ -4640,6 +4640,144 @@ def x142(spark, sf):
                .orderBy("n_name"))
 
 
+@x("x143_pmi_phrases", r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                             x -> x <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT u.w AS word, COUNT(*) AS uc
+  FROM w, UNNEST(ws) AS u(w) GROUP BY 1
+), tot AS (SELECT SUM(uc) AS n FROM uni),
+allbi AS (
+  SELECT ws[i] AS w1, ws[i+1] AS w2, COUNT(*) AS bc
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+  GROUP BY 1, 2
+), tb AS (SELECT SUM(bc) AS nb FROM allbi),
+bi AS (SELECT * FROM allbi WHERE bc >= 5)
+SELECT w1, w2, CAST(bc AS BIGINT) AS n_pair,
+       ROUND(LOG2((bc * 1.0 / nb)
+                  / ((u1.uc * 1.0 / n) * (u2.uc * 1.0 / n))), 4) AS pmi
+FROM bi, tot, tb
+JOIN uni u1 ON u1.word = w1
+JOIN uni u2 ON u2.word = w2
+ORDER BY pmi DESC, w1, w2 LIMIT 20""")
+def x143(spark, sf):
+    """Pointwise mutual information over corpus bigrams (min count 5):
+    the collocation / phrase-mining score that upgrades raw bigram
+    counts (x63) into 'these words belong together' — the tokenizer-
+    vocabulary and stop-phrase discovery pass of a text pipeline.
+    Unigram and bigram tables are corpus-bounded keyed aggregates; the
+    two totals ride as broadcast 1-row scalars, and the unigram
+    probabilities join back BY KEY onto the count-thresholded bigram
+    table (at 100 TB both tables are large: hash join, no broadcast
+    assumption).  Deterministic top-20 with full tie-break."""
+    docs = load_docs(spark, sf)
+    ws = F.filter(F.split(F.lower("text"), "[^a-z]+"),
+                  lambda x: x != F.lit(""))
+    w = docs.select("doc_id", ws.alias("ws"))
+    uni = (w.select(F.explode("ws").alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("uc")))
+    tot = uni.agg(F.sum("uc").alias("n"))
+    pairs = (w.select(F.posexplode(F.slice(
+                 "ws", 1, F.greatest(F.size("ws") - 1, F.lit(0))))
+                 .alias("i", "w1"),
+                 "ws")
+              .select("w1", F.element_at("ws", F.col("i") + 2).alias("w2")))
+    allbi = (pairs.groupBy("w1", "w2")
+                  .agg(F.count(F.lit(1)).alias("bc")))
+    tb = allbi.agg(F.sum("bc").alias("nb"))
+    bi = allbi.filter(F.col("bc") >= 5)
+    u1 = uni.select(F.col("word").alias("w1"), F.col("uc").alias("uc1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("uc").alias("uc2"))
+    pmi = F.log2((F.col("bc") / F.col("nb"))
+                 / ((F.col("uc1") / F.col("n"))
+                    * (F.col("uc2") / F.col("n"))))
+    return (bi.join(u1, "w1").join(u2, "w2")
+              .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(tb))
+              .select("w1", "w2", F.col("bc").alias("n_pair"),
+                      F.round(pmi, 4).alias("pmi"))
+              .orderBy(F.desc("pmi"), "w1", "w2").limit(20))
+
+
+@x("x144_readability", r"""
+WITH t AS (
+  SELECT doc_id,
+         GREATEST(len(list_filter(
+           string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')), 1)
+           AS n_words,
+         GREATEST(len(list_filter(
+           string_split_regex(text, '[.!?]+'),
+           x -> trim(x) <> '')), 1) AS n_sents,
+         GREATEST(len(list_filter(
+           string_split_regex(lower(text), '[^aeiouy]+'), x -> x <> '')),
+           1) AS n_syl
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sents AS BIGINT) AS n_sents,
+       ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+             - 84.6 * (n_syl * 1.0 / n_words), 4) AS flesch
+FROM t ORDER BY doc_id""")
+def x144(spark, sf):
+    """Flesch reading-ease per document with a vowel-group syllable
+    proxy: words/sentence + syllables/word, the classic readability
+    filter a curriculum builder buckets on (x69 takes quality, this
+    takes difficulty).  Pure JVM regex splits — map-only, no shuffle,
+    no UDF; the syllable proxy (maximal [aeiouy]+ runs) is engine-
+    portable so the oracle replays it exactly."""
+    docs = load_docs(spark, sf)
+
+    def runs(col, pattern):
+        return F.greatest(F.size(F.filter(
+            F.split(col, pattern),
+            lambda x: F.trim(x) != F.lit(""))), F.lit(1))
+
+    t = docs.select(
+        "doc_id",
+        runs(F.lower("text"), "[^a-z]+").alias("n_words"),
+        runs(F.col("text"), "[.!?]+").alias("n_sents"),
+        runs(F.lower("text"), "[^aeiouy]+").alias("n_syl"))
+    flesch = (206.835
+              - 1.015 * (F.col("n_words") / F.col("n_sents"))
+              - 84.6 * (F.col("n_syl") / F.col("n_words")))
+    return (t.select("doc_id",
+                     F.col("n_words").cast("long").alias("n_words"),
+                     F.col("n_sents").cast("long").alias("n_sents"),
+                     F.round(flesch, 4).alias("flesch"))
+             .orderBy("doc_id"))
+
+
+@x("x145_seasonality", """
+WITH h AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, SUM(n) AS tot FROM h GROUP BY 1
+)
+SELECT h.event_type, CAST(hour AS BIGINT) AS hour, CAST(n AS BIGINT) AS n,
+       ROUND(n * 24.0 / tot, 4) AS lift_vs_uniform
+FROM h JOIN t ON h.event_type = t.event_type
+ORDER BY h.event_type, hour""")
+def x145(spark, sf):
+    """Hour-of-day seasonality profile per event type: activity count
+    and lift against the uniform-hour expectation — the traffic-shape
+    fingerprint behind anomaly baselines and send-time optimization.
+    One keyed aggregate to a (type × 24)-bounded table; the per-type
+    totals join is against that bounded table, never the fact."""
+    ev = load(spark, sf, "events")
+    h = (ev.groupBy("event_type", F.hour("ts").alias("hour"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    t = h.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (h.join(F.broadcast(t), "event_type")
+             .select("event_type", F.col("hour").cast("long").alias("hour"),
+                     "n",
+                     F.round(F.col("n") * 24.0 / F.col("tot"), 4)
+                      .alias("lift_vs_uniform"))
+             .orderBy("event_type", "hour"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
