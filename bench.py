@@ -74,27 +74,46 @@ def main() -> int:
     # JSON line out of that buffer (BENCH_r01–r03 all recorded a 2000-char
     # "tail" cut mid-line and "parsed": null).  A 96-query dict with full
     # names is ~2.7 KB and can never fit, so the stdout line uses the
-    # unambiguous qNN/xNN name prefix and 2-decimal timings (~1.3 KB);
-    # the full-name 4-decimal detail goes to BENCH_FULL.json next to this
-    # script.  json.dumps compact separators keep every byte.
-    short = {k.split("_", 1)[0]: round(v, 2) for k, v in timings.items()}
+    # unambiguous qNN/xNN name prefix and 1-decimal timings; past ~170
+    # queries even that outgrows the buffer, so the FASTEST entries are
+    # elided until the line fits (queries_elided counts them; error
+    # entries are never elided) — the elided tail is exactly the set
+    # least able to threaten a 2× gate.  The
+    # full-name 4-decimal detail for EVERY query goes to BENCH_FULL.json
+    # next to this script.  json.dumps compact separators keep every byte.
+    short = {k.split("_", 1)[0]: round(v, 1) for k, v in timings.items()}
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_FULL.json")
     try:
         load1, load5, load15 = os.getloadavg()
     except OSError:
         load1 = load5 = load15 = -1.0
-    line = json.dumps({
-        "metric": "t2_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": short,
-        "sf": sf_val,
-        # box context so rounds can tell load drift from regression
-        "load_pre": load_pre,
-        "load_post": round(load1, 1),
-        "reps": reps,
-    }, separators=(",", ":")) + "\n"
+
+    def render(q: dict[str, float], elided: int) -> str:
+        payload = {
+            "metric": "t2_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf_val,
+            # box context so rounds can tell load drift from regression
+            "load_pre": load_pre,
+            "load_post": round(load1, 1),
+            "reps": reps,
+        }
+        if elided:
+            payload["queries_elided"] = elided
+        return json.dumps(payload, separators=(",", ":")) + "\n"
+
+    line = render(short, 0)
+    if len(line) > 1900:     # keep the whole line inside the 2000-char tail
+        # errors (-1.0) sort first so they are never elided
+        keep = dict(sorted(
+            short.items(),
+            key=lambda kv: -(kv[1] if kv[1] >= 0 else float("inf"))))
+        while len(render(keep, len(short) - len(keep))) > 1900 and keep:
+            keep.popitem()   # drops the current fastest entry
+        line = render(keep, len(short) - len(keep))
     with open(full_path, "w") as fh:
         json.dump({
             "metric": "t2_suite_seconds",
