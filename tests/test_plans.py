@@ -279,3 +279,47 @@ def test_copurchase_self_join_is_hash_equi(spark):
     df = EXTENSIONS["x117_copurchase"][0](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def _only_scalar_cross_joins(plan: str) -> bool:
+    """True iff every non-equi join in the plan is a broadcast CROSS join
+    (the 1-row scalar-aggregate pattern, e.g. a corpus total riding a
+    crossJoin(broadcast(agg))) — any CartesianProduct or non-cross
+    nested loop over data-sized inputs fails."""
+    if "CartesianProduct" in plan:
+        return False
+    return all("Cross" in ln for ln in plan.splitlines()
+               if "NestedLoopJoin" in ln)
+
+
+def test_triangle_census_no_cartesian(spark):
+    """x135: the wedge join and the closing-edge join must both be hash
+    equi-joins — a nested loop over the oriented edge list is O(m²).
+    The single 1-row broadcast cross (wedge-count scalar) is allowed."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x135_triangle_count"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _only_scalar_cross_joins(plan)
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_hhi_totals_join_broadcasts(spark):
+    """x142: the per-nation totals table is nation-bounded and must ride
+    a broadcast join back onto the supplier revenue table."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x142_hhi"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pmi_term_joins_are_hash_equi(spark):
+    """x143: unigram-probability joins onto the bigram table must be
+    keyed hash joins (term tables are corpus-sized at scale — neither a
+    nested loop nor a forced broadcast of the unigram side is safe)."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x143_pmi_phrases"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert _only_scalar_cross_joins(plan)
