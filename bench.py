@@ -20,6 +20,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+MAX_LINE = 1900  # whole line must fit in the driver's ~2000-char tail
+
+
+def build_stdout_line(short: dict[str, float], total: float, sf_val,
+                      load_pre: float, load_post: float,
+                      reps: int) -> str:
+    """The ONE driver-parsed JSON line, guaranteed under MAX_LINE chars:
+    if the query dict is too large, the FASTEST entries are elided until
+    the line fits (``queries_elided`` counts them); error entries (-1.0)
+    are never elided.  Full detail always lands in BENCH_FULL.json."""
+    def render(q: dict[str, float], elided: int) -> str:
+        payload = {
+            "metric": "t2_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf_val,
+            # box context so rounds can tell load drift from regression
+            "load_pre": load_pre,
+            "load_post": load_post,
+            "reps": reps,
+        }
+        if elided:
+            payload["queries_elided"] = elided
+        return json.dumps(payload, separators=(",", ":")) + "\n"
+
+    line = render(short, 0)
+    if len(line) > MAX_LINE:
+        # errors (-1.0) sort first so they are never elided
+        keep = dict(sorted(
+            short.items(),
+            key=lambda kv: -(kv[1] if kv[1] >= 0 else float("inf"))))
+        while len(render(keep, len(short) - len(keep))) > MAX_LINE and keep:
+            keep.popitem()   # drops the current fastest entry
+        line = render(keep, len(short) - len(keep))
+    return line
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
@@ -88,32 +126,8 @@ def main() -> int:
         load1, load5, load15 = os.getloadavg()
     except OSError:
         load1 = load5 = load15 = -1.0
-
-    def render(q: dict[str, float], elided: int) -> str:
-        payload = {
-            "metric": "t2_suite_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": q,
-            "sf": sf_val,
-            # box context so rounds can tell load drift from regression
-            "load_pre": load_pre,
-            "load_post": round(load1, 1),
-            "reps": reps,
-        }
-        if elided:
-            payload["queries_elided"] = elided
-        return json.dumps(payload, separators=(",", ":")) + "\n"
-
-    line = render(short, 0)
-    if len(line) > 1900:     # keep the whole line inside the 2000-char tail
-        # errors (-1.0) sort first so they are never elided
-        keep = dict(sorted(
-            short.items(),
-            key=lambda kv: -(kv[1] if kv[1] >= 0 else float("inf"))))
-        while len(render(keep, len(short) - len(keep))) > 1900 and keep:
-            keep.popitem()   # drops the current fastest entry
-        line = render(keep, len(short) - len(keep))
+    line = build_stdout_line(short, total, sf_val, load_pre,
+                             round(load1, 1), reps)
     with open(full_path, "w") as fh:
         json.dump({
             "metric": "t2_suite_seconds",

@@ -25,3 +25,33 @@ def test_query_names_are_well_formed():
 
 def test_all_callables():
     assert all(callable(fn) for fn in entry.queries().values())
+
+
+def test_bench_stdout_line_fits_driver_tail():
+    """The driver parses the LAST ~2000 chars of bench stdout; the line
+    must fit whole at any query count, never eliding error entries."""
+    import json as _json
+    import sys as _sys
+
+    _sys.path.insert(0, ".")
+    from bench import MAX_LINE, build_stdout_line
+
+    # current real query set
+    short = {k.split("_", 1)[0]: 0.25 for k in entry.queries()}
+    line = build_stdout_line(short, 99.9, 0.1, 1.0, 2.0, 1)
+    assert len(line) <= MAX_LINE
+    assert _json.loads(line)["metric"] == "t2_suite_seconds"
+
+    # pathological: 400 queries incl. an error — line still fits, error kept
+    big = {f"x{i}": float(i % 7) + 0.1 for i in range(400)}
+    big["x399"] = -1.0
+    line = build_stdout_line(big, 99.9, 0.1, 1.0, 2.0, 1)
+    assert len(line) <= MAX_LINE
+    parsed = _json.loads(line)
+    assert parsed["queries"]["x399"] == -1.0
+    assert parsed["queries_elided"] == 400 - len(parsed["queries"])
+    # elided set is exactly the fastest tail
+    kept_min = min(v for v in parsed["queries"].values() if v >= 0)
+    dropped = [v for k, v in big.items()
+               if k not in parsed["queries"] and v >= 0]
+    assert all(v <= kept_min for v in dropped)
