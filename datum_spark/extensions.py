@@ -4778,6 +4778,109 @@ def x145(spark, sf):
              .orderBy("event_type", "hour"))
 
 
+@x("x146_weighted_median", """
+WITH b AS (
+  SELECT l_partkey AS p, l_extendedprice AS v, l_quantity AS wt,
+         l_orderkey, l_linenumber
+  FROM lineitem WHERE l_partkey < 500
+), c AS (
+  SELECT p, v, wt,
+         SUM(wt) OVER (PARTITION BY p
+                       ORDER BY v, l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(wt) OVER (PARTITION BY p) AS tot
+  FROM b
+)
+SELECT p AS l_partkey,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(MAX(tot), 2) AS total_weight,
+       MIN(CASE WHEN cumw >= tot / 2.0 THEN v END) AS weighted_median
+FROM c GROUP BY p ORDER BY p""")
+def x146(spark, sf):
+    """Quantity-weighted median price per part (lower weighted median:
+    the smallest value whose cumulative weight reaches half the total) —
+    the robust center for weighted distributions where plain median
+    ignores volume.  The cumulative-weight window is keyed on l_partkey
+    (bounded per-key history; at 100 TB part cardinality scales with the
+    data, so the windows stay small) and the prefix order is total
+    (value, orderkey, linenumber), making the running sum bit-identical
+    across engines; the median is an actual data value, so no float
+    synthesis."""
+    b = (load(spark, sf, "lineitem")
+         .filter(F.col("l_partkey") < 500)
+         .select(F.col("l_partkey").alias("p"),
+                 F.col("l_extendedprice").alias("v"),
+                 F.col("l_quantity").alias("wt"),
+                 "l_orderkey", "l_linenumber"))
+    wc = (Window.partitionBy("p")
+          .orderBy("v", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("p")
+    c = b.select("p", "v",
+                 F.sum("wt").over(wc).alias("cumw"),
+                 F.sum("wt").over(wt).alias("tot"))
+    return (c.groupBy(F.col("p").alias("l_partkey"))
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.round(F.max("tot"), 2).alias("total_weight"),
+                  F.min(F.when(F.col("cumw") >= F.col("tot") / 2.0,
+                               F.col("v"))).alias("weighted_median"))
+             .orderBy("l_partkey"))
+
+
+@x("x147_centroid_distances", """
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+), p AS (
+  SELECT label, i, ROUND(avg(e[i]), 6) AS c
+  FROM v, generate_series(1, 64) AS t(i)
+  GROUP BY label, i
+), cent AS (
+  SELECT label, list(c ORDER BY i) AS cv FROM p GROUP BY label
+)
+SELECT a.label AS label_a, b.label AS label_b,
+       ROUND(list_dot_product(a.cv, b.cv)
+             / (sqrt(list_dot_product(a.cv, a.cv))
+                * sqrt(list_dot_product(b.cv, b.cv))), 4) AS cos_sim
+FROM cent a JOIN cent b ON a.label < b.label
+ORDER BY label_a, label_b""")
+def x147(spark, sf):
+    """Inter-class centroid similarity matrix: per-label mean embedding,
+    then pairwise cosine between the label centroids — the class-
+    separability / label-noise screen run before training a classifier
+    (two labels with cos ≈ 1 are aliases).  Centroids come from ONE
+    posexplode + keyed aggregate (vectors never shuffled whole), rounded
+    to 6 dp BEFORE the cosine so both engines compute from identical
+    centroids (the x103 parity discipline); the pairwise join is over
+    the label-bounded centroid table, |labels|² rows, never the fact."""
+    emb = (load_emb(spark, sf)
+           .filter(F.col("embedding").isNotNull())
+           .select("label",
+                   F.posexplode(F.col("embedding").cast("array<double>"))
+                    .alias("i", "x")))
+    p = (emb.groupBy("label", "i")
+            .agg(F.round(F.avg("x"), 6).alias("c")))
+    cent = (p.groupBy("label")
+             .agg(F.array_sort(F.collect_list(F.struct("i", "c")))
+                   .alias("sc"))
+             .select("label",
+                     F.transform("sc", lambda s: s["c"]).alias("cv")))
+    dot = lambda u, v: F.aggregate(       # noqa: E731
+        F.zip_with(u, v, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    a = cent.select(F.col("label").alias("label_a"),
+                    F.col("cv").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"),
+                    F.col("cv").alias("cb"))
+    pair = a.join(b, F.col("label_a") < F.col("label_b"))
+    cos = (dot(F.col("ca"), F.col("cb"))
+           / (F.sqrt(dot(F.col("ca"), F.col("ca")))
+              * F.sqrt(dot(F.col("cb"), F.col("cb")))))
+    return (pair.select("label_a", "label_b",
+                        F.round(cos, 4).alias("cos_sim"))
+                .orderBy("label_a", "label_b"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
