@@ -4881,6 +4881,79 @@ def x147(spark, sf):
                 .orderBy("label_a", "label_b"))
 
 
+@x("x148_chi2_independence", """
+WITH o AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+), m AS (
+  SELECT lang, source, n,
+         SUM(n) OVER (PARTITION BY lang) AS rt,
+         SUM(n) OVER (PARTITION BY source) AS ct,
+         SUM(n) OVER () AS tot
+  FROM o
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT lang) - 1)
+            * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+       ROUND(SUM(POWER(n - rt * ct * 1.0 / tot, 2)
+                 / (rt * ct * 1.0 / tot)), 4) AS chi2
+FROM m""")
+def x148(spark, sf):
+    """Chi-square independence test between document language and
+    source: the contingency-table screen for 'is the corpus mix
+    confounded' (a source that only ships one language skews any
+    per-language metric).  One keyed aggregate to a |lang|×|source|-
+    bounded cell table; the marginal windows run on that bounded table,
+    never the corpus."""
+    o = (load_docs(spark, sf)
+         .groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n")))
+    m = o.select(
+        "lang", "source", "n",
+        F.sum("n").over(Window.partitionBy("lang")).alias("rt"),
+        F.sum("n").over(Window.partitionBy("source")).alias("ct"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"))
+    e = F.col("rt") * F.col("ct") / F.col("tot")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        ((F.count_distinct("lang") - 1)
+         * (F.count_distinct("source") - 1)).alias("dof"),
+        F.round(F.sum(F.pow(F.col("n") - e, 2) / e), 4).alias("chi2"))
+
+
+@x("x149_interarrival", """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type, CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       ROUND(quantile_cont(gap_us, 0.5) / 1e6, 3) AS median_gap_s,
+       ROUND(quantile_cont(gap_us, 0.9) / 1e6, 3) AS p90_gap_s
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type""")
+def x149(spark, sf):
+    """Inter-arrival gap distribution per event type: each event's gap
+    to the SAME user's previous event (any type), then exact median and
+    p90 per type — the idle-time fingerprint behind session-timeout
+    tuning (x15's 30-minute cut) and bot detection (machine-regular
+    gaps).  Gaps in integer microseconds (unix_micros / epoch_us) so
+    both engines difference identical integers; one user-keyed window
+    then a type-bounded aggregate with interpolating percentiles."""
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = (ev.select("event_type",
+                   (us - F.lag(us).over(w)).alias("gap_us"))
+           .filter(F.col("gap_us").isNotNull()))
+    return (g.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_gaps"),
+                  F.round(F.percentile("gap_us", F.lit(0.5)) / 1e6, 3)
+                   .alias("median_gap_s"),
+                  F.round(F.percentile("gap_us", F.lit(0.9)) / 1e6, 3)
+                   .alias("p90_gap_s"))
+             .orderBy("event_type"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
