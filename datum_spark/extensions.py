@@ -4954,6 +4954,66 @@ def x149(spark, sf):
              .orderBy("event_type"))
 
 
+@x("x150_cohort_ltv", """
+WITH f AS (
+  SELECT user_id,
+         CAST(FLOOR(MIN(epoch_us(ts)) / 604800e6) AS BIGINT) AS cw
+  FROM events GROUP BY user_id
+), sz AS (
+  SELECT cw, COUNT(*) AS n_users FROM f GROUP BY cw
+), r AS (
+  SELECT f.cw,
+         CAST(FLOOR(epoch_us(e.ts) / 604800e6) AS BIGINT) - f.cw AS wk,
+         SUM(e.value) AS rev
+  FROM events e JOIN f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT CAST(to_timestamp(r.cw * 604800) AS TIMESTAMP) AS cohort_start,
+       CAST(wk AS BIGINT) AS week_offset,
+       CAST(n_users AS BIGINT) AS n_users,
+       ROUND(SUM(rev) OVER (PARTITION BY r.cw ORDER BY wk
+                            ROWS UNBOUNDED PRECEDING), 2) AS cum_rev,
+       ROUND(SUM(rev) OVER (PARTITION BY r.cw ORDER BY wk
+                            ROWS UNBOUNDED PRECEDING) / n_users, 4)
+         AS ltv_per_user
+FROM r JOIN sz ON sz.cw = r.cw
+ORDER BY cohort_start, week_offset""")
+def x150(spark, sf):
+    """Cohort lifetime-value curve: users bucketed by the epoch-week of
+    their first event, cumulative purchase revenue per cohort by week
+    offset, divided by cohort size — the LTV payback readout that pairs
+    with x72's retention triangle.  Week buckets are pure integer
+    arithmetic on microseconds (no engine-specific week-truncation
+    rules); the cumulative window runs over the cohort×offset-bounded
+    rollup, and the only fact-sized operations are two user-keyed
+    hash joins/aggregates."""
+    ev = load(spark, sf, "events")
+    us = F.unix_micros("ts")
+    f = (ev.groupBy("user_id")
+           .agg(F.floor(F.min(us) / F.lit(604800e6))
+                 .cast("long").alias("cw")))
+    sz = f.groupBy("cw").agg(F.count(F.lit(1)).alias("n_users"))
+    r = (ev.filter(F.col("event_type") == "purchase")
+           .join(f, "user_id")
+           .groupBy("cw",
+                    (F.floor(us / F.lit(604800e6)).cast("long")
+                     - F.col("cw")).alias("wk"))
+           .agg(F.sum("value").alias("rev")))
+    wcum = (Window.partitionBy("cw").orderBy("wk")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = F.sum("rev").over(wcum)
+    return (r.join(sz, "cw")
+             .select(F.to_timestamp(F.col("cw") * 604800)
+                      .alias("cohort_start"),
+                     F.col("wk").cast("long").alias("week_offset"),
+                     "n_users",
+                     F.round(cum, 2).alias("cum_rev"),
+                     F.round(cum / F.col("n_users"), 4)
+                      .alias("ltv_per_user"))
+             .orderBy("cohort_start", "week_offset"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
