@@ -78,12 +78,13 @@ _RECHECK_R5 = {
 }
 # The set fills the driver's 50-entry verification cap exactly.  The
 # remaining brand-new entries (x126 ref-integrity, x127 OHLC, x128
-# top-k-with-ties, and the x130–x145 analytics family: Markov
+# top-k-with-ties, and the x130–x150 analytics family: Markov
 # transitions, survival, bigram-LM, quantization, k-anonymity, triangle
 # census, BFS reachability, rolling corr, attribution, A/B z-test, Gini,
-# Benford, HHI, PMI, readability, seasonality) are diff_runner-green
-# locally (see COVERAGE.md) and rotate into the r6 driver check via the
-# not-in-_DRIVER_CHECKED priority tier.
+# Benford, HHI, PMI, readability, seasonality, weighted median, centroid
+# similarity, chi-square independence, inter-arrival gaps, cohort LTV)
+# are diff_runner-green locally (see COVERAGE.md) and rotate into the r6
+# driver check via the not-in-_DRIVER_CHECKED priority tier.
 
 
 def _priority(name: str, has_oracle: bool) -> int:
