@@ -5,11 +5,13 @@ sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
 (Tier-B Q01–Q31 + §2-C extensions x01–x72); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
 
-Ordering: the driver hash-verifies entries in dict order up to a cap (50 in
-rounds 1–3), so the dict leads with oracle-bearing entries that have NOT yet
-been driver-checked (rounds 1–3 all verified the same first 50: Q01–Q31 +
-19 x-entries — see CORRECTNESS_r03.json), then x28 (fixed this round), then
-the new x66–x72, then the already-verified rest, then rows-only entries.
+Ordering: the driver hash-verifies entries in dict order up to a cap (50
+in every round so far), so the dict leads with the round-6 recheck set —
+entries never driver-checked (x126–x128, x130–x150), oracles fixed or
+promoted this round (x100, x38, x56, x18, x140), and the 8 permanently
+rows-only entries — then rotates the oldest-verified (r1–r3) entries into
+the remaining slots.  After r6 every oracle-bearing entry has been
+driver-verified at least once.
 """
 
 from __future__ import annotations
@@ -49,52 +51,44 @@ _DRIVER_CHECKED = {
 }
 
 
-# Round-5 re-check set — everything whose oracle is NEW or CHANGED this
-# round, so it must land inside the driver's 50-entry verification cap:
-# x16/x19 oracle fixes (DuckDB TIMESTAMPTZ → CAST AS TIMESTAMP);
-# rows-only → oracle promotions x84/x12/x13/x86/x05/x83; the brand-new
-# x87–x105 operators.
-_RECHECK_R5 = {
-    "x16_tumbling_window", "x19_sliding_window",
-    "x84_fuzzy_dedup", "x12_fingerprint", "x13_quality_score",
-    "x86_expectations", "x05_simhash",
-    "x83_pagerank", "x87_doc_chunking", "x88_column_profile",
-    "x89_robust_outliers", "x90_event_debounce", "x91_bpe_tokens",
-    "x92_substring_dedup", "x85_sketch_rollup", "x93_length_histogram",
-    "x94_variant_json", "x95_recursive_calendar", "x96_session_stats",
-    "x97_char_entropy", "x98_novelty", "x99_containment",
-    "x100_golden_record", "x101_weighted_sample", "x102_source_drift",
-    "x103_centroid_outliers", "x104_cms_heavy_hitters",
-    "x105_radius_join", "x106_unpivot", "x107_regression_aggs",
-    "x18_image_features", "x108_kmeans_verified", "x109_incremental_dedup",
-    "x110_rolling_distinct", "x111_decayed_engagement", "x112_cdc_apply",
-    "x113_interval_join", "x114_bpe_train",
-    "x115_audio_features", "x116_video_frames",
-    "x117_copurchase", "x118_impute",
-    "x119_bpe_encode", "x120_assoc_rules",
-    "x121_decile_lift", "x122_winsorize",
-    "x123_scd2", "x124_activity_streaks",
-    "x125_snapshot_diff", "x129_communities",
+# Round-6 re-check set — everything that was never driver-verified
+# (the late-r5 additions x126–x128 and x130–x150), everything whose
+# oracle is NEW or CHANGED this round (the x100 scalar-provenance fix,
+# the x38/x56 md5 promotions, the x18 short-doc rpad fix, the x140
+# round-before-rank fix), and the 8 permanently-rows-only entries so
+# the driver at least records their row counts.  37 entries; the
+# remaining 13 cap slots fall to priority 1 (the r1–r3-verified
+# entries, q01 onward — the oldest green checks get re-confirmed).
+_RECHECK_R6 = {
+    "x100_golden_record",
+    "x38_train_test_split", "x56_source_mixing",     # md5 promotions
+    "x18_image_features", "x140_gini",               # oracle fixes
+    # never driver-checked (late round-5 additions):
+    "x126_ref_integrity", "x127_ohlc_bars", "x128_topk_ties",
+    "x130_transitions", "x131_survival", "x132_bigram_lm",
+    "x133_quantization_error", "x134_k_anonymity", "x135_triangle_count",
+    "x136_reachability", "x137_rolling_corr", "x138_attribution",
+    "x139_ab_test", "x141_benford", "x142_hhi", "x143_pmi_phrases",
+    "x144_readability", "x145_seasonality", "x146_weighted_median",
+    "x147_centroid_distances", "x148_chi2_independence",
+    "x149_interarrival", "x150_cohort_ltv",
+    # permanently rows-only (engine-specific hash families / iterative
+    # algorithms; each has a portable twin or recall/invariant tests —
+    # see COVERAGE.md): the driver records their rows-only status.
+    "x04_minhash_lsh", "x07_embedding_dups_lsh", "x09_cosine_topk_lsh",
+    "x27_cosine_topk_ivf", "x37_minhash_fast", "x55_kmeans",
+    "x57_semantic_dedup", "x58_coreset_sample",
 }
-# The set fills the driver's 50-entry verification cap exactly.  The
-# remaining brand-new entries (x126 ref-integrity, x127 OHLC, x128
-# top-k-with-ties, and the x130–x150 analytics family: Markov
-# transitions, survival, bigram-LM, quantization, k-anonymity, triangle
-# census, BFS reachability, rolling corr, attribution, A/B z-test, Gini,
-# Benford, HHI, PMI, readability, seasonality, weighted median, centroid
-# similarity, chi-square independence, inter-arrival gaps, cohort LTV)
-# are diff_runner-green locally (see COVERAGE.md) and rotate into the r6
-# driver check via the not-in-_DRIVER_CHECKED priority tier.
 
 
 def _priority(name: str, has_oracle: bool) -> int:
+    if name in _RECHECK_R6:
+        return 0                      # new / fixed / never driver-checked
     if not has_oracle:
-        return 3                      # rows-only: after every oracle entry
-    if name in _RECHECK_R5:
-        return 0                      # fixed/promoted this round — re-check
-    if name not in _DRIVER_CHECKED:
-        return 1                      # verified only once (r4 rotation)
-    return 2                          # verified green in r1–r3
+        return 3                      # rows-only outside the recheck set
+    if name in _DRIVER_CHECKED:
+        return 1                      # oldest green checks (r1–r3) rotate
+    return 2                          # verified green in r4–r5
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

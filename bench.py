@@ -53,6 +53,8 @@ def build_stdout_line(short: dict[str, float], total: float, sf_val,
             short.items(),
             key=lambda kv: -(kv[1] if kv[1] >= 0 else float("inf"))))
         while len(render(keep, len(short) - len(keep))) > MAX_LINE and keep:
+            if keep[next(reversed(keep))] < 0:
+                break        # only error entries remain — never elide those
             keep.popitem()   # drops the current fastest entry
         line = render(keep, len(short) - len(keep))
     return line

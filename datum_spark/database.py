@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame
 
@@ -475,7 +476,7 @@ class Database:
             self._register(name)
         return {"rows_read": rows}
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove stale maintenance debris from the warehouse directory:
         crashed rewrite staging/backup dirs (``*.__rewrite__`` /
         ``*.__old__`` — left only if a write-then-swap died mid-flight;
@@ -484,23 +485,33 @@ class Database:
 
         Deliberately conservative: only recognizably-transient names are
         touched — never data files, so a concurrent reader of a LIVE
-        table is unaffected.  (Time-travel-style retention vacuums are a
-        lake-format feature; plain Parquet has no snapshot manifest to
-        vacuum against.)
+        table is unaffected — and only dirs whose mtime is older than
+        ``min_age_seconds`` (default 1 h), so an IN-FLIGHT rewrite or
+        Spark write running concurrently keeps its live staging dir
+        (pass ``0`` to force-clean when no writers can be active).
         """
         if self.scheme != "file":
             return []
+
+        def _old_enough(path: str) -> bool:
+            try:
+                return (time.time() - os.path.getmtime(path)
+                        >= min_age_seconds)
+            except OSError:
+                return False    # vanished underneath us → a writer owns it
+
         removed: list[str] = []
         for entry in sorted(os.listdir(self.path)):
             p = os.path.join(self.path, entry)
             if entry.endswith((".__rewrite__", ".__old__")) \
                     and os.path.isdir(p):
-                shutil.rmtree(p)
-                removed.append(p)
+                if _old_enough(p):
+                    shutil.rmtree(p)
+                    removed.append(p)
                 continue
             if os.path.isdir(p):
                 tmp = os.path.join(p, "_temporary")
-                if os.path.isdir(tmp):
+                if os.path.isdir(tmp) and _old_enough(tmp):
                     shutil.rmtree(tmp)
                     removed.append(tmp)
         return removed

@@ -148,15 +148,29 @@ def x39(spark, sf):
             .orderBy("pack_id"))
 
 
-@x("x38_train_test_split", None)  # xxhash64 membership is engine-specific
+@x("x38_train_test_split", """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substring(md5('holdout-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 3865470566 THEN 'train' ELSE 'test' END AS split,
+       source, COUNT(*) AS n
+FROM b GROUP BY 1, 2 ORDER BY split, source""")
 def x38(spark, sf):
     """Deterministic leak-proof train/test split labeling (per-source
     counts): membership is a pure function of doc_id, stable across
-    partitioning and cluster size."""
-    from .operators import with_split_label
+    partitioning and cluster size.  Promoted to oracle-checked in r6 by
+    keying on the portable md5 bucket (salt 'holdout', 90/10) — the
+    xxhash64 variant (:func:`with_split_label`) stays in the library for
+    speed-critical pipelines and keeps its determinism unit tests."""
+    from .operators import with_md5_split_label
 
     docs = load(spark, sf, "documents")
-    return (with_split_label(docs, "doc_id", test_fraction=0.1)
+    return (with_md5_split_label(docs, "doc_id",
+                                 {"train": 0.9, "test": 0.1},
+                                 salt="holdout")
             .groupBy("split", "source")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy("split", "source"))
@@ -871,7 +885,8 @@ def x17(spark, sf):
 @x("x18_image_features", """
 WITH h AS (
   SELECT doc_id,
-         CAST(('0x' || hex(encode(substring(text, 1, 8)))) AS BIGINT) AS hv
+         CAST(('0x' || rpad(hex(encode(substring(text, 1, 8))), 16, '0'))
+              AS UBIGINT) AS hv
   FROM documents
 )
 SELECT doc_id,
@@ -883,10 +898,12 @@ def x18(spark, sf):
     mapInPandas → width/height columns (Arrow batch shape is the real
     contract being exercised).  PROMOTED to oracle-checked: the fake
     decoder is a pure function of the first 8 payload bytes
-    (big-endian int → width/height buckets), and the fixture text is
-    ASCII, so DuckDB re-derives the identical values via
-    hex(encode(substring(text,1,8))) — the plumbing's output is verified
-    value-for-value, not just row-counted."""
+    (big-endian int → width/height buckets), so DuckDB re-derives the
+    identical values via hex(encode(substring(text,1,8))) rpad-ded to 16
+    hex chars — mirroring the decoder's RIGHT zero-padding of payloads
+    shorter than 8 bytes (content[:8].ljust(8, b'\\0'); empty → 0), and
+    UBIGINT so a first byte >= 0x80 cannot overflow — the plumbing's
+    output is verified value-for-value, not just row-counted."""
     from .operators.multimodal import extract_image_features
 
     docs = (load(spark, sf, "documents")
@@ -1431,19 +1448,31 @@ def x55(spark, sf):
             .orderBy("vec_id"))
 
 
-@x("x56_source_mixing", None)
+@x("x56_source_mixing", """
+WITH b AS (
+  SELECT source,
+         CAST(('0x' || substring(md5('remix-' || CAST(doc_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS bk
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_kept FROM b
+WHERE bk < (CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                        WHEN 'src2' THEN 0.25 ELSE 0.75 END) * 4294967296.0
+GROUP BY source ORDER BY source""")
 def x56(spark, sf):
     """Deterministic corpus re-weighting: per-source keep probabilities
     decided by the id hash (map-only CASE filter, no rand(), no shuffle,
-    partitioning-independent).  Rows-only: the keep decision depends on
-    xxhash64, which DuckDB lacks; determinism/monotonicity are
-    unit-tested instead."""
-    from .operators.sampling import mix_sources
+    partitioning-independent).  Promoted to oracle-checked in r6 by
+    keying on the portable md5 bucket (salt 'remix'); unlike x64 this
+    exercises the ``default_weight`` path for unlisted sources.  The
+    xxhash64 variant (:func:`mix_sources`) stays in the library with its
+    determinism/monotonicity unit tests."""
+    from .operators.sampling import mix_sources_md5
 
     docs = load(spark, sf, "documents")
-    mixed = mix_sources(docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
-                        source_col="source", id_col="doc_id",
-                        default_weight=0.75)
+    mixed = mix_sources_md5(docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+                            source_col="source", id_col="doc_id",
+                            salt="remix", default_weight=0.75)
     return (mixed.groupBy("source")
                  .agg(F.count(F.lit(1)).alias("n_kept"))
                  .orderBy("source"))
@@ -2819,7 +2848,7 @@ WITH RECURSIVE w AS (
 SELECT cluster_id,
        arg_max(doc_id, n_chars * 10000000 - doc_id) AS rep_id,
        count(*) AS n_members,
-       list_sort(list_distinct(list(source))) AS sources,
+       array_to_string(list_sort(list_distinct(list(source))), ',') AS sources,
        CAST(sum(n_chars) AS BIGINT) AS total_n_chars
 FROM m GROUP BY cluster_id HAVING count(*) >= 2
 ORDER BY cluster_id""")
@@ -2846,7 +2875,11 @@ def x100(spark, sf):
                            collect_cols=("source",),
                            sum_cols=("n_chars",))
             .filter(F.col("n_members") >= 2)
-            .select("cluster_id", "rep_id", "n_members", "sources",
+            .select("cluster_id", "rep_id", "n_members",
+                    # scalar provenance: the driver's canonicalizer
+                    # (pandas sort_values) cannot hash array cells, so
+                    # the query-level contract is complex-type-free.
+                    F.array_join("sources", ",").alias("sources"),
                     "total_n_chars")
             .orderBy("cluster_id"))
 
@@ -4507,7 +4540,7 @@ def x139(spark, sf):
 @x("x140_gini", """
 WITH rev AS (
   SELECT c_custkey, c_nationkey,
-         COALESCE(SUM(o_totalprice), 0) AS r
+         ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS r
   FROM customer LEFT JOIN orders ON o_custkey = c_custkey
   GROUP BY 1, 2
 ), rk AS (
@@ -4537,8 +4570,10 @@ def x140(spark, sf):
     orders = load(spark, sf, "orders")
     rev = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
                .groupBy("c_custkey", "c_nationkey")
-               .agg(F.coalesce(F.sum("o_totalprice"), F.lit(0.0))
-                    .alias("r")))
+               # round before the rank: keeps the order-sensitive
+               # sum(i*r) term identical across engines (see oracle)
+               .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)),
+                            2).alias("r")))
     rk = grouped_global_position(
         rev, ["c_nationkey"], [F.col("r"), F.col("c_custkey")], "rk0")
     nation = load(spark, sf, "nation")

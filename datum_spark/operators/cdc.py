@@ -59,13 +59,17 @@ def apply_changes(snapshot: DataFrame, changes: DataFrame,
       * effective op is upsert → changelog payload, inserting if new.
     """
     payload = [c for c in snapshot.columns if c not in keys]
+    # the op marker joins under a reserved name so a snapshot payload
+    # column that happens to be named ``op_col`` (e.g. an 'op' field in
+    # the data) cannot collide with it in the full-outer join
     eff = last_wins(changes, keys, seq_cols).select(
-        *keys, op_col, *[F.col(c).alias(f"__ch_{c}") for c in payload])
+        *keys, F.col(op_col).alias("__cdc_op"),
+        *[F.col(c).alias(f"__ch_{c}") for c in payload])
     joined = snapshot.join(eff, on=keys, how="full_outer")
     alive = joined.filter(
-        F.col(op_col).isNull() | (F.col(op_col) != F.lit(delete_op)))
+        F.col("__cdc_op").isNull() | (F.col("__cdc_op") != F.lit(delete_op)))
     cols = [F.col(k) for k in keys] + [
-        F.when(F.col(op_col).isNotNull(), F.col(f"__ch_{c}"))
+        F.when(F.col("__cdc_op").isNotNull(), F.col(f"__ch_{c}"))
          .otherwise(F.col(c)).alias(c)
         for c in payload]
     return alive.select(*cols)

@@ -117,6 +117,16 @@ def duckdb_dtype_cats(con, sql: str) -> dict[str, str]:
     return {r[0]: cat(r[1]) for r in rows}
 
 
+def complex_typed_columns(schema) -> list[str]:
+    """Names of output columns with array/map/struct types — forbidden in
+    every query contract (the driver canonicalizer cannot hash them)."""
+    from pyspark.sql import types as T
+
+    return [f.name for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType,
+                                       T.StructType))]
+
+
 def run(sf_dir: str, only: list[str]):
     import duckdb
 
@@ -142,6 +152,19 @@ def run(sf_dir: str, only: list[str]):
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR: {exc}"))
             print(f"FAIL  {name}: spark error: {str(exc)[:300]}")
+            continue
+        complex_cols = complex_typed_columns(sdf.schema)
+        if complex_cols:
+            # Hard contract: no query may return array/map/struct columns.
+            # The driver's canonicalizer (pandas sort_values over all
+            # columns) crashes on unhashable cells — x100 was "green"
+            # here for a full round while driver-red (the r5 blind spot,
+            # one class up from r4's TIMESTAMPTZ).  _norm stringifies
+            # lists happily, so this check must be schema-level.
+            failures.append((name, f"complex-typed output {complex_cols}"))
+            print(f"FAIL  {name}: complex-typed output columns "
+                  f"{complex_cols} (driver canon cannot hash them — "
+                  f"project to scalars, e.g. array_join)")
             continue
         if name not in oracles:
             print(f"ok*   {name}: rows-only ({len(s_rows)} rows)")

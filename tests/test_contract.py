@@ -55,3 +55,12 @@ def test_bench_stdout_line_fits_driver_tail():
     dropped = [v for k, v in big.items()
                if k not in parsed["queries"] and v >= 0]
     assert all(v <= kept_min for v in dropped)
+
+    # all-error pathological case: elision must STOP at error entries even
+    # if the line stays oversized, rather than popping them too
+    errs = {f"averyveryverylongquerynamethatpadstheline{i:04d}": -1.0
+            for i in range(400)}
+    line = build_stdout_line(errs, 99.9, 0.1, 1.0, 2.0, 1)
+    parsed = _json.loads(line)
+    assert all(v == -1.0 for v in parsed["queries"].values())
+    assert len(parsed["queries"]) == 400   # every error entry survived

@@ -494,8 +494,12 @@ def test_vacuum_removes_stale_staging_only(tmp_db):
     os.makedirs(os.path.join(root, "v.parquet.__rewrite__"))
     os.makedirs(os.path.join(root, "v.parquet.__old__"))
     os.makedirs(os.path.join(root, "v.parquet", "_temporary"))
-    removed = db.vacuum()
+    # freshly-created staging could belong to an IN-FLIGHT writer: the
+    # default 1 h age gate must leave it alone
+    assert db.vacuum() == []
+    assert os.path.exists(os.path.join(root, "v.parquet.__rewrite__"))
+    removed = db.vacuum(min_age_seconds=0)
     assert len(removed) == 3
     assert not os.path.exists(os.path.join(root, "v.parquet.__rewrite__"))
     assert [r["a"] for r in db["v"].read()] == [1.0]
-    assert db.vacuum() == []     # idempotent
+    assert db.vacuum(min_age_seconds=0) == []     # idempotent

@@ -48,6 +48,39 @@ def test_timestamptz_cast_passes(spark):
     assert d["w_start"] == "t"
 
 
+def test_complex_typed_output_flagged(spark):
+    """Seeded instance of the r5 blind spot: a query returning an
+    array<string> column passed diff_runner (whose _norm stringifies
+    lists) while the DRIVER's pandas canonicalizer crashed on the
+    unhashable cells (x100).  The schema-level guard must flag any
+    array/map/struct output column."""
+    from tests.diff_runner import complex_typed_columns
+
+    sdf = spark.sql("""
+        SELECT 1 AS k, array('a', 'b') AS sources,
+               map('a', 1) AS m, named_struct('f', 1) AS st""")
+    assert complex_typed_columns(sdf.schema) == ["sources", "m", "st"]
+    # the scalar projection every query must apply (x100's fix):
+    fixed = sdf.selectExpr("k", "array_join(sources, ',') AS sources")
+    assert complex_typed_columns(fixed.schema) == []
+
+
+def test_all_declared_queries_scalar_typed(spark):
+    """No queries() entry may return a complex-typed column — build every
+    plan (no execution) and check output schemas.  This is the fleet-wide
+    version of the seeded test above: it would have caught x100 in r5."""
+    import __spark_entry__ as entry_mod
+    from tests.diff_runner import complex_typed_columns
+
+    sf = "/root/testdata/sf0.001"
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        cols = complex_typed_columns(fn(spark, sf).schema)
+        if cols:
+            bad[name] = cols
+    assert bad == {}
+
+
 def test_common_categories_align(spark):
     con = duckdb.connect()
     d = duckdb_dtype_cats(con, """
