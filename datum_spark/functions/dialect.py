@@ -26,13 +26,17 @@ _PG_TYPE_MAP = {
     "int4": "int",
     "int8": "bigint",
     "float8": "double",
+    "numeric": "decimal",
 }
 _MULTIWORD_TYPES = "|".join(
     t.replace(" ", r"\s+") for t in _PG_TYPE_MAP if " " in t)
 
 
 def _map_type(name: str) -> str:
-    return _PG_TYPE_MAP.get(" ".join(name.lower().split()), name)
+    # split optional precision args: numeric(10,2) -> decimal(10,2)
+    base, paren, args = name.partition("(")
+    mapped = _PG_TYPE_MAP.get(" ".join(base.lower().split()), base.strip())
+    return mapped + paren + args if paren else mapped
 
 
 # (pattern, replacement) applied outside single-quoted literals.
@@ -40,8 +44,10 @@ _RULES: list[tuple[re.Pattern, str]] = [
     # pg :: casts  ->  CAST(expr AS type). Handles simple operand on the left:
     # identifier, number, or a parenthesized/function expression is left to
     # the explicit-CAST fallback below.
-    (re.compile(r"(\b[A-Za-z_][A-Za-z0-9_.]*|\d+(?:\.\d+)?)\s*::\s*"
-                rf"({_MULTIWORD_TYPES}|[A-Za-z_][A-Za-z0-9_]*)",
+    (re.compile(r"(\b[A-Za-z_][A-Za-z0-9_.]*|\d+(?:\.\d+)?"
+                r"|\"(?:[^\"]|\"\")+\")\s*::\s*"
+                rf"({_MULTIWORD_TYPES}|[A-Za-z_][A-Za-z0-9_]*"
+                r"(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)",
                 re.IGNORECASE),
      lambda m: f"CAST({m.group(1)} AS {_map_type(m.group(2))})"),
     # Oracle NVL -> coalesce
@@ -55,6 +61,12 @@ _RULES: list[tuple[re.Pattern, str]] = [
     # Oracle SYSDATE / pg NOW() -> current_timestamp
     (re.compile(r"\bSYSDATE\b", re.IGNORECASE), "current_timestamp()"),
     (re.compile(r"\bNOW\s*\(\s*\)", re.IGNORECASE), "current_timestamp()"),
+    # pg double-quoted identifiers -> backticks (Spark reads "..." as a
+    # string literal by default); pg can't spell string literals with
+    # double quotes, so outside single-quoted literals this is safe.
+    # Embedded "" unescapes to a literal double quote per the pg rule.
+    (re.compile(r'"((?:[^"]|"")+)"'),
+     lambda m: "`" + m.group(1).replace('""', '"') + "`"),
     # pg string concat with || is supported by Spark SQL natively: no-op.
     # Oracle SUBSTR/LENGTH/TO_DATE exist in Spark: no-op.
     # pg TRUE/FALSE literals exist in Spark: no-op.

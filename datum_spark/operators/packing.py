@@ -76,7 +76,7 @@ def pack_summary(packed: DataFrame, token_col: str,
 def write_training_shards(df: DataFrame, path: str, order_col: str,
                           token_col: str, n_shards: int,
                           fmt: str = "parquet", mode: str = "error",
-                          **options) -> DataFrame:
+                          **options) -> tuple[DataFrame, dict]:
     """Write the corpus as ``n_shards`` token-balanced hive partitions
     (``shard=K/`` directories) — the end-of-pipeline layout step that
     turns a curriculum-ordered corpus into equal-work training shards.
@@ -91,17 +91,26 @@ def write_training_shards(df: DataFrame, path: str, order_col: str,
     aggregate for the total plus the prefix sum's per-partition counts —
     no single-task stage anywhere.
 
-    Returns the sharded DataFrame (with the ``shard`` column) so callers
-    can audit with :func:`pack_summary`.
+    Returns ``(sharded_df, metrics)``: the DataFrame (with the ``shard``
+    column) for :func:`pack_summary`-style audits, and a metrics dict
+    (``rows`` / ``tokens`` written, plus the derived ``token_budget``)
+    observed on the write job itself via Spark's Observation API — the
+    write is self-reporting, no second corpus scan to know what moved.
     """
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
     from ..sources.registry import write_table
+    from .metrics import observe
 
     total = df.agg(F.sum(token_col)).collect()[0][0] or 0
     budget = max(1, -(-int(total) // n_shards))  # ceil
     sharded = pack_documents(df, order_col, token_col, budget,
                              out_col="shard")
-    write_table(sharded, path, fmt=fmt, mode=mode,
+    observed, obs = observe(sharded, rows=F.count(F.lit(1)),
+                            tokens=F.sum(token_col))
+    write_table(observed, path, fmt=fmt, mode=mode,
                 partition_by=["shard"], **options)
-    return sharded
+    metrics = {k: int(v or 0) for k, v in obs.get.items()}
+    metrics["n_shards"] = n_shards
+    metrics["token_budget"] = budget
+    return sharded, metrics

@@ -413,31 +413,42 @@ class Table:
         self.db._registered.discard(self.name)
         self._schema_cache = None
 
-    def compact(self, target_file_mb: int = 128) -> int:
+    def compact(self, target_file_mb: int = 128) -> dict:
         """Coalesce small files: rewrite the table with file count sized
         from the data's actual bytes (Catalyst size estimate ÷ target).
         Streaming ingest and per-batch upserts leave a long tail of tiny
         files; every one costs a scan task and an open at read time, so
         at 100 TB compaction IS the read-latency lever.  Hive partition
         dirs are preserved (the rewrite re-partitions by the same
-        columns).  Returns the file count written.
+        columns).
+
+        Returns a maintenance report ``{"files": written file count,
+        "rows": rows moved, "est_bytes": Catalyst size estimate}`` —
+        ``rows`` is observed on the rewrite job itself (Observation API),
+        so the 100 TB maintenance op is self-reporting with no second
+        scan.
         """
+        from .operators.metrics import observe
         from .util import estimated_bytes
 
         df = self.df()
-        n = max(1, -(-estimated_bytes(df) // (target_file_mb << 20)))
+        est = int(estimated_bytes(df))
+        n = max(1, -(-est // (target_file_mb << 20)))
+        observed, obs = observe(df, rows=F.count(F.lit(1)))
         part_cols = self._props.get("partition_by")
         if part_cols:
             # spread by partition value so each dir gets few, large files
             self.db._rewrite_table(self.name,
-                                   df.repartition(n, *part_cols))
+                                   observed.repartition(n, *part_cols))
         else:
-            self.db._rewrite_table(self.name, df.repartition(n))
+            self.db._rewrite_table(self.name, observed.repartition(n))
         import glob
 
-        return len(glob.glob(
+        files = len(glob.glob(
             f"{self.db._table_path(self.name)}/**/*.parquet",
             recursive=True))
+        return {"files": files, "rows": int(obs.get["rows"] or 0),
+                "est_bytes": est}
 
     def optimize(self, cluster_by: list[str] | str,
                  target_partitions: int | None = None,

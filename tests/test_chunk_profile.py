@@ -228,7 +228,13 @@ def test_write_training_shards_balanced_and_contiguous(spark, tmp_path):
     rows = [(i, 10 + (i % 7)) for i in range(200)]   # ~2600 tokens
     df = spark.createDataFrame(rows, "doc_id long, nt long")
     path = str(tmp_path / "shards")
-    sharded = write_training_shards(df, path, "doc_id", "nt", n_shards=4)
+    sharded, metrics = write_training_shards(df, path, "doc_id", "nt",
+                                             n_shards=4)
+    # the write job self-reports what it moved (Observation API):
+    assert metrics["rows"] == 200
+    assert metrics["tokens"] == sum(nt for _, nt in rows)
+    assert metrics["n_shards"] == 4
+    assert metrics["token_budget"] == -(-metrics["tokens"] // 4)
 
     stats = {r["shard"]: r for r in
              sharded.groupBy("shard").agg(
@@ -252,8 +258,8 @@ def test_write_training_shards_balanced_and_contiguous(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 200
     # deterministic: a second run derives the identical assignment
-    again = write_training_shards(df, str(tmp_path / "shards2"),
-                                  "doc_id", "nt", n_shards=4)
+    again, _ = write_training_shards(df, str(tmp_path / "shards2"),
+                                     "doc_id", "nt", n_shards=4)
     a = {r["doc_id"]: r["shard"] for r in sharded.collect()}
     b = {r["doc_id"]: r["shard"] for r in again.collect()}
     assert a == b

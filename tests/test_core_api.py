@@ -460,8 +460,11 @@ def test_compact_reduces_file_count(tmp_db):
     path = db._table_path("c")
     before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
     rows_before = sorted(r["a"] for r in db["c"].read())
-    n_after = db["c"].compact(target_file_mb=128)
-    assert n_after < before
+    report = db["c"].compact(target_file_mb=128)
+    assert report["files"] < before
+    # the rewrite job self-reports what it moved (Observation API):
+    assert report["rows"] == len(rows_before)
+    assert report["est_bytes"] > 0
     assert sorted(r["a"] for r in db["c"].read()) == rows_before
 
 
@@ -475,7 +478,8 @@ def test_compact_preserves_hive_partitions(tmp_db):
                     partition_by=["day"])
     for i in range(4):
         db["cp"].write([{"day": "d1", "v": i}, {"day": "d2", "v": i}])
-    db["cp"].compact()
+    report = db["cp"].compact()
+    assert report["rows"] == 8
     path = db._table_path("cp")
     assert os.path.isdir(f"{path}/day=d1") and os.path.isdir(f"{path}/day=d2")
     got = sorted((r["day"], r["v"]) for r in db["cp"].read())

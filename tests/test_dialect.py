@@ -53,3 +53,77 @@ def test_pg_regex_operators():
 def test_predicate_passthrough():
     p = "a BETWEEN 1 AND 2 AND b IN ('x','y') AND c IS NOT NULL"
     assert translate_predicate(p) == p
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity idiom enumeration: the reference forwards ``where=``
+# fragments and whole statements verbatim to psycopg2/cx_Oracle
+# (datum/postgis/database.py:43-55, datum/postgis/table.py:157-163), so
+# these are the pg/oracle spellings an existing user's predicates carry.
+# Each test documents one SUPPORTED idiom; together they enumerate the
+# shim's contract surface.
+
+def test_pg_idiom_ilike_passthrough():
+    """ILIKE is native Spark SQL (3.3+): must pass through untouched."""
+    p = "name ILIKE '%market%' AND city NOT ILIKE 'phila%'"
+    assert translate_predicate(p) == p
+
+
+def test_pg_idiom_numeric_cast_with_precision():
+    assert (translate_predicate("total::numeric(10,2) > 5")
+            == "CAST(total AS decimal(10,2)) > 5")
+    assert (translate_predicate("total::numeric > 5")
+            == "CAST(total AS decimal) > 5")
+
+
+def test_pg_idiom_double_quoted_identifiers():
+    """pg spells case-sensitive identifiers with double quotes; Spark
+    reads double quotes as string literals, so they become backticks."""
+    assert (translate_predicate('"MixedCase" = 3')
+            == "`MixedCase` = 3")
+    assert (translate_predicate('"odd name" IS NOT NULL')
+            == "`odd name` IS NOT NULL")
+    # pg-escaped embedded quote "" unescapes
+    assert translate_predicate('"a""b" = 1') == '`a"b` = 1'
+
+
+def test_pg_idiom_quoted_identifier_cast():
+    assert (translate_predicate('"Total"::int8 > 0')
+            == "CAST(`Total` AS bigint) > 0")
+
+
+def test_pg_idiom_double_quotes_inside_string_literal_kept():
+    sql = "note = 'he said \"hi\"' AND \"Col\" = 2"
+    assert (translate_sql(sql)
+            == "note = 'he said \"hi\"' AND `Col` = 2")
+
+
+def test_pg_idiom_concat_and_position_passthrough():
+    """|| concat and ANSI POSITION(x IN y) are native Spark SQL."""
+    p = "first_name || ' ' || last_name = 'A B'"
+    assert translate_predicate(p) == p
+    p2 = "POSITION('x' IN name) > 0"
+    assert translate_predicate(p2) == p2
+
+
+def test_pg_idiom_temporal_passthrough():
+    """EXTRACT / date_trunc / CURRENT_DATE are native Spark SQL."""
+    p = ("EXTRACT(YEAR FROM ts) = 2024 AND date_trunc('month', ts) >= "
+         "CURRENT_DATE")
+    assert translate_predicate(p) == p
+
+
+def test_oracle_idiom_functions_passthrough():
+    """SUBSTR / LENGTH / TO_DATE exist in Spark SQL: pass through."""
+    p = ("SUBSTR(name, 1, 3) = 'PHL' AND LENGTH(name) > 3 AND "
+         "d >= TO_DATE('2024-01-02', 'yyyy-MM-dd')")
+    assert translate_predicate(p) == p
+
+
+def test_idioms_compose_in_one_predicate():
+    got = translate_predicate(
+        "\"Total\"::numeric(12,2) > NVL(floor_, 0) AND name ~ '^A' "
+        "AND ts < NOW() AND tag ILIKE 'x%'")
+    assert got == ("CAST(`Total` AS decimal(12,2)) > coalesce(floor_, 0) "
+                   "AND name RLIKE '^A' AND ts < current_timestamp() "
+                   "AND tag ILIKE 'x%'")
