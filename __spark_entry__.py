@@ -63,6 +63,9 @@ _RECHECK_R6 = {
     "x100_golden_record",
     "x38_train_test_split", "x56_source_mixing",     # md5 promotions
     "x18_image_features", "x140_gini",               # oracle fixes
+    # brand-new round-6 operators:
+    "x151_contamination", "x152_bm25_retrieval",
+    "x153_near_dup_clusters",
     # never driver-checked (late round-5 additions):
     "x126_ref_integrity", "x127_ohlc_bars", "x128_topk_ties",
     "x130_transitions", "x131_survival", "x132_bigram_lm",

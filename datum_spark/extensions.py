@@ -5049,6 +5049,179 @@ def x150(spark, sf):
              .orderBy("cohort_start", "week_offset"))
 
 
+@x("x151_contamination", """
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(ws) - 4, 1)),
+           i -> array_to_string(ws[i:i+4], ' '))) AS gs
+  FROM w0
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id < 100
+), cg AS (
+  SELECT doc_id, unnest(gs) AS gram, len(gs) AS n_grams
+  FROM g WHERE doc_id >= 100
+), hits AS (
+  SELECT doc_id, ANY_VALUE(n_grams) AS n_grams,
+         COUNT(DISTINCT cg.gram) AS n_hits
+  FROM cg JOIN ev ON cg.gram = ev.gram
+  GROUP BY doc_id
+), evdocs AS (
+  SELECT cg.doc_id, COUNT(DISTINCT e2.doc_id) AS n_eval_docs
+  FROM cg JOIN (SELECT doc_id, unnest(gs) AS gram FROM g
+                WHERE doc_id < 100) e2
+       ON cg.gram = e2.gram
+  GROUP BY cg.doc_id
+)
+SELECT h.doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits / n_grams, 4) AS contamination,
+       CAST(n_eval_docs AS BIGINT) AS n_eval_docs
+FROM hits h JOIN evdocs USING (doc_id)
+ORDER BY doc_id""")
+def x151(spark, sf):
+    """Benchmark decontamination screen: corpus docs (doc_id ≥ 100)
+    sharing any word 5-gram with the held-out eval slice (doc_id < 100)
+    — the standard pre-training hygiene pass (13-gram collision in
+    production; 5 here so the ~54-word fixture docs carry a useful gram
+    count).  The eval side broadcasts (benchmarks are small by
+    construction), making the gram match a map-side join over the corpus
+    inverted index; the only corpus exchange is the per-doc hit
+    aggregation."""
+    docs = load_docs(spark, sf)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    eval_df = docs.filter(F.col("doc_id") < 100)
+    return (dedup_mod.benchmark_contamination(corpus, eval_df, "doc_id",
+                                              "text", n=5, min_hits=1)
+            .withColumn("n_grams", F.col("n_grams").cast("int"))
+            .orderBy("doc_id"))
+
+
+@x("x152_bm25_retrieval", """
+WITH q(query_id, query_text) AS (
+  VALUES (1, 'join hash table'), (2, 'scan filter column'),
+         (3, 'window agg batch'), (4, 'stream merge spark')
+), qt AS (
+  SELECT DISTINCT query_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(query_text), '[^a-z0-9]+'),
+           x -> x <> ''))) AS term
+  FROM q
+), d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 300
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+    SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM d
+  ) WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         ROUND(SUM( LN((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * tf.dl / stats.avgdl))),
+               4) AS score
+  FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), rk AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""")
+def x152(spark, sf):
+    """Bulk BM25 retrieval: top-5 documents for each of 4 queries in one
+    job — the batch search-evaluation / hard-negative-mining shape.  The
+    query vocabulary broadcasts, so corpus postings are filtered
+    map-side and the only corpus exchange is the (doc, term) partial
+    count; ranking is per-query (rounded score before rank — the x140
+    cross-engine order discipline)."""
+    from .operators.keywords import bm25_topk
+
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    qdf = spark.createDataFrame(
+        [(1, "join hash table"), (2, "scan filter column"),
+         (3, "window agg batch"), (4, "stream merge spark")],
+        "query_id int, query_text string")
+    return (bm25_topk(docs, qdf, k=5)
+            .withColumn("rnk", F.col("rnk").cast("int"))
+            .orderBy("query_id", "rnk"))
+
+
+@x("x153_near_dup_clusters", """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, lower(text) AS t FROM documents WHERE doc_id < 300
+), grp AS (
+  SELECT doc_id, md5(text) AS th FROM d
+), reps AS (
+  SELECT th, MIN(doc_id) AS rep FROM grp GROUP BY th
+), m AS (
+  SELECT g.doc_id, r.rep FROM grp g JOIN reps r USING (th)
+), rd AS (
+  SELECT d.doc_id, d.t FROM d JOIN reps r ON d.doc_id = r.rep
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM rd
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
+)
+SELECT m.doc_id, COALESCE(c.component, m.rep) AS cluster_id
+FROM m LEFT JOIN comp c ON m.rep = c.node
+ORDER BY m.doc_id""")
+def x153(spark, sf):
+    """End-to-end near-dup clustering with exact-duplicate collapse —
+    the production dedup composition the 100× stress motivated
+    (SCALE.md §8): identical texts collapse by md5 BEFORE LSH, MinHash
+    runs over distinct texts only (replica floods can't blow up band
+    buckets or pair volume), clusters form at representative level, and
+    every doc maps back through its text-hash group.  Fully portable
+    (md5 hash family end to end), so the oracle re-derives exact groups,
+    signatures, banded pairs, AND the transitive closure in pure SQL."""
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    return (dedup_mod.near_dup_clusters(docs, "doc_id", "text",
+                                        num_hashes=16, bands=4,
+                                        threshold=0.5)
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

@@ -3,7 +3,7 @@ deduplication families, similarity search, text analysis."""
 
 from .topk import top_k, top_k_per_group
 from .components import connected_components, dup_clusters
-from .keywords import tf_idf_terms, bm25_scores
+from .keywords import bm25_scores, bm25_topk, tf_idf_terms
 from .clustering import (cluster_coreset, kmeans_assign, kmeans_fit,
                          kmeans_inertia, semantic_dedup_pairs)
 from .asof import asof_join
@@ -20,6 +20,7 @@ from .packing import (pack_documents, pack_summary,
 from .chunking import chunk_documents
 from .profile import profile_columns
 from .dedup import (
+    benchmark_contamination,
     duplicated_span_stats,
     novelty_scores,
     exact_dedup,
@@ -27,6 +28,7 @@ from .dedup import (
     minhash_near_dups,
     minhash_near_dups_fast,
     minhash_near_dups_md5,
+    near_dup_clusters,
     simhash_near_dups,
     ngram_jaccard_pairs,
     fuzzy_near_dups,
@@ -58,7 +60,7 @@ __all__ = [
     "char_entropy", "with_char_entropy", "novelty_scores",
     "top_k", "top_k_per_group", "asof_join", "salted_join",
     "connected_components", "dup_clusters",
-    "tf_idf_terms", "bm25_scores",
+    "tf_idf_terms", "bm25_scores", "bm25_topk", "benchmark_contamination",
     "kmeans_assign", "kmeans_fit", "kmeans_inertia", "semantic_dedup_pairs",
     "cluster_coreset",
     "hash_split", "mix_sources", "stratified_sample", "with_split_label",
@@ -67,7 +69,7 @@ __all__ = [
     "doc_frequency", "top_ngrams", "minhash_near_dups_md5",
     "pack_documents", "pack_summary",
     "exact_dedup", "exact_dup_groups", "minhash_near_dups",
-    "minhash_near_dups_fast",
+    "minhash_near_dups_fast", "near_dup_clusters",
     "simhash_near_dups", "ngram_jaccard_pairs", "fuzzy_near_dups",
     "embedding_cosine_dups",
     "cosine_top_k", "ivf_cosine_top_k", "lsh_cosine_top_k",

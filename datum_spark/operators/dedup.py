@@ -747,6 +747,113 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# full near-dup clustering with exact-duplicate collapse (the production
+# composition)
+
+def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_k: int = 5, threshold: float = 0.5,
+                      max_bucket_size: int | None = 1000) -> DataFrame:
+    """End-to-end near-dup clustering: collapse EXACT duplicates first,
+    run MinHash-LSH over the distinct texts only, cluster the
+    representatives, then map every input row to its cluster.  Returns
+    ``(id_col, cluster_id)`` for every row; ``cluster_id`` is the
+    minimum member id of the full cluster (singletons map to
+    themselves).
+
+    Why the collapse matters at scale (measured, SCALE.md §8): a
+    replica-flooded corpus — crawl snapshots, mirrored posts, N identical
+    copies per doc — sends all N copies into the SAME band bucket, so
+    raw LSH either materializes N²/2 intra-clique pairs per document or
+    (with ``max_bucket_size``) skips the flooded buckets and loses the
+    clusters entirely.  Collapsing by exact text hash first makes the
+    LSH corpus the DISTINCT texts (the 100× stress: 500,000 rows → 4,992
+    reps), after which signature computation, banding, and pair volume
+    are all independent of the flood factor; membership rejoins by the
+    text-hash key at the end.  Cost: one text-hash exchange + the LSH on
+    the collapsed corpus + one map-side-broadcastable rep→cluster join —
+    intra-clique pairs are never materialized at all.
+
+    Portable md5 hash family throughout (signatures and the exact-group
+    key), so an external engine can re-derive every cluster id.
+    """
+    th = F.md5(F.col(text_col))
+    keyed = _retain_cache(df.select(F.col(id_col).alias("__id"),
+                                    th.alias("__th")))
+    reps = keyed.groupBy("__th").agg(F.min("__id").alias("__rep"))
+    mapping = keyed.join(reps, "__th").select("__id", "__rep")
+    rep_docs = df.join(reps.select(F.col("__rep").alias(id_col)),
+                       id_col, "semi")
+    pairs = minhash_near_dups_md5(rep_docs, id_col, text_col,
+                                  num_hashes=num_hashes, bands=bands,
+                                  shingle_k=shingle_k, threshold=threshold,
+                                  max_bucket_size=max_bucket_size)
+    from .components import dup_clusters
+
+    comp = dup_clusters(pairs.select("id_a", "id_b"))
+    return (mapping.join(comp.withColumnRenamed("node", "__rep"),
+                         "__rep", "left")
+                   .select(F.col("__id").alias(id_col),
+                           F.coalesce("component", "__rep")
+                            .alias("cluster_id")))
+
+def benchmark_contamination(corpus: DataFrame, eval_df: DataFrame,
+                            id_col: str, text_col: str, n: int = 13,
+                            min_hits: int = 1,
+                            broadcast_eval: bool = True) -> DataFrame:
+    """Decontamination screen: which corpus documents contain word
+    ``n``-grams that also appear in an evaluation/benchmark set — the
+    standard pre-training hygiene pass (collide long n-grams, typically
+    13-grams, between corpus and benchmark; a hit means the model may
+    have SEEN the test item).
+
+    Returns one row per contaminated corpus doc:
+    ``(id, n_grams, n_hits, contamination, n_eval_docs)`` where
+    ``n_hits`` counts the doc's distinct grams found anywhere in the
+    eval set, ``contamination = n_hits / n_grams``, and ``n_eval_docs``
+    counts how many distinct eval documents it collides with.
+
+    Scale shape: the corpus side explodes to a (doc, gram) inverted
+    index that never self-joins; the eval side is the benchmark — small
+    by construction — so with ``broadcast_eval`` (default) the gram
+    match is a MAP-SIDE join over the corpus scan and the only exchange
+    is the per-doc hit aggregation on the corpus key.  Set it False if
+    the "benchmark" is itself huge (e.g. screening against another
+    corpus); the join then shuffles both sides by gram — the same
+    delta-vs-corpus shape as :func:`incremental_near_dups_md5`.
+    """
+    def grams_of(df: DataFrame, out_id: str) -> DataFrame:
+        words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                         lambda t: t != "")
+        if n == 1:
+            g = F.array_distinct(words)
+        else:
+            idx = F.sequence(F.lit(0),
+                             F.greatest(F.size(words) - n, F.lit(0)))
+            g = F.array_distinct(F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+        return df.select(F.col(id_col).alias(out_id), g.alias("__grams"))
+
+    cg = grams_of(corpus, "__id")
+    inv_c = cg.select("__id", F.explode("__grams").alias("__g"))
+    sizes = cg.select("__id", F.size("__grams").alias("n_grams"))
+    ev = (grams_of(eval_df, "__eval_id")
+          .select("__eval_id", F.explode("__grams").alias("__g")))
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    hits = (inv_c.join(ev, "__g")
+                 .groupBy("__id")
+                 .agg(F.countDistinct("__g").alias("n_hits"),
+                      F.countDistinct("__eval_id").alias("n_eval_docs")))
+    return (sizes.join(hits, "__id")
+                 .filter(F.col("n_hits") >= min_hits)
+                 .select(F.col("__id").alias(id_col), "n_grams", "n_hits",
+                         F.round(F.col("n_hits") / F.col("n_grams"), 4)
+                          .alias("contamination"),
+                         "n_eval_docs"))
+
+
+# ---------------------------------------------------------------------------
 # survivorship: merge each duplicate cluster into one golden record
 
 def golden_records(df: DataFrame, id_col: str, cluster_col: str,

@@ -62,6 +62,57 @@ def tf_idf_terms(docs: DataFrame, id_col: str = "doc_id",
               .select(id_col, "rk", "term", "tf", "df", "score"))
 
 
+def bm25_topk(docs: DataFrame, queries: DataFrame, k: int = 10,
+              id_col: str = "doc_id", text_col: str = "text",
+              query_id_col: str = "query_id",
+              query_text_col: str = "query_text",
+              k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Bulk BM25 retrieval: the top-``k`` documents for EVERY query in a
+    query table — the batch search-evaluation shape (rerank candidates,
+    mine hard negatives, build retrieval training pairs) rather than
+    :func:`bm25_scores`'s single ad-hoc query.
+
+    Returns ``(query_id, id_col, score, rnk)`` with ``rnk`` 1-based by
+    (rounded score desc, id asc) — rounding BEFORE the rank keeps the
+    order reproducible across engines (the x140 parity discipline).
+    Query-term multiplicity is ignored (standard Okapi practice): each
+    distinct query term contributes once.
+
+    Scale shape: the corpus tokenization keeps only terms that occur in
+    SOME query (one broadcast semi-filter over the exploded postings —
+    query vocabularies are small even when the query count is large), so
+    the only corpus-sized exchange is the (doc, term) partial count; the
+    per-query fan-out then touches matched postings only, and the top-k
+    window partitions by query — thousands of queries spread across the
+    cluster, never a global sort.
+    """
+    d = docs.select(F.col(id_col), _tokens(text_col).alias("ws"))
+    stats = d.agg(F.count(F.lit(1)).alias("n"),
+                  F.avg(F.size("ws")).alias("avgdl"))
+    qt = (queries.select(F.col(query_id_col),
+                         F.explode(F.array_distinct(
+                             _tokens(query_text_col))).alias("term")))
+    tf = (d.select(id_col, F.size("ws").alias("dl"),
+                   F.explode("ws").alias("term"))
+           .join(F.broadcast(qt.select("term").distinct()), "term")
+           .groupBy(id_col, "term")
+           .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    part = (idf * F.col("tf") * (k1 + 1)
+            / (F.col("tf")
+               + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(df_), "term")
+                .crossJoin(F.broadcast(stats))
+                .join(F.broadcast(qt), "term")
+                .groupBy(query_id_col, id_col)
+                .agg(F.round(F.sum(part), 4).alias("score")))
+    w = (Window.partitionBy(query_id_col)
+               .orderBy(F.col("score").desc(), F.col(id_col).asc()))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))
+
+
 def bm25_scores(docs: DataFrame, query_terms: list[str],
                 id_col: str = "doc_id", text_col: str = "text",
                 k1: float = 1.2, b: float = 0.75) -> DataFrame:

@@ -151,6 +151,16 @@ def main() -> int:
 
     run("dup_clusters_golden_records", _golden)
 
+    # 4. the production composition the raw-LSH rows motivate: collapse
+    #    exact duplicates BEFORE LSH (500k rows → ~5k distinct texts),
+    #    cluster representatives, map members back — replica floods never
+    #    reach the band buckets and intra-clique pairs are never
+    #    materialized
+    from datum_spark.operators.dedup import near_dup_clusters
+    run("near_dup_clusters_collapsed",
+        lambda: near_dup_clusters(docs, "doc_id", "text", num_hashes=16,
+                                  bands=4, threshold=0.5))
+
     print(json.dumps({
         "corpus": {"documents": n_docs, "upsample": factor},
         "sf_dir": sf_dir,

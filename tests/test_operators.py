@@ -838,3 +838,148 @@ def test_observe_requires_metrics(spark):
 
     with _pytest.raises(ValueError):
         observe(spark.range(1))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination + bulk BM25 retrieval (round 6)
+
+def test_benchmark_contamination_semantics(spark):
+    from datum_spark.operators import benchmark_contamination
+
+    eval_df = spark.createDataFrame(
+        [(900, "alpha beta gamma delta"),
+         (901, "one two three four")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "xx alpha beta gamma yy zz"),        # hits eval 900 once
+         (2, "one two three four alpha beta gamma qq"),  # hits both
+         (3, "totally unrelated words here")],    # clean
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           benchmark_contamination(corpus, eval_df, "doc_id", "text",
+                                   n=3).collect()}
+    assert set(out) == {1, 2}                     # doc 3 is clean
+    # doc 1: grams of 6 words = 4 trigrams; exactly 'alpha beta gamma'
+    assert out[1]["n_grams"] == 4 and out[1]["n_hits"] == 1
+    assert out[1]["n_eval_docs"] == 1
+    assert abs(out[1]["contamination"] - 0.25) < 1e-9
+    # doc 2: 'one two three','two three four','alpha beta gamma' hit,
+    # across BOTH eval docs
+    assert out[2]["n_hits"] == 3 and out[2]["n_eval_docs"] == 2
+
+
+def test_benchmark_contamination_broadcast_flag_equivalent(spark):
+    from datum_spark.operators import benchmark_contamination
+
+    eval_df = spark.createDataFrame(
+        [(900, "alpha beta gamma delta")], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "pp alpha beta gamma qq"), (2, "clean doc here")],
+        "doc_id long, text string")
+    a = sorted(map(tuple, benchmark_contamination(
+        corpus, eval_df, "doc_id", "text", n=3,
+        broadcast_eval=True).collect()))
+    b = sorted(map(tuple, benchmark_contamination(
+        corpus, eval_df, "doc_id", "text", n=3,
+        broadcast_eval=False).collect()))
+    assert a == b and len(a) == 1
+
+
+def test_bm25_topk_matches_single_query_scorer(spark):
+    """Per-query scores from the bulk ranker must equal bm25_scores run
+    with that query's terms alone (same corpus stats)."""
+    from datum_spark.operators import bm25_scores, bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "join hash join probe build", "hash table scan",
+            "filter scan column pushdown", "window agg partial agg",
+            "stream batch micro batch", "join scan filter window"])],
+        "doc_id long, text string")
+    qdf = spark.createDataFrame(
+        [(1, "join hash"), (2, "scan filter")],
+        "query_id int, query_text string")
+    bulk = bm25_topk(corpus, qdf, k=10)
+    for qid, terms in ((1, ["join", "hash"]), (2, ["scan", "filter"])):
+        single = {r["doc_id"]: r["score"] for r in
+                  bm25_scores(corpus, terms).collect()}
+        mine = {r["doc_id"]: r["score"] for r in
+                bulk.filter(F.col("query_id") == qid).collect()}
+        assert mine == single, (qid, mine, single)
+    # ranks are 1..n, dense per query, ordered by score desc then id
+    rows = bulk.filter("query_id = 1").orderBy("rnk").collect()
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_topk_truncates_at_k(spark):
+    from datum_spark.operators import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [(i, "common term doc %d" % i) for i in range(20)],
+        "doc_id long, text string")
+    qdf = spark.createDataFrame([(1, "common")],
+                                "query_id int, query_text string")
+    out = bm25_topk(corpus, qdf, k=5).collect()
+    assert len(out) == 5
+    assert {r["rnk"] for r in out} == {1, 2, 3, 4, 5}
+
+
+def test_near_dup_clusters_collapse_composition(spark):
+    """Exact dups collapse before LSH; clusters span exact+near members;
+    singletons map to themselves (SCALE.md §8 composition)."""
+    from datum_spark.operators import near_dup_clusters
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the river"),
+        (7, "the quick brown fox jumps over the lazy dog near the river"),
+        (3, "the quick brown fox jumps over the lazy dog near the creek"),
+        (4, "completely different text talking about spark dataframes and joins"),
+        (5, "completely different text talking about spark dataframes and joins"),
+        (6, "an utterly unrelated singleton document with its own words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dict(map(tuple, near_dup_clusters(df, "doc_id", "text",
+                                            threshold=0.5).collect()))
+    assert got == {1: 1, 2: 1, 3: 1, 7: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_near_dup_clusters_flood_proof(spark):
+    """A replica flood (60 copies of each doc) with a bucket cap SMALLER
+    than the flood must still recover every cluster — the collapse means
+    band buckets see one rep per text, where raw LSH would skip the
+    flooded bucket and lose the clique."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.operators import minhash_near_dups_md5, near_dup_clusters
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river"),
+        (2, "the quick brown fox jumps over the lazy dog near the creek"),
+        (3, "completely different text talking about spark dataframes and joins"),
+    ]
+    df = spark.createDataFrame(base, "doc_id long, text string")
+    flood = (df.select("doc_id", "text",
+                       F.explode(F.sequence(F.lit(0), F.lit(59)))
+                        .alias("c"))
+               .select((F.col("doc_id") * 64 + F.col("c")).alias("doc_id"),
+                       "text"))
+    cap = 50     # smaller than the 60-member replica cliques
+    # raw LSH: flooded buckets are skipped, the near-dup pair 1~2 is lost
+    raw = minhash_near_dups_md5(flood, "doc_id", "text",
+                                max_bucket_size=cap).count()
+    assert raw == 0
+    # collapsed composition: one rep per text -> full clusters recovered
+    got = dict(map(tuple, near_dup_clusters(
+        flood, "doc_id", "text", threshold=0.5,
+        max_bucket_size=cap).collect()))
+    assert len(got) == 180
+    # every replica of docs 1 and 2 lands in the joint cluster (min id 64)
+    joint = {k for k, v in got.items() if v == 64}
+    assert joint == {64 + c for c in range(60)} | {128 + c
+                                                   for c in range(60)}
+    # doc 3's replicas cluster among themselves
+    third = {k for k, v in got.items() if v == 192}
+    assert third == {192 + c for c in range(60)}
