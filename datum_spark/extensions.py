@@ -5222,6 +5222,29 @@ def x153(spark, sf):
             .orderBy("doc_id"))
 
 
+@x("x154_embedding_covariance", """
+WITH a AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)
+SELECT ai.i AS i, aj.i AS j, ROUND(covar_pop(ai.x, aj.x), 6) AS cov
+FROM a ai JOIN a aj ON ai.vec_id = aj.vec_id AND ai.i <= aj.i
+GROUP BY 1, 2 ORDER BY 1, 2""")
+def x154(spark, sf):
+    """Embedding covariance matrix (upper triangle, 1-based dims) — the
+    decorrelation/anisotropy audit before PCA-whitening or product
+    quantization.  One Gram partial per Arrow batch (NumPy BLAS inside
+    mapInPandas), partition-count-bounded driver combine; the oracle's
+    covar_pop over a zipped double-unnest self-join re-derives every
+    cell (the Spark side computes the identical Σxxᵀ/n − μμᵀ)."""
+    from .operators.similarity import embedding_covariance
+
+    emb = load_emb(spark, sf)
+    return (embedding_covariance(emb, "embedding", round_to=6)
+            .orderBy("i", "j"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)

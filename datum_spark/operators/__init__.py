@@ -34,7 +34,8 @@ from .dedup import (
     fuzzy_near_dups,
     embedding_cosine_dups,
 )
-from .similarity import cosine_top_k, ivf_cosine_top_k, lsh_cosine_top_k
+from .similarity import (cosine_top_k, embedding_covariance,
+                         ivf_cosine_top_k, lsh_cosine_top_k)
 from .curriculum import (epoch_shuffle, grouped_global_position,
                          interleave_sources, quality_percentile_filter,
                          token_budget_sample)
@@ -72,7 +73,8 @@ __all__ = [
     "minhash_near_dups_fast", "near_dup_clusters",
     "simhash_near_dups", "ngram_jaccard_pairs", "fuzzy_near_dups",
     "embedding_cosine_dups",
-    "cosine_top_k", "ivf_cosine_top_k", "lsh_cosine_top_k",
+    "cosine_top_k", "embedding_covariance", "ivf_cosine_top_k",
+    "lsh_cosine_top_k",
     "with_token_count", "with_quality_score", "with_language_guess",
     "with_fingerprint",
     "epoch_shuffle", "interleave_sources", "token_budget_sample",

@@ -55,6 +55,9 @@ def exact_dup_groups(df: DataFrame, cols: list[str]) -> DataFrame:
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
+_I64_MAX = (1 << 63) - 1       # fold identity for min over xxhash64 values
+
+
 def _char_shingles(text_col, k: int):
     """Array of character k-shingles, computed JVM-side.
 
@@ -72,16 +75,27 @@ def minhash_signature(text_col, num_hashes: int = 32, shingle_k: int = 5):
 
     Hash family: ``xxhash64(seed_i, shingle)`` — 64-bit, JVM-side; the
     signature element i is the min over shingles.
+
+    Spelled as ONE fold over the shingle array (``aggregate`` +
+    ``zip_with``/``least``) rather than ``num_hashes`` independent
+    ``array_min(transform(shingles, …))`` projections: Catalyst does not
+    CSE the shingle subexpression through lambda functions, so the old
+    spelling re-built (and re-``array_distinct``-ed) the shingle array
+    once per hash — measured 2.1× on x04 and the dominant wall cost of
+    the 100× stress.  Identical output values (min per seed over the
+    same shingles).
     """
     shingles = _char_shingles(text_col, shingle_k)
+    init = F.array_repeat(F.lit(_I64_MAX).cast("long"), num_hashes)
 
-    def hash_with(seed):
-        # closure factory: a default-arg lambda would be seen by PySpark as
-        # the two-arg (element, index) variant and bind the index instead
-        return lambda s: F.xxhash64(F.lit(seed), s)
+    def hashes_of(s):
+        return F.array(*[F.xxhash64(F.lit(i), s)
+                         for i in range(num_hashes)])
 
-    return F.array(*[F.array_min(F.transform(shingles, hash_with(i)))
-                     for i in range(num_hashes)])
+    return F.aggregate(
+        shingles, init,
+        lambda acc, s: F.zip_with(acc, hashes_of(s),
+                                  lambda a, b: F.least(a, b)))
 
 
 def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
@@ -175,18 +189,28 @@ def minhash_signature_md5(text_col, num_hashes: int = 16,
     makes the whole MinHash pipeline value-checkable against an external
     SQL oracle — use this variant when audits matter more than
     throughput.
+
+    Single-pass fold like :func:`minhash_signature`: the md5 base hashes
+    are computed once per shingle and all ``num_hashes`` affine minima
+    update in one ``aggregate``/``zip_with`` sweep (the old per-hash
+    ``array_min(transform(...))`` spelling re-evaluated the md5 array
+    per hash — the dominant cost of the 100× raw-LSH stress run).
     """
     shingles = _char_shingles(text_col, shingle_k)
     hashes = F.transform(
         shingles,
         lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"))
+    init = F.array_repeat(F.lit(_MD5_MINHASH_P).cast("long"), num_hashes)
 
-    def affine(i):
-        a, b = 2 * i + 1, 7919 * i
-        return lambda h: (h * a + b) % F.lit(_MD5_MINHASH_P)
+    def affines(h):
+        return F.array(*[(h * (2 * i + 1) + 7919 * i)
+                         % F.lit(_MD5_MINHASH_P)
+                         for i in range(num_hashes)])
 
-    return F.array(*[F.array_min(F.transform(hashes, affine(i)))
-                     for i in range(num_hashes)])
+    return F.aggregate(
+        hashes, init,
+        lambda acc, h: F.zip_with(acc, affines(h),
+                                  lambda a, b: F.least(a, b)))
 
 
 def minhash_near_dups_md5(df: DataFrame, id_col: str, text_col: str,
@@ -282,12 +306,18 @@ def simhash64(text_col):
 
     def token_bits(t):
         # literal shift amounts (shiftright needs a Python int), one ±1
-        # entry per bit of the token's 64-bit hash
-        return F.array(*[
-            F.when(F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1)).otherwise(F.lit(-1))
-            for b in range(64)
-        ])
+        # entry per bit of the token's 64-bit hash; the hash binds ONCE
+        # through a 1-element transform (Catalyst does not CSE through
+        # lambdas — inlining xxhash64(t) would hash the token 64 times)
+        def bits_of(h):
+            return F.array(*[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                       F.lit(1)).otherwise(F.lit(-1))
+                for b in range(64)
+            ])
+
+        return F.element_at(
+            F.transform(F.array(F.xxhash64(t)), bits_of), 1)
 
     bits = F.aggregate(
         tokens,

@@ -419,3 +419,56 @@ def centroid_cosines(df: DataFrame, id_col: str, vec_col: str,
               .select(F.col("__id").alias(id_col),
                       F.col("__g").alias(group_col),
                       (dot / cn).alias("cos_centroid")))
+
+
+# ---------------------------------------------------------------------------
+# covariance structure of an embedding column
+
+def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
+                         round_to: int | None = 6) -> DataFrame:
+    """Population covariance matrix of an embedding column, as
+    ``(i, j, cov)`` rows for the upper triangle (1-based dims, i ≤ j) —
+    the decorrelation / anisotropy audit run before PCA-whitening,
+    dimension pruning, or product quantization of a vector corpus.
+
+    Scale shape: each Arrow batch reduces to ONE partial ``(n, Σx, Σxxᵀ)``
+    Gram row inside `mapInPandas` (a d×d float matrix — NumPy BLAS, no
+    per-element lambdas), so the full fact contributes #batches rows
+    total; the partials collect to the driver (partition-count-bounded,
+    the k-means-centers discipline) and the d² combine is trivial local
+    arithmetic.  Vectors are never shuffled, nothing is quadratic in
+    rows.  ``cov = Σxxᵀ/n − μμᵀ`` matches SQL ``covar_pop`` exactly, so
+    the result is externally re-derivable (x154's oracle).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partials(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype="float64")
+            yield pd.DataFrame({
+                "n": [int(m.shape[0])],
+                "s": [m.sum(axis=0).tolist()],
+                "g": [(m.T @ m).reshape(-1).tolist()],
+            })
+
+    rows = (df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+              .mapInPandas(partials,
+                           schema="n long, s array<double>, g array<double>")
+              .collect())
+    spark = df.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "i int, j int, cov double")
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.array(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.array(r["g"]) for r in rows], axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = g.reshape(d, d) / n - np.outer(mu, mu)
+    out = [(i + 1, j + 1,
+            round(float(cov[i, j]), round_to) if round_to is not None
+            else float(cov[i, j]))
+           for i in range(d) for j in range(i, d)]
+    return spark.createDataFrame(out, "i int, j int, cov double")

@@ -346,3 +346,40 @@ def upsert_sink(stream: DataFrame, table, keys, checkpoint_dir: str):
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("update")
             .start())
+
+
+def contamination_sink(stream_docs: DataFrame, eval_df: DataFrame,
+                       out_path: str, checkpoint_dir: str,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 13, min_hits: int = 1):
+    """Streaming decontamination audit: every micro-batch of INCOMING
+    documents is screened against the static eval/benchmark set and the
+    contaminated rows append to ``out_path`` (parquet) — the
+    ingest-time version of :func:`~datum_spark.operators.dedup.
+    benchmark_contamination` (x151).
+
+    Built on ``foreachBatch`` rather than a streaming aggregation
+    because per-doc contamination needs ``countDistinct`` (unsupported
+    in streaming aggs) — and is embarrassingly parallel across docs
+    (each doc's hits depend only on the STATIC eval set), so screening
+    each micro-batch with the batch operator is exactly equivalent to
+    screening the union: stream-vs-batch parity is structural, and the
+    parity test pins it.  The eval set broadcasts into every batch's
+    gram join (benchmarks are small); state held by the query: none.
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+    from ..operators.dedup import benchmark_contamination
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (benchmark_contamination(batch_df, eval_df, id_col, text_col,
+                                 n=n, min_hits=min_hits)
+         .write.mode("append").parquet(out_path))
+
+    return (stream_docs.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

@@ -983,3 +983,29 @@ def test_near_dup_clusters_flood_proof(spark):
     # doc 3's replicas cluster among themselves
     third = {k for k, v in got.items() if v == 192}
     assert third == {192 + c for c in range(60)}
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from datum_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(7)
+    m = rng.randn(40, 5)
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(m)],
+        "vec_id long, embedding array<double>")
+    got = {(r["i"], r["j"]): r["cov"] for r in
+           embedding_covariance(df, "embedding", round_to=6).collect()}
+    want = np.cov(m, rowvar=False, bias=True)     # population covariance
+    assert len(got) == 5 * 6 // 2                 # upper triangle only
+    for i in range(5):
+        for j in range(i, 5):
+            assert abs(got[(i + 1, j + 1)] - want[i, j]) < 1e-6
+
+
+def test_embedding_covariance_empty(spark):
+    from datum_spark.operators.similarity import embedding_covariance
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert embedding_covariance(df).count() == 0

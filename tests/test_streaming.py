@@ -348,3 +348,36 @@ def test_upsert_sink_exactly_once(spark, events_stream, events_batch,
                   events_batch.groupBy("user_id")
                   .agg(F.count(F.lit(1)).alias("n")).collect())
     assert first == second == want and len(want) > 0
+
+
+def test_contamination_sink_stream_equals_batch(spark, tmp_path):
+    """Streaming ingest decontamination (foreachBatch over a docs stream)
+    must flag exactly the rows the batch operator flags on the union —
+    per-doc hits depend only on the static eval set, so batching is
+    invisible (the structural parity the sink docstring claims)."""
+    from datum_spark.operators.dedup import benchmark_contamination
+    from datum_spark.streaming.stateful import contamination_sink
+
+    import shutil
+
+    # the streaming file source needs a DIRECTORY; stage a copy
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", src_dir / "part-0.parquet")
+    batch_docs = spark.read.parquet(str(src_dir))
+    eval_df = batch_docs.filter(F.col("doc_id") < 20)
+    corpus_b = batch_docs.filter(F.col("doc_id") >= 20)
+
+    stream = (spark.readStream.schema(batch_docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src_dir))
+              .filter(F.col("doc_id") >= 20))
+    out = str(tmp_path / "contam")
+    q = contamination_sink(stream, eval_df, out,
+                           str(tmp_path / "ckpt"), n=5)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    want = {tuple(r) for r in benchmark_contamination(
+        corpus_b, eval_df, "doc_id", "text", n=5).collect()}
+    assert got == want and len(want) > 0
