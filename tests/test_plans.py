@@ -323,3 +323,41 @@ def test_pmi_term_joins_are_hash_equi(spark):
     df = EXTENSIONS["x143_pmi_phrases"][0](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert _only_scalar_cross_joins(plan)
+
+
+def test_x151_contamination_broadcasts_eval_side(spark):
+    """Decontamination: the eval-set gram table must broadcast so the
+    corpus inverted index is matched map-side — the only exchange on
+    the corpus is the per-doc hit aggregation."""
+    from datum_spark import extensions
+
+    plan = explain_str(
+        extensions.EXTENSIONS["x151_contamination"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_x152_bm25_topk_broadcasts_query_side(spark):
+    """Bulk retrieval: the query vocabulary, per-term df, and corpus
+    stats are all tiny — every join against the postings must be a
+    broadcast, and the rank window partitions by query (never a global
+    sort of all scored pairs)."""
+    from datum_spark import extensions
+
+    plan = explain_str(
+        extensions.EXTENSIONS["x152_bm25_retrieval"][0](spark, SF))
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin") >= 3, plan[:2000]
+    assert "Sort [query_id" not in plan.replace("#", " ")  # no global sort
+
+
+def test_near_dup_clusters_rep_semi_join(spark):
+    """Exact-collapse clustering: representative selection must be a
+    hash aggregation on the text hash plus joins — no cartesian, no
+    nested loop anywhere in the composition."""
+    from datum_spark.operators.dedup import near_dup_clusters
+    from datum_spark.sources.registry import read_parquet_normalized
+
+    docs = read_parquet_normalized(spark, f"{SF}/documents.parquet")
+    plan = explain_str(near_dup_clusters(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
