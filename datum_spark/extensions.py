@@ -5245,6 +5245,71 @@ def x154(spark, sf):
             .orderBy("i", "j"))
 
 
+@x("x155_source_overlap", """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+), sp AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi
+  FROM p JOIN documents da ON p.id_a = da.doc_id
+         JOIN documents db ON p.id_b = db.doc_id
+)
+SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM sp), 4) AS share
+FROM sp GROUP BY 1, 2 ORDER BY source_lo, source_hi""")
+def x155(spark, sf):
+    """Cross-source duplication matrix: near-dup pair counts between
+    every (source, source) combination — the corpus-curation readout
+    that says WHICH crawls/dumps mirror each other (high off-diagonal
+    share → drop or downweight one side before training).  Composes the
+    portable md5 MinHash pairs (x62's subset) with two source lookups;
+    the pair side is tiny relative to the corpus, so both joins hash on
+    doc id and the matrix aggregation is |sources|²-bounded."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup_mod.minhash_near_dups_md5(docs, "doc_id", "text",
+                                            num_hashes=16, bands=4,
+                                            threshold=0.5)
+    src = docs.select("doc_id", "source")
+    sp = (pairs
+          .join(src.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("source", "__sa"), "id_a")
+          .join(src.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("source", "__sb"), "id_b")
+          .select(F.least("__sa", "__sb").alias("source_lo"),
+                  F.greatest("__sa", "__sb").alias("source_hi")))
+    agg = sp.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    # share over the |sources|²-bounded aggregate — an unpartitioned
+    # window here is fine (and avoids recomputing the pair generation
+    # for a separate total-count job)
+    w = Window.partitionBy()
+    return (agg.withColumn("share", F.round(F.col("n_pairs")
+                                            / F.sum("n_pairs").over(w), 4))
+               .orderBy("source_lo", "source_hi"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
