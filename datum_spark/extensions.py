@@ -5310,6 +5310,87 @@ def x155(spark, sf):
                .orderBy("source_lo", "source_hi"))
 
 
+@x("x156_lsh_calibration", """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300
+), ss AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(t) - 4, 1) + 1),
+           i -> substring(t, i, 5))) AS sh
+  FROM d
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+           AS est
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+), e AS (
+  SELECT p.est,
+         len(list_intersect(sa.sh, sb.sh))
+         / (len(sa.sh) + len(sb.sh)
+            - len(list_intersect(sa.sh, sb.sh))) AS exact
+  FROM p JOIN ss sa ON p.id_a = sa.doc_id
+         JOIN ss sb ON p.id_b = sb.doc_id
+)
+SELECT CAST(FLOOR(ABS(est - exact) * 10) AS INTEGER) AS err_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(est), 4) AS avg_est,
+       ROUND(AVG(exact), 4) AS avg_exact
+FROM e GROUP BY 1 ORDER BY err_decile""")
+def x156(spark, sf):
+    """MinHash estimator calibration: every reported near-dup pair's
+    estimated Jaccard joined with its EXACT shingle Jaccard, bucketed by
+    absolute-error decile — the audit that says whether the LSH
+    signature width (16 hashes here) is adequate before trusting the
+    dedup at scale.  The exact side joins the (cached) shingle arrays
+    back by pair id — only surviving pairs pay for exact verification,
+    never the corpus²."""
+    from .operators.dedup import _char_shingles
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup_mod.minhash_near_dups_md5(docs, "doc_id", "text",
+                                            num_hashes=16, bands=4,
+                                            threshold=0.5)
+    sh = docs.select(F.col("doc_id"),
+                     _char_shingles(F.col("text"), 5).alias("sh"))
+    joined = (pairs
+              .join(sh.select(F.col("doc_id").alias("id_a"),
+                              F.col("sh").alias("__sa")), "id_a")
+              .join(sh.select(F.col("doc_id").alias("id_b"),
+                              F.col("sh").alias("__sb")), "id_b"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    exact = inter / (F.size("__sa") + F.size("__sb") - inter)
+    return (joined
+            .select(F.col("est_jaccard").alias("est"),
+                    exact.alias("exact"))
+            .groupBy(F.floor(F.abs(F.col("est") - F.col("exact")) * 10)
+                      .cast("int").alias("err_decile"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg("est"), 4).alias("avg_est"),
+                 F.round(F.avg("exact"), 4).alias("avg_exact"))
+            .orderBy("err_decile"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
