@@ -127,3 +127,42 @@ def test_idioms_compose_in_one_predicate():
     assert got == ("CAST(`Total` AS decimal(12,2)) > coalesce(floor_, 0) "
                    "AND name RLIKE '^A' AND ts < current_timestamp() "
                    "AND tag ILIKE 'x%'")
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure string level — no Spark session, so examples are cheap)
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ident = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True)
+_literal_text = st.text(
+    alphabet=st.characters(blacklist_characters="'", max_codepoint=0x7E),
+    max_size=20)
+
+
+@given(_ident, _literal_text)
+@settings(max_examples=50, deadline=None)
+def test_property_single_quoted_literals_never_rewritten(ident, body):
+    """Whatever appears inside a single-quoted literal — including ::,
+    NVL(, NOW(), double quotes, ~ — must survive translation verbatim."""
+    lit = "'" + body.replace('"', '""') + "'"
+    sql = f"{ident} = {lit}"
+    out = translate_sql(sql)
+    assert lit in out
+
+
+@given(_ident)
+@settings(max_examples=50, deadline=None)
+def test_property_double_quoted_ident_roundtrips_to_backticks(ident):
+    assert translate_sql(f'"{ident}" IS NOT NULL') \
+        == f"`{ident}` IS NOT NULL"
+
+
+@given(_ident, st.sampled_from(["int", "bigint", "double", "text",
+                                "numeric(10,2)", "int8", "varchar"]))
+@settings(max_examples=50, deadline=None)
+def test_property_cast_always_produces_cast(ident, typ):
+    out = translate_sql(f"{ident}::{typ} > 0")
+    assert out.startswith(f"CAST({ident} AS "), out
+    assert "::" not in out
