@@ -864,23 +864,30 @@ def benchmark_contamination(corpus: DataFrame, eval_df: DataFrame,
                 idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
         return df.select(F.col(id_col).alias(out_id), g.alias("__grams"))
 
-    cg = grams_of(corpus, "__id")
-    inv_c = cg.select("__id", F.explode("__grams").alias("__g"))
-    sizes = cg.select("__id", F.size("__grams").alias("n_grams"))
-    ev = (grams_of(eval_df, "__eval_id")
+    # carry the per-doc gram count THROUGH the explode: the corpus gram
+    # pipeline runs exactly once (no second pass for sizes, no sizes
+    # join back), and since only matched docs are reported the count
+    # rides the hit aggregation as first(n_grams).  Cache boundary
+    # before each explode (the r4 gram-pipeline discipline): Catalyst's
+    # infer-filter-from-generate otherwise duplicates the ENTIRE gram
+    # expression into a size(...)>0 scan filter — measured 2× per side.
+    inv_c = (_retain_cache(grams_of(corpus, "__id"))
+             .select("__id", F.size("__grams").alias("__ng"),
+                     F.explode("__grams").alias("__g")))
+    ev = (_retain_cache(grams_of(eval_df, "__eval_id"))
           .select("__eval_id", F.explode("__grams").alias("__g")))
     if broadcast_eval:
         ev = F.broadcast(ev)
     hits = (inv_c.join(ev, "__g")
                  .groupBy("__id")
-                 .agg(F.countDistinct("__g").alias("n_hits"),
+                 .agg(F.first("__ng").alias("n_grams"),
+                      F.countDistinct("__g").alias("n_hits"),
                       F.countDistinct("__eval_id").alias("n_eval_docs")))
-    return (sizes.join(hits, "__id")
-                 .filter(F.col("n_hits") >= min_hits)
-                 .select(F.col("__id").alias(id_col), "n_grams", "n_hits",
-                         F.round(F.col("n_hits") / F.col("n_grams"), 4)
-                          .alias("contamination"),
-                         "n_eval_docs"))
+    return (hits.filter(F.col("n_hits") >= min_hits)
+                .select(F.col("__id").alias(id_col), "n_grams", "n_hits",
+                        F.round(F.col("n_hits") / F.col("n_grams"), 4)
+                         .alias("contamination"),
+                        "n_eval_docs"))
 
 
 # ---------------------------------------------------------------------------
