@@ -1,0 +1,69 @@
+"""End-to-end training-corpus pipeline: the canonical operator
+composition must run on the fixture corpus, write balanced shards, and
+self-report a coherent per-stage audit trail."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datum_spark.pipelines import build_training_corpus
+from datum_spark.sources.registry import read_parquet_normalized
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return read_parquet_normalized(spark, f"{SF}/documents.parquet")
+
+
+def test_pipeline_end_to_end(spark, corpus, tmp_path):
+    eval_df = corpus.filter(F.col("doc_id") < 20)
+    docs = corpus.filter(F.col("doc_id") >= 20)
+    out = str(tmp_path / "shards")
+    sharded, report = build_training_corpus(
+        docs, eval_df, out, n_shards=4, min_quality=0.2,
+        contamination_ngram=5,
+        source_weights={"src0": 1.0}, default_weight=0.8)
+
+    # monotone per-stage funnel, every stage did something sane
+    assert (report["rows_in"] >= report["rows_quality"]
+            >= report["rows_deduped"] >= report["rows_decontaminated"]
+            >= report["rows_mixed"] > 0)
+    # dedup actually collapsed something on this near-dup-seeded fixture
+    assert report["rows_deduped"] < report["rows_quality"]
+    # the write job observed exactly what landed on disk
+    back = spark.read.parquet(out)
+    assert back.count() == report["rows"] == report["rows_mixed"]
+    assert report["tokens"] > 0 and report["token_budget"] > 0
+    # hive shard layout, all shards present
+    shards = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shards) >= 2
+    # no contaminated doc survived: re-screen the output -> empty
+    from datum_spark.operators.dedup import benchmark_contamination
+    assert benchmark_contamination(back, eval_df, "doc_id", "text",
+                                   n=5).count() == 0
+
+
+def test_pipeline_without_eval_set(spark, corpus, tmp_path):
+    sharded, report = build_training_corpus(
+        corpus.filter(F.col("doc_id") < 100), None,
+        str(tmp_path / "s2"), n_shards=2, min_quality=0.0)
+    assert report["rows_decontaminated"] == report["rows_deduped"]
+    assert report["rows"] == report["rows_mixed"]
+
+
+def test_pipeline_deterministic(spark, corpus, tmp_path):
+    """Same input -> identical shard assignment and identical report
+    (every stage is a pure function of the data)."""
+    docs = corpus.filter(F.col("doc_id") >= 20)
+    eval_df = corpus.filter(F.col("doc_id") < 20)
+    s1, r1 = build_training_corpus(docs, eval_df, str(tmp_path / "a"),
+                                   n_shards=4, contamination_ngram=5)
+    s2, r2 = build_training_corpus(docs, eval_df, str(tmp_path / "b"),
+                                   n_shards=4, contamination_ngram=5)
+    assert r1 == r2
+    a = {r["doc_id"]: r["shard"] for r in s1.select("doc_id", "shard").collect()}
+    b = {r["doc_id"]: r["shard"] for r in s2.select("doc_id", "shard").collect()}
+    assert a == b
