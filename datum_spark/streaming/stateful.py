@@ -383,3 +383,56 @@ def contamination_sink(stream_docs: DataFrame, eval_df: DataFrame,
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .start())
+
+
+def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
+                eval_df: DataFrame | None, out_path: str,
+                checkpoint_dir: str,
+                id_col: str = "doc_id", text_col: str = "text",
+                threshold: float = 0.5, num_hashes: int = 16,
+                bands: int = 4, contamination_ngram: int = 13):
+    """Streaming daily-ingest gate — the production front door of the
+    corpus pipeline: every micro-batch of INCOMING documents is
+    (1) near-dup-screened against the STATIC corpus
+    (`incremental_near_dups_md5`: delta×corpus candidates only, the
+    corpus never self-joins, delta band buckets broadcast) and
+    (2) decontaminated against the eval set; survivors append to
+    ``out_path`` (parquet).
+
+    Built on ``foreachBatch``: both screens are per-doc decisions
+    against STATIC side inputs, so the union of per-batch survivors is
+    exactly the batch-mode result regardless of batching — the same
+    structural stream==batch parity as :func:`contamination_sink`, and
+    the parity test pins it.  Intra-batch/cross-batch self-dedup is
+    deliberately NOT done here (it would break that parity and is the
+    corpus-refresh job's responsibility — run `near_dup_clusters` over
+    the accumulated corpus on its own cadence).  State held by the
+    query: none.
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+    from ..operators.dedup import (
+        benchmark_contamination,
+        incremental_near_dups_md5,
+    )
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dup_ids = (incremental_near_dups_md5(
+            batch_df, corpus, id_col, text_col, num_hashes=num_hashes,
+            bands=bands, threshold=threshold)
+            .select(F.col("delta_id").alias(id_col)).distinct())
+        keep = batch_df.join(dup_ids, id_col, "anti")
+        if eval_df is not None:
+            cont = benchmark_contamination(
+                keep, eval_df, id_col, text_col,
+                n=contamination_ngram).select(id_col)
+            keep = keep.join(cont, id_col, "anti")
+        keep.write.mode("append").parquet(out_path)
+
+    return (stream_docs.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

@@ -381,3 +381,45 @@ def test_contamination_sink_stream_equals_batch(spark, tmp_path):
     want = {tuple(r) for r in benchmark_contamination(
         corpus_b, eval_df, "doc_id", "text", n=5).collect()}
     assert got == want and len(want) > 0
+
+
+def test_ingest_sink_stream_equals_batch(spark, tmp_path):
+    """Daily-ingest gate: survivors of the streamed multi-batch run must
+    equal the batch composition (near-dup screen vs static corpus, then
+    decontamination) over the whole delta — both screens are per-doc
+    decisions against static side inputs, so batching is invisible."""
+    from datum_spark.operators.dedup import (
+        benchmark_contamination,
+        incremental_near_dups_md5,
+    )
+    from datum_spark.streaming.stateful import ingest_sink
+
+    all_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = all_docs.filter(F.col("doc_id") < 200)
+    eval_df = all_docs.filter((F.col("doc_id") >= 200)
+                              & (F.col("doc_id") < 220))
+    delta = all_docs.filter(F.col("doc_id") >= 220)
+
+    # stage the delta as 4 files -> 4 micro-batches
+    src_dir = str(tmp_path / "delta_in")
+    delta.repartition(4).write.parquet(src_dir)
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = str(tmp_path / "accepted")
+    q = ingest_sink(stream, corpus, eval_df, out,
+                    str(tmp_path / "ckpt"), contamination_ngram=5)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # batch twin over the whole delta
+    dup_ids = (incremental_near_dups_md5(delta, corpus, "doc_id", "text")
+               .select(F.col("delta_id").alias("doc_id")).distinct())
+    keep = delta.join(dup_ids, "doc_id", "anti")
+    cont = benchmark_contamination(keep, eval_df, "doc_id", "text",
+                                   n=5).select("doc_id")
+    want = {r["doc_id"] for r in
+            keep.join(cont, "doc_id", "anti").collect()}
+    assert got == want
+    # the gate actually gates on this near-dup-seeded fixture
+    assert 0 < len(got) < delta.count()
