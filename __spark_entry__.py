@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-join (t2 Q10, TPC-H Q5 skeleton) at
 sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
-(Tier-B Q01–Q31 + §2-C extensions x01–x156); ``oracle_sql()`` carries the
+(Tier-B Q01–Q31 + §2-C extensions x01–x157); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap (50
@@ -56,8 +56,8 @@ _DRIVER_CHECKED = {
 # oracle is NEW or CHANGED this round (the x100 scalar-provenance fix,
 # the x38/x56 md5 promotions, the x18 short-doc rpad fix, the x140
 # round-before-rank fix), the four brand-new round-6 operators
-# (x151–x156), and the 8 permanently-rows-only entries so the driver at
-# least records their row counts.  42 entries; the remaining 8 cap
+# (x151–x157), and the 8 permanently-rows-only entries so the driver at
+# least records their row counts.  43 entries; the remaining 7 cap
 # slots fall to priority 1 (the r1–r3-verified entries, q01 onward —
 # the oldest green checks get re-confirmed).
 _RECHECK_R6 = {
@@ -68,6 +68,7 @@ _RECHECK_R6 = {
     "x151_contamination", "x152_bm25_retrieval",
     "x153_near_dup_clusters", "x154_embedding_covariance",
     "x155_source_overlap", "x156_lsh_calibration",
+    "x157_dedup_retention",
     # never driver-checked (late round-5 additions):
     "x126_ref_integrity", "x127_ohlc_bars", "x128_topk_ties",
     "x130_transitions", "x131_survival", "x132_bigram_lm",

@@ -5391,6 +5391,97 @@ def x156(spark, sf):
             .orderBy("err_decile"))
 
 
+@x("x157_dedup_retention", """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, lower(text) AS t FROM documents WHERE doc_id < 300
+), grp AS (
+  SELECT doc_id, md5(text) AS th FROM d
+), reps AS (
+  SELECT th, MIN(doc_id) AS rep FROM grp GROUP BY th
+), m AS (
+  SELECT g.doc_id, r.rep FROM grp g JOIN reps r USING (th)
+), rd AS (
+  SELECT d.doc_id, d.t FROM d JOIN reps r ON d.doc_id = r.rep
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM rd
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
+), cl AS (
+  SELECT m.doc_id, COALESCE(c.component, m.rep) AS cluster_id
+  FROM m LEFT JOIN comp c ON m.rep = c.node
+), tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents WHERE doc_id < 300
+)
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(t.nt) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN cl.doc_id = cl.cluster_id THEN t.nt ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       ROUND(SUM(CASE WHEN cl.doc_id = cl.cluster_id THEN t.nt ELSE 0 END)
+             / SUM(t.nt), 4) AS token_retention
+FROM tok t JOIN cl ON t.doc_id = cl.doc_id
+GROUP BY t.source ORDER BY t.source""")
+def x157(spark, sf):
+    """Per-source dedup retention report: how many documents and tokens
+    each source keeps after exact-collapse near-dup clustering (keeper =
+    the cluster's minimum-id member) — the curation readout that shows
+    WHICH sources are mostly duplicates of the rest of the corpus before
+    any mixing weights are chosen.  Composes x153's portable clustering
+    with the x10 token count; one doc-keyed join and one source-keyed
+    aggregate on top of the clustering cost."""
+    from .operators.dedup import near_dup_clusters
+
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    clusters = near_dup_clusters(docs, "doc_id", "text",
+                                 num_hashes=16, bands=4, threshold=0.5)
+    tok = docs.select("doc_id", "source",
+                      text_mod.token_count(F.col("text")).cast("long")
+                              .alias("nt"))
+    kept = F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+    return (tok.join(clusters, "doc_id")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(kept).cast("long").alias("n_kept"),
+                    F.sum("nt").alias("tokens"),
+                    F.sum(F.col("nt") * kept).alias("tokens_kept"))
+               .withColumn("token_retention",
+                           F.round(F.col("tokens_kept") / F.col("tokens"),
+                                   4))
+               .orderBy("source"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Oracle-checked queries first: the driver hash-verifies queries in
     dict order up to a cap, so rows-only entries (engine-specific hashes)
