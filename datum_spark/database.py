@@ -494,9 +494,18 @@ class Database:
             return []
 
         def _old_enough(path: str) -> bool:
+            # age-check the NEWEST mtime anywhere in the tree, not the
+            # top-level dir: Spark task attempts write into nested
+            # subdirectories without bumping the parent's mtime, so a
+            # long-running in-flight write would otherwise look stale
+            # and lose its live staging dir (round-7 advice fix)
             try:
-                return (time.time() - os.path.getmtime(path)
-                        >= min_age_seconds)
+                newest = os.path.getmtime(path)
+                for root, dirs, files in os.walk(path):
+                    for entry in dirs + files:
+                        newest = max(newest, os.path.getmtime(
+                            os.path.join(root, entry)))
+                return time.time() - newest >= min_age_seconds
             except OSError:
                 return False    # vanished underneath us → a writer owns it
 

@@ -5057,8 +5057,10 @@ WITH w0 AS (
   FROM documents
 ), g AS (
   SELECT doc_id,
+         -- docs shorter than 5 words emit no grams (generate_series
+         -- with stop < start is empty), mirroring the engine's guard
          list_distinct(list_transform(
-           generate_series(1, greatest(len(ws) - 4, 1)),
+           generate_series(1, len(ws) - 4),
            i -> array_to_string(ws[i:i+4], ' '))) AS gs
   FROM w0
 ), ev AS (

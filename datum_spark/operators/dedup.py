@@ -860,8 +860,15 @@ def benchmark_contamination(corpus: DataFrame, eval_df: DataFrame,
         else:
             idx = F.sequence(F.lit(0),
                              F.greatest(F.size(words) - n, F.lit(0)))
-            g = F.array_distinct(F.transform(
-                idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+            # docs shorter than n words emit NO grams (a truncated
+            # "gram" isn't an n-gram collision — an empty corpus doc
+            # must not match an empty eval doc and get dropped as
+            # contaminated)
+            g = F.when(F.size(words) >= n,
+                       F.array_distinct(F.transform(
+                           idx, lambda i: F.concat_ws(
+                               " ", F.slice(words, i + 1, n))))
+                       ).otherwise(F.array().cast("array<string>"))
         return df.select(F.col(id_col).alias(out_id), g.alias("__grams"))
 
     # carry the per-doc gram count THROUGH the explode: the corpus gram

@@ -439,6 +439,12 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
     arithmetic.  Vectors are never shuffled, nothing is quadratic in
     rows.  ``cov = Σxxᵀ/n − μμᵀ`` matches SQL ``covar_pop`` exactly, so
     the result is externally re-derivable (x154's oracle).
+
+    Dirty input (null vectors, null elements, ragged lengths) is
+    DROPPED, not fatal: partials accumulate per distinct length and the
+    driver combine keeps the dominant dimensionality by row count, so
+    one corrupt row can't crash a corpus-wide audit and the choice is
+    deterministic across partitionings (round-7 advice fix).
     """
     import numpy as np
     import pandas as pd
@@ -447,20 +453,37 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
         for pdf in it:
             if not len(pdf):
                 continue
-            m = np.array(pdf[vec_col].tolist(), dtype="float64")
-            yield pd.DataFrame({
-                "n": [int(m.shape[0])],
-                "s": [m.sum(axis=0).tolist()],
-                "g": [(m.T @ m).reshape(-1).tolist()],
-            })
+            # drop null / element-null vectors; group the rest by length
+            # (np.array over mixed lengths builds an object array that
+            # fails in m.T @ m) — one partial per distinct length, the
+            # dominant one wins deterministically at combine time
+            by_len: dict[int, list] = {}
+            for v in pdf[vec_col]:
+                if v is None or any(e is None for e in v):
+                    continue
+                by_len.setdefault(len(v), []).append(v)
+            for vecs in by_len.values():
+                m = np.array(vecs, dtype="float64")
+                yield pd.DataFrame({
+                    "n": [int(m.shape[0])],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).reshape(-1).tolist()],
+                })
 
-    rows = (df.select(F.col(vec_col).cast("array<double>").alias(vec_col))
+    rows = (df.filter(F.col(vec_col).isNotNull())
+              .select(F.col(vec_col).cast("array<double>").alias(vec_col))
               .mapInPandas(partials,
                            schema="n long, s array<double>, g array<double>")
               .collect())
     spark = df.sparkSession
     if not rows:
         return spark.createDataFrame([], "i int, j int, cov double")
+    # dominant dimensionality by total row count (ties → larger dim)
+    counts: dict[int, int] = {}
+    for r in rows:
+        counts[len(r["s"])] = counts.get(len(r["s"]), 0) + r["n"]
+    dim = max(counts, key=lambda k: (counts[k], k))
+    rows = [r for r in rows if len(r["s"]) == dim]
     n = sum(r["n"] for r in rows)
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
     g = np.sum([np.array(r["g"]) for r in rows], axis=0)

@@ -32,6 +32,28 @@ RUNNING_TOTALS_STATE = "n bigint, total double, last_ts_us bigint"
 _STATE_TTL_MS = 60 * 60 * 1000  # 1 h beyond the watermark → state dropped
 
 
+def _idempotent_batch_write(batch_df: DataFrame, batch_id: int,
+                            out_path: str) -> None:
+    """Write one micro-batch's output so a REPLAY changes nothing.
+
+    ``foreachBatch`` is only at-least-once: a failure between the sink
+    write and the offset commit re-runs the last micro-batch, and a
+    blind ``mode('append')`` would then duplicate its rows (a mid-write
+    crash also leaves partial files that a re-append keeps).  Each batch
+    instead owns the directory ``out_path/batch=<batch_id>/`` and writes
+    it with ``mode('overwrite')`` — a replayed batch rewrites its own
+    directory byte-for-byte and the union over batches is unchanged.
+    Idempotent per-batch dirs + checkpointed offsets = effective
+    exactly-once, the standard recipe for a transactionless sink.
+
+    Readers see the Hive-style layout as an extra ``batch`` bigint
+    partition column (write provenance; ``.drop('batch')`` recovers the
+    bare rows).
+    """
+    batch_df.write.mode("overwrite").parquet(
+        f"{out_path}/batch={int(batch_id)}")
+
+
 def _running_totals_fn(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -354,7 +376,9 @@ def contamination_sink(stream_docs: DataFrame, eval_df: DataFrame,
                        n: int = 13, min_hits: int = 1):
     """Streaming decontamination audit: every micro-batch of INCOMING
     documents is screened against the static eval/benchmark set and the
-    contaminated rows append to ``out_path`` (parquet) — the
+    contaminated rows land in ``out_path`` (parquet, one overwritten
+    ``batch=<id>/`` dir per micro-batch — see
+    :func:`_idempotent_batch_write`; replays are no-ops) — the
     ingest-time version of :func:`~datum_spark.operators.dedup.
     benchmark_contamination` (x151).
 
@@ -371,12 +395,13 @@ def contamination_sink(stream_docs: DataFrame, eval_df: DataFrame,
     """
     from ..operators.dedup import benchmark_contamination
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        (benchmark_contamination(batch_df, eval_df, id_col, text_col,
-                                 n=n, min_hits=min_hits)
-         .write.mode("append").parquet(out_path))
+        _idempotent_batch_write(
+            benchmark_contamination(batch_df, eval_df, id_col, text_col,
+                                    n=n, min_hits=min_hits),
+            batch_id, out_path)
 
     return (stream_docs.writeStream
             .foreachBatch(_apply)
@@ -396,8 +421,10 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
     (1) near-dup-screened against the STATIC corpus
     (`incremental_near_dups_md5`: delta×corpus candidates only, the
     corpus never self-joins, delta band buckets broadcast) and
-    (2) decontaminated against the eval set; survivors append to
-    ``out_path`` (parquet).
+    (2) decontaminated against the eval set; survivors land in
+    ``out_path`` (parquet, one overwritten ``batch=<id>/`` dir per
+    micro-batch — see :func:`_idempotent_batch_write`; replays are
+    no-ops).
 
     Built on ``foreachBatch``: both screens are per-doc decisions
     against STATIC side inputs, so the union of per-batch survivors is
@@ -416,7 +443,7 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
         incremental_near_dups_md5,
     )
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         dup_ids = (incremental_near_dups_md5(
@@ -429,7 +456,7 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
                 keep, eval_df, id_col, text_col,
                 n=contamination_ngram).select(id_col)
             keep = keep.join(cont, id_col, "anti")
-        keep.write.mode("append").parquet(out_path)
+        _idempotent_batch_write(keep, batch_id, out_path)
 
     return (stream_docs.writeStream
             .foreachBatch(_apply)

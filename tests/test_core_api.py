@@ -507,3 +507,25 @@ def test_vacuum_removes_stale_staging_only(tmp_db):
     assert not os.path.exists(os.path.join(root, "v.parquet.__rewrite__"))
     assert [r["a"] for r in db["v"].read()] == [1.0]
     assert db.vacuum(min_age_seconds=0) == []     # idempotent
+
+
+def test_vacuum_sees_nested_activity(tmp_db):
+    """An in-flight Spark write touches nested task subdirs without
+    bumping the staging dir's top-level mtime; vacuum must age-check the
+    NEWEST mtime in the tree and keep the live dir (round-7 advice)."""
+    import os
+
+    db = tmp_db
+    root = db.path
+    stage = os.path.join(root, "t.parquet.__rewrite__")
+    task = os.path.join(stage, "_temporary", "0", "task_001")
+    os.makedirs(task)
+    # make the top level look an hour stale, but the task file fresh
+    old = __import__("time").time() - 7200
+    with open(os.path.join(task, "part-0"), "w") as fh:
+        fh.write("x")
+    os.utime(stage, (old, old))
+    assert db.vacuum(min_age_seconds=3600) == []   # fresh leaf → live
+    assert os.path.exists(stage)
+    removed = db.vacuum(min_age_seconds=0)
+    assert stage in removed

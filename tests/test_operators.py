@@ -868,6 +868,25 @@ def test_benchmark_contamination_semantics(spark):
     assert out[2]["n_hits"] == 3 and out[2]["n_eval_docs"] == 2
 
 
+def test_benchmark_contamination_short_docs_emit_no_grams(spark):
+    """Docs with < n words emit NO grams: an empty/short corpus doc must
+    not 'collide' with an empty/short eval doc via a truncated gram and
+    get dropped as contaminated (round-7 advice fix)."""
+    from datum_spark.operators import benchmark_contamination
+
+    eval_df = spark.createDataFrame(
+        [(900, ""), (901, "two words"), (902, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words"),
+         (4, "xx alpha beta gamma yy")],
+        "doc_id long, text string")
+    out = {r["doc_id"] for r in
+           benchmark_contamination(corpus, eval_df, "doc_id", "text",
+                                   n=3).collect()}
+    assert out == {4}          # only the real trigram collision
+
+
 def test_benchmark_contamination_broadcast_flag_equivalent(spark):
     from datum_spark.operators import benchmark_contamination
 
@@ -1009,3 +1028,27 @@ def test_embedding_covariance_empty(spark):
 
     df = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert embedding_covariance(df).count() == 0
+
+
+def test_embedding_covariance_skips_dirty_rows(spark):
+    """Null vectors, element-nulls, and ragged lengths are dropped, not
+    fatal; the result equals the covariance of the clean rows alone
+    (round-7 advice fix)."""
+    import numpy as np
+
+    from datum_spark.operators.similarity import embedding_covariance
+
+    rng = np.random.RandomState(11)
+    m = rng.randn(30, 4)
+    clean = [(i, row.tolist()) for i, row in enumerate(m)]
+    dirty = [(100, None), (101, [1.0, None, 2.0, 3.0]),
+             (102, [1.0, 2.0]), (103, [0.5] * 7)]
+    df = spark.createDataFrame(clean + dirty,
+                               "vec_id long, embedding array<double>")
+    got = {(r["i"], r["j"]): r["cov"] for r in
+           embedding_covariance(df, "embedding", round_to=6).collect()}
+    want = np.cov(m, rowvar=False, bias=True)
+    assert len(got) == 4 * 5 // 2
+    for i in range(4):
+        for j in range(i, 4):
+            assert abs(got[(i + 1, j + 1)] - want[i, j]) < 1e-6

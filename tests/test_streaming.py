@@ -377,7 +377,8 @@ def test_contamination_sink_stream_equals_batch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
 
-    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    got = {tuple(r) for r in
+           spark.read.parquet(out).drop("batch").collect()}
     want = {tuple(r) for r in benchmark_contamination(
         corpus_b, eval_df, "doc_id", "text", n=5).collect()}
     assert got == want and len(want) > 0
@@ -411,6 +412,13 @@ def test_ingest_sink_stream_equals_batch(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    # at-least-once replay: re-running a micro-batch with its original
+    # batch_id overwrites its own batch=<id> dir — output unchanged
+    from datum_spark.streaming.stateful import _idempotent_batch_write
+    b0 = spark.read.parquet(out).filter(F.col("batch") == 0).drop("batch")
+    replay = spark.createDataFrame(b0.collect(), b0.schema)  # materialize
+    _idempotent_batch_write(replay, 0, out)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == got
 
     # batch twin over the whole delta
     dup_ids = (incremental_near_dups_md5(delta, corpus, "doc_id", "text")
