@@ -6,12 +6,12 @@ sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap (50
-in every round so far), so the dict leads with the round-6 recheck set —
-entries never driver-checked (x126–x128, x130–x150), oracles fixed or
-promoted this round (x100, x38, x56, x18, x140), and the 8 permanently
-rows-only entries — then rotates the oldest-verified (r1–r3) entries into
-the remaining slots.  After r6 every oracle-bearing entry has been
-driver-verified at least once.
+in every round so far), so the dict leads with the round-7 recheck set —
+the new spatial entries (x158–x160) and everything whose code or oracle
+changed this round — then rotates the STALEST green entries (latest
+check = r3, then r4) into the remaining slots.  Every oracle-bearing
+entry has been driver-verified at least once (r6 closed the set); this
+rotation keeps the oldest evidence fresh.
 """
 
 from __future__ import annotations
@@ -28,73 +28,72 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Names hash-verified by the driver in rounds 1–3 (CORRECTNESS_r01–r03):
-# every run covered the same 50-entry prefix.  Everything oracle-bearing
-# outside this set goes first this round so the driver's cap reaches it.
-_DRIVER_CHECKED = {
-    "q01_count", "q02_project", "q03_predicates", "q04_inner_join",
-    "q05_left_join", "q06_semi_join", "q07_anti_join", "q08_cross_join",
-    "q09_theta_join", "q10_star_join", "q11_interval_join",
-    "q12_groupby_agg", "q13_count_distinct", "q14_rollup", "q15_having",
-    "q16_median", "q17_rank_window", "q18_lag", "q19_running_sum",
-    "q20_topk", "q21_intersect", "q22_distinct", "q23_scalar_subquery",
-    "q24_cte", "q25_string_fns", "q26_date_fns", "q27_math_fns",
-    "q28_case", "q29_casts", "q30_json", "q31_window_agg",
-    "x01_dedup_exact", "x02_dup_groups", "x03_ngram_jaccard",
-    "x39_pack_documents", "x06_embedding_dups", "x08_cosine_topk",
-    "x29_part_revenue", "x30_json_typed", "x31_grouping_sets",
-    "x32_stream_stream_join", "x33_string_agg", "x34_topk_per_group",
-    "x35_stats_aggs", "x36_word_count", "x10_token_count",
-    "x11_language_guess", "x14_asof_join", "x15_sessionize",
-    # x28_time_rollup was in the driver set but hash-FAILED through r3;
-    # its oracle was fixed this round → re-verify early (priority 1).
+# Round-7 re-check set — the brand-new round-7 spatial operators plus
+# every entry whose implementation or oracle CHANGED this round (x151's
+# short-doc gram guard landed on both sides; x154's dirty-row tolerance
+# touched the partial path; x153 gained flood observability around its
+# LSH stage).  8 entries; the remaining ~42 cap slots fall to
+# priority 1 — the STALEST green entries, i.e. those whose latest
+# driver check is CORRECTNESS_r03 (42 entries: q08–q31 and the early-x
+# band) — then the r4 cohort at priority 2.
+_RECHECK_R7 = {
+    "x158_spatial_predicates", "x159_point_in_polygon_join",
+    "x160_polygon_matrix",                            # new round-7
+    "x151_contamination",                             # gram guard fix
+    "x154_embedding_covariance",                      # dirty-row fix
+    "x153_near_dup_clusters", "x04_minhash_lsh",      # flood observer
+    "x07_embedding_dups_lsh",
 }
 
+# Latest driver check = round 3 (stalest greens; r6 re-verified
+# q01–q07 and x01–x03 et al., so those fell out of this band).
+_STALE_R3 = {
+    "q08_cross_join", "q09_theta_join", "q10_star_join",
+    "q11_interval_join", "q12_groupby_agg", "q13_count_distinct",
+    "q14_rollup", "q15_having", "q16_median", "q17_rank_window",
+    "q18_lag", "q19_running_sum", "q20_topk", "q21_intersect",
+    "q22_distinct", "q23_scalar_subquery", "q24_cte", "q25_string_fns",
+    "q26_date_fns", "q27_math_fns", "q28_case", "q29_casts", "q30_json",
+    "q31_window_agg", "x01_dedup_exact", "x02_dup_groups",
+    "x03_ngram_jaccard", "x06_embedding_dups", "x08_cosine_topk",
+    "x10_token_count", "x11_language_guess", "x14_asof_join",
+    "x15_sessionize", "x29_part_revenue", "x30_json_typed",
+    "x31_grouping_sets", "x32_stream_stream_join", "x33_string_agg",
+    "x34_topk_per_group", "x35_stats_aggs", "x36_word_count",
+    "x39_pack_documents",
+}
 
-# Round-6 re-check set — everything that was never driver-verified
-# (the late-r5 additions x126–x128 and x130–x150), everything whose
-# oracle is NEW or CHANGED this round (the x100 scalar-provenance fix,
-# the x38/x56 md5 promotions, the x18 short-doc rpad fix, the x140
-# round-before-rank fix), the four brand-new round-6 operators
-# (x151–x157), and the 8 permanently-rows-only entries so the driver at
-# least records their row counts.  43 entries; the remaining 7 cap
-# slots fall to priority 1 (the r1–r3-verified entries, q01 onward —
-# the oldest green checks get re-confirmed).
-_RECHECK_R6 = {
-    "x100_golden_record",
-    "x38_train_test_split", "x56_source_mixing",     # md5 promotions
-    "x18_image_features", "x140_gini",               # oracle fixes
-    # brand-new round-6 operators:
-    "x151_contamination", "x152_bm25_retrieval",
-    "x153_near_dup_clusters", "x154_embedding_covariance",
-    "x155_source_overlap", "x156_lsh_calibration",
-    "x157_dedup_retention",
-    # never driver-checked (late round-5 additions):
-    "x126_ref_integrity", "x127_ohlc_bars", "x128_topk_ties",
-    "x130_transitions", "x131_survival", "x132_bigram_lm",
-    "x133_quantization_error", "x134_k_anonymity", "x135_triangle_count",
-    "x136_reachability", "x137_rolling_corr", "x138_attribution",
-    "x139_ab_test", "x141_benford", "x142_hhi", "x143_pmi_phrases",
-    "x144_readability", "x145_seasonality", "x146_weighted_median",
-    "x147_centroid_distances", "x148_chi2_independence",
-    "x149_interarrival", "x150_cohort_ltv",
-    # permanently rows-only (engine-specific hash families / iterative
-    # algorithms; each has a portable twin or recall/invariant tests —
-    # see COVERAGE.md): the driver records their rows-only status.
-    "x04_minhash_lsh", "x07_embedding_dups_lsh", "x09_cosine_topk_lsh",
-    "x27_cosine_topk_ivf", "x37_minhash_fast", "x55_kmeans",
-    "x57_semantic_dedup", "x58_coreset_sample",
+# Latest driver check = round 4 (next-stalest band).
+_STALE_R4 = {
+    "x17_media_metadata", "x20_running_totals", "x21_quality_pipeline",
+    "x22_union_all_agg", "x23_except", "x24_cube", "x25_percentiles",
+    "x26_pivot", "x28_time_rollup", "x40_ntile_first_last",
+    "x41_range_frame", "x42_percent_rank", "x43_union_distinct",
+    "x44_except_all", "x45_date_arith", "x46_string_regex",
+    "x47_pii_redact", "x48_repetition", "x49_contamination",
+    "x50_corpus_pipeline", "x51_dup_clusters", "x52_tfidf_terms",
+    "x53_bm25", "x54_vector_stats", "x59_split_md5", "x60_group_sample",
+    "x61_doc_frequency", "x62_minhash_md5", "x63_top_bigrams",
+    "x64_mix_md5", "x65_upsample", "x66_epoch_shuffle",
+    "x67_interleave_sources", "x68_token_budget",
+    "x69_quality_percentile", "x70_user_features", "x71_funnel",
+    "x72_retention_cohorts", "x73_exists_subquery", "x74_quantified_all",
+    "x75_conditional_agg", "x76_ignore_nulls_window",
+    "x77_approx_aggregates", "x78_posexplode", "x79_union_by_name",
+    "x80_share_of_total", "x81_resample_ffill", "x82_paragraph_dedup",
 }
 
 
 def _priority(name: str, has_oracle: bool) -> int:
-    if name in _RECHECK_R6:
-        return 0                      # new / fixed / never driver-checked
+    if name in _RECHECK_R7:
+        return 0                      # new / changed this round
     if not has_oracle:
-        return 3                      # rows-only outside the recheck set
-    if name in _DRIVER_CHECKED:
-        return 1                      # oldest green checks (r1–r3) rotate
-    return 2                          # verified green in r4–r5
+        return 4                      # rows-only outside the recheck set
+    if name in _STALE_R3:
+        return 1                      # stalest greens (last checked r3)
+    if name in _STALE_R4:
+        return 2                      # next-stalest (last checked r4)
+    return 3                          # verified green in r5–r6
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -23,9 +23,38 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 MAX_LINE = 1900  # whole line must fit in the driver's ~2000-char tail
 
 
+def bench_pipeline(spark, sf_dir: str) -> tuple[float, dict]:
+    """Time ONE end-to-end `build_training_corpus` run (quality gate →
+    collapse dedup → decontamination → mixing → token-balanced shard
+    write) on the sf documents fixture — the composed product, regression-
+    gated per-round so an operator change that slows the composition is
+    caught even when each stage's own query stays fast."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datum_spark.pipelines import build_training_corpus
+    from datum_spark.tierb import load
+
+    docs = load(spark, sf_dir, "documents")
+    eval_df = docs.filter(F.col("doc_id") < 100)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    out = tempfile.mkdtemp(prefix="bench_pipeline_")
+    try:
+        t0 = time.perf_counter()
+        _, report = build_training_corpus(
+            corpus, eval_df, os.path.join(out, "shards"), n_shards=8,
+            contamination_ngram=5)
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return round(dt, 3), report
+
+
 def build_stdout_line(short: dict[str, float], total: float, sf_val,
                       load_pre: float, load_post: float,
-                      reps: int) -> str:
+                      reps: int, extra: dict | None = None) -> str:
     """The ONE driver-parsed JSON line, guaranteed under MAX_LINE chars:
     if the query dict is too large, the FASTEST entries are elided until
     the line fits (``queries_elided`` counts them); error entries (-1.0)
@@ -42,6 +71,7 @@ def build_stdout_line(short: dict[str, float], total: float, sf_val,
             "load_post": load_post,
             "reps": reps,
         }
+        payload.update(extra or {})
         if elided:
             payload["queries_elided"] = elided
         return json.dumps(payload, separators=(",", ":")) + "\n"
@@ -103,6 +133,14 @@ def main() -> int:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
 
+    # composed-pipeline regression gate (one run; separate metric so the
+    # per-query suite total stays comparable across rounds)
+    try:
+        pipeline_sec, pipeline_report = bench_pipeline(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        pipeline_sec, pipeline_report = -1.0, {"error": str(exc)[:300]}
+        print(f"# pipeline ERROR {str(exc)[:120]}", file=sys.stderr)
+
     ok = {k: v for k, v in timings.items() if v >= 0}
     total = round(sum(ok.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -129,7 +167,8 @@ def main() -> int:
     except OSError:
         load1 = load5 = load15 = -1.0
     line = build_stdout_line(short, total, sf_val, load_pre,
-                             round(load1, 1), reps)
+                             round(load1, 1), reps,
+                             extra={"pipeline_sec": pipeline_sec})
     with open(full_path, "w") as fh:
         json.dump({
             "metric": "t2_suite_seconds",
@@ -139,6 +178,8 @@ def main() -> int:
             "sf": sf_val,
             "n_queries": len(timings),
             "reps": reps,
+            "pipeline_sec": pipeline_sec,
+            "pipeline_report": pipeline_report,
             # shared-box context: r2→r3 showed a uniform 1.5× drift that
             # was load, not regression — record load so rounds can tell
             "load_pre_run": load_pre,

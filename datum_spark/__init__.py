@@ -25,7 +25,7 @@ __version__ = "0.1.0"
 __all__ = ["connect", "db", "Database", "Table", "__version__"]
 
 
-def connect(url: str, spark=None) -> Database:
+def connect(url: str, spark=None, conf: dict | None = None) -> Database:
     """Connect to a data source URL and return a :class:`Database`.
 
     Reference: ``datum/__init__.py:3-5``.  Unlike the reference (which opens a
@@ -38,7 +38,16 @@ def connect(url: str, spark=None) -> Database:
       ``<table>.parquet`` files/directories (the engine's native format).
     - ``memory://`` — an empty in-memory catalog (temp views only).
     - ``jdbc:...`` — routed to ``spark.read.format("jdbc")`` per-table.
+
+    ``conf`` is extra Spark config applied when THIS call creates the
+    session (ignored if ``spark`` is passed or a session is already
+    active — Spark sessions are process-wide).  The 100 TB deployment
+    posture is ``connect(url, conf=session.cluster_profile(...))``.
     """
+    if spark is None and conf:
+        from .session import get_session
+
+        spark = get_session(extra_conf=conf)
     return Database(url, spark=spark)
 
 

@@ -35,7 +35,9 @@ from .dedup import (
     embedding_cosine_dups,
 )
 from .similarity import (cosine_top_k, embedding_covariance,
-                         ivf_cosine_top_k, lsh_cosine_top_k)
+                         ivf_cosine_top_k, ivf_index_add,
+                         ivf_index_build, ivf_index_query,
+                         lsh_cosine_top_k)
 from .curriculum import (epoch_shuffle, grouped_global_position,
                          interleave_sources, quality_percentile_filter,
                          token_budget_sample)
@@ -74,6 +76,7 @@ __all__ = [
     "simhash_near_dups", "ngram_jaccard_pairs", "fuzzy_near_dups",
     "embedding_cosine_dups",
     "cosine_top_k", "embedding_covariance", "ivf_cosine_top_k",
+    "ivf_index_build", "ivf_index_add", "ivf_index_query",
     "lsh_cosine_top_k",
     "with_token_count", "with_quality_score", "with_language_guess",
     "with_fingerprint",

@@ -98,6 +98,57 @@ def minhash_signature(text_col, num_hashes: int = 32, shingle_k: int = 5):
                                   lambda a, b: F.least(a, b)))
 
 
+class FloodStats:
+    """Bucket-cap loss metrics for an LSH pair stage (round-7
+    no-silent-caps discipline): ``.get`` →
+    ``{buckets, buckets_skipped, ids_in_skipped}``.
+
+    Primary path: a Spark ``Observation`` folded map-side into the job
+    that consumes the buckets — zero extra passes.  Read AFTER the first
+    action on the operator's result.  Fallback: Spark occasionally
+    elides the CollectMetrics row (observed when the downstream result
+    is empty under AQE and the pair stage re-aggregates); then ``.get``
+    recomputes the three counters with one bounded aggregation over the
+    bucket grouping — still bucket-count-sized, never pair-sized.
+    """
+
+    def __init__(self, obs, grouped: DataFrame, cap: int,
+                 id_list_col: str) -> None:
+        self._obs, self._grouped = obs, grouped
+        self._cap, self._col = cap, id_list_col
+
+    @property
+    def get(self) -> dict:
+        try:
+            return dict(self._obs.get)
+        except Exception:
+            over = F.size(self._col) > self._cap
+            row = self._grouped.agg(
+                F.count(F.lit(1)).alias("buckets"),
+                F.count_if(over).alias("buckets_skipped"),
+                F.coalesce(F.sum(F.when(over, F.size(self._col))),
+                           F.lit(0)).alias("ids_in_skipped")).first()
+            return row.asDict()
+
+
+def _observe_flood(grouped: DataFrame, cap: int, id_list_col: str = "__ids"):
+    """Cap over-full LSH buckets — observably: returns
+    ``(filtered_df, FloodStats)`` so a 100 TB run can tell "clean
+    corpus" from "flooded and truncated recall"."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    over = F.size(id_list_col) > cap
+    observed = grouped.observe(
+        obs,
+        F.count(F.lit(1)).alias("buckets"),
+        F.count_if(over).alias("buckets_skipped"),
+        F.coalesce(F.sum(F.when(over, F.size(id_list_col))),
+                   F.lit(0)).alias("ids_in_skipped"))
+    return (observed.filter(F.size(id_list_col) <= cap),
+            FloodStats(obs, grouped, cap, id_list_col))
+
+
 def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
                             threshold: float,
                             max_bucket_size: int | None = 1000) -> DataFrame:
@@ -137,8 +188,9 @@ def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
     grouped = (banded.groupBy("__band", "__bucket")
                .agg(F.collect_list("__id").alias("__ids"))
                .filter(F.size("__ids") > 1))
+    flood_obs = None
     if max_bucket_size is not None:
-        grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
+        grouped, flood_obs = _observe_flood(grouped, max_bucket_size)
     cand = (grouped.select(F.explode("__ids").alias("id_a"), "__ids")
                    .select("id_a", F.explode("__ids").alias("id_b"))
                    .filter(F.col("id_a") < F.col("id_b"))
@@ -148,10 +200,14 @@ def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
 
     est = (F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y),
                            lambda v: v)) / F.lit(float(num_hashes)))
-    return (cand.join(sa, "id_a").join(sb, "id_b")
-                .withColumn("est_jaccard", est)
-                .filter(F.col("est_jaccard") >= threshold)
-                .select("id_a", "id_b", "est_jaccard"))
+    out = (cand.join(sa, "id_a").join(sb, "id_b")
+               .withColumn("est_jaccard", est)
+               .filter(F.col("est_jaccard") >= threshold)
+               .select("id_a", "id_b", "est_jaccard"))
+    # flood observability rides the result: read `.lsh_flood.get` after
+    # the first action (None when the cap is disabled)
+    out.lsh_flood = flood_obs
+    return out
 
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
@@ -544,12 +600,13 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
         grouped = (buckets.groupBy("__t", "__b")
                    .agg(F.collect_list("__id").alias("__ids"))
                    .filter(F.size("__ids") > 1))
+        flood_obs = None
         if max_bucket_size is not None:
             # replica floods / collapsed embeddings put every copy in the
             # same bucket in EVERY table; cap = the B^2 guard shared with
             # _banded_candidate_pairs (recall loss only for pairs with no
-            # smaller shared bucket)
-            grouped = grouped.filter(F.size("__ids") <= max_bucket_size)
+            # smaller shared bucket) — observably, see _observe_flood
+            grouped, flood_obs = _observe_flood(grouped, max_bucket_size)
         cand = (grouped.select(F.explode("__ids").alias("id_a"), "__ids")
                        .select("id_a", F.explode("__ids").alias("id_b"))
                        .filter(F.col("id_a") < F.col("id_b"))
@@ -557,9 +614,11 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
         va = sel.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
         vb = sel.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
         cos = _dot_expr(F.col("__va"), F.col("__vb"))
-        return (cand.join(va, "id_a").join(vb, "id_b")
-                    .select("id_a", "id_b", cos.alias("cosine"))
-                    .filter(F.col("cosine") >= threshold))
+        out = (cand.join(va, "id_a").join(vb, "id_b")
+                   .select("id_a", "id_b", cos.alias("cosine"))
+                   .filter(F.col("cosine") >= threshold))
+        out.lsh_flood = flood_obs
+        return out
     # exact all-pairs via block-partitioned GEMM (one BLAS matmul per
     # unordered block pair) — see block_allpairs_cosine for the scale story
     from .similarity import block_allpairs_cosine
@@ -821,11 +880,16 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
     from .components import dup_clusters
 
     comp = dup_clusters(pairs.select("id_a", "id_b"))
-    return (mapping.join(comp.withColumnRenamed("node", "__rep"),
-                         "__rep", "left")
-                   .select(F.col("__id").alias(id_col),
-                           F.coalesce("component", "__rep")
-                            .alias("cluster_id")))
+    out = (mapping.join(comp.withColumnRenamed("node", "__rep"),
+                        "__rep", "left")
+                  .select(F.col("__id").alias(id_col),
+                          F.coalesce("component", "__rep")
+                           .alias("cluster_id")))
+    # flood observability from the rep-level LSH (the collapse makes
+    # genuine floods rare here, so a nonzero skip count means distinct-
+    # but-boilerplate texts flooding a band — worth knowing at 100 TB)
+    out.lsh_flood = getattr(pairs, "lsh_flood", None)
+    return out
 
 def benchmark_contamination(corpus: DataFrame, eval_df: DataFrame,
                             id_col: str, text_col: str, n: int = 13,

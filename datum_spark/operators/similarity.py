@@ -234,19 +234,36 @@ def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     :func:`lsh_cosine_top_k` — IVF adapts to clustered data, sign-LSH is
     data-independent.
     """
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
     c_vec = (corpus.filter(_nonzero_vec(F.col(corpus_vec)))
              .select(F.col(corpus_id).alias("neighbor_id"),
                      _normalize_col(F.col(corpus_vec).cast("array<double>"))
                      .alias("__cv")))
-    # deterministic coarse centers: the `centroids` corpus vectors with the
-    # smallest xxhash64(id) — a uniform pseudo-random sample independent of
-    # partitioning.  A hash-residue pre-filter (~1/64 of the corpus) keeps
-    # the sort tiny; if the corpus is too small for the filter to yield
-    # enough rows, fall back to sorting everything.
+    centers = _fit_ivf_centers(c_vec, centroids, refine_iters, seed)
+    a1 = _ivf_assign_udf(centers, 1)
+    c_cells = c_vec.select("neighbor_id",
+                           F.element_at(a1("__cv"), 1).alias("__cell"))
+    q_vec = (queries.filter(_nonzero_vec(F.col(query_vec)))
+             .select(F.col(query_id).alias("query_id"),
+                     _normalize_col(F.col(query_vec).cast("array<double>"))
+                     .alias("__qv")))
+    return _ivf_probe_and_score(q_vec, c_cells, c_vec, centers, k, nprobe)
+
+
+def _fit_ivf_centers(c_vec: DataFrame, centroids: int, refine_iters: int,
+                     seed: int):
+    """Fit the IVF coarse quantizer over ``(neighbor_id, __cv)`` rows.
+
+    Deterministic seeding: the ``centroids`` corpus vectors with the
+    smallest ``xxhash64(id)`` — a uniform pseudo-random sample
+    independent of partitioning.  A hash-residue pre-filter (~1/64 of
+    the corpus) keeps the sort tiny; if the corpus is too small for the
+    filter to yield enough rows, fall back to sorting everything.  Then
+    ``refine_iters`` Lloyd steps (assign → mean per cell), each ONE
+    map-reduce pass shuffling one row per corpus vector.
+    """
+    import numpy as np
+    import pandas as pd
+
     hashed = c_vec.withColumn("__h", F.xxhash64(F.col("neighbor_id"),
                                                 F.lit(seed)))
     sample = (hashed.filter(F.pmod(F.col("__h"), F.lit(64)) == 0)
@@ -258,26 +275,13 @@ def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
     centers = np.vstack([np.array(r["__cv"]) for r in sample])
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
 
-    def assign_udf(cents: np.ndarray, top: int):
-        def assign(vecs):
-            m = np.vstack(vecs.to_numpy())
-            sims = m @ cents.T
-            if top == 1:
-                out = np.argmax(sims, axis=1)[:, None]
-            else:
-                out = np.argsort(-sims, axis=1)[:, :top]
-            return pd.Series(list(out.astype(np.int64)))
-        return pandas_udf(assign, "array<long>", PandasUDFType.SCALAR)
-
     def cell_mean(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.vstack(pdf["__cv"].to_numpy())
         return pd.DataFrame({"__cell": [int(pdf["__cell"].iloc[0])],
                              "mean": [m.mean(axis=0)]})
 
     for _ in range(max(0, refine_iters)):
-        # one Lloyd step: assign, then mean whole vectors per cell in
-        # applyInPandas — shuffles 1 row per corpus vector, not dim rows
-        a1 = assign_udf(centers, 1)
+        a1 = _ivf_assign_udf(centers, 1)
         means = (c_vec
                  .select(F.element_at(a1("__cv"), 1).alias("__cell"), "__cv")
                  .groupBy("__cell")
@@ -286,15 +290,36 @@ def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
         for r in means:
             centers[int(r["__cell"])] = np.array(r["mean"])
         centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    return centers
 
-    a1 = assign_udf(centers, 1)
-    c_cells = c_vec.select("neighbor_id",
-                           F.element_at(a1("__cv"), 1).alias("__cell"))
-    q_vec = (queries.filter(_nonzero_vec(F.col(query_vec)))
-             .select(F.col(query_id).alias("query_id"),
-                     _normalize_col(F.col(query_vec).cast("array<double>"))
-                     .alias("__qv")))
-    ap = assign_udf(centers, max(1, nprobe))
+
+def _ivf_assign_udf(cents, top: int):
+    """Pandas UDF: normalized vector → its ``top`` nearest centroid ids
+    (one batched matmul per Arrow batch; centers live in the closure —
+    broadcast with the plan, never shuffled)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def assign(vecs):
+        m = np.vstack(vecs.to_numpy())
+        sims = m @ cents.T
+        if top == 1:
+            out = np.argmax(sims, axis=1)[:, None]
+        else:
+            out = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series(list(out.astype(np.int64)))
+    return pandas_udf(assign, "array<long>", PandasUDFType.SCALAR)
+
+
+def _ivf_probe_and_score(q_vec: DataFrame, c_cells: DataFrame,
+                         c_vec: DataFrame, centers, k: int,
+                         nprobe: int) -> DataFrame:
+    """Shared IVF query stage: probe each query's ``nprobe`` nearest
+    cells, exact-score the candidates, rank.  Used by the refit-per-call
+    path (:func:`ivf_cosine_top_k`) and the persistent-index path
+    (:func:`ivf_index_query`) so the two are plan-identical."""
+    ap = _ivf_assign_udf(centers, max(1, nprobe))
     q_cells = q_vec.select("query_id", F.explode(ap("__qv")).alias("__cell"))
 
     cand = (F.broadcast(q_cells).join(c_cells, "__cell")
@@ -308,6 +333,104 @@ def ivf_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k))
+
+
+# ---------------------------------------------------------------------------
+# persistent IVF index: fit once, serve forever, append daily deltas
+
+def ivf_index_build(corpus: DataFrame, index_path: str,
+                    corpus_id: str = "vec_id",
+                    corpus_vec: str = "embedding",
+                    centroids: int = 32, refine_iters: int = 1,
+                    seed: int = 42) -> dict:
+    """Fit the IVF quantizer ONCE and persist it as two parquet tables
+    under ``index_path``: ``centroids/`` (cell, center) and
+    ``vectors/`` (neighbor_id, cell, vec — normalized, i.e. IVF-Flat
+    with stored vectors, so serving never rereads the raw corpus).
+
+    :func:`ivf_cosine_top_k` refits the quantizer on every call — fine
+    for one-shot analytics, wasteful for a serving corpus queried daily.
+    This split gives the index the same daily-ingest posture as
+    incremental dedup (x109): build once, ``ivf_index_add`` appends new
+    vectors assign-only (no refit, centers stay frozen so existing
+    assignments stay valid), ``ivf_index_query`` serves refit-free.
+
+    Returns ``{"vectors": n, "centroids": n}``.
+    """
+    spark = corpus.sparkSession
+    c_vec = (corpus.filter(_nonzero_vec(F.col(corpus_vec)))
+             .select(F.col(corpus_id).alias("neighbor_id"),
+                     _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                     .alias("__cv")))
+    centers = _fit_ivf_centers(c_vec, centroids, refine_iters, seed)
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(len(centers))],
+        "cell long, center array<double>")
+    cdf.coalesce(1).write.mode("overwrite").parquet(
+        f"{index_path}/centroids")
+    a1 = _ivf_assign_udf(centers, 1)
+    vecs = c_vec.select("neighbor_id",
+                        F.element_at(a1("__cv"), 1).alias("cell"),
+                        F.col("__cv").alias("vec"))
+    vecs.write.mode("overwrite").parquet(f"{index_path}/vectors")
+    n = spark.read.parquet(f"{index_path}/vectors").count()
+    return {"vectors": int(n), "centroids": int(len(centers))}
+
+
+def _ivf_load_centers(spark, index_path: str):
+    import numpy as np
+
+    rows = (spark.read.parquet(f"{index_path}/centroids")
+            .orderBy("cell").collect())
+    return np.vstack([np.array(r["center"]) for r in rows])
+
+
+def ivf_index_add(delta: DataFrame, index_path: str,
+                  corpus_id: str = "vec_id",
+                  corpus_vec: str = "embedding") -> int:
+    """Append new vectors to a built index, ASSIGN-ONLY: each delta
+    vector is quantized against the FROZEN saved centers and appended to
+    ``vectors/`` — one map-only pass over the delta, the existing corpus
+    is never touched (the x109 delta discipline).  Centers drifting from
+    the data over many adds degrades recall gracefully; rebuild on the
+    corpus-refresh cadence.  Returns the number of vectors appended.
+    """
+    spark = delta.sparkSession
+    centers = _ivf_load_centers(spark, index_path)
+    d_vec = (delta.filter(_nonzero_vec(F.col(corpus_vec)))
+             .select(F.col(corpus_id).alias("neighbor_id"),
+                     _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                     .alias("__cv")))
+    a1 = _ivf_assign_udf(centers, 1)
+    out = d_vec.select("neighbor_id",
+                       F.element_at(a1("__cv"), 1).alias("cell"),
+                       F.col("__cv").alias("vec"))
+    n = out.count()
+    out.write.mode("append").parquet(f"{index_path}/vectors")
+    return int(n)
+
+
+def ivf_index_query(queries: DataFrame, index_path: str, k: int,
+                    query_id: str = "vec_id",
+                    query_vec: str = "embedding",
+                    nprobe: int = 4) -> DataFrame:
+    """Serve top-k from a persisted index — NO quantizer refit, no raw
+    corpus scan: centers load from ``centroids/`` (a driver-side
+    centroids × dim matrix, broadcast in the assign UDF closure) and
+    candidates come from the ``vectors/`` parquet, cell-pruned by the
+    probe join.  Plan-identical to :func:`ivf_cosine_top_k`'s query
+    stage (shared :func:`_ivf_probe_and_score`), so a freshly built
+    index answers exactly what the refit path answers."""
+    spark = queries.sparkSession
+    centers = _ivf_load_centers(spark, index_path)
+    stored = spark.read.parquet(f"{index_path}/vectors")
+    c_cells = stored.select("neighbor_id", F.col("cell").alias("__cell"))
+    c_vec = stored.select("neighbor_id", F.col("vec").alias("__cv"))
+    q_vec = (queries.filter(_nonzero_vec(F.col(query_vec)))
+             .select(F.col(query_id).alias("query_id"),
+                     _normalize_col(F.col(query_vec).cast("array<double>"))
+                     .alias("__qv")))
+    return _ivf_probe_and_score(q_vec, c_cells, c_vec, centers, k, nprobe)
 
 
 def lsh_cosine_top_k(queries: DataFrame, corpus: DataFrame, k: int,
@@ -459,9 +582,15 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
             # dominant one wins deterministically at combine time
             by_len: dict[int, list] = {}
             for v in pdf[vec_col]:
-                if v is None or any(e is None for e in v):
+                if v is None:
                     continue
-                by_len.setdefault(len(v), []).append(v)
+                try:        # null elements arrive as None or NaN
+                    arr = np.asarray(list(v), dtype="float64")
+                except (TypeError, ValueError):
+                    continue
+                if np.isnan(arr).any():
+                    continue
+                by_len.setdefault(arr.shape[0], []).append(arr)
             for vecs in by_len.values():
                 m = np.array(vecs, dtype="float64")
                 yield pd.DataFrame({

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.geometry_sql import register_geometry_sql_functions
+
 
 def _cell(x, y, radius: float):
     return (F.floor(x / radius).cast("long"),
@@ -80,3 +82,50 @@ def nearest_neighbor_join(left: DataFrame, right: DataFrame,
     for c in rcols + [dist_col]:
         out = out.withColumn(c, F.col(f"__nn.{c}"))
     return out.drop("__nn")
+
+
+def point_in_polygon_join(points: DataFrame, polys: DataFrame,
+                          px: str, py: str, wkt_col: str,
+                          cell_size: float) -> DataFrame:
+    """All (point row, polygon row) pairs where the point lies inside
+    the polygon (``ST_Contains(poly, point)`` — even-odd ray cast over
+    every ring, so POLYGON holes and MULTIPOLYGON parts are honored;
+    the exact predicate is ``st__pip``, `functions/geometry_sql.py`).
+
+    Scale shape — the naive translation is a cross join with a per-pair
+    ray cast, quadratic and dead at 100 TB.  Here each polygon is
+    expanded once to the grid cells covering its ENVELOPE (side
+    ``cell_size``), each point maps to its single home cell, and an
+    equi-join on the cell key yields the candidates: one hash shuffle,
+    candidate count bounded by local density.  A point's home cell
+    appears at most once per polygon, so no pair dedup is needed.  The
+    exact ray cast then runs only on candidates, JVM-side (Catalyst
+    array lambdas, no Python).  Pick ``cell_size`` near the typical
+    polygon diameter: bigger → fewer replicas per polygon, more false
+    candidates; smaller → the reverse.  Giant polygons (continent vs
+    city parcels) explode to many cells — ordinary replication skew;
+    split them upstream or raise ``cell_size``.
+
+    Output = point columns + polygon columns; names must not collide
+    (alias beforehand).  The reference delegates this predicate to
+    PostGIS (`/root/reference/datum/postgis/table.py:157-158`); this is
+    the engine-native spelling.
+    """
+    register_geometry_sql_functions(points.sparkSession)
+    cs = float(cell_size)
+    env = F.expr(f"flatten(st__ringcoords({wkt_col}))")
+    pt = (polys
+          .withColumn("__env", env)
+          .withColumn("__cx", F.explode(F.sequence(
+              F.floor(F.expr("array_min(transform(__env, v -> v.x))") / cs),
+              F.floor(F.expr("array_max(transform(__env, v -> v.x))") / cs))))
+          .withColumn("__cy", F.explode(F.sequence(
+              F.floor(F.expr("array_min(transform(__env, v -> v.y))") / cs),
+              F.floor(F.expr("array_max(transform(__env, v -> v.y))") / cs))))
+          .drop("__env"))
+    pts = (points
+           .withColumn("__cx", F.floor(F.col(px) / cs).cast("long"))
+           .withColumn("__cy", F.floor(F.col(py) / cs).cast("long")))
+    return (pts.join(pt, ["__cx", "__cy"])
+               .filter(F.expr(f"st__pip({px}, {py}, {wkt_col})"))
+               .drop("__cx", "__cy"))

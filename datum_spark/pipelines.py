@@ -70,6 +70,12 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
                       id_col, "semi"))
     deduped = deduped.persist()
     report["rows_deduped"] = deduped.count()
+    if getattr(clusters, "lsh_flood", None) is not None:
+        # bucket-cap loss is observable, not silent: nonzero
+        # lsh_buckets_skipped means the dedup recall was truncated by
+        # flooded band buckets (metrics fold into the count above)
+        report.update({f"lsh_{k}": int(v)
+                       for k, v in clusters.lsh_flood.get.items()})
     q.unpersist()
 
     # 3. decontamination: anti-join on the contaminated id set

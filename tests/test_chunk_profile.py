@@ -198,9 +198,15 @@ def test_minhash_bucket_cap_drops_replica_floods(spark):
     capped = minhash_near_dups(df, "doc_id", "text", threshold=0.5,
                                max_bucket_size=10)
     assert capped.count() == 0
+    # the cap is OBSERVABLE, not silent (round-7): every band bucket
+    # held all 40 replicas and was skipped
+    flood = capped.lsh_flood.get
+    assert flood["buckets"] == flood["buckets_skipped"] > 0
+    assert flood["ids_in_skipped"] == flood["buckets_skipped"] * 40
     uncapped = minhash_near_dups(df, "doc_id", "text", threshold=0.5,
                                  max_bucket_size=None)
     assert uncapped.count() == 40 * 39 // 2
+    assert uncapped.lsh_flood is None      # cap disabled → no observer
 
 
 def test_minhash_cap_no_effect_below_cap(spark):

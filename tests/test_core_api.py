@@ -529,3 +529,45 @@ def test_vacuum_sees_nested_activity(tmp_db):
     assert os.path.exists(stage)
     removed = db.vacuum(min_age_seconds=0)
     assert stage in removed
+
+
+def test_cluster_profile_knobs():
+    """The 1000-executor deployment profile (SCALE.md §6 made
+    executable): plan-shaping knobs scale with the declared fleet and
+    stay inside scheduler-sane bounds."""
+    from datum_spark.session import cluster_profile
+
+    p = cluster_profile(executors=1000, cores_per_executor=4,
+                        executor_memory_gb=16, data_tb=100.0)
+    parts = int(p["spark.sql.shuffle.partitions"])
+    assert 2 * 4000 <= parts <= 200_000
+    # 100 TB / 1 GB-per-partition floor dominates 3x cores here
+    assert parts == min(max(3 * 4000, 2 * 4000, 100 * 1024), 200_000)
+    assert p["spark.sql.files.maxPartitionBytes"] == str(256 << 20)
+    assert p["spark.sql.adaptive.enabled"] == "true"
+    assert p["spark.sql.autoBroadcastJoinThreshold"] == str(64 << 20)
+    assert p["spark.executor.memory"] == "16g"
+    # small fleet: cores term dominates, cap never binds
+    small = cluster_profile(executors=10, cores_per_executor=8,
+                            data_tb=0.01)
+    assert int(small["spark.sql.shuffle.partitions"]) == 3 * 80
+
+
+def test_cluster_profile_settable(spark):
+    """Every runtime-settable knob in the profile is accepted by a live
+    session (catches typo'd conf names); static knobs are restored."""
+    from datum_spark.session import cluster_profile
+
+    p = cluster_profile(executors=4, cores_per_executor=2, data_tb=0.001)
+    runtime = ("spark.sql.shuffle.partitions",
+               "spark.sql.files.maxPartitionBytes",
+               "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+               "spark.sql.autoBroadcastJoinThreshold")
+    saved = {k: spark.conf.get(k) for k in runtime}
+    try:
+        for k in runtime:
+            spark.conf.set(k, p[k])
+            assert spark.conf.get(k) == p[k]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -432,3 +432,110 @@ def test_nearest_neighbor_join_picks_closest(spark):
                                  "lid", 5.0).collect()}
     assert out[1] == (11, 0.2)     # nearest of the two in range
     assert 2 not in out            # nothing within max_radius
+
+
+# ---------------------------------------------------------------------------
+# polygon predicates (round 7): ST_Contains / ST_Within / ST_Intersects
+
+_P_HOLED = ("POLYGON ((10 10, 50 10, 50 50, 10 50, 10 10), "
+            "(20 20, 30 20, 30 30, 20 30, 20 20))")
+_P_MULTI = ("MULTIPOLYGON (((0 60, 20 60, 20 80, 0 80, 0 60)), "
+            "((40 60, 70 60, 70 85, 40 85, 40 60)))")
+_P_UNIT = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+
+def test_polygon_predicates(spark):
+    """Hand-computed truth table: holes, multipolygon parts, star-of-
+    david edge crossings, shared-edge touches, on-line points, nulls.
+    (Boundary semantics are the documented half-open ray cast, not full
+    DE-9IM — the cases here avoid undefined corners.)"""
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions,
+    )
+
+    register_geometry_sql_functions(spark)
+    cases = [
+        (f"st_contains('{_P_HOLED}', 'POINT (40 40)')", True),
+        (f"st_contains('{_P_HOLED}', 'POINT (25 25)')", False),  # hole
+        (f"st_contains('{_P_HOLED}', 'POINT (5 5)')", False),
+        (f"st_within('POINT (40 40)', '{_P_HOLED}')", True),
+        (f"st_contains('{_P_MULTI}', 'POINT (45 62)')", True),
+        (f"st_contains('{_P_MULTI}', 'POINT (30 62)')", False),  # between
+        (f"st_contains('POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))', "
+         f"'{_P_HOLED}')", True),
+        (f"st_contains('{_P_HOLED}', "
+         f"'POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))')", False),
+        (f"st_contains('{_P_UNIT}', '{_P_UNIT}')", True),       # self
+        (f"st_intersects('{_P_UNIT}', "
+         f"'POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))')", True),
+        (f"st_intersects('{_P_UNIT}', "
+         f"'POLYGON ((20 20, 25 20, 25 25, 20 25, 20 20))')", False),
+        (f"st_intersects('POINT (3 3)', '{_P_UNIT}')", True),
+        ("st_intersects('POINT (3 3)', 'POINT (3 3)')", True),
+        ("st_intersects('POINT (3 3)', 'POINT (4 3)')", False),
+        ("st_intersects('POINT (5 0)', 'LINESTRING (0 0, 10 0)')", True),
+        ("st_intersects('POINT (5 1)', 'LINESTRING (0 0, 10 0)')", False),
+        ("st_intersects('LINESTRING (0 0, 10 10)', "
+         "'LINESTRING (0 10, 10 0)')", True),
+        ("st_intersects('LINESTRING (0 0, 10 10)', "
+         "'LINESTRING (20 20, 30 30)')", False),
+        ("st_intersects('LINESTRING (0 5, 20 5)', "
+         "'POLYGON ((5 0, 15 0, 15 10, 5 10, 5 0))')", True),
+        (f"st_contains('{_P_HOLED}', cast(NULL as string))", None),
+        (f"st_contains('{_P_HOLED}', 'POLYGON EMPTY')", False),
+        # shared-edge touch: intersects yes, contains no
+        (f"st_intersects('{_P_UNIT}', "
+         f"'POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))')", True),
+        (f"st_contains('{_P_UNIT}', "
+         f"'POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))')", False),
+        # star-of-david: edges cross, no vertex inside either
+        ("st_intersects('POLYGON ((0 4, 12 4, 6 -6, 0 4))', "
+         "'POLYGON ((0 -2, 12 -2, 6 8, 0 -2))')", True),
+        # polygon inside the HOLE: disjoint
+        (f"st_intersects('{_P_HOLED}', "
+         f"'POLYGON ((22 22, 28 22, 28 28, 22 28, 22 22))')", False),
+        (f"st_contains('{_P_HOLED}', "
+         f"'POLYGON ((22 22, 28 22, 28 28, 22 28, 22 22))')", False),
+        # multipoint: ALL points must be inside for contains, ANY for
+        # intersects
+        (f"st_contains('{_P_HOLED}', 'MULTIPOINT ((40 40), (15 15))')",
+         True),
+        (f"st_contains('{_P_HOLED}', 'MULTIPOINT ((40 40), (25 25))')",
+         False),
+        (f"st_intersects('MULTIPOINT ((5 5), (40 40))', '{_P_HOLED}')",
+         True),
+    ]
+    exprs = ", ".join(f"({e}) AS c{i}" for i, (e, _) in enumerate(cases))
+    row = spark.sql(f"SELECT {exprs}").collect()[0]
+    bad = [(cases[i][0], row[i], cases[i][1])
+           for i in range(len(cases)) if row[i] != cases[i][1]]
+    assert not bad, bad
+
+
+def test_point_in_polygon_join_equals_bruteforce(spark):
+    """Grid-prefiltered join == per-pair st__pip cross join, for several
+    cell sizes (the grid is a pure prefilter, never semantics)."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions,
+    )
+    from datum_spark.operators.spatial import point_in_polygon_join
+
+    register_geometry_sql_functions(spark)
+    pts = spark.createDataFrame(
+        [(i, float(i * 7 % 95), float(i * 13 % 91)) for i in range(300)],
+        "pid long, px double, py double")
+    polys = spark.createDataFrame(
+        [(1, _P_HOLED), (2, _P_MULTI),
+         (3, "POLYGON ((60 0, 90 30, 60 60, 30 30, 60 0))")],
+        "poly_id int, wkt string")
+    brute = sorted((r["pid"], r["poly_id"]) for r in
+                   pts.crossJoin(polys)
+                      .filter(F.expr("st__pip(px, py, wkt)")).collect())
+    assert brute                                   # fixture non-trivial
+    for cell in (7.0, 30.0, 1000.0):
+        got = sorted((r["pid"], r["poly_id"]) for r in
+                     point_in_polygon_join(pts, polys, "px", "py", "wkt",
+                                           cell_size=cell).collect())
+        assert got == brute, f"cell_size={cell}"

@@ -307,6 +307,51 @@ def test_ivf_recall_on_fixture(spark, smoke_db):
     assert hits >= len(exact) * 0.5, f"IVF top-1 recall: {hits}/{len(exact)}"
 
 
+def test_ivf_index_query_equals_refit_path(spark, smoke_db, tmp_path):
+    """A persisted index must answer exactly what the refit-per-call
+    path answers on the same corpus/params (same deterministic centers,
+    shared probe/score stage) — the build/serve split costs nothing in
+    results."""
+    from datum_spark.operators import (ivf_index_build, ivf_index_query)
+
+    emb = smoke_db.table("embeddings").df()
+    q = emb.filter(F.col("vec_id") < 20)
+    c = emb.filter(F.col("vec_id") >= 20)
+    idx = str(tmp_path / "ivf")
+    report = ivf_index_build(c, idx, centroids=16, refine_iters=1)
+    assert report["centroids"] == 16
+    assert report["vectors"] == c.count()
+    direct = sorted(map(tuple, ivf_cosine_top_k(
+        q, c, k=3, centroids=16, nprobe=6, refine_iters=1).collect()))
+    served = sorted(map(tuple, ivf_index_query(
+        q, idx, k=3, nprobe=6).collect()))
+    assert served == direct and served
+
+
+def test_ivf_index_incremental_add(spark, smoke_db, tmp_path):
+    """Assign-only delta append: new vectors are immediately servable
+    (a delta vector queried against the index finds itself at cosine
+    1.0) and the existing corpus is never rewritten."""
+    import os
+
+    from datum_spark.operators import (ivf_index_add, ivf_index_build,
+                                       ivf_index_query)
+
+    emb = smoke_db.table("embeddings").df()
+    base = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 200))
+    delta = emb.filter(F.col("vec_id") >= 200)
+    idx = str(tmp_path / "ivf2")
+    ivf_index_build(base, idx, centroids=8)
+    files_before = set(os.listdir(f"{idx}/vectors"))
+    n = ivf_index_add(delta, idx)
+    assert n == delta.count() > 0
+    # append-only: every base parquet file is still there untouched
+    assert files_before <= set(os.listdir(f"{idx}/vectors"))
+    got = {r["query_id"]: r["neighbor_id"] for r in
+           ivf_index_query(delta.limit(5), idx, k=1, nprobe=1).collect()}
+    assert got and all(qid == nid for qid, nid in got.items())
+
+
 def test_top_k_global(smoke_db):
     o = smoke_db.table("orders").df()
     out = top_k(o, [F.col("o_totalprice").desc()], 3).collect()
@@ -987,14 +1032,21 @@ def test_near_dup_clusters_flood_proof(spark):
                        "text"))
     cap = 50     # smaller than the 60-member replica cliques
     # raw LSH: flooded buckets are skipped, the near-dup pair 1~2 is lost
-    raw = minhash_near_dups_md5(flood, "doc_id", "text",
-                                max_bucket_size=cap).count()
-    assert raw == 0
+    raw_df = minhash_near_dups_md5(flood, "doc_id", "text",
+                                   max_bucket_size=cap)
+    assert raw_df.count() == 0
+    # ...but the loss is OBSERVABLE (round-7): the flood shows up in the
+    # skip counters instead of vanishing silently
+    raw_flood = raw_df.lsh_flood.get
+    assert raw_flood["buckets_skipped"] > 0
+    assert raw_flood["ids_in_skipped"] > 0
     # collapsed composition: one rep per text -> full clusters recovered
-    got = dict(map(tuple, near_dup_clusters(
-        flood, "doc_id", "text", threshold=0.5,
-        max_bucket_size=cap).collect()))
+    clustered = near_dup_clusters(flood, "doc_id", "text", threshold=0.5,
+                                  max_bucket_size=cap)
+    got = dict(map(tuple, clustered.collect()))
     assert len(got) == 180
+    # and the rep-level LSH saw NO floods (the collapse absorbed them)
+    assert clustered.lsh_flood.get["buckets_skipped"] == 0
     # every replica of docs 1 and 2 lands in the joint cluster (min id 64)
     joint = {k for k, v in got.items() if v == 64}
     assert joint == {64 + c for c in range(60)} | {128 + c

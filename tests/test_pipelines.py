@@ -37,6 +37,9 @@ def test_pipeline_end_to_end(spark, corpus, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == report["rows"] == report["rows_mixed"]
     assert report["tokens"] > 0 and report["token_budget"] > 0
+    # round-7: the dedup stage's LSH bucket-cap loss is reported, never
+    # silent — this clean fixture must show zero skipped buckets
+    assert report["lsh_buckets"] > 0 and report["lsh_buckets_skipped"] == 0
     # hive shard layout, all shards present
     shards = sorted(d for d in os.listdir(out) if d.startswith("shard="))
     assert len(shards) >= 2
