@@ -5512,11 +5512,15 @@ _POLY_VERTICES_SQL = """(VALUES
   (3,2,1,40.0,60.0),(3,2,2,70.0,60.0),(3,2,3,70.0,85.0),
   (3,2,4,40.0,85.0),(3,2,5,40.0,60.0))"""
 
-# deterministic synthetic points from the customer table
+# deterministic synthetic points from the customer table.  x158 caps at
+# 2,000 points: it exercises PREDICATE semantics (3 polygons × 3
+# predicates per point — the expression is the product, not the scan),
+# while x159 runs the full table through the scale-path grid join.
 _PTS_SQL = """SELECT c_custkey AS k,
        CAST(c_custkey % 97 AS DOUBLE) AS px,
        CAST(c_custkey % 89 AS DOUBLE) AS py
   FROM customer"""
+_PTS_CAPPED_SQL = _PTS_SQL + " WHERE c_custkey <= 2000"
 
 # per-(point, polygon): ray-cast crossings (even-odd over ALL rings, so
 # the hole and both multipolygon parts count) + exact on-boundary flag —
@@ -5546,7 +5550,7 @@ e AS (
 
 
 @x("x158_spatial_predicates", f"""
-WITH pts AS ({_PTS_SQL}),
+WITH pts AS ({_PTS_CAPPED_SQL}),
 {_HITS_SQL}
 SELECT poly_id,
        CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
@@ -5569,6 +5573,7 @@ def x158(spark, sf):
 
     register_geometry_sql_functions(spark)
     (load(spark, sf, "customer")
+     .filter(F.col("c_custkey") <= 2000)
      .selectExpr("c_custkey AS k", "CAST(c_custkey % 97 AS DOUBLE) AS px",
                  "CAST(c_custkey % 89 AS DOUBLE) AS py")
      .createOrReplaceTempView("__x158_pts"))
