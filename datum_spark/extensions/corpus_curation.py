@@ -1,0 +1,450 @@
+"""Round-6 corpus-curation entries: contamination, bulk BM25, exact-collapse clustering, covariance, source overlap/retention."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..operators import asof as asof_mod  # noqa: F401
+from ..operators import dedup as dedup_mod  # noqa: F401
+from ..operators import similarity as sim_mod  # noqa: F401
+from ..operators import text as text_mod  # noqa: F401
+from ..tierb import load  # noqa: F401
+from ..util import ensure_parallelism  # noqa: F401
+
+from ._shared import load_docs, load_emb, x  # noqa: F401
+
+
+@x("x151_contamination", """
+WITH w0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 4),
+           i -> array_to_string(ws[i:i+4], ' '))) AS gs
+  FROM w0
+), ev AS (
+  SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id < 100
+), cg AS (
+  SELECT doc_id, unnest(gs) AS gram, len(gs) AS n_grams
+  FROM g WHERE doc_id >= 100
+), hits AS (
+  SELECT doc_id, ANY_VALUE(n_grams) AS n_grams,
+         COUNT(DISTINCT cg.gram) AS n_hits
+  FROM cg JOIN ev ON cg.gram = ev.gram
+  GROUP BY doc_id
+), evdocs AS (
+  SELECT cg.doc_id, COUNT(DISTINCT e2.doc_id) AS n_eval_docs
+  FROM cg JOIN (SELECT doc_id, unnest(gs) AS gram FROM g
+                WHERE doc_id < 100) e2
+       ON cg.gram = e2.gram
+  GROUP BY cg.doc_id
+)
+SELECT h.doc_id, CAST(n_grams AS INTEGER) AS n_grams,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       ROUND(n_hits / n_grams, 4) AS contamination,
+       CAST(n_eval_docs AS BIGINT) AS n_eval_docs
+FROM hits h JOIN evdocs USING (doc_id)
+ORDER BY doc_id""")
+def x151(spark, sf):
+    """Benchmark decontamination screen: corpus docs (doc_id ≥ 100)
+    sharing any word 5-gram with the held-out eval slice (doc_id < 100)
+    — the standard pre-training hygiene pass (13-gram collision in
+    production; 5 here so the ~54-word fixture docs carry a useful gram
+    count).  The eval side broadcasts (benchmarks are small by
+    construction), making the gram match a map-side join over the corpus
+    inverted index; the only corpus exchange is the per-doc hit
+    aggregation."""
+    docs = load_docs(spark, sf)
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    eval_df = docs.filter(F.col("doc_id") < 100)
+    return (dedup_mod.benchmark_contamination(corpus, eval_df, "doc_id",
+                                              "text", n=5, min_hits=1)
+            .withColumn("n_grams", F.col("n_grams").cast("int"))
+            .orderBy("doc_id"))
+
+
+@x("x152_bm25_retrieval", """
+WITH q(query_id, query_text) AS (
+  VALUES (1, 'join hash table'), (2, 'scan filter column'),
+         (3, 'window agg batch'), (4, 'stream merge spark')
+), qt AS (
+  SELECT DISTINCT query_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(query_text), '[^a-z0-9]+'),
+           x -> x <> ''))) AS term
+  FROM q
+), d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id < 300
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+    SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM d
+  ) WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         ROUND(SUM( LN((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * tf.dl / stats.avgdl))),
+               4) AS score
+  FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), rk AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+)
+SELECT query_id, doc_id, score, CAST(rnk AS INTEGER) AS rnk
+FROM rk WHERE rnk <= 5 ORDER BY query_id, rnk""")
+def x152(spark, sf):
+    """Bulk BM25 retrieval: top-5 documents for each of 4 queries in one
+    job — the batch search-evaluation / hard-negative-mining shape.  The
+    query vocabulary broadcasts, so corpus postings are filtered
+    map-side and the only corpus exchange is the (doc, term) partial
+    count; ranking is per-query (rounded score before rank — the x140
+    cross-engine order discipline)."""
+    from ..operators.keywords import bm25_topk
+
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    qdf = spark.createDataFrame(
+        [(1, "join hash table"), (2, "scan filter column"),
+         (3, "window agg batch"), (4, "stream merge spark")],
+        "query_id int, query_text string")
+    return (bm25_topk(docs, qdf, k=5)
+            .withColumn("rnk", F.col("rnk").cast("int"))
+            .orderBy("query_id", "rnk"))
+
+
+@x("x153_near_dup_clusters", """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, lower(text) AS t FROM documents WHERE doc_id < 300
+), grp AS (
+  SELECT doc_id, md5(text) AS th FROM d
+), reps AS (
+  SELECT th, MIN(doc_id) AS rep FROM grp GROUP BY th
+), m AS (
+  SELECT g.doc_id, r.rep FROM grp g JOIN reps r USING (th)
+), rd AS (
+  SELECT d.doc_id, d.t FROM d JOIN reps r ON d.doc_id = r.rep
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM rd
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
+)
+SELECT m.doc_id, COALESCE(c.component, m.rep) AS cluster_id
+FROM m LEFT JOIN comp c ON m.rep = c.node
+ORDER BY m.doc_id""")
+def x153(spark, sf):
+    """End-to-end near-dup clustering with exact-duplicate collapse —
+    the production dedup composition the 100× stress motivated
+    (SCALE.md §8): identical texts collapse by md5 BEFORE LSH, MinHash
+    runs over distinct texts only (replica floods can't blow up band
+    buckets or pair volume), clusters form at representative level, and
+    every doc maps back through its text-hash group.  Fully portable
+    (md5 hash family end to end), so the oracle re-derives exact groups,
+    signatures, banded pairs, AND the transitive closure in pure SQL."""
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    return (dedup_mod.near_dup_clusters(docs, "doc_id", "text",
+                                        num_hashes=16, bands=4,
+                                        threshold=0.5)
+            .orderBy("doc_id"))
+
+
+@x("x154_embedding_covariance", """
+WITH a AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+)
+SELECT ai.i AS i, aj.i AS j, ROUND(covar_pop(ai.x, aj.x), 6) AS cov
+FROM a ai JOIN a aj ON ai.vec_id = aj.vec_id AND ai.i <= aj.i
+GROUP BY 1, 2 ORDER BY 1, 2""")
+def x154(spark, sf):
+    """Embedding covariance matrix (upper triangle, 1-based dims) — the
+    decorrelation/anisotropy audit before PCA-whitening or product
+    quantization.  One Gram partial per Arrow batch (NumPy BLAS inside
+    mapInPandas), partition-count-bounded driver combine; the oracle's
+    covar_pop over a zipped double-unnest self-join re-derives every
+    cell (the Spark side computes the identical Σxxᵀ/n − μμᵀ)."""
+    from ..operators.similarity import embedding_covariance
+
+    emb = load_emb(spark, sf)
+    return (embedding_covariance(emb, "embedding", round_to=6)
+            .orderBy("i", "j"))
+
+
+@x("x155_source_overlap", """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+), sp AS (
+  SELECT least(da.source, db.source) AS source_lo,
+         greatest(da.source, db.source) AS source_hi
+  FROM p JOIN documents da ON p.id_a = da.doc_id
+         JOIN documents db ON p.id_b = db.doc_id
+)
+SELECT source_lo, source_hi, COUNT(*) AS n_pairs,
+       ROUND(COUNT(*) / (SELECT COUNT(*) FROM sp), 4) AS share
+FROM sp GROUP BY 1, 2 ORDER BY source_lo, source_hi""")
+def x155(spark, sf):
+    """Cross-source duplication matrix: near-dup pair counts between
+    every (source, source) combination — the corpus-curation readout
+    that says WHICH crawls/dumps mirror each other (high off-diagonal
+    share → drop or downweight one side before training).  Composes the
+    portable md5 MinHash pairs (x62's subset) with two source lookups;
+    the pair side is tiny relative to the corpus, so both joins hash on
+    doc id and the matrix aggregation is |sources|²-bounded."""
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup_mod.minhash_near_dups_md5(docs, "doc_id", "text",
+                                            num_hashes=16, bands=4,
+                                            threshold=0.5)
+    src = docs.select("doc_id", "source")
+    sp = (pairs
+          .join(src.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("source", "__sa"), "id_a")
+          .join(src.withColumnRenamed("doc_id", "id_b")
+                   .withColumnRenamed("source", "__sb"), "id_b")
+          .select(F.least("__sa", "__sb").alias("source_lo"),
+                  F.greatest("__sa", "__sb").alias("source_hi")))
+    agg = sp.groupBy("source_lo", "source_hi").agg(
+        F.count(F.lit(1)).alias("n_pairs"))
+    # share over the |sources|²-bounded aggregate — an unpartitioned
+    # window here is fine (and avoids recomputing the pair generation
+    # for a separate total-count job)
+    w = Window.partitionBy()
+    return (agg.withColumn("share", F.round(F.col("n_pairs")
+                                            / F.sum("n_pairs").over(w), 4))
+               .orderBy("source_lo", "source_hi"))
+
+
+@x("x156_lsh_calibration", """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300
+), ss AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(length(t) - 4, 1) + 1),
+           i -> substring(t, i, 5))) AS sh
+  FROM d
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+           AS est
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+), e AS (
+  SELECT p.est,
+         len(list_intersect(sa.sh, sb.sh))
+         / (len(sa.sh) + len(sb.sh)
+            - len(list_intersect(sa.sh, sb.sh))) AS exact
+  FROM p JOIN ss sa ON p.id_a = sa.doc_id
+         JOIN ss sb ON p.id_b = sb.doc_id
+)
+SELECT CAST(FLOOR(ABS(est - exact) * 10) AS INTEGER) AS err_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(est), 4) AS avg_est,
+       ROUND(AVG(exact), 4) AS avg_exact
+FROM e GROUP BY 1 ORDER BY err_decile""")
+def x156(spark, sf):
+    """MinHash estimator calibration: every reported near-dup pair's
+    estimated Jaccard joined with its EXACT shingle Jaccard, bucketed by
+    absolute-error decile — the audit that says whether the LSH
+    signature width (16 hashes here) is adequate before trusting the
+    dedup at scale.  The exact side joins the (cached) shingle arrays
+    back by pair id — only surviving pairs pay for exact verification,
+    never the corpus²."""
+    from ..operators.dedup import _char_shingles
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup_mod.minhash_near_dups_md5(docs, "doc_id", "text",
+                                            num_hashes=16, bands=4,
+                                            threshold=0.5)
+    sh = docs.select(F.col("doc_id"),
+                     _char_shingles(F.col("text"), 5).alias("sh"))
+    joined = (pairs
+              .join(sh.select(F.col("doc_id").alias("id_a"),
+                              F.col("sh").alias("__sa")), "id_a")
+              .join(sh.select(F.col("doc_id").alias("id_b"),
+                              F.col("sh").alias("__sb")), "id_b"))
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    exact = inter / (F.size("__sa") + F.size("__sb") - inter)
+    return (joined
+            .select(F.col("est_jaccard").alias("est"),
+                    exact.alias("exact"))
+            .groupBy(F.floor(F.abs(F.col("est") - F.col("exact")) * 10)
+                      .cast("int").alias("err_decile"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.avg("est"), 4).alias("avg_est"),
+                 F.round(F.avg("exact"), 4).alias("avg_exact"))
+            .orderBy("err_decile"))
+
+
+@x("x157_dedup_retention", """
+WITH RECURSIVE d AS (
+  SELECT doc_id, text, lower(text) AS t FROM documents WHERE doc_id < 300
+), grp AS (
+  SELECT doc_id, md5(text) AS th FROM d
+), reps AS (
+  SELECT th, MIN(doc_id) AS rep FROM grp GROUP BY th
+), m AS (
+  SELECT g.doc_id, r.rep FROM grp g JOIN reps r USING (th)
+), rd AS (
+  SELECT d.doc_id, d.t FROM d JOIN reps r ON d.doc_id = r.rep
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM rd
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0 >= 0.5
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS node, MIN(v) AS component FROM reach GROUP BY u
+), cl AS (
+  SELECT m.doc_id, COALESCE(c.component, m.rep) AS cluster_id
+  FROM m LEFT JOIN comp c ON m.rep = c.node
+), tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT) AS nt
+  FROM documents WHERE doc_id < 300
+)
+SELECT t.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN cl.doc_id = cl.cluster_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(t.nt) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN cl.doc_id = cl.cluster_id THEN t.nt ELSE 0 END)
+            AS BIGINT) AS tokens_kept,
+       ROUND(SUM(CASE WHEN cl.doc_id = cl.cluster_id THEN t.nt ELSE 0 END)
+             / SUM(t.nt), 4) AS token_retention
+FROM tok t JOIN cl ON t.doc_id = cl.doc_id
+GROUP BY t.source ORDER BY t.source""")
+def x157(spark, sf):
+    """Per-source dedup retention report: how many documents and tokens
+    each source keeps after exact-collapse near-dup clustering (keeper =
+    the cluster's minimum-id member) — the curation readout that shows
+    WHICH sources are mostly duplicates of the rest of the corpus before
+    any mixing weights are chosen.  Composes x153's portable clustering
+    with the x10 token count; one doc-keyed join and one source-keyed
+    aggregate on top of the clustering cost."""
+    from ..operators.dedup import near_dup_clusters
+
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    clusters = near_dup_clusters(docs, "doc_id", "text",
+                                 num_hashes=16, bands=4, threshold=0.5)
+    tok = docs.select("doc_id", "source",
+                      text_mod.token_count(F.col("text")).cast("long")
+                              .alias("nt"))
+    kept = F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+    return (tok.join(clusters, "doc_id")
+               .groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(kept).cast("long").alias("n_kept"),
+                    F.sum("nt").alias("tokens"),
+                    F.sum(F.col("nt") * kept).alias("tokens_kept"))
+               .withColumn("token_retention",
+                           F.round(F.col("tokens_kept") / F.col("tokens"),
+                                   4))
+               .orderBy("source"))
+
+

@@ -1,0 +1,279 @@
+"""Round-7 polygon spatial predicates and the grid point-in-polygon join entries (x158–x160)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: F401
+from pyspark.sql import functions as F  # noqa: F401
+
+from ..operators import asof as asof_mod  # noqa: F401
+from ..operators import dedup as dedup_mod  # noqa: F401
+from ..operators import similarity as sim_mod  # noqa: F401
+from ..operators import text as text_mod  # noqa: F401
+from ..tierb import load  # noqa: F401
+from ..util import ensure_parallelism  # noqa: F401
+
+from ._shared import load_docs, load_emb, x  # noqa: F401
+
+
+# ---------------------------------------------------------------------------
+# Polygon spatial predicates (round 7) — the last Tier-B-parity gap: the
+# reference's PostGIS users splice ST_Contains/ST_Within/ST_Intersects
+# into where= fragments (/root/reference/datum/postgis/table.py:157-158);
+# the engine-native spelling is pure Catalyst ray-cast arithmetic
+# (functions/geometry_sql.py), so the oracles re-derive the SAME formula
+# in DuckDB SQL over explicit vertex tables — the x62/x108 discipline.
+
+# fixture polygons: a square with a hole, a diamond, a 2-part multipolygon
+_POLY1 = ("POLYGON ((10 10, 50 10, 50 50, 10 50, 10 10), "
+          "(20 20, 30 20, 30 30, 20 30, 20 20))")
+_POLY2 = "POLYGON ((60 0, 90 30, 60 60, 30 30, 60 0))"
+_POLY3 = ("MULTIPOLYGON (((0 60, 20 60, 20 80, 0 80, 0 60)), "
+          "((40 60, 70 60, 70 85, 40 85, 40 60)))")
+
+# the same three polygons as (poly_id, ring_id, seq, x, y) rows — the
+# DuckDB oracles ray-cast against these (identical vertices, identical
+# IEEE arithmetic, so results are bit-equal to the WKT path)
+_POLY_VERTICES_SQL = """(VALUES
+  (1,1,1,10.0,10.0),(1,1,2,50.0,10.0),(1,1,3,50.0,50.0),
+  (1,1,4,10.0,50.0),(1,1,5,10.0,10.0),
+  (1,2,1,20.0,20.0),(1,2,2,30.0,20.0),(1,2,3,30.0,30.0),
+  (1,2,4,20.0,30.0),(1,2,5,20.0,20.0),
+  (2,1,1,60.0,0.0),(2,1,2,90.0,30.0),(2,1,3,60.0,60.0),
+  (2,1,4,30.0,30.0),(2,1,5,60.0,0.0),
+  (3,1,1,0.0,60.0),(3,1,2,20.0,60.0),(3,1,3,20.0,80.0),
+  (3,1,4,0.0,80.0),(3,1,5,0.0,60.0),
+  (3,2,1,40.0,60.0),(3,2,2,70.0,60.0),(3,2,3,70.0,85.0),
+  (3,2,4,40.0,85.0),(3,2,5,40.0,60.0))"""
+
+# deterministic synthetic points from the customer table.  x158 caps at
+# 2,000 points: it exercises PREDICATE semantics (3 polygons × 3
+# predicates per point — the expression is the product, not the scan),
+# while x159 runs the full table through the scale-path grid join.
+_PTS_SQL = """SELECT c_custkey AS k,
+       CAST(c_custkey % 97 AS DOUBLE) AS px,
+       CAST(c_custkey % 89 AS DOUBLE) AS py
+  FROM customer"""
+_PTS_CAPPED_SQL = _PTS_SQL + " WHERE c_custkey <= 2000"
+
+# per-(point, polygon): ray-cast crossings (even-odd over ALL rings, so
+# the hole and both multipolygon parts count) + exact on-boundary flag —
+# the same formula geometry_sql._pip/_onb evaluate
+_HITS_SQL = f"""
+v(poly_id, ring_id, seq, x, y) AS {_POLY_VERTICES_SQL},
+e AS (
+  SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM v a JOIN v b ON a.poly_id = b.poly_id AND a.ring_id = b.ring_id
+                   AND b.seq = a.seq + 1
+), hits AS (
+  SELECT p.k, e.poly_id,
+         SUM(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                   AND p.px < e.x1 + (e.x2 - e.x1) * (p.py - e.y1)
+                                     / (e.y2 - e.y1)
+             THEN 1 ELSE 0 END) AS crossings,
+         MAX(CASE WHEN (e.x2 - e.x1) * (p.py - e.y1)
+                       - (e.y2 - e.y1) * (p.px - e.x1) = 0
+                   AND p.px >= least(e.x1, e.x2)
+                   AND p.px <= greatest(e.x1, e.x2)
+                   AND p.py >= least(e.y1, e.y2)
+                   AND p.py <= greatest(e.y1, e.y2)
+             THEN 1 ELSE 0 END) AS onb
+  FROM pts p CROSS JOIN e
+  GROUP BY p.k, e.poly_id
+)"""
+
+
+@x("x158_spatial_predicates", f"""
+WITH pts AS ({_PTS_CAPPED_SQL}),
+{_HITS_SQL}
+SELECT poly_id,
+       CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contains,
+       CAST(SUM(CASE WHEN crossings % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_within,
+       CAST(SUM(CASE WHEN crossings % 2 = 1 OR onb = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_intersects,
+       CAST(SUM(CASE WHEN crossings % 2 = 1 THEN k ELSE 0 END) AS BIGINT)
+         AS sum_keys
+FROM hits GROUP BY poly_id ORDER BY poly_id""")
+def x158(spark, sf):
+    """ST_Contains / ST_Within / ST_Intersects through the raw-SQL
+    surface (the path the reference delegates to PostGIS): synthetic
+    customer points tested against a holed polygon, a diamond, and a
+    multipolygon.  The predicates are registered Spark SQL functions —
+    pure JVM array-lambda ray casts, no Python — and the oracle
+    re-derives the identical arithmetic over vertex rows in DuckDB."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    (load(spark, sf, "customer")
+     .filter(F.col("c_custkey") <= 2000)
+     .selectExpr("c_custkey AS k", "CAST(c_custkey % 97 AS DOUBLE) AS px",
+                 "CAST(c_custkey % 89 AS DOUBLE) AS py")
+     .createOrReplaceTempView("__x158_pts"))
+    return spark.sql(f"""
+WITH polys AS (SELECT * FROM VALUES
+  (1, '{_POLY1}'), (2, '{_POLY2}'), (3, '{_POLY3}') AS t(poly_id, wkt)),
+flags AS (
+  SELECT pl.poly_id, p.k,
+         st_contains(pl.wkt, concat('POINT (', p.px, ' ', p.py, ')')) AS c,
+         st_within(concat('POINT (', p.px, ' ', p.py, ')'), pl.wkt) AS w,
+         st_intersects(concat('POINT (', p.px, ' ', p.py, ')'), pl.wkt) AS i
+  FROM __x158_pts p CROSS JOIN polys pl)
+SELECT poly_id,
+       CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+       CAST(SUM(CASE WHEN w THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+       CAST(SUM(CASE WHEN i THEN 1 ELSE 0 END) AS BIGINT) AS n_intersects,
+       CAST(SUM(CASE WHEN c THEN k ELSE 0 END) AS BIGINT) AS sum_keys
+FROM flags GROUP BY poly_id ORDER BY poly_id""")
+
+
+@x("x159_point_in_polygon_join", f"""
+WITH pts AS ({_PTS_SQL}),
+{_HITS_SQL}
+SELECT poly_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(k) AS BIGINT) AS sum_keys
+FROM hits WHERE crossings % 2 = 1
+GROUP BY poly_id ORDER BY poly_id""")
+def x159(spark, sf):
+    """Distributed point-in-polygon join: polygons expand once to the
+    grid cells covering their envelope, points equi-join on their home
+    cell, the exact ray cast runs on candidates only — one hash shuffle,
+    never a cross join (`operators/spatial.py:point_in_polygon_join`).
+    The grid is a pure prefilter, so the result must equal the oracle's
+    direct all-pairs ray cast."""
+    from ..operators.spatial import point_in_polygon_join
+
+    pts = (load(spark, sf, "customer")
+           .selectExpr("c_custkey AS k",
+                       "CAST(c_custkey % 97 AS DOUBLE) AS px",
+                       "CAST(c_custkey % 89 AS DOUBLE) AS py"))
+    polys = spark.createDataFrame(
+        [(1, _POLY1), (2, _POLY2), (3, _POLY3)], "poly_id int, wkt string")
+    return (point_in_polygon_join(pts, polys, "px", "py", "wkt",
+                                  cell_size=30.0)
+            .groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_points"),
+                 F.sum("k").alias("sum_keys"))
+            .orderBy("poly_id"))
+
+
+# second polygon set for the pairwise matrix: overlapping, inside-the-
+# hole, far-disjoint, shared-edge-touch, contains-everything
+_POLYB1 = "POLYGON ((40 40, 70 40, 70 70, 40 70, 40 40))"
+_POLYB2 = "POLYGON ((22 22, 28 22, 28 28, 22 28, 22 22))"
+_POLYB3 = "POLYGON ((200 200, 210 200, 210 210, 200 210, 200 200))"
+_POLYB4 = "POLYGON ((20 60, 40 60, 40 80, 20 80, 20 60))"
+_POLYB5 = "POLYGON ((-10 -10, 120 -10, 120 100, -10 100, -10 -10))"
+
+_POLYB_VERTICES_SQL = """(VALUES
+  (1,1,1,40.0,40.0),(1,1,2,70.0,40.0),(1,1,3,70.0,70.0),
+  (1,1,4,40.0,70.0),(1,1,5,40.0,40.0),
+  (2,1,1,22.0,22.0),(2,1,2,28.0,22.0),(2,1,3,28.0,28.0),
+  (2,1,4,22.0,28.0),(2,1,5,22.0,22.0),
+  (3,1,1,200.0,200.0),(3,1,2,210.0,200.0),(3,1,3,210.0,210.0),
+  (3,1,4,200.0,210.0),(3,1,5,200.0,200.0),
+  (4,1,1,20.0,60.0),(4,1,2,40.0,60.0),(4,1,3,40.0,80.0),
+  (4,1,4,20.0,80.0),(4,1,5,20.0,60.0),
+  (5,1,1,-10.0,-10.0),(5,1,2,120.0,-10.0),(5,1,3,120.0,100.0),
+  (5,1,4,-10.0,100.0),(5,1,5,-10.0,-10.0))"""
+
+
+@x("x160_polygon_matrix", f"""
+WITH va(poly_id, ring_id, seq, x, y) AS {_POLY_VERTICES_SQL},
+vb(poly_id, ring_id, seq, x, y) AS {_POLYB_VERTICES_SQL},
+ea AS (
+  SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM va a JOIN va b ON a.poly_id = b.poly_id AND a.ring_id = b.ring_id
+                     AND b.seq = a.seq + 1),
+eb AS (
+  SELECT a.poly_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM vb a JOIN vb b ON a.poly_id = b.poly_id AND a.ring_id = b.ring_id
+                     AND b.seq = a.seq + 1),
+a_in_b AS (
+  SELECT w.poly_id AS a_id, w.other_id AS b_id,
+         bool_and(w.ins OR w.onb) AS all_in,
+         bool_or(w.ins OR w.onb) AS any_in
+  FROM (
+    SELECT vv.poly_id, ee.poly_id AS other_id, vv.ring_id, vv.seq,
+           SUM(CASE WHEN (ee.y1 > vv.y) <> (ee.y2 > vv.y)
+                     AND vv.x < ee.x1 + (ee.x2 - ee.x1) * (vv.y - ee.y1)
+                                        / (ee.y2 - ee.y1)
+               THEN 1 ELSE 0 END) % 2 = 1 AS ins,
+           MAX(CASE WHEN (ee.x2 - ee.x1) * (vv.y - ee.y1)
+                         - (ee.y2 - ee.y1) * (vv.x - ee.x1) = 0
+                     AND vv.x >= least(ee.x1, ee.x2)
+                     AND vv.x <= greatest(ee.x1, ee.x2)
+                     AND vv.y >= least(ee.y1, ee.y2)
+                     AND vv.y <= greatest(ee.y1, ee.y2)
+               THEN 1 ELSE 0 END) = 1 AS onb
+    FROM va vv CROSS JOIN eb ee
+    GROUP BY vv.poly_id, ee.poly_id, vv.ring_id, vv.seq, vv.x, vv.y
+  ) w GROUP BY w.poly_id, w.other_id),
+b_in_a AS (
+  SELECT w.other_id AS a_id, w.poly_id AS b_id,
+         bool_and(w.ins OR w.onb) AS all_in,
+         bool_or(w.ins OR w.onb) AS any_in
+  FROM (
+    SELECT vv.poly_id, ee.poly_id AS other_id, vv.ring_id, vv.seq,
+           SUM(CASE WHEN (ee.y1 > vv.y) <> (ee.y2 > vv.y)
+                     AND vv.x < ee.x1 + (ee.x2 - ee.x1) * (vv.y - ee.y1)
+                                        / (ee.y2 - ee.y1)
+               THEN 1 ELSE 0 END) % 2 = 1 AS ins,
+           MAX(CASE WHEN (ee.x2 - ee.x1) * (vv.y - ee.y1)
+                         - (ee.y2 - ee.y1) * (vv.x - ee.x1) = 0
+                     AND vv.x >= least(ee.x1, ee.x2)
+                     AND vv.x <= greatest(ee.x1, ee.x2)
+                     AND vv.y >= least(ee.y1, ee.y2)
+                     AND vv.y <= greatest(ee.y1, ee.y2)
+               THEN 1 ELSE 0 END) = 1 AS onb
+    FROM vb vv CROSS JOIN ea ee
+    GROUP BY vv.poly_id, ee.poly_id, vv.ring_id, vv.seq, vv.x, vv.y
+  ) w GROUP BY w.other_id, w.poly_id),
+sx AS (
+  SELECT ea.poly_id AS a_id, eb.poly_id AS b_id,
+         bool_or(
+           (((eb.x2 - eb.x1) * (ea.y1 - eb.y1)
+             - (eb.y2 - eb.y1) * (ea.x1 - eb.x1)) *
+            ((eb.x2 - eb.x1) * (ea.y2 - eb.y1)
+             - (eb.y2 - eb.y1) * (ea.x2 - eb.x1)) < 0)
+           AND
+           (((ea.x2 - ea.x1) * (eb.y1 - ea.y1)
+             - (ea.y2 - ea.y1) * (eb.x1 - ea.x1)) *
+            ((ea.x2 - ea.x1) * (eb.y2 - ea.y1)
+             - (ea.y2 - ea.y1) * (eb.x2 - ea.x1)) < 0)) AS xing
+  FROM ea CROSS JOIN eb GROUP BY ea.poly_id, eb.poly_id)
+SELECT a.a_id, a.b_id,
+       CAST(CASE WHEN s.xing OR a.any_in OR b.any_in THEN 1 ELSE 0 END
+            AS INTEGER) AS intersects,
+       CAST(CASE WHEN b.all_in AND NOT s.xing THEN 1 ELSE 0 END
+            AS INTEGER) AS a_contains_b,
+       CAST(CASE WHEN a.all_in AND NOT s.xing THEN 1 ELSE 0 END
+            AS INTEGER) AS a_within_b
+FROM a_in_b a JOIN b_in_a b ON a.a_id = b.a_id AND a.b_id = b.b_id
+JOIN sx s ON a.a_id = s.a_id AND a.b_id = s.b_id
+ORDER BY a.a_id, a.b_id""")
+def x160(spark, sf):
+    """Pairwise polygon-polygon predicate matrix (3 fixture polygons ×
+    5 probes: overlap, hole-interior, disjoint, shared-edge touch,
+    superset): ST_Intersects / ST_Contains / ST_Within evaluated by the
+    engine's Catalyst ray-cast + segment-crossing expressions; the
+    oracle re-derives the full formula (proper edge crossing, per-vertex
+    even-odd + on-boundary, forall/exists aggregation) over vertex rows
+    in DuckDB."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    return spark.sql(f"""
+WITH pa AS (SELECT * FROM VALUES
+  (1, '{_POLY1}'), (2, '{_POLY2}'), (3, '{_POLY3}') AS t(a_id, wa)),
+pb AS (SELECT * FROM VALUES
+  (1, '{_POLYB1}'), (2, '{_POLYB2}'), (3, '{_POLYB3}'),
+  (4, '{_POLYB4}'), (5, '{_POLYB5}') AS t(b_id, wb))
+SELECT a_id, b_id,
+       CAST(st_intersects(wa, wb) AS INT) AS intersects,
+       CAST(st_contains(wa, wb) AS INT) AS a_contains_b,
+       CAST(st_within(wa, wb) AS INT) AS a_within_b
+FROM pa CROSS JOIN pb ORDER BY a_id, b_id""")
+
+

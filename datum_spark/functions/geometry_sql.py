@@ -100,10 +100,11 @@ _FUNCTIONS.update({
     "st_perimeter": ("(w STRING)", "DOUBLE",
                      _seg_fold("w", "sqrt(power(q.x - p.x, 2) "
                                     "+ power(q.y - p.y, 2))")),
-    # shoelace over the (closed) vertex list — simple single-ring
-    # polygons; holes/multipolygons need a real geometry lib
-    "st_area": ("(w STRING)", "DOUBLE",
-                f"abs({_seg_fold('w', 'p.x * q.y - q.x * p.y')}) / 2"),
+    # ring-aware shoelace (round 7): WKT parts split on ')),((' — per
+    # part, the FIRST ring is the exterior (WKT spec) and later rings
+    # are holes, so area = Σ_parts (|shoelace(outer)| − Σ|shoelace(hole)|);
+    # MULTIPOLYGON parts sum, non-area types are 0 (PostGIS semantics)
+    "st_area": ("(w STRING)", "DOUBLE", None),  # body built below
     # vertex-mean centroid — EXACT for POINT/MULTIPOINT (PostGIS
     # semantics); NULL for measure-weighted types (line/polygon centroids
     # need a real geometry library)
@@ -132,6 +133,36 @@ _FUNCTIONS.update({
         f"array_min(transform({_coords('w')}, p -> p.x)), ' ', "
         f"array_min(transform({_coords('w')}, p -> p.y)), '))') END"),
 })
+
+
+def _ring_shoelace(var: str) -> str:
+    """SQL expr: |shoelace| / 2 of one ring's coordinate string."""
+    c = _coords(var)
+    return (
+        f"(CASE WHEN size({c}) < 2 THEN 0D ELSE "
+        f"abs(aggregate(zip_with(slice({c}, 1, size({c}) - 1), "
+        f"slice({c}, 2, size({c}) - 1), "
+        "(__p, __q) -> __p.x * __q.y - __q.x * __p.y), "
+        "0D, (__a, __v) -> __a + __v)) / 2 END)")
+
+
+# WKT parts: split on ')),((' — each element then strips its leftover
+# outer parens; within a part, ring 0 is the exterior, later rings holes
+_AREA_PARTS = ("split(regexp_replace(trim(w), '^[A-Za-z]+\\\\s*', ''), "
+               "'\\\\)\\\\)\\\\s*,\\\\s*\\\\(\\\\(')")
+_FUNCTIONS["st_area"] = (
+    "(w STRING)", "DOUBLE",
+    "CASE WHEN w IS NULL THEN NULL "
+    "WHEN upper(w) LIKE '%EMPTY%' THEN 0D "
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "NOT IN ('POLYGON', 'MULTIPOLYGON') THEN 0D "
+    f"ELSE aggregate({_AREA_PARTS}, 0D, (__accp, __part) -> __accp + "
+    "aggregate(transform("
+    "split(regexp_replace(__part, '^\\\\(+|\\\\)+$', ''), "
+    "'\\\\)\\\\s*,\\\\s*\\\\('), "
+    f"(__ring, __ri) -> CASE WHEN __ri = 0 THEN {_ring_shoelace('__ring')} "
+    f"ELSE -{_ring_shoelace('__ring')} END), "
+    "0D, (__a2, __v2) -> __a2 + __v2)) END")
 
 
 # ---------------------------------------------------------------------------

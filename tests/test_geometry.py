@@ -317,6 +317,25 @@ def test_st_measures_in_sql_gateway(tmp_db):
     assert r["mp"] == "POINT (2.5 -1.0)"
 
 
+def test_st_area_rings(tmp_db):
+    """Ring-aware area (round 7): holes subtract, MULTIPOLYGON parts
+    sum, non-area types are 0 (PostGIS semantics)."""
+    tmp_db.create_table("ar", [{"name": "shape", "type": "geom"}])
+    tmp_db["ar"].write([{"shape": "POINT (0 0)"}])
+    [r] = tmp_db.execute("""
+        SELECT ST_Area('POLYGON ((10 10, 50 10, 50 50, 10 50, 10 10),
+                                 (20 20, 30 20, 30 30, 20 30, 20 20))')
+                 AS holed,
+               ST_Area('MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),
+                                      ((10 10, 13 10, 13 12, 10 12,
+                                        10 10)))') AS multi,
+               ST_Area('LINESTRING (1 1, 2 3)') AS line
+        FROM ar""")
+    assert r["holed"] == 1500.0       # 40x40 outer minus 10x10 hole
+    assert r["multi"] == 10.0         # 4 + 6
+    assert r["line"] == 0.0
+
+
 def test_st_measures_null_and_empty(tmp_db):
     tmp_db.create_table("m2", [{"name": "shape", "type": "geom"}])
     tmp_db["m2"].write([{"shape": "POLYGON EMPTY"}])
