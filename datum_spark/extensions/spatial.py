@@ -277,3 +277,54 @@ SELECT a_id, b_id,
 FROM pa CROSS JOIN pb ORDER BY a_id, b_id""")
 
 
+
+
+@x("x161_geometry_measures", f"""
+WITH v(poly_id, ring_id, seq, x, y) AS {_POLY_VERTICES_SQL},
+roles(poly_id, ring_id, sgn) AS (VALUES
+  (1, 1, 1), (1, 2, -1), (2, 1, 1), (3, 1, 1), (3, 2, 1)),
+e AS (
+  SELECT a.poly_id, a.ring_id, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM v a JOIN v b ON a.poly_id = b.poly_id AND a.ring_id = b.ring_id
+                   AND b.seq = a.seq + 1),
+r AS (
+  SELECT poly_id, ring_id,
+         SUM(x1 * y2 - x2 * y1) AS cr,
+         SUM((x1 + x2) * (x1 * y2 - x2 * y1)) AS tx,
+         SUM((y1 + y2) * (x1 * y2 - x2 * y1)) AS ty,
+         SUM(sqrt(power(x2 - x1, 2) + power(y2 - y1, 2))) AS len
+  FROM e GROUP BY poly_id, ring_id),
+agg AS (
+  SELECT r.poly_id,
+         SUM(roles.sgn * abs(cr) / 2) AS area,
+         SUM(len) AS perimeter,
+         SUM(roles.sgn * (tx / 6) * CASE WHEN cr >= 0 THEN 1 ELSE -1 END)
+           AS wx,
+         SUM(roles.sgn * (ty / 6) * CASE WHEN cr >= 0 THEN 1 ELSE -1 END)
+           AS wy
+  FROM r JOIN roles ON r.poly_id = roles.poly_id
+                   AND r.ring_id = roles.ring_id
+  GROUP BY r.poly_id)
+SELECT poly_id, ROUND(area, 6) AS area, ROUND(perimeter, 6) AS perimeter,
+       ROUND(wx / area, 6) AS cx, ROUND(wy / area, 6) AS cy
+FROM agg ORDER BY poly_id""")
+def x161(spark, sf):
+    """Geometry measures through the SQL gateway, oracle-checked: area
+    (holes subtract, MULTIPOLYGON parts sum), ring-aware perimeter
+    (interior-ring boundaries included, no phantom inter-ring segments)
+    and area-weighted centroid over the three fixture polygons — the
+    DuckDB oracle re-derives shoelace / segment-length / weighted-
+    centroid arithmetic from vertex rows, with explicit hole-vs-part
+    roles that the engine infers from WKT ring nesting."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    return spark.sql(f"""
+SELECT poly_id,
+       ROUND(st_area(wkt), 6) AS area,
+       ROUND(st_perimeter(wkt), 6) AS perimeter,
+       ROUND(st_x(st_centroid(wkt)), 6) AS cx,
+       ROUND(st_y(st_centroid(wkt)), 6) AS cy
+FROM VALUES (1, '{_POLY1}'), (2, '{_POLY2}'), (3, '{_POLY3}')
+  AS t(poly_id, wkt)
+ORDER BY poly_id""")

@@ -165,6 +165,128 @@ _FUNCTIONS["st_area"] = (
     "0D, (__a2, __v2) -> __a2 + __v2)) END")
 
 
+_RING_BODY = r"\\(([^()]+)\\)"     # innermost parens = one ring's coords
+
+
+def _ring_seglen(var: str) -> str:
+    """SQL expr: sum of segment lengths of one ring's coord string."""
+    c = _coords(var)
+    return (
+        f"(CASE WHEN size({c}) < 2 THEN 0D ELSE "
+        f"aggregate(zip_with(slice({c}, 1, size({c}) - 1), "
+        f"slice({c}, 2, size({c}) - 1), "
+        "(__p, __q) -> sqrt(power(__q.x - __p.x, 2) "
+        "+ power(__q.y - __p.y, 2))), "
+        "0D, (__a, __v) -> __a + __v) END)")
+
+
+# ring-aware length/perimeter (round 7): fold segments PER RING — the
+# flat-vertex-list fold added a phantom segment between consecutive
+# rings of a holed POLYGON / parts of a MULTI geometry.  PostGIS
+# semantics: perimeter includes interior-ring boundaries; length of a
+# MULTILINESTRING is the sum of its lines.
+_PER_RING_LEN = (
+    "CASE WHEN w IS NULL THEN NULL "
+    "WHEN upper(w) LIKE '%EMPTY%' THEN 0D "
+    f"ELSE aggregate(regexp_extract_all(w, '{_RING_BODY}', 1), 0D, "
+    f"(__accr, __ring) -> __accr + {_ring_seglen('__ring')}) END")
+_FUNCTIONS["st_length"] = ("(w STRING)", "DOUBLE", _PER_RING_LEN)
+_FUNCTIONS["st_perimeter"] = ("(w STRING)", "DOUBLE", _PER_RING_LEN)
+
+
+def _ring_cstats(var: str) -> str:
+    """SQL expr: one ring's shoelace stats as a struct —
+    ``cr`` = Σ cross products (2 × signed area),
+    ``tx``/``ty`` = Σ (coordsum × cross) (6 × signed-area-weighted
+    centroid numerators)."""
+    c = _coords(var)
+    z = "named_struct('cr', 0D, 'tx', 0D, 'ty', 0D)"
+    return (
+        f"(CASE WHEN size({c}) < 3 THEN {z} ELSE "
+        f"aggregate(zip_with(slice({c}, 1, size({c}) - 1), "
+        f"slice({c}, 2, size({c}) - 1), "
+        "(__p, __q) -> named_struct("
+        "'cr', __p.x * __q.y - __q.x * __p.y, "
+        "'tx', (__p.x + __q.x) * (__p.x * __q.y - __q.x * __p.y), "
+        "'ty', (__p.y + __q.y) * (__p.x * __q.y - __q.x * __p.y))), "
+        f"{z}, (__a, __v) -> named_struct('cr', __a.cr + __v.cr, "
+        "'tx', __a.tx + __v.tx, 'ty', __a.ty + __v.ty)) END)")
+
+
+def _ring_lstats(var: str) -> str:
+    """SQL expr: one polyline's length stats as a struct — ``ln`` total
+    length, ``lx``/``ly`` = Σ (segment midpoint × segment length)."""
+    c = _coords(var)
+    z = "named_struct('ln', 0D, 'lx', 0D, 'ly', 0D)"
+    seg = ("sqrt(power(__q.x - __p.x, 2) + power(__q.y - __p.y, 2))")
+    return (
+        f"(CASE WHEN size({c}) < 2 THEN {z} ELSE "
+        f"aggregate(zip_with(slice({c}, 1, size({c}) - 1), "
+        f"slice({c}, 2, size({c}) - 1), "
+        f"(__p, __q) -> named_struct('ln', {seg}, "
+        f"'lx', (__p.x + __q.x) / 2 * {seg}, "
+        f"'ly', (__p.y + __q.y) / 2 * {seg})), "
+        f"{z}, (__a, __v) -> named_struct('ln', __a.ln + __v.ln, "
+        "'lx', __a.lx + __v.lx, 'ly', __a.ly + __v.ly)) END)")
+
+
+# area-weighted polygon centroid: per ring, centroid × |area| =
+# (t / 6) × sign(cr); holes subtract both numerator and area; parts sum.
+# Length-weighted for line types, vertex mean for point types (all
+# PostGIS semantics).
+_CENT_Z = "named_struct('wx', 0D, 'wy', 0D, 'ar', 0D)"
+_CENT_RING = (
+    f"aggregate(transform(split(regexp_replace(__part, "
+    "'^\\\\(+|\\\\)+$', ''), '\\\\)\\\\s*,\\\\s*\\\\('), "
+    "(__ring, __ri) -> named_struct("
+    f"'st', {_ring_cstats('__ring')}, "
+    "'sg', CASE WHEN __ri = 0 THEN 1D ELSE -1D END)), "
+    f"{_CENT_Z}, (__ac, __r) -> named_struct("
+    "'wx', __ac.wx + __r.sg * (__r.st.tx / 6) * "
+    "CASE WHEN __r.st.cr >= 0 THEN 1D ELSE -1D END, "
+    "'wy', __ac.wy + __r.sg * (__r.st.ty / 6) * "
+    "CASE WHEN __r.st.cr >= 0 THEN 1D ELSE -1D END, "
+    "'ar', __ac.ar + __r.sg * abs(__r.st.cr) / 2))")
+_CENT_POLY = (
+    f"aggregate({_AREA_PARTS}, {_CENT_Z}, (__acc, __part) -> "
+    f"named_struct("
+    f"'wx', __acc.wx + {_CENT_RING}.wx, "
+    f"'wy', __acc.wy + {_CENT_RING}.wy, "
+    f"'ar', __acc.ar + {_CENT_RING}.ar))")
+_CENT_LINE = (
+    f"aggregate(regexp_extract_all(w, '{_RING_BODY}', 1), "
+    "named_struct('ln', 0D, 'lx', 0D, 'ly', 0D), "
+    f"(__acc, __ring) -> named_struct("
+    f"'ln', __acc.ln + {_ring_lstats('__ring')}.ln, "
+    f"'lx', __acc.lx + {_ring_lstats('__ring')}.lx, "
+    f"'ly', __acc.ly + {_ring_lstats('__ring')}.ly))")
+_FUNCTIONS["st_centroid"] = (
+    "(w STRING)", "STRING",
+    "CASE WHEN w IS NULL OR upper(w) LIKE '%EMPTY%' THEN NULL "
+    # point types: vertex mean (exact PostGIS semantics)
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "IN ('POINT', 'MULTIPOINT') THEN "
+    f"CASE WHEN size({_coords('w')}) = 0 THEN NULL ELSE "
+    f"concat('POINT (', "
+    f"aggregate(transform({_coords('w')}, p -> p.x), 0D, "
+    f"(a, v) -> a + v) / size({_coords('w')}), ' ', "
+    f"aggregate(transform({_coords('w')}, p -> p.y), 0D, "
+    f"(a, v) -> a + v) / size({_coords('w')}), ')') END "
+    # area types: area-weighted with holes subtracted
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "IN ('POLYGON', 'MULTIPOLYGON') THEN "
+    f"CASE WHEN {_CENT_POLY}.ar = 0 THEN NULL ELSE "
+    f"concat('POINT (', {_CENT_POLY}.wx / {_CENT_POLY}.ar, ' ', "
+    f"{_CENT_POLY}.wy / {_CENT_POLY}.ar, ')') END "
+    # line types: length-weighted midpoint sum
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "IN ('LINESTRING', 'MULTILINESTRING') THEN "
+    f"CASE WHEN {_CENT_LINE}.ln = 0 THEN NULL ELSE "
+    f"concat('POINT (', {_CENT_LINE}.lx / {_CENT_LINE}.ln, ' ', "
+    f"{_CENT_LINE}.ly / {_CENT_LINE}.ln, ')') END "
+    "ELSE NULL END")
+
+
 # ---------------------------------------------------------------------------
 # Polygon predicates (round 7): ST_Contains / ST_Within / ST_Intersects.
 #

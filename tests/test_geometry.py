@@ -371,7 +371,42 @@ def test_st_centroid(tmp_db):
         FROM c1""")
     assert r["mc"] == "POINT (2.0 2.0)"
     assert r["pc"] == "POINT (3.5 -1.0)"
-    assert r["lc"] is None
+    # round 7: line centroids are length-weighted now, not NULL
+    assert r["lc"] == "POINT (0.5 0.5)"
+
+
+def test_st_centroid_polygon_and_line(tmp_db):
+    """Round 7: area-weighted polygon centroid (holes subtract, parts
+    sum) and length-weighted line centroid — PostGIS semantics."""
+    tmp_db.create_table("c2", [{"name": "shape", "type": "geom"}])
+    tmp_db["c2"].write([{"shape": "POINT (0 0)"}])
+    [r] = tmp_db.execute("""
+        SELECT ST_Centroid('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))') AS sq,
+               ST_Centroid('POLYGON ((0 0, 6 0, 0 6, 0 0))') AS tri,
+               ST_Centroid('POLYGON ((0 0, 12 0, 12 6, 0 6, 0 0),
+                                     (1 1, 3 1, 3 5, 1 5, 1 1))') AS holed,
+               ST_Centroid('MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),
+                                          ((10 0, 14 0, 14 4, 10 4,
+                                            10 0)))') AS mp,
+               ST_Centroid('LINESTRING (0 0, 10 0, 10 5)') AS ln,
+               ST_Centroid('POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))') AS ccw,
+               ST_Centroid('POLYGON ((0 0, 0 1, 1 1, 1 0, 0 0))') AS cw
+        FROM c2""")
+    assert r["sq"] == "POINT (2.0 2.0)"
+    assert r["tri"] == "POINT (2.0 2.0)"
+    # 12x6 rect (area 72, c=(6,3)) minus 2x4 hole (area 8, c=(2,3)):
+    # x = (72*6 - 8*2)/64 = 6.5, y = 3
+    assert r["holed"] == "POINT (6.5 3.0)"
+    # 2x2 (area 4, c=(1,1)) + 4x4 (area 16, c=(12,2)):
+    # x = (4*1 + 16*12)/20 = 9.8, y = (4*1 + 16*2)/20 = 1.8
+    assert r["mp"] == "POINT (9.8 1.8)"
+    # segments: len 10 mid (5,0) + len 5 mid (10,2.5):
+    # x = (50 + 50)/15 = 6.666..., y = 12.5/15 = 0.8333...
+    x, y = r["ln"].replace("POINT (", "").rstrip(")").split()
+    assert abs(float(x) - 100.0 / 15) < 1e-9
+    assert abs(float(y) - 12.5 / 15) < 1e-9
+    # winding must not matter (sign-normalized shoelace)
+    assert r["ccw"] == r["cw"] == "POINT (0.5 0.5)"
 
 
 def test_linearize_circularstring_semicircle():
@@ -558,3 +593,23 @@ def test_point_in_polygon_join_equals_bruteforce(spark):
                      point_in_polygon_join(pts, polys, "px", "py", "wkt",
                                            cell_size=cell).collect())
         assert got == brute, f"cell_size={cell}"
+
+
+def test_st_length_perimeter_ring_aware(tmp_db):
+    """Round 7: length/perimeter fold segments PER RING — no phantom
+    segment between a polygon's hole rings or a MULTI geometry's parts;
+    PostGIS includes interior-ring boundaries in the perimeter."""
+    tmp_db.create_table("lp", [{"name": "shape", "type": "geom"}])
+    tmp_db["lp"].write([{"shape": "POINT (0 0)"}])
+    [r] = tmp_db.execute("""
+        SELECT ST_Perimeter('POLYGON ((10 10, 50 10, 50 50, 10 50,
+                                       10 10),
+                                      (20 20, 30 20, 30 30, 20 30,
+                                       20 20))') AS holed,
+               ST_Length('MULTILINESTRING ((0 0, 3 4), (100 0,
+                                            103 4))') AS ml,
+               ST_Length('LINESTRING (0 0, 3 4, 3 0)') AS l
+        FROM lp""")
+    assert r["holed"] == 160.0 + 40.0     # outer + hole boundary
+    assert r["ml"] == 10.0                # 5 + 5, no inter-part jump
+    assert r["l"] == 9.0
