@@ -38,7 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # band) — then the r4 cohort at priority 2.
 _RECHECK_R7 = {
     "x158_spatial_predicates", "x159_point_in_polygon_join",
-    "x160_polygon_matrix", "x161_geometry_measures",  # new round-7
+    "x160_polygon_matrix", "x161_geometry_measures",
+    "x162_nearest_neighbor",                          # new round-7
     "x151_contamination",                             # gram guard fix
     "x154_embedding_covariance",                      # dirty-row fix
     "x153_near_dup_clusters", "x04_minhash_lsh",      # flood observer

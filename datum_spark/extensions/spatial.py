@@ -328,3 +328,48 @@ SELECT poly_id,
 FROM VALUES (1, '{_POLY1}'), (2, '{_POLY2}'), (3, '{_POLY3}')
   AS t(poly_id, wkt)
 ORDER BY poly_id""")
+
+
+@x("x162_nearest_neighbor", """
+WITH c AS (
+  SELECT c_custkey, abs(c_acctbal) % 100 AS x,
+         CAST(c_custkey % 100 AS DOUBLE) AS y
+  FROM customer
+), s AS (
+  SELECT s_suppkey, abs(s_acctbal) % 100 AS x,
+         CAST(s_suppkey % 100 AS DOUBLE) AS y
+  FROM supplier
+), pairs AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         sqrt((c.x - s.x)*(c.x - s.x) + (c.y - s.y)*(c.y - s.y)) AS dist,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.c_custkey
+           ORDER BY sqrt((c.x - s.x)*(c.x - s.x)
+                         + (c.y - s.y)*(c.y - s.y)), s.s_suppkey) AS rn
+  FROM c, s
+  WHERE (c.x - s.x)*(c.x - s.x) + (c.y - s.y)*(c.y - s.y) <= 9.0
+)
+SELECT c_custkey, s_suppkey, ROUND(dist, 4) AS dist
+FROM pairs WHERE rn = 1 ORDER BY c_custkey""")
+def x162(spark, sf):
+    """Nearest-facility join: each customer's single closest supplier
+    within planar radius 3 (geocode-snap semantics) via the grid-
+    prefiltered radius join + min_by pick — never a cross join, ties
+    broken by supplier key.  The oracle is the all-pairs window form the
+    operator exists to avoid; coordinates derive from acctbal/key so
+    both engines compute identical IEEE distances."""
+    from ..operators.spatial import nearest_neighbor_join
+
+    cust = (load(spark, sf, "customer")
+            .select("c_custkey",
+                    (F.abs(F.col("c_acctbal")) % 100).alias("cx"),
+                    (F.col("c_custkey") % 100).cast("double").alias("cy")))
+    supp = (load(spark, sf, "supplier")
+            .select("s_suppkey",
+                    (F.abs(F.col("s_acctbal")) % 100).alias("sx"),
+                    (F.col("s_suppkey") % 100).cast("double").alias("sy")))
+    out = nearest_neighbor_join(cust, supp, "cx", "cy", "sx", "sy",
+                                "c_custkey", 3.0)
+    return (out.select("c_custkey", "s_suppkey",
+                       F.round("dist", 4).alias("dist"))
+               .orderBy("c_custkey"))

@@ -418,11 +418,15 @@ _FUNCTIONS["st__onboundary"] = (
     "(px DOUBLE, py DOUBLE, w STRING)", "BOOLEAN", _onb("px", "py", "w"))
 
 _IS_EMPTY = "(upper(a) LIKE '%EMPTY%' OR upper(b) LIKE '%EMPTY%')"
+# unparseable/vertex-free input must NOT satisfy a vacuous forall()
+# (st_contains(poly, 'garbage') was true before this guard)
+_NO_VERTS = (f"(size(flatten({_ringcoords('a')})) = 0 "
+             f"OR size(flatten({_ringcoords('b')})) = 0)")
 _PTS = "('POINT', 'MULTIPOINT')"
 _FUNCTIONS["st_contains"] = (
     "(a STRING, b STRING)", "BOOLEAN",
     "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
-    f"WHEN {_IS_EMPTY} THEN false "
+    f"WHEN {_IS_EMPTY} OR {_NO_VERTS} THEN false "
     # point(s) b: interior of area a (PostGIS: boundary points do NOT
     # count), or on-the-line for a 1-D a
     f"WHEN st_geometrytype(b) IN {_PTS} THEN "
@@ -442,7 +446,7 @@ _FUNCTIONS["st_within"] = (
 _FUNCTIONS["st_intersects"] = (
     "(a STRING, b STRING)", "BOOLEAN",
     "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
-    f"WHEN {_IS_EMPTY} THEN false "
+    f"WHEN {_IS_EMPTY} OR {_NO_VERTS} THEN false "
     f"WHEN st_geometrytype(a) IN {_PTS} THEN "
     f"exists(flatten({_ringcoords('a')}), __v -> "
     f"{_inarea('__v.x', '__v.y', 'b')} OR {_onb('__v.x', '__v.y', 'b')} "

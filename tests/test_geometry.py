@@ -613,3 +613,26 @@ def test_st_length_perimeter_ring_aware(tmp_db):
     assert r["holed"] == 160.0 + 40.0     # outer + hole boundary
     assert r["ml"] == 10.0                # 5 + 5, no inter-part jump
     assert r["l"] == 9.0
+
+
+def test_polygon_predicates_malformed_input(spark):
+    """Garbage / vertex-free WKT never crashes and never satisfies a
+    predicate vacuously (round-7 guard: forall over an empty vertex
+    list must not make st_contains true)."""
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions,
+    )
+
+    register_geometry_sql_functions(spark)
+    sq = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    [r] = spark.sql(f"""
+        SELECT st_contains('{sq}', 'oops') AS c1,
+               st_contains('garbage', 'POINT (1 1)') AS c2,
+               st_intersects('{sq}', '') AS i1,
+               st_within('', '{sq}') AS w1,
+               st_area('not wkt') AS ar,
+               st_centroid('POLYGON ((zz))') AS ce
+    """).collect()
+    assert r["c1"] is False and r["c2"] is False
+    assert r["i1"] is False and r["w1"] is False
+    assert r["ar"] == 0.0 and r["ce"] is None
