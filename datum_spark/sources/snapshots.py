@@ -124,7 +124,8 @@ class SnapshotTable:
             os.unlink(tmp)
 
     def _commit(self, new_files: list[str], operation: str,
-                base_files_of_parent: bool, retries: int = 10) -> int:
+                base_files_of_parent: bool, retries: int = 10,
+                extra: dict | None = None) -> int:
         """Optimistic commit loop: try head+1; on conflict re-read the
         head (re-basing the parent file list for appends) and retry."""
         for _ in range(retries):
@@ -134,7 +135,8 @@ class SnapshotTable:
             if base_files_of_parent and parent is not None:
                 files += self._load_manifest(parent)["files"]
             try:
-                self._publish(version, files, operation, parent)
+                self._publish(version, files, operation, parent,
+                              extra=extra)
                 return version
             except CommitConflict:
                 continue
@@ -155,6 +157,36 @@ class SnapshotTable:
         (O(new data), the daily-ingest posture).  Returns the version."""
         return self._commit(self._write_data(df), "append",
                             base_files_of_parent=True)
+
+    def append_once(self, df: DataFrame, txn_id: str,
+                    txn_version: int) -> int | None:
+        """Transactional append for at-least-once producers (the Delta
+        ``txn`` pattern): if ANY retained manifest already carries
+        ``(txn_id, txn_version')`` with ``txn_version' >= txn_version``,
+        the append is a no-op (returns None) — a replayed micro-batch
+        commits zero rows twice.  The check and the publish are not one
+        atomic step, so this guards REPLAYS of the same producer (which
+        re-runs batches serially), not two concurrent producers sharing
+        one txn_id."""
+        for _, meta in self.history():
+            if (meta.get("txn_id") == txn_id
+                    and meta.get("txn_version", -1) >= txn_version):
+                return None
+        return self._commit(self._write_data(df), "append",
+                            base_files_of_parent=True,
+                            extra={"txn_id": txn_id,
+                                   "txn_version": int(txn_version)})
+
+    def merge(self, df: DataFrame, keys: list[str]) -> int:
+        """MERGE/upsert by key: rows of the current snapshot whose key
+        appears in ``df`` are replaced, new keys are inserted —
+        copy-on-write (full rewrite; file-level pruning needs manifest
+        column stats, the graduate-to-Iceberg point; semantics match)."""
+        current = self.read()
+        remaining = current.join(df.select(*keys).distinct(), keys, "anti")
+        merged = remaining.unionByName(df)
+        return self._commit(self._write_data(merged), "merge",
+                            base_files_of_parent=False)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents (copy-on-write: old files stay on

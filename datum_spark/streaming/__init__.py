@@ -2,7 +2,7 @@
 streaming — SURVEY §1.1 'not present')."""
 
 from .joins import clicks_purchases_join
-from .stateful import (contamination_sink, ingest_sink,
+from .stateful import (contamination_sink, ingest_sink, snapshot_sink,
                        running_totals,
                        running_totals_batch, streaming_debounce,
                        streaming_funnel, streaming_last_wins,
@@ -24,5 +24,5 @@ __all__ = [
     "running_totals", "running_totals_batch", "streaming_funnel",
     "streaming_debounce", "streaming_last_wins", "upsert_sink",
     "clicks_purchases_join", "streaming_cms", "contamination_sink",
-    "ingest_sink",
+    "ingest_sink", "snapshot_sink",
 ]

@@ -463,3 +463,28 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .start())
+
+
+def snapshot_sink(stream: DataFrame, table, checkpoint_dir: str,
+                  txn_id: str = "snapshot_sink"):
+    """Exactly-once streaming ingest into a versioned
+    :class:`~datum_spark.sources.snapshots.SnapshotTable`: each
+    micro-batch commits through ``append_once(txn_id, batch_id)``, so a
+    replayed batch (the foreachBatch at-least-once window) finds its
+    ``(txn_id, batch_id)`` already in a manifest and commits NOTHING —
+    transactional idempotence instead of the path-overwrite idempotence
+    of :func:`_idempotent_batch_write`, and readers additionally get
+    snapshot isolation + time travel over the ingested history.
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append_once(batch_df, txn_id=txn_id, txn_version=batch_id)
+
+    return (stream.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

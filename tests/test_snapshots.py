@@ -93,3 +93,76 @@ def test_vacuum_keeps_referenced_files(spark, table):
                for n in os.listdir(os.path.join(table._data, d))
                if n.endswith(".parquet")}
     assert on_disk == live
+
+
+def test_append_once_skips_replayed_txn(spark, table):
+    v1 = table.append_once(spark.range(3).select(F.col("id").alias("v")),
+                           txn_id="job", txn_version=0)
+    assert v1 == 1
+    # replay of batch 0: no-op, no new version, no duplicate rows
+    assert table.append_once(
+        spark.range(3).select(F.col("id").alias("v")),
+        txn_id="job", txn_version=0) is None
+    assert table.current_version() == 1
+    assert _rows(table.read()) == [0, 1, 2]
+    # the NEXT batch commits normally
+    assert table.append_once(
+        spark.range(3, 5).select(F.col("id").alias("v")),
+        txn_id="job", txn_version=1) == 2
+    assert _rows(table.read()) == [0, 1, 2, 3, 4]
+    # a different producer id is independent
+    assert table.append_once(
+        spark.range(9, 10).select(F.col("id").alias("v")),
+        txn_id="other", txn_version=0) == 3
+
+
+def test_merge_upserts_by_key(spark, table):
+    table.append(spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"))
+    table.merge(spark.createDataFrame(
+        [(2, "B"), (4, "d")], "k long, v string"), keys=["k"])
+    got = sorted((r["k"], r["v"]) for r in table.read().collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (4, "d")]
+    ops = [m["operation"] for _, m in table.history()]
+    assert ops[-1] == "merge"
+
+
+def test_concurrent_appends_race(spark, tmp_path):
+    """8 threads appending concurrently: the link+unlink commit protocol
+    must serialize them — every append lands in a distinct version and
+    no rows are lost or clobbered."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable.create(spark, str(tmp_path / "race"))
+    dfs = [spark.range(i * 10, i * 10 + 3).select(F.col("id").alias("v"))
+           for i in range(8)]
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        versions = list(pool.map(t.append, dfs))
+    assert sorted(versions) == list(range(1, 9))     # all distinct
+    want = sorted(v for i in range(8) for v in range(i * 10, i * 10 + 3))
+    assert _rows(t.read()) == want
+
+
+def test_snapshot_sink_stream_exactly_once(spark, tmp_path):
+    """Streaming ingest into a SnapshotTable: multi-batch stream equals
+    the batch union, and a manual replay of an already-committed batch
+    id commits nothing (transactional idempotence)."""
+    from datum_spark.streaming import snapshot_sink
+
+    src = str(tmp_path / "in")
+    spark.range(20).select(F.col("id").alias("v")) \
+        .repartition(4).write.parquet(src)
+    batch = spark.read.parquet(src)
+    stream = (spark.readStream.schema(batch.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    t = SnapshotTable.create(spark, str(tmp_path / "snap"))
+    q = snapshot_sink(stream, t, str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    assert _rows(t.read()) == list(range(20))
+    head = t.current_version()
+    # replay the first batch by hand: append_once must refuse
+    assert t.append_once(batch.limit(5), txn_id="snapshot_sink",
+                         txn_version=0) is None
+    assert t.current_version() == head
+    assert _rows(t.read()) == list(range(20))
