@@ -361,3 +361,26 @@ def test_near_dup_clusters_rep_semi_join(spark):
     plan = explain_str(near_dup_clusters(docs, "doc_id", "text"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_point_in_polygon_join_is_hash_equi(spark):
+    """x159: the grid join must be an equi-join on the snapped cell
+    keys with the exact ray cast as a post-filter — a nested loop /
+    cartesian here is points x polygons quadratic."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x159_point_in_polygon_join"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # column pruning reached the customer scan: only the key is read
+    assert "c_custkey" in plan
+
+
+def test_nearest_neighbor_join_is_hash_equi(spark):
+    """x162: nearest-facility = radius grid join + min_by — still no
+    cross join anywhere in the plan."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x162_nearest_neighbor"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
