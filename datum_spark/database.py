@@ -476,6 +476,29 @@ class Database:
             self._register(name)
         return {"rows_read": rows}
 
+    def snapshot_table(self, name: str, create: bool = False):
+        """Handle on a VERSIONED table in this warehouse
+        (``sources/snapshots.py``): atomic manifest commits, snapshot-
+        isolated reads, time travel, ``append_once`` for exactly-once
+        streaming ingest — the engine-native stand-in for the backend
+        transactions datum got from its RDBMS and for the jar-gated
+        lake formats.  Stored at ``<warehouse>/<name>.snapshot`` (the
+        layout keeps it out of :attr:`tables`, which lists plain
+        parquet tables).  ``create=True`` bootstraps an empty v0."""
+        from .sources.snapshots import SnapshotTable
+
+        if self.scheme != "file":
+            raise ValueError(
+                "snapshot tables need a file-scheme warehouse")
+        util.check_identifier(name)
+        path = os.path.join(self.path, f"{name}.snapshot")
+        if create:
+            return SnapshotTable.create(self.spark, path)
+        if not os.path.isdir(os.path.join(path, "_manifests")):
+            raise ValueError(f"no snapshot table {name!r} "
+                             f"(create with create=True)")
+        return SnapshotTable(self.spark, path)
+
     def vacuum(self, min_age_seconds: float = 3600.0) -> list[str]:
         """Remove stale maintenance debris from the warehouse directory:
         crashed rewrite staging/backup dirs (``*.__rewrite__`` /

@@ -154,3 +154,74 @@ def test_md5_split_monotone_membership(frac, keys):
     kept_lo = {k for k in keys if bucket(k) < frac * (1 << 32)}
     kept_hi = {k for k in keys if bucket(k) < hi * (1 << 32)}
     assert kept_lo <= kept_hi
+
+
+# ---------------------------------------------------------------------------
+# Polygon ray cast vs an INDEPENDENT oracle (round 7)
+
+def _convex_hull(pts):
+    """Monotone-chain convex hull, CCW, no collinear points kept."""
+    pts = sorted(set(pts))
+    if len(pts) < 3:
+        return pts
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower, upper = half(pts), half(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+@given(data=st.data())
+@FAST
+def test_ray_cast_matches_halfplane_on_convex(spark, data):
+    """st__pip (even-odd ray cast over WKT) must agree with the
+    half-plane test — a structurally different formula: a point is
+    inside a CCW convex polygon iff it is strictly left of EVERY edge.
+    Integer coordinates make the cross products exact; exact-boundary
+    points (some cross == 0) are excluded because the ray cast is
+    deliberately half-open there."""
+    from hypothesis import assume
+
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions,
+    )
+
+    corners = data.draw(st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+        min_size=3, max_size=12, unique=True))
+    hull = _convex_hull(corners)
+    assume(len(hull) >= 3)
+    probes = data.draw(st.lists(
+        st.tuples(st.integers(-100, 1100), st.integers(-100, 1100)),
+        min_size=5, max_size=25))
+
+    edges = list(zip(hull, hull[1:] + hull[:1]))
+
+    def want(p):
+        crosses = [(bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax)
+                   for (ax, ay), (bx, by) in edges]
+        if any(c == 0 for c in crosses):
+            return None                      # exact boundary line: skip
+        return all(c > 0 for c in crosses)
+
+    cases = [(float(x), float(y), want((x, y))) for x, y in probes]
+    cases = [c for c in cases if c[2] is not None]
+    assume(cases)
+
+    register_geometry_sql_functions(spark)
+    wkt = ("POLYGON ((" + ", ".join(f"{x} {y}" for x, y in hull)
+           + f", {hull[0][0]} {hull[0][1]}))")
+    df = spark.createDataFrame(cases, "px double, py double, want boolean")
+    rows = df.selectExpr(f"st__pip(px, py, '{wkt}') AS got",
+                         "want", "px", "py").collect()
+    bad = [(r["px"], r["py"], r["got"], r["want"])
+           for r in rows if r["got"] != r["want"]]
+    assert not bad, (wkt, bad)

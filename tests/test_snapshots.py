@@ -166,3 +166,24 @@ def test_snapshot_sink_stream_exactly_once(spark, tmp_path):
                          txn_version=0) is None
     assert t.current_version() == head
     assert _rows(t.read()) == list(range(20))
+
+
+def test_database_snapshot_table_handle(spark, tmp_path):
+    """Database.snapshot_table: datum-style discovery of versioned
+    tables inside a warehouse dir; plain .tables stays parquet-only."""
+    import datum_spark
+
+    db = datum_spark.connect(str(tmp_path), spark=spark)
+    db.create_table("plain", [{"name": "a", "type": "num"}])
+    with pytest.raises(ValueError):
+        db.snapshot_table("ledger")          # not created yet
+    t = db.snapshot_table("ledger", create=True)
+    t.append(spark.range(3).select(F.col("id").alias("v")))
+    # re-open by name: same data, same history
+    t2 = db.snapshot_table("ledger")
+    assert _rows(t2.read()) == [0, 1, 2]
+    assert [m["operation"] for _, m in t2.history()] == ["create", "append"]
+    # versioned tables never shadow the plain-table listing
+    assert db.tables == ["plain"]
+    with pytest.raises(ValueError):
+        db.snapshot_table("bad-name!", create=True)
