@@ -204,13 +204,26 @@ class SnapshotTable:
         return self._commit(self._write_data(remaining), "delete",
                             base_files_of_parent=False)
 
+    def compact(self, target_files: int = 8) -> int:
+        """Rewrite the current snapshot into ``target_files`` files as a
+        new version — the small-files maintenance pass a streaming
+        ``snapshot_sink`` table needs periodically (each micro-batch
+        commit adds its own files; manifests and scan listings grow by
+        file COUNT).  Old versions still time-travel until ``vacuum``."""
+        df = self.read().coalesce(max(1, target_files))
+        return self._commit(self._write_data(df), "compact",
+                            base_files_of_parent=False)
+
     # -- reads -------------------------------------------------------------
 
     def read(self, version: int | None = None,
-             as_of: float | None = None) -> DataFrame:
+             as_of: float | None = None,
+             merge_schema: bool = False) -> DataFrame:
         """Snapshot read.  ``version`` pins an exact version; ``as_of``
         (unix seconds) picks the newest version committed at-or-before
-        that time; default = current head."""
+        that time; default = current head.  ``merge_schema`` unions the
+        schemas across the snapshot's files (additive schema evolution:
+        appends may carry new columns, old files read them as NULL)."""
         if version is None:
             version = self._resolve_as_of(as_of) if as_of is not None \
                 else self.current_version()
@@ -221,7 +234,10 @@ class SnapshotTable:
         if not files:
             return self.spark.createDataFrame([], "__empty string") \
                 .drop("__empty")
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def _resolve_as_of(self, ts: float) -> int:
         best = None

@@ -187,3 +187,26 @@ def test_database_snapshot_table_handle(spark, tmp_path):
     assert db.tables == ["plain"]
     with pytest.raises(ValueError):
         db.snapshot_table("bad-name!", create=True)
+
+
+def test_compact_rewrites_small_files(spark, table):
+    for i in range(5):                       # 5 commits of 2 files each
+        table.append(spark.range(i * 2, i * 2 + 2)
+                     .select(F.col("id").alias("v")).repartition(2))
+    n_before = table._load_manifest(table.current_version())["n_files"]
+    assert n_before >= 10
+    v = table.compact(target_files=2)
+    m = table._load_manifest(v)
+    assert m["operation"] == "compact" and m["n_files"] <= 2
+    assert _rows(table.read()) == list(range(10))
+    # pre-compact version still time-travels
+    assert _rows(table.read(version=v - 1)) == list(range(10))
+
+
+def test_schema_evolution_merge_schema(spark, table):
+    table.append(spark.createDataFrame([(1,)], "v long"))
+    table.append(spark.createDataFrame([(2, "x")], "v long, tag string"))
+    got = table.read(merge_schema=True)
+    assert set(got.columns) == {"v", "tag"}
+    rows = {r["v"]: r["tag"] for r in got.collect()}
+    assert rows == {1: None, 2: "x"}
