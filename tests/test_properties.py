@@ -225,3 +225,49 @@ def test_ray_cast_matches_halfplane_on_convex(spark, data):
     bad = [(r["px"], r["py"], r["got"], r["want"])
            for r in rows if r["got"] != r["want"]]
     assert not bad, (wkt, bad)
+
+
+@given(data=st.data())
+@FAST
+def test_area_perimeter_match_python_shoelace(spark, data):
+    """st_area/st_perimeter vs an independent Python shoelace/segment
+    sum over random integer hulls, with a hole punched by the hull
+    scaled 1/4 toward its centroid (area subtracts, perimeter adds)."""
+    from hypothesis import assume
+
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions,
+    )
+
+    corners = data.draw(st.lists(
+        st.tuples(st.integers(0, 1000), st.integers(0, 1000)),
+        min_size=4, max_size=10, unique=True))
+    hull = _convex_hull(corners)
+    assume(len(hull) >= 3)
+    cx = sum(x for x, _ in hull) / len(hull)
+    cy = sum(y for _, y in hull) / len(hull)
+    hole = [(round(cx + (x - cx) / 4, 6), round(cy + (y - cy) / 4, 6))
+            for x, y in hull]
+
+    def shoelace(ring):
+        s = 0.0
+        for (ax, ay), (bx, by) in zip(ring, ring[1:] + ring[:1]):
+            s += ax * by - bx * ay
+        return abs(s) / 2
+
+    def perim(ring):
+        return sum(((bx - ax) ** 2 + (by - ay) ** 2) ** 0.5
+                   for (ax, ay), (bx, by) in zip(ring, ring[1:] + ring[:1]))
+
+    def ring_txt(ring):
+        return ", ".join(f"{x} {y}" for x, y in ring + [ring[0]])
+
+    wkt = f"POLYGON (({ring_txt(hull)}), ({ring_txt(hole)}))"
+    want_area = shoelace(hull) - shoelace(hole)
+    want_perim = perim(hull) + perim(hole)
+
+    register_geometry_sql_functions(spark)
+    [r] = spark.sql(f"SELECT st_area('{wkt}') AS a, "
+                    f"st_perimeter('{wkt}') AS p").collect()
+    assert abs(r["a"] - want_area) < 1e-6 * max(want_area, 1)
+    assert abs(r["p"] - want_perim) < 1e-6 * max(want_perim, 1)
