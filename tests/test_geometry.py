@@ -361,6 +361,30 @@ def test_st_functions_in_read_where(tmp_db):
     assert [r["nm"] for r in rows] == ["near"]
 
 
+def test_polygon_predicates_in_read_where(tmp_db):
+    """The round-7 predicates spliced into where= fragments — the exact
+    pattern the reference delegates to PostGIS
+    (/root/reference/datum/postgis/table.py:157-158 passes the SQL
+    through verbatim)."""
+    tmp_db.create_table("parcels", [{"name": "shape", "type": "geom"},
+                                    {"name": "nm", "type": "text"}])
+    tmp_db["parcels"].write([
+        {"nm": "inside", "shape": "POINT (25 25)"},
+        {"nm": "in_hole", "shape": "POINT (45 45)"},
+        {"nm": "outside", "shape": "POINT (200 200)"},
+        {"nm": "overlap", "shape":
+         "POLYGON ((70 70, 130 70, 130 130, 70 130, 70 70))"},
+    ])
+    zone = ("POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0), "
+            "(40 40, 60 40, 60 60, 40 60, 40 40))")
+    got = sorted(r["nm"] for r in tmp_db["parcels"].read(
+        fields=["nm"], where=f"ST_Within(shape, '{zone}')"))
+    assert got == ["inside"]
+    got = sorted(r["nm"] for r in tmp_db["parcels"].read(
+        fields=["nm"], where=f"ST_Intersects(shape, '{zone}')"))
+    assert got == ["inside", "overlap"]
+
+
 def test_st_centroid(tmp_db):
     tmp_db.create_table("c1", [{"name": "shape", "type": "geom"}])
     tmp_db["c1"].write([{"shape": "POINT (0 0)"}])
