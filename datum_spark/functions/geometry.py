@@ -245,3 +245,171 @@ def _reproject_with(col: Column, make_fn) -> Column:
         return s.map(one)
 
     return _reproject(col)
+
+
+# ---------------------------------------------------------------------------
+# Vertex-reduction ops (round 7): ST_Simplify / ST_ConvexHull.
+#
+# The reference's PostGIS users call these for export/preview payloads
+# (shrink a parcel boundary before shipping GeoJSON).  Per-geometry
+# map functions → Arrow-batched pandas UDFs with NumPy inside, the same
+# posture as reprojection above: embarrassingly parallel, no shuffle.
+
+
+def _parse_rings(wkt: str):
+    """[(ring_coords_text, [(x, y), ...]), ...] for every parenthesized
+    ring of ``wkt`` (innermost parens), plus the header text."""
+    import re as _re
+
+    rings = _re.findall(r"\(([^()]+)\)", wkt)
+    out = []
+    for body in rings:
+        pts = [(float(a), float(b))
+               for a, b in _re.findall(_COORD_RE, body)]
+        out.append((body, pts))
+    return out
+
+
+def _fmt(pts) -> str:
+    return ", ".join(
+        f"{x:g} {y:g}" for x, y in pts)
+
+
+def _dp_simplify(pts, tol: float):
+    """Douglas–Peucker with an explicit stack (no recursion limits).
+    Keeps first/last; a CLOSED ring keeps its closure."""
+    import numpy as np
+
+    if len(pts) < 3:
+        return pts
+    closed = pts[0] == pts[-1]
+    core = pts[:-1] if closed else pts
+    if len(core) < 3:
+        return pts
+    arr = np.asarray(core, dtype="float64")
+    keep = np.zeros(len(arr), dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, len(arr) - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = arr[j] - arr[i]
+        rel = arr[i + 1:j] - arr[i]
+        norm = float(np.hypot(*seg))
+        if norm == 0.0:                      # degenerate segment
+            d = np.hypot(rel[:, 0], rel[:, 1])
+        else:
+            d = np.abs(seg[0] * rel[:, 1] - seg[1] * rel[:, 0]) / norm
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    out = [tuple(p) for p in arr[keep]]
+    if closed:
+        # a ring must stay a ring: at least a triangle + closure
+        if len(out) < 3:
+            return pts
+        out = out + [out[0]]
+    return out
+
+
+def _simplify_one(wkt, tol: float):
+    """Per-geometry ST_Simplify core (shared by the Column API and the
+    SQL-gateway registration)."""
+    import re as _re
+
+    if wkt is None or "EMPTY" in wkt.upper():
+        return wkt
+    head = wkt.strip().split("(", 1)[0].strip().upper()
+    if head in ("POINT", "MULTIPOINT"):
+        return wkt
+
+    def repl(m):
+        pts = [(float(a), float(b))
+               for a, b in _re.findall(_COORD_RE, m.group(1))]
+        return "(" + _fmt(_dp_simplify(pts, tol)) + ")"
+
+    return _re.sub(r"\(([^()]+)\)", repl, wkt)
+
+
+def _hull_one(wkt):
+    """Per-geometry ST_ConvexHull core (monotone chain, CCW)."""
+    def cross(o, a, b):
+        return ((a[0] - o[0]) * (b[1] - o[1])
+                - (a[1] - o[1]) * (b[0] - o[0]))
+
+    if wkt is None or "EMPTY" in wkt.upper():
+        return wkt
+    pts = sorted({p for _, ring in _parse_rings(wkt) for p in ring})
+    if not pts:
+        return None
+    if len(pts) == 1:
+        return f"POINT ({_fmt(pts)})"
+    lower: list = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper: list = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    hull = lower[:-1] + upper[:-1]
+    if len(hull) < 3:                        # collinear input
+        return f"LINESTRING ({_fmt([pts[0], pts[-1]])})"
+    return f"POLYGON (({_fmt(hull + [hull[0]])}))"
+
+
+def simplify_wkt(col: Column, tolerance: float) -> Column:
+    """ST_Simplify: Douglas-Peucker each ring of each geometry to
+    ``tolerance`` (same planar unit as the coordinates).  Ring
+    endpoints are preserved; a closed ring that would collapse below a
+    triangle is returned unsimplified (the conservative choice for
+    parcel exports).  POINT/MULTIPOINT pass through untouched.
+    Arrow-batched pandas UDF — map-only, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    tol = float(tolerance)
+
+    @pandas_udf("string")
+    def _simplify(s: pd.Series) -> pd.Series:
+        return s.map(lambda w: _simplify_one(w, tol))
+
+    return _simplify(col)
+
+
+def convex_hull_wkt(col: Column) -> Column:
+    """ST_ConvexHull: monotone-chain hull over ALL vertices of the
+    geometry, as POLYGON WKT (CCW, closed).  Degenerate inputs follow
+    PostGIS: a single point -> POINT, collinear sets -> LINESTRING."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _hull(s: pd.Series) -> pd.Series:
+        return s.map(_hull_one)
+
+    return _hull(col)
+
+
+def register_vertex_ops(spark) -> None:
+    """Register st_simplify(wkt, tol) / st_convexhull(wkt) as SQL
+    functions (pandas-UDF-backed — the only two gateway ST_* that leave
+    the JVM, because vertex reduction needs a stack; still Arrow-batched,
+    never per-row Python)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _st_simplify(wkt: pd.Series, tol: pd.Series) -> pd.Series:
+        return pd.Series([_simplify_one(w, float(t))
+                          for w, t in zip(wkt, tol)])
+
+    @pandas_udf("string")
+    def _st_convexhull(wkt: pd.Series) -> pd.Series:
+        return wkt.map(_hull_one)
+
+    spark.udf.register("st_simplify", _st_simplify)
+    spark.udf.register("st_convexhull", _st_convexhull)

