@@ -419,9 +419,12 @@ _FUNCTIONS["st__onboundary"] = (
 
 _IS_EMPTY = "(upper(a) LIKE '%EMPTY%' OR upper(b) LIKE '%EMPTY%')"
 # unparseable/vertex-free input must NOT satisfy a vacuous forall()
-# (st_contains(poly, 'garbage') was true before this guard)
-_NO_VERTS = (f"(size(flatten({_ringcoords('a')})) = 0 "
-             f"OR size(flatten({_ringcoords('b')})) = 0)")
+# (st_contains(poly, 'garbage') was true before this guard).  One flat
+# pair-regex count per side — deliberately NOT the full ringcoords
+# parse, which costs ~2x the whole predicate when evaluated as a guard.
+_NO_VERTS = (
+    f"(regexp_count(a, '{_COORD}\\\\s+{_COORD}') = 0 "
+    f"OR regexp_count(b, '{_COORD}\\\\s+{_COORD}') = 0)")
 _PTS = "('POINT', 'MULTIPOINT')"
 _FUNCTIONS["st_contains"] = (
     "(a STRING, b STRING)", "BOOLEAN",
@@ -467,12 +470,18 @@ _FUNCTIONS["st_intersects"] = (
     "END")
 
 
-def register_geometry_sql_functions(spark: SparkSession) -> None:
+def register_geometry_sql_functions(spark: SparkSession,
+                                    force: bool = False) -> None:
     """Idempotently register the ST_* pack as temporary SQL functions.
 
     Helpers (``st__*``) are referenced by later bodies, so registration
-    follows dict insertion order.
+    follows dict insertion order.  Analyzing the ~30 CREATE FUNCTION
+    bodies costs ~1 s, so a session that already has the pack is
+    skipped (marker attribute on the session; ``force`` re-registers —
+    e.g. after a ``DROP TEMPORARY FUNCTION``).
     """
+    if not force and getattr(spark, "_datum_st_registered", False):
+        return
     for name, (sig, ret, body) in _FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} "
                   f"RETURNS {ret} RETURN {body}")
@@ -481,3 +490,7 @@ def register_geometry_sql_functions(spark: SparkSession) -> None:
     from .geometry import register_vertex_ops
 
     register_vertex_ops(spark)
+    try:
+        spark._datum_st_registered = True
+    except AttributeError:      # exotic session proxies: just re-register
+        pass

@@ -161,21 +161,38 @@ class SnapshotTable:
     def append_once(self, df: DataFrame, txn_id: str,
                     txn_version: int) -> int | None:
         """Transactional append for at-least-once producers (the Delta
-        ``txn`` pattern): if ANY retained manifest already carries
-        ``(txn_id, txn_version')`` with ``txn_version' >= txn_version``,
-        the append is a no-op (returns None) — a replayed micro-batch
-        commits zero rows twice.  The check and the publish are not one
-        atomic step, so this guards REPLAYS of the same producer (which
-        re-runs batches serially), not two concurrent producers sharing
-        one txn_id."""
-        for _, meta in self.history():
-            if (meta.get("txn_id") == txn_id
-                    and meta.get("txn_version", -1) >= txn_version):
-                return None
+        ``txn`` pattern): if the producer's LAST commit already carries
+        ``txn_version' >= txn_version``, the append is a no-op (returns
+        None) — a replayed micro-batch commits zero rows twice.  The
+        check and the publish are not one atomic step, so this guards
+        REPLAYS of the same producer (which re-runs batches serially),
+        not two concurrent producers sharing one txn_id.
+
+        The check walks manifests NEWEST-first and stops at the first
+        commit from this producer — O(commits since the producer's last
+        one), i.e. O(1) for a steady stream, not O(table history); the
+        walk also stops at the vacuum horizon, so ``vacuum`` retention
+        must exceed the producer's replay window (size ``keep_last`` to
+        at least the checkpoint-recovery depth)."""
+        if self._last_txn_version(txn_id) >= txn_version:
+            return None
         return self._commit(self._write_data(df), "append",
                             base_files_of_parent=True,
                             extra={"txn_id": txn_id,
                                    "txn_version": int(txn_version)})
+
+    def _last_txn_version(self, txn_id: str) -> int:
+        head = self.current_version()
+        if head is None:
+            return -1
+        for v in range(head, -1, -1):
+            try:
+                meta = self._load_manifest(v)
+            except FileNotFoundError:
+                return -1                    # vacuum horizon reached
+            if meta.get("txn_id") == txn_id:
+                return int(meta.get("txn_version", -1))
+        return -1
 
     def merge(self, df: DataFrame, keys: list[str]) -> int:
         """MERGE/upsert by key: rows of the current snapshot whose key

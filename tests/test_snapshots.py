@@ -210,3 +210,28 @@ def test_schema_evolution_merge_schema(spark, table):
     assert set(got.columns) == {"v", "tag"}
     rows = {r["v"]: r["tag"] for r in got.collect()}
     assert rows == {1: None, 2: "x"}
+
+
+def test_append_once_backwards_scan_stops_at_last_txn(spark, table):
+    """The replay check is O(commits since the producer's last one):
+    interleaved foreign commits don't hide the producer's newest txn
+    version, and the scan survives a vacuumed history prefix."""
+    table.append_once(spark.range(2).select(F.col("id").alias("v")),
+                      txn_id="p", txn_version=0)
+    for i in range(3):                       # foreign commits interleave
+        table.append(spark.range(10 + i, 11 + i)
+                     .select(F.col("id").alias("v")))
+    table.append_once(spark.range(5, 6).select(F.col("id").alias("v")),
+                      txn_id="p", txn_version=1)
+    assert table._last_txn_version("p") == 1
+    assert table._last_txn_version("ghost") == -1
+    # replays of both batches are refused
+    assert table.append_once(spark.range(2).select(F.col("id").alias("v")),
+                             txn_id="p", txn_version=0) is None
+    assert table.append_once(spark.range(2).select(F.col("id").alias("v")),
+                             txn_id="p", txn_version=1) is None
+    # vacuum the prefix: the scan hits the horizon and still behaves
+    table.vacuum(keep_last=2)
+    assert table.append_once(spark.range(6, 7)
+                             .select(F.col("id").alias("v")),
+                             txn_id="p", txn_version=2) is not None
