@@ -28,14 +28,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-7 re-check set — the brand-new round-7 spatial operators plus
-# every entry whose implementation or oracle CHANGED this round (x151's
-# short-doc gram guard landed on both sides; x154's dirty-row tolerance
-# touched the partial path; x153 gained flood observability around its
-# LSH stage).  8 entries; the remaining ~42 cap slots fall to
-# priority 1 — the STALEST green entries, i.e. those whose latest
-# driver check is CORRECTNESS_r03 (42 entries: q08–q31 and the early-x
-# band) — then the r4 cohort at priority 2.
+# Round-7 re-check set — the brand-new round-7 spatial operators
+# (x158–x162) plus every entry whose implementation or oracle CHANGED
+# this round (x151's short-doc gram guard landed on both sides; x154's
+# dirty-row tolerance touched the partial path; x153 gained flood
+# observability around its LSH stage).  10 entries; the remaining ~40
+# cap slots fall to priority 1 — the STALEST green entries, i.e. those
+# whose latest driver check is CORRECTNESS_r03 (q08–q31 and the
+# early-x band) — then the r4 cohort at priority 2.
 _RECHECK_R7 = {
     "x158_spatial_predicates", "x159_point_in_polygon_join",
     "x160_polygon_matrix", "x161_geometry_measures",
