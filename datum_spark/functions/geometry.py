@@ -138,7 +138,7 @@ def linearize_circularstring(wkt: str,
     for i in range(0, len(pts) - 2, 2):
         out.extend(_arc_points(pts[i], pts[i + 1], pts[i + 2],
                                max_seg_angle)[1:])
-    coords = ", ".join(f"{x:.10g} {y:.10g}" for x, y in out)
+    coords = ", ".join(f"{_num(x)} {_num(y)}" for x, y in out)
     return f"LINESTRING ({coords})"
 
 
@@ -270,9 +270,27 @@ def _parse_rings(wkt: str):
     return out
 
 
+def _num(x: float) -> str:
+    """Round-trip decimal text for a coordinate: shortest repr that
+    parses back to the exact same float, positional notation always
+    (WKT consumers don't all accept ``1.23e+06``), integral values
+    without the trailing ``.0``.  Fixes the round-7 ``{x:g}`` bug: 6
+    significant digits collapsed distinct vertices (~46 m error at
+    lon/lat precision) and emitted scientific notation for state-plane
+    coordinates — ST_Simplify/ST_ConvexHull must never move a KEPT
+    vertex."""
+    s = repr(float(x))
+    if "e" in s or "E" in s:
+        from decimal import Decimal
+
+        s = format(Decimal(s), "f")
+    if s.endswith(".0"):
+        s = s[:-2]
+    return s
+
+
 def _fmt(pts) -> str:
-    return ", ".join(
-        f"{x:g} {y:g}" for x, y in pts)
+    return ", ".join(f"{_num(x)} {_num(y)}" for x, y in pts)
 
 
 def _dp_simplify(pts, tol: float):

@@ -694,6 +694,29 @@ def test_simplify_wkt(spark):
     assert r["o"] == "POLYGON ((0 0, 1 0, 1 1, 0 0))"
 
 
+def test_coordinate_roundtrip_formatting():
+    """Kept vertices must serialize round-trip (Douglas–Peucker never
+    MOVES a vertex; the old ``{x:g}`` collapsed 1234567.25/1234568.75
+    to the same 6-digit text and emitted scientific notation)."""
+    from datum_spark.functions.geometry import _num, _simplify_one
+
+    for v in (1234567.25, 1234568.75, -122.419416, 37.7749295,
+              1e16 + 2.0, 0.0000001234, -0.0, 3.0, 2.5e-7):
+        s = _num(v)
+        assert float(s) == v, (v, s)
+        assert "e" not in s and "E" not in s, s
+    assert _num(10.0) == "10" and _num(2.5) == "2.5"
+    # kept vertices bit-identical through simplify
+    w = ("LINESTRING (1234567.25 0.5, 1234568.75 100.125, "
+         "1234567.5 200.0625)")
+    assert _simplify_one(w, 0.0001) == ("LINESTRING (1234567.25 0.5, "
+                                        "1234568.75 100.125, "
+                                        "1234567.5 200.0625)")
+    # lon/lat precision survives (the -122.419416 -> -122.419 bug)
+    w2 = "LINESTRING (-122.419416 37.7749295, -122.5 37.9, -122.3 38.1)"
+    assert "-122.419416 37.7749295" in _simplify_one(w2, 1e-9)
+
+
 def test_convex_hull_wkt(spark):
     from datum_spark.functions.geometry import convex_hull_wkt
 
