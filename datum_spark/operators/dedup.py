@@ -103,13 +103,17 @@ class FloodStats:
     no-silent-caps discipline): ``.get`` →
     ``{buckets, buckets_skipped, ids_in_skipped}``.
 
-    Primary path: a Spark ``Observation`` folded map-side into the job
-    that consumes the buckets — zero extra passes.  Read AFTER the first
-    action on the operator's result.  Fallback: Spark occasionally
-    elides the CollectMetrics row (observed when the downstream result
-    is empty under AQE and the pair stage re-aggregates); then ``.get``
-    recomputes the three counters with one bounded aggregation over the
-    bucket grouping — still bucket-count-sized, never pair-sized.
+    Fast path: a Spark ``Observation`` folded map-side into the job
+    that consumes the buckets — zero extra passes — used when an action
+    on the operator's result has already completed (probed
+    NON-blockingly: ``Observation.get`` itself waits forever when no
+    action has run, so it is never called before the probe says the
+    metrics exist).  Otherwise — no action yet, or Spark elided the
+    CollectMetrics row (observed when the downstream result is empty
+    under AQE and the pair stage re-aggregates) — ``.get`` recomputes
+    the three counters with one bounded aggregation over the bucket
+    grouping: still bucket-count-sized, never pair-sized, and never a
+    hang.
     """
 
     def __init__(self, obs, grouped: DataFrame, cap: int,
@@ -117,18 +121,31 @@ class FloodStats:
         self._obs, self._grouped = obs, grouped
         self._cap, self._col = cap, id_list_col
 
+    def _observed(self) -> bool:
+        """Non-blocking: has the observed job already published its
+        metrics row?  (JVM ``Observation.getRowOrEmpty`` — falsy on any
+        probe failure, e.g. Connect sessions without ``_jo``.)"""
+        try:
+            return bool(self._obs._jo.getRowOrEmpty().isDefined())
+        except Exception:
+            return False
+
     @property
     def get(self) -> dict:
-        try:
-            return dict(self._obs.get)
-        except Exception:
-            over = F.size(self._col) > self._cap
-            row = self._grouped.agg(
-                F.count(F.lit(1)).alias("buckets"),
-                F.count_if(over).alias("buckets_skipped"),
-                F.coalesce(F.sum(F.when(over, F.size(self._col))),
-                           F.lit(0)).alias("ids_in_skipped")).first()
-            return row.asDict()
+        if self._observed():
+            try:
+                got = dict(self._obs.get)
+                if got:
+                    return got
+            except Exception:
+                pass
+        over = F.size(self._col) > self._cap
+        row = self._grouped.agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.count_if(over).alias("buckets_skipped"),
+            F.coalesce(F.sum(F.when(over, F.size(self._col))),
+                       F.lit(0)).alias("ids_in_skipped")).first()
+        return row.asDict()
 
 
 def _observe_flood(grouped: DataFrame, cap: int, id_list_col: str = "__ids"):
@@ -204,27 +221,45 @@ def _banded_candidate_pairs(sig: DataFrame, num_hashes: int, bands: int,
                .withColumn("est_jaccard", est)
                .filter(F.col("est_jaccard") >= threshold)
                .select("id_a", "id_b", "est_jaccard"))
-    # flood observability rides the result: read `.lsh_flood.get` after
-    # the first action (None when the cap is disabled)
+    # flood observability rides the result as a CONVENIENCE for callers
+    # holding this exact DataFrame (read `.lsh_flood.get` after an
+    # action; None when the cap is disabled).  It is a plain Python
+    # attribute, LOST through any further transformation — callers that
+    # transform the result should ask for the handle explicitly via the
+    # public operators' ``with_stats=True``.
     out.lsh_flood = flood_obs
+    return out
+
+
+def _with_stats(out: DataFrame, with_stats: bool):
+    """Explicit-handle return convention for the LSH operators:
+    ``with_stats=True`` → ``(df, FloodStats | None)`` (robust — survives
+    any downstream transformation of ``df``); False → just ``df`` with
+    the legacy ``.lsh_flood`` convenience attribute attached."""
+    if with_stats:
+        return out, getattr(out, "lsh_flood", None)
     return out
 
 
 def minhash_near_dups(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 32, bands: int = 8,
                       shingle_k: int = 5, threshold: float = 0.7,
-                      max_bucket_size: int | None = 1000) -> DataFrame:
+                      max_bucket_size: int | None = 1000,
+                      with_stats: bool = False):
     """Candidate near-duplicate pairs via banded MinHash-LSH.
 
     Returns ``(id_a, id_b, est_jaccard)`` with ``id_a < id_b`` and estimated
     Jaccard (signature agreement rate) ≥ threshold.  Two shuffles total:
     bucket join + pair dedup; never materializes all pairs.
+    ``with_stats=True`` returns ``(pairs, FloodStats | None)`` instead —
+    the explicit bucket-cap observability handle (see ``FloodStats``).
     """
     sig = df.select(F.col(id_col).alias("__id"),
                     minhash_signature(F.col(text_col), num_hashes,
                                       shingle_k).alias("__sig"))
-    return _banded_candidate_pairs(sig, num_hashes, bands, threshold,
-                                   max_bucket_size)
+    return _with_stats(
+        _banded_candidate_pairs(sig, num_hashes, bands, threshold,
+                                max_bucket_size), with_stats)
 
 
 # modulus for the portable (md5) MinHash affine family: 2^61 - 1 (prime).
@@ -272,14 +307,17 @@ def minhash_signature_md5(text_col, num_hashes: int = 16,
 def minhash_near_dups_md5(df: DataFrame, id_col: str, text_col: str,
                           num_hashes: int = 16, bands: int = 4,
                           shingle_k: int = 5, threshold: float = 0.5,
-                          max_bucket_size: int | None = 1000) -> DataFrame:
+                          max_bucket_size: int | None = 1000,
+                          with_stats: bool = False):
     """:func:`minhash_near_dups` over the portable md5 hash family —
-    identical banding/pair semantics, externally reproducible values."""
+    identical banding/pair/``with_stats`` semantics, externally
+    reproducible values."""
     sig = df.select(F.col(id_col).alias("__id"),
                     minhash_signature_md5(F.col(text_col), num_hashes,
                                           shingle_k).alias("__sig"))
-    return _banded_candidate_pairs(sig, num_hashes, bands, threshold,
-                                   max_bucket_size)
+    return _with_stats(
+        _banded_candidate_pairs(sig, num_hashes, bands, threshold,
+                                max_bucket_size), with_stats)
 
 
 def minhash_signature_fast(num_hashes: int = 32, shingle_k: int = 5,
@@ -337,14 +375,17 @@ def minhash_near_dups_fast(df: DataFrame, id_col: str, text_col: str,
                            num_hashes: int = 32, bands: int = 8,
                            shingle_k: int = 5, threshold: float = 0.7,
                            seed: int = 42,
-                           max_bucket_size: int | None = 1000) -> DataFrame:
+                           max_bucket_size: int | None = 1000,
+                           with_stats: bool = False):
     """:func:`minhash_near_dups` with the vectorized signature stage — the
-    spelling to use on large corpora (no doc-count cap needed)."""
+    spelling to use on large corpora (no doc-count cap needed).
+    ``with_stats=True`` returns ``(pairs, FloodStats | None)``."""
     sig_udf = minhash_signature_fast(num_hashes, shingle_k, seed)
     sig = df.select(F.col(id_col).alias("__id"),
                     sig_udf(F.col(text_col)).alias("__sig"))
-    return _banded_candidate_pairs(sig, num_hashes, bands, threshold,
-                                   max_bucket_size)
+    return _with_stats(
+        _banded_candidate_pairs(sig, num_hashes, bands, threshold,
+                                max_bucket_size), with_stats)
 
 
 # ---------------------------------------------------------------------------
@@ -562,7 +603,8 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
                           threshold: float = 0.95,
                           use_lsh: bool = True, planes: int = 12,
                           tables: int = 8, seed: int = 42,
-                          max_bucket_size: int | None = 1000) -> DataFrame:
+                          max_bucket_size: int | None = 1000,
+                          with_stats: bool = False):
     """Pairs of near-identical embeddings (cosine ≥ threshold).
 
     With ``use_lsh``, candidates are restricted to multi-table sign-LSH
@@ -618,13 +660,14 @@ def embedding_cosine_dups(df: DataFrame, id_col: str, vec_col: str,
                    .select("id_a", "id_b", cos.alias("cosine"))
                    .filter(F.col("cosine") >= threshold))
         out.lsh_flood = flood_obs
-        return out
+        return _with_stats(out, with_stats)
     # exact all-pairs via block-partitioned GEMM (one BLAS matmul per
     # unordered block pair) — see block_allpairs_cosine for the scale story
     from .similarity import block_allpairs_cosine
 
-    return block_allpairs_cosine(sel, threshold,
-                                 blocks=max(2, default_parallelism() // 4))
+    out = block_allpairs_cosine(sel, threshold,
+                                blocks=max(2, default_parallelism() // 4))
+    return (out, None) if with_stats else out
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
@@ -842,7 +885,8 @@ def ngram_containment_pairs(df: DataFrame, id_col: str, text_col: str,
 def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
                       num_hashes: int = 16, bands: int = 4,
                       shingle_k: int = 5, threshold: float = 0.5,
-                      max_bucket_size: int | None = 1000) -> DataFrame:
+                      max_bucket_size: int | None = 1000,
+                      with_stats: bool = False):
     """End-to-end near-dup clustering: collapse EXACT duplicates first,
     run MinHash-LSH over the distinct texts only, cluster the
     representatives, then map every input row to its cluster.  Returns
@@ -889,7 +933,7 @@ def near_dup_clusters(df: DataFrame, id_col: str, text_col: str,
     # genuine floods rare here, so a nonzero skip count means distinct-
     # but-boilerplate texts flooding a band — worth knowing at 100 TB)
     out.lsh_flood = getattr(pairs, "lsh_flood", None)
-    return out
+    return _with_stats(out, with_stats)
 
 def benchmark_contamination(corpus: DataFrame, eval_df: DataFrame,
                             id_col: str, text_col: str, n: int = 13,

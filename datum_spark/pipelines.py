@@ -63,19 +63,19 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     report["rows_quality"] = q.count()
 
     # 2. dedup: keep each cluster's minimum-id member (the cluster id)
-    clusters = near_dup_clusters(q, id_col, text_col,
-                                 threshold=dedup_threshold)
+    clusters, flood = near_dup_clusters(q, id_col, text_col,
+                                        threshold=dedup_threshold,
+                                        with_stats=True)
     deduped = (q.join(clusters.filter(F.col(id_col) == F.col("cluster_id"))
                               .select(id_col),
                       id_col, "semi"))
     deduped = deduped.persist()
     report["rows_deduped"] = deduped.count()
-    if getattr(clusters, "lsh_flood", None) is not None:
+    if flood is not None:
         # bucket-cap loss is observable, not silent: nonzero
         # lsh_buckets_skipped means the dedup recall was truncated by
         # flooded band buckets (metrics fold into the count above)
-        report.update({f"lsh_{k}": int(v)
-                       for k, v in clusters.lsh_flood.get.items()})
+        report.update({f"lsh_{k}": int(v) for k, v in flood.get.items()})
     q.unpersist()
 
     # 3. decontamination: anti-join on the contaminated id set

@@ -1056,6 +1056,39 @@ def test_near_dup_clusters_flood_proof(spark):
     assert third == {192 + c for c in range(60)}
 
 
+def test_flood_stats_explicit_handle_and_no_hang(spark):
+    """Round-8 advice fix: (a) ``with_stats=True`` returns the stats
+    handle explicitly, so it survives transformations that drop the
+    ``.lsh_flood`` convenience attribute; (b) ``FloodStats.get`` read
+    BEFORE any action recomputes via the bounded aggregation instead of
+    blocking forever on ``Observation.get``."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.operators import minhash_near_dups_md5
+
+    df = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog %d" % (i % 2))
+         for i in range(80)], "doc_id long, text string")
+    pairs, stats = minhash_near_dups_md5(df, "doc_id", "text",
+                                         max_bucket_size=10,
+                                         with_stats=True)
+    # NO action has run: .get must not hang (bounded-aggregation path)
+    pre = stats.get
+    assert pre["buckets_skipped"] > 0 and pre["ids_in_skipped"] > 0
+    # a transformed result loses the attribute — the handle does not
+    derived = pairs.groupBy().count()
+    assert not hasattr(derived, "lsh_flood")
+    derived.collect()
+    post = stats.get                   # now the Observation fast path
+    assert post["buckets_skipped"] == pre["buckets_skipped"]
+    assert post["ids_in_skipped"] == pre["ids_in_skipped"]
+    # cap disabled -> stats handle is None, df returned as the pair
+    nopairs, nostats = minhash_near_dups_md5(
+        df.limit(4), "doc_id", "text", max_bucket_size=None,
+        with_stats=True)
+    assert nostats is None and nopairs.count() >= 0
+
+
 def test_embedding_covariance_matches_numpy(spark):
     import numpy as np
 
