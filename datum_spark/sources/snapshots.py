@@ -14,31 +14,49 @@ core design as Iceberg's metadata tree cut down to one level:
       <path>/_manifests/v{N:012d}.json            (file list per version)
 
 - COMMIT = write data files into a fresh commit directory, then publish
-  ``v{N}.json`` via ``os.rename`` of a temp file — atomic on POSIX, so
-  readers see either the old version or the new one, never a partial
-  file list.  The rename FAILS if another writer took version N first;
-  the committer re-reads the head and retries at N+1 (optimistic
-  concurrency, Iceberg-style).
+  ``v{N}.json`` via ``os.link`` of a temp file — atomic create-exclusive
+  on POSIX, so readers see either the old version or the new one, never
+  a partial file list, and two committers can never both win version N.
 - SNAPSHOT ISOLATION = a reader resolves one manifest and reads only
   the files it lists; data files are never mutated or appended to, so a
   long query is unaffected by later commits (until ``vacuum`` reclaims
   files its retained manifests no longer reference).
 - TIME TRAVEL = ``read(version=...)`` / ``read(as_of=<unix ts>)``.
+- CONFLICTS: an ``append``'s file list is parent-independent, so losing
+  the race just re-bases onto the new head.  ``merge`` / ``delete_where``
+  / ``compact`` DERIVE their file list from the snapshot they read — on
+  conflict the stale rewrite is discarded and RECOMPUTED from the new
+  head (republishing it would silently drop the concurrent commit's
+  rows, the classic lost update).  ``overwrite`` replaces the table
+  regardless of its parent, so retrying the same files at the next
+  version is its intended last-writer-wins semantics.
+
+Each manifest additionally records:
+
+- the DataFrame SCHEMA (json), so an empty snapshot (v0, or after a
+  delete-all) still reads with its typed columns;
+- per-file COLUMN STATS (min/max/null-count from the parquet footers),
+  the Iceberg-style scan-pruning metadata: ``read(where=...)`` skips
+  files the predicate provably cannot match, and ``merge`` /
+  ``delete_where`` rewrite ONLY the files that may contain affected
+  rows — untouched files are carried by reference, turning COW cost
+  from O(table) to O(matching files).
 
 Scale posture: a manifest lists FILES, not rows — O(file count), the
 same scaling unit as Iceberg's manifests; ``append`` writes only the
-new files and copies the parent's file LIST (no data rewrite);
-``overwrite``/``delete_where`` are copy-on-write.  The single-level
-manifest caps out around millions of files per table — the point where
-real deployments move to Iceberg/Delta proper (and `registry.py`'s
-gates lift); everything above the format (the engine's operators) is
-unchanged by that swap.
+new files and copies the parent's file LIST (no data rewrite).  Stats
+collection reads one parquet FOOTER per new file (driver-side, ~KB
+each).  The single-level manifest caps out around millions of files
+per table — the point where real deployments move to Iceberg/Delta
+proper (and `registry.py`'s gates lift); everything above the format
+(the engine's operators) is unchanged by that swap.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -48,6 +66,183 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first (after retries)."""
+
+
+# columns stats are kept for: parquet footer min/max types that survive
+# a JSON round-trip with comparison semantics intact
+_STATS_OK = (int, float, str, bool)
+
+
+def _file_column_stats(path: str) -> dict:
+    """Per-column ``{min, max, nulls, rows}`` from one parquet footer
+    (top-level atomic columns only; date/timestamp normalized to their
+    ``str()`` form, which compares lexicographically)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    agg: dict[str, dict] = {}
+
+    def norm(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, _STATS_OK):
+            return v
+        try:                         # datetime.date / datetime / Decimal
+            import datetime
+            import decimal
+
+            if isinstance(v, decimal.Decimal):
+                return float(v)
+            if isinstance(v, (datetime.date, datetime.datetime)):
+                return str(v)
+        except Exception:
+            pass
+        return None
+
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema
+            if "." in name:          # nested leaves: skip
+                continue
+            st = c.statistics
+            cur = agg.setdefault(name, {"min": None, "max": None,
+                                        "nulls": 0, "rows": 0,
+                                        "exact": True})
+            cur["rows"] += c.num_values
+            if st is None:
+                cur["exact"] = False       # no stats → never prune on it
+                continue
+            cur["nulls"] += int(st.null_count or 0) \
+                if st.has_null_count else 0
+            if not st.has_null_count:
+                cur["exact"] = False
+            if st.has_min_max:
+                lo, hi = norm(st.min), norm(st.max)
+                if lo is None or hi is None:
+                    cur["exact"] = False
+                else:
+                    cur["min"] = lo if cur["min"] is None \
+                        else min(cur["min"], lo)
+                    cur["max"] = hi if cur["max"] is None \
+                        else max(cur["max"], hi)
+            else:
+                cur["exact"] = False
+    return agg
+
+
+# -- conservative predicate-vs-stats evaluation ------------------------------
+#
+# A tiny grammar (top-level AND of comparisons / BETWEEN / IN / IS NULL)
+# is enough for partition-style pruning predicates; ANYTHING else parses
+# to None and prunes nothing — correctness never depends on the parser,
+# only prune effectiveness does.
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+_NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+_LIT = rf"(?:{_NUM}|'[^']*')"
+_TERM = (rf"(?:({_IDENT})\s*(=|!=|<>|<=|>=|<|>)\s*({_LIT})"
+         rf"|({_LIT})\s*(=|!=|<>|<=|>=|<|>)\s*({_IDENT})"
+         rf"|({_IDENT})\s+(?i:BETWEEN)\s+({_LIT})\s+(?i:AND)\s+({_LIT})"
+         rf"|({_IDENT})\s+(?i:IN)\s*\(\s*({_LIT}(?:\s*,\s*{_LIT})*)\s*\)"
+         rf"|({_IDENT})\s+(?i:IS)\s+((?i:NOT\s+)?)(?i:NULL))")
+_COND_RE = re.compile(rf"\s*{_TERM}(?:\s+(?i:AND)\s+{_TERM})*\s*")
+_TERM_RE = re.compile(_TERM)
+
+_FLIP = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
+def _parse_lit(text: str):
+    text = text.strip()
+    if text.startswith("'"):
+        return text[1:-1]
+    v = float(text)
+    return int(v) if v.is_integer() and "." not in text \
+        and "e" not in text.lower() else v
+
+
+def parse_prunable_condition(cond: str) -> list[tuple] | None:
+    """``cond`` → list of terms, or None when the condition is outside
+    the prunable grammar.  Terms: ``("cmp", col, op, lit)``,
+    ``("between", col, lo, hi)``, ``("in", col, [lits])``,
+    ``("null", col, is_null)``."""
+    if _COND_RE.fullmatch(cond) is None:
+        return None
+    out: list[tuple] = []
+    for m in _TERM_RE.finditer(cond):
+        g = m.groups()
+        if g[0] is not None:
+            out.append(("cmp", g[0], "!=" if g[1] == "<>" else g[1],
+                        _parse_lit(g[2])))
+        elif g[3] is not None:
+            op = "!=" if g[4] == "<>" else g[4]
+            out.append(("cmp", g[5], _FLIP.get(op, op), _parse_lit(g[3])))
+        elif g[6] is not None:
+            out.append(("between", g[6], _parse_lit(g[7]), _parse_lit(g[8])))
+        elif g[9] is not None:
+            out.append(("in", g[9],
+                        [_parse_lit(x) for x in
+                         re.findall(_LIT, g[10])]))
+        else:
+            out.append(("null", g[11], not g[12].strip()))
+    return out
+
+
+def _comparable(a, b) -> bool:
+    if isinstance(a, bool) or isinstance(b, bool):
+        return isinstance(a, bool) and isinstance(b, bool)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def file_may_match(stats: dict, terms: list[tuple]) -> bool:
+    """Can this file contain a row satisfying ALL ``terms``?  Errs on
+    True: pruning (returning False) requires exact footer stats that
+    PROVE no row matches."""
+    for term in terms:
+        col = term[1]
+        s = stats.get(col)
+        if s is None or not s.get("exact", False):
+            continue                      # unknown column/stats → keep
+        lo, hi = s.get("min"), s.get("max")
+        nulls, rows = s.get("nulls", 0), s.get("rows", 0)
+        all_null = rows > 0 and nulls == rows
+        kind = term[0]
+        if kind == "null":
+            if term[2] and nulls == 0:
+                return False              # needs NULLs, file has none
+            if not term[2] and all_null:
+                return False
+            continue
+        # value comparisons never match NULL rows
+        if all_null or lo is None or hi is None:
+            return False
+        if kind == "cmp":
+            op, lit = term[2], term[3]
+            if not _comparable(lo, lit):
+                continue
+            if ((op == "=" and (lit < lo or lit > hi))
+                    or (op == "<" and lo >= lit)
+                    or (op == "<=" and lo > lit)
+                    or (op == ">" and hi <= lit)
+                    or (op == ">=" and hi < lit)
+                    or (op == "!=" and lo == hi == lit and nulls == 0)):
+                return False
+        elif kind == "between":
+            lo2, hi2 = term[2], term[3]
+            if _comparable(lo, lo2) and (hi < lo2 or lo > hi2):
+                return False
+        elif kind == "in":
+            vals = [v for v in term[2] if _comparable(lo, v)]
+            if len(vals) == len(term[2]) \
+                    and all(v < lo or v > hi for v in vals):
+                return False
+    return True
 
 
 class SnapshotTable:
@@ -62,12 +257,22 @@ class SnapshotTable:
     # -- bootstrap ---------------------------------------------------------
 
     @classmethod
-    def create(cls, spark: SparkSession, path: str) -> "SnapshotTable":
+    def create(cls, spark: SparkSession, path: str,
+               schema: str | None = None) -> "SnapshotTable":
+        """``schema`` (optional DDL string, e.g. ``"id long, v double"``)
+        types the empty v0 so readers before the first append see real
+        columns."""
         t = cls(spark, path)
         os.makedirs(t._data, exist_ok=True)
         os.makedirs(t._manifests, exist_ok=True)
         if t.current_version() is None:
-            t._publish(0, files=[], operation="create", parent=None)
+            schema_json = None
+            if schema is not None:
+                from pyspark.sql.types import StructType
+
+                schema_json = StructType.fromDDL(schema).jsonValue()
+            t._publish(0, files=[], operation="create", parent=None,
+                       extra={"schema": schema_json})
         return t
 
     # -- manifest plumbing -------------------------------------------------
@@ -123,50 +328,130 @@ class SnapshotTable:
         finally:
             os.unlink(tmp)
 
-    def _commit(self, new_files: list[str], operation: str,
-                base_files_of_parent: bool, retries: int = 10,
-                extra: dict | None = None) -> int:
-        """Optimistic commit loop: try head+1; on conflict re-read the
-        head (re-basing the parent file list for appends) and retry."""
+    def _commit_append(self, new_files: list[str], schema_json,
+                       stats: dict, retries: int = 10,
+                       extra: dict | None = None,
+                       precondition=None) -> int | None:
+        """Optimistic APPEND commit: try head+1; on conflict re-read the
+        head, RE-BASE onto its file list, and retry — safe because an
+        append's own files are parent-independent.
+
+        ``precondition(parent)`` (when given) is re-evaluated INSIDE
+        every retry iteration, after the parent version is fixed: if it
+        returns False the commit aborts and returns None.  Because the
+        manifest publish is create-exclusive, any concurrent commit
+        either landed at ≤ parent (visible to the check) or wins
+        parent+1 and forces this committer back around the loop — the
+        check-and-publish pair is effectively atomic.
+        """
         for _ in range(retries):
             parent = self.current_version()
             version = 0 if parent is None else parent + 1
+            if precondition is not None and not precondition(parent):
+                self._discard_files(new_files)
+                return None
             files = list(new_files)
-            if base_files_of_parent and parent is not None:
-                files += self._load_manifest(parent)["files"]
+            file_stats = dict(stats)
+            if parent is not None:
+                pm = self._load_manifest(parent)
+                files += pm["files"]
+                file_stats.update(pm.get("file_stats", {}))
+                file_stats = {f: s for f, s in file_stats.items()
+                              if f in set(files)}
             try:
-                self._publish(version, files, operation, parent,
-                              extra=extra)
+                self._publish(version, files, "append", parent,
+                              extra={"schema": schema_json,
+                                     "file_stats": file_stats,
+                                     **(extra or {})})
                 return version
             except CommitConflict:
                 continue
         raise CommitConflict(
             f"lost the commit race {retries} times at {self.path}")
 
+    def _commit_rewrite(self, operation: str, build,
+                        keep_files=None, retries: int = 5) -> int:
+        """Optimistic REWRITE commit (merge / delete / overwrite /
+        compact): materialize ``build(parent_version) -> DataFrame | None``
+        against the CURRENT head and publish at head+1.  On conflict the
+        stale output files are DISCARDED and the rewrite recomputed from
+        the new head — never republished, which would silently drop the
+        concurrent commit's rows (lost update).  ``keep_files(parent)``
+        optionally returns parent files carried by REFERENCE (stats-
+        pruned untouched files)."""
+        for _ in range(retries):
+            parent = self.current_version()
+            version = 0 if parent is None else parent + 1
+            df = build(parent)
+            kept: list[str] = [] if keep_files is None \
+                else list(keep_files(parent))
+            if df is None:
+                new_files, schema_json, stats = [], None, {}
+            else:
+                new_files, schema_json, stats = self._write_data(df)
+            if schema_json is None and parent is not None:
+                schema_json = self._load_manifest(parent).get("schema")
+            file_stats = dict(stats)
+            if kept and parent is not None:
+                parent_stats = self._load_manifest(parent) \
+                    .get("file_stats", {})
+                file_stats.update({f: parent_stats[f] for f in kept
+                                   if f in parent_stats})
+            try:
+                self._publish(version, new_files + kept, operation,
+                              parent, extra={"schema": schema_json,
+                                             "file_stats": file_stats})
+                return version
+            except CommitConflict:
+                self._discard_files(new_files)
+                continue
+        raise CommitConflict(
+            f"lost the commit race {retries} times at {self.path}")
+
+    def _discard_files(self, files: list[str]) -> None:
+        """Remove a commit directory whose files never made it into any
+        manifest (aborted commit)."""
+        for d in {os.path.dirname(f) for f in files}:
+            shutil.rmtree(d, ignore_errors=True)
+
     # -- writes ------------------------------------------------------------
 
-    def _write_data(self, df: DataFrame) -> list[str]:
+    def _write_data(self, df: DataFrame):
+        """Write ``df`` into a fresh commit dir; returns
+        ``(files, schema_json, {file: column_stats})`` — stats read from
+        each new file's parquet footer (driver-side, one footer per
+        file)."""
         commit_dir = os.path.join(self._data, f"commit-{uuid.uuid4().hex}")
         df.write.parquet(commit_dir)
-        return [os.path.join(commit_dir, n)
-                for n in os.listdir(commit_dir)
-                if n.endswith(".parquet")]
+        files = [os.path.join(commit_dir, n)
+                 for n in os.listdir(commit_dir)
+                 if n.endswith(".parquet")]
+        stats = {}
+        for f in files:
+            try:
+                stats[f] = _file_column_stats(f)
+            except Exception:
+                stats[f] = {}            # footer unreadable → never prune
+        return files, df.schema.jsonValue(), stats
 
     def append(self, df: DataFrame) -> int:
         """Add ``df``'s rows; parent files are REFERENCED, not rewritten
         (O(new data), the daily-ingest posture).  Returns the version."""
-        return self._commit(self._write_data(df), "append",
-                            base_files_of_parent=True)
+        files, schema_json, stats = self._write_data(df)
+        return self._commit_append(files, schema_json, stats)
 
     def append_once(self, df: DataFrame, txn_id: str,
                     txn_version: int) -> int | None:
         """Transactional append for at-least-once producers (the Delta
-        ``txn`` pattern): if the producer's LAST commit already carries
+        ``txn`` pattern): if this producer already committed
         ``txn_version' >= txn_version``, the append is a no-op (returns
-        None) — a replayed micro-batch commits zero rows twice.  The
-        check and the publish are not one atomic step, so this guards
-        REPLAYS of the same producer (which re-runs batches serially),
-        not two concurrent producers sharing one txn_id.
+        None) — a replayed micro-batch commits zero rows twice.
+
+        The txn check runs INSIDE the optimistic-commit loop, re-checked
+        against each candidate parent: the create-exclusive manifest
+        publish means a concurrent same-txn commit either is already
+        visible to the check or steals the version and forces a re-check
+        — so two producers sharing a txn_id cannot double-commit.
 
         The check walks manifests NEWEST-first and stops at the first
         commit from this producer — O(commits since the producer's last
@@ -175,14 +460,18 @@ class SnapshotTable:
         must exceed the producer's replay window (size ``keep_last`` to
         at least the checkpoint-recovery depth)."""
         if self._last_txn_version(txn_id) >= txn_version:
-            return None
-        return self._commit(self._write_data(df), "append",
-                            base_files_of_parent=True,
-                            extra={"txn_id": txn_id,
-                                   "txn_version": int(txn_version)})
+            return None                   # cheap pre-check: skip the write
+        files, schema_json, stats = self._write_data(df)
+        return self._commit_append(
+            files, schema_json, stats,
+            extra={"txn_id": txn_id, "txn_version": int(txn_version)},
+            precondition=lambda parent:
+                self._last_txn_version(txn_id, head=parent) < txn_version)
 
-    def _last_txn_version(self, txn_id: str) -> int:
-        head = self.current_version()
+    def _last_txn_version(self, txn_id: str,
+                          head: int | None = None) -> int:
+        if head is None:
+            head = self.current_version()
         if head is None:
             return -1
         for v in range(head, -1, -1):
@@ -197,50 +486,141 @@ class SnapshotTable:
     def merge(self, df: DataFrame, keys: list[str]) -> int:
         """MERGE/upsert by key: rows of the current snapshot whose key
         appears in ``df`` are replaced, new keys are inserted —
-        copy-on-write (full rewrite; file-level pruning needs manifest
-        column stats, the graduate-to-Iceberg point; semantics match)."""
-        current = self.read()
-        remaining = current.join(df.select(*keys).distinct(), keys, "anti")
-        merged = remaining.unionByName(df)
-        return self._commit(self._write_data(merged), "merge",
-                            base_files_of_parent=False)
+        copy-on-write over the TOUCHED files only: manifest column stats
+        prune files whose key range provably misses every ``df`` key
+        (those are carried by reference, byte-identical), so the rewrite
+        is O(files containing affected keys), not O(table).  On a commit
+        conflict the merge recomputes from the new head."""
+        df = df.localCheckpoint(eager=True)   # pin: evaluated per retry
+        bounds = {}
+        for k in keys:
+            from pyspark.sql import functions as F
+
+            row = df.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
+            bounds[k] = (row["lo"], row["hi"])
+
+        def touched_split(parent):
+            if parent is None:
+                return [], []
+            m = self._load_manifest(parent)
+            stats = m.get("file_stats", {})
+            touched, kept = [], []
+            for f in m["files"]:
+                s = stats.get(f, {})
+                overlap = True
+                for k, (lo, hi) in bounds.items():
+                    cs = s.get(k)
+                    if (cs and cs.get("exact") and lo is not None
+                            and cs.get("min") is not None
+                            and _comparable(cs["min"], lo)
+                            and (cs["max"] < lo or cs["min"] > hi)):
+                        overlap = False
+                        break
+                (touched if overlap else kept).append(f)
+            return touched, kept
+
+        def build(parent):
+            touched, _ = touched_split(parent)
+            if not touched:
+                return df
+            current = self.spark.read.parquet(*touched)
+            remaining = current.join(df.select(*keys).distinct(), keys,
+                                     "anti")
+            return remaining.unionByName(df)
+
+        return self._commit_rewrite(
+            "merge", build,
+            keep_files=lambda parent: touched_split(parent)[1])
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents (copy-on-write: old files stay on
-        disk for older-version readers until ``vacuum``)."""
-        return self._commit(self._write_data(df), "overwrite",
-                            base_files_of_parent=False)
+        disk for older-version readers until ``vacuum``).  The file list
+        does not derive from the parent snapshot, so a conflict retries
+        the SAME files at the next version — last-writer-wins is the
+        operation's semantics."""
+        files, schema_json, stats = self._write_data(df)
+
+        for _ in range(10):
+            parent = self.current_version()
+            version = 0 if parent is None else parent + 1
+            try:
+                self._publish(version, files, "overwrite", parent,
+                              extra={"schema": schema_json,
+                                     "file_stats": stats})
+                return version
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"lost the commit race 10 times at {self.path}")
 
     def delete_where(self, condition: str) -> int:
-        """Copy-on-write delete: rewrite the current snapshot minus the
-        matching rows.  (A file-level skip would need column stats in
-        the manifest — the point where a real deployment graduates to
-        Iceberg; semantics here are identical.)"""
-        current = self.read()
-        remaining = current.filter(f"NOT ({condition})")
-        return self._commit(self._write_data(remaining), "delete",
-                            base_files_of_parent=False)
+        """Copy-on-write delete over the TOUCHED files only: manifest
+        column stats prune files the predicate provably cannot match
+        (simple AND-of-comparisons conditions; anything fancier rewrites
+        everything — pruning is an optimization, never a semantics
+        change).  Untouched files are carried by reference,
+        byte-identical.  On a commit conflict the delete recomputes from
+        the new head."""
+        terms = parse_prunable_condition(condition)
+
+        def touched_split(parent):
+            if parent is None:
+                return [], []
+            m = self._load_manifest(parent)
+            files = m["files"]
+            if terms is None:
+                return files, []
+            stats = m.get("file_stats", {})
+            touched, kept = [], []
+            for f in files:
+                (touched if file_may_match(stats.get(f, {}), terms)
+                 else kept).append(f)
+            return touched, kept
+
+        def build(parent):
+            touched, _ = touched_split(parent)
+            if not touched:
+                return None
+            return (self.spark.read.parquet(*touched)
+                    .filter(f"NOT ({condition})"))
+
+        return self._commit_rewrite(
+            "delete", build,
+            keep_files=lambda parent: touched_split(parent)[1])
 
     def compact(self, target_files: int = 8) -> int:
         """Rewrite the current snapshot into ``target_files`` files as a
         new version — the small-files maintenance pass a streaming
         ``snapshot_sink`` table needs periodically (each micro-batch
         commit adds its own files; manifests and scan listings grow by
-        file COUNT).  Old versions still time-travel until ``vacuum``."""
-        df = self.read().coalesce(max(1, target_files))
-        return self._commit(self._write_data(df), "compact",
-                            base_files_of_parent=False)
+        file COUNT).  Old versions still time-travel until ``vacuum``;
+        a commit conflict recompacts from the new head."""
+
+        def build(parent):
+            if parent is None:
+                return None
+            files = self._load_manifest(parent)["files"]
+            if not files:
+                return None
+            return (self.spark.read.parquet(*files)
+                    .coalesce(max(1, target_files)))
+
+        return self._commit_rewrite("compact", build)
 
     # -- reads -------------------------------------------------------------
 
     def read(self, version: int | None = None,
              as_of: float | None = None,
-             merge_schema: bool = False) -> DataFrame:
+             merge_schema: bool = False,
+             where: str | None = None) -> DataFrame:
         """Snapshot read.  ``version`` pins an exact version; ``as_of``
         (unix seconds) picks the newest version committed at-or-before
         that time; default = current head.  ``merge_schema`` unions the
         schemas across the snapshot's files (additive schema evolution:
-        appends may carry new columns, old files read them as NULL)."""
+        appends may carry new columns, old files read them as NULL).
+        ``where`` applies a filter AND file-prunes the scan via the
+        manifest column stats (files the predicate provably cannot
+        match are never opened)."""
         if version is None:
             version = self._resolve_as_of(as_of) if as_of is not None \
                 else self.current_version()
@@ -248,13 +628,45 @@ class SnapshotTable:
             raise ValueError(f"no snapshot table at {self.path}")
         manifest = self._load_manifest(version)
         files = manifest["files"]
+        if where is not None and files:
+            terms = parse_prunable_condition(where)
+            if terms is not None:
+                stats = manifest.get("file_stats", {})
+                files = [f for f in files
+                         if file_may_match(stats.get(f, {}), terms)]
         if not files:
-            return self.spark.createDataFrame([], "__empty string") \
-                .drop("__empty")
+            return self._empty_df(manifest)
         reader = self.spark.read
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*files)
+        out = reader.parquet(*files)
+        return out.filter(where) if where is not None else out
+
+    def _empty_df(self, manifest: dict) -> DataFrame:
+        """Typed empty DataFrame from the manifest's recorded schema —
+        an empty snapshot must still select/filter on its columns."""
+        schema_json = manifest.get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(schema_json))
+        # pre-schema manifests (or create() without one): inherit the
+        # nearest ancestor's schema if any version recorded one
+        parent = manifest.get("parent")
+        while parent is not None:
+            try:
+                pm = self._load_manifest(parent)
+            except FileNotFoundError:
+                break
+            if pm.get("schema"):
+                from pyspark.sql.types import StructType
+
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(pm["schema"]))
+            parent = pm.get("parent")
+        return self.spark.createDataFrame([], "__empty string") \
+            .drop("__empty")
 
     def _resolve_as_of(self, ts: float) -> int:
         best = None
@@ -276,16 +688,22 @@ class SnapshotTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(self, keep_last: int = 2,
+               min_age_seconds: float = 3600.0) -> list[str]:
         """Drop manifests older than the newest ``keep_last`` versions
         and delete data files no retained manifest references.  Returns
         removed paths.  Readers pinned to a vacuumed version fail like
         any engine's expired snapshot — size ``keep_last`` to the
-        longest query you run."""
+        longest query you run.
+
+        Unreferenced commit dirs YOUNGER than ``min_age_seconds``
+        (newest mtime anywhere in the tree, default 1 h) are kept: a
+        concurrent writer that finished ``_write_data`` but has not yet
+        published its manifest is referenced by nothing, and deleting
+        its files would corrupt the head it is about to publish.  Pass
+        ``0`` to force-clean when no writers can be active."""
         versions = sorted(v for v, _ in self.history())
-        if len(versions) <= keep_last:
-            return []
-        keep = set(versions[-keep_last:])
+        keep = set(versions[-keep_last:]) if keep_last > 0 else set(versions)
         referenced: set[str] = set()
         for v in keep:
             referenced.update(self._load_manifest(v)["files"])
@@ -294,11 +712,25 @@ class SnapshotTable:
             if v not in keep:
                 os.unlink(self._manifest_path(v))
                 removed.append(self._manifest_path(v))
-        # commit dirs whose every file is unreferenced can go wholesale
+        now = time.time()
+
+        def young(path: str) -> bool:
+            try:
+                newest = os.path.getmtime(path)
+                for root, dirs, fs in os.walk(path):
+                    for entry in dirs + fs:
+                        newest = max(newest, os.path.getmtime(
+                            os.path.join(root, entry)))
+                return now - newest < min_age_seconds
+            except OSError:
+                return True     # vanished underneath us → a writer owns it
+
+        # commit dirs whose every file is unreferenced can go wholesale —
+        # unless young enough to belong to an in-flight commit
         for d in os.listdir(self._data):
             cdir = os.path.join(self._data, d)
             files = {os.path.join(cdir, n) for n in os.listdir(cdir)}
-            if files and not (files & referenced):
+            if files and not (files & referenced) and not young(cdir):
                 shutil.rmtree(cdir)
                 removed.append(cdir)
         return removed

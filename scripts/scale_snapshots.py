@@ -59,7 +59,22 @@ def main() -> int:
         read_compacted = time.perf_counter() - t0
         assert rows_head == rows_compacted == n * 100
 
-        removed = t.vacuum(keep_last=2)
+        # stats-pruned COW: a keyed delete touching ONE key range must
+        # rewrite only the files whose stats overlap it (round 8) —
+        # measured as bytes written by the delete commit vs table bytes
+        def table_bytes(version):
+            return sum(os.path.getsize(f)
+                       for f in t._load_manifest(version)["files"])
+
+        before_v = t.current_version()
+        before_files = set(t._load_manifest(before_v)["files"])
+        v = t.delete_where(f"v >= {n * 100 - 50}")
+        after = t._load_manifest(v)
+        kept_by_ref = len(set(after["files"]) & before_files)
+        rewritten = [f for f in after["files"] if f not in before_files]
+        rewrite_bytes = sum(os.path.getsize(f) for f in rewritten)
+
+        removed = t.vacuum(keep_last=2, min_age_seconds=0)
         out = {
             "n_commits": n,
             "rows": rows_head,
@@ -70,6 +85,10 @@ def main() -> int:
             "head_manifest_kb": round(manifest_kb, 1),
             "read_count_small_files_s": round(read_small_files, 3),
             "read_count_after_compact_s": round(read_compacted, 3),
+            "delete_kept_files_by_ref": kept_by_ref,
+            "delete_rewritten_files": len(rewritten),
+            "delete_rewrite_bytes": rewrite_bytes,
+            "table_bytes_at_delete": table_bytes(v),
             "vacuum_removed_paths": len(removed),
         }
         print(json.dumps(out, indent=1))

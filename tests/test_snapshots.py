@@ -78,8 +78,12 @@ def test_vacuum_keeps_referenced_files(spark, table):
     table.append(spark.range(2).select(F.col("id").alias("v")))
     table.overwrite(spark.range(7, 9).select(F.col("id").alias("v")))
     table.append(spark.range(9, 10).select(F.col("id").alias("v")))
-    removed = table.vacuum(keep_last=2)
-    assert removed                       # v0/v1 manifests + orphaned data
+    # default min-age keeps YOUNG unreferenced dirs (in-flight writer
+    # protection); only the old manifests go
+    removed_young = table.vacuum(keep_last=2)
+    assert removed_young and all(p.endswith(".json") for p in removed_young)
+    removed = table.vacuum(keep_last=2, min_age_seconds=0)
+    assert removed                       # now the orphaned data too
     # retained versions still read fine
     assert _rows(table.read()) == [7, 8, 9]
     assert _rows(table.read(version=2)) == [7, 8]
@@ -235,3 +239,176 @@ def test_append_once_backwards_scan_stops_at_last_txn(spark, table):
     assert table.append_once(spark.range(6, 7)
                              .select(F.col("id").alias("v")),
                              txn_id="p", txn_version=2) is not None
+
+
+# ---------------------------------------------------------------------------
+# round 8: manifest schema, stats pruning, conflict rebasing, txn races
+
+
+def test_vacuum_min_age_protects_inflight_commit(spark, table):
+    """An unreferenced commit dir younger than min_age is an IN-FLIGHT
+    writer's data (written, manifest not yet published): vacuum must
+    not delete it."""
+    table.append(spark.range(3).select(F.col("id").alias("v")))
+    table.overwrite(spark.range(5, 7).select(F.col("id").alias("v")))
+    table.append(spark.range(9, 10).select(F.col("id").alias("v")))
+    # simulate a concurrent writer mid-commit: data written, no manifest
+    files, schema_json, stats = table._write_data(
+        spark.range(100, 103).select(F.col("id").alias("v")))
+    pending_dir = os.path.dirname(files[0])
+    table.vacuum(keep_last=1)            # default min-age: dir survives
+    assert os.path.isdir(pending_dir)
+    # the writer now publishes — table head must be intact
+    table._commit_append(files, schema_json, stats)
+    assert 100 in _rows(table.read())
+    # once old enough (forced), unreferenced dirs ARE reclaimed
+    table.overwrite(spark.range(1).select(F.col("id").alias("v")))
+    table.overwrite(spark.range(1).select(F.col("id").alias("v")))
+    table.vacuum(keep_last=1, min_age_seconds=0)
+    live = {f for _, m in table.history() for f in m["files"]}
+    on_disk = {os.path.join(table._data, d, n)
+               for d in os.listdir(table._data)
+               for n in os.listdir(os.path.join(table._data, d))
+               if n.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_merge_conflict_recomputes_not_lost_update(spark, table):
+    """A merge losing the commit race must RECOMPUTE from the new head:
+    the concurrently-appended rows survive (the old blind retry
+    republished the pre-race file list, silently dropping them)."""
+    table.append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"))
+    racer = SnapshotTable(spark, table.path)
+    orig_publish = table._publish
+    fired = {"done": False}
+
+    def racing_publish(version, files, operation, parent, extra=None):
+        if operation == "merge" and not fired["done"]:
+            fired["done"] = True         # concurrent append wins the race
+            racer.append(spark.createDataFrame([(99, "zz")],
+                                               "k long, v string"))
+        return orig_publish(version, files, operation, parent, extra=extra)
+
+    table._publish = racing_publish
+    table.merge(spark.createDataFrame([(2, "B"), (3, "c")],
+                                      "k long, v string"), keys=["k"])
+    got = sorted((r["k"], r["v"]) for r in table.read().collect())
+    assert got == [(1, "a"), (2, "B"), (3, "c"), (99, "zz")]
+
+
+def test_empty_snapshot_keeps_schema(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "typed"),
+                             schema="k long, v string")
+    # v0 is empty but typed: projections and filters on known cols work
+    empty = t.read()
+    assert empty.columns == ["k", "v"]
+    assert empty.filter("k > 0").select("v").count() == 0
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"))
+    t.delete_where("k >= 0")             # delete-all
+    again = t.read()
+    assert again.columns == ["k", "v"] and again.count() == 0
+    assert again.filter("v = 'a'").count() == 0
+
+
+def test_delete_where_prunes_untouched_files(spark, table):
+    """Files whose stats provably miss the predicate are carried by
+    REFERENCE across a keyed delete — same paths, zero rewrite."""
+    table.append(spark.range(0, 50).select(F.col("id").alias("v"))
+                 .coalesce(1))
+    table.append(spark.range(100, 150).select(F.col("id").alias("v"))
+                 .coalesce(1))
+    before = set(table._load_manifest(table.current_version())["files"])
+    low = {f for f in before if "commit-" in f}
+    v = table.delete_where("v >= 100 AND v < 120")
+    after = set(table._load_manifest(v)["files"])
+    # the low-range file survives untouched (path identity)
+    untouched = before & after
+    assert len(untouched) == 1
+    assert _rows(table.read()) == list(range(0, 50)) + list(range(120, 150))
+    assert low  # sanity
+
+
+def test_merge_prunes_disjoint_key_ranges(spark, table):
+    table.append(spark.range(0, 50).select(F.col("id").alias("k"),
+                                           F.lit("old").alias("v"))
+                 .coalesce(1))
+    table.append(spark.range(100, 150).select(F.col("id").alias("k"),
+                                              F.lit("old").alias("v"))
+                 .coalesce(1))
+    before = set(table._load_manifest(table.current_version())["files"])
+    v = table.merge(spark.createDataFrame([(110, "NEW"), (200, "NEW")],
+                                          "k long, v string"), keys=["k"])
+    after = set(table._load_manifest(v)["files"])
+    assert len(before & after) == 1      # 0..49 file untouched
+    got = {r["k"]: r["v"] for r in table.read().collect()}
+    assert got[110] == "NEW" and got[200] == "NEW" and got[0] == "old"
+    assert len(got) == 101
+
+
+def test_read_where_file_pruning(spark, table):
+    table.append(spark.range(0, 50).select(F.col("id").alias("v"))
+                 .coalesce(1))
+    table.append(spark.range(100, 150).select(F.col("id").alias("v"))
+                 .coalesce(1))
+    all_files = table._load_manifest(table.current_version())["files"]
+    pruned = table.read(where="v >= 100")
+    scanned = {f.replace("file://", "").replace("file:", "")
+               for f in pruned.inputFiles()}
+    assert scanned < set(all_files)
+    assert _rows(pruned) == list(range(100, 150))
+    # unparseable predicate: no pruning, same ANSWER
+    fancy = table.read(where="v % 2 = 0 AND v >= 100")
+    assert _rows(fancy) == list(range(100, 150, 2))
+
+
+def test_append_once_concurrent_producers_single_commit(spark, tmp_path):
+    """Two producers sharing a txn_id racing the SAME txn_version:
+    exactly one commits (the check re-runs inside the commit loop)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = SnapshotTable.create(spark, str(tmp_path / "txnrace"))
+    handles = [SnapshotTable(spark, t.path) for _ in range(4)]
+    dfs = [spark.range(3).select(F.col("id").alias("v")) for _ in range(4)]
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        results = list(pool.map(
+            lambda hd: hd[0].append_once(hd[1], txn_id="p", txn_version=7),
+            zip(handles, dfs)))
+    assert sum(r is not None for r in results) == 1
+    assert _rows(t.read()) == [0, 1, 2]
+    # aborted committers left no orphan data dirs referenced by nothing?
+    # (their dirs are discarded on precondition failure)
+    live = {f for _, m in t.history() for f in m["files"]}
+    on_disk = {os.path.join(t._data, d, n)
+               for d in os.listdir(t._data)
+               for n in os.listdir(os.path.join(t._data, d))
+               if n.endswith(".parquet")}
+    assert on_disk == live
+
+
+def test_prunable_condition_parser():
+    from datum_spark.sources.snapshots import (file_may_match,
+                                               parse_prunable_condition)
+
+    terms = parse_prunable_condition(
+        "a >= 10 AND b = 'x' AND c BETWEEN 1 AND 5 "
+        "AND d IN (1, 2) AND e IS NOT NULL AND 3 < f")
+    assert terms is not None and len(terms) == 6
+    assert ("cmp", "f", ">", 3) in terms
+    # outside the grammar -> None (no pruning, full rewrite)
+    for bad in ("a % 2 = 0", "a = 1 OR b = 2", "NOT a = 1",
+                "upper(b) = 'X'", "a = b"):
+        assert parse_prunable_condition(bad) is None, bad
+    st = {"a": {"min": 0, "max": 9, "nulls": 0, "rows": 10, "exact": True}}
+    assert not file_may_match(st, [("cmp", "a", ">=", 10)])
+    assert file_may_match(st, [("cmp", "a", ">=", 9)])
+    assert not file_may_match(st, [("between", "a", 10, 20)])
+    assert not file_may_match(st, [("in", "a", [12, 15])])
+    assert file_may_match(st, [("in", "a", [5, 15])])
+    assert not file_may_match(st, [("null", "a", True)])     # no nulls
+    # inexact stats never prune
+    st2 = {"a": {"min": 0, "max": 9, "nulls": 0, "rows": 10,
+                 "exact": False}}
+    assert file_may_match(st2, [("cmp", "a", ">=", 10)])
+    # type-mismatched literal never prunes
+    assert file_may_match(st, [("cmp", "a", "=", "zz")])
