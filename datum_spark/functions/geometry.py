@@ -413,11 +413,46 @@ def convex_hull_wkt(col: Column) -> Column:
     return _hull(col)
 
 
+def _transform_one(wkt, from_srid: int, to_srid: int, cache: dict):
+    """Per-geometry ST_Transform core: reproject every coordinate pair.
+    ``cache`` memoizes the (from, to) -> fn resolution per batch."""
+    import re as _re
+
+    if wkt is None or from_srid == to_srid:
+        return wkt
+    key = (int(from_srid), int(to_srid))
+    fn = cache.get(key)
+    if fn is None:
+        if _HAVE_PYPROJ:
+            fn = pyproj.Transformer.from_crs(
+                f"EPSG:{key[0]}", f"EPSG:{key[1]}",
+                always_xy=True).transform
+        else:
+            from .projection import builtin_transform
+
+            fn = builtin_transform(*key)
+        if fn is None:
+            raise NotImplementedError(
+                f"no transform for EPSG:{key[0]} -> EPSG:{key[1]} "
+                "(pyproj not installed; pair outside the built-in "
+                "LCC/TM/UTM/WebMercator projections)")
+        cache[key] = fn
+
+    def repl(m):
+        x, y = fn(float(m.group(1)), float(m.group(2)))
+        return f"{x:.8f} {y:.8f}"
+
+    return _re.sub(_COORD_RE, repl, wkt)
+
+
 def register_vertex_ops(spark) -> None:
-    """Register st_simplify(wkt, tol) / st_convexhull(wkt) as SQL
-    functions (pandas-UDF-backed — the only two gateway ST_* that leave
-    the JVM, because vertex reduction needs a stack; still Arrow-batched,
-    never per-row Python)."""
+    """Register st_simplify(wkt, tol) / st_convexhull(wkt) /
+    st_transform(wkt, from_srid, to_srid) as SQL functions
+    (pandas-UDF-backed — the only gateway ST_* that leave the JVM:
+    vertex reduction needs a stack, reprojection needs trig; still
+    Arrow-batched, never per-row Python).  st_transform covers the
+    reference's ``ST_Transform`` splices in ``where=``/``execute``
+    (``datum/postgis/table.py:54-59``), same math as ``read(to_srid=)``."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -429,5 +464,13 @@ def register_vertex_ops(spark) -> None:
     def _st_convexhull(wkt: pd.Series) -> pd.Series:
         return wkt.map(_hull_one)
 
+    @pandas_udf("string")
+    def _st_transform(wkt: pd.Series, from_srid: pd.Series,
+                      to_srid: pd.Series) -> pd.Series:
+        cache: dict = {}
+        return pd.Series([_transform_one(w, f, t, cache)
+                          for w, f, t in zip(wkt, from_srid, to_srid)])
+
     spark.udf.register("st_simplify", _st_simplify)
     spark.udf.register("st_convexhull", _st_convexhull)
+    spark.udf.register("st_transform", _st_transform)

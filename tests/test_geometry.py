@@ -152,6 +152,31 @@ def test_reproject_wkt_builtin_end_to_end(spark):
     assert -76.0 < lon < -74.5 and 39.5 < lat < 40.5
 
 
+def test_st_transform_sql_gateway(spark):
+    """st_transform through the SQL surface (the reference's
+    ``ST_Transform`` splice path) matches the Column-API reprojection
+    bit-for-bit — same transform, same 8-decimal formatting — and
+    per-row SRID pairs resolve independently."""
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    df = spark.createDataFrame(
+        [("POINT (2694000 234000)",)], "wkt string")
+    want = (df.select(G.reproject_wkt(F.col("wkt"), 2272, 4326)
+                      .alias("o")).collect()[0]["o"])
+    [r] = spark.sql(
+        "SELECT st_transform('POINT (2694000 234000)', 2272, 4326) AS o, "
+        "st_transform('POINT (1 2)', 4326, 4326) AS same, "
+        "st_transform(NULL, 2272, 4326) AS nul").collect()
+    assert r["o"] == want
+    assert r["same"] == "POINT (1 2)" and r["nul"] is None
+    # round-trip through the gateway stays in Philadelphia
+    [rt] = spark.sql(
+        f"SELECT st_x(st_transform('{want}', 4326, 2272)) AS x").collect()
+    assert abs(rt["x"] - 2694000) < 1.0
+
+
 def test_write_applies_geometry_prep(tmp_db):
     tmp_db.create_table("seg", [{"name": "shape", "type": "geom"},
                                 {"name": "nm", "type": "text"}])
