@@ -373,3 +373,164 @@ def x162(spark, sf):
     return (out.select("c_custkey", "s_suppkey",
                        F.round("dist", 4).alias("dist"))
                .orderBy("c_custkey"))
+
+
+# ---------------------------------------------------------------------------
+# Constructive geometry (round 8): ST_Intersection / ST_Union /
+# ST_Difference / ST_Buffer through the SQL gateway — the last
+# PostGIS-delegation surface (reference users splice these into where=/
+# create_view SQL, /root/reference/datum/postgis/table.py:157-158,
+# database.py:108-111).  Engine side: Martinez–Rueda boolean overlay
+# (functions/clipping.py) as Arrow-batched UDFs.  Oracle strategy:
+# x163 derives axis-aligned rectangles from customer keys so DuckDB can
+# compute the EXACT clipped areas with interval arithmetic (the general
+# clipper must agree bit-for-bit on integer-coordinate rectangles);
+# x164 pins hand-computed overlay areas for non-rectangular fixtures
+# (diamond, holed polygon, multipolygon); x165 checks disc buffers
+# against the closed-form n-gon area.
+
+# three fixed clip rectangles (integer coords; areas exact in IEEE)
+_CLIPS = [(1, 10, 10, 40, 30), (2, 0, 0, 25, 25), (3, 30, 20, 60, 45)]
+_CLIPS_SQL = ", ".join(f"({i}, {a}.0, {b}.0, {c}.0, {d}.0)"
+                       for i, a, b, c, d in _CLIPS)
+
+# per-customer rectangle: integer-valued doubles derived from the key
+_RECT_SQL = """SELECT c_custkey AS k,
+       CAST(c_custkey % 50 AS DOUBLE) AS ax1,
+       CAST(c_custkey % 37 AS DOUBLE) AS ay1,
+       CAST(c_custkey % 50 + c_custkey % 13 + 5 AS DOUBLE) AS ax2,
+       CAST(c_custkey % 37 + c_custkey % 11 + 5 AS DOUBLE) AS ay2
+  FROM customer WHERE c_custkey <= 400"""
+
+
+@x("x163_overlay_rect", f"""
+WITH r AS ({_RECT_SQL}),
+c(cid, bx1, by1, bx2, by2) AS (VALUES {_CLIPS_SQL}),
+pairs AS (
+  SELECT cid,
+         (ax2 - ax1) * (ay2 - ay1) AS a_area,
+         (bx2 - bx1) * (by2 - by1) AS b_area,
+         GREATEST(0, LEAST(ax2, bx2) - GREATEST(ax1, bx1))
+           * GREATEST(0, LEAST(ay2, by2) - GREATEST(ay1, by1)) AS inter
+  FROM r CROSS JOIN c)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(inter), 4) AS sum_inter,
+       ROUND(SUM(a_area + b_area - inter), 4) AS sum_union,
+       ROUND(SUM(a_area - inter), 4) AS sum_diff
+FROM pairs GROUP BY cid ORDER BY cid""")
+def x163(spark, sf):
+    """Boolean overlay through the SQL gateway on 400 × 3
+    integer-coordinate rectangle pairs: st_area of st_intersection /
+    st_union / st_difference must equal DuckDB's exact interval
+    arithmetic (integer-valued doubles -> every product and sum is
+    IEEE-exact, so the general sweep-line clipper is held to
+    bit-equality).  Map-only pandas UDFs, zero shuffle; the 400-row cap
+    bounds the per-row Python sweep (the operator's scale path is
+    one-geometry-per-row parallelism, measured in SCALE.md §13)."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x163_cust")
+    return spark.sql(f"""
+WITH r AS (SELECT c_custkey AS k,
+       CAST(c_custkey % 50 AS DOUBLE) AS ax1,
+       CAST(c_custkey % 37 AS DOUBLE) AS ay1,
+       CAST(c_custkey % 50 + c_custkey % 13 + 5 AS DOUBLE) AS ax2,
+       CAST(c_custkey % 37 + c_custkey % 11 + 5 AS DOUBLE) AS ay2
+  FROM __x163_cust WHERE c_custkey <= 400),
+c(cid, bx1, by1, bx2, by2) AS (VALUES {_CLIPS_SQL}),
+w AS (
+  SELECT cid,
+         concat('POLYGON ((', ax1, ' ', ay1, ', ', ax2, ' ', ay1, ', ',
+                ax2, ' ', ay2, ', ', ax1, ' ', ay2, ', ',
+                ax1, ' ', ay1, '))') AS wa,
+         concat('POLYGON ((', bx1, ' ', by1, ', ', bx2, ' ', by1, ', ',
+                bx2, ' ', by2, ', ', bx1, ' ', by2, ', ',
+                bx1, ' ', by1, '))') AS wb
+  FROM r CROSS JOIN c)
+SELECT cid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(st_area(st_intersection(wa, wb))), 4) AS sum_inter,
+       ROUND(SUM(st_area(st_union(wa, wb))), 4) AS sum_union,
+       ROUND(SUM(st_area(st_difference(wa, wb))), 4) AS sum_diff
+FROM w GROUP BY cid ORDER BY cid""")
+
+
+# hand-computed overlays for non-rectangular fixtures:
+#  pair 1: unit-100 square vs diamond |x-10|+|y-10|<=10 -> inter = the
+#          square corner region above x+y=10 = 100-50 = 50
+#  pair 2: holed 40x40 (hole 20x20) vs rect x in [20,60] -> inter =
+#          right half minus right half of hole = 800-200 = 600
+#  pair 3: two-part multipolygon vs spanning rect -> 50 + 50
+_X164_CASES = [
+    (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))",
+     "POLYGON ((10 0, 20 10, 10 20, 0 10, 10 0))", 50.0, 250.0, 50.0),
+    (2, "POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), "
+        "(10 10, 30 10, 30 30, 10 30, 10 10))",
+     "POLYGON ((20 0, 60 0, 60 40, 20 40, 20 0))", 600.0, 2200.0, 600.0),
+    (3, "MULTIPOLYGON (((0 0, 10 0, 10 10, 0 10, 0 0)), "
+        "((20 0, 30 0, 30 10, 20 10, 20 0)))",
+     "POLYGON ((5 0, 25 0, 25 10, 5 10, 5 0))", 100.0, 300.0, 100.0),
+]
+
+
+@x("x164_overlay_fixtures", """
+SELECT * FROM (VALUES
+  (1, CAST(50.0 AS DOUBLE), CAST(250.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+  (2, CAST(600.0 AS DOUBLE), CAST(2200.0 AS DOUBLE), CAST(600.0 AS DOUBLE)),
+  (3, CAST(100.0 AS DOUBLE), CAST(300.0 AS DOUBLE), CAST(100.0 AS DOUBLE))
+) AS t(pair_id, inter_area, union_area, diff_area) ORDER BY pair_id""")
+def x164(spark, sf):
+    """General-polygon overlay fixtures vs hand-computed truth: diamond
+    x square (diagonal clip), holed polygon x rectangle (hole survives
+    into the result), multipolygon x spanning rectangle.  Integer
+    coordinates keep the sweep's arithmetic exact, so the areas are
+    hash-equal to the literal oracle."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    vals = ", ".join(f"({i}, '{wa}', '{wb}')"
+                     for i, wa, wb, *_ in _X164_CASES)
+    return spark.sql(f"""
+SELECT pair_id,
+       st_area(st_intersection(wa, wb)) AS inter_area,
+       st_area(st_union(wa, wb)) AS union_area,
+       st_area(st_difference(wa, wb)) AS diff_area
+FROM VALUES {vals} AS t(pair_id, wa, wb) ORDER BY pair_id""")
+
+
+@x("x165_buffer", """
+WITH pts AS (
+  SELECT c_custkey AS k, CAST(c_custkey % 5 + 1 AS DOUBLE) AS r
+  FROM customer WHERE c_custkey <= 500)
+SELECT CAST(r AS DOUBLE) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(32 AS INT) AS npoints,
+       ROUND(16 * r * r * sin(pi() / 16), 6) AS disc_area
+FROM pts GROUP BY r ORDER BY r""")
+def x165(spark, sf):
+    """ST_Buffer on points through the SQL gateway: the 32-gon disc
+    area must match the closed form (n/2)·r²·sin(2π/n) to 6 decimals
+    (engine: shoelace over the generated vertices; oracle: the
+    formula), and every disc carries exactly 32 vertices.  Lines and
+    polygons (capsule unions, erosion) are covered by the fixture/fuzz
+    suites — their areas have no closed form DuckDB can re-derive."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x165_cust")
+    return spark.sql("""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 97 AS DOUBLE) AS px,
+         CAST(c_custkey % 89 AS DOUBLE) AS py,
+         CAST(c_custkey % 5 + 1 AS DOUBLE) AS r
+  FROM __x165_cust WHERE c_custkey <= 500),
+buf AS (
+  SELECT r, st_buffer(st_makepoint(px, py), r) AS w FROM pts)
+SELECT CAST(r AS DOUBLE) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MAX(st_npoints(w) - 1) AS npoints,
+       ROUND(MAX(st_area(w)), 6) AS disc_area
+FROM buf GROUP BY r ORDER BY r""")

@@ -474,3 +474,40 @@ def register_vertex_ops(spark) -> None:
     spark.udf.register("st_simplify", _st_simplify)
     spark.udf.register("st_convexhull", _st_convexhull)
     spark.udf.register("st_transform", _st_transform)
+    register_overlay_ops(spark)
+
+
+def register_overlay_ops(spark) -> None:
+    """Register the constructive geometry pack: st_intersection /
+    st_union / st_difference / st_symdifference / st_buffer — the last
+    PostGIS-delegation surface the reference's spatial-ETL users splice
+    into ``where=``/``create_view`` SQL
+    (``datum/postgis/table.py:157-158``, ``database.py:108-111``).
+
+    Backed by the Martinez–Rueda sweep in :mod:`.clipping` as
+    Arrow-batched pandas UDFs: per-geometry compute, embarrassingly
+    parallel, zero shuffle — the same posture as st_simplify.  Polygon
+    overlay output is POLYGON/MULTIPOLYGON WKT ('POLYGON EMPTY' when
+    empty); st_buffer takes points/lines/polygons (negative distance =
+    polygon erosion) with PostGIS's default 8 quad segments."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .clipping import buffer_wkt, overlay_wkt
+
+    def _make(op):
+        @pandas_udf("string")
+        def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series([overlay_wkt(x, y, op)
+                              for x, y in zip(a, b)])
+        return _f
+
+    @pandas_udf("string")
+    def _st_buffer(w: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series([buffer_wkt(x, float(r)) if r is not None else None
+                          for x, r in zip(w, d)])
+
+    spark.udf.register("st_intersection", _make("intersection"))
+    spark.udf.register("st_union", _make("union"))
+    spark.udf.register("st_difference", _make("difference"))
+    spark.udf.register("st_symdifference", _make("symdifference"))
+    spark.udf.register("st_buffer", _st_buffer)
