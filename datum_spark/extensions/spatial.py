@@ -534,3 +534,61 @@ SELECT CAST(r AS DOUBLE) AS r,
        MAX(st_npoints(w) - 1) AS npoints,
        ROUND(MAX(st_area(w)), 6) AS disc_area
 FROM buf GROUP BY r ORDER BY r""")
+
+
+# ---------------------------------------------------------------------------
+# Named DE-9IM predicates (round 8): ST_Touches / ST_Crosses /
+# ST_Overlaps / ST_Disjoint over a dimension-matrix of fixtures.  The
+# oracle pins the hand-derived DE-9IM truth (PostGIS semantics) as
+# literal values — a STRONGER check than re-deriving the engine's own
+# formula, since it validates the semantics rather than the arithmetic.
+
+_SQ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+_X166_CASES = [
+    # (id, a, b, touches, crosses, overlaps, disjoint)
+    (1, _SQ, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))", 1, 0, 0, 0),
+    (2, _SQ, "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))", 1, 0, 0, 0),
+    (3, _SQ, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))", 0, 0, 1, 0),
+    (4, _SQ, "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))", 0, 0, 0, 1),
+    (5, _SQ, "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))", 0, 0, 0, 0),
+    (6, _SQ, _SQ, 0, 0, 0, 0),
+    (7, _SQ, "POLYGON ((8 10, 12 14, 4 16, 8 10))", 1, 0, 0, 0),
+    (8, "LINESTRING (5 -5, 5 15)", _SQ, 0, 1, 0, 0),
+    (9, "LINESTRING (0 -5, 0 15)", _SQ, 1, 0, 0, 0),
+    (10, "LINESTRING (2 2, 8 8)", _SQ, 0, 0, 0, 0),
+    (11, "LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)", 0, 0, 1, 0),
+    (12, "LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)", 0, 1, 0, 0),
+    (13, "LINESTRING (0 0, 5 5)", "LINESTRING (5 5, 10 0)", 1, 0, 0, 0),
+    (14, "POINT (0 5)", _SQ, 1, 0, 0, 0),
+    (15, "MULTIPOINT ((5 5), (20 20))", _SQ, 0, 1, 0, 0),
+    (16, "MULTIPOINT ((1 1), (2 2))", "MULTIPOINT ((2 2), (3 3))",
+     0, 0, 1, 0),
+]
+
+
+@x("x166_de9im_predicates", """
+SELECT * FROM (VALUES
+""" + ",\n".join(f"  ({i}, {t}, {c}, {o}, {d})"
+                 for i, _, _, t, c, o, d in _X166_CASES) + """
+) AS t(case_id, is_touch, is_cross, is_overlap, is_disjoint)
+ORDER BY case_id""")
+def x166(spark, sf):
+    """Named DE-9IM predicates vs hand-derived PostGIS truth: shared
+    edge / shared corner / vertex-on-edge touches, proper overlap,
+    containment, equality, line-area crossing, collinear line overlap,
+    endpoint touch, boundary point, multipoint straddle — the
+    dimension matrix a GIS user actually hits.  Pure Catalyst
+    composition of the ray-cast/on-boundary/segment-crossing
+    primitives; no Python."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    vals = ", ".join(f"({i}, '{a}', '{b}')"
+                     for i, a, b, *_ in _X166_CASES)
+    return spark.sql(f"""
+SELECT case_id,
+       CAST(st_touches(a, b) AS INT) AS is_touch,
+       CAST(st_crosses(a, b) AS INT) AS is_cross,
+       CAST(st_overlaps(a, b) AS INT) AS is_overlap,
+       CAST(st_disjoint(a, b) AS INT) AS is_disjoint
+FROM VALUES {vals} AS t(case_id, a, b) ORDER BY case_id""")

@@ -305,14 +305,18 @@ _FUNCTIONS["st_centroid"] = (
 #   LINESTRING vs area types) and compose the two.
 #
 # Semantics are PostGIS's for interior points and disjoint/overlapping
-# geometries.  Exactly-on-boundary cases are best-effort: the ray cast is
-# half-open (a boundary point resolves deterministically but not always to
-# PostGIS's DE-9IM answer), and polygons touching ONLY along a shared
-# boundary report intersects=false.  ``st__onboundary`` (exact
-# collinear-within-bbox test) closes the common cases: point-on-line,
-# shared-edge containment.  All arithmetic is plain IEEE ops (+,-,*,
-# try_divide, compare), so an external engine re-deriving the same formula
-# gets bit-identical answers — the x158/x159/x160 DuckDB oracles do.
+# geometries.  Shared-boundary touches (edge-on-edge, corner-to-corner,
+# vertex-on-edge) report intersects=true via ``st__onboundary``: any
+# 1-D overlap of straight segments places an endpoint of one on the
+# other, so the per-vertex on-boundary disjunction covers every
+# straight-edge touch configuration (the round-7 shared-edge footnote is
+# closed; the named DE-9IM pack below distinguishes touch from interior
+# overlap).  Remaining best-effort corner: a boundary point's half-open
+# ray cast resolves deterministically but not always to PostGIS's
+# DE-9IM answer for CONTAINMENT decisions on it.  All arithmetic is
+# plain IEEE ops (+,-,*, try_divide, compare), so an external engine
+# re-deriving the same formula gets bit-identical answers — the
+# x158/x159/x160 DuckDB oracles do.
 
 _RING = r"\\(([^()]+)\\)"
 
@@ -468,6 +472,184 @@ _FUNCTIONS["st_intersects"] = (
     f"OR exists(flatten({_ringcoords('b')}), __v -> "
     f"{_inarea('__v.x', '__v.y', 'a')} OR {_onb('__v.x', '__v.y', 'a')}) "
     "END")
+
+
+# ---------------------------------------------------------------------------
+# Named DE-9IM predicates (round 8): ST_Disjoint / ST_Touches /
+# ST_Crosses / ST_Overlaps, composed from the same primitives (proper
+# segment crossing, even-odd interior, exact on-boundary) plus two new
+# ones: strict-interior point sampling over vertices AND edge midpoints
+# (midpoints catch an edge passing through an interior with no vertex
+# inside), and collinear 1-D segment overlap (dot-product projection
+# arithmetic, no division).  Semantics per dimension pair:
+#
+# - area/area: exact for valid inputs (interiors-intersect = proper
+#   crossing or a vertex/midpoint of one strictly inside the other —
+#   a valid polygon whose interior meets another's must exhibit one);
+# - line/area, point/any: vertex+midpoint sampling — exact for the
+#   common cases (a line's interior entering an area puts a vertex or
+#   midpoint strictly inside unless the line only grazes sub-segment
+#   features, the same best-effort note as the round-7 predicates);
+# - line/line: crosses = proper crossing; overlaps = collinear 1-D
+#   overlap of positive length; touches = endpoint-only contact.
+
+_DIM = ("CASE WHEN upper(regexp_extract(trim({w}), '^([A-Za-z]+)', 1)) "
+        "IN ('POINT', 'MULTIPOINT') THEN 0 "
+        "WHEN upper(regexp_extract(trim({w}), '^([A-Za-z]+)', 1)) "
+        "IN ('LINESTRING', 'MULTILINESTRING') THEN 1 "
+        "WHEN upper(regexp_extract(trim({w}), '^([A-Za-z]+)', 1)) "
+        "IN ('POLYGON', 'MULTIPOLYGON') THEN 2 ELSE -1 END")
+
+
+def _samples(w: str) -> str:
+    """SQL expr: vertex + segment-midpoint sample points of ``w`` —
+    ``array<struct<x,y>>``.  A geometry whose interior reaches into an
+    area type puts at least one of these strictly inside it (valid
+    non-degenerate inputs)."""
+    return (
+        f"concat(flatten({_ringcoords(w)}), "
+        f"transform({_segs(w)}, __sg -> named_struct("
+        "'x', (__sg.p.x + __sg.q.x) / 2, "
+        "'y', (__sg.p.y + __sg.q.y) / 2)))")
+
+
+def _strictin(pt: str, w: str) -> str:
+    """SQL expr: sample point strictly inside area ``w`` (even-odd
+    interior AND not exactly on the boundary)."""
+    return (f"({_pip(pt + '.x', pt + '.y', w)} "
+            f"AND NOT {_onb(pt + '.x', pt + '.y', w)})")
+
+
+_FUNCTIONS["st__anyinterior"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    # some sample point of a strictly inside area b
+    f"exists({_samples('a')}, __sp -> {_strictin('__sp', 'b')})")
+
+_FUNCTIONS["st__interiorx"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    # area/area interiors intersect: a proper crossing, a sample point
+    # of one strictly inside the other, or mutual containment (equal
+    # geometries share every sample point ON the boundary, so the
+    # sampling witnesses miss them)
+    f"{_segx('a', 'b')} OR st__anyinterior(a, b) OR st__anyinterior(b, a) "
+    "OR (st_contains(a, b) AND st_contains(b, a))")
+
+# collinear 1-D overlap of positive length between any segment pair
+# (projection arithmetic on dot products; no division)
+_FUNCTIONS["st__colinover"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    f"exists({_segs('a')}, __sa -> exists({_segs('b')}, __sb -> "
+    "((__sa.q.x - __sa.p.x) * (__sb.p.y - __sa.p.y) "
+    " - (__sa.q.y - __sa.p.y) * (__sb.p.x - __sa.p.x)) = 0 AND "
+    "((__sa.q.x - __sa.p.x) * (__sb.q.y - __sa.p.y) "
+    " - (__sa.q.y - __sa.p.y) * (__sb.q.x - __sa.p.x)) = 0 AND "
+    "least("
+    "  greatest((__sb.p.x - __sa.p.x) * (__sa.q.x - __sa.p.x) "
+    "         + (__sb.p.y - __sa.p.y) * (__sa.q.y - __sa.p.y), "
+    "           (__sb.q.x - __sa.p.x) * (__sa.q.x - __sa.p.x) "
+    "         + (__sb.q.y - __sa.p.y) * (__sa.q.y - __sa.p.y)), "
+    "  power(__sa.q.x - __sa.p.x, 2) + power(__sa.q.y - __sa.p.y, 2)) > "
+    "greatest("
+    "  least((__sb.p.x - __sa.p.x) * (__sa.q.x - __sa.p.x) "
+    "      + (__sb.p.y - __sa.p.y) * (__sa.q.y - __sa.p.y), "
+    "        (__sb.q.x - __sa.p.x) * (__sa.q.x - __sa.p.x) "
+    "      + (__sb.q.y - __sa.p.y) * (__sa.q.y - __sa.p.y)), 0D)))")
+
+_DIM_A = _DIM.format(w="a")
+_DIM_B = _DIM.format(w="b")
+
+_FUNCTIONS["st_disjoint"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+    "ELSE NOT st_intersects(a, b) END")
+
+# point a vs extended b: every point on the boundary/line, at least
+# one contact, none strictly interior (area b)
+_FUNCTIONS["st__touches_pt"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    f"exists(flatten({_ringcoords('a')}), __v -> "
+    f"{_onb('__v.x', '__v.y', 'b')}) "
+    f"AND NOT exists(flatten({_ringcoords('a')}), __v -> {_DIM_B} = 2 "
+    f"AND {_pip('__v.x', '__v.y', 'b')} "
+    f"AND NOT {_onb('__v.x', '__v.y', 'b')})")
+
+_FUNCTIONS["st_touches"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+    f"WHEN {_IS_EMPTY} OR {_NO_VERTS} THEN false "
+    # point/point: interiors ARE the points — never 'touches'
+    f"WHEN {_DIM_A} = 0 AND {_DIM_B} = 0 THEN false "
+    f"WHEN {_DIM_A} = 0 THEN st__touches_pt(a, b) "
+    f"WHEN {_DIM_B} = 0 THEN st__touches_pt(b, a) "
+    # line/line: contact but no proper crossing and no 1-D overlap
+    f"WHEN {_DIM_A} = 1 AND {_DIM_B} = 1 THEN "
+    f"st_intersects(a, b) AND NOT {_segx('a', 'b')} "
+    "AND NOT st__colinover(a, b) "
+    # line/area: line meets the boundary but its interior stays out
+    f"WHEN {_DIM_A} = 1 THEN st_intersects(a, b) "
+    "AND NOT st__anyinterior(a, b) "
+    f"WHEN {_DIM_B} = 1 THEN st_intersects(a, b) "
+    "AND NOT st__anyinterior(b, a) "
+    # area/area: they meet, interiors don't
+    "ELSE st_intersects(a, b) AND NOT st__interiorx(a, b) END")
+
+# multipoint a vs extended b: some point interior-contact, some fully
+# outside
+_FUNCTIONS["st__crosses_pt"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    f"exists(flatten({_ringcoords('a')}), __v -> CASE WHEN {_DIM_B} = 2 "
+    f"THEN {_pip('__v.x', '__v.y', 'b')} "
+    f"AND NOT {_onb('__v.x', '__v.y', 'b')} "
+    f"ELSE {_onb('__v.x', '__v.y', 'b')} END) "
+    f"AND exists(flatten({_ringcoords('a')}), __v -> "
+    f"CASE WHEN {_DIM_B} = 2 THEN NOT {_pip('__v.x', '__v.y', 'b')} "
+    f"AND NOT {_onb('__v.x', '__v.y', 'b')} "
+    f"ELSE NOT {_onb('__v.x', '__v.y', 'b')} END)")
+
+# line a vs area b: part of the line interior inside, part strictly out
+_FUNCTIONS["st__crosses_line"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    f"st__anyinterior(a, b) "
+    f"AND exists({_samples('a')}, __sp -> "
+    f"NOT {_pip('__sp.x', '__sp.y', 'b')} "
+    f"AND NOT {_onb('__sp.x', '__sp.y', 'b')})")
+
+_FUNCTIONS["st_crosses"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+    f"WHEN {_IS_EMPTY} OR {_NO_VERTS} THEN false "
+    # equal dims of 0 or 2 can never cross (DE-9IM)
+    f"WHEN {_DIM_A} = 0 AND {_DIM_B} = 0 THEN false "
+    f"WHEN {_DIM_A} = 2 AND {_DIM_B} = 2 THEN false "
+    # line/line: interiors meet at a point
+    f"WHEN {_DIM_A} = 1 AND {_DIM_B} = 1 THEN {_segx('a', 'b')} "
+    f"WHEN {_DIM_A} = 0 THEN st__crosses_pt(a, b) "
+    f"WHEN {_DIM_B} = 0 THEN st__crosses_pt(b, a) "
+    f"WHEN {_DIM_A} = 1 THEN st__crosses_line(a, b) "
+    "ELSE st__crosses_line(b, a) END")
+
+_FUNCTIONS["st_overlaps"] = (
+    "(a STRING, b STRING)", "BOOLEAN",
+    "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+    f"WHEN {_IS_EMPTY} OR {_NO_VERTS} THEN false "
+    f"WHEN {_DIM_A} != {_DIM_B} THEN false "
+    # point/point: a shared point plus an exclusive point on each side
+    f"WHEN {_DIM_A} = 0 THEN "
+    f"exists(flatten({_ringcoords('a')}), __v -> "
+    f"exists(flatten({_ringcoords('b')}), "
+    "__u -> __u.x = __v.x AND __u.y = __v.y)) "
+    f"AND exists(flatten({_ringcoords('a')}), __v -> "
+    f"NOT exists(flatten({_ringcoords('b')}), "
+    "__u -> __u.x = __v.x AND __u.y = __v.y)) "
+    f"AND exists(flatten({_ringcoords('b')}), __v -> "
+    f"NOT exists(flatten({_ringcoords('a')}), "
+    "__u -> __u.x = __v.x AND __u.y = __v.y)) "
+    # line/line: 1-D collinear overlap, neither containing the other
+    f"WHEN {_DIM_A} = 1 THEN st__colinover(a, b) "
+    "AND NOT st_contains(a, b) AND NOT st_contains(b, a) "
+    # area/area: interiors intersect, neither contains the other
+    "ELSE st__interiorx(a, b) "
+    "AND NOT st_contains(a, b) AND NOT st_contains(b, a) END")
 
 
 def register_geometry_sql_functions(spark: SparkSession,

@@ -791,3 +791,66 @@ def test_simplify_and_hull_in_sql_gateway(tmp_db):
     rows = tmp_db["sg"].read(
         where="ST_NPoints(st_simplify(shape, 0.5)) = 3")
     assert len(rows) == 1
+
+
+def test_de9im_named_predicates_truth_table(spark):
+    """ST_Touches / ST_Crosses / ST_Overlaps / ST_Disjoint across the
+    dimension matrix: area/area (shared edge, shared corner, overlap,
+    containment, equality, disjoint), line/area (cross, boundary-touch,
+    within), line/line (X-cross, endpoint-touch, collinear partial
+    overlap), point/* and multipoint straddles."""
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    cases = [
+        # (a, b, touches, crosses, overlaps, disjoint)
+        (sq, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))",
+         True, False, False, False),                 # shared edge
+        (sq, "POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))",
+         True, False, False, False),                 # shared corner
+        (sq, "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))",
+         False, False, True, False),                 # proper overlap
+        (sq, "POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))",
+         False, False, False, True),                 # disjoint
+        (sq, "POLYGON ((2 2, 8 2, 8 8, 2 8, 2 2))",
+         False, False, False, False),                # a contains b
+        (sq, sq, False, False, False, False),        # equal
+        (sq, "POLYGON ((8 10, 12 14, 4 16, 8 10))",
+         True, False, False, False),                 # vertex-on-edge touch
+        ("LINESTRING (5 -5, 5 15)", sq, False, True, False, False),
+        ("LINESTRING (0 -5, 0 15)", sq, True, False, False, False),
+        ("LINESTRING (-5 -5, -5 15)", sq, False, False, False, True),
+        ("LINESTRING (2 2, 8 8)", sq, False, False, False, False),
+        ("LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)",
+         False, False, True, False),                 # collinear partial
+        ("LINESTRING (0 0, 10 10)", "LINESTRING (0 10, 10 0)",
+         False, True, False, False),                 # X crossing
+        ("LINESTRING (0 0, 5 5)", "LINESTRING (5 5, 10 0)",
+         True, False, False, False),                 # endpoint touch
+        ("POINT (5 5)", sq, False, False, False, False),
+        ("POINT (0 5)", sq, True, False, False, False),
+        ("POINT (20 20)", sq, False, False, False, True),
+        ("MULTIPOINT ((5 5), (20 20))", sq, False, True, False, False),
+        ("MULTIPOINT ((1 1), (2 2))", "MULTIPOINT ((2 2), (3 3))",
+         False, False, True, False),
+        ("POINT (1 1)", "POINT (1 1)", False, False, False, False),
+    ]
+    vals = ", ".join(f"({i}, '{a}', '{b}')"
+                     for i, (a, b, *_) in enumerate(cases))
+    rows = spark.sql(f"""
+        SELECT i, st_touches(a, b) AS t, st_crosses(a, b) AS c,
+               st_overlaps(a, b) AS o, st_disjoint(a, b) AS d,
+               st_touches(b, a) AS ts, st_overlaps(b, a) AS os
+        FROM VALUES {vals} AS t(i, a, b) ORDER BY i""").collect()
+    for r, (a, b, t, c, o, d) in zip(rows, cases):
+        got = (r["t"], r["c"], r["o"], r["d"])
+        assert got == (t, c, o, d), (a, b, got, (t, c, o, d))
+        # touches/overlaps are symmetric
+        assert r["ts"] == t and r["os"] == o, (a, b)
+    # NULL propagation
+    [n] = spark.sql(
+        "SELECT st_touches(NULL, 'POINT (1 1)') AS a, "
+        "st_disjoint('POINT (1 1)', NULL) AS b").collect()
+    assert n["a"] is None and n["b"] is None
