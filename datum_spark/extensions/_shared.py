@@ -50,3 +50,39 @@ def x(name: str, oracle: str | None):
         EXTENSIONS[name] = (fn, oracle)
         return fn
     return deco
+
+
+def kmeans_cte_parts(k: int, iters: int, dim: int):
+    """DuckDB CTEs replaying the deterministic-trajectory Lloyd fit of
+    ``operators.clustering.kmeans_verifiable`` (first-k init, dist² and
+    centers quantized to 1e-6, cid tie-break) — shared by the x108 /
+    x57 / x58 oracles.  Returns ``(parts, d2_expr)`` where ``parts``
+    are the WITH clauses ``v, c0 .. c{iters}`` and ``d2_expr`` the
+    rounded squared distance between ``v.e`` and ``c.c``."""
+    d2 = ("ROUND(list_sum(list_transform(list_zip(v.e, c.c), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)")
+    parts = ["""v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+)""", f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         e AS c
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v CROSS JOIN c{t-1} c) WHERE rn = 1
+)""")
+        parts.append(f"""c{t} AS (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM c{t-1} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS c FROM (
+      SELECT cid, i, ROUND(avg(e[i]), 6) AS m
+      FROM a{t}, generate_series(1, {dim}) AS t(i) GROUP BY cid, i)
+    GROUP BY cid) n ON p.cid = n.cid
+)""")
+    return parts, d2

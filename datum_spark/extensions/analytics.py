@@ -393,35 +393,11 @@ def x107(spark, sf):
 
 def _kmeans_oracle_sql(k: int = 4, iters: int = 3, dim: int = 64) -> str:
     """Unrolled Lloyd iterations as DuckDB CTEs (the _pagerank_oracle_sql
-    discipline): assignment = windowed argmin over ROUND(dist², 6) with
-    cid tie-break; update = per-dim ROUND(avg, 6) with empty clusters
-    inheriting the previous center — exactly kmeans_verifiable's rules."""
-    d2 = ("ROUND(list_sum(list_transform(list_zip(v.e, c.c), "
-          "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)")
-    parts = ["""v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-  WHERE embedding IS NOT NULL
-)""", f"""c0 AS (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
-         e AS c
-  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k})
-)"""]
-    for t in range(1, iters + 1):
-        parts.append(f"""a{t} AS (
-  SELECT vec_id, e, cid FROM (
-    SELECT v.vec_id, v.e, c.cid,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {d2}, c.cid) AS rn
-    FROM v CROSS JOIN c{t-1} c) WHERE rn = 1
-)""")
-        parts.append(f"""c{t} AS (
-  SELECT p.cid, COALESCE(n.c, p.c) AS c
-  FROM c{t-1} p LEFT JOIN (
-    SELECT cid, list(m ORDER BY i) AS c FROM (
-      SELECT cid, i, ROUND(avg(e[i]), 6) AS m
-      FROM a{t}, generate_series(1, {dim}) AS t(i) GROUP BY cid, i)
-    GROUP BY cid) n ON p.cid = n.cid
-)""")
+    discipline) — CTE body shared with the x57/x58 oracles via
+    ``_shared.kmeans_cte_parts``."""
+    from ._shared import kmeans_cte_parts
+
+    parts, d2 = kmeans_cte_parts(k, iters, dim)
     final = f"""SELECT vec_id, cid AS cluster FROM (
   SELECT v.vec_id, c.cid,
          row_number() OVER (PARTITION BY v.vec_id

@@ -589,33 +589,86 @@ def x56(spark, sf):
                  .orderBy("source"))
 
 
-@x("x57_semantic_dedup", None)
+def _x57_oracle() -> str:
+    from ._shared import kmeans_cte_parts
+
+    parts, d2 = kmeans_cte_parts(8, 2, 64)
+    parts.append(f"""top2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v CROSS JOIN c2 c) WHERE rn <= 2
+)""")
+    parts.append("""cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM top2 a JOIN top2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)""")
+    final = """SELECT id_a, id_b, cosine FROM (
+  SELECT cand.id_a, cand.id_b,
+         ROUND(list_sum(list_transform(list_zip(va.e, vb.e),
+                                       x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(va.e, x -> x*x)))
+                  * sqrt(list_sum(list_transform(vb.e, x -> x*x)))),
+               6) AS cosine
+  FROM cand JOIN v va ON cand.id_a = va.vec_id
+            JOIN v vb ON cand.id_b = vb.vec_id)
+WHERE cosine >= 0.45 ORDER BY id_a, id_b"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@x("x57_semantic_dedup", _x57_oracle())
 def x57(spark, sf):
-    """Semantic near-dup pairs via k-means blocking: fit 16 centers,
-    assign each vector to its 2 nearest cells, one normalized GEMM per
-    cell (applyInPandas group — vectors move `probes` times total, never
-    per candidate pair).  The clustered-data complement to x07's
-    sign-LSH.  Rows-only: iterative fit; exact-recovery semantics
-    covered by test_clustering.py against brute force."""
-    from ..operators.clustering import semantic_dedup_pairs
+    """Semantic near-dup pairs via k-means blocking, hash-VERIFIED
+    (promoted from rows-only in round 8): the deterministic-trajectory
+    fit (x108 discipline) makes the 2-nearest-cell blocking replayable,
+    and the cosine is the exact sequential-fold expression DuckDB
+    reproduces bit-for-bit, so even the threshold comparison matches.
+    The GEMM/applyInPandas variant (operators.clustering.
+    semantic_dedup_pairs) remains the raw-throughput twin, covered by
+    test_clustering.py against brute force."""
+    from ..operators.clustering import semantic_dedup_pairs_verifiable
 
     emb = load_emb(spark, sf)
-    return (semantic_dedup_pairs(emb, "vec_id", "embedding", k=16,
-                                 iters=2, threshold=0.45, probes=2)
+    return (semantic_dedup_pairs_verifiable(emb, "vec_id", "embedding",
+                                            k=8, iters=2, threshold=0.45,
+                                            probes=2)
             .orderBy("id_a", "id_b"))
 
 
-@x("x58_coreset_sample", None)
+def _x58_oracle() -> str:
+    from ._shared import kmeans_cte_parts
+
+    parts, d2 = kmeans_cte_parts(8, 2, 64)
+    parts.append(f"""assign AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT v.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v CROSS JOIN c2 c) WHERE rn = 1
+)""")
+    final = """SELECT vec_id, cluster, d2, rnk FROM (
+  SELECT vec_id, cid AS cluster, d2,
+         CAST(row_number() OVER (PARTITION BY cid
+                                 ORDER BY d2, vec_id) AS INT) AS rnk
+  FROM assign)
+WHERE rnk <= 10 ORDER BY cluster, rnk"""
+    return "WITH " + ",\n".join(parts) + "\n" + final
+
+
+@x("x58_coreset_sample", _x58_oracle())
 def x58(spark, sf):
-    """Diversity (coreset) sampling: the 10 vectors nearest each of 8
-    k-means centers — kmeans_assign composed with the per-group window
-    top-k.  Rows-only: iterative fit; nearest-per-cluster semantics
-    verified in test_clustering.py."""
-    from ..operators.clustering import cluster_coreset
+    """Diversity (coreset) sampling, hash-VERIFIED (promoted from
+    rows-only in round 8): the 10 vectors nearest each of 8
+    deterministic-trajectory k-means centers, quantized distances and
+    id tie-breaks making rank and distance replayable value-for-value.
+    The Arrow/NumPy cluster_coreset stays as the throughput twin."""
+    from ..operators.clustering import cluster_coreset_verifiable
 
     emb = load_emb(spark, sf)
-    return (cluster_coreset(emb, per_cluster=10, id_col="vec_id",
-                            vec_col="embedding", k=8, iters=2)
+    return (cluster_coreset_verifiable(emb, per_cluster=10,
+                                       id_col="vec_id",
+                                       vec_col="embedding", k=8, iters=2)
             .orderBy("cluster", "rnk"))
 
 

