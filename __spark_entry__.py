@@ -2,16 +2,17 @@
 
 ``entry(spark)`` runs the flagship star-join (t2 Q10, TPC-H Q5 skeleton) at
 sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
-(Tier-B Q01–Q31 + §2-C extensions x01–x157); ``oracle_sql()`` carries the
+(Tier-B Q01–Q31 + §2-C extensions x01–x166); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap (50
-in every round so far), so the dict leads with the round-7 recheck set —
-the new spatial entries (x158–x160) and everything whose code or oracle
-changed this round — then rotates the STALEST green entries (latest
-check = r3, then r4) into the remaining slots.  Every oracle-bearing
-entry has been driver-verified at least once (r6 closed the set); this
-rotation keeps the oldest evidence fresh.
+in every round so far), so the dict leads with the round-8 recheck set —
+the new constructive-geometry / DE-9IM entries (x163–x166), the promoted
+x57/x58 oracles, and everything whose implementation changed this round
+(flood-stats internals, kmeans_verifiable refactor) — then rotates the
+STALEST green entries (latest check = r4) into the remaining slots.
+Every oracle-bearing entry has been driver-verified at least once (r6
+closed the set); this rotation keeps the oldest evidence fresh.
 """
 
 from __future__ import annotations
@@ -28,43 +29,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-7 re-check set — the brand-new round-7 spatial operators
-# (x158–x162) plus every entry whose implementation or oracle CHANGED
-# this round (x151's short-doc gram guard landed on both sides; x154's
-# dirty-row tolerance touched the partial path; x153 gained flood
-# observability around its LSH stage).  10 entries; the remaining ~40
-# cap slots fall to priority 1 — the STALEST green entries, i.e. those
-# whose latest driver check is CORRECTNESS_r03 (q08–q31 and the
-# early-x band) — then the r4 cohort at priority 2.
-_RECHECK_R7 = {
-    "x158_spatial_predicates", "x159_point_in_polygon_join",
-    "x160_polygon_matrix", "x161_geometry_measures",
-    "x162_nearest_neighbor",                          # new round-7
-    "x151_contamination",                             # gram guard fix
-    "x154_embedding_covariance",                      # dirty-row fix
-    "x153_near_dup_clusters", "x04_minhash_lsh",      # flood observer
-    "x07_embedding_dups_lsh",
+# Round-8 re-check set — brand-new entries (constructive geometry
+# x163–x165, DE-9IM x166), entries whose ORACLE is new (x57/x58
+# promoted from rows-only via the deterministic-trajectory fit), and
+# entries over code that changed this round: the LSH flood-stats
+# internals (x04/x07/x62/x153 ride _banded_candidate_pairs /
+# embedding LSH), the kmeans_verifiable refactor (x108), and the
+# vertex-op coordinate formatter (x161 shares the geometry pack whose
+# registration now includes the overlay/transform UDFs).
+_RECHECK_R8 = {
+    "x163_overlay_rect", "x164_overlay_fixtures", "x165_buffer",
+    "x166_de9im_predicates",                          # new round-8
+    "x57_semantic_dedup", "x58_coreset_sample",       # promoted oracles
+    "x04_minhash_lsh", "x07_embedding_dups_lsh",      # flood internals
+    "x62_minhash_md5", "x153_near_dup_clusters",
+    "x108_kmeans_verified",                           # shared-fit refactor
+    "x161_geometry_measures",                         # registration path
 }
 
-# Latest driver check = round 3 (stalest greens; r6 re-verified
-# q01–q07 and x01–x03 et al., so those fell out of this band).
-_STALE_R3 = {
-    "q08_cross_join", "q09_theta_join", "q10_star_join",
-    "q11_interval_join", "q12_groupby_agg", "q13_count_distinct",
-    "q14_rollup", "q15_having", "q16_median", "q17_rank_window",
-    "q18_lag", "q19_running_sum", "q20_topk", "q21_intersect",
-    "q22_distinct", "q23_scalar_subquery", "q24_cte", "q25_string_fns",
-    "q26_date_fns", "q27_math_fns", "q28_case", "q29_casts", "q30_json",
-    "q31_window_agg", "x01_dedup_exact", "x02_dup_groups",
-    "x03_ngram_jaccard", "x06_embedding_dups", "x08_cosine_topk",
-    "x10_token_count", "x11_language_guess", "x14_asof_join",
-    "x15_sessionize", "x29_part_revenue", "x30_json_typed",
-    "x31_grouping_sets", "x32_stream_stream_join", "x33_string_agg",
-    "x34_topk_per_group", "x35_stats_aggs", "x36_word_count",
-    "x39_pack_documents",
-}
-
-# Latest driver check = round 4 (next-stalest band).
+# Latest driver check = round 4 (stalest green band; r7 re-verified
+# q08–q31 and the round-7 spatial entries, r6 covered q01–q07 and the
+# early-x band, so this cohort is now the oldest evidence).
 _STALE_R4 = {
     "x17_media_metadata", "x20_running_totals", "x21_quality_pipeline",
     "x22_union_all_agg", "x23_except", "x24_cube", "x25_percentiles",
@@ -74,7 +59,7 @@ _STALE_R4 = {
     "x47_pii_redact", "x48_repetition", "x49_contamination",
     "x50_corpus_pipeline", "x51_dup_clusters", "x52_tfidf_terms",
     "x53_bm25", "x54_vector_stats", "x59_split_md5", "x60_group_sample",
-    "x61_doc_frequency", "x62_minhash_md5", "x63_top_bigrams",
+    "x61_doc_frequency", "x63_top_bigrams",
     "x64_mix_md5", "x65_upsample", "x66_epoch_shuffle",
     "x67_interleave_sources", "x68_token_budget",
     "x69_quality_percentile", "x70_user_features", "x71_funnel",
@@ -86,15 +71,13 @@ _STALE_R4 = {
 
 
 def _priority(name: str, has_oracle: bool) -> int:
-    if name in _RECHECK_R7:
+    if name in _RECHECK_R8:
         return 0                      # new / changed this round
     if not has_oracle:
         return 4                      # rows-only outside the recheck set
-    if name in _STALE_R3:
-        return 1                      # stalest greens (last checked r3)
     if name in _STALE_R4:
-        return 2                      # next-stalest (last checked r4)
-    return 3                          # verified green in r5–r6
+        return 1                      # stalest greens (last checked r4)
+    return 3                          # verified green in r5–r7
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
