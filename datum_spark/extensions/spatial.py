@@ -592,3 +592,64 @@ SELECT case_id,
        CAST(st_overlaps(a, b) AS INT) AS is_overlap,
        CAST(st_disjoint(a, b) AS INT) AS is_disjoint
 FROM VALUES {vals} AS t(case_id, a, b) ORDER BY case_id""")
+
+
+# ---------------------------------------------------------------------------
+# Distributed overlay join (round 8): the parcels x zoning-districts
+# composition — grid-prefiltered spatial join + Martinez clipping, the
+# operator a spatial-ETL user otherwise writes as ST_Intersection
+# inside a PostGIS join.  Oracle: exact all-pairs interval arithmetic
+# (the grid prefilter and canonical-cell dedup must be invisible).
+
+_ZONES = [(1, 0, 0, 30, 25), (2, 25, 10, 55, 40), (3, 10, 30, 45, 60),
+          (4, 50, 0, 80, 35), (5, 60, 30, 95, 65), (6, 0, 45, 30, 90)]
+_ZONES_SQL = ", ".join(f"({i}, {a}.0, {b}.0, {c}.0, {d}.0)"
+                       for i, a, b, c, d in _ZONES)
+
+_PARCEL_SQL = """SELECT c_custkey AS k,
+       CAST(c_custkey % 83 AS DOUBLE) AS ax1,
+       CAST(c_custkey % 71 AS DOUBLE) AS ay1,
+       CAST(c_custkey % 83 + c_custkey % 7 + 2 AS DOUBLE) AS ax2,
+       CAST(c_custkey % 71 + c_custkey % 9 + 2 AS DOUBLE) AS ay2
+  FROM customer WHERE c_custkey <= 300"""
+
+
+@x("x167_overlay_join", f"""
+WITH p AS ({_PARCEL_SQL}),
+z(zone_id, bx1, by1, bx2, by2) AS (VALUES {_ZONES_SQL}),
+pairs AS (
+  SELECT zone_id,
+         GREATEST(0, LEAST(ax2, bx2) - GREATEST(ax1, bx1))
+           * GREATEST(0, LEAST(ay2, by2) - GREATEST(ay1, by1)) AS inter
+  FROM p CROSS JOIN z)
+SELECT zone_id,
+       CAST(COUNT(*) FILTER (WHERE inter > 0) AS BIGINT) AS n_parcels,
+       ROUND(SUM(inter), 4) AS zoned_area
+FROM pairs GROUP BY zone_id ORDER BY zone_id""")
+def x167(spark, sf):
+    """Distributed polygon overlay join: 300 synthetic parcels x 6
+    zoning districts through `operators.spatial.polygon_overlay_join`
+    (envelope-grid candidates, canonical-cell dedup, bbox prefilter,
+    Martinez clipping on survivors only) aggregated to per-zone parcel
+    counts and zoned area.  The oracle is the exact all-pairs interval
+    arithmetic the grid join exists to avoid — integer-valued doubles,
+    so the hash holds the whole pipeline to bit-equality."""
+    from ..operators.spatial import polygon_overlay_join
+
+    load(spark, sf, "customer").createOrReplaceTempView("__x167_cust")
+    parcels = spark.sql(f"""
+SELECT k, concat('POLYGON ((', ax1, ' ', ay1, ', ', ax2, ' ', ay1, ', ',
+       ax2, ' ', ay2, ', ', ax1, ' ', ay2, ', ', ax1, ' ', ay1,
+       '))') AS lw
+FROM ({_PARCEL_SQL.replace('customer', '__x167_cust')})""")
+    zones = spark.sql(f"""
+SELECT zone_id, concat('POLYGON ((', bx1, ' ', by1, ', ', bx2, ' ', by1,
+       ', ', bx2, ' ', by2, ', ', bx1, ' ', by2, ', ', bx1, ' ', by1,
+       '))') AS rw
+FROM (VALUES {_ZONES_SQL}) AS z(zone_id, bx1, by1, bx2, by2)""")
+    out = polygon_overlay_join(parcels, zones, "lw", "rw",
+                               cell_size=25.0, wkt_out=None)
+    return (out.groupBy("zone_id")
+               .agg(F.count(F.lit(1)).alias("n_parcels"),
+                    F.round(F.sum("inter_area"), 4).alias("zoned_area"))
+               .orderBy("zone_id"))

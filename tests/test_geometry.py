@@ -854,3 +854,44 @@ def test_de9im_named_predicates_truth_table(spark):
         "SELECT st_touches(NULL, 'POINT (1 1)') AS a, "
         "st_disjoint('POINT (1 1)', NULL) AS b").collect()
     assert n["a"] is None and n["b"] is None
+
+
+def test_polygon_overlay_join_matches_bruteforce(spark):
+    """Grid-prefiltered overlay join == all-pairs clipping over three
+    cell sizes (the canonical-cell dedup must keep each intersecting
+    pair exactly once), with exact interval-arithmetic truth for the
+    rectangle fixtures."""
+    from datum_spark.operators.spatial import polygon_overlay_join
+
+    import random as _r
+    rng = _r.Random(5)
+    lrects, rrects = [], []
+    for i in range(25):
+        x1, y1 = rng.randint(0, 40), rng.randint(0, 40)
+        w, h = rng.randint(2, 15), rng.randint(2, 15)
+        lrects.append((i, x1, y1, x1 + w, y1 + h))
+    for j in range(12):
+        x1, y1 = rng.randint(0, 40), rng.randint(0, 40)
+        w, h = rng.randint(5, 25), rng.randint(5, 25)
+        rrects.append((j, x1, y1, x1 + w, y1 + h))
+
+    def wkt(x1, y1, x2, y2):
+        return (f"POLYGON (({x1} {y1}, {x2} {y1}, {x2} {y2}, "
+                f"{x1} {y2}, {x1} {y1}))")
+
+    left = spark.createDataFrame(
+        [(i, wkt(*r)) for i, *r in lrects], "lid int, lw string")
+    right = spark.createDataFrame(
+        [(j, wkt(*r)) for j, *r in rrects], "rid int, rw string")
+    want = {}
+    for i, ax1, ay1, ax2, ay2 in lrects:
+        for j, bx1, by1, bx2, by2 in rrects:
+            iw = max(0, min(ax2, bx2) - max(ax1, bx1))
+            ih = max(0, min(ay2, by2) - max(ay1, by1))
+            if iw * ih > 0:
+                want[(i, j)] = float(iw * ih)
+    for cs in (4.0, 11.0, 60.0):
+        got = {(r["lid"], r["rid"]): r["inter_area"]
+               for r in polygon_overlay_join(left, right, "lw", "rw",
+                                             cell_size=cs).collect()}
+        assert got == want, cs
