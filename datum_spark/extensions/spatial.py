@@ -653,3 +653,82 @@ FROM (VALUES {_ZONES_SQL}) AS z(zone_id, bx1, by1, bx2, by2)""")
                .agg(F.count(F.lit(1)).alias("n_parcels"),
                     F.round(F.sum("inter_area"), 4).alias("zoned_area"))
                .orderBy("zone_id"))
+
+
+# ---------------------------------------------------------------------------
+# Line clipping (round 8): ST_Intersection(line, polygon) — the 1-D
+# overlay (street segments × district).  The oracle re-derives the
+# clipped LENGTH of each segment against each rectangle with
+# Liang–Barsky parameter clipping in plain SQL (exact interval
+# arithmetic on the t-range; both engines divide the same IEEE values).
+
+_SEGS_SQL = """SELECT c_custkey AS k,
+       CAST(c_custkey % 61 AS DOUBLE) AS x1,
+       CAST(c_custkey % 53 AS DOUBLE) AS y1,
+       CAST((c_custkey + 17) % 67 AS DOUBLE) AS x2,
+       CAST((c_custkey + 29) % 59 AS DOUBLE) AS y2
+  FROM customer WHERE c_custkey <= 400"""
+
+_CLIP_RECTS = [(1, 5, 5, 35, 30), (2, 20, 15, 55, 45), (3, 0, 30, 40, 58)]
+_CLIP_RECTS_SQL = ", ".join(f"({i}, {a}.0, {b}.0, {c}.0, {d}.0)"
+                            for i, a, b, c, d in _CLIP_RECTS)
+
+
+@x("x168_line_clip", f"""
+WITH s AS ({_SEGS_SQL}),
+r(rid, bx1, by1, bx2, by2) AS (VALUES {_CLIP_RECTS_SQL}),
+t AS (
+  SELECT rid, k, x2 - x1 AS dx, y2 - y1 AS dy,
+         CASE WHEN x2 - x1 = 0 THEN
+                CASE WHEN x1 >= bx1 AND x1 <= bx2 THEN 0.0 ELSE 1.0 END
+              ELSE GREATEST(LEAST((bx1 - x1) / (x2 - x1),
+                                  (bx2 - x1) / (x2 - x1)), 0.0) END AS tx0,
+         CASE WHEN x2 - x1 = 0 THEN
+                CASE WHEN x1 >= bx1 AND x1 <= bx2 THEN 1.0 ELSE 0.0 END
+              ELSE LEAST(GREATEST((bx1 - x1) / (x2 - x1),
+                                  (bx2 - x1) / (x2 - x1)), 1.0) END AS tx1,
+         CASE WHEN y2 - y1 = 0 THEN
+                CASE WHEN y1 >= by1 AND y1 <= by2 THEN 0.0 ELSE 1.0 END
+              ELSE GREATEST(LEAST((by1 - y1) / (y2 - y1),
+                                  (by2 - y1) / (y2 - y1)), 0.0) END AS ty0,
+         CASE WHEN y2 - y1 = 0 THEN
+                CASE WHEN y1 >= by1 AND y1 <= by2 THEN 1.0 ELSE 0.0 END
+              ELSE LEAST(GREATEST((by1 - y1) / (y2 - y1),
+                                  (by2 - y1) / (y2 - y1)), 1.0) END AS ty1
+  FROM s CROSS JOIN r),
+cl AS (
+  SELECT rid, k,
+         GREATEST(0.0, LEAST(tx1, ty1) - GREATEST(tx0, ty0))
+           * sqrt(dx * dx + dy * dy) AS clen
+  FROM t)
+SELECT rid,
+       CAST(COUNT(*) FILTER (WHERE clen > 0) AS BIGINT) AS n_crossing,
+       ROUND(SUM(clen), 4) AS clipped_len
+FROM cl GROUP BY rid ORDER BY rid""")
+def x168(spark, sf):
+    """1-D overlay: 400 synthetic street segments clipped by 3 district
+    rectangles through st_intersection(line, polygon) + st_length; the
+    oracle replays Liang–Barsky parameter clipping per (segment, rect)
+    in SQL.  Exercises the line-splitting path of the clipper (entry /
+    exit crossings, fully-inside, fully-outside, axis-parallel
+    segments) under a hash gate."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x168_cust")
+    return spark.sql(f"""
+WITH s AS ({_SEGS_SQL.replace('customer', '__x168_cust')}),
+r(rid, bx1, by1, bx2, by2) AS (VALUES {_CLIP_RECTS_SQL}),
+w AS (
+  SELECT rid, k,
+         concat('LINESTRING (', x1, ' ', y1, ', ', x2, ' ', y2,
+                ')') AS lw,
+         concat('POLYGON ((', bx1, ' ', by1, ', ', bx2, ' ', by1, ', ',
+                bx2, ' ', by2, ', ', bx1, ' ', by2, ', ', bx1, ' ', by1,
+                '))') AS rw
+  FROM s CROSS JOIN r),
+cl AS (SELECT rid, k, st_length(st_intersection(lw, rw)) AS clen FROM w)
+SELECT rid,
+       CAST(COUNT(*) FILTER (WHERE clen > 0) AS BIGINT) AS n_crossing,
+       ROUND(SUM(clen), 4) AS clipped_len
+FROM cl GROUP BY rid ORDER BY rid""")

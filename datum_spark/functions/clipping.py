@@ -773,6 +773,100 @@ def buffer_wkt(wkt: str, distance: float, quad_segs: int = 8) -> str | None:
     return to_wkt(boolean_op(data, band, DIFFERENCE))
 
 
+# -- line clipping ------------------------------------------------------------
+
+def _clip_polyline(line, poly, keep_inside: bool):
+    """Split one polyline at every polygon-boundary crossing and keep
+    the pieces whose midpoint is inside (or outside) the multipolygon;
+    boundary-riding pieces count as inside (ST_Intersection includes
+    the boundary).  Returns a list of polylines (chains of contiguous
+    kept pieces)."""
+    edges = [(poly_ring[i], poly_ring[i + 1])
+             for p in poly for poly_ring in p
+             for i in range(len(poly_ring) - 1)]
+    chains: list[list] = []
+    cur: list | None = None
+    for i in range(len(line) - 1):
+        p, q = line[i], line[i + 1]
+        if p == q:
+            continue
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ts = {0.0, 1.0}
+        for (b1, b2) in edges:
+            inter = _seg_intersection(p, q, b1, b2)
+            for pt in inter or ():
+                if abs(dx) >= abs(dy):
+                    t = (pt[0] - p[0]) / dx
+                else:
+                    t = (pt[1] - p[1]) / dy
+                if 0.0 < t < 1.0:
+                    ts.add(t)
+        cuts = sorted(ts)
+        for a, b in zip(cuts, cuts[1:]):
+            if b - a <= 0:
+                continue
+            mx, my = p[0] + (a + b) / 2 * dx, p[1] + (a + b) / 2 * dy
+            inside = _pip_multipoly((mx, my), poly) or \
+                _on_boundary((mx, my), poly)
+            if inside != keep_inside:
+                cur = None
+                continue
+            pa = p if a == 0.0 else (p[0] + a * dx, p[1] + a * dy)
+            pb = q if b == 1.0 else (p[0] + b * dx, p[1] + b * dy)
+            if cur is not None and cur[-1] == pa:
+                cur.append(pb)
+            else:
+                cur = [pa, pb]
+                chains.append(cur)
+    return [c for c in chains if len(c) >= 2]
+
+
+def _on_boundary(pt, poly) -> bool:
+    x, y = pt
+    for p in poly:
+        for ring in p:
+            for i in range(len(ring) - 1):
+                (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+                if ((x2 - x1) * (y - y1) - (y2 - y1) * (x - x1) == 0
+                        and min(x1, x2) <= x <= max(x1, x2)
+                        and min(y1, y2) <= y <= max(y1, y2)):
+                    return True
+    return False
+
+
+def _lines_to_wkt(lines) -> str:
+    if not lines:
+        return "LINESTRING EMPTY"
+
+    def body(ln):
+        return "(" + ", ".join(f"{_fmt_num(x)} {_fmt_num(y)}"
+                               for x, y in ln) + ")"
+
+    if len(lines) == 1:
+        return "LINESTRING " + body(lines[0])
+    return "MULTILINESTRING (" + ", ".join(body(ln) for ln in lines) + ")"
+
+
+def clip_lines_wkt(line_wkt: str, poly_wkt: str,
+                   keep_inside: bool = True) -> str | None:
+    """ST_Intersection / ST_Difference of a LINESTRING(/MULTI) with a
+    polygon: the line splits at boundary crossings and keeps the inside
+    (or outside) pieces — street-segments × district, the 1-D overlay."""
+    if line_wkt is None or poly_wkt is None:
+        return None
+    kind, lines = parse_wkt(line_wkt)
+    pkind, poly = parse_wkt(poly_wkt)
+    if kind == "empty" or pkind == "empty":
+        return line_wkt if (not keep_inside and kind != "empty") \
+            else "LINESTRING EMPTY"
+    if kind != "line" or pkind != "polygon":
+        raise ValueError("clip_lines_wkt needs (line, polygon) operands")
+    out = []
+    for ln in lines:
+        out.extend(_clip_polyline(ln, poly, keep_inside))
+    return _lines_to_wkt(out)
+
+
 # -- per-geometry WKT entry points (the UDF cores) ----------------------------
 
 _OPS = {"intersection": INTERSECTION, "union": UNION,
@@ -780,16 +874,27 @@ _OPS = {"intersection": INTERSECTION, "union": UNION,
 
 
 def overlay_wkt(wa: str, wb: str, op: str) -> str | None:
-    """Boolean overlay of two WKT geometries (polygonal types only —
-    PostGIS overlay of mixed dimensions is out of scope; line/point
-    inputs raise).  Returns POLYGON/MULTIPOLYGON WKT ('POLYGON EMPTY'
-    for an empty result); NULL in → NULL out."""
+    """Boolean overlay of two WKT geometries.  Polygon×polygon runs the
+    full Martinez sweep; line×polygon intersection/difference clips the
+    line at the boundary (PostGIS's 1-D overlay); other mixed-dimension
+    combinations raise (buffer points/lines first for area semantics).
+    Returns WKT ('POLYGON EMPTY'/'LINESTRING EMPTY' when empty);
+    NULL in → NULL out."""
     if wa is None or wb is None:
         return None
     ka, da = parse_wkt(wa)
     kb, db = parse_wkt(wb)
+    if ka == "line" and kb in ("polygon", "empty") \
+            and op in ("intersection", "difference"):
+        return clip_lines_wkt(wa, wb, keep_inside=(op == "intersection"))
+    if kb == "line" and ka in ("polygon", "empty"):
+        if op == "intersection":
+            return clip_lines_wkt(wb, wa, keep_inside=True)
+        if op == "difference":
+            return wa            # removing a 1-D set leaves the area as-is
     if ka not in ("polygon", "empty") or kb not in ("polygon", "empty"):
         raise ValueError(
-            f"st_{op} supports polygonal geometries; got "
-            f"{ka}/{kb} — buffer lines/points first (st_buffer)")
+            f"st_{op} supports polygonal operands (plus line×polygon "
+            f"intersection/difference); got {ka}/{kb} — buffer "
+            "lines/points first (st_buffer)")
     return to_wkt(boolean_op(da, db, _OPS[op]))

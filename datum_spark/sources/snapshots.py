@@ -588,13 +588,21 @@ class SnapshotTable:
             "delete", build,
             keep_files=lambda parent: touched_split(parent)[1])
 
-    def compact(self, target_files: int = 8) -> int:
+    def compact(self, target_files: int = 8,
+                cluster_by: list[str] | None = None) -> int:
         """Rewrite the current snapshot into ``target_files`` files as a
         new version — the small-files maintenance pass a streaming
         ``snapshot_sink`` table needs periodically (each micro-batch
         commit adds its own files; manifests and scan listings grow by
         file COUNT).  Old versions still time-travel until ``vacuum``;
-        a commit conflict recompacts from the new head."""
+        a commit conflict recompacts from the new head.
+
+        ``cluster_by`` range-partitions and sorts the rewrite on those
+        columns, so each output file covers a DISJOINT value range —
+        which is what makes the manifest column stats actually prune:
+        after a clustered compact, a keyed ``merge``/``delete_where``/
+        ``read(where=)`` touches only the files whose range overlaps
+        (the Delta OPTIMIZE ZORDER role, one dimension)."""
 
         def build(parent):
             if parent is None:
@@ -602,8 +610,12 @@ class SnapshotTable:
             files = self._load_manifest(parent)["files"]
             if not files:
                 return None
-            return (self.spark.read.parquet(*files)
-                    .coalesce(max(1, target_files)))
+            df = self.spark.read.parquet(*files)
+            if cluster_by:
+                return (df.repartitionByRange(max(1, target_files),
+                                              *cluster_by)
+                          .sortWithinPartitions(*cluster_by))
+            return df.coalesce(max(1, target_files))
 
         return self._commit_rewrite("compact", build)
 

@@ -151,6 +151,40 @@ def buffer_battery(n, rng):
     return fails
 
 
+def line_battery(n, rng):
+    """len(line ∩ poly) + len(line ∖ poly) == len(line)."""
+    import math as m
+
+    from datum_spark.functions.clipping import overlay_wkt
+
+    def llen(w):
+        total = 0.0
+        k, lines = parse_wkt(w)
+        if k == "empty":
+            return 0.0
+        for ln in lines:
+            for i in range(len(ln) - 1):
+                total += m.hypot(ln[i + 1][0] - ln[i][0],
+                                 ln[i + 1][1] - ln[i][1])
+        return total
+
+    fails = 0
+    for _ in range(n):
+        pts = [(rng.uniform(-10, 50), rng.uniform(-10, 50))
+               for _ in range(rng.randint(2, 6))]
+        lw = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+        x1, y1 = rng.randint(0, 20), rng.randint(0, 20)
+        w, h = rng.randint(5, 25), rng.randint(5, 25)
+        pw = (f"POLYGON (({x1} {y1}, {x1+w} {y1}, {x1+w} {y1+h}, "
+              f"{x1} {y1+h}, {x1} {y1}))")
+        li = llen(overlay_wkt(lw, pw, "intersection"))
+        lo = llen(overlay_wkt(lw, pw, "difference"))
+        lt = llen(lw)
+        if abs(li + lo - lt) >= 1e-6 * max(lt, 1.0):
+            fails += 1
+    return fails
+
+
 def main():
     n_float = int(sys.argv[1]) if len(sys.argv) > 1 else 800
     n_int = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
@@ -158,9 +192,11 @@ def main():
     f1 = float_battery(n_float, rng)
     f2 = int_battery(n_int, rng)
     f3 = buffer_battery(100, rng)
+    f4 = line_battery(300, rng)
     print(f"float: {n_float - f1}/{n_float} clean; "
-          f"int: {n_int - f2}/{n_int} clean; buffer: {100 - f3}/100 clean")
-    return 1 if (f1 or f2 or f3) else 0
+          f"int: {n_int - f2}/{n_int} clean; buffer: {100 - f3}/100 clean; "
+          f"lines: {300 - f4}/300 clean")
+    return 1 if (f1 or f2 or f3 or f4) else 0
 
 
 if __name__ == "__main__":

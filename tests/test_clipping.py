@@ -96,8 +96,12 @@ def test_overlay_null_empty_and_errors():
         == "POLYGON EMPTY"
     assert area(overlay_wkt(A_SQ, "POLYGON EMPTY", "union")) == 100.0
     assert area(overlay_wkt(A_SQ, "POLYGON EMPTY", "difference")) == 100.0
+    # line x polygon union/symdifference stay unsupported (mixed-dim
+    # GEOMETRYCOLLECTION output); intersection/difference clip instead
     with pytest.raises(ValueError):
-        overlay_wkt(A_SQ, "LINESTRING (0 0, 5 5)", "intersection")
+        overlay_wkt(A_SQ, "LINESTRING (0 0, 5 5)", "union")
+    with pytest.raises(ValueError):
+        overlay_wkt("POINT (1 1)", A_SQ, "intersection")
 
 
 def test_overlay_fuzz_invariants():
@@ -209,3 +213,66 @@ def test_overlay_sql_gateway(spark):
         SELECT st_within(st_buffer('{A_SQ}', -2.0), '{A_SQ}') AS w
     """).collect()
     assert c["w"] is True
+
+
+def _line_len(w):
+    total = 0.0
+    k, lines = parse_wkt(w)
+    if k == "empty":
+        return 0.0
+    for ln in lines:
+        for i in range(len(ln) - 1):
+            total += math.hypot(ln[i + 1][0] - ln[i][0],
+                                ln[i + 1][1] - ln[i][1])
+    return total
+
+
+def test_line_clipping():
+    sq = A_SQ
+    d = overlay_wkt("LINESTRING (-5 -5, 15 15)", sq, "intersection")
+    assert abs(_line_len(d) - 10 * math.sqrt(2)) < 1e-9
+    # in/out/in -> MULTILINESTRING, both pieces
+    z = overlay_wkt("LINESTRING (-5 5, 15 5, 15 8, -5 8)", sq,
+                    "intersection")
+    assert z.startswith("MULTILINESTRING") and abs(_line_len(z) - 20) < 1e-9
+    # difference keeps the outside
+    df = overlay_wkt("LINESTRING (-5 5, 15 5)", sq, "difference")
+    assert abs(_line_len(df) - 10.0) < 1e-9
+    # hole interrupts the line
+    h = ("POLYGON ((0 0, 40 0, 40 40, 0 40, 0 0), "
+         "(10 10, 30 10, 30 30, 10 30, 10 10))")
+    hi = overlay_wkt("LINESTRING (-10 20, 50 20)", h, "intersection")
+    assert abs(_line_len(hi) - 20.0) < 1e-9
+    # boundary-riding line counts as inside; fully-outside is EMPTY
+    assert abs(_line_len(overlay_wkt("LINESTRING (0 0, 10 0)", sq,
+                                     "intersection")) - 10) < 1e-9
+    assert overlay_wkt("LINESTRING (20 20, 30 30)", sq,
+                       "intersection") == "LINESTRING EMPTY"
+    # operand order: polygon x line intersection also clips
+    assert abs(_line_len(overlay_wkt(sq, "LINESTRING (-5 5, 15 5)",
+                                     "intersection")) - 10) < 1e-9
+
+
+def test_line_clipping_fuzz_length_identity():
+    """len(line ∩ poly) + len(line ∖ poly) == len(line) over random
+    polylines vs rects and holed polygons."""
+    rng = random.Random(99)
+    for _ in range(120):
+        pts = [(rng.uniform(-10, 50), rng.uniform(-10, 50))
+               for _ in range(rng.randint(2, 6))]
+        lw = "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in pts) + ")"
+        x1, y1 = rng.randint(0, 20), rng.randint(0, 20)
+        w, h = rng.randint(5, 25), rng.randint(5, 25)
+        if rng.random() < 0.5:
+            pw = (f"POLYGON (({x1} {y1}, {x1+w} {y1}, {x1+w} {y1+h}, "
+                  f"{x1} {y1+h}, {x1} {y1}))")
+        else:
+            hx, hy, hw, hh = x1 + w // 4, y1 + h // 4, w // 2, h // 2
+            pw = (f"POLYGON (({x1} {y1}, {x1+w} {y1}, {x1+w} {y1+h}, "
+                  f"{x1} {y1+h}, {x1} {y1}), "
+                  f"({hx} {hy}, {hx+hw} {hy}, {hx+hw} {hy+hh}, "
+                  f"{hx} {hy+hh}, {hx} {hy}))")
+        li = _line_len(overlay_wkt(lw, pw, "intersection"))
+        lo = _line_len(overlay_wkt(lw, pw, "difference"))
+        lt = _line_len(lw)
+        assert abs(li + lo - lt) < 1e-6 * max(lt, 1.0), (lw, pw)

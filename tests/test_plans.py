@@ -384,3 +384,18 @@ def test_nearest_neighbor_join_is_hash_equi(spark):
     df = EXTENSIONS["x162_nearest_neighbor"][0](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_polygon_overlay_join_is_hash_equi(spark):
+    """x167: the overlay join must be an equi-join on the grid cell
+    keys, with the canonical-cell + bbox tests as post-filters and the
+    Martinez clipper (ArrowEvalPython) fed only by join survivors — a
+    nested loop here is parcels x zones quadratic, and a clipper above
+    the join would clip every candidate pair."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x167_overlay_join"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # the Python clipper stage exists and sits downstream of the join
+    assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan

@@ -412,3 +412,37 @@ def test_prunable_condition_parser():
     assert file_may_match(st2, [("cmp", "a", ">=", 10)])
     # type-mismatched literal never prunes
     assert file_may_match(st, [("cmp", "a", "=", "zz")])
+
+
+def test_clustered_compact_enables_pruning(spark, table):
+    """compact(cluster_by=...) range-partitions the rewrite so file
+    stats become disjoint ranges — a keyed delete afterwards rewrites
+    only the overlapping file(s)."""
+    import random
+    rng = random.Random(3)
+    vals = list(range(400))
+    rng.shuffle(vals)
+    # two shuffled appends: every file spans ~the full value range
+    table.append(spark.createDataFrame([(v,) for v in vals[:200]],
+                                       "v long").repartition(4))
+    table.append(spark.createDataFrame([(v,) for v in vals[200:]],
+                                       "v long").repartition(4))
+    # unclustered: a range delete touches everything
+    m0 = table._load_manifest(table.current_version())
+    terms0 = [("cmp", "v", ">=", 300)]
+    from datum_spark.sources.snapshots import file_may_match
+    touched0 = [f for f in m0["files"]
+                if file_may_match(m0.get("file_stats", {}).get(f, {}),
+                                  terms0)]
+    assert len(touched0) == len(m0["files"])    # all files overlap
+    v = table.compact(target_files=4, cluster_by=["v"])
+    m1 = table._load_manifest(v)
+    touched1 = [f for f in m1["files"]
+                if file_may_match(m1.get("file_stats", {}).get(f, {}),
+                                  terms0)]
+    assert 0 < len(touched1) < len(m1["files"])  # ranges now disjoint
+    before = set(m1["files"])
+    v2 = table.delete_where("v >= 300")
+    after = set(table._load_manifest(v2)["files"])
+    assert before & after                       # low-range files kept
+    assert _rows(table.read()) == list(range(300))
