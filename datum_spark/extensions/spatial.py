@@ -611,7 +611,7 @@ _PARCEL_SQL = """SELECT c_custkey AS k,
        CAST(c_custkey % 71 AS DOUBLE) AS ay1,
        CAST(c_custkey % 83 + c_custkey % 7 + 2 AS DOUBLE) AS ax2,
        CAST(c_custkey % 71 + c_custkey % 9 + 2 AS DOUBLE) AS ay2
-  FROM customer WHERE c_custkey <= 300"""
+  FROM customer WHERE c_custkey BETWEEN 1 AND 300"""
 
 
 @x("x167_overlay_join", f"""
@@ -732,3 +732,64 @@ SELECT rid,
        CAST(COUNT(*) FILTER (WHERE clen > 0) AS BIGINT) AS n_crossing,
        ROUND(SUM(clen), 4) AS clipped_len
 FROM cl GROUP BY rid ORDER BY rid""")
+
+
+# ---------------------------------------------------------------------------
+# Grouped dissolve (round 8): ST_Union as a GROUP aggregate — merge each
+# group's (overlapping) rectangles into one geometry.  Oracle: exact
+# 3-way inclusion–exclusion interval arithmetic per group.
+
+_DISSOLVE_RECTS = """SELECT c_custkey AS k,
+       CAST(floor((c_custkey - 1) / 3) AS INT) AS g,
+       CAST((c_custkey % 7) * 4 AS DOUBLE) AS x1,
+       CAST((c_custkey % 5) * 4 AS DOUBLE) AS y1,
+       CAST((c_custkey % 7) * 4 + 10 AS DOUBLE) AS x2,
+       CAST((c_custkey % 5) * 4 + 10 AS DOUBLE) AS y2
+  FROM customer WHERE c_custkey BETWEEN 1 AND 300"""
+
+
+@x("x169_dissolve", f"""
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY k) AS rn
+  FROM ({_DISSOLVE_RECTS})
+),
+trip AS (
+  SELECT a.g,
+         (a.x2-a.x1)*(a.y2-a.y1) AS sa,
+         (b.x2-b.x1)*(b.y2-b.y1) AS sb,
+         (c.x2-c.x1)*(c.y2-c.y1) AS sc,
+         GREATEST(0, LEAST(a.x2,b.x2)-GREATEST(a.x1,b.x1))
+           * GREATEST(0, LEAST(a.y2,b.y2)-GREATEST(a.y1,b.y1)) AS iab,
+         GREATEST(0, LEAST(a.x2,c.x2)-GREATEST(a.x1,c.x1))
+           * GREATEST(0, LEAST(a.y2,c.y2)-GREATEST(a.y1,c.y1)) AS iac,
+         GREATEST(0, LEAST(b.x2,c.x2)-GREATEST(b.x1,c.x1))
+           * GREATEST(0, LEAST(b.y2,c.y2)-GREATEST(b.y1,c.y1)) AS ibc,
+         GREATEST(0, LEAST(a.x2,b.x2,c.x2)-GREATEST(a.x1,b.x1,c.x1))
+           * GREATEST(0, LEAST(a.y2,b.y2,c.y2)-GREATEST(a.y1,b.y1,c.y1))
+           AS iabc
+  FROM r a JOIN r b ON a.g = b.g AND b.rn = 2
+           JOIN r c ON a.g = c.g AND c.rn = 3
+  WHERE a.rn = 1)
+SELECT g, ROUND(sa + sb + sc - iab - iac - ibc + iabc, 4) AS union_area
+FROM trip ORDER BY g""")
+def x169(spark, sf):
+    """Grouped dissolve (the PostGIS ``GROUP BY region, ST_Union(geom)``
+    shape): 100 groups of 3 overlapping rectangles merged by
+    `operators.spatial.dissolve` (per-group Martinez tree-fold via
+    applyInPandas; a salted two-stage fold handles giant groups at
+    scale), areas hash-checked against exact 3-way inclusion–exclusion
+    interval arithmetic in DuckDB."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+    from ..operators.spatial import dissolve
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x169_cust")
+    rects = spark.sql(f"""
+SELECT g, concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ',
+       x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))') AS wkt
+FROM ({_DISSOLVE_RECTS.replace('customer', '__x169_cust')})
+WHERE g < CAST(300 / 3 AS INT)""")
+    merged = dissolve(rects, ["g"], "wkt")
+    return (merged.selectExpr("g",
+                              "ROUND(st_area(geom), 4) AS union_area")
+                  .orderBy("g"))

@@ -203,3 +203,57 @@ def polygon_overlay_join(left: DataFrame, right: DataFrame,
     return out.drop("__iw", "__cx", "__cy",
                     "__lminx", "__lmaxx", "__lminy", "__lmaxy",
                     "__rminx", "__rmaxx", "__rminy", "__rmaxy")
+
+
+def dissolve(df: DataFrame, group_cols: list[str], wkt_col: str,
+             geom_out: str = "geom", pre_fold: int = 1) -> DataFrame:
+    """ST_Union as a GROUP aggregate — dissolve boundaries: one merged
+    (MULTI)POLYGON per group (``SELECT region, ST_Union(geom) ... GROUP
+    BY region``, the classic PostGIS dissolve).
+
+    Union is associative and commutative, so the fold distributes like
+    any combinable aggregate: with ``pre_fold > 1`` a first
+    ``applyInPandas`` stage unions within ``(group, hash(wkt) %
+    pre_fold)`` sub-buckets and a second stage merges the ≤ ``pre_fold``
+    partials per group — a giant group (country-sized dissolve of 10⁶
+    parcels) becomes ``pre_fold`` parallel tasks plus one small merge,
+    instead of one straggler task.  Each stage is a Martinez tree-fold
+    over Arrow batches; geometries move at most twice.
+
+    Output = ``group_cols`` + ``geom_out`` (WKT).
+    """
+    import pandas as pd
+
+    from ..functions.clipping import (_union_fold, parse_wkt, to_wkt)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pieces = []
+        for w in pdf[wkt_col]:
+            if w is None:
+                continue
+            kind, data = parse_wkt(w)
+            if kind == "polygon" and data:
+                pieces.append(data)
+        merged = to_wkt(_union_fold(pieces))
+        out = {c: [pdf[c].iloc[0]] for c in group_cols}
+        out[wkt_col] = [merged]
+        return pd.DataFrame(out)
+
+    gtypes = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}"
+                       for c in group_cols)
+    schema = f"{gtypes}, {wkt_col} string"
+    cur = df.select(*group_cols, wkt_col)
+    if pre_fold > 1:
+        def fold_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = fold(pdf)
+            out["__s"] = [pdf["__s"].iloc[0]]
+            return out
+
+        salt = (F.abs(F.xxhash64(F.col(wkt_col))) % pre_fold)
+        cur = (cur.withColumn("__s", salt)
+                  .groupBy(*group_cols, "__s")
+                  .applyInPandas(fold_salted,
+                                 f"{gtypes}, {wkt_col} string, __s long")
+                  .drop("__s"))
+    out = cur.groupBy(*group_cols).applyInPandas(fold, schema)
+    return out.withColumnRenamed(wkt_col, geom_out)

@@ -793,6 +793,29 @@ def test_simplify_and_hull_in_sql_gateway(tmp_db):
     assert len(rows) == 1
 
 
+def test_overlay_in_database_gateway(tmp_db):
+    """Constructive geometry + DE-9IM through the datum-style API —
+    the exact splice surface the reference delegated to PostGIS:
+    execute() statements and read(where=) fragments."""
+    tmp_db.create_table("pz", [{"name": "shape", "type": "geom"},
+                               {"name": "zone", "type": "text"}])
+    tmp_db["pz"].write([
+        {"zone": "a", "shape": "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"},
+        {"zone": "b", "shape": "POLYGON ((40 40, 50 40, 50 50, 40 50, 40 40))"},
+    ])
+    clip = "POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))"
+    [r] = tmp_db.execute(f"""
+        SELECT SUM(st_area(st_intersection(shape, '{clip}'))) AS zoned,
+               SUM(st_area(st_buffer(shape, -1.0))) AS eroded
+        FROM pz""")
+    assert r["zoned"] == 25.0 and r["eroded"] == 64.0 + 64.0
+    # where= fragment with a named predicate + overlay composition
+    rows = tmp_db["pz"].read(
+        where=f"st_overlaps(shape, '{clip}') "
+              f"AND st_area(st_intersection(shape, '{clip}')) > 10")
+    assert [x["zone"] for x in rows] == ["a"]
+
+
 def test_de9im_named_predicates_truth_table(spark):
     """ST_Touches / ST_Crosses / ST_Overlaps / ST_Disjoint across the
     dimension matrix: area/area (shared edge, shared corner, overlap,
@@ -895,3 +918,32 @@ def test_polygon_overlay_join_matches_bruteforce(spark):
                for r in polygon_overlay_join(left, right, "lw", "rw",
                                              cell_size=cs).collect()}
         assert got == want, cs
+
+
+def test_dissolve_group_union(spark):
+    """dissolve == grouped ST_Union: overlapping rect chains merge to
+    one polygon per group with the inclusion-exclusion area; the
+    two-stage salted fold (pre_fold) must give identical areas."""
+    from datum_spark.functions.clipping import multipoly_area, parse_wkt
+    from datum_spark.operators.spatial import dissolve
+
+    rows = []
+    for g in range(6):
+        x0 = g * 40
+        # three overlapping 10x10 squares stepping by 5: union area 200
+        for i in range(3):
+            x1 = x0 + i * 5
+            rows.append((g, f"POLYGON (({x1} 0, {x1+10} 0, {x1+10} 10, "
+                            f"{x1} 10, {x1} 0))"))
+        # plus a disjoint square far north: +16
+        rows.append((g, f"POLYGON (({x0} 50, {x0+4} 50, {x0+4} 54, "
+                        f"{x0} 54, {x0} 50))"))
+    df = spark.createDataFrame(rows, "g int, wkt string")
+    for pf in (1, 3):
+        got = {r["g"]: r["geom"]
+               for r in dissolve(df, ["g"], "wkt", pre_fold=pf).collect()}
+        assert len(got) == 6
+        for g, w in got.items():
+            assert abs(multipoly_area(parse_wkt(w)[1]) - 216.0) < 1e-9, \
+                (pf, g)
+            assert w.startswith("MULTIPOLYGON")   # two disjoint parts
