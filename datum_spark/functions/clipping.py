@@ -45,9 +45,8 @@ def _signed_area(p0, p1, p2) -> float:
 
 class _SweepEvent:
     __slots__ = ("point", "left", "other", "is_subject", "type",
-                 "in_out", "other_in_out", "prev_in_result",
-                 "result_transition", "pos", "contour_id",
-                 "output_contour_id")
+                 "in_out", "other_in_out", "result_transition",
+                 "contour_id")
 
     def __init__(self, point, left, other, is_subject):
         self.point = point
@@ -57,11 +56,8 @@ class _SweepEvent:
         self.type = _NORMAL
         self.in_out = False
         self.other_in_out = False
-        self.prev_in_result = None
         self.result_transition = 0
-        self.pos = 0
         self.contour_id = 0
-        self.output_contour_id = -1
 
     def is_below(self, p) -> bool:
         if self.left:
@@ -156,19 +152,26 @@ def _seg_intersection(a1, a2, b1, b2):
         return (p[0] + s * d[0], p[1] + s * d[1])
 
     if kross * kross > 0:
+        # endpoint tolerance: a true tangency (segment endpoint exactly
+        # on the other segment) computes s/t within a few ulp of 0 or 1
+        # and must not be rejected as out-of-range — a missed division
+        # leaves a vertex on a fragment's interior, breaking the
+        # fragments-meet-only-at-endpoints invariant the reconstruction
+        # relies on
+        ptol = 1e-12
         s = _cross(e, vb) / kross
-        if s < 0 or s > 1:
+        if s < -ptol or s > 1 + ptol:
             return None
         t = _cross(e, va) / kross
-        if t < 0 or t > 1:
+        if t < -ptol or t > 1 + ptol:
             return None
-        if s == 0:
+        if s <= ptol:
             return [a1]
-        if s == 1:
+        if s >= 1 - ptol:
             return [a2]
-        if t == 0:
+        if t <= ptol:
             return [b1]
-        if t == 1:
+        if t >= 1 - ptol:
             return [b2]
         pt = to_point(a1, s, va)
         # snap to a coincident endpoint: a crossing that passes exactly
@@ -304,10 +307,6 @@ def _compute_fields(event: _SweepEvent, prev: _SweepEvent | None,
             event.in_out = not prev.other_in_out
             event.other_in_out = (not prev.in_out if prev.is_vertical()
                                   else prev.in_out)
-        event.prev_in_result = (prev.prev_in_result
-                                if (not _in_result(prev, operation)
-                                    or prev.is_vertical())
-                                else prev)
     if _in_result(event, operation):
         this_in = not event.in_out
         that_in = not event.other_in_out
@@ -444,10 +443,41 @@ def _connect_edges(sorted_events, inside_op):
     so the traced faces are simple rings by construction: CCW =
     exterior, CW = hole.
     """
+    def classify(p, q):
+        """ε-sample both sides of the fragment's midpoint against the
+        op-combined INPUT interiors: returns the interior-on-left
+        directed edge, or None when both sides agree (not a result
+        boundary).  Sound because fragments only meet other fragments
+        at endpoints (the sweep subdivided every crossing), so the
+        perpendicular offset stays on the fragment's own side for any
+        feature wider than ~1e-9·coordinate."""
+        mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        norm = math.hypot(dx, dy)
+        eps = 1e-9 * (abs(mx) + abs(my) + 1.0)
+        left_in = inside_op((mx - eps * dy / norm, my + eps * dx / norm))
+        right_in = inside_op((mx + eps * dy / norm, my - eps * dx / norm))
+        if left_in == right_in:
+            return None
+        return (p, q) if left_in else (q, p)
+
+    def direct_by_sample(p, q):
+        d = classify(p, q)
+        return d if d is not None else (p, q)
+
+    # membership AND direction for EVERY fragment come from the
+    # sampling (ground truth over the inputs), not the sweep's
+    # transition flags: the flags mis-transition in rare degenerate
+    # multi-event configurations (vertex-on-edge chains, collinear
+    # contacts — measured ~0.04% of random integer-grid pairs), for
+    # vertical and non-vertical edges alike, and a single wrong edge
+    # corrupts the whole reconstruction.  The sweep's irreplaceable
+    # job is the SUBDIVISION (fragments that only meet at endpoints —
+    # exactly what makes the ε-sampling sound).
     edges = []
     seen = set()
     for e in sorted_events:
-        if not e.left or not e.in_result:
+        if not e.left:
             continue
         p, q = e.point, e.other.point
         if p == q:
@@ -456,23 +486,29 @@ def _connect_edges(sorted_events, inside_op):
         if key in seen:
             continue            # overlap duplicates: one boundary edge
         seen.add(key)
-        if e.type == _NORMAL and not e.is_vertical():
-            # the sweep's transition flag: region above inside ⇒ point
-            # the edge left→right so the interior is on its LEFT
-            edges.append((p, q) if e.result_transition > 0 else (q, p))
-            continue
-        # vertical or overlapped (SAME/DIFFERENT_TRANSITION) edges:
-        # "above" is meaningless / the flags are unreliable — decide the
-        # interior side by ε-sampling beside the midpoint.  Result edges
-        # only meet other edges at endpoints (the sweep subdivided all
-        # crossings), so the perpendicular offset stays on the edge's
-        # own side for any feature wider than ~1e-9·coordinate.
-        mx, my = (p[0] + q[0]) / 2, (p[1] + q[1]) / 2
-        dx, dy = q[0] - p[0], q[1] - p[1]
-        norm = math.hypot(dx, dy)
-        eps = 1e-9 * (abs(mx) + abs(my) + 1.0)
-        left_in = inside_op((mx - eps * dy / norm, my + eps * dx / norm))
-        edges.append((p, q) if left_in else (q, p))
+        d = classify(p, q)
+        if d is not None:
+            edges.append(d)
+
+    # degree repair: a boundary traced interior-on-left has in-degree ==
+    # out-degree at EVERY vertex.  The transition flags very rarely
+    # mis-transition at a multi-event vertex (e.g. an edge passing
+    # exactly through another polygon's corner), which shows up as a
+    # degree imbalance — re-decide the incident edges by sampling.
+    from collections import Counter
+
+    for _ in range(3):
+        outd: Counter = Counter()
+        ind: Counter = Counter()
+        for u, v in edges:
+            outd[u] += 1
+            ind[v] += 1
+        bad = {v for v in set(outd) | set(ind) if outd[v] != ind[v]}
+        if not bad:
+            break
+        for i, (u, v) in enumerate(edges):
+            if u in bad or v in bad:
+                edges[i] = direct_by_sample(u, v)
 
     out_at: dict = {}
     for i, (u, v) in enumerate(edges):
