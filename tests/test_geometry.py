@@ -947,3 +947,77 @@ def test_dissolve_group_union(spark):
             assert abs(multipoly_area(parse_wkt(w)[1]) - 216.0) < 1e-9, \
                 (pf, g)
             assert w.startswith("MULTIPOLYGON")   # two disjoint parts
+
+
+def test_de9im_predicates_cross_validated_against_clipper(spark):
+    """The Catalyst predicate pack vs the independently-fuzzed Martinez
+    clipper as ground truth, over random integer rect/triangle pairs
+    (shared edges and vertex-on-edge touches abound): interiors
+    intersect iff area(A∩B) > 0; touches = meets with zero-area
+    intersection; disjoint = no contact at all."""
+    import random as _r
+
+    from datum_spark.functions.clipping import (INTERSECTION, boolean_op,
+                                                multipoly_area, parse_wkt)
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    rng = _r.Random(17)
+
+    def rect():
+        x1, y1 = rng.randint(0, 12), rng.randint(0, 12)
+        w, h = rng.randint(1, 10), rng.randint(1, 10)
+        return (f"POLYGON (({x1} {y1}, {x1+w} {y1}, {x1+w} {y1+h}, "
+                f"{x1} {y1+h}, {x1} {y1}))")
+
+    def tri():
+        while True:
+            p = [(rng.randint(0, 15), rng.randint(0, 15))
+                 for _ in range(3)]
+            cr = ((p[1][0]-p[0][0])*(p[2][1]-p[0][1])
+                  - (p[1][1]-p[0][1])*(p[2][0]-p[0][0]))
+            if cr != 0:
+                return ("POLYGON ((" + ", ".join(f"{x} {y}" for x, y in
+                                                 p + [p[0]]) + "))")
+
+    cases = [(i, rect() if rng.random() < 0.6 else tri(),
+              rect() if rng.random() < 0.6 else tri())
+             for i in range(120)]
+    vals = ", ".join(f"({i}, '{a}', '{b}')" for i, a, b in cases)
+    rows = {r["i"]: r for r in spark.sql(f"""
+        SELECT i, st_intersects(a, b) AS ix, st_touches(a, b) AS t,
+               st_overlaps(a, b) AS o, st_disjoint(a, b) AS d,
+               st_contains(a, b) AS cab, st_contains(b, a) AS cba
+        FROM VALUES {vals} AS t(i, a, b)""").collect()}
+
+    def segs(mp):
+        return [(ring[k], ring[k + 1]) for poly in mp for ring in poly
+                for k in range(len(ring) - 1)]
+
+    def contact(ma, mb):
+        # any boundary contact: shared point between boundary segments
+        from datum_spark.functions.clipping import _seg_intersection
+        for sa in segs(ma):
+            for sb in segs(mb):
+                if _seg_intersection(sa[0], sa[1], sb[0], sb[1]):
+                    return True
+        return False
+
+    bad = []
+    for i, a, b in cases:
+        ma, mb = parse_wkt(a)[1], parse_wkt(b)[1]
+        inter_area = multipoly_area(boolean_op(ma, mb, INTERSECTION))
+        meets = inter_area > 0 or contact(ma, mb)
+        r = rows[i]
+        if r["ix"] != meets:
+            bad.append((i, "intersects", a, b, r["ix"], meets))
+        if r["d"] != (not meets):
+            bad.append((i, "disjoint", a, b))
+        want_touch = meets and inter_area == 0
+        if r["t"] != want_touch:
+            bad.append((i, "touches", a, b, r["t"], want_touch))
+        want_overlap = (inter_area > 0 and not r["cab"] and not r["cba"])
+        if r["o"] != want_overlap:
+            bad.append((i, "overlaps", a, b, r["o"], want_overlap))
+    assert not bad, bad[:4]
