@@ -793,3 +793,68 @@ WHERE g < CAST(300 / 3 AS INT)""")
     return (merged.selectExpr("g",
                               "ROUND(st_area(geom), 4) AS union_area")
                   .orderBy("g"))
+
+
+# ---------------------------------------------------------------------------
+# General ST_Distance (round 8): min planar distance between arbitrary
+# geometries.  Oracle: the closed-form distance from a point to an
+# axis-aligned rectangle, sqrt(max(0, gapx)^2 + max(0, gapy)^2) — exact
+# interval arithmetic that the engine's vertex/segment minimization
+# must reproduce (ROUND 4 absorbs the clamped-projection division ulp).
+
+_DIST_RECTS = [(1, 20, 15, 45, 40), (2, 60, 5, 85, 30), (3, 10, 55, 40, 80)]
+_DIST_RECTS_SQL = ", ".join(f"({i}, {a}.0, {b}.0, {c}.0, {d}.0)"
+                            for i, a, b, c, d in _DIST_RECTS)
+
+
+@x("x170_distance", f"""
+WITH p AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 101 AS DOUBLE) AS px,
+         CAST(c_custkey % 97 AS DOUBLE) AS py
+  FROM customer WHERE c_custkey <= 600),
+r(rid, bx1, by1, bx2, by2) AS (VALUES {_DIST_RECTS_SQL}),
+d AS (
+  SELECT rid, k,
+         sqrt(power(GREATEST(0, bx1 - px, px - bx2), 2)
+            + power(GREATEST(0, by1 - py, py - by2), 2)) AS dist
+  FROM p CROSS JOIN r)
+SELECT rid,
+       CAST(COUNT(*) FILTER (WHERE dist = 0) AS BIGINT) AS n_inside,
+       CAST(COUNT(*) FILTER (WHERE dist > 0 AND dist <= 10) AS BIGINT)
+         AS n_near,
+       ROUND(SUM(dist), 4) AS total_dist
+FROM d GROUP BY rid ORDER BY rid""")
+def x170(spark, sf):
+    """General ST_Distance through the SQL gateway: 600 synthetic
+    points against 3 district rectangles — zero inside (via the
+    intersects short-circuit), the ST_DWithin-style near band, and the
+    distance sum, hash-checked against the exact closed-form
+    point-to-rectangle distance in DuckDB.  The engine path is the
+    generic vertex/segment minimization (no rectangle special-case),
+    so the oracle holds the general formula to the closed form."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x170_cust")
+    return spark.sql(f"""
+WITH p AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 101 AS DOUBLE) AS px,
+         CAST(c_custkey % 97 AS DOUBLE) AS py
+  FROM __x170_cust WHERE c_custkey <= 600),
+r(rid, bx1, by1, bx2, by2) AS (VALUES {_DIST_RECTS_SQL}),
+d AS (
+  SELECT rid, k,
+         st_distance(concat('POINT (', px, ' ', py, ')'),
+                     concat('POLYGON ((', bx1, ' ', by1, ', ',
+                            bx2, ' ', by1, ', ', bx2, ' ', by2, ', ',
+                            bx1, ' ', by2, ', ', bx1, ' ', by1,
+                            '))')) AS dist
+  FROM p CROSS JOIN r)
+SELECT rid,
+       CAST(COUNT(*) FILTER (WHERE dist = 0) AS BIGINT) AS n_inside,
+       CAST(COUNT(*) FILTER (WHERE dist > 0 AND dist <= 10) AS BIGINT)
+         AS n_near,
+       ROUND(SUM(dist), 4) AS total_dist
+FROM d GROUP BY rid ORDER BY rid""")

@@ -558,6 +558,76 @@ _FUNCTIONS["st__colinover"] = (
 _DIM_A = _DIM.format(w="a")
 _DIM_B = _DIM.format(w="b")
 
+# ---------------------------------------------------------------------------
+# General ST_Distance (round 8): min planar distance between ANY two
+# geometries — vertex-vertex plus clamped vertex-to-segment minima in
+# both directions (exact for straight-edge geometries: the closest
+# approach of two non-crossing segment sets is always at a vertex of
+# one against a vertex-or-segment of the other), and 0 whenever the
+# geometries intersect.  The original point-point spelling is kept as
+# the fast path with its exact historical float behavior.
+
+
+def _vv_min_d2(a: str, b: str) -> str:
+    """SQL expr: min squared distance over vertex pairs (NULL if either
+    side has no vertices)."""
+    return (
+        f"array_min(flatten(transform(flatten({_ringcoords(a)}), "
+        f"__u -> transform(flatten({_ringcoords(b)}), "
+        "__v -> (__u.x - __v.x) * (__u.x - __v.x) "
+        "+ (__u.y - __v.y) * (__u.y - __v.y)))))")
+
+
+def _vs_min_d2(a: str, b: str) -> str:
+    """SQL expr: min squared distance from any vertex of ``a`` to any
+    segment of ``b`` (clamped projection; zero-length segments fall
+    back to endpoint distance).  NULL when either list is empty."""
+    return (
+        f"array_min(flatten(transform(flatten({_ringcoords(a)}), "
+        f"__u -> transform({_segs(b)}, __sg -> "
+        "CASE WHEN power(__sg.q.x - __sg.p.x, 2) "
+        "        + power(__sg.q.y - __sg.p.y, 2) = 0 THEN "
+        "(__u.x - __sg.p.x) * (__u.x - __sg.p.x) "
+        "+ (__u.y - __sg.p.y) * (__u.y - __sg.p.y) "
+        "ELSE "
+        "power(__u.x - (__sg.p.x + "
+        "  greatest(0D, least((__u.x - __sg.p.x) * (__sg.q.x - __sg.p.x) "
+        "                   + (__u.y - __sg.p.y) * (__sg.q.y - __sg.p.y), "
+        "                     power(__sg.q.x - __sg.p.x, 2) "
+        "                   + power(__sg.q.y - __sg.p.y, 2))) "
+        "  / (power(__sg.q.x - __sg.p.x, 2) "
+        "   + power(__sg.q.y - __sg.p.y, 2)) * (__sg.q.x - __sg.p.x)), 2) "
+        "+ power(__u.y - (__sg.p.y + "
+        "  greatest(0D, least((__u.x - __sg.p.x) * (__sg.q.x - __sg.p.x) "
+        "                   + (__u.y - __sg.p.y) * (__sg.q.y - __sg.p.y), "
+        "                     power(__sg.q.x - __sg.p.x, 2) "
+        "                   + power(__sg.q.y - __sg.p.y, 2))) "
+        "  / (power(__sg.q.x - __sg.p.x, 2) "
+        "   + power(__sg.q.y - __sg.p.y, 2)) * (__sg.q.y - __sg.p.y)), 2) "
+        "END))))")
+
+
+_DIST_PP = _FUNCTIONS["st_distance"][2]       # historical point-point body
+_INF = "cast('Infinity' AS DOUBLE)"
+del _FUNCTIONS["st_distance"]
+del _FUNCTIONS["st_dwithin"]
+_FUNCTIONS["st_distance"] = (
+    "(a STRING, b STRING)", "DOUBLE",
+    "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+    f"WHEN {_IS_EMPTY} OR {_NO_VERTS} THEN NULL "
+    # point/point fast path: the exact historical expression
+    "WHEN upper(regexp_extract(trim(a), '^([A-Za-z]+)', 1)) = 'POINT' "
+    "AND upper(regexp_extract(trim(b), '^([A-Za-z]+)', 1)) = 'POINT' THEN "
+    f"{_DIST_PP} "
+    "WHEN st_intersects(a, b) THEN 0D "
+    f"ELSE sqrt(least(coalesce({_vv_min_d2('a', 'b')}, {_INF}), "
+    f"coalesce({_vs_min_d2('a', 'b')}, {_INF}), "
+    f"coalesce({_vs_min_d2('b', 'a')}, {_INF}))) END")
+_FUNCTIONS["st_dwithin"] = (
+    "(a STRING, b STRING, d DOUBLE)", "BOOLEAN",
+    "st_distance(a, b) <= d")
+
+
 _FUNCTIONS["st_disjoint"] = (
     "(a STRING, b STRING)", "BOOLEAN",
     "CASE WHEN a IS NULL OR b IS NULL THEN NULL "

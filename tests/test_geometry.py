@@ -1021,3 +1021,42 @@ def test_de9im_predicates_cross_validated_against_clipper(spark):
         if r["o"] != want_overlap:
             bad.append((i, "overlaps", a, b, r["o"], want_overlap))
     assert not bad, bad[:4]
+
+
+def test_general_st_distance(spark):
+    """ST_Distance beyond point/point: point-polygon (outside edge,
+    outside corner, inside), polygon-polygon (axis gap, diagonal gap,
+    contained, touching), line-polygon — exact values; the point/point
+    fast path keeps its historical behavior; st_dwithin inherits."""
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    sq = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+    [r] = spark.sql(f"""
+      SELECT st_distance('POINT (0 0)', 'POINT (3 4)') AS pp,
+             st_distance('POINT (13 10)', '{sq}') AS edge,
+             st_distance('POINT (13 14)', '{sq}') AS corner,
+             st_distance('POINT (5 5)', '{sq}') AS inside,
+             st_distance('{sq}',
+               'POLYGON ((13 0, 20 0, 20 10, 13 10, 13 0))') AS gap,
+             st_distance('{sq}',
+               'POLYGON ((14 13, 20 13, 20 20, 14 20, 14 13))') AS diag,
+             st_distance('{sq}',
+               'POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))') AS touch,
+             st_distance('{sq}',
+               'POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))') AS contained,
+             st_distance('LINESTRING (12 -5, 12 15)', '{sq}') AS line,
+             st_dwithin('{sq}',
+               'POLYGON ((13 0, 20 0, 20 10, 13 10, 13 0))', 3.0) AS w1,
+             st_dwithin('{sq}',
+               'POLYGON ((13 0, 20 0, 20 10, 13 10, 13 0))', 2.9) AS w0,
+             st_distance('POLYGON EMPTY', '{sq}') AS emp
+      """).collect()
+    assert r["pp"] == 5.0 and r["edge"] == 3.0
+    assert abs(r["corner"] - 5.0) < 1e-12
+    assert r["inside"] == 0.0 and r["gap"] == 3.0
+    assert abs(r["diag"] - 5.0) < 1e-12
+    assert r["touch"] == 0.0 and r["contained"] == 0.0
+    assert r["line"] == 2.0
+    assert r["w1"] is True and r["w0"] is False and r["emp"] is None
