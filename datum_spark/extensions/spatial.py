@@ -858,3 +858,66 @@ SELECT rid,
          AS n_near,
        ROUND(SUM(dist), 4) AS total_dist
 FROM d GROUP BY rid ORDER BY rid""")
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON export (round 8): st_asgeojson — the city-open-data export
+# surface.  The oracle re-assembles the IDENTICAL JSON strings (DuckDB
+# and Spark print doubles the same way), so the hash gate is on exact
+# string equality, plus literal fixtures for every geometry type.
+
+_GJ_FIXTURES = [
+    (1001, "LINESTRING (0 0, 5 5)",
+     '{"type":"LineString","coordinates":[[0.0,0.0],[5.0,5.0]]}'),
+    (1002, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+           "(1 1, 2 1, 2 2, 1 2, 1 1))",
+     '{"type":"Polygon","coordinates":[[[0.0,0.0],[4.0,0.0],[4.0,4.0],'
+     '[0.0,4.0],[0.0,0.0]],[[1.0,1.0],[2.0,1.0],[2.0,2.0],[1.0,2.0],'
+     '[1.0,1.0]]]}'),
+    (1003, "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), "
+           "((5 5, 6 5, 6 6, 5 5)))",
+     '{"type":"MultiPolygon","coordinates":[[[[0.0,0.0],[1.0,0.0],'
+     '[1.0,1.0],[0.0,0.0]]],[[[5.0,5.0],[6.0,5.0],[6.0,6.0],'
+     '[5.0,5.0]]]]}'),
+    (1004, "MULTIPOINT ((1 2), (3 4))",
+     '{"type":"MultiPoint","coordinates":[[1.0,2.0],[3.0,4.0]]}'),
+]
+
+
+@x("x171_geojson", """
+WITH pts AS (
+  SELECT c_custkey AS k,
+         concat('{"type":"Point","coordinates":[',
+                CAST(CAST(c_custkey % 101 AS DOUBLE) AS VARCHAR), ',',
+                CAST(CAST(c_custkey % 97 AS DOUBLE) AS VARCHAR),
+                ']}') AS gj
+  FROM customer WHERE c_custkey <= 300)
+SELECT k, gj FROM pts
+UNION ALL
+SELECT * FROM (VALUES
+""" + ",\n".join("  (%d, '%s')" % (i, gj.replace("'", "''"))
+                 for i, _, gj in _GJ_FIXTURES) + """
+) AS t(k, gj)
+ORDER BY k""")
+def x171(spark, sf):
+    """GeoJSON export through the SQL gateway: 300 synthetic points
+    plus one fixture per geometry type (holed polygon, multipolygon,
+    multi-point/line), hash-gated on EXACT string equality — the
+    oracle re-assembles the same RFC 7946 JSON from the same doubles in
+    DuckDB, and the fixtures are pinned literals."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x171_cust")
+    fixture_vals = ", ".join(f"({i}, '{w}')" for i, w, _ in _GJ_FIXTURES)
+    return spark.sql(f"""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         st_asgeojson(st_makepoint(CAST(c_custkey % 101 AS DOUBLE),
+                                   CAST(c_custkey % 97 AS DOUBLE))) AS gj
+  FROM __x171_cust WHERE c_custkey <= 300)
+SELECT k, gj FROM pts
+UNION ALL
+SELECT k, st_asgeojson(w) AS gj
+FROM VALUES {fixture_vals} AS t(k, w)
+ORDER BY k""")

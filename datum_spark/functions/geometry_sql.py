@@ -722,6 +722,72 @@ _FUNCTIONS["st_overlaps"] = (
     "AND NOT st_contains(a, b) AND NOT st_contains(b, a) END")
 
 
+# ---------------------------------------------------------------------------
+# GeoJSON export (round 8): the reference's consumers are city open-data
+# portals — GeoJSON-first.  Pure Catalyst string assembly from WKT
+# (coordinates re-emitted from the parsed doubles, so numeric text is
+# normalized; nesting depth per RFC 7946: Point 0, Multi-Point/Line 1-2,
+# Polygon 2, MultiPolygon 3).
+
+
+def _gj_ring(var: str) -> str:
+    """SQL expr: one ring's coord text -> GeoJSON position array."""
+    c = _coords(var)
+    return ("concat('[', array_join(transform(" + c + ", "
+            "__p -> concat('[', __p.x, ',', __p.y, ']')), ','), ']')")
+
+
+_GJ_RINGS = (
+    f"concat('[', array_join(transform(regexp_extract_all(w, '{_RING}', 1), "
+    f"__r -> {_gj_ring('__r')}), ','), ']')")
+
+# MULTIPOLYGON: split parts on ')),((' then rings within each part
+_GJ_PARTS = (
+    "concat('[', array_join(transform(" + _AREA_PARTS + ", "
+    "__part -> concat('[', array_join(transform("
+    "split(regexp_replace(__part, '^\\\\(+|\\\\)+$', ''), "
+    "'\\\\)\\\\s*,\\\\s*\\\\('), "
+    f"__ring -> {_gj_ring('__ring')}), ','), ']')), ','), ']')")
+
+_FUNCTIONS["st_asgeojson"] = (
+    "(w STRING)", "STRING",
+    "CASE WHEN w IS NULL THEN NULL "
+    "WHEN upper(w) LIKE '%EMPTY%' THEN concat("
+    "'{\"type\":\"', "
+    "CASE upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "  WHEN 'POINT' THEN 'Point' WHEN 'MULTIPOINT' THEN 'MultiPoint' "
+    "  WHEN 'LINESTRING' THEN 'LineString' "
+    "  WHEN 'MULTILINESTRING' THEN 'MultiLineString' "
+    "  WHEN 'POLYGON' THEN 'Polygon' ELSE 'MultiPolygon' END, "
+    "'\",\"coordinates\":[]}') "
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) = 'POINT' "
+    "THEN concat('{\"type\":\"Point\",\"coordinates\":[', "
+    f"element_at({_coords('w')}, 1).x, ',', "
+    f"element_at({_coords('w')}, 1).y, ']}}') "
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "= 'MULTIPOINT' THEN concat("
+    "'{\"type\":\"MultiPoint\",\"coordinates\":', "
+    f"concat('[', array_join(transform({_coords('w')}, "
+    "__p -> concat('[', __p.x, ',', __p.y, ']')), ','), ']'), '}') "
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "= 'LINESTRING' THEN concat("
+    "'{\"type\":\"LineString\",\"coordinates\":', "
+    f"concat('[', array_join(transform({_coords('w')}, "
+    "__p -> concat('[', __p.x, ',', __p.y, ']')), ','), ']'), '}') "
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "= 'MULTILINESTRING' THEN concat("
+    f"'{{\"type\":\"MultiLineString\",\"coordinates\":', {_GJ_RINGS}, "
+    "'}') "
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "= 'POLYGON' THEN concat("
+    f"'{{\"type\":\"Polygon\",\"coordinates\":', {_GJ_RINGS}, '}}') "
+    "WHEN upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1)) "
+    "= 'MULTIPOLYGON' THEN concat("
+    f"'{{\"type\":\"MultiPolygon\",\"coordinates\":', {_GJ_PARTS}, "
+    "'}') "
+    "ELSE NULL END")
+
+
 def register_geometry_sql_functions(spark: SparkSession,
                                     force: bool = False) -> None:
     """Idempotently register the ST_* pack as temporary SQL functions.

@@ -1060,3 +1060,39 @@ def test_general_st_distance(spark):
     assert r["touch"] == 0.0 and r["contained"] == 0.0
     assert r["line"] == 2.0
     assert r["w1"] is True and r["w0"] is False and r["emp"] is None
+
+
+def test_st_asgeojson(spark):
+    """RFC 7946 export for every geometry type: valid JSON, correct
+    nesting depth, ring/part structure preserved, EMPTY and NULL
+    handled."""
+    import json as _json
+
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    [r] = spark.sql("""
+      SELECT st_asgeojson('POINT (1.5 2)') AS p,
+             st_asgeojson('MULTIPOINT ((1 2), (3 4))') AS mp,
+             st_asgeojson('LINESTRING (0 0, 5 5)') AS l,
+             st_asgeojson('MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))') AS ml,
+             st_asgeojson('POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0),
+                           (1 1, 2 1, 2 2, 1 2, 1 1))') AS pg,
+             st_asgeojson('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)),
+                           ((5 5, 6 5, 6 6, 5 5)))') AS mpg,
+             st_asgeojson('POLYGON EMPTY') AS emp,
+             st_asgeojson(NULL) AS nul""").collect()
+    assert _json.loads(r["p"]) == {"type": "Point",
+                                   "coordinates": [1.5, 2.0]}
+    assert _json.loads(r["mp"])["coordinates"] == [[1, 2], [3, 4]]
+    assert _json.loads(r["l"])["type"] == "LineString"
+    assert _json.loads(r["ml"])["coordinates"][1] == [[2, 2], [3, 3]]
+    pg = _json.loads(r["pg"])
+    assert len(pg["coordinates"]) == 2          # exterior + hole
+    assert pg["coordinates"][0][0] == [0, 0]
+    mpg = _json.loads(r["mpg"])
+    assert len(mpg["coordinates"]) == 2 and \
+        mpg["coordinates"][1][0][0] == [5, 5]
+    assert _json.loads(r["emp"]) == {"type": "Polygon", "coordinates": []}
+    assert r["nul"] is None
