@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-join (t2 Q10, TPC-H Q5 skeleton) at
 sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
-(Tier-B Q01–Q31 + §2-C extensions x01–x171); ``oracle_sql()`` carries the
+(Tier-B Q01–Q31 + §2-C extensions x01–x172); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap (50
@@ -41,7 +41,7 @@ _RECHECK_R8 = {
     "x163_overlay_rect", "x164_overlay_fixtures", "x165_buffer",
     "x166_de9im_predicates", "x167_overlay_join",     # new round-8
     "x168_line_clip", "x169_dissolve", "x170_distance",
-    "x171_geojson",
+    "x171_geojson", "x172_accessors",
     "x57_semantic_dedup", "x58_coreset_sample",       # promoted oracles
     "x04_minhash_lsh", "x07_embedding_dups_lsh",      # flood internals
     "x62_minhash_md5", "x153_near_dup_clusters",

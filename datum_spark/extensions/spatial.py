@@ -921,3 +921,49 @@ UNION ALL
 SELECT k, st_asgeojson(w) AS gj
 FROM VALUES {fixture_vals} AS t(k, w)
 ORDER BY k""")
+
+
+# ---------------------------------------------------------------------------
+# Structural accessors (round 8): part/ring/vertex access + reversal +
+# boundary.  Oracle: pinned literal truth per fixture (hand-derived,
+# the x164/x166 discipline) — accessors are pure structure, so literal
+# expectations validate semantics, not just arithmetic.
+
+_X172_MP = ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), "
+            "((5 5, 6 5, 6 6, 5 5), (5.2 5.2, 5.4 5.2, 5.4 5.4, 5.2 5.2)))")
+_X172_PG = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+_X172_LS = "LINESTRING (0 0, 5 5, 9 1)"
+
+
+@x("x172_accessors", """
+SELECT * FROM (VALUES
+  (1, 2, 1, CAST('POLYGON ((5 5, 6 5, 6 6, 5 5), (5.2 5.2, 5.4 5.2, '
+     || '5.4 5.4, 5.2 5.2))' AS VARCHAR),
+     CAST('LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)' AS VARCHAR),
+     CAST('POINT (5.0 5.0)' AS VARCHAR),
+     CAST('LINESTRING (9.0 1.0, 5.0 5.0, 0.0 0.0)' AS VARCHAR),
+     CAST(0.98 AS DOUBLE),
+     CAST('MULTIPOINT ((0.0 0.0), (9.0 1.0))' AS VARCHAR))
+) AS t(case_id, n_parts, n_holes, part2, ext_ring, point2, rev_line,
+       rev_area, line_bdy)
+ORDER BY case_id""")
+def x172(spark, sf):
+    """Structural accessor pack through the SQL gateway — part/ring/
+    vertex access (st_numgeometries / st_geometryn /
+    st_numinteriorrings / st_exteriorring / st_pointn), reversal
+    (st_reverse preserves area through the full MULTIPOLYGON nesting)
+    and boundary extraction — against hand-pinned literal truth."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    return spark.sql(f"""
+SELECT 1 AS case_id,
+       st_numgeometries('{_X172_MP}') AS n_parts,
+       st_numinteriorrings('{_X172_PG}') AS n_holes,
+       st_geometryn('{_X172_MP}', 2) AS part2,
+       st_exteriorring('{_X172_PG}') AS ext_ring,
+       st_pointn('{_X172_LS}', 2) AS point2,
+       st_reverse('{_X172_LS}') AS rev_line,
+       ROUND(st_area(st_reverse('{_X172_MP}')), 6) AS rev_area,
+       st_boundary('{_X172_LS}') AS line_bdy
+ORDER BY case_id""")

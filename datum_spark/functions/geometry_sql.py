@@ -788,6 +788,126 @@ _FUNCTIONS["st_asgeojson"] = (
     "ELSE NULL END")
 
 
+# ---------------------------------------------------------------------------
+# Accessor pack (round 8): the structural ST_* functions users splice
+# for feature inspection — part/ring/vertex access, reversal, boundary.
+# All pure Catalyst string/array ops; numeric text is re-emitted from
+# the parsed doubles (normalized form, e.g. '1.0') where vertices are
+# rebuilt, and kept verbatim where rings pass through whole.
+
+_GTYPE = "upper(regexp_extract(trim(w), '^([A-Za-z]+)', 1))"
+
+# rings of the nth MULTIPOLYGON part (st_area's split discipline)
+_MPOLY_PART_RINGS_N = (
+    f"split(regexp_replace(element_at({_AREA_PARTS}, n), "
+    "'^\\\\(+|\\\\)+$', ''), '\\\\)\\\\s*,\\\\s*\\\\(')")
+
+
+def _rev_ring(var: str) -> str:
+    """SQL expr: one ring's coord text, vertex order reversed."""
+    return (f"array_join(reverse(transform({_coords(var)}, "
+            "__p -> concat(__p.x, ' ', __p.y))), ', ')")
+
+
+_FUNCTIONS["st_numgeometries"] = (
+    "(w STRING)", "INT",
+    "CASE WHEN w IS NULL THEN NULL "
+    "WHEN upper(w) LIKE '%EMPTY%' THEN 0 "
+    f"WHEN {_GTYPE} = 'MULTIPOLYGON' THEN size({_AREA_PARTS}) "
+    f"WHEN {_GTYPE} IN ('MULTILINESTRING', 'MULTIPOINT') "
+    f"THEN size(regexp_extract_all(w, '{_RING}', 1)) "
+    "ELSE 1 END")
+
+_FUNCTIONS["st_geometryn"] = (
+    "(w STRING, n INT)", "STRING",
+    "CASE WHEN w IS NULL OR upper(w) LIKE '%EMPTY%' THEN NULL "
+    "WHEN n < 1 OR n > st_numgeometries(w) THEN NULL "
+    f"WHEN {_GTYPE} = 'MULTIPOLYGON' THEN "
+    "concat('POLYGON (', array_join(transform("
+    f"{_MPOLY_PART_RINGS_N}, "
+    "__r -> concat('(', __r, ')')), ', '), ')') "
+    f"WHEN {_GTYPE} = 'MULTILINESTRING' THEN "
+    f"concat('LINESTRING (', "
+    f"element_at(regexp_extract_all(w, '{_RING}', 1), n), ')') "
+    f"WHEN {_GTYPE} = 'MULTIPOINT' THEN "
+    f"concat('POINT (', element_at("
+    f"regexp_extract_all(w, '{_RING}', 1), n), ')') "
+    "ELSE w END")
+
+_FUNCTIONS["st_numinteriorrings"] = (
+    "(w STRING)", "INT",
+    f"CASE WHEN w IS NULL OR {_GTYPE} != 'POLYGON' THEN NULL "
+    "WHEN upper(w) LIKE '%EMPTY%' THEN 0 "
+    f"ELSE size(regexp_extract_all(w, '{_RING}', 1)) - 1 END")
+
+_FUNCTIONS["st_exteriorring"] = (
+    "(w STRING)", "STRING",
+    f"CASE WHEN w IS NULL OR {_GTYPE} != 'POLYGON' "
+    "OR upper(w) LIKE '%EMPTY%' THEN NULL "
+    "ELSE concat('LINESTRING (', "
+    f"element_at(regexp_extract_all(w, '{_RING}', 1), 1), ')') END")
+
+_FUNCTIONS["st_interiorringn"] = (
+    "(w STRING, n INT)", "STRING",
+    f"CASE WHEN w IS NULL OR {_GTYPE} != 'POLYGON' "
+    "OR upper(w) LIKE '%EMPTY%' "
+    "OR n < 1 OR n > st_numinteriorrings(w) THEN NULL "
+    "ELSE concat('LINESTRING (', "
+    f"element_at(regexp_extract_all(w, '{_RING}', 1), n + 1), ')') END")
+
+_FUNCTIONS["st_pointn"] = (
+    "(w STRING, n INT)", "STRING",
+    f"CASE WHEN w IS NULL OR {_GTYPE} != 'LINESTRING' "
+    "OR upper(w) LIKE '%EMPTY%' THEN NULL "
+    f"WHEN n < 1 OR n > size({_coords('w')}) THEN NULL "
+    f"ELSE concat('POINT (', element_at({_coords('w')}, n).x, ' ', "
+    f"element_at({_coords('w')}, n).y, ')') END")
+
+_FUNCTIONS["st_startpoint"] = (
+    "(w STRING)", "STRING", "st_pointn(w, 1)")
+
+_FUNCTIONS["st_endpoint"] = (
+    "(w STRING)", "STRING",
+    f"st_pointn(w, size({_coords('w')}))")
+
+_FUNCTIONS["st_reverse"] = (
+    "(w STRING)", "STRING",
+    "CASE WHEN w IS NULL OR upper(w) LIKE '%EMPTY%' THEN w "
+    f"WHEN {_GTYPE} IN ('POINT', 'MULTIPOINT') THEN w "
+    f"WHEN {_GTYPE} = 'LINESTRING' THEN concat('LINESTRING (', "
+    f"{_rev_ring('w')}, ')') "
+    # POLYGON / MULTILINESTRING: ring list kept in place (exterior
+    # stays first), vertex order reversed within each ring
+    f"WHEN {_GTYPE} IN ('POLYGON', 'MULTILINESTRING') THEN "
+    f"concat({_GTYPE}, ' (', array_join(transform("
+    f"regexp_extract_all(w, '{_RING}', 1), "
+    f"__r -> concat('(', {_rev_ring('__r')}, ')')), ', '), ')') "
+    # MULTIPOLYGON: part/ring nesting preserved, rings reversed
+    f"ELSE concat('MULTIPOLYGON (', array_join(transform({_AREA_PARTS}, "
+    "__part -> concat('(', array_join(transform("
+    "split(regexp_replace(__part, '^\\\\(+|\\\\)+$', ''), "
+    "'\\\\)\\\\s*,\\\\s*\\\\('), "
+    f"__r2 -> concat('(', {_rev_ring('__r2')}, ')')), ', '), ')')), "
+    "', '), ')') END")
+
+_FUNCTIONS["st_boundary"] = (
+    "(w STRING)", "STRING",
+    "CASE WHEN w IS NULL THEN NULL "
+    "WHEN upper(w) LIKE '%EMPTY%' THEN 'GEOMETRYCOLLECTION EMPTY' "
+    f"WHEN {_GTYPE} IN ('POINT', 'MULTIPOINT') "
+    "THEN 'GEOMETRYCOLLECTION EMPTY' "
+    f"WHEN {_GTYPE} = 'LINESTRING' THEN concat('MULTIPOINT ((', "
+    f"element_at({_coords('w')}, 1).x, ' ', "
+    f"element_at({_coords('w')}, 1).y, '), (', "
+    f"element_at({_coords('w')}, size({_coords('w')})).x, ' ', "
+    f"element_at({_coords('w')}, size({_coords('w')})).y, '))') "
+    f"WHEN {_GTYPE} IN ('POLYGON', 'MULTIPOLYGON') THEN "
+    "concat('MULTILINESTRING (', array_join(transform("
+    f"regexp_extract_all(w, '{_RING}', 1), "
+    "__r -> concat('(', __r, ')')), ', '), ')') "
+    "ELSE NULL END")
+
+
 def register_geometry_sql_functions(spark: SparkSession,
                                     force: bool = False) -> None:
     """Idempotently register the ST_* pack as temporary SQL functions.

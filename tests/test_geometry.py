@@ -1096,3 +1096,46 @@ def test_st_asgeojson(spark):
         mpg["coordinates"][1][0][0] == [5, 5]
     assert _json.loads(r["emp"]) == {"type": "Polygon", "coordinates": []}
     assert r["nul"] is None
+
+
+def test_accessor_pack(spark):
+    """Structural accessors: part/ring/vertex access, reversal (area
+    invariant under ring reversal), boundary extraction."""
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    mp = ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), "
+          "((5 5, 6 5, 6 6, 5 5), (5.2 5.2, 5.4 5.2, 5.4 5.4, 5.2 5.2)))")
+    pg = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))"
+    ls = "LINESTRING (0 0, 5 5, 9 1)"
+    [r] = spark.sql(f"""
+      SELECT st_numgeometries('{mp}') AS n_mp,
+             st_numgeometries('{pg}') AS n_pg,
+             st_geometryn('{mp}', 2) AS g2,
+             st_geometryn('{mp}', 3) AS oob,
+             st_numinteriorrings('{pg}') AS nir,
+             st_exteriorring('{pg}') AS ext,
+             st_interiorringn('{pg}', 1) AS ir1,
+             st_pointn('{ls}', 2) AS pn,
+             st_startpoint('{ls}') AS sp,
+             st_endpoint('{ls}') AS ep,
+             st_reverse('{ls}') AS revl,
+             st_area(st_reverse('{mp}')) AS reva,
+             st_boundary('{pg}') AS bdy,
+             st_boundary('{ls}') AS lbdy,
+             st_boundary('POINT (1 1)') AS pbdy""").collect()
+    assert r["n_mp"] == 2 and r["n_pg"] == 1
+    assert r["g2"] == ("POLYGON ((5 5, 6 5, 6 6, 5 5), "
+                       "(5.2 5.2, 5.4 5.2, 5.4 5.4, 5.2 5.2))")
+    assert r["oob"] is None and r["nir"] == 1
+    assert r["ext"] == "LINESTRING (0 0, 4 0, 4 4, 0 4, 0 0)"
+    assert r["ir1"] == "LINESTRING (1 1, 2 1, 2 2, 1 2, 1 1)"
+    assert r["pn"] == "POINT (5.0 5.0)"
+    assert r["sp"] == "POINT (0.0 0.0)" and r["ep"] == "POINT (9.0 1.0)"
+    assert r["revl"] == "LINESTRING (9.0 1.0, 5.0 5.0, 0.0 0.0)"
+    assert abs(r["reva"] - 0.98) < 1e-9     # reversal preserves area
+    assert r["bdy"].startswith("MULTILINESTRING") and \
+        r["bdy"].count("(") == 3
+    assert r["lbdy"] == "MULTIPOINT ((0.0 0.0), (9.0 1.0))"
+    assert r["pbdy"] == "GEOMETRYCOLLECTION EMPTY"
