@@ -34,7 +34,13 @@ core design as Iceberg's metadata tree cut down to one level:
 Each manifest additionally records:
 
 - the DataFrame SCHEMA (json), so an empty snapshot (v0, or after a
-  delete-all) still reads with its typed columns;
+  delete-all) still reads with its typed columns.  The schema EVOLVES
+  additively (Iceberg semantics, name-mapped): an append may add new
+  nullable columns or omit existing ones, ``add_columns`` /
+  ``drop_columns`` are metadata-only commits, same-name type changes
+  raise :class:`SchemaConflict`, and every read is pinned to its
+  version's recorded schema — time travel returns each version with
+  the schema it had;
 - per-file COLUMN STATS (min/max/null-count from the parquet footers),
   the Iceberg-style scan-pruning metadata: ``read(where=...)`` skips
   files the predicate provably cannot match, and ``merge`` /
@@ -66,6 +72,44 @@ from pyspark.sql import DataFrame, SparkSession
 
 class CommitConflict(RuntimeError):
     """Another writer published this version first (after retries)."""
+
+
+class SchemaConflict(ValueError):
+    """An append/merge redefines an existing column with a different
+    type.  Name-mapped parquet cannot read a file's int32 as a string;
+    widen via an explicit rewrite instead."""
+
+
+def _merge_schema_json(parent: dict | None, new: dict | None) -> dict | None:
+    """Additive schema evolution (Iceberg semantics, name-mapped):
+    columns union by NAME, same-name columns must keep their type, and
+    any column absent from either side becomes nullable (files that
+    predate it read it as NULL).  Raises :class:`SchemaConflict` on a
+    type change — without parquet field IDs a type rewrite cannot be
+    resolved at read time."""
+    if parent is None:
+        return new
+    if new is None:
+        return parent
+    new_by_name = {f["name"]: f for f in new["fields"]}
+    fields = []
+    for f in parent["fields"]:
+        g = new_by_name.pop(f["name"], None)
+        f = dict(f)
+        if g is None:
+            f["nullable"] = True          # absent from the new files
+        elif g["type"] != f["type"]:
+            raise SchemaConflict(
+                f"column {f['name']!r}: {f['type']} -> {g['type']}")
+        else:
+            f["nullable"] = bool(f.get("nullable") or g.get("nullable"))
+        fields.append(f)
+    for f in new["fields"]:               # brand-new columns, in order
+        if f["name"] in new_by_name:
+            f = dict(f)
+            f["nullable"] = True          # absent from every old file
+            fields.append(f)
+    return {"type": "struct", "fields": fields}
 
 
 # columns stats are kept for: parquet footer min/max types that survive
@@ -352,15 +396,22 @@ class SnapshotTable:
                 return None
             files = list(new_files)
             file_stats = dict(stats)
+            merged_schema = schema_json
             if parent is not None:
                 pm = self._load_manifest(parent)
                 files += pm["files"]
                 file_stats.update(pm.get("file_stats", {}))
                 file_stats = {f: s for f, s in file_stats.items()
                               if f in set(files)}
+                try:
+                    merged_schema = _merge_schema_json(pm.get("schema"),
+                                                       schema_json)
+                except SchemaConflict:
+                    self._discard_files(new_files)
+                    raise
             try:
                 self._publish(version, files, "append", parent,
-                              extra={"schema": schema_json,
+                              extra={"schema": merged_schema,
                                      "file_stats": file_stats,
                                      **(extra or {})})
                 return version
@@ -389,8 +440,12 @@ class SnapshotTable:
                 new_files, schema_json, stats = [], None, {}
             else:
                 new_files, schema_json, stats = self._write_data(df)
-            if schema_json is None and parent is not None:
-                schema_json = self._load_manifest(parent).get("schema")
+            if parent is not None:
+                # additive evolution: the rewrite may add columns (an
+                # evolved merge) or — when stats pruned every file — be
+                # just the upsert side; parent-only columns must survive
+                schema_json = _merge_schema_json(
+                    self._load_manifest(parent).get("schema"), schema_json)
             file_stats = dict(stats)
             if kept and parent is not None:
                 parent_stats = self._load_manifest(parent) \
@@ -407,6 +462,21 @@ class SnapshotTable:
                 continue
         raise CommitConflict(
             f"lost the commit race {retries} times at {self.path}")
+
+    def _read_files(self, manifest: dict, files: list[str]) -> DataFrame:
+        """Scan ``files`` PINNED to the manifest's recorded schema: files
+        that predate an added column read it as NULL, columns dropped
+        from the schema are ignored even where a file still stores them
+        (parquet name mapping) — every version reads with its own
+        schema, uniformly across heterogeneous commits."""
+        schema_json = manifest.get("schema")
+        if schema_json:
+            from pyspark.sql.types import StructType
+
+            return (self.spark.read
+                    .schema(StructType.fromJson(schema_json))
+                    .parquet(*files))
+        return self.spark.read.option("mergeSchema", "true").parquet(*files)
 
     def _discard_files(self, files: list[str]) -> None:
         """Remove a commit directory whose files never made it into any
@@ -523,10 +593,13 @@ class SnapshotTable:
             touched, _ = touched_split(parent)
             if not touched:
                 return df
-            current = self.spark.read.parquet(*touched)
+            current = self._read_files(self._load_manifest(parent),
+                                       touched)
             remaining = current.join(df.select(*keys).distinct(), keys,
                                      "anti")
-            return remaining.unionByName(df)
+            # allowMissingColumns both ways: the upsert may carry NEW
+            # columns (schema evolution) or omit existing ones (NULLs)
+            return remaining.unionByName(df, allowMissingColumns=True)
 
         return self._commit_rewrite(
             "merge", build,
@@ -581,8 +654,11 @@ class SnapshotTable:
             touched, _ = touched_split(parent)
             if not touched:
                 return None
-            return (self.spark.read.parquet(*touched)
-                    .filter(f"NOT ({condition})"))
+            # delete rows where the condition is TRUE; NULL (e.g. an
+            # evolved column on pre-evolution rows) must KEEP the row —
+            # a bare NOT(cond) would drop NULLs too
+            return (self._read_files(self._load_manifest(parent), touched)
+                    .filter(f"NOT coalesce(({condition}), false)"))
 
         return self._commit_rewrite(
             "delete", build,
@@ -607,10 +683,11 @@ class SnapshotTable:
         def build(parent):
             if parent is None:
                 return None
-            files = self._load_manifest(parent)["files"]
+            manifest = self._load_manifest(parent)
+            files = manifest["files"]
             if not files:
                 return None
-            df = self.spark.read.parquet(*files)
+            df = self._read_files(manifest, files)
             if cluster_by:
                 return (df.repartitionByRange(max(1, target_files),
                                               *cluster_by)
@@ -618,6 +695,73 @@ class SnapshotTable:
             return df.coalesce(max(1, target_files))
 
         return self._commit_rewrite("compact", build)
+
+    # -- schema evolution (metadata-only commits) --------------------------
+
+    def _commit_evolve(self, evolve, retries: int = 10) -> int:
+        """Publish a METADATA-ONLY commit: same files, evolved schema.
+        ``evolve(schema_json) -> schema_json`` runs against the current
+        head inside the optimistic retry loop — no data is read or
+        written, the commit is O(manifest)."""
+        for _ in range(retries):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"no snapshot table at {self.path}")
+            pm = self._load_manifest(parent)
+            try:
+                self._publish(parent + 1, pm["files"], "evolve-schema",
+                              parent,
+                              extra={"schema": evolve(pm.get("schema")),
+                                     "file_stats": pm.get("file_stats",
+                                                          {})})
+                return parent + 1
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"lost the commit race {retries} times at {self.path}")
+
+    def add_columns(self, ddl: str) -> int:
+        """Add columns by DDL (``"tag string, score double"``) without
+        touching any data file: existing files read the new columns as
+        NULL (parquet name mapping).  Re-using a name that a PREVIOUS
+        drop removed resurrects old values in pre-drop files — the
+        field-ID gap vs real Iceberg; use a fresh name.  Raises
+        :class:`SchemaConflict` if a column already exists."""
+        from pyspark.sql.types import StructType
+
+        new = StructType.fromDDL(ddl).jsonValue()
+
+        def evolve(schema_json):
+            if schema_json is None:
+                return new
+            have = {f["name"] for f in schema_json["fields"]}
+            clash = have & {f["name"] for f in new["fields"]}
+            if clash:
+                raise SchemaConflict(
+                    f"column(s) already exist: {sorted(clash)}")
+            return _merge_schema_json(schema_json, new)
+
+        return self._commit_evolve(evolve)
+
+    def drop_columns(self, cols: list[str]) -> int:
+        """Drop columns metadata-only: files keep the bytes (reclaimed
+        only by a later ``compact``/rewrite), every read from this
+        version on simply stops mapping them."""
+
+        def evolve(schema_json):
+            if schema_json is None:
+                raise ValueError("table has no recorded schema to evolve")
+            have = {f["name"] for f in schema_json["fields"]}
+            missing = set(cols) - have
+            if missing:
+                raise ValueError(f"no such column(s): {sorted(missing)}")
+            kept = [f for f in schema_json["fields"]
+                    if f["name"] not in set(cols)]
+            if not kept:
+                raise ValueError("cannot drop every column")
+            return {"type": "struct", "fields": kept}
+
+        return self._commit_evolve(evolve)
 
     # -- reads -------------------------------------------------------------
 
@@ -627,9 +771,11 @@ class SnapshotTable:
              where: str | None = None) -> DataFrame:
         """Snapshot read.  ``version`` pins an exact version; ``as_of``
         (unix seconds) picks the newest version committed at-or-before
-        that time; default = current head.  ``merge_schema`` unions the
-        schemas across the snapshot's files (additive schema evolution:
-        appends may carry new columns, old files read them as NULL).
+        that time; default = current head.  Reads are PINNED to the
+        version's recorded schema (see :meth:`_read_files`), so each
+        version time-travels with the schema it had; ``merge_schema``
+        only matters for pre-schema manifests (falls back to parquet
+        ``mergeSchema``).
         ``where`` applies a filter AND file-prunes the scan via the
         manifest column stats (files the predicate provably cannot
         match are never opened)."""
@@ -648,10 +794,10 @@ class SnapshotTable:
                          if file_may_match(stats.get(f, {}), terms)]
         if not files:
             return self._empty_df(manifest)
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        out = reader.parquet(*files)
+        if manifest.get("schema") or merge_schema:
+            out = self._read_files(manifest, files)
+        else:
+            out = self.spark.read.parquet(*files)
         return out.filter(where) if where is not None else out
 
     def _empty_df(self, manifest: dict) -> DataFrame:

@@ -446,3 +446,116 @@ def test_clustered_compact_enables_pruning(spark, table):
     after = set(table._load_manifest(v2)["files"])
     assert before & after                       # low-range files kept
     assert _rows(table.read()) == list(range(300))
+
+
+# -- schema evolution ------------------------------------------------------
+
+
+def test_evolved_append_adds_nullable_column(spark, table):
+    table.append(spark.range(2).select(F.col("id").alias("v")))
+    table.append(spark.range(2, 4).select(F.col("id").alias("v"),
+                                          F.lit("b").alias("tag")))
+    head = table.read()
+    assert head.columns == ["v", "tag"]
+    got = {r["v"]: r["tag"] for r in head.collect()}
+    assert got == {0: None, 1: None, 2: "b", 3: "b"}
+    # time travel: version 1 keeps its own (pre-evolution) schema
+    assert table.read(version=1).columns == ["v"]
+
+
+def test_append_missing_column_fills_null(spark, table):
+    table.append(spark.range(1).select(F.col("id").alias("v"),
+                                       F.lit(7.5).alias("score")))
+    table.append(spark.range(1, 2).select(F.col("id").alias("v")))
+    got = {r["v"]: r["score"] for r in table.read().collect()}
+    assert got == {0: 7.5, 1: None}
+
+
+def test_type_conflict_raises_and_discards(spark, table):
+    from datum_spark.sources.snapshots import SchemaConflict
+
+    table.append(spark.range(1).select(F.col("id").alias("v")))
+    with pytest.raises(SchemaConflict):
+        table.append(spark.range(1).select(
+            F.col("id").cast("string").alias("v")))
+    # the failed append's commit dir was discarded; head is unchanged
+    assert table.current_version() == 1
+    assert _rows(table.read()) == [0]
+    files_on_disk = {os.path.join(d, n)
+                     for d, _, ns in os.walk(table._data) for n in ns
+                     if n.endswith(".parquet")}
+    referenced = set(table._load_manifest(1)["files"])
+    assert files_on_disk == referenced
+
+
+def test_add_columns_metadata_only(spark, table):
+    table.append(spark.range(3).select(F.col("id").alias("v")))
+    files_before = set(table._load_manifest(1)["files"])
+    v = table.add_columns("tag string, score double")
+    m = table.history()[-1][1]
+    assert m["operation"] == "evolve-schema"
+    assert set(m["files"]) == files_before          # no data written
+    head = table.read()
+    assert head.columns == ["v", "tag", "score"]
+    assert head.filter("tag IS NULL").count() == 3
+    from datum_spark.sources.snapshots import SchemaConflict
+    with pytest.raises(SchemaConflict):
+        table.add_columns("v long")
+    assert table.current_version() == v
+
+
+def test_drop_columns_metadata_only(spark, table):
+    table.append(spark.range(3).select(F.col("id").alias("v"),
+                                       (F.col("id") * 2).alias("w")))
+    table.drop_columns(["w"])
+    assert table.read().columns == ["v"]
+    # the bytes are still there: the PREVIOUS version maps them
+    assert table.read(version=1).columns == ["v", "w"]
+    with pytest.raises(ValueError):
+        table.drop_columns(["nope"])
+
+
+def test_merge_with_evolved_upsert(spark, table):
+    table.append(spark.range(4).select(F.col("id").alias("k"),
+                                       F.lit("old").alias("v")))
+    up = spark.createDataFrame([(2, "new", 1.5), (9, "new", 2.5)],
+                               "k long, v string, score double")
+    table.merge(up, keys=["k"])
+    got = {r["k"]: (r["v"], r["score"]) for r in table.read().collect()}
+    assert got == {0: ("old", None), 1: ("old", None),
+                   2: ("new", 1.5), 3: ("old", None), 9: ("new", 2.5)}
+
+
+def test_schema_survives_pruned_merge(spark, table):
+    """Stats-pruning can leave the rewrite as JUST the upsert side; the
+    published schema must still carry parent-only columns."""
+    table.append(spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                                       "k long, v string, extra double"))
+    up = spark.createDataFrame([(100, "z")], "k long, v string")
+    table.merge(up, keys=["k"])          # k=100 misses every file range
+    head = table.read()
+    assert set(head.columns) == {"k", "v", "extra"}
+    got = {r["k"]: r["extra"] for r in head.collect()}
+    assert got == {1: 10.0, 2: 20.0, 100: None}
+
+
+def test_compact_after_evolution_materializes_schema(spark, table):
+    table.append(spark.range(2).select(F.col("id").alias("v")))
+    table.append(spark.range(2, 4).select(F.col("id").alias("v"),
+                                          F.lit(1).alias("n")))
+    table.compact(target_files=1)
+    head = table.read()
+    assert head.columns == ["v", "n"]
+    assert head.count() == 4
+    # post-compact, delete on the evolved column works end to end
+    table.delete_where("n = 1")
+    assert _rows(table.read()) == [0, 1]
+
+
+def test_empty_after_evolution_keeps_schema(spark, table):
+    table.append(spark.range(1).select(F.col("id").alias("v")))
+    table.add_columns("tag string")
+    table.delete_where("v >= 0")
+    head = table.read()
+    assert head.columns == ["v", "tag"]
+    assert head.count() == 0
