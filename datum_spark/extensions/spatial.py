@@ -967,3 +967,61 @@ SELECT 1 AS case_id,
        ROUND(st_area(st_reverse('{_X172_MP}')), 6) AS rev_area,
        st_boundary('{_X172_LS}') AS line_bdy
 ORDER BY case_id""")
+
+
+# ---------------------------------------------------------------------------
+# ST_IsValid / ST_MakeValid (round 8): even-odd validity repair — the
+# GEOS "linework" method re-expressed on the module's own noding + XOR
+# fold (functions/clipping.py).  The oracle pins hand-derived truth
+# (validity verdicts and even-odd areas after repair) as literals; the
+# fixtures cover the OGC failure modes (bowtie, self-touch, spike,
+# crossing shells, double-wound cancellation, hole outside shell).
+
+_X173_CASES = [
+    (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", True, 100.0),
+    (2, "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))", False, 50.0),
+    (3, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+        "(2 2, 4 2, 4 4, 2 4, 2 2))", True, 96.0),
+    (4, "POLYGON ((0 0, 4 0, 2 2, 4 4, 0 4, 2 2, 0 0))", False, 8.0),
+    (5, "POLYGON ((0 0, 10 0, 10 10, 5 10, 5 15, 5 10, 0 10, 0 0))",
+     False, 100.0),
+    (6, "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "((2 2, 6 2, 6 6, 2 6, 2 2)))", False, 24.0),
+    (7, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0, 4 0, 4 4, 0 4, 0 0))",
+     False, 0.0),
+    (8, "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+        "(10 10, 11 10, 11 11, 10 11, 10 10))", False, 17.0),
+    (9, "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+        "((10 10, 14 10, 14 14, 10 14, 10 10)))", True, 32.0),
+]
+
+
+@x("x173_makevalid", """
+SELECT * FROM (VALUES
+  (1, TRUE,  CAST(100.0 AS DOUBLE), TRUE),
+  (2, FALSE, CAST(50.0  AS DOUBLE), TRUE),
+  (3, TRUE,  CAST(96.0  AS DOUBLE), TRUE),
+  (4, FALSE, CAST(8.0   AS DOUBLE), TRUE),
+  (5, FALSE, CAST(100.0 AS DOUBLE), TRUE),
+  (6, FALSE, CAST(24.0  AS DOUBLE), TRUE),
+  (7, FALSE, CAST(0.0   AS DOUBLE), TRUE),
+  (8, FALSE, CAST(17.0  AS DOUBLE), TRUE),
+  (9, TRUE,  CAST(32.0  AS DOUBLE), TRUE)
+) AS t(gid, is_valid, mv_area, mv_valid) ORDER BY gid""")
+def x173(spark, sf):
+    """ST_IsValid / ST_MakeValid through the SQL gateway: verdicts on
+    the nine OGC-failure fixtures plus the even-odd area after repair
+    (bowtie -> two triangles, spike vanishes, double-wound ring
+    cancels to empty, crossing shells XOR) and the repaired geometry
+    re-validating.  Areas are IEEE-exact on the integer fixtures, so
+    the entry hash-matches the pinned truth."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    vals = ", ".join(f"({gid}, '{w}')" for gid, w, *_ in _X173_CASES)
+    return spark.sql(f"""
+SELECT gid,
+       st_isvalid(w) AS is_valid,
+       ROUND(st_area(st_makevalid(w)), 6) AS mv_area,
+       st_isvalid(st_makevalid(w)) AS mv_valid
+FROM VALUES {vals} AS t(gid, w) ORDER BY gid""")

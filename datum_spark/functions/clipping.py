@@ -147,11 +147,20 @@ def _seg_intersection(a1, a2, b1, b2):
     vb = (b2[0] - b1[0], b2[1] - b1[1])
     e = (b1[0] - a1[0], b1[1] - a1[1])
     kross = _cross(va, vb)
+    la2 = va[0] * va[0] + va[1] * va[1]
+    lb2 = vb[0] * vb[0] + vb[1] * vb[1]
 
     def to_point(p, s, d):
         return (p[0] + s * d[0], p[1] + s * d[1])
 
-    if kross * kross > 0:
+    # RELATIVE parallel test: the computed crossing of two segments at
+    # angle θ carries error ~ ulp/sin(θ) — at θ < 1e-9 rad that error
+    # reaches 1e-4 on unit-scale coordinates, far outside any endpoint
+    # snap, and e.g. two near-collinear edges SHARING an endpoint get a
+    # bogus interior "crossing".  |kross| > 1e-9 |va||vb| <=> θ > ~1e-9
+    # rad; flatter pairs go through the collinear branch, whose
+    # projection arithmetic is well-conditioned.
+    if kross * kross > 1e-18 * la2 * lb2:
         # endpoint tolerance: a true tangency (segment endpoint exactly
         # on the other segment) computes s/t within a few ulp of 0 or 1
         # and must not be rejected as out-of-range — a missed division
@@ -183,21 +192,26 @@ def _seg_intersection(a1, a2, b1, b2):
                     and abs(pt[1] - ep[1]) <= 1e-9 * (abs(ep[1]) + 1.0)):
                 return [ep]
         return [pt]
-    # parallel: collinear?
-    if _cross(e, va) != 0:
+    # parallel: collinear?  (matching relative tolerance: an offset of
+    # |e|·1e-9 off the shared line still counts as collinear — the same
+    # scale the parallel test admits)
+    ecross = _cross(e, va)
+    le2 = e[0] * e[0] + e[1] * e[1]
+    if ecross * ecross > 1e-18 * la2 * le2:
         return None
-    sqr_len_a = va[0] * va[0] + va[1] * va[1]
+    sqr_len_a = la2
     if sqr_len_a == 0:
         return None
+    ptol = 1e-12
     s0 = (va[0] * e[0] + va[1] * e[1]) / sqr_len_a
     s1 = s0 + (va[0] * vb[0] + va[1] * vb[1]) / sqr_len_a
     smin, smax = min(s0, s1), max(s0, s1)
-    if smin > 1 or smax < 0:
+    if smin > 1 + ptol or smax < -ptol:
         return None
-    if smin == 1:
-        return [to_point(a1, 1, va)]
-    if smax == 0:
-        return [to_point(a1, 0, va)]
+    if smin >= 1 - ptol:
+        return [a2]                       # touch at a's far endpoint
+    if smax <= ptol:
+        return [a1]                       # touch at a's near endpoint
     lo = to_point(a1, max(smin, 0.0), va)
     hi = to_point(a1, min(smax, 1.0), va)
     return [lo] if lo == hi else [lo, hi]
@@ -934,3 +948,266 @@ def overlay_wkt(wa: str, wb: str, op: str) -> str | None:
             f"intersection/difference); got {ka}/{kb} — buffer "
             "lines/points first (st_buffer)")
     return to_wkt(boolean_op(da, db, _OPS[op]))
+
+
+# -- validity: ST_IsValid / ST_MakeValid --------------------------------------
+#
+# PostGIS delegation parity: the reference's users run
+# ST_IsValid / ST_MakeValid inside where=/create_view SQL
+# (/root/reference/datum/postgis/table.py:157-158).  MakeValid here is
+# the GEOS "linework" method re-expressed on this module's primitives:
+# node every ring against itself (split edges at self-intersections),
+# extract the simple loops between repeated vertices, and XOR-fold the
+# loops through the Martinez sweep — even-odd semantics, so a bowtie
+# becomes two triangles, a spike vanishes, and a doubly-wound ring
+# cancels.  Valid input round-trips unchanged (area-identical).
+
+
+def _node_rings(rings):
+    """Planar noding of a SET of rings: insert every intersection point
+    — self-intersections within a ring AND crossings between rings —
+    into each ring's vertex sequence.  O((ΣE)²) segment pairs:
+    per-geometry work inside an Arrow batch, never a join.
+
+    Intersection points are SNAPPED to a canonical representative
+    (original vertices preferred, shared across all rings): the same
+    crossing computed from two different edge pairs can differ in the
+    last ulp, and an unsnapped pair would leave a micro-edge the loop
+    extraction cannot close."""
+    ring_pts = []
+    for ring in rings:
+        pts = [(float(x), float(y)) for x, y in ring]
+        if pts and pts[0] != pts[-1]:
+            pts.append(pts[0])
+        ring_pts.append(pts)
+
+    canon: list = list(dict.fromkeys(
+        p for pts in ring_pts for p in pts))
+
+    def snap(p):
+        tol = 1e-9 * (abs(p[0]) + abs(p[1]) + 1.0)
+        for q in canon:
+            if abs(p[0] - q[0]) <= tol and abs(p[1] - q[1]) <= tol:
+                return q
+        canon.append(p)
+        return p
+
+    edges = [(ri, i) for ri, pts in enumerate(ring_pts)
+             for i in range(len(pts) - 1)]
+    splits: dict = {e: [] for e in edges}
+    for ei in range(len(edges)):
+        ra, ia = edges[ei]
+        a1, a2 = ring_pts[ra][ia], ring_pts[ra][ia + 1]
+        if a1 == a2:
+            continue
+        for ej in range(ei + 1, len(edges)):
+            rb, ib = edges[ej]
+            b1, b2 = ring_pts[rb][ib], ring_pts[rb][ib + 1]
+            if b1 == b2:
+                continue
+            inter = _seg_intersection(a1, a2, b1, b2)
+            if not inter:
+                continue
+            for p in inter:
+                p = snap(p)
+                if p != a1 and p != a2:
+                    splits[edges[ei]].append(p)
+                if p != b1 and p != b2:
+                    splits[edges[ej]].append(p)
+    out_rings = []
+    for ri, pts in enumerate(ring_pts):
+        out = []
+        for i in range(len(pts) - 1):
+            a1 = pts[i]
+            out.append(a1)
+            uniq = sorted(set(splits[(ri, i)]),
+                          key=lambda p: (p[0] - a1[0]) ** 2
+                                        + (p[1] - a1[1]) ** 2)
+            out.extend(uniq)
+        if pts:
+            out.append(pts[0])
+        out_rings.append(out)
+    return out_rings
+
+
+def _ring_self_node(ring):
+    """Single-ring noding (see :func:`_node_rings`)."""
+    return _node_rings([ring])[0]
+
+
+def _extract_simple_loops(noded):
+    """Cut a noded closed vertex sequence into SIMPLE loops at repeated
+    vertices (each loop visits no vertex twice).  Degenerate loops
+    (< 3 distinct points or zero signed area — spikes) are dropped."""
+    loops = []
+    path: list = []
+    index: dict = {}
+    for p in noded[:-1] if noded else []:
+        if p in index:
+            i = index[p]
+            loop = path[i:] + [p]
+            for q in path[i + 1:]:
+                index.pop(q, None)
+            del path[i + 1:]
+            if len(loop) >= 4:
+                loops.append(loop)
+        else:
+            index[p] = len(path)
+            path.append(p)
+    if len(path) >= 3:
+        loops.append(path + [path[0]])
+    return [l for l in loops if _ring_signed_area2(l) != 0]
+
+
+def make_valid_multipoly(multipoly):
+    """Even-odd validity repair: every ring noded and split into simple
+    loops, loops XOR-folded through the sweep.  Holes fall out of the
+    fold (outer XOR hole = annulus); valid input reproduces itself."""
+    all_rings = [ring for poly in multipoly for ring in poly]
+    loops = []
+    for noded in _node_rings(all_rings):
+        loops.extend(_extract_simple_loops(noded))
+    result: list = []
+    for loop in loops:
+        result = boolean_op(result, [[loop]], XOR) if result else [[loop]]
+    # the face walk can emit a PINCHED ring where two faces meet at a
+    # single shared vertex (the boundary passes through it twice); OGC
+    # rings must be simple, so split such rings back into their loops
+    # and re-nest holes
+    rings, pinched = [], False
+    for poly in result:
+        for ring in poly:
+            body = ring[:-1]
+            if len(body) != len(set(body)):
+                pinched = True
+                rings.extend(_extract_simple_loops(list(ring)))
+            else:
+                rings.append(ring)
+    if pinched:
+        result = _assemble(rings)
+    # drop MICRO-SLIVER parts/holes: XOR-folding loops that touch at a
+    # sharp-angle vertex intersects nearly-parallel edges, whose
+    # computed crossing is ill-conditioned (error ~ ulp/sin(angle));
+    # the resulting noise faces are below 1e-9 of the geometry's bbox
+    # area and can overlap a real face by the same noise margin
+    xs = [p[0] for poly in multipoly for ring in poly for p in ring]
+    ys = [p[1] for poly in multipoly for ring in poly for p in ring]
+    if xs:
+        bbox_area = (max(xs) - min(xs)) * (max(ys) - min(ys))
+        tol = 1e-9 * max(bbox_area, 1e-300)
+        cleaned = []
+        for poly in result:
+            if abs(_ring_signed_area2(poly[0])) / 2 <= tol:
+                continue
+            cleaned.append([poly[0]]
+                           + [h for h in poly[1:]
+                              if abs(_ring_signed_area2(h)) / 2 > tol])
+        result = cleaned
+    return result
+
+
+def polygon_invalid_reason(multipoly) -> str | None:
+    """None when valid, else why not.  Checks the OGC failure modes this
+    engine can produce or repair: too-few-point / unclosed rings,
+    repeated vertices, ring self-intersection, ring-ring crossing
+    within a polygon, and a hole anchored outside its shell.  (Nested
+    shells and fully-shared-boundary holes are not flagged — document
+    gap vs full OGC, same tier as the DE-9IM notes.)"""
+    for poly in multipoly:
+        for ri, ring in enumerate(poly):
+            pts = [(float(x), float(y)) for x, y in ring]
+            closed = bool(pts) and pts[0] == pts[-1]
+            body = pts[:-1] if closed else pts
+            if len(body) < 3:
+                return "too few points"
+            if not closed:
+                return "ring not closed"
+            if len(set(body)) != len(body):
+                return "repeated vertex"
+            n = len(pts) - 1
+            for i in range(n):
+                for j in range(i + 1, n):
+                    inter = _seg_intersection(pts[i], pts[i + 1],
+                                              pts[j], pts[j + 1])
+                    if not inter:
+                        continue
+                    if len(inter) == 2:
+                        return "self-intersection (collinear overlap)"
+                    p = inter[0]
+                    shared = p in (pts[i], pts[i + 1]) \
+                        and p in (pts[j], pts[j + 1])
+                    if not shared:
+                        return "self-intersection"
+        # ring-ring interactions within one polygon
+        for ri in range(len(poly)):
+            for rj in range(ri + 1, len(poly)):
+                a, b = poly[ri], poly[rj]
+                for i in range(len(a) - 1):
+                    ea = (tuple(map(float, a[i])),
+                          tuple(map(float, a[i + 1])))
+                    for j in range(len(b) - 1):
+                        eb = (tuple(map(float, b[j])),
+                              tuple(map(float, b[j + 1])))
+                        inter = _seg_intersection(ea[0], ea[1],
+                                                  eb[0], eb[1])
+                        if not inter:
+                            continue
+                        if len(inter) == 2:
+                            return "rings share a boundary segment"
+                        # PROPER crossing only: interior to both edges.
+                        # A vertex-on-edge or vertex-vertex touch is
+                        # valid tangency (OGC allows point contact).
+                        if inter[0] not in ea and inter[0] not in eb:
+                            return "rings cross"
+        shell_only = [[poly[0]]]          # multipoly: shell ring alone
+        for hole in poly[1:]:
+            p0 = (float(hole[0][0]), float(hole[0][1]))
+            if not _pip_multipoly(p0, shell_only) \
+                    and not _on_boundary(p0, shell_only):
+                return "hole outside shell"
+    # multipolygon parts: shells may touch at points but never cross or
+    # share a boundary segment (nested/contained shells: documented gap)
+    for pi in range(len(multipoly)):
+        for pj in range(pi + 1, len(multipoly)):
+            a, b = multipoly[pi][0], multipoly[pj][0]
+            for i in range(len(a) - 1):
+                ea = (tuple(map(float, a[i])), tuple(map(float, a[i + 1])))
+                for j in range(len(b) - 1):
+                    eb = (tuple(map(float, b[j])),
+                          tuple(map(float, b[j + 1])))
+                    inter = _seg_intersection(ea[0], ea[1], eb[0], eb[1])
+                    if not inter:
+                        continue
+                    if len(inter) == 2:
+                        return "shells share a boundary segment"
+                    if inter[0] not in ea and inter[0] not in eb:
+                        return "shells cross"
+    return None
+
+
+def is_valid_wkt(wkt: str):
+    """(valid, reason) for a WKT geometry; points/lines are valid when
+    parseable.  NULL in → (None, None)."""
+    if wkt is None:
+        return None, None
+    try:
+        kind, data = parse_wkt(wkt)
+    except ValueError as exc:
+        return False, str(exc)
+    if kind != "polygon":
+        return True, None
+    reason = polygon_invalid_reason(data)
+    return reason is None, reason
+
+
+def make_valid_wkt(wkt: str) -> str | None:
+    """ST_MakeValid: polygons repaired via the even-odd loop fold;
+    already-valid geometry (and points/lines) pass through unchanged."""
+    if wkt is None:
+        return None
+    kind, data = parse_wkt(wkt)
+    if kind != "polygon":
+        return wkt
+    if polygon_invalid_reason(data) is None:
+        return wkt
+    return to_wkt(make_valid_multipoly(data))

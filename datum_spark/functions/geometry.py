@@ -506,8 +506,26 @@ def register_overlay_ops(spark) -> None:
         return pd.Series([buffer_wkt(x, float(r)) if r is not None else None
                           for x, r in zip(w, d)])
 
+    from .clipping import is_valid_wkt, make_valid_wkt
+
+    @pandas_udf("boolean")
+    def _st_isvalid(w: pd.Series) -> pd.Series:
+        return pd.Series([is_valid_wkt(x)[0] for x in w], dtype="object")
+
+    @pandas_udf("string")
+    def _st_isvalidreason(w: pd.Series) -> pd.Series:
+        return pd.Series(["Valid Geometry" if ok else reason
+                          for ok, reason in (is_valid_wkt(x) for x in w)])
+
+    @pandas_udf("string")
+    def _st_makevalid(w: pd.Series) -> pd.Series:
+        return w.map(make_valid_wkt, na_action="ignore")
+
     spark.udf.register("st_intersection", _make("intersection"))
     spark.udf.register("st_union", _make("union"))
     spark.udf.register("st_difference", _make("difference"))
     spark.udf.register("st_symdifference", _make("symdifference"))
     spark.udf.register("st_buffer", _st_buffer)
+    spark.udf.register("st_isvalid", _st_isvalid)
+    spark.udf.register("st_isvalidreason", _st_isvalidreason)
+    spark.udf.register("st_makevalid", _st_makevalid)

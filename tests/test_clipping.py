@@ -276,3 +276,83 @@ def test_line_clipping_fuzz_length_identity():
         lo = _line_len(overlay_wkt(lw, pw, "difference"))
         lt = _line_len(lw)
         assert abs(li + lo - lt) < 1e-6 * max(lt, 1.0), (lw, pw)
+
+
+# -- validity: ST_IsValid / ST_MakeValid -------------------------------------
+
+
+VALIDITY_CASES = [
+    # (name, wkt, expect_valid, expected even-odd area after makevalid)
+    ("valid_square", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", True, 100.0),
+    ("bowtie", "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))", False, 50.0),
+    ("holed", "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), "
+              "(2 2, 4 2, 4 4, 2 4, 2 2))", True, 96.0),
+    ("self_touch", "POLYGON ((0 0, 4 0, 2 2, 4 4, 0 4, 2 2, 0 0))",
+     False, 8.0),
+    ("spike", "POLYGON ((0 0, 10 0, 10 10, 5 10, 5 15, 5 10, 0 10, 0 0))",
+     False, 100.0),
+    ("overlapping_shells",
+     "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+     "((2 2, 6 2, 6 6, 2 6, 2 2)))", False, 24.0),
+    ("double_wound",
+     "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0, 4 0, 4 4, 0 4, 0 0))",
+     False, 0.0),
+    ("hole_outside",
+     "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), "
+     "(10 10, 11 10, 11 11, 10 11, 10 10))", False, 17.0),
+    ("valid_multi",
+     "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), "
+     "((10 10, 14 10, 14 14, 10 14, 10 10)))", True, 32.0),
+]
+
+
+def test_is_valid_and_make_valid_fixtures():
+    from datum_spark.functions.clipping import (
+        is_valid_wkt, make_valid_wkt, parse_wkt, multipoly_area)
+
+    for name, wkt, exp_valid, exp_area in VALIDITY_CASES:
+        valid, reason = is_valid_wkt(wkt)
+        assert valid == exp_valid, (name, reason)
+        mv = make_valid_wkt(wkt)
+        assert is_valid_wkt(mv)[0], (name, mv)
+        got = multipoly_area(parse_wkt(mv)[1])
+        assert got == pytest.approx(exp_area, abs=1e-9), (name, got)
+        if exp_valid:                     # valid input passes through
+            assert mv == wkt, name
+
+
+def test_validity_non_polygons_and_null():
+    from datum_spark.functions.clipping import is_valid_wkt, make_valid_wkt
+
+    assert is_valid_wkt("POINT (3 4)") == (True, None)
+    assert is_valid_wkt("LINESTRING (0 0, 5 5)") == (True, None)
+    assert is_valid_wkt(None) == (None, None)
+    assert make_valid_wkt(None) is None
+    assert make_valid_wkt("POINT (3 4)") == "POINT (3 4)"
+    assert is_valid_wkt("POLYGON ((0 0, 1 0, 0 0))")[1] == "too few points"
+
+
+def test_make_valid_fuzz_invariants():
+    """Random self-intersecting star rings: makevalid output is always
+    valid, has non-negative area bounded by the coordinate box, and is
+    idempotent (already-valid output round-trips unchanged)."""
+    import random
+
+    from datum_spark.functions.clipping import (
+        is_valid_wkt, make_valid_wkt, parse_wkt, multipoly_area)
+
+    rng = random.Random(83)
+    for trial in range(150):
+        n = rng.randint(4, 9)
+        pts = [(rng.randint(0, 20), rng.randint(0, 20)) for _ in range(n)]
+        if len(set(pts)) < 3:
+            continue
+        ring = ", ".join(f"{x} {y}" for x, y in pts + [pts[0]])
+        wkt = f"POLYGON (({ring}))"
+        mv = make_valid_wkt(wkt)
+        ok, reason = is_valid_wkt(mv)
+        assert ok, (trial, wkt, mv, reason)
+        if "EMPTY" not in mv:
+            a = multipoly_area(parse_wkt(mv)[1])
+            assert 0 <= a <= 400, (trial, wkt, a)
+            assert make_valid_wkt(mv) == mv, (trial, mv)
