@@ -1025,3 +1025,121 @@ SELECT gid,
        ROUND(st_area(st_makevalid(w)), 6) AS mv_area,
        st_isvalid(st_makevalid(w)) AS mv_valid
 FROM VALUES {vals} AS t(gid, w) ORDER BY gid""")
+
+
+@x("x174_extent_collect", """
+WITH pts AS (SELECT c_custkey AS k, c_nationkey AS nk,
+       CAST(c_custkey % 97 AS DOUBLE) AS px,
+       CAST(c_custkey % 89 AS DOUBLE) AS py
+  FROM customer WHERE c_custkey <= 2000)
+SELECT CAST(nk AS BIGINT) AS nk,
+       MIN(px) AS xmin, MIN(py) AS ymin,
+       MAX(px) AS xmax, MAX(py) AS ymax,
+       ROUND((MAX(px) - MIN(px)) * (MAX(py) - MIN(py)), 6) AS extent_area,
+       CAST(COUNT(*) AS INT) AS n_collected,
+       CAST('GEOMETRYCOLLECTION (POINT (1.0 2.0), '
+            || 'LINESTRING (0 0, 1 1))' AS VARCHAR) AS gc
+FROM pts GROUP BY nk ORDER BY nk""")
+def x174(spark, sf):
+    """Spatial extent + collect through the SQL gateway: per-nation
+    bounding boxes via the ST_XMin family under plain MIN/MAX
+    aggregates (the PostGIS ST_Extent composition — the reduction stays
+    a JVM min/max, never a geometry fold), envelope areas via
+    st_makeenvelope, and ST_Collect over array_agg (MULTIPOINT
+    assembly, vertex count = group size; the mixed-type
+    GEOMETRYCOLLECTION branch pinned on a literal).  Oracle re-derives
+    every number from the raw coordinates."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x174_cust")
+    return spark.sql("""
+WITH pts AS (
+  SELECT c_custkey AS k, c_nationkey AS nk,
+         st_makepoint(CAST(c_custkey % 97 AS DOUBLE),
+                      CAST(c_custkey % 89 AS DOUBLE)) AS g
+  FROM __x174_cust WHERE c_custkey <= 2000),
+agg AS (
+  SELECT CAST(nk AS BIGINT) AS nk,
+         MIN(st_xmin(g)) AS xmin, MIN(st_ymin(g)) AS ymin,
+         MAX(st_xmax(g)) AS xmax, MAX(st_ymax(g)) AS ymax,
+         st_npoints(st_collect(collect_list(g))) AS n_collected
+  FROM pts GROUP BY nk)
+SELECT nk, xmin, ymin, xmax, ymax,
+       ROUND(st_area(st_makeenvelope(xmin, ymin, xmax, ymax)), 6)
+         AS extent_area,
+       n_collected,
+       st_collect(array('POINT (1.0 2.0)',
+                        'LINESTRING (0 0, 1 1)')) AS gc
+FROM agg ORDER BY nk""")
+
+
+# geohash bit-fold replayed as a DuckDB recursive CTE — identical
+# interval-halving arithmetic, so the strings are exactly equal
+_X175_ORACLE = """
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5 AS lon,
+         CAST(c_custkey % 180 AS DOUBLE) - 90 + 0.25 AS lat
+  FROM customer WHERE c_custkey <= 300),
+gh AS (
+  SELECT k, lon, lat, 0 AS i,
+         CAST(-180 AS DOUBLE) AS lo1, CAST(180 AS DOUBLE) AS hi1,
+         CAST(-90 AS DOUBLE) AS lo2, CAST(90 AS DOUBLE) AS hi2,
+         0 AS acc, '' AS out
+  FROM pts
+  UNION ALL
+  SELECT k, lon, lat, i + 1,
+    CASE WHEN i % 2 = 0 AND lon >= (lo1+hi1)/2 THEN (lo1+hi1)/2
+         ELSE lo1 END,
+    CASE WHEN i % 2 = 0 AND lon <  (lo1+hi1)/2 THEN (lo1+hi1)/2
+         ELSE hi1 END,
+    CASE WHEN i % 2 = 1 AND lat >= (lo2+hi2)/2 THEN (lo2+hi2)/2
+         ELSE lo2 END,
+    CASE WHEN i % 2 = 1 AND lat <  (lo2+hi2)/2 THEN (lo2+hi2)/2
+         ELSE hi2 END,
+    CASE WHEN i % 5 = 4 THEN 0
+         ELSE acc * 2 + (CASE WHEN i % 2 = 0
+                              THEN (CASE WHEN lon >= (lo1+hi1)/2
+                                         THEN 1 ELSE 0 END)
+                              ELSE (CASE WHEN lat >= (lo2+hi2)/2
+                                         THEN 1 ELSE 0 END) END) END,
+    CASE WHEN i % 5 = 4
+         THEN out || substring('0123456789bcdefghjkmnpqrstuvwxyz',
+              acc * 2 + (CASE WHEN i % 2 = 0
+                              THEN (CASE WHEN lon >= (lo1+hi1)/2
+                                         THEN 1 ELSE 0 END)
+                              ELSE (CASE WHEN lat >= (lo2+hi2)/2
+                                         THEN 1 ELSE 0 END) END) + 1, 1)
+         ELSE out END
+  FROM gh WHERE i < 40)
+SELECT substring(out, 1, 4) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(out) AS min_hash, MAX(out) AS max_hash
+FROM gh WHERE i = 40
+GROUP BY prefix ORDER BY prefix"""
+
+
+@x("x175_geohash", _X175_ORACLE)
+def x175(spark, sf):
+    """ST_GeoHash through the SQL gateway: 300 synthetic lon/lat points
+    encoded at precision 8, grouped by 4-char geohash prefix (the
+    spatial BUCKETING composition — prefix = fixed-size cell).  The
+    oracle replays the identical interval-halving bit fold as a DuckDB
+    recursive CTE, so the strings are exactly equal; the engine side is
+    one row-local Catalyst fold, zero shuffle before the prefix agg."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x175_cust")
+    return spark.sql("""
+WITH pts AS (
+  SELECT c_custkey AS k,
+         st_makepoint(CAST(c_custkey % 360 AS DOUBLE) - 180 + 0.5,
+                      CAST(c_custkey % 180 AS DOUBLE) - 90 + 0.25) AS g
+  FROM __x175_cust WHERE c_custkey <= 300),
+h AS (SELECT k, st_geohash(g, 8) AS gh FROM pts)
+SELECT substring(gh, 1, 4) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(gh) AS min_hash, MAX(gh) AS max_hash
+FROM h GROUP BY prefix ORDER BY prefix""")

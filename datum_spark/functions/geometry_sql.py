@@ -57,6 +57,87 @@ def _coords(var: str) -> str:
     )
 
 
+# bbox accessors: min/max over every coordinate pair of any WKT kind
+# (PostGIS ST_XMin family).  Empty/vertex-free input -> NULL.  The
+# extent AGGREGATE composes in plain SQL —
+# st_makeenvelope(MIN(st_xmin(g)), ..., MAX(st_ymax(g))) — keeping the
+# reduction a JVM min/max, never a geometry fold.
+for _n, _ax, _fn in (("st_xmin", "x", "array_min"),
+                     ("st_ymin", "y", "array_min"),
+                     ("st_xmax", "x", "array_max"),
+                     ("st_ymax", "y", "array_max")):
+    _FUNCTIONS[_n] = (
+        "(w STRING)", "DOUBLE",
+        f"{_fn}(transform({_coords('w')}, p -> p.{_ax}))")
+_FUNCTIONS["st_makeenvelope"] = (
+    "(x1 DOUBLE, y1 DOUBLE, x2 DOUBLE, y2 DOUBLE)", "STRING",
+    "concat('POLYGON ((', x1, ' ', y1, ', ', x2, ' ', y1, ', ', "
+    "x2, ' ', y2, ', ', x1, ' ', y2, ', ', x1, ' ', y1, '))')")
+# ST_Collect over an array (compose with collect_list/array_agg): an
+# all-POINT input assembles a MULTIPOINT, anything else a
+# GEOMETRYCOLLECTION of the members verbatim
+_FUNCTIONS["st_collect"] = (
+    "(arr ARRAY<STRING>)", "STRING",
+    "CASE WHEN arr IS NULL THEN NULL "
+    "WHEN size(arr) = 0 THEN 'GEOMETRYCOLLECTION EMPTY' "
+    "WHEN size(filter(arr, g -> upper(trim(g)) NOT LIKE 'POINT (%'))"
+    " = 0 THEN concat('MULTIPOINT (', array_join(transform(arr, "
+    "g -> concat('(', regexp_extract(g, '\\\\(\\\\s*(.*?)\\\\s*\\\\)',"
+    " 1), ')')), ', '), ')') "
+    "ELSE concat('GEOMETRYCOLLECTION (', "
+    "array_join(transform(arr, g -> trim(g)), ', '), ')') END")
+
+
+# ST_GeoHash (PostGIS parity: encode a POINT to the base-32 geohash,
+# `maxchars` characters).  Pure Catalyst: a fold over the 5*prec bits —
+# even bits halve the longitude interval, odd bits the latitude, every
+# 5th bit flushes a base-32 char.  The inner transform-over-1-element-
+# array is SQL's let-binding: it names the bit-updated struct `t` so
+# the flush branch need not recompute it.  Row-local, zero shuffle; at
+# scale this is the cheap spatial BUCKETING key (prefix-join geohashes
+# instead of the envelope grid when cells can be fixed-size).
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_expr(lon: str, lat: str, prec: str) -> str:
+    bit = (f"IF(i % 2 = 0, IF({lon} >= (s.lo1+s.hi1)/2D, 1, 0), "
+           f"IF({lat} >= (s.lo2+s.hi2)/2D, 1, 0))")
+    step = (
+        "named_struct("
+        f"'lo1', IF(i % 2 = 0 AND {lon} >= (s.lo1+s.hi1)/2D, "
+        "(s.lo1+s.hi1)/2D, s.lo1), "
+        f"'hi1', IF(i % 2 = 0 AND {lon} < (s.lo1+s.hi1)/2D, "
+        "(s.lo1+s.hi1)/2D, s.hi1), "
+        f"'lo2', IF(i % 2 = 1 AND {lat} >= (s.lo2+s.hi2)/2D, "
+        "(s.lo2+s.hi2)/2D, s.lo2), "
+        f"'hi2', IF(i % 2 = 1 AND {lat} < (s.lo2+s.hi2)/2D, "
+        "(s.lo2+s.hi2)/2D, s.hi2), "
+        f"'acc', s.acc * 2 + {bit}, "
+        "'out', s.out)")
+    flush = (
+        "CASE WHEN i % 5 = 4 THEN named_struct("
+        "'lo1', t.lo1, 'hi1', t.hi1, 'lo2', t.lo2, 'hi2', t.hi2, "
+        "'acc', 0, "
+        f"'out', concat(t.out, substring('{_GH_ALPHABET}', t.acc + 1, 1)))"
+        " ELSE t END")
+    return (
+        f"aggregate(sequence(0, greatest(least({prec}, 20), 1) * 5 - 1), "
+        "named_struct('lo1', CAST(-180 AS DOUBLE), "
+        "'hi1', CAST(180 AS DOUBLE), 'lo2', CAST(-90 AS DOUBLE), "
+        "'hi2', CAST(90 AS DOUBLE), 'acc', 0, 'out', ''), "
+        f"(s, i) -> element_at(transform(array({step}), t -> {flush}), 1),"
+        " s -> s.out)")
+
+
+_FUNCTIONS["st_geohash"] = (
+    "(w STRING, prec INT)", "STRING",
+    "CASE WHEN w IS NULL OR prec IS NULL THEN NULL "
+    f"WHEN size({_coords('w')}) = 0 THEN NULL "
+    "ELSE " + _geohash_expr(f"element_at({_coords('w')}, 1).x",
+                            f"element_at({_coords('w')}, 1).y",
+                            "prec") + " END")
+
+
 def _seg_fold(var: str, seg_expr: str, init: str = "0D") -> str:
     """Fold ``seg_expr`` (a lambda over consecutive vertices p, q) across
     the vertex list of ``var``."""

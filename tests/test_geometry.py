@@ -1139,3 +1139,65 @@ def test_accessor_pack(spark):
         r["bdy"].count("(") == 3
     assert r["lbdy"] == "MULTIPOINT ((0.0 0.0), (9.0 1.0))"
     assert r["pbdy"] == "GEOMETRYCOLLECTION EMPTY"
+
+
+def test_bbox_extent_collect_functions(spark):
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    row = spark.sql("""
+SELECT st_xmin('POLYGON ((1 2, 9 2, 9 8, 1 8, 1 2))') AS x1,
+       st_ymin('POLYGON ((1 2, 9 2, 9 8, 1 8, 1 2))') AS y1,
+       st_xmax('LINESTRING (3 -4, 7 12)') AS x2,
+       st_ymax('LINESTRING (3 -4, 7 12)') AS y2,
+       st_xmin('POLYGON EMPTY') AS e1,
+       st_xmin(NULL) AS e2,
+       st_makeenvelope(0.0D, 0.0D, 4.0D, 3.0D) AS env,
+       st_area(st_makeenvelope(0.0D, 0.0D, 4.0D, 3.0D)) AS env_area,
+       st_collect(array('POINT (1 2)', 'POINT (3 4)')) AS mp,
+       st_collect(array('POINT (1 2)', 'LINESTRING (0 0, 1 1)')) AS gc,
+       st_collect(array()) AS empty_gc
+""").collect()[0]
+    assert (row.x1, row.y1, row.x2, row.y2) == (1.0, 2.0, 7.0, 12.0)
+    assert row.e1 is None and row.e2 is None
+    assert row.env == ("POLYGON ((0.0 0.0, 4.0 0.0, 4.0 3.0, "
+                       "0.0 3.0, 0.0 0.0))")
+    assert row.env_area == 12.0
+    assert row.mp == "MULTIPOINT ((1 2), (3 4))"
+    assert row.gc == ("GEOMETRYCOLLECTION (POINT (1 2), "
+                      "LINESTRING (0 0, 1 1))")
+    assert row.empty_gc == "GEOMETRYCOLLECTION EMPTY"
+
+
+def test_geohash_known_vectors(spark):
+    """Canonical geohash test vectors (public reference points) plus
+    clamping and NULL propagation."""
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    row = spark.sql("""
+SELECT st_geohash('POINT (-5.603 42.605)', 5) AS ezs,
+       st_geohash('POINT (10.40744 57.64911)', 11) AS jutland,
+       st_geohash('POINT (-74.0060 40.7128)', 8) AS nyc,
+       st_geohash('POINT (0 0)', 1) AS origin,
+       st_geohash('POINT (1 1)', 99) AS clamped,
+       st_geohash(NULL, 5) AS n1,
+       st_geohash('POINT (1 1)', NULL) AS n2,
+       st_geohash('POLYGON EMPTY', 5) AS n3
+""").collect()[0]
+    assert row.ezs == "ezs42"
+    assert row.jutland == "u4pruydqqvj"
+    assert row.nyc == "dr5regw3"
+    assert row.origin == "s"
+    assert len(row.clamped) == 20
+    assert row.n1 is None and row.n2 is None and row.n3 is None
+    # prefix property: higher precision extends, never rewrites
+    rows = spark.sql("""
+SELECT st_geohash('POINT (13.3777 52.5163)', p) AS h
+FROM VALUES (2), (4), (6), (8) AS t(p) ORDER BY length(h)
+""").collect()
+    hashes = [r.h for r in rows]
+    for a, b in zip(hashes, hashes[1:]):
+        assert b.startswith(a)
