@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship star-join (t2 Q10, TPC-H Q5 skeleton) at
 sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
-(Tier-B Q01–Q31 + §2-C extensions x01–x175); ``oracle_sql()`` carries the
+(Tier-B Q01–Q31 + §2-C extensions x01–x177); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap (50
@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # registration now includes the overlay/transform UDFs).
 _RECHECK_R8 = {
     "x173_makevalid", "x174_extent_collect", "x175_geohash",  # newest
+    "x176_linear_ref", "x177_closest_point",
     "x163_overlay_rect", "x164_overlay_fixtures", "x165_buffer",
     "x166_de9im_predicates", "x167_overlay_join",     # new round-8
     "x168_line_clip", "x169_dissolve", "x170_distance",

@@ -1143,3 +1143,158 @@ SELECT substring(gh, 1, 4) AS prefix,
        CAST(COUNT(*) AS BIGINT) AS n,
        MIN(gh) AS min_hash, MAX(gh) AS max_hash
 FROM h GROUP BY prefix ORDER BY prefix""")
+
+
+# ---------------------------------------------------------------------------
+# Linear referencing + closest-point pack (round 8): ST_Azimuth,
+# ST_LineInterpolatePoint / ST_LineLocatePoint / ST_LineSubstring,
+# ST_ClosestPoint / ST_ShortestLine — transit/addressing splices the
+# reference's PostGIS users run in where=/execute.  Engine = pure
+# Catalyst folds over the segment arrays (row-local, zero shuffle);
+# oracles re-derive the identical arithmetic closed-form in DuckDB on
+# the canonical 3-4-5 polyline / axis rectangle, so every number is
+# ROUND-stable (params vary per customer row).
+
+_X176_ORACLE = """
+WITH p AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 100 AS DOUBLE) / 100 AS f,
+         CAST(c_custkey % 80 AS DOUBLE) / 100 AS f1,
+         CAST(c_custkey % 80 AS DOUBLE) / 100
+           + CAST(c_custkey % 15 + 1 AS DOUBLE) / 100 AS f2,
+         CAST(c_custkey % 7 AS DOUBLE) AS px,
+         CAST(c_custkey % 9 AS DOUBLE) AS py,
+         CAST(c_custkey % 7 AS DOUBLE) - 3 AS dx,
+         CAST(c_custkey % 9 AS DOUBLE) - 4 AS dy
+  FROM customer WHERE c_custkey <= 400),
+d AS (
+  SELECT k, f, f1, f2, px, py, dx, dy,
+         f * 7 AS pos,
+         GREATEST(0.0, LEAST(1.0, px * 3 / 9)) AS t1,
+         GREATEST(0.0, LEAST(1.0, py * 4 / 16)) AS t2,
+         f1 * 7 AS lo, f2 * 7 AS hi
+  FROM p),
+e AS (
+  SELECT k,
+         CASE WHEN pos <= 3 THEN pos ELSE 3.0 END AS ix,
+         CASE WHEN pos <= 3 THEN 0.0 ELSE 0 + ((pos - 3) / 4) * 4 END
+           AS iy,
+         POWER(px - t1 * 3, 2) + POWER(py, 2) AS d1sq,
+         POWER(px - 3, 2) + POWER(py - t2 * 4, 2) AS d2sq,
+         t1 * 3 AS pos1, 3 + t2 * 4 AS pos2,
+         GREATEST(0.0, LEAST(3.0, hi) - GREATEST(0.0, lo))
+           + GREATEST(0.0, LEAST(7.0, hi) - GREATEST(3.0, lo)) AS slen,
+         CASE WHEN dx = 0 AND dy = 0 THEN NULL
+              WHEN atan2(dx, dy) < 0 THEN atan2(dx, dy) + 2 * pi()
+              ELSE atan2(dx, dy) END AS az
+  FROM d)
+SELECT k,
+       ROUND(ix, 6) AS ix, ROUND(iy, 6) AS iy,
+       ROUND((CASE WHEN d2sq < d1sq THEN pos2 ELSE pos1 END) / 7, 9)
+         AS loc,
+       ROUND(slen, 6) AS sub_len,
+       ROUND(az, 9) AS az
+FROM e ORDER BY k"""
+
+
+@x("x176_linear_ref", _X176_ORACLE)
+def x176(spark, sf):
+    """Linear referencing through the SQL gateway on the canonical
+    3-4-5 polyline with per-customer parameters: interpolated point
+    coords, locate fraction (strict-first-min tie rule replicated in
+    the oracle), substring length (engine re-parses its own built WKT),
+    and full-quadrant azimuth (pmod normalization).  All Catalyst
+    folds; the oracle is closed-form DuckDB arithmetic over identical
+    IEEE inputs, ROUND-stabilized."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x176_cust")
+    return spark.sql("""
+WITH p AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 100 AS DOUBLE) / 100 AS f,
+         CAST(c_custkey % 80 AS DOUBLE) / 100 AS f1,
+         CAST(c_custkey % 80 AS DOUBLE) / 100
+           + CAST(c_custkey % 15 + 1 AS DOUBLE) / 100 AS f2,
+         st_makepoint(CAST(c_custkey % 7 AS DOUBLE),
+                      CAST(c_custkey % 9 AS DOUBLE)) AS pt,
+         st_makepoint(CAST(c_custkey % 7 AS DOUBLE) - 3,
+                      CAST(c_custkey % 9 AS DOUBLE) - 4) AS dpt
+  FROM __x176_cust WHERE c_custkey <= 400),
+e AS (
+  SELECT k,
+         st_lineinterpolatepoint('LINESTRING (0 0, 3 0, 3 4)', f) AS ip,
+         st_linelocatepoint('LINESTRING (0 0, 3 0, 3 4)', pt) AS loc,
+         st_length(st_linesubstring('LINESTRING (0 0, 3 0, 3 4)',
+                                    f1, f2)) AS slen,
+         st_azimuth('POINT (0 0)', dpt) AS az
+  FROM p)
+SELECT k,
+       ROUND(st_x(ip), 6) AS ix, ROUND(st_y(ip), 6) AS iy,
+       ROUND(loc, 9) AS loc,
+       ROUND(coalesce(slen, 0.0), 6) AS sub_len,
+       ROUND(az, 9) AS az
+FROM e ORDER BY k""")
+
+
+_X177_ORACLE = """
+WITH p AS (
+  SELECT c_custkey AS k,
+         CAST(c_custkey % 80 AS DOUBLE) - 20 + 0.25 AS px,
+         CAST(c_custkey % 70 AS DOUBLE) - 20 + 0.5 AS py
+  FROM customer WHERE c_custkey <= 400),
+c AS (
+  SELECT k, px, py,
+         CASE WHEN px > 0 AND px < 40 AND py > 0 AND py < 30 THEN
+           CASE WHEN py <= (40 - px) AND py <= (30 - py) AND py <= px
+                THEN px
+                WHEN (40 - px) <= (30 - py) AND (40 - px) <= px
+                THEN 40.0
+                WHEN (30 - py) <= px THEN px
+                ELSE 0.0 END
+         ELSE GREATEST(0.0, LEAST(40.0, px)) END AS cx,
+         CASE WHEN px > 0 AND px < 40 AND py > 0 AND py < 30 THEN
+           CASE WHEN py <= (40 - px) AND py <= (30 - py) AND py <= px
+                THEN 0.0
+                WHEN (40 - px) <= (30 - py) AND (40 - px) <= px
+                THEN py
+                WHEN (30 - py) <= px THEN 30.0
+                ELSE py END
+         ELSE GREATEST(0.0, LEAST(30.0, py)) END AS cy
+  FROM p)
+SELECT k, ROUND(cx, 6) AS cx, ROUND(cy, 6) AS cy,
+       ROUND(SQRT(POWER(px - cx, 2) + POWER(py - cy, 2)), 6) AS dist
+FROM c ORDER BY k"""
+
+
+@x("x177_closest_point", _X177_ORACLE)
+def x177(spark, sf):
+    """ST_ClosestPoint / ST_ShortestLine through the SQL gateway:
+    per-customer points (inside and outside an axis rectangle) against
+    the rectangle ring — closest boundary point and separation
+    distance.  The engine folds vertex-projection candidates with a
+    strict-first-min rule over the ring's WKT segment order (bottom,
+    right, top, left); the oracle replays that priority closed-form.
+    Fixture coordinates carry distinct fractional parts so no two
+    edges ever tie."""
+    from ..functions.geometry_sql import register_geometry_sql_functions
+
+    register_geometry_sql_functions(spark)
+    load(spark, sf, "customer").createOrReplaceTempView("__x177_cust")
+    return spark.sql("""
+WITH p AS (
+  SELECT c_custkey AS k,
+         st_makepoint(CAST(c_custkey % 80 AS DOUBLE) - 20 + 0.25,
+                      CAST(c_custkey % 70 AS DOUBLE) - 20 + 0.5) AS pt
+  FROM __x177_cust WHERE c_custkey <= 400),
+c AS (
+  SELECT k,
+         st_closestpoint('POLYGON ((0 0, 40 0, 40 30, 0 30, 0 0))',
+                         pt) AS cp,
+         st_shortestline('POLYGON ((0 0, 40 0, 40 30, 0 30, 0 0))',
+                         pt) AS sl
+  FROM p)
+SELECT k, ROUND(st_x(cp), 6) AS cx, ROUND(st_y(cp), 6) AS cy,
+       ROUND(st_length(sl), 6) AS dist
+FROM c ORDER BY k""")

@@ -445,6 +445,27 @@ def _transform_one(wkt, from_srid: int, to_srid: int, cache: dict):
     return _re.sub(_COORD_RE, repl, wkt)
 
 
+def _snaptogrid_one(wkt, size: float):
+    """ST_SnapToGrid: every coordinate rounded to the nearest multiple
+    of ``size`` (origin 0,0).  Structure-preserving text rewrite; the
+    round-trip ``repr`` formatting keeps kept precision exact.  Snapped
+    geometry may degenerate (PostGIS keeps duplicates too — follow with
+    st_makevalid for strict OGC output)."""
+    import re as _re
+
+    if wkt is None or size is None or size <= 0:
+        return wkt
+
+    from .clipping import _fmt_num
+
+    def repl(m):
+        x = round(float(m.group(1)) / size) * size
+        y = round(float(m.group(2)) / size) * size
+        return f"{_fmt_num(x)} {_fmt_num(y)}"
+
+    return _re.sub(_COORD_RE, repl, wkt)
+
+
 def register_vertex_ops(spark) -> None:
     """Register st_simplify(wkt, tol) / st_convexhull(wkt) /
     st_transform(wkt, from_srid, to_srid) as SQL functions
@@ -471,9 +492,16 @@ def register_vertex_ops(spark) -> None:
         return pd.Series([_transform_one(w, f, t, cache)
                           for w, f, t in zip(wkt, from_srid, to_srid)])
 
+    @pandas_udf("string")
+    def _st_snaptogrid(wkt: pd.Series, size: pd.Series) -> pd.Series:
+        return pd.Series([_snaptogrid_one(w, float(s))
+                          if s is not None else None
+                          for w, s in zip(wkt, size)])
+
     spark.udf.register("st_simplify", _st_simplify)
     spark.udf.register("st_convexhull", _st_convexhull)
     spark.udf.register("st_transform", _st_transform)
+    spark.udf.register("st_snaptogrid", _st_snaptogrid)
     register_overlay_ops(spark)
 
 

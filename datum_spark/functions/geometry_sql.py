@@ -138,6 +138,8 @@ _FUNCTIONS["st_geohash"] = (
                             "prec") + " END")
 
 
+
+
 def _seg_fold(var: str, seg_expr: str, init: str = "0D") -> str:
     """Fold ``seg_expr`` (a lambda over consecutive vertices p, q) across
     the vertex list of ``var``."""
@@ -501,6 +503,213 @@ _FUNCTIONS["st__segx"] = ("(a STRING, b STRING)", "BOOLEAN",
                           _segx("a", "b"))
 _FUNCTIONS["st__onboundary"] = (
     "(px DOUBLE, py DOUBLE, w STRING)", "BOOLEAN", _onb("px", "py", "w"))
+
+# -- linear referencing + closest-point pack (round 8) -----------------------
+# PostGIS surface: ST_Azimuth, ST_LineInterpolatePoint, ST_LineLocatePoint,
+# ST_LineSubstring, ST_ClosestPoint, ST_ShortestLine — transit/addressing
+# splices in where=/execute SQL.  All pure Catalyst folds over the
+# existing segment extraction; row-local, zero shuffle, no Python.
+
+
+def _ptx(v: str) -> str:
+    return (f"try_cast(regexp_extract({v}, 'POINT \\\\(\\\\s*({_COORD})',"
+            " 1) AS DOUBLE)")
+
+
+def _pty(v: str) -> str:
+    return (f"try_cast(regexp_extract({v}, 'POINT \\\\(\\\\s*{_COORD}"
+            f"\\\\s+({_COORD})', 1) AS DOUBLE)")
+
+
+def _let(inner: str, bound: str, body: str) -> str:
+    """transform-over-1-element-array as SQL let-binding."""
+    return (f"element_at(transform(array({inner}), {bound} -> {body}), 1)")
+
+
+_SEGLEN = "sqrt(power(g.q.x - g.p.x, 2) + power(g.q.y - g.p.y, 2))"
+
+
+def _linelen(w: str) -> str:
+    return (f"aggregate({_segs(w)}, 0D, (a, g) -> a + {_SEGLEN})")
+
+
+_FUNCTIONS["st_azimuth"] = (
+    "(a STRING, b STRING)", "DOUBLE",
+    _let(f"named_struct('dx', {_ptx('b')} - {_ptx('a')}, "
+         f"'dy', {_pty('b')} - {_pty('a')})", "d",
+         "CASE WHEN d.dx = 0 AND d.dy = 0 THEN NULL "
+         "ELSE pmod(atan2(d.dx, d.dy), 2 * pi()) END"))
+
+# walk the polyline until the remaining distance falls inside a segment;
+# state = (rem, x, y, done) seeded at the first vertex so frac 0 / a
+# zero-length line still yields a point
+_INTERP_STEP = _let(
+    _SEGLEN, "l",
+    "CASE WHEN s.done THEN s "
+    "WHEN l > 0 AND s.rem <= l THEN named_struct("
+    "'rem', 0D, "
+    "'x', g.p.x + (s.rem / l) * (g.q.x - g.p.x), "
+    "'y', g.p.y + (s.rem / l) * (g.q.y - g.p.y), 'done', true) "
+    "ELSE named_struct('rem', s.rem - l, 'x', g.q.x, 'y', g.q.y, "
+    "'done', false) END")
+_FUNCTIONS["st_lineinterpolatepoint"] = (
+    "(w STRING, f DOUBLE)", "STRING",
+    "CASE WHEN w IS NULL OR f IS NULL THEN NULL "
+    f"WHEN size({_coords('w')}) = 0 THEN NULL ELSE "
+    + _let(
+        f"aggregate({_segs('w')}, "
+        f"named_struct('rem', greatest(least(f, 1D), 0D) * {_linelen('w')},"
+        f" 'x', element_at({_coords('w')}, 1).x, "
+        f"'y', element_at({_coords('w')}, 1).y, 'done', false), "
+        f"(s, g) -> {_INTERP_STEP})", "r",
+        "concat('POINT (', r.x, ' ', r.y, ')')")
+    + " END")
+
+# nearest position: per segment project the query point (t clamped to
+# [0,1]), keep the STRICTLY closest candidate (first wins on ties) while
+# accumulating the walked distance
+_LOCATE_STEP = _let(
+    _SEGLEN, "l",
+    _let("CASE WHEN l = 0 THEN 0D ELSE greatest(0D, least(1D, "
+         "((qx - g.p.x) * (g.q.x - g.p.x) + (qy - g.p.y) * "
+         "(g.q.y - g.p.y)) / (l * l))) END", "t",
+         _let("power(qx - (g.p.x + t * (g.q.x - g.p.x)), 2) "
+              "+ power(qy - (g.p.y + t * (g.q.y - g.p.y)), 2)", "d2",
+              "CASE WHEN d2 < s.best_d2 THEN named_struct("
+              "'cum', s.cum + l, 'best_d2', d2, "
+              "'best_pos', s.cum + t * l) "
+              "ELSE named_struct('cum', s.cum + l, "
+              "'best_d2', s.best_d2, 'best_pos', s.best_pos) END")))
+_FUNCTIONS["st_linelocatepoint"] = (
+    "(w STRING, pt STRING)", "DOUBLE",
+    "CASE WHEN w IS NULL OR pt IS NULL THEN NULL "
+    f"WHEN size({_segs('w')}) = 0 THEN NULL ELSE "
+    + _let(f"named_struct('qx', {_ptx('pt')}, 'qy', {_pty('pt')})", "q",
+           _let("q.qx", "qx", _let("q.qy", "qy",
+                _let(f"aggregate({_segs('w')}, "
+                     "named_struct('cum', 0D, 'best_d2', "
+                     "CAST('Infinity' AS DOUBLE), 'best_pos', 0D), "
+                     f"(s, g) -> {_LOCATE_STEP})", "r",
+                     _let(_linelen("w"), "len",
+                          "CASE WHEN len = 0 THEN 0D "
+                          "ELSE r.best_pos / len END")))))
+    + " END")
+
+# clip the walked path to [f1, f2] of the total length: each segment
+# contributes its entry point (once, when the text is empty) and its
+# clipped exit point
+_SUBSTR_STEP = _let(
+    _SEGLEN, "l",
+    _let("greatest(s.cum, lo)", "a",
+         _let("least(s.cum + l, hi)", "b",
+              "CASE WHEN l = 0 OR a > b THEN named_struct("
+              "'cum', s.cum + l, 'txt', s.txt) "
+              "ELSE named_struct('cum', s.cum + l, 'txt', concat(s.txt, "
+              "CASE WHEN s.txt = '' THEN concat("
+              "g.p.x + ((a - s.cum) / l) * (g.q.x - g.p.x), ' ', "
+              "g.p.y + ((a - s.cum) / l) * (g.q.y - g.p.y)) ELSE '' END, "
+              "CASE WHEN b > a THEN concat("
+              "CASE WHEN s.txt = '' THEN ', ' ELSE '' END, "
+              "CASE WHEN s.txt <> '' THEN ', ' ELSE '' END, "
+              "g.p.x + ((b - s.cum) / l) * (g.q.x - g.p.x), ' ', "
+              "g.p.y + ((b - s.cum) / l) * (g.q.y - g.p.y)) "
+              "ELSE '' END)) END")))
+_FUNCTIONS["st_linesubstring"] = (
+    "(w STRING, f1 DOUBLE, f2 DOUBLE)", "STRING",
+    "CASE WHEN w IS NULL OR f1 IS NULL OR f2 IS NULL THEN NULL "
+    f"WHEN size({_segs('w')}) = 0 OR f2 <= f1 THEN 'LINESTRING EMPTY' "
+    "ELSE "
+    + _let(_linelen("w"), "len",
+           _let("greatest(least(f1, 1D), 0D) * len", "lo",
+                _let("greatest(least(f2, 1D), 0D) * len", "hi",
+                     _let(f"aggregate({_segs('w')}, "
+                          "named_struct('cum', 0D, 'txt', ''), "
+                          f"(s, g) -> {_SUBSTR_STEP})", "r",
+                          "CASE WHEN r.txt LIKE '%,%' THEN "
+                          "concat('LINESTRING (', r.txt, ')') "
+                          "ELSE 'LINESTRING EMPTY' END"))))
+    + " END")
+
+# closest pair of points between two geometries: candidates are every
+# vertex of one side projected onto every segment of the other (t
+# clamped, so vertex-vertex pairs are covered whenever either side has
+# a segment) plus direct vertex-vertex pairs (point-point inputs).
+# Exact whenever the boundaries do not properly cross (crossing pairs
+# report the nearest sampled pair; st_intersects is the crossing test,
+# same documented tier as the DE-9IM notes).
+def _proj_candidates(seed: str, seg_side: str, vert_side: str,
+                     swap: bool, tag: str) -> str:
+    """Fold candidates: vertices of ``vert_side`` projected onto
+    segments of ``seg_side``, seeded from ``seed``.  ``swap`` = the
+    projected point lies on geometry B (so (ax,ay) must stay the
+    A-side point).  ``tag`` uniquifies the lambda binder names."""
+    if swap:
+        best = (f"CASE WHEN d2{tag} < v{tag}s.best_d2 THEN named_struct("
+                f"'best_d2', d2{tag}, 'ax', vv{tag}.x, 'ay', vv{tag}.y, "
+                f"'bx', px{tag}, 'by', py{tag}) ELSE v{tag}s END")
+    else:
+        best = (f"CASE WHEN d2{tag} < v{tag}s.best_d2 THEN named_struct("
+                f"'best_d2', d2{tag}, 'ax', px{tag}, 'ay', py{tag}, "
+                f"'bx', vv{tag}.x, 'by', vv{tag}.y) ELSE v{tag}s END")
+    seglen = (f"sqrt(power(g{tag}.q.x - g{tag}.p.x, 2) "
+              f"+ power(g{tag}.q.y - g{tag}.p.y, 2))")
+    proj_t = (f"CASE WHEN l{tag} = 0 THEN 0D ELSE greatest(0D, least(1D,"
+              f" ((vv{tag}.x - g{tag}.p.x) * (g{tag}.q.x - g{tag}.p.x) "
+              f"+ (vv{tag}.y - g{tag}.p.y) * (g{tag}.q.y - g{tag}.p.y)) "
+              f"/ (l{tag} * l{tag}))) END")
+    return (
+        f"aggregate({_segs(seg_side)}, {seed}, (s{tag}, g{tag}) -> "
+        + _let(seglen, f"l{tag}",
+               f"aggregate({_coords(vert_side)}, s{tag}, "
+               f"(v{tag}s, vv{tag}) -> "
+               + _let(proj_t, f"t{tag}",
+                      _let(f"g{tag}.p.x + t{tag} * (g{tag}.q.x "
+                           f"- g{tag}.p.x)", f"px{tag}",
+                           _let(f"g{tag}.p.y + t{tag} * (g{tag}.q.y "
+                                f"- g{tag}.p.y)", f"py{tag}",
+                                _let(f"power(px{tag} - vv{tag}.x, 2) + "
+                                     f"power(py{tag} - vv{tag}.y, 2)",
+                                     f"d2{tag}", best))))
+               + ")")
+        + ")")
+
+
+def _vv_candidates(seed: str) -> str:
+    return (
+        f"aggregate({_coords('a')}, {seed}, (su, uu) -> "
+        f"aggregate({_coords('b')}, su, (sv, uv) -> "
+        + _let("power(uu.x - uv.x, 2) + power(uu.y - uv.y, 2)", "d2vv",
+               "CASE WHEN d2vv < sv.best_d2 THEN named_struct("
+               "'best_d2', d2vv, 'ax', uu.x, 'ay', uu.y, "
+               "'bx', uv.x, 'by', uv.y) ELSE sv END")
+        + "))")
+
+
+_CLOSEST_EXPR = _let(
+    "named_struct('best_d2', CAST('Infinity' AS DOUBLE), "
+    "'ax', 0D, 'ay', 0D, 'bx', 0D, 'by', 0D)", "z0",
+    _let(_vv_candidates("z0"), "z1",
+         _let(_proj_candidates("z1", "a", "b", swap=False, tag="pa"),
+              "z2",
+              _proj_candidates("z2", "b", "a", swap=True, tag="pb"))))
+
+_FUNCTIONS["st_shortestline"] = (
+    "(a STRING, b STRING)", "STRING",
+    "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+    f"WHEN size({_coords('a')}) = 0 OR size({_coords('b')}) = 0 "
+    "THEN NULL ELSE "
+    + _let(_CLOSEST_EXPR, "r",
+           "concat('LINESTRING (', r.ax, ' ', r.ay, ', ', "
+           "r.bx, ' ', r.by, ')')")
+    + " END")
+_FUNCTIONS["st_closestpoint"] = (
+    "(a STRING, b STRING)", "STRING",
+    "CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+    f"WHEN size({_coords('a')}) = 0 OR size({_coords('b')}) = 0 "
+    "THEN NULL ELSE "
+    + _let(_CLOSEST_EXPR, "r", "concat('POINT (', r.ax, ' ', r.ay, ')')")
+    + " END")
+
 
 _IS_EMPTY = "(upper(a) LIKE '%EMPTY%' OR upper(b) LIKE '%EMPTY%')"
 # unparseable/vertex-free input must NOT satisfy a vacuous forall()

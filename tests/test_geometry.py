@@ -1201,3 +1201,56 @@ FROM VALUES (2), (4), (6), (8) AS t(p) ORDER BY length(h)
     hashes = [r.h for r in rows]
     for a, b in zip(hashes, hashes[1:]):
         assert b.startswith(a)
+
+
+def test_linear_referencing_pack(spark):
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    row = spark.sql("""
+SELECT st_lineinterpolatepoint('LINESTRING (0 0, 3 0, 3 4)', 0.5) AS mid,
+       st_lineinterpolatepoint('LINESTRING (0 0, 3 0, 3 4)', -1.0) AS lo,
+       st_lineinterpolatepoint('LINESTRING (0 0, 3 0, 3 4)', 2.0) AS hi,
+       st_linelocatepoint('LINESTRING (0 0, 3 0, 3 4)',
+                          'POINT (1 1)') AS loc,
+       st_linesubstring('LINESTRING (0 0, 3 0, 3 4)',
+                        1.0/7, 5.0/7) AS sub,
+       st_length(st_linesubstring('LINESTRING (0 0, 3 0, 3 4)',
+                 1.0/7, 5.0/7)) AS sub_len,
+       st_linesubstring('LINESTRING (0 0, 3 0, 3 4)', 0.7, 0.2) AS rev,
+       st_azimuth('POINT (0 0)', 'POINT (1 1)') AS ne,
+       st_closestpoint('LINESTRING (0 0, 10 0)', 'POINT (3 4)') AS cp,
+       st_shortestline('POINT (3 4)', 'LINESTRING (0 0, 10 0)') AS sl,
+       st_lineinterpolatepoint('LINESTRING EMPTY', 0.5) AS e1,
+       st_linelocatepoint('POINT (1 1)', 'POINT (0 0)') AS e2
+""").collect()[0]
+    import math
+
+    assert row.mid == "POINT (3.0 0.5)"
+    assert row.lo == "POINT (0.0 0.0)" and row.hi == "POINT (3.0 4.0)"
+    assert row.loc == pytest.approx(1.0 / 7)
+    assert row.sub_len == pytest.approx(4.0, abs=1e-5)
+    assert row.rev == "LINESTRING EMPTY"
+    assert row.ne == pytest.approx(math.pi / 4)
+    assert row.cp == "POINT (3.0 0.0)"
+    # A-side point first: the shortest line starts on geometry A
+    assert row.sl == "LINESTRING (3.0 4.0, 3.0 0.0)"
+    assert row.e1 is None and row.e2 is None
+
+
+def test_snaptogrid(spark):
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    row = spark.sql("""
+SELECT st_snaptogrid('LINESTRING (1.2 0.6, 3.9 2.1)', 0.5D) AS a,
+       st_snaptogrid('POINT (107.3 -22.8)', 5.0D) AS b,
+       st_snaptogrid('POINT (1 2)', 0.0D) AS zero,
+       st_snaptogrid(NULL, 1.0D) AS n
+""").collect()[0]
+    assert row.a == "LINESTRING (1 0.5, 4 2)"
+    assert row.b == "POINT (105 -25)"
+    assert row.zero == "POINT (1 2)"          # size<=0: unchanged
+    assert row.n is None
