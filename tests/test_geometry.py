@@ -1254,3 +1254,29 @@ SELECT st_snaptogrid('LINESTRING (1.2 0.6, 3.9 2.1)', 0.5D) AS a,
     assert row.b == "POINT (105 -25)"
     assert row.zero == "POINT (1 2)"          # size<=0: unchanged
     assert row.n is None
+
+
+def test_linear_ref_roundtrip_and_distance_consistency(spark):
+    """Property checks tying the pack together: locating an
+    interpolated point recovers the fraction (monotone polylines), and
+    st_shortestline's length equals the general st_distance for
+    non-crossing pairs."""
+    from datum_spark.functions.geometry_sql import (
+        register_geometry_sql_functions)
+
+    register_geometry_sql_functions(spark)
+    rows = spark.sql("""
+WITH f AS (SELECT explode(sequence(1, 19)) AS i),
+lines AS (
+  SELECT i, CAST(i AS DOUBLE) / 20 AS frac,
+         concat('LINESTRING (0 0, ', 1 + i % 5, ' ', i % 3, ', ',
+                3 + i % 7, ' ', 5 + i % 4, ')') AS w
+  FROM f)
+SELECT i, frac,
+       st_linelocatepoint(w, st_lineinterpolatepoint(w, frac)) AS back,
+       abs(st_length(st_shortestline(w, 'POINT (20 -5)'))
+           - st_distance(w, 'POINT (20 -5)')) AS ddiff
+FROM lines""").collect()
+    for r in rows:
+        assert r.back == pytest.approx(r.frac, abs=1e-9), r.i
+        assert r.ddiff < 1e-9, r.i
