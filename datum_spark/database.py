@@ -476,15 +476,18 @@ class Database:
             self._register(name)
         return {"rows_read": rows}
 
-    def snapshot_table(self, name: str, create: bool = False):
+    def snapshot_table(self, name: str, create: bool = False,
+                       schema: str | None = None):
         """Handle on a VERSIONED table in this warehouse
         (``sources/snapshots.py``): atomic manifest commits, snapshot-
         isolated reads, time travel, ``append_once`` for exactly-once
-        streaming ingest — the engine-native stand-in for the backend
-        transactions datum got from its RDBMS and for the jar-gated
-        lake formats.  Stored at ``<warehouse>/<name>.snapshot`` (the
-        layout keeps it out of :attr:`tables`, which lists plain
-        parquet tables).  ``create=True`` bootstraps an empty v0."""
+        streaming ingest, and additive schema evolution — the
+        engine-native stand-in for the backend transactions datum got
+        from its RDBMS and for the jar-gated lake formats.  Stored at
+        ``<warehouse>/<name>.snapshot`` (the layout keeps it out of
+        :attr:`tables`, which lists plain parquet tables).
+        ``create=True`` bootstraps an empty v0; ``schema`` (DDL string)
+        types it so pre-first-append readers see real columns."""
         from .sources.snapshots import SnapshotTable
 
         if self.scheme != "file":
@@ -493,7 +496,7 @@ class Database:
         util.check_identifier(name)
         path = os.path.join(self.path, f"{name}.snapshot")
         if create:
-            return SnapshotTable.create(self.spark, path)
+            return SnapshotTable.create(self.spark, path, schema=schema)
         if not os.path.isdir(os.path.join(path, "_manifests")):
             raise ValueError(f"no snapshot table {name!r} "
                              f"(create with create=True)")
