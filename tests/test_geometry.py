@@ -1280,3 +1280,29 @@ FROM lines""").collect()
     for r in rows:
         assert r.back == pytest.approx(r.frac, abs=1e-9), r.i
         assert r.ddiff < 1e-9, r.i
+
+
+def test_round8_pack_in_database_gateway(tmp_db):
+    """Validity, geohash, extent, and linear referencing through the
+    datum-style API (execute / read(where=)), the reference's
+    delegation surface."""
+    tmp_db.create_table("geo", [{"name": "shape", "type": "geom"},
+                                {"name": "tag", "type": "text"}])
+    tmp_db["geo"].write([
+        {"tag": "ok", "shape": "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"},
+        {"tag": "bow", "shape": "POLYGON ((0 0, 2 2, 2 0, 0 2, 0 0))"},
+    ])
+    [r] = tmp_db.execute("""
+        SELECT SUM(CASE WHEN st_isvalid(shape) THEN 1 ELSE 0 END) AS ok,
+               SUM(st_area(st_makevalid(shape))) AS area,
+               MIN(st_isvalidreason(shape)) AS why,
+               MAX(st_geohash(st_makepoint(st_xmin(shape),
+                                           st_ymin(shape)), 6)) AS gh,
+               MAX(st_azimuth('POINT (0 0)', 'POINT (1 0)')) AS az
+        FROM geo""")
+    assert r["ok"] == 1 and r["area"] == 16.0 + 2.0
+    assert r["why"] == "Valid Geometry"
+    assert len(r["gh"]) == 6
+    assert abs(r["az"] - 1.5707963267948966) < 1e-12
+    rows = tmp_db["geo"].read(where="NOT st_isvalid(shape)")
+    assert [x["tag"] for x in rows] == ["bow"]
