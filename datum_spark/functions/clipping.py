@@ -1202,10 +1202,15 @@ def is_valid_wkt(wkt: str):
 
 def make_valid_wkt(wkt: str) -> str | None:
     """ST_MakeValid: polygons repaired via the even-odd loop fold;
-    already-valid geometry (and points/lines) pass through unchanged."""
+    already-valid geometry (points/lines) and types the parser does not
+    model (e.g. GEOMETRYCOLLECTION) pass through unchanged — a bad row
+    must not fail the whole job at scale."""
     if wkt is None:
         return None
-    kind, data = parse_wkt(wkt)
+    try:
+        kind, data = parse_wkt(wkt)
+    except ValueError:
+        return wkt
     if kind != "polygon":
         return wkt
     if polygon_invalid_reason(data) is None:

@@ -356,3 +356,12 @@ def test_make_valid_fuzz_invariants():
             a = multipoly_area(parse_wkt(mv)[1])
             assert 0 <= a <= 400, (trial, wkt, a)
             assert make_valid_wkt(mv) == mv, (trial, mv)
+
+
+def test_make_valid_passthrough_unmodeled_types():
+    from datum_spark.functions.clipping import is_valid_wkt, make_valid_wkt
+
+    gc = "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))"
+    assert make_valid_wkt(gc) == gc       # never raises on a bad row
+    ok, reason = is_valid_wkt(gc)
+    assert ok is False and "unsupported" in reason
