@@ -38,7 +38,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # vertex-op coordinate formatter (x161 shares the geometry pack whose
 # registration now includes the overlay/transform UDFs).
 _RECHECK_R8 = {
-    "x173_makevalid", "x174_extent_collect", "x175_geohash",  # newest
+    "x178_kmv_distinct", "x179_kmv_setops",           # newest: sketches
+    "x180_bloom_prejoin", "x181_dbscan",
+    "x173_makevalid", "x174_extent_collect", "x175_geohash",
     "x176_linear_ref", "x177_closest_point",
     "x163_overlay_rect", "x164_overlay_fixtures", "x165_buffer",
     "x166_de9im_predicates", "x167_overlay_join",     # new round-8

@@ -2258,3 +2258,77 @@ def x150(spark, sf):
              .orderBy("cohort_start", "week_offset"))
 
 
+
+
+@x("x180_bloom_prejoin", """
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+), pos AS (
+  SELECT CAST(('0x' || substring(md5('bf-' || j || '-' || c_custkey),
+                                 1, 8)) AS BIGINT) % 4096 AS p
+  FROM dim, generate_series(0, 1) AS t(j)
+), words AS (
+  SELECT (p // 32) AS w, bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT))
+           AS bits
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+         (SELECT BOOL_AND(COALESCE(
+             ((w.bits >> CAST(q.p % 32 AS INT)) & 1) = 1, FALSE))
+          FROM (SELECT CAST(('0x' || substring(
+                     md5('bf-' || j || '-' || o.o_custkey), 1, 8))
+                     AS BIGINT) % 4096 AS p
+                FROM generate_series(0, 1) AS t(j)) q
+          LEFT JOIN words w ON w.w = (q.p // 32)) AS bloom_pass
+  FROM orders o
+), exact AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM dim)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+       ROUND(CAST(SUM(CASE WHEN bloom_pass
+                            AND o_orderkey NOT IN
+                                (SELECT o_orderkey FROM exact)
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / (COUNT(*) - (SELECT COUNT(*) FROM exact)), 4) AS fp_rate,
+       ROUND(SUM(CASE WHEN o_orderkey IN (SELECT o_orderkey FROM exact)
+                      THEN o_totalprice ELSE 0 END), 2) AS revenue_exact
+FROM probe""")
+def x180(spark, sf):
+    """Bloom-filter join pruning, measured: a 4 096-bit / 2-hash filter
+    over the BUILDING customers rides the plan as a 128-word literal
+    and pre-filters orders MAP-SIDE before the exact semi-join — the
+    100 TB pattern that keeps the fact-table exchange proportional to
+    matches (plus the false-positive share this query makes
+    observable) instead of table size.  Portable md5 bit positions make
+    the FP SET itself deterministic: the oracle re-derives the same
+    words and the same per-row verdicts, so n_bloom_pass / fp_rate are
+    value-checked, not asserted."""
+    from ..operators.sketches import bloom_build, bloom_might_contain
+
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING") \
+              .select("c_custkey")
+    words = bloom_build(dim, "c_custkey", n_bits=4096, n_hashes=2)
+    passed = bloom_might_contain(F.col("o_custkey"), words,
+                                 n_bits=4096, n_hashes=2)
+    exact = F.col("c_custkey").isNotNull()
+    probe = (orders.withColumn("__bloom", passed)
+                   .join(F.broadcast(dim),
+                         orders["o_custkey"] == dim["c_custkey"], "left")
+                   .withColumn("__exact", exact))
+    return probe.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("__bloom").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("__exact").cast("long")).alias("n_exact"),
+        F.round(F.sum((F.col("__bloom") & ~F.col("__exact"))
+                      .cast("double"))
+                / F.sum((~F.col("__exact")).cast("long")), 4)
+         .alias("fp_rate"),
+        F.round(F.sum(F.when(F.col("__exact"), F.col("o_totalprice"))
+                       .otherwise(F.lit(0.0))), 2)
+         .alias("revenue_exact"))

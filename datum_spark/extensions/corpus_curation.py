@@ -448,3 +448,185 @@ def x157(spark, sf):
                .orderBy("source"))
 
 
+
+
+# round-8 additions: KMV bottom-k distinct sketches — the re-aggregable
+# cardinality + set-algebra summary a 100 TB curation pipeline keeps per
+# source/shard instead of re-scanning raw text (x85 holds the native
+# HLL rollup; these are its AUDITABLE twin, bit-exact in the oracle,
+# plus the union/intersection estimates HLL cannot give).
+
+_SHINGLE_SQL = """
+w AS (
+  SELECT source, doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(range(0, greatest(len(ws) - 3, 0) + 1),
+                i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')))
+           AS sh
+  FROM w
+), h AS (
+  SELECT DISTINCT source,
+         CAST(('0x' || substring(md5('kmv-' || sh), 1, 12)) AS BIGINT)
+           AS hv
+  FROM g
+)"""
+
+
+def _shingles3(spark, sf):
+    """(source, sh): distinct 3-word shingles per source — the KMV
+    element domain for x178/x179."""
+    docs = load_docs(spark, sf)
+    words = F.filter(F.split(F.lower("text"), r"\s+"),
+                     lambda t: t != "")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(words, i + 1, 3)))
+    return (docs.select("source", F.explode(sh).alias("sh"))
+                .distinct())
+
+
+@x("x178_kmv_distinct", f"""
+WITH {_SHINGLE_SQL}, rk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM h
+), sk AS (
+  SELECT source, MAX(hv) AS hk, CAST(COUNT(*) AS INT) AS kmv_n
+  FROM rk WHERE rn <= 128 GROUP BY source
+), ex AS (
+  SELECT source, CAST(COUNT(DISTINCT sh) AS BIGINT) AS vocab_exact
+  FROM g GROUP BY source
+)
+SELECT sk.source, ex.vocab_exact, sk.kmv_n,
+       ROUND(CASE WHEN kmv_n < 128 THEN CAST(kmv_n AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / hk END, 4) AS kmv_est,
+       ROUND(CASE WHEN kmv_n < 128 THEN CAST(kmv_n AS DOUBLE)
+                  ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / hk END
+             / ex.vocab_exact, 3) AS est_ratio
+FROM sk JOIN ex USING (source) ORDER BY source""")
+def x178(spark, sf):
+    """Per-source distinct-shingle cardinality via the KMV bottom-k
+    sketch (k=128), audited against the exact count — the per-shard
+    vocabulary summary a curation pipeline stores at KB size and merges
+    across shards instead of re-scanning text.  The 48-bit md5 hash
+    makes the estimate itself a pure function of the data: the oracle
+    re-derives the identical order statistic, not just a tolerance."""
+    from ..operators.sketches import kmv_build, kmv_distinct_est
+    from ..util import retain_cache
+
+    sh = retain_cache(_shingles3(spark, sf))
+    sk = kmv_build(sh, "sh", ["source"], k=128)
+    ex = sh.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_exact"))
+    est = kmv_distinct_est(F.col("kmv"), 128)
+    return (sk.join(ex, "source")
+              .select("source", "vocab_exact", "kmv_n",
+                      F.round(est, 4).alias("kmv_est"),
+                      F.round(est / F.col("vocab_exact"), 3)
+                       .alias("est_ratio"))
+              .orderBy("source"))
+
+
+@x("x179_kmv_setops", f"""
+WITH {_SHINGLE_SQL}, rk AS (
+  SELECT source, hv,
+         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn
+  FROM h WHERE source IN ('src0', 'src1', 'src2', 'src3')
+), s AS (SELECT source, hv FROM rk WHERE rn <= 128),
+srcs AS (SELECT DISTINCT source FROM s),
+p AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), u AS (
+  SELECT p.sa, p.sb, s.hv,
+         BOOL_OR(s.source = p.sa) AS ina,
+         BOOL_OR(s.source = p.sb) AS inb
+  FROM p JOIN s ON s.source IN (p.sa, p.sb)
+  GROUP BY p.sa, p.sb, s.hv
+), ku AS (
+  SELECT sa, sb, hv, ina, inb,
+         row_number() OVER (PARTITION BY sa, sb ORDER BY hv) AS rn
+  FROM u
+), m AS (
+  SELECT sa, sb, MAX(hv) AS hk, COUNT(*) AS kn,
+         SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS n_both
+  FROM ku WHERE rn <= 128 GROUP BY sa, sb
+), est AS (
+  SELECT sa, sb,
+         CASE WHEN kn < 128 THEN CAST(kn AS DOUBLE)
+              ELSE CAST(127 AS DOUBLE) * CAST(281474976710656 AS DOUBLE) / hk END AS u_est,
+         CAST(n_both AS DOUBLE) / kn AS j_est
+  FROM m
+), exact AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersect
+  FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+  WHERE a.source IN ('src0', 'src1', 'src2', 'src3')
+    AND b.source IN ('src0', 'src1', 'src2', 'src3')
+  GROUP BY 1, 2
+), vocab AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS v FROM g
+  WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY source
+)
+SELECT est.sa AS source_a, est.sb AS source_b,
+       ROUND(u_est, 4) AS union_est,
+       ROUND(j_est * u_est, 4) AS intersect_est,
+       ROUND(j_est, 4) AS jaccard_est,
+       va.v + vb.v - exact.exact_intersect AS exact_union,
+       exact.exact_intersect
+FROM est JOIN exact ON est.sa = exact.sa AND est.sb = exact.sb
+JOIN vocab va ON va.source = est.sa
+JOIN vocab vb ON vb.source = est.sb
+ORDER BY source_a, source_b""")
+def x179(spark, sf):
+    """KMV set algebra between sources: union / intersection / Jaccard
+    estimates for every pair among four sources, from the 128-hash
+    sketches ALONE (Beyer et al. 2007), next to the exact values — the
+    cross-shard overlap triage that answers "which dumps mirror each
+    other" without an all-pairs shingle join.  Bit-exact oracle: DuckDB
+    replays the merged bottom-k sample and the same order-statistic
+    arithmetic."""
+    from ..operators.sketches import kmv_build, kmv_set_estimates
+    from ..util import retain_cache
+
+    four = ["src0", "src1", "src2", "src3"]
+    sh = retain_cache(_shingles3(spark, sf)
+                      .filter(F.col("source").isin(four)))
+    sk = kmv_build(sh, "sh", ["source"], k=128)
+    a = sk.select(F.col("source").alias("source_a"),
+                  F.col("kmv").alias("kmv_a"))
+    b = sk.select(F.col("source").alias("source_b"),
+                  F.col("kmv").alias("kmv_b"))
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    est = kmv_set_estimates(F.col("kmv_a"), F.col("kmv_b"), 128)
+    # exact union/intersection for the audit columns
+    xa = sh.select(F.col("source").alias("source_a"), "sh")
+    xb = sh.select(F.col("source").alias("source_b"), "sh")
+    inter = (xa.join(xb, "sh")
+               .filter(F.col("source_a") < F.col("source_b"))
+               .groupBy("source_a", "source_b")
+               .agg(F.count(F.lit(1)).alias("exact_intersect")))
+    vocab = sh.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    va = vocab.select(F.col("source").alias("source_a"),
+                      F.col("v").alias("va"))
+    vb = vocab.select(F.col("source").alias("source_b"),
+                      F.col("v").alias("vb"))
+    return (pairs.withColumn("e", est)
+                 .join(inter, ["source_a", "source_b"])
+                 .join(va, "source_a").join(vb, "source_b")
+                 .select("source_a", "source_b",
+                         F.round(F.col("e.union_est"), 4)
+                          .alias("union_est"),
+                         F.round(F.col("e.intersect_est"), 4)
+                          .alias("intersect_est"),
+                         F.round(F.col("e.jaccard_est"), 4)
+                          .alias("jaccard_est"),
+                         (F.col("va") + F.col("vb")
+                          - F.col("exact_intersect"))
+                          .alias("exact_union"),
+                         "exact_intersect")
+                 .orderBy("source_a", "source_b"))

@@ -1298,3 +1298,65 @@ c AS (
 SELECT k, ROUND(st_x(cp), 6) AS cx, ROUND(st_y(cp), 6) AS cy,
        ROUND(st_length(sl), 6) AS dist
 FROM c ORDER BY k""")
+
+
+@x("x181_dbscan", """
+WITH RECURSIVE p AS (
+  SELECT c_custkey AS id, abs(c_acctbal) % 100 AS x,
+         CAST(c_custkey % 100 AS DOUBLE) AS y FROM customer
+), nbr AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM p a JOIN p b
+    ON (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 4.0
+), core AS (
+  SELECT ia AS id FROM nbr GROUP BY ia HAVING COUNT(*) >= 4
+), ce AS (
+  SELECT ia, ib FROM nbr
+  WHERE ia IN (SELECT id FROM core) AND ib IN (SELECT id FROM core)
+    AND ia <> ib
+), reach(a, b) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT r.a, e.ib FROM reach r JOIN ce e ON r.b = e.ia
+), lab AS (
+  SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a
+), border AS (
+  SELECT n.ia AS id, MIN(l.cluster) AS cluster
+  FROM nbr n JOIN lab l ON n.ib = l.id
+  WHERE n.ia NOT IN (SELECT id FROM core)
+  GROUP BY n.ia
+), allpts AS (
+  SELECT p.id, p.x, p.y,
+         COALESCE(l.cluster, border.cluster) AS cluster,
+         l.id IS NOT NULL AS is_core
+  FROM p LEFT JOIN lab l ON p.id = l.id
+         LEFT JOIN border ON p.id = border.id
+)
+SELECT COALESCE(cluster, -1) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_core,
+       ROUND(AVG(x), 4) AS cx, ROUND(AVG(y), 4) AS cy
+FROM allpts GROUP BY 1 ORDER BY cluster""")
+def x181(spark, sf):
+    """Density-based spatial clustering (``ST_ClusterDBSCAN`` parity,
+    eps=2, minPoints=4) over the customer point cloud, summarized per
+    cluster (noise = -1): the geocode-blob detector a spatial-ETL user
+    gets from PostGIS as a window function.  The engine composes the
+    uniform-grid radius join (never all-pairs), map-combined degree
+    counts and alternating-star connected components; border points
+    take the smallest candidate cluster deterministically, so the
+    all-pairs recursive-CTE oracle replays the exact labeling."""
+    from ..operators.spatial import dbscan
+
+    cust = (load(spark, sf, "customer")
+            .select("c_custkey",
+                    (F.abs(F.col("c_acctbal")) % 100).alias("x"),
+                    (F.col("c_custkey") % 100).cast("double").alias("y")))
+    out = dbscan(cust, "c_custkey", "x", "y", eps=2.0, min_pts=4)
+    return (out.groupBy(F.coalesce("cluster", F.lit(-1)).alias("cluster"))
+               .agg(F.count(F.lit(1)).alias("n_points"),
+                    F.sum(F.col("is_core").cast("long")).alias("n_core"),
+                    F.round(F.avg("x"), 4).alias("cx"),
+                    F.round(F.avg("y"), 4).alias("cy"))
+               .orderBy("cluster"))

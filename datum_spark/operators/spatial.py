@@ -257,3 +257,105 @@ def dissolve(df: DataFrame, group_cols: list[str], wkt_col: str,
                   .drop("__s"))
     out = cur.groupBy(*group_cols).applyInPandas(fold, schema)
     return out.withColumnRenamed(wkt_col, geom_out)
+
+
+def dbscan(points: DataFrame, id_col: str, x_col: str, y_col: str,
+           eps: float, min_pts: int,
+           cluster_col: str = "cluster",
+           core_col: str = "is_core") -> DataFrame:
+    """Density-based clustering (PostGIS ``ST_ClusterDBSCAN`` window
+    semantics, deterministic variant): every point gets a nullable
+    ``cluster_col`` label (= the MINIMUM member id of its cluster) and
+    a ``core_col`` flag; noise points keep NULL.
+
+    Definitions are the standard DBSCAN ones — a CORE point has at
+    least ``min_pts`` neighbors within ``eps`` (closed boundary,
+    counting itself); clusters are the connected components of the
+    core-core neighbor graph; a BORDER point (non-core within ``eps``
+    of a core) joins a neighboring core's cluster.  Textbook DBSCAN
+    leaves the border assignment order-dependent when two clusters both
+    reach it; here it deterministically takes the SMALLEST candidate
+    cluster label, so output is a pure function of the input (and the
+    x181 oracle can replay it).
+
+    Scale shape: the ε-neighborhood graph comes from ``radius_join``
+    (uniform-grid equi-join — one hash shuffle, candidates bounded by
+    local density, never a cross join); degrees and border assignment
+    are map-side-combined aggregations of that pair list; components
+    run alternating large/small-star rounds (log-diameter
+    convergence).  Nothing is ever all-pairs, and no task's input
+    grows with the table.
+    """
+    pts = points.select(F.col(id_col).alias("__id"),
+                        F.col(x_col).cast("double").alias("__x"),
+                        F.col(y_col).cast("double").alias("__y"))
+    a = pts.select(F.col("__id").alias("__ia"),
+                   F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = pts.select(F.col("__id").alias("__ib"),
+                   F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    from ..util import retain_cache
+    nbr = retain_cache(
+        radius_join(a, b, "__xa", "__ya", "__xb", "__yb", eps,
+                    dist_col="__d").select("__ia", "__ib"))
+    core = (nbr.groupBy("__ia").agg(F.count(F.lit(1)).alias("__n"))
+               .filter(F.col("__n") >= min_pts)
+               .select(F.col("__ia").alias("__cid")))
+    # core-core edges -> components; isolated cores label themselves
+    ce = (nbr.join(core.withColumnRenamed("__cid", "__ia"), "__ia")
+             .join(core.withColumnRenamed("__cid", "__ib"), "__ib")
+             .filter(F.col("__ia") < F.col("__ib"))
+             .select("__ia", "__ib"))
+    from .components import connected_components
+    comp = connected_components(ce)
+    core_lab = (core.join(comp.withColumnRenamed("node", "__cid"),
+                          "__cid", "left")
+                    .select(F.col("__cid").alias("__id"),
+                            F.coalesce("component", "__cid")
+                             .alias("__lab")))
+    # border: non-core neighbors of cores take the smallest core label
+    border = (nbr.join(core_lab.withColumnRenamed("__id", "__ib")
+                               .withColumnRenamed("__lab", "__blab"),
+                       "__ib")
+                 .join(core_lab.select(F.col("__id").alias("__ia")),
+                       "__ia", "left_anti")
+                 .groupBy("__ia")
+                 .agg(F.min("__blab").alias("__lab"))
+                 .withColumnRenamed("__ia", "__id"))
+    labels = core_lab.withColumn("__core", F.lit(True)).unionByName(
+        border.withColumn("__core", F.lit(False)))
+    out = (pts.join(labels, "__id", "left")
+              .select(F.col("__id").alias(id_col),
+                      F.col("__x").alias(x_col), F.col("__y").alias(y_col),
+                      F.col("__lab").alias(cluster_col),
+                      F.coalesce("__core", F.lit(False)).alias(core_col)))
+    return out
+
+
+def cluster_within(points: DataFrame, id_col: str, x_col: str,
+                   y_col: str, distance: float,
+                   cluster_col: str = "cluster") -> DataFrame:
+    """PostGIS ``ST_ClusterWithin`` semantics: single-linkage clusters —
+    connected components of the "within ``distance``" graph.  Every
+    point gets a non-null ``cluster_col`` (= minimum member id;
+    isolated points label themselves).  Same grid-join + alternating-
+    star machinery as :func:`dbscan` without the density gate."""
+    pts = points.select(F.col(id_col).alias("__id"),
+                        F.col(x_col).cast("double").alias("__x"),
+                        F.col(y_col).cast("double").alias("__y"))
+    a = pts.select(F.col("__id").alias("__ia"),
+                   F.col("__x").alias("__xa"), F.col("__y").alias("__ya"))
+    b = pts.select(F.col("__id").alias("__ib"),
+                   F.col("__x").alias("__xb"), F.col("__y").alias("__yb"))
+    edges = (radius_join(a, b, "__xa", "__ya", "__xb", "__yb", distance,
+                         dist_col="__d")
+             .filter(F.col("__ia") < F.col("__ib"))
+             .select("__ia", "__ib"))
+    from .components import connected_components
+    comp = connected_components(edges)
+    return (pts.join(comp.withColumnRenamed("node", "__id"),
+                     "__id", "left")
+               .select(F.col("__id").alias(id_col),
+                       F.col("__x").alias(x_col),
+                       F.col("__y").alias(y_col),
+                       F.coalesce("component", "__id")
+                        .alias(cluster_col)))
