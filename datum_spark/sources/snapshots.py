@@ -397,12 +397,14 @@ class SnapshotTable:
             files = list(new_files)
             file_stats = dict(stats)
             merged_schema = schema_json
+            parent_dv: list[str] = []
             if parent is not None:
                 pm = self._load_manifest(parent)
                 files += pm["files"]
                 file_stats.update(pm.get("file_stats", {}))
                 file_stats = {f: s for f, s in file_stats.items()
                               if f in set(files)}
+                parent_dv = list(pm.get("delete_files") or [])
                 try:
                     merged_schema = _merge_schema_json(pm.get("schema"),
                                                        schema_json)
@@ -410,9 +412,13 @@ class SnapshotTable:
                     self._discard_files(new_files)
                     raise
             try:
+                # the parent's merge-on-read delete refs still govern
+                # the parent's files, which ride along by reference
                 self._publish(version, files, "append", parent,
                               extra={"schema": merged_schema,
                                      "file_stats": file_stats,
+                                     **({"delete_files": parent_dv}
+                                        if parent_dv else {}),
                                      **(extra or {})})
                 return version
             except CommitConflict:
@@ -447,15 +453,23 @@ class SnapshotTable:
                 schema_json = _merge_schema_json(
                     self._load_manifest(parent).get("schema"), schema_json)
             file_stats = dict(stats)
+            parent_dv: list[str] = []
             if kept and parent is not None:
-                parent_stats = self._load_manifest(parent) \
-                    .get("file_stats", {})
+                pm = self._load_manifest(parent)
+                parent_stats = pm.get("file_stats", {})
                 file_stats.update({f: parent_stats[f] for f in kept
                                    if f in parent_stats})
+                # kept-by-reference files may still have merge-on-read
+                # delete refs pointing at them; refs to the rewritten
+                # files go stale (their paths leave the file list) and
+                # anti-join nothing — harmless until compact drops them
+                parent_dv = list(pm.get("delete_files") or [])
             try:
                 self._publish(version, new_files + kept, operation,
                               parent, extra={"schema": schema_json,
-                                             "file_stats": file_stats})
+                                             "file_stats": file_stats,
+                                             **({"delete_files": parent_dv}
+                                                if parent_dv else {})})
                 return version
             except CommitConflict:
                 self._discard_files(new_files)
@@ -463,20 +477,46 @@ class SnapshotTable:
         raise CommitConflict(
             f"lost the commit race {retries} times at {self.path}")
 
-    def _read_files(self, manifest: dict, files: list[str]) -> DataFrame:
+    def _read_files(self, manifest: dict, files: list[str],
+                    with_pos: bool = False) -> DataFrame:
         """Scan ``files`` PINNED to the manifest's recorded schema: files
         that predate an added column read it as NULL, columns dropped
         from the schema are ignored even where a file still stores them
         (parquet name mapping) — every version reads with its own
-        schema, uniformly across heterogeneous commits."""
+        schema, uniformly across heterogeneous commits.
+
+        Merge-on-read DELETES apply here: when the manifest carries
+        ``delete_files`` (position-delete refs from
+        ``delete_where(mode="mor")``), the scan anti-joins them on
+        ``(_metadata.file_path, _metadata.row_index)`` — so every
+        consumer (reads, rewrites, compaction) sees the post-delete
+        rows without any caller-side handling.  ``with_pos=True`` keeps
+        the ``__dv_file`` / ``__dv_pos`` columns (used when computing
+        new delete refs)."""
         schema_json = manifest.get("schema")
         if schema_json:
             from pyspark.sql.types import StructType
 
-            return (self.spark.read
-                    .schema(StructType.fromJson(schema_json))
-                    .parquet(*files))
-        return self.spark.read.option("mergeSchema", "true").parquet(*files)
+            out = (self.spark.read
+                   .schema(StructType.fromJson(schema_json))
+                   .parquet(*files))
+        else:
+            out = self.spark.read.option("mergeSchema", "true") \
+                      .parquet(*files)
+        dv = manifest.get("delete_files") or []
+        if dv or with_pos:
+            from pyspark.sql import functions as F
+
+            out = out.select(
+                "*", F.col("_metadata.file_path").alias("__dv_file"),
+                F.col("_metadata.row_index").alias("__dv_pos"))
+            if dv:
+                refs = self.spark.read.parquet(*dv)
+                out = out.join(refs, ["__dv_file", "__dv_pos"],
+                               "left_anti")
+            if not with_pos:
+                out = out.drop("__dv_file", "__dv_pos")
+        return out
 
     def _discard_files(self, files: list[str]) -> None:
         """Remove a commit directory whose files never made it into any
@@ -626,14 +666,30 @@ class SnapshotTable:
         raise CommitConflict(
             f"lost the commit race 10 times at {self.path}")
 
-    def delete_where(self, condition: str) -> int:
-        """Copy-on-write delete over the TOUCHED files only: manifest
-        column stats prune files the predicate provably cannot match
-        (simple AND-of-comparisons conditions; anything fancier rewrites
-        everything — pruning is an optimization, never a semantics
-        change).  Untouched files are carried by reference,
-        byte-identical.  On a commit conflict the delete recomputes from
-        the new head."""
+    def delete_where(self, condition: str, mode: str = "cow") -> int:
+        """Delete rows matching ``condition``.
+
+        ``mode="cow"`` (default): copy-on-write over the TOUCHED files
+        only — manifest column stats prune files the predicate provably
+        cannot match (simple AND-of-comparisons conditions; anything
+        fancier rewrites everything — pruning is an optimization, never
+        a semantics change).  Untouched files are carried by reference,
+        byte-identical.  On a commit conflict the delete recomputes
+        from the new head.
+
+        ``mode="mor"`` (merge-on-read, the Iceberg v2 position-delete /
+        Delta deletion-vector posture): NO data file is rewritten — the
+        commit records ``(file, row_index)`` refs for the matching rows
+        and every subsequent scan anti-joins them out.  Write cost is
+        O(matching rows), not O(matching files), which is what a
+        selective delete on a 100 TB table needs; the read-side
+        anti-join is the usual MOR amplification, reclaimed by the next
+        ``compact`` (which materializes the deletes and drops the
+        refs)."""
+        if mode == "mor":
+            return self._delete_where_mor(condition)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r}")
         terms = parse_prunable_condition(condition)
 
         def touched_split(parent):
@@ -663,6 +719,74 @@ class SnapshotTable:
         return self._commit_rewrite(
             "delete", build,
             keep_files=lambda parent: touched_split(parent)[1])
+
+    def _write_refs(self, refs: DataFrame) -> list[str]:
+        """Write position-delete refs (``__dv_file``, ``__dv_pos``) into
+        a fresh commit dir; same immutable-file discipline as data."""
+        commit_dir = os.path.join(self._data,
+                                  f"commit-{uuid.uuid4().hex}")
+        refs.write.parquet(commit_dir)
+        return [os.path.join(commit_dir, n)
+                for n in os.listdir(commit_dir) if n.endswith(".parquet")]
+
+    @staticmethod
+    def _parquet_rows(path: str) -> int:
+        import pyarrow.parquet as pq
+
+        try:
+            return pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return 1        # unreadable footer: assume non-empty
+
+    def _delete_where_mor(self, condition: str, retries: int = 5) -> int:
+        """Merge-on-read delete (see :meth:`delete_where`): compute the
+        matching rows' ``(file, row_index)`` refs against the current
+        head (stats-pruned scan — only files that MAY match are opened)
+        and publish a manifest with the SAME file list plus the new
+        refs.  Rows already deleted never re-enter the refs
+        (``_read_files`` anti-joins the existing refs during the
+        computing scan).  On a commit conflict the refs are discarded
+        and recomputed from the new head — a concurrent rewrite may
+        have moved rows into new files, so stale refs must never be
+        published.  No-op (returns the current version, no commit) when
+        the predicate provably matches no file."""
+        terms = parse_prunable_condition(condition)
+        for _ in range(retries):
+            parent = self.current_version()
+            if parent is None:
+                raise ValueError(f"no snapshot table at {self.path}")
+            m = self._load_manifest(parent)
+            files = m["files"]
+            cand = files
+            if terms is not None and files:
+                stats = m.get("file_stats", {})
+                cand = [f for f in files
+                        if file_may_match(stats.get(f, {}), terms)]
+            if not cand:
+                return parent
+            refs = (self._read_files(m, cand, with_pos=True)
+                    .filter(f"coalesce(({condition}), false)")
+                    .select("__dv_file", "__dv_pos"))
+            new_refs = self._write_refs(refs)
+            # exact no-op check from the refs footers (driver-side, KB):
+            # zero matching rows -> no commit, nothing for readers to do
+            if sum(self._parquet_rows(f) for f in new_refs) == 0:
+                self._discard_files(new_refs)
+                return parent
+            try:
+                self._publish(
+                    parent + 1, files, "delete-mor", parent,
+                    extra={"schema": m.get("schema"),
+                           "file_stats": m.get("file_stats", {}),
+                           "delete_files":
+                               list(m.get("delete_files") or [])
+                               + new_refs})
+                return parent + 1
+            except CommitConflict:
+                self._discard_files(new_refs)
+                continue
+        raise CommitConflict(
+            f"lost the commit race {retries} times at {self.path}")
 
     def compact(self, target_files: int = 8,
                 cluster_by: list[str] | None = None) -> int:
@@ -709,11 +833,14 @@ class SnapshotTable:
                 raise ValueError(f"no snapshot table at {self.path}")
             pm = self._load_manifest(parent)
             try:
+                pdv = list(pm.get("delete_files") or [])
                 self._publish(parent + 1, pm["files"], "evolve-schema",
                               parent,
                               extra={"schema": evolve(pm.get("schema")),
                                      "file_stats": pm.get("file_stats",
-                                                          {})})
+                                                          {}),
+                                     **({"delete_files": pdv}
+                                        if pdv else {})})
                 return parent + 1
             except CommitConflict:
                 continue
@@ -794,7 +921,8 @@ class SnapshotTable:
                          if file_may_match(stats.get(f, {}), terms)]
         if not files:
             return self._empty_df(manifest)
-        if manifest.get("schema") or merge_schema:
+        if manifest.get("schema") or merge_schema \
+                or manifest.get("delete_files"):
             out = self._read_files(manifest, files)
         else:
             out = self.spark.read.parquet(*files)
@@ -864,7 +992,9 @@ class SnapshotTable:
         keep = set(versions[-keep_last:]) if keep_last > 0 else set(versions)
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self._load_manifest(v)["files"])
+            meta = self._load_manifest(v)
+            referenced.update(meta["files"])
+            referenced.update(meta.get("delete_files") or [])
         removed: list[str] = []
         for v in versions:
             if v not in keep:

@@ -559,3 +559,93 @@ def test_empty_after_evolution_keeps_schema(spark, table):
     head = table.read()
     assert head.columns == ["v", "tag"]
     assert head.count() == 0
+
+
+# ------------------------------------------------- merge-on-read deletes
+
+def _data_files(table, version=None):
+    v = table.current_version() if version is None else version
+    return sorted(table._load_manifest(v)["files"])
+
+
+def test_mor_delete_rewrites_nothing(spark, table):
+    table.append(spark.range(10).select(F.col("id").alias("v")))
+    files_before = _data_files(table)
+    sizes_before = {f: os.path.getsize(f) for f in files_before}
+    v = table.delete_where("v >= 7", mode="mor")
+    assert v == 2
+    assert _rows(table.read()) == [0, 1, 2, 3, 4, 5, 6]
+    # identical file list, byte-identical files — only refs were added
+    assert _data_files(table) == files_before
+    assert {f: os.path.getsize(f) for f in files_before} == sizes_before
+    assert table._load_manifest(v).get("delete_files")
+
+
+def test_mor_delete_time_travels(spark, table):
+    table.append(spark.range(4).select(F.col("id").alias("v")))
+    table.delete_where("v = 2", mode="mor")
+    assert _rows(table.read(version=1)) == [0, 1, 2, 3]
+    assert _rows(table.read()) == [0, 1, 3]
+
+
+def test_mor_deletes_accumulate_and_compact_materializes(spark, table):
+    table.append(spark.range(8).select(F.col("id").alias("v")))
+    table.delete_where("v IN (1, 2)", mode="mor")
+    table.delete_where("v = 5", mode="mor")
+    assert _rows(table.read()) == [0, 3, 4, 6, 7]
+    assert len(table._load_manifest(table.current_version())
+               .get("delete_files")) >= 2
+    vc = table.compact(target_files=1)
+    m = table._load_manifest(vc)
+    assert not m.get("delete_files")      # refs dropped after rewrite
+    assert _rows(table.read()) == [0, 3, 4, 6, 7]
+
+
+def test_mor_delete_survives_append_and_merge(spark, table):
+    table.append(spark.range(6).select(F.col("id").alias("v"),
+                                       (F.col("id") * 10).alias("w")))
+    table.delete_where("v = 3", mode="mor")
+    table.append(spark.createDataFrame([(100, 0)], "v long, w long"))
+    assert sorted(r["v"] for r in table.read().collect()) \
+        == [0, 1, 2, 4, 5, 100]
+    # a keyed merge must not resurrect the deleted row
+    table.merge(spark.createDataFrame([(0, 999)], "v long, w long"),
+                keys=["v"])
+    got = {r["v"]: r["w"] for r in table.read().collect()}
+    assert 3 not in got
+    assert got[0] == 999
+
+
+def test_mor_delete_noop_when_stats_prune_everything(spark, table):
+    table.append(spark.range(5).select(F.col("id").alias("v")))
+    head = table.current_version()
+    assert table.delete_where("v > 1000", mode="mor") == head
+    assert table.current_version() == head     # no commit published
+
+
+def test_mor_delete_already_deleted_rows_not_readded(spark, table):
+    table.append(spark.range(5).select(F.col("id").alias("v")))
+    table.delete_where("v >= 3", mode="mor")
+    v = table.delete_where("v >= 2", mode="mor")   # overlaps prior refs
+    refs = spark.read.parquet(
+        *table._load_manifest(v)["delete_files"])
+    assert refs.count() == 3                        # 2 + (3, 4) once each
+    assert refs.distinct().count() == 3
+    assert _rows(table.read()) == [0, 1]
+
+
+def test_mor_refs_survive_vacuum(spark, table):
+    table.append(spark.range(4).select(F.col("id").alias("v")))
+    table.delete_where("v = 0", mode="mor")
+    table.append(spark.range(10, 12).select(F.col("id").alias("v")))
+    removed = table.vacuum(keep_last=2, min_age_seconds=0.0)
+    assert _rows(table.read()) == [1, 2, 3, 10, 11]
+    dv = table._load_manifest(table.current_version())["delete_files"]
+    assert all(os.path.exists(f) for f in dv)
+    assert removed is not None
+
+
+def test_mor_delete_rejects_unknown_mode(spark, table):
+    table.append(spark.range(2).select(F.col("id").alias("v")))
+    with pytest.raises(ValueError):
+        table.delete_where("v = 0", mode="nope")
