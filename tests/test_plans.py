@@ -399,3 +399,50 @@ def test_polygon_overlay_join_is_hash_equi(spark):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     # the Python clipper stage exists and sits downstream of the join
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_dbscan_no_cartesian_and_partial_aggs(spark):
+    """x181: the ε-graph must come from the grid equi-join (a nested
+    loop is points² quadratic); degree counting and border assignment
+    must partial-aggregate (map-side combine) before their exchange."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x181_dbscan"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_kmv_build_prunes_before_group_window(spark):
+    """x178: the bottom-k per group must run the partition-local prune
+    (spark_partition_id window) before the single group-key ranking
+    window, so the group exchange carries <= k x partitions rows per
+    group — and nothing in the plan is a cartesian."""
+    from datum_spark.extensions import EXTENSIONS
+
+    df = EXTENSIONS["x178_kmv_distinct"][0](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Window") >= 2     # local prune + group ranking
+
+
+def test_bloom_probe_is_map_side_literal(spark):
+    """x180: the bloom words must ride the plan as a literal array (no
+    join for the probe — the only join is the exact semi/left audit),
+    and the probe expression must not add an exchange before the
+    aggregate."""
+    from datum_spark.operators.sketches import (bloom_build,
+                                                bloom_might_contain)
+    from datum_spark.tierb import load
+    from pyspark.sql import functions as F
+
+    dim = (load(spark, SF, "customer")
+           .filter(F.col("c_mktsegment") == "BUILDING")
+           .select("c_custkey"))
+    words = bloom_build(dim, "c_custkey", n_bits=4096, n_hashes=2)
+    probe = (load(spark, SF, "orders")
+             .filter(bloom_might_contain(F.col("o_custkey"), words,
+                                         n_bits=4096, n_hashes=2)))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan            # pure map-side filter
+    assert "Exchange" not in plan
