@@ -1058,3 +1058,70 @@ def x72(spark, sf):
                .orderBy("cohort_day", "day_offset"))
 
 
+
+
+@x("x182_dsir_sampling", """
+WITH tok AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substring(md5('dsir-' || w), 1, 8)) AS BIGINT)
+           % 1024 AS b
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+), tgt_total AS (
+  SELECT COUNT(*) AS t FROM tok WHERE lang = 'en'
+), src_total AS (
+  SELECT COUNT(*) AS t FROM tok
+), tgt_p AS (
+  SELECT b, ln((COUNT(*) + 1) / CAST((SELECT t FROM tgt_total) + 1024
+                                     AS DOUBLE)) AS lt
+  FROM tok WHERE lang = 'en' GROUP BY b
+), src_p AS (
+  SELECT b, ln((COUNT(*) + 1) / CAST((SELECT t FROM src_total) + 1024
+                                     AS DOUBLE)) AS ls
+  FROM tok GROUP BY b
+), ratio AS (
+  SELECT COALESCE(tgt_p.b, src_p.b) AS b,
+         COALESCE(lt, ln(1.0 / ((SELECT t FROM tgt_total) + 1024)))
+         - COALESCE(ls, ln(1.0 / ((SELECT t FROM src_total) + 1024)))
+           AS r
+  FROM tgt_p FULL JOIN src_p ON tgt_p.b = src_p.b
+), w AS (
+  SELECT tok.doc_id, SUM(COALESCE(ratio.r, 0.0)) AS logw
+  FROM tok LEFT JOIN ratio ON tok.b = ratio.b
+  GROUP BY tok.doc_id
+), scored AS (
+  SELECT doc_id,
+         ROUND(logw + (-ln(-ln(
+           (CAST(('0x' || substring(md5('dsirg-' || doc_id), 1, 8))
+                 AS BIGINT) + 0.5) / 4294967296.0))), 9) AS score
+  FROM w
+), sel AS (
+  SELECT doc_id, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT sel.doc_id, d.lang, sel.score
+FROM sel JOIN documents d ON sel.doc_id = d.doc_id
+WHERE rn <= 100 ORDER BY sel.doc_id""")
+def x182(spark, sf):
+    """DSIR data selection (Xie et al. 2023): resample the 100 pool
+    documents most like the English target slice, by hashed-unigram
+    log importance ratio + deterministic Gumbel-top-k — the modern
+    what-to-train-on selector, spelled so the SELECTION ITSELF is
+    value-checked (md5 feature buckets and Gumbel uniforms; scores
+    rounded to 9 dp before ranking so cross-engine libm noise cannot
+    flip ranks, ties by doc id).  Plans: two bounded profile
+    aggregations broadcast back onto tokens, one map-combined per-doc
+    sum, TakeOrderedAndProject for the top-k."""
+    from ..operators.sampling import dsir_log_weights, gumbel_topk
+
+    docs = load_docs(spark, sf)
+    target = docs.filter(F.col("lang") == "en")
+    weighted = dsir_log_weights(docs, target, "doc_id", "text",
+                                n_buckets=1024)
+    sel = gumbel_topk(weighted, "doc_id", "logw", k=100)
+    return (sel.join(docs.select("doc_id", "lang"), "doc_id")
+               .select("doc_id", "lang", "score")
+               .orderBy("doc_id"))

@@ -227,3 +227,87 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str, id_col: str,
     return top_k_per_group(out, group_col,
                            [F.col(key_col).desc(), F.col(id_col)],
                            k, keep_rank=False)
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling (Xie et al. 2023, "Data Selection
+# for Language Models via Importance Resampling")
+# ---------------------------------------------------------------------------
+#
+# Select pretraining documents that LOOK LIKE a target corpus: model
+# both corpora as bags of hashed n-gram features, score each candidate
+# by the log importance ratio  Σ_tokens log p_target(b)/p_source(b),
+# and resample with Gumbel-top-k (adding Gumbel noise to the log weight
+# and taking the top k samples WITHOUT replacement ∝ weight).
+#
+# Everything is the portable-determinism spelling of the paper: feature
+# buckets and the Gumbel uniforms both come from md5 (the x59/x62
+# auditable-membership discipline), so selection is a pure function of
+# the data that DuckDB re-derives in the x182 oracle.  Scale shape:
+# the two feature profiles are ≤ n_buckets rows each (a map-combined
+# count shuffle, then a broadcast back onto tokens); per-doc scoring is
+# one more map-combined aggregation; the final top-k is a
+# TakeOrderedAndProject — no stage's input grows past O(corpus tokens).
+
+def _dsir_tokens(df: DataFrame, id_col: str, text_col: str,
+                 n_buckets: int, salt: str) -> DataFrame:
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != "")
+    tok = df.select(F.col(id_col).alias("__id"),
+                    F.explode(words).alias("__w"))
+    return tok.withColumn(
+        "__b", md5_bucket(F.col("__w"), salt=salt) % n_buckets)
+
+
+def dsir_log_weights(pool: DataFrame, target: DataFrame,
+                     id_col: str, text_col: str,
+                     n_buckets: int = 1024,
+                     salt: str = "dsir") -> DataFrame:
+    """``(id_col, logw)``: per-pool-document log importance ratio under
+    add-one-smoothed hashed-unigram models of ``target`` vs ``pool``."""
+    import math
+
+    pool_tok = _dsir_tokens(pool, id_col, text_col, n_buckets, salt)
+    tgt_tok = _dsir_tokens(target, id_col, text_col, n_buckets, salt)
+
+    def profile(tok: DataFrame, out: str):
+        counts = tok.groupBy("__b").agg(F.count(F.lit(1)).alias("__n"))
+        total = tok.count()          # one count job per profile
+        logp = F.log((F.col("__n") + 1).cast("double")
+                     / F.lit(float(total + n_buckets)))
+        # add-one floor for buckets with zero observed tokens
+        floor = math.log(1.0 / (total + n_buckets))
+        return counts.select("__b", logp.alias(out)), floor
+
+    tgt_p, tgt_floor = profile(tgt_tok, "__lt")
+    src_p, src_floor = profile(pool_tok, "__ls")
+    ratio = (tgt_p.join(src_p, "__b", "full")
+             .select("__b",
+                     (F.coalesce("__lt", F.lit(tgt_floor))
+                      - F.coalesce("__ls", F.lit(src_floor)))
+                     .alias("__r")))
+    # every pool token's bucket is in the pool profile, hence in ratio;
+    # the coalesce is belt-and-braces only
+    return (pool_tok.join(F.broadcast(ratio), "__b", "left")
+                    .groupBy("__id")
+                    .agg(F.sum(F.coalesce("__r", F.lit(0.0)))
+                         .alias("logw"))
+                    .withColumnRenamed("__id", id_col))
+
+
+def gumbel_topk(weighted: DataFrame, id_col: str, logw_col: str,
+                k: int, salt: str = "dsirg",
+                score_col: str = "score") -> DataFrame:
+    """Gumbel-top-k resampling without replacement: score = logw +
+    Gumbel(0,1) with the Gumbel uniform drawn deterministically from
+    md5(salt || id) — reproducible selection ∝ exp(logw).  Ties (after
+    rounding to 9 dp, so cross-engine libm noise cannot flip ranks)
+    break by id."""
+    u = (md5_bucket(F.col(id_col), salt=salt).cast("double") + 0.5) \
+        / F.lit(float(1 << 32))
+    g = -F.log(-F.log(u))
+    scored = weighted.select(
+        id_col,
+        F.round(F.col(logw_col) + g, 9).alias(score_col))
+    return (scored.orderBy(F.col(score_col).desc(), F.col(id_col))
+                  .limit(k))

@@ -488,3 +488,63 @@ def snapshot_sink(stream: DataFrame, table, checkpoint_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .start())
+
+
+def kmv_sink(stream: DataFrame, term_col: str, group_cols: list[str],
+             state_table, checkpoint_dir: str, k: int = 128,
+             salt: str = "kmv"):
+    """Streaming distinct-cardinality sketching: fold each micro-batch
+    into per-group KMV bottom-k sketches persisted in ``state_table``
+    (a :class:`~datum_spark.sources.snapshots.SnapshotTable` — each
+    fold is one atomic versioned ``overwrite``, so readers always see a
+    complete sketch set and can time-travel the cardinality history).
+
+    The fold is ``kmv_merge(state, batch_sketch)`` per group.  KMV
+    merge is a bounded SEMILATTICE (bottom-k of a set union):
+    idempotent, commutative, associative — so an at-least-once replay
+    of a micro-batch folds to the IDENTICAL state (re-merging the same
+    elements changes nothing), and the final state equals the batch
+    sketch of the whole stream regardless of batching.  That algebraic
+    parity is pinned by the stream==batch test; no ``batch=<id>``
+    replay guard is needed, unlike the count-based sinks.
+
+    State size: |groups| × k hashes — KBs; the micro-batch side does
+    the usual dedup + local bottom-k prune before its tiny shuffle.
+
+    Returns the started StreamingQuery; caller awaits/stops it.
+    """
+    from ..operators.sketches import kmv_build, kmv_merge
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch_sk = kmv_build(batch_df, term_col, group_cols, k=k,
+                             salt=salt)
+        try:
+            cur = state_table.read()
+            have_state = cur.count() > 0
+        except ValueError:
+            have_state = False
+        if have_state:
+            prev = cur.select(*group_cols,
+                              F.col("kmv").alias("__prev"))
+            merged = (batch_sk.join(prev, group_cols, "full")
+                      .select(*group_cols,
+                              F.when(F.col("kmv").isNull(),
+                                     F.col("__prev"))
+                               .when(F.col("__prev").isNull(),
+                                     F.col("kmv"))
+                               .otherwise(kmv_merge(F.col("__prev"),
+                                                    F.col("kmv"), k))
+                               .alias("kmv")))
+            merged = merged.withColumn(
+                "kmv_n", F.size("kmv").cast("int"))
+        else:
+            merged = batch_sk
+        state_table.overwrite(merged)
+
+    return (stream.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

@@ -203,3 +203,33 @@ def test_cluster_within_single_linkage(spark):
     got = {r["id"]: r["cluster"]
            for r in cluster_within(df, "id", "x", "y", 1.0).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4}
+
+
+# --------------------------------------------------------------- DSIR
+
+def test_dsir_weights_favor_target_like_docs(spark):
+    from datum_spark.operators.sampling import dsir_log_weights
+
+    pool = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "delta epsilon zeta"),
+         (3, "alpha alpha beta beta"), (4, "eta theta iota")],
+        "doc_id bigint, text string")
+    target = pool.filter("doc_id IN (1, 3)")   # alpha/beta vocabulary
+    w = {r["doc_id"]: r["logw"]
+         for r in dsir_log_weights(pool, target, "doc_id",
+                                   "text").collect()}
+    assert min(w[1], w[3]) > max(w[2], w[4])
+
+
+def test_gumbel_topk_deterministic_and_weight_respecting(spark):
+    from pyspark.sql import functions as F
+    from datum_spark.operators.sampling import gumbel_topk
+
+    # log-weight separation >> Gumbel scale: the heavy ids must win
+    df = spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") < 10, F.lit(50.0)).otherwise(F.lit(0.0))
+         .alias("logw"))
+    a = sorted(r["id"] for r in gumbel_topk(df, "id", "logw", 10).collect())
+    b = sorted(r["id"] for r in gumbel_topk(df, "id", "logw", 10).collect())
+    assert a == b == list(range(10))

@@ -431,3 +431,57 @@ def test_ingest_sink_stream_equals_batch(spark, tmp_path):
     assert got == want
     # the gate actually gates on this near-dup-seeded fixture
     assert 0 < len(got) < delta.count()
+
+
+def test_kmv_sink_stream_equals_batch_and_replay_safe(spark, tmp_path):
+    """Streaming KMV fold: after consuming the stream in multiple
+    micro-batches, the persisted per-group sketches must EQUAL the
+    batch sketch of the whole input (bottom-k of a set union is
+    batching-invariant), and re-folding a batch (at-least-once replay)
+    must leave the state unchanged (semilattice idempotence)."""
+    import shutil
+
+    from datum_spark.operators.sketches import kmv_build
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import kmv_sink
+
+    src_dir = tmp_path / "docs_in"
+    src_dir.mkdir()
+    # several input files -> several micro-batches (maxFilesPerTrigger=1)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    docs.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+    batch_docs = spark.read.parquet(str(src_dir))
+
+    words = F.explode(F.filter(F.split(F.lower("text"), r"\s+"),
+                               lambda t: t != "")).alias("w")
+    batch_terms = batch_docs.select("source", words)
+
+    state = SnapshotTable.create(spark, str(tmp_path / "kmv_state"))
+    stream = (spark.readStream.schema(batch_docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src_dir))
+              .select("source", words))
+    q = kmv_sink(stream, "w", ["source"], state,
+                 str(tmp_path / "ckpt"), k=32)
+    q.processAllAvailable()
+    q.stop()
+    assert state.current_version() >= 3     # one fold per micro-batch
+
+    got = {r["source"]: list(r["kmv"])
+           for r in state.read().collect()}
+    want = {r["source"]: list(r["kmv"])
+            for r in kmv_build(batch_terms, "w", ["source"],
+                               k=32).collect()}
+    assert got == want and len(want) > 0
+
+    # replay: fold the ENTIRE input once more into the existing state —
+    # the semilattice absorbs it (state unchanged)
+    q2 = kmv_sink(
+        (spark.readStream.schema(batch_docs.schema)
+         .option("maxFilesPerTrigger", 3).parquet(str(src_dir))
+         .select("source", words)),
+        "w", ["source"], state, str(tmp_path / "ckpt2"), k=32)
+    q2.processAllAvailable()
+    q2.stop()
+    after = {r["source"]: list(r["kmv"])
+             for r in state.read().collect()}
+    assert after == want
