@@ -2332,3 +2332,61 @@ def x180(spark, sf):
         F.round(F.sum(F.when(F.col("__exact"), F.col("o_totalprice"))
                        .otherwise(F.lit(0.0))), 2)
          .alias("revenue_exact"))
+
+
+def _sssp_oracle_sql(rounds: int) -> str:
+    parts = ["""p AS (
+  SELECT c_custkey AS id, abs(c_acctbal) % 100 AS x,
+         CAST(c_custkey % 100 AS DOUBLE) AS y FROM customer
+), e AS (
+  SELECT a.id AS src, b.id AS dst,
+         sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS w
+  FROM p a JOIN p b ON a.id <> b.id
+   AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 9.0
+), d0 AS (
+  SELECT id AS node, CAST(0 AS DOUBLE) AS dist FROM p WHERE id <= 10
+)"""]
+    for t in range(1, rounds + 1):
+        parts.append(f"""d{t} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{t-1}
+    UNION ALL
+    SELECT e.dst AS node, d{t-1}.dist + e.w AS dist
+    FROM d{t-1} JOIN e ON d{t-1}.node = e.src) GROUP BY node
+)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT node, ROUND(dist, 6) AS dist FROM d{rounds} "
+              "ORDER BY node")
+
+
+@x("x183_shortest_paths", _sssp_oracle_sql(6))
+def x183(spark, sf):
+    """Weighted single-source-set shortest paths (bounded Bellman–Ford,
+    6 relaxation rounds) over the customer proximity graph — service-
+    coverage distance from the seed facilities, the weighted sibling of
+    x136's hop-count BFS.  Engine: grid radius join builds the edge
+    list (never all-pairs), each round is one hash join + map-combined
+    MIN; relaxation is a fixed add-then-min fold, so the oracle replays
+    the rounds bit-exactly as chained CTEs over the all-pairs edge
+    derivation (the x108 trajectory-replay discipline on a graph
+    loop)."""
+    from ..operators.graph import shortest_paths
+    from ..operators.spatial import radius_join
+
+    cust = (load(spark, sf, "customer")
+            .select("c_custkey",
+                    (F.abs(F.col("c_acctbal")) % 100).alias("x"),
+                    (F.col("c_custkey") % 100).cast("double").alias("y")))
+    a = cust.select(F.col("c_custkey").alias("ia"),
+                    F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = cust.select(F.col("c_custkey").alias("ib"),
+                    F.col("x").alias("xb"), F.col("y").alias("yb"))
+    edges = (radius_join(a, b, "xa", "ya", "xb", "yb", 3.0,
+                         dist_col="w")
+             .filter(F.col("ia") < F.col("ib"))
+             .select("ia", "ib", "w"))
+    seeds = cust.filter(F.col("c_custkey") <= 10) \
+                .select("c_custkey")
+    out = shortest_paths(edges, "w", seeds, rounds=6)
+    return (out.select(F.col("node"), F.round("dist", 6).alias("dist"))
+               .orderBy("node"))

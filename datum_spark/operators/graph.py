@@ -223,3 +223,45 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
                                          .alias("nl"))).alias("label"))
                   .localCheckpoint(eager=False))
     return labels
+
+
+def shortest_paths(edges: DataFrame, weight_col: str,
+                   seeds: DataFrame, rounds: int = 8,
+                   directed: bool = False) -> DataFrame:
+    """Bounded Bellman–Ford single-source (source-SET) shortest paths:
+    ``(node, dist)`` = minimum path weight from any seed reachable
+    within ``rounds`` relaxations (paths of ≤ ``rounds`` edges; pick
+    ``rounds`` ≥ the graph's weighted-path hop diameter for the exact
+    fixpoint).  ``edges``: (src, dst, weight) columns in that order,
+    symmetrized unless ``directed``; ``seeds``: 1-column, distance 0.
+
+    Scale shape — the textbook distributed SSSP: each round is ONE hash
+    join (frontier × edges keyed on src) and ONE map-combined min
+    aggregation; distances ride (node, dist) rows, nothing collects to
+    the driver, lineage truncates per round (``localCheckpoint``, the
+    ``pagerank``/``components`` discipline).  Relaxation is
+    ``dist + weight`` then ``MIN`` — a fixed fold along each path with
+    no reassociation, so the result is bit-deterministic and an oracle
+    can replay the rounds as chained CTEs (the x108 k-means replay
+    discipline applied to a graph loop).
+    """
+    a, b, w = edges.columns[0], edges.columns[1], weight_col
+    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"),
+                     F.col(w).cast("double").alias("w"))
+    if not directed:
+        e = e.union(edges.select(F.col(b).alias("src"),
+                                 F.col(a).alias("dst"),
+                                 F.col(w).cast("double").alias("w")))
+    e = e.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=False)
+    dist = (seeds.select(F.col(seeds.columns[0]).alias("node"))
+                 .distinct()
+                 .withColumn("dist", F.lit(0.0))
+                 .localCheckpoint(eager=False))
+    for _ in range(rounds):
+        relaxed = (e.join(dist.withColumnRenamed("node", "src"), "src")
+                    .select(F.col("dst").alias("node"),
+                            (F.col("dist") + F.col("w")).alias("dist")))
+        dist = (dist.unionByName(relaxed)
+                    .groupBy("node").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint(eager=False))
+    return dist

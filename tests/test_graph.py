@@ -132,3 +132,40 @@ def test_bfs_undirected_and_cycle_terminates(spark):
 def test_bfs_seed_not_in_graph_ignored(spark):
     h = _hops(spark, [(1, 2)], [99])
     assert h == {}
+
+
+def test_shortest_paths_prefers_cheaper_multi_hop(spark):
+    from datum_spark.operators.graph import shortest_paths
+    from pyspark.sql import functions as F
+
+    # 1-3 direct costs 10; 1-2-3 costs 3; 4 unreachable
+    edges = spark.createDataFrame(
+        [(1, 3, 10.0), (1, 2, 1.0), (2, 3, 2.0), (4, 5, 1.0)],
+        "src bigint, dst bigint, w double")
+    seeds = spark.createDataFrame([(1,)], "id bigint")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(edges, "w", seeds, rounds=4).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 3.0}
+
+
+def test_shortest_paths_directed_respects_orientation(spark):
+    from datum_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame([(1, 2, 5.0), (3, 2, 1.0)],
+                                  "src bigint, dst bigint, w double")
+    seeds = spark.createDataFrame([(1,)], "id bigint")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(edges, "w", seeds, rounds=3,
+                                   directed=True).collect()}
+    assert got == {1: 0.0, 2: 5.0}     # 3 unreachable along direction
+
+
+def test_shortest_paths_multi_seed_takes_nearest(spark):
+    from datum_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(1, 2, 4.0), (5, 2, 1.0)], "src bigint, dst bigint, w double")
+    seeds = spark.createDataFrame([(1,), (5,)], "id bigint")
+    got = {r["node"]: r["dist"]
+           for r in shortest_paths(edges, "w", seeds, rounds=2).collect()}
+    assert got[2] == 1.0
