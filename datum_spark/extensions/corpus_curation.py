@@ -630,3 +630,98 @@ def x179(spark, sf):
                           .alias("exact_union"),
                          "exact_intersect")
                  .orderBy("source_a", "source_b"))
+
+
+@x("x184_retrieval_metrics", """
+WITH qd AS (
+  SELECT doc_id AS query_id, text AS query_text, source AS qsrc
+  FROM documents WHERE doc_id < 8
+), qt AS (
+  SELECT DISTINCT query_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(query_text), '[^a-z0-9]+'),
+           x -> x <> ''))) AS term
+  FROM qd
+), d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id >= 100
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+    SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM d
+  ) WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         ROUND(SUM( LN((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * tf.dl / stats.avgdl))),
+               4) AS score
+  FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), rk AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+), top AS (
+  SELECT rk.query_id, rk.doc_id, rk.rnk,
+         CASE WHEN d.source = qd.qsrc THEN 1 ELSE 0 END AS rel
+  FROM rk JOIN d ON rk.doc_id = d.doc_id
+          JOIN qd ON rk.query_id = qd.query_id
+  WHERE rk.rnk <= 10
+), nrel AS (
+  SELECT qd.query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM qd JOIN d ON d.source = qd.qsrc GROUP BY qd.query_id
+), agg AS (
+  SELECT query_id,
+         SUM(rel * ln(2) / ln(rnk + 1.0)) AS dcg,
+         MAX(rel / rnk) AS mrr,
+         SUM(rel) AS hits
+  FROM top GROUP BY query_id
+), ideal AS (
+  SELECT query_id, n_rel,
+         list_sum(list_transform(range(1, least(n_rel, 10) + 1),
+                                 i -> ln(2) / ln(i + 1.0))) AS idcg
+  FROM nrel
+)
+SELECT q.query_id,
+       COALESCE(ideal.n_rel, 0) AS n_rel,
+       ROUND(CASE WHEN COALESCE(ideal.n_rel, 0) > 0
+                  THEN COALESCE(agg.dcg, 0) / ideal.idcg
+                  ELSE 0 END, 4) AS ndcg,
+       ROUND(COALESCE(agg.mrr, 0), 4) AS mrr,
+       ROUND(CASE WHEN COALESCE(ideal.n_rel, 0) > 0
+                  THEN COALESCE(agg.hits, 0) / ideal.n_rel
+                  ELSE 0 END, 4) AS recall
+FROM (SELECT DISTINCT query_id FROM rk) q
+LEFT JOIN agg ON q.query_id = agg.query_id
+LEFT JOIN ideal ON q.query_id = ideal.query_id
+ORDER BY q.query_id""")
+def x184(spark, sf):
+    """Retrieval evaluation over the BM25 ranker: NDCG@10 / MRR@10 /
+    recall@10 per query, with same-source membership as the relevance
+    labels (the mine-then-measure loop of retrieval training data:
+    x152 builds the rankings, this grades them).  Evaluation cost
+    rides on the top-k table, never the corpus; the oracle re-derives
+    BM25, the ranks and every metric term closed-form."""
+    from ..operators.keywords import bm25_topk, ranking_metrics
+
+    docs = load_docs(spark, sf)
+    qd = (docs.filter(F.col("doc_id") < 8)
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("text").alias("query_text"),
+                      F.col("source").alias("qsrc")))
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    ranked = bm25_topk(corpus, qd.select("query_id", "query_text"),
+                       k=10)
+    relevant = (qd.select("query_id", "qsrc")
+                  .join(corpus.select("doc_id", "source"),
+                        F.col("source") == F.col("qsrc"))
+                  .select("query_id", "doc_id"))
+    return (ranking_metrics(ranked, relevant, k=10)
+            .orderBy("query_id"))

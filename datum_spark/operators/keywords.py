@@ -141,3 +141,58 @@ def bm25_scores(docs: DataFrame, query_terms: list[str],
               .crossJoin(F.broadcast(stats))
               .groupBy(id_col)
               .agg(F.round(F.sum(part), 4).alias("score")))
+
+
+def ranking_metrics(ranked: DataFrame, relevant: DataFrame,
+                    query_col: str = "query_id", doc_col: str = "doc_id",
+                    rank_col: str = "rnk", k: int = 10) -> DataFrame:
+    """Retrieval-evaluation metrics per query from a ranked result table
+    and a (query, doc) relevance table (binary relevance):
+
+    - ``n_rel`` — relevant docs in the corpus for the query;
+    - ``ndcg`` — DCG@k over the binary gains (1/log2(rank+1)) divided
+      by the ideal DCG of min(n_rel, k) relevant docs at the top;
+    - ``mrr`` — 1 / rank of the first relevant hit within the top k
+      (0 when none);
+    - ``recall`` — relevant hits in the top k / n_rel.
+
+    Queries with ``n_rel = 0`` report all-zero metrics (they stay in
+    the output — silently dropping them inflates averages).
+
+    Scale shape: one left join of the (≤ k per query) ranked rows onto
+    the relevance pairs, then two map-combined per-query aggregations
+    — evaluation cost rides on the ranked table's size, never the
+    corpus.  All arithmetic is closed-form (log2 via ln ratios), so a
+    SQL oracle replays it term-for-term (x184).
+    """
+    r = (ranked.filter(F.col(rank_col) <= k)
+         .join(relevant.select(F.col(query_col), F.col(doc_col),
+                               F.lit(1).alias("__rel")),
+               [query_col, doc_col], "left")
+         .withColumn("__rel", F.coalesce("__rel", F.lit(0))))
+    per_q = (r.groupBy(query_col)
+             .agg(F.sum(F.col("__rel") * F.log(F.lit(2.0))
+                        / F.log(F.col(rank_col) + 1.0)).alias("__dcg"),
+                  F.max(F.col("__rel") / F.col(rank_col)).alias("__mrr"),
+                  F.sum("__rel").alias("__hits")))
+    n_rel = (relevant.groupBy(query_col)
+             .agg(F.count(F.lit(1)).alias("n_rel")))
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.col("n_rel"), F.lit(k))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.log(F.lit(2.0)) / F.log(i + 1.0))
+    qs = ranked.select(query_col).distinct()
+    return (qs.join(per_q, query_col, "left")
+              .join(n_rel, query_col, "left")
+              .withColumn("n_rel", F.coalesce("n_rel", F.lit(0)))
+              .select(query_col, "n_rel",
+                      F.round(F.when(F.col("n_rel") > 0,
+                                     F.coalesce("__dcg", F.lit(0.0))
+                                     / ideal).otherwise(0.0), 4)
+                       .alias("ndcg"),
+                      F.round(F.coalesce("__mrr", F.lit(0.0)), 4)
+                       .alias("mrr"),
+                      F.round(F.when(F.col("n_rel") > 0,
+                                     F.coalesce("__hits", F.lit(0))
+                                     / F.col("n_rel"))
+                               .otherwise(0.0), 4).alias("recall")))

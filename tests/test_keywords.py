@@ -51,3 +51,38 @@ def test_bm25_multi_term_sums(spark):
     # adding a term only adds non-negative contributions and new matches
     assert set(two) == {1, 2, 3}
     assert two[3] == one[3]  # doc 3 has no 'bird'
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from datum_spark.operators.keywords import ranking_metrics
+
+    # q1: relevant docs {10, 30, 99}; ranked top-3 = [10, 20, 30]
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3),
+         (2, 10, 1), (2, 20, 2)],         # q2 has no relevant docs
+        "query_id int, doc_id int, rnk int")
+    rel = spark.createDataFrame([(1, 10), (1, 30), (1, 99)],
+                                "query_id int, doc_id int")
+    got = {r["query_id"]: r
+           for r in ranking_metrics(ranked, rel, k=3).collect()}
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert got[1]["n_rel"] == 3
+    assert got[1]["ndcg"] == round(dcg / idcg, 4)
+    assert got[1]["mrr"] == 1.0
+    assert got[1]["recall"] == round(2 / 3, 4)
+    assert (got[2]["n_rel"], got[2]["ndcg"], got[2]["mrr"],
+            got[2]["recall"]) == (0, 0.0, 0.0, 0.0)
+
+
+def test_ranking_metrics_first_hit_rank(spark):
+    from datum_spark.operators.keywords import ranking_metrics
+
+    ranked = spark.createDataFrame([(1, 5, 1), (1, 6, 2), (1, 7, 3)],
+                                   "query_id int, doc_id int, rnk int")
+    rel = spark.createDataFrame([(1, 7)], "query_id int, doc_id int")
+    row = ranking_metrics(ranked, rel, k=3).collect()[0]
+    assert row["mrr"] == round(1 / 3, 4)
