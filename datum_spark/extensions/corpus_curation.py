@@ -725,3 +725,60 @@ def x184(spark, sf):
                   .select("query_id", "doc_id"))
     return (ranking_metrics(ranked, relevant, k=10)
             .orderBy("query_id"))
+
+
+def _pca_oracle_sql(iters: int = 8) -> str:
+    parts = ["""a AS (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), cu AS MATERIALIZED (
+  SELECT ai.i AS i, aj.i AS j, ROUND(covar_pop(ai.x, aj.x), 6) AS cov
+  FROM a ai JOIN a aj ON ai.vec_id = aj.vec_id AND ai.i <= aj.i
+  GROUP BY 1, 2
+), sym AS MATERIALIZED (
+  SELECT i, j, cov FROM cu
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cu WHERE i < j
+), v0 AS (
+  SELECT CAST(i AS INT) AS j, CAST(0.125 AS DOUBLE) AS v
+  FROM range(1, 65) t(i)
+)"""]
+    for t in range(1, iters + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT s.i, ROUND(SUM(s.cov * p.v), 9) AS w
+  FROM sym s JOIN v{t-1} p ON s.j = p.j GROUP BY s.i
+), v{t} AS MATERIALIZED (
+  SELECT i AS j,
+         ROUND(w / (SELECT sqrt(SUM(w * w)) FROM w{t}), 9) AS v
+  FROM w{t}
+)""")
+    parts.append(f"""cv AS (
+  SELECT s.i, ROUND(SUM(s.cov * p.v), 9) AS cv
+  FROM sym s JOIN v{iters} p ON s.j = p.j GROUP BY s.i
+), lam AS (
+  SELECT SUM(cv.cv * p.v) AS lam FROM cv JOIN v{iters} p ON cv.i = p.j
+), tr AS (
+  SELECT SUM(cov) AS tr FROM cu WHERE i = j
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT p.j AS i, ROUND(p.v, 6) AS loading,
+       ROUND(lam.lam, 4) AS eigenvalue,
+       ROUND(lam.lam / tr.tr, 4) AS var_share
+FROM v{iters} p CROSS JOIN lam CROSS JOIN tr ORDER BY i""")
+
+
+@x("x185_pca_power", _pca_oracle_sql(8))
+def x185(spark, sf):
+    """Dominant principal component of the embedding corpus by power
+    iteration (8 rounds) on the rounded covariance — the anisotropy
+    readout after x154's audit: per-dimension loadings plus the
+    Rayleigh eigenvalue and its share of total variance.  The x108
+    trajectory discipline on linear algebra: iteration state quantized
+    to 9 dp every round, so the oracle replays the identical chain of
+    matrix-vector CTEs; corpus-scale work is only the covariance's
+    one-Gram-partial-per-Arrow-batch pass."""
+    from ..operators.similarity import pca_top_component
+
+    emb = load_emb(spark, sf)
+    return pca_top_component(emb, "embedding", iters=8).orderBy("i")

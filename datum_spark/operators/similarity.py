@@ -15,6 +15,7 @@ array literals — tiny (planes × dim doubles) and broadcast with the plan.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -624,3 +625,69 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
             else float(cov[i, j]))
            for i in range(d) for j in range(i, d)]
     return spark.createDataFrame(out, "i int, j int, cov double")
+
+
+def pca_top_component(df: DataFrame, vec_col: str = "embedding",
+                      iters: int = 8, quantize: int = 9) -> DataFrame:
+    """Dominant principal component of an embedding column by POWER
+    ITERATION on the covariance matrix: ``(i, loading, eigenvalue,
+    var_share)`` — one row per dimension (1-based), with the Rayleigh
+    eigenvalue and its share of total variance repeated per row.  The
+    pre-whitening / anisotropy readout that follows the x154 covariance
+    audit: a large ``var_share`` means the corpus collapses onto one
+    axis (a rogue feature, a normalization bug).
+
+    Determinism is the x108 trajectory discipline applied to linear
+    algebra: the iteration runs on the ROUNDED (1e-6) covariance cells,
+    starts from the exact uniform unit vector, and quantizes the
+    matrix-vector product and the normalized vector to ``quantize`` dp
+    every round — so the whole trajectory is replayable as chained SQL
+    CTEs (x185's oracle) despite sum-order nondeterminism.
+
+    Scale shape: the corpus-sized work is the covariance itself
+    (:func:`embedding_covariance` — one Gram partial per Arrow batch);
+    the iteration runs on d² cells (KBs), a fixed number of tiny
+    joins.  d is the embedding width, never the row count.
+    """
+    from ..util import retain_cache
+
+    # d² rows; cached so the 8 iterations don't recompute the
+    # corpus-scale Gram pass
+    cov = retain_cache(embedding_covariance(df, vec_col, round_to=6))
+    sym = cov.union(
+        cov.filter(F.col("i") < F.col("j"))
+           .select(F.col("j").alias("i"), F.col("i").alias("j"), "cov"))
+    spark = df.sparkSession
+    d = cov.agg(F.max("j")).first()[0]
+    v0 = 1.0 / math.sqrt(float(d))
+    v = spark.range(1, d + 1).select(
+        F.col("id").cast("int").alias("j"),
+        F.lit(v0).alias("v"))
+    for _ in range(iters):
+        w = (sym.join(v, "j")
+                .groupBy("i")
+                .agg(F.round(F.sum(F.col("cov") * F.col("v")),
+                             quantize).alias("w")))
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+        v = (w.crossJoin(nrm)
+              .select(F.col("i").alias("j"),
+                      F.round(F.col("w") / F.col("n"), quantize)
+                       .alias("v"))
+              .localCheckpoint(eager=False))
+    # Rayleigh quotient on the final vector (||v|| == 1 up to rounding)
+    cv = (sym.join(v, "j")
+             .groupBy("i")
+             .agg(F.round(F.sum(F.col("cov") * F.col("v")),
+                          quantize).alias("cv")))
+    lam = (cv.join(v.withColumnRenamed("j", "i"), "i")
+             .agg(F.sum(F.col("cv") * F.col("v")).alias("lam")))
+    trace = cov.filter(F.col("i") == F.col("j")) \
+               .agg(F.sum("cov").alias("tr"))
+    return (v.withColumnRenamed("j", "i")
+             .crossJoin(lam).crossJoin(trace)
+             .select(F.col("i"),
+                     F.round("v", 6).alias("loading"),
+                     F.round("lam", 4).alias("eigenvalue"),
+                     F.round(F.col("lam") / F.col("tr"), 4)
+                      .alias("var_share"))
+             .orderBy("i"))

@@ -1137,3 +1137,17 @@ def test_embedding_covariance_skips_dirty_rows(spark):
     for i in range(4):
         for j in range(i, 4):
             assert abs(got[(i + 1, j + 1)] - want[i, j]) < 1e-6
+
+
+def test_pca_top_component_finds_dominant_axis(spark):
+    from datum_spark.operators.similarity import pca_top_component
+
+    # dim 2 carries variance 25; every other dim is constant
+    rows = [(i, [1.0, float(5 * (i % 2)), 3.0, 3.0]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {r["i"]: r for r in pca_top_component(df, iters=8).collect()}
+    assert abs(abs(out[2]["loading"]) - 1.0) < 1e-4
+    for i in (1, 3, 4):
+        assert abs(out[i]["loading"]) < 1e-4
+    assert abs(out[2]["eigenvalue"] - 6.25) < 0.01   # var of {0,5} split
+    assert abs(out[2]["var_share"] - 1.0) < 0.01
