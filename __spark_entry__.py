@@ -41,7 +41,7 @@ _RECHECK_R8 = {
     "x178_kmv_distinct", "x179_kmv_setops",           # newest: sketches
     "x180_bloom_prejoin", "x181_dbscan", "x182_dsir_sampling",
     "x183_shortest_paths", "x184_retrieval_metrics",
-    "x185_pca_power",
+    "x185_pca_power", "x186_pq_recall",
     "x173_makevalid", "x174_extent_collect", "x175_geohash",
     "x176_linear_ref", "x177_closest_point",
     "x163_overlay_rect", "x164_overlay_fixtures", "x165_buffer",

@@ -782,3 +782,141 @@ def x185(spark, sf):
 
     emb = load_emb(spark, sf)
     return pca_top_component(emb, "embedding", iters=8).orderBy("i")
+
+
+def _pq_oracle_sql(m: int = 8, ksub: int = 16, iters: int = 2,
+                   dim: int = 64, n_queries: int = 20,
+                   k: int = 10) -> str:
+    """DuckDB replay of pq_train_encode + pq_adc_topk + the exact-top-k
+    recall audit — per-subspace deterministic Lloyd chains (the
+    kmeans_cte_parts shape, sliced + MATERIALIZED), ADC tables, ranked
+    search, and the hit count against the exact ranking."""
+    dsub = dim // m
+    d2 = ("ROUND(list_sum(list_transform(list_zip(v.e, c.c), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)")
+    parts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""v{s} AS MATERIALIZED (
+  SELECT vec_id, list_slice(embedding, {lo}, {hi})::DOUBLE[] AS e
+  FROM embeddings WHERE embedding IS NOT NULL
+)""")
+        parts.append(f"""c{s}_0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         e AS c
+  FROM (SELECT vec_id, e FROM v{s} ORDER BY vec_id LIMIT {ksub})
+)""")
+        for t in range(1, iters + 1):
+            parts.append(f"""a{s}_{t} AS MATERIALIZED (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v{s} v CROSS JOIN c{s}_{t-1} c) WHERE rn = 1
+)""")
+            parts.append(f"""c{s}_{t} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM c{s}_{t-1} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS c FROM (
+      SELECT cid, i, ROUND(avg(e[i]), 6) AS m
+      FROM a{s}_{t}, generate_series(1, {dsub}) AS t(i)
+      GROUP BY cid, i)
+    GROUP BY cid) n ON p.cid = n.cid
+)""")
+        parts.append(f"""code{s} AS MATERIALIZED (
+  SELECT vec_id, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v{s} v CROSS JOIN c{s}_{iters} c) WHERE rn = 1
+)""")
+    codes_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {s} AS s, code FROM code{s}" for s in range(m))
+    tabs_union = "\n  UNION ALL\n  ".join(
+        f"""SELECT q.qid, {s} AS s, c.cid AS code,
+         ROUND(list_sum(list_transform(
+           list_zip(list_slice(q.qe, {s*dsub+1}, {(s+1)*dsub})::DOUBLE[],
+                    c.c),
+           x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS d
+  FROM q CROSS JOIN c{s}_{iters} c""" for s in range(m))
+    parts.append(f"""codesl AS (
+  {codes_union}
+)""")
+    parts.append(f"""q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings
+  WHERE vec_id < {n_queries} AND embedding IS NOT NULL
+)""")
+    parts.append(f"""tabs AS (
+  {tabs_union}
+)""")
+    parts.append(f"""adcr AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT t.qid, cl.vec_id, ROUND(SUM(t.d), 6) AS adc,
+           row_number() OVER (PARTITION BY t.qid
+                              ORDER BY ROUND(SUM(t.d), 6), cl.vec_id)
+             AS rn
+    FROM codesl cl JOIN tabs t ON cl.s = t.s AND cl.code = t.code
+    GROUP BY t.qid, cl.vec_id) WHERE rn <= {k}
+)""")
+    parts.append(f"""full_v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+), exr AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             ROUND(list_sum(list_transform(list_zip(q.qe, v.e),
+               x -> (x[1]-x[2])*(x[1]-x[2]))), 6), v.vec_id) AS rn
+    FROM q CROSS JOIN full_v v) WHERE rn <= {k}
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT a.qid AS query_id,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       ROUND(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {k}.0, 2) AS recall
+FROM adcr a LEFT JOIN exr e ON a.qid = e.qid AND a.vec_id = e.vec_id
+GROUP BY a.qid ORDER BY query_id""")
+
+
+@x("x186_pq_recall", _pq_oracle_sql())
+def x186(spark, sf):
+    """Product-quantization ANN, end to end and value-checked: train
+    8×16 sub-codebooks (deterministic-trajectory Lloyd per subspace),
+    encode the corpus to 4-byte codes, serve 20 queries by asymmetric
+    distance over the codes alone, and grade recall@10 against the
+    exact full-vector ranking — the memory-compressed tier of the ANN
+    family (exact x08 / sign-LSH x09 / IVF x27), with the compression
+    loss MEASURED, not asserted.  The oracle replays training, codes,
+    ADC tables and both rankings."""
+    from ..operators.similarity import pq_adc_topk, pq_train_encode
+
+    emb = load_emb(spark, sf)
+    codes, books = pq_train_encode(emb, m=8, ksub=16, iters=2)
+    qs = emb.filter(F.col("vec_id") < 20)
+    adc = pq_adc_topk(qs, codes, books, k=10)
+
+    qv = qs.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").cast("array<double>").alias("qe"))
+    corpus = (emb.filter(F.col("embedding").isNotNull())
+              .select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                       .alias("e")))
+    d2 = F.round(F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy("qid").orderBy(d2.asc(), F.col("vec_id").asc())
+    exact = (qv.crossJoin(F.broadcast(corpus))
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 10)
+               .select(F.col("qid"), F.col("vec_id")))
+    hits = (adc.join(exact,
+                     (adc["query_id"] == exact["qid"])
+                     & (adc[codes.columns[0]] == exact["vec_id"]),
+                     "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.when(F.col("qid").isNotNull(), 1)
+                        .otherwise(0)).alias("hits")))
+    return (hits.select("query_id", "hits",
+                        F.round(F.col("hits") / 10.0, 2).alias("recall"))
+                .orderBy("query_id"))

@@ -691,3 +691,134 @@ def pca_top_component(df: DataFrame, vec_col: str = "embedding",
                      F.round(F.col("lam") / F.col("tr"), 4)
                       .alias("var_share"))
              .orderBy("i"))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (auditable twin)
+# ---------------------------------------------------------------------------
+
+def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
+                    vec_col: str = "embedding", m: int = 8,
+                    ksub: int = 16, iters: int = 3,
+                    quantize: int = 6):
+    """Product-quantize an embedding corpus (Jégou et al. 2011): split
+    each vector into ``m`` subspaces, k-means each subspace to ``ksub``
+    centroids, encode every vector as its per-subspace nearest-centroid
+    ids — ``m·log2(ksub)`` bits instead of ``d`` floats (64 dims → 8
+    codes of 4 bits = 4 bytes/vector at the defaults).
+
+    Returns ``(codes, codebooks)``: ``codes`` = (id_col, ``code_0`` ..
+    ``code_{m-1}``) int columns; ``codebooks[s][c]`` = the subspace-s
+    centroid lists.
+
+    This is the AUDITABLE twin (the x108 deterministic-trajectory Lloyd
+    per subspace: first-k init, 1e-``quantize`` rounding, cid
+    tie-breaks — x186's oracle replays training, encoding and search);
+    a throughput deployment would fuse the ``m`` fits into one Arrow
+    pass over :func:`kmeans_fit`'s NumPy path.  Assignment itself is
+    map-side over broadcast centroid literals — the corpus shuffles
+    only the k×dim Lloyd partials.
+    """
+    from pyspark.sql import functions as F
+
+    from .clustering import _verifiable_fit
+
+    d = df.select(F.size(vec_col)).first()[0]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    def fit(s: int):
+        sub = df.select(F.col(id_col),
+                        F.slice(F.col(vec_col), s * dsub + 1, dsub)
+                         .alias("__sub"))
+        v, centers, _dist_exprs = _verifiable_fit(
+            sub, id_col, "__sub", ksub, iters, quantize)
+        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
+                          for c in centers])
+        d2s = F.transform(
+            cents,
+            lambda c: F.round(
+                F.aggregate(F.zip_with("__e", c,
+                                       lambda a, b: (a - b) * (a - b)),
+                            F.lit(0.0), lambda acc, x: acc + x),
+                quantize))
+        code = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+        cs = v.select(F.col("__id").alias(id_col),
+                      code.alias(f"code_{s}"))
+        return cs, centers
+
+    # the m subspace fits are independent Lloyd trajectories — submit
+    # them as CONCURRENT Spark jobs (each fit's per-iteration collect
+    # is tiny; the wall cost is scheduling/planning, which overlaps)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=m) as pool:
+        fitted = list(pool.map(fit, range(m)))
+    out, codebooks = None, []
+    for cs, centers in fitted:
+        out = cs if out is None else out.join(cs, id_col)
+        codebooks.append(centers)
+    return out, codebooks
+
+
+def _round_half_away(x: float, nd: int) -> float:
+    """Half-away-from-zero rounding (SQL ROUND semantics — Python's
+    built-in ``round`` is banker's and would disagree with both
+    engines on exact halves)."""
+    import math as _m
+
+    scale = 10.0 ** nd
+    return _m.floor(abs(x) * scale + 0.5) / scale * (1 if x >= 0 else -1)
+
+
+def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks,
+                k: int = 10, qid_col: str = "vec_id",
+                qvec_col: str = "embedding",
+                quantize: int = 6) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query, the distance
+    to every corpus vector is the SUM of per-subspace lookup-table
+    entries (query subvector → each centroid, computed once per query)
+    — the scan touches 4-byte codes, never raw vectors.
+
+    Returns ``(query_id, <codes id col>, adc, rnk)`` with ``rnk``
+    1-based by (rounded adc asc, id asc) — the query id column is
+    always named ``query_id`` so self-retrieval (queries drawn from the
+    corpus, same id column) cannot collide.  ``queries`` collect to the driver — a
+    query batch is small by definition; the m·ksub·|Q| table rows
+    broadcast into one equi-join against the exploded codes, then a
+    per-query ranking window.  Table entries and the final sums round
+    to ``quantize`` dp (half-away, SQL semantics) so ranks replay
+    across engines.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = codes.sparkSession
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    rows = []
+    for q in queries.select(qid_col, qvec_col).collect():
+        vec = list(q[qvec_col])
+        for s in range(m):
+            sub = vec[s * dsub:(s + 1) * dsub]
+            for ci, cent in enumerate(codebooks[s]):
+                acc = 0.0
+                for a, b in zip(sub, cent):
+                    acc += (a - b) * (a - b)
+                rows.append((q[qid_col], s, ci,
+                             _round_half_away(acc, quantize)))
+    tables = spark.createDataFrame(
+        rows, "query_id bigint, __s int, __c int, __d double")
+    id_col = codes.columns[0]
+    expl = codes.select(
+        id_col,
+        F.posexplode(F.array(*[F.col(f"code_{s}") for s in range(m)]))
+         .alias("__s", "__c"))
+    scored = (expl.join(F.broadcast(tables), ["__s", "__c"])
+              .groupBy("query_id", id_col)
+              .agg(F.round(F.sum("__d"), quantize).alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(),
+                                               F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))

@@ -1151,3 +1151,46 @@ def test_pca_top_component_finds_dominant_axis(spark):
         assert abs(out[i]["loading"]) < 1e-4
     assert abs(out[2]["eigenvalue"] - 6.25) < 0.01   # var of {0,5} split
     assert abs(out[2]["var_share"] - 1.0) < 0.01
+
+
+def test_pq_roundtrip_separated_clusters(spark):
+    """On well-separated data PQ loses nothing: ADC top-k == exact."""
+    from datum_spark.operators.similarity import (pq_adc_topk,
+                                                  pq_train_encode)
+
+    # two tight blobs in 8-dim space, 20 vectors each
+    rows = []
+    for i in range(40):
+        base = 0.0 if i < 20 else 100.0
+        rows.append((i, [base + (i % 5) * 0.01] * 8))
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    codes, books = pq_train_encode(df, m=2, ksub=4, iters=2)
+    assert len(books) == 2 and len(books[0]) == 4
+    assert len(books[0][0]) == 4          # dsub = 8/2
+    got = codes.collect()
+    assert len(got) == 40
+    assert all(0 <= r[f"code_{s}"] < 4 for r in got for s in range(2))
+    qs = df.filter("vec_id IN (0, 25)")
+    adc = pq_adc_topk(qs, codes, books, k=5)
+    top = {(r["query_id"], r["rnk"]): r["vec_id"] for r in adc.collect()}
+    # every retrieved neighbor is from the query's own blob
+    for (qid, _rnk), vid in top.items():
+        assert (vid < 20) == (qid < 20)
+
+
+def test_pq_adc_deterministic(spark):
+    from datum_spark.operators.similarity import (pq_adc_topk,
+                                                  pq_train_encode)
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 13) for j in range(8)])
+         for i in range(30)],
+        "vec_id bigint, embedding array<double>")
+    codes, books = pq_train_encode(df, m=2, ksub=4, iters=2)
+    q = df.filter("vec_id = 3")
+    a = [(r["vec_id"], r["rnk"]) for r in
+         pq_adc_topk(q, codes, books, k=5).orderBy("rnk").collect()]
+    b = [(r["vec_id"], r["rnk"]) for r in
+         pq_adc_topk(q, codes, books, k=5).orderBy("rnk").collect()]
+    assert a == b and len(a) == 5
