@@ -271,3 +271,52 @@ def test_area_perimeter_match_python_shoelace(spark, data):
                     f"st_perimeter('{wkt}') AS p").collect()
     assert abs(r["a"] - want_area) < 1e-6 * max(want_area, 1)
     assert abs(r["p"] - want_perim) < 1e-6 * max(want_perim, 1)
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_kmv_merge_law_random_sets(spark, seed):
+    """bottom-k(A ∪ B) from the two sketches alone — the semilattice
+    law behind kmv_merge and the streaming kmv_sink, on random sets."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+    from datum_spark.operators.sketches import kmv_build, kmv_merge
+
+    rng = random.Random(seed)
+    a = {f"e{rng.randrange(400)}" for _ in range(rng.randrange(1, 150))}
+    b = {f"e{rng.randrange(400)}" for _ in range(rng.randrange(1, 150))}
+    k = rng.choice([4, 16, 64])
+    df = spark.createDataFrame(
+        [("a", v) for v in a] + [("b", v) for v in b]
+        + [("u", v) for v in a | b], "g string, v string")
+    sk = {r["g"]: r["kmv"] for r in kmv_build(df, "v", ["g"], k=k).collect()}
+    merged = (spark.createDataFrame([(sk["a"], sk["b"])],
+                                    "x array<bigint>, y array<bigint>")
+              .select(kmv_merge(F.col("x"), F.col("y"), k).alias("m"))
+              .first()["m"])
+    assert merged == sk["u"]
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_dbscan_random_equals_bruteforce(spark, seed):
+    import random
+
+    from datum_spark.operators.spatial import dbscan
+    from tests.test_sketches_spatial_r8 import _brute_dbscan
+
+    rng = random.Random(seed)
+    n = rng.randrange(10, 60)
+    pts = {i: (round(rng.uniform(0, 10), 3), round(rng.uniform(0, 10), 3))
+           for i in range(n)}
+    eps = rng.choice([0.8, 1.5, 2.5])
+    min_pts = rng.choice([2, 3, 4])
+    expect = _brute_dbscan(pts, eps, min_pts)
+    df = spark.createDataFrame([(i, x, y) for i, (x, y) in pts.items()],
+                               "id bigint, x double, y double")
+    got = {r["id"]: (r["cluster"], r["is_core"])
+           for r in dbscan(df, "id", "x", "y", eps, min_pts).collect()}
+    assert got == expect

@@ -649,3 +649,42 @@ def test_mor_delete_rejects_unknown_mode(spark, table):
     table.append(spark.range(2).select(F.col("id").alias("v")))
     with pytest.raises(ValueError):
         table.delete_where("v = 0", mode="nope")
+
+
+def test_mor_delete_races_appends(spark, table):
+    """A MOR delete racing concurrent appends must never corrupt the
+    head: even keys (never deleted) all survive exactly once, odd keys
+    are a subset of what was appended, and every read plans cleanly."""
+    import threading
+
+    table.append(spark.range(0, 100).select(F.col("id").alias("v")))
+    errs = []
+
+    def appender():
+        try:
+            for i in range(1, 5):
+                table.append(spark.range(i * 100, i * 100 + 100)
+                             .select(F.col("id").alias("v")))
+        except Exception as e:          # noqa: BLE001
+            errs.append(e)
+
+    def deleter():
+        try:
+            for _ in range(3):
+                table.delete_where("v % 2 = 1", mode="mor")
+        except Exception as e:          # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=appender),
+          threading.Thread(target=deleter)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    rows = [r["v"] for r in table.read().collect()]
+    assert len(rows) == len(set(rows))            # no duplicates
+    evens = {v for v in rows if v % 2 == 0}
+    assert evens == set(range(0, 500, 2))         # nothing lost
+    # a final delete leaves no odd rows at all
+    table.delete_where("v % 2 = 1", mode="mor")
+    assert all(v % 2 == 0 for v in
+               (r["v"] for r in table.read().collect()))
