@@ -882,6 +882,38 @@ SELECT node, ROUND(rank, 8) AS rank FROM r{iters}
 ORDER BY rank DESC, node LIMIT 50"""
 
 
+@x("x187_skew_report", """
+WITH c AS (
+  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+), t AS (
+  SELECT string_agg(CAST(k AS VARCHAR) || '=' || CAST(n AS VARCHAR), ','
+                    ORDER BY n DESC, k ASC) AS top_keys
+  FROM (SELECT k, n FROM c ORDER BY n DESC, k ASC LIMIT 10)
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(n) AS BIGINT) AS max_n,
+       ROUND(AVG(n), 4) AS mean_n,
+       ROUND(quantile_cont(n, 0.99), 4) AS p99_n,
+       ROUND(MAX(n) / AVG(n), 4) AS skew_ratio,
+       CAST(LEAST(CEIL(MAX(n) / AVG(n)), 64) AS INT) AS salt_factor,
+       (SELECT top_keys FROM t) AS top_keys
+FROM c""")
+def x187(spark, sf):
+    """Hot-key diagnosis of the orders→customer join key: the
+    pre-flight a 100 TB pipeline runs BEFORE a join/groupBy to decide
+    whether AQE suffices or :func:`operators.salted_join` is needed
+    (skew_ratio ≫ 1 → one task's input outweighs its peers; the
+    suggested salt factor feeds straight into salted_join).  One
+    map-combined count shuffle over the key — the same exchange the
+    diagnosed join would do, carrying (key, count) rows — then a tiny
+    summary agg plus a TakeOrderedAndProject for the heaviest keys."""
+    from ..operators.skew import skew_report
+
+    return skew_report(load(spark, sf, "orders"), "o_custkey", top=10)
+
+
 @x("x83_pagerank", _pagerank_oracle_sql(10))
 def x83(spark, sf):
     """PageRank over the x03 near-dup pair graph: centrality-based

@@ -36,3 +36,48 @@ def salted_join(big: DataFrame, small: DataFrame, on: list[str] | str,
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = big_s.join(small_s, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def skew_report(df: DataFrame, key_cols: list[str] | str,
+                top: int = 10) -> DataFrame:
+    """Hot-key diagnosis BEFORE a join/groupBy pins one task: per-key
+    cardinality summary + the heaviest keys and a suggested salt
+    factor for :func:`salted_join`.
+
+    One summary row: ``n_rows``, ``n_keys``, ``max_n`` (heaviest key's
+    rows), ``mean_n``, ``p99_n`` (exact), ``skew_ratio`` (max/mean —
+    ≫1 means one task's input outweighs its peers), ``salt_factor``
+    (ceil(skew_ratio), capped at 64 — replication cost grows with it),
+    and ``top_keys`` (the ``top`` heaviest, '=' joined, as one scalar
+    string so the row stays hashable).
+
+    Scale shape: one map-combined count shuffle over the key (the same
+    exchange the diagnosed join would do, but carrying (key, count)
+    rows); the summary is a second tiny aggregation over counts, and
+    the top-N is a TakeOrderedAndProject.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = (df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("__n")))
+    tops = (counts.orderBy(F.col("__n").desc(),
+                           *[F.col(k).asc() for k in keys])
+                  .limit(top)
+                  .select(F.concat_ws(
+                      "=", *[F.col(k).cast("string") for k in keys],
+                      F.col("__n").cast("string")).alias("__t")))
+    top_str = (tops.agg(F.concat_ws(
+        ",", F.collect_list("__t")).alias("top_keys")))
+    summary = counts.agg(
+        F.sum("__n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__n").alias("max_n"),
+        F.round(F.avg("__n"), 4).alias("mean_n"),
+        F.expr("percentile(__n, 0.99)").alias("__p99"),
+        (F.max("__n") / F.avg("__n")).alias("__ratio"))
+    return (summary.crossJoin(top_str)
+            .select("n_rows", "n_keys", "max_n", "mean_n",
+                    F.round("__p99", 4).alias("p99_n"),
+                    F.round("__ratio", 4).alias("skew_ratio"),
+                    F.least(F.ceil("__ratio"), F.lit(64))
+                     .cast("int").alias("salt_factor"),
+                    "top_keys"))

@@ -1194,3 +1194,34 @@ def test_pq_adc_deterministic(spark):
     b = [(r["vec_id"], r["rnk"]) for r in
          pq_adc_topk(q, codes, books, k=5).orderBy("rnk").collect()]
     assert a == b and len(a) == 5
+
+
+def test_skew_report_hand_computed(spark):
+    """skew_report's summary row on a hand-built skewed table: 12 rows
+    over keys {7:8, 1:2, 2:1, 3:1} → max 8, mean 3, ratio 8/3, salt
+    ceil(8/3)=3, heaviest keys in (count desc, key asc) order."""
+    from datum_spark.operators import skew_report
+
+    df = spark.createDataFrame(
+        [(7,)] * 8 + [(1,)] * 2 + [(2,)] + [(3,)], "k long")
+    r = skew_report(df, "k", top=3).collect()[0]
+    assert r["n_rows"] == 12 and r["n_keys"] == 4 and r["max_n"] == 8
+    assert r["mean_n"] == 3.0
+    assert abs(r["skew_ratio"] - round(8 / 3, 4)) < 1e-9
+    assert r["salt_factor"] == 3
+    assert r["top_keys"] == "7=8,1=2,2=1"
+
+
+def test_skew_report_salt_cap_and_uniform(spark):
+    from datum_spark.operators import skew_report
+
+    # uniform keys → ratio 1, salt 1
+    uni = spark.createDataFrame([(i % 4,) for i in range(16)], "k long")
+    r = skew_report(uni, "k").collect()[0]
+    assert r["skew_ratio"] == 1.0 and r["salt_factor"] == 1
+    # one key holds ~all rows among many singletons → salt capped at 64
+    hot = spark.createDataFrame(
+        [(0,)] * 1000 + [(i,) for i in range(1, 101)], "k long")
+    r = skew_report(hot, "k").collect()[0]
+    assert r["max_n"] == 1000 and r["skew_ratio"] > 64
+    assert r["salt_factor"] == 64
