@@ -28,8 +28,55 @@ underlying operators.
 
 from __future__ import annotations
 
+import os
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class _StageStore:
+    """Snapshot-backed stage checkpoints for a resumable pipeline run.
+
+    Each completed stage's output is committed to a ``SnapshotTable`` at
+    ``{workdir}/{run_id}/{stage}`` through ``append_once(txn_id=run_id,
+    txn_version=1)`` — the exactly-once primitive the streaming sinks
+    already use.  A re-run with the same ``workdir``/``run_id`` finds
+    the txn recorded and READS THE STAGE BACK instead of recomputing it
+    (and everything upstream of it): a multi-day 100 TB corpus build
+    that dies in decontamination resumes after dedup, not from zero.
+
+    The read-back also truncates lineage — downstream stages scan a
+    clean parquet snapshot instead of dragging the dedup DAG — and the
+    commit is crash-safe (atomic manifest publish): a run killed
+    MID-stage leaves no txn record, so the retry recomputes exactly the
+    unfinished stage.
+
+    ``run_id`` must identify (inputs, parameters): reusing it after
+    changing either resumes from stale outputs by design — pick a new
+    run_id (or workdir) per configuration, like any warehouse job id.
+    """
+
+    def __init__(self, spark, workdir: str, run_id: str) -> None:
+        self.spark = spark
+        self.workdir = workdir
+        self.run_id = run_id
+
+    def run(self, name: str,
+            compute: Callable[[], DataFrame]) -> tuple[DataFrame, bool]:
+        """Return ``(stage_df, resumed)`` — read back if committed,
+        else compute + commit + read back."""
+        from .sources.snapshots import SnapshotTable
+
+        # one table tree per run_id: different configurations never
+        # share (or append into) each other's stage tables
+        t = SnapshotTable.create(self.spark,
+                                 os.path.join(self.workdir,
+                                              self.run_id, name))
+        if t._last_txn_version(self.run_id) < 1:
+            t.append_once(compute(), self.run_id, 1)
+            return t.read(), False
+        return t.read(), True
 
 
 def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
@@ -40,7 +87,9 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
                           dedup_threshold: float = 0.5,
                           contamination_ngram: int = 13,
                           source_weights: dict | None = None,
-                          default_weight: float = 1.0) -> tuple[DataFrame, dict]:
+                          default_weight: float = 1.0,
+                          workdir: str | None = None,
+                          run_id: str = "run") -> tuple[DataFrame, dict]:
     """Run the full corpus pipeline and write token-balanced shards.
 
     Returns ``(sharded_df, report)`` where ``report`` carries per-stage
@@ -49,7 +98,19 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     observed ``rows``/``tokens``/``token_budget``.  Counts are taken on
     the cached stage boundaries the dedup pass needs anyway, so the
     audit costs no extra corpus scans beyond one count per stage.
+
+    ``workdir`` (optional) makes the run RESUMABLE: the quality, dedup
+    and decontamination boundaries are committed as snapshot-table
+    checkpoints keyed by ``run_id`` (see :class:`_StageStore`), and a
+    re-run skips every stage already committed — ``report`` then
+    carries ``resumed_<stage>`` flags.  Without it the pipeline is the
+    original single-pass composition (persist/unpersist boundaries).
     """
+    if workdir is not None:
+        return _build_training_corpus_resumable(
+            docs, eval_df, out_path, n_shards, id_col, text_col,
+            source_col, min_quality, dedup_threshold, contamination_ngram,
+            source_weights, default_weight, workdir, run_id)
     from .operators.dedup import benchmark_contamination, near_dup_clusters
     from .operators.packing import write_training_shards
     from .operators.sampling import mix_sources_md5
@@ -104,4 +165,76 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
         n_shards=n_shards)
     report.update(write_metrics)
     clean.unpersist()
+    return sharded, report
+
+
+def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
+                                     id_col, text_col, source_col,
+                                     min_quality, dedup_threshold,
+                                     contamination_ngram, source_weights,
+                                     default_weight, workdir,
+                                     run_id) -> tuple[DataFrame, dict]:
+    """Checkpointed variant of :func:`build_training_corpus` — same
+    stages and report keys, but the quality/dedup/decontamination
+    boundaries commit to snapshot tables and resume across runs (see
+    :class:`_StageStore`).  Flood stats appear only when the dedup
+    stage actually computed this run (a resumed stage's stats live in
+    the run that produced it)."""
+    from .operators.dedup import benchmark_contamination, near_dup_clusters
+    from .operators.packing import write_training_shards
+    from .operators.sampling import mix_sources_md5
+    from .operators.text import quality_score, token_count
+
+    store = _StageStore(docs.sparkSession, workdir, run_id)
+    report: dict = {}
+    flood_box: list = []
+
+    q, resumed = store.run(
+        "quality",
+        lambda: docs.filter(quality_score(F.col(text_col)) >= min_quality))
+    report["rows_in"] = docs.count() if not resumed else None
+    report["resumed_quality"] = resumed
+    report["rows_quality"] = q.count()
+
+    def _dedup():
+        clusters, flood = near_dup_clusters(q, id_col, text_col,
+                                            threshold=dedup_threshold,
+                                            with_stats=True)
+        if flood is not None:
+            flood_box.append(flood)
+        return q.join(clusters.filter(F.col(id_col) == F.col("cluster_id"))
+                              .select(id_col), id_col, "semi")
+
+    deduped, resumed = store.run("deduped", _dedup)
+    report["resumed_deduped"] = resumed
+    report["rows_deduped"] = deduped.count()
+    if flood_box:
+        # the checkpoint commit was the action, so .get is safe here
+        report.update({f"lsh_{k}": int(v) for k, v in flood_box[0].get.items()})
+
+    def _decontaminate():
+        if eval_df is None:
+            return deduped
+        contaminated = benchmark_contamination(
+            deduped, eval_df, id_col, text_col,
+            n=contamination_ngram).select(id_col)
+        return deduped.join(contaminated, id_col, "anti")
+
+    clean, resumed = store.run("decontaminated", _decontaminate)
+    report["resumed_decontaminated"] = resumed
+    report["rows_decontaminated"] = clean.count()
+
+    # mixing + sharding are cheap map-side tails of the last checkpoint;
+    # the shard WRITE is the run's deliverable, always re-executed (it
+    # is itself a full-overwrite of out_path, so retries are idempotent)
+    mixed = mix_sources_md5(clean, source_weights or {},
+                            source_col=source_col, id_col=id_col,
+                            default_weight=default_weight)
+    report["rows_mixed"] = mixed.count()
+    with_tokens = mixed.withColumn(
+        "__n_tokens", token_count(F.col(text_col)).cast("long"))
+    sharded, write_metrics = write_training_shards(
+        with_tokens, out_path, order_col=id_col, token_col="__n_tokens",
+        n_shards=n_shards)
+    report.update(write_metrics)
     return sharded, report

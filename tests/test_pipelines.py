@@ -70,3 +70,57 @@ def test_pipeline_deterministic(spark, corpus, tmp_path):
     a = {r["doc_id"]: r["shard"] for r in s1.select("doc_id", "shard").collect()}
     b = {r["doc_id"]: r["shard"] for r in s2.select("doc_id", "shard").collect()}
     assert a == b
+
+
+def test_pipeline_resumable_matches_plain(spark, corpus, tmp_path):
+    """workdir mode must produce the same corpus as the single-pass
+    composition, and a second run must RESUME (no stage recompute) and
+    still rewrite identical shards."""
+    eval_df = corpus.filter(F.col("doc_id") < 20)
+    docs = corpus.filter((F.col("doc_id") >= 20) & (F.col("doc_id") < 400))
+    kw = dict(n_shards=2, min_quality=0.2, contamination_ngram=5,
+              source_weights={"src0": 1.0}, default_weight=0.8)
+
+    _, plain = build_training_corpus(docs, eval_df,
+                                     str(tmp_path / "plain"), **kw)
+    wd = str(tmp_path / "wd")
+    _, r1 = build_training_corpus(docs, eval_df, str(tmp_path / "c1"),
+                                  workdir=wd, run_id="cfg1", **kw)
+    # same funnel as the plain composition
+    for k in ("rows_quality", "rows_deduped", "rows_decontaminated",
+              "rows_mixed", "rows", "tokens"):
+        assert r1[k] == plain[k], k
+    assert r1["resumed_quality"] is False and r1["resumed_deduped"] is False
+    assert r1["lsh_buckets"] > 0          # flood stats present on compute
+    # identical rows on disk
+    a = {tuple(r) for r in spark.read.parquet(str(tmp_path / "plain"))
+         .select("doc_id").collect()}
+    b = {tuple(r) for r in spark.read.parquet(str(tmp_path / "c1"))
+         .select("doc_id").collect()}
+    assert a == b
+
+    # second run: every checkpoint resumes; dedup must NOT be recomputed
+    # — poison the operator to prove the stage never runs
+
+    def _boom(*a, **k):  # pragma: no cover - must not be reached
+        raise AssertionError("dedup recomputed on resume")
+
+    from datum_spark.operators import dedup as dedup_mod
+    real = dedup_mod.near_dup_clusters
+    dedup_mod.near_dup_clusters = _boom
+    try:
+        _, r2 = build_training_corpus(docs, eval_df, str(tmp_path / "c2"),
+                                      workdir=wd, run_id="cfg1", **kw)
+    finally:
+        dedup_mod.near_dup_clusters = real
+    assert r2["resumed_quality"] and r2["resumed_deduped"]
+    assert r2["resumed_decontaminated"]
+    assert r2["rows_deduped"] == r1["rows_deduped"]
+    assert r2["rows"] == r1["rows"]
+    c = {tuple(r) for r in spark.read.parquet(str(tmp_path / "c2"))
+         .select("doc_id").collect()}
+    assert c == a
+    # a different run_id does not reuse cfg1's checkpoints
+    _, r3 = build_training_corpus(docs, eval_df, str(tmp_path / "c3"),
+                                  workdir=wd, run_id="cfg2", **kw)
+    assert r3["resumed_deduped"] is False
