@@ -972,6 +972,72 @@ class SnapshotTable:
                 out.append((v, self._load_manifest(v)))
         return out
 
+    def changes(self, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Incremental change feed between two versions (the Delta
+        CDF / Iceberg incremental-read primitive): rows with a
+        ``_change_type`` column (``insert`` / ``delete``) such that
+
+            read(to) ≡ read(from) − deletes + inserts   (as multisets)
+
+        so a downstream job consumes ONLY the delta — the x109
+        incremental-dedup posture applied to the lake itself.
+
+        Cost is O(CHANGED files), never O(table): only files in the
+        symmetric manifest difference are scanned, plus surviving files
+        whose merge-on-read delete-ref set changed between the versions
+        (found from the ref parquet, which is small by construction).
+        Rows a COW rewrite merely carried from an old file into a new
+        one cancel in the multiset diff (``exceptAll`` both ways), so a
+        ``compact`` — pure rewrite — yields an EMPTY feed, and a keyed
+        ``merge`` yields exactly the touched keys' before/after rows.
+
+        Output uses ``to_version``'s schema (what a CDC consumer
+        materializes into): columns added between the versions read as
+        NULL on the delete side, columns dropped are omitted."""
+        from pyspark.sql import functions as F
+
+        if to_version is None:
+            to_version = self.current_version()
+        if from_version > to_version:
+            raise ValueError("from_version must be <= to_version")
+        mf = self._load_manifest(from_version)
+        mt = self._load_manifest(to_version)
+        ff, ft = set(mf["files"]), set(mt["files"])
+        side_from = sorted(ff - ft)
+        side_to = sorted(ft - ff)
+        # surviving files whose applicable position-delete refs changed
+        dvf = set(mf.get("delete_files") or [])
+        dvt = set(mt.get("delete_files") or [])
+        common = ff & ft
+        ref_delta = sorted((dvf ^ dvt))
+        if ref_delta and common:
+            # refs carry _metadata.file_path URIs ("file:///...");
+            # manifests store plain paths — normalize before matching
+            touched = {
+                re.sub(r"^file:/+", "/", r["__dv_file"])
+                for r in self.spark.read.parquet(*ref_delta)
+                    .select("__dv_file").distinct().collect()}
+            extra = sorted(touched & common)
+            side_from += extra
+            side_to += extra
+        rows_to = (self._read_files(mt, side_to) if side_to
+                   else self._empty_df(mt))
+        rows_from = (self._read_files(mf, side_from) if side_from
+                     else self._empty_df(mf))
+        # align the from-side to the to-version's schema (types cannot
+        # differ for a shared name — type changes raise SchemaConflict)
+        have = set(rows_from.columns)
+        rows_from = rows_from.select(*[
+            F.col(f.name) if f.name in have
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in rows_to.schema.fields])
+        ins = (rows_to.exceptAll(rows_from)
+                      .withColumn("_change_type", F.lit("insert")))
+        dels = (rows_from.exceptAll(rows_to)
+                         .withColumn("_change_type", F.lit("delete")))
+        return ins.unionByName(dels)
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(self, keep_last: int = 2,

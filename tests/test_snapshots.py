@@ -688,3 +688,96 @@ def test_mor_delete_races_appends(spark, table):
     table.delete_where("v % 2 = 1", mode="mor")
     assert all(v % 2 == 0 for v in
                (r["v"] for r in table.read().collect()))
+
+
+# ---------------------------------------------------------------------------
+# incremental change feed (CDC between versions)
+
+def _feed(table, v_from, v_to=None):
+    out = table.changes(v_from, v_to)
+    ins = sorted(tuple(r) for r in
+                 out.filter("_change_type = 'insert'")
+                    .drop("_change_type").collect())
+    dels = sorted(tuple(r) for r in
+                  out.filter("_change_type = 'delete'")
+                     .drop("_change_type").collect())
+    return ins, dels
+
+
+def _cdc_invariant(table, v_from, v_to):
+    """read(to) must equal read(from) - deletes + inserts as multisets."""
+    from collections import Counter
+
+    ins, dels = _feed(table, v_from, v_to)
+    before = Counter(tuple(r) for r in table.read(version=v_from).collect())
+    after = Counter(tuple(r) for r in table.read(version=v_to).collect())
+    rebuilt = before - Counter(dels) + Counter(ins)
+    assert rebuilt == after
+    # and nothing spurious: a delete must come from `before`
+    assert not (Counter(dels) - before)
+
+
+def test_changes_append_only(spark, table):
+    table.append(spark.range(3).select(F.col("id").alias("v")))
+    table.append(spark.range(3, 5).select(F.col("id").alias("v")))
+    ins, dels = _feed(table, 1, 2)
+    assert ins == [(3,), (4,)] and dels == []
+    ins, dels = _feed(table, 0)          # to head, from empty v0
+    assert ins == [(0,), (1,), (2,), (3,), (4,)] and dels == []
+    _cdc_invariant(table, 0, 2)
+
+
+def test_changes_merge_touches_only_changed_keys(spark, table):
+    table.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(8)], "k long, v double"))
+    table.merge(spark.createDataFrame(
+        [(3, 30.0), (99, 99.0)], "k long, v double"), keys=["k"])
+    ins, dels = _feed(table, 1, 2)
+    assert (3, 30.0) in ins and (99, 99.0) in ins
+    assert (3, 3.0) in dels
+    # carried-over rows of the rewritten file cancel in the diff:
+    # nothing but the touched key appears on the delete side
+    assert dels == [(3, 3.0)]
+    _cdc_invariant(table, 1, 2)
+
+
+def test_changes_mor_delete_and_compact(spark, table):
+    table.append(spark.range(10).select(F.col("id").alias("v")))
+    table.delete_where("v >= 7", mode="mor")
+    ins, dels = _feed(table, 1, 2)
+    assert ins == [] and dels == [(7,), (8,), (9,)]
+    _cdc_invariant(table, 1, 2)
+    v3 = table.compact()
+    # compaction is a pure rewrite: empty feed
+    ins, dels = _feed(table, 2, v3)
+    assert ins == [] and dels == []
+
+
+def test_changes_cow_delete_and_overwrite(spark, table):
+    table.append(spark.range(6).select(F.col("id").alias("v")))
+    table.delete_where("v = 2")                     # COW rewrite
+    _cdc_invariant(table, 1, 2)
+    ins, dels = _feed(table, 1, 2)
+    assert ins == [] and dels == [(2,)]
+    table.overwrite(spark.range(100, 102).select(F.col("id").alias("v")))
+    ins, dels = _feed(table, 2, 3)
+    assert ins == [(100,), (101,)]
+    assert dels == [(0,), (1,), (3,), (4,), (5,)]
+
+
+def test_changes_schema_evolution_null_fill(spark, table):
+    table.append(spark.createDataFrame([(1,)], "k long"))
+    table.append(spark.createDataFrame([(2, "b")], "k long, tag string"))
+    table.delete_where("k = 1")
+    # feed in the head's (evolved) schema: the deleted old-schema row
+    # reads tag as NULL
+    out = table.changes(2, 3)
+    assert set(out.columns) == {"k", "tag", "_change_type"}
+    rows = {(r["k"], r["tag"], r["_change_type"]) for r in out.collect()}
+    assert rows == {(1, None, "delete")}
+
+
+def test_changes_rejects_reversed_range(spark, table):
+    table.append(spark.range(2).select(F.col("id").alias("v")))
+    with pytest.raises(ValueError):
+        table.changes(1, 0)
