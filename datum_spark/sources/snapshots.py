@@ -1088,3 +1088,75 @@ class SnapshotTable:
                 shutil.rmtree(cdir)
                 removed.append(cdir)
         return removed
+
+
+class ChangeFeedCursor:
+    """Exactly-once consumption of a snapshot table's change feed — the
+    client half of :meth:`SnapshotTable.changes`, with the offset
+    persisted like a streaming checkpoint.
+
+    ``poll()`` returns the feed from the last consumed version to the
+    current head (or ``None`` when nothing new committed) and advances
+    the cursor; the new offset is persisted to ``checkpoint_path``
+    ATOMICALLY (write-temp + rename) **before** poll returns, so the
+    consumer's contract is at-least-once on the batch it is handed and
+    exactly-once on offsets — the same discipline as a Kafka consumer
+    committing after take.  A consumer that needs commit-after-process
+    can pass ``autocommit=False`` and call :meth:`commit` itself.
+
+    The cursor stores only ``{"version": N}`` — restart-safe across
+    processes, no Spark state.  Vacuum interplay: the feed needs BOTH
+    endpoint manifests, so retention (``vacuum(keep_last=)``) must
+    exceed the consumer's maximum lag, exactly like a streaming source
+    reading a lake table.
+    """
+
+    def __init__(self, table: SnapshotTable, checkpoint_path: str,
+                 start_version: int | None = None,
+                 autocommit: bool = True) -> None:
+        self.table = table
+        self.checkpoint_path = checkpoint_path
+        self.autocommit = autocommit
+        self._pending: int | None = None
+        if os.path.exists(checkpoint_path):
+            with open(checkpoint_path) as fh:
+                self._version = int(json.load(fh)["version"])
+        else:
+            head = table.current_version()
+            self._version = (start_version if start_version is not None
+                             else (head if head is not None else 0))
+            self._persist(self._version)
+
+    def _persist(self, version: int) -> None:
+        tmp = f"{self.checkpoint_path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": int(version)}, fh)
+        os.replace(tmp, self.checkpoint_path)
+
+    @property
+    def version(self) -> int:
+        """Last committed offset (feed consumed up to this version)."""
+        return self._version
+
+    def poll(self) -> DataFrame | None:
+        """Feed from the committed offset to the head, or None if the
+        head hasn't moved.  Advances (and persists) the offset unless
+        ``autocommit=False``, in which case call :meth:`commit` after
+        processing the returned batch."""
+        head = self.table.current_version()
+        if head is None or head <= self._version:
+            return None
+        out = self.table.changes(self._version, head)
+        if self.autocommit:
+            self._persist(head)
+            self._version = head
+        else:
+            self._pending = head
+        return out
+
+    def commit(self) -> None:
+        """Commit the offset of the last un-committed poll()."""
+        if self._pending is not None:
+            self._persist(self._pending)
+            self._version = self._pending
+            self._pending = None

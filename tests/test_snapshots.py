@@ -781,3 +781,51 @@ def test_changes_rejects_reversed_range(spark, table):
     table.append(spark.range(2).select(F.col("id").alias("v")))
     with pytest.raises(ValueError):
         table.changes(1, 0)
+
+
+def test_change_feed_cursor_exactly_once(spark, table, tmp_path):
+    """poll() hands each committed version range to the consumer exactly
+    once, survives process restart via the checkpoint file, and returns
+    None when the head hasn't moved."""
+    from datum_spark.sources.snapshots import ChangeFeedCursor
+
+    ckpt = str(tmp_path / "cursor.json")
+    cur = ChangeFeedCursor(table, ckpt)         # table at v0 (empty)
+    assert cur.poll() is None
+
+    table.append(spark.range(3).select(F.col("id").alias("v")))
+    batch = cur.poll()
+    assert sorted(r["v"] for r in batch.collect()) == [0, 1, 2]
+    assert {r["_change_type"] for r in batch.collect()} == {"insert"}
+    assert cur.poll() is None                   # offset advanced
+
+    # two commits between polls arrive as ONE range
+    table.append(spark.range(3, 5).select(F.col("id").alias("v")))
+    table.delete_where("v = 0")
+    batch = cur.poll()
+    got = {(r["v"], r["_change_type"]) for r in batch.collect()}
+    assert got == {(3, "insert"), (4, "insert"), (0, "delete")}
+
+    # restart: a NEW cursor on the same checkpoint resumes, not replays
+    cur2 = ChangeFeedCursor(table, ckpt)
+    assert cur2.version == cur.version
+    assert cur2.poll() is None
+    table.append(spark.range(10, 11).select(F.col("id").alias("v")))
+    assert [r["v"] for r in cur2.poll().collect()] == [10]
+
+
+def test_change_feed_cursor_manual_commit(spark, table, tmp_path):
+    """autocommit=False: a crash between poll and commit replays the
+    batch (at-least-once), commit() advances durably."""
+    from datum_spark.sources.snapshots import ChangeFeedCursor
+
+    ckpt = str(tmp_path / "c2.json")
+    table.append(spark.range(2).select(F.col("id").alias("v")))
+    cur = ChangeFeedCursor(table, ckpt, start_version=0, autocommit=False)
+    b1 = cur.poll()
+    assert b1.count() == 2
+    # no commit -> a restarted consumer re-polls the same range
+    cur_crash = ChangeFeedCursor(table, ckpt, autocommit=False)
+    assert cur_crash.poll().count() == 2
+    cur_crash.commit()
+    assert ChangeFeedCursor(table, ckpt).poll() is None
