@@ -252,13 +252,48 @@ def cluster_coreset(df: DataFrame, per_cluster: int, id_col: str = "vec_id",
                     .filter(F.col("rnk") <= per_cluster))
 
 
+def _centers_sql(cs) -> str:
+    """SQL array-of-arrays literal for a center list — double-suffixed
+    (``D``) so every element is a DOUBLE, never a decimal."""
+    return "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+        for c in cs) + ")"
+
+
+def _d2s_sql(cs, quantize: int, vec: str = "__e"):
+    """Rounded per-center squared distances as ONE array column.
+
+    Built as a SQL STRING, not nested Column calls: a k×dim literal
+    tree through the Python Column API costs ~0.7 s to BUILD per
+    expression (k=8, dim=64) and bloats analysis; one parsed string is
+    ~0.01 s and the analyzer sees the identical expression.  Evaluate
+    it ONCE per row (``withColumn``) and index into it — re-inlining it
+    would double the per-row fold work at corpus scale."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"transform({_centers_sql(cs)}, c -> round(aggregate("
+        f"zip_with({vec}, c, (a, b) -> (a - b) * (a - b)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x), {int(quantize)}))")
+
+
+# argmin over a materialized __d2s array: array_position returns the
+# FIRST occurrence of the min = lowest center index on ties
+_ARGMIN_SQL = "cast(array_position(__d2s, array_min(__d2s)) - 1 as int)"
+
+# (d2, center) pairs ordered by rounded distance then center index —
+# the struct sort replays the same tie-break as the argmin
+_RANKED_SQL = "array_sort(transform(__d2s, (d, i) -> struct(d as d, i as c)))"
+
+
 def _verifiable_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
                     iters: int, quantize: int):
     """Shared deterministic-trajectory Lloyd fit (see
-    :func:`kmeans_verifiable`): returns ``(v, centers, dist_exprs)``
+    :func:`kmeans_verifiable`): returns ``(v, centers, d2s_expr)``
     where ``v`` is the cached ``(__id, __e)`` frame, ``centers`` the
-    final quantized centers, and ``dist_exprs(cs)`` builds the rounded
-    per-center squared-distance Columns."""
+    final quantized centers, and ``d2s_expr(cs)`` the rounded
+    per-center squared-distance ARRAY column (combine with
+    ``_ARGMIN_SQL`` / ``_RANKED_SQL`` over a ``__d2s`` withColumn)."""
     from pyspark.sql import functions as F
 
     from ..util import retain_cache
@@ -270,34 +305,12 @@ def _verifiable_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
     init = v.orderBy("__id").limit(k).collect()
     centers = [list(r["__e"]) for r in init]
 
-    def dist_exprs(cs):
-        out = []
-        for c in cs:
-            lit = F.array(*[F.lit(float(x)) for x in c])
-            d2 = F.aggregate(
-                F.zip_with("__e", lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            out.append(F.round(d2, quantize))
-        return out
-
-    def _argmin(cs):
-        # one higher-order expression instead of k separate aggregates
-        # (k× smaller plan; analysis cost dominated the k=16 PQ fits):
-        # array_position of the min = FIRST index on ties, identical to
-        # the when-chain's lowest-cid tie-break
-        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                          for c in cs])
-        d2s = F.transform(
-            cents,
-            lambda c: F.round(
-                F.aggregate(F.zip_with("__e", c,
-                                       lambda a, b: (a - b) * (a - b)),
-                            F.lit(0.0), lambda acc, x: acc + x),
-                quantize))
-        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+    def d2s_expr(cs):
+        return _d2s_sql(cs, quantize)
 
     for _ in range(iters):
-        upd = (v.withColumn("__c", _argmin(centers))
+        upd = (v.withColumn("__d2s", d2s_expr(centers))
+                .withColumn("__c", F.expr(_ARGMIN_SQL))
                 .select("__c", F.posexplode("__e").alias("__p", "__x"))
                 .groupBy("__c", "__p").agg(F.avg("__x").alias("__m"))
                 .collect())
@@ -305,7 +318,7 @@ def _verifiable_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
         for r in upd:
             nxt[r["__c"]][r["__p"]] = round(r["__m"], quantize)
         centers = nxt
-    return v, centers, dist_exprs
+    return v, centers, d2s_expr
 
 
 def cluster_coreset_verifiable(df: DataFrame, per_cluster: int,
@@ -322,16 +335,16 @@ def cluster_coreset_verifiable(df: DataFrame, per_cluster: int,
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    v, centers, dist_exprs = _verifiable_fit(df, id_col, vec_col, k,
-                                             iters, quantize)
-    dists = dist_exprs(centers)
-    pairs = F.array(*[F.struct(d.alias("d"), F.lit(j).alias("c"))
-                      for j, d in enumerate(dists)])
-    best = F.array_sort(pairs)[0]
+    v, centers, d2s_expr = _verifiable_fit(df, id_col, vec_col, k,
+                                           iters, quantize)
+    best = F.expr(_RANKED_SQL + "[0]")
     w = (Window.partitionBy("cluster")
                .orderBy(F.col("d2").asc(), F.col(id_col).asc()))
-    return (v.select(F.col("__id").alias(id_col),
-                     best["c"].alias("cluster"), best["d"].alias("d2"))
+    return (v.withColumn("__d2s", d2s_expr(centers))
+             .withColumn("__best", best)
+             .select(F.col("__id").alias(id_col),
+                     F.col("__best.c").alias("cluster"),
+                     F.col("__best.d").alias("d2"))
              .withColumn("rnk", F.row_number().over(w))
              .filter(F.col("rnk") <= per_cluster))
 
@@ -354,33 +367,36 @@ def semantic_dedup_pairs_verifiable(df: DataFrame,
     Returns ``(id_a, id_b, cosine)``."""
     from pyspark.sql import functions as F
 
-    v, centers, dist_exprs = _verifiable_fit(df, id_col, vec_col, k,
-                                             iters, quantize)
-    dists = dist_exprs(centers)
-    pairs = F.array(*[F.struct(d.alias("d"), F.lit(j).alias("c"))
-                      for j, d in enumerate(dists)])
-    topn = F.slice(F.array_sort(pairs), 1, max(1, probes))
+    v, centers, d2s_expr = _verifiable_fit(df, id_col, vec_col, k,
+                                           iters, quantize)
+    v = v.withColumn("__d2s", d2s_expr(centers))
+    topn = F.expr(f"slice({_RANKED_SQL}, 1, {max(1, probes)})")
+    # the norm is a per-VECTOR quantity — fold it once here (2 rows per
+    # vector after the probe explode) instead of twice per candidate
+    # pair; the arithmetic an external replayer sees is unchanged
+    # (sqrt of the same left-to-right e*e fold)
+    norm = F.sqrt(F.aggregate(F.zip_with("__e", "__e",
+                                         lambda x, y: x * y),
+                              F.lit(0.0), lambda acc, x: acc + x))
     cells = (v.select("__id", "__e",
                       F.explode(topn).alias("__pc"))
-              .select("__id", "__e", F.col("__pc.c").alias("__cell")))
+              .select("__id", "__e", norm.alias("__n"),
+                      F.col("__pc.c").alias("__cell")))
     a = cells.select(F.col("__cell"), F.col("__id").alias("id_a"),
-                     F.col("__e").alias("__ea"))
+                     F.col("__e").alias("__ea"), F.col("__n").alias("__na"))
     b = cells.select(F.col("__cell"), F.col("__id").alias("id_b"),
-                     F.col("__e").alias("__eb"))
+                     F.col("__e").alias("__eb"), F.col("__n").alias("__nb"))
     cand = (a.join(b, "__cell")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+             .filter(F.col("id_a") < F.col("id_b")))
     dot = F.aggregate(F.zip_with("__ea", "__eb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.zip_with("__ea", "__ea",
-                                       lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.zip_with("__eb", "__eb",
-                                       lambda x, y: x * y),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    cos = F.round(dot / (na * nb), quantize)
+    cos = F.round(dot / (F.col("__na") * F.col("__nb")), quantize)
+    # cosine is deterministic, so dup pairs (sharing BOTH probe cells)
+    # carry equal values — compute first, then dedup the NARROW
+    # (id, id, cosine) rows so the exchange never carries the vectors
     return (cand.select("id_a", "id_b", cos.alias("cosine"))
-                .filter(F.col("cosine") >= threshold))
+                .filter(F.col("cosine") >= threshold)
+                .dropDuplicates(["id_a", "id_b"]))
 
 
 def kmeans_verifiable(df: DataFrame, id_col: str = "vec_id",
@@ -413,12 +429,8 @@ def kmeans_verifiable(df: DataFrame, id_col: str = "vec_id",
     """
     from pyspark.sql import functions as F
 
-    v, centers, dist_exprs = _verifiable_fit(df, id_col, vec_col, k,
-                                             iters, quantize)
-    dists = dist_exprs(centers)
-    cluster, best = F.lit(0), dists[0]
-    for j in range(1, len(centers)):
-        cluster = F.when(dists[j] < best, F.lit(j)).otherwise(cluster)
-        best = F.least(best, dists[j])
-    return v.select(F.col("__id").alias(id_col),
-                    cluster.cast("int").alias("cluster"))
+    v, centers, d2s_expr = _verifiable_fit(df, id_col, vec_col, k,
+                                           iters, quantize)
+    return (v.withColumn("__d2s", d2s_expr(centers))
+             .select(F.col("__id").alias(id_col),
+                     F.expr(_ARGMIN_SQL).alias("cluster")))

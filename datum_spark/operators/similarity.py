@@ -732,20 +732,13 @@ def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
         sub = df.select(F.col(id_col),
                         F.slice(F.col(vec_col), s * dsub + 1, dsub)
                          .alias("__sub"))
-        v, centers, _dist_exprs = _verifiable_fit(
+        v, centers, d2s_expr = _verifiable_fit(
             sub, id_col, "__sub", ksub, iters, quantize)
-        cents = F.array(*[F.array(*[F.lit(float(x)) for x in c])
-                          for c in centers])
-        d2s = F.transform(
-            cents,
-            lambda c: F.round(
-                F.aggregate(F.zip_with("__e", c,
-                                       lambda a, b: (a - b) * (a - b)),
-                            F.lit(0.0), lambda acc, x: acc + x),
-                quantize))
-        code = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
-        cs = v.select(F.col("__id").alias(id_col),
-                      code.alias(f"code_{s}"))
+        from .clustering import _ARGMIN_SQL
+
+        cs = (v.withColumn("__d2s", d2s_expr(centers))
+               .select(F.col("__id").alias(id_col),
+                       F.expr(_ARGMIN_SQL).alias(f"code_{s}")))
         return cs, centers
 
     # the m subspace fits are independent Lloyd trajectories — submit
