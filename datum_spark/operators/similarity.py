@@ -721,37 +721,82 @@ def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
     """
     from pyspark.sql import functions as F
 
-    from .clustering import _verifiable_fit
+    from ..util import retain_cache
+    from .clustering import _centers_sql as _csql
 
     d = df.select(F.size(vec_col)).first()[0]
     if d % m != 0:
         raise ValueError(f"dim {d} not divisible by m={m}")
     dsub = d // m
 
-    def fit(s: int):
-        sub = df.select(F.col(id_col),
-                        F.slice(F.col(vec_col), s * dsub + 1, dsub)
-                         .alias("__sub"))
-        v, centers, d2s_expr = _verifiable_fit(
-            sub, id_col, "__sub", ksub, iters, quantize)
-        from .clustering import _ARGMIN_SQL
+    # FUSED training: the m subspace trajectories are independent, but
+    # each Lloyd step is the same corpus pass — so run all m argmins in
+    # one projection and fold all m×ksub×dsub center means in ONE
+    # aggregation per iteration (posexplode position p ↦ subspace
+    # p/dsub, dim p%dsub).  4 driver jobs total instead of ~4m; every
+    # per-subspace trajectory is bit-identical to fitting it alone
+    # (same rounded distances, same lowest-cid tie-break, same rounded
+    # means — summation-order noise ≪ the 1e-quantize rounding).
+    v = retain_cache(
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).cast("array<double>").alias("__e"))
+          .filter(F.col("__e").isNotNull()))
+    init = v.orderBy("__id").limit(ksub).collect()
+    codebooks = [[list(r["__e"])[s * dsub:(s + 1) * dsub] for r in init]
+                 for s in range(m)]
 
-        cs = (v.withColumn("__d2s", d2s_expr(centers))
-               .select(F.col("__id").alias(id_col),
-                       F.expr(_ARGMIN_SQL).alias(f"code_{s}")))
-        return cs, centers
+    def with_codes(frame, vec_sql="__e"):
+        for s in range(m):
+            sub = f"slice({vec_sql}, {s * dsub + 1}, {dsub})"
+            frame = frame.withColumn(f"__d2s_{s}", F.expr(
+                f"transform({_csql(codebooks[s])}, c -> round("
+                f"aggregate(zip_with({sub}, c, (a, b) -> (a-b)*(a-b)), "
+                f"cast(0.0 as double), (acc, x) -> acc + x), "
+                f"{int(quantize)}))"))
+            frame = frame.withColumn(f"__c{s}", F.expr(
+                f"cast(array_position(__d2s_{s}, array_min(__d2s_{s})) "
+                f"- 1 as int)"))
+        return frame
 
-    # the m subspace fits are independent Lloyd trajectories — submit
-    # them as CONCURRENT Spark jobs (each fit's per-iteration collect
-    # is tiny; the wall cost is scheduling/planning, which overlaps)
-    from concurrent.futures import ThreadPoolExecutor
+    for _ in range(iters):
+        upd = (with_codes(v)
+               .withColumn("__cs",
+                           F.array(*[f"__c{s}" for s in range(m)]))
+               .select("__cs", F.posexplode("__e").alias("__p", "__x"))
+               .select((F.col("__p") / dsub).cast("int").alias("__s"),
+                       F.expr("__cs[cast(__p / "
+                              f"{dsub} as int)]").alias("__c"),
+                       (F.col("__p") % dsub).alias("__q"), "__x")
+               .groupBy("__s", "__c", "__q")
+               .agg(F.avg("__x").alias("__m"))
+               .collect())
+        nxt = [[list(c) for c in book] for book in codebooks]
+        for r in upd:
+            nxt[r["__s"]][r["__c"]][r["__q"]] = round(r["__m"], quantize)
+        codebooks = nxt
 
-    with ThreadPoolExecutor(max_workers=m) as pool:
-        fitted = list(pool.map(fit, range(m)))
-    out, codebooks = None, []
-    for cs, centers in fitted:
-        out = cs if out is None else out.join(cs, id_col)
-        codebooks.append(centers)
+    from .clustering import _centers_sql
+
+    # ENCODING is one map-only projection over the corpus — every
+    # subspace's argmin evaluates against its codebook literal in the
+    # same pass (no per-subspace frames, no m-way join chain)
+    from .clustering import _centers_sql
+
+    # the d2s_<s> arrays land as intermediate columns first so each
+    # evaluates once per row (argmin references them twice)
+    base = df.filter(F.col(vec_col).isNotNull())
+    for s in range(m):
+        sub_sql = (f"slice(cast({vec_col} as array<double>), "
+                   f"{s * dsub + 1}, {dsub})")
+        base = base.withColumn(f"d2s_{s}", F.expr(
+            f"transform({_centers_sql(codebooks[s])}, c -> round("
+            f"aggregate(zip_with({sub_sql}, c, (a, b) -> (a-b)*(a-b)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x), "
+            f"{int(quantize)}))"))
+    out = base.select(
+        F.col(id_col),
+        *[F.expr(f"cast(array_position(d2s_{s}, array_min(d2s_{s})) - 1 "
+                 f"as int)").alias(f"code_{s}") for s in range(m)])
     return out, codebooks
 
 
