@@ -646,51 +646,44 @@ def pca_top_component(df: DataFrame, vec_col: str = "embedding",
 
     Scale shape: the corpus-sized work is the covariance itself
     (:func:`embedding_covariance` — one Gram partial per Arrow batch);
-    the iteration runs on d² cells (KBs), a fixed number of tiny
-    joins.  d is the embedding width, never the row count.
+    the iteration runs on the collected d² cells (KBs) driver-side —
+    d is the embedding width, never the row count, so the driver holds
+    a d×d matrix regardless of corpus size.
     """
-    from ..util import retain_cache
-
-    # d² rows; cached so the 8 iterations don't recompute the
-    # corpus-scale Gram pass
-    cov = retain_cache(embedding_covariance(df, vec_col, round_to=6))
-    sym = cov.union(
-        cov.filter(F.col("i") < F.col("j"))
-           .select(F.col("j").alias("i"), F.col("i").alias("j"), "cov"))
-    spark = df.sparkSession
-    d = cov.agg(F.max("j")).first()[0]
-    v0 = 1.0 / math.sqrt(float(d))
-    v = spark.range(1, d + 1).select(
-        F.col("id").cast("int").alias("j"),
-        F.lit(v0).alias("v"))
+    # ONE corpus-scale pass (the Gram partials); everything after runs
+    # on d² cells — KBs for any real embedding width — so the power
+    # iteration itself executes DRIVER-SIDE on the collected cells
+    # instead of as 8 rounds of tiny Spark joins (same rounded
+    # arithmetic: HALF_UP rounds at the same points, and the
+    # 1e-quantize rounding absorbs summation-order noise exactly as it
+    # does between Spark's partial aggregation and the SQL replay)
+    cells = embedding_covariance(df, vec_col, round_to=6).collect()
+    d = max(r["j"] for r in cells)
+    row_cells: list[list[tuple[int, float]]] = [[] for _ in range(d)]
+    tr = 0.0
+    for r in cells:
+        i, j, c = r["i"], r["j"], r["cov"]
+        row_cells[i - 1].append((j - 1, c))
+        if i < j:
+            row_cells[j - 1].append((i - 1, c))
+        else:
+            tr += c
+    rnd = _round_half_away
+    v = [1.0 / math.sqrt(float(d))] * d
     for _ in range(iters):
-        w = (sym.join(v, "j")
-                .groupBy("i")
-                .agg(F.round(F.sum(F.col("cov") * F.col("v")),
-                             quantize).alias("w")))
-        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
-        v = (w.crossJoin(nrm)
-              .select(F.col("i").alias("j"),
-                      F.round(F.col("w") / F.col("n"), quantize)
-                       .alias("v"))
-              .localCheckpoint(eager=False))
+        w = [rnd(sum(c * v[j] for j, c in row_cells[i]), quantize)
+             for i in range(d)]
+        n = math.sqrt(sum(x * x for x in w))
+        v = [rnd(x / n, quantize) for x in w]
     # Rayleigh quotient on the final vector (||v|| == 1 up to rounding)
-    cv = (sym.join(v, "j")
-             .groupBy("i")
-             .agg(F.round(F.sum(F.col("cov") * F.col("v")),
-                          quantize).alias("cv")))
-    lam = (cv.join(v.withColumnRenamed("j", "i"), "i")
-             .agg(F.sum(F.col("cv") * F.col("v")).alias("lam")))
-    trace = cov.filter(F.col("i") == F.col("j")) \
-               .agg(F.sum("cov").alias("tr"))
-    return (v.withColumnRenamed("j", "i")
-             .crossJoin(lam).crossJoin(trace)
-             .select(F.col("i"),
-                     F.round("v", 6).alias("loading"),
-                     F.round("lam", 4).alias("eigenvalue"),
-                     F.round(F.col("lam") / F.col("tr"), 4)
-                      .alias("var_share"))
-             .orderBy("i"))
+    cv = [rnd(sum(c * v[j] for j, c in row_cells[i]), quantize)
+          for i in range(d)]
+    lam = sum(a * b for a, b in zip(cv, v))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, rnd(v[i], 6), rnd(lam, 4), rnd(lam / tr, 4))
+         for i in range(d)],
+        "i int, loading double, eigenvalue double, var_share double")
 
 
 # ---------------------------------------------------------------------------
