@@ -829,3 +829,44 @@ def test_change_feed_cursor_manual_commit(spark, table, tmp_path):
     assert cur_crash.poll().count() == 2
     cur_crash.commit()
     assert ChangeFeedCursor(table, ckpt).poll() is None
+
+
+def test_changes_invariant_random_ops(spark, table):
+    """Property: for a seeded random op sequence (append / merge / COW
+    delete / MOR delete / overwrite / compact), the CDC invariant
+    read(to) == read(from) - deletes + inserts holds for every adjacent
+    version pair AND for spans, including across compaction."""
+    import random
+
+    rng = random.Random(80)
+    table.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(40)], "k long, v double"))
+    nxt = 1000
+    for step in range(8):
+        op = rng.choice(["append", "merge", "cow", "mor",
+                         "overwrite", "compact"])
+        if op == "append":
+            table.append(spark.createDataFrame(
+                [(nxt + i, float(i)) for i in range(5)],
+                "k long, v double"))
+            nxt += 5
+        elif op == "merge":
+            ks = rng.sample(range(40), 3)
+            table.merge(spark.createDataFrame(
+                [(k, -float(step)) for k in ks] + [(nxt, 0.5)],
+                "k long, v double"), keys=["k"])
+            nxt += 1
+        elif op == "cow":
+            table.delete_where(f"k % 7 = {rng.randrange(7)}")
+        elif op == "mor":
+            table.delete_where(f"k % 5 = {rng.randrange(5)}", mode="mor")
+        elif op == "overwrite":
+            table.overwrite(spark.createDataFrame(
+                [(i, 9.0) for i in range(30)], "k long, v double"))
+        else:
+            table.compact(target_files=2)
+    head = table.current_version()
+    for v in range(1, head):
+        _cdc_invariant(table, v, v + 1)
+    _cdc_invariant(table, 1, head)
+    _cdc_invariant(table, head // 2, head)
