@@ -38,7 +38,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # vertex-op coordinate formatter (x161 shares the geometry pack whose
 # registration now includes the overlay/transform UDFs).
 _RECHECK_R8 = {
-    "x187_skew_report",                               # newest: diagnostics
+    "x188_quality_classifier",                        # newest: learned filter
+    "x187_skew_report",                               # diagnostics
     "x178_kmv_distinct", "x179_kmv_setops",           # sketches
     "x180_bloom_prejoin", "x181_dbscan", "x182_dsir_sampling",
     "x183_shortest_paths", "x184_retrieval_metrics",

@@ -920,3 +920,131 @@ def x186(spark, sf):
     return (hits.select("query_id", "hits",
                         F.round(F.col("hits") / 10.0, 2).alias("recall"))
                 .orderBy("query_id"))
+
+
+def _qclf_oracle_sql(nb: int = 256, steps: int = 12, lr: float = 4.0,
+                     hi: float = 0.09, lo: float = 0.03) -> str:
+    """DuckDB replay of the full x188 classifier trajectory: hashed
+    features, seed labels, every GD step's z/p/gradient/weights (all
+    rounded to 9 dp at the same reduction points as the engine), final
+    scoring of the whole corpus, band summary."""
+    parts = [f"""tok AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('qclf-' || w), 1, 8)) AS BIGINT)
+           % {nb} AS b
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+)""", """feat AS MATERIALIZED (
+  SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2
+)""", """ntok AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY 1
+)""", f"""sh AS MATERIALIZED (
+  SELECT doc_id,
+         len(list_filter(ws, x -> x IN ('the', 'a')))
+           / CAST(len(ws) AS DOUBLE) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents)
+)""", f"""seed AS MATERIALIZED (
+  SELECT sh.doc_id, CASE WHEN sh >= {hi} THEN 1.0 ELSE 0.0 END AS y
+  FROM sh JOIN ntok USING (doc_id)
+  WHERE sh >= {hi} OR sh <= {lo}
+)""", """nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM seed
+)""", f"""w0 AS (
+  SELECT unnest(generate_series(-1, {nb - 1})) AS b, 0.0 AS wt
+)"""]
+    for t in range(steps):
+        parts.append(f"""z{t} AS MATERIALIZED (
+  SELECT f.doc_id,
+         ROUND(SUM(f.c * w.wt) * {nb}.0 / MAX(n.n)
+               + (SELECT wt FROM w{t} WHERE b = -1), 9) AS z
+  FROM feat f JOIN w{t} w ON f.b = w.b
+       JOIN ntok n ON n.doc_id = f.doc_id
+       JOIN seed s ON s.doc_id = f.doc_id
+  GROUP BY f.doc_id
+)""")
+        parts.append(f"""p{t} AS MATERIALIZED (
+  SELECT z.doc_id, ROUND(1.0 / (1.0 + exp(-z.z)), 9) AS p, s.y
+  FROM z{t} z JOIN seed s USING (doc_id)
+)""")
+        parts.append(f"""g{t} AS MATERIALIZED (
+  SELECT f.b,
+         ROUND(SUM((p.p - p.y) * f.c * {nb}.0 / n.n)
+               / (SELECT nd FROM nn), 9) AS g
+  FROM feat f JOIN p{t} p USING (doc_id) JOIN ntok n USING (doc_id)
+  GROUP BY f.b
+  UNION ALL
+  SELECT -1, ROUND(SUM(p.p - p.y) / (SELECT nd FROM nn), 9) FROM p{t} p
+)""")
+        parts.append(f"""w{t + 1} AS MATERIALIZED (
+  SELECT w.b, ROUND(w.wt - {lr} * COALESCE(g.g, 0.0), 9) AS wt
+  FROM w{t} w LEFT JOIN g{t} g USING (b)
+)""")
+    parts.append(f"""zf AS (
+  SELECT f.doc_id,
+         ROUND(SUM(f.c * w.wt) * {nb}.0 / MAX(n.n)
+               + (SELECT wt FROM w{steps} WHERE b = -1), 9) AS z
+  FROM feat f JOIN w{steps} w ON f.b = w.b
+       JOIN ntok n ON n.doc_id = f.doc_id
+  GROUP BY f.doc_id
+)""")
+    parts.append("""pf AS (
+  SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 9) AS p FROM zf
+)""")
+    return "WITH " + ",\n".join(parts) + f"""
+SELECT CASE WHEN sh.sh >= {hi} THEN 'hi'
+            WHEN sh.sh <= {lo} THEN 'lo' ELSE 'mid' END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pf.p >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pred,
+       ROUND(AVG(pf.p), 6) AS mean_p
+FROM pf JOIN sh ON pf.doc_id = sh.doc_id
+GROUP BY 1 ORDER BY band"""
+
+
+@x("x188_quality_classifier", _qclf_oracle_sql())
+def x188(spark, sf):
+    """Train a quality classifier IN-ENGINE and score the corpus — the
+    learned-filter step of a modern curation stack (CCNet/fastText-style
+    data selection), with the TRAINING ITSELF hash-verified: label a
+    high-confidence seed set by a cheap rule (stopword share ≥ 0.09
+    positive, ≤ 0.03 negative — the weak-supervision pattern), run 12
+    deterministic full-batch GD steps over 256 hashed-unigram features
+    (every z / sigmoid / gradient / weight quantized to 9 dp, so the
+    whole trajectory replays engine-for-engine), then score ALL
+    documents.  Output: per band (hi/lo/mid) doc count, positives at
+    the 0.5 threshold, mean calibrated score — the seed bands separate
+    (mean_p hi ≫ lo) while the unlabeled middle lands between.
+
+    Plans: one tokenize pass into a cached per-doc feature frame; each
+    GD step is a map-only scoring expression (weights ride the plan as
+    an array literal) plus ONE map-combined shuffle of 257 gradient
+    rows; scoring is map-only.  See operators/classifier.py for the
+    100 TB posture."""
+    from ..operators.classifier import (quality_classifier_fit,
+                                        quality_classifier_score)
+
+    docs = load_docs(spark, sf)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+    share = (F.size(F.filter(words, lambda w: w.isin("the", "a")))
+             / F.size(words))
+    d = docs.withColumn("__sh", share)
+    seed = (d.filter((F.col("__sh") >= 0.09) | (F.col("__sh") <= 0.03))
+             .withColumn("__y", (F.col("__sh") >= 0.09).cast("int")))
+    w, b = quality_classifier_fit(seed, "doc_id", "text", "__y",
+                                  n_buckets=256, steps=12, lr=4.0)
+    scored = quality_classifier_score(docs, w, b, "doc_id", "text",
+                                      n_buckets=256)
+    band = (F.when(F.col("__sh") >= 0.09, "hi")
+             .when(F.col("__sh") <= 0.03, "lo").otherwise("mid"))
+    return (scored.join(d.select("doc_id", "__sh"), "doc_id")
+                  .groupBy(band.alias("band"))
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum(F.col("pred").cast("long")).alias("n_pred"),
+                       F.round(F.avg("score"), 6).alias("mean_p"))
+                  .orderBy("band"))

@@ -10,6 +10,7 @@ from .asof import asof_join
 from .bpe import bpe_merge_table, learn_bpe_merges, word_frequencies
 from .cdc import apply_changes, last_wins
 from .intervals import interval_overlap_join
+from .classifier import quality_classifier_fit, quality_classifier_score
 from .skew import salted_join, skew_report
 from .sampling import (deterministic_group_sample, hash_split,
                        md5_bucket, mix_sources, mix_sources_md5,
@@ -62,6 +63,7 @@ __all__ = [
     "debounce", "duplicated_span_stats", "write_training_shards",
     "char_entropy", "with_char_entropy", "novelty_scores",
     "top_k", "top_k_per_group", "asof_join", "salted_join", "skew_report",
+    "quality_classifier_fit", "quality_classifier_score",
     "connected_components", "dup_clusters",
     "tf_idf_terms", "bm25_scores", "bm25_topk", "benchmark_contamination",
     "kmeans_assign", "kmeans_fit", "kmeans_inertia", "semantic_dedup_pairs",

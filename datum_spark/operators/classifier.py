@@ -1,0 +1,142 @@
+"""Trainable quality classifier: distributed logistic regression on
+hashed token features, with a DETERMINISTIC full-batch training
+trajectory (the x108 discipline applied to gradient descent) — so the
+trained weights, per-document scores and even the decision boundary
+are replayable value-for-value by any engine with ``md5``/``exp``.
+
+Why it exists: the modern corpus-curation stack filters with LEARNED
+quality models (CCNet's LM filter, the fastText classifiers behind
+LLaMA/phi-style data selection), not only heuristics.  The engine
+already selects *towards a target distribution* (DSIR,
+``sampling.dsir_log_weights``); this adds the supervised sibling:
+label a seed set (curated vs crawl, English vs other, clean vs spam),
+train in-engine at corpus scale, score everything.
+
+Determinism contract (all constants quantized to ``quantize`` dp):
+
+- features: hashed-unigram counts ``c_b`` (bucket = ``md5(salt-word)
+  % n_buckets``, the DSIR feature map) scaled to O(1) mean:
+  ``x_b = c_b · n_buckets / n_tokens`` (a uniform doc puts 1.0 in
+  every bucket — unit learning rates converge in a handful of steps
+  instead of needing lr ~ n_buckets²); plus an implicit bias of 1;
+- init ``w = 0``; per step: ``z_i = round(Σ_b w_b·c_ib / n_i + w_bias)``,
+  ``p_i = round(sigmoid(z_i))``,
+  ``grad = round((1/N)·Σ_i (p_i − y_i)·x_i)``,
+  ``w ← round(w − lr·grad)`` — rounding at every reduction absorbs
+  summation-order and libm noise, so the trajectory is engine-portable;
+- ties/ordering never matter: every step is a pure fold over the batch.
+
+Scale shape: tokenization is one corpus pass into a cached per-doc
+feature frame (≤ ``n_buckets`` entries per doc); each GD step is one
+map-only scoring expression (weights ride the plan as an array
+literal, ``clustering._centers_sql`` style) plus ONE map-side-combined
+shuffle of ``n_buckets + 1`` gradient rows; the driver holds
+``n_buckets + 1`` floats.  Steps are full-batch — at 100 TB you pay
+``steps`` corpus passes, the honest cost of exact determinism (the
+throughput twin would be mini-batch SGD on ``kmeans_fit``'s Arrow
+path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .sampling import md5_bucket
+
+
+def _features(df: DataFrame, id_col: str, text_col: str,
+              n_buckets: int, salt: str) -> DataFrame:
+    """Cached per-doc hashed-unigram features: ``(__id, __fs
+    array<struct<b int, c double>> sorted by b, __n double)``.  Docs
+    with zero tokens produce no row (nothing to score them on)."""
+    from ..util import retain_cache
+
+    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+                     lambda t: t != "")
+    tok = (df.select(F.col(id_col).alias("__id"),
+                     F.explode(words).alias("__w"))
+             .select("__id",
+                     (md5_bucket(F.col("__w"), salt=salt)
+                      % n_buckets).cast("int").alias("__b")))
+    return retain_cache(
+        tok.groupBy("__id", "__b")
+           .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+           .groupBy("__id")
+           .agg(F.sort_array(F.collect_list(
+                    F.struct(F.col("__b").alias("b"),
+                             F.col("__c").alias("c")))).alias("__fs"),
+                F.sum("__c").alias("__n")))
+
+
+def _score_expr(weights: list[float], bias: float, quantize: int):
+    """``p = round(sigmoid(round(Σ w_b·c_b / n + bias)))`` as one
+    map-only expression over ``__fs``/``__n`` (weights as a parsed SQL
+    array literal — see clustering._d2s_sql for why not Column calls)."""
+    w_sql = "array(" + ",".join(f"{float(x)!r}D" for x in weights) + ")"
+    nb = len(weights)
+    z = (f"round(aggregate(__fs, cast(0.0 as double), "
+         f"(acc, f) -> acc + element_at({w_sql}, f.b + 1) * f.c) "
+         f"* {nb}.0D / __n + {float(bias)!r}D, {quantize})")
+    return F.expr(f"round(1.0D / (1.0D + exp(-({z}))), {quantize})")
+
+
+def quality_classifier_fit(df: DataFrame, id_col: str, text_col: str,
+                           label_col: str, n_buckets: int = 64,
+                           steps: int = 4, lr: float = 0.5,
+                           salt: str = "qclf",
+                           quantize: int = 9):
+    """Train by deterministic full-batch gradient descent; returns
+    ``(weights, bias)`` — ``n_buckets`` floats + 1, quantized.
+    ``label_col`` must be 0/1 (numeric or boolean)."""
+    feat = (_features(df, id_col, text_col, n_buckets, salt)
+            .join(df.select(F.col(id_col).alias("__id"),
+                            F.col(label_col).cast("double").alias("__y")),
+                  "__id"))
+    n_docs = feat.count()
+    if n_docs == 0:
+        raise ValueError("no labeled documents with tokens")
+    w = [0.0] * n_buckets
+    b = 0.0
+    for _ in range(steps):
+        p = _score_expr(w, b, quantize)
+        # bias rides the explode as pseudo-bucket -1 with c = n/B (so
+        # the uniform x = c·B/n scaling gives it the constant 1):
+        # ONE shuffle carries all n_buckets+1 gradient rows
+        g = (feat.withColumn("__p", p)
+                 .select("__p", "__y", "__n",
+                         F.explode(F.concat(
+                             "__fs",
+                             F.array(F.struct(
+                                 F.lit(-1).alias("b"),
+                                 (F.col("__n") / F.lit(float(n_buckets)))
+                                 .alias("c"))))).alias("__f"))
+                 .groupBy(F.col("__f.b").alias("__b"))
+                 .agg(F.round(
+                     F.sum((F.col("__p") - F.col("__y"))
+                           * F.col("__f.c") * F.lit(float(n_buckets))
+                           / F.col("__n"))
+                     / F.lit(float(n_docs)), quantize).alias("__g"))
+                 .collect())
+        for r in g:
+            if r["__b"] < 0:
+                b = round(b - lr * r["__g"], quantize)
+            else:
+                w[r["__b"]] = round(w[r["__b"]] - lr * r["__g"], quantize)
+    return w, b
+
+
+def quality_classifier_score(df: DataFrame, weights: list[float],
+                             bias: float, id_col: str, text_col: str,
+                             n_buckets: int | None = None,
+                             salt: str = "qclf",
+                             quantize: int = 9) -> DataFrame:
+    """``(id_col, score, pred)`` for every document with ≥1 token:
+    ``score`` = calibrated probability, ``pred`` = score ≥ 0.5.
+    Map-only over the feature pass (weights in the plan)."""
+    feat = _features(df, id_col, text_col,
+                     n_buckets or len(weights), salt)
+    p = _score_expr(weights, bias, quantize)
+    return feat.select(F.col("__id").alias(id_col),
+                       p.alias("score"),
+                       (p >= 0.5).alias("pred"))
