@@ -853,3 +853,102 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks,
                                                F.col(id_col).asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Persistent PQ index (build-once / serve-many, the ivf_index_* posture)
+# ---------------------------------------------------------------------------
+
+def pq_index_build(corpus: DataFrame, index_path: str,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   m: int = 8, ksub: int = 16, iters: int = 3,
+                   quantize: int = 6) -> dict:
+    """Train PQ codebooks ONCE and persist the index as two parquet
+    tables under ``index_path``: ``codebooks/`` (s, c, center) and
+    ``codes/`` (id + ``code_0..code_{m-1}`` — 4 bytes/vector at the
+    defaults, the memory-compressed serving tier).  Serving never
+    touches raw vectors; :func:`pq_adc_topk` refits nothing.
+
+    Same daily-ingest posture as :func:`ivf_index_build`: build on the
+    corpus-refresh cadence, :func:`pq_index_add` assigns deltas against
+    the FROZEN codebooks, :func:`pq_index_query` serves any number of
+    query batches from the codes alone."""
+    import os as _os
+
+    codes, books = pq_train_encode(corpus, id_col, vec_col,
+                                   m=m, ksub=ksub, iters=iters,
+                                   quantize=quantize)
+    spark = corpus.sparkSession
+    rows = [(s, c, list(cent)) for s, book in enumerate(books)
+            for c, cent in enumerate(book)]
+    spark.createDataFrame(rows, "s int, c int, center array<double>") \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(_os.path.join(index_path, "codebooks"))
+    codes.write.mode("overwrite") \
+        .parquet(_os.path.join(index_path, "codes"))
+    return {"m": m, "ksub": ksub,
+            "n_vectors": spark.read.parquet(
+                _os.path.join(index_path, "codes")).count()}
+
+
+def _pq_load_books(spark, index_path: str):
+    import os as _os
+
+    rows = spark.read.parquet(
+        _os.path.join(index_path, "codebooks")).collect()
+    m = max(r["s"] for r in rows) + 1
+    ksub = max(r["c"] for r in rows) + 1
+    books = [[None] * ksub for _ in range(m)]
+    for r in rows:
+        books[r["s"]][r["c"]] = list(r["center"])
+    return books
+
+
+def pq_index_add(delta: DataFrame, index_path: str,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 quantize: int = 6) -> int:
+    """Encode new vectors against the FROZEN codebooks and append their
+    codes — one map-only pass over the delta (the x109 discipline);
+    codebooks drifting from the data degrade ADC accuracy gracefully,
+    rebuild on the refresh cadence.  Returns rows appended."""
+    import os as _os
+
+    from .clustering import _centers_sql
+
+    spark = delta.sparkSession
+    books = _pq_load_books(spark, index_path)
+    m = len(books)
+    dsub = len(books[0][0])
+    base = delta.filter(F.col(vec_col).isNotNull())
+    for s in range(m):
+        sub_sql = (f"slice(cast({vec_col} as array<double>), "
+                   f"{s * dsub + 1}, {dsub})")
+        base = base.withColumn(f"d2s_{s}", F.expr(
+            f"transform({_centers_sql(books[s])}, c -> round("
+            f"aggregate(zip_with({sub_sql}, c, (a, b) -> (a-b)*(a-b)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x), "
+            f"{int(quantize)}))"))
+    out = base.select(
+        F.col(id_col),
+        *[F.expr(f"cast(array_position(d2s_{s}, array_min(d2s_{s})) - 1 "
+                 f"as int)").alias(f"code_{s}") for s in range(m)])
+    out.write.mode("append").parquet(_os.path.join(index_path, "codes"))
+    return out.count()
+
+
+def pq_index_query(queries: DataFrame, index_path: str, k: int = 10,
+                   qid_col: str = "vec_id", qvec_col: str = "embedding",
+                   quantize: int = 6) -> DataFrame:
+    """Serve ADC top-k from a persisted PQ index — no training, no raw
+    corpus: codebooks load driver-side (m·ksub·dsub floats), codes scan
+    from parquet.  Plan-identical to :func:`pq_adc_topk` over the same
+    codes, so a fresh index answers exactly what the train-then-search
+    path answers."""
+    import os as _os
+
+    spark = queries.sparkSession
+    books = _pq_load_books(spark, index_path)
+    codes = spark.read.parquet(_os.path.join(index_path, "codes"))
+    return pq_adc_topk(queries, codes, books, k=k,
+                       qid_col=qid_col, qvec_col=qvec_col,
+                       quantize=quantize)
