@@ -89,7 +89,8 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
                           source_weights: dict | None = None,
                           default_weight: float = 1.0,
                           workdir: str | None = None,
-                          run_id: str = "run") -> tuple[DataFrame, dict]:
+                          run_id: str = "run",
+                          quality_model: tuple | None = None) -> tuple[DataFrame, dict]:
     """Run the full corpus pipeline and write token-balanced shards.
 
     Returns ``(sharded_df, report)`` where ``report`` carries per-stage
@@ -105,21 +106,30 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     re-run skips every stage already committed — ``report`` then
     carries ``resumed_<stage>`` flags.  Without it the pipeline is the
     original single-pass composition (persist/unpersist boundaries).
+
+    ``quality_model`` (optional ``(weights, bias)`` from
+    :func:`operators.classifier.quality_classifier_fit`) replaces the
+    heuristic gate with the LEARNED filter: keep docs whose calibrated
+    score ≥ ``min_quality`` (reinterpreted as the probability
+    threshold) — the CCNet-style curation posture, still one map-only
+    stage.  Docs with zero tokens are dropped (nothing to score on),
+    matching the heuristic's behavior on empty text.
     """
     if workdir is not None:
         return _build_training_corpus_resumable(
             docs, eval_df, out_path, n_shards, id_col, text_col,
             source_col, min_quality, dedup_threshold, contamination_ngram,
-            source_weights, default_weight, workdir, run_id)
+            source_weights, default_weight, workdir, run_id,
+            quality_model)
     from .operators.dedup import benchmark_contamination, near_dup_clusters
     from .operators.packing import write_training_shards
     from .operators.sampling import mix_sources_md5
-    from .operators.text import quality_score, token_count
+    from .operators.text import token_count
 
     report: dict = {"rows_in": docs.count()}
 
-    # 1. quality gate (map-only)
-    q = docs.filter(quality_score(F.col(text_col)) >= min_quality)
+    # 1. quality gate (map-only; learned when a model is supplied)
+    q = _quality_gate(docs, id_col, text_col, min_quality, quality_model)
     q = q.persist()
     report["rows_quality"] = q.count()
 
@@ -168,12 +178,32 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     return sharded, report
 
 
+def _quality_gate(docs: DataFrame, id_col: str, text_col: str,
+                  min_quality: float, quality_model) -> DataFrame:
+    """Heuristic filter by default; with ``quality_model=(w, b)`` the
+    learned classifier's calibrated score gates instead (semi join on
+    the scored ids — scoring reads only (id, text))."""
+    from .operators.text import quality_score
+
+    if quality_model is None:
+        return docs.filter(quality_score(F.col(text_col)) >= min_quality)
+    from .operators.classifier import quality_classifier_score
+
+    w, b = quality_model
+    keep = (quality_classifier_score(docs, list(w), float(b),
+                                     id_col, text_col)
+            .filter(F.col("score") >= float(min_quality))
+            .select(id_col))
+    return docs.join(keep, id_col, "semi")
+
+
 def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
                                      id_col, text_col, source_col,
                                      min_quality, dedup_threshold,
                                      contamination_ngram, source_weights,
                                      default_weight, workdir,
-                                     run_id) -> tuple[DataFrame, dict]:
+                                     run_id,
+                                     quality_model=None) -> tuple[DataFrame, dict]:
     """Checkpointed variant of :func:`build_training_corpus` — same
     stages and report keys, but the quality/dedup/decontamination
     boundaries commit to snapshot tables and resume across runs (see
@@ -183,7 +213,7 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
     from .operators.dedup import benchmark_contamination, near_dup_clusters
     from .operators.packing import write_training_shards
     from .operators.sampling import mix_sources_md5
-    from .operators.text import quality_score, token_count
+    from .operators.text import token_count
 
     store = _StageStore(docs.sparkSession, workdir, run_id)
     report: dict = {}
@@ -191,7 +221,8 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
 
     q, resumed = store.run(
         "quality",
-        lambda: docs.filter(quality_score(F.col(text_col)) >= min_quality))
+        lambda: _quality_gate(docs, id_col, text_col, min_quality,
+                              quality_model))
     report["rows_in"] = docs.count() if not resumed else None
     report["resumed_quality"] = resumed
     report["rows_quality"] = q.count()

@@ -124,3 +124,31 @@ def test_pipeline_resumable_matches_plain(spark, corpus, tmp_path):
     _, r3 = build_training_corpus(docs, eval_df, str(tmp_path / "c3"),
                                   workdir=wd, run_id="cfg2", **kw)
     assert r3["resumed_deduped"] is False
+
+
+def test_pipeline_learned_quality_gate(spark, corpus, tmp_path):
+    """quality_model=(w, b) swaps the heuristic gate for the learned
+    classifier: the funnel's quality stage keeps exactly the docs whose
+    calibrated score clears the threshold."""
+    from datum_spark.operators.classifier import (quality_classifier_fit,
+                                                  quality_classifier_score)
+
+    docs = corpus.filter(F.col("doc_id") >= 20)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+    share = (F.size(F.filter(words, lambda w: w.isin("the", "a")))
+             / F.size(words))
+    seed = (docs.withColumn("sh", share)
+                .filter((F.col("sh") >= 0.09) | (F.col("sh") <= 0.03))
+                .withColumn("y", (F.col("sh") >= 0.09).cast("int")))
+    model = quality_classifier_fit(seed, "doc_id", "text", "y",
+                                   n_buckets=256, steps=12, lr=4.0)
+    _, report = build_training_corpus(
+        docs, None, str(tmp_path / "lq"), n_shards=2,
+        min_quality=0.5, quality_model=model)
+    expect = (quality_classifier_score(docs, model[0], model[1],
+                                       "doc_id", "text")
+              .filter(F.col("score") >= 0.5).count())
+    assert report["rows_quality"] == expect
+    assert 0 < expect < docs.count()
+    assert report["rows"] > 0
