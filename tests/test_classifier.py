@@ -111,3 +111,17 @@ def test_pq_index_add_assign_only(spark, tmp_path):
     q = emb.filter("vec_id = 3")
     top = pq_index_query(q, idx, k=1).collect()
     assert top and top[0]["vec_id"] == 3 and top[0]["rnk"] == 1
+
+
+def test_training_partitioning_invariant(spark, toy):
+    """The rounding-absorption contract the x188 oracle rests on:
+    different physical partitionings change Spark's summation order,
+    but every reduction is quantized — the trajectory must be
+    bit-identical."""
+    a = quality_classifier_fit(toy.repartition(1), "doc_id", "text", "y",
+                               n_buckets=32, steps=4, lr=1.0)
+    b = quality_classifier_fit(toy.repartition(32), "doc_id", "text", "y",
+                               n_buckets=32, steps=4, lr=1.0)
+    c = quality_classifier_fit(toy.coalesce(2), "doc_id", "text", "y",
+                               n_buckets=32, steps=4, lr=1.0)
+    assert a == b == c
