@@ -870,3 +870,41 @@ def test_changes_invariant_random_ops(spark, table):
         _cdc_invariant(table, v, v + 1)
     _cdc_invariant(table, 1, head)
     _cdc_invariant(table, head // 2, head)
+
+
+def test_feed_drives_incremental_dedup(spark, table, tmp_path):
+    """The round-8 composition: a snapshot table ingests document
+    batches, a ChangeFeedCursor hands each delta to
+    incremental_near_dups_md5 against the pre-delta corpus — the lake
+    feeds the x109 daily-ingest dedup with NO full-corpus rescan and
+    no missed/duplicated delta rows."""
+    from datum_spark.operators.dedup import incremental_near_dups_md5
+    from datum_spark.sources.snapshots import ChangeFeedCursor
+    from datum_spark.sources.registry import read_parquet_normalized
+
+    docs = read_parquet_normalized(
+        spark, "/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    table.append(docs.filter("doc_id < 60"))          # initial corpus
+    cur = ChangeFeedCursor(table, str(tmp_path / "c.json"))
+
+    # batch 1: near-dup-seeded fixture rows overlapping the corpus
+    table.append(docs.filter("doc_id >= 60 and doc_id < 90"))
+    batch = cur.poll().filter("_change_type = 'insert'") \
+               .select("doc_id", "text")
+    corpus = table.read(version=1)
+    pairs = incremental_near_dups_md5(batch, corpus, "doc_id", "text",
+                                      threshold=0.5)
+    got = {(r["delta_id"], r["corpus_id"]) for r in pairs.collect()}
+    # every reported pair is delta×corpus, never corpus×corpus
+    assert all(60 <= a < 90 and b < 60 for a, b in got)
+    # ground truth from the batch-mode operator on the union
+    from datum_spark.operators.dedup import minhash_near_dups_md5
+    both = corpus.union(batch)
+    full = {(max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"]))
+            for r in minhash_near_dups_md5(both, "doc_id", "text",
+                                            threshold=0.5).collect()
+            if (r["id_a"] < 60) != (r["id_b"] < 60)}
+    assert got == {(a, b) for a, b in full if a >= 60}
+    # idle poll after consumption: nothing
+    assert cur.poll() is None
