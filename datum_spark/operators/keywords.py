@@ -165,6 +165,11 @@ def ranking_metrics(ranked: DataFrame, relevant: DataFrame,
     corpus.  All arithmetic is closed-form (log2 via ln ratios), so a
     SQL oracle replays it term-for-term (x184).
     """
+    # binary relevance: duplicate (query, doc) pairs would multiply
+    # ranked rows through the left join (dcg/hits > 1 per rank) and
+    # inflate n_rel — dedup once, used by both the join and the count
+    relevant = relevant.select(query_col, doc_col) \
+                       .dropDuplicates([query_col, doc_col])
     r = (ranked.filter(F.col(rank_col) <= k)
          .join(relevant.select(F.col(query_col), F.col(doc_col),
                                F.lit(1).alias("__rel")),

@@ -839,8 +839,18 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks,
                     acc += (a - b) * (a - b)
                 rows.append((q[qid_col], s, ci,
                              _round_half_away(acc, quantize)))
-    tables = spark.createDataFrame(
-        rows, "query_id bigint, __s int, __c int, __d double")
+    # the lookup-table id column inherits the queries' id type (string /
+    # UUID ids work the same as bigint — hardcoding bigint would fail or
+    # miscast them at createDataFrame)
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    tables = spark.createDataFrame(rows, StructType([
+        StructField("query_id", queries.schema[qid_col].dataType),
+        StructField("__s", IntegerType()),
+        StructField("__c", IntegerType()),
+        StructField("__d", DoubleType()),
+    ]))
     id_col = codes.columns[0]
     expl = codes.select(
         id_col,

@@ -119,32 +119,43 @@ _STATS_OK = (int, float, str, bool)
 
 def _file_column_stats(path: str) -> dict:
     """Per-column ``{min, max, nulls, rows}`` from one parquet footer
-    (top-level atomic columns only; date/timestamp normalized to their
-    ``str()`` form, which compares lexicographically)."""
+    (top-level atomic columns only).  DATE columns keep ISO min/max and
+    are tagged ``t: "date"`` — :func:`file_may_match` then only prunes
+    them against literals that are themselves pure ``YYYY-MM-DD`` text
+    (ISO dates order lexicographically = chronologically).  TIMESTAMP
+    columns emit NO min/max (``exact`` stays False): Spark evaluates
+    ``ts <= '2024-06-01'`` by CASTING the literal in the session
+    timezone with sub-second precision, and a lexicographic compare of
+    ``str(datetime)`` against the raw literal wrongly prunes boundary
+    files (e.g. min ``2024-06-01 00:00:00`` > literal ``2024-06-01``
+    as strings) — so pruning never fires on them."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
     agg: dict[str, dict] = {}
 
     def norm(v):
+        """→ (comparable value | None, temporal tag | None)."""
         if isinstance(v, bytes):
             try:
-                return v.decode("utf-8")
+                return v.decode("utf-8"), None
             except UnicodeDecodeError:
-                return None
+                return None, None
         if isinstance(v, _STATS_OK):
-            return v
+            return v, None
         try:                         # datetime.date / datetime / Decimal
             import datetime
             import decimal
 
             if isinstance(v, decimal.Decimal):
-                return float(v)
-            if isinstance(v, (datetime.date, datetime.datetime)):
-                return str(v)
+                return float(v), None
+            if isinstance(v, datetime.datetime):
+                return None, None    # session-tz cast semantics: no prune
+            if isinstance(v, datetime.date):
+                return v.isoformat(), "date"
         except Exception:
             pass
-        return None
+        return None, None
 
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -166,10 +177,12 @@ def _file_column_stats(path: str) -> dict:
             if not st.has_null_count:
                 cur["exact"] = False
             if st.has_min_max:
-                lo, hi = norm(st.min), norm(st.max)
+                (lo, tlo), (hi, thi) = norm(st.min), norm(st.max)
                 if lo is None or hi is None:
                     cur["exact"] = False
                 else:
+                    if tlo or thi:
+                        cur["t"] = tlo or thi
                     cur["min"] = lo if cur["min"] is None \
                         else min(cur["min"], lo)
                     cur["max"] = hi if cur["max"] is None \
@@ -244,6 +257,20 @@ def _comparable(a, b) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
+_DATE_LIT_RE = re.compile(r"\d{4}-\d{2}-\d{2}")
+
+
+def _date_safe(tkind, *lits) -> bool:
+    """On a DATE-typed column, lexicographic pruning is only sound when
+    EVERY literal is pure ``YYYY-MM-DD`` text (Spark casts the literal
+    to date; other spellings — unpadded, with a time part — would
+    compare as raw strings and mis-prune)."""
+    if tkind != "date":
+        return True
+    return all(isinstance(v, str) and _DATE_LIT_RE.fullmatch(v)
+               for v in lits)
+
+
 def file_may_match(stats: dict, terms: list[tuple]) -> bool:
     """Can this file contain a row satisfying ALL ``terms``?  Errs on
     True: pruning (returning False) requires exact footer stats that
@@ -253,6 +280,7 @@ def file_may_match(stats: dict, terms: list[tuple]) -> bool:
         s = stats.get(col)
         if s is None or not s.get("exact", False):
             continue                      # unknown column/stats → keep
+        tkind = s.get("t")
         lo, hi = s.get("min"), s.get("max")
         nulls, rows = s.get("nulls", 0), s.get("rows", 0)
         all_null = rows > 0 and nulls == rows
@@ -268,7 +296,7 @@ def file_may_match(stats: dict, terms: list[tuple]) -> bool:
             return False
         if kind == "cmp":
             op, lit = term[2], term[3]
-            if not _comparable(lo, lit):
+            if not _comparable(lo, lit) or not _date_safe(tkind, lit):
                 continue
             if ((op == "=" and (lit < lo or lit > hi))
                     or (op == "<" and lo >= lit)
@@ -279,11 +307,13 @@ def file_may_match(stats: dict, terms: list[tuple]) -> bool:
                 return False
         elif kind == "between":
             lo2, hi2 = term[2], term[3]
-            if _comparable(lo, lo2) and (hi < lo2 or lo > hi2):
+            if _comparable(lo, lo2) and _date_safe(tkind, lo2, hi2) \
+                    and (hi < lo2 or lo > hi2):
                 return False
         elif kind == "in":
             vals = [v for v in term[2] if _comparable(lo, v)]
             if len(vals) == len(term[2]) \
+                    and _date_safe(tkind, *vals) \
                     and all(v < lo or v > hi for v in vals):
                 return False
     return True
@@ -1091,18 +1121,26 @@ class SnapshotTable:
 
 
 class ChangeFeedCursor:
-    """Exactly-once consumption of a snapshot table's change feed — the
+    """Resumable consumption of a snapshot table's change feed — the
     client half of :meth:`SnapshotTable.changes`, with the offset
     persisted like a streaming checkpoint.
 
     ``poll()`` returns the feed from the last consumed version to the
     current head (or ``None`` when nothing new committed) and advances
-    the cursor; the new offset is persisted to ``checkpoint_path``
-    ATOMICALLY (write-temp + rename) **before** poll returns, so the
-    consumer's contract is at-least-once on the batch it is handed and
-    exactly-once on offsets — the same discipline as a Kafka consumer
-    committing after take.  A consumer that needs commit-after-process
-    can pass ``autocommit=False`` and call :meth:`commit` itself.
+    the cursor.  Delivery guarantee depends on when the offset commits:
+
+    - ``autocommit=True`` (default): the new offset is persisted to
+      ``checkpoint_path`` ATOMICALLY (write-temp + rename) **before**
+      poll returns — offsets never duplicate a batch, but a consumer
+      that crashes between ``poll()`` and finishing its processing
+      permanently skips that batch.  This is **at-most-once** delivery
+      (commit-before-process), suited to monitoring/metrics reads
+      where a missed batch is acceptable.
+    - ``autocommit=False`` + :meth:`commit` after processing:
+      **at-least-once** delivery — a crash before ``commit()`` replays
+      the same range on restart, so downstream processing must be
+      idempotent (e.g. :meth:`SnapshotTable.append_once`).  This is
+      the mode to use when every batch must be applied.
 
     The cursor stores only ``{"version": N}`` — restart-safe across
     processes, no Spark state.  Vacuum interplay: the feed needs BOTH
@@ -1140,9 +1178,10 @@ class ChangeFeedCursor:
 
     def poll(self) -> DataFrame | None:
         """Feed from the committed offset to the head, or None if the
-        head hasn't moved.  Advances (and persists) the offset unless
-        ``autocommit=False``, in which case call :meth:`commit` after
-        processing the returned batch."""
+        head hasn't moved.  With ``autocommit=True`` the offset is
+        persisted BEFORE this returns (at-most-once — see class doc);
+        with ``autocommit=False`` call :meth:`commit` after processing
+        the returned batch (at-least-once)."""
         head = self.table.current_version()
         if head is None or head <= self._version:
             return None

@@ -86,3 +86,22 @@ def test_ranking_metrics_first_hit_rank(spark):
     rel = spark.createDataFrame([(1, 7)], "query_id int, doc_id int")
     row = ranking_metrics(ranked, rel, k=3).collect()[0]
     assert row["mrr"] == round(1 / 3, 4)
+
+
+def test_ranking_metrics_duplicate_relevance_pairs(spark):
+    """Duplicate (query, doc) rows in the relevance table must not
+    inflate dcg/hits (via join fan-out) or n_rel (ADVICE r8)."""
+    from datum_spark.operators.keywords import ranking_metrics
+
+    ranked = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 30, 3)],
+        "query_id int, doc_id int, rnk int")
+    rel = spark.createDataFrame([(1, 10), (1, 30), (1, 99)],
+                                "query_id int, doc_id int")
+    dup = rel.union(rel).union(rel.filter("doc_id = 10"))
+    clean = {r["query_id"]: r.asDict()
+             for r in ranking_metrics(ranked, rel, k=3).collect()}
+    noisy = {r["query_id"]: r.asDict()
+             for r in ranking_metrics(ranked, dup, k=3).collect()}
+    assert noisy == clean
+    assert noisy[1]["n_rel"] == 3

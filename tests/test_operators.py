@@ -1225,3 +1225,27 @@ def test_skew_report_salt_cap_and_uniform(spark):
     r = skew_report(hot, "k").collect()[0]
     assert r["max_n"] == 1000 and r["skew_ratio"] > 64
     assert r["salt_factor"] == 64
+
+
+def test_pq_adc_topk_string_query_ids(spark):
+    """pq_adc_topk must inherit the queries' id type — string/UUID ids
+    rank identically to the same vectors under bigint ids (ADVICE r8:
+    the lookup table hardcoded ``query_id bigint``)."""
+    from datum_spark.operators.similarity import (pq_adc_topk,
+                                                  pq_train_encode)
+
+    rows = []
+    for i in range(40):
+        base = 0.0 if i < 20 else 100.0
+        rows.append((i, [base + (i % 5) * 0.01] * 8))
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    codes, books = pq_train_encode(df, m=2, ksub=4, iters=2)
+    qs_int = df.filter("vec_id IN (0, 25)")
+    qs_str = qs_int.selectExpr("concat('q-', vec_id) AS vec_id",
+                               "embedding")
+    by_int = {(f"q-{r['query_id']}", r["rnk"]): (r["vec_id"], r["adc"])
+              for r in pq_adc_topk(qs_int, codes, books, k=5).collect()}
+    by_str = {(r["query_id"], r["rnk"]): (r["vec_id"], r["adc"])
+              for r in pq_adc_topk(qs_str, codes, books, k=5).collect()}
+    assert by_str == by_int and len(by_str) == 10

@@ -908,3 +908,84 @@ def test_feed_drives_incremental_dedup(spark, table, tmp_path):
     assert got == {(a, b) for a, b in full if a >= 60}
     # idle poll after consumption: nothing
     assert cur.poll() is None
+
+
+# round 9: temporal stats must never mis-prune (ADVICE r8 high)
+
+
+def test_timestamp_where_keeps_midnight_boundary(spark, table):
+    """``ts <= '2024-06-01'`` must KEEP the file whose min is exactly
+    2024-06-01 00:00:00 — Spark casts the literal to a timestamp, but
+    the old lexicographic str-compare pruned it ('... 00:00:00' >
+    '2024-06-01' as strings), silently dropping rows."""
+    import datetime
+
+    table.append(spark.createDataFrame(
+        [(1, datetime.datetime(2024, 6, 1, 0, 0, 0))],
+        "k long, ts timestamp").coalesce(1))
+    table.append(spark.createDataFrame(
+        [(2, datetime.datetime(2024, 7, 1, 12, 0, 0))],
+        "k long, ts timestamp").coalesce(1))
+    got = sorted(r["k"] for r in
+                 table.read(where="ts <= '2024-06-01'").collect())
+    assert got == [1]
+    # '=' on a date-only literal keeps the matching file too
+    assert [r["k"] for r in
+            table.read(where="ts = '2024-06-01'").collect()] == [1]
+    # delete_where routes candidates through the same stats check:
+    # the boundary row must actually be deleted, not silently skipped
+    table.delete_where("ts <= '2024-06-01'")
+    assert [r["k"] for r in table.read().collect()] == [2]
+
+
+def test_date_stats_prune_iso_literals_only(spark, table):
+    """DATE columns still prune — but only against pure YYYY-MM-DD
+    literals (ISO text orders lexicographically = chronologically);
+    any other spelling conservatively skips pruning on that term."""
+    import datetime
+
+    from datum_spark.sources.snapshots import (file_may_match,
+                                               parse_prunable_condition)
+
+    table.append(spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 15))], "k long, d date").coalesce(1))
+    table.append(spark.createDataFrame(
+        [(2, datetime.date(2024, 6, 15))], "k long, d date").coalesce(1))
+    all_files = table._load_manifest(table.current_version())["files"]
+    pruned = table.read(where="d >= '2024-06-01'")
+    scanned = {f.replace("file://", "").replace("file:", "")
+               for f in pruned.inputFiles()}
+    assert scanned < set(all_files)          # ISO literal DOES prune
+    assert [r["k"] for r in pruned.collect()] == [2]
+
+    # unit level: non-ISO spellings never prune a date-tagged column
+    stats = {"d": {"min": "2024-01-15", "max": "2024-01-15",
+                   "nulls": 0, "rows": 1, "exact": True, "t": "date"}}
+    assert not file_may_match(
+        stats, parse_prunable_condition("d >= '2024-06-01'"))
+    for cond in ("d >= '2024-6-1'",            # unpadded
+                 "d = '2024-06-01 00:00:00'",  # time component
+                 "d BETWEEN '2024-6-1' AND '2024-7-1'",
+                 "d IN ('2024-6-1')"):
+        assert file_may_match(stats, parse_prunable_condition(cond)), cond
+    # the same strings on an UNtagged (plain string) column still prune
+    plain = {"d": {"min": "2024-01-15", "max": "2024-01-15",
+                   "nulls": 0, "rows": 1, "exact": True}}
+    assert not file_may_match(
+        plain, parse_prunable_condition("d >= '2024-6-1'"))
+
+
+def test_timestamp_stats_emit_no_minmax(spark, table):
+    """Footer stats for timestamp columns must come back inexact — the
+    pruning layer cannot reason about session-timezone casts."""
+    import datetime
+
+    from datum_spark.sources.snapshots import _file_column_stats
+
+    table.append(spark.createDataFrame(
+        [(1, datetime.datetime(2024, 6, 1))], "k long, ts timestamp")
+        .coalesce(1))
+    f = table._load_manifest(table.current_version())["files"][0]
+    st = _file_column_stats(f)
+    assert st["ts"]["exact"] is False
+    assert st["k"]["exact"] is True and st["k"]["min"] == 1
