@@ -1048,3 +1048,187 @@ def x188(spark, sf):
                        F.sum(F.col("pred").cast("long")).alias("n_pred"),
                        F.round(F.avg("score"), 6).alias("mean_p"))
                   .orderBy("band"))
+
+
+def _ivfpq_oracle_sql(ncells: int = 8, nprobe: int = 2, m: int = 4,
+                      ksub: int = 8, coarse_iters: int = 2,
+                      pq_iters: int = 2, dim: int = 64,
+                      n_queries: int = 12, k: int = 10) -> str:
+    """DuckDB replay of ivfpq_train_encode + ivfpq_adc_topk + the
+    exact-top-k recall audit: the coarse Lloyd chain (x108 shape on
+    full vectors), rounded residuals, per-subspace residual Lloyd
+    chains (x186 shape), cell-pruned ADC over the query residual of
+    each probed cell, ranked search, recall vs exact."""
+    dsub = dim // m
+    d2full = ("ROUND(list_sum(list_transform(list_zip(v.e, c.c), "
+              "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)")
+    parts = ["""v AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+)""", f"""cc0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         e AS c
+  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {ncells})
+)"""]
+    for t in range(1, coarse_iters + 1):
+        parts.append(f"""ca{t} AS MATERIALIZED (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2full}, c.cid) AS rn
+    FROM v CROSS JOIN cc{t-1} c) WHERE rn = 1
+)""")
+        parts.append(f"""cc{t} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM cc{t-1} p LEFT JOIN (
+    SELECT cid, list(mm ORDER BY i) AS c FROM (
+      SELECT cid, i, ROUND(avg(e[i]), 6) AS mm
+      FROM ca{t}, generate_series(1, {dim}) AS t(i)
+      GROUP BY cid, i)
+    GROUP BY cid) n ON p.cid = n.cid
+)""")
+    parts.append(f"""acell AS MATERIALIZED (
+  SELECT vec_id, cell,
+         list_transform(list_zip(e, c), x -> ROUND(x[1] - x[2], 6)) AS r
+  FROM (
+    SELECT v.vec_id, v.e, c.cid AS cell, c.c,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2full}, c.cid) AS rn
+    FROM v CROSS JOIN cc{coarse_iters} c) WHERE rn = 1
+)""")
+    d2 = ("ROUND(list_sum(list_transform(list_zip(v.e, c.c), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)")
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""v{s} AS MATERIALIZED (
+  SELECT vec_id, list_slice(r, {lo}, {hi})::DOUBLE[] AS e FROM acell
+)""")
+        parts.append(f"""c{s}_0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         e AS c
+  FROM (SELECT vec_id, e FROM v{s} ORDER BY vec_id LIMIT {ksub})
+)""")
+        for t in range(1, pq_iters + 1):
+            parts.append(f"""a{s}_{t} AS MATERIALIZED (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v{s} v CROSS JOIN c{s}_{t-1} c) WHERE rn = 1
+)""")
+            parts.append(f"""c{s}_{t} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM c{s}_{t-1} p LEFT JOIN (
+    SELECT cid, list(mm ORDER BY i) AS c FROM (
+      SELECT cid, i, ROUND(avg(e[i]), 6) AS mm
+      FROM a{s}_{t}, generate_series(1, {dsub}) AS t(i)
+      GROUP BY cid, i)
+    GROUP BY cid) n ON p.cid = n.cid
+)""")
+        parts.append(f"""code{s} AS MATERIALIZED (
+  SELECT vec_id, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v{s} v CROSS JOIN c{s}_{pq_iters} c) WHERE rn = 1
+)""")
+    codes_union = "\n  UNION ALL\n  ".join(
+        f"SELECT c.vec_id, a.cell, {s} AS s, c.code "
+        f"FROM code{s} c JOIN acell a USING (vec_id)" for s in range(m))
+    parts.append(f"""codesl AS MATERIALIZED (
+  {codes_union}
+)""")
+    parts.append(f"""q AS (
+  SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {n_queries}
+)""")
+    parts.append(f"""qprobe AS MATERIALIZED (
+  SELECT qid, cell,
+         list_transform(list_zip(qe, c), x -> ROUND(x[1] - x[2], 6)) AS r
+  FROM (
+    SELECT q.qid, q.qe, c.cid AS cell, c.c,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             ROUND(list_sum(list_transform(list_zip(q.qe, c.c),
+               x -> (x[1]-x[2])*(x[1]-x[2]))), 6), c.cid) AS rn
+    FROM q CROSS JOIN cc{coarse_iters} c) WHERE rn <= {nprobe}
+)""")
+    tabs_union = "\n  UNION ALL\n  ".join(
+        f"""SELECT p.qid, p.cell, {s} AS s, c.cid AS code,
+         ROUND(list_sum(list_transform(
+           list_zip(list_slice(p.r, {s*dsub+1}, {(s+1)*dsub})::DOUBLE[],
+                    c.c),
+           x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS d
+  FROM qprobe p CROSS JOIN c{s}_{pq_iters} c""" for s in range(m))
+    parts.append(f"""tabs AS MATERIALIZED (
+  {tabs_union}
+)""")
+    parts.append(f"""adcr AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT t.qid, cl.vec_id, ROUND(SUM(t.d), 6) AS adc,
+           row_number() OVER (PARTITION BY t.qid
+                              ORDER BY ROUND(SUM(t.d), 6), cl.vec_id)
+             AS rn
+    FROM codesl cl JOIN tabs t
+      ON cl.cell = t.cell AND cl.s = t.s AND cl.code = t.code
+    GROUP BY t.qid, cl.vec_id) WHERE rn <= {k}
+)""")
+    parts.append(f"""exr AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             ROUND(list_sum(list_transform(list_zip(q.qe, v.e),
+               x -> (x[1]-x[2])*(x[1]-x[2]))), 6), v.vec_id) AS rn
+    FROM q CROSS JOIN v) WHERE rn <= {k}
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT a.qid AS query_id,
+       CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       ROUND(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {k}.0, 2) AS recall
+FROM adcr a LEFT JOIN exr e ON a.qid = e.qid AND a.vec_id = e.vec_id
+GROUP BY a.qid ORDER BY query_id""")
+
+
+@x("x189_ivfpq_recall", _ivfpq_oracle_sql())
+def x189(spark, sf):
+    """IVF-PQ (IVFADC) ANN, end to end and value-checked: coarse-
+    quantize the corpus into 8 cells (deterministic-trajectory Lloyd),
+    product-quantize the ROUNDED RESIDUALS to 4×8 sub-codebooks, serve
+    12 queries by asymmetric distance over the codes of their 2 nearest
+    cells only, and grade recall@10 against the exact full-vector
+    ranking — the billion-scale composition the IVF-Flat (x27) and
+    PQ-alone (x186) tiers were each half of.  The oracle replays both
+    quantizer trainings, the residuals, the cell-pruned ADC tables and
+    both rankings value-for-value."""
+    from ..operators.similarity import ivfpq_adc_topk, ivfpq_train_encode
+
+    emb = load_emb(spark, sf)
+    codes, coarse, books = ivfpq_train_encode(
+        emb, ncells=8, m=4, ksub=8, coarse_iters=2, pq_iters=2)
+    qs = emb.filter(F.col("vec_id") < 12)
+    adc = ivfpq_adc_topk(qs, codes, coarse, books, k=10, nprobe=2)
+
+    qv = qs.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").cast("array<double>").alias("qe"))
+    corpus = (emb.filter(F.col("embedding").isNotNull())
+              .select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                       .alias("e")))
+    d2 = F.round(F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy("qid").orderBy(d2.asc(), F.col("vec_id").asc())
+    exact = (qv.crossJoin(F.broadcast(corpus))
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 10)
+               .select(F.col("qid"), F.col("vec_id")))
+    hits = (adc.join(exact,
+                     (adc["query_id"] == exact["qid"])
+                     & (adc[codes.columns[0]] == exact["vec_id"]),
+                     "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.when(F.col("qid").isNotNull(), 1)
+                        .otherwise(0)).alias("hits")))
+    return (hits.select("query_id", "hits",
+                        F.round(F.col("hits") / 10.0, 2).alias("recall"))
+                .orderBy("query_id"))

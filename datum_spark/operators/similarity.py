@@ -962,3 +962,275 @@ def pq_index_query(queries: DataFrame, index_path: str, k: int = 10,
     return pq_adc_topk(queries, codes, books, k=k,
                        qid_col=qid_col, qvec_col=qvec_col,
                        quantize=quantize)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: cell-pruned asymmetric distance over PQ codes — the billion-scale
+# composition of the coarse quantizer (ivf_index_*) with the code-compressed
+# scan (pq_*).  IVF-Flat ships full vectors per cell; PQ alone scans every
+# code; IVFADC (Jégou, Douze, Schmid 2011, §IV) prunes to nprobe cells AND
+# scans 4-byte codes — the standard serving layout at 10⁹+ vectors.
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_cells(v: DataFrame, coarse, quantize: int) -> DataFrame:
+    """``(__id, __e)`` → ``(__id, __cell, __r)``: nearest coarse cell
+    (rounded d², lowest-cid tie-break — the x108 discipline) and the
+    per-dim ROUNDED residual the PQ stage trains/encodes on.  Pure
+    Catalyst over broadcast center literals — no UDF, no shuffle."""
+    from .clustering import _ARGMIN_SQL, _centers_sql, _d2s_sql
+
+    cs = _centers_sql(coarse)
+    return (v.withColumn("__d2s", _d2s_sql(coarse, quantize))
+             .withColumn("__cell", F.expr(_ARGMIN_SQL))
+             .select("__id", "__cell", F.expr(
+                 f"transform(zip_with(__e, element_at({cs}, __cell + 1), "
+                 f"(a, b) -> a - b), x -> round(x, {int(quantize)}))")
+                 .alias("__r")))
+
+
+def _ivfpq_code_cols(frame: DataFrame, books, quantize: int,
+                     vec_sql: str = "__r") -> DataFrame:
+    """Append ``code_0..code_{m-1}`` argmin columns over the residual —
+    the same one-projection encoding as :func:`pq_train_encode`, kept
+    here so the delta path (:func:`ivfpq_index_add`) and the build path
+    encode through identical expressions."""
+    from .clustering import _centers_sql
+
+    m = len(books)
+    dsub = len(books[0][0])
+    for s in range(m):
+        sub_sql = f"slice({vec_sql}, {s * dsub + 1}, {dsub})"
+        frame = frame.withColumn(f"__pd2s_{s}", F.expr(
+            f"transform({_centers_sql(books[s])}, c -> round("
+            f"aggregate(zip_with({sub_sql}, c, (a, b) -> (a-b)*(a-b)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x), "
+            f"{int(quantize)}))"))
+    return frame.select(
+        *[c for c in frame.columns if not c.startswith("__pd2s_")],
+        *[F.expr(f"cast(array_position(__pd2s_{s}, array_min(__pd2s_{s}))"
+                 f" - 1 as int)").alias(f"code_{s}") for s in range(m)])
+
+
+def ivfpq_train_encode(df: DataFrame, id_col: str = "vec_id",
+                       vec_col: str = "embedding", ncells: int = 8,
+                       m: int = 4, ksub: int = 8, coarse_iters: int = 2,
+                       pq_iters: int = 2, quantize: int = 6):
+    """Train the two quantizer tiers and encode the corpus:
+
+    1. coarse k-means (``ncells`` cells) on the FULL vectors via the
+       deterministic-trajectory Lloyd fit (first-k init, 1e-``quantize``
+       rounding, cid tie-breaks — x108);
+    2. per-vector residual ``round(vec - cell_center, quantize)``;
+    3. product quantization of the RESIDUALS (:func:`pq_train_encode`'s
+       fused per-subspace Lloyd — x186) — residual PQ spends the code
+       budget on the within-cell geometry the coarse tier can't see,
+       the choice that makes IVFADC beat PQ-alone at equal bits.
+
+    Returns ``(codes, coarse_centers, codebooks)`` with ``codes`` =
+    ``(id_col, cell, code_0..code_{m-1})``.  Every step is rounded at
+    the same reduction points as the DuckDB oracle (x189), so the whole
+    trajectory — centers, cells, residuals, codebooks, codes — replays
+    value-for-value in a second engine.
+
+    Scale: training shuffles only k×dim Lloyd partials (never vectors);
+    assignment/encoding are one map-only projection over broadcast
+    center literals; the driver holds ncells×dim + m×ksub×dsub floats.
+    """
+    from .clustering import _verifiable_fit
+
+    v, coarse, _ = _verifiable_fit(df, id_col, vec_col, ncells,
+                                   coarse_iters, quantize)
+    resid = _ivfpq_cells(v, coarse, quantize)
+    # train the sub-codebooks on the residuals; the codes frame it
+    # returns is lazy and unused — encoding below keeps the cell column
+    _, books = pq_train_encode(resid, id_col="__id", vec_col="__r",
+                               m=m, ksub=ksub, iters=pq_iters,
+                               quantize=quantize)
+    codes = (_ivfpq_code_cols(resid, books, quantize)
+             .select(F.col("__id").alias(id_col),
+                     F.col("__cell").alias("cell"),
+                     *[f"code_{s}" for s in range(m)]))
+    return codes, coarse, books
+
+
+def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
+                   k: int = 10, nprobe: int = 2,
+                   qid_col: str = "vec_id", qvec_col: str = "embedding",
+                   quantize: int = 6) -> DataFrame:
+    """Cell-pruned ADC top-k: each query ranks the coarse cells by
+    rounded d² (ties by cell id), probes the ``nprobe`` nearest, and
+    scores ONLY vectors assigned to those cells — by summing
+    per-subspace lookup-table entries computed against the QUERY
+    RESIDUAL of each probed cell (IVFADC: the table depends on the
+    (query, cell) pair because the residual does).
+
+    The query batch collects to the driver (it is small by definition);
+    the |Q|·nprobe·m·ksub table rows broadcast into one equi-join
+    against the codes, pre-filtered to the probed cells — on a
+    cell-partitioned persistent index (:func:`ivfpq_index_build`) that
+    filter is partition pruning, so serve IO rides on nprobe/ncells of
+    the corpus, not its size.  Returns ``(query_id, <codes id col>,
+    adc, rnk)``, rounded (half-away, SQL semantics) so ranks replay
+    across engines."""
+    from pyspark.sql.types import (DoubleType, IntegerType, StructField,
+                                   StructType)
+
+    spark = codes.sparkSession
+    m = len(books)
+    dsub = len(books[0][0])
+    rows = []
+    probed: set[int] = set()
+    for q in queries.select(qid_col, qvec_col).collect():
+        vec = [float(x) for x in q[qvec_col]]
+        ranked = sorted(
+            (_round_half_away(
+                sum((a - b) * (a - b) for a, b in zip(vec, cent)),
+                quantize), ci)
+            for ci, cent in enumerate(coarse))
+        for _, cell in ranked[:max(1, nprobe)]:
+            probed.add(cell)
+            res = [_round_half_away(a - b, quantize)
+                   for a, b in zip(vec, coarse[cell])]
+            for s in range(m):
+                sub = res[s * dsub:(s + 1) * dsub]
+                for ci, cent in enumerate(books[s]):
+                    acc = 0.0
+                    for a, b in zip(sub, cent):
+                        acc += (a - b) * (a - b)
+                    rows.append((q[qid_col], cell, s, ci,
+                                 _round_half_away(acc, quantize)))
+    tables = spark.createDataFrame(rows, StructType([
+        StructField("query_id", queries.schema[qid_col].dataType),
+        StructField("__cell", IntegerType()),
+        StructField("__ts", IntegerType()),
+        StructField("__tc", IntegerType()),
+        StructField("__d", DoubleType()),
+    ]))
+    id_col = codes.columns[0]
+    # probed-cell pre-filter: pushes to the parquet scan (partition
+    # pruning on a cell-partitioned index) — the join would drop the
+    # rows anyway, but only AFTER reading them
+    pruned = codes.filter(F.col("cell").isin(*sorted(probed)))
+    expl = pruned.select(
+        id_col, "cell",
+        F.posexplode(F.array(*[F.col(f"code_{s}") for s in range(m)]))
+         .alias("__s", "__c"))
+    scored = (expl.join(F.broadcast(tables),
+                        (F.col("cell") == F.col("__cell"))
+                        & (F.col("__s") == F.col("__ts"))
+                        & (F.col("__c") == F.col("__tc")))
+              .groupBy("query_id", id_col)
+              .agg(F.round(F.sum("__d"), quantize).alias("adc")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(),
+                                               F.col(id_col).asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF-PQ index (build-once / serve-many)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_index_build(corpus: DataFrame, index_path: str,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding", ncells: int = 8,
+                      m: int = 4, ksub: int = 8, coarse_iters: int = 2,
+                      pq_iters: int = 2, quantize: int = 6) -> dict:
+    """Train both tiers ONCE and persist the index under ``index_path``
+    as three parquet tables: ``coarse/`` (cell, center), ``codebooks/``
+    (s, c, center), and ``codes/`` (id + code_0..code_{m-1}),
+    PARTITIONED BY cell — so :func:`ivfpq_index_query`'s probed-cell
+    filter is directory-level partition pruning and serve IO is
+    ~nprobe/ncells of the code volume regardless of corpus size.
+
+    Same daily-ingest posture as ``ivf_index_*`` / ``pq_index_*``:
+    rebuild on the corpus-refresh cadence, :func:`ivfpq_index_add`
+    assigns+encodes deltas against the FROZEN quantizers,
+    :func:`ivfpq_index_query` serves refit-free."""
+    import os as _os
+
+    spark = corpus.sparkSession
+    codes, coarse, books = ivfpq_train_encode(
+        corpus, id_col, vec_col, ncells=ncells, m=m, ksub=ksub,
+        coarse_iters=coarse_iters, pq_iters=pq_iters, quantize=quantize)
+    spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
+        "cell int, center array<double>").coalesce(1) \
+        .write.mode("overwrite").parquet(_os.path.join(index_path,
+                                                       "coarse"))
+    spark.createDataFrame(
+        [(s, c, list(cent)) for s, book in enumerate(books)
+         for c, cent in enumerate(book)],
+        "s int, c int, center array<double>").coalesce(1) \
+        .write.mode("overwrite").parquet(_os.path.join(index_path,
+                                                       "codebooks"))
+    codes.write.mode("overwrite").partitionBy("cell") \
+        .parquet(_os.path.join(index_path, "codes"))
+    n = spark.read.parquet(_os.path.join(index_path, "codes")).count()
+    return {"n_vectors": int(n), "ncells": ncells, "m": m, "ksub": ksub}
+
+
+def _ivfpq_load(spark, index_path: str):
+    import os as _os
+
+    crows = (spark.read.parquet(_os.path.join(index_path, "coarse"))
+             .orderBy("cell").collect())
+    coarse = [list(r["center"]) for r in crows]
+    books = _pq_load_books(spark, index_path)
+    return coarse, books
+
+
+def ivfpq_index_add(delta: DataFrame, index_path: str,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    quantize: int = 6) -> int:
+    """Assign + encode new vectors against the FROZEN quantizers and
+    append their codes — one map-only pass over the delta (the x109
+    discipline), partition-appended per cell; the existing codes are
+    never read.  Quantizer drift degrades recall gracefully; rebuild on
+    the refresh cadence.  Returns rows appended."""
+    import os as _os
+
+    spark = delta.sparkSession
+    coarse, books = _ivfpq_load(spark, index_path)
+    m = len(books)
+    v = (delta.select(F.col(id_col).alias("__id"),
+                      F.col(vec_col).cast("array<double>").alias("__e"))
+              .filter(F.col("__e").isNotNull()))
+    out = (_ivfpq_code_cols(_ivfpq_cells(v, coarse, quantize), books,
+                            quantize)
+           .select(F.col("__id").alias(id_col),
+                   F.col("__cell").alias("cell"),
+                   *[f"code_{s}" for s in range(m)]))
+    n = out.count()
+    out.write.mode("append").partitionBy("cell") \
+       .parquet(_os.path.join(index_path, "codes"))
+    return int(n)
+
+
+def ivfpq_index_query(queries: DataFrame, index_path: str, k: int = 10,
+                      nprobe: int = 2, qid_col: str = "vec_id",
+                      qvec_col: str = "embedding",
+                      quantize: int = 6) -> DataFrame:
+    """Serve cell-pruned ADC top-k from a persisted index — no
+    training, no raw corpus: both quantizers load driver-side (ncells×d
+    + m×ksub×dsub floats), codes scan from the cell-partitioned parquet
+    with the probed-cell filter pruning directories.  Plan-identical to
+    :func:`ivfpq_adc_topk` over the same codes, so a fresh index
+    answers exactly what the train-then-search path answers."""
+    import os as _os
+
+    spark = queries.sparkSession
+    coarse, books = _ivfpq_load(spark, index_path)
+    codes = spark.read.parquet(_os.path.join(index_path, "codes"))
+    m = len(books)
+    # partitioned reads append the partition column last; put the id
+    # first so ivfpq_adc_topk's columns[0] convention holds
+    id_col = [c for c in codes.columns
+              if c != "cell" and not c.startswith("code_")][0]
+    codes = codes.select(id_col, "cell", *[f"code_{s}" for s in range(m)])
+    return ivfpq_adc_topk(queries, codes, coarse, books, k=k,
+                          nprobe=nprobe, qid_col=qid_col,
+                          qvec_col=qvec_col, quantize=quantize)

@@ -1249,3 +1249,102 @@ def test_pq_adc_topk_string_query_ids(spark):
     by_str = {(r["query_id"], r["rnk"]): (r["vec_id"], r["adc"])
               for r in pq_adc_topk(qs_str, codes, books, k=5).collect()}
     assert by_str == by_int and len(by_str) == 10
+
+
+def test_ivfpq_train_search_self_retrieval(spark):
+    """Well-separated blobs: every query's top-1 via cell-pruned ADC is
+    itself, and all retrieved neighbors come from the query's blob."""
+    from datum_spark.operators.similarity import (ivfpq_adc_topk,
+                                                  ivfpq_train_encode)
+
+    rows = []
+    for i in range(60):
+        base = float(200 * (i % 3))              # 3 blobs at 0/200/400
+        rows.append((i, [base + (i % 7) * 0.01] * 8))
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    codes, coarse, books = ivfpq_train_encode(
+        df, ncells=3, m=2, ksub=4, coarse_iters=2, pq_iters=2)
+    got = codes.collect()
+    assert len(got) == 60
+    # vectors of one blob share a cell
+    by_blob = {}
+    for r in got:
+        by_blob.setdefault(r["vec_id"] % 3, set()).add(r["cell"])
+    assert all(len(cells) == 1 for cells in by_blob.values())
+    qs = df.filter("vec_id IN (0, 1, 50)")
+    out = ivfpq_adc_topk(qs, codes, coarse, books, k=5, nprobe=1)
+    top = {(r["query_id"], r["rnk"]): r["vec_id"] for r in out.collect()}
+    assert len(top) == 15
+    for (qid, rnk), vid in top.items():
+        assert vid % 3 == qid % 3             # same blob only
+        # ADC is code-level, so equal-code candidates tie (broken by
+        # id asc): strict self-retrieval holds for the lowest id of a
+        # blob, membership for the rest
+        if rnk == 1 and qid in (0, 1):
+            assert vid == qid
+
+
+def test_ivfpq_index_roundtrip_and_add(spark, tmp_path):
+    """Persistent index: serve == inline train-then-search
+    bit-identically; a delta added against the FROZEN quantizers is
+    retrievable without touching the prior codes."""
+    from datum_spark.operators.similarity import (ivfpq_adc_topk,
+                                                  ivfpq_index_add,
+                                                  ivfpq_index_build,
+                                                  ivfpq_index_query,
+                                                  ivfpq_train_encode)
+
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01] * 8)
+            for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "ivfpq")
+    info = ivfpq_index_build(df, idx, ncells=3, m=2, ksub=4)
+    assert info["n_vectors"] == 60
+    qs = df.filter("vec_id IN (0, 1, 50)")
+    codes, coarse, books = ivfpq_train_encode(
+        df, ncells=3, m=2, ksub=4, coarse_iters=2, pq_iters=2)
+    inline = {(r["query_id"], r["rnk"]): (r["vec_id"], r["adc"])
+              for r in ivfpq_adc_topk(qs, codes, coarse, books,
+                                      k=5, nprobe=2).collect()}
+    served = {(r["query_id"], r["rnk"]): (r["vec_id"], r["adc"])
+              for r in ivfpq_index_query(qs, idx, k=5,
+                                         nprobe=2).collect()}
+    assert served == inline
+    # delta: near-copies of vector 0's blob, ids 1000+
+    delta = spark.createDataFrame(
+        [(1000 + j, [0.005 + j * 0.001] * 8) for j in range(3)],
+        "vec_id bigint, embedding array<double>")
+    assert ivfpq_index_add(delta, idx) == 3
+    # k covers the probed cell (20 blob members + 3 delta): the delta
+    # must land in the query's cell and serve — equal-code ties make
+    # top-few membership order-dependent, cell membership is not
+    after = ivfpq_index_query(df.filter("vec_id = 0"), idx,
+                              k=23, nprobe=1).collect()
+    found = {r["vec_id"] for r in after}
+    assert {1000, 1001, 1002} <= found
+    assert all(v % 3 == 0 or v >= 1000 for v in found)
+
+
+def test_ivfpq_query_partition_prunes(spark, tmp_path):
+    """The probed-cell filter must reach the parquet source as
+    PARTITION pruning — serve IO is nprobe/ncells of the code volume,
+    which is the whole point of the composition."""
+    from datum_spark.operators.similarity import (ivfpq_index_build,
+                                                  ivfpq_index_query)
+    from datum_spark.plans.inspect import explain_str
+
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01] * 8)
+            for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    idx = str(tmp_path / "ivfpq")
+    ivfpq_index_build(df, idx, ncells=3, m=2, ksub=4)
+    out = ivfpq_index_query(df.filter("vec_id = 0"), idx, k=3, nprobe=1)
+    plan = explain_str(out)
+    # with nprobe=1 of 3 cells the isin([one cell]) compiles to an
+    # equality partition filter — exactly one cell directory scanned
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*\(cell#\d+ = \d+\)", plan)
+    assert m, plan
