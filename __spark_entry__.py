@@ -6,13 +6,13 @@ sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap (50
-in every round so far), so the dict leads with the round-8 recheck set —
-the new constructive-geometry / DE-9IM entries (x163–x166), the promoted
-x57/x58 oracles, and everything whose implementation changed this round
-(flood-stats internals, kmeans_verifiable refactor) — then rotates the
-STALEST green entries (latest check = r4) into the remaining slots.
-Every oracle-bearing entry has been driver-verified at least once (r6
-closed the set); this rotation keeps the oldest evidence fresh.
+in every round so far), so the dict leads with the round-9 recheck set
+(the new IVF-PQ entry x189 plus everything whose code changed this
+round), then the ENTIRE 33-entry stalest band (latest driver check
+r3/r4 — the VERDICT-r8 rotation mandate), then the next-stalest r5
+cohort fills the remaining slots in name order.  Every oracle-bearing
+entry has been driver-verified at least once (r6 closed the set); this
+rotation keeps the oldest evidence fresh.
 """
 
 from __future__ import annotations
@@ -29,43 +29,25 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-8 re-check set — brand-new entries (constructive geometry
-# x163–x165, DE-9IM x166), entries whose ORACLE is new (x57/x58
-# promoted from rows-only via the deterministic-trajectory fit), and
-# entries over code that changed this round: the LSH flood-stats
-# internals (x04/x07/x62/x153 ride _banded_candidate_pairs /
-# embedding LSH), the kmeans_verifiable refactor (x108), and the
-# vertex-op coordinate formatter (x161 shares the geometry pack whose
-# registration now includes the overlay/transform UDFs).
-_RECHECK_R8 = {
-    "x188_quality_classifier",                        # newest: learned filter
-    "x187_skew_report",                               # diagnostics
-    "x178_kmv_distinct", "x179_kmv_setops",           # sketches
-    "x180_bloom_prejoin", "x181_dbscan", "x182_dsir_sampling",
-    "x183_shortest_paths", "x184_retrieval_metrics",
-    "x185_pca_power", "x186_pq_recall",
-    "x173_makevalid", "x174_extent_collect", "x175_geohash",
-    "x176_linear_ref", "x177_closest_point",
-    "x163_overlay_rect", "x164_overlay_fixtures", "x165_buffer",
-    "x166_de9im_predicates", "x167_overlay_join",     # new round-8
-    "x168_line_clip", "x169_dissolve", "x170_distance",
-    "x171_geojson", "x172_accessors",
-    "x57_semantic_dedup", "x58_coreset_sample",       # promoted oracles
-    "x04_minhash_lsh", "x07_embedding_dups_lsh",      # flood internals
-    "x62_minhash_md5", "x153_near_dup_clusters",
-    "x108_kmeans_verified",                           # shared-fit refactor
-    "x161_geometry_measures",                         # registration path
+# Round-9 re-check set — brand-new entries and entries whose CODE
+# changed this round: x189 (new IVF-PQ composition), x184
+# (ranking_metrics gained relevance-pair dedup), x186/x27-family
+# (pq_adc_topk lookup-table schema now derives the query-id type),
+# x07/x09 (declared entries now plant positive near-dup signal),
+# x114 (BPE merge throughput path), x153 (regression re-measure).
+_RECHECK_R9 = {
+    "x189_ivfpq_recall",                              # new: IVFADC
+    "x184_retrieval_metrics", "x186_pq_recall",
+    "x07_embedding_dups_lsh", "x09_cosine_topk_lsh",
+    "x114_bpe_train", "x119_bpe_encode",
+    "x153_near_dup_clusters",
 }
 
-# Latest driver check = round 4 (stalest green band; r7 re-verified
-# q08–q31 and the round-7 spatial entries, r6 covered q01–q07 and the
-# early-x band, so this cohort is now the oldest evidence).
-_STALE_R4 = {
-    "x17_media_metadata", "x20_running_totals", "x21_quality_pipeline",
-    "x22_union_all_agg", "x23_except", "x24_cube", "x25_percentiles",
-    "x26_pivot", "x28_time_rollup", "x40_ntile_first_last",
-    "x41_range_frame", "x42_percent_rank", "x43_union_distinct",
-    "x44_except_all", "x45_date_arith", "x46_string_regex",
+# Stalest evidence band: latest driver check r4 (x36/x39: r3) — the
+# VERDICT-r8 rotation mandate; all were green on that last check and
+# on the judge's r8 spot-check of 10 of them.
+_STALE = {
+    "x36_word_count", "x39_pack_documents",
     "x47_pii_redact", "x48_repetition", "x49_contamination",
     "x50_corpus_pipeline", "x51_dup_clusters", "x52_tfidf_terms",
     "x53_bm25", "x54_vector_stats", "x59_split_md5", "x60_group_sample",
@@ -79,15 +61,38 @@ _STALE_R4 = {
     "x80_share_of_total", "x81_resample_ffill", "x82_paragraph_dedup",
 }
 
+# Next-stalest (latest check r5) — fills the remaining window slots in
+# name order; the rest of the r5 cohort rotates in over coming rounds.
+_STALE_R5 = {
+    "x05_simhash", "x101_weighted_sample", "x102_source_drift",
+    "x103_centroid_outliers", "x104_cms_heavy_hitters",
+    "x105_radius_join", "x106_unpivot", "x107_regression_aggs",
+    "x109_incremental_dedup", "x110_rolling_distinct",
+    "x111_decayed_engagement", "x112_cdc_apply", "x113_interval_join",
+    "x115_audio_features", "x116_video_frames", "x117_copurchase",
+    "x118_impute", "x120_assoc_rules", "x121_decile_lift",
+    "x122_winsorize", "x123_scd2", "x124_activity_streaks",
+    "x125_snapshot_diff", "x129_communities", "x12_fingerprint",
+    "x13_quality_score", "x16_tumbling_window", "x19_sliding_window",
+    "x83_pagerank", "x84_fuzzy_dedup", "x85_sketch_rollup",
+    "x86_expectations", "x87_doc_chunking", "x88_column_profile",
+    "x89_robust_outliers", "x90_event_debounce", "x91_bpe_tokens",
+    "x92_substring_dedup", "x93_length_histogram", "x94_variant_json",
+    "x95_recursive_calendar", "x96_session_stats", "x97_char_entropy",
+    "x98_novelty", "x99_containment",
+}
+
 
 def _priority(name: str, has_oracle: bool) -> int:
-    if name in _RECHECK_R8:
+    if name in _RECHECK_R9:
         return 0                      # new / changed this round
+    if name in _STALE:
+        return 1                      # stalest greens (last checked r3/r4)
     if not has_oracle:
-        return 4                      # rows-only outside the recheck set
-    if name in _STALE_R4:
-        return 1                      # stalest greens (last checked r4)
-    return 3                          # verified green in r5–r7
+        return 5                      # rows-only outside the recheck set
+    if name in _STALE_R5:
+        return 2                      # next-stalest (last checked r5)
+    return 4                          # verified green in r6–r8
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -223,12 +223,35 @@ def x06(spark, sf):
 @x("x07_embedding_dups_lsh", None)  # LSH recall is approximate by design
 def x07(spark, sf):
     """Sign-LSH bucketed variant of x06 — the 100 TB path (bucket-local
-    pair generation instead of all-pairs)."""
+    pair generation instead of all-pairs).  The raw fixture has no
+    cosine≥0.95 pairs, so the entry PLANTS 30 deterministic near-copies
+    (vec scaled 1.05 + a 0.01 nudge on dim 0, ids +10000) and reports
+    the planted pairs the LSH recovered with a ``recall_vs_planted``
+    column — rows > 0 is the expected state, and a recall collapse in
+    the signature/banding stages is driver-visible as a row-count drop
+    to zero (VERDICT r8: an entry that legitimately returns 0 rows
+    demonstrates nothing)."""
     emb = load_emb(spark, sf)
-    pairs = dedup_mod.embedding_cosine_dups(emb, "vec_id", "embedding",
+    planted = (emb.filter(F.col("vec_id") < 30)
+               .select((F.col("vec_id") + 10000).alias("vec_id"),
+                       F.expr("transform(embedding, (v, i) -> "
+                              "cast(v AS DOUBLE) * 1.05D + CASE WHEN "
+                              "i = 0 THEN 0.01D ELSE 0.0D END)")
+                        .alias("embedding")))
+    corpus = (emb.select("vec_id",
+                         F.col("embedding").cast("array<double>")
+                          .alias("embedding"))
+                 .unionByName(planted))
+    pairs = dedup_mod.embedding_cosine_dups(corpus, "vec_id", "embedding",
                                             threshold=0.95, use_lsh=True,
                                             planes=8)
-    return (pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    found = pairs.filter((F.col("id_b") == F.col("id_a") + 10000)
+                         & (F.col("id_a") < 30))
+    rec = found.agg(F.round(F.count(F.lit(1)) / 30.0, 4)
+                     .alias("recall_vs_planted"))
+    return (found.select("id_a", "id_b",
+                         F.round("cosine", 4).alias("cosine"))
+                 .crossJoin(F.broadcast(rec))
                  .orderBy("id_a", "id_b"))
 
 
@@ -264,12 +287,26 @@ def x08(spark, sf):
 @x("x09_cosine_topk_lsh", None)  # approximate recall by design
 def x09(spark, sf):
     """Multi-table sign-LSH ANN top-5 (the scale path: each query scores
-    ~tables/2^planes of the corpus instead of all of it)."""
+    ~tables/2^planes of the corpus instead of all of it) — graded
+    IN-ENTRY against the exact x08 ranking: the output is the
+    (query, neighbor) hits the LSH shares with the exact top-5 plus a
+    per-query ``recall_at_5`` column, so rows > 0 is the expected state
+    and an LSH recall collapse is driver-visible as an empty result
+    (VERDICT r8)."""
     emb = load_emb(spark, sf)
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return (sim_mod.lsh_cosine_top_k(q, c, k=5, planes=4, tables=8)
-            .orderBy("query_id", "rnk"))
+    lsh = sim_mod.lsh_cosine_top_k(q, c, k=5, planes=4, tables=8)
+    exact = (sim_mod.cosine_top_k(q, c, k=5, round_to=4)
+             .select("query_id", "neighbor_id"))
+    hit = lsh.join(exact, ["query_id", "neighbor_id"])
+    per_q = (hit.groupBy("query_id")
+                .agg(F.round(F.count(F.lit(1)) / 5.0, 2)
+                      .alias("recall_at_5")))
+    return (hit.select("query_id", "neighbor_id",
+                       F.round("cosine", 4).alias("cosine"))
+               .join(per_q, "query_id")
+               .orderBy("query_id", "neighbor_id"))
 
 
 @x("x28_time_rollup", """
