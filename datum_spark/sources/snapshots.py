@@ -52,10 +52,15 @@ Scale posture: a manifest lists FILES, not rows — O(file count), the
 same scaling unit as Iceberg's manifests; ``append`` writes only the
 new files and copies the parent's file LIST (no data rewrite).  Stats
 collection reads one parquet FOOTER per new file (driver-side, ~KB
-each).  The single-level manifest caps out around millions of files
-per table — the point where real deployments move to Iceberg/Delta
-proper (and `registry.py`'s gates lift); everything above the format
-(the engine's operators) is unchanged by that swap.
+each).  Head reads load ONE manifest (O(1) in version count); the
+txn-idempotence walk of ``append_once`` is bounded by periodic
+CHECKPOINT files folding per-producer high-water marks
+(``checkpoint_interval``, the Delta ``_last_checkpoint`` pattern) —
+measured flat across a 1,000-commit sweep (SCALE.md §20).  The
+single-level manifest caps out around millions of files per table —
+the point where real deployments move to Iceberg/Delta proper (and
+`registry.py`'s gates lift); everything above the format (the
+engine's operators) is unchanged by that swap.
 """
 
 from __future__ import annotations
@@ -320,23 +325,39 @@ def file_may_match(stats: dict, terms: list[tuple]) -> bool:
 
 
 class SnapshotTable:
-    """A versioned parquet table at ``path`` (local/posix scheme)."""
+    """A versioned parquet table at ``path`` (local/posix scheme).
 
-    def __init__(self, spark: SparkSession, path: str) -> None:
+    ``checkpoint_interval``: every N-th commit also publishes a
+    checkpoint file (``_manifests/ckpt-v{N}.json``) carrying the
+    accumulated per-producer txn high-water marks, so
+    :meth:`append_once`'s idempotence walk stops at the newest
+    checkpoint instead of scanning to v0 — O(interval), not
+    O(versions), for a producer the table has never seen (the Delta
+    ``_last_checkpoint`` pattern; head READS were already O(1) in
+    versions because every manifest carries the full file list).
+    Checkpoints also preserve txn marks across the vacuum horizon."""
+
+    checkpoint_interval: int = 100
+
+    def __init__(self, spark: SparkSession, path: str,
+                 checkpoint_interval: int | None = None) -> None:
         self.spark = spark
         self.path = path
         self._data = os.path.join(path, "data")
         self._manifests = os.path.join(path, "_manifests")
+        if checkpoint_interval is not None:
+            self.checkpoint_interval = int(checkpoint_interval)
 
     # -- bootstrap ---------------------------------------------------------
 
     @classmethod
     def create(cls, spark: SparkSession, path: str,
-               schema: str | None = None) -> "SnapshotTable":
+               schema: str | None = None,
+               checkpoint_interval: int | None = None) -> "SnapshotTable":
         """``schema`` (optional DDL string, e.g. ``"id long, v double"``)
         types the empty v0 so readers before the first append see real
         columns."""
-        t = cls(spark, path)
+        t = cls(spark, path, checkpoint_interval=checkpoint_interval)
         os.makedirs(t._data, exist_ok=True)
         os.makedirs(t._manifests, exist_ok=True)
         if t.current_version() is None:
@@ -367,6 +388,82 @@ class SnapshotTable:
     def _load_manifest(self, version: int) -> dict:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
+
+    # -- txn checkpoints -----------------------------------------------------
+
+    def _checkpoint_path(self, version: int) -> str:
+        return os.path.join(self._manifests, f"ckpt-v{version:012d}.json")
+
+    def _latest_checkpoint(self, head: int) -> dict | None:
+        """Newest checkpoint at or below ``head`` (the ``_last_checkpoint``
+        pointer is a HINT: validated against head, scan fallback) — or
+        None; checkpoints are pure optimization, every consumer must be
+        correct without one."""
+        cand = None
+        try:
+            with open(os.path.join(self._manifests,
+                                   "_last_checkpoint.json")) as fh:
+                v = int(json.load(fh)["version"])
+            if v <= head:
+                cand = v
+        except (OSError, ValueError, KeyError):
+            pass
+        if cand is None:
+            try:
+                vs = [int(n[6:-5]) for n in os.listdir(self._manifests)
+                      if n.startswith("ckpt-v") and n.endswith(".json")]
+            except FileNotFoundError:
+                return None
+            vs = [v for v in vs if v <= head]
+            if not vs:
+                return None
+            cand = max(vs)
+        try:
+            with open(self._checkpoint_path(cand)) as fh:
+                return json.load(fh)
+        except OSError:
+            return None
+
+    def _write_checkpoint(self, version: int) -> None:
+        """Fold the txn high-water marks of every manifest since the
+        previous checkpoint (plus that checkpoint's own map) into
+        ``ckpt-v{version}.json``.  Create-exclusive like manifests —
+        racing committers at the same version: first wins, rest no-op;
+        the pointer update is atomic-replace (monotonicity is
+        best-effort, staleness only costs a longer walk)."""
+        prev = self._latest_checkpoint(version - 1)
+        txn: dict[str, int] = dict(prev["txn"]) if prev else {}
+        start = (prev["version"] + 1) if prev else 0
+        for v in range(start, version + 1):
+            try:
+                meta = self._load_manifest(v)
+            except FileNotFoundError:
+                continue                  # vacuumed: folded earlier
+            t = meta.get("txn_id")
+            if t is not None:
+                tv = int(meta.get("txn_version", -1))
+                if tv > txn.get(t, -1):
+                    txn[t] = tv
+        doc = {"version": int(version), "txn": txn,
+               "committed_at": time.time()}
+        tmp = os.path.join(self._manifests,
+                           f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, self._checkpoint_path(version))
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+        ptr_tmp = os.path.join(self._manifests,
+                               f".tmp-{uuid.uuid4().hex}.json")
+        with open(ptr_tmp, "w") as fh:
+            json.dump({"version": int(version)}, fh)
+        os.replace(ptr_tmp, os.path.join(self._manifests,
+                                         "_last_checkpoint.json"))
 
     def _publish(self, version: int, files: list[str], operation: str,
                  parent: int | None, extra: dict | None = None) -> None:
@@ -401,6 +498,11 @@ class SnapshotTable:
                 f"version {version} already committed") from exc
         finally:
             os.unlink(tmp)
+        if version > 0 and version % self.checkpoint_interval == 0:
+            try:                 # an optimization — never fail a commit
+                self._write_checkpoint(version)
+            except OSError:
+                pass
 
     def _commit_append(self, new_files: list[str], schema_json,
                        stats: dict, retries: int = 10,
@@ -594,11 +696,13 @@ class SnapshotTable:
         — so two producers sharing a txn_id cannot double-commit.
 
         The check walks manifests NEWEST-first and stops at the first
-        commit from this producer — O(commits since the producer's last
-        one), i.e. O(1) for a steady stream, not O(table history); the
-        walk also stops at the vacuum horizon, so ``vacuum`` retention
-        must exceed the producer's replay window (size ``keep_last`` to
-        at least the checkpoint-recovery depth)."""
+        commit from this producer OR at the newest txn checkpoint
+        (``checkpoint_interval``), whose folded high-water map answers
+        for everything older — O(min(lag, interval)) manifest reads
+        even for a producer the table has never seen, not O(table
+        history).  Checkpoints also preserve txn marks past the vacuum
+        horizon; still size ``vacuum(keep_last=)`` above the producer's
+        replay window so the UNcheckpointed tail stays walkable."""
         if self._last_txn_version(txn_id) >= txn_version:
             return None                   # cheap pre-check: skip the write
         files, schema_json, stats = self._write_data(df)
@@ -610,18 +714,24 @@ class SnapshotTable:
 
     def _last_txn_version(self, txn_id: str,
                           head: int | None = None) -> int:
+        """Walk newest-first from ``head``; stop at the newest
+        checkpoint ≤ head and answer from its folded txn map — so a
+        producer the table has never seen costs O(checkpoint_interval)
+        manifest reads, not O(versions)."""
         if head is None:
             head = self.current_version()
         if head is None:
             return -1
-        for v in range(head, -1, -1):
+        ck = self._latest_checkpoint(head)
+        floor = ck["version"] if ck else -1
+        for v in range(head, floor, -1):
             try:
                 meta = self._load_manifest(v)
             except FileNotFoundError:
                 return -1                    # vacuum horizon reached
             if meta.get("txn_id") == txn_id:
                 return int(meta.get("txn_version", -1))
-        return -1
+        return int(ck["txn"].get(txn_id, -1)) if ck else -1
 
     def merge(self, df: DataFrame, keys: list[str]) -> int:
         """MERGE/upsert by key: rows of the current snapshot whose key
@@ -1096,6 +1206,12 @@ class SnapshotTable:
             if v not in keep:
                 os.unlink(self._manifest_path(v))
                 removed.append(self._manifest_path(v))
+        # superseded txn checkpoints: the newest folds all older maps
+        cks = sorted(int(n[6:-5]) for n in os.listdir(self._manifests)
+                     if n.startswith("ckpt-v") and n.endswith(".json"))
+        for v in cks[:-1]:
+            os.unlink(self._checkpoint_path(v))
+            removed.append(self._checkpoint_path(v))
         now = time.time()
 
         def young(path: str) -> bool:

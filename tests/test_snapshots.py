@@ -989,3 +989,66 @@ def test_timestamp_stats_emit_no_minmax(spark, table):
     st = _file_column_stats(f)
     assert st["ts"]["exact"] is False
     assert st["k"]["exact"] is True and st["k"]["min"] == 1
+
+
+# round 9: txn checkpoints bound the append_once idempotence walk
+
+
+def test_checkpoint_written_and_answers_txn(spark, tmp_path):
+    """Every Nth commit publishes a checkpoint folding the txn
+    high-water marks; _last_txn_version answers from it without
+    walking past the checkpoint."""
+    t = SnapshotTable.create(spark, str(tmp_path / "ck"),
+                             checkpoint_interval=5)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 8):
+        t.append_once(df, txn_id="prod-a", txn_version=i)
+    assert os.path.exists(t._checkpoint_path(5))
+    ck = t._latest_checkpoint(t.current_version())
+    assert ck["version"] == 5 and ck["txn"] == {"prod-a": 5}
+    # the walk floor is the checkpoint: marks at or below it come from
+    # the folded map even when the manifests themselves are gone
+    assert t._last_txn_version("prod-a") == 7
+    for v in range(0, 6):
+        os.unlink(t._manifest_path(v))
+    assert t._last_txn_version("prod-a") == 7          # tail walk
+    assert t._last_txn_version("prod-a", head=5) == 5  # checkpoint map
+    assert t._last_txn_version("never-seen") == -1
+    # idempotence still holds across the vacuumed range
+    assert t.append_once(df, txn_id="prod-a", txn_version=3) is None
+
+
+def test_checkpoint_preserves_marks_past_vacuum(spark, tmp_path):
+    """vacuum drops old manifests AND superseded checkpoints, but the
+    newest checkpoint keeps every producer's high-water mark — a
+    replayed old batch is still a no-op afterwards."""
+    t = SnapshotTable.create(spark, str(tmp_path / "ckv"),
+                             checkpoint_interval=3)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 8):
+        t.append_once(df, txn_id="prod-b", txn_version=i)
+    assert os.path.exists(t._checkpoint_path(3))
+    assert os.path.exists(t._checkpoint_path(6))
+    t.vacuum(keep_last=2, min_age_seconds=0)
+    assert not os.path.exists(t._checkpoint_path(3))   # superseded
+    assert os.path.exists(t._checkpoint_path(6))
+    assert t._last_txn_version("prod-b") == 7
+    assert t.append_once(df, txn_id="prod-b", txn_version=2) is None
+    # new producers commit normally after vacuum
+    assert t.append_once(df, txn_id="prod-c", txn_version=1) is not None
+
+
+def test_checkpoint_is_pure_optimization(spark, tmp_path):
+    """Deleting every checkpoint (and the pointer) changes no answer —
+    consumers fall back to the full manifest walk."""
+    t = SnapshotTable.create(spark, str(tmp_path / "cko"),
+                             checkpoint_interval=4)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 7):
+        t.append_once(df, txn_id="p", txn_version=i)
+    before = t._last_txn_version("p")
+    for n in os.listdir(t._manifests):
+        if n.startswith("ckpt-") or n == "_last_checkpoint.json":
+            os.unlink(os.path.join(t._manifests, n))
+    assert t._last_txn_version("p") == before == 6
+    assert t.append_once(df, txn_id="p", txn_version=6) is None
