@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from datum_spark.operators.classifier import (  # noqa: E402
-    quality_classifier_fit, quality_classifier_score)
+    quality_classifier_fit, quality_classifier_fit_sgd,
+    quality_classifier_score)
 from datum_spark.session import get_session  # noqa: E402
 from datum_spark.sources.registry import read_parquet_normalized  # noqa: E402
 
@@ -58,14 +59,33 @@ def main(n_rep: int, steps: int) -> None:
         w, b = quality_classifier_fit(seed, "doc_id", "text", "__y",
                                       n_buckets=256, steps=steps, lr=4.0)
         fit_sec = time.time() - t0
+        # throughput twin: 2 epochs of parallel mini-batch SGD vs
+        # `steps` full-batch passes, same feature map / score contract
+        t0 = time.time()
+        ws, bs = quality_classifier_fit_sgd(
+            seed, "doc_id", "text", "__y", n_buckets=256,
+            epochs=2, batch_size=256, lr=4.0)
+        sgd_sec = time.time() - t0
         t0 = time.time()
         n_scored = quality_classifier_score(
             d, w, b, "doc_id", "text", n_buckets=256).count()
         score_sec = time.time() - t0
+        # agreement of the two trained models on the full corpus
+        both = (quality_classifier_score(d, w, b, "doc_id", "text",
+                                         n_buckets=256)
+                .select("doc_id", F.col("pred").alias("p_gd"))
+                .join(quality_classifier_score(d, ws, bs, "doc_id",
+                                               "text", n_buckets=256)
+                      .select("doc_id", F.col("pred").alias("p_sgd")),
+                      "doc_id"))
+        agree = (both.agg(F.avg((F.col("p_gd") == F.col("p_sgd"))
+                                .cast("double"))).first()[0])
         out["points"].append({
             "n_docs": int(d.count()), "n_seed": int(n_seed),
             "fit_sec": round(fit_sec, 2),
             "sec_per_step": round(fit_sec / steps, 2),
+            "sgd_fit_sec": round(sgd_sec, 2),
+            "gd_sgd_pred_agreement": round(float(agree), 4),
             "score_sec": round(score_sec, 2),
             "n_scored": int(n_scored),
         })

@@ -68,6 +68,42 @@ def test_score_monotone_in_feature_weight(spark, toy):
     assert sc[1] > 0.9 and sc[3] < 0.1
 
 
+
+def test_sgd_twin_converges_like_fullbatch(spark, toy):
+    """The throughput twin reaches the same decision function on the
+    separable fixture: identical predictions and the same score order
+    as the 6-step full-batch trajectory, in 2 passes."""
+    from datum_spark.operators.classifier import quality_classifier_fit_sgd
+
+    w, b = quality_classifier_fit_sgd(toy, "doc_id", "text", "y",
+                                      n_buckets=64, epochs=2,
+                                      batch_size=16, lr=0.5)
+    s = quality_classifier_score(toy, w, b, "doc_id", "text")
+    got = {r["doc_id"]: r["pred"] for r in s.collect()}
+    assert all(got[i] for i in range(40))
+    assert not any(got[i + 100] for i in range(40))
+    sc = {r["doc_id"]: r["score"] for r in s.collect()}
+    assert min(sc[i] for i in range(40)) > max(sc[i + 100]
+                                               for i in range(40))
+
+
+def test_sgd_twin_deterministic_and_partition_invariant(spark, toy):
+    """md5 sharding + in-shard ordering make the twin reproducible
+    run-to-run AND invariant to the input's physical partitioning."""
+    from datum_spark.operators.classifier import quality_classifier_fit_sgd
+
+    a = quality_classifier_fit_sgd(toy, "doc_id", "text", "y",
+                                   n_buckets=32, epochs=1,
+                                   batch_size=8, lr=1.0)
+    b = quality_classifier_fit_sgd(toy.repartition(7), "doc_id", "text",
+                                   "y", n_buckets=32, epochs=1,
+                                   batch_size=8, lr=1.0)
+    c = quality_classifier_fit_sgd(toy.coalesce(1), "doc_id", "text",
+                                   "y", n_buckets=32, epochs=1,
+                                   batch_size=8, lr=1.0)
+    assert a == b == c
+
+
 # ---------------------------------------------------------------------------
 # persistent PQ index (similarity.py) — co-located with this round's ops
 
