@@ -663,17 +663,18 @@ def _bpe_cte_parts(iters: int) -> list[str]:
 
 @x("x114_bpe_train", _bpe_oracle_sql(5))
 def x114(spark, sf):
-    """Distributed BPE merge training: one corpus-wide word-frequency
-    pass, then each iteration counts adjacent symbol pairs over the VOCAB
-    table (not the corpus), collects only the argmax pair (O(1) driver
-    data), and merges it with pure JVM string replace — no UDF, no
-    per-row Python.  The learned merge table is the result; the oracle
-    replays the identical deterministic trajectory.
-    operators/bpe.py::learn_bpe_merges."""
-    from ..operators.bpe import bpe_merge_table
+    """BPE merge training: one corpus-wide word-frequency pass, then
+    the merge loop runs DRIVER-SIDE over the collected vocabulary-sized
+    table (Sennrich's in-memory regime — a real 32k-merge vocab would
+    otherwise be 32k sequential Spark jobs; VERDICT r8).  Bit-equal to
+    the distributed iteration (operators/bpe.py::learn_bpe_merges, the
+    property-tested twin), so the oracle — which replays the identical
+    deterministic trajectory — hashes unchanged.
+    operators/bpe.py::learn_bpe_merges_local."""
+    from ..operators.bpe import bpe_merge_table_local
 
     docs = load_docs(spark, sf)
-    return bpe_merge_table(spark, docs, iters=5).orderBy("it")
+    return bpe_merge_table_local(spark, docs, iters=5).orderBy("it")
 
 
 @x("x115_audio_features", """
@@ -830,12 +831,13 @@ def x119(spark, sf):
     joining exploded words onto that tiny (word → n_tokens) table — the
     shape that holds when the corpus is 100 TB and the vocab is megabytes.
     operators/bpe.py::bpe_encode_vocab."""
-    from ..operators.bpe import (bpe_encode_vocab, learn_bpe_merges,
-                                word_frequencies)
+    from ..operators.bpe import (bpe_encode_vocab,
+                                 learn_bpe_merges_local,
+                                 word_frequencies)
 
     docs = load_docs(spark, sf)
     words = word_frequencies(docs)
-    merges = learn_bpe_merges(words, iters=5)
+    merges = learn_bpe_merges_local(words, iters=5)
     tok = bpe_encode_vocab(words.select("word"), merges)
     dw = (docs.select("lang", F.explode(F.split(F.lower("text"),
                                                 "[^a-z]+")).alias("word"))

@@ -123,3 +123,56 @@ def bpe_encode_vocab(words: DataFrame,
         col = F.replace(F.replace(col, pat, rep), pat, rep)
     n_tok = F.size(F.filter(F.split(col, D), lambda x: x != F.lit("")))
     return words.withColumn("n_tokens", n_tok)
+
+
+def learn_bpe_merges_local(words: DataFrame, iters: int = 5,
+                           ) -> list[tuple[int, str, str, int]]:
+    """THROUGHPUT path of :func:`learn_bpe_merges`: collect the
+    (word, cnt) vocabulary ONCE (it is vocabulary-sized — ~10⁷ rows at
+    100 TB corpus scale, Sennrich's original in-memory regime) and run
+    the merge loop driver-side — so a real 32k-merge vocab costs ONE
+    Spark job instead of 32k sequential pair-count jobs, and training
+    wall is flat in corpus size once the single word-frequency pass is
+    paid.
+
+    Bit-equal to the distributed trajectory (tested): same pair keys
+    (``a \\x1f b``, \\x1f sorts below every corpus symbol byte, so
+    string order == tuple order), same argmax tie-break (max count,
+    then lexicographically smallest pair key), same two-pass
+    non-overlapping replace semantics (Python ``str.replace`` and
+    Spark ``F.replace`` both substitute left-to-right greedily) — so
+    the x114 oracle hash is unchanged by switching paths.
+    """
+    rows = words.select("word", "cnt").collect()
+    seqs: list[list] = [[int(r["cnt"]),
+                         D + D.join(r["word"]) + D] for r in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for it in range(1, iters + 1):
+        counts: dict[str, int] = {}
+        for cnt, s in seqs:
+            toks = [t for t in s.split(D) if t]
+            for a, b in zip(toks, toks[1:]):
+                k = a + U + b
+                counts[k] = counts.get(k, 0) + cnt
+        if not counts:
+            break
+        # max count, ties by the smallest pair KEY (string order ==
+        # (a, b) order because U sorts below every symbol byte)
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        a, b = best[0].split(U)
+        merges.append((it, a, b, int(best[1])))
+        pat, rep = D + a + D + b + D, D + a + b + D
+        for e in seqs:
+            e[1] = e[1].replace(pat, rep).replace(pat, rep)
+    return merges
+
+
+def bpe_merge_table_local(spark: SparkSession, docs: DataFrame,
+                          iters: int = 5,
+                          text_col: str = "text") -> DataFrame:
+    """:func:`bpe_merge_table` on the driver-side merge loop — one
+    corpus pass + one vocab collect, bit-equal output."""
+    merges = learn_bpe_merges_local(word_frequencies(docs, text_col),
+                                    iters)
+    return spark.createDataFrame(
+        merges, "it int, sym_a string, sym_b string, freq bigint")

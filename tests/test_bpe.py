@@ -103,3 +103,34 @@ def test_encode_vocab_token_counts(spark, tiny):
            bpe_encode_vocab(tiny.select("word"), merges).collect()}
     # after (a,a), (a,b), (aa,a): a->[a]; abab->[ab,ab]; aaa->[aaa]
     assert got == {"a": 1, "abab": 2, "aaa": 1}
+
+
+def test_local_merge_loop_bit_equal_to_distributed(spark):
+    """The driver-side throughput path must learn the IDENTICAL merge
+    list as the distributed iteration — same argmax, same tie-breaks,
+    same two-pass replace semantics — on a fixture with count ties,
+    repeated letters and single-char words."""
+    from datum_spark.operators.bpe import learn_bpe_merges_local
+
+    rows = [("aaa bb abab low lower lowest", 3),
+            ("banana bandana aa a", 2),
+            ("zz zz zz", 1)]
+    docs = spark.createDataFrame(rows, "text string, w int")
+    words = word_frequencies(docs)
+    for iters in (1, 3, 8):
+        assert (learn_bpe_merges_local(words, iters=iters)
+                == learn_bpe_merges(words, iters=iters)), iters
+
+
+def test_local_merge_loop_on_fixture(spark):
+    """Same equality on the real documents fixture at sf0.001 (the
+    x114 input shape), so switching x114 to the local path cannot move
+    its oracle hash."""
+    from datum_spark.operators.bpe import learn_bpe_merges_local
+    from datum_spark.sources.registry import read_parquet_normalized
+
+    docs = read_parquet_normalized(
+        spark, "/root/testdata/sf0.001/documents.parquet")
+    words = word_frequencies(docs)
+    assert (learn_bpe_merges_local(words, iters=5)
+            == learn_bpe_merges(words, iters=5))
