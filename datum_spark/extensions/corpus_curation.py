@@ -1050,15 +1050,17 @@ def x188(spark, sf):
                   .orderBy("band"))
 
 
-def _ivfpq_oracle_sql(ncells: int = 8, nprobe: int = 2, m: int = 4,
-                      ksub: int = 8, coarse_iters: int = 2,
-                      pq_iters: int = 2, dim: int = 64,
-                      n_queries: int = 12, k: int = 10) -> str:
-    """DuckDB replay of ivfpq_train_encode + ivfpq_adc_topk + the
-    exact-top-k recall audit: the coarse Lloyd chain (x108 shape on
-    full vectors), rounded residuals, per-subspace residual Lloyd
-    chains (x186 shape), cell-pruned ADC over the query residual of
-    each probed cell, ranked search, recall vs exact."""
+def _ivfpq_cte_parts(ncells: int = 8, nprobe: int = 2, m: int = 4,
+                     ksub: int = 8, coarse_iters: int = 2,
+                     pq_iters: int = 2, dim: int = 64,
+                     n_queries: int = 12, k: int = 10,
+                     adc_k: int | None = None) -> list[str]:
+    """Shared DuckDB CTE chain replaying ivfpq_train_encode + the
+    cell-pruned ADC ranking (``adcr``, top-``k``) + the exact top-k
+    (``exr``): the coarse Lloyd chain (x108 shape on full vectors),
+    rounded residuals, per-subspace residual Lloyd chains (x186
+    shape), ADC over the query residual of each probed cell.  x189
+    consumes it for the recall audit, x190 for the refine stage."""
     dsub = dim // m
     d2full = ("ROUND(list_sum(list_transform(list_zip(v.e, c.c), "
               "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)")
@@ -1169,7 +1171,7 @@ def _ivfpq_oracle_sql(ncells: int = 8, nprobe: int = 2, m: int = 4,
              AS rn
     FROM codesl cl JOIN tabs t
       ON cl.cell = t.cell AND cl.s = t.s AND cl.code = t.code
-    GROUP BY t.qid, cl.vec_id) WHERE rn <= {k}
+    GROUP BY t.qid, cl.vec_id) WHERE rn <= {adc_k or k}
 )""")
     parts.append(f"""exr AS (
   SELECT qid, vec_id FROM (
@@ -1179,6 +1181,11 @@ def _ivfpq_oracle_sql(ncells: int = 8, nprobe: int = 2, m: int = 4,
                x -> (x[1]-x[2])*(x[1]-x[2]))), 6), v.vec_id) AS rn
     FROM q CROSS JOIN v) WHERE rn <= {k}
 )""")
+    return parts
+
+
+def _ivfpq_oracle_sql(k: int = 10) -> str:
+    parts = _ivfpq_cte_parts(k=k)
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT a.qid AS query_id,
        CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -1232,3 +1239,99 @@ def x189(spark, sf):
     return (hits.select("query_id", "hits",
                         F.round(F.col("hits") / 10.0, 2).alias("recall"))
                 .orderBy("query_id"))
+
+
+def _ivfpq_refine_oracle_sql(shortlist: int = 50, k: int = 10) -> str:
+    """x190: the shared IVF-PQ chain with ``adcr`` widened to the
+    shortlist, then the exact re-rank of the shortlist (rounded L2
+    against raw vectors) — per query, the stage-1 (ADC top-k) and
+    stage-2 (refined top-k) hit counts against the exact ranking."""
+    parts = _ivfpq_cte_parts(k=k, adc_k=shortlist)
+    parts.append(f"""refined AS (
+  SELECT qid, vec_id FROM (
+    SELECT a.qid, a.vec_id,
+           row_number() OVER (PARTITION BY a.qid ORDER BY
+             ROUND(list_sum(list_transform(list_zip(q.qe, v.e),
+               x -> (x[1]-x[2])*(x[1]-x[2]))), 6), a.vec_id) AS rn
+    FROM adcr a JOIN q ON a.qid = q.qid
+                JOIN v ON a.vec_id = v.vec_id) WHERE rn <= {k}
+)""")
+    parts.append(f"""adc10 AS (
+  SELECT qid, vec_id FROM adcr WHERE rn <= {k}
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT e.qid AS query_id,
+       CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits_adc,
+       CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits_refined,
+       ROUND(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {k}.0, 2) AS recall_adc,
+       ROUND(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+             / {k}.0, 2) AS recall_refined
+FROM exr e
+LEFT JOIN adc10 a ON e.qid = a.qid AND e.vec_id = a.vec_id
+LEFT JOIN refined r ON e.qid = r.qid AND e.vec_id = r.vec_id
+GROUP BY e.qid ORDER BY query_id""")
+
+
+@x("x190_ivfpq_refine", _ivfpq_refine_oracle_sql())
+def x190(spark, sf):
+    """Two-stage IVF-PQ serving, value-checked: cell-pruned ADC takes a
+    50-candidate shortlist per query, exact L2 re-ranks only those
+    against raw vectors gathered by id (the Faiss IndexRefine pattern —
+    quantization error can no longer cost recall@10 unless the true
+    neighbor missed the shortlist).  The output grades BOTH stages
+    against the exact ranking, so the refine stage's recall lift over
+    raw ADC (x189) is measured in-entry; the oracle replays the full
+    chain — trainings, residuals, ADC shortlist, exact re-rank — and
+    both hit counts."""
+    from ..operators.similarity import (ivfpq_adc_topk,
+                                        ivfpq_refine_topk,
+                                        ivfpq_train_encode)
+
+    emb = load_emb(spark, sf)
+    codes, coarse, books = ivfpq_train_encode(
+        emb, ncells=8, m=4, ksub=8, coarse_iters=2, pq_iters=2)
+    qs = emb.filter(F.col("vec_id") < 12)
+    corpus = emb.filter(F.col("embedding").isNotNull())
+    adc = ivfpq_adc_topk(qs, codes, coarse, books, k=10, nprobe=2)
+    ref = ivfpq_refine_topk(qs, codes, corpus, coarse, books, k=10,
+                            shortlist=50, nprobe=2)
+
+    qv = qs.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").cast("array<double>").alias("qe"))
+    cv = corpus.select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                        .alias("e"))
+    d2 = F.round(F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy("qid").orderBy(d2.asc(), F.col("vec_id").asc())
+    exact = (qv.crossJoin(F.broadcast(cv))
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 10)
+               .select("qid", F.col("vec_id").alias("__ev")))
+    # per-query hit counts for both stages via two left joins
+    adc_t = adc.select(F.col("query_id").alias("qid"),
+                       F.col("vec_id").alias("__av"))
+    ref_t = ref.select(F.col("query_id").alias("qid"),
+                       F.col("vec_id").alias("__rv"))
+    out = (exact
+           .join(adc_t, (exact["qid"] == adc_t["qid"])
+                 & (exact["__ev"] == adc_t["__av"]), "left")
+           .drop(adc_t["qid"])
+           .join(ref_t, (exact["qid"] == ref_t["qid"])
+                 & (exact["__ev"] == ref_t["__rv"]), "left")
+           .drop(ref_t["qid"])
+           .groupBy(exact["qid"].alias("query_id"))
+           .agg(F.sum(F.when(F.col("__av").isNotNull(), 1).otherwise(0))
+                 .alias("hits_adc"),
+                F.sum(F.when(F.col("__rv").isNotNull(), 1).otherwise(0))
+                 .alias("hits_refined")))
+    return (out.select("query_id", "hits_adc", "hits_refined",
+                       F.round(F.col("hits_adc") / 10.0, 2)
+                        .alias("recall_adc"),
+                       F.round(F.col("hits_refined") / 10.0, 2)
+                        .alias("recall_refined"))
+               .orderBy("query_id"))

@@ -1234,3 +1234,50 @@ def ivfpq_index_query(queries: DataFrame, index_path: str, k: int = 10,
     return ivfpq_adc_topk(queries, codes, coarse, books, k=k,
                           nprobe=nprobe, qid_col=qid_col,
                           qvec_col=qvec_col, quantize=quantize)
+
+
+def ivfpq_refine_topk(queries: DataFrame, codes: DataFrame,
+                      corpus: DataFrame, coarse, books, k: int = 10,
+                      shortlist: int = 50, nprobe: int = 2,
+                      qid_col: str = "vec_id",
+                      qvec_col: str = "embedding",
+                      corpus_id: str = "vec_id",
+                      corpus_vec: str = "embedding",
+                      quantize: int = 6) -> DataFrame:
+    """Two-stage IVFADC serving (the Faiss ``IndexRefine`` pattern):
+    stage 1 takes a ``shortlist`` (≥ k) of candidates per query by
+    cell-pruned ADC over the codes; stage 2 re-ranks ONLY those
+    candidates by exact rounded L2 against their raw vectors, fetched
+    by an id equi-join.  Quantization error moves candidates around
+    inside the shortlist but can no longer cost recall@k unless the
+    true neighbor fell outside the shortlist entirely — the standard
+    way PQ-compressed serving recovers exact-tier quality.
+
+    Scale shape: stage 1 reads nprobe cells of 4-byte codes; stage 2
+    gathers ``|Q|·shortlist`` raw vectors through one id-keyed hash
+    join against the corpus (at 10⁹ vectors that is the only touch of
+    the full-width table, and it is k-bounded, not corpus-bounded).
+    Returns ``(query_id, <corpus id col>, d2, rnk)`` with the exact
+    rounded distance — fully replayable (x190).
+    """
+    adc = ivfpq_adc_topk(queries, codes, coarse, books, k=shortlist,
+                         nprobe=nprobe, qid_col=qid_col,
+                         qvec_col=qvec_col, quantize=quantize)
+    cand_id = codes.columns[0]
+    qv = queries.select(F.col(qid_col).alias("query_id"),
+                        F.col(qvec_col).cast("array<double>")
+                         .alias("__qe"))
+    cv = corpus.select(F.col(corpus_id).alias(cand_id),
+                       F.col(corpus_vec).cast("array<double>")
+                        .alias("__ce"))
+    d2 = F.round(F.aggregate(
+        F.zip_with("__qe", "__ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), quantize)
+    w = Window.partitionBy("query_id").orderBy(F.col("d2").asc(),
+                                               F.col(cand_id).asc())
+    return (adc.select("query_id", cand_id)
+               .join(F.broadcast(qv), "query_id")
+               .join(cv, cand_id)
+               .select("query_id", cand_id, d2.alias("d2"))
+               .withColumn("rnk", F.row_number().over(w))
+               .filter(F.col("rnk") <= k))

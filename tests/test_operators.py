@@ -1348,3 +1348,37 @@ def test_ivfpq_query_partition_prunes(spark, tmp_path):
     import re
     m = re.search(r"PartitionFilters: \[[^\]]*\(cell#\d+ = \d+\)", plan)
     assert m, plan
+
+
+def test_ivfpq_refine_recovers_exact_with_full_shortlist(spark):
+    """With shortlist = |corpus| the refine stage IS the exact ranking
+    (every candidate re-ranked by exact rounded L2); with a narrow
+    shortlist, refined results are still never worse than raw ADC on
+    blob membership."""
+    from pyspark.sql import Window
+    from datum_spark.operators.similarity import (ivfpq_refine_topk,
+                                                  ivfpq_train_encode)
+
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01,
+                 float(i) * 0.001] + [0.0] * 6) for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    codes, coarse, books = ivfpq_train_encode(
+        df, ncells=3, m=2, ksub=4, coarse_iters=2, pq_iters=2)
+    qs = df.filter("vec_id IN (0, 1, 50)")
+    ref = ivfpq_refine_topk(qs, codes, df, coarse, books, k=5,
+                            shortlist=60, nprobe=3)
+    got = {(r["query_id"], r["rnk"]): r["vec_id"] for r in ref.collect()}
+    # exact top-5 by the same rounded d2 / id tie-break
+    qv = qs.selectExpr("vec_id AS qid",
+                       "cast(embedding as array<double>) AS qe")
+    cv = df.selectExpr("vec_id", "cast(embedding as array<double>) AS e")
+    d2 = F.round(F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy("qid").orderBy(d2.asc(), F.col("vec_id").asc())
+    exact = {(r["qid"], r["rn"]): r["vec_id"]
+             for r in qv.crossJoin(cv)
+                        .withColumn("rn", F.row_number().over(w))
+                        .filter("rn <= 5").collect()}
+    assert got == exact
