@@ -1054,6 +1054,29 @@ def ivfpq_train_encode(df: DataFrame, id_col: str = "vec_id",
     return codes, coarse, books
 
 
+def _rank_cells(vec, coarse, quantize: int):
+    """(rounded d², cell) pairs ascending — the coarse probe order, the
+    same rounding/tie rule the oracle replays."""
+    return sorted(
+        (_round_half_away(
+            sum((a - b) * (a - b) for a, b in zip(vec, cent)),
+            quantize), ci)
+        for ci, cent in enumerate(coarse))
+
+
+def _probed_cells(queries: DataFrame, coarse, nprobe: int,
+                  qid_col: str, qvec_col: str,
+                  quantize: int) -> list[int]:
+    """The union of every query's ``nprobe`` nearest cells — the scan
+    pruning set, computable driver-side before any codes are read."""
+    probed: set[int] = set()
+    for q in queries.select(qid_col, qvec_col).collect():
+        vec = [float(x) for x in q[qvec_col]]
+        for _, cell in _rank_cells(vec, coarse, quantize)[:max(1, nprobe)]:
+            probed.add(cell)
+    return sorted(probed)
+
+
 def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
                    k: int = 10, nprobe: int = 2,
                    qid_col: str = "vec_id", qvec_col: str = "embedding",
@@ -1083,11 +1106,7 @@ def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
     probed: set[int] = set()
     for q in queries.select(qid_col, qvec_col).collect():
         vec = [float(x) for x in q[qvec_col]]
-        ranked = sorted(
-            (_round_half_away(
-                sum((a - b) * (a - b) for a, b in zip(vec, cent)),
-                quantize), ci)
-            for ci, cent in enumerate(coarse))
+        ranked = _rank_cells(vec, coarse, quantize)
         for _, cell in ranked[:max(1, nprobe)]:
             probed.add(cell)
             res = [_round_half_away(a - b, quantize)
@@ -1137,13 +1156,22 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding", ncells: int = 8,
                       m: int = 4, ksub: int = 8, coarse_iters: int = 2,
-                      pq_iters: int = 2, quantize: int = 6) -> dict:
+                      pq_iters: int = 2, quantize: int = 6,
+                      transactional: bool = False) -> dict:
     """Train both tiers ONCE and persist the index under ``index_path``
     as three parquet tables: ``coarse/`` (cell, center), ``codebooks/``
     (s, c, center), and ``codes/`` (id + code_0..code_{m-1}),
     PARTITIONED BY cell — so :func:`ivfpq_index_query`'s probed-cell
     filter is directory-level partition pruning and serve IO is
     ~nprobe/ncells of the code volume regardless of corpus size.
+
+    ``transactional=True`` stores the codes as a
+    :class:`~datum_spark.sources.snapshots.SnapshotTable` instead
+    (range-clustered by cell, so the manifest's per-file cell min/max
+    prune the probed-cell read just like directories do): delta ingest
+    gains optimistic-commit safety and ``append_once`` idempotence for
+    at-least-once producers, serving gains snapshot isolation against
+    concurrent adds — the index becomes a lake table.
 
     Same daily-ingest posture as ``ivf_index_*`` / ``pq_index_*``:
     rebuild on the corpus-refresh cadence, :func:`ivfpq_index_add`
@@ -1166,10 +1194,19 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str,
         "s int, c int, center array<double>").coalesce(1) \
         .write.mode("overwrite").parquet(_os.path.join(index_path,
                                                        "codebooks"))
-    codes.write.mode("overwrite").partitionBy("cell") \
-        .parquet(_os.path.join(index_path, "codes"))
-    n = spark.read.parquet(_os.path.join(index_path, "codes")).count()
-    return {"n_vectors": int(n), "ncells": ncells, "m": m, "ksub": ksub}
+    codes_path = _os.path.join(index_path, "codes")
+    if transactional:
+        from ..sources.snapshots import SnapshotTable
+
+        t = SnapshotTable.create(spark, codes_path)
+        t.append(codes.repartitionByRange(ncells, "cell"))
+        n = t.read().count()
+    else:
+        codes.write.mode("overwrite").partitionBy("cell") \
+            .parquet(codes_path)
+        n = spark.read.parquet(codes_path).count()
+    return {"n_vectors": int(n), "ncells": ncells, "m": m, "ksub": ksub,
+            "transactional": bool(transactional)}
 
 
 def _ivfpq_load(spark, index_path: str):
@@ -1185,12 +1222,20 @@ def _ivfpq_load(spark, index_path: str):
 def ivfpq_index_add(delta: DataFrame, index_path: str,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    quantize: int = 6) -> int:
+                    quantize: int = 6,
+                    txn_id: str | None = None,
+                    txn_version: int = 0) -> int:
     """Assign + encode new vectors against the FROZEN quantizers and
     append their codes — one map-only pass over the delta (the x109
     discipline), partition-appended per cell; the existing codes are
     never read.  Quantizer drift degrades recall gracefully; rebuild on
-    the refresh cadence.  Returns rows appended."""
+    the refresh cadence.  Returns rows appended.
+
+    On a ``transactional=True`` index the append is an optimistic
+    snapshot-table commit; pass ``txn_id``/``txn_version`` and a
+    replayed micro-batch (an at-least-once producer, e.g. a
+    ``ChangeFeedCursor`` consumer) commits ZERO rows twice
+    (``append_once`` — returns 0 on the replay)."""
     import os as _os
 
     spark = delta.sparkSession
@@ -1204,9 +1249,22 @@ def ivfpq_index_add(delta: DataFrame, index_path: str,
            .select(F.col("__id").alias(id_col),
                    F.col("__cell").alias("cell"),
                    *[f"code_{s}" for s in range(m)]))
+    codes_path = _os.path.join(index_path, "codes")
+    if _os.path.isdir(_os.path.join(codes_path, "_manifests")):
+        from ..sources.snapshots import SnapshotTable
+
+        t = SnapshotTable(spark, codes_path)
+        clustered = out.repartitionByRange(
+            max(1, min(len(coarse), 32)), "cell")
+        n = out.count()
+        if txn_id is not None:
+            v_new = t.append_once(clustered, txn_id=txn_id,
+                                  txn_version=int(txn_version))
+            return 0 if v_new is None else int(n)
+        t.append(clustered)
+        return int(n)
     n = out.count()
-    out.write.mode("append").partitionBy("cell") \
-       .parquet(_os.path.join(index_path, "codes"))
+    out.write.mode("append").partitionBy("cell").parquet(codes_path)
     return int(n)
 
 
@@ -1217,14 +1275,27 @@ def ivfpq_index_query(queries: DataFrame, index_path: str, k: int = 10,
     """Serve cell-pruned ADC top-k from a persisted index — no
     training, no raw corpus: both quantizers load driver-side (ncells×d
     + m×ksub×dsub floats), codes scan from the cell-partitioned parquet
-    with the probed-cell filter pruning directories.  Plan-identical to
+    with the probed-cell filter pruning directories (or, on a
+    ``transactional`` index, from the codes snapshot table with the
+    probed cells pruned by the manifest's per-file cell stats — a
+    snapshot-isolated read against concurrent adds).  Plan-identical to
     :func:`ivfpq_adc_topk` over the same codes, so a fresh index
     answers exactly what the train-then-search path answers."""
     import os as _os
 
     spark = queries.sparkSession
     coarse, books = _ivfpq_load(spark, index_path)
-    codes = spark.read.parquet(_os.path.join(index_path, "codes"))
+    codes_path = _os.path.join(index_path, "codes")
+    if _os.path.isdir(_os.path.join(codes_path, "_manifests")):
+        from ..sources.snapshots import SnapshotTable
+
+        cells = _probed_cells(queries, coarse, nprobe,
+                              qid_col, qvec_col, quantize)
+        t = SnapshotTable(spark, codes_path)
+        codes = (t.read(where=f"cell IN ({','.join(map(str, cells))})")
+                 if cells else t.read())
+    else:
+        codes = spark.read.parquet(codes_path)
     m = len(books)
     # partitioned reads append the partition column last; put the id
     # first so ivfpq_adc_topk's columns[0] convention holds

@@ -1382,3 +1382,54 @@ def test_ivfpq_refine_recovers_exact_with_full_shortlist(spark):
                         .withColumn("rn", F.row_number().over(w))
                         .filter("rn <= 5").collect()}
     assert got == exact
+
+
+def test_ivfpq_transactional_index(spark, tmp_path):
+    """transactional=True stores codes as a SnapshotTable: answers are
+    bit-equal to the partitioned-parquet index, the probed-cell read is
+    FILE-pruned by manifest stats, and a replayed delta (same txn)
+    commits zero rows twice."""
+    from datum_spark.operators.similarity import (ivfpq_index_add,
+                                                  ivfpq_index_build,
+                                                  ivfpq_index_query)
+    from datum_spark.sources.snapshots import SnapshotTable
+
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01] * 8)
+            for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    qs = df.filter("vec_id IN (0, 1, 50)")
+    plain = str(tmp_path / "plain")
+    txn = str(tmp_path / "txn")
+    ivfpq_index_build(df, plain, ncells=3, m=2, ksub=4)
+    info = ivfpq_index_build(df, txn, ncells=3, m=2, ksub=4,
+                             transactional=True)
+    assert info["transactional"] and info["n_vectors"] == 60
+    a = {(r["query_id"], r["rnk"]): (r["vec_id"], r["adc"])
+         for r in ivfpq_index_query(qs, plain, k=5, nprobe=2).collect()}
+    b = {(r["query_id"], r["rnk"]): (r["vec_id"], r["adc"])
+         for r in ivfpq_index_query(qs, txn, k=5, nprobe=2).collect()}
+    assert a == b and len(b) == 15
+
+    # manifest-stats pruning: a 1-cell probe scans a strict file subset
+    t = SnapshotTable(spark, str(tmp_path / "txn" / "codes"))
+    all_files = set(t._load_manifest(t.current_version())["files"])
+    pruned = ivfpq_index_query(df.filter("vec_id = 0"), txn,
+                               k=3, nprobe=1)
+    scanned = {f.replace("file://", "").replace("file:", "")
+               for f in pruned.inputFiles()}
+    assert scanned < all_files
+
+    # at-least-once producer: the same micro-batch commits once
+    delta = spark.createDataFrame(
+        [(1000 + j, [0.005 + j * 0.001] * 8) for j in range(3)],
+        "vec_id bigint, embedding array<double>")
+    assert ivfpq_index_add(delta, txn, txn_id="ingest",
+                           txn_version=1) == 3
+    assert ivfpq_index_add(delta, txn, txn_id="ingest",
+                           txn_version=1) == 0      # replay: no-op
+    after = ivfpq_index_query(df.filter("vec_id = 0"), txn,
+                              k=23, nprobe=1).collect()
+    found = [r["vec_id"] for r in after]
+    assert {1000, 1001, 1002} <= set(found)
+    assert len(found) == len(set(found)) == 23      # no double-commit
