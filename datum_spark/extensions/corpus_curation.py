@@ -1335,3 +1335,115 @@ def x190(spark, sf):
                        F.round(F.col("hits_refined") / 10.0, 2)
                         .alias("recall_refined"))
                .orderBy("query_id"))
+
+
+@x("x191_negative_samples", """
+WITH a AS (
+  SELECT doc_id AS anchor_id, source AS ag FROM documents
+  WHERE doc_id < 10
+), c AS (
+  SELECT doc_id AS neg_id, source AS ng FROM documents
+  WHERE doc_id >= 100
+), p AS (
+  SELECT anchor_id, neg_id,
+         CAST(('0x' || substring(md5('neg-' || CAST(anchor_id AS VARCHAR)
+                                  || '-' || CAST(neg_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) AS h
+  FROM a JOIN c ON ag <> ng
+), r AS (
+  SELECT anchor_id, neg_id, h,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY h, neg_id) AS rnk
+  FROM p
+)
+SELECT anchor_id, neg_id, h, CAST(rnk AS INT) AS rnk
+FROM r WHERE rnk <= 4 ORDER BY anchor_id, rnk""")
+def x191(spark, sf):
+    """Contrastive negative sampling: 4 deterministic random negatives
+    per anchor from a DIFFERENT source (the false-negative guard),
+    membership a pure function of the (anchor, candidate) md5 pair
+    hash — the x59 split discipline applied to training-pair mining,
+    so any engine re-derives the exact sample.  The random-easy
+    counterpart of x192's ranker-mined hard negatives."""
+    from ..operators.sampling import negative_samples
+
+    docs = load_docs(spark, sf)
+    return (negative_samples(docs.filter(F.col("doc_id") < 10),
+                             docs.filter(F.col("doc_id") >= 100),
+                             k=4)
+            .orderBy("anchor_id", "rnk"))
+
+
+@x("x192_hard_negatives", """
+WITH qd AS (
+  SELECT doc_id AS query_id, text AS query_text, source AS qsrc
+  FROM documents WHERE doc_id < 8
+), qt AS (
+  SELECT DISTINCT query_id, unnest(list_distinct(list_filter(
+           string_split_regex(lower(query_text), '[^a-z0-9]+'),
+           x -> x <> ''))) AS term
+  FROM qd
+), d AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS ws
+  FROM documents WHERE doc_id >= 100
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(len(ws)) AS avgdl FROM d
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, ANY_VALUE(dl) AS dl FROM (
+    SELECT doc_id, unnest(ws) AS term, len(ws) AS dl FROM d
+  ) WHERE term IN (SELECT term FROM qt) GROUP BY doc_id, term
+), dfq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         ROUND(SUM( LN((stats.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1)
+                   * tf.tf * (1.2 + 1)
+                   / (tf.tf + 1.2 * (1 - 0.75
+                                     + 0.75 * tf.dl / stats.avgdl))),
+               4) AS score
+  FROM tf JOIN dfq USING (term) JOIN qt USING (term) CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), rk AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM scored
+), neg AS (
+  SELECT rk.query_id, rk.doc_id, rk.score
+  FROM rk JOIN d ON rk.doc_id = d.doc_id
+          JOIN qd ON rk.query_id = qd.query_id
+  WHERE rk.rnk <= 15 AND d.source <> qd.qsrc
+), rr AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM neg
+)
+SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk
+FROM rr WHERE rnk <= 5 ORDER BY query_id, rnk""")
+def x192(spark, sf):
+    """Hard-negative mining with the engine's own ranker: per query
+    (doc texts as queries, same-source membership as the relevance
+    proxy — the x184 labels), the top-5 BM25-scored docs that are NOT
+    relevant, from a 15-candidate shortlist.  The DPR-style
+    mine-with-the-current-ranker loop: x152 retrieves, x184 grades,
+    this builds the training negatives.  The oracle replays BM25, the
+    shortlist, the anti-membership and the re-rank."""
+    from ..operators.keywords import hard_negatives
+
+    docs = load_docs(spark, sf)
+    qd = (docs.filter(F.col("doc_id") < 8)
+              .select(F.col("doc_id").alias("query_id"),
+                      F.col("text").alias("query_text"),
+                      F.col("source").alias("qsrc")))
+    corpus = docs.filter(F.col("doc_id") >= 100)
+    relevant = (qd.select("query_id", "qsrc")
+                  .join(corpus.select("doc_id", "source"),
+                        F.col("source") == F.col("qsrc"))
+                  .select("query_id", "doc_id"))
+    return (hard_negatives(corpus,
+                           qd.select("query_id", "query_text"),
+                           relevant, k=5, candidates=15)
+            .orderBy("query_id", "rnk"))

@@ -201,3 +201,39 @@ def ranking_metrics(ranked: DataFrame, relevant: DataFrame,
                                      F.coalesce("__hits", F.lit(0))
                                      / F.col("n_rel"))
                                .otherwise(0.0), 4).alias("recall")))
+
+
+def hard_negatives(docs: DataFrame, queries: DataFrame,
+                   relevant: DataFrame, k: int = 5,
+                   candidates: int | None = None,
+                   id_col: str = "doc_id", text_col: str = "text",
+                   query_id_col: str = "query_id",
+                   query_text_col: str = "query_text",
+                   k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Hard-negative mining for retrieval training: per query, the
+    top-``k`` BM25-scored documents that are NOT in the relevance
+    table — the mine-with-the-current-ranker loop (DPR/contriever
+    recipe: the strongest non-answers make the best training
+    negatives; random negatives are too easy).
+
+    ``candidates`` is the BM25 shortlist width (default ``3·k``):
+    positives inside the shortlist are anti-joined away, so up to
+    ``candidates − k`` positives per query are tolerated before the
+    negative list comes up short — size it to the expected positives
+    per query.  Scale shape: one :func:`bm25_topk` pass (query vocab
+    broadcast, per-query ranking window), one broadcast-able anti-join
+    against the relevance pairs, one k-bounded re-rank.  Returns
+    ``(query_id_col, id_col, score, rnk)``.
+    """
+    cand = bm25_topk(docs, queries, k=(candidates or 3 * k),
+                     id_col=id_col, text_col=text_col,
+                     query_id_col=query_id_col,
+                     query_text_col=query_text_col, k1=k1, b=b)
+    rel = (relevant.select(query_id_col, id_col)
+                   .dropDuplicates([query_id_col, id_col]))
+    neg = cand.join(rel, [query_id_col, id_col], "left_anti")
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc())
+    return (neg.select(query_id_col, id_col, "score")
+               .withColumn("rnk", F.row_number().over(w))
+               .filter(F.col("rnk") <= k))

@@ -311,3 +311,49 @@ def gumbel_topk(weighted: DataFrame, id_col: str, logw_col: str,
         F.round(F.col(logw_col) + g, 9).alias(score_col))
     return (scored.orderBy(F.col(score_col).desc(), F.col(id_col))
                   .limit(k))
+
+
+def negative_samples(anchors: DataFrame, pool: DataFrame, k: int = 4,
+                     anchor_id: str = "doc_id",
+                     anchor_group: str = "source",
+                     cand_id: str = "doc_id",
+                     cand_group: str = "source",
+                     salt: str = "neg",
+                     slate: int | None = None) -> DataFrame:
+    """``k`` deterministic RANDOM negatives per anchor for contrastive
+    training: candidates from a DIFFERENT group than the anchor
+    (group = source/domain/cluster — the standard false-negative
+    guard), ranked per anchor by the portable md5 pair hash, smallest
+    ``k`` kept.  Membership is a pure function of the ids — any engine
+    with ``md5`` re-derives the exact sample (the x59 split
+    discipline), so training data is auditable and reproducible.
+
+    Scale shape: ``slate`` first cuts the pool to a bounded candidate
+    table by per-candidate hash (smallest ``slate`` hashes — a uniform
+    pseudo-random slate, partitioning-independent); the slate
+    broadcasts and the per-anchor ranking is a window over
+    anchors × slate, never anchors × corpus.  Returns
+    ``(anchor_id, neg_id, h, rnk)``.  Complements
+    :func:`~datum_spark.operators.keywords.hard_negatives` — random
+    easy negatives there, ranker-mined hard ones here.
+    """
+    from pyspark.sql import Window
+
+    cand = pool.select(F.col(cand_id).alias("neg_id"),
+                       F.col(cand_group).alias("__ng"))
+    if slate is not None:
+        cand = (cand.orderBy(
+                    md5_bucket(F.col("neg_id"), salt=f"{salt}-slate"),
+                    "neg_id")
+                    .limit(int(slate)))
+    a = anchors.select(F.col(anchor_id).alias("anchor_id"),
+                       F.col(anchor_group).alias("__ag"))
+    h = md5_bucket(F.concat_ws("-", F.col("anchor_id"),
+                               F.col("neg_id")), salt=salt)
+    w = Window.partitionBy("anchor_id").orderBy(F.col("h").asc(),
+                                                F.col("neg_id").asc())
+    return (a.join(F.broadcast(cand),
+                   F.col("__ag") != F.col("__ng"))
+             .select("anchor_id", "neg_id", h.alias("h"))
+             .withColumn("rnk", F.row_number().over(w))
+             .filter(F.col("rnk") <= k))

@@ -105,3 +105,55 @@ def test_ranking_metrics_duplicate_relevance_pairs(spark):
              for r in ranking_metrics(ranked, dup, k=3).collect()}
     assert noisy == clean
     assert noisy[1]["n_rel"] == 3
+
+
+def test_hard_negatives_excludes_relevant(spark):
+    """No relevant doc ever appears; output is the score-ordered top-k
+    of the non-relevant shortlist."""
+    from datum_spark.operators.keywords import bm25_topk, hard_negatives
+
+    docs = spark.createDataFrame(
+        [(1, "cat dog fish"), (2, "cat dog bird"), (3, "cat mouse"),
+         (4, "dog wolf"), (5, "tree rock")],
+        "doc_id int, text string")
+    qs = spark.createDataFrame([(10, "cat dog")],
+                               "query_id int, query_text string")
+    rel = spark.createDataFrame([(10, 1), (10, 1)],  # dup pair tolerated
+                                "query_id int, doc_id int")
+    out = hard_negatives(docs, qs, rel, k=3, candidates=5).collect()
+    got = [(r["doc_id"], r["rnk"]) for r in sorted(out,
+                                                   key=lambda r: r["rnk"])]
+    assert all(d != 1 for d, _ in got)        # positive excluded
+    # same order as the full ranking with doc 1 removed
+    full = {r["doc_id"]: r["score"]
+            for r in bm25_topk(docs, qs, k=5).collect()}
+    expect = sorted((d for d in full if d != 1),
+                    key=lambda d: (-full[d], d))[:3]
+    assert [d for d, _ in got] == expect
+
+
+def test_negative_samples_group_exclusion_and_determinism(spark):
+    from datum_spark.operators.sampling import negative_samples
+
+    anchors = spark.createDataFrame(
+        [(i, f"s{i % 2}") for i in range(4)], "doc_id long, source string")
+    pool = spark.createDataFrame(
+        [(100 + i, f"s{i % 3}") for i in range(30)],
+        "doc_id long, source string")
+    out = negative_samples(anchors, pool, k=5).collect()
+    groups = {r["doc_id"]: r["source"] for r in pool.collect()}
+    agroup = {r["doc_id"]: r["source"] for r in anchors.collect()}
+    assert len(out) == 20                     # 4 anchors × 5
+    for r in out:
+        assert groups[r["neg_id"]] != agroup[r["anchor_id"]]
+    # deterministic and partition-invariant
+    again = negative_samples(anchors.repartition(7), pool.coalesce(1),
+                             k=5).collect()
+    key = lambda rows: sorted((r["anchor_id"], r["rnk"], r["neg_id"])
+                              for r in rows)
+    assert key(out) == key(again)
+    # slate bounds the candidate side and stays deterministic
+    slated = negative_samples(anchors, pool, k=5, slate=10).collect()
+    assert len({r["neg_id"] for r in slated}) <= 10
+    assert key(slated) == key(negative_samples(anchors, pool, k=5,
+                                               slate=10).collect())
