@@ -1052,3 +1052,59 @@ def test_checkpoint_is_pure_optimization(spark, tmp_path):
             os.unlink(os.path.join(t._manifests, n))
     assert t._last_txn_version("p") == before == 6
     assert t.append_once(df, txn_id="p", txn_version=6) is None
+
+
+def test_feed_drives_incremental_ann_index(spark, tmp_path):
+    """Round-9 composition: an embeddings lake table feeds the
+    transactional IVF-PQ index through a ChangeFeedCursor — each polled
+    batch is assign+encoded against the frozen quantizers and committed
+    with the FEED VERSION as the txn version, so a crashed-and-replayed
+    batch (at-least-once consumption) lands in the index exactly once
+    and queries immediately see the new vectors."""
+    from datum_spark.operators.similarity import (ivfpq_index_add,
+                                                  ivfpq_index_build,
+                                                  ivfpq_index_query)
+    from datum_spark.sources.snapshots import ChangeFeedCursor
+
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01] * 8)
+            for i in range(60)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    lake = SnapshotTable.create(spark, str(tmp_path / "emb"))
+    lake.append(emb)
+    idx = str(tmp_path / "idx")
+    ivfpq_index_build(lake.read(), idx, ncells=3, m=2, ksub=4,
+                      transactional=True)
+    cur = ChangeFeedCursor(lake, str(tmp_path / "cur.json"),
+                           autocommit=False)
+
+    # two ingest batches land in the lake
+    lake.append(spark.createDataFrame(
+        [(1000 + j, [0.005 + j * 0.001] * 8) for j in range(3)],
+        "vec_id long, embedding array<double>"))
+    lake.append(spark.createDataFrame(
+        [(2000 + j, [200.005 + j * 0.001] * 8) for j in range(2)],
+        "vec_id long, embedding array<double>"))
+    batch = cur.poll().filter("_change_type = 'insert'") \
+               .select("vec_id", "embedding")
+    n = ivfpq_index_add(batch, idx, txn_id="feed",
+                        txn_version=cur._pending)
+    assert n == 5
+    # crash before cur.commit(): the replayed poll is a no-op add
+    cur2 = ChangeFeedCursor(lake, str(tmp_path / "cur.json"),
+                            autocommit=False)
+    replay = cur2.poll().filter("_change_type = 'insert'") \
+                 .select("vec_id", "embedding")
+    assert ivfpq_index_add(replay, idx, txn_id="feed",
+                           txn_version=cur2._pending) == 0
+    cur2.commit()
+    # the index serves the new vectors, exactly once each
+    got = ivfpq_index_query(emb.filter("vec_id = 0"), idx,
+                            k=23, nprobe=1).collect()
+    ids = [r["vec_id"] for r in got]
+    assert {1000, 1001, 1002} <= set(ids)
+    assert len(ids) == len(set(ids))
+    # the 200.x batch lands in blob 1's cell (vec 1's home)
+    got2 = ivfpq_index_query(emb.filter("vec_id = 1"), idx,
+                             k=22, nprobe=1).collect()
+    assert {2000, 2001} <= {r["vec_id"] for r in got2}
