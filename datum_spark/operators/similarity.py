@@ -1129,8 +1129,10 @@ def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
     id_col = codes.columns[0]
     # probed-cell pre-filter: pushes to the parquet scan (partition
     # pruning on a cell-partitioned index) — the join would drop the
-    # rows anyway, but only AFTER reading them
-    pruned = codes.filter(F.col("cell").isin(*sorted(probed)))
+    # rows anyway, but only AFTER reading them.  An empty query batch
+    # probes nothing: prune everything (isin() with no args throws).
+    pruned = (codes.filter(F.col("cell").isin(*sorted(probed)))
+              if probed else codes.filter(F.lit(False)))
     expl = pruned.select(
         id_col, "cell",
         F.posexplode(F.array(*[F.col(f"code_{s}") for s in range(m)]))
