@@ -396,30 +396,29 @@ class SnapshotTable:
 
     def _latest_checkpoint(self, head: int) -> dict | None:
         """Newest checkpoint at or below ``head`` (the ``_last_checkpoint``
-        pointer is a HINT: validated against head, scan fallback) — or
-        None; checkpoints are pure optimization, every consumer must be
+        pointer is a HINT: validated against head and against the file
+        actually existing, directory-scan fallback) — or None;
+        checkpoints are pure optimization, every consumer must be
         correct without one."""
-        cand = None
         try:
             with open(os.path.join(self._manifests,
                                    "_last_checkpoint.json")) as fh:
                 v = int(json.load(fh)["version"])
             if v <= head:
-                cand = v
+                with open(self._checkpoint_path(v)) as fh:
+                    return json.load(fh)
         except (OSError, ValueError, KeyError):
-            pass
-        if cand is None:
-            try:
-                vs = [int(n[6:-5]) for n in os.listdir(self._manifests)
-                      if n.startswith("ckpt-v") and n.endswith(".json")]
-            except FileNotFoundError:
-                return None
-            vs = [v for v in vs if v <= head]
-            if not vs:
-                return None
-            cand = max(vs)
+            pass                         # stale/absent pointer → scan
         try:
-            with open(self._checkpoint_path(cand)) as fh:
+            vs = [int(n[6:-5]) for n in os.listdir(self._manifests)
+                  if n.startswith("ckpt-v") and n.endswith(".json")]
+        except FileNotFoundError:
+            return None
+        vs = [v for v in vs if v <= head]
+        if not vs:
+            return None
+        try:
+            with open(self._checkpoint_path(max(vs))) as fh:
                 return json.load(fh)
         except OSError:
             return None

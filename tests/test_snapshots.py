@@ -1108,3 +1108,19 @@ def test_feed_drives_incremental_ann_index(spark, tmp_path):
     got2 = ivfpq_index_query(emb.filter("vec_id = 1"), idx,
                              k=22, nprobe=1).collect()
     assert {2000, 2001} <= {r["vec_id"] for r in got2}
+
+
+def test_checkpoint_pointer_stale_falls_back_to_scan(spark, tmp_path):
+    """A pointer naming a deleted checkpoint file must not blind the
+    reader to an older checkpoint still on disk."""
+    t = SnapshotTable.create(spark, str(tmp_path / "ckp"),
+                             checkpoint_interval=3)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 8):
+        t.append_once(df, txn_id="p", txn_version=i)
+    # both ckpt-3 and ckpt-6 exist; delete the one the pointer names
+    assert os.path.exists(t._checkpoint_path(6))
+    os.unlink(t._checkpoint_path(6))
+    ck = t._latest_checkpoint(t.current_version())
+    assert ck is not None and ck["version"] == 3   # scan found the older
+    assert t._last_txn_version("p") == 7
