@@ -1447,3 +1447,57 @@ def x192(spark, sf):
                            qd.select("query_id", "query_text"),
                            relevant, k=5, candidates=15)
             .orderBy("query_id", "rnk"))
+
+
+@x("x194_calibration", """
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id, CAST(lang = 'en' AS INT) AS label,
+         LEAST(len(list_filter(ws, x -> x IN ('the', 'a')))
+               * 8.0 / len(ws), 1.0) AS score
+  FROM w WHERE len(ws) > 0
+), b AS (
+  SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin, score, label
+  FROM s
+), bins AS (
+  SELECT bin, COUNT(*) AS n, ROUND(AVG(score), 6) AS mean_score,
+         ROUND(AVG(CAST(label AS DOUBLE)), 6) AS frac_pos
+  FROM b GROUP BY bin
+)
+SELECT bin, n, mean_score, frac_pos,
+       ROUND(ABS(mean_score - frac_pos), 6) AS gap,
+       ROUND(SUM(n * ABS(mean_score - frac_pos)) OVER ()
+             / SUM(n) OVER (), 6) AS ece
+FROM bins ORDER BY bin""")
+def x194(spark, sf):
+    """Score calibration audit: how well does the scaled English-
+    stopword share predict ``lang = 'en'``?  Reliability-diagram bins
+    (mean score vs observed positive fraction per bin) plus the
+    expected calibration error as a constant column — the evaluation
+    every learned quality gate (x188) needs before its threshold is
+    trusted.  One map-combined shuffle of ≤10 rows; the oracle replays
+    the binning, both bin means and the ECE fold."""
+    from ..operators.classifier import calibration_bins
+
+    docs = load_docs(spark, sf)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+    d = (docs.withColumn("__ws", words)
+             .filter(F.size("__ws") > 0)
+             .select("doc_id",
+                     (F.col("lang") == "en").cast("int").alias("label"),
+                     F.least(
+                         F.size(F.filter(F.col("__ws"),
+                                         lambda w: w.isin("the", "a")))
+                         * 8.0 / F.size("__ws"),
+                         F.lit(1.0)).alias("score")))
+    bins = calibration_bins(d, "score", "label", bins=10)
+    w = Window.partitionBy()
+    return (bins.withColumn(
+                "ece", F.round(F.sum(F.col("n") * F.col("gap")).over(w)
+                               / F.sum("n").over(w), 6))
+                .orderBy("bin"))

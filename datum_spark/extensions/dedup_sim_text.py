@@ -776,3 +776,46 @@ def x21(spark, sf):
             .orderBy("source"))
 
 
+
+
+def _x193_sql() -> str:
+    from ..operators.text import normalize_text_oracle_sql as n
+
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 50
+), noisy AS (
+  SELECT doc_id, text,
+         chr(160) || 'â€œ' || text || 'â€™' || chr(7) || '  ' AS t
+  FROM base
+)
+SELECT doc_id,
+       length({n("t")}) AS len_norm,
+       substring(md5({n("t")}), 1, 16) AS h,
+       ({n("t")} = '"' || {n("text")} || chr(39)) AS roundtrip
+FROM noisy ORDER BY doc_id"""
+
+
+@x("x193_text_normalize", _x193_sql())
+def x193(spark, sf):
+    """Text normalization (the always-on cleaning pre-pass): mojibake
+    repair, unicode-punctuation → ASCII, control-char strip, whitespace
+    collapse — one pure-Catalyst expression chain whose ordered replace
+    tables are SHARED with the oracle generator, so DuckDB replays the
+    normalization character-for-character.  The entry PLANTS noise
+    (NBSP + mojibake quotes + a BEL + trailing spaces around each doc)
+    and checks the normalized form round-trips to the clean doc's
+    normalization wrapped in the repaired quotes."""
+    from ..operators.text import normalize_text
+
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 50)
+    noisy = F.concat(F.lit(" â€œ"), F.col("text"),
+                     F.lit("â€™\x07  "))
+    nn = normalize_text(noisy)
+    nc = normalize_text(F.col("text"))
+    return (docs.select(
+        "doc_id",
+        F.length(nn).alias("len_norm"),
+        F.substring(F.md5(nn.cast("binary")), 1, 16).alias("h"),
+        (nn == F.concat(F.lit('"'), nc, F.lit("'"))).alias("roundtrip"))
+        .orderBy("doc_id"))

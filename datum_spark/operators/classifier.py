@@ -238,3 +238,30 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
             w += np.asarray(r["w"]) * (r["n"] / total)
             bias += r["b"] * (r["n"] / total)
     return [float(x) for x in w], float(bias)
+
+
+def calibration_bins(scored: DataFrame, score_col: str = "score",
+                     label_col: str = "label", bins: int = 10,
+                     quantize: int = 6) -> DataFrame:
+    """Reliability table for a probabilistic scorer — the quality-model
+    EVALUATION the curation stack needs before trusting a learned gate:
+    scores bucket into ``bins`` equal-width bins and each occupied bin
+    reports ``(bin, n, mean_score, frac_pos, gap)`` with
+    ``gap = |mean_score − frac_pos|`` (the reliability-diagram rows;
+    ``Σ n·gap / Σ n`` is expected calibration error).
+
+    Scale shape: ONE map-side-combined shuffle of ≤ ``bins`` rows —
+    evaluation cost is a single corpus pass regardless of size.  All
+    reductions round to ``quantize`` dp, so an external engine replays
+    the table value-for-value (x194)."""
+    b = F.least(F.floor(F.col(score_col) * bins),
+                F.lit(bins - 1)).cast("int")
+    return (scored.groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg(score_col), quantize).alias("mean_score"),
+                 F.round(F.avg(F.col(label_col).cast("double")),
+                         quantize).alias("frac_pos"))
+            .withColumn("gap", F.round(F.abs(F.col("mean_score")
+                                             - F.col("frac_pos")),
+                                       quantize))
+            .orderBy("bin"))

@@ -302,3 +302,63 @@ def char_entropy(col: Column) -> Column:
 def with_char_entropy(df: DataFrame, text_col: str = "text",
                       out_col: str = "char_entropy") -> DataFrame:
     return df.withColumn(out_col, char_entropy(F.col(text_col)))
+
+
+# ordered normalization tables — shared by the Column builder and the
+# oracle generator so the two can never drift.  Mojibake first (their
+# characters would otherwise be touched by the punctuation map), then
+# unicode punctuation → ASCII; control strip and whitespace collapse
+# are regex classes applied after.
+_MOJIBAKE = [("â€™", "'"),    # â€™  (’ through latin-1)
+             ("â€œ", '"'),    # â€œ  (“)
+             ("â€“", "-"),    # â€“  (–)
+             ("â€”", "-"),    # â€”  (—)
+             ("Ã©", "e")]          # Ã©   (é)
+_PUNCT = [("’", "'"), ("‘", "'"),
+          ("“", '"'), ("”", '"'),
+          ("–", "-"), ("—", "-"),
+          ("…", "..."), (" ", " ")]
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+def normalize_text(col: Column) -> Column:
+    """C4/CCNet-style text normalization as ONE pure-Catalyst
+    expression chain (no UDF), with semantics chosen to be replayable
+    verbatim by any SQL engine (x193):
+
+    1. un-mojibake the frequent UTF-8-decoded-as-Latin-1 sequences
+       (â€™ â€œ â€“ â€” Ã©) to their ASCII intents;
+    2. map unicode punctuation to ASCII (curly quotes, en/em dash,
+       ellipsis, NBSP → space);
+    3. strip C0/C1-range control characters;
+    4. collapse whitespace runs to single spaces and trim.
+
+    The replace tables are ORDERED module constants (`_MOJIBAKE`,
+    `_PUNCT`) shared with the oracle generator.  At 100 TB this is the
+    cheap always-on pre-pass of the cleaning stack: map-side, fully
+    inside whole-stage codegen, zero shuffles.
+    """
+    out = col
+    for bad, good in _MOJIBAKE + _PUNCT:
+        out = F.replace(out, F.lit(bad), F.lit(good))
+    out = F.regexp_replace(out, _CTRL_RE, "")
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def with_normalized_text(df: DataFrame, text_col: str = "text",
+                         out_col: str = "norm_text") -> DataFrame:
+    return df.withColumn(out_col, normalize_text(F.col(text_col)))
+
+
+def normalize_text_oracle_sql(expr: str) -> str:
+    """The DuckDB spelling of :func:`normalize_text` over SQL
+    expression ``expr`` — generated from the SAME ordered tables."""
+    out = expr
+    for bad, good in _MOJIBAKE + _PUNCT:
+        bq = bad.replace("'", "''")
+        gq = good.replace("'", "''")
+        out = f"replace({out}, '{bq}', '{gq}')"
+    out = (f"regexp_replace({out}, '{_CTRL_RE}', '', 'g')")
+    out = f"regexp_replace({out}, '\\s+', ' ', 'g')"
+    return f"trim({out})"

@@ -161,3 +161,20 @@ def test_training_partitioning_invariant(spark, toy):
     c = quality_classifier_fit(toy.coalesce(2), "doc_id", "text", "y",
                                n_buckets=32, steps=4, lr=1.0)
     assert a == b == c
+
+
+def test_calibration_bins_hand_computed(spark):
+    from datum_spark.operators.classifier import calibration_bins
+
+    rows = [(0.05, 0), (0.05, 0),            # bin 0: mean .05, frac 0
+            (0.95, 1), (0.95, 1), (0.95, 0),  # bin 9: mean .95, frac 2/3
+            (1.0, 1)]                         # score 1.0 clamps to bin 9
+    df = spark.createDataFrame(rows, "score double, label int")
+    got = {r["bin"]: r.asDict()
+           for r in calibration_bins(df, bins=10).collect()}
+    assert set(got) == {0, 9}
+    assert got[0]["n"] == 2 and got[0]["frac_pos"] == 0.0
+    assert got[9]["n"] == 4
+    assert got[9]["mean_score"] == round((0.95 * 3 + 1.0) / 4, 6)
+    assert got[9]["frac_pos"] == 0.75
+    assert got[9]["gap"] == round(abs(got[9]["mean_score"] - 0.75), 6)

@@ -1433,3 +1433,24 @@ def test_ivfpq_transactional_index(spark, tmp_path):
     found = [r["vec_id"] for r in after]
     assert {1000, 1001, 1002} <= set(found)
     assert len(found) == len(set(found)) == 23      # no double-commit
+
+
+def test_normalize_text_hand_cases(spark):
+    from datum_spark.operators.text import normalize_text
+
+    cases = [
+        ("cafÃ© â€œquotedâ€™",
+         'cafe "quoted\''),                       # mojibake é “ ’
+        ("a’b “c” – d …", "a'b \"c\" - d ..."),
+        ("x\x00y\x07z", "xyz"),                   # control strip
+        ("  a\t\tb\nc  ", "a b c"),               # whitespace collapse
+        ("nb sp", "nb sp"),                  # NBSP → space
+        ("", ""),
+    ]
+    df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(cases)],
+                               "i int, s string")
+    got = {r["i"]: r["n"]
+           for r in df.select("i", normalize_text(F.col("s"))
+                              .alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
