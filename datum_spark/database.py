@@ -217,13 +217,16 @@ class Database:
     def ensure_geom_fns(self) -> None:
         """Idempotently register the ST_* SQL pack (used by the execute()
         gateway AND by ``where=`` fragments on Table.query/read — reference
-        users wrote PostGIS functions in both places)."""
+        users wrote PostGIS functions in both places), plus the text
+        cleaning pack (normalize_text / token_count)."""
         if not getattr(self, "_geom_fns_registered", False):
             from .functions.geometry_sql import (
                 register_geometry_sql_functions,
             )
+            from .operators.text import register_text_sql_functions
 
             register_geometry_sql_functions(self.spark)
+            register_text_sql_functions(self.spark)
             self._geom_fns_registered = True
 
     def register_all(self) -> None:

@@ -362,3 +362,37 @@ def normalize_text_oracle_sql(expr: str) -> str:
     out = (f"regexp_replace({out}, '{_CTRL_RE}', '', 'g')")
     out = f"regexp_replace({out}, '\\s+', ' ', 'g')"
     return f"trim({out})"
+
+
+def register_text_sql_functions(spark, force: bool = False) -> None:
+    """Idempotently expose the text-cleaning pack to the SQL gateway as
+    temporary functions (same mechanism as the ST_* pack):
+
+    - ``normalize_text(s)`` — :func:`normalize_text`, built from the
+      SAME ordered replace tables (one source of truth);
+    - ``token_count(s)`` — whitespace token count.
+    """
+    if not force and getattr(spark, "_datum_text_registered", False):
+        return
+
+    def sql_quote(t: str) -> str:
+        return "'" + t.replace("\\", "\\\\").replace("'", "''") + "'"
+
+    body = "s"
+    for bad, good in _MOJIBAKE + _PUNCT:
+        body = f"replace({body}, {sql_quote(bad)}, {sql_quote(good)})"
+    # the control class via \\uXXXX escapes (unescaped by the SQL lexer
+    # into the literal chars, so the regex sees a plain char class)
+    ctrl = ("'[\\u0000-\\u0008\\u000B\\u000C\\u000E-\\u001F\\u007F]'")
+    body = f"regexp_replace({body}, {ctrl}, '')"
+    body = f"regexp_replace({body}, '\\\\s+', ' ')"
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION normalize_text"
+              f"(s STRING) RETURNS STRING RETURN trim({body})")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION token_count(s STRING) "
+        "RETURNS INT RETURN "
+        "size(filter(split(lower(s), '\\\\s+'), t -> t != ''))")
+    try:
+        spark._datum_text_registered = True
+    except AttributeError:
+        pass

@@ -40,3 +40,23 @@ def test_declared_sql_runs_through_gateway(spark, smoke_db, name):
     rows_sql = [tuple(r) for r in via_sql.collect()]
     rows_df = [tuple(r) for r in via_df.collect()]
     assert rows_sql == rows_df, (name, rows_sql[:2], rows_df[:2])
+
+
+def test_gateway_text_functions(smoke_db):
+    """normalize_text / token_count are callable from execute() SQL and
+    agree with the Column implementations."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.operators.text import normalize_text, token_count
+
+    rows = smoke_db.execute(
+        "SELECT doc_id, normalize_text(text) AS n, "
+        "token_count(text) AS tc FROM documents WHERE doc_id < 5 "
+        "ORDER BY doc_id")
+    df = (smoke_db["documents"].query()
+          .filter(F.col("doc_id") < 5)
+          .select("doc_id", normalize_text(F.col("text")).alias("n"),
+                  token_count(F.col("text")).alias("tc"))
+          .orderBy("doc_id").collect())
+    assert [(r["doc_id"], r["n"], r["tc"]) for r in df] \
+        == [(r["doc_id"], r["n"], r["tc"]) for r in rows]
