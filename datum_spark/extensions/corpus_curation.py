@@ -1501,3 +1501,68 @@ def x194(spark, sf):
                 "ece", F.round(F.sum(F.col("n") * F.col("gap")).over(w)
                                / F.sum("n").over(w), 6))
                 .orderBy("bin"))
+
+
+@x("x195_signal_spearman", """
+WITH sigs AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '')) AS DOUBLE) AS n_tokens,
+         len(list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x IN ('the', 'a')))
+           * 1.0 / len(list_filter(string_split_regex(lower(text),
+                                                      '\\s+'),
+                       x -> x <> '')) AS stop_share,
+         len(list_distinct(list_filter(string_split_regex(lower(text),
+                                                          '\\s+'),
+                           x -> x <> '')))
+           * 1.0 / len(list_filter(string_split_regex(lower(text),
+                                                      '\\s+'),
+                       x -> x <> '')) AS distinct_ratio
+  FROM documents
+  WHERE len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x <> '')) > 0
+), long AS (
+  SELECT doc_id, 'n_chars' AS sig, n_chars AS v FROM sigs
+  UNION ALL SELECT doc_id, 'n_tokens', n_tokens FROM sigs
+  UNION ALL SELECT doc_id, 'stop_share', stop_share FROM sigs
+  UNION ALL SELECT doc_id, 'distinct_ratio', distinct_ratio FROM sigs
+), ranked AS (
+  SELECT doc_id, sig,
+         ROW_NUMBER() OVER (PARTITION BY sig
+                            ORDER BY v, doc_id) AS r
+  FROM long WHERE v IS NOT NULL
+)
+SELECT a.sig AS sig_a, b.sig AS sig_b,
+       ROUND(corr(a.r, b.r), 4) AS spearman,
+       COUNT(*) AS n
+FROM ranked a JOIN ranked b
+  ON a.doc_id = b.doc_id AND a.sig < b.sig
+GROUP BY a.sig, b.sig ORDER BY sig_a, sig_b""")
+def x195(spark, sf):
+    """Spearman rank-correlation matrix of four quality signals
+    (chars, tokens, stopword share, distinct-word ratio) — the
+    redundancy audit a multi-signal filter stack needs: near-1 pairs
+    gate the same docs twice, near-0 pairs carry independent
+    information.  Deterministic (value, id) rank ties, so the oracle
+    replays the exact ranks; corr is rounded to absorb summation
+    order."""
+    from ..operators.signals import spearman_matrix
+
+    docs = load_docs(spark, sf)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+    d = (docs.withColumn("__ws", words)
+             .filter(F.size("__ws") > 0)
+             .select("doc_id",
+                     F.length("text").cast("double").alias("n_chars"),
+                     F.size("__ws").cast("double").alias("n_tokens"),
+                     (F.size(F.filter(F.col("__ws"),
+                                      lambda w: w.isin("the", "a")))
+                      / F.size("__ws")).alias("stop_share"),
+                     (F.size(F.array_distinct("__ws"))
+                      / F.size("__ws")).alias("distinct_ratio")))
+    return spearman_matrix(d, "doc_id",
+                           ["n_chars", "n_tokens", "stop_share",
+                            "distinct_ratio"])

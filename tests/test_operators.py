@@ -1454,3 +1454,26 @@ def test_normalize_text_hand_cases(spark):
                               .alias("n")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_spearman_matrix_known_relationships(spark):
+    """Perfect monotone → 1.0; perfect inverse → -1.0; a scrambling
+    permutation (tie-free: the deterministic (value, id) tie rule makes
+    heavily-tied signals rank BY id, which is itself a signal) sits
+    near 0.  Partitioning never changes the deterministic ranks."""
+    from datum_spark.operators.signals import spearman_matrix
+
+    rows = [(i, float(i), float(i * i), float(100 - i),
+             float((i * 17) % 40)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "id long, a double, b double, c double, d double")
+    got = {(r["sig_a"], r["sig_b"]): r["spearman"]
+           for r in spearman_matrix(df, "id",
+                                    ["a", "b", "c", "d"]).collect()}
+    assert got[("a", "b")] == 1.0          # monotone transform
+    assert got[("a", "c")] == -1.0         # reversed
+    assert abs(got[("a", "d")]) < 0.1      # permutation ≈ independent
+    again = {(r["sig_a"], r["sig_b"]): r["spearman"]
+             for r in spearman_matrix(df.repartition(7), "id",
+                                      ["a", "b", "c", "d"]).collect()}
+    assert again == got
