@@ -1566,3 +1566,105 @@ def x195(spark, sf):
     return spearman_matrix(d, "doc_id",
                            ["n_chars", "n_tokens", "stop_share",
                             "distinct_ratio"])
+
+
+def _x196_sql(prefixes=(8, 16, 32), n_queries: int = 10,
+              k: int = 10) -> str:
+    d2 = ("ROUND(list_sum(list_transform(list_zip({qe}, {ce}), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)")
+    parts = ["""v AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+)""", f"""q AS (
+  SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {n_queries}
+)""", f"""full_r AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {d2.format(qe="q.qe", ce="v.e")}, v.vec_id) AS rn
+    FROM q CROSS JOIN v) WHERE rn <= {k}
+)"""]
+    sel = []
+    for p in prefixes:
+        qe = f"list_slice(q.qe, 1, {p})::DOUBLE[]"
+        ce = f"list_slice(v.e, 1, {p})::DOUBLE[]"
+        parts.append(f"""p{p} AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             {d2.format(qe=qe, ce=ce)}, v.vec_id) AS rn
+    FROM q CROSS JOIN v) WHERE rn <= {k}
+)""")
+        sel.append(f"""SELECT {p} AS prefix_dim, f.qid AS query_id,
+       CAST(COUNT(p.vec_id) AS BIGINT) AS hits,
+       ROUND(COUNT(p.vec_id) / {k}.0, 2) AS recall
+FROM full_r f LEFT JOIN p{p} p
+  ON f.qid = p.qid AND f.vec_id = p.vec_id
+GROUP BY f.qid""")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL\n".join(sel)
+            + "\nORDER BY prefix_dim, query_id")
+
+
+@x("x196_matryoshka_recall", _x196_sql())
+def x196(spark, sf):
+    """Prefix-truncation (matryoshka) serving audit: recall@10 of the
+    exact ranking over the first 8/16/32 dims against the full-64-dim
+    ranking — the measurement behind choosing a cheaper storage/serve
+    dimension (a 4× prefix cut is 4× less scan IO at ANN scale).  The
+    oracle replays every truncated and full ranking."""
+    from ..operators.similarity import matryoshka_recall
+
+    emb = load_emb(spark, sf)
+    return (matryoshka_recall(emb, [8, 16, 32], n_queries=10, k=10)
+            .orderBy("prefix_dim", "query_id"))
+
+
+@x("x197_semantic_contamination", """
+WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id >= 100 AND embedding IS NOT NULL
+), ev AS (
+  SELECT vec_id AS eid, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id < 10 AND embedding IS NOT NULL
+  UNION ALL
+  SELECT vec_id + 5000 AS eid,
+         list_transform(embedding::DOUBLE[], x -> x * 1.1) AS e
+  FROM embeddings WHERE vec_id >= 100 AND vec_id < 110
+), scored AS (
+  SELECT ev.eid,
+         ROUND(list_dot_product(ev.e, c.e)
+               / (sqrt(list_dot_product(ev.e, ev.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 4) AS cos
+  FROM ev CROSS JOIN c
+)
+SELECT eid AS vec_id,
+       CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hits,
+       MAX(cos) AS max_cos,
+       SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) > 0 AS contaminated
+FROM scored GROUP BY eid ORDER BY vec_id""")
+def x197(spark, sf):
+    """Semantic (embedding-space) benchmark decontamination — the
+    paraphrase-robust complement of the n-gram screen (x151): per eval
+    item, corpus vectors with cosine ≥ 0.8.  The eval set PLANTS 10
+    scaled near-copies of corpus vectors (ids +5000, cosine 1.0 by
+    scale invariance) so contamination is the EXPECTED state for them
+    and a screen regression is driver-visible; the 10 organic eval
+    items stay clean.  The oracle replays every cosine."""
+    from ..operators.similarity import semantic_contamination
+
+    emb = load_emb(spark, sf)
+    corpus = emb.filter(F.col("vec_id") >= 100)
+    planted = (corpus.filter(F.col("vec_id") < 110)
+               .select((F.col("vec_id") + 5000).alias("vec_id"),
+                       F.expr("transform(cast(embedding as "
+                              "array<double>), x -> x * 1.1D)")
+                        .alias("embedding")))
+    ev = (emb.filter(F.col("vec_id") < 10)
+             .select("vec_id",
+                     F.col("embedding").cast("array<double>")
+                      .alias("embedding"))
+             .unionByName(planted))
+    return (semantic_contamination(ev, corpus, threshold=0.8)
+            .orderBy("vec_id"))

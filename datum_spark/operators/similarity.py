@@ -1354,3 +1354,99 @@ def ivfpq_refine_topk(queries: DataFrame, codes: DataFrame,
                .select("query_id", cand_id, d2.alias("d2"))
                .withColumn("rnk", F.row_number().over(w))
                .filter(F.col("rnk") <= k))
+
+
+def matryoshka_recall(df: DataFrame, prefixes: list[int],
+                      n_queries: int = 10, k: int = 10,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      quantize: int = 6) -> DataFrame:
+    """Serving-dimension audit for prefix-truncatable (MRL-style)
+    embeddings: for each prefix length, rank the corpus by exact
+    rounded L2 over the TRUNCATED vectors and report recall@k against
+    the full-dimension ranking — the measurement behind the "can we
+    store 16 of the 64 dims?" storage decision (at 10⁹ vectors a 4×
+    prefix cut is 4× less scan IO for every downstream ANN tier).
+
+    Queries are the ``n_queries`` smallest ids, scored against the
+    whole corpus (brute force — this is an AUDIT, run at sample scale;
+    the serving path is the IVF-PQ family).  Returns
+    ``(prefix_dim, query_id, hits, recall)``.
+    """
+    from functools import reduce
+
+    corpus = (df.filter(F.col(vec_col).isNotNull())
+                .select(F.col(id_col).alias("__nid"),
+                        F.col(vec_col).cast("array<double>")
+                         .alias("__e")))
+    qs = (corpus.filter(F.col("__nid") < n_queries)
+                .select(F.col("__nid").alias("__qid"),
+                        F.col("__e").alias("__q")))
+
+    def topk(dim: int | None) -> DataFrame:
+        qe = F.slice("__q", 1, dim) if dim else F.col("__q")
+        ce = F.slice("__e", 1, dim) if dim else F.col("__e")
+        d2 = F.round(F.aggregate(
+            F.zip_with(qe, ce, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x), quantize)
+        w = Window.partitionBy("__qid").orderBy(F.col("__d2").asc(),
+                                                F.col("__nid").asc())
+        return (F.broadcast(qs).crossJoin(corpus)
+                .select("__qid", "__nid", d2.alias("__d2"))
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= k)
+                .select("__qid", "__nid"))
+
+    full = topk(None)
+    outs = []
+    for p in prefixes:
+        hits = (topk(p).join(full, ["__qid", "__nid"])
+                .groupBy("__qid")
+                .agg(F.count(F.lit(1)).alias("hits")))
+        outs.append(
+            full.select("__qid").distinct()
+                .join(hits, "__qid", "left")
+                .select(F.lit(p).alias("prefix_dim"),
+                        F.col("__qid").alias("query_id"),
+                        F.coalesce("hits", F.lit(0)).alias("hits"),
+                        F.round(F.coalesce("hits", F.lit(0)) / float(k),
+                                2).alias("recall")))
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def semantic_contamination(eval_df: DataFrame, corpus: DataFrame,
+                           threshold: float = 0.8,
+                           eval_id: str = "vec_id",
+                           eval_vec: str = "embedding",
+                           corpus_id: str = "vec_id",
+                           corpus_vec: str = "embedding",
+                           round_to: int = 4) -> DataFrame:
+    """Embedding-space decontamination screen — the semantic complement
+    of the n-gram screen (``dedup.benchmark_contamination``): an eval
+    item is contaminated when SOME corpus vector's cosine reaches
+    ``threshold`` (paraphrases and near-copies that shared n-grams
+    miss).  Returns one row per eval item:
+    ``(eval_id, n_hits, max_cos, contaminated)`` — items with no
+    corpus match above 0 still report (max_cos of the best match).
+
+    This is the brute-force AUDIT spelling (one broadcast of the eval
+    batch against the corpus — eval sets are small by definition, the
+    corpus is never self-joined); at 10⁹ corpus vectors route the same
+    screen through the LSH/IVF candidate tiers and exact-score only
+    candidates."""
+    e = (eval_df.filter(_nonzero_vec(F.col(eval_vec)))
+         .select(F.col(eval_id).alias("__eid"),
+                 _normalize_col(F.col(eval_vec).cast("array<double>"))
+                 .alias("__ev")))
+    c = (corpus.filter(_nonzero_vec(F.col(corpus_vec)))
+         .select(F.col(corpus_id).alias("__cid"),
+                 _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                 .alias("__cv")))
+    cos = F.round(_dot_expr(F.col("__ev"), F.col("__cv")), round_to)
+    return (F.broadcast(e).crossJoin(c)
+            .select("__eid", cos.alias("__cos"))
+            .groupBy(F.col("__eid").alias(eval_id))
+            .agg(F.sum(F.when(F.col("__cos") >= threshold, 1)
+                       .otherwise(0)).cast("long").alias("n_hits"),
+                 F.max("__cos").alias("max_cos"))
+            .withColumn("contaminated", F.col("n_hits") > 0))

@@ -1477,3 +1477,38 @@ def test_spearman_matrix_known_relationships(spark):
              for r in spearman_matrix(df.repartition(7), "id",
                                       ["a", "b", "c", "d"]).collect()}
     assert again == got
+
+
+def test_matryoshka_full_prefix_is_perfect(spark):
+    """A prefix equal to the full dimension reproduces the full ranking
+    (recall 1.0 for every query); a 1-dim prefix on data whose first
+    dim is CONSTANT collapses to id-order and generally does not."""
+    from datum_spark.operators.similarity import matryoshka_recall
+
+    rows = [(i, [5.0] + [float((i * 7 + d) % 13) for d in range(7)])
+            for i in range(30)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    got = {(r["prefix_dim"], r["query_id"]): r["recall"]
+           for r in matryoshka_recall(df, [1, 8], n_queries=4,
+                                      k=5).collect()}
+    assert all(got[(8, q)] == 1.0 for q in range(4))
+    assert any(got[(1, q)] < 1.0 for q in range(4))
+
+
+def test_semantic_contamination_flags_planted_only(spark):
+    from datum_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + 1), float(2 * i + 1), 1.0]) for i in range(20)],
+        "vec_id bigint, embedding array<double>")
+    ev = spark.createDataFrame(
+        [(100, [10.0, 18.0, 2.0]),        # 2× corpus id 4 = [5, 9, 1]
+         (101, [-5.0, 1.0, 9.0])],        # unrelated direction
+        "vec_id bigint, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           semantic_contamination(ev, corpus,
+                                  threshold=0.999).collect()}
+    assert got[100]["contaminated"] and got[100]["max_cos"] == 1.0
+    assert not got[101]["contaminated"]
+    assert got[101]["max_cos"] < 0.999
