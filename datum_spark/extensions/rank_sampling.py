@@ -1125,3 +1125,48 @@ def x182(spark, sf):
     return (sel.join(docs.select("doc_id", "lang"), "doc_id")
                .select("doc_id", "lang", "score")
                .orderBy("doc_id"))
+
+
+@x("x198_temperature_mix", """
+WITH n AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), r AS (
+  SELECT lang, n,
+         ROUND(LEAST(1.0, 250 * POWER(n, -0.5)
+                          / SUM(POWER(n, 0.5)) OVER ()), 9) AS rate
+  FROM n
+), kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN r ON d.lang = r.lang
+  WHERE CAST(('0x' || substring(md5('mix-' || CAST(doc_id AS VARCHAR)),
+                                1, 8)) AS BIGINT)
+        < r.rate * 4294967296.0
+  GROUP BY d.lang
+)
+SELECT r.lang AS lang, r.n, r.rate, COALESCE(kept.n_kept, 0) AS n_kept
+FROM r LEFT JOIN kept ON r.lang = kept.lang
+ORDER BY r.lang""")
+def x198(spark, sf):
+    """Temperature sampling (τ=0.5, 250-row budget) over the language
+    distribution — the multilingual mixing rule: rare languages keep a
+    HIGHER fraction than English (n_s^(τ−1) rates), realized through
+    the portable md5 keep-set so membership is auditable in any
+    engine.  Output: per-lang corpus count, derived rate, kept count;
+    the oracle re-derives the rates (POWER spelling shared with the
+    operator) and the exact keep decisions."""
+    from ..operators.sampling import mix_sources_md5, temperature_rates
+
+    docs = load(spark, sf, "documents")
+    rates = temperature_rates(docs, "lang", tau=0.5, budget_rows=250)
+    kept = (mix_sources_md5(docs, rates, source_col="lang")
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept")))
+    base = (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")))
+    rate_col = F.lit(None).cast("double")
+    for s, r in sorted(rates.items()):
+        rate_col = F.when(F.col("lang") == s, F.lit(r)) \
+                    .otherwise(rate_col)
+    return (base.withColumn("rate", rate_col)
+                .join(kept, "lang", "left")
+                .select("lang", "n", "rate",
+                        F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
+                .orderBy("lang"))

@@ -357,3 +357,40 @@ def negative_samples(anchors: DataFrame, pool: DataFrame, k: int = 4,
              .select("anchor_id", "neg_id", h.alias("h"))
              .withColumn("rnk", F.row_number().over(w))
              .filter(F.col("rnk") <= k))
+
+
+def temperature_rates(df: DataFrame, source_col: str = "source",
+                      tau: float = 0.5,
+                      budget_rows: int | None = None,
+                      quantize: int = 9) -> dict:
+    """Temperature-based source sampling rates (the mT5/XLM-R
+    multilingual mixing rule): the target composition is
+    ``p_s ∝ n_s^τ`` — τ=1 keeps the natural distribution, τ→0
+    approaches uniform, upweighting rare sources.  Returns per-source
+    KEEP RATES for :func:`mix_sources_md5`:
+
+    - ``budget_rows`` given: ``r_s = min(1, budget · n_s^(τ−1) / Σ n^τ)``
+      (the sample approximates ``budget`` rows at composition ``p``);
+    - else: rates scaled so the most-upweighted source keeps 100%
+      (``r_s = n_s^(τ−1) / max``) — the largest sample with exactly the
+      temperature composition, downsampling only.
+
+    Rates round to ``quantize`` dp and the arithmetic is spelled the
+    same way an external engine spells it (``n^(τ−1)`` directly), so
+    the keep decisions — md5-bucket < rate — replay verbatim (x198).
+    One count aggregation; the rate table is #sources driver floats.
+    """
+    counts = {r[source_col]: int(r["n"]) for r in
+              df.groupBy(source_col)
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        return {}
+    w = {s: float(c) ** (tau - 1.0) for s, c in counts.items()}
+    if budget_rows is not None:
+        tot = sum(float(c) ** tau for c in counts.values())
+        rates = {s: min(1.0, float(budget_rows) * w[s] / tot)
+                 for s in counts}
+    else:
+        m = max(w.values())
+        rates = {s: w[s] / m for s in counts}
+    return {s: round(r, quantize) for s, r in rates.items()}

@@ -1512,3 +1512,21 @@ def test_semantic_contamination_flags_planted_only(spark):
     assert got[100]["contaminated"] and got[100]["max_cos"] == 1.0
     assert not got[101]["contaminated"]
     assert got[101]["max_cos"] < 0.999
+
+
+def test_temperature_rates_properties(spark):
+    """τ=1 → natural distribution (uniform rates); τ<1 upweights rare
+    sources; the budget variant approximates the budget in expectation
+    (Σ n·r ≈ budget) and never exceeds rate 1."""
+    from datum_spark.operators.sampling import temperature_rates
+
+    rows = [(i, "big" if i < 800 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    nat = temperature_rates(df, tau=1.0)
+    assert nat["big"] == nat["small"] == 1.0
+    cool = temperature_rates(df, tau=0.3)
+    assert cool["small"] == 1.0 and cool["big"] < 0.4
+    bud = temperature_rates(df, tau=0.5, budget_rows=300)
+    assert all(0 < r <= 1 for r in bud.values())
+    expected = 800 * bud["big"] + 200 * bud["small"]
+    assert abs(expected - 300) < 1
