@@ -44,6 +44,7 @@ _RECHECK_R9 = {
     "x196_matryoshka_recall",                         # new: dim audit
     "x197_semantic_contamination",                    # new: embed screen
     "x198_temperature_mix",                           # new: tau mixing
+    "x199_split_leakage",                             # new: leakage audit
     "x184_retrieval_metrics", "x186_pq_recall",
     "x07_embedding_dups_lsh", "x09_cosine_topk_lsh",
     "x114_bpe_train", "x119_bpe_encode",

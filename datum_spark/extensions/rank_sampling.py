@@ -1170,3 +1170,76 @@ def x198(spark, sf):
                 .select("lang", "n", "rate",
                         F.coalesce("n_kept", F.lit(0)).alias("n_kept"))
                 .orderBy("lang"))
+
+
+@x("x199_split_leakage", """
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300
+), hs AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hv
+  FROM d
+), sig AS (
+  SELECT doc_id,
+         list_transform(range(0, 16), i -> list_min(
+           list_transform(hv,
+             h -> (h * (2*i + 1) + 7919*i) % 2305843009213693951))) AS sg
+  FROM hs
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         list_sum(list_transform(range(1, 17),
+           i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+           AS est_jaccard
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+  WHERE (list_slice(a.sg, 1, 4) = list_slice(b.sg, 1, 4)
+      OR list_slice(a.sg, 5, 8) = list_slice(b.sg, 5, 8)
+      OR list_slice(a.sg, 9, 12) = list_slice(b.sg, 9, 12)
+      OR list_slice(a.sg, 13, 16) = list_slice(b.sg, 13, 16))
+    AND list_sum(list_transform(range(1, 17),
+          i -> CASE WHEN a.sg[i] = b.sg[i] THEN 1 ELSE 0 END)) / 16.0
+        >= 0.5
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN CAST(('0x' || substring(
+                  md5('holdout-' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) < 3865470566
+              THEN 'train' ELSE 'test' END AS split
+  FROM d
+)
+SELECT p.id_a, p.id_b, p.est_jaccard,
+       sa.split AS split_a, sb.split AS split_b,
+       (sa.split <> sb.split) AS crosses
+FROM pairs p JOIN sp sa ON p.id_a = sa.doc_id
+             JOIN sp sb ON p.id_b = sb.doc_id
+ORDER BY id_a, id_b""")
+def x199(spark, sf):
+    """Split-leakage audit: every md5-MinHash near-dup pair labeled
+    with both members' train/test membership (the x38 holdout split) —
+    pairs with ``crosses = true`` are evaluation contamination that
+    survives EXACT dedup (near-copies landing on opposite sides of the
+    split).  Composes the two oracle-checked primitives (x62 pairs,
+    x38 split) so the entire audit replays value-for-value; at corpus
+    scale the pair table is the already-sub-quadratic LSH output and
+    the labels are two map-side joins."""
+    from ..operators import with_md5_split_label
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    pairs = dedup_mod.minhash_near_dups_md5(docs, "doc_id", "text",
+                                            num_hashes=16, bands=4,
+                                            threshold=0.5)
+    sp = with_md5_split_label(docs, "doc_id",
+                              {"train": 0.9, "test": 0.1},
+                              salt="holdout").select("doc_id", "split")
+    sa = sp.select(F.col("doc_id").alias("id_a"),
+                   F.col("split").alias("split_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"),
+                   F.col("split").alias("split_b"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+                 .select("id_a", "id_b", "est_jaccard",
+                         "split_a", "split_b",
+                         (F.col("split_a") != F.col("split_b"))
+                          .alias("crosses"))
+                 .orderBy("id_a", "id_b"))
