@@ -1461,7 +1461,7 @@ WITH w AS (
                * 8.0 / len(ws), 1.0) AS score
   FROM w WHERE len(ws) > 0
 ), b AS (
-  SELECT CAST(LEAST(FLOOR(score * 10), 9) AS INT) AS bin, score, label
+  SELECT CAST(GREATEST(LEAST(FLOOR(score * 10), 9), 0) AS INT) AS bin, score, label
   FROM s
 ), bins AS (
   SELECT bin, COUNT(*) AS n, ROUND(AVG(score), 6) AS mean_score,

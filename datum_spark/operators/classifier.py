@@ -254,8 +254,11 @@ def calibration_bins(scored: DataFrame, score_col: str = "score",
     evaluation cost is a single corpus pass regardless of size.  All
     reductions round to ``quantize`` dp, so an external engine replays
     the table value-for-value (x194)."""
-    b = F.least(F.floor(F.col(score_col) * bins),
-                F.lit(bins - 1)).cast("int")
+    # clamp both ends: a scorer drifting slightly outside [0, 1]
+    # (float noise, miscalibrated logits) lands in the edge bins
+    # instead of creating phantom negative/overflow bins
+    b = F.greatest(F.least(F.floor(F.col(score_col) * bins),
+                           F.lit(bins - 1)), F.lit(0)).cast("int")
     return (scored.groupBy(b.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.avg(score_col), quantize).alias("mean_score"),
