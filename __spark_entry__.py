@@ -47,13 +47,11 @@ _RECHECK_R9 = {
     "x199_split_leakage",                             # new: leakage audit
     "x184_retrieval_metrics", "x186_pq_recall",
     "x07_embedding_dups_lsh", "x09_cosine_topk_lsh",
-    "x114_bpe_train",
-    # NOT in the window (it holds exactly 50 = this set + the full
-    # 33-entry stale band): x119 (its r9 change is the same
-    # learn_bpe_merges_local path x114 checks; bpe_encode_vocab itself
-    # is unchanged and bit-equality is property-tested) and x153 (code
-    # unchanged in r9 — the regression flag was load noise, measured
-    # in BASELINE.md; last driver check r8, green).
+    "x114_bpe_train", "x119_bpe_encode",
+    # 17 rechecks + the full 33-entry stale band = exactly the 50-slot
+    # window.  x153 deliberately NOT here: its code is unchanged in r9
+    # (the regression flag was load noise, measured in BASELINE.md;
+    # last driver check r8, green).
 }
 
 # Stalest evidence band: latest driver check r4 (x36/x39: r3) — the

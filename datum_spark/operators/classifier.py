@@ -201,32 +201,47 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
         eff_lr = lr * (avg_lr_decay ** epoch)
 
         def shard_sgd(pdfs):
+            # ONE sequential SGD per PARTITION: state carries across
+            # Arrow chunks, and mini-batches fill from a row buffer so
+            # batch boundaries are independent of
+            # arrow.maxRecordsPerBatch (resetting per chunk — the
+            # original bug — both discarded progress and made the
+            # result depend on the Arrow chunking)
+            lw, lb, seen = w0.copy(), b0, 0
+            buf: list = []
+
+            def step(batch):
+                nonlocal lw, lb, seen
+                gb = np.zeros(n_buckets, dtype=np.float64)
+                gbias = 0.0
+                for bs, cs, n, y in batch:
+                    bs = np.asarray(bs, dtype=np.int64)
+                    xs = (np.asarray(cs, dtype=np.float64)
+                          * n_buckets / n)
+                    z = float(lw[bs] @ xs) + lb
+                    if z >= 0:                   # overflow-safe sigmoid
+                        p = 1.0 / (1.0 + math.exp(-z))
+                    else:
+                        ez = math.exp(z)
+                        p = ez / (1.0 + ez)
+                    np.add.at(gb, bs, (p - y) * xs)
+                    gbias += p - y
+                m = len(batch)
+                lw -= eff_lr * gb / m
+                lb -= eff_lr * gbias / m
+                seen += m
+
             for pdf in pdfs:
-                lw, lb, seen = w0.copy(), b0, 0
-                for lo in range(0, len(pdf), batch_size):
-                    batch = pdf.iloc[lo:lo + batch_size]
-                    gb = np.zeros(n_buckets, dtype=np.float64)
-                    gbias = 0.0
-                    for bs, cs, n, y in zip(batch["__bs"], batch["__cs"],
-                                            batch["__n"], batch["__y"]):
-                        bs = np.asarray(bs, dtype=np.int64)
-                        xs = (np.asarray(cs, dtype=np.float64)
-                              * n_buckets / n)
-                        z = float(lw[bs] @ xs) + lb
-                        if z >= 0:               # overflow-safe sigmoid
-                            p = 1.0 / (1.0 + math.exp(-z))
-                        else:
-                            ez = math.exp(z)
-                            p = ez / (1.0 + ez)
-                        np.add.at(gb, bs, (p - y) * xs)
-                        gbias += p - y
-                    m = len(batch)
-                    lw -= eff_lr * gb / m
-                    lb -= eff_lr * gbias / m
-                    seen += m
-                if seen:
-                    yield pd.DataFrame({"part": [0], "n": [seen],
-                                        "w": [lw.tolist()], "b": [lb]})
+                buf.extend(zip(pdf["__bs"], pdf["__cs"],
+                               pdf["__n"], pdf["__y"]))
+                while len(buf) >= batch_size:
+                    step(buf[:batch_size])
+                    buf = buf[batch_size:]
+            if buf:
+                step(buf)
+            if seen:
+                yield pd.DataFrame({"part": [0], "n": [seen],
+                                    "w": [lw.tolist()], "b": [lb]})
 
         parts = sharded.mapInPandas(shard_sgd, schema).collect()
         total = sum(r["n"] for r in parts)

@@ -1064,13 +1064,13 @@ def _rank_cells(vec, coarse, quantize: int):
         for ci, cent in enumerate(coarse))
 
 
-def _probed_cells(queries: DataFrame, coarse, nprobe: int,
-                  qid_col: str, qvec_col: str,
-                  quantize: int) -> list[int]:
+def _probed_cells(query_rows, coarse, nprobe: int,
+                  qvec_col: str, quantize: int) -> list[int]:
     """The union of every query's ``nprobe`` nearest cells — the scan
-    pruning set, computable driver-side before any codes are read."""
+    pruning set, computed from ALREADY-collected query rows (callers
+    collect once and share the rows with the ADC stage)."""
     probed: set[int] = set()
-    for q in queries.select(qid_col, qvec_col).collect():
+    for q in query_rows:
         vec = [float(x) for x in q[qvec_col]]
         for _, cell in _rank_cells(vec, coarse, quantize)[:max(1, nprobe)]:
             probed.add(cell)
@@ -1080,7 +1080,7 @@ def _probed_cells(queries: DataFrame, coarse, nprobe: int,
 def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
                    k: int = 10, nprobe: int = 2,
                    qid_col: str = "vec_id", qvec_col: str = "embedding",
-                   quantize: int = 6) -> DataFrame:
+                   quantize: int = 6, query_rows=None) -> DataFrame:
     """Cell-pruned ADC top-k: each query ranks the coarse cells by
     rounded d² (ties by cell id), probes the ``nprobe`` nearest, and
     scores ONLY vectors assigned to those cells — by summing
@@ -1104,7 +1104,9 @@ def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
     dsub = len(books[0][0])
     rows = []
     probed: set[int] = set()
-    for q in queries.select(qid_col, qvec_col).collect():
+    if query_rows is None:       # callers that already collected pass it
+        query_rows = queries.select(qid_col, qvec_col).collect()
+    for q in query_rows:
         vec = [float(x) for x in q[qvec_col]]
         ranked = _rank_cells(vec, coarse, quantize)
         for _, cell in ranked[:max(1, nprobe)]:
@@ -1256,17 +1258,27 @@ def ivfpq_index_add(delta: DataFrame, index_path: str,
         from ..sources.snapshots import SnapshotTable
 
         t = SnapshotTable(spark, codes_path)
+        if txn_id is not None and \
+                t._last_txn_version(txn_id) >= int(txn_version):
+            return 0             # replayed batch: never encode at all
         clustered = out.repartitionByRange(
-            max(1, min(len(coarse), 32)), "cell")
-        n = out.count()
-        if txn_id is not None:
-            v_new = t.append_once(clustered, txn_id=txn_id,
-                                  txn_version=int(txn_version))
-            return 0 if v_new is None else int(n)
-        t.append(clustered)
-        return int(n)
-    n = out.count()
-    out.write.mode("append").partitionBy("cell").parquet(codes_path)
+            max(1, min(len(coarse), 32)), "cell").persist()
+        try:
+            n = clustered.count()    # ONE encode pass (cached)
+            if txn_id is not None:
+                v_new = t.append_once(clustered, txn_id=txn_id,
+                                      txn_version=int(txn_version))
+                return 0 if v_new is None else int(n)
+            t.append(clustered)
+            return int(n)
+        finally:
+            clustered.unpersist()
+    out = out.persist()
+    try:
+        n = out.count()              # ONE encode pass (cached)
+        out.write.mode("append").partitionBy("cell").parquet(codes_path)
+    finally:
+        out.unpersist()
     return int(n)
 
 
@@ -1288,11 +1300,12 @@ def ivfpq_index_query(queries: DataFrame, index_path: str, k: int = 10,
     spark = queries.sparkSession
     coarse, books = _ivfpq_load(spark, index_path)
     codes_path = _os.path.join(index_path, "codes")
+    query_rows = queries.select(qid_col, qvec_col).collect()
     if _os.path.isdir(_os.path.join(codes_path, "_manifests")):
         from ..sources.snapshots import SnapshotTable
 
-        cells = _probed_cells(queries, coarse, nprobe,
-                              qid_col, qvec_col, quantize)
+        cells = _probed_cells(query_rows, coarse, nprobe,
+                              qvec_col, quantize)
         t = SnapshotTable(spark, codes_path)
         codes = (t.read(where=f"cell IN ({','.join(map(str, cells))})")
                  if cells else t.read())
@@ -1306,7 +1319,8 @@ def ivfpq_index_query(queries: DataFrame, index_path: str, k: int = 10,
     codes = codes.select(id_col, "cell", *[f"code_{s}" for s in range(m)])
     return ivfpq_adc_topk(queries, codes, coarse, books, k=k,
                           nprobe=nprobe, qid_col=qid_col,
-                          qvec_col=qvec_col, quantize=quantize)
+                          qvec_col=qvec_col, quantize=quantize,
+                          query_rows=query_rows)
 
 
 def ivfpq_refine_topk(queries: DataFrame, codes: DataFrame,
@@ -1379,7 +1393,10 @@ def matryoshka_recall(df: DataFrame, prefixes: list[int],
                 .select(F.col(id_col).alias("__nid"),
                         F.col(vec_col).cast("array<double>")
                          .alias("__e")))
-    qs = (corpus.filter(F.col("__nid") < n_queries)
+    # the n_queries SMALLEST ids, whatever the id type/range —
+    # TakeOrderedAndProject, no shuffle (a `< n_queries` filter would
+    # silently return nothing for non-dense or non-integer ids)
+    qs = (corpus.orderBy("__nid").limit(n_queries)
                 .select(F.col("__nid").alias("__qid"),
                         F.col("__e").alias("__q")))
 

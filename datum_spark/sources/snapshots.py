@@ -263,6 +263,8 @@ def _comparable(a, b) -> bool:
 
 
 _DATE_LIT_RE = re.compile(r"\d{4}-\d{2}-\d{2}")
+# str(datetime) shape of pre-r9 manifests' timestamp stats
+_LEGACY_TS_RE = re.compile(r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(\.\d+)?")
 
 
 def _date_safe(tkind, *lits) -> bool:
@@ -299,6 +301,15 @@ def file_may_match(stats: dict, terms: list[tuple]) -> bool:
         # value comparisons never match NULL rows
         if all_null or lo is None or hi is None:
             return False
+        # legacy manifests (pre the temporal-stats fix) stored datetime
+        # min/max as str(datetime) with exact=True and no tag — their
+        # lexicographic compare against a cast literal is the exact
+        # mis-prune the fix removed, so never prune on that shape
+        if tkind is None and isinstance(lo, str) \
+                and (_LEGACY_TS_RE.fullmatch(lo)
+                     or (isinstance(hi, str)
+                         and _LEGACY_TS_RE.fullmatch(hi))):
+            continue
         if kind == "cmp":
             op, lit = term[2], term[3]
             if not _comparable(lo, lit) or not _date_safe(tkind, lit):
@@ -420,7 +431,7 @@ class SnapshotTable:
         try:
             with open(self._checkpoint_path(max(vs))) as fh:
                 return json.load(fh)
-        except OSError:
+        except (OSError, ValueError):       # gone or corrupt: no ckpt
             return None
 
     def _write_checkpoint(self, version: int) -> None:
@@ -497,10 +508,12 @@ class SnapshotTable:
                 f"version {version} already committed") from exc
         finally:
             os.unlink(tmp)
-        if version > 0 and version % self.checkpoint_interval == 0:
+        if (self.checkpoint_interval and self.checkpoint_interval > 0
+                and version > 0
+                and version % self.checkpoint_interval == 0):
             try:                 # an optimization — never fail a commit
                 self._write_checkpoint(version)
-            except OSError:
+            except Exception:    # incl. corrupt ckpt JSON, not just OS
                 pass
 
     def _commit_append(self, new_files: list[str], schema_json,
@@ -727,7 +740,12 @@ class SnapshotTable:
             try:
                 meta = self._load_manifest(v)
             except FileNotFoundError:
-                return -1                    # vacuum horizon reached
+                # vacuum horizon inside the walk: everything older is
+                # answered by the checkpoint's folded map (vacuum folds
+                # one at the horizon before deleting), never by a blind
+                # -1 — a -1 here would let append_once double-commit a
+                # replayed batch whose mark sat below the gap
+                break
             if meta.get("txn_id") == txn_id:
                 return int(meta.get("txn_version", -1))
         return int(ck["txn"].get(txn_id, -1)) if ck else -1
@@ -1201,10 +1219,20 @@ class SnapshotTable:
             referenced.update(meta["files"])
             referenced.update(meta.get("delete_files") or [])
         removed: list[str] = []
-        for v in versions:
-            if v not in keep:
-                os.unlink(self._manifest_path(v))
-                removed.append(self._manifest_path(v))
+        dropping = [v for v in versions if v not in keep]
+        if dropping:
+            # fold the txn high-water marks of every manifest about to
+            # be deleted into a horizon checkpoint FIRST — otherwise a
+            # producer whose last commit sits in the dropped range
+            # could double-commit a replayed batch after the walk hits
+            # the gap (checkpoints preserve marks past the horizon)
+            try:
+                self._write_checkpoint(max(dropping))
+            except Exception:
+                pass             # best effort; deletion still proceeds
+        for v in dropping:
+            os.unlink(self._manifest_path(v))
+            removed.append(self._manifest_path(v))
         # superseded txn checkpoints: the newest folds all older maps
         cks = sorted(int(n[6:-5]) for n in os.listdir(self._manifests)
                      if n.startswith("ckpt-v") and n.endswith(".json"))

@@ -178,3 +178,28 @@ def test_calibration_bins_hand_computed(spark):
     assert got[9]["mean_score"] == round((0.95 * 3 + 1.0) / 4, 6)
     assert got[9]["frac_pos"] == 0.75
     assert got[9]["gap"] == round(abs(got[9]["mean_score"] - 0.75), 6)
+
+
+def test_sgd_twin_invariant_to_arrow_chunking(spark, toy):
+    """The per-shard SGD must carry state across Arrow chunks and fill
+    mini-batches through a buffer: shrinking maxRecordsPerBatch to 7
+    cannot change the trained model (the code-review finding: the old
+    loop reset to epoch-start weights every chunk)."""
+    from datum_spark.operators.classifier import quality_classifier_fit_sgd
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    a = quality_classifier_fit_sgd(toy, "doc_id", "text", "y",
+                                   n_buckets=32, epochs=1,
+                                   batch_size=8, lr=1.0)
+    try:
+        spark.conf.set(key, "7")
+        b = quality_classifier_fit_sgd(toy, "doc_id", "text", "y",
+                                       n_buckets=32, epochs=1,
+                                       batch_size=8, lr=1.0)
+    finally:
+        if before is not None:
+            spark.conf.set(key, before)
+        else:
+            spark.conf.unset(key)
+    assert a == b

@@ -1124,3 +1124,37 @@ def test_checkpoint_pointer_stale_falls_back_to_scan(spark, tmp_path):
     ck = t._latest_checkpoint(t.current_version())
     assert ck is not None and ck["version"] == 3   # scan found the older
     assert t._last_txn_version("p") == 7
+
+
+def test_txn_marks_survive_vacuum_gap(spark, tmp_path):
+    """A producer whose last commit falls in a vacuumed RANGE (above
+    the last interval checkpoint) must still be answered: vacuum folds
+    a horizon checkpoint before deleting, and the walk consults the
+    checkpoint map when it hits the gap instead of returning -1 (the
+    code-review double-commit scenario)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "gap"),
+                             checkpoint_interval=10 ** 9)  # never auto
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 6):
+        t.append_once(df, txn_id="p", txn_version=i)
+    t.append(df)
+    t.append(df)                       # head now 7; p's mark at v5
+    t.vacuum(keep_last=2, min_age_seconds=0)   # drops v0–v5 manifests
+    assert not os.path.exists(t._manifest_path(5))
+    assert t._last_txn_version("p") == 5       # from the horizon ckpt
+    assert t.append_once(df, txn_id="p", txn_version=5) is None
+    assert t.read().count() == 7               # no double commit
+    assert t.append_once(df, txn_id="p", txn_version=6) is not None
+
+
+def test_checkpoint_interval_zero_disables_cleanly(spark, tmp_path):
+    """interval=0 must mean 'no interval checkpoints', not a
+    ZeroDivisionError AFTER the manifest published."""
+    t = SnapshotTable.create(spark, str(tmp_path / "ck0"),
+                             checkpoint_interval=0)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 4):
+        assert t.append_once(df, txn_id="p", txn_version=i) == i
+    assert t.read().count() == 3
+    assert not [n for n in os.listdir(t._manifests)
+                if n.startswith("ckpt-v")]
