@@ -342,18 +342,22 @@ def negative_samples(anchors: DataFrame, pool: DataFrame, k: int = 4,
     cand = pool.select(F.col(cand_id).alias("neg_id"),
                        F.col(cand_group).alias("__ng"))
     if slate is not None:
-        cand = (cand.orderBy(
-                    md5_bucket(F.col("neg_id"), salt=f"{salt}-slate"),
-                    "neg_id")
-                    .limit(int(slate)))
+        # TakeOrdered to a BOUNDED slate → safe to broadcast-hint; an
+        # unbounded pool gets no hint (Spark sizes the join itself —
+        # broadcasting a 100 TB pool would be a driver OOM, and
+        # anchors × full-pool is the audit spelling, not the scale one)
+        cand = F.broadcast(
+            cand.orderBy(md5_bucket(F.col("neg_id"),
+                                    salt=f"{salt}-slate"),
+                         "neg_id")
+                .limit(int(slate)))
     a = anchors.select(F.col(anchor_id).alias("anchor_id"),
                        F.col(anchor_group).alias("__ag"))
     h = md5_bucket(F.concat_ws("-", F.col("anchor_id"),
                                F.col("neg_id")), salt=salt)
     w = Window.partitionBy("anchor_id").orderBy(F.col("h").asc(),
                                                 F.col("neg_id").asc())
-    return (a.join(F.broadcast(cand),
-                   F.col("__ag") != F.col("__ng"))
+    return (a.join(cand, F.col("__ag") != F.col("__ng"))
              .select("anchor_id", "neg_id", h.alias("h"))
              .withColumn("rnk", F.row_number().over(w))
              .filter(F.col("rnk") <= k))
