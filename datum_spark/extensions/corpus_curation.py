@@ -1212,7 +1212,8 @@ def x189(spark, sf):
     emb = load_emb(spark, sf)
     codes, coarse, books = ivfpq_train_encode(
         emb, ncells=8, m=4, ksub=8, coarse_iters=2, pq_iters=2)
-    qs = emb.filter(F.col("vec_id") < 12)
+    qs = emb.filter((F.col("vec_id") < 12)
+                    & F.col("embedding").isNotNull())
     adc = ivfpq_adc_topk(qs, codes, coarse, books, k=10, nprobe=2)
 
     qv = qs.select(F.col("vec_id").alias("qid"),
@@ -1293,7 +1294,8 @@ def x190(spark, sf):
     emb = load_emb(spark, sf)
     codes, coarse, books = ivfpq_train_encode(
         emb, ncells=8, m=4, ksub=8, coarse_iters=2, pq_iters=2)
-    qs = emb.filter(F.col("vec_id") < 12)
+    qs = emb.filter((F.col("vec_id") < 12)
+                    & F.col("embedding").isNotNull())
     corpus = emb.filter(F.col("embedding").isNotNull())
     adc = ivfpq_adc_topk(qs, codes, coarse, books, k=10, nprobe=2)
     ref = ivfpq_refine_topk(qs, codes, corpus, coarse, books, k=10,
@@ -1576,7 +1578,8 @@ def _x196_sql(prefixes=(8, 16, 32), n_queries: int = 10,
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
   WHERE embedding IS NOT NULL
 )""", f"""q AS (
-  SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {n_queries}
+  SELECT vec_id AS qid, e AS qe FROM v
+  ORDER BY vec_id LIMIT {n_queries}
 )""", f"""full_r AS MATERIALIZED (
   SELECT qid, vec_id FROM (
     SELECT q.qid, v.vec_id,

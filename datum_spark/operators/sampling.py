@@ -397,4 +397,7 @@ def temperature_rates(df: DataFrame, source_col: str = "source",
     else:
         m = max(w.values())
         rates = {s: w[s] / m for s in counts}
-    return {s: round(r, quantize) for s, r in rates.items()}
+    # half-away-from-zero, matching SQL ROUND (Python round() banker's
+    # rounding would flip keep decisions on an exact .5 tie)
+    from .similarity import _round_half_away
+    return {s: _round_half_away(r, quantize) for s, r in rates.items()}

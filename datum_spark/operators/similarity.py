@@ -829,7 +829,8 @@ def pq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks,
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     rows = []
-    for q in queries.select(qid_col, qvec_col).collect():
+    for q in (queries.filter(F.col(qvec_col).isNotNull())
+                     .select(qid_col, qvec_col).collect()):
         vec = list(q[qvec_col])
         for s in range(m):
             sub = vec[s * dsub:(s + 1) * dsub]
@@ -1105,7 +1106,11 @@ def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
     rows = []
     probed: set[int] = set()
     if query_rows is None:       # callers that already collected pass it
-        query_rows = queries.select(qid_col, qvec_col).collect()
+        # NULL vectors cannot be ranked against cells — drop them here
+        # exactly as every oracle builds its query set from the
+        # null-filtered corpus (a NULL would TypeError in float())
+        query_rows = (queries.filter(F.col(qvec_col).isNotNull())
+                             .select(qid_col, qvec_col).collect())
     for q in query_rows:
         vec = [float(x) for x in q[qvec_col]]
         ranked = _rank_cells(vec, coarse, quantize)
@@ -1300,7 +1305,8 @@ def ivfpq_index_query(queries: DataFrame, index_path: str, k: int = 10,
     spark = queries.sparkSession
     coarse, books = _ivfpq_load(spark, index_path)
     codes_path = _os.path.join(index_path, "codes")
-    query_rows = queries.select(qid_col, qvec_col).collect()
+    query_rows = (queries.filter(F.col(qvec_col).isNotNull())
+                         .select(qid_col, qvec_col).collect())
     if _os.path.isdir(_os.path.join(codes_path, "_manifests")):
         from ..sources.snapshots import SnapshotTable
 

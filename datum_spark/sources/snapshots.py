@@ -418,8 +418,8 @@ class SnapshotTable:
             if v <= head:
                 with open(self._checkpoint_path(v)) as fh:
                     return json.load(fh)
-        except (OSError, ValueError, KeyError):
-            pass                         # stale/absent pointer → scan
+        except (OSError, ValueError, KeyError, TypeError):
+            pass            # stale/absent/malformed pointer → scan
         try:
             vs = [int(n[6:-5]) for n in os.listdir(self._manifests)
                   if n.startswith("ckpt-v") and n.endswith(".json")]
@@ -1210,7 +1210,13 @@ class SnapshotTable:
         concurrent writer that finished ``_write_data`` but has not yet
         published its manifest is referenced by nothing, and deleting
         its files would corrupt the head it is about to publish.  Pass
-        ``0`` to force-clean when no writers can be active."""
+        ``0`` to force-clean when no writers can be active.
+
+        If the pre-deletion horizon checkpoint (which folds the txn
+        high-water marks of the manifests about to drop) cannot be
+        durably written, the vacuum ABORTS with nothing deleted —
+        deleting manifests without the fold would let ``append_once``
+        double-commit a replayed producer batch across the gap."""
         versions = sorted(v for v, _ in self.history())
         keep = set(versions[-keep_last:]) if keep_last > 0 else set(versions)
         referenced: set[str] = set()
@@ -1225,11 +1231,18 @@ class SnapshotTable:
             # be deleted into a horizon checkpoint FIRST — otherwise a
             # producer whose last commit sits in the dropped range
             # could double-commit a replayed batch after the walk hits
-            # the gap (checkpoints preserve marks past the horizon)
+            # the gap (checkpoints preserve marks past the horizon).
+            # The fold is a PRECONDITION of deletion, not best-effort:
+            # if the checkpoint cannot be durably written, keep every
+            # manifest (skip the manifest phase entirely) rather than
+            # open a vacuum gap with no folded marks behind it.
+            horizon = max(dropping)
             try:
-                self._write_checkpoint(max(dropping))
+                self._write_checkpoint(horizon)
             except Exception:
-                pass             # best effort; deletion still proceeds
+                return removed       # abort: nothing deleted
+            if not os.path.exists(self._checkpoint_path(horizon)):
+                return removed       # fold not durable: abort vacuum
         for v in dropping:
             os.unlink(self._manifest_path(v))
             removed.append(self._manifest_path(v))
