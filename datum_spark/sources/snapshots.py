@@ -48,19 +48,23 @@ Each manifest additionally records:
   rows — untouched files are carried by reference, turning COW cost
   from O(table) to O(matching files).
 
-Scale posture: a manifest lists FILES, not rows — O(file count), the
-same scaling unit as Iceberg's manifests; ``append`` writes only the
-new files and copies the parent's file LIST (no data rewrite).  Stats
-collection reads one parquet FOOTER per new file (driver-side, ~KB
-each).  Head reads load ONE manifest (O(1) in version count); the
-txn-idempotence walk of ``append_once`` is bounded by periodic
-CHECKPOINT files folding per-producer high-water marks
-(``checkpoint_interval``, the Delta ``_last_checkpoint`` pattern) —
-measured flat across a 1,000-commit sweep (SCALE.md §20).  The
-single-level manifest caps out around millions of files per table —
-the point where real deployments move to Iceberg/Delta proper (and
-`registry.py`'s gates lift); everything above the format (the
-engine's operators) is unchanged by that swap.
+Scale posture: manifests are DELTAS (r10) — each commit doc stores the
+files added/removed vs its parent, so an ``append`` writes O(new
+files) of metadata whatever the table size (pre-r10 every commit
+rewrote the full file list: ~145 B/file → ~140 MB per commit at 10⁶
+files).  Stats collection reads one parquet FOOTER per new file
+(driver-side, ~KB each).  Reads resolve the head as nearest BASE +
+tail deltas, where a base is a periodic checkpoint embedding the full
+file list (``checkpoint_interval``, default 100 — the amortized O(N)
+write, paid once per interval like Iceberg's manifest compaction) —
+so resolution is O(interval) small JSON reads, cached per instance.
+The same checkpoints fold per-producer txn high-water marks
+(``append_once`` idempotence, the Delta ``_last_checkpoint`` pattern,
+measured flat across a 1,000-commit sweep — SCALE.md §20; the
+manifest sweep is §23).  Remaining cap: resolution materializes the
+file list in driver memory (~10⁸ files ≈ 10 GB) — the point where
+real deployments move to Iceberg/Delta proper (and `registry.py`'s
+gates lift); everything above the format is unchanged by that swap.
 """
 
 from __future__ import annotations
@@ -338,15 +342,18 @@ def file_may_match(stats: dict, terms: list[tuple]) -> bool:
 class SnapshotTable:
     """A versioned parquet table at ``path`` (local/posix scheme).
 
+    Commits write DELTA manifests (r10): each doc stores only the
+    files added/removed relative to its parent, so the commit write is
+    O(changed files) — at 10⁶ table files an append no longer rewrites
+    a ~140 MB file list per commit (the Iceberg manifest-delta shape).
     ``checkpoint_interval``: every N-th commit also publishes a
-    checkpoint file (``_manifests/ckpt-v{N}.json``) carrying the
-    accumulated per-producer txn high-water marks, so
-    :meth:`append_once`'s idempotence walk stops at the newest
-    checkpoint instead of scanning to v0 — O(interval), not
-    O(versions), for a producer the table has never seen (the Delta
-    ``_last_checkpoint`` pattern; head READS were already O(1) in
-    versions because every manifest carries the full file list).
-    Checkpoints also preserve txn marks across the vacuum horizon."""
+    checkpoint file (``_manifests/ckpt-v{N}.json``) carrying BOTH the
+    accumulated per-producer txn high-water marks (so
+    :meth:`append_once`'s idempotence walk stops there — the Delta
+    ``_last_checkpoint`` pattern) AND the full resolved file list +
+    stats (the compaction base that keeps delta-manifest resolution
+    O(interval), and the only base past a vacuum horizon).  Reads
+    resolve head = nearest base + tail deltas, cached per instance."""
 
     checkpoint_interval: int = 100
 
@@ -358,6 +365,10 @@ class SnapshotTable:
         self._manifests = os.path.join(path, "_manifests")
         if checkpoint_interval is not None:
             self.checkpoint_interval = int(checkpoint_interval)
+        # resolved-manifest cache: manifests are immutable once linked
+        # (create-exclusive publish), so entries never go stale; bounded
+        # by periodic clear, repopulated by O(interval) walks
+        self._mcache: dict[int, dict] = {}
 
     # -- bootstrap ---------------------------------------------------------
 
@@ -396,9 +407,80 @@ class SnapshotTable:
             return None
         return max(int(n[1:-5]) for n in names)
 
-    def _load_manifest(self, version: int) -> dict:
+    def _load_raw(self, version: int) -> dict:
+        """The manifest document exactly as stored — delta-mode docs
+        (r10+) carry ``files_added`` / ``files_removed`` / ``stats_added``
+        relative to their parent instead of the full file list."""
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
+
+    def _ckpt_state(self, version: int) -> dict | None:
+        """Full (files, file_stats) state embedded in the checkpoint at
+        EXACTLY ``version``, or None.  Pre-r10 checkpoints carried only
+        txn marks — those return None and the resolve walk continues
+        past them (their manifests were full-mode anyway)."""
+        try:
+            with open(self._checkpoint_path(version)) as fh:
+                doc = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        return doc if "files" in doc else None
+
+    def _load_manifest(self, version: int) -> dict:
+        """Resolved manifest: ``files`` / ``file_stats`` materialized.
+
+        Delta-mode manifests (the r10 commit format) are reconstructed
+        by walking parent-ward to the nearest FULL base — a cached
+        resolved ancestor, a checkpoint embedding the file list, or a
+        full-mode (v0 / legacy) manifest — then folding the deltas
+        forward.  The walk is O(checkpoint_interval) tiny JSON reads,
+        never O(versions), and the vacuum horizon checkpoint guarantees
+        a base always exists on the live side of a vacuum gap.
+        """
+        cached = self._mcache.get(version)
+        if cached is not None:
+            # a vacuumed version must fail like an expired snapshot
+            # even when this instance resolved it before the vacuum
+            if os.path.exists(self._manifest_path(version)):
+                return cached
+            self._mcache.pop(version, None)
+            raise FileNotFoundError(self._manifest_path(version))
+        doc = self._load_raw(version)
+        if "files" in doc:
+            full = doc                       # full-mode (v0 / legacy)
+        else:
+            chain = [doc]
+            v = doc["parent"]
+            base: dict | None = None
+            while True:
+                base = self._mcache.get(v)
+                if base is not None:
+                    break
+                base = self._ckpt_state(v)
+                if base is not None:
+                    break
+                d = self._load_raw(v)        # FileNotFoundError here
+                if "files" in d:             # means a vacuum gap with
+                    base = d                 # no horizon base: corrupt
+                    break
+                chain.append(d)
+                v = d["parent"]
+            files = set(base["files"])
+            stats = dict(base.get("file_stats") or {})
+            for d in reversed(chain):
+                for f in d.get("files_removed") or ():
+                    files.discard(f)
+                    stats.pop(f, None)
+                files.update(d.get("files_added") or ())
+                stats.update(d.get("stats_added") or {})
+            full = dict(doc)
+            full["files"] = sorted(files)
+            full["file_stats"] = {f: s for f, s in stats.items()
+                                  if f in files}
+        if len(self._mcache) > 64:
+            self._mcache.clear()
+        self._mcache[version] = full
+        return full
 
     # -- txn checkpoints -----------------------------------------------------
 
@@ -446,7 +528,7 @@ class SnapshotTable:
         start = (prev["version"] + 1) if prev else 0
         for v in range(start, version + 1):
             try:
-                meta = self._load_manifest(v)
+                meta = self._load_raw(v)
             except FileNotFoundError:
                 continue                  # vacuumed: folded earlier
             t = meta.get("txn_id")
@@ -454,7 +536,13 @@ class SnapshotTable:
                 tv = int(meta.get("txn_version", -1))
                 if tv > txn.get(t, -1):
                     txn[t] = tv
+        # embed the FULL resolved file state: checkpoints are the walk
+        # bases that keep delta-manifest resolution O(interval), and
+        # the only base past a vacuum horizon
+        state = self._load_manifest(version)
         doc = {"version": int(version), "txn": txn,
+               "files": state["files"],
+               "file_stats": state.get("file_stats") or {},
                "committed_at": time.time()}
         tmp = os.path.join(self._manifests,
                            f".tmp-{uuid.uuid4().hex}.json")
@@ -475,8 +563,11 @@ class SnapshotTable:
         os.replace(ptr_tmp, os.path.join(self._manifests,
                                          "_last_checkpoint.json"))
 
-    def _publish(self, version: int, files: list[str], operation: str,
-                 parent: int | None, extra: dict | None = None) -> None:
+    def _publish(self, version: int, files: list[str] | None,
+                 operation: str, parent: int | None,
+                 extra: dict | None = None,
+                 delta: tuple[list[str], list[str], int] | None = None
+                 ) -> None:
         """Atomically publish one manifest.
 
         ``os.rename`` to an EXISTING path silently replaces it on POSIX,
@@ -485,16 +576,47 @@ class SnapshotTable:
         ``os.link`` (fails with EEXIST if the version was taken) and
         the temp unlinked after.  link+unlink is the portable atomic
         create-exclusive publish.
+
+        Manifests with a parent are written in DELTA mode (r10): the
+        doc stores ``files_added`` / ``files_removed`` / ``stats_added``
+        relative to the parent's resolved file list, so the commit
+        write is O(changed files), not O(table files) — the Iceberg
+        manifest-delta posture.  A caller that already KNOWS its delta
+        (appends: added = its new files, removed = none) passes
+        ``delta=(added, removed, n_files)`` and the publish never
+        touches the parent's file list at all; otherwise the delta is
+        computed by diffing ``files`` against the parent's resolved
+        view.  Periodic checkpoints (and the vacuum horizon fold)
+        embed the full resolved list so reads stay
+        O(checkpoint_interval).  Parentless manifests (v0) stay full.
         """
+        extra = dict(extra or {})
         doc = {
             "version": version,
             "parent": parent,
             "operation": operation,
-            "files": sorted(files),
             "committed_at": time.time(),
-            "n_files": len(files),
         }
-        doc.update(extra or {})
+        if parent is None:
+            doc["files"] = sorted(files or [])
+            doc["n_files"] = len(doc["files"])
+        else:
+            stats = extra.pop("file_stats", None) or {}
+            if delta is not None:
+                added, removed, n_files = delta
+                added, removed = sorted(added), sorted(removed)
+            else:
+                cur = set(files)
+                prev = set(self._load_manifest(parent)["files"])
+                added = sorted(cur - prev)
+                removed = sorted(prev - cur)
+                n_files = len(cur)
+            doc["n_files"] = int(n_files)
+            doc["files_added"] = added
+            doc["files_removed"] = removed
+            doc["stats_added"] = {f: stats[f] for f in added
+                                  if f in stats}
+        doc.update(extra)
         tmp = os.path.join(self._manifests,
                            f".tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
@@ -538,17 +660,21 @@ class SnapshotTable:
             if precondition is not None and not precondition(parent):
                 self._discard_files(new_files)
                 return None
-            files = list(new_files)
-            file_stats = dict(stats)
             merged_schema = schema_json
             parent_dv: list[str] = []
+            delta = None
             if parent is not None:
-                pm = self._load_manifest(parent)
-                files += pm["files"]
-                file_stats.update(pm.get("file_stats", {}))
-                file_stats = {f: s for f, s in file_stats.items()
-                              if f in set(files)}
+                # an append's delta IS its new files — the RAW parent
+                # doc already carries everything else this commit needs
+                # (schema, delete refs, running file count), so the
+                # commit never materializes the parent's file list:
+                # O(new files), whatever the table size
+                pm = self._load_raw(parent)
                 parent_dv = list(pm.get("delete_files") or [])
+                n_files = int(pm.get("n_files",
+                                     len(pm.get("files") or []))) \
+                    + len(new_files)
+                delta = (list(new_files), [], n_files)
                 try:
                     merged_schema = _merge_schema_json(pm.get("schema"),
                                                        schema_json)
@@ -558,12 +684,14 @@ class SnapshotTable:
             try:
                 # the parent's merge-on-read delete refs still govern
                 # the parent's files, which ride along by reference
-                self._publish(version, files, "append", parent,
+                self._publish(version, list(new_files), "append",
+                              parent,
                               extra={"schema": merged_schema,
-                                     "file_stats": file_stats,
+                                     "file_stats": dict(stats),
                                      **({"delete_files": parent_dv}
                                         if parent_dv else {}),
-                                     **(extra or {})})
+                                     **(extra or {})},
+                              delta=delta)
                 return version
             except CommitConflict:
                 continue
@@ -738,7 +866,7 @@ class SnapshotTable:
         floor = ck["version"] if ck else -1
         for v in range(head, floor, -1):
             try:
-                meta = self._load_manifest(v)
+                meta = self._load_raw(v)
             except FileNotFoundError:
                 # vacuum horizon inside the walk: everything older is
                 # answered by the checkpoint's folded map (vacuum folds
@@ -1246,10 +1374,18 @@ class SnapshotTable:
         for v in dropping:
             os.unlink(self._manifest_path(v))
             removed.append(self._manifest_path(v))
-        # superseded txn checkpoints: the newest folds all older maps
+        # superseded checkpoints: the newest folds all older txn maps,
+        # but checkpoints at/above the vacuum horizon must survive —
+        # they are the resolve BASES for the retained delta manifests
+        # just above the gap (deleting the horizon checkpoint would
+        # orphan every retained manifest whose delta chain crosses it)
+        # floor = parent of the oldest retained manifest: a PREVIOUS
+        # vacuum's horizon checkpoint sits there and may still be the
+        # only base for the retained chain even when nothing drops now
+        floor = (min(keep) - 1) if keep else 0
         cks = sorted(int(n[6:-5]) for n in os.listdir(self._manifests)
                      if n.startswith("ckpt-v") and n.endswith(".json"))
-        for v in cks[:-1]:
+        for v in (c for c in cks[:-1] if c < floor):
             os.unlink(self._checkpoint_path(v))
             removed.append(self._checkpoint_path(v))
         now = time.time()

@@ -1,0 +1,189 @@
+"""Delta-manifest commit format (r10): commits write O(changed files)
+docs; resolution reconstructs the full file list from the nearest base
+(checkpoint / full-mode manifest); vacuum keeps the bases alive."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datum_spark.sources.snapshots import SnapshotTable
+
+
+def _rows(df):
+    return sorted(r["v"] for r in df.collect())
+
+
+def _raw(t, v):
+    with open(t._manifest_path(v)) as fh:
+        return json.load(fh)
+
+
+def test_commit_docs_are_deltas(spark, tmp_path):
+    """Append/delete manifests carry only the changed files — the
+    commit write no longer scales with table size."""
+    t = SnapshotTable.create(spark, str(tmp_path / "d"))
+    for lo in (0, 3, 6):
+        t.append(spark.range(lo, lo + 3).select(F.col("id").alias("v")))
+    d1, d3 = _raw(t, 1), _raw(t, 3)
+    assert "files" not in d3 and "file_stats" not in d3
+    assert d3["files_removed"] == []
+    assert set(d3["stats_added"]) == set(d3["files_added"])
+    # the third append's doc mentions ITS files only, not v1's
+    assert not set(d1["files_added"]) & set(d3["files_added"])
+    resolved = t._load_manifest(3)
+    assert set(resolved["files"]) == (set(d1["files_added"])
+                                      | set(_raw(t, 2)["files_added"])
+                                      | set(d3["files_added"]))
+    assert _rows(t.read()) == list(range(9))
+
+
+def test_rewrite_docs_record_removals(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "rw"))
+    t.append(spark.range(6).select(F.col("id").alias("v")))
+    t.overwrite(spark.range(100, 102).select(F.col("id").alias("v")))
+    d = _raw(t, 2)
+    assert set(d["files_removed"]) == set(_raw(t, 1)["files_added"])
+    assert _rows(t.read()) == [100, 101]
+    assert _rows(t.read(version=1)) == [0, 1, 2, 3, 4, 5]
+
+
+def test_fresh_instance_resolves_cold(spark, tmp_path):
+    """A new SnapshotTable object (empty cache) must reconstruct every
+    version from disk alone."""
+    p = str(tmp_path / "cold")
+    t = SnapshotTable.create(spark, p)
+    for lo in range(0, 12, 3):
+        t.append(spark.range(lo, lo + 3).select(F.col("id").alias("v")))
+    t2 = SnapshotTable(spark, p)
+    for v, upto in ((1, 3), (2, 6), (3, 9), (4, 12)):
+        assert _rows(t2.read(version=v)) == list(range(upto))
+
+
+def test_resolution_across_vacuum_horizon(spark, tmp_path):
+    """After vacuum drops old manifests, the retained delta chain
+    resolves from the horizon checkpoint — cold cache, no ancestor
+    manifests on disk."""
+    p = str(tmp_path / "hz")
+    t = SnapshotTable.create(spark, p,
+                             checkpoint_interval=10 ** 9)
+    for lo in range(0, 21, 3):
+        t.append(spark.range(lo, lo + 3).select(F.col("id").alias("v")))
+    t.vacuum(keep_last=2, min_age_seconds=0)
+    assert not os.path.exists(t._manifest_path(5))
+    t2 = SnapshotTable(spark, p)
+    assert _rows(t2.read(version=6)) == list(range(18))
+    assert _rows(t2.read()) == list(range(21))
+    # and committing on top of the gap still works
+    t2.append(spark.range(21, 24).select(F.col("id").alias("v")))
+    assert _rows(SnapshotTable(spark, p).read()) == list(range(24))
+
+
+def test_vacuum_aborts_when_horizon_checkpoint_fails(spark, tmp_path,
+                                                     monkeypatch):
+    """If the pre-deletion txn fold cannot be written, vacuum must
+    delete NOTHING (a gap without folded marks lets append_once
+    double-commit a replayed batch)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "ab"))
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 6):
+        t.append_once(df, txn_id="p", txn_version=i)
+
+    def boom(version):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(t, "_write_checkpoint", boom)
+    removed = t.vacuum(keep_last=2, min_age_seconds=0)
+    assert removed == []
+    for v in range(6):
+        assert os.path.exists(t._manifest_path(v))
+    monkeypatch.undo()
+    # with the fold healthy again the same vacuum proceeds
+    assert t.vacuum(keep_last=2, min_age_seconds=0)
+    assert t._last_txn_version("p") == 5
+    assert t.append_once(df, txn_id="p", txn_version=5) is None
+
+
+def test_malformed_checkpoint_pointer_degrades_to_scan(spark, tmp_path):
+    """A _last_checkpoint.json holding the wrong TYPE (null / list)
+    must fall back to the directory scan, not raise TypeError."""
+    t = SnapshotTable.create(spark, str(tmp_path / "mal"),
+                             checkpoint_interval=3)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 5):
+        t.append_once(df, txn_id="p", txn_version=i)
+    ptr = os.path.join(t._manifests, "_last_checkpoint.json")
+    with open(ptr, "w") as fh:
+        json.dump({"version": None}, fh)
+    ck = t._latest_checkpoint(t.current_version())
+    assert ck is not None and ck["version"] == 3
+    assert t._last_txn_version("p") == 4
+
+
+def test_second_vacuum_keeps_load_bearing_base(spark, tmp_path):
+    """Checkpoint GC must never delete the base that the oldest
+    retained delta manifest resolves from, even when a newer
+    checkpoint exists above it and the second vacuum drops nothing."""
+    p = str(tmp_path / "v2")
+    t = SnapshotTable.create(spark, p, checkpoint_interval=8)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for _ in range(7):
+        t.append(df)                       # v1..v7
+    t.vacuum(keep_last=2, min_age_seconds=0)   # horizon ckpt-5
+    t.append(df)                               # v8 → interval ckpt-8
+    t.append(df)                               # v9
+    assert os.path.exists(t._checkpoint_path(5))
+    assert os.path.exists(t._checkpoint_path(8))
+    t.vacuum(keep_last=10, min_age_seconds=0)  # drops no manifests
+    assert os.path.exists(t._checkpoint_path(5))   # still the v6 base
+    t2 = SnapshotTable(spark, p)
+    assert t2.read(version=6).count() == 6
+    assert t2.read().count() == 9
+
+
+def test_legacy_full_manifests_interoperate(spark, tmp_path):
+    """Pre-r10 tables stored the full file list in every manifest; new
+    commits on top must resolve, read and vacuum cleanly."""
+    p = str(tmp_path / "leg")
+    t = SnapshotTable.create(spark, p)
+    for lo in (0, 3):
+        t.append(spark.range(lo, lo + 3).select(F.col("id").alias("v")))
+    # rewrite the on-disk docs into the legacy full format
+    for v in range(3):
+        full = dict(t._load_manifest(v))
+        for k in ("files_added", "files_removed", "stats_added"):
+            full.pop(k, None)
+        os.unlink(t._manifest_path(v))
+        with open(t._manifest_path(v), "w") as fh:
+            json.dump(full, fh)
+    t2 = SnapshotTable(spark, p)
+    assert _rows(t2.read()) == list(range(6))
+    t2.append(spark.range(6, 9).select(F.col("id").alias("v")))
+    assert "files" not in _raw(t2, 3)          # new commit is a delta
+    assert _rows(SnapshotTable(spark, p).read()) == list(range(9))
+    assert _rows(SnapshotTable(spark, p).read(version=2)) \
+        == list(range(6))
+
+
+def test_change_feed_unchanged_by_delta_format(spark, tmp_path):
+    t = SnapshotTable.create(spark, str(tmp_path / "cf"))
+    t.append(spark.range(3).select(F.col("id").alias("v")))
+    t.append(spark.range(3, 5).select(F.col("id").alias("v")))
+    ch = t.changes(1, 2)
+    assert sorted((r["v"], r["_change_type"]) for r in ch.collect()) \
+        == [(3, "insert"), (4, "insert")]
+
+
+@pytest.mark.parametrize("interval", [2, 10 ** 9])
+def test_deep_history_resolves_with_and_without_ckpts(spark, tmp_path,
+                                                      interval):
+    p = str(tmp_path / f"deep{interval}")
+    t = SnapshotTable.create(spark, p, checkpoint_interval=interval)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for _ in range(9):
+        t.append(df)
+    t._mcache.clear()
+    assert t._load_manifest(9)["n_files"] == len(
+        t._load_manifest(9)["files"])
+    assert t.read().count() == 9
