@@ -1671,3 +1671,149 @@ def x197(spark, sf):
              .unionByName(planted))
     return (semantic_contamination(ev, corpus, threshold=0.8)
             .orderBy("vec_id"))
+
+
+def _unigram_cte_parts(iters: int = 2, maxw: int = 16,
+                       seed_multi: int = 40) -> list[str]:
+    """Unrolled unigram-LM hard-EM training as DuckDB CTEs (the
+    _bpe_cte_parts discipline): word freqs → substring seed counts →
+    top-(chars + seed_multi) vocabulary → per-EM-iteration Viterbi DP
+    (one CTE per character position, packed sortable state strings,
+    operators/unigram.py documents the encoding) → usage counts →
+    M-step re-normalization.  ``p{iters}`` is the final piece table;
+    ``d0`` the shared DP init."""
+    parts = [f"""w AS (
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        FROM documents)
+  WHERE word <> '' AND length(word) <= {maxw} GROUP BY word
+)""", f"""sub AS (
+  SELECT piece, SUM(cnt) AS c FROM (
+    SELECT w.cnt, substr(w.word, i.i, l.l) AS piece
+    FROM w, generate_series(1, {maxw}) i(i), generate_series(1, 4) l(l)
+    WHERE i.i + l.l - 1 <= length(w.word)
+  ) GROUP BY piece
+)""", f"""p0k AS (
+  SELECT piece, c FROM sub WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c FROM (
+    SELECT piece, c FROM sub WHERE length(piece) > 1
+    ORDER BY c DESC, piece LIMIT {seed_multi})
+)""", """p0 AS (
+  SELECT piece, c AS cnt, ROUND(-LN(c / t.total), 6) AS cost
+  FROM p0k, (SELECT SUM(c) AS total FROM p0k) t
+)""", """d0 AS (
+  SELECT word, cnt,
+         [printf('%013.6f', 0.0) || printf('%03d', 0) || ''] AS sc
+  FROM w
+)"""]
+    for it in range(1, iters + 1):
+        parts.extend(_unigram_dp_parts(f"d{it}", "d0", f"p{it - 1}",
+                                       maxw))
+        parts.append(f"""u{it} AS (
+  SELECT piece, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_filter(
+      string_split(substr(sc[length(word) + 1], 17), chr(30)),
+      x -> x <> '')) AS piece
+    FROM d{it}_{maxw}
+  ) GROUP BY piece
+)""")
+        parts.append(f"""k{it} AS (
+  SELECT piece, cnt FROM (
+    SELECT p.piece,
+           COALESCE(u.c, CASE WHEN length(p.piece) = 1
+                         THEN 1 ELSE 0 END) AS cnt
+    FROM p{it - 1} p LEFT JOIN u{it} u ON p.piece = u.piece
+  ) WHERE cnt > 0
+)""")
+        parts.append(f"""p{it} AS (
+  SELECT piece, cnt, ROUND(-LN(cnt / t.total), 6) AS cost
+  FROM k{it}, (SELECT SUM(cnt) AS total FROM k{it}) t
+)""")
+    return parts
+
+
+def _unigram_dp_parts(name: str, init: str, pieces: str,
+                      maxw: int) -> list[str]:
+    """One Viterbi forward DP, unrolled: ``{name}_{m}`` extends the
+    packed-state array by prefix length m (string-MIN transition over
+    the matching pieces — min score, then fewest tokens, then
+    \\x1e-least segmentation)."""
+    parts = [f"{name}_0 AS MATERIALIZED (SELECT word, cnt, sc FROM {init})"]
+    for m in range(1, maxw + 1):
+        parts.append(f"""{name}_{m} AS MATERIALIZED (
+  SELECT word, cnt,
+    CASE WHEN length(word) >= {m} THEN list_append(sc, (
+      SELECT MIN(printf('%013.6f',
+                   ROUND(CAST(substr(q.prev, 1, 13) AS DOUBLE)
+                         + q.cost, 6))
+              || printf('%03d',
+                   CAST(substr(q.prev, 14, 3) AS INTEGER) + 1)
+              || substr(q.prev, 17) || chr(30) || q.piece)
+      FROM (SELECT p.piece, p.cost,
+                   sc[{m} - length(p.piece) + 1] AS prev
+            FROM {pieces} p
+            WHERE length(p.piece) <= {m}
+              AND substr(word, {m} - length(p.piece) + 1,
+                         length(p.piece)) = p.piece) q
+    )) ELSE sc END AS sc
+  FROM {name}_{m - 1})""")
+    return parts
+
+
+def _x200_sql(iters: int = 2) -> str:
+    parts = _unigram_cte_parts(iters=iters)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT piece, CAST(cnt AS BIGINT) AS cnt, cost
+FROM p{iters} ORDER BY piece""")
+
+
+def _x201_sql(iters: int = 2, maxw: int = 16, top: int = 30) -> str:
+    parts = _unigram_cte_parts(iters=iters, maxw=maxw)
+    parts.extend(_unigram_dp_parts("e", "d0", f"p{iters}", maxw))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(substr(v, 14, 3) AS INTEGER) AS n_tokens,
+       CAST(substr(v, 1, 13) AS DOUBLE) AS score,
+       array_to_string(list_filter(
+         string_split(substr(v, 17), chr(30)), x -> x <> ''), '|')
+         AS seg
+FROM (SELECT word, cnt, sc[length(word) + 1] AS v FROM e_{maxw})
+ORDER BY cnt DESC, word LIMIT {top}""")
+
+
+@x("x200_unigram_train", _x200_sql())
+def x200(spark, sf):
+    """Unigram-LM (SentencePiece-style) tokenizer training, hard-EM
+    variant: substring seed vocabulary (all chars + top-40 multis),
+    two EM iterations of Viterbi segmentation + usage-count
+    re-normalization.  ONE corpus pass (word frequencies); EM runs
+    driver-side over the vocabulary-sized table (the
+    learn_bpe_merges_local posture).  The oracle replays seed counts,
+    every DP state string and every M-step cost value-for-value.
+    operators/unigram.py::unigram_train_local."""
+    from ..operators.unigram import unigram_vocab_table
+
+    docs = load_docs(spark, sf)
+    return unigram_vocab_table(spark, docs).orderBy("piece")
+
+
+@x("x201_unigram_encode", _x201_sql())
+def x201(spark, sf):
+    """Distributed unigram Viterbi encoding of the 30 most frequent
+    words under the x200-trained vocabulary: score, token count and
+    the chosen segmentation per word.  The DP is ONE Catalyst
+    `aggregate` expression over character positions with the piece
+    costs broadcast as a runtime map (no plan-tree growth, no UDF,
+    map-only); the oracle replays training AND the encode DP.
+    operators/unigram.py::unigram_encode."""
+    from ..operators.bpe import word_frequencies
+    from ..operators.unigram import unigram_encode, unigram_train_local
+
+    docs = load_docs(spark, sf)
+    words = (word_frequencies(docs).filter(F.length("word") <= 16))
+    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    vocab = unigram_train_local(rows)
+    return (unigram_encode(words, vocab)
+            .select("word", "cnt", "n_tokens", "score", "seg")
+            .orderBy(F.desc("cnt"), "word").limit(30))

@@ -148,7 +148,8 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
                                n_buckets: int = 64, epochs: int = 2,
                                batch_size: int = 256, lr: float = 0.5,
                                salt: str = "qclf", seed: int = 42,
-                               avg_lr_decay: float = 1.0):
+                               avg_lr_decay: float = 1.0,
+                               audit_sink: list | None = None):
     """THROUGHPUT twin of :func:`quality_classifier_fit` — parallel
     mini-batch SGD (Zinkevich et al. 2010): each partition runs
     sequential SGD over its shard (NumPy, Arrow-batched), then the
@@ -167,6 +168,17 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
     per shard per epoch, so at tiny seed counts (≲ n_parts·batch_size)
     prefer the full-batch path, which is cheap exactly there (measured:
     91–94% prediction agreement at 40k–200k seed docs, SCALE.md §21).
+
+    ``audit_sink`` (a list, appended in place) makes the trajectory's
+    one CLOSED-FORM stage — the doc-weighted shard averaging —
+    externally checkable even though the per-shard SGD is not: each
+    epoch logs one record per shard ``{epoch, shard, n, w_sum, b}``
+    (``w_sum`` = unrounded float sum of the shard's weight vector, a
+    linear checksum) plus the epoch's averaged ``{epoch, shard: -1,
+    n: total, w_sum, b}``.  Because averaging is linear, the averaged
+    ``w_sum`` must equal ``Σ shard_w_sum · n/total`` — an independent
+    engine can replay that reduction from the logged rows and expose
+    any shard-weighting bug (x202).
 
     Returns ``(weights, bias)`` compatible with
     :func:`quality_classifier_score`.

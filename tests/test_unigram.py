@@ -1,0 +1,123 @@
+"""Unigram-LM tokenizer (operators/unigram.py): driver/Catalyst DP
+parity, training invariants, segmentation correctness."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from datum_spark.operators.unigram import (D, _mstep, _parse,
+                                           unigram_encode,
+                                           unigram_train_local,
+                                           unigram_vocab_table,
+                                           viterbi_state)
+
+
+def _random_words(seed, n=40, alpha="abcd", maxlen=12):
+    rng = random.Random(seed)
+    return [("".join(rng.choice(alpha)
+                     for _ in range(rng.randint(1, maxlen))),
+             rng.randint(1, 9)) for _ in range(n)]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_catalyst_dp_bit_equal_to_driver_dp(spark, seed):
+    """The packed DP state string from the Catalyst aggregate
+    expression must equal the Python reference byte-for-byte —
+    score formatting, rounding, tie-breaks and all."""
+    words = _random_words(seed)
+    vocab = unigram_train_local(words, iters=1)
+    cost = {p: c for p, _n, c in vocab}
+    enc = unigram_encode(
+        spark.createDataFrame(words, "word string, cnt long"), vocab)
+    got = {r["word"]: (r["score"], r["n_tokens"], r["seg"])
+           for r in enc.collect()}
+    for w, _ in words:
+        s, n, seg = _parse(viterbi_state(w, cost))
+        assert got[w] == (s, n, seg.replace(D, "|").lstrip("|")), w
+
+
+def test_segmentation_reassembles_word(spark):
+    words = _random_words(7, n=60, alpha="abcdef")
+    vocab = unigram_train_local(words, iters=2)
+    enc = unigram_encode(
+        spark.createDataFrame(words, "word string, cnt long"), vocab)
+    for r in enc.collect():
+        assert r["seg"].replace("|", "") == r["word"]
+        assert r["n_tokens"] == len(r["seg"].split("|"))
+
+
+def test_training_covers_every_character():
+    words = [("zebra", 3), ("quartz", 1), ("jazz", 5)]
+    vocab = unigram_train_local(words, iters=2)
+    pieces = {p for p, _, _ in vocab}
+    assert set("zebraqutj") <= pieces      # chars never dropped
+    for _p, cnt, cost in vocab:
+        assert cnt >= 1 and cost > 0
+
+
+def test_costs_are_normalized_negative_logs():
+    words = _random_words(11)
+    vocab = unigram_train_local(words, iters=2)
+    total = sum(c for _, c, _ in vocab)
+    for p, c, cost in vocab:
+        assert cost == pytest.approx(-math.log(c / total), abs=1e-6)
+
+
+def test_hard_em_never_increases_corpus_cost():
+    """Each EM iteration re-fits costs to the segmentation it chose —
+    the corpus-weighted Viterbi cost must be non-increasing (the
+    monotonicity hard-EM inherits from EM)."""
+    words = _random_words(13, n=80)
+
+    def corpus_cost(vocab):
+        cost = {p: c for p, _n, c in vocab}
+        return sum(cnt * _parse(viterbi_state(w, cost))[0]
+                   for w, cnt in words)
+
+    c1 = corpus_cost(unigram_train_local(words, iters=1))
+    c2 = corpus_cost(unigram_train_local(words, iters=2))
+    c3 = corpus_cost(unigram_train_local(words, iters=3))
+    assert c2 <= c1 + 1e-6 and c3 <= c2 + 1e-6
+
+
+def test_multi_char_pieces_win_frequent_substrings():
+    """A substring frequent enough to earn a low cost should be chosen
+    over its characters."""
+    words = [("banana", 50), ("bandana", 30), ("cabana", 20)]
+    vocab = unigram_train_local(words, iters=2)
+    cost = {p: c for p, _n, c in vocab}
+    seg = _parse(viterbi_state("banana", cost))[2]
+    toks = [t for t in seg.split(D) if t]
+    assert any(len(t) > 1 for t in toks)
+
+
+def test_oov_character_yields_null_state(spark):
+    words = [("abc", 1)]
+    vocab = unigram_train_local(words, iters=1)
+    enc = unigram_encode(
+        spark.createDataFrame([("axz",)], "word string"), vocab)
+    r = enc.collect()[0]
+    assert r["score"] is None and r["n_tokens"] is None
+
+
+def test_vocab_table_schema_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a cat sat")],
+        "doc_id long, text string")
+    a = unigram_vocab_table(spark, docs).collect()
+    b = unigram_vocab_table(spark, docs).collect()
+    assert a == b
+    assert [f.name for f in unigram_vocab_table(spark, docs).schema] \
+        == ["piece", "cnt", "cost"]
+
+
+def test_mstep_floor_keeps_unused_chars():
+    cost = _mstep({"a": 3, "b": 1})
+    assert cost["a"] < cost["b"]
+    # floor applied by the trainer, not _mstep: train a corpus where a
+    # char is always absorbed into a multi piece
+    words = [("aaaa", 100)]
+    vocab = unigram_train_local(words, iters=2)
+    assert any(p == "a" for p, _, _ in vocab)
