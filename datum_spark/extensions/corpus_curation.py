@@ -1817,3 +1817,74 @@ def x201(spark, sf):
     return (unigram_encode(words, vocab)
             .select("word", "cnt", "n_tokens", "score", "seg")
             .orderBy(F.desc("cnt"), "word").limit(30))
+
+
+@x("x202_sgd_audit", None)   # rows-only: per-shard SGD has no closed
+def x202(spark, sf):         # SQL form (classifier.py:146 documents it)
+    """Trajectory audit for the SGD throughput twin (the r9 VERDICT
+    mandate): the ONE closed-form stage of parallel mini-batch SGD —
+    doc-weighted shard averaging — is logged per epoch and REPLAYED by
+    an independent reduction (Spark SQL weighted mean over the logged
+    shard checksums vs the driver's NumPy vector fold; linearity makes
+    the weight-sum checksum commute with averaging), so a
+    shard-weighting bug flips ``w_match``/``b_match`` to false even
+    though the inner SGD is not cross-engine replayable.  The
+    ``agreement`` column grades the final SGD model against the
+    auditable full-batch trajectory (x188's path, 8 steps) on every
+    document — a silent quality collapse is driver-visible.  Output:
+    one row per epoch."""
+    from ..operators.classifier import (quality_classifier_fit,
+                                        quality_classifier_fit_sgd,
+                                        quality_classifier_score)
+
+    docs = load_docs(spark, sf)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+    share = (F.size(F.filter(words, lambda w: w.isin("the", "a")))
+             / F.size(words))
+    d = docs.withColumn("__sh", share)
+    seed = (d.filter((F.col("__sh") >= 0.09) | (F.col("__sh") <= 0.03))
+             .withColumn("__y", (F.col("__sh") >= 0.09).cast("int")))
+    audit: list = []
+    w_s, b_s = quality_classifier_fit_sgd(
+        seed, "doc_id", "text", "__y", n_buckets=256, epochs=2,
+        batch_size=64, audit_sink=audit)
+    w_f, b_f = quality_classifier_fit(seed, "doc_id", "text", "__y",
+                                      n_buckets=256, steps=8, lr=4.0)
+    s1 = quality_classifier_score(docs, w_s, b_s, "doc_id", "text",
+                                  n_buckets=256) \
+        .select("doc_id", F.col("pred").alias("__p1"))
+    s2 = quality_classifier_score(docs, w_f, b_f, "doc_id", "text",
+                                  n_buckets=256) \
+        .select("doc_id", F.col("pred").alias("__p2"))
+    agree = (s1.join(s2, "doc_id")
+               .agg(F.avg((F.col("__p1") == F.col("__p2"))
+                          .cast("double")))
+               .collect()[0][0])
+    shards = spark.createDataFrame(
+        [(r["epoch"], r["shard"], r["n"], r["w_sum"], r["b"])
+         for r in audit if r["shard"] >= 0],
+        "epoch int, shard int, n long, w_sum double, b double")
+    driver = spark.createDataFrame(
+        [(r["epoch"], r["n"], r["w_sum"], r["b"])
+         for r in audit if r["shard"] == -1],
+        "epoch int, n_total long, w_avg double, b_avg double")
+    replay = (shards.groupBy("epoch")
+              .agg(F.count(F.lit(1)).alias("n_shards"),
+                   F.sum("n").alias("n_docs"),
+                   (F.sum(F.col("w_sum") * F.col("n")) / F.sum("n"))
+                   .alias("w_replay"),
+                   (F.sum(F.col("b") * F.col("n")) / F.sum("n"))
+                   .alias("b_replay")))
+    return (replay.join(driver, "epoch")
+            .select("epoch", "n_shards", "n_docs",
+                    F.round("w_avg", 6).alias("w_avg"),
+                    F.round("w_replay", 6).alias("w_replay"),
+                    (F.round("w_avg", 6) == F.round("w_replay", 6))
+                    .alias("w_match"),
+                    F.round("b_avg", 6).alias("b_avg"),
+                    F.round("b_replay", 6).alias("b_replay"),
+                    (F.round("b_avg", 6) == F.round("b_replay", 6))
+                    .alias("b_match"),
+                    F.round(F.lit(float(agree)), 4).alias("agreement"))
+            .orderBy("epoch"))

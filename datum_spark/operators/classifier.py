@@ -206,8 +206,8 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
     for epoch in range(epochs):
         key = md5_bucket(F.col("__id"), salt=f"{salt}-sgd-{seed}-{epoch}")
         sharded = (feat.withColumn("__k", key)
-                       .repartition(n_parts,
-                                    F.pmod(F.col("__k"), n_parts))
+                       .withColumn("__p", F.pmod(F.col("__k"), n_parts))
+                       .repartition(n_parts, F.col("__p"))
                        .sortWithinPartitions("__k", "__id"))
         w0, b0 = w.copy(), bias
         eff_lr = lr * (avg_lr_decay ** epoch)
@@ -220,6 +220,7 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
             # original bug — both discarded progress and made the
             # result depend on the Arrow chunking)
             lw, lb, seen = w0.copy(), b0, 0
+            part = -1
             buf: list = []
 
             def step(batch):
@@ -244,6 +245,8 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
                 seen += m
 
             for pdf in pdfs:
+                if part < 0 and len(pdf):
+                    part = int(pdf["__p"].iloc[0])
                 buf.extend(zip(pdf["__bs"], pdf["__cs"],
                                pdf["__n"], pdf["__y"]))
                 while len(buf) >= batch_size:
@@ -252,7 +255,7 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
             if buf:
                 step(buf)
             if seen:
-                yield pd.DataFrame({"part": [0], "n": [seen],
+                yield pd.DataFrame({"part": [part], "n": [seen],
                                     "w": [lw.tolist()], "b": [lb]})
 
         parts = sharded.mapInPandas(shard_sgd, schema).collect()
@@ -264,6 +267,16 @@ def quality_classifier_fit_sgd(df: DataFrame, id_col: str,
         for r in parts:
             w += np.asarray(r["w"]) * (r["n"] / total)
             bias += r["b"] * (r["n"] / total)
+        if audit_sink is not None:
+            for r in sorted(parts, key=lambda r: r["part"]):
+                audit_sink.append(
+                    {"epoch": epoch, "shard": int(r["part"]),
+                     "n": int(r["n"]),
+                     "w_sum": float(np.sum(np.asarray(r["w"]))),
+                     "b": float(r["b"])})
+            audit_sink.append(
+                {"epoch": epoch, "shard": -1, "n": int(total),
+                 "w_sum": float(np.sum(w)), "b": float(bias)})
     return [float(x) for x in w], float(bias)
 
 

@@ -203,3 +203,36 @@ def test_sgd_twin_invariant_to_arrow_chunking(spark, toy):
         else:
             spark.conf.unset(key)
     assert a == b
+
+
+def test_sgd_audit_sink_replays_averaging(spark):
+    """The logged shard checksums must reproduce the driver's averaged
+    checksum exactly (linearity of the weight-sum under doc-weighted
+    averaging) — and the sink must not change the trained model."""
+    from datum_spark.operators.classifier import quality_classifier_fit_sgd
+
+    rows = [(i, f"apple banana w{i % 17} apple", 1) for i in range(200)] \
+        + [(i + 1000, f"cat dog w{i % 13} mouse", 0) for i in range(200)]
+    toy = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    audit: list = []
+    w1, b1 = quality_classifier_fit_sgd(toy, "doc_id", "text", "y",
+                                        n_buckets=32, epochs=2,
+                                        batch_size=32,
+                                        audit_sink=audit)
+    w2, b2 = quality_classifier_fit_sgd(toy, "doc_id", "text", "y",
+                                        n_buckets=32, epochs=2,
+                                        batch_size=32)
+    assert (w1, b1) == (w2, b2)
+    epochs = sorted({r["epoch"] for r in audit})
+    assert epochs == [0, 1]
+    for e in epochs:
+        sh = [r for r in audit if r["epoch"] == e and r["shard"] >= 0]
+        av = [r for r in audit if r["epoch"] == e and r["shard"] == -1]
+        assert len(av) == 1 and len(sh) >= 2
+        total = sum(r["n"] for r in sh)
+        assert total == av[0]["n"]
+        w_replay = sum(r["w_sum"] * r["n"] for r in sh) / total
+        b_replay = sum(r["b"] * r["n"] for r in sh) / total
+        assert abs(w_replay - av[0]["w_sum"]) < 1e-9
+        assert abs(b_replay - av[0]["b"]) < 1e-9
+        assert len({r["shard"] for r in sh}) == len(sh)
