@@ -1888,3 +1888,40 @@ def x202(spark, sf):         # SQL form (classifier.py:146 documents it)
                     .alias("b_match"),
                     F.round(F.lit(float(agree)), 4).alias("agreement"))
             .orderBy("epoch"))
+
+
+def _x203_sql(ncells: int = 8, coarse_iters: int = 2) -> str:
+    """Occupancy oracle: the shared coarse-Lloyd + assignment chain
+    (v .. acell from _ivfpq_cte_parts — the PQ stages are not needed
+    to count cells), then per-cell counts with empty cells zero-filled
+    and ratios against the ncells mean."""
+    parts = _ivfpq_cte_parts(ncells=ncells,
+                             coarse_iters=coarse_iters)[:3 + 2 * coarse_iters]
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT c.cid AS cell,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_codes,
+       ROUND(COALESCE(a.n, 0) / t.total, 6) AS share,
+       ROUND(COALESCE(a.n, 0) * {ncells} / t.total, 4) AS ratio_to_mean
+FROM cc{coarse_iters} c
+LEFT JOIN (SELECT cell, COUNT(*) AS n FROM acell GROUP BY cell) a
+  ON c.cid = a.cell,
+     (SELECT COUNT(*) AS total FROM acell) t
+ORDER BY cell""")
+
+
+@x("x203_ivfpq_occupancy", _x203_sql())
+def x203(spark, sf):
+    """Per-cell occupancy audit of the IVF-PQ index (the serve-scan
+    skew report): ADC reads nprobe whole cells, so ratio_to_mean ≫ 1
+    on a cell is the maintenance signal for ivfpq_rebalance's hot-cell
+    split.  Empty cells report 0 (they are free to probe).  One
+    map-combined count shuffle over the codes; the oracle replays the
+    coarse training, every assignment and the counts.
+    operators/similarity.py::ivfpq_cell_occupancy."""
+    from ..operators.similarity import (ivfpq_cell_occupancy,
+                                        ivfpq_train_encode)
+
+    emb = load_emb(spark, sf)
+    codes, coarse, _books = ivfpq_train_encode(
+        emb, ncells=8, m=4, ksub=8, coarse_iters=2, pq_iters=2)
+    return ivfpq_cell_occupancy(codes, len(coarse))

@@ -1530,3 +1530,103 @@ def test_temperature_rates_properties(spark):
     assert all(0 < r <= 1 for r in bud.values())
     expected = 800 * bud["big"] + 200 * bud["small"]
     assert abs(expected - 300) < 1
+
+
+def _skewed_index(spark, path, transactional=False):
+    """3-blob corpus (20 each at 0/200/400), then a 120-vector skewed
+    delta landing in blob-0's cell (two sub-blobs at 1.0 / 2.0 the
+    frozen centers cannot separate).  Returns (full corpus, delta)."""
+    from datum_spark.operators.similarity import (ivfpq_index_add,
+                                                  ivfpq_index_build)
+
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01] * 8)
+            for i in range(60)]
+    base = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    ivfpq_index_build(base, path, ncells=3, m=2, ksub=4,
+                      coarse_iters=2, pq_iters=2,
+                      transactional=transactional)
+    drows = [(1000 + i, [1.0 + (i % 5) * 0.01] * 8) for i in range(60)] \
+        + [(2000 + i, [2.0 + (i % 5) * 0.01] * 8) for i in range(60)]
+    delta = spark.createDataFrame(
+        drows, "vec_id bigint, embedding array<double>")
+    ivfpq_index_add(delta, path)
+    return base.unionByName(delta), delta
+
+
+def test_ivfpq_occupancy_flags_hot_cell(spark, tmp_path):
+    from datum_spark.operators.similarity import ivfpq_index_occupancy
+
+    path = str(tmp_path / "ix")
+    _skewed_index(spark, path)
+    occ = {r["cell"]: r for r in
+           ivfpq_index_occupancy(spark, path).collect()}
+    assert sum(r["n_codes"] for r in occ.values()) == 180
+    hot = [c for c, r in occ.items() if r["ratio_to_mean"] > 2.0]
+    assert len(hot) == 1 and occ[hot[0]]["n_codes"] == 140
+    assert abs(occ[hot[0]]["share"] - 140 / 180) < 1e-6
+
+
+def test_ivfpq_rebalance_bounds_hot_cell_and_keeps_serving(spark,
+                                                           tmp_path):
+    from datum_spark.operators.similarity import (ivfpq_index_occupancy,
+                                                  ivfpq_index_query,
+                                                  ivfpq_rebalance)
+
+    path = str(tmp_path / "ix")
+    corpus, _ = _skewed_index(spark, path)
+    res = ivfpq_rebalance(corpus, path, hot_factor=2.0)
+    # round 1 peels blob-0 off the hot cell (140 -> 20 + 120); round 2
+    # splits the still-hot 1.0/2.0 mass (120 -> 60 + 60)
+    assert len(res["split"]) == 2
+    assert res["split"][0][1] == 3 and res["split"][1] == (3, 4)
+    assert res["n_reencoded"] == 140 + 120
+    occ = {r["cell"]: r for r in
+           ivfpq_index_occupancy(spark, path).collect()}
+    assert len(occ) == 5
+    assert sum(r["n_codes"] for r in occ.values()) == 180   # no loss
+    assert max(r["n_codes"] for r in occ.values()) < 140    # shrunk
+    assert all(r["ratio_to_mean"] <= 2.0 for r in occ.values())
+    # untouched cells still serve identically; split cells serve their
+    # own members (nprobe=1 — the scan is now the SUB-cell)
+    qs = corpus.filter("vec_id IN (1, 1003, 2003)")
+    out = ivfpq_index_query(qs, path, k=5, nprobe=1)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert all(v % 3 == 1 for v in got[1])            # blob-200 intact
+    assert all(1000 <= v < 1100 for v in got[1003])   # 1.0 sub-blob
+    assert all(v >= 2000 for v in got[2003])          # 2.0 sub-blob
+
+
+def test_ivfpq_rebalance_noop_when_balanced(spark, tmp_path):
+    from datum_spark.operators.similarity import (ivfpq_index_build,
+                                                  ivfpq_rebalance)
+
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01] * 8)
+            for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "ix")
+    ivfpq_index_build(df, path, ncells=3, m=2, ksub=4)
+    res = ivfpq_rebalance(df, path, hot_factor=2.0)
+    assert res == {"split": [], "n_reencoded": 0}
+
+
+def test_ivfpq_rebalance_transactional(spark, tmp_path):
+    """On a snapshot-table index the rewrite is a stats-pruned delete
+    + append — versioned, so the pre-rebalance codes time-travel."""
+    from datum_spark.operators.similarity import (ivfpq_index_occupancy,
+                                                  ivfpq_rebalance)
+    from datum_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "ix")
+    corpus, _ = _skewed_index(spark, path, transactional=True)
+    t = SnapshotTable(spark, str(tmp_path / "ix" / "codes"))
+    v_before = t.current_version()
+    res = ivfpq_rebalance(corpus, path, hot_factor=2.0)
+    assert res["n_reencoded"] == 140 + 120
+    occ = ivfpq_index_occupancy(spark, path).collect()
+    assert sum(r["n_codes"] for r in occ) == 180
+    assert max(r["n_codes"] for r in occ) < 140
+    assert t.read(version=v_before).count() == 180   # time travel
