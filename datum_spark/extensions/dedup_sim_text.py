@@ -512,13 +512,26 @@ def x27(spark, sf):
     """IVF coarse-quantizer ANN top-5 (data-adaptive scale path; each query
     scores ~nprobe/centroids of the corpus).  refine_iters=0 here: the
     Lloyd step is a train-once cost, not a per-query one — re-training in
-    a timed query loop would misrepresent serving cost."""
+    a timed query loop would misrepresent serving cost.  Graded IN-ENTRY
+    against the exact x08 ranking (the x09 pattern, VERDICT r9): rows are
+    the (query, neighbor) hits IVF shares with the exact top-5 plus a
+    per-query ``recall_at_5`` column — rows > 0 is the expected state and
+    a recall collapse is driver-visible as an empty result."""
     emb = load_emb(spark, sf)
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
-    return (sim_mod.ivf_cosine_top_k(q, c, k=5, centroids=32, nprobe=6,
-                                     refine_iters=0)
-            .orderBy("query_id", "rnk"))
+    ivf = sim_mod.ivf_cosine_top_k(q, c, k=5, centroids=32, nprobe=6,
+                                   refine_iters=0)
+    exact = (sim_mod.cosine_top_k(q, c, k=5, round_to=4)
+             .select("query_id", "neighbor_id"))
+    hit = ivf.join(exact, ["query_id", "neighbor_id"])
+    per_q = (hit.groupBy("query_id")
+                .agg(F.round(F.count(F.lit(1)) / 5.0, 2)
+                      .alias("recall_at_5")))
+    return (hit.select("query_id", "neighbor_id",
+                       F.round("cosine", 4).alias("cosine"))
+               .join(per_q, "query_id")
+               .orderBy("query_id", "neighbor_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -550,13 +550,26 @@ def x55(spark, sf):
     """Distributed k-means over the embeddings (k=8, 2 Lloyd passes):
     per-vector cluster + squared distance.  Centers ride in the UDF
     closure; each iteration is one map-only partial-sum pass (full
-    vectors never shuffled).  No oracle: iterative/ML, not
-    SQL-expressible — invariants covered by test_clustering.py."""
-    from ..operators.clustering import kmeans_assign
+    vectors never shuffled).  No oracle (iterative/ML, sampled init —
+    invariants covered by test_clustering.py), but graded IN-ENTRY
+    against the hash-verified x108 twin (VERDICT r9): the constant
+    ``inertia_ratio`` column is this fit's total within-cluster d²
+    over the deterministic-trajectory fit's — ≈1 is the healthy state,
+    a drift ≫1 makes a silent quality collapse driver-visible."""
+    from ..operators.clustering import (_verifiable_fit, kmeans_assign,
+                                        kmeans_inertia)
 
     emb = load_emb(spark, sf)
-    return (kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
-            .orderBy("vec_id"))
+    assigned = kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+    fast_inertia = kmeans_inertia(assigned)
+    v, centers, d2s_expr = _verifiable_fit(emb, "vec_id", "embedding",
+                                           8, 2, 6)
+    ver_inertia = float(
+        v.withColumn("__d2s", d2s_expr(centers))
+         .agg(F.sum(F.expr("array_min(__d2s)"))).first()[0])
+    ratio = round(fast_inertia / ver_inertia, 4) if ver_inertia else -1.0
+    return (assigned.withColumn("inertia_ratio", F.lit(ratio))
+                    .orderBy("vec_id"))
 
 
 @x("x56_source_mixing", """

@@ -1491,3 +1491,22 @@ class ChangeFeedCursor:
             self._persist(self._pending)
             self._version = self._pending
             self._pending = None
+
+    def process(self, fn) -> bool:
+        """At-least-once consumption as a first-class call: poll →
+        ``fn(batch_df)`` → commit, regardless of the cursor's
+        ``autocommit`` setting (the offset is committed ONLY after
+        ``fn`` returns).  A crash inside ``fn`` leaves the offset
+        untouched, so the next ``process()`` replays the same range —
+        pair ``fn`` with idempotent sinks
+        (:meth:`SnapshotTable.append_once`) for effective
+        exactly-once.  Returns True when a batch was processed, False
+        when the head hasn't moved."""
+        head = self.table.current_version()
+        if head is None or head <= self._version:
+            return False
+        fn(self.table.changes(self._version, head))
+        self._persist(head)
+        self._version = head
+        self._pending = None
+        return True

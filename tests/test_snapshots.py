@@ -1158,3 +1158,34 @@ def test_checkpoint_interval_zero_disables_cleanly(spark, tmp_path):
     assert t.read().count() == 3
     assert not [n for n in os.listdir(t._manifests)
                 if n.startswith("ckpt-v")]
+
+
+def test_cursor_process_replays_after_crash(spark, table, tmp_path):
+    """process(fn) commits the offset ONLY after fn returns: a crash
+    inside fn replays the same batch on the next call (at-least-once),
+    and a successful fn never sees that batch again."""
+    from datum_spark.sources.snapshots import ChangeFeedCursor
+
+    ckpt = str(tmp_path / "cur.json")
+    cur = ChangeFeedCursor(table, ckpt)          # offset pinned at head
+    table.append(spark.range(3).select(F.col("id").alias("v")))
+    seen: list[list[int]] = []
+
+    def boom(df):
+        seen.append(sorted(r["v"] for r in df.collect()))
+        raise RuntimeError("crash mid-processing")
+
+    with pytest.raises(RuntimeError):
+        cur.process(boom)
+    assert seen == [[0, 1, 2]]
+    # restart from the persisted checkpoint: the batch replays
+    cur2 = ChangeFeedCursor(table, ckpt)
+    assert cur2.version == 0
+    assert cur2.process(lambda df: seen.append(
+        sorted(r["v"] for r in df.collect()))) is True
+    assert seen == [[0, 1, 2], [0, 1, 2]]        # replayed once
+    assert cur2.process(lambda df: seen.append([])) is False
+    table.append(spark.range(3, 5).select(F.col("id").alias("v")))
+    assert cur2.process(lambda df: seen.append(
+        sorted(r["v"] for r in df.collect()))) is True
+    assert seen[-1] == [3, 4]                    # only the new delta
