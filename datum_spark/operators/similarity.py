@@ -18,7 +18,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -1480,6 +1480,21 @@ def semantic_contamination(eval_df: DataFrame, corpus: DataFrame,
 # ---------------------------------------------------------------------------
 
 
+def _ivfpq_read_codes(spark: SparkSession, codes_path: str) -> DataFrame:
+    """The index's codes table, whichever substrate holds it: the
+    snapshot table when ``codes/_manifests`` exists (snapshot-isolated
+    read), plain cell-partitioned parquet otherwise.  The ONE place
+    that decides — ivfpq_index_add/query/occupancy/rebalance all route
+    through it."""
+    import os as _os
+
+    if _os.path.isdir(_os.path.join(codes_path, "_manifests")):
+        from ..sources.snapshots import SnapshotTable
+
+        return SnapshotTable(spark, codes_path).read()
+    return spark.read.parquet(codes_path)
+
+
 def ivfpq_cell_occupancy(codes: DataFrame, ncells: int) -> DataFrame:
     """Per-cell serve-scan audit: ``(cell, n_codes, share,
     ratio_to_mean)`` for every cell INCLUDING empty ones.  ADC serving
@@ -1513,13 +1528,7 @@ def ivfpq_index_occupancy(spark: SparkSession, index_path: str
     import os as _os
 
     coarse, _books = _ivfpq_load(spark, index_path)
-    codes_path = _os.path.join(index_path, "codes")
-    if _os.path.isdir(_os.path.join(codes_path, "_manifests")):
-        from ..sources.snapshots import SnapshotTable
-
-        codes = SnapshotTable(spark, codes_path).read()
-    else:
-        codes = spark.read.parquet(codes_path)
+    codes = _ivfpq_read_codes(spark, _os.path.join(index_path, "codes"))
     return ivfpq_cell_occupancy(codes, len(coarse))
 
 
@@ -1562,16 +1571,27 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     serve path and index format stay identical).
 
     Per hot cell: a deterministic 2-means (the x108 Lloyd, first-2
-    init) on the cell's RAW vectors — re-assigned from ``corpus``
-    against the frozen coarse table, so the caller passes the corpus
-    INCLUDING any ``ivfpq_index_add`` deltas — replaces the center
-    with sub-center 0 and appends sub-center 1 as a NEW cell id;
-    the cell's vectors re-encode their residuals against their new
-    center through the UNCHANGED global books.  IO: one assignment
-    pass over the corpus map-filtered to the hot cells, a 2-center
-    Lloyd per hot cell (k×dim partials, never vectors), and a rewrite
-    of exactly the split partitions (dynamic partition overwrite;
-    stats-pruned delete + append on a transactional index).
+    init) on the cell's RAW vectors — its membership read from the
+    STORED codes rows and joined to ``corpus`` by id (never a fresh
+    re-assignment, which disagrees with storage near cell boundaries
+    and would drop/duplicate rows across the rewrite), so the caller
+    passes the corpus INCLUDING any ``ivfpq_index_add`` deltas
+    (ValueError if any indexed id is missing) — replaces the center
+    with sub-center 0 and appends sub-center 1 as a NEW cell id; the
+    cell's vectors re-encode their residuals against their new center
+    through the UNCHANGED global books.  IO: one id-join pass over the
+    corpus, a 2-center Lloyd per hot cell (k×dim partials, never
+    vectors), and a rewrite of exactly the split partitions (dynamic
+    partition overwrite; ONE keyed merge commit on a transactional
+    index).
+
+    Crash window: the coarse table commits BEFORE the codes rewrite.
+    A crash in between leaves the split cell's codes encoded against
+    its old center — degraded (approximate) distances in that one
+    cell until rebalance re-runs; the reverse order would instead
+    leave the new cell's codes invisible to probing (vector loss), so
+    coarse-first is the benign failure.  On the transactional index
+    the codes rewrite itself is atomic (single merge commit).
 
     Returns ``{"split": [(old_cell, new_cell), ...],
     "n_reencoded": int}`` (no-op → empty list)."""
@@ -1588,9 +1608,7 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
         from ..sources.snapshots import SnapshotTable
 
         t = SnapshotTable(spark, codes_path)
-        occ_src = t.read()
-    else:
-        occ_src = spark.read.parquet(codes_path)
+    occ_src = _ivfpq_read_codes(spark, codes_path)
     occ = {r["cell"]: r["n_codes"]
            for r in ivfpq_cell_occupancy(occ_src, ncells).collect()}
     total = sum(occ.values())
@@ -1602,11 +1620,26 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     v = (corpus.select(F.col(id_col).alias("__id"),
                        F.col(vec_col).cast("array<double>").alias("__e"))
                .filter(F.col("__e").isNotNull()))
-    assigned = (_ivfpq_cells(v, coarse, quantize)
-                .join(v, "__id")
-                .filter(F.col("__cell").isin([int(c) for c in hot]))
-                .select("__id", "__e", "__cell").persist())
-    assigned.count()
+    # membership = the STORED codes rows of the hot cells, joined back
+    # to the corpus by id — NOT a fresh global re-assignment, which
+    # would disagree with storage for vectors near a cell boundary
+    # (and after a prior split round) and silently drop or duplicate
+    # them across the delete/rewrite pair
+    id_out = occ_src.columns[0] if occ_src.columns[0] != "cell" \
+        else [c for c in occ_src.columns
+              if c != "cell" and not c.startswith("code_")][0]
+    members = (occ_src.filter(F.col("cell").isin(
+                   [int(c) for c in hot]))
+               .select(F.col(id_out).alias("__id"),
+                       F.col("cell").alias("__cell")))
+    n_members = members.count()
+    assigned = members.join(v, "__id").persist()
+    if assigned.count() != n_members:
+        assigned.unpersist()
+        raise ValueError(
+            "corpus does not cover every indexed vector of the hot "
+            "cells — rebalance re-encodes from raw vectors, so pass "
+            "the corpus INCLUDING all ivfpq_index_add deltas")
     new_coarse = [list(c) for c in coarse]
     split: list[tuple[int, int]] = []
     pieces = []
@@ -1616,8 +1649,11 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
                              .select("__id", "__e")
             _cv, two, _ = _verifiable_fit(cell_v, "__id", "__e", 2, 2,
                                           quantize)
-            if len(two) < 2:             # degenerate: all-identical
-                continue                 # vectors — nothing to split
+            if len(two) < 2 or list(two[0]) == list(two[1]):
+                continue     # degenerate (all-identical vectors): a
+                             # duplicate center would never drain the
+                             # cell — leave it; the fixpoint loop stops
+                             # on the empty-split round
             new_id = len(new_coarse)
             new_coarse[c] = [float(x) for x in two[0]]
             new_coarse.append([float(x) for x in two[1]])
@@ -1636,9 +1672,6 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
         from functools import reduce
 
         new_codes = reduce(lambda a, b: a.unionByName(b), pieces)
-        id_out = occ_src.columns[0] if occ_src.columns[0] != "cell" \
-            else [c for c in occ_src.columns
-                  if c != "cell" and not c.startswith("code_")][0]
         new_codes = new_codes.withColumnRenamed("__id", id_out) \
             .select(id_out, "cell",
                     *[f"code_{s}" for s in range(len(books))])
@@ -1651,10 +1684,13 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
         n = new_codes.persist().count()
         try:
             if txn:
-                cells_sql = ",".join(str(c) for c, _ in split)
-                t.delete_where(f"cell IN ({cells_sql})")
-                t.append(new_codes.repartitionByRange(
-                    max(1, min(len(new_coarse), 32)), "cell"))
+                # ONE keyed merge commit (COW over the hot cells' files
+                # only, stats-pruned): the codes are atomically either
+                # pre- or post-split — never a delete/append gap where
+                # the split cells are missing from the head
+                t.merge(new_codes.repartitionByRange(
+                    max(1, min(len(new_coarse), 32)), "cell"),
+                    keys=[id_out])
             else:
                 with_dyn = spark.conf.get(
                     "spark.sql.sources.partitionOverwriteMode", "static")

@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 from .similarity import _round_half_away
 
 D = "\x1e"          # segmentation delimiter inside a packed DP state
+_MAX_WORD = 999     # %03d token count / %013.6f score stay exact below
 
 
 def _fmt(score: float, ntok: int, seg: str) -> str:
@@ -66,7 +67,19 @@ def viterbi_state(word: str, cost: dict[str, float],
                   max_piece_len: int = 4) -> str:
     """Packed DP state of the best segmentation of ``word`` (min cost,
     then fewest pieces, then \\x1e-least) — the driver-side reference
-    spelling of the Catalyst expression in :func:`unigram_encode`."""
+    spelling of the Catalyst expression in :func:`unigram_encode`.
+
+    Words longer than 999 characters are rejected: the packed state's
+    ``%03d`` token-count field (and the 6-integer-digit score field,
+    given trained costs ≤ ``ln(2^63) ≈ 43.7``) is exact only below
+    1,000 pieces — beyond it the field widths shift and the sortable
+    encoding silently corrupts.  The Catalyst twin returns NULL for
+    such words instead."""
+    if len(word) > _MAX_WORD:
+        raise ValueError(
+            f"word longer than {_MAX_WORD} chars overflows the packed "
+            f"DP state; pre-split or drop it (the corpus trainers cap "
+            f"at max_word_len)")
     acc = [_fmt(0.0, 0, "")]
     for m in range(1, len(word) + 1):
         cands = []
@@ -164,7 +177,14 @@ def unigram_encode(words: DataFrame, vocab: list[tuple[str, int, float]],
     broadcast (zero plan-tree growth for any vocab size); the DP is a
     single Catalyst ``aggregate`` over character positions — map-only,
     codegen'd, no UDF, no shuffle.  Bit-equal to
-    :func:`viterbi_state` (tested)."""
+    :func:`viterbi_state` (tested).  Words over 999 chars (or with an
+    out-of-vocabulary character) yield NULL score/n_tokens/seg — the
+    packed state is exact only below 1,000 pieces; costs ≥ 1000 are
+    rejected for the same field-width reason (trained costs are
+    ≤ ln(2^63) ≈ 43.7)."""
+    if any(c >= 1000.0 for _p, _n, c in vocab):
+        raise ValueError("piece cost >= 1000 overflows the packed "
+                         "score field")
     spark = words.sparkSession
     vocab_df = spark.createDataFrame(
         [(p, float(c)) for p, _n, c in vocab], "piece string, cost double")
@@ -186,6 +206,8 @@ def unigram_encode(words: DataFrame, vocab: list[tuple[str, int, float]],
           ELSE NULL END),
         x -> x IS NOT NULL))),
       acc -> element_at(acc, length({word_col}) + 1))"""
+    dp = (f"CASE WHEN length({word_col}) > {_MAX_WORD} THEN NULL "
+          f"ELSE {dp} END")
     return (words.crossJoin(F.broadcast(cm))
             .withColumn("__v", F.expr(dp))
             .withColumn("score",

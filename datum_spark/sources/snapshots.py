@@ -553,7 +553,29 @@ class SnapshotTable:
         try:
             os.link(tmp, self._checkpoint_path(version))
         except FileExistsError:
-            pass
+            # a pre-r10 checkpoint at this version carries txn marks
+            # but NO file list — useless as a resolve base, which
+            # vacuum REQUIRES at the horizon.  Upgrade it in place
+            # (atomic replace; marks merged by max so legacy marks
+            # from already-vacuumed manifests survive).
+            try:
+                with open(self._checkpoint_path(version)) as fh:
+                    old = json.load(fh)
+            except (OSError, ValueError):
+                old = {}
+            if "files" not in old:
+                merged = dict(txn)
+                for k, mv in (old.get("txn") or {}).items():
+                    if int(mv) > merged.get(k, -1):
+                        merged[k] = int(mv)
+                doc["txn"] = merged
+                up = os.path.join(self._manifests,
+                                  f".tmp-{uuid.uuid4().hex}.json")
+                with open(up, "w") as fh:
+                    json.dump(doc, fh)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                os.replace(up, self._checkpoint_path(version))
         finally:
             os.unlink(tmp)
         ptr_tmp = os.path.join(self._manifests,
@@ -1369,7 +1391,12 @@ class SnapshotTable:
                 self._write_checkpoint(horizon)
             except Exception:
                 return removed       # abort: nothing deleted
-            if not os.path.exists(self._checkpoint_path(horizon)):
+            # the horizon base must EMBED the file list (a pre-r10
+            # txn-only checkpoint is not a resolve base — deleting
+            # manifests behind it would brick the retained delta
+            # chain); _write_checkpoint upgrades legacy docs in place,
+            # so a miss here means the write was not durable
+            if self._ckpt_state(horizon) is None:
                 return removed       # fold not durable: abort vacuum
         for v in dropping:
             os.unlink(self._manifest_path(v))

@@ -187,3 +187,28 @@ def test_deep_history_resolves_with_and_without_ckpts(spark, tmp_path,
     assert t._load_manifest(9)["n_files"] == len(
         t._load_manifest(9)["files"])
     assert t.read().count() == 9
+
+
+def test_vacuum_upgrades_legacy_txn_only_checkpoint(spark, tmp_path):
+    """A pre-r10 checkpoint (txn marks, NO file list) sitting exactly
+    at the vacuum horizon must be upgraded in place — deleting
+    manifests behind a txn-only base would make the retained delta
+    chain unresolvable."""
+    p = str(tmp_path / "leg")
+    t = SnapshotTable.create(spark, p, checkpoint_interval=10 ** 9)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(1, 8):
+        t.append_once(df, txn_id="prod", txn_version=i)   # v1..v7
+    # plant a LEGACY txn-only checkpoint at what will be the horizon
+    with open(t._checkpoint_path(5), "w") as fh:
+        json.dump({"version": 5, "txn": {"prod": 5, "old": 3}}, fh)
+    t.vacuum(keep_last=2, min_age_seconds=0)              # horizon = 5
+    st = t._ckpt_state(5)
+    assert st is not None and len(st["files"]) >= 5       # upgraded
+    assert not os.path.exists(t._manifest_path(4))        # vacuum ran
+    t2 = SnapshotTable(spark, p)
+    assert t2.read().count() == 7                         # chain alive
+    assert t2.read(version=6).count() == 6
+    # legacy txn marks survive the upgrade (max-merged)
+    assert t2._last_txn_version("old") == 3
+    assert t2._last_txn_version("prod") == 7

@@ -1630,3 +1630,41 @@ def test_ivfpq_rebalance_transactional(spark, tmp_path):
     assert sum(r["n_codes"] for r in occ) == 180
     assert max(r["n_codes"] for r in occ) < 140
     assert t.read(version=v_before).count() == 180   # time travel
+
+
+def test_ivfpq_rebalance_requires_full_corpus(spark, tmp_path):
+    """Membership comes from the STORED codes joined to the corpus by
+    id — a corpus missing indexed vectors must fail loudly, never
+    silently drop them from the rewritten cells."""
+    import pytest as _pytest
+
+    from datum_spark.operators.similarity import ivfpq_rebalance
+
+    path = str(tmp_path / "ix")
+    corpus, delta = _skewed_index(spark, path)
+    with _pytest.raises(ValueError, match="corpus does not cover"):
+        ivfpq_rebalance(corpus.filter("vec_id < 1000"), path,
+                        hot_factor=2.0)
+
+
+def test_ivfpq_rebalance_identical_vectors_terminate(spark, tmp_path):
+    """An all-identical hot cell cannot be split (2-means yields one
+    center twice): rebalance must terminate without appending
+    duplicate centers or rewriting anything."""
+    from datum_spark.operators.similarity import (ivfpq_index_add,
+                                                  ivfpq_index_build,
+                                                  ivfpq_rebalance)
+
+    rows = [(i, [float(200 * (i % 3))] * 8) for i in range(30)]
+    base = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "ix")
+    ivfpq_index_build(base, path, ncells=3, m=2, ksub=4)
+    dup = spark.createDataFrame(
+        [(1000 + i, [0.0] * 8) for i in range(90)],
+        "vec_id bigint, embedding array<double>")
+    ivfpq_index_add(dup, path)
+    res = ivfpq_rebalance(base.unionByName(dup), path, hot_factor=2.0)
+    assert res == {"split": [], "n_reencoded": 0}
+    coarse = spark.read.parquet(path + "/coarse").collect()
+    assert len(coarse) == 3                       # no duplicate centers

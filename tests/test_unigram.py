@@ -121,3 +121,22 @@ def test_mstep_floor_keeps_unused_chars():
     words = [("aaaa", 100)]
     vocab = unigram_train_local(words, iters=2)
     assert any(p == "a" for p, _, _ in vocab)
+
+
+def test_long_word_guard(spark):
+    words = [("abc", 2)]
+    vocab = unigram_train_local(words, iters=1)
+    with pytest.raises(ValueError):
+        viterbi_state("a" * 1000, {p: c for p, _n, c in vocab})
+    enc = unigram_encode(
+        spark.createDataFrame([("a" * 1000,), ("abc",)], "word string"),
+        vocab)
+    got = {r["word"][:5]: r["n_tokens"] for r in enc.collect()}
+    assert got["aaaaa"] is None          # overlong → NULL, not garbage
+    assert got["abc"] is not None
+
+
+def test_oversized_cost_rejected(spark):
+    with pytest.raises(ValueError):
+        unigram_encode(spark.createDataFrame([("a",)], "word string"),
+                       [("a", 1, 1000.0)])
