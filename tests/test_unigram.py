@@ -140,3 +140,43 @@ def test_oversized_cost_rejected(spark):
     with pytest.raises(ValueError):
         unigram_encode(spark.createDataFrame([("a",)], "word string"),
                        [("a", 1, 1000.0)])
+
+
+def test_doc_scores_orders_quality(spark):
+    """A document of common (LM-cheap) words must score fewer nats per
+    token than one of rare character salad; sums must reassemble."""
+    from datum_spark.operators.unigram import unigram_doc_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat the cat sat on the mat"),
+         (2, "the cat sat on the mat"),
+         (3, "zqxj vwkp qjzx wvpk zzqq")],
+        "doc_id long, text string")
+    words = [("the", 30), ("cat", 20), ("sat", 20), ("on", 10),
+             ("mat", 10), ("zqxj", 1), ("vwkp", 1), ("qjzx", 1),
+             ("wvpk", 1), ("zzqq", 1)]
+    vocab = unigram_train_local(words, iters=2)
+    out = {r["doc_id"]: r for r in
+           unigram_doc_scores(docs, vocab).collect()}
+    assert out[1]["n_words"] == 12 and out[3]["n_words"] == 5
+    assert out[1]["nats_per_token"] < out[3]["nats_per_token"]
+    # same word mix → same per-token cost regardless of doc length
+    assert out[1]["nats_per_token"] == pytest.approx(
+        out[2]["nats_per_token"], abs=1e-5)
+    for r in out.values():
+        assert r["total_cost"] == pytest.approx(
+            r["nats_per_token"] * r["n_tokens"], abs=1e-4)
+
+
+def test_doc_scores_excludes_overlong_and_oov(spark):
+    from datum_spark.operators.unigram import unigram_doc_scores
+
+    vocab = unigram_train_local([("abc", 5)], iters=1)
+    docs = spark.createDataFrame(
+        [(1, "abc " + "a" * 20 + " xyz abc")],
+        "doc_id long, text string")
+    r = unigram_doc_scores(docs, vocab, max_word_len=16).collect()[0]
+    # the 20-char word (over max_word_len) and 'xyz' (out-of-vocabulary
+    # characters) are both excluded; the two 'abc' occurrences remain
+    assert r["n_words"] == 2
+    assert r["total_cost"] > 0
