@@ -7,9 +7,9 @@ DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
 (50 in every round so far), so the dict leads with the round-10
-recheck set (the 5 new entries x200–x204 plus x196, whose ORACLE text
+recheck set (the 6 new entries x200–x205 plus x196, whose ORACLE text
 changed this round), then the 45-entry r5 band — the VERDICT-r9
-rotation mandate — fills the window (6 + 44 fit; x99 → r11).  Other
+rotation mandate — fills the window (7 + 43 fit; x98/x99 → r11).  Other
 entries whose code changed in r10 (x27/x55 gained in-entry grading
 columns, x186/x189/x190 null-filter queries, x198 rounding) were each
 locally diff-run green this round and rotate into the next window.
@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-10 re-check set: the 4 new entries + x196 (its ORACLE changed —
+# Round-10 re-check set: the 6 new entries + x196 (its ORACLE changed —
 # query-set rule now matches the entry's ORDER BY/LIMIT selection).
 _RECHECK_R10 = {
     "x200_unigram_train",                 # new: unigram-LM hard-EM
@@ -39,10 +39,12 @@ _RECHECK_R10 = {
     "x202_sgd_audit",                     # new: shard-averaging replay
     "x203_ivfpq_occupancy",               # new: serve-scan skew report
     "x204_unigram_perplexity",            # new: LM quality signal
+    "x205_tokenizer_fertility",           # new: BPE vs unigram audit
     "x196_matryoshka_recall",             # oracle text changed in r10
-    # 6 rechecks + 45 r5-band entries = 51 candidates for the 50-slot
-    # window: the alphabetically-last r5 entry (x99_containment) falls
-    # to r11 — it was locally diff-run green this round to compensate.
+    # 7 rechecks + 45 r5-band entries = 52 candidates for the 50-slot
+    # window: the two alphabetically-last r5 entries (x98_novelty,
+    # x99_containment) fall to r11 — both locally diff-run green this
+    # round to compensate.
     # Changed-but-locally-verified this round (next window): x27/x55
     # (in-entry grading columns), x186/x189/x190 (null-filtered query
     # collect), x198 (half-away rounding).

@@ -620,22 +620,29 @@ def _bpe_oracle_sql(iters: int = 5) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final + "\nORDER BY it"
 
 
-def _bpe_cte_parts(iters: int) -> list[str]:
+def _bpe_cte_parts(iters: int, max_word_len: int | None = None,
+                   skip_w: bool = False) -> list[str]:
     """Shared CTE chain: word freqs → delimited char sequences → per-
     iteration (pair counts, argmax pair, 2-pass merge).  The word column
-    rides along so the encode oracle (x119) can map word → tokens."""
-    parts = ["""w AS (
+    rides along so the encode oracle (x119) can map word → tokens.
+    ``max_word_len`` adds the unigram chain's length cap;  ``skip_w``
+    omits the ``w`` CTE so the chain can share another builder's
+    identically-defined word table (x205 composes both tokenizers)."""
+    cap = (f" AND length(word) <= {max_word_len}"
+           if max_word_len is not None else "")
+    parts = [] if skip_w else [f"""w AS (
   SELECT word, COUNT(*) AS cnt
   FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
         FROM documents)
-  WHERE word <> '' GROUP BY word
-)""", """s0 AS (
+  WHERE word <> ''{cap} GROUP BY word
+)"""]
+    parts.append("""s0 AS (
   SELECT word, cnt,
          chr(30) || array_to_string(
            list_transform(range(1, length(word) + 1),
                           i -> substr(word, i, 1)), chr(30)) || chr(30) AS s
   FROM w
-)"""]
+)""")
     for t in range(1, iters + 1):
         parts.append(f"""c{t} AS (
   SELECT p, SUM(cnt) AS c FROM (

@@ -1974,3 +1974,64 @@ def x204(spark, sf):
     rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
     vocab = unigram_train_local(rows)
     return unigram_doc_scores(docs, vocab).orderBy("doc_id")
+
+
+def _x205_sql(bpe_iters: int = 5, iters: int = 2,
+              maxw: int = 16, top: int = 30) -> str:
+    """Fertility comparison oracle: the unigram chain (which defines
+    the length-capped word table ``w``) + the BPE merge chain sharing
+    that same ``w`` (skip_w), then tokens-per-word for both families
+    joined per word."""
+    from .analytics import _bpe_cte_parts
+
+    parts = _unigram_cte_parts(iters=iters, maxw=maxw)
+    parts.extend(_unigram_dp_parts("e", "d0", f"p{iters}", maxw))
+    parts.extend(_bpe_cte_parts(bpe_iters, skip_w=True))
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT b.word, CAST(b.cnt AS BIGINT) AS cnt,
+       CAST(b.bpe_tokens AS INTEGER) AS bpe_tokens,
+       u.uni_tokens,
+       ROUND(b.bpe_tokens * 1.0 / u.uni_tokens, 4) AS fertility_ratio
+FROM (SELECT word, cnt,
+             len(list_filter(string_split(s, chr(30)), x -> x <> ''))
+               AS bpe_tokens
+      FROM s{bpe_iters}) b
+JOIN (SELECT word, CAST(substr(sc[length(word) + 1], 14, 3) AS INTEGER)
+               AS uni_tokens
+      FROM e_{maxw}) u USING (word)
+ORDER BY cnt DESC, word LIMIT {top}""")
+
+
+@x("x205_tokenizer_fertility", _x205_sql())
+def x205(spark, sf):
+    """Tokenizer-family fertility audit: tokens-per-word of the BPE
+    vocabulary (5 merges, x114's trajectory) vs the unigram-LM
+    vocabulary (x200's trajectory) over the SAME length-capped word
+    table — the measurement behind choosing a tokenizer family (lower
+    fertility = fewer tokens for the same text = cheaper training).
+    Both trainings are vocabulary-sized driver loops; both encodes are
+    map-only vocab passes.  The oracle replays BOTH trajectories and
+    every per-word token count."""
+    from ..operators.bpe import (bpe_encode_vocab,
+                                 learn_bpe_merges_local,
+                                 word_frequencies)
+    from ..operators.unigram import unigram_encode, unigram_train_local
+
+    docs = load_docs(spark, sf)
+    words = (word_frequencies(docs)
+             .filter(F.length("word") <= 16).persist())
+    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    merges = learn_bpe_merges_local(words, iters=5)
+    vocab = unigram_train_local(rows)
+    bpe = (bpe_encode_vocab(words, merges)
+           .select("word", "cnt",
+                   F.col("n_tokens").cast("int").alias("bpe_tokens")))
+    uni = (unigram_encode(words.select("word"), vocab)
+           .select("word", F.col("n_tokens").alias("uni_tokens")))
+    out = (bpe.join(uni, "word")
+           .select("word", "cnt", "bpe_tokens", "uni_tokens",
+                   F.round(F.col("bpe_tokens") / F.col("uni_tokens"),
+                           4).alias("fertility_ratio"))
+           .orderBy(F.desc("cnt"), "word").limit(30))
+    words.unpersist()
+    return out

@@ -1199,6 +1199,36 @@ class SnapshotTable:
 
     # -- reads -------------------------------------------------------------
 
+    def row_count(self, version: int | None = None) -> int:
+        """Row count from MANIFEST METADATA alone — zero data files
+        opened (the Iceberg snapshot-summary read): every file's row
+        count was recorded from its parquet footer at commit time.
+
+        Falls back to ``read(version).count()`` when the metadata
+        cannot answer exactly: a file committed with an unreadable
+        footer (no stats), or merge-on-read delete refs in force
+        (refs may be stale — pointing at files a later rewrite already
+        replaced — so arithmetic on their count would overcount the
+        deletions; ``compact`` materializes them away and restores the
+        metadata path)."""
+        if version is None:
+            version = self.current_version()
+        if version is None:
+            raise ValueError(f"no snapshot table at {self.path}")
+        m = self._load_manifest(version)
+        if m.get("delete_files"):
+            return int(self.read(version=version).count())
+        stats = m.get("file_stats") or {}
+        total = 0
+        for f in m["files"]:
+            per_col = stats.get(f) or {}
+            rows = {c.get("rows") for c in per_col.values()
+                    if isinstance(c, dict) and "rows" in c}
+            if not rows:
+                return int(self.read(version=version).count())
+            total += max(rows)
+        return int(total)
+
     def read(self, version: int | None = None,
              as_of: float | None = None,
              merge_schema: bool = False,

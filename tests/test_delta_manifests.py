@@ -212,3 +212,23 @@ def test_vacuum_upgrades_legacy_txn_only_checkpoint(spark, tmp_path):
     # legacy txn marks survive the upgrade (max-merged)
     assert t2._last_txn_version("old") == 3
     assert t2._last_txn_version("prod") == 7
+
+
+def test_row_count_metadata_only(spark, tmp_path):
+    """row_count answers from manifest stats without opening data
+    files; falls back to a scan under MoR deletes or missing stats."""
+    t = SnapshotTable.create(spark, str(tmp_path / "rc"))
+    assert SnapshotTable(spark, t.path).row_count() == 0
+    t.append(spark.range(7).select(F.col("id").alias("v")))
+    t.append(spark.range(7, 12).select(F.col("id").alias("v")))
+    assert t.row_count() == 12
+    assert t.row_count(version=1) == 7
+    t.delete_where("v >= 10")                       # COW: stats stay
+    assert t.row_count() == 10
+    t.delete_where("v = 0", mode="mor")             # refs → scan path
+    assert t.row_count() == 9
+    t.compact()                                     # refs materialized
+    m = t._load_manifest(t.current_version())
+    assert not m.get("delete_files")
+    assert t.row_count() == 9                       # metadata again
+    assert t.row_count() == t.read().count()
