@@ -620,21 +620,18 @@ def _bpe_oracle_sql(iters: int = 5) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + final + "\nORDER BY it"
 
 
-def _bpe_cte_parts(iters: int, max_word_len: int | None = None,
-                   skip_w: bool = False) -> list[str]:
+def _bpe_cte_parts(iters: int, skip_w: bool = False) -> list[str]:
     """Shared CTE chain: word freqs → delimited char sequences → per-
     iteration (pair counts, argmax pair, 2-pass merge).  The word column
     rides along so the encode oracle (x119) can map word → tokens.
-    ``max_word_len`` adds the unigram chain's length cap;  ``skip_w``
-    omits the ``w`` CTE so the chain can share another builder's
-    identically-defined word table (x205 composes both tokenizers)."""
-    cap = (f" AND length(word) <= {max_word_len}"
-           if max_word_len is not None else "")
-    parts = [] if skip_w else [f"""w AS (
+    ``skip_w`` omits the ``w`` CTE so the chain can share another
+    builder's word table (x205 composes both tokenizer chains over the
+    unigram builder's length-capped ``w``)."""
+    parts = [] if skip_w else ["""w AS (
   SELECT word, COUNT(*) AS cnt
   FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
         FROM documents)
-  WHERE word <> ''{cap} GROUP BY word
+  WHERE word <> '' GROUP BY word
 )"""]
     parts.append("""s0 AS (
   SELECT word, cnt,

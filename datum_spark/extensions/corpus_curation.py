@@ -1807,13 +1807,10 @@ def x201(spark, sf):
     costs broadcast as a runtime map (no plan-tree growth, no UDF,
     map-only); the oracle replays training AND the encode DP.
     operators/unigram.py::unigram_encode."""
-    from ..operators.bpe import word_frequencies
-    from ..operators.unigram import unigram_encode, unigram_train_local
+    from ..operators.unigram import unigram_encode, unigram_trained_vocab
 
     docs = load_docs(spark, sf)
-    words = (word_frequencies(docs).filter(F.length("word") <= 16))
-    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
-    vocab = unigram_train_local(rows)
+    words, vocab = unigram_trained_vocab(docs)
     return (unigram_encode(words, vocab)
             .select("word", "cnt", "n_tokens", "score", "seg")
             .orderBy(F.desc("cnt"), "word").limit(30))
@@ -1965,14 +1962,11 @@ def x204(spark, sf):
     corpus never meets the DP — only the vocabulary does.  The oracle
     replays training, every word's DP state and every per-doc sum.
     operators/unigram.py::unigram_doc_scores."""
-    from ..operators.bpe import word_frequencies
     from ..operators.unigram import (unigram_doc_scores,
-                                     unigram_train_local)
+                                     unigram_trained_vocab)
 
     docs = load_docs(spark, sf)
-    words = word_frequencies(docs).filter(F.length("word") <= 16)
-    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
-    vocab = unigram_train_local(rows)
+    _words, vocab = unigram_trained_vocab(docs)
     return unigram_doc_scores(docs, vocab).orderBy("doc_id")
 
 
@@ -2012,26 +2006,23 @@ def x205(spark, sf):
     Both trainings are vocabulary-sized driver loops; both encodes are
     map-only vocab passes.  The oracle replays BOTH trajectories and
     every per-word token count."""
-    from ..operators.bpe import (bpe_encode_vocab,
-                                 learn_bpe_merges_local,
-                                 word_frequencies)
-    from ..operators.unigram import unigram_encode, unigram_train_local
+    from ..operators.bpe import bpe_encode_vocab, learn_bpe_merges_local
+    from ..operators.unigram import unigram_encode, unigram_trained_vocab
 
     docs = load_docs(spark, sf)
-    words = (word_frequencies(docs)
-             .filter(F.length("word") <= 16).persist())
-    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    # words rides the bounded operator cache ring: it feeds BOTH
+    # training collects AND the two encode branches the driver
+    # evaluates later (an eager unpersist here would recompute the
+    # corpus word-frequency pass per branch at hash time)
+    words, vocab = unigram_trained_vocab(docs)
     merges = learn_bpe_merges_local(words, iters=5)
-    vocab = unigram_train_local(rows)
     bpe = (bpe_encode_vocab(words, merges)
            .select("word", "cnt",
                    F.col("n_tokens").cast("int").alias("bpe_tokens")))
     uni = (unigram_encode(words.select("word"), vocab)
            .select("word", F.col("n_tokens").alias("uni_tokens")))
-    out = (bpe.join(uni, "word")
-           .select("word", "cnt", "bpe_tokens", "uni_tokens",
-                   F.round(F.col("bpe_tokens") / F.col("uni_tokens"),
-                           4).alias("fertility_ratio"))
-           .orderBy(F.desc("cnt"), "word").limit(30))
-    words.unpersist()
-    return out
+    return (bpe.join(uni, "word")
+            .select("word", "cnt", "bpe_tokens", "uni_tokens",
+                    F.round(F.col("bpe_tokens") / F.col("uni_tokens"),
+                            4).alias("fertility_ratio"))
+            .orderBy(F.desc("cnt"), "word").limit(30))

@@ -1585,13 +1585,18 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     partition overwrite; ONE keyed merge commit on a transactional
     index).
 
-    Crash window: the coarse table commits BEFORE the codes rewrite.
-    A crash in between leaves the split cell's codes encoded against
-    its old center — degraded (approximate) distances in that one
-    cell until rebalance re-runs; the reverse order would instead
-    leave the new cell's codes invisible to probing (vector loss), so
-    coarse-first is the benign failure.  On the transactional index
-    the codes rewrite itself is atomic (single merge commit).
+    Crash window: the coarse table commits BEFORE the codes rewrite,
+    and a crash in between leaves the split cell inconsistent BOTH
+    ways — its codes still measure against the replaced center
+    (degraded distances), and queries routed to the new sub-center
+    probe an EMPTY cell (that sub-blob is invisible until rebalance
+    re-runs or the codes commit lands).  The reverse order has the
+    mirrored window (new-cell codes invisible to old coarse), so
+    neither ordering is safe alone; true atomicity needs one metadata
+    root over both tables — the graduate-to-Iceberg point.  Re-running
+    rebalance after a crash converges (membership reads the stored
+    codes).  On the transactional index the codes rewrite itself is a
+    single atomic merge commit.
 
     Returns ``{"split": [(old_cell, new_cell), ...],
     "n_reencoded": int}`` (no-op → empty list)."""
@@ -1634,12 +1639,21 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
                        F.col("cell").alias("__cell")))
     n_members = members.count()
     assigned = members.join(v, "__id").persist()
-    if assigned.count() != n_members:
+    agg = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("__id").alias("nd")).first()
+    if int(agg["nd"]) < n_members:
         assigned.unpersist()
         raise ValueError(
             "corpus does not cover every indexed vector of the hot "
             "cells — rebalance re-encodes from raw vectors, so pass "
             "the corpus INCLUDING all ivfpq_index_add deltas")
+    if int(agg["n"]) > int(agg["nd"]):
+        assigned.unpersist()
+        raise ValueError(
+            "corpus has duplicate rows for indexed ids — a duplicated "
+            "id would be re-encoded twice (and could mask a missing "
+            "one); deduplicate the corpus by id first")
     new_coarse = [list(c) for c in coarse]
     split: list[tuple[int, int]] = []
     pieces = []
@@ -1684,13 +1698,17 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
         n = new_codes.persist().count()
         try:
             if txn:
-                # ONE keyed merge commit (COW over the hot cells' files
-                # only, stats-pruned): the codes are atomically either
-                # pre- or post-split — never a delete/append gap where
-                # the split cells are missing from the head
+                # ONE merge commit keyed on CELL: new_codes carries the
+                # COMPLETE re-encode of every split cell, so replacing
+                # by cell reproduces delete+append atomically — never a
+                # gap where the split cells are missing from the head —
+                # and the codes files are range-clustered by cell, so
+                # the per-file cell stats prune the rewrite to exactly
+                # the split cells' files (an id-keyed merge would span
+                # the whole interleaved id range and rewrite O(table))
                 t.merge(new_codes.repartitionByRange(
                     max(1, min(len(new_coarse), 32)), "cell"),
-                    keys=[id_out])
+                    keys=["cell"])
             else:
                 with_dyn = spark.conf.get(
                     "spark.sql.sources.partitionOverwriteMode", "static")

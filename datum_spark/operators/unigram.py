@@ -147,6 +147,30 @@ def unigram_train_local(word_counts: list[tuple[str, int]],
     return sorted((p, counts[p], cost[p]) for p in counts)
 
 
+def unigram_trained_vocab(docs: DataFrame, iters: int = 2,
+                          max_piece_len: int = 4, seed_multi: int = 40,
+                          max_word_len: int = 16,
+                          text_col: str = "text"):
+    """The ONE training recipe every consumer shares (x200/x201/x204/
+    x205 and :func:`unigram_vocab_table`): word-frequency pass →
+    ``max_word_len`` cap → collect → :func:`unigram_train_local`.
+    Returns ``(words_df, vocab_list)`` — the words frame is cached in
+    the bounded operator ring (it feeds both the training collect and
+    the callers' encode branches).  Keeping the recipe in one place is
+    what keeps the four entries' trajectories — and their DuckDB
+    oracles — from silently diverging."""
+    from ..util import retain_cache
+    from .bpe import word_frequencies
+
+    words = retain_cache(word_frequencies(docs, text_col)
+                         .filter(F.length("word") <= max_word_len))
+    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    vocab = unigram_train_local(rows, iters=iters,
+                                max_piece_len=max_piece_len,
+                                seed_multi=seed_multi)
+    return words, vocab
+
+
 def unigram_vocab_table(spark: SparkSession, docs: DataFrame,
                         iters: int = 2, max_piece_len: int = 4,
                         seed_multi: int = 40, max_word_len: int = 16,
@@ -155,14 +179,10 @@ def unigram_vocab_table(spark: SparkSession, docs: DataFrame,
     touch), vocabulary collected once, EM driver-side.  Words longer
     than ``max_word_len`` are excluded (tail noise for a subword
     vocabulary; also bounds the oracle's DP unroll)."""
-    from .bpe import word_frequencies
-
-    words = (word_frequencies(docs, text_col)
-             .filter(F.length("word") <= max_word_len))
-    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
-    vocab = unigram_train_local(rows, iters=iters,
-                                max_piece_len=max_piece_len,
-                                seed_multi=seed_multi)
+    _words, vocab = unigram_trained_vocab(
+        docs, iters=iters, max_piece_len=max_piece_len,
+        seed_multi=seed_multi, max_word_len=max_word_len,
+        text_col=text_col)
     return spark.createDataFrame(vocab,
                                  "piece string, cnt bigint, cost double")
 

@@ -909,12 +909,21 @@ class SnapshotTable:
         is O(files containing affected keys), not O(table).  On a commit
         conflict the merge recomputes from the new head."""
         df = df.localCheckpoint(eager=True)   # pin: evaluated per retry
-        bounds = {}
-        for k in keys:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        bounds = {}
+        key_vals: dict[str, list] = {}
+        for k in keys:
             row = df.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).first()
             bounds[k] = (row["lo"], row["hi"])
+            # low-cardinality keys prune by VALUE SET, not range — an
+            # upsert touching cells {0, 8} must not rewrite every file
+            # whose range falls between them (the IVF-PQ rebalance
+            # shape: one old partition + one brand-new max-id one)
+            dv = df.select(k).distinct().limit(65).collect()
+            if len(dv) <= 64:
+                key_vals[k] = sorted(
+                    (r[k] for r in dv if r[k] is not None))
 
         def touched_split(parent):
             if parent is None:
@@ -927,9 +936,17 @@ class SnapshotTable:
                 overlap = True
                 for k, (lo, hi) in bounds.items():
                     cs = s.get(k)
-                    if (cs and cs.get("exact") and lo is not None
-                            and cs.get("min") is not None
-                            and _comparable(cs["min"], lo)
+                    if not (cs and cs.get("exact")
+                            and cs.get("min") is not None):
+                        continue
+                    vals = key_vals.get(k)
+                    if vals is not None and all(
+                            _comparable(cs["min"], v) for v in vals):
+                        if all(v < cs["min"] or v > cs["max"]
+                               for v in vals):
+                            overlap = False
+                            break
+                    elif (lo is not None and _comparable(cs["min"], lo)
                             and (cs["max"] < lo or cs["min"] > hi)):
                         overlap = False
                         break

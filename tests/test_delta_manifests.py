@@ -232,3 +232,23 @@ def test_row_count_metadata_only(spark, tmp_path):
     assert not m.get("delete_files")
     assert t.row_count() == 9                       # metadata again
     assert t.row_count() == t.read().count()
+
+
+def test_merge_prunes_by_value_set_not_range(spark, tmp_path):
+    """An upsert whose keys hit only the FIRST and LAST clustered files
+    must carry every middle file by reference (value-set pruning; the
+    old range-only rule rewrote everything between min and max key)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "vp"))
+    t.append(spark.range(80).select(F.floor(F.col("id") / 10).alias("k"),
+                                    F.col("id").alias("v")))
+    t.compact(target_files=8, cluster_by=["k"])
+    before = t._load_manifest(t.current_version())["files"]
+    up = spark.createDataFrame([(0, 1000), (7, 7000)], "k long, v long")
+    t.merge(up, keys=["k"])
+    after = t._load_manifest(t.current_version())["files"]
+    carried = set(before) & set(after)
+    assert len(carried) >= 5          # middle files untouched
+    got = {r["k"]: r["v"] for r in t.read()
+           .groupBy("k").agg(F.max("v").alias("v")).collect()}
+    assert got[0] == 1000 and got[7] == 7000 and got[3] == 39
+    assert t.read().count() == 80 - 20 + 2
