@@ -831,13 +831,15 @@ GROUP BY dw.lang ORDER BY dw.lang""")
 def x119(spark, sf):
     """BPE corpus encoding with the x114-learned merges: the merge chain
     compiles to ONE static JVM replace expression over the VOCAB (map-
-    only, whole-stage codegen), and the corpus is tokenized by broadcast-
-    joining exploded words onto that tiny (word → n_tokens) table — the
-    shape that holds when the corpus is 100 TB and the vocab is megabytes.
+    only, whole-stage codegen), and the corpus is tokenized by size-gated-
+    broadcast-joining exploded words onto that (word → n_tokens) table —
+    broadcast while the vocab is megabytes, shuffle join past the gate
+    (web-corpus distinct words run 10⁷–10⁸ rows).
     operators/bpe.py::bpe_encode_vocab."""
     from ..operators.bpe import (bpe_encode_vocab,
                                  learn_bpe_merges_local,
                                  word_frequencies)
+    from ..util import gated_broadcast
 
     docs = load_docs(spark, sf)
     words = word_frequencies(docs)
@@ -846,7 +848,9 @@ def x119(spark, sf):
     dw = (docs.select("lang", F.explode(F.split(F.lower("text"),
                                                 "[^a-z]+")).alias("word"))
               .filter(F.col("word") != ""))
-    return (dw.join(F.broadcast(tok), "word")
+    # the (word → n_tokens) table is corpus-VOCABULARY-sized (10⁷–10⁸
+    # distinct words on a web corpus) — size-gated, not unconditional
+    return (dw.join(gated_broadcast(tok), "word")
               .groupBy("lang")
               .agg(F.count(F.lit(1)).alias("n_words"),
                    F.sum("n_tokens").alias("n_tokens"),

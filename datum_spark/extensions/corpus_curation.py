@@ -1873,16 +1873,21 @@ def x202(spark, sf):         # SQL form (classifier.py:146 documents it)
                    .alias("w_replay"),
                    (F.sum(F.col("b") * F.col("n")) / F.sum("n"))
                    .alias("b_replay")))
+    # the match columns compare with a tolerance, NOT equality of
+    # 6-dp-rounded values: Spark's aggregated float sum and the
+    # driver's NumPy fold can order additions differently, and a value
+    # landing ~1e-16 from a .5 rounding boundary would flip the
+    # rounded comparison — a flaky-false audit (ADVICE r10)
     return (replay.join(driver, "epoch")
             .select("epoch", "n_shards", "n_docs",
                     F.round("w_avg", 6).alias("w_avg"),
                     F.round("w_replay", 6).alias("w_replay"),
-                    (F.round("w_avg", 6) == F.round("w_replay", 6))
-                    .alias("w_match"),
+                    (F.abs(F.col("w_avg") - F.col("w_replay"))
+                     < F.lit(1e-9)).alias("w_match"),
                     F.round("b_avg", 6).alias("b_avg"),
                     F.round("b_replay", 6).alias("b_replay"),
-                    (F.round("b_avg", 6) == F.round("b_replay", 6))
-                    .alias("b_match"),
+                    (F.abs(F.col("b_avg") - F.col("b_replay"))
+                     < F.lit(1e-9)).alias("b_match"),
                     F.round(F.lit(float(agree)), 4).alias("agreement"))
             .orderBy("epoch"))
 

@@ -42,9 +42,11 @@ def ngram_overlap(corpus: DataFrame, benchmark: DataFrame,
     # filters map-side, so the per-doc gram dedup (count DISTINCT) only
     # shuffles grams that actually hit the benchmark set — a tiny fraction
     # of the corpus.  Deduping first would shuffle every corpus gram.
+    from ..util import gated_broadcast
+
     c_grams = corpus.select(F.col(id_col), grams)
     b_grams = benchmark.select(grams).distinct()
-    return (c_grams.join(F.broadcast(b_grams), "gram")
+    return (c_grams.join(gated_broadcast(b_grams), "gram")
             .groupBy(id_col)
             .agg(F.count_distinct(F.col("gram")).alias("n_shared")))
 
@@ -57,10 +59,12 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
     if max_shared <= 0:
         # Existence is enough — skip the per-doc distinct count entirely;
         # one hit flags the doc, and the anti join dedups ids for free.
+        from ..util import gated_broadcast
+
         grams = F.explode(_word_grams(F.col(text_col), n)).alias("gram")
         b_grams = benchmark.select(grams).distinct()
         flagged = (corpus.select(F.col(id_col), grams)
-                   .join(F.broadcast(b_grams), "gram")
+                   .join(gated_broadcast(b_grams), "gram")
                    .select(id_col))
     else:
         flagged = (ngram_overlap(corpus, benchmark, id_col, text_col, n)

@@ -1511,12 +1511,15 @@ def ivfpq_cell_occupancy(codes: DataFrame, ncells: int) -> DataFrame:
                 .select("cell", F.coalesce("n_codes", F.lit(0))
                         .alias("n_codes")))
     tot = occ.agg(F.sum("n_codes").alias("__t"))
+    # greatest(total, 1): an EMPTY codes table must report share /
+    # ratio_to_mean 0.0 per cell, not NULL rows from a 0/0 division
+    den = F.greatest(F.col("__t"), F.lit(1))
     return (occ.crossJoin(F.broadcast(tot))
                .select("cell", F.col("n_codes").cast("long")
                        .alias("n_codes"),
-                       F.round(F.col("n_codes") / F.col("__t"), 6)
+                       F.round(F.col("n_codes") / den, 6)
                        .alias("share"),
-                       F.round(F.col("n_codes") * ncells / F.col("__t"),
+                       F.round(F.col("n_codes") * ncells / den,
                                4).alias("ratio_to_mean"))
                .orderBy("cell"))
 
@@ -1596,11 +1599,18 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     root over both tables — the graduate-to-Iceberg point.  Re-running
     rebalance after a crash converges (membership reads the stored
     codes).  On the transactional index the codes rewrite itself is a
-    single atomic merge commit.
+    single atomic merge commit.  The window is made OBSERVABLE by a
+    ``_rebalance_pending.json`` marker (split plan + timestamp)
+    written atomically before the coarse commit and removed after the
+    codes commit lands — serving/ops poll
+    :func:`ivfpq_rebalance_pending` to detect a half-applied split
+    instead of silently degrading recall until the next rebalance.
 
     Returns ``{"split": [(old_cell, new_cell), ...],
     "n_reencoded": int}`` (no-op → empty list)."""
+    import json as _json
     import os as _os
+    import time as _time
 
     from .clustering import _verifiable_fit
 
@@ -1689,6 +1699,18 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
         new_codes = new_codes.withColumnRenamed("__id", id_out) \
             .select(id_out, "cell",
                     *[f"code_{s}" for s in range(len(books))])
+        # marker FIRST (atomic rename): between here and the marker
+        # removal the index may be half-applied (coarse committed,
+        # codes not) — ops detect it via ivfpq_rebalance_pending
+        # instead of silently degraded recall until a re-run
+        marker = _os.path.join(index_path, "_rebalance_pending.json")
+        mtmp = marker + ".tmp"
+        with open(mtmp, "w") as fh:
+            _json.dump({"split": [[int(a), int(b)] for a, b in split],
+                        "written_at": _time.time()}, fh)
+            fh.flush()
+            _os.fsync(fh.fileno())
+        _os.replace(mtmp, marker)
         spark.createDataFrame(
             [(i, [float(x) for x in cc])
              for i, cc in enumerate(new_coarse)],
@@ -1723,6 +1745,27 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
                         with_dyn)
         finally:
             new_codes.unpersist()
+        try:
+            _os.unlink(marker)       # both tables committed: window closed
+        except OSError:
+            pass
         return {"split": split, "n_reencoded": int(n)}
     finally:
         assigned.unpersist()
+
+
+def ivfpq_rebalance_pending(index_path: str) -> dict | None:
+    """The half-applied-rebalance probe: returns the pending marker's
+    ``{"split": [[old, new], ...], "written_at": ts}`` when a
+    rebalance crashed between its coarse commit and its codes commit
+    (see :func:`_ivfpq_rebalance_once`'s crash-window note), else
+    None.  Re-running :func:`ivfpq_rebalance` clears it."""
+    import json as _json2
+    import os as _os2
+
+    try:
+        with open(_os2.path.join(index_path,
+                                 "_rebalance_pending.json")) as fh:
+            return _json2.load(fh)
+    except (OSError, ValueError):
+        return None

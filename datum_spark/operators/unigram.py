@@ -258,9 +258,16 @@ def unigram_doc_scores(docs: DataFrame,
 
     Scale shape: the Viterbi DP runs ONCE PER DISTINCT WORD
     (vocabulary-sized — :func:`unigram_encode`'s map-only expression),
-    then broadcast-joins onto the exploded corpus words; the only
-    corpus-sized exchange is the final per-doc aggregation.  At 100 TB
-    the corpus never meets the DP — only the vocab does."""
+    then joins onto the exploded corpus words; the only corpus-sized
+    exchange is the final per-doc aggregation.  At 100 TB the corpus
+    never meets the DP — only the vocab does.  The join is
+    SIZE-GATED (:func:`~datum_spark.util.gated_broadcast`): the
+    distinct-word table is 10⁷–10⁸ rows on a web corpus, where an
+    unconditional broadcast hint is an executor OOM — below the gate
+    it broadcasts, above it the planner shuffles on ``word`` (both
+    paths equality-tested in tests/test_unigram.py)."""
+    from ..util import gated_broadcast
+
     words = (docs.select(F.col(id_col),
                          F.explode(F.split(F.lower(F.col(text_col)),
                                            "[^a-z]+")).alias("word"))
@@ -269,7 +276,7 @@ def unigram_doc_scores(docs: DataFrame,
     scored = (unigram_encode(words.select("word").distinct(), vocab)
               .filter(F.col("score").isNotNull())
               .select("word", "score", "n_tokens"))
-    return (words.join(F.broadcast(scored), "word")
+    return (words.join(gated_broadcast(scored), "word")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_tokens").cast("long").alias("n_tokens"),

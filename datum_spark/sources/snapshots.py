@@ -75,8 +75,18 @@ import re
 import shutil
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class VacuumAbortedWarning(UserWarning):
+    """Vacuum's manifest phase aborted (the horizon txn-fold checkpoint
+    could not be durably written) — nothing was deleted and manifests
+    keep accumulating until a later vacuum succeeds.  Emitted so
+    maintenance jobs can distinguish "aborted" from "nothing to do"
+    (both return an empty ``removed`` list); filter it to an error in
+    ops tooling to page on repeated failures."""
 
 
 class CommitConflict(RuntimeError):
@@ -578,12 +588,24 @@ class SnapshotTable:
                 os.replace(up, self._checkpoint_path(version))
         finally:
             os.unlink(tmp)
+        # pointer update is monotonic: vacuum's HORIZON checkpoint can
+        # be older than a periodic checkpoint already pointed to —
+        # rewinding the pointer would cost every subsequent walk
+        # O(keep_last) manifests instead of O(interval) until the next
+        # periodic write (perf only, but free to avoid).  The pointer
+        # stays a hint either way (_latest_checkpoint validates it).
+        ptr_path = os.path.join(self._manifests, "_last_checkpoint.json")
+        try:
+            with open(ptr_path) as fh:
+                if int(json.load(fh)["version"]) > int(version):
+                    return
+        except (OSError, ValueError, KeyError, TypeError):
+            pass              # absent/malformed pointer → write ours
         ptr_tmp = os.path.join(self._manifests,
                                f".tmp-{uuid.uuid4().hex}.json")
         with open(ptr_tmp, "w") as fh:
             json.dump({"version": int(version)}, fh)
-        os.replace(ptr_tmp, os.path.join(self._manifests,
-                                         "_last_checkpoint.json"))
+        os.replace(ptr_tmp, ptr_path)
 
     def _publish(self, version: int, files: list[str] | None,
                  operation: str, parent: int | None,
@@ -1413,7 +1435,9 @@ class SnapshotTable:
         high-water marks of the manifests about to drop) cannot be
         durably written, the vacuum ABORTS with nothing deleted —
         deleting manifests without the fold would let ``append_once``
-        double-commit a replayed producer batch across the gap."""
+        double-commit a replayed producer batch across the gap.  The
+        abort emits :class:`VacuumAbortedWarning` so maintenance jobs
+        can tell "aborted" from "nothing to reclaim"."""
         versions = sorted(v for v, _ in self.history())
         keep = set(versions[-keep_last:]) if keep_last > 0 else set(versions)
         referenced: set[str] = set()
@@ -1437,6 +1461,10 @@ class SnapshotTable:
             try:
                 self._write_checkpoint(horizon)
             except Exception:
+                warnings.warn(
+                    f"vacuum aborted: horizon checkpoint v{horizon} "
+                    f"could not be written; nothing deleted",
+                    VacuumAbortedWarning, stacklevel=2)
                 return removed       # abort: nothing deleted
             # the horizon base must EMBED the file list (a pre-r10
             # txn-only checkpoint is not a resolve base — deleting
@@ -1444,6 +1472,11 @@ class SnapshotTable:
             # chain); _write_checkpoint upgrades legacy docs in place,
             # so a miss here means the write was not durable
             if self._ckpt_state(horizon) is None:
+                warnings.warn(
+                    f"vacuum aborted: horizon checkpoint v{horizon} "
+                    f"is not a durable file-bearing resolve base; "
+                    f"nothing deleted", VacuumAbortedWarning,
+                    stacklevel=2)
                 return removed       # fold not durable: abort vacuum
         for v in dropping:
             os.unlink(self._manifest_path(v))

@@ -256,3 +256,27 @@ def estimated_bytes(df) -> int:
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
     except Exception:  # noqa: BLE001 — unresolvable plan: assume large
         return 1 << 62
+
+
+# broadcast-hint size gate for VOCABULARY-sized join inputs (distinct
+# words, term document frequencies): thousands of rows at test scale,
+# 10⁷–10⁸ rows on a web corpus — an unconditional F.broadcast there is
+# an executor OOM at 100 TB (VERDICT r10 #1).  64 MiB matches the
+# session's autoBroadcastJoinThreshold; tests force the shuffle path by
+# monkeypatching to 0 (read at call time).
+_GATED_BROADCAST_BYTES = 64 << 20
+
+
+def gated_broadcast(df):
+    """``F.broadcast(df)`` only when Catalyst's own size estimate says
+    the plan fits under ``_GATED_BROADCAST_BYTES``; above it (or when
+    the estimate is unavailable → assumed large) the frame is returned
+    unhinted so the planner picks a shuffle join.  Both physical paths
+    are value-identical by construction (equality-tested); use for any
+    join input whose cardinality scales with the corpus vocabulary
+    rather than a k/cell/query bound."""
+    from pyspark.sql import functions as F
+
+    if estimated_bytes(df) < _GATED_BROADCAST_BYTES:
+        return F.broadcast(df)
+    return df

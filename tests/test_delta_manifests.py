@@ -8,7 +8,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from datum_spark.sources.snapshots import SnapshotTable
+from datum_spark.sources.snapshots import (SnapshotTable,
+                                            VacuumAbortedWarning)
 
 
 def _rows(df):
@@ -94,7 +95,8 @@ def test_vacuum_aborts_when_horizon_checkpoint_fails(spark, tmp_path,
         raise OSError("disk full")
 
     monkeypatch.setattr(t, "_write_checkpoint", boom)
-    removed = t.vacuum(keep_last=2, min_age_seconds=0)
+    with pytest.warns(VacuumAbortedWarning):   # aborted ≠ nothing-to-do
+        removed = t.vacuum(keep_last=2, min_age_seconds=0)
     assert removed == []
     for v in range(6):
         assert os.path.exists(t._manifest_path(v))
@@ -252,3 +254,39 @@ def test_merge_prunes_by_value_set_not_range(spark, tmp_path):
            .groupBy("k").agg(F.max("v").alias("v")).collect()}
     assert got[0] == 1000 and got[7] == 7000 and got[3] == 39
     assert t.read().count() == 80 - 20 + 2
+
+
+def test_checkpoint_pointer_never_rewinds(spark, tmp_path):
+    """vacuum's horizon checkpoint may be OLDER than a periodic
+    checkpoint already pointed to; the _last_checkpoint pointer must
+    stay on the newer one (rewinding costs every walk O(keep_last)
+    manifests until the next periodic write)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "mono"),
+                             checkpoint_interval=2)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for _ in range(6):                      # head v6; ckpts at v2/v4/v6
+        t.append(df)
+    ptr = os.path.join(t._manifests, "_last_checkpoint.json")
+    with open(ptr) as fh:
+        assert json.load(fh)["version"] == 6
+    # horizon ckpt for keep_last=3 lands at v3 < 6: pointer must hold
+    t.vacuum(keep_last=3, min_age_seconds=0)
+    with open(ptr) as fh:
+        assert json.load(fh)["version"] == 6
+    assert os.path.exists(t._checkpoint_path(3))   # fold still written
+    assert _rows(t.read()) == [0] * 6
+
+
+def test_clean_vacuum_emits_no_warning(spark, tmp_path):
+    """A successful vacuum (and a nothing-to-do vacuum) must stay
+    silent — the warning is the abort signal, not vacuum chatter."""
+    import warnings as _w
+
+    t = SnapshotTable.create(spark, str(tmp_path / "quiet"))
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for _ in range(4):
+        t.append(df)
+    with _w.catch_warnings():
+        _w.simplefilter("error", VacuumAbortedWarning)
+        assert t.vacuum(keep_last=2, min_age_seconds=0)
+        assert t.vacuum(keep_last=2, min_age_seconds=0) == []

@@ -1668,3 +1668,54 @@ def test_ivfpq_rebalance_identical_vectors_terminate(spark, tmp_path):
     assert res == {"split": [], "n_reencoded": 0}
     coarse = spark.read.parquet(path + "/coarse").collect()
     assert len(coarse) == 3                       # no duplicate centers
+
+
+def test_ivfpq_occupancy_empty_codes_zero_not_null(spark):
+    """An EMPTY codes table must report share/ratio_to_mean 0.0 per
+    cell (greatest(total,1) denominator), never NULL rows (ADVICE
+    r10)."""
+    from datum_spark.operators.similarity import ivfpq_cell_occupancy
+
+    codes = spark.createDataFrame([], "vec_id bigint, cell int, "
+                                      "code_0 int, code_1 int")
+    occ = ivfpq_cell_occupancy(codes, 4).collect()
+    assert len(occ) == 4
+    for r in occ:
+        assert r["n_codes"] == 0
+        assert r["share"] == 0.0
+        assert r["ratio_to_mean"] == 0.0
+
+
+def test_ivfpq_rebalance_marker_detects_half_applied(spark, tmp_path,
+                                                     monkeypatch):
+    """The crash window between the coarse commit and the codes commit
+    is observable: a failure in between leaves _rebalance_pending.json
+    (split plan readable via ivfpq_rebalance_pending); a successful
+    re-run clears it (ADVICE r10)."""
+    import pytest as _pytest
+
+    from datum_spark.operators.similarity import (ivfpq_rebalance,
+                                                  ivfpq_rebalance_pending)
+    from datum_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "ix")
+    corpus, _ = _skewed_index(spark, path, transactional=True)
+    assert ivfpq_rebalance_pending(path) is None
+
+    def boom(self, *a, **k):
+        raise OSError("crash between coarse and codes commit")
+
+    monkeypatch.setattr(SnapshotTable, "merge", boom)
+    with _pytest.raises(OSError):
+        ivfpq_rebalance(corpus, path, hot_factor=2.0)
+    pend = ivfpq_rebalance_pending(path)
+    assert pend is not None and len(pend["split"]) >= 1
+    assert pend["split"][0][0] != pend["split"][0][1]
+    monkeypatch.undo()
+    # re-run converges and closes the window
+    res = ivfpq_rebalance(corpus, path, hot_factor=2.0)
+    assert res["n_reencoded"] > 0
+    assert ivfpq_rebalance_pending(path) is None
+    from datum_spark.operators.similarity import ivfpq_index_occupancy
+    occ = ivfpq_index_occupancy(spark, path).collect()
+    assert sum(r["n_codes"] for r in occ) == 180      # no loss, no dup

@@ -180,3 +180,41 @@ def test_doc_scores_excludes_overlong_and_oov(spark):
     # characters) are both excluded; the two 'abc' occurrences remain
     assert r["n_words"] == 2
     assert r["total_cost"] > 0
+
+
+def test_doc_scores_broadcast_gate_paths_equal(spark, monkeypatch):
+    """The size-gated join (VERDICT r10 #1): the broadcast-hinted path
+    (default, vocab provably small) and the forced shuffle-join path
+    (gate monkeypatched to 0 — the web-corpus posture where the
+    distinct-word table is 10⁷–10⁸ rows) must be value-identical."""
+    from datum_spark import util
+    from datum_spark.operators.unigram import unigram_doc_scores
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the the the cat"),
+         (3, "zqxj vwkp mat on")],
+        "doc_id long, text string")
+    words = [("the", 30), ("cat", 20), ("sat", 20), ("on", 10),
+             ("mat", 10), ("zqxj", 1), ("vwkp", 1)]
+    vocab = unigram_train_local(words, iters=2)
+    small = sorted(map(tuple, unigram_doc_scores(docs, vocab).collect()))
+    monkeypatch.setattr(util, "_GATED_BROADCAST_BYTES", 0)
+    large = sorted(map(tuple, unigram_doc_scores(docs, vocab).collect()))
+    assert small == large
+
+
+def test_gated_broadcast_hint_present_only_below_gate(spark, monkeypatch):
+    """Below the gate the optimized plan carries the broadcast hint
+    (ResolvedHint/broadcast in the plan); at gate 0 it must not."""
+    from datum_spark import util
+
+    d = spark.range(10).withColumnRenamed("id", "k")
+    big = spark.range(1000).withColumnRenamed("id", "k")
+    j = big.join(util.gated_broadcast(d), "k")
+    assert "broadcast" in j._jdf.queryExecution().optimizedPlan() \
+        .toString().lower()
+    monkeypatch.setattr(util, "_GATED_BROADCAST_BYTES", 0)
+    j2 = big.join(util.gated_broadcast(d), "k")
+    assert "broadcast" not in j2._jdf.queryExecution().optimizedPlan() \
+        .toString().lower()
