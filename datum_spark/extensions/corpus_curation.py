@@ -1761,6 +1761,107 @@ def _unigram_dp_parts(name: str, init: str, pieces: str,
     return parts
 
 
+def _unigram_pruned_cte_parts(maxw: int = 16, seed_multi: int = 96,
+                              target_multi: int = 24,
+                              shrink: float = 0.75,
+                              final_iters: int = 1, prefix: str = "",
+                              skip_base: bool = False
+                              ) -> tuple[list[str], int]:
+    """Unrolled vocabulary-size-targeted unigram training (Kudo 2018
+    §4, hard-EM spelling — ``unigram_train_pruned``): seed a LARGE
+    candidate set, then per prune round one EM iteration + keep only
+    the top-``Kᵣ`` multis by ``ROUND(cnt·cost, 6)`` DESC, piece ASC,
+    with ``Kᵣ`` from the PARAMETER-ONLY schedule (never the surviving
+    count — that is what makes the unroll length deterministic), then
+    ``final_iters`` plain EM iterations.  ``prefix`` namespaces every
+    CTE so a pruned chain can ride next to the x200 chain in one query
+    (x205); ``skip_base`` reuses an already-defined ``w``/``sub``/
+    ``d0``.  Returns ``(parts, last_round)`` — ``{prefix}p{last}`` is
+    the final piece table."""
+    from ..operators.unigram import prune_schedule
+
+    P = prefix
+    parts: list[str] = []
+    base = _unigram_cte_parts(iters=0, maxw=maxw,
+                              seed_multi=seed_multi)
+    if not skip_base:
+        parts.extend([base[0], base[1], base[4]])     # w, sub, d0
+    # seed piece table under the prefix (seed_multi differs from any
+    # coexisting x200 chain, so it cannot share p0k/p0)
+    # every piece-table CTE is MATERIALIZED: DuckDB inlines plain
+    # CTEs at every reference, and each DP round references its piece
+    # table from all 16 position CTEs — un-materialized, the chain of
+    # prior rounds re-expands (and re-opens the parquet) per
+    # reference, blowing the fd limit at ~6 rounds
+    parts.append(base[2].replace("p0k AS (",
+                                 f"{P}p0k AS MATERIALIZED (", 1))
+    parts.append(base[3].replace("p0 AS (",
+                                 f"{P}p0 AS MATERIALIZED (", 1)
+                        .replace("FROM p0k", f"FROM {P}p0k"))
+
+    def _usage(i: int) -> str:
+        return f"""{P}u{i} AS MATERIALIZED (
+  SELECT piece, SUM(cnt) AS c FROM (
+    SELECT cnt, unnest(list_filter(
+      string_split(substr(sc[length(word) + 1], 17), chr(30)),
+      x -> x <> '')) AS piece
+    FROM {P}d{i}_{maxw}
+  ) GROUP BY piece
+)"""
+
+    def _keep(i: int) -> str:
+        return f"""{P}k{i} AS MATERIALIZED (
+  SELECT piece, cnt FROM (
+    SELECT p.piece,
+           COALESCE(u.c, CASE WHEN length(p.piece) = 1
+                         THEN 1 ELSE 0 END) AS cnt
+    FROM {P}p{i - 1} p LEFT JOIN {P}u{i} u ON p.piece = u.piece
+  ) WHERE cnt > 0
+)"""
+
+    def _costs(name: str, src: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT piece, cnt, ROUND(-LN(cnt / t.total), 6) AS cost
+  FROM {src}, (SELECT SUM(cnt) AS total FROM {src}) t
+)"""
+
+    r = 0
+    for r, k in enumerate(prune_schedule(seed_multi, target_multi,
+                                         shrink), start=1):
+        parts.extend(_unigram_dp_parts(f"{P}d{r}", "d0",
+                                       f"{P}p{r - 1}", maxw))
+        parts.append(_usage(r))
+        parts.append(_keep(r))
+        parts.append(_costs(f"{P}c{r}", f"{P}k{r}"))
+        parts.append(f"""{P}t{r} AS MATERIALIZED (
+  SELECT piece, cnt FROM {P}c{r} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt FROM {P}c{r} WHERE length(piece) > 1
+    ORDER BY ROUND(cnt * cost, 6) DESC, piece LIMIT {k})
+)""")
+        parts.append(_costs(f"{P}p{r}", f"{P}t{r}"))
+    for _ in range(max(0, final_iters)):
+        r += 1
+        parts.extend(_unigram_dp_parts(f"{P}d{r}", "d0",
+                                       f"{P}p{r - 1}", maxw))
+        parts.append(_usage(r))
+        parts.append(_keep(r))
+        parts.append(_costs(f"{P}p{r}", f"{P}k{r}"))
+    return parts, r
+
+
+def _x206_sql(maxw: int = 16, seed_multi: int = 96,
+              target_multi: int = 24, shrink: float = 0.75,
+              final_iters: int = 1) -> str:
+    parts, last = _unigram_pruned_cte_parts(
+        maxw=maxw, seed_multi=seed_multi, target_multi=target_multi,
+        shrink=shrink, final_iters=final_iters)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT piece, CAST(cnt AS BIGINT) AS cnt, cost
+FROM p{last} ORDER BY piece""")
+
+
 def _x200_sql(iters: int = 2) -> str:
     parts = _unigram_cte_parts(iters=iters)
     return ("WITH " + ",\n".join(parts) + f"""
@@ -1979,17 +2080,22 @@ def _x205_sql(bpe_iters: int = 5, iters: int = 2,
               maxw: int = 16, top: int = 30) -> str:
     """Fertility comparison oracle: the unigram chain (which defines
     the length-capped word table ``w``) + the BPE merge chain sharing
-    that same ``w`` (skip_w), then tokens-per-word for both families
-    joined per word."""
+    that same ``w`` (skip_w) + the PRUNED unigram chain (prefix ``q``,
+    sharing ``w``/``sub``/``d0``), then tokens-per-word for all three
+    tokenizers joined per word."""
     from .analytics import _bpe_cte_parts
 
     parts = _unigram_cte_parts(iters=iters, maxw=maxw)
     parts.extend(_unigram_dp_parts("e", "d0", f"p{iters}", maxw))
     parts.extend(_bpe_cte_parts(bpe_iters, skip_w=True))
+    pparts, plast = _unigram_pruned_cte_parts(maxw=maxw, prefix="q",
+                                              skip_base=True)
+    parts.extend(pparts)
+    parts.extend(_unigram_dp_parts("qe", "d0", f"qp{plast}", maxw))
     return ("WITH " + ",\n".join(parts) + f"""
 SELECT b.word, CAST(b.cnt AS BIGINT) AS cnt,
        CAST(b.bpe_tokens AS INTEGER) AS bpe_tokens,
-       u.uni_tokens,
+       u.uni_tokens, q.pruned_tokens,
        ROUND(b.bpe_tokens * 1.0 / u.uni_tokens, 4) AS fertility_ratio
 FROM (SELECT word, cnt,
              len(list_filter(string_split(s, chr(30)), x -> x <> ''))
@@ -1998,6 +2104,9 @@ FROM (SELECT word, cnt,
 JOIN (SELECT word, CAST(substr(sc[length(word) + 1], 14, 3) AS INTEGER)
                AS uni_tokens
       FROM e_{maxw}) u USING (word)
+JOIN (SELECT word, CAST(substr(sc[length(word) + 1], 14, 3) AS INTEGER)
+               AS pruned_tokens
+      FROM qe_{maxw}) q USING (word)
 ORDER BY cnt DESC, word LIMIT {top}""")
 
 
@@ -2008,26 +2117,170 @@ def x205(spark, sf):
     vocabulary (x200's trajectory) over the SAME length-capped word
     table — the measurement behind choosing a tokenizer family (lower
     fertility = fewer tokens for the same text = cheaper training).
-    Both trainings are vocabulary-sized driver loops; both encodes are
-    map-only vocab passes.  The oracle replays BOTH trajectories and
-    every per-word token count."""
+    All trainings are vocabulary-sized driver loops; all encodes are
+    map-only vocab passes.  The r11 extension adds the PRUNED unigram
+    vocabulary (x206's schedule) as a third column, so the audit now
+    also measures what vocabulary-size targeting costs in fertility.
+    The oracle replays all THREE trajectories and every per-word token
+    count."""
     from ..operators.bpe import bpe_encode_vocab, learn_bpe_merges_local
-    from ..operators.unigram import unigram_encode, unigram_trained_vocab
+    from ..operators.unigram import (unigram_encode,
+                                     unigram_trained_vocab,
+                                     unigram_train_pruned)
 
     docs = load_docs(spark, sf)
     # words rides the bounded operator cache ring: it feeds BOTH
-    # training collects AND the two encode branches the driver
-    # evaluates later (an eager unpersist here would recompute the
-    # corpus word-frequency pass per branch at hash time)
+    # training collects AND the encode branches the driver evaluates
+    # later (an eager unpersist here would recompute the corpus
+    # word-frequency pass per branch at hash time)
     words, vocab = unigram_trained_vocab(docs)
+    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    pruned = unigram_train_pruned(rows)
     merges = learn_bpe_merges_local(words, iters=5)
     bpe = (bpe_encode_vocab(words, merges)
            .select("word", "cnt",
                    F.col("n_tokens").cast("int").alias("bpe_tokens")))
     uni = (unigram_encode(words.select("word"), vocab)
            .select("word", F.col("n_tokens").alias("uni_tokens")))
-    return (bpe.join(uni, "word")
+    pru = (unigram_encode(words.select("word"), pruned)
+           .select("word", F.col("n_tokens").alias("pruned_tokens")))
+    return (bpe.join(uni, "word").join(pru, "word")
             .select("word", "cnt", "bpe_tokens", "uni_tokens",
+                    "pruned_tokens",
                     F.round(F.col("bpe_tokens") / F.col("uni_tokens"),
                             4).alias("fertility_ratio"))
             .orderBy(F.desc("cnt"), "word").limit(30))
+
+
+def _langid_oracle_sql(nb: int = 64, steps: int = 4, lr: float = 2.0,
+                       langs: tuple = ("de", "en", "es", "fr", "zh")
+                       ) -> str:
+    """DuckDB replay of the FULL multiclass language-ID trajectory
+    (x207): hashed char-trigram features, then per language the x188
+    GD chain (z/p/gradient/weights per step, all rounded to 9 dp at
+    the same reduction points), per-doc argmax with the (p DESC, lang
+    DESC) tie-break mirroring the engine's struct max, confusion
+    matrix.  The language list is static (the fixture's labels) — the
+    weight chains must unroll per class."""
+    parts = [f"""tok AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('langid-' || g), 1, 8)) AS BIGINT)
+           % {nb} AS b
+  FROM (SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, GREATEST(length(t) - 2, 0)),
+                 i -> substr(t, i, 3))) AS g
+        FROM (SELECT doc_id, lower(text) AS t FROM documents))
+)""", """feat AS MATERIALIZED (
+  SELECT doc_id, b, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY 1, 2
+)""", """ntok AS MATERIALIZED (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS n FROM tok GROUP BY 1
+)""", """lbl AS MATERIALIZED (
+  SELECT d.doc_id, d.lang FROM documents d JOIN ntok USING (doc_id)
+)""", """nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM lbl
+)"""]
+    for lg in langs:
+        parts.append(f"""w{lg}0 AS (
+  SELECT unnest(generate_series(-1, {nb - 1})) AS b, 0.0 AS wt
+)""")
+        for t in range(steps):
+            parts.append(f"""z{lg}{t} AS MATERIALIZED (
+  SELECT f.doc_id,
+         ROUND(SUM(f.c * w.wt) * {nb}.0 / MAX(n.n)
+               + (SELECT wt FROM w{lg}{t} WHERE b = -1), 9) AS z
+  FROM feat f JOIN w{lg}{t} w ON f.b = w.b
+       JOIN ntok n ON n.doc_id = f.doc_id
+  GROUP BY f.doc_id
+)""")
+            parts.append(f"""p{lg}{t} AS MATERIALIZED (
+  SELECT z.doc_id, ROUND(1.0 / (1.0 + exp(-z.z)), 9) AS p,
+         CASE WHEN s.lang = '{lg}' THEN 1.0 ELSE 0.0 END AS y
+  FROM z{lg}{t} z JOIN lbl s USING (doc_id)
+)""")
+            parts.append(f"""g{lg}{t} AS MATERIALIZED (
+  SELECT f.b,
+         ROUND(SUM((p.p - p.y) * f.c * {nb}.0 / n.n)
+               / (SELECT nd FROM nn), 9) AS g
+  FROM feat f JOIN p{lg}{t} p USING (doc_id)
+       JOIN ntok n USING (doc_id)
+  GROUP BY f.b
+  UNION ALL
+  SELECT -1, ROUND(SUM(p.p - p.y) / (SELECT nd FROM nn), 9)
+  FROM p{lg}{t} p
+)""")
+            parts.append(f"""w{lg}{t + 1} AS MATERIALIZED (
+  SELECT w.b, ROUND(w.wt - {lr} * COALESCE(g.g, 0.0), 9) AS wt
+  FROM w{lg}{t} w LEFT JOIN g{lg}{t} g USING (b)
+)""")
+        parts.append(f"""pf{lg} AS MATERIALIZED (
+  SELECT doc_id, ROUND(1.0 / (1.0 + exp(-z)), 9) AS p FROM (
+    SELECT f.doc_id,
+           ROUND(SUM(f.c * w.wt) * {nb}.0 / MAX(n.n)
+                 + (SELECT wt FROM w{lg}{steps} WHERE b = -1), 9) AS z
+    FROM feat f JOIN w{lg}{steps} w ON f.b = w.b
+         JOIN ntok n ON n.doc_id = f.doc_id
+    GROUP BY f.doc_id)
+)""")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, '{lg}' AS lang, p FROM pf{lg}" for lg in langs)
+    parts.append(f"""pred AS (
+  SELECT doc_id, lang AS pred_lang FROM (
+    SELECT doc_id, lang, p,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY p DESC, lang DESC) AS rn
+    FROM ({union}))
+  WHERE rn = 1
+)""")
+    return "WITH " + ",\n".join(parts) + """
+SELECT l.lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred p JOIN lbl l USING (doc_id)
+GROUP BY 1, 2 ORDER BY lang, pred_lang"""
+
+
+@x("x207_language_id", _langid_oracle_sql())
+def x207(spark, sf):
+    """Language identification — the first pass of every multilingual
+    corpus build (the r10 VERDICT's #3 missing operator): multiclass
+    one-vs-rest logistic regression on 64 hashed character TRIGRAMS
+    (the Cavnar-&-Trenkle / langid.py feature family), trained on the
+    ``documents.lang`` labels with the x188 deterministic-GD
+    discipline — 4 quantized full-batch steps per language over ONE
+    shared cached feature pass — then every document scored in one
+    map-only projection and argmax'd by (score, lang) struct max.
+    Output: the (lang, pred_lang, n_docs) confusion matrix; the oracle
+    replays ALL FIVE weight chains and the argmax value-for-value.
+    (On this fixture the labels are random w.r.t. the text, so the
+    matrix shows base-rate behavior — the separable-script unit test
+    in tests/test_langid.py shows 98% accuracy where signal exists.)
+    operators/langid.py."""
+    from ..operators.langid import (language_classifier_fit,
+                                    language_classifier_score,
+                                    language_confusion)
+
+    docs = load_docs(spark, sf)
+    models = language_classifier_fit(docs, "doc_id", "text", "lang",
+                                     n_buckets=64, steps=4, lr=2.0)
+    scored = language_classifier_score(docs, models, "doc_id", "text")
+    return language_confusion(docs, scored, "doc_id", "lang")
+
+
+@x("x206_unigram_pruned", _x206_sql())
+def x206(spark, sf):
+    """Vocabulary-size-targeted unigram training (the r10 VERDICT's
+    missing piece: Kudo 2018 §4 EM pruning toward a production vocab):
+    seed 96 multi-char candidates, per round one hard-EM iteration
+    then keep the top-Kᵣ multis by likelihood contribution
+    (round(cnt·cost, 6) DESC, piece ASC) with Kᵣ = max(24, ceil(0.75
+    Kᵣ₋₁)), then one settle iteration — chars never pruned.  Same ONE
+    corpus pass + driver-side EM posture as x200; the oracle replays
+    the seed, every round's DP sweep, usage counts, contribution
+    ranking and re-normalization.  SCALE.md §25 measures a 10×-larger
+    seed.  operators/unigram.py::unigram_train_pruned."""
+    from ..operators.unigram import unigram_pruned_vocab
+
+    docs = load_docs(spark, sf)
+    _words, vocab = unigram_pruned_vocab(docs)
+    return (spark.createDataFrame(
+        vocab, "piece string, cnt bigint, cost double")
+        .orderBy("piece"))

@@ -47,14 +47,18 @@ from .sampling import md5_bucket
 
 
 def _features(df: DataFrame, id_col: str, text_col: str,
-              n_buckets: int, salt: str) -> DataFrame:
-    """Cached per-doc hashed-unigram features: ``(__id, __fs
+              n_buckets: int, salt: str, tokens=None) -> DataFrame:
+    """Cached per-doc hashed-token features: ``(__id, __fs
     array<struct<b int, c double>> sorted by b, __n double)``.  Docs
-    with zero tokens produce no row (nothing to score them on)."""
+    with zero tokens produce no row (nothing to score them on).
+    ``tokens`` (a Column producing ``array<string>`` from the row)
+    overrides the default whitespace-word tokenizer — e.g. char
+    n-grams for language ID (``langid.char_ngram_tokens``)."""
     from ..util import retain_cache
 
-    words = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
-                     lambda t: t != "")
+    words = tokens if tokens is not None else F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: t != "")
     tok = (df.select(F.col(id_col).alias("__id"),
                      F.explode(words).alias("__w"))
              .select("__id",
@@ -94,6 +98,16 @@ def quality_classifier_fit(df: DataFrame, id_col: str, text_col: str,
             .join(df.select(F.col(id_col).alias("__id"),
                             F.col(label_col).cast("double").alias("__y")),
                   "__id"))
+    return _fit_features(feat, n_buckets, steps, lr, quantize)
+
+
+def _fit_features(feat: DataFrame, n_buckets: int, steps: int,
+                  lr: float, quantize: int):
+    """The deterministic GD loop over a labeled feature frame
+    ``(__id, __fs, __n, __y)`` — shared by the binary quality
+    classifier and the per-class fits of the multiclass language
+    classifier (which computes the feature pass ONCE and reuses it for
+    every class)."""
     n_docs = feat.count()
     if n_docs == 0:
         raise ValueError("no labeled documents with tokens")

@@ -1606,8 +1606,39 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     :func:`ivfpq_rebalance_pending` to detect a half-applied split
     instead of silently degrading recall until the next rebalance.
 
+    Concurrent ingest (r11): on a transactional index the re-encode is
+    derived from a PINNED snapshot of the codes table, and the merge
+    commit carries a precondition ``parent == pinned`` — an
+    ``ivfpq_index_add`` landing between the membership read and the
+    commit would otherwise have its rows REPLACED AWAY by the cell-
+    keyed upsert (the lost update the generic rebase-retry cannot see,
+    because the staleness is in the replacement ROWS, not the file
+    list).  A failed precondition aborts the attempt and the whole
+    round recomputes from the new head (membership re-read includes
+    the concurrent rows); up to 5 attempts, then
+    :class:`~datum_spark.sources.snapshots.CommitConflict`.
+
     Returns ``{"split": [(old_cell, new_cell), ...],
     "n_reencoded": int}`` (no-op → empty list)."""
+    from ..sources.snapshots import CommitConflict
+
+    for _ in range(5):
+        r = _ivfpq_rebalance_attempt(corpus, index_path, hot_factor,
+                                     id_col, vec_col, quantize)
+        if r is not None:
+            return r
+    raise CommitConflict(
+        "ivfpq_rebalance lost the ingest race 5 times — the codes "
+        "table is being appended faster than a round recomputes")
+
+
+def _ivfpq_rebalance_attempt(corpus: DataFrame, index_path: str,
+                             hot_factor: float, id_col: str,
+                             vec_col: str, quantize: int
+                             ) -> dict | None:
+    """One rebalance attempt against a pinned codes snapshot; returns
+    None when a concurrent commit invalidated the re-encode (the merge
+    precondition failed) — the caller recomputes from the new head."""
     import json as _json
     import os as _os
     import time as _time
@@ -1619,11 +1650,15 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     ncells = len(coarse)
     codes_path = _os.path.join(index_path, "codes")
     txn = _os.path.isdir(_os.path.join(codes_path, "_manifests"))
+    base_version = None
     if txn:
         from ..sources.snapshots import SnapshotTable
 
         t = SnapshotTable(spark, codes_path)
-    occ_src = _ivfpq_read_codes(spark, codes_path)
+        base_version = t.current_version()
+        occ_src = t.read(version=base_version)
+    else:
+        occ_src = _ivfpq_read_codes(spark, codes_path)
     occ = {r["cell"]: r["n_codes"]
            for r in ivfpq_cell_occupancy(occ_src, ncells).collect()}
     total = sum(occ.values())
@@ -1727,10 +1762,16 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
                 # and the codes files are range-clustered by cell, so
                 # the per-file cell stats prune the rewrite to exactly
                 # the split cells' files (an id-keyed merge would span
-                # the whole interleaved id range and rewrite O(table))
-                t.merge(new_codes.repartitionByRange(
+                # the whole interleaved id range and rewrite O(table)).
+                # The precondition pins the commit to the snapshot the
+                # membership was read from: a concurrent index_add into
+                # a split cell would otherwise be replaced away.
+                v = t.merge(new_codes.repartitionByRange(
                     max(1, min(len(new_coarse), 32)), "cell"),
-                    keys=["cell"])
+                    keys=["cell"],
+                    precondition=lambda parent: parent == base_version)
+                if v is None:
+                    return None   # concurrent commit: recompute round
             else:
                 with_dyn = spark.conf.get(
                     "spark.sql.sources.partitionOverwriteMode", "static")

@@ -104,6 +104,104 @@ def _mstep(counts: dict[str, int]) -> dict[str, float]:
             for p, c in counts.items()}
 
 
+def _seed_counts(word_counts: list[tuple[str, int]],
+                 max_piece_len: int, seed_multi: int) -> dict[str, int]:
+    """Seed vocabulary counts: every single character plus the
+    ``seed_multi`` most frequent substrings of length 2..max_piece_len
+    (count DESC, piece ASC)."""
+    sub: dict[str, int] = {}
+    for w, cnt in word_counts:
+        for i in range(len(w)):
+            for ln in range(1, max_piece_len + 1):
+                if i + ln <= len(w):
+                    p = w[i:i + ln]
+                    sub[p] = sub.get(p, 0) + cnt
+    chars = {p: c for p, c in sub.items() if len(p) == 1}
+    multi = sorted((p for p in sub if len(p) > 1),
+                   key=lambda p: (-sub[p], p))[:seed_multi]
+    counts = dict(chars)
+    counts.update({p: sub[p] for p in multi})
+    return counts
+
+
+def _em_counts(word_counts: list[tuple[str, int]],
+               cost: dict[str, float],
+               max_piece_len: int) -> dict[str, int]:
+    """One hard-EM count step: Viterbi-segment every word under
+    ``cost``, count piece usage weighted by word frequency, floor
+    unused single characters at 1 (coverage), drop unused multis."""
+    usage: dict[str, int] = {}
+    for w, cnt in word_counts:
+        seg = _parse(viterbi_state(w, cost, max_piece_len))[2]
+        for p in seg.split(D):
+            if p:
+                usage[p] = usage.get(p, 0) + cnt
+    counts: dict[str, int] = {}
+    for p in cost:
+        c = usage.get(p, 1 if len(p) == 1 else 0)
+        if c > 0:
+            counts[p] = c
+    return counts
+
+
+def prune_schedule(seed_multi: int, target_multi: int,
+                   shrink: float = 0.75) -> list[int]:
+    """The deterministic multi-piece keep schedule (Kudo 2018 §4's
+    shrinking factor): ``K₀ = seed_multi``,
+    ``Kᵣ = max(target, ceil(Kᵣ₋₁ · shrink))`` until it reaches
+    ``target_multi``.  The schedule depends only on the PARAMETERS —
+    never on how many pieces actually survive a round — so the DuckDB
+    oracle can unroll exactly the same rounds (x206)."""
+    if not 0.0 < shrink < 1.0:
+        raise ValueError("shrink must be in (0, 1)")
+    ks: list[int] = []
+    k = seed_multi
+    while k > target_multi:
+        k = max(target_multi, math.ceil(k * shrink))
+        ks.append(k)
+    return ks
+
+
+def unigram_train_pruned(word_counts: list[tuple[str, int]],
+                         target_multi: int = 24, seed_multi: int = 96,
+                         shrink: float = 0.75, final_iters: int = 1,
+                         max_piece_len: int = 4,
+                         ) -> list[tuple[str, int, float]]:
+    """Vocabulary-size-targeted unigram training (Kudo 2018 §4 in the
+    deterministic hard-EM spelling): seed a LARGE candidate set
+    (``seed_multi`` multis), then per prune round run one hard-EM
+    iteration and keep only the top-``Kᵣ`` multi-char pieces by
+    likelihood contribution — ``round(cnt × cost, 6)`` DESC, piece
+    ASC, the nats the corpus currently pays through the piece (the
+    standard prune proxy: removing a high-contribution piece forces
+    its occurrences onto strictly costlier segmentations) — with
+    ``Kᵣ`` following :func:`prune_schedule` down to ``target_multi``;
+    single characters are never pruned (coverage).  ``final_iters``
+    plain EM iterations settle the costs.  Every round's usage counts,
+    contribution ranks and re-normalizations are exactly replayable in
+    SQL (the x206 oracle).  Returns ``(piece, cnt, cost)`` sorted by
+    piece: ``len(chars) + target_multi`` rows when ≥ target_multi
+    multis survive their usage floor."""
+    counts = _seed_counts(word_counts, max_piece_len, seed_multi)
+    cost = _mstep(counts)
+    for k in prune_schedule(seed_multi, target_multi, shrink):
+        counts = _em_counts(word_counts, cost, max_piece_len)
+        cost = _mstep(counts)
+        multis = [p for p in counts if len(p) > 1]
+        kept = sorted(
+            multis,
+            key=lambda p: (-_round_half_away(counts[p] * cost[p], 6), p)
+        )[:k]
+        keep = set(kept)
+        counts = {p: c for p, c in counts.items()
+                  if len(p) == 1 or p in keep}
+        cost = _mstep(counts)
+    for _ in range(max(0, final_iters)):
+        counts = _em_counts(word_counts, cost, max_piece_len)
+        cost = _mstep(counts)
+    return sorted((p, counts[p], cost[p]) for p in counts)
+
+
 def unigram_train_local(word_counts: list[tuple[str, int]],
                         iters: int = 2, max_piece_len: int = 4,
                         seed_multi: int = 40,
@@ -118,31 +216,10 @@ def unigram_train_local(word_counts: list[tuple[str, int]],
     multi-character pieces, re-normalize.  Returns the final
     ``(piece, cnt, cost)`` rows sorted by piece — vocabulary-sized
     driver state, every number replayable (the x200 oracle)."""
-    sub: dict[str, int] = {}
-    for w, cnt in word_counts:
-        for i in range(len(w)):
-            for ln in range(1, max_piece_len + 1):
-                if i + ln <= len(w):
-                    p = w[i:i + ln]
-                    sub[p] = sub.get(p, 0) + cnt
-    chars = {p: c for p, c in sub.items() if len(p) == 1}
-    multi = sorted((p for p in sub if len(p) > 1),
-                   key=lambda p: (-sub[p], p))[:seed_multi]
-    counts = dict(chars)
-    counts.update({p: sub[p] for p in multi})
+    counts = _seed_counts(word_counts, max_piece_len, seed_multi)
     cost = _mstep(counts)
     for _ in range(iters):
-        usage: dict[str, int] = {}
-        for w, cnt in word_counts:
-            seg = _parse(viterbi_state(w, cost, max_piece_len))[2]
-            for p in seg.split(D):
-                if p:
-                    usage[p] = usage.get(p, 0) + cnt
-        counts = {}
-        for p in cost:
-            c = usage.get(p, 1 if len(p) == 1 else 0)
-            if c > 0:
-                counts[p] = c
+        counts = _em_counts(word_counts, cost, max_piece_len)
         cost = _mstep(counts)
     return sorted((p, counts[p], cost[p]) for p in counts)
 
@@ -168,6 +245,28 @@ def unigram_trained_vocab(docs: DataFrame, iters: int = 2,
     vocab = unigram_train_local(rows, iters=iters,
                                 max_piece_len=max_piece_len,
                                 seed_multi=seed_multi)
+    return words, vocab
+
+
+def unigram_pruned_vocab(docs: DataFrame, target_multi: int = 24,
+                         seed_multi: int = 96, shrink: float = 0.75,
+                         final_iters: int = 1, max_piece_len: int = 4,
+                         max_word_len: int = 16, text_col: str = "text"):
+    """The pruned-training twin of :func:`unigram_trained_vocab` —
+    SAME corpus recipe (one word-frequency pass, ``max_word_len`` cap,
+    vocabulary collected once), then :func:`unigram_train_pruned`
+    driver-side.  Returns ``(words_df, vocab_list)``; the x206 oracle
+    replays the whole schedule."""
+    from ..util import retain_cache
+    from .bpe import word_frequencies
+
+    words = retain_cache(word_frequencies(docs, text_col)
+                         .filter(F.length("word") <= max_word_len))
+    rows = [(r["word"], int(r["cnt"])) for r in words.collect()]
+    vocab = unigram_train_pruned(rows, target_multi=target_multi,
+                                 seed_multi=seed_multi, shrink=shrink,
+                                 final_iters=final_iters,
+                                 max_piece_len=max_piece_len)
     return words, vocab
 
 

@@ -90,15 +90,22 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
                           default_weight: float = 1.0,
                           workdir: str | None = None,
                           run_id: str = "run",
-                          quality_model: tuple | None = None) -> tuple[DataFrame, dict]:
+                          quality_model: tuple | None = None,
+                          lang_models: dict | None = None,
+                          allowed_langs=None,
+                          unigram_vocab: list | None = None,
+                          max_nats_per_token: float | None = None
+                          ) -> tuple[DataFrame, dict]:
     """Run the full corpus pipeline and write token-balanced shards.
 
     Returns ``(sharded_df, report)`` where ``report`` carries per-stage
     row counts (``rows_in``, ``rows_quality``, ``rows_deduped``,
-    ``rows_decontaminated``, ``rows_mixed``) plus the shard write's
-    observed ``rows``/``tokens``/``token_budget``.  Counts are taken on
-    the cached stage boundaries the dedup pass needs anyway, so the
-    audit costs no extra corpus scans beyond one count per stage.
+    ``rows_decontaminated``, ``rows_mixed``, plus ``rows_langid`` /
+    ``rows_perplexity`` when those gates are enabled) plus the shard
+    write's observed ``rows``/``tokens``/``token_budget``.  Counts are
+    taken on the cached stage boundaries the dedup pass needs anyway,
+    so the audit costs no extra corpus scans beyond one count per
+    stage.
 
     ``workdir`` (optional) makes the run RESUMABLE: the quality, dedup
     and decontamination boundaries are committed as snapshot-table
@@ -114,13 +121,27 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     threshold) — the CCNet-style curation posture, still one map-only
     stage.  Docs with zero tokens are dropped (nothing to score on),
     matching the heuristic's behavior on empty text.
+
+    ``lang_models`` + ``allowed_langs`` (optional) enable the
+    LANGUAGE-ID gate as stage 0 — the first pass of a multilingual
+    build: score every doc with the trained multiclass models
+    (:func:`operators.langid.language_classifier_score`) and keep only
+    the allowed predicted languages (``rows_langid`` in the funnel).
+
+    ``unigram_vocab`` + ``max_nats_per_token`` (optional) enable the
+    CCNet-style PERPLEXITY gate after the quality stage: keep docs the
+    unigram LM finds cheap (``nats_per_token ≤`` threshold via
+    :func:`operators.unigram.unigram_doc_scores`; ``rows_perplexity``
+    in the funnel).  Both gates are semi joins on a scored id set —
+    the corpus text rides through untouched.
     """
     if workdir is not None:
         return _build_training_corpus_resumable(
             docs, eval_df, out_path, n_shards, id_col, text_col,
             source_col, min_quality, dedup_threshold, contamination_ngram,
             source_weights, default_weight, workdir, run_id,
-            quality_model)
+            quality_model, lang_models, allowed_langs,
+            unigram_vocab, max_nats_per_token)
     from .operators.dedup import benchmark_contamination, near_dup_clusters
     from .operators.packing import write_training_shards
     from .operators.sampling import mix_sources_md5
@@ -128,10 +149,25 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
 
     report: dict = {"rows_in": docs.count()}
 
+    # 0. language gate (optional) — the multilingual first pass
+    if lang_models is not None and allowed_langs:
+        docs = _langid_gate(docs, id_col, text_col, lang_models,
+                            allowed_langs).persist()
+        report["rows_langid"] = docs.count()
+
     # 1. quality gate (map-only; learned when a model is supplied)
     q = _quality_gate(docs, id_col, text_col, min_quality, quality_model)
     q = q.persist()
     report["rows_quality"] = q.count()
+
+    # 1b. perplexity gate (optional) — the learned LM quality signal,
+    # its own funnel row so the report shows what EACH gate dropped
+    if unigram_vocab is not None and max_nats_per_token is not None:
+        prev = q
+        q = _perplexity_gate(q, id_col, text_col, unigram_vocab,
+                             max_nats_per_token).persist()
+        report["rows_perplexity"] = q.count()
+        prev.unpersist()
 
     # 2. dedup: keep each cluster's minimum-id member (the cluster id)
     clusters, flood = near_dup_clusters(q, id_col, text_col,
@@ -197,13 +233,50 @@ def _quality_gate(docs: DataFrame, id_col: str, text_col: str,
     return docs.join(keep, id_col, "semi")
 
 
+def _langid_gate(docs: DataFrame, id_col: str, text_col: str,
+                 lang_models: dict, allowed_langs) -> DataFrame:
+    """Keep docs whose predicted language is allowed — a semi join on
+    the argmax-scored id set (one shared feature pass, map-only
+    scoring; operators/langid.py)."""
+    from .operators.langid import language_classifier_score
+
+    keep = (language_classifier_score(docs, lang_models, id_col,
+                                      text_col)
+            .filter(F.col("pred_lang").isin(
+                [str(lg) for lg in sorted(allowed_langs)]))
+            .select(id_col))
+    return docs.join(keep, id_col, "semi")
+
+
+def _perplexity_gate(docs: DataFrame, id_col: str, text_col: str,
+                     unigram_vocab: list,
+                     max_nats_per_token: float) -> DataFrame:
+    """Keep docs the unigram LM scores at ``nats_per_token`` ≤ the
+    threshold (CCNet's filter direction: cheap = looks like the
+    training distribution).  The Viterbi DP runs once per distinct
+    word; the only corpus-sized exchange is the per-doc sum
+    (operators/unigram.py::unigram_doc_scores)."""
+    from .operators.unigram import unigram_doc_scores
+
+    keep = (unigram_doc_scores(docs, unigram_vocab, id_col, text_col)
+            .filter(F.col("nats_per_token")
+                    <= float(max_nats_per_token))
+            .select(id_col))
+    return docs.join(keep, id_col, "semi")
+
+
 def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
                                      id_col, text_col, source_col,
                                      min_quality, dedup_threshold,
                                      contamination_ngram, source_weights,
                                      default_weight, workdir,
                                      run_id,
-                                     quality_model=None) -> tuple[DataFrame, dict]:
+                                     quality_model=None,
+                                     lang_models=None,
+                                     allowed_langs=None,
+                                     unigram_vocab=None,
+                                     max_nats_per_token=None
+                                     ) -> tuple[DataFrame, dict]:
     """Checkpointed variant of :func:`build_training_corpus` — same
     stages and report keys, but the quality/dedup/decontamination
     boundaries commit to snapshot tables and resume across runs (see
@@ -218,14 +291,39 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
     store = _StageStore(docs.sparkSession, workdir, run_id)
     report: dict = {}
     flood_box: list = []
+    orig_docs = docs
 
+    first_resumed = None
+    if lang_models is not None and allowed_langs:
+        docs_in = docs
+        docs, resumed = store.run(
+            "langid",
+            lambda: _langid_gate(docs_in, id_col, text_col,
+                                 lang_models, allowed_langs))
+        first_resumed = resumed
+        report["resumed_langid"] = resumed
+        report["rows_langid"] = docs.count()
+
+    src = docs
     q, resumed = store.run(
         "quality",
-        lambda: _quality_gate(docs, id_col, text_col, min_quality,
+        lambda: _quality_gate(src, id_col, text_col, min_quality,
                               quality_model))
-    report["rows_in"] = docs.count() if not resumed else None
+    if first_resumed is None:
+        first_resumed = resumed
+    report["rows_in"] = orig_docs.count() if not first_resumed else None
     report["resumed_quality"] = resumed
     report["rows_quality"] = q.count()
+
+    if unigram_vocab is not None and max_nats_per_token is not None:
+        q_in = q
+        q, resumed = store.run(
+            "perplexity",
+            lambda: _perplexity_gate(q_in, id_col, text_col,
+                                     unigram_vocab,
+                                     max_nats_per_token))
+        report["resumed_perplexity"] = resumed
+        report["rows_perplexity"] = q.count()
 
     def _dedup():
         clusters, flood = near_dup_clusters(q, id_col, text_col,

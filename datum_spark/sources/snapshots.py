@@ -360,12 +360,21 @@ class SnapshotTable:
     checkpoint file (``_manifests/ckpt-v{N}.json``) carrying BOTH the
     accumulated per-producer txn high-water marks (so
     :meth:`append_once`'s idempotence walk stops there — the Delta
-    ``_last_checkpoint`` pattern) AND the full resolved file list +
-    stats (the compaction base that keeps delta-manifest resolution
-    O(interval), and the only base past a vacuum horizon).  Reads
+    ``_last_checkpoint`` pattern) AND a manifest-LIST of immutable
+    content-addressed SEGMENT files holding the full resolved file
+    list + stats (r11 — the compaction base that keeps delta-manifest
+    resolution O(interval) and the only base past a vacuum horizon;
+    only segments whose membership changed since the previous
+    checkpoint are written, so the checkpoint write is O(changed
+    segments), not O(table) — the Iceberg manifest-list shape).  Reads
     resolve head = nearest base + tail deltas, cached per instance."""
 
     checkpoint_interval: int = 100
+    # target files per checkpoint SEGMENT (r11): checkpoints store a
+    # manifest-LIST of immutable content-addressed segment files
+    # instead of embedding the full file list, so the periodic
+    # checkpoint write is O(changed segments), not O(table)
+    checkpoint_segment_files: int = 512
 
     def __init__(self, spark: SparkSession, path: str,
                  checkpoint_interval: int | None = None) -> None:
@@ -424,17 +433,91 @@ class SnapshotTable:
         with open(self._manifest_path(version)) as fh:
             return json.load(fh)
 
+    def _seg_path(self, name: str) -> str:
+        return os.path.join(self._manifests, name)
+
     def _ckpt_state(self, version: int) -> dict | None:
-        """Full (files, file_stats) state embedded in the checkpoint at
-        EXACTLY ``version``, or None.  Pre-r10 checkpoints carried only
-        txn marks — those return None and the resolve walk continues
-        past them (their manifests were full-mode anyway)."""
+        """Full (files, file_stats) state reachable from the checkpoint
+        at EXACTLY ``version``, or None.  Three generations coexist:
+        r11+ checkpoints carry a ``segments`` manifest-list (resolved
+        here by reading the immutable content-addressed segment files);
+        r10 checkpoints embed ``files`` directly; pre-r10 checkpoints
+        carried only txn marks — those return None and the resolve
+        walk continues past them (their manifests were full-mode
+        anyway).  A missing/corrupt segment also returns None: the
+        checkpoint then behaves like a txn-only one, and vacuum's
+        durability probe refuses to treat it as a horizon base."""
         try:
             with open(self._checkpoint_path(version)) as fh:
                 doc = json.load(fh)
         except (OSError, ValueError):
             return None
-        return doc if "files" in doc else None
+        if "files" in doc:
+            return doc
+        if "segments" not in doc:
+            return None
+        files: list[str] = []
+        stats: dict = {}
+        try:
+            for name in doc["segments"]:
+                with open(self._seg_path(name)) as fh:
+                    seg = json.load(fh)
+                files.extend(seg["files"])
+                stats.update(seg.get("file_stats") or {})
+        except (OSError, ValueError, KeyError, TypeError):
+            return None
+        out = dict(doc)
+        out["files"] = sorted(files)
+        out["file_stats"] = stats
+        return out
+
+    def _write_segments(self, files: list[str],
+                        stats: dict) -> list[str]:
+        """Write the checkpoint's file state as content-addressed
+        segment files and return their names.  Files hash-bucket by
+        path into ``2^ceil(log2(n/segment_size))`` buckets (power-of-2
+        growth: the bucketing only reshapes when the table doubles, an
+        amortized-rare full rewrite); a bucket whose content is
+        unchanged since the previous checkpoint hashes to the SAME
+        name and is skipped — steady-state checkpoint IO is
+        O(changed segments), not O(table)."""
+        import hashlib
+        import math as _math
+
+        n = len(files)
+        seg_size = max(1, int(self.checkpoint_segment_files))
+        nb = 1 if n <= seg_size else 1 << _math.ceil(
+            _math.log2(n / seg_size))
+        buckets: list[list[str]] = [[] for _ in range(nb)]
+        for f in files:
+            b = int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % nb
+            buckets[b].append(f)
+        names: list[str] = []
+        for b, fs in enumerate(buckets):
+            fs.sort()
+            doc = json.dumps(
+                {"bucket": b, "n_buckets": nb, "files": fs,
+                 "file_stats": {f: stats[f] for f in fs if f in stats}},
+                sort_keys=True, separators=(",", ":"))
+            h = hashlib.sha1(doc.encode()).hexdigest()[:20]
+            name = f"seg-{h}.json"
+            names.append(name)
+            path = self._seg_path(name)
+            if os.path.exists(path):
+                continue        # content-addressed: identical = reusable
+            tmp = os.path.join(self._manifests,
+                               f".tmp-{uuid.uuid4().hex}.json")
+            with open(tmp, "w") as fh:
+                fh.write(doc)
+                fh.flush()
+                os.fsync(fh.fileno())
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                pass            # concurrent writer landed the same content
+            finally:
+                os.unlink(tmp)
+        return names
 
     def _load_manifest(self, version: int) -> dict:
         """Resolved manifest: ``files`` / ``file_stats`` materialized.
@@ -546,13 +629,18 @@ class SnapshotTable:
                 tv = int(meta.get("txn_version", -1))
                 if tv > txn.get(t, -1):
                     txn[t] = tv
-        # embed the FULL resolved file state: checkpoints are the walk
-        # bases that keep delta-manifest resolution O(interval), and
-        # the only base past a vacuum horizon
+        # reference the FULL resolved file state through a manifest-
+        # LIST of immutable content-addressed segments (r11):
+        # checkpoints are the walk bases that keep delta-manifest
+        # resolution O(interval) and the only base past a vacuum
+        # horizon, but only segments whose membership CHANGED since
+        # the previous checkpoint are written — the last O(table)
+        # write in the substrate is gone (SCALE §26)
         state = self._load_manifest(version)
+        segs = self._write_segments(state["files"],
+                                    state.get("file_stats") or {})
         doc = {"version": int(version), "txn": txn,
-               "files": state["files"],
-               "file_stats": state.get("file_stats") or {},
+               "segments": segs, "n_files": len(state["files"]),
                "committed_at": time.time()}
         tmp = os.path.join(self._manifests,
                            f".tmp-{uuid.uuid4().hex}.json")
@@ -573,7 +661,7 @@ class SnapshotTable:
                     old = json.load(fh)
             except (OSError, ValueError):
                 old = {}
-            if "files" not in old:
+            if "files" not in old and "segments" not in old:
                 merged = dict(txn)
                 for k, mv in (old.get("txn") or {}).items():
                     if int(mv) > merged.get(k, -1):
@@ -743,7 +831,8 @@ class SnapshotTable:
             f"lost the commit race {retries} times at {self.path}")
 
     def _commit_rewrite(self, operation: str, build,
-                        keep_files=None, retries: int = 5) -> int:
+                        keep_files=None, retries: int = 5,
+                        precondition=None) -> int | None:
         """Optimistic REWRITE commit (merge / delete / overwrite /
         compact): materialize ``build(parent_version) -> DataFrame | None``
         against the CURRENT head and publish at head+1.  On conflict the
@@ -751,10 +840,22 @@ class SnapshotTable:
         the new head — never republished, which would silently drop the
         concurrent commit's rows (lost update).  ``keep_files(parent)``
         optionally returns parent files carried by REFERENCE (stats-
-        pruned untouched files)."""
+        pruned untouched files).
+
+        ``precondition(parent)`` (optional) is re-evaluated inside
+        every retry after the parent is fixed — returning False aborts
+        the commit with ``None`` (nothing published).  This is the
+        Iceberg validate-no-conflicting-commit hook: a caller whose
+        REPLACEMENT ROWS were derived from an older snapshot (not just
+        its file list — e.g. the IVF-PQ rebalance re-encode) passes
+        ``lambda parent: parent == snapshot_it_read``, because the
+        default rebase-and-retry would replace away rows a concurrent
+        commit added under the same keys."""
         for _ in range(retries):
             parent = self.current_version()
             version = 0 if parent is None else parent + 1
+            if precondition is not None and not precondition(parent):
+                return None
             df = build(parent)
             kept: list[str] = [] if keep_files is None \
                 else list(keep_files(parent))
@@ -922,14 +1023,18 @@ class SnapshotTable:
                 return int(meta.get("txn_version", -1))
         return int(ck["txn"].get(txn_id, -1)) if ck else -1
 
-    def merge(self, df: DataFrame, keys: list[str]) -> int:
+    def merge(self, df: DataFrame, keys: list[str],
+              precondition=None) -> int | None:
         """MERGE/upsert by key: rows of the current snapshot whose key
         appears in ``df`` are replaced, new keys are inserted —
         copy-on-write over the TOUCHED files only: manifest column stats
         prune files whose key range provably misses every ``df`` key
         (those are carried by reference, byte-identical), so the rewrite
         is O(files containing affected keys), not O(table).  On a commit
-        conflict the merge recomputes from the new head."""
+        conflict the merge recomputes from the new head.
+        ``precondition(parent)`` (optional): abort with ``None`` when it
+        returns False — for callers whose replacement ROWS derive from
+        a pinned snapshot (see :meth:`_commit_rewrite`)."""
         df = df.localCheckpoint(eager=True)   # pin: evaluated per retry
         from pyspark.sql import functions as F
 
@@ -989,7 +1094,8 @@ class SnapshotTable:
 
         return self._commit_rewrite(
             "merge", build,
-            keep_files=lambda parent: touched_split(parent)[1])
+            keep_files=lambda parent: touched_split(parent)[1],
+            precondition=precondition)
 
     def overwrite(self, df: DataFrame) -> int:
         """Replace the table contents (copy-on-write: old files stay on
@@ -1496,6 +1602,35 @@ class SnapshotTable:
             os.unlink(self._checkpoint_path(v))
             removed.append(self._checkpoint_path(v))
         now = time.time()
+        # segment GC (r11): drop content-addressed checkpoint segments
+        # no surviving checkpoint references — but never YOUNG ones (an
+        # in-flight _write_checkpoint links its segments before its
+        # checkpoint doc becomes visible, the same publish-order race
+        # the data-dir min-age guard covers)
+        live_segs: set[str] = set()
+        segs_safe = True
+        for n in os.listdir(self._manifests):
+            if n.startswith("ckpt-v") and n.endswith(".json"):
+                try:
+                    with open(self._seg_path(n)) as fh:
+                        live_segs.update(json.load(fh).get("segments")
+                                         or ())
+                except (OSError, ValueError):
+                    # an unreadable checkpoint's references are
+                    # unknown — deleting any segment could brick it,
+                    # so skip segment GC entirely this round
+                    segs_safe = False
+        if segs_safe:
+            for n in os.listdir(self._manifests):
+                if (n.startswith("seg-") and n.endswith(".json")
+                        and n not in live_segs):
+                    p = self._seg_path(n)
+                    try:
+                        if now - os.path.getmtime(p) >= min_age_seconds:
+                            os.unlink(p)
+                            removed.append(p)
+                    except OSError:
+                        pass   # vanished underneath us
 
         def young(path: str) -> bool:
             try:

@@ -290,3 +290,132 @@ def test_clean_vacuum_emits_no_warning(spark, tmp_path):
         _w.simplefilter("error", VacuumAbortedWarning)
         assert t.vacuum(keep_last=2, min_age_seconds=0)
         assert t.vacuum(keep_last=2, min_age_seconds=0) == []
+
+
+def test_checkpoint_is_segmented_manifest_list(spark, tmp_path):
+    """r11 checkpoints carry a manifest-LIST of content-addressed
+    segment files, not an embedded file list; _ckpt_state resolves
+    them to exactly the manifest's resolved state."""
+    t = SnapshotTable.create(spark, str(tmp_path / "seg"),
+                             checkpoint_interval=3)
+    df = spark.range(2).select(F.col("id").alias("v"))
+    for _ in range(3):
+        t.append(df)
+    with open(t._checkpoint_path(3)) as fh:
+        doc = json.load(fh)
+    assert "files" not in doc and doc["segments"]
+    for name in doc["segments"]:
+        assert os.path.exists(t._seg_path(name))
+    st = t._ckpt_state(3)
+    m = t._load_manifest(3)
+    assert st["files"] == m["files"]
+    assert st["file_stats"] == m["file_stats"]
+
+
+def test_unchanged_segments_are_reused_across_checkpoints(spark,
+                                                          tmp_path):
+    """Content addressing: with many buckets, consecutive checkpoints
+    share the segment names whose membership did not change — the
+    steady-state checkpoint write is O(changed segments)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "reuse"),
+                             checkpoint_interval=3)
+    t.checkpoint_segment_files = 1      # force many buckets
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for _ in range(21):                 # ckpts at v18 (18 files) and
+        t.append(df)                    # v21 (21 files): both in the
+    with open(t._checkpoint_path(18)) as fh:
+        d18 = json.load(fh)
+    with open(t._checkpoint_path(21)) as fh:
+        d21 = json.load(fh)
+    s18, s21 = set(d18["segments"]), set(d21["segments"])
+    # append-only growth within one power-of-2 bucket regime: only the
+    # buckets the new files hash into rewrite; the rest reuse their
+    # content-addressed name (a bucket-count change — table doubling —
+    # is the amortized-rare full rewrite by design)
+    added = d21["n_files"] - d18["n_files"]
+    assert len(s18) == len(s21), "bucket regime changed mid-test"
+    shared = s18 & s21
+    assert len(shared) >= len(s18) - added, \
+        f"expected ≥{len(s18) - added} reused segments, got {len(shared)}"
+    # resolution still exact at both checkpoints
+    assert t._ckpt_state(21)["files"] == t._load_manifest(21)["files"]
+
+
+def test_legacy_embedded_file_checkpoint_still_resolves(spark,
+                                                        tmp_path):
+    """An r10 checkpoint embedding `files` directly keeps working as a
+    resolve base (mixed-generation directory)."""
+    t = SnapshotTable.create(spark, str(tmp_path / "legacy"),
+                             checkpoint_interval=3)
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for _ in range(4):
+        t.append(df)
+    # rewrite ckpt v3 in the r10 format
+    st = t._load_manifest(3)
+    with open(t._checkpoint_path(3)) as fh:
+        doc = json.load(fh)
+    legacy = {"version": 3, "txn": doc.get("txn") or {},
+              "files": st["files"],
+              "file_stats": st.get("file_stats") or {},
+              "committed_at": doc["committed_at"]}
+    with open(t._checkpoint_path(3), "w") as fh:
+        json.dump(legacy, fh)
+    cold = SnapshotTable(spark, str(tmp_path / "legacy"),
+                         checkpoint_interval=3)
+    assert cold._ckpt_state(3)["files"] == st["files"]
+    assert _rows(cold.read()) == [0, 0, 0, 0]
+
+
+def test_vacuum_gcs_orphaned_segments_keeps_referenced(spark,
+                                                       tmp_path):
+    """Segment GC drops segments no surviving checkpoint references
+    (min-age respected) and never the referenced ones."""
+    t = SnapshotTable.create(spark, str(tmp_path / "gc"),
+                             checkpoint_interval=2)
+    t.checkpoint_segment_files = 1
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for i in range(8):
+        t.merge(spark.range(1).select(
+            F.lit(i).cast("long").alias("v")), keys=["v"])
+    segs = lambda: {n for n in os.listdir(t._manifests)      # noqa: E731
+                    if n.startswith("seg-")}
+    before = segs()
+    assert before
+    # age everything, then vacuum: superseded ckpts drop, their
+    # now-orphaned segments drop with them
+    for n in before | {"x"}:
+        p = os.path.join(t._manifests, n)
+        if os.path.exists(p):
+            os.utime(p, (1, 1))
+    t.vacuum(keep_last=2, min_age_seconds=0)
+    after = segs()
+    live = set()
+    for n in os.listdir(t._manifests):
+        if n.startswith("ckpt-v"):
+            with open(os.path.join(t._manifests, n)) as fh:
+                live.update(json.load(fh).get("segments") or ())
+    assert live <= after                 # every referenced seg survives
+    assert after == live                 # every orphan was collected
+    # the table still reads through its horizon base
+    assert SnapshotTable(spark, str(tmp_path / "gc")).read().count() == 8
+
+
+def test_merge_precondition_aborts_without_publishing(spark, tmp_path):
+    """merge(precondition=...) is the Iceberg validate hook: when the
+    head moved past the pinned snapshot the commit aborts with None
+    and publishes nothing; with the head unchanged it commits."""
+    t = SnapshotTable.create(spark, str(tmp_path / "pc"))
+    t.append(spark.range(3).select(F.col("id").alias("v")))
+    pinned = t.current_version()
+    up = spark.range(1, 2).select(F.col("id").alias("v"))
+    # head moves: concurrent append
+    t.append(spark.range(10, 11).select(F.col("id").alias("v")))
+    head = t.current_version()
+    assert t.merge(up, keys=["v"],
+                   precondition=lambda p: p == pinned) is None
+    assert t.current_version() == head          # nothing published
+    # unchanged head: commits normally
+    v = t.merge(up, keys=["v"],
+                precondition=lambda p: p == head)
+    assert v == head + 1
+    assert sorted(r["v"] for r in t.read().collect()) == [0, 1, 2, 10]

@@ -1719,3 +1719,41 @@ def test_ivfpq_rebalance_marker_detects_half_applied(spark, tmp_path,
     from datum_spark.operators.similarity import ivfpq_index_occupancy
     occ = ivfpq_index_occupancy(spark, path).collect()
     assert sum(r["n_codes"] for r in occ) == 180      # no loss, no dup
+
+
+def test_ivfpq_rebalance_concurrent_ingest_no_lost_rows(spark, tmp_path,
+                                                        monkeypatch):
+    """r11 brief #8: an ivfpq_index_add landing between the rebalance's
+    membership read and its merge commit must not be lost or doubled.
+    The merge's snapshot-pin precondition rejects the stale re-encode
+    (a cell-keyed upsert would replace the concurrent rows away) and
+    the round recomputes from the new head."""
+    from datum_spark.operators.similarity import (ivfpq_index_add,
+                                                  ivfpq_rebalance)
+    from datum_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "ix")
+    corpus, _ = _skewed_index(spark, path, transactional=True)
+    extra = spark.createDataFrame(
+        [(3000 + i, [1.5 + (i % 3) * 0.01] * 8) for i in range(12)],
+        "vec_id bigint, embedding array<double>")
+    real_merge = SnapshotTable.merge
+    state = {"fired": 0}
+
+    def racing_merge(self, df, keys, precondition=None):
+        if not state["fired"]:
+            state["fired"] = 1
+            ivfpq_index_add(extra, path)    # concurrent ingest wins
+        return real_merge(self, df, keys, precondition=precondition)
+
+    monkeypatch.setattr(SnapshotTable, "merge", racing_merge)
+    full = corpus.unionByName(extra)
+    res = ivfpq_rebalance(full, path, hot_factor=2.0)
+    monkeypatch.undo()
+    assert state["fired"] == 1 and res["n_reencoded"] > 0
+    codes = SnapshotTable(spark, path + "/codes").read()
+    assert codes.count() == 180 + 12                  # nothing lost
+    assert codes.select("vec_id").distinct().count() == 192   # no dup
+    # the concurrent rows serve: every extra id is findable
+    got = {r["vec_id"] for r in codes.collect()}
+    assert all(3000 + i in got for i in range(12))

@@ -152,3 +152,51 @@ def test_pipeline_learned_quality_gate(spark, corpus, tmp_path):
     assert report["rows_quality"] == expect
     assert 0 < expect < docs.count()
     assert report["rows"] > 0
+
+
+def test_pipeline_langid_and_perplexity_gates(spark, corpus, tmp_path):
+    """Both r11 optional gates on: the language-ID first pass and the
+    CCNet-style perplexity filter join the funnel with their own audit
+    rows (monotone), and the resumable run resumes THROUGH the new
+    stage checkpoints with identical results."""
+    from datum_spark.operators.langid import language_classifier_fit
+    from datum_spark.operators.unigram import unigram_trained_vocab
+
+    # the fixture's lang labels are random w.r.t. the text, so make
+    # them LEARNABLE by appending a per-language script marker — the
+    # pipeline then demonstrates the gate actually separating
+    docs = (corpus.filter(F.col("doc_id") >= 20)
+            .withColumn("text", F.concat_ws(
+                " ", F.col("text"), F.expr("repeat(lang, 10)"))))
+    models = language_classifier_fit(docs, "doc_id", "text", "lang",
+                                     n_buckets=32, steps=4, lr=2.0)
+    _w, vocab = unigram_trained_vocab(docs, iters=1)
+    # median nats/token threshold: keeps some, drops some
+    from datum_spark.operators.unigram import unigram_doc_scores
+    thr = (unigram_doc_scores(docs, vocab)
+           .approxQuantile("nats_per_token", [0.5], 0.0)[0])
+    kw = dict(n_shards=2, min_quality=0.0, lang_models=models,
+              allowed_langs={"en", "fr", "de"}, unigram_vocab=vocab,
+              max_nats_per_token=thr)
+    _s, report = build_training_corpus(
+        docs, None, str(tmp_path / "g1"), **kw)
+    assert (report["rows_in"] >= report["rows_langid"]
+            >= report["rows_quality"] >= report["rows_perplexity"]
+            >= report["rows_deduped"] >= report["rows_mixed"] > 0)
+    assert report["rows_langid"] < report["rows_in"]     # gate bit
+    assert report["rows_perplexity"] < report["rows_quality"]
+
+    # resumable: first run computes, second resumes every stage and
+    # reproduces the same funnel counts
+    wd = str(tmp_path / "wd")
+    _s1, r1 = build_training_corpus(docs, None, str(tmp_path / "g2"),
+                                    workdir=wd, run_id="gates", **kw)
+    assert r1["resumed_langid"] is False
+    assert r1["resumed_perplexity"] is False
+    _s2, r2 = build_training_corpus(docs, None, str(tmp_path / "g3"),
+                                    workdir=wd, run_id="gates", **kw)
+    assert r2["resumed_langid"] and r2["resumed_quality"]
+    assert r2["resumed_perplexity"] and r2["resumed_deduped"]
+    for k in ("rows_langid", "rows_quality", "rows_perplexity",
+              "rows_deduped", "rows_decontaminated", "rows_mixed"):
+        assert r1[k] == r2[k] == report[k]

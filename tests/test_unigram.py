@@ -218,3 +218,61 @@ def test_gated_broadcast_hint_present_only_below_gate(spark, monkeypatch):
     j2 = big.join(util.gated_broadcast(d), "k")
     assert "broadcast" not in j2._jdf.queryExecution().optimizedPlan() \
         .toString().lower()
+
+
+def test_prune_schedule_deterministic_param_only():
+    from datum_spark.operators.unigram import prune_schedule
+
+    assert prune_schedule(96, 24, 0.75) == [72, 54, 41, 31, 24]
+    assert prune_schedule(24, 24, 0.75) == []
+    assert prune_schedule(25, 24, 0.75) == [24]
+    with pytest.raises(ValueError):
+        prune_schedule(96, 24, 1.0)
+
+
+def test_pruned_training_targets_vocab_size():
+    """Kudo §4 pruning: the final vocabulary is all chars + exactly
+    target_multi multis (enough candidates survive here); chars are
+    never pruned; costs re-normalize to a proper distribution."""
+    from datum_spark.operators.unigram import unigram_train_pruned
+
+    words = [(w, c) for c, w in enumerate(
+        ["interest", "interests", "interesting", "rest", "ingest",
+         "testing", "resting", "nest", "nesting", "singe", "tints"],
+        start=3)]
+    vocab = unigram_train_pruned(words, target_multi=6, seed_multi=40,
+                                 shrink=0.75, final_iters=1)
+    chars = {p for p, _c, _k in vocab if len(p) == 1}
+    multis = [p for p, _c, _k in vocab if len(p) > 1]
+    assert len(multis) == 6
+    assert chars == set("intersg")            # every corpus character
+    total = sum(c for _p, c, _k in vocab)
+    for _p, c, k in vocab:
+        assert k == pytest.approx(-math.log(c / total), abs=5e-7)
+
+
+def test_pruned_vocab_still_covers_every_word():
+    """Pruning never removes single chars, so Viterbi under the pruned
+    vocabulary segments every training word."""
+    from datum_spark.operators.unigram import (unigram_train_pruned,
+                                               viterbi_state)
+
+    words = [("abcabc", 9), ("bca", 5), ("cab", 4), ("aaa", 2)]
+    vocab = unigram_train_pruned(words, target_multi=2, seed_multi=30)
+    cost = {p: k for p, _c, k in vocab}
+    for w, _ in words:
+        seg = _parse(viterbi_state(w, cost))[2]
+        assert "".join(seg.split(D)) == w
+
+
+def test_pruned_keeps_high_contribution_pieces():
+    """The contribution proxy (cnt × cost) must keep the workhorse
+    multi-piece of a skewed corpus through every prune round."""
+    from datum_spark.operators.unigram import unigram_train_pruned
+
+    words = [("zzzz", 100)] + [(w, 1) for w in
+                               ["abcd", "bcde", "cdef", "defa", "efab",
+                                "fabc", "acbd", "bdce", "cedf"]]
+    vocab = unigram_train_pruned(words, target_multi=1, seed_multi=30)
+    multis = [p for p, _c, _k in vocab if len(p) > 1]
+    assert multis == ["zzzz"]
