@@ -2,19 +2,28 @@
 
 ``entry(spark)`` runs the flagship star-join (t2 Q10, TPC-H Q5 skeleton) at
 sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
-(Tier-B Q01–Q31 + §2-C extensions x01–x177); ``oracle_sql()`` carries the
+(Tier-B Q01-Q31 + §2-C extensions); ``oracle_sql()`` carries the
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
-(50 in every round so far), so the dict leads with the round-10
-recheck set (the 6 new entries x200–x205 plus x196, whose ORACLE text
-changed this round), then the 45-entry r5 band — the VERDICT-r9
-rotation mandate — fills the window (7 + 43 fit; x98/x99 → r11).  Other
-entries whose code changed in r10 (x27/x55 gained in-entry grading
-columns, x186/x189/x190 null-filter queries, x198 rounding) were each
-locally diff-run green this round and rotate into the next window.
-Every oracle-bearing entry has been driver-verified at least once
-(r6 closed the set); this rotation keeps the oldest evidence fresh.
+(50 in every round so far).  The dict leads with the round-11 RECHECK
+set (the 2 new entries x206/x207; x205, whose oracle gained the
+pruned_tokens column; the 6 entries whose joins were size-gated or
+whose grading changed this round: x204/x119/x49/x50/x202/x203 — every
+one locally diff-run green this round; the two r5 leftovers x98/x99
+the r10 window could not fit; and the 6 entries changed in r10 that
+rotated here as announced: x27/x55/x186/x189/x190/x198).  After the
+recheck set, entries order by EVIDENCE STALENESS computed from the
+committed CORRECTNESS_r*.json artifacts themselves (oldest latest-
+check first), so each round's window automatically drains the stalest
+band — this round that is 33 of the r6 cohort's 39 oracle-bearing entries;
+the 6 alphabetically-last (x155_source_overlap, x156_lsh_calibration,
+x157_dedup_retention, x18_image_features, x38_train_test_split,
+x56_source_mixing) spill to r12, along with the rows-only cohort
+(x37_minhash_fast et al., which the hash gate cannot check anyway).
+Every oracle-bearing entry has been driver-verified at least
+once (r6 closed the set); the rotation keeps the oldest evidence
+fresh without hand-curated band lists going stale.
 """
 
 from __future__ import annotations
@@ -31,73 +40,61 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-10 re-check set: the 6 new entries + x196 (its ORACLE changed —
-# query-set rule now matches the entry's ORDER BY/LIMIT selection).
-_RECHECK_R10 = {
-    "x200_unigram_train",                 # new: unigram-LM hard-EM
-    "x201_unigram_encode",                # new: Catalyst Viterbi encode
-    "x202_sgd_audit",                     # new: shard-averaging replay
-    "x203_ivfpq_occupancy",               # new: serve-scan skew report
-    "x204_unigram_perplexity",            # new: LM quality signal
-    "x205_tokenizer_fertility",           # new: BPE vs unigram audit
-    "x196_matryoshka_recall",             # oracle text changed in r10
-    # 7 rechecks + 45 r5-band entries = 52 candidates for the 50-slot
-    # window: the two alphabetically-last r5 entries (x98_novelty,
-    # x99_containment) fall to r11 — both locally diff-run green this
-    # round to compensate.
-    # Changed-but-locally-verified this round (next window): x27/x55
-    # (in-entry grading columns), x186/x189/x190 (null-filtered query
-    # collect), x198 (half-away rounding).
-}
-
-# The r8-mandate band (checked r9, green) — now mid-freshness.
-_STALE = {
-    "x36_word_count", "x39_pack_documents",
-    "x47_pii_redact", "x48_repetition", "x49_contamination",
-    "x50_corpus_pipeline", "x51_dup_clusters", "x52_tfidf_terms",
-    "x53_bm25", "x54_vector_stats", "x59_split_md5", "x60_group_sample",
-    "x61_doc_frequency", "x63_top_bigrams",
-    "x64_mix_md5", "x65_upsample", "x66_epoch_shuffle",
-    "x67_interleave_sources", "x68_token_budget",
-    "x69_quality_percentile", "x70_user_features", "x71_funnel",
-    "x72_retention_cohorts", "x73_exists_subquery", "x74_quantified_all",
-    "x75_conditional_agg", "x76_ignore_nulls_window",
-    "x77_approx_aggregates", "x78_posexplode", "x79_union_by_name",
-    "x80_share_of_total", "x81_resample_ffill", "x82_paragraph_dedup",
-}
-
-# Stalest evidence band (latest driver check r5) — the VERDICT-r9
-# rotation mandate: the WHOLE cohort rides in the r10 window.
-_STALE_R5 = {
-    "x05_simhash", "x101_weighted_sample", "x102_source_drift",
-    "x103_centroid_outliers", "x104_cms_heavy_hitters",
-    "x105_radius_join", "x106_unpivot", "x107_regression_aggs",
-    "x109_incremental_dedup", "x110_rolling_distinct",
-    "x111_decayed_engagement", "x112_cdc_apply", "x113_interval_join",
-    "x115_audio_features", "x116_video_frames", "x117_copurchase",
-    "x118_impute", "x120_assoc_rules", "x121_decile_lift",
-    "x122_winsorize", "x123_scd2", "x124_activity_streaks",
-    "x125_snapshot_diff", "x129_communities", "x12_fingerprint",
-    "x13_quality_score", "x16_tumbling_window", "x19_sliding_window",
-    "x83_pagerank", "x84_fuzzy_dedup", "x85_sketch_rollup",
-    "x86_expectations", "x87_doc_chunking", "x88_column_profile",
-    "x89_robust_outliers", "x90_event_debounce", "x91_bpe_tokens",
-    "x92_substring_dedup", "x93_length_histogram", "x94_variant_json",
-    "x95_recursive_calendar", "x96_session_stats", "x97_char_entropy",
-    "x98_novelty", "x99_containment",
+# Round-11 recheck set: new entries, changed oracles, and entries
+# whose code changed in r10/r11 (each locally diff-run green).
+_RECHECK_R11 = {
+    "x206_unigram_pruned",        # new: Kudo §4 EM pruning
+    "x207_language_id",           # new: char-trigram multiclass langid
+    "x205_tokenizer_fertility",   # oracle extended: pruned_tokens col
+    "x204_unigram_perplexity",    # r11: size-gated vocab broadcast
+    "x119_bpe_encode",            # r11: size-gated vocab broadcast
+    "x49_contamination",          # r11: size-gated benchmark grams
+    "x50_corpus_pipeline",        # r11: size-gated benchmark grams
+    "x202_sgd_audit",             # r11: tolerance match columns
+    "x203_ivfpq_occupancy",       # r11: zero-total guard
+    "x98_novelty",                # r5 leftovers from the r10 window
+    "x99_containment",
+    "x27_cosine_topk_ivf",        # changed in r10 (in-entry grading),
+    "x55_kmeans",                 # rotated into this window as
+    "x186_pq_recall",             # announced in the r10 entry notes
+    "x189_ivfpq_recall",
+    "x190_ivfpq_refine",
+    "x198_temperature_mix",
 }
 
 
-def _priority(name: str, has_oracle: bool) -> int:
-    if name in _RECHECK_R10:
-        return 0                      # new / changed-oracle this round
-    if name in _STALE_R5:
-        return 1                      # stalest band (last checked r5)
+def _latest_checked() -> dict[str, int]:
+    """Latest driver-check round per entry, read from the committed
+    CORRECTNESS_r*.json artifacts — the rotation's source of truth, so
+    the staleness ladder never goes stale itself."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    try:
+        for f in sorted(glob.glob(os.path.join(here,
+                                               "CORRECTNESS_r*.json"))):
+            r = int(os.path.basename(f).split("_r")[1].split(".")[0])
+            with open(f) as fh:
+                for k in json.load(fh):
+                    latest[k] = max(latest.get(k, 0), r)
+    except (OSError, ValueError):
+        return {}
+    return latest
+
+
+_LATEST = _latest_checked()
+
+
+def _priority(name: str, has_oracle: bool) -> tuple:
+    if name in _RECHECK_R11:
+        return (0, 0)                 # new / changed this round
     if not has_oracle:
-        return 5                      # rows-only outside the recheck set
-    if name in _STALE:
-        return 2                      # next-stalest (checked r9)
-    return 4                          # verified green in r6–r9
+        return (2, 0)                 # rows-only outside the recheck set
+    # stalest evidence first (never-checked sorts as round 0)
+    return (1, _LATEST.get(name, 0))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
