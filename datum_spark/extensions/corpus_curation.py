@@ -2058,6 +2058,63 @@ FROM docw d JOIN ws USING (word)
 GROUP BY d.doc_id ORDER BY doc_id""")
 
 
+def _x208_sql(iters: int = 2, maxw: int = 16) -> str:
+    """CCNet bucket oracle: the x204 per-doc score chain, tercile cuts
+    via quantile_cont (rounded to 6 dp — the same value Spark's exact
+    `percentile` produces), map-only CASE bucketing, per-(source,
+    bucket) counts."""
+    parts = _unigram_cte_parts(iters=iters, maxw=maxw)
+    parts.extend(_unigram_dp_parts("e", "d0", f"p{iters}", maxw))
+    parts.append(f"""docw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents)
+  WHERE word <> '' AND length(word) <= {maxw}
+)""")
+    parts.append(f"""ws AS (
+  SELECT word, CAST(substr(v, 1, 13) AS DOUBLE) AS score,
+         CAST(substr(v, 14, 3) AS INTEGER) AS ntok
+  FROM (SELECT word, sc[length(word) + 1] AS v FROM e_{maxw})
+)""")
+    parts.append("""docscore AS MATERIALIZED (
+  SELECT d.doc_id, ROUND(SUM(score) / SUM(ntok), 6) AS nats
+  FROM docw d JOIN ws USING (word) GROUP BY d.doc_id
+)""")
+    parts.append("""cuts AS (
+  SELECT ROUND(quantile_cont(nats, 1.0/3), 6) AS c1,
+         ROUND(quantile_cont(nats, 2.0/3), 6) AS c2
+  FROM docscore
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT doc.source,
+       CASE WHEN s.nats <= cuts.c1 THEN 'head'
+            WHEN s.nats <= cuts.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(s.nats), 6) AS mean_nats
+FROM docscore s JOIN documents doc USING (doc_id), cuts
+GROUP BY 1, 2 ORDER BY source, bucket""")
+
+
+@x("x208_ccnet_buckets", _x208_sql())
+def x208(spark, sf):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020
+    §4.3) per source: documents tercile-split on the x200-trained
+    unigram LM's nats/token — the standard triage before deciding what
+    a crawl source contributes to training.  NO global sort: the cuts
+    are one exact-percentile aggregation (two rounded doubles), the
+    bucket a map-only CASE, the output a ≤ sources×3-row shuffle; the
+    per-doc scores reuse the x204 chain (DP once per distinct word).
+    The oracle replays training, every doc score, both cuts and every
+    bucket count.  operators/unigram.py::ccnet_buckets."""
+    from ..operators.unigram import ccnet_buckets, unigram_trained_vocab
+
+    docs = load_docs(spark, sf)
+    _words, vocab = unigram_trained_vocab(docs)
+    return ccnet_buckets(docs, vocab)
+
+
 @x("x204_unigram_perplexity", _x204_sql())
 def x204(spark, sf):
     """Per-document unigram-LM cost — the CCNet-style learned quality

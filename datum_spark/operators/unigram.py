@@ -151,13 +151,17 @@ def prune_schedule(seed_multi: int, target_multi: int,
     ``Kᵣ = max(target, ceil(Kᵣ₋₁ · shrink))`` until it reaches
     ``target_multi``.  The schedule depends only on the PARAMETERS —
     never on how many pieces actually survive a round — so the DuckDB
-    oracle can unroll exactly the same rounds (x206)."""
+    oracle can unroll exactly the same rounds (x206).  The schedule is
+    STRICTLY decreasing: at small k ``ceil(k·shrink)`` can equal k
+    (e.g. ceil(2·0.75) = 2), which would stall the loop forever — the
+    step is clamped to k−1 there, so the tail always walks down to the
+    target."""
     if not 0.0 < shrink < 1.0:
         raise ValueError("shrink must be in (0, 1)")
     ks: list[int] = []
     k = seed_multi
     while k > target_multi:
-        k = max(target_multi, math.ceil(k * shrink))
+        k = max(target_multi, min(k - 1, math.ceil(k * shrink)))
         ks.append(k)
     return ks
 
@@ -337,6 +341,43 @@ def unigram_encode(words: DataFrame, vocab: list[tuple[str, int, float]],
                 F.filter(F.split(F.substring("__v", 17, 2147483647),
                                  D), lambda x: x != F.lit("")), "|"))
             .drop("__v", "__cm"))
+
+
+def ccnet_buckets(docs: DataFrame, vocab: list[tuple[str, int, float]],
+                  id_col: str = "doc_id", text_col: str = "text",
+                  group_col: str = "source",
+                  max_word_len: int = 16) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4.3): documents split into TERCILES of the unigram-LM
+    ``nats_per_token`` signal — "head" trains as-is, "tail" is the
+    filter candidate, "middle" is the judgement call.  Returns one row
+    per (``group_col``, bucket): ``(group_col, bucket, n_docs,
+    mean_nats)``.
+
+    Scale shape: NO global sort — the tercile cuts come from ONE exact
+    ``percentile`` aggregation (two doubles to the driver, rounded to
+    6 dp so any engine replays the comparison), then bucketing is a
+    map-only CASE and the output is a ≤ (groups × 3)-row count
+    shuffle.  The per-doc scores reuse :func:`unigram_doc_scores`
+    (Viterbi once per distinct word; corpus never meets the DP)."""
+    scores = unigram_doc_scores(docs, vocab, id_col=id_col,
+                                text_col=text_col,
+                                max_word_len=max_word_len)
+    cuts = scores.agg(
+        F.round(F.expr("percentile(nats_per_token, 1.0D/3)"), 6)
+        .alias("c1"),
+        F.round(F.expr("percentile(nats_per_token, 2.0D/3)"), 6)
+        .alias("c2")).first()
+    c1, c2 = float(cuts["c1"]), float(cuts["c2"])
+    bucket = (F.when(F.col("nats_per_token") <= c1, "head")
+               .when(F.col("nats_per_token") <= c2, "middle")
+               .otherwise("tail"))
+    return (scores.join(docs.select(F.col(id_col),
+                                    F.col(group_col)), id_col)
+            .groupBy(F.col(group_col), bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg("nats_per_token"), 6).alias("mean_nats"))
+            .orderBy(group_col, "bucket"))
 
 
 def unigram_doc_scores(docs: DataFrame,

@@ -276,3 +276,26 @@ def test_pruned_keeps_high_contribution_pieces():
     vocab = unigram_train_pruned(words, target_multi=1, seed_multi=30)
     multis = [p for p, _c, _k in vocab if len(p) > 1]
     assert multis == ["zzzz"]
+
+
+def test_ccnet_buckets_terciles_and_no_global_sort(spark):
+    """head/middle/tail terciles: every doc lands in exactly one
+    bucket, heads score below tails, and the plan carries no global
+    sort (the cuts are one percentile aggregation)."""
+    from datum_spark.operators.unigram import ccnet_buckets
+
+    docs = spark.createDataFrame(
+        [(i, ("the cat sat " * (1 + i % 3)) +
+          ("zqxj vwkp " * (i % 4)), f"s{i % 2}")
+         for i in range(24)],
+        "doc_id long, text string, source string")
+    words = [("the", 30), ("cat", 20), ("sat", 20),
+             ("zqxj", 1), ("vwkp", 1)]
+    vocab = unigram_train_local(words, iters=2)
+    out = ccnet_buckets(docs, vocab).collect()
+    assert sum(r["n_docs"] for r in out) == 24
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r["mean_nats"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert max(by_bucket["head"]) < min(by_bucket["tail"])
