@@ -442,6 +442,91 @@ def x51(spark, sf):
             .orderBy("doc_id"))
 
 
+@x("x209_leakage_safe_split", """
+WITH RECURSIVE w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '')) AS ws
+  FROM documents WHERE doc_id < 100
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM w a JOIN w b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.ws, b.ws))
+        / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.8
+), sym AS (
+  SELECT id_a AS u, id_b AS v FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+), comp AS (
+  SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+), cl AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+  LEFT JOIN comp c USING (doc_id)
+), lab AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN bk < 3435973836 THEN 'train'
+              WHEN bk < 3865470566 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id, cluster_id,
+               CAST(('0x' || substring(md5('split-' ||
+                     CAST(cluster_id AS VARCHAR)), 1, 8)) AS BIGINT) AS bk
+        FROM cl)
+), leak AS (
+  SELECT COUNT(*) AS lp
+  FROM p JOIN lab a ON p.id_a = a.doc_id
+         JOIN lab b ON p.id_b = b.doc_id
+  WHERE a.split <> b.split
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(leak.lp AS BIGINT) AS leak_pairs
+FROM lab, leak GROUP BY split, leak.lp ORDER BY split""")
+def x209(spark, sf):
+    """Leakage-safe train/val/test split (r11): the split key is the
+    NEAR-DUP CLUSTER id, so a near-copy pair can never straddle the
+    eval boundary — contamination prevented by construction instead of
+    screened after the fact (the complement of x49/x151).  The entry
+    splits the x51 cluster assignment (audit-grade Jaccard pair graph,
+    oracle-replayable by recursive closure) and SELF-GRADES: the
+    ``leak_pairs`` column counts near-dup pairs whose endpoints landed
+    in different splits — 0 by construction here, versus the nonzero
+    count a doc-keyed split produces (pinned by the unit test).  At
+    corpus scale the default path is
+    ``sampling.leakage_safe_split`` over ``near_dup_clusters``
+    (exact-collapse → MinHash-LSH → components — SCALE.md §8/§10);
+    membership stays a pure md5 function of the cluster id, so an
+    appended corpus re-derives the SAME split for existing clusters.
+    operators/sampling.py::leakage_safe_split."""
+    from ..operators.components import dup_clusters
+    from ..operators.sampling import leakage_safe_split
+
+    docs = load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    pairs = dedup_mod.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                          n=1, threshold=0.8)
+    comp = dup_clusters(pairs.select("id_a", "id_b"))
+    clusters = (docs.select("doc_id")
+                .join(comp, F.col("doc_id") == F.col("node"), "left")
+                .select("doc_id", F.coalesce("component", "doc_id")
+                        .alias("cluster_id")))
+    lab = leakage_safe_split(docs, "doc_id", "text", clusters=clusters)
+    la = lab.select(F.col("doc_id").alias("id_a"),
+                    F.col("split").alias("__sa"))
+    lb = lab.select(F.col("doc_id").alias("id_b"),
+                    F.col("split").alias("__sb"))
+    leaks = (pairs.join(la, "id_a").join(lb, "id_b")
+             .filter(F.col("__sa") != F.col("__sb")).count())
+    return (lab.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("cluster_id").cast("long")
+                 .alias("n_clusters"))
+            .withColumn("leak_pairs", F.lit(int(leaks)).cast("long"))
+            .orderBy("split"))
+
+
 @x("x52_tfidf_terms", """
 WITH tok AS (
   SELECT doc_id, t AS term

@@ -94,6 +94,38 @@ def with_md5_split_label(df: DataFrame, key_col: str,
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       fractions: dict[str, float] | None = None,
+                       salt: str = "split",
+                       clusters: DataFrame | None = None,
+                       cluster_col: str = "cluster_id",
+                       **dedup_kw) -> DataFrame:
+    """Train/val/test split where NEAR-DUPLICATES never straddle the
+    boundary: the md5 split key is the dedup CLUSTER id, not the doc
+    id — a doc-keyed split leaks eval content into training through
+    every near-copy pair it cuts apart (the train-test contamination
+    the n-gram screens then have to catch after the fact; splitting by
+    cluster prevents it by construction).
+
+    ``clusters`` (optional ``(id_col, cluster_col)``) supplies the
+    cluster assignment — e.g. an audit-grade exact pair graph; by
+    default :func:`~datum_spark.operators.dedup.near_dup_clusters`
+    (exact-collapse → MinHash-LSH → components) computes it at corpus
+    scale (``dedup_kw`` forwarded).  Returns ``docs`` + ``split``;
+    membership is a pure function of (cluster id, salt), replayable by
+    any md5-capable engine and stable under re-runs and corpus
+    append (an existing cluster keeps its split)."""
+    if clusters is None:
+        from .dedup import near_dup_clusters
+
+        clusters = near_dup_clusters(docs, id_col, text_col, **dedup_kw)
+    lab = with_md5_split_label(
+        clusters.select(F.col(id_col), F.col(cluster_col)),
+        cluster_col, fractions, salt=salt)
+    return docs.join(lab.select(id_col, cluster_col, "split"), id_col)
+
+
 def deterministic_group_sample(df: DataFrame, group_col: str, n: int,
                                key_col: str,
                                salt: str = "sample") -> DataFrame:

@@ -1757,3 +1757,54 @@ def test_ivfpq_rebalance_concurrent_ingest_no_lost_rows(spark, tmp_path,
     # the concurrent rows serve: every extra id is findable
     got = {r["vec_id"] for r in codes.collect()}
     assert all(3000 + i in got for i in range(12))
+
+
+def test_leakage_safe_split_no_straddling_pairs(spark):
+    """Near-dup pairs must never straddle the split when keyed by
+    cluster; the doc-keyed split on the same corpus DOES leak (the
+    contrast that motivates the operator)."""
+    from datum_spark.operators.dedup import ngram_jaccard_pairs
+    from datum_spark.operators.sampling import (leakage_safe_split,
+                                                with_md5_split_label)
+
+    base = ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+            "lambda mu nu xi omicron", "pi rho sigma tau upsilon",
+            "phi chi psi omega alef", "one two three four five",
+            "six seven eight nine ten", "red green blue cyan magenta"]
+    rows = []
+    for i, t in enumerate(base):          # 4 near-copies per base doc
+        for j in range(4):
+            rows.append((i * 10 + j, t + (" extra" if j == 3 else "")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text",
+                                n=1, threshold=0.5)
+    assert pairs.count() > 0
+    # clusters derived FROM the checked pair graph (the x209 spelling):
+    # zero straddling pairs is then guaranteed by construction
+    from datum_spark.operators.components import dup_clusters
+    comp = dup_clusters(pairs.select("id_a", "id_b"))
+    clusters = (docs.select("doc_id")
+                .join(comp, F.col("doc_id") == F.col("node"), "left")
+                .select("doc_id", F.coalesce("component", "doc_id")
+                        .alias("cluster_id")))
+    lab = leakage_safe_split(docs, "doc_id", "text", clusters=clusters)
+    sp = {r["doc_id"]: r["split"] for r in lab.collect()}
+    assert len(sp) == len(rows)
+    leaks = sum(1 for r in pairs.collect()
+                if sp[r["id_a"]] != sp[r["id_b"]])
+    assert leaks == 0                      # by construction
+    # the default LSH path: whatever clusters IT finds, each cluster's
+    # members share one split label (the operator's invariant under
+    # its own similarity definition)
+    lab2 = leakage_safe_split(docs, "doc_id", "text",
+                              num_hashes=16, bands=8, shingle_k=3,
+                              threshold=0.5)
+    for r in lab2.groupBy("cluster_id").agg(
+            F.countDistinct("split").alias("k")).collect():
+        assert r["k"] == 1
+    # contrast: the naive doc-keyed split cuts near-dup pairs apart
+    naive = {r["doc_id"]: r["split"] for r in
+             with_md5_split_label(docs, "doc_id").collect()}
+    naive_leaks = sum(1 for r in pairs.collect()
+                      if naive[r["id_a"]] != naive[r["id_b"]])
+    assert naive_leaks > 0
