@@ -116,9 +116,25 @@ def main() -> int:
     spark = get_session(app_name="datum_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    from datum_spark.util import clear_operator_caches
+
     qs = entry_mod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # per-entry ISOLATION (r11): drop the operator cache ring and
+        # any catalog-cached frames left by the PREVIOUS entry before
+        # timing this one.  Without it, entries measure their
+        # neighbors: a 240-entry suite leaves persisted frames and
+        # broadcast state whose eviction/GC lands on whoever runs
+        # next — the r9/r10 "load positioning" phantom movers
+        # (x153/x196) and a 2× swing on x202 depending on dict order.
+        # The warm-up run below still warms everything the entry
+        # itself owns (JIT/codegen, file listing, its own caches).
+        clear_operator_caches()
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
         # warm-up run: JIT/codegen caches, file listing, broadcast build
         try:
             fn(spark, sf_dir).collect()

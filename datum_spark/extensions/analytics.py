@@ -849,8 +849,11 @@ def x119(spark, sf):
                                                 "[^a-z]+")).alias("word"))
               .filter(F.col("word") != ""))
     # the (word → n_tokens) table is corpus-VOCABULARY-sized (10⁷–10⁸
-    # distinct words on a web corpus) — size-gated, not unconditional
-    return (dw.join(gated_broadcast(tok), "word")
+    # distinct words on a web corpus) — size-gated, not unconditional;
+    # size evidence from the plain word table (estimating tok would
+    # re-optimize the merge-chain replace expression per call)
+    return (dw.join(gated_broadcast(tok, probe=words.select("word")),
+                    "word")
               .groupBy("lang")
               .agg(F.count(F.lit(1)).alias("n_words"),
                    F.sum("n_tokens").alias("n_tokens"),

@@ -46,7 +46,12 @@ def ngram_overlap(corpus: DataFrame, benchmark: DataFrame,
 
     c_grams = corpus.select(F.col(id_col), grams)
     b_grams = benchmark.select(grams).distinct()
-    return (c_grams.join(gated_broadcast(b_grams), "gram")
+    # size evidence from the benchmark's raw text scan (cheap plan);
+    # the gram explode yields ≤ n overlapping grams per word, covered
+    # by the expansion factor
+    return (c_grams.join(gated_broadcast(
+                b_grams, probe=benchmark.select(text_col),
+                expansion=n), "gram")
             .groupBy(id_col)
             .agg(F.count_distinct(F.col("gram")).alias("n_shared")))
 
@@ -64,7 +69,9 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
         grams = F.explode(_word_grams(F.col(text_col), n)).alias("gram")
         b_grams = benchmark.select(grams).distinct()
         flagged = (corpus.select(F.col(id_col), grams)
-                   .join(gated_broadcast(b_grams), "gram")
+                   .join(gated_broadcast(b_grams,
+                                         probe=benchmark.select(text_col),
+                                         expansion=n), "gram")
                    .select(id_col))
     else:
         flagged = (ngram_overlap(corpus, benchmark, id_col, text_col, n)

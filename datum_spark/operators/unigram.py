@@ -413,10 +413,14 @@ def unigram_doc_scores(docs: DataFrame,
                                            "[^a-z]+")).alias("word"))
                  .filter((F.col("word") != "")
                          & (F.length("word") <= max_word_len)))
-    scored = (unigram_encode(words.select("word").distinct(), vocab)
+    dw = words.select("word").distinct()
+    scored = (unigram_encode(dw, vocab)
               .filter(F.col("score").isNotNull())
               .select("word", "score", "n_tokens"))
-    return (words.join(gated_broadcast(scored), "word")
+    # size evidence from the PLAIN distinct-word plan: estimating the
+    # encoded frame would re-optimize the Viterbi aggregate expression
+    # (~200 ms per call, measured) for the same row count
+    return (words.join(gated_broadcast(scored, probe=dw), "word")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_tokens").cast("long").alias("n_tokens"),

@@ -267,16 +267,27 @@ def estimated_bytes(df) -> int:
 _GATED_BROADCAST_BYTES = 64 << 20
 
 
-def gated_broadcast(df):
+def gated_broadcast(df, probe=None, expansion: int = 1):
     """``F.broadcast(df)`` only when Catalyst's own size estimate says
     the plan fits under ``_GATED_BROADCAST_BYTES``; above it (or when
     the estimate is unavailable → assumed large) the frame is returned
     unhinted so the planner picks a shuffle join.  Both physical paths
     are value-identical by construction (equality-tested); use for any
     join input whose cardinality scales with the corpus vocabulary
-    rather than a k/cell/query bound."""
+    rather than a k/cell/query bound.
+
+    ``probe`` (optional) supplies a CHEAPER plan as the size evidence:
+    estimating ``df`` itself re-runs the optimizer over its expression
+    tree, which for generated-expression plans (the unigram Viterbi
+    ``aggregate``, the BPE merge-chain replace) costs ~200 ms per
+    fresh DataFrame — more than the decision is worth (measured,
+    r11).  Pass the pre-encode input (same row count, plain columns)
+    and the decision costs ~15 ms.  ``expansion`` scales the probe
+    estimate for known row/width blowup between probe and ``df``
+    (e.g. word n-gram explode ≈ n × the text bytes)."""
     from pyspark.sql import functions as F
 
-    if estimated_bytes(df) < _GATED_BROADCAST_BYTES:
+    est = estimated_bytes(probe if probe is not None else df)
+    if est * max(1, int(expansion)) < _GATED_BROADCAST_BYTES:
         return F.broadcast(df)
     return df
