@@ -7,7 +7,7 @@ DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
 (50 in every round so far).  The dict leads with the round-11 RECHECK
-set (the 4 new entries x206/x207/x208/x209; x205, whose oracle gained the
+set (the 5 new entries x206/x207/x208/x209/x210; x205, whose oracle gained the
 pruned_tokens column; the 6 entries whose joins were size-gated or
 whose grading changed this round: x204/x119/x49/x50/x202/x203 — every
 one locally diff-run green this round; the two r5 leftovers x98/x99
@@ -16,12 +16,13 @@ rotated here as announced: x27/x55/x186/x189/x190/x198).  After the
 recheck set, entries order by EVIDENCE STALENESS computed from the
 committed CORRECTNESS_r*.json artifacts themselves (oldest latest-
 check first), so each round's window automatically drains the stalest
-band — this round that is 31 of the r6 cohort's 39 oracle-bearing
-entries; the 8 alphabetically-last (x150_cohort_ltv,
-x152_bm25_retrieval, x155_source_overlap, x156_lsh_calibration,
-x157_dedup_retention, x18_image_features, x38_train_test_split,
-x56_source_mixing) spill to r12, along with the rows-only cohort
-(x37_minhash_fast et al., which the hash gate cannot check anyway).
+band — this round that is 30 of the r6 cohort's 39 oracle-bearing
+entries; the 9 alphabetically-last (x149_interarrival,
+x150_cohort_ltv, x152_bm25_retrieval, x155_source_overlap,
+x156_lsh_calibration, x157_dedup_retention, x18_image_features,
+x38_train_test_split, x56_source_mixing) spill to r12, along with
+the rows-only cohort (x37_minhash_fast et al., which the hash gate
+cannot check anyway).
 Every oracle-bearing entry has been driver-verified at least
 once (r6 closed the set); the rotation keeps the oldest evidence
 fresh without hand-curated band lists going stale.
@@ -48,6 +49,7 @@ _RECHECK_R11 = {
     "x207_language_id",           # new: char-trigram multiclass langid
     "x208_ccnet_buckets",         # new: CCNet perplexity terciles
     "x209_leakage_safe_split",    # new: cluster-keyed split, 0 leaks
+    "x210_ccnet_by_language",     # new: per-language CCNet buckets
     "x205_tokenizer_fertility",   # oracle extended: pruned_tokens col
     "x204_unigram_perplexity",    # r11: size-gated vocab broadcast
     "x119_bpe_encode",            # r11: size-gated vocab broadcast

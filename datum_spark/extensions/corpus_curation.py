@@ -2092,9 +2092,69 @@ SELECT doc.source,
             WHEN s.nats <= cuts.c2 THEN 'middle'
             ELSE 'tail' END AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       ROUND(AVG(s.nats), 6) AS mean_nats
+       ROUND(ROUND(SUM(s.nats), 6) / COUNT(*), 6) AS mean_nats
 FROM docscore s JOIN documents doc USING (doc_id), cuts
 GROUP BY 1, 2 ORDER BY source, bucket""")
+
+
+def _x210_sql(iters: int = 2, maxw: int = 16) -> str:
+    """Per-language CCNet bucket oracle: the x204 score chain, grouped
+    quantile_cont cuts per lang, CASE bucketing, per-(lang, bucket)
+    counts with the cut points in the output."""
+    parts = _unigram_cte_parts(iters=iters, maxw=maxw)
+    parts.extend(_unigram_dp_parts("e", "d0", f"p{iters}", maxw))
+    parts.append(f"""docw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+    FROM documents)
+  WHERE word <> '' AND length(word) <= {maxw}
+)""")
+    parts.append(f"""ws AS (
+  SELECT word, CAST(substr(v, 1, 13) AS DOUBLE) AS score,
+         CAST(substr(v, 14, 3) AS INTEGER) AS ntok
+  FROM (SELECT word, sc[length(word) + 1] AS v FROM e_{maxw})
+)""")
+    parts.append("""docscore AS MATERIALIZED (
+  SELECT d.doc_id, doc.lang, ROUND(SUM(score) / SUM(ntok), 6) AS nats
+  FROM docw d JOIN ws USING (word)
+       JOIN documents doc ON doc.doc_id = d.doc_id
+  GROUP BY d.doc_id, doc.lang
+)""")
+    parts.append("""cuts AS (
+  SELECT lang, ROUND(quantile_cont(nats, 1.0/3), 6) AS c1,
+         ROUND(quantile_cont(nats, 2.0/3), 6) AS c2
+  FROM docscore GROUP BY lang
+)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT s.lang,
+       CASE WHEN s.nats <= c.c1 THEN 'head'
+            WHEN s.nats <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(ROUND(SUM(s.nats), 6) / COUNT(*), 6) AS mean_nats,
+       c.c1, c.c2
+FROM docscore s JOIN cuts c USING (lang)
+GROUP BY 1, 2, c.c1, c.c2 ORDER BY lang, bucket""")
+
+
+@x("x210_ccnet_by_language", _x210_sql())
+def x210(spark, sf):
+    """CCNet bucketing AS PUBLISHED — per LANGUAGE (Wenzek 2020 §4.3
+    buckets within language because perplexity scales differ across
+    languages; a global cut would mark whole languages "tail"):
+    head/middle/tail terciles of nats/token within each lang, the cut
+    points in the output (the thresholds a serving filter pins).
+    Grouped exact-percentile cuts (groups × 2 doubles, broadcast
+    back) — still no global sort.  The oracle replays training, every
+    doc score, every per-language cut and every bucket count.
+    operators/unigram.py::ccnet_buckets_by_group."""
+    from ..operators.unigram import (ccnet_buckets_by_group,
+                                     unigram_trained_vocab)
+
+    docs = load_docs(spark, sf)
+    _words, vocab = unigram_trained_vocab(docs)
+    return ccnet_buckets_by_group(docs, vocab)
 
 
 @x("x208_ccnet_buckets", _x208_sql())

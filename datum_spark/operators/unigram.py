@@ -376,8 +376,61 @@ def ccnet_buckets(docs: DataFrame, vocab: list[tuple[str, int, float]],
                                     F.col(group_col)), id_col)
             .groupBy(F.col(group_col), bucket.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n_docs"),
-                 F.round(F.avg("nats_per_token"), 6).alias("mean_nats"))
+                 # round the SUM before dividing: a raw AVG's float
+                 # summation order can straddle the 6-dp boundary and
+                 # flip the last digit between engines (the x202
+                 # ADVICE failure mode); the sum of 6-dp values is
+                 # stable to ~1e-13, so round(sum)/n is deterministic
+                 F.round(F.round(F.sum("nats_per_token"), 6)
+                         / F.count(F.lit(1)), 6).alias("mean_nats"))
             .orderBy(group_col, "bucket"))
+
+
+def ccnet_buckets_by_group(docs: DataFrame,
+                           vocab: list[tuple[str, int, float]],
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           group_col: str = "lang",
+                           max_word_len: int = 16) -> DataFrame:
+    """CCNet's bucketing AS PUBLISHED (Wenzek et al. 2020 §4.3):
+    head/middle/tail terciles computed WITHIN each group — the paper
+    buckets per LANGUAGE, because perplexity scales differ across
+    languages and a global cut would classify whole languages as
+    "tail".  Returns ``(group_col, bucket, n_docs, mean_nats, c1,
+    c2)`` — the per-group cut points ride along so the thresholds a
+    serving filter would pin are part of the audited output.
+
+    Scale shape: the cuts are ONE grouped exact-``percentile``
+    aggregation (groups × 2 doubles, broadcast back), bucketing is a
+    map-only CASE after a broadcast equi-join on the group — still no
+    global sort, and the only corpus-sized exchanges are the per-doc
+    score aggregation and the final ≤ groups×3-row count."""
+    scores = unigram_doc_scores(docs, vocab, id_col=id_col,
+                                text_col=text_col,
+                                max_word_len=max_word_len)
+    g = scores.join(docs.select(F.col(id_col), F.col(group_col)),
+                    id_col)
+    cuts = (g.groupBy(group_col)
+             .agg(F.round(F.expr(
+                      "percentile(nats_per_token, 1.0D/3)"), 6)
+                  .alias("c1"),
+                  F.round(F.expr(
+                      "percentile(nats_per_token, 2.0D/3)"), 6)
+                  .alias("c2")))
+    bucket = (F.when(F.col("nats_per_token") <= F.col("c1"), "head")
+               .when(F.col("nats_per_token") <= F.col("c2"), "middle")
+               .otherwise("tail"))
+    return (g.join(F.broadcast(cuts), group_col)
+             .groupBy(group_col, bucket.alias("bucket"),
+                      "c1", "c2")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  # round-sum-then-divide: engine-stable 6-dp mean
+                  F.round(F.round(F.sum("nats_per_token"), 6)
+                          / F.count(F.lit(1)), 6)
+                  .alias("mean_nats"))
+             .select(group_col, "bucket", "n_docs", "mean_nats",
+                     "c1", "c2")
+             .orderBy(group_col, "bucket"))
 
 
 def unigram_doc_scores(docs: DataFrame,

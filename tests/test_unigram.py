@@ -299,3 +299,31 @@ def test_ccnet_buckets_terciles_and_no_global_sort(spark):
         by_bucket.setdefault(r["bucket"], []).append(r["mean_nats"])
     assert set(by_bucket) == {"head", "middle", "tail"}
     assert max(by_bucket["head"]) < min(by_bucket["tail"])
+
+
+def test_ccnet_by_group_cuts_are_per_group(spark):
+    """Per-language bucketing (the published CCNet design): each group
+    gets its OWN tercile cuts, so a group whose scores are uniformly
+    high still splits head/middle/tail instead of landing whole in the
+    global tail."""
+    from datum_spark.operators.unigram import ccnet_buckets_by_group
+
+    rows = []
+    for i in range(12):   # 'aa': cheap words, varying mildly
+        rows.append((i, "the cat " + "sat " * (i % 3 + 1), "aa"))
+    for i in range(12, 24):   # 'bb': expensive words throughout
+        rows.append((i, "zqxj vwkp " * (i % 3 + 1) + "qjzx", "bb"))
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, text string, lang string")
+    words = [("the", 30), ("cat", 20), ("sat", 20),
+             ("zqxj", 1), ("vwkp", 1), ("qjzx", 1)]
+    vocab = unigram_train_local(words, iters=2)
+    out = ccnet_buckets_by_group(docs, vocab).collect()
+    by_lang: dict = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r
+    # BOTH groups have a head bucket despite disjoint score ranges
+    assert "head" in by_lang["aa"] and "head" in by_lang["bb"]
+    # and the cuts differ per group (bb's head cut above aa's tail)
+    assert by_lang["bb"]["head"]["c1"] > by_lang["aa"]["head"]["c2"]
+    assert sum(r["n_docs"] for r in out) == 24
