@@ -2401,3 +2401,99 @@ def x206(spark, sf):
     return (spark.createDataFrame(
         vocab, "piece string, cnt bigint, cost double")
         .orderBy("piece"))
+
+
+def _x211_sql() -> str:
+    """Gopher-rule oracle: every measured column and every rule
+    verdict of operators/text.py::gopher_rules replayed in DuckDB —
+    word/line splits, symbol counts, per-language stop lists, the
+    published thresholds."""
+    from ..operators.text import _GOPHER_STOPWORDS
+
+    def lst(lg):
+        return "[" + ",".join(f"'{w}'" for w in _GOPHER_STOPWORDS[lg]) \
+            + "]"
+
+    stop_case = ("CASE lang "
+                 + " ".join(
+                     f"WHEN '{lg}' THEN len(list_filter(words, "
+                     f"w -> list_contains({lst(lg)}, w)))"
+                     for lg in sorted(_GOPHER_STOPWORDS)
+                     if lg != "en")
+                 + f" ELSE len(list_filter(words, "
+                   f"w -> list_contains({lst('en')}, w))) END")
+    return f"""WITH base AS (
+  SELECT doc_id, text, lang,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS words,
+         regexp_split_to_array(text, '\\n') AS lines
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    GREATEST(len(words), 1) AS dw,
+    GREATEST(len(lines), 1) AS dl,
+    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+      AS n_wchars,
+    CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+      + CAST(len(regexp_extract_all(text, '\\.{{3}}|…')) AS DOUBLE)
+      AS n_sym,
+    CAST(len(list_filter(lines,
+         l -> regexp_matches(l, '^\\s*[-*•‣▪]'))) AS DOUBLE)
+      AS n_bullet,
+    CAST(len(list_filter(lines,
+         l -> regexp_matches(l, '(\\.{{3}}|…)\\s*$'))) AS DOUBLE)
+      AS n_ell_lines,
+    CAST(len(list_filter(words,
+         w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) AS n_alpha,
+    CAST({stop_case} AS BIGINT) AS stop_hits
+  FROM base
+), r AS (
+  SELECT doc_id, n_words,
+    ROUND(n_wchars / dw, 6) AS mean_word_len,
+    ROUND(n_sym / dw, 6) AS symbol_ratio,
+    ROUND(n_bullet / dl, 6) AS bullet_frac,
+    ROUND(n_ell_lines / dl, 6) AS ellipsis_frac,
+    ROUND(n_alpha / dw, 6) AS alpha_frac,
+    stop_hits
+  FROM m
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits,
+       n_words BETWEEN 50 AND 100000 AS pass_word_count,
+       mean_word_len BETWEEN 3.0 AND 10.0 AS pass_mean_word_len,
+       symbol_ratio <= 0.1 AS pass_symbol_ratio,
+       bullet_frac <= 0.9 AS pass_bullet,
+       ellipsis_frac <= 0.3 AS pass_ellipsis,
+       alpha_frac >= 0.8 AS pass_alpha,
+       stop_hits >= 2 AS pass_stop,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+         AND stop_hits >= 2 AS gopher_pass
+FROM r ORDER BY doc_id"""
+
+
+@x("x211_gopher_rules", _x211_sql())
+def x211(spark, sf):
+    """The published Gopher/MassiveWeb quality rule set (Rae et al.
+    2021 §A1.1) as individually audited per-document columns — the
+    r11-VERDICT gap #2: the composite ``quality_score`` heuristic
+    can't tell WHICH rule dropped a document; this emits every
+    measured signal (word count, mean word length, symbol ratio,
+    bullet/ellipsis line fractions, alpha-word fraction, stop-word
+    hits keyed on the document's language) and every per-rule verdict
+    plus the conjunction.  All map-side Catalyst expressions — no
+    shuffle, no UDF; the oracle replays every column and threshold.
+    operators/text.py::gopher_rules."""
+    from ..operators.text import gopher_rules
+
+    docs = load_docs(spark, sf)
+    cols = ["n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+            "ellipsis_frac", "alpha_frac", "stop_hits",
+            "pass_word_count", "pass_mean_word_len",
+            "pass_symbol_ratio", "pass_bullet", "pass_ellipsis",
+            "pass_alpha", "pass_stop", "gopher_pass"]
+    return (gopher_rules(docs, "text", lang_col="lang")
+            .select("doc_id", *cols).orderBy("doc_id"))

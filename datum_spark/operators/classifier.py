@@ -141,6 +141,67 @@ def _fit_features(feat: DataFrame, n_buckets: int, steps: int,
     return w, b
 
 
+def _fit_features_multi(feat: DataFrame, langs: list,
+                        n_buckets: int, steps: int, lr: float,
+                        quantize: int, label_col: str = "__lang"
+                        ) -> dict:
+    """All-K one-vs-rest GD over a labeled feature frame ``(__id,
+    __fs, __n, label_col)`` in ONE gradient job per step (r12,
+    VERDICT item 1 — the langid fit was K sequential
+    :func:`_fit_features` loops, ``steps × K`` corpus passes and
+    collects).
+
+    Per step: the K per-class residuals ``p_c − y_c`` are K map-only
+    expressions over the SAME cached feature frame (each class's
+    weights ride the plan as an array literal, exactly the x188
+    score), the features explode ONCE per doc, and one map-side-
+    combined shuffle of ``n_buckets + 1`` rows × K gradient COLUMNS
+    carries every class's gradient — language count adds columns, not
+    corpus passes, so at 100 TB the fit is ``steps`` scans no matter
+    how many languages.  The per-class arithmetic (scoring, gradient
+    rounding, weight update) is expression-for-expression the
+    sequential :func:`_fit_features` path, so every one-vs-rest
+    weight chain — and the x207 oracle that replays them — is
+    unchanged."""
+    n_docs = feat.count()
+    if n_docs == 0:
+        raise ValueError("no labeled documents with tokens")
+    wv = {lg: [0.0] * n_buckets for lg in langs}
+    bv = {lg: 0.0 for lg in langs}
+    for _ in range(steps):
+        resid = [
+            (_score_expr(wv[lg], bv[lg], quantize)
+             - (F.col(label_col) == lg).cast("double")
+             ).alias(f"__d{j}")
+            for j, lg in enumerate(langs)]
+        g = (feat.select("__fs", "__n", *resid)
+                 .select(*[f"__d{j}" for j in range(len(langs))],
+                         "__n",
+                         F.explode(F.concat(
+                             "__fs",
+                             F.array(F.struct(
+                                 F.lit(-1).alias("b"),
+                                 (F.col("__n")
+                                  / F.lit(float(n_buckets)))
+                                 .alias("c"))))).alias("__f"))
+                 .groupBy(F.col("__f.b").alias("__b"))
+                 .agg(*[F.round(
+                     F.sum(F.col(f"__d{j}") * F.col("__f.c")
+                           * F.lit(float(n_buckets)) / F.col("__n"))
+                     / F.lit(float(n_docs)), quantize)
+                     .alias(f"__g{j}") for j in range(len(langs))])
+                 .collect())
+        for r in g:
+            for j, lg in enumerate(langs):
+                gj = r[f"__g{j}"]
+                if r["__b"] < 0:
+                    bv[lg] = round(bv[lg] - lr * gj, quantize)
+                else:
+                    wv[lg][r["__b"]] = round(
+                        wv[lg][r["__b"]] - lr * gj, quantize)
+    return {lg: (wv[lg], bv[lg]) for lg in langs}
+
+
 def quality_classifier_score(df: DataFrame, weights: list[float],
                              bias: float, id_col: str, text_col: str,
                              n_buckets: int | None = None,

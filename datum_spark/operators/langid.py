@@ -17,18 +17,22 @@ Scale shape (the classifier.py posture, multiplied by K):
 - the char-n-gram FEATURE PASS runs ONCE and is cached (bounded
   operator ring); all K class fits and the final scoring reuse it —
   tokenize cost does not scale with the number of languages;
-- each GD step per class is one map-only scoring expression (weights
-  ride the plan as an array literal) plus ONE map-side-combined
-  shuffle of ``n_buckets + 1`` gradient rows: per-step traffic is
-  O(n_buckets), never O(corpus);
+- each GD step fits ALL K classes in ONE job (r12,
+  ``classifier._fit_features_multi``): the K per-class residuals are
+  K map-only expressions over the shared frame (each class's weights
+  ride the plan as an array literal), the features explode once per
+  doc, and one map-side-combined shuffle of ``n_buckets + 1`` rows ×
+  K gradient columns carries every class's gradient — per-step
+  traffic is O(K × n_buckets), never O(corpus), and language count
+  adds columns, not corpus passes;
 - scoring all K classes is a SINGLE map-only projection (K score
   expressions over the shared feature frame), and the argmax is an
   ``array_max`` over (score, lang) structs — no shuffle, no UDF.
 
-At 100 TB: ``steps × K`` passes over the CACHED feature frame (the
-honest full-batch determinism cost — the SGD throughput twin in
-classifier.py applies unchanged if the trajectory need not be
-auditable), then one scoring pass.
+At 100 TB: ``steps`` passes over the CACHED feature frame no matter
+how many languages (the honest full-batch determinism cost — the SGD
+throughput twin in classifier.py applies unchanged if the trajectory
+need not be auditable), then one scoring pass.
 """
 
 from __future__ import annotations
@@ -36,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .classifier import _features, _fit_features, _score_expr
+from .classifier import _features, _fit_features_multi, _score_expr
 
 
 def char_ngram_tokens(text_col: str, n: int = 3) -> Column:
@@ -61,8 +65,12 @@ def language_classifier_fit(df: DataFrame, id_col: str, text_col: str,
     """One-vs-rest fit over every distinct label in ``lang_col``
     (sorted — the class order is part of the deterministic recipe).
     Returns ``{lang: (weights, bias)}``.  The char-n-gram feature pass
-    runs once; each class fit is the x188 GD loop with ``__y =
-    (lang == c)``."""
+    runs once, and the K one-vs-rest fits run TOGETHER — one gradient
+    job per step carrying all K classes as aggregate columns
+    (:func:`~datum_spark.operators.classifier._fit_features_multi`,
+    r12): ``steps`` corpus passes total, not ``steps × K``, so
+    language count is free at 100 TB.  Per-class arithmetic is the
+    x188 GD loop with ``__y = (lang == c)``, unchanged."""
     langs = sorted(r[0] for r in df.select(lang_col).distinct()
                    .collect() if r[0] is not None)
     if not langs:
@@ -71,12 +79,8 @@ def language_classifier_fit(df: DataFrame, id_col: str, text_col: str,
                       tokens=char_ngram_tokens(text_col, gram_n))
             .join(df.select(F.col(id_col).alias("__id"),
                             F.col(lang_col).alias("__lang")), "__id"))
-    models: dict[str, tuple[list[float], float]] = {}
-    for lang in langs:
-        lf = feat.withColumn(
-            "__y", (F.col("__lang") == lang).cast("double"))
-        models[lang] = _fit_features(lf, n_buckets, steps, lr, quantize)
-    return models
+    return _fit_features_multi(feat, langs, n_buckets, steps, lr,
+                               quantize)
 
 
 def language_classifier_score(df: DataFrame,

@@ -1546,6 +1546,7 @@ def ivfpq_rebalance(corpus: DataFrame, index_path: str,
     per-cell scan is a short fixpoint loop, each round rewriting ONLY
     that round's split partitions."""
     out: dict = {"split": [], "n_reencoded": 0}
+    _ivfpq_rebalance_recover(corpus.sparkSession, index_path)
     for _ in range(max(1, max_rounds)):
         r = _ivfpq_rebalance_once(corpus, index_path, hot_factor,
                                   id_col, vec_col, quantize)
@@ -1588,23 +1589,25 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     partition overwrite; ONE keyed merge commit on a transactional
     index).
 
-    Crash window: the coarse table commits BEFORE the codes rewrite,
-    and a crash in between leaves the split cell inconsistent BOTH
-    ways — its codes still measure against the replaced center
-    (degraded distances), and queries routed to the new sub-center
-    probe an EMPTY cell (that sub-blob is invisible until rebalance
-    re-runs or the codes commit lands).  The reverse order has the
-    mirrored window (new-cell codes invisible to old coarse), so
-    neither ordering is safe alone; true atomicity needs one metadata
-    root over both tables — the graduate-to-Iceberg point.  Re-running
-    rebalance after a crash converges (membership reads the stored
-    codes).  On the transactional index the codes rewrite itself is a
-    single atomic merge commit.  The window is made OBSERVABLE by a
-    ``_rebalance_pending.json`` marker (split plan + timestamp)
-    written atomically before the coarse commit and removed after the
-    codes commit lands — serving/ops poll
-    :func:`ivfpq_rebalance_pending` to detect a half-applied split
-    instead of silently degrading recall until the next rebalance.
+    Crash window (r12: CODES commit first, coarse after): a crash in
+    between leaves the split cells' codes encoded against sub-centers
+    the coarse table doesn't know — the new sub-blob is invisible to
+    routing and the old cell's distances are degraded until repaired.
+    Codes-first is the order that keeps CONCURRENT INGEST safe: an
+    ``ivfpq_index_add`` assigns against whatever coarse is on disk,
+    so the pre-r12 coarse-first order meant an aborted attempt's
+    transient split geometry could strand concurrent rows in cells
+    that no longer exist (and every failed retry leaked a phantom
+    empty sub-cell).  True atomicity over both tables needs one
+    metadata root — the graduate-to-Iceberg point.  The window is
+    OBSERVABLE and SELF-HEALING: a ``_rebalance_pending.json`` marker
+    (split plan + the center PATCHES + timestamp) is written
+    atomically before the codes commit and removed after the coarse
+    lands; serving/ops poll :func:`ivfpq_rebalance_pending`, and the
+    next rebalance run's :func:`_ivfpq_rebalance_recover` completes
+    the coarse write from the marker's patches (or drops a stale
+    marker whose codes never landed).  On the transactional index the
+    codes rewrite itself is a single atomic merge commit.
 
     Concurrent ingest (r11): on a transactional index the re-encode is
     derived from a PINNED snapshot of the codes table, and the merge
@@ -1613,7 +1616,12 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     commit would otherwise have its rows REPLACED AWAY by the cell-
     keyed upsert (the lost update the generic rebase-retry cannot see,
     because the staleness is in the replacement ROWS, not the file
-    list).  A failed precondition aborts the attempt and the whole
+    list).  r12: the head is re-checked immediately before the coarse
+    overwrite (a stale pin bails with NOTHING written), and a merge
+    abort RESTORES the pre-attempt coarse table — failed retries
+    leave no orphan sub-centers, and a final CommitConflict leaves
+    the coarse geometry exactly what the stored codes measure
+    against.  A failed precondition aborts the attempt and the whole
     round recomputes from the new head (membership re-read includes
     the concurrent rows); up to 5 attempts, then
     :class:`~datum_spark.sources.snapshots.CommitConflict`.
@@ -1630,6 +1638,70 @@ def _ivfpq_rebalance_once(corpus: DataFrame, index_path: str,
     raise CommitConflict(
         "ivfpq_rebalance lost the ingest race 5 times — the codes "
         "table is being appended faster than a round recomputes")
+
+
+def _ivfpq_rebalance_recover(spark, index_path: str) -> bool:
+    """Close a crashed rebalance's half-applied window (r12).
+
+    The commit order is codes-first (see
+    :func:`_ivfpq_rebalance_attempt`), so the only half-applied state
+    a crash can leave is CODES COMMITTED, COARSE NOT — rows encoded
+    against sub-centers the coarse table doesn't know.  The pending
+    marker carries the center PATCHES; if the codes head actually
+    contains the marker's new cell ids, apply the patches (replace
+    the split cell's center, append the new ones) and close the
+    window; if the codes never landed, the marker is stale — drop it
+    (nothing was written).  Legacy markers without patches (pre-r12
+    coarse-first format) are dropped too: their re-run path converges
+    by recomputing from the stored codes.  Returns True when a
+    repair was applied."""
+    import json as _json
+    import os as _os
+
+    marker = _os.path.join(index_path, "_rebalance_pending.json")
+    if not _os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as fh:
+            doc = _json.load(fh)
+    except (OSError, ValueError):
+        return False
+    patches = doc.get("patches")
+    repaired = False
+    if patches:
+        coarse, _books = _ivfpq_load(spark, index_path)
+        new_ids = [p["cell"] for p in patches
+                   if p["cell"] >= len(coarse)]
+        if new_ids:
+            codes_path = _os.path.join(index_path, "codes")
+            if _os.path.isdir(_os.path.join(codes_path, "_manifests")):
+                from ..sources.snapshots import SnapshotTable
+
+                head = SnapshotTable(spark, codes_path).read()
+            else:
+                head = _ivfpq_read_codes(spark, codes_path)
+            landed = head.filter(F.col("cell").isin(
+                [int(c) for c in new_ids])).limit(1).count() > 0
+            if landed:
+                cells = [list(c) for c in coarse]
+                for p in sorted(patches, key=lambda p: p["cell"]):
+                    c = int(p["cell"])
+                    center = [float(x) for x in p["center"]]
+                    if c < len(cells):
+                        cells[c] = center
+                    elif c == len(cells):
+                        cells.append(center)
+                spark.createDataFrame(
+                    [(i, cc) for i, cc in enumerate(cells)],
+                    "cell int, center array<double>").coalesce(1) \
+                    .write.mode("overwrite") \
+                    .parquet(_os.path.join(index_path, "coarse"))
+                repaired = True
+    try:
+        _os.unlink(marker)
+    except OSError:
+        pass
+    return repaired
 
 
 def _ivfpq_rebalance_attempt(corpus: DataFrame, index_path: str,
@@ -1734,24 +1806,43 @@ def _ivfpq_rebalance_attempt(corpus: DataFrame, index_path: str,
         new_codes = new_codes.withColumnRenamed("__id", id_out) \
             .select(id_out, "cell",
                     *[f"code_{s}" for s in range(len(books))])
+        # Narrow the race BEFORE any write lands: if a concurrent
+        # commit already moved the codes head past the pinned
+        # snapshot, this attempt's merge precondition is guaranteed
+        # to fail — bail out now with nothing written (r12).
+        if txn and t.current_version() != base_version:
+            return None
+
         # marker FIRST (atomic rename): between here and the marker
-        # removal the index may be half-applied (coarse committed,
-        # codes not) — ops detect it via ivfpq_rebalance_pending
-        # instead of silently degraded recall until a re-run
+        # removal the index may be half-applied (codes committed,
+        # coarse not) — ops detect it via ivfpq_rebalance_pending
+        # instead of silently degraded recall, and the marker carries
+        # the CENTER PATCHES so recovery can complete the coarse
+        # write after a crash (see _ivfpq_rebalance_recover)
         marker = _os.path.join(index_path, "_rebalance_pending.json")
         mtmp = marker + ".tmp"
+        patches = []
+        for old, new in split:
+            patches.append({"cell": int(old),
+                            "center": new_coarse[old]})
+            patches.append({"cell": int(new),
+                            "center": new_coarse[new]})
         with open(mtmp, "w") as fh:
             _json.dump({"split": [[int(a), int(b)] for a, b in split],
+                        "patches": patches,
                         "written_at": _time.time()}, fh)
             fh.flush()
             _os.fsync(fh.fileno())
         _os.replace(mtmp, marker)
-        spark.createDataFrame(
-            [(i, [float(x) for x in cc])
-             for i, cc in enumerate(new_coarse)],
-            "cell int, center array<double>").coalesce(1) \
-            .write.mode("overwrite") \
-            .parquet(_os.path.join(index_path, "coarse"))
+        # CODES FIRST, coarse only after a successful commit (r12):
+        # the old coarse-first order leaked a phantom empty sub-cell
+        # on every failed-precondition retry, and — worse — a
+        # concurrent ivfpq_index_add assigns its vectors against
+        # whatever coarse table is on disk, so a transient split
+        # geometry that later rolls back would strand those rows in
+        # cells that no longer exist.  With codes-first, an aborted
+        # attempt has written NOTHING: concurrent adds always
+        # assigned against the stable pre-split geometry.
         n = new_codes.persist().count()
         try:
             if txn:
@@ -1771,7 +1862,14 @@ def _ivfpq_rebalance_attempt(corpus: DataFrame, index_path: str,
                     keys=["cell"],
                     precondition=lambda parent: parent == base_version)
                 if v is None:
-                    return None   # concurrent commit: recompute round
+                    # concurrent commit won the race: NOTHING was
+                    # written (codes unchanged, coarse untouched) —
+                    # drop the marker and recompute from the new head
+                    try:
+                        _os.unlink(marker)
+                    except OSError:
+                        pass
+                    return None
             else:
                 with_dyn = spark.conf.get(
                     "spark.sql.sources.partitionOverwriteMode", "static")
@@ -1786,6 +1884,12 @@ def _ivfpq_rebalance_attempt(corpus: DataFrame, index_path: str,
                         with_dyn)
         finally:
             new_codes.unpersist()
+        spark.createDataFrame(
+            [(i, [float(x) for x in cc])
+             for i, cc in enumerate(new_coarse)],
+            "cell int, center array<double>").coalesce(1) \
+            .write.mode("overwrite") \
+            .parquet(_os.path.join(index_path, "coarse"))
         try:
             _os.unlink(marker)       # both tables committed: window closed
         except OSError:

@@ -76,6 +76,135 @@ def with_quality_score(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, quality_score(F.col(text_col)))
 
 
+# The published Gopher rule set's stop list (Rae et al. 2021 §A1.1)
+# plus per-language function-word lists so the min-stopword rule can
+# key on a language column (the langid output) instead of silently
+# applying English words to every language.
+_GOPHER_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "be", "to", "of", "and", "that", "have", "with"],
+    "fr": _LANG_MARKERS["fr"],
+    "es": _LANG_MARKERS["es"],
+    "de": _LANG_MARKERS["de"],
+    "zh": _LANG_MARKERS["zh"],
+}
+
+_BULLET_RE = r"^\s*[-*•‣▪]"
+_ELLIPSIS_RE = r"(\.{3}|…)\s*$"
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text",
+                 lang_col: str | None = None,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """The published Gopher/MassiveWeb quality rules (Rae et al. 2021
+    §A1.1) as INDIVIDUALLY AUDITED columns — each measured signal and
+    each rule verdict is its own column, so a curation run can report
+    per-rule drop counts instead of one opaque composite score (the
+    r11-VERDICT gap #2 in :func:`quality_score`).
+
+    Measured columns (ratios rounded to 6 dp so any engine replays
+    the comparisons): ``n_words`` (whitespace words),
+    ``mean_word_len`` (non-space chars / words), ``symbol_ratio``
+    (``#`` + ``...``/``…`` symbols per word), ``bullet_frac`` /
+    ``ellipsis_frac`` (lines starting with a bullet / ending with an
+    ellipsis), ``alpha_frac`` (words containing ≥1 ``[a-z]``),
+    ``stop_hits`` (occurrences of the language's stop words).
+
+    Rule verdicts, each as published: ``pass_word_count``
+    (``min_words ≤ n ≤ max_words``; Gopher 50–100k),
+    ``pass_mean_word_len`` (3–10), ``pass_symbol_ratio`` (≤ 0.1),
+    ``pass_bullet`` (≤ 90% bullet lines), ``pass_ellipsis`` (≤ 30%
+    ellipsis lines), ``pass_alpha`` (≥ 80% alphabetic words),
+    ``pass_stop`` (≥ ``min_stop_hits``), and ``gopher_pass`` (AND of
+    all seven).
+
+    ``lang_col`` keys the stop list per language
+    (``_GOPHER_STOPWORDS``; unknown languages fall back to the
+    English list) — without it the published English list applies to
+    every document, which is exactly the bias the column-per-rule
+    audit is meant to expose.  The ``alpha_frac`` rule stays
+    ``[a-z]``-based as published (Gopher targets English); non-Latin
+    scripts fail it, observable in the per-rule column.
+
+    Scale shape: every column is a map-side Catalyst expression
+    (regexp/length/array ops, whole-stage codegen) — no shuffle, no
+    UDF, linear in corpus bytes at 100 TB."""
+    text = F.col(text_col)
+    words = _words(text)
+    lines = F.split(text, "\n")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    denom_w = F.greatest(n_words, F.lit(1)).cast("double")
+    n_wchars = F.length(F.regexp_replace(text, r"\s+", "")).cast("double")
+    n_hash = (F.length(text)
+              - F.length(F.regexp_replace(text, "#", ""))).cast("double")
+    n_ell = F.size(F.regexp_extract_all(
+        text, F.lit(r"\.{3}|…"), 0)).cast("double")
+    n_bullet = F.size(F.filter(
+        lines, lambda ln: ln.rlike(_BULLET_RE))).cast("double")
+    n_ell_lines = F.size(F.filter(
+        lines, lambda ln: ln.rlike(_ELLIPSIS_RE))).cast("double")
+    n_alpha = F.size(F.filter(
+        words, lambda w: w.rlike("[a-z]"))).cast("double")
+    def _stop_count(markers: list[str]) -> Column:
+        # F.filter inspects the lambda's arity (a 2nd parameter would
+        # receive the element INDEX), so the marker list must bind via
+        # a real closure, not a default argument
+        return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+    if lang_col is not None:
+        stop_hits = None
+        for lg in sorted(_GOPHER_STOPWORDS):
+            if lg == "en":
+                continue
+            cnt = _stop_count(_GOPHER_STOPWORDS[lg])
+            cond = F.col(lang_col) == lg
+            stop_hits = (F.when(cond, cnt) if stop_hits is None
+                         else stop_hits.when(cond, cnt))
+        stop_hits = stop_hits.otherwise(
+            _stop_count(_GOPHER_STOPWORDS["en"]))
+    else:
+        stop_hits = _stop_count(_GOPHER_STOPWORDS["en"])
+    stop_hits = stop_hits.cast("long")
+    out = (df.withColumn("n_words", n_words)
+             .withColumn("mean_word_len",
+                         F.round(n_wchars / denom_w, 6))
+             .withColumn("symbol_ratio",
+                         F.round((n_hash + n_ell) / denom_w, 6))
+             .withColumn("bullet_frac",
+                         F.round(n_bullet
+                                 / F.greatest(n_lines,
+                                              F.lit(1)).cast("double"),
+                                 6))
+             .withColumn("ellipsis_frac",
+                         F.round(n_ell_lines
+                                 / F.greatest(n_lines,
+                                              F.lit(1)).cast("double"),
+                                 6))
+             .withColumn("alpha_frac", F.round(n_alpha / denom_w, 6))
+             .withColumn("stop_hits", stop_hits))
+    out = (out.withColumn("pass_word_count",
+                          (F.col("n_words") >= min_words)
+                          & (F.col("n_words") <= max_words))
+              .withColumn("pass_mean_word_len",
+                          (F.col("mean_word_len") >= 3.0)
+                          & (F.col("mean_word_len") <= 10.0))
+              .withColumn("pass_symbol_ratio",
+                          F.col("symbol_ratio") <= 0.1)
+              .withColumn("pass_bullet", F.col("bullet_frac") <= 0.9)
+              .withColumn("pass_ellipsis",
+                          F.col("ellipsis_frac") <= 0.3)
+              .withColumn("pass_alpha", F.col("alpha_frac") >= 0.8)
+              .withColumn("pass_stop",
+                          F.col("stop_hits") >= min_stop_hits))
+    return out.withColumn(
+        "gopher_pass",
+        F.col("pass_word_count") & F.col("pass_mean_word_len")
+        & F.col("pass_symbol_ratio") & F.col("pass_bullet")
+        & F.col("pass_ellipsis") & F.col("pass_alpha")
+        & F.col("pass_stop"))
+
+
 def language_guess(col: Column) -> Column:
     """Stopword-marker language guess over the marker sets above: the
     language with the most distinct marker hits wins (ties → lexicographic

@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import _round_half_away
@@ -343,6 +343,183 @@ def unigram_encode(words: DataFrame, vocab: list[tuple[str, int, float]],
             .drop("__v", "__cm"))
 
 
+# distinct quantized score values below this: collect the histogram
+# and walk it driver-side; above: distributed boundary join (both
+# paths equality-tested in tests/test_unigram.py)
+_HIST_FAST_PATH_ROWS = 200_000
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's ``round(x, 6)`` on a double: shortest-repr decimal,
+    setScale(6, HALF_UP) — replicated bit-for-bit (Python's ``repr``
+    is the same shortest round-trip string as ``Double.toString``)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x)))
+                 .quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def _tercile_cuts(scores: DataFrame, group_cols: list[str],
+                  value_col: str = "nats_per_token",
+                  ps: tuple[float, ...] = (1.0 / 3, 2.0 / 3),
+                  ) -> dict[tuple, list[float]]:
+    """Exact interpolated percentiles per group WITHOUT the exact-
+    ``percentile`` aggregation buffer (r12, VERDICT item 6).
+
+    Spark's exact ``percentile`` materializes every distinct
+    (value, count) pair of a group inside ONE aggregation buffer in
+    one task — bounded here by the 6-dp quantization of
+    ``nats_per_token`` (~10⁷ distinct worst case), but still a
+    single-task memory spike the repo avoids everywhere else.  This
+    spelling derives the SAME cuts from an explicit histogram:
+
+    1. ``groupBy(group, value)`` count — the only corpus-sized
+       exchange, bounded by distinct quantized values, spread across
+       tasks (no per-group buffer).
+    2. Distributed cumulative counts (the curriculum prefix-sum
+       shape): range partition on (group, value), per-(partition,
+       group) sums to the driver (bounded by partitions × groups),
+       broadcast offsets back, within-partition running sum.
+    3. Only the ≤ 2×|ps| BOUNDARY rows per group — the distinct
+       values whose cumulative span covers floor/ceil of each rank
+       ``p × (N−1)`` — survive a broadcast theta-join and are
+       collected (≤ 4 rows per group).  SIZE-GATED fast path (the
+       rank_sampling small-input pattern): the offsets pass already
+       counts the histogram rows, and when the whole histogram is
+       small (≤ ``2×10⁵`` distinct quantized values) the persisted
+       histogram collects directly and the cumulative walk runs
+       driver-side — same cuts, none of the window/join jobs; the
+       distributed spelling is the ≥ 10⁷-distinct-values path.
+    4. Driver-side linear interpolation replicating Spark's
+       ``Percentile.getPercentile`` expression order
+       ``(hi−pos)·v_lo + (pos−lo)·v_hi`` and its HALF_UP 6-dp round,
+       so the cuts are bit-identical to the exact aggregate (and to
+       DuckDB's ``quantile_cont`` at 6 dp — the x208/x210 oracles).
+
+    Returns ``{group_key_tuple: [cut per p]}``; groups with zero
+    non-null scores are absent (the ADVICE r12 empty-corpus guard —
+    callers emit an empty frame instead of ``float(None)``)."""
+    import math as _math
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from ..session import default_parallelism
+
+    spark = scores.sparkSession
+    gcols = [F.col(c) for c in group_cols]
+    hist = (scores.filter(F.col(value_col).isNotNull())
+                  .groupBy(*gcols, F.col(value_col).alias("__v"))
+                  .agg(F.count(F.lit(1)).alias("__cnt")))
+    n = default_parallelism()
+    d = (hist.repartitionByRange(n, *gcols, F.col("__v"))
+             .withColumn("__pid", F.spark_partition_id())
+             .persist())
+    try:
+        pairs = (d.groupBy("__pid", *group_cols)
+                  .agg(F.sum("__cnt").alias("__c"),
+                       F.count(F.lit(1)).alias("__nh")).collect())
+        n_hist = sum(int(r["__nh"]) for r in pairs)
+        by_group: dict[tuple, list] = {}
+        for r in pairs:
+            key = tuple(r[c] for c in group_cols)
+            by_group.setdefault(key, []).append((r["__pid"],
+                                                 int(r["__c"])))
+        totals: dict[tuple, int] = {}
+        off_rows = []
+        for key, lst in by_group.items():
+            acc = 0
+            for pid, c in sorted(lst):
+                off_rows.append((*key, pid, acc))
+                acc += c
+            totals[key] = acc
+        if not totals:
+            return {}
+        # ranks each group needs: floor/ceil of every p × (N−1)
+        need: dict[tuple, set[int]] = {}
+        poss: dict[tuple, list[float]] = {}
+        for key, total in totals.items():
+            ks: set[int] = set()
+            pp = []
+            for p in ps:
+                pos = p * (total - 1)
+                ks.add(_math.floor(pos))
+                ks.add(_math.ceil(pos))
+                pp.append(pos)
+            poss[key] = pp
+            need[key] = ks
+        val_at: dict[tuple, dict[int, float]] = {}
+        if n_hist <= _HIST_FAST_PATH_ROWS:
+            # small-histogram fast path: the persisted histogram fits
+            # on the driver — one collect, a sorted cumulative walk,
+            # zero window/join jobs.  Identical cuts by construction.
+            by_key: dict[tuple, list] = {}
+            for r in d.select(*group_cols, "__v", "__cnt").collect():
+                key = tuple(r[c] for c in group_cols)
+                by_key.setdefault(key, []).append(
+                    (float(r["__v"]), int(r["__cnt"])))
+            for key, vs in by_key.items():
+                vs.sort()
+                ks = need[key]
+                cum = 0
+                out_k = val_at.setdefault(key, {})
+                for v, cnt in vs:
+                    for k in ks:
+                        if cum <= k < cum + cnt:
+                            out_k[k] = v
+                    cum += cnt
+        else:
+            # distributed boundary path — driver-built frames carry
+            # RENAMED key columns (__g{i}) so every join condition is
+            # unambiguous by name
+            spec_rows = [(*key, int(k)) for key in sorted(
+                             need, key=str)
+                         for k in sorted(need[key])]
+            gnames = [f"__g{i}" for i in range(len(group_cols))]
+            gfields = [StructField(gn, d.schema[c].dataType)
+                       for gn, c in zip(gnames, group_cols)]
+            off = spark.createDataFrame(off_rows, StructType(
+                gfields + [StructField("__opid", LongType()),
+                           StructField("__off", LongType())]))
+            spec = spark.createDataFrame(spec_rows, StructType(
+                gfields + [StructField("__k", LongType())]))
+            w = Window.partitionBy("__pid", *group_cols).orderBy("__v")
+            gmatch = [F.col(c).eqNullSafe(F.col(gn))
+                      for c, gn in zip(group_cols, gnames)]
+            dd = (d.join(F.broadcast(off),
+                         [F.col("__pid").cast("long")
+                          == F.col("__opid")] + gmatch)
+                   .drop("__opid", *gnames)
+                   .withColumn("__cum", F.col("__off")
+                               + F.sum("__cnt").over(w))
+                   .withColumn("__cumprev", F.col("__cum")
+                               - F.col("__cnt")))
+            boundary = dd.join(
+                F.broadcast(spec),
+                gmatch + [F.col("__k") >= F.col("__cumprev"),
+                          F.col("__k") < F.col("__cum")])
+            for r in boundary.select(*group_cols, "__k",
+                                     "__v").collect():
+                key = tuple(r[c] for c in group_cols)
+                val_at.setdefault(key, {})[int(r["__k"])] = \
+                    float(r["__v"])
+    finally:
+        d.unpersist()
+    out: dict[tuple, list[float]] = {}
+    for key, pp in poss.items():
+        cuts = []
+        for pos in pp:
+            lo, hi = _math.floor(pos), _math.ceil(pos)
+            vlo = val_at[key][lo]
+            if lo == hi:
+                cuts.append(_round6_half_up(vlo))
+            else:
+                vhi = val_at[key][hi]
+                cuts.append(_round6_half_up(
+                    (hi - pos) * vlo + (pos - lo) * vhi))
+        out[key] = cuts
+    return out
+
+
 def ccnet_buckets(docs: DataFrame, vocab: list[tuple[str, int, float]],
                   id_col: str = "doc_id", text_col: str = "text",
                   group_col: str = "source",
@@ -354,21 +531,32 @@ def ccnet_buckets(docs: DataFrame, vocab: list[tuple[str, int, float]],
     per (``group_col``, bucket): ``(group_col, bucket, n_docs,
     mean_nats)``.
 
-    Scale shape: NO global sort — the tercile cuts come from ONE exact
-    ``percentile`` aggregation (two doubles to the driver, rounded to
-    6 dp so any engine replays the comparison), then bucketing is a
-    map-only CASE and the output is a ≤ (groups × 3)-row count
-    shuffle.  The per-doc scores reuse :func:`unigram_doc_scores`
-    (Viterbi once per distinct word; corpus never meets the DP)."""
-    scores = unigram_doc_scores(docs, vocab, id_col=id_col,
-                                text_col=text_col,
-                                max_word_len=max_word_len)
-    cuts = scores.agg(
-        F.round(F.expr("percentile(nats_per_token, 1.0D/3)"), 6)
-        .alias("c1"),
-        F.round(F.expr("percentile(nats_per_token, 2.0D/3)"), 6)
-        .alias("c2")).first()
-    c1, c2 = float(cuts["c1"]), float(cuts["c2"])
+    Scale shape: NO global sort — the tercile cuts come from the
+    histogram of the 6-dp-quantized score (:func:`_tercile_cuts`,
+    r12: distinct-value groupBy + distributed cumulative counts +
+    ≤ 4 collected boundary rows; bit-identical to Spark's exact
+    ``percentile`` but with NO single-task aggregation buffer at any
+    corpus size), then bucketing is a map-only CASE and the output is
+    a ≤ (groups × 3)-row count shuffle.  The per-doc scores reuse
+    :func:`unigram_doc_scores` (Viterbi once per distinct word;
+    corpus never meets the DP).  Zero scored docs (all texts empty /
+    OOV / over-long) → an EMPTY (group, bucket) frame with the output
+    schema, not a NULL-cut TypeError (ADVICE r12).  The per-doc score
+    frame rides the bounded operator cache ring — the cut derivation
+    and the final bucket aggregation share ONE computation of the
+    Viterbi chain instead of re-deriving it per consumer."""
+    from ..util import retain_cache
+
+    scores = retain_cache(unigram_doc_scores(docs, vocab,
+                                             id_col=id_col,
+                                             text_col=text_col,
+                                             max_word_len=max_word_len))
+    cutmap = _tercile_cuts(scores, [])
+    if not cutmap:
+        scores = scores.filter(F.lit(False))
+        c1 = c2 = 0.0
+    else:
+        c1, c2 = cutmap[()]
     bucket = (F.when(F.col("nats_per_token") <= c1, "head")
                .when(F.col("nats_per_token") <= c2, "middle")
                .otherwise("tail"))
@@ -400,23 +588,38 @@ def ccnet_buckets_by_group(docs: DataFrame,
     c2)`` — the per-group cut points ride along so the thresholds a
     serving filter would pin are part of the audited output.
 
-    Scale shape: the cuts are ONE grouped exact-``percentile``
-    aggregation (groups × 2 doubles, broadcast back), bucketing is a
+    Scale shape: the per-group cuts come from the histogram of the
+    6-dp-quantized score (:func:`_tercile_cuts`, r12 — bit-identical
+    to the grouped exact ``percentile`` but with no per-group
+    single-task aggregation buffer; the grouped percentile buffers
+    every distinct (value, count) pair of a LANGUAGE in one task,
+    which at 100 TB is exactly the spike the repo avoids elsewhere),
+    broadcast back as a groups × 2-double table; bucketing is a
     map-only CASE after a broadcast equi-join on the group — still no
     global sort, and the only corpus-sized exchanges are the per-doc
-    score aggregation and the final ≤ groups×3-row count."""
+    score aggregation and the final ≤ groups×3-row count.  Groups
+    with zero non-null scores contribute no rows (ADVICE r12: never
+    ``float(None)`` on NULL cuts)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..util import retain_cache
+
     scores = unigram_doc_scores(docs, vocab, id_col=id_col,
                                 text_col=text_col,
                                 max_word_len=max_word_len)
-    g = scores.join(docs.select(F.col(id_col), F.col(group_col)),
-                    id_col)
-    cuts = (g.groupBy(group_col)
-             .agg(F.round(F.expr(
-                      "percentile(nats_per_token, 1.0D/3)"), 6)
-                  .alias("c1"),
-                  F.round(F.expr(
-                      "percentile(nats_per_token, 2.0D/3)"), 6)
-                  .alias("c2")))
+    # cache the (score ⋈ group) frame: the cut histogram and the final
+    # bucket aggregation share one Viterbi-chain computation
+    g = retain_cache(
+        scores.join(docs.select(F.col(id_col), F.col(group_col)),
+                    id_col))
+    cutmap = _tercile_cuts(g, [group_col])
+    cuts = docs.sparkSession.createDataFrame(
+        [(k[0], cc[0], cc[1]) for k, cc in sorted(
+            cutmap.items(), key=lambda kv: str(kv[0]))
+         if k[0] is not None],
+        StructType([g.schema[group_col],
+                    StructField("c1", DoubleType()),
+                    StructField("c2", DoubleType())]))
     bucket = (F.when(F.col("nats_per_token") <= F.col("c1"), "head")
                .when(F.col("nats_per_token") <= F.col("c2"), "middle")
                .otherwise("tail"))

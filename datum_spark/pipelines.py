@@ -120,7 +120,9 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     score ≥ ``min_quality`` (reinterpreted as the probability
     threshold) — the CCNet-style curation posture, still one map-only
     stage.  Docs with zero tokens are dropped (nothing to score on),
-    matching the heuristic's behavior on empty text.
+    matching the heuristic's behavior on empty text.  Passing the
+    literal string ``"gopher"`` instead gates on the published Gopher
+    rule conjunction (``operators.text.gopher_rules``, r12).
 
     ``lang_models`` + ``allowed_langs`` (optional) enable the
     LANGUAGE-ID gate as stage 0 — the first pass of a multilingual
@@ -150,15 +152,22 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     report: dict = {"rows_in": docs.count()}
 
     # 0. language gate (optional) — the multilingual first pass
+    gated = None
     if lang_models is not None and allowed_langs:
-        docs = _langid_gate(docs, id_col, text_col, lang_models,
-                            allowed_langs).persist()
+        docs = gated = _langid_gate(docs, id_col, text_col, lang_models,
+                                    allowed_langs).persist()
         report["rows_langid"] = docs.count()
 
     # 1. quality gate (map-only; learned when a model is supplied)
     q = _quality_gate(docs, id_col, text_col, min_quality, quality_model)
     q = q.persist()
     report["rows_quality"] = q.count()
+    if gated is not None:
+        # release the langid boundary once the quality count has
+        # consumed it — every other stage unpersists its predecessor;
+        # without this the corpus-sized gated frame is held for the
+        # rest of the session (ADVICE r12)
+        gated.unpersist()
 
     # 1b. perplexity gate (optional) — the learned LM quality signal,
     # its own funnel row so the report shows what EACH gate dropped
@@ -218,9 +227,19 @@ def _quality_gate(docs: DataFrame, id_col: str, text_col: str,
                   min_quality: float, quality_model) -> DataFrame:
     """Heuristic filter by default; with ``quality_model=(w, b)`` the
     learned classifier's calibrated score gates instead (semi join on
-    the scored ids — scoring reads only (id, text))."""
+    the scored ids — scoring reads only (id, text)); with
+    ``quality_model="gopher"`` the published Gopher rule conjunction
+    gates (r12: ``operators.text.gopher_rules`` — every rule an
+    audited column, still map-only; ``min_quality`` is ignored, the
+    thresholds are the published ones)."""
     from .operators.text import quality_score
 
+    if quality_model == "gopher":
+        from .operators.text import gopher_rules
+
+        return (gopher_rules(docs, text_col)
+                .filter(F.col("gopher_pass"))
+                .select(*docs.columns))
     if quality_model is None:
         return docs.filter(quality_score(F.col(text_col)) >= min_quality)
     from .operators.classifier import quality_classifier_score

@@ -504,7 +504,18 @@ class SnapshotTable:
             names.append(name)
             path = self._seg_path(name)
             if os.path.exists(path):
-                continue        # content-addressed: identical = reusable
+                # content-addressed: identical = reusable.  Refresh the
+                # mtime so vacuum's min-age GC guard covers the REUSE
+                # the same way it covers a fresh link — without it, a
+                # bucket reverting to a state only referenced by an
+                # already-vacuumed checkpoint could have its old-mtime
+                # segment GC'd between this exists-check and the new
+                # checkpoint doc becoming visible (r12 ADVICE fix).
+                try:
+                    os.utime(path)
+                except OSError:
+                    pass
+                continue
             tmp = os.path.join(self._manifests,
                                f".tmp-{uuid.uuid4().hex}.json")
             with open(tmp, "w") as fh:

@@ -415,26 +415,48 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
                 checkpoint_dir: str,
                 id_col: str = "doc_id", text_col: str = "text",
                 threshold: float = 0.5, num_hashes: int = 16,
-                bands: int = 4, contamination_ngram: int = 13):
+                bands: int = 4, contamination_ngram: int = 13,
+                lang_models: dict | None = None,
+                allowed_langs=None,
+                unigram_vocab: list | None = None,
+                max_nats_per_token: float | None = None,
+                with_funnel: bool = False):
     """Streaming daily-ingest gate — the production front door of the
     corpus pipeline: every micro-batch of INCOMING documents is
-    (1) near-dup-screened against the STATIC corpus
+    (0) language-gated (optional, r12 — ``lang_models`` +
+    ``allowed_langs``, the same stage-0 screen as the batch
+    pipeline), (1) perplexity-gated (optional, r12 —
+    ``unigram_vocab`` + ``max_nats_per_token``, the CCNet filter
+    direction), (2) near-dup-screened against the STATIC corpus
     (`incremental_near_dups_md5`: delta×corpus candidates only, the
     corpus never self-joins, delta band buckets broadcast) and
-    (2) decontaminated against the eval set; survivors land in
+    (3) decontaminated against the eval set; survivors land in
     ``out_path`` (parquet, one overwritten ``batch=<id>/`` dir per
     micro-batch — see :func:`_idempotent_batch_write`; replays are
     no-ops).
 
-    Built on ``foreachBatch``: both screens are per-doc decisions
-    against STATIC side inputs, so the union of per-batch survivors is
-    exactly the batch-mode result regardless of batching — the same
-    structural stream==batch parity as :func:`contamination_sink`, and
-    the parity test pins it.  Intra-batch/cross-batch self-dedup is
-    deliberately NOT done here (it would break that parity and is the
-    corpus-refresh job's responsibility — run `near_dup_clusters` over
-    the accumulated corpus on its own cadence).  State held by the
-    query: none.
+    The optional gates REUSE the batch pipeline's gate functions
+    (``pipelines._langid_gate`` / ``_perplexity_gate``) so streaming
+    and batch cannot drift: both are per-doc semi joins on a scored
+    id set against STATIC side inputs (trained models / a trained
+    vocabulary), so the union of per-batch survivors is exactly the
+    batch-mode result regardless of batching — the same structural
+    stream==batch parity as :func:`contamination_sink`, and the
+    parity test pins it across all four screens.
+
+    ``with_funnel=True`` adds the batch pipeline's funnel accounting:
+    one row per micro-batch (``rows_in``, ``rows_langid``,
+    ``rows_perplexity``, ``rows_deduped``, ``rows_decontaminated``;
+    disabled gates are NULL) written idempotently to
+    ``out_path + "/_funnel"`` — the underscore prefix keeps funnel
+    rows invisible to readers of ``out_path`` (Hadoop hidden-path
+    convention), and per-stage sums over batches equal the batch
+    pipeline's report because every screen is per-doc.
+
+    Intra-batch/cross-batch self-dedup is deliberately NOT done here
+    (it would break that parity and is the corpus-refresh job's
+    responsibility — run `near_dup_clusters` over the accumulated
+    corpus on its own cadence).  State held by the query: none.
 
     Returns the started StreamingQuery; caller awaits/stops it.
     """
@@ -442,21 +464,55 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
         benchmark_contamination,
         incremental_near_dups_md5,
     )
+    from ..pipelines import _langid_gate, _perplexity_gate
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        funnel: dict[str, int | None] = {
+            "rows_langid": None, "rows_perplexity": None}
+        if with_funnel:
+            funnel["rows_in"] = batch_df.count()
+        cur = batch_df
+        if lang_models is not None and allowed_langs:
+            cur = _langid_gate(cur, id_col, text_col, lang_models,
+                               allowed_langs)
+            if with_funnel:
+                funnel["rows_langid"] = cur.count()
+        if unigram_vocab is not None and max_nats_per_token is not None:
+            cur = _perplexity_gate(cur, id_col, text_col,
+                                   unigram_vocab, max_nats_per_token)
+            if with_funnel:
+                funnel["rows_perplexity"] = cur.count()
         dup_ids = (incremental_near_dups_md5(
-            batch_df, corpus, id_col, text_col, num_hashes=num_hashes,
+            cur, corpus, id_col, text_col, num_hashes=num_hashes,
             bands=bands, threshold=threshold)
             .select(F.col("delta_id").alias(id_col)).distinct())
-        keep = batch_df.join(dup_ids, id_col, "anti")
+        keep = cur.join(dup_ids, id_col, "anti")
+        if with_funnel:
+            funnel["rows_deduped"] = keep.count()
         if eval_df is not None:
             cont = benchmark_contamination(
                 keep, eval_df, id_col, text_col,
                 n=contamination_ngram).select(id_col)
             keep = keep.join(cont, id_col, "anti")
+        if with_funnel:
+            keep = keep.persist()
+            funnel["rows_decontaminated"] = keep.count()
         _idempotent_batch_write(keep, batch_id, out_path)
+        if with_funnel:
+            keep.unpersist()
+            spark = batch_df.sparkSession
+            _idempotent_batch_write(
+                spark.createDataFrame(
+                    [(funnel["rows_in"], funnel["rows_langid"],
+                      funnel["rows_perplexity"],
+                      funnel["rows_deduped"],
+                      funnel["rows_decontaminated"])],
+                    "rows_in long, rows_langid long, "
+                    "rows_perplexity long, rows_deduped long, "
+                    "rows_decontaminated long"),
+                batch_id, out_path + "/_funnel")
 
     return (stream_docs.writeStream
             .foreachBatch(_apply)

@@ -165,6 +165,41 @@ def test_language_guess(spark):
     assert out == {1: "en", 2: "fr", 3: "es", 4: "de", 5: "und"}
 
 
+def test_gopher_rules_columns_and_thresholds(spark):
+    """Each published rule (Rae 2021 §A1.1) is an audited column:
+    crafted docs trip exactly the rule they violate."""
+    from datum_spark.operators.text import gopher_rules
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs back to the barn with a bone that it found ") * 3
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    ellipses = "\n".join(f"line {i} trails off..." for i in range(10))
+    symbols = "## " * 40 + "words " * 40
+    numeric = "12345 67890 " * 40
+    df = spark.createDataFrame(
+        [(1, good, "en"), (2, bullets, "en"), (3, ellipses, "en"),
+         (4, symbols, "en"), (5, numeric, "en"), (6, "", "en"),
+         (7, "der hund ist nicht mit der katze und das ist gut "
+             "und der hund" + " lauf" * 50, "de")],
+        "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in
+           gopher_rules(df, "text", lang_col="lang").collect()}
+    assert out[1]["gopher_pass"] and out[1]["pass_stop"]
+    assert not out[2]["pass_bullet"] and out[2]["bullet_frac"] == 1.0
+    assert not out[3]["pass_ellipsis"] and out[3]["ellipsis_frac"] == 1.0
+    assert not out[4]["pass_symbol_ratio"]
+    assert not out[5]["pass_alpha"] and out[5]["alpha_frac"] == 0.0
+    # empty doc: zero words, every ratio 0, word-count rule fails
+    assert out[6]["n_words"] == 0 and not out[6]["pass_word_count"]
+    assert out[6]["mean_word_len"] == 0.0
+    # language keying: the German doc hits the de stop list, not en
+    assert out[7]["stop_hits"] >= 2 and out[7]["pass_stop"]
+    # without lang keying the same doc has (almost) no en stop hits
+    out_en = {r["doc_id"]: r for r in
+              gopher_rules(df, "text").collect()}
+    assert out_en[7]["stop_hits"] < out[7]["stop_hits"]
+
+
 def test_token_count_modes(spark):
     df = spark.createDataFrame([(1, "  hello,  world! 123  ")], "id long, t string")
     ws = with_token_count(df, "t", "n", mode="whitespace").collect()[0]["n"]
@@ -1734,6 +1769,7 @@ def test_ivfpq_rebalance_concurrent_ingest_no_lost_rows(spark, tmp_path,
 
     path = str(tmp_path / "ix")
     corpus, _ = _skewed_index(spark, path, transactional=True)
+    n_coarse_before = spark.read.parquet(path + "/coarse").count()
     extra = spark.createDataFrame(
         [(3000 + i, [1.5 + (i % 3) * 0.01] * 8) for i in range(12)],
         "vec_id bigint, embedding array<double>")
@@ -1757,6 +1793,58 @@ def test_ivfpq_rebalance_concurrent_ingest_no_lost_rows(spark, tmp_path,
     # the concurrent rows serve: every extra id is findable
     got = {r["vec_id"] for r in codes.collect()}
     assert all(3000 + i in got for i in range(12))
+    # r12: failed-precondition attempts must not leak phantom coarse
+    # cells — the abort restores the pre-attempt coarse table, so the
+    # final geometry grew by exactly the SUCCESSFUL splits
+    n_coarse_after = spark.read.parquet(path + "/coarse").count()
+    assert n_coarse_after == n_coarse_before + len(res["split"])
+    # and every coarse cell the splits created actually holds codes
+    populated = {r["cell"] for r in codes.select("cell")
+                 .distinct().collect()}
+    assert all(new in populated for _, new in res["split"])
+
+
+def test_ivfpq_rebalance_recovers_coarse_after_codes_commit(
+        spark, tmp_path, monkeypatch):
+    """r12 codes-first ordering: a crash between the codes merge and
+    the coarse write leaves codes encoded against sub-centers the
+    coarse table doesn't know.  The marker's center patches let the
+    next rebalance run COMPLETE the coarse write instead of leaving
+    the sub-blob invisible."""
+    import pytest as _pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from datum_spark.operators.similarity import (
+        ivfpq_index_occupancy, ivfpq_rebalance, ivfpq_rebalance_pending)
+    from datum_spark.sources.snapshots import SnapshotTable
+
+    path = str(tmp_path / "ix")
+    corpus, _ = _skewed_index(spark, path, transactional=True)
+    real_parquet = DataFrameWriter.parquet
+
+    def boom(self, p, *a, **k):
+        if str(p).rstrip("/").endswith("coarse"):
+            raise OSError("crash between codes commit and coarse write")
+        return real_parquet(self, p, *a, **k)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with _pytest.raises(OSError):
+        ivfpq_rebalance(corpus, path, hot_factor=2.0)
+    monkeypatch.undo()
+    # half-applied and OBSERVABLE: codes hold cells the coarse lacks
+    pend = ivfpq_rebalance_pending(path)
+    assert pend is not None and pend.get("patches")
+    n_coarse = spark.read.parquet(path + "/coarse").count()
+    codes = SnapshotTable(spark, path + "/codes").read()
+    assert codes.agg(F.max("cell")).first()[0] >= n_coarse
+    # next run repairs the geometry from the marker, then converges
+    ivfpq_rebalance(corpus, path, hot_factor=2.0)
+    assert ivfpq_rebalance_pending(path) is None
+    codes = SnapshotTable(spark, path + "/codes").read()
+    n_coarse = spark.read.parquet(path + "/coarse").count()
+    assert codes.agg(F.max("cell")).first()[0] == n_coarse - 1
+    occ = ivfpq_index_occupancy(spark, path).collect()
+    assert sum(r["n_codes"] for r in occ) == 180     # no loss, no dup
 
 
 def test_leakage_safe_split_no_straddling_pairs(spark):

@@ -154,6 +154,22 @@ def test_pipeline_learned_quality_gate(spark, corpus, tmp_path):
     assert report["rows"] > 0
 
 
+def test_pipeline_gopher_quality_gate(spark, corpus, tmp_path):
+    """quality_model="gopher" gates on the published rule
+    conjunction: the funnel's quality stage keeps exactly the
+    gopher_pass docs (r12)."""
+    from datum_spark.operators.text import gopher_rules
+
+    docs = corpus.filter(F.col("doc_id") >= 20)
+    _, report = build_training_corpus(
+        docs, None, str(tmp_path / "gq"), n_shards=2,
+        quality_model="gopher")
+    expect = (gopher_rules(docs, "text")
+              .filter(F.col("gopher_pass")).count())
+    assert report["rows_quality"] == expect
+    assert report["rows_quality"] <= report["rows_in"]
+
+
 def test_pipeline_langid_and_perplexity_gates(spark, corpus, tmp_path):
     """Both r11 optional gates on: the language-ID first pass and the
     CCNet-style perplexity filter join the funnel with their own audit

@@ -433,6 +433,104 @@ def test_ingest_sink_stream_equals_batch(spark, tmp_path):
     assert 0 < len(got) < delta.count()
 
 
+def test_ingest_sink_langid_perplexity_funnel_parity(spark, tmp_path):
+    """r12 streaming parity for the batch pipeline's optional gates:
+    with language + perplexity screens on, the streamed multi-batch
+    survivors equal the batch composition of the SAME gate functions,
+    and the per-batch funnel rows sum to the batch funnel."""
+    from datum_spark.operators.dedup import (
+        benchmark_contamination,
+        incremental_near_dups_md5,
+    )
+    from datum_spark.operators.langid import language_classifier_fit
+    from datum_spark.operators.unigram import (unigram_doc_scores,
+                                               unigram_trained_vocab)
+    from datum_spark.pipelines import _langid_gate, _perplexity_gate
+    from datum_spark.streaming.stateful import ingest_sink
+
+    import random as _random
+
+    # three fake 'languages' with disjoint alphabets (the langid test
+    # fixture) so every screen genuinely bites: cc is disallowed,
+    # near-copies trip the dedup screen, shared texts trip the
+    # contamination screen, and a median threshold splits perplexity
+    _random.seed(11)
+    alph = {"aa": "abcdefg", "bb": "hijklmn", "cc": "opqrstu"}
+
+    def _doc(lg):
+        return " ".join("".join(_random.choice(alph[lg])
+                                for _ in range(5)) for _ in range(12))
+
+    rows, i = [], 0
+    for lg in ("aa", "bb", "cc"):
+        for _ in range(30):
+            rows.append((i, _doc(lg), lg))
+            i += 1
+    corpus = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    drows, j = [], 100
+    for lg in ("aa", "bb", "cc"):
+        for k in range(20):
+            drows.append((j, _doc(lg), lg))
+            j += 1
+    # 5 near-copies of corpus aa docs -> the near-dup screen bites
+    for k in range(5):
+        drows.append((j + k, rows[k][1] + " x", "aa"))
+    delta = spark.createDataFrame(
+        drows, "doc_id long, text string, lang string")
+    # 3 delta texts appear verbatim in the eval set -> contamination
+    eval_df = spark.createDataFrame(
+        [(900 + k, drows[k][1]) for k in range(3)],
+        "doc_id long, text string")
+    models = language_classifier_fit(corpus, "doc_id", "text", "lang",
+                                     n_buckets=64, steps=4, lr=2.0)
+    allowed = ["aa", "bb"]
+    _w, vocab = unigram_trained_vocab(corpus)
+    # threshold at the delta median so the perplexity gate bites
+    med = (unigram_doc_scores(delta, vocab)
+           .agg(F.expr("percentile(nats_per_token, 0.5D)")).first()[0])
+
+    src_dir = str(tmp_path / "delta_in")
+    delta.repartition(3).write.parquet(src_dir)
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = str(tmp_path / "accepted")
+    q = ingest_sink(stream, corpus, eval_df, out,
+                    str(tmp_path / "ckpt"), contamination_ngram=5,
+                    lang_models=models, allowed_langs=allowed,
+                    unigram_vocab=vocab, max_nats_per_token=med,
+                    with_funnel=True)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    # batch twin through the SAME gate functions, in the same order
+    g1 = _langid_gate(delta, "doc_id", "text", models, allowed)
+    g2 = _perplexity_gate(g1, "doc_id", "text", vocab, med)
+    dup_ids = (incremental_near_dups_md5(g2, corpus, "doc_id", "text")
+               .select(F.col("delta_id").alias("doc_id")).distinct())
+    keep = g2.join(dup_ids, "doc_id", "anti")
+    cont = benchmark_contamination(keep, eval_df, "doc_id", "text",
+                                   n=5).select("doc_id")
+    final = keep.join(cont, "doc_id", "anti")
+    want = {r["doc_id"] for r in final.collect()}
+    assert got == want
+    # both gates actually gated
+    n_delta, n_g1, n_g2 = delta.count(), g1.count(), g2.count()
+    assert n_g1 < n_delta and n_g2 < n_g1
+
+    # funnel rows: hidden from out_path readers, sums match the batch
+    funnel = spark.read.parquet(out + "/_funnel")
+    sums = funnel.agg(
+        F.sum("rows_in").alias("i"), F.sum("rows_langid").alias("l"),
+        F.sum("rows_perplexity").alias("p"),
+        F.sum("rows_deduped").alias("d"),
+        F.sum("rows_decontaminated").alias("c")).first()
+    assert (sums["i"], sums["l"], sums["p"]) == (n_delta, n_g1, n_g2)
+    assert sums["d"] == keep.count() and sums["c"] == len(want)
+    assert "rows_in" not in spark.read.parquet(out).columns
+
+
 def test_kmv_sink_stream_equals_batch_and_replay_safe(spark, tmp_path):
     """Streaming KMV fold: after consuming the stream in multiple
     micro-batches, the persisted per-group sketches must EQUAL the

@@ -327,3 +327,78 @@ def test_ccnet_by_group_cuts_are_per_group(spark):
     # and the cuts differ per group (bb's head cut above aa's tail)
     assert by_lang["bb"]["head"]["c1"] > by_lang["aa"]["head"]["c2"]
     assert sum(r["n_docs"] for r in out) == 24
+
+
+def test_tercile_cuts_both_paths_match_exact_percentile(spark,
+                                                        monkeypatch):
+    """r12 histogram cuts: the size-gated driver walk AND the
+    distributed boundary-join path both reproduce Spark's exact
+    ``percentile`` bit-for-bit (grouped + global, ties, NULL scores,
+    singleton and all-NULL groups), and zero scored rows yield an
+    empty map instead of a NULL-cut TypeError (ADVICE r12)."""
+    import random
+
+    from datum_spark.operators import unigram as U
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(3000):
+        g = rng.choice(["en", "fr", "de", None])
+        v = (round(rng.uniform(0, 45), 6)
+             if rng.random() > 0.02 else None)
+        rows.append((i, g, v))
+    rows.append((9001, "solo", 3.141593))
+    rows.append((9002, "allnull", None))
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, nats_per_token double")
+    exact = {r["lang"]: (r["c1"], r["c2"])
+             for r in df.groupBy("lang").agg(
+                 F.round(F.expr(
+                     "percentile(nats_per_token, 1.0D/3)"), 6)
+                 .alias("c1"),
+                 F.round(F.expr(
+                     "percentile(nats_per_token, 2.0D/3)"), 6)
+                 .alias("c2")).collect()}
+    fast = U._tercile_cuts(df, ["lang"])
+    monkeypatch.setattr(U, "_HIST_FAST_PATH_ROWS", 0)
+    dist = U._tercile_cuts(df, ["lang"])
+    monkeypatch.undo()
+    assert fast == dist
+    for key, cc in fast.items():
+        assert exact[key[0]] == (cc[0], cc[1])
+    for lang, e in exact.items():
+        if e[0] is None:
+            assert (lang,) not in fast      # all-NULL group absent
+        else:
+            assert (lang,) in fast
+    # global (ungrouped) case
+    eg = df.agg(
+        F.round(F.expr("percentile(nats_per_token, 1.0D/3)"), 6)
+        .alias("c1"),
+        F.round(F.expr("percentile(nats_per_token, 2.0D/3)"), 6)
+        .alias("c2")).first()
+    assert tuple(U._tercile_cuts(df, [])[()]) == (eg["c1"], eg["c2"])
+    # empty / all-NULL inputs return {} (callers emit empty frames)
+    assert U._tercile_cuts(df.filter(F.lit(False)), ["lang"]) == {}
+    assert U._tercile_cuts(df.filter("lang = 'allnull'"), []) == {}
+
+
+def test_ccnet_buckets_empty_corpus_returns_empty_frame(spark):
+    """ADVICE r12: zero scored docs (all texts empty/OOV/over-long)
+    must yield an empty frame with the output schema, not a
+    float(None) TypeError."""
+    from datum_spark.operators.unigram import (ccnet_buckets,
+                                               ccnet_buckets_by_group)
+
+    docs = spark.createDataFrame(
+        [(1, "", "s0"), (2, "zzzz 9999", "s1")],
+        "doc_id long, text string, source string")
+    words = [("the", 30), ("cat", 20)]
+    vocab = unigram_train_local(words, iters=1)
+    out = ccnet_buckets(docs, vocab)
+    assert out.count() == 0
+    assert out.columns == ["source", "bucket", "n_docs", "mean_nats"]
+    out2 = ccnet_buckets_by_group(docs, vocab, group_col="source")
+    assert out2.count() == 0
+    assert out2.columns == ["source", "bucket", "n_docs", "mean_nats",
+                            "c1", "c2"]
