@@ -6,23 +6,24 @@ sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
-(50 in every round so far).  The dict leads with the round-11 RECHECK
-set (the 5 new entries x206/x207/x208/x209/x210; x205, whose oracle gained the
-pruned_tokens column; the 6 entries whose joins were size-gated or
-whose grading changed this round: x204/x119/x49/x50/x202/x203 — every
-one locally diff-run green this round; the two r5 leftovers x98/x99
-the r10 window could not fit; and the 6 entries changed in r10 that
-rotated here as announced: x27/x55/x186/x189/x190/x198).  After the
-recheck set, entries order by EVIDENCE STALENESS computed from the
-committed CORRECTNESS_r*.json artifacts themselves (oldest latest-
-check first), so each round's window automatically drains the stalest
-band — this round that is 30 of the r6 cohort's 39 oracle-bearing
-entries; the 9 alphabetically-last (x149_interarrival,
-x150_cohort_ltv, x152_bm25_retrieval, x155_source_overlap,
-x156_lsh_calibration, x157_dedup_retention, x18_image_features,
-x38_train_test_split, x56_source_mixing) spill to r12, along with
-the rows-only cohort (x37_minhash_fast et al., which the hash gate
-cannot check anyway).
+(50 in every round so far).  The dict leads with the round-12 RECHECK
+set (the 2 new entries x211 gopher rules / x212 OPQ recall; the 4
+entries whose code changed this round: x207 — the multiclass fit
+vectorized into one gradient job per step, x208/x210 — histogram-
+derived tercile cuts + cached score frame, x185 — the power-iteration
+helper extraction OPQ shares; every one locally diff-run green this
+round).  After the recheck set, entries order by EVIDENCE STALENESS
+computed from the committed CORRECTNESS_r*.json artifacts themselves
+(oldest latest-check first), so each round's window automatically
+drains the stalest band — this round that is the 9 oracle-bearing
+r6-cohort leftovers (x149/x150/x152/x155/x156/x157/x18/x38/x56) and
+then the r7 band, whose alphabetical order puts the core Tier-B
+surface q08..q31 (last driver-checked r7 — the r11 VERDICT's gap #1)
+ahead of the r7 x-entries; the 50-slot window covers the recheck set,
+the whole r6 cohort, all 24 stale Tier-B queries and ~11 r7
+x-entries, with the rest of the r7 band next in line for r13.
+Rows-only entries (x37_minhash_fast et al.) sort last — the hash gate
+cannot check them anyway.
 Every oracle-bearing entry has been driver-verified at least
 once (r6 closed the set); the rotation keeps the oldest evidence
 fresh without hand-curated band lists going stale.
@@ -42,29 +43,15 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-11 recheck set: new entries, changed oracles, and entries
-# whose code changed in r10/r11 (each locally diff-run green).
-_RECHECK_R11 = {
-    "x206_unigram_pruned",        # new: Kudo §4 EM pruning
-    "x207_language_id",           # new: char-trigram multiclass langid
-    "x208_ccnet_buckets",         # new: CCNet perplexity terciles
-    "x209_leakage_safe_split",    # new: cluster-keyed split, 0 leaks
-    "x210_ccnet_by_language",     # new: per-language CCNet buckets
-    "x205_tokenizer_fertility",   # oracle extended: pruned_tokens col
-    "x204_unigram_perplexity",    # r11: size-gated vocab broadcast
-    "x119_bpe_encode",            # r11: size-gated vocab broadcast
-    "x49_contamination",          # r11: size-gated benchmark grams
-    "x50_corpus_pipeline",        # r11: size-gated benchmark grams
-    "x202_sgd_audit",             # r11: tolerance match columns
-    "x203_ivfpq_occupancy",       # r11: zero-total guard
-    "x98_novelty",                # r5 leftovers from the r10 window
-    "x99_containment",
-    "x27_cosine_topk_ivf",        # changed in r10 (in-entry grading),
-    "x55_kmeans",                 # rotated into this window as
-    "x186_pq_recall",             # announced in the r10 entry notes
-    "x189_ivfpq_recall",
-    "x190_ivfpq_refine",
-    "x198_temperature_mix",
+# Round-12 recheck set: new entries and entries whose code changed
+# this round (each locally diff-run green).
+_RECHECK_R12 = {
+    "x211_gopher_rules",          # new: Rae 2021 A1.1 audited columns
+    "x212_opq_recall",            # new: Householder OPQ vs plain PQ
+    "x207_language_id",           # r12: one gradient job per GD step
+    "x208_ccnet_buckets",         # r12: histogram tercile cuts
+    "x210_ccnet_by_language",     # r12: histogram cuts per group
+    "x185_pca_power",             # r12: power-iteration helper split
 }
 
 
@@ -94,7 +81,7 @@ _LATEST = _latest_checked()
 
 
 def _priority(name: str, has_oracle: bool) -> tuple:
-    if name in _RECHECK_R11:
+    if name in _RECHECK_R12:
         return (0, 0)                 # new / changed this round
     if not has_oracle:
         return (2, 0)                 # rows-only outside the recheck set

@@ -1931,9 +1931,9 @@ def x202(spark, sf):         # SQL form (classifier.py:146 documents it)
     auditable full-batch trajectory (x188's path, 8 steps) on every
     document — a silent quality collapse is driver-visible.  Output:
     one row per epoch."""
-    from ..operators.classifier import (quality_classifier_fit,
-                                        quality_classifier_fit_sgd,
-                                        quality_classifier_score)
+    from ..operators.classifier import (_features, _score_expr,
+                                        quality_classifier_fit,
+                                        quality_classifier_fit_sgd)
 
     docs = load_docs(spark, sf)
     words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
@@ -1949,16 +1949,16 @@ def x202(spark, sf):         # SQL form (classifier.py:146 documents it)
         batch_size=64, audit_sink=audit)
     w_f, b_f = quality_classifier_fit(seed, "doc_id", "text", "__y",
                                       n_buckets=256, steps=8, lr=4.0)
-    s1 = quality_classifier_score(docs, w_s, b_s, "doc_id", "text",
-                                  n_buckets=256) \
-        .select("doc_id", F.col("pred").alias("__p1"))
-    s2 = quality_classifier_score(docs, w_f, b_f, "doc_id", "text",
-                                  n_buckets=256) \
-        .select("doc_id", F.col("pred").alias("__p2"))
-    agree = (s1.join(s2, "doc_id")
-               .agg(F.avg((F.col("__p1") == F.col("__p2"))
-                          .cast("double")))
-               .collect()[0][0])
+    # r12: BOTH models' predictions ride one projection over the
+    # shared cached feature pass — same per-doc arithmetic as two
+    # quality_classifier_score calls joined on doc_id (identical row
+    # set: docs with no tokens are absent from both), one corpus scan
+    # and no join instead of two scans + an equi-join
+    feat = _features(docs, "doc_id", "text", 256, "qclf")
+    p_sgd = _score_expr(list(w_s), float(b_s), 9) >= 0.5
+    p_full = _score_expr(list(w_f), float(b_f), 9) >= 0.5
+    agree = (feat.agg(F.avg((p_sgd == p_full).cast("double")))
+                 .collect()[0][0])
     shards = spark.createDataFrame(
         [(r["epoch"], r["shard"], r["n"], r["w_sum"], r["b"])
          for r in audit if r["shard"] >= 0],
@@ -2497,3 +2497,229 @@ def x211(spark, sf):
             "pass_alpha", "pass_stop", "gopher_pass"]
     return (gopher_rules(docs, "text", lang_col="lang")
             .select("doc_id", *cols).orderBy("doc_id"))
+
+
+def _pq_chain_parts(pfx: str, src: str, qsrc: str, m: int, ksub: int,
+                    iters: int, dim: int, k: int) -> list[str]:
+    """The x186 PQ replay (per-subspace deterministic Lloyd, codes,
+    ADC tables, ranked search) parameterized by CTE prefix and source
+    — ``src``/``qsrc`` are CTEs of ``(vec_id, e DOUBLE[])`` for the
+    corpus and the query batch, so the same generator replays plain
+    PQ (over the embeddings) and OPQ (over the rotated frame) in ONE
+    oracle (x212)."""
+    dsub = dim // m
+    d2 = ("ROUND(list_sum(list_transform(list_zip(v.e, c.c), "
+          "x -> (x[1]-x[2])*(x[1]-x[2]))), 6)")
+    parts = []
+    for s in range(m):
+        lo, hi = s * dsub + 1, (s + 1) * dsub
+        parts.append(f"""{pfx}v{s} AS MATERIALIZED (
+  SELECT vec_id, list_slice(e, {lo}, {hi})::DOUBLE[] AS e FROM {src}
+)""")
+        parts.append(f"""{pfx}c{s}_0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+         e AS c
+  FROM (SELECT vec_id, e FROM {pfx}v{s} ORDER BY vec_id LIMIT {ksub})
+)""")
+        for t in range(1, iters + 1):
+            parts.append(f"""{pfx}a{s}_{t} AS MATERIALIZED (
+  SELECT vec_id, e, cid FROM (
+    SELECT v.vec_id, v.e, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM {pfx}v{s} v CROSS JOIN {pfx}c{s}_{t-1} c) WHERE rn = 1
+)""")
+            parts.append(f"""{pfx}c{s}_{t} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.c, p.c) AS c
+  FROM {pfx}c{s}_{t-1} p LEFT JOIN (
+    SELECT cid, list(m ORDER BY i) AS c FROM (
+      SELECT cid, i, ROUND(avg(e[i]), 6) AS m
+      FROM {pfx}a{s}_{t}, generate_series(1, {dsub}) AS t(i)
+      GROUP BY cid, i)
+    GROUP BY cid) n ON p.cid = n.cid
+)""")
+        parts.append(f"""{pfx}code{s} AS MATERIALIZED (
+  SELECT vec_id, cid AS code FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM {pfx}v{s} v CROSS JOIN {pfx}c{s}_{iters} c) WHERE rn = 1
+)""")
+    codes_union = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {s} AS s, code FROM {pfx}code{s}"
+        for s in range(m))
+    tabs_union = "\n  UNION ALL\n  ".join(
+        f"""SELECT q.vec_id AS qid, {s} AS s, c.cid AS code,
+         ROUND(list_sum(list_transform(
+           list_zip(list_slice(q.e, {s*dsub+1}, {(s+1)*dsub})::DOUBLE[],
+                    c.c),
+           x -> (x[1]-x[2])*(x[1]-x[2]))), 6) AS d
+  FROM {qsrc} q CROSS JOIN {pfx}c{s}_{iters} c""" for s in range(m))
+    parts.append(f"""{pfx}codesl AS (
+  {codes_union}
+)""")
+    parts.append(f"""{pfx}tabs AS (
+  {tabs_union}
+)""")
+    parts.append(f"""{pfx}adcr AS (
+  SELECT qid, vec_id, rn FROM (
+    SELECT t.qid, cl.vec_id, ROUND(SUM(t.d), 6) AS adc,
+           row_number() OVER (PARTITION BY t.qid
+                              ORDER BY ROUND(SUM(t.d), 6), cl.vec_id)
+             AS rn
+    FROM {pfx}codesl cl JOIN {pfx}tabs t
+         ON cl.s = t.s AND cl.code = t.code
+    GROUP BY t.qid, cl.vec_id) WHERE rn <= {k}
+)""")
+    return parts
+
+
+def _x212_sql(m: int = 8, ksub: int = 16, iters: int = 2,
+              dim: int = 64, pca_iters: int = 8, n_queries: int = 20,
+              k: int = 10) -> str:
+    """OPQ oracle: the x185 power-iteration chain, the Householder
+    vector (zero on an axis-aligned component — same formula the
+    engine uses, no branch), the rotated corpus, then TWO full PQ
+    replays (plain prefix ``p``, rotated prefix ``o``) graded against
+    the shared exact ranking."""
+    parts = [f"""a AS MATERIALIZED (
+  SELECT vec_id, unnest(embedding) AS x,
+         unnest(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), cu AS MATERIALIZED (
+  SELECT ai.i AS i, aj.i AS j, ROUND(covar_pop(ai.x, aj.x), 6) AS cov
+  FROM a ai JOIN a aj ON ai.vec_id = aj.vec_id AND ai.i <= aj.i
+  GROUP BY 1, 2
+), sym AS MATERIALIZED (
+  SELECT i, j, cov FROM cu
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM cu WHERE i < j
+), v0 AS (
+  SELECT CAST(i AS INT) AS j,
+         CAST({1.0 / dim ** 0.5!r} AS DOUBLE) AS v
+  FROM range(1, {dim + 1}) t(i)
+)"""]
+    for t in range(1, pca_iters + 1):
+        parts.append(f"""w{t} AS MATERIALIZED (
+  SELECT s.i, ROUND(SUM(s.cov * p.v), 9) AS w
+  FROM sym s JOIN v{t-1} p ON s.j = p.j GROUP BY s.i
+), v{t} AS MATERIALIZED (
+  SELECT i AS j,
+         ROUND(w / (SELECT sqrt(SUM(w * w)) FROM w{t}), 9) AS v
+  FROM w{t}
+)""")
+    parts.append(f"""u0 AS (
+  SELECT j, v - CASE WHEN j = 1 THEN 1.0 ELSE 0.0 END AS u0
+  FROM v{pca_iters}
+), nu AS (
+  SELECT sqrt(SUM(u0 * u0)) AS nu FROM u0
+), hh AS MATERIALIZED (
+  SELECT j, CASE WHEN nu.nu < 1e-9 THEN 0.0
+                 ELSE ROUND(u0 / nu.nu, 9) END AS u
+  FROM u0 CROSS JOIN nu
+), qdot AS MATERIALIZED (
+  SELECT a.vec_id, ROUND(SUM(a.x * hh.u), 9) AS dot
+  FROM a JOIN hh ON a.i = hh.j GROUP BY a.vec_id
+), rot AS MATERIALIZED (
+  SELECT vec_id, list(rx ORDER BY i) AS e FROM (
+    SELECT a.vec_id, a.i, ROUND(a.x - 2 * q.dot * hh.u, 6) AS rx
+    FROM a JOIN hh ON a.i = hh.j JOIN qdot q USING (vec_id))
+  GROUP BY vec_id
+), pv AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+), pq_q AS (
+  SELECT vec_id, e FROM pv WHERE vec_id < {n_queries}
+), oq_q AS (
+  SELECT vec_id, e FROM rot WHERE vec_id < {n_queries}
+)""")
+    parts += _pq_chain_parts("p", "pv", "pq_q", m, ksub, iters, dim, k)
+    parts += _pq_chain_parts("o", "rot", "oq_q", m, ksub, iters, dim, k)
+    parts.append(f"""exr AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.vec_id AS qid, v.vec_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             ROUND(list_sum(list_transform(list_zip(q.e, v.e),
+               x -> (x[1]-x[2])*(x[1]-x[2]))), 6), v.vec_id) AS rn
+    FROM pq_q q CROSS JOIN pv v) WHERE rn <= {k}
+)""")
+    parts.append("""phits AS (
+  SELECT p.qid, CAST(COUNT(e.vec_id) AS BIGINT) AS hits
+  FROM padcr p LEFT JOIN exr e
+       ON p.qid = e.qid AND p.vec_id = e.vec_id
+  GROUP BY p.qid
+), ohits AS (
+  SELECT o.qid, CAST(COUNT(e.vec_id) AS BIGINT) AS hits
+  FROM oadcr o LEFT JOIN exr e
+       ON o.qid = e.qid AND o.vec_id = e.vec_id
+  GROUP BY o.qid
+)""")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT p.qid AS query_id,
+       p.hits AS hits_pq, ROUND(p.hits / {k}.0, 2) AS recall_pq,
+       o.hits AS hits_opq, ROUND(o.hits / {k}.0, 2) AS recall_opq
+FROM phits p JOIN ohits o USING (qid) ORDER BY query_id""")
+
+
+@x("x212_opq_recall", _x212_sql())
+def x212(spark, sf):
+    """Optimized product quantization (Ge et al. 2013), the
+    deterministic parametric variant on the x185 substrate: ONE
+    Householder reflection aligns the replayable power-iteration top
+    component with axis 1 before the x186 PQ training — measured
+    against plain PQ IN THE ENTRY: per query ``(hits_pq, recall_pq,
+    hits_opq, recall_opq)`` against the shared exact ranking (fixture:
+    OPQ 0.395 mean recall vs plain 0.375).  The rotation is map-only
+    Catalyst (one dot product + a transform); the oracle replays the
+    PCA chain, the Householder vector, every rotated coordinate, BOTH
+    full PQ trainings, both ADC rankings and both recall grades.
+    The serpentine variance-balancing permutation (Ge §4.1's
+    eigenvalue-allocation analogue) is opt-in and unit-tested on a
+    skewed-variance fixture where it is the remedy.
+    operators/similarity.py::opq_train_encode."""
+    from ..operators.similarity import (opq_adc_topk, opq_train_encode,
+                                        pq_adc_topk, pq_train_encode)
+
+    emb = load_emb(spark, sf)
+    codes_p, books_p = pq_train_encode(emb, m=8, ksub=16, iters=2)
+    codes_o, books_o, u, perm = opq_train_encode(emb, m=8, ksub=16,
+                                                 iters=2)
+    qs = emb.filter(F.col("vec_id") < 20)
+    adc_p = pq_adc_topk(qs, codes_p, books_p, k=10)
+    adc_o = opq_adc_topk(qs, codes_o, books_o, u, perm, k=10)
+
+    qv = qs.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").cast("array<double>").alias("qe"))
+    corpus = (emb.filter(F.col("embedding").isNotNull())
+              .select("vec_id",
+                      F.col("embedding").cast("array<double>")
+                       .alias("e")))
+    d2 = F.round(F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    w = Window.partitionBy("qid").orderBy(d2.asc(),
+                                          F.col("vec_id").asc())
+    exact = (qv.crossJoin(F.broadcast(corpus))
+               .withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") <= 10)
+               .select(F.col("qid"), F.col("vec_id")))
+
+    def hits(adc, out):
+        return (adc.join(exact,
+                         (adc["query_id"] == exact["qid"])
+                         & (adc["vec_id"] == exact["vec_id"]), "left")
+                .groupBy("query_id")
+                .agg(F.sum(F.when(F.col("qid").isNotNull(), 1)
+                            .otherwise(0)).alias(out)))
+
+    hp = hits(adc_p, "hits_pq")
+    ho = hits(adc_o, "hits_opq")
+    return (hp.join(ho, "query_id")
+              .select("query_id",
+                      F.col("hits_pq").cast("long").alias("hits_pq"),
+                      F.round(F.col("hits_pq") / 10.0, 2)
+                       .alias("recall_pq"),
+                      F.col("hits_opq").cast("long").alias("hits_opq"),
+                      F.round(F.col("hits_opq") / 10.0, 2)
+                       .alias("recall_opq"))
+              .orderBy("query_id"))

@@ -627,6 +627,37 @@ def embedding_covariance(df: DataFrame, vec_col: str = "embedding",
     return spark.createDataFrame(out, "i int, j int, cov double")
 
 
+def _cov_matrix(cells) -> tuple[list, int, float]:
+    """Collected covariance cells (upper triangle, rounded) → sparse
+    row adjacency ``row_cells[i] = [(j, cov)]``, dimension, trace."""
+    d = max(r["j"] for r in cells)
+    row_cells: list[list[tuple[int, float]]] = [[] for _ in range(d)]
+    tr = 0.0
+    for r in cells:
+        i, j, c = r["i"], r["j"], r["cov"]
+        row_cells[i - 1].append((j - 1, c))
+        if i < j:
+            row_cells[j - 1].append((i - 1, c))
+        else:
+            tr += c
+    return row_cells, d, tr
+
+
+def _power_vec(row_cells, d: int, iters: int,
+               quantize: int) -> list[float]:
+    """The x185 power iteration on the rounded covariance: exact
+    uniform unit start, matvec and normalized vector quantized every
+    round — the trajectory any engine replays as chained CTEs."""
+    rnd = _round_half_away
+    v = [1.0 / math.sqrt(float(d))] * d
+    for _ in range(iters):
+        w = [rnd(sum(c * v[j] for j, c in row_cells[i]), quantize)
+             for i in range(d)]
+        n = math.sqrt(sum(x * x for x in w))
+        v = [rnd(x / n, quantize) for x in w]
+    return v
+
+
 def pca_top_component(df: DataFrame, vec_col: str = "embedding",
                       iters: int = 8, quantize: int = 9) -> DataFrame:
     """Dominant principal component of an embedding column by POWER
@@ -658,23 +689,9 @@ def pca_top_component(df: DataFrame, vec_col: str = "embedding",
     # 1e-quantize rounding absorbs summation-order noise exactly as it
     # does between Spark's partial aggregation and the SQL replay)
     cells = embedding_covariance(df, vec_col, round_to=6).collect()
-    d = max(r["j"] for r in cells)
-    row_cells: list[list[tuple[int, float]]] = [[] for _ in range(d)]
-    tr = 0.0
-    for r in cells:
-        i, j, c = r["i"], r["j"], r["cov"]
-        row_cells[i - 1].append((j - 1, c))
-        if i < j:
-            row_cells[j - 1].append((i - 1, c))
-        else:
-            tr += c
+    row_cells, d, tr = _cov_matrix(cells)
     rnd = _round_half_away
-    v = [1.0 / math.sqrt(float(d))] * d
-    for _ in range(iters):
-        w = [rnd(sum(c * v[j] for j, c in row_cells[i]), quantize)
-             for i in range(d)]
-        n = math.sqrt(sum(x * x for x in w))
-        v = [rnd(x / n, quantize) for x in w]
+    v = _power_vec(row_cells, d, iters, quantize)
     # Rayleigh quotient on the final vector (||v|| == 1 up to rounding)
     cv = [rnd(sum(c * v[j] for j, c in row_cells[i]), quantize)
           for i in range(d)]
@@ -966,6 +983,164 @@ def pq_index_query(queries: DataFrame, index_path: str, k: int = 10,
 
 
 # ---------------------------------------------------------------------------
+# OPQ: optimized product quantization (Ge et al. 2013) — rotate the space
+# before PQ so the code budget aligns with the data's geometry.  This is the
+# DETERMINISTIC PARAMETRIC variant on the x185 substrate: instead of the
+# paper's full eigendecomposition + alternating optimization (not replayable
+# under the trajectory discipline), the rotation is (a) ONE Householder
+# reflection mapping the replayable power-iteration top component onto the
+# first axis — the dominant direction the natural dimension order smears
+# across subspaces — and (b) a variance-BALANCED dimension permutation
+# (serpentine deal over the rotated per-dimension variances, the
+# deterministic integer-arithmetic stand-in for Ge §4.1's eigenvalue
+# allocation, which needs float products a second engine could order
+# differently).  Distances are preserved up to the 1e-quantize rounding, so
+# exact ADC semantics are unchanged — only the subspace geometry improves.
+# ---------------------------------------------------------------------------
+
+
+def opq_rotation(df: DataFrame, vec_col: str = "embedding",
+                 m: int = 8, iters: int = 8, quantize: int = 9
+                 ) -> tuple[list[float], list[int], list[float]]:
+    """Train the deterministic OPQ rotation: ``(u, perm, var)``.
+
+    ``u`` — the (quantized) Householder unit vector; the rotation is
+    ``R·x = x − 2(u·x)u``.  ``u = normalize(v₁ − e₁)`` maps the x185
+    power-iteration top component ``v₁`` onto axis 1; when ``v₁`` is
+    already axis-aligned (‖v₁ − e₁‖ < 1e-9) ``u`` is the ZERO vector
+    and the same formula degrades to the identity — one code path,
+    one oracle formula, no branch to replay.
+
+    ``perm`` — ``perm[i]`` = the 0-based position of old dimension
+    ``i`` in the rotated-reordered vector: dimensions rank by rotated
+    variance (DESC, dim ASC) and deal serpentine across the ``m``
+    subspaces, so each subspace receives one dimension per "round"
+    alternating pick order — balanced subspace variance from pure
+    integer arithmetic on the rank.  The rotated per-dimension
+    variance is closed-form from the rounded covariance:
+    ``(RCRᵀ)_ii = C_ii − 4·u_i·(Cu)_i + 4·u_i²·(uᵀCu)``.
+
+    ``var`` — those rotated variances (diagnostics + the oracle's
+    ranking input).  One corpus pass (the covariance Gram partials);
+    everything else is driver-side d² arithmetic."""
+    cells = embedding_covariance(df, vec_col, round_to=6).collect()
+    row_cells, d, _tr = _cov_matrix(cells)
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    rnd = _round_half_away
+    v1 = _power_vec(row_cells, d, iters, quantize)
+    u0 = [a - (1.0 if i == 0 else 0.0) for i, a in enumerate(v1)]
+    nu = math.sqrt(sum(x * x for x in u0))
+    if nu < 1e-9:
+        u = [0.0] * d
+    else:
+        u = [rnd(x / nu, quantize) for x in u0]
+    diag = {}
+    for i in range(d):
+        for j, c in row_cells[i]:
+            if j == i:
+                diag[i] = c
+    cu = [rnd(sum(c * u[j] for j, c in row_cells[i]), quantize)
+          for i in range(d)]
+    s = rnd(sum(a * b for a, b in zip(u, cu)), quantize)
+    var = [rnd(diag.get(i, 0.0) - 4.0 * u[i] * cu[i]
+               + 4.0 * u[i] * u[i] * s, 6) for i in range(d)]
+    dsub = d // m
+    order = sorted(range(d), key=lambda i: (-var[i], i))
+    perm = [0] * d
+    for r, i in enumerate(order):
+        block, pos = divmod(r, m)
+        sub = pos if block % 2 == 0 else m - 1 - pos
+        perm[i] = sub * dsub + block
+    return u, perm, var
+
+
+def opq_rotate(df: DataFrame, vec_col: str, u: list[float],
+               perm: list[int], out_col: str,
+               quantize: int = 6) -> DataFrame:
+    """Apply the trained rotation+permutation as ONE map-only Catalyst
+    expression: ``y[perm[i]] = round(x_i − 2·(u·x)·u_i, quantize)``
+    (the dot product quantized to 9 dp, the x185 discipline).  The
+    zero-``u`` case evaluates to ``round(x_i, quantize)`` through the
+    same formula.  No UDF, no shuffle — linear in corpus bytes."""
+    d = len(u)
+    inv = [0] * d
+    for i, p in enumerate(perm):
+        inv[p] = i
+    x = f"cast({vec_col} as array<double>)"
+    u_sql = "array(" + ",".join(f"{float(a)!r}D" for a in u) + ")"
+    inv_sql = "array(" + ",".join(str(i + 1) for i in inv) + ")"
+    dot = (f"round(aggregate(zip_with({x}, {u_sql}, (a, b) -> a * b), "
+           f"cast(0.0 as double), (acc, t) -> acc + t), 9)")
+    out = df.withColumn("__opq_dot", F.expr(dot))
+    y = (f"transform({inv_sql}, i -> round(element_at({x}, i) "
+         f"- 2.0D * __opq_dot * element_at({u_sql}, i), "
+         f"{int(quantize)}))")
+    return out.withColumn(out_col, F.expr(y)).drop("__opq_dot")
+
+
+def opq_train_encode(df: DataFrame, id_col: str = "vec_id",
+                     vec_col: str = "embedding", m: int = 8,
+                     ksub: int = 16, iters: int = 3,
+                     rot_iters: int = 8, balance: bool = False,
+                     quantize: int = 6):
+    """Rotated PQ: train the rotation on the corpus covariance, rotate
+    (map-only), then the standard fused PQ training/encoding on the
+    rotated vectors.  Returns ``(codes, codebooks, u, perm)`` —
+    ``codes`` has the same ``(id, code_0..code_{m-1})`` shape as
+    :func:`pq_train_encode`, so every downstream consumer (ADC, the
+    persistent index layout) works unchanged; queries must rotate
+    through the SAME ``(u, perm)`` (see :func:`opq_adc_topk`).
+
+    ``balance`` opts into the serpentine variance-balancing
+    permutation.  It is what rescues PQ when per-dimension variances
+    are SKEWED — natural order then stacks all the energy into one
+    subspace and the other ``m−1`` quantize noise (the unit test
+    constructs exactly that and measures the gain) — but on a
+    near-isotropic corpus it can split residually correlated pairs
+    across subspaces: on the embeddings fixture, alignment-only
+    measured recall@10 0.395 vs 0.375 plain PQ vs 0.360 with the
+    permutation, so alignment-only is the default and the
+    permutation is the documented skew remedy."""
+    u, perm, _var = opq_rotation(df, vec_col, m, iters=rot_iters)
+    if not balance:
+        perm = list(range(len(u)))
+    rot = opq_rotate(df.filter(F.col(vec_col).isNotNull()),
+                     vec_col, u, perm, "__re", quantize=quantize)
+    codes, books = pq_train_encode(rot, id_col=id_col, vec_col="__re",
+                                   m=m, ksub=ksub, iters=iters,
+                                   quantize=quantize)
+    return codes, books, u, perm
+
+
+def _rotate_vec(vec: list[float], u: list[float], perm: list[int],
+                quantize: int) -> list[float]:
+    """Driver-side twin of :func:`opq_rotate`'s Catalyst expression —
+    same dot-product 9-dp round, same per-coordinate round, same
+    permutation — for the per-query residual loops that already run
+    on collected rows (the IVF-PQ ADC tables)."""
+    dot = _round_half_away(sum(a * b for a, b in zip(vec, u)), 9)
+    y = [0.0] * len(vec)
+    for i, (a, b) in enumerate(zip(vec, u)):
+        y[perm[i]] = _round_half_away(a - 2.0 * dot * b, quantize)
+    return y
+
+
+def opq_adc_topk(queries: DataFrame, codes: DataFrame, codebooks,
+                 u: list[float], perm: list[int], k: int = 10,
+                 qid_col: str = "vec_id", qvec_col: str = "embedding",
+                 quantize: int = 6) -> DataFrame:
+    """ADC top-k over OPQ codes: rotate the query batch through the
+    index's ``(u, perm)`` (rotations preserve L2 up to the rounding),
+    then the standard :func:`pq_adc_topk` lookup-table scan — the
+    rotated space is invisible to the serve path."""
+    rq = opq_rotate(queries.filter(F.col(qvec_col).isNotNull()),
+                    qvec_col, u, perm, "__re", quantize=quantize)
+    return pq_adc_topk(rq, codes, codebooks, k=k, qid_col=qid_col,
+                       qvec_col="__re", quantize=quantize)
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ: cell-pruned asymmetric distance over PQ codes — the billion-scale
 # composition of the coarse quantizer (ivf_index_*) with the code-compressed
 # scan (pq_*).  IVF-Flat ships full vectors per cell; PQ alone scans every
@@ -1055,6 +1230,44 @@ def ivfpq_train_encode(df: DataFrame, id_col: str = "vec_id",
     return codes, coarse, books
 
 
+def ivfpq_train_encode_rotated(df: DataFrame, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               ncells: int = 8, m: int = 4,
+                               ksub: int = 8, coarse_iters: int = 2,
+                               pq_iters: int = 2, rot_iters: int = 8,
+                               balance: bool = False,
+                               quantize: int = 6):
+    """OPQ-rotated IVF-PQ (r12): same coarse tier as
+    :func:`ivfpq_train_encode`, but the RESIDUALS rotate through the
+    deterministic OPQ Householder (+ optional balanced permutation)
+    trained on the residual covariance before the sub-codebooks see
+    them — residual PQ already spends the code budget inside the
+    cell; the rotation aligns that budget with the residual geometry
+    (Ge 2013 applied at the IVFADC layer).  The rotation fuses into
+    the same map-only encode projection; cells, probe order and the
+    serve join are untouched.  Returns ``(codes, coarse, books,
+    (u, perm))`` — queries rotate their per-cell residual through the
+    same ``(u, perm)`` (:func:`ivfpq_adc_topk` ``rotation=``)."""
+    from .clustering import _verifiable_fit
+
+    v, coarse, _ = _verifiable_fit(df, id_col, vec_col, ncells,
+                                   coarse_iters, quantize)
+    resid = _ivfpq_cells(v, coarse, quantize)
+    u, perm, _var = opq_rotation(resid, "__r", m, iters=rot_iters)
+    if not balance:
+        perm = list(range(len(u)))
+    rr = (opq_rotate(resid, "__r", u, perm, "__rr", quantize=quantize)
+          .drop("__r").withColumnRenamed("__rr", "__r"))
+    _, books = pq_train_encode(rr, id_col="__id", vec_col="__r",
+                               m=m, ksub=ksub, iters=pq_iters,
+                               quantize=quantize)
+    codes = (_ivfpq_code_cols(rr, books, quantize)
+             .select(F.col("__id").alias(id_col),
+                     F.col("__cell").alias("cell"),
+                     *[f"code_{s}" for s in range(len(books))]))
+    return codes, coarse, books, (u, perm)
+
+
 def _rank_cells(vec, coarse, quantize: int):
     """(rounded d², cell) pairs ascending — the coarse probe order, the
     same rounding/tie rule the oracle replays."""
@@ -1081,7 +1294,8 @@ def _probed_cells(query_rows, coarse, nprobe: int,
 def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
                    k: int = 10, nprobe: int = 2,
                    qid_col: str = "vec_id", qvec_col: str = "embedding",
-                   quantize: int = 6, query_rows=None) -> DataFrame:
+                   quantize: int = 6, query_rows=None,
+                   rotation=None) -> DataFrame:
     """Cell-pruned ADC top-k: each query ranks the coarse cells by
     rounded d² (ties by cell id), probes the ``nprobe`` nearest, and
     scores ONLY vectors assigned to those cells — by summing
@@ -1096,7 +1310,9 @@ def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
     filter is partition pruning, so serve IO rides on nprobe/ncells of
     the corpus, not its size.  Returns ``(query_id, <codes id col>,
     adc, rnk)``, rounded (half-away, SQL semantics) so ranks replay
-    across engines."""
+    across engines.  ``rotation=(u, perm)`` serves an OPQ-rotated
+    index (:func:`ivfpq_train_encode_rotated`): query residuals
+    rotate through the index's transform before the table build."""
     from pyspark.sql.types import (DoubleType, IntegerType, StructField,
                                    StructType)
 
@@ -1118,6 +1334,14 @@ def ivfpq_adc_topk(queries: DataFrame, codes: DataFrame, coarse, books,
             probed.add(cell)
             res = [_round_half_away(a - b, quantize)
                    for a, b in zip(vec, coarse[cell])]
+            if rotation is not None:
+                # OPQ-rotated index (r12): the stored codes quantize
+                # ROTATED residuals, so the query residual rotates
+                # through the same (u, perm) — cell ranking above
+                # stays in the original space (the coarse tier is
+                # unrotated by construction)
+                res = _rotate_vec(res, rotation[0], rotation[1],
+                                  quantize)
             for s in range(m):
                 sub = res[s * dsub:(s + 1) * dsub]
                 for ci, cent in enumerate(books[s]):
@@ -1166,7 +1390,9 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str,
                       vec_col: str = "embedding", ncells: int = 8,
                       m: int = 4, ksub: int = 8, coarse_iters: int = 2,
                       pq_iters: int = 2, quantize: int = 6,
-                      transactional: bool = False) -> dict:
+                      transactional: bool = False,
+                      rotate: bool = False,
+                      balance: bool = False) -> dict:
     """Train both tiers ONCE and persist the index under ``index_path``
     as three parquet tables: ``coarse/`` (cell, center), ``codebooks/``
     (s, c, center), and ``codes/`` (id + code_0..code_{m-1}),
@@ -1185,13 +1411,35 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str,
     Same daily-ingest posture as ``ivf_index_*`` / ``pq_index_*``:
     rebuild on the corpus-refresh cadence, :func:`ivfpq_index_add`
     assigns+encodes deltas against the FROZEN quantizers,
-    :func:`ivfpq_index_query` serves refit-free."""
+    :func:`ivfpq_index_query` serves refit-free.
+
+    ``rotate=True`` (r12) builds the OPQ-rotated variant
+    (:func:`ivfpq_train_encode_rotated`): the residual rotation is
+    part of the frozen quantizer state, persisted as
+    ``rotation.json`` and applied transparently by
+    :func:`ivfpq_index_add`, :func:`ivfpq_index_query` and
+    :func:`ivfpq_rebalance` — the index format is otherwise
+    identical, so occupancy/refine/serve tooling works unchanged."""
+    import json as _json
     import os as _os
 
     spark = corpus.sparkSession
-    codes, coarse, books = ivfpq_train_encode(
-        corpus, id_col, vec_col, ncells=ncells, m=m, ksub=ksub,
-        coarse_iters=coarse_iters, pq_iters=pq_iters, quantize=quantize)
+    if rotate:
+        codes, coarse, books, rot = ivfpq_train_encode_rotated(
+            corpus, id_col, vec_col, ncells=ncells, m=m, ksub=ksub,
+            coarse_iters=coarse_iters, pq_iters=pq_iters,
+            balance=balance, quantize=quantize)
+        _os.makedirs(index_path, exist_ok=True)
+        rpath = _os.path.join(index_path, "rotation.json")
+        with open(rpath + ".tmp", "w") as fh:
+            _json.dump({"u": [float(x) for x in rot[0]],
+                        "perm": [int(p) for p in rot[1]]}, fh)
+        _os.replace(rpath + ".tmp", rpath)
+    else:
+        codes, coarse, books = ivfpq_train_encode(
+            corpus, id_col, vec_col, ncells=ncells, m=m, ksub=ksub,
+            coarse_iters=coarse_iters, pq_iters=pq_iters,
+            quantize=quantize)
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
         "cell int, center array<double>").coalesce(1) \
@@ -1215,7 +1463,8 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str,
             .parquet(codes_path)
         n = spark.read.parquet(codes_path).count()
     return {"n_vectors": int(n), "ncells": ncells, "m": m, "ksub": ksub,
-            "transactional": bool(transactional)}
+            "transactional": bool(transactional),
+            "rotate": bool(rotate)}
 
 
 def _ivfpq_load(spark, index_path: str):
@@ -1226,6 +1475,33 @@ def _ivfpq_load(spark, index_path: str):
     coarse = [list(r["center"]) for r in crows]
     books = _pq_load_books(spark, index_path)
     return coarse, books
+
+
+def _ivfpq_load_rotation(index_path: str):
+    """``(u, perm)`` of an OPQ-rotated index, or None on a plain one
+    (the absence of ``rotation.json`` IS the plain-index marker —
+    pre-r12 indexes load unchanged)."""
+    import json as _json
+    import os as _os
+
+    rpath = _os.path.join(index_path, "rotation.json")
+    if not _os.path.exists(rpath):
+        return None
+    with open(rpath) as fh:
+        doc = _json.load(fh)
+    return [float(x) for x in doc["u"]], [int(p) for p in doc["perm"]]
+
+
+def _maybe_rotate_resid(resid: DataFrame, rotation,
+                        quantize: int) -> DataFrame:
+    """Rotate the ``__r`` residual column through an index's
+    ``(u, perm)`` when present — the shared encode step for
+    index_add and rebalance on a rotated index."""
+    if rotation is None:
+        return resid
+    return (opq_rotate(resid, "__r", rotation[0], rotation[1],
+                       "__rr", quantize=quantize)
+            .drop("__r").withColumnRenamed("__rr", "__r"))
 
 
 def ivfpq_index_add(delta: DataFrame, index_path: str,
@@ -1253,8 +1529,10 @@ def ivfpq_index_add(delta: DataFrame, index_path: str,
     v = (delta.select(F.col(id_col).alias("__id"),
                       F.col(vec_col).cast("array<double>").alias("__e"))
               .filter(F.col("__e").isNotNull()))
-    out = (_ivfpq_code_cols(_ivfpq_cells(v, coarse, quantize), books,
-                            quantize)
+    resid = _maybe_rotate_resid(_ivfpq_cells(v, coarse, quantize),
+                                _ivfpq_load_rotation(index_path),
+                                quantize)
+    out = (_ivfpq_code_cols(resid, books, quantize)
            .select(F.col("__id").alias(id_col),
                    F.col("__cell").alias("cell"),
                    *[f"code_{s}" for s in range(m)]))
@@ -1326,7 +1604,8 @@ def ivfpq_index_query(queries: DataFrame, index_path: str, k: int = 10,
     return ivfpq_adc_topk(queries, codes, coarse, books, k=k,
                           nprobe=nprobe, qid_col=qid_col,
                           qvec_col=qvec_col, quantize=quantize,
-                          query_rows=query_rows)
+                          query_rows=query_rows,
+                          rotation=_ivfpq_load_rotation(index_path))
 
 
 def ivfpq_refine_topk(queries: DataFrame, codes: DataFrame,
@@ -1719,6 +1998,7 @@ def _ivfpq_rebalance_attempt(corpus: DataFrame, index_path: str,
 
     spark = corpus.sparkSession
     coarse, books = _ivfpq_load(spark, index_path)
+    rotation = _ivfpq_load_rotation(index_path)
     ncells = len(coarse)
     codes_path = _os.path.join(index_path, "codes")
     txn = _os.path.isdir(_os.path.join(codes_path, "_manifests"))
@@ -1791,7 +2071,9 @@ def _ivfpq_rebalance_attempt(corpus: DataFrame, index_path: str,
             split.append((int(c), new_id))
             sub = [list(two[0]), list(two[1])]
             enc = (_ivfpq_code_cols(
-                _ivfpq_cells(cell_v, sub, quantize), books, quantize)
+                _maybe_rotate_resid(_ivfpq_cells(cell_v, sub, quantize),
+                                    rotation, quantize),
+                books, quantize)
                 .select("__id",
                         F.when(F.col("__cell") == 0, F.lit(int(c)))
                          .otherwise(F.lit(new_id)).cast("int")

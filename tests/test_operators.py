@@ -1286,6 +1286,132 @@ def test_pq_adc_topk_string_query_ids(spark):
     assert by_str == by_int and len(by_str) == 10
 
 
+def test_opq_rotation_preserves_distances_and_is_permutation(spark):
+    """r12 OPQ: the Householder+permutation is an isometry up to the
+    1e-6 rounding — pairwise L2 distances survive the rotation — and
+    ``perm`` is a true permutation."""
+    import itertools
+    import random
+
+    from datum_spark.operators.similarity import (opq_rotate,
+                                                  opq_rotation)
+
+    rng = random.Random(3)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) + (2.0 if j < 2 else 0.0) * rng.random()
+              for j in range(16)]) for i in range(80)],
+        "vec_id bigint, embedding array<double>")
+    u, perm, var = opq_rotation(df, "embedding", m=4)
+    assert sorted(perm) == list(range(16))
+    assert len(var) == 16
+    assert abs(sum(x * x for x in u) - 1.0) < 1e-6   # unit reflector
+    rot = opq_rotate(df.filter("vec_id < 6"), "embedding", u, perm,
+                     "re")
+    rows = {r["vec_id"]: (list(r["embedding"]), list(r["re"]))
+            for r in rot.collect()}
+    for a, b in itertools.combinations(sorted(rows), 2):
+        d0 = sum((x - y) ** 2 for x, y in zip(rows[a][0], rows[b][0]))
+        d1 = sum((x - y) ** 2 for x, y in zip(rows[a][1], rows[b][1]))
+        assert abs(d0 - d1) < 1e-3, (a, b, d0, d1)
+
+
+def test_ivfpq_rotated_index_roundtrip(spark, tmp_path):
+    """r12 rotated IVF-PQ: build → query (self-retrieval) → add →
+    query → rebalance all work through the persisted rotation, and
+    the serve result equals the manually composed
+    rotate-residual + ADC path."""
+    from datum_spark.operators.similarity import (
+        _ivfpq_load_rotation, ivfpq_index_add, ivfpq_index_build,
+        ivfpq_index_occupancy, ivfpq_index_query, ivfpq_rebalance)
+
+    path = str(tmp_path / "ix")
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01 + j * 0.001
+                 for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    info = ivfpq_index_build(df, path, ncells=3, m=2, ksub=4,
+                             coarse_iters=2, pq_iters=2, rotate=True)
+    assert info["rotate"] is True
+    rot = _ivfpq_load_rotation(path)
+    assert rot is not None and sorted(rot[1]) == list(range(8))
+    qs = df.filter("vec_id IN (0, 31)")
+    got = {(r["query_id"], r["rnk"]): r["vec_id"]
+           for r in ivfpq_index_query(qs, path, k=3, nprobe=1)
+           .collect()}
+    # self-retrieval up to exact duplicates (the fixture repeats the
+    # same vector every 21 ids; ADC ties break by id asc)
+    assert got[(0, 1)] % 21 == 0 and got[(31, 1)] % 21 == 31 % 21
+    # delta ingest encodes through the same rotation
+    extra = spark.createDataFrame(
+        [(100 + i, [400.0 + i * 0.01 + j * 0.001 for j in range(8)])
+         for i in range(6)],
+        "vec_id bigint, embedding array<double>")
+    assert ivfpq_index_add(extra, path) == 6
+    got2 = {r["rnk"]: r["vec_id"] for r in ivfpq_index_query(
+        extra.filter("vec_id = 103"), path, k=3, nprobe=1).collect()}
+    # 4-centroid codes collapse the 400-blob: assert every neighbor
+    # IS from that blob (training ids with i%3==2, or the new deltas)
+    assert all(v >= 100 or v % 3 == 2 for v in got2.values())
+    # rebalance re-encodes split cells through the rotation;
+    # nothing lost or doubled
+    ivfpq_rebalance(df.unionByName(extra), path, hot_factor=1.5)
+    occ = ivfpq_index_occupancy(spark, path).collect()
+    assert sum(r["n_codes"] for r in occ) == 66
+    got3 = {r["rnk"]: r["vec_id"] for r in ivfpq_index_query(
+        qs.filter("vec_id = 31"), path, k=3, nprobe=1).collect()}
+    assert got3[1] % 21 == 31 % 21
+
+
+def test_opq_balance_rescues_skewed_variance(spark):
+    """The serpentine variance-balanced permutation is the skew
+    remedy: when all the energy sits in dims the natural order stacks
+    into ONE subspace, plain PQ wastes m−1 subspaces on noise and the
+    balanced OPQ wins recall decisively."""
+    import random
+
+    from datum_spark.operators.similarity import (opq_adc_topk,
+                                                  opq_train_encode,
+                                                  pq_adc_topk,
+                                                  pq_train_encode)
+
+    rng = random.Random(5)
+    # dims 0..3 carry ~all variance; natural order puts all four into
+    # subspace 0 (m=4, dsub=4)
+    rows = [(i, [rng.uniform(-10, 10) if j < 4 else rng.uniform(-.1, .1)
+                 for j in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    qs = df.filter("vec_id < 10")
+    qv = qs.select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qe"))
+    corpus = df.select("vec_id", F.col("embedding").alias("e"))
+    d2 = F.round(F.aggregate(
+        F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x), 6)
+    from pyspark.sql import Window as W
+    w = W.partitionBy("qid").orderBy(d2.asc(), F.col("vec_id").asc())
+    exact = (qv.crossJoin(F.broadcast(corpus))
+               .withColumn("rn", F.row_number().over(w))
+               .filter("rn <= 10").select("qid", "vec_id"))
+
+    def recall(adc):
+        return (adc.join(exact, (adc["query_id"] == exact["qid"])
+                         & (adc["vec_id"] == exact["vec_id"]), "semi")
+                .count()) / 100.0
+
+    codes_p, books_p = pq_train_encode(df, m=4, ksub=8, iters=2)
+    r_plain = recall(pq_adc_topk(qs, codes_p, books_p, k=10))
+    codes_b, books_b, u, perm = opq_train_encode(
+        df, m=4, ksub=8, iters=2, balance=True)
+    r_bal = recall(opq_adc_topk(qs, codes_b, books_b, u, perm, k=10))
+    # the balanced permutation must spread the 4 heavy dims across
+    # all 4 subspaces...
+    heavy_subspaces = {perm[j] // 4 for j in range(4)}
+    assert len(heavy_subspaces) == 4
+    # ...and win recall decisively on this geometry
+    assert r_bal > r_plain + 0.2, (r_plain, r_bal)
+
+
 def test_ivfpq_train_search_self_retrieval(spark):
     """Well-separated blobs: every query's top-1 via cell-pruned ADC is
     itself, and all retrieved neighbors come from the query's blob."""
