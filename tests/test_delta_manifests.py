@@ -341,6 +341,43 @@ def test_unchanged_segments_are_reused_across_checkpoints(spark,
     assert t._ckpt_state(21)["files"] == t._load_manifest(21)["files"]
 
 
+def test_reused_segment_mtime_refreshed(spark, tmp_path):
+    """ADVICE r12: reusing a content-addressed segment must refresh
+    its mtime, so vacuum's min-age GC guard covers the reuse the same
+    way it covers a fresh link (an old-mtime segment referenced only
+    by a brand-new checkpoint could otherwise be GC'd in the window
+    before the checkpoint doc becomes visible)."""
+    import os
+    import time
+
+    t = SnapshotTable.create(spark, str(tmp_path / "mt"),
+                             checkpoint_interval=3)
+    t.checkpoint_segment_files = 1      # force many buckets
+    df = spark.range(1).select(F.col("id").alias("v"))
+    for _ in range(21):                 # 16 < n ≤ 32: stable regime
+        t.append(df)                    # for ckpts at 18 and 21
+    with open(t._checkpoint_path(18)) as fh:
+        d18 = json.load(fh)
+    with open(t._checkpoint_path(21)) as fh:
+        d21 = json.load(fh)
+    shared = sorted(set(d18["segments"]) & set(d21["segments"]))
+    assert shared, "fixture must reuse at least one segment"
+    # age every shared segment far into the past, then force another
+    # checkpoint (24 files — same bucket regime): the reuse path must
+    # bump the mtime of whichever aged segments it re-references
+    old = time.time() - 9999
+    for name in shared:
+        os.utime(t._seg_path(name), (old, old))
+    for _ in range(3):                  # next ckpt at v24
+        t.append(df)
+    with open(t._checkpoint_path(24)) as fh:
+        d24 = json.load(fh)
+    reused = sorted(set(shared) & set(d24["segments"]))
+    assert reused, "at least one aged segment must be reused at v24"
+    for name in reused:
+        assert time.time() - os.path.getmtime(t._seg_path(name)) < 120
+
+
 def test_legacy_embedded_file_checkpoint_still_resolves(spark,
                                                         tmp_path):
     """An r10 checkpoint embedding `files` directly keeps working as a

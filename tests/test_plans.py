@@ -446,3 +446,32 @@ def test_bloom_probe_is_map_side_literal(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan            # pure map-side filter
     assert "Exchange" not in plan
+
+
+def test_gopher_rules_plan_is_map_only(spark):
+    """x211: every Gopher rule column is a map-side expression — the
+    physical plan over the parquet scan carries NO Exchange, no join,
+    no UDF (BatchEvalPython/ArrowEvalPython) before the rows emerge."""
+    from datum_spark.operators.text import gopher_rules
+    from datum_spark.tierb import load
+
+    docs = load(spark, SF, "documents")
+    df = gopher_rules(docs, "text", lang_col="lang")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan
+    assert "EvalPython" not in plan      # no Python UDF in the path
+
+
+def test_opq_rotate_plan_is_map_only(spark):
+    """x212: rotation application is one map-only projection — no
+    Exchange, no UDF; the (u, perm) ride the plan as literals."""
+    from datum_spark.operators.similarity import opq_rotate
+    from datum_spark.tierb import load
+
+    emb = load(spark, SF, "embeddings")
+    u = [0.125] * 64
+    df = opq_rotate(emb, "embedding", u, list(range(64)), "re")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "EvalPython" not in plan
