@@ -2723,3 +2723,72 @@ def x212(spark, sf):
                       F.round(F.col("hits_opq") / 10.0, 2)
                        .alias("recall_opq"))
               .orderBy("query_id"))
+
+
+def _x213_sql() -> str:
+    """C4-rule oracle: every measured column and page verdict of
+    operators/text.py::c4_rules replayed in DuckDB."""
+    from ..operators.text import _C4_BADWORDS_STUB
+
+    bw = "[" + ",".join(f"'{w}'" for w in _C4_BADWORDS_STUB) + "]"
+    return f"""WITH base AS (
+  SELECT doc_id, text, lower(text) AS low,
+         regexp_split_to_array(text, '\\n') AS lines,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     w -> w <> '') AS words
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    GREATEST(len(lines), 1) AS dl,
+    CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+      AS n_sentences,
+    CAST(len(list_filter(lines,
+         l -> regexp_matches(l, '[.!?"]\\s*$'))) AS DOUBLE)
+      AS n_terminal,
+    CAST(len(list_filter(lines,
+         l -> len(list_filter(regexp_split_to_array(l, '\\s+'),
+                              w -> w <> '')) < 3)) AS DOUBLE)
+      AS n_short,
+    contains(low, 'lorem ipsum') AS has_lorem_ipsum,
+    contains(text, '{{') AS has_brace,
+    len(list_filter(lines,
+        l -> contains(lower(l), 'javascript'))) > 0
+      AS has_javascript_line,
+    len(list_intersect(list_distinct(words), {bw})) > 0
+      AS has_bad_word
+  FROM base
+)
+SELECT doc_id, n_lines, n_sentences,
+       ROUND(n_terminal / dl, 6) AS frac_terminal_lines,
+       ROUND(n_short / dl, 6) AS frac_short_lines,
+       has_lorem_ipsum, has_brace, has_javascript_line, has_bad_word,
+       n_sentences >= 5 AS pass_sentences,
+       NOT has_lorem_ipsum AS pass_lorem,
+       NOT has_brace AS pass_brace,
+       NOT has_bad_word AS pass_badwords,
+       n_sentences >= 5 AND NOT has_lorem_ipsum AND NOT has_brace
+         AND NOT has_bad_word AS c4_pass
+FROM m ORDER BY doc_id"""
+
+
+@x("x213_c4_rules", _x213_sql())
+def x213(spark, sf):
+    """The published C4 cleaning rules (Raffel et al. 2020 §2.2) as
+    individually audited per-document columns — the second canonical
+    web-corpus rule set next to x211's Gopher rules: sentence count,
+    terminal-punctuation and short-line retention fractions (C4's
+    line-level filters, reported as audit fractions), lorem-ipsum /
+    curly-brace / javascript / blocklist markers, and the page-level
+    verdicts with their conjunction.  All map-side Catalyst
+    expressions; the oracle replays every column and threshold.
+    operators/text.py::c4_rules."""
+    from ..operators.text import c4_rules
+
+    docs = load_docs(spark, sf)
+    cols = ["n_lines", "n_sentences", "frac_terminal_lines",
+            "frac_short_lines", "has_lorem_ipsum", "has_brace",
+            "has_javascript_line", "has_bad_word", "pass_sentences",
+            "pass_lorem", "pass_brace", "pass_badwords", "c4_pass"]
+    return (c4_rules(docs, "text")
+            .select("doc_id", *cols).orderBy("doc_id"))

@@ -205,6 +205,84 @@ def gopher_rules(df: DataFrame, text_col: str = "text",
         & F.col("pass_stop"))
 
 
+# A deliberately tiny embedded marker subset standing in for the
+# external "Dirty, Naughty, Obscene..." blocklist C4 references — the
+# real deployment passes its licensed list via the parameter.
+_C4_BADWORDS_STUB = ["badword1", "badword2"]
+
+_TERMINAL_LINE_RE = r'[.!?"]\s*$'
+
+
+def c4_rules(df: DataFrame, text_col: str = "text",
+             bad_words: list[str] | None = None,
+             min_sentences: int = 5) -> DataFrame:
+    """The published C4 cleaning rules (Raffel et al. 2020 §2.2) as
+    INDIVIDUALLY AUDITED per-document columns — the same
+    column-per-rule posture as :func:`gopher_rules`, for the other
+    canonical web-corpus rule set.
+
+    Measured columns: ``n_lines``, ``n_sentences`` (terminal-
+    punctuation occurrences — the deterministic sentence proxy),
+    ``frac_terminal_lines`` (lines ending in ``. ! ?`` or a closing
+    quote — C4 RETAINS only such lines), ``frac_short_lines`` (lines
+    with < 3 words — C4 drops them), ``has_lorem_ipsum``,
+    ``has_brace`` (any ``{`` — C4's code-page proxy),
+    ``has_javascript_line`` (any line containing "javascript"),
+    ``has_bad_word`` (against ``bad_words``; the published external
+    blocklist is stubbed with a tiny embedded subset — pass the real
+    list in deployment).
+
+    Page-level verdicts as published: ``pass_sentences``
+    (``n_sentences ≥ min_sentences``; C4 used 5), ``pass_lorem`` /
+    ``pass_brace`` / ``pass_badwords`` (absence), and ``c4_pass``
+    (their conjunction).  The line-ending and short-line rules are
+    LINE-level retention in C4, not page gates — they ride along as
+    audit fractions so a curation run can report how much of each
+    page the line filter would keep.
+
+    Scale shape: every column is a map-side Catalyst expression —
+    no shuffle, no UDF, linear in corpus bytes."""
+    bw = bad_words if bad_words is not None else _C4_BADWORDS_STUB
+    text = F.col(text_col)
+    low = F.lower(text)
+    lines = F.split(text, "\n")
+    n_lines = F.size(lines).cast("long")
+    dl = F.greatest(n_lines, F.lit(1)).cast("double")
+    n_sentences = F.size(F.regexp_extract_all(
+        text, F.lit(r"[.!?]"), 0)).cast("long")
+    n_terminal = F.size(F.filter(
+        lines, lambda ln: ln.rlike(_TERMINAL_LINE_RE))).cast("double")
+    n_short = F.size(F.filter(
+        lines,
+        lambda ln: F.size(F.filter(F.split(ln, r"\s+"),
+                                   lambda w: w != "")) < 3)
+        ).cast("double")
+    has_js = F.exists(lines,
+                      lambda ln: F.lower(ln).contains("javascript"))
+    words = _words(text)
+    has_bad = F.size(F.array_intersect(
+        F.array_distinct(words),
+        F.array(*[F.lit(w) for w in bw]))) > 0
+    out = (df.withColumn("n_lines", n_lines)
+             .withColumn("n_sentences", n_sentences)
+             .withColumn("frac_terminal_lines",
+                         F.round(n_terminal / dl, 6))
+             .withColumn("frac_short_lines", F.round(n_short / dl, 6))
+             .withColumn("has_lorem_ipsum", low.contains("lorem ipsum"))
+             .withColumn("has_brace", text.contains("{"))
+             .withColumn("has_javascript_line", has_js)
+             .withColumn("has_bad_word", has_bad))
+    out = (out.withColumn("pass_sentences",
+                          F.col("n_sentences") >= min_sentences)
+              .withColumn("pass_lorem", ~F.col("has_lorem_ipsum"))
+              .withColumn("pass_brace", ~F.col("has_brace"))
+              .withColumn("pass_badwords", ~F.col("has_bad_word")))
+    return out.withColumn(
+        "c4_pass",
+        F.col("pass_sentences") & F.col("pass_lorem")
+        & F.col("pass_brace") & F.col("pass_badwords"))
+
+
 def language_guess(col: Column) -> Column:
     """Stopword-marker language guess over the marker sets above: the
     language with the most distinct marker hits wins (ties → lexicographic

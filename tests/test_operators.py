@@ -200,6 +200,38 @@ def test_gopher_rules_columns_and_thresholds(spark):
     assert out_en[7]["stop_hits"] < out[7]["stop_hits"]
 
 
+def test_c4_rules_columns_and_verdicts(spark):
+    """Each published C4 rule (Raffel 2020 §2.2) is an audited
+    column: crafted docs trip exactly the rule they violate."""
+    from datum_spark.operators.text import c4_rules
+
+    good = "\n".join("this is a proper sentence number %d." % i
+                     for i in range(6))
+    short_sent = "one sentence only."
+    lorem = good + "\nsome Lorem Ipsum filler text here."
+    brace = good + "\nfunction() { return 1; }"
+    js = good + "\nenable JavaScript to view this page."
+    bad = good + "\nthis page mentions badword1 explicitly."
+    bullets = "\n".join("- item%d" % i for i in range(4)) \
+        + "\n" + good
+    df = spark.createDataFrame(
+        [(1, good), (2, short_sent), (3, lorem), (4, brace),
+         (5, js), (6, bad), (7, bullets)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in c4_rules(df, "text").collect()}
+    assert out[1]["c4_pass"] and out[1]["n_sentences"] >= 5
+    assert out[1]["frac_terminal_lines"] == 1.0
+    assert not out[2]["pass_sentences"] and not out[2]["c4_pass"]
+    assert out[3]["has_lorem_ipsum"] and not out[3]["c4_pass"]
+    assert out[4]["has_brace"] and not out[4]["c4_pass"]
+    # javascript is a LINE retention marker, not a page gate
+    assert out[5]["has_javascript_line"] and out[5]["c4_pass"]
+    assert out[6]["has_bad_word"] and not out[6]["c4_pass"]
+    # bullet items: short non-terminal lines show in both fractions
+    assert out[7]["frac_short_lines"] > 0.3
+    assert out[7]["frac_terminal_lines"] < 0.7 and out[7]["c4_pass"]
+
+
 def test_token_count_modes(spark):
     df = spark.createDataFrame([(1, "  hello,  world! 123  ")], "id long, t string")
     ws = with_token_count(df, "t", "n", mode="whitespace").collect()[0]["n"]
