@@ -7,7 +7,8 @@ DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
 (50 in every round so far).  The dict leads with the round-12 RECHECK
-set (the 3 new entries x211 gopher / x212 OPQ / x213 C4; the 4
+set (the 4 new entries x211 gopher / x212 OPQ / x213 C4 /
+x214 repetition; the 4
 entries whose code changed this round: x207 — the multiclass fit
 vectorized into one gradient job per step, x208/x210 — histogram-
 derived tercile cuts + cached score frame, x185 — the power-iteration
@@ -53,6 +54,7 @@ _RECHECK_R12 = {
     "x210_ccnet_by_language",     # r12: histogram cuts per group
     "x185_pca_power",             # r12: power-iteration helper split
     "x213_c4_rules",              # new: Raffel 2020 §2.2 audited columns
+    "x214_gopher_repetition",     # new: Rae 2021 §A1.2 repetition rules
 }
 
 

@@ -2792,3 +2792,112 @@ def x213(spark, sf):
             "pass_lorem", "pass_brace", "pass_badwords", "c4_pass"]
     return (c4_rules(docs, "text")
             .select("doc_id", *cols).orderBy("doc_id"))
+
+
+def _x214_sql() -> str:
+    """Gopher-repetition oracle: every measured fraction, every
+    published threshold verdict and the conjunction of
+    operators/text.py::gopher_repetition replayed in DuckDB —
+    line/paragraph dup fractions, the deterministic top-gram choice
+    (count DESC, len DESC, gram DESC) and the capped dup-gram
+    coverage."""
+    from ..operators.text import _GOPHER_REP_THRESHOLDS
+
+    top_cols = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN f END), 0.0) "
+        f"AS top_{n}gram_char_frac" for n in (2, 3, 4))
+    dup_cols = ",\n       ".join(
+        f"COALESCE(MAX(CASE WHEN n = {n} THEN f END), 0.0) "
+        f"AS dup_{n}gram_char_frac" for n in range(5, 11))
+    passes = ",\n       ".join(
+        f"{name} <= {thr} AS pass_{name}"
+        for name, thr in _GOPHER_REP_THRESHOLDS.items())
+    conj = " AND ".join(f"{name} <= {thr}"
+                        for name, thr in _GOPHER_REP_THRESHOLDS.items())
+    return f"""WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS ws,
+         regexp_split_to_array(text, '\\n') AS lines,
+         list_filter(regexp_split_to_array(text, '\\n\\n'),
+                     p -> p <> '') AS paras
+  FROM documents
+), base AS (
+  SELECT doc_id,
+    CAST(len(lines) AS DOUBLE) AS nl,
+    CAST(len(list_distinct(lines)) AS DOUBLE) AS nld,
+    CAST(COALESCE(list_sum(list_transform(lines,
+         x -> length(x))), 0) AS DOUBLE) AS lc,
+    CAST(COALESCE(list_sum(list_transform(list_distinct(lines),
+         x -> length(x))), 0) AS DOUBLE) AS lcd,
+    CAST(len(paras) AS DOUBLE) AS np,
+    CAST(len(list_distinct(paras)) AS DOUBLE) AS npd,
+    CAST(COALESCE(list_sum(list_transform(paras,
+         x -> length(x))), 0) AS DOUBLE) AS pc,
+    CAST(COALESCE(list_sum(list_transform(list_distinct(paras),
+         x -> length(x))), 0) AS DOUBLE) AS pcd,
+    CAST(length(array_to_string(ws, ' ')) AS DOUBLE) AS total
+  FROM w
+), g AS (
+  SELECT doc_id, n,
+         array_to_string(list_slice(ws, i, i + n - 1), ' ') AS gram
+  FROM (SELECT doc_id, ws, ns.n,
+               unnest(generate_series(1, len(ws) - ns.n + 1)) AS i
+        FROM w, (SELECT unnest(range(2, 11)) AS n) ns
+        WHERE len(ws) >= ns.n)
+), gc AS MATERIALIZED (
+  SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3
+), pern AS (
+  SELECT t.doc_id, t.n,
+         CASE WHEN b.total > 0 AND t.c >= 2 AND t.n <= 4
+              THEN ROUND(LEAST(t.c * t.l / b.total, 1.0), 6)
+              WHEN b.total > 0 AND t.n >= 5
+              THEN ROUND(LEAST(d.dc / b.total, 1.0), 6)
+              ELSE 0.0 END AS f
+  FROM (SELECT doc_id, n, c, length(gram) AS l FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id, n
+            ORDER BY c DESC, length(gram) DESC, gram DESC) AS rn
+          FROM gc) WHERE rn = 1) t
+  JOIN (SELECT doc_id, n,
+               SUM(CASE WHEN c >= 2 THEN c * length(gram)
+                        ELSE 0 END) AS dc
+        FROM gc GROUP BY 1, 2) d USING (doc_id, n)
+  JOIN base b USING (doc_id)
+), fr AS (
+  SELECT b.doc_id,
+    ROUND(CASE WHEN nl > 0 THEN (nl - nld) / nl ELSE 0 END, 6)
+      AS dup_line_frac,
+    ROUND(CASE WHEN lc > 0 THEN (lc - lcd) / lc ELSE 0 END, 6)
+      AS dup_line_char_frac,
+    ROUND(CASE WHEN np > 0 THEN (np - npd) / np ELSE 0 END, 6)
+      AS dup_para_frac,
+    ROUND(CASE WHEN pc > 0 THEN (pc - pcd) / pc ELSE 0 END, 6)
+      AS dup_para_char_frac,
+    {top_cols},
+    {dup_cols}
+  FROM base b LEFT JOIN pern p ON b.doc_id = p.doc_id
+  GROUP BY b.doc_id, nl, nld, lc, lcd, np, npd, pc, pcd
+)
+SELECT *,
+       {passes},
+       {conj} AS repetition_pass
+FROM fr ORDER BY doc_id"""
+
+
+@x("x214_gopher_repetition", _x214_sql())
+def x214(spark, sf):
+    """The published Gopher REPETITION rules (Rae et al. 2021 §A1.2)
+    as individually audited per-document columns — the within-document
+    sibling of x211's page-shape rules: duplicate line/paragraph
+    fractions (count and character), the top-{2,3,4}-gram character
+    coverage (deterministic top choice), the duplicated-{5..10}-gram
+    coverage (capped overlap-agnostic bound, disclosed in the
+    operator docstring), each with its published threshold verdict
+    plus the conjunction.  One explode carries all nine gram sizes;
+    two bounded shuffles total — never O(lines²) per document.  The
+    oracle replays every fraction, every threshold and the top-gram
+    tie-break.  operators/text.py::gopher_repetition."""
+    from ..operators.text import gopher_repetition
+
+    docs = load_docs(spark, sf)
+    return gopher_repetition(docs).orderBy("doc_id")

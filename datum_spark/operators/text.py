@@ -393,6 +393,177 @@ def with_pii_redaction(df: DataFrame, text_col: str = "text",
     return out
 
 
+# Gopher repetition thresholds (Rae et al. 2021 §A1.2, Table A1):
+# a document is removed when the measure EXCEEDS the threshold.
+_GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30, "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20, "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20, "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15, "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13, "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11, "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The published Gopher REPETITION rules (Rae et al. 2021 §A1.2)
+    as individually audited per-document columns — the within-document
+    siblings of :func:`gopher_rules` (x211 covers §A1.1's page-shape
+    rules; this covers the repetitious-content table).
+
+    Measures, each with its published threshold as a ``pass_*``
+    verdict (document removed when the measure EXCEEDS it):
+
+    - ``dup_line_frac`` / ``dup_para_frac`` — fraction of lines /
+      paragraphs (``\\n`` / ``\\n\\n`` splits) that are repeats of an
+      earlier value: ``(n − n_distinct) / n``.
+    - ``dup_line_char_frac`` / ``dup_para_char_frac`` — fraction of
+      (line/paragraph) characters sitting in repeated occurrences
+      beyond each value's first: ``Σ_dup (count−1)·len / Σ len``.
+    - ``top_{2,3,4}gram_char_frac`` — the most frequent word n-gram's
+      character coverage ``count·len(gram) / len(join(words))``;
+      the top gram is deterministic (count DESC, len DESC, gram ASC).
+    - ``dup_{5..10}gram_char_frac`` — character coverage of all
+      n-grams occurring more than once, ``Σ count·len(gram) / total``,
+      CAPPED at 1.0 — an overlap-agnostic upper bound of the paper's
+      position-marked coverage (exact position marking is a
+      sequential per-doc walk; the cap keeps the audit column a
+      fraction).  Conservative: it can only over-remove, never
+      under-remove, and the per-rule column makes the bound visible.
+
+    ``repetition_pass`` is the conjunction of all 13 verdicts.
+
+    Scale shape: the line/paragraph measures are map-side array
+    expressions; the n-gram family is ONE explode producing all nine
+    gram sizes in a single pass, one map-side-combined count keyed
+    ``(doc, n, gram)``, and one per-(doc, n) aggregation pivoted back
+    to columns — two bounded shuffles total, never O(L²)-per-doc
+    lambdas (a 10⁵-line page would make the map-only spelling
+    quadratic)."""
+    text = F.col(text_col)
+
+    def _dup_fracs(parts: Column, prefix: str) -> list[Column]:
+        n = F.size(parts).cast("double")
+        nd = F.size(F.array_distinct(parts)).cast("double")
+        total_chars = F.aggregate(parts, F.lit(0.0),
+                                  lambda acc, x: acc + F.length(x))
+        # chars in occurrences beyond each value's first =
+        # total − Σ_distinct len(value)
+        dist_chars = F.aggregate(F.array_distinct(parts), F.lit(0.0),
+                                 lambda acc, x: acc + F.length(x))
+        return [
+            F.round(F.when(n > 0, (n - nd) / n).otherwise(0.0), 6)
+             .alias(f"dup_{prefix}_frac"),
+            F.round(F.when(total_chars > 0,
+                           (total_chars - dist_chars) / total_chars)
+                     .otherwise(0.0), 6)
+             .alias(f"dup_{prefix}_char_frac"),
+        ]
+
+    from ..util import retain_cache
+
+    lines = F.split(text, "\n")
+    paras = F.filter(F.split(text, "\n\n"), lambda p: p != "")
+    # cached: consumed by the gram-count branch AND the final join —
+    # one computation of the line/paragraph aggregates and the word
+    # split instead of two (bounded operator ring)
+    base = retain_cache(df.select(
+        F.col(id_col),
+        *_dup_fracs(lines, "line"),
+        *_dup_fracs(paras, "para"),
+        _words(text).alias("__ws"),
+    ).withColumn("__total",
+                 F.length(F.array_join("__ws", " ")).cast("double")))
+
+    # ONE explode for all nine gram sizes: (doc, n, gram).  The gram
+    # size binds via a real closure — F.transform inspects the
+    # lambda's arity, so a default-argument binding would receive the
+    # element INDEX instead (the x211 lesson).
+    ns = list(range(2, 11))
+
+    def _gram_structs(n: int) -> Column:
+        return F.transform(
+            F.when(F.size("__ws") >= n,
+                   F.sequence(F.lit(0), F.size("__ws") - n)
+                   ).otherwise(F.array().cast("array<int>")),
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice("__ws", i + 1, n), " ")
+                 .alias("g")))
+
+    grams = F.flatten(F.array(*[_gram_structs(n) for n in ns]))
+    gcounts = (base.select(id_col, "__total",
+                           F.explode(grams).alias("__g"))
+               .groupBy(F.col(id_col), F.col("__g.n").alias("__n"),
+                        F.col("__g.g").alias("__gram"))
+               .agg(F.count(F.lit(1)).alias("__c"),
+                    F.first("__total").alias("__total")))
+    # per (doc, n): the deterministic top gram for n∈{2,3,4}; the
+    # duplicated-gram char sum for n∈{5..10}.  Only count ≥ 2 grams
+    # matter to either (a singleton top is not repetition, dup sums
+    # are count ≥ 2 by definition), so the second exchange carries
+    # only the REPEATED grams — near-zero on natural text — instead
+    # of the whole mostly-unique gram table
+    gcounts = gcounts.filter(F.col("__c") >= 2)
+    top = (F.max(F.struct(F.col("__c"),
+                          F.length("__gram").alias("__l"),
+                          # gram ASC under max() = reversed string
+                          # ordering is not expressible; break count
+                          # ties by LONGEST gram then by gram value
+                          # DESC — deterministic and replayed as the
+                          # same ORDER BY in the oracle
+                          F.col("__gram"))))
+    per_n = (gcounts.groupBy(id_col, "__n")
+             .agg(top.alias("__top"),
+                  F.sum(F.when(F.col("__c") >= 2,
+                               F.col("__c") * F.length("__gram"))
+                         .otherwise(F.lit(0))).alias("__dupchars"),
+                  F.first("__total").alias("__total")))
+    # a singleton top gram is not repetition (count must be ≥ 2 —
+    # the published implementations' `count > 1` guard); coverage is
+    # capped at 1.0 like the dup family (overlapping occurrences of
+    # a self-repeating gram can nominally cover > 100% of the chars)
+    frac_top = F.round(
+        F.when((F.col("__total") > 0) & (F.col("__top.__c") >= 2),
+               F.least(F.col("__top.__c") * F.col("__top.__l")
+                       / F.col("__total"), F.lit(1.0)))
+         .otherwise(0.0), 6)
+    frac_dup = F.round(
+        F.least(F.when(F.col("__total") > 0,
+                       F.col("__dupchars") / F.col("__total"))
+                 .otherwise(0.0), F.lit(1.0)), 6)
+    pivoted = (per_n.groupBy(id_col)
+               .agg(*[F.max(F.when(F.col("__n") == n,
+                                   frac_top if n <= 4 else frac_dup))
+                      .alias(_ngram_col(n)) for n in ns]))
+    out = (base.drop("__ws", "__total")
+               .join(pivoted, id_col, "left"))
+    for n in ns:
+        out = out.withColumn(_ngram_col(n),
+                             F.coalesce(F.col(_ngram_col(n)),
+                                        F.lit(0.0)))
+    for name, thr in _GOPHER_REP_THRESHOLDS.items():
+        out = out.withColumn(f"pass_{name}", F.col(name) <= thr)
+    return out.withColumn(
+        "repetition_pass",
+        reduce_and([F.col(f"pass_{k}")
+                    for k in _GOPHER_REP_THRESHOLDS]))
+
+
+def _ngram_col(n: int) -> str:
+    return (f"top_{n}gram_char_frac" if n <= 4
+            else f"dup_{n}gram_char_frac")
+
+
+def reduce_and(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
 def repetition_ratio(col: Column) -> Column:
     """Duplicate-word fraction ``(n_words - n_distinct) / n_words`` — the
     cheap Gopher-style repetitiveness signal (boilerplate / spam / generated

@@ -2054,3 +2054,38 @@ def test_leakage_safe_split_no_straddling_pairs(spark):
     naive_leaks = sum(1 for r in pairs.collect()
                       if naive[r["id_a"]] != naive[r["id_b"]])
     assert naive_leaks > 0
+
+
+def test_gopher_repetition_rules(spark):
+    """Each published repetition rule (Rae 2021 A1.2) is an audited
+    column: crafted docs trip exactly the family they violate, and
+    clean/empty docs pass all 13."""
+    from datum_spark.operators.text import gopher_repetition
+
+    docs = spark.createDataFrame([
+        (1, "a perfectly normal document with many different words "
+            "and no repeats at all in sight today"),
+        (2, "same line\nsame line\nsame line\nother line"),
+        (3, "spam spam spam spam spam spam spam spam spam spam"),
+        (4, "para one here\n\npara one here\n\npara two now"),
+        (5, ""),
+        (6, "the cat sat on the mat and then the cat sat on the mat "
+            "again and the cat sat on the mat"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in gopher_repetition(docs).collect()}
+    assert out[1]["repetition_pass"] and out[5]["repetition_pass"]
+    # duplicate lines: count and char fractions both trip
+    assert out[2]["dup_line_frac"] == 0.5
+    assert not out[2]["pass_dup_line_frac"]
+    assert not out[2]["pass_dup_line_char_frac"]
+    # self-repeating unigram text: top-gram coverage capped at 1.0
+    assert out[3]["top_2gram_char_frac"] == 1.0
+    assert not out[3]["pass_top_2gram_char_frac"]
+    # duplicate paragraphs trip the para family
+    assert out[4]["dup_para_frac"] > 0.3
+    assert not out[4]["pass_dup_para_frac"]
+    # a repeated 5-gram phrase trips the dup-gram family
+    assert out[6]["dup_5gram_char_frac"] > 0.15
+    assert not out[6]["pass_dup_5gram_char_frac"]
+    # singleton top grams are not repetition
+    assert out[1]["top_4gram_char_frac"] == 0.0
