@@ -420,12 +420,18 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
                 allowed_langs=None,
                 unigram_vocab: list | None = None,
                 max_nats_per_token: float | None = None,
+                quality_model=None, min_quality: float = 0.3,
                 with_funnel: bool = False):
     """Streaming daily-ingest gate — the production front door of the
     corpus pipeline: every micro-batch of INCOMING documents is
     (0) language-gated (optional, r12 — ``lang_models`` +
     ``allowed_langs``, the same stage-0 screen as the batch
-    pipeline), (1) perplexity-gated (optional, r12 —
+    pipeline), (0b) quality-gated (optional, r12 —
+    ``quality_model``: a learned ``(w, b)``, the literal
+    ``"gopher"`` rule conjunction, or any non-None value the batch
+    ``_quality_gate`` accepts; ``None`` — the default — applies NO
+    quality screen so pre-r12 sink behavior is unchanged),
+    (1) perplexity-gated (optional, r12 —
     ``unigram_vocab`` + ``max_nats_per_token``, the CCNet filter
     direction), (2) near-dup-screened against the STATIC corpus
     (`incremental_near_dups_md5`: delta×corpus candidates only, the
@@ -446,8 +452,9 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
 
     ``with_funnel=True`` adds the batch pipeline's funnel accounting:
     one row per micro-batch (``rows_in``, ``rows_langid``,
-    ``rows_perplexity``, ``rows_deduped``, ``rows_decontaminated``;
-    disabled gates are NULL) written idempotently to
+    ``rows_quality``, ``rows_perplexity``, ``rows_deduped``,
+    ``rows_decontaminated``; disabled gates are NULL) written
+    idempotently to
     ``out_path + "/_funnel"`` — the underscore prefix keeps funnel
     rows invisible to readers of ``out_path`` (Hadoop hidden-path
     convention), and per-stage sums over batches equal the batch
@@ -464,13 +471,15 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
         benchmark_contamination,
         incremental_near_dups_md5,
     )
-    from ..pipelines import _langid_gate, _perplexity_gate
+    from ..pipelines import _langid_gate, _perplexity_gate, \
+        _quality_gate
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         funnel: dict[str, int | None] = {
-            "rows_langid": None, "rows_perplexity": None}
+            "rows_langid": None, "rows_quality": None,
+            "rows_perplexity": None}
         if with_funnel:
             funnel["rows_in"] = batch_df.count()
         cur = batch_df
@@ -479,6 +488,16 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
                                allowed_langs)
             if with_funnel:
                 funnel["rows_langid"] = cur.count()
+        if quality_model is not None:
+            # the batch pipeline's quality stage — the "heuristic"
+            # sentinel selects the default score gate, "gopher" the
+            # rule conjunction, a (w, b) tuple the learned filter —
+            # as a per-batch static decision (r12 parity completion)
+            qm = None if quality_model == "heuristic" else quality_model
+            cur = _quality_gate(cur, id_col, text_col,
+                                float(min_quality), qm)
+            if with_funnel:
+                funnel["rows_quality"] = cur.count()
         if unigram_vocab is not None and max_nats_per_token is not None:
             cur = _perplexity_gate(cur, id_col, text_col,
                                    unigram_vocab, max_nats_per_token)
@@ -506,10 +525,12 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
             _idempotent_batch_write(
                 spark.createDataFrame(
                     [(funnel["rows_in"], funnel["rows_langid"],
+                      funnel["rows_quality"],
                       funnel["rows_perplexity"],
                       funnel["rows_deduped"],
                       funnel["rows_decontaminated"])],
                     "rows_in long, rows_langid long, "
+                    "rows_quality long, "
                     "rows_perplexity long, rows_deduped long, "
                     "rows_decontaminated long"),
                 batch_id, out_path + "/_funnel")

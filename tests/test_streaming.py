@@ -433,6 +433,55 @@ def test_ingest_sink_stream_equals_batch(spark, tmp_path):
     assert 0 < len(got) < delta.count()
 
 
+def test_ingest_sink_gopher_quality_gate_parity(spark, tmp_path):
+    """r12: the streaming ingest gate's optional quality screen
+    (quality_model="gopher") equals the batch composition of the SAME
+    gate function, with its own funnel row; disabled gates stay
+    NULL."""
+    from datum_spark.operators.dedup import (
+        benchmark_contamination,
+        incremental_near_dups_md5,
+    )
+    from datum_spark.pipelines import _quality_gate
+    from datum_spark.streaming.stateful import ingest_sink
+
+    all_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    corpus = all_docs.filter(F.col("doc_id") < 200)
+    eval_df = all_docs.filter((F.col("doc_id") >= 200)
+                              & (F.col("doc_id") < 220))
+    delta = all_docs.filter(F.col("doc_id") >= 220)
+    src_dir = str(tmp_path / "delta_in")
+    delta.repartition(3).write.parquet(src_dir)
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = str(tmp_path / "accepted")
+    q = ingest_sink(stream, corpus, eval_df, out,
+                    str(tmp_path / "ckpt"), contamination_ngram=5,
+                    quality_model="gopher", with_funnel=True)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    g = _quality_gate(delta, "doc_id", "text", 0.3, "gopher")
+    dup_ids = (incremental_near_dups_md5(g, corpus, "doc_id", "text")
+               .select(F.col("delta_id").alias("doc_id")).distinct())
+    keep = g.join(dup_ids, "doc_id", "anti")
+    cont = benchmark_contamination(keep, eval_df, "doc_id", "text",
+                                   n=5).select("doc_id")
+    want = {r["doc_id"] for r in
+            keep.join(cont, "doc_id", "anti").collect()}
+    assert got == want
+    n_delta, n_q = delta.count(), g.count()
+    assert 0 < n_q < n_delta            # the gate actually gates
+    funnel = spark.read.parquet(out + "/_funnel")
+    sums = funnel.agg(F.sum("rows_in").alias("i"),
+                      F.sum("rows_quality").alias("q"),
+                      F.sum("rows_langid").alias("l"),
+                      F.sum("rows_perplexity").alias("p")).first()
+    assert (sums["i"], sums["q"]) == (n_delta, n_q)
+    assert sums["l"] is None and sums["p"] is None   # gates off
+
+
 def test_ingest_sink_langid_perplexity_funnel_parity(spark, tmp_path):
     """r12 streaming parity for the batch pipeline's optional gates:
     with language + perplexity screens on, the streamed multi-batch
