@@ -799,6 +799,103 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
                         F.round(F.col("n_dup_spans") / F.col("n_spans"), 4)))
 
 
+def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
+                            n: int = 8,
+                            max_span_freq: int | None = None
+                            ) -> DataFrame:
+    """Span-level dedup ACTION — the ExactSubstr remediation of
+    "Deduplicating Training Data Makes Language Models Better" (Lee
+    et al., 2022), whose measurement half is
+    :func:`duplicated_span_stats`: REWRITE each document dropping the
+    word positions covered by rolling word ``n``-gram spans that occur
+    in ≥ 2 documents, instead of dropping whole documents.
+
+    Keep-first determinism: for every cross-document duplicated span,
+    the occurrence at the smallest ``(doc id, position)`` — natural
+    ordering of the id type — survives; every OTHER occurrence
+    (including within-document repeats, and repeats inside the keeper
+    document at later positions) is removed, i.e. its ``n`` covered
+    word positions are dropped from the rewrite.  Covered positions
+    are dropped even where a removed occurrence overlaps the kept one
+    — the conservative direction (never under-removes).
+
+    Returns ``df`` with ``text_col`` REWRITTEN (surviving words joined
+    by single spaces — the rewrite is whitespace-normalizing, like
+    the tokenization it derives from) plus audit columns:
+    ``n_words`` (pre-rewrite whitespace words), ``n_words_removed``,
+    ``n_spans_removed`` (removed occurrences), and
+    ``removed_char_frac`` (character fraction of the whitespace-
+    normalized text dropped, rounded to 6 dp).  Documents with no
+    duplicated spans (and zero-word documents) pass through with
+    their text unchanged up to whitespace normalization.
+
+    Same two-shuffle shape as :func:`duplicated_span_stats`: span →
+    (distinct-doc count, keep-first occurrence) partial-aggregated
+    with spans travelling as 16-byte md5 prefixes, then the removed
+    occurrences join back and collapse to per-document sorted start
+    arrays — posting lists never materialize (only REMOVED
+    occurrences survive the join, bounded by actual duplication, not
+    corpus size).  The rewrite itself is a map-side array expression,
+    O(words × removed-starts) per document — heavy-boilerplate pages
+    should be doc-level-dropped first (:func:`near_dup_clusters`),
+    and ``max_span_freq`` additionally EXEMPTS spans present in more
+    documents than the cap (boilerplate language, not duplication —
+    the same cap semantics as the stats operator).
+    """
+    words = F.filter(F.split(F.col(text_col), r"\s+"),
+                     lambda t: t != "")
+    base = (df.select(F.col(id_col).alias("__id"), words.alias("__w"))
+              .filter(F.size("__w") > 0))
+    idx = F.sequence(F.lit(0), F.greatest(F.size("__w") - n, F.lit(0)))
+    spans = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("p"),
+            F.md5(F.lower(F.concat_ws(
+                " ", F.slice(F.col("__w"), i + 1, n)))).alias("h")))
+    pos = (base.select("__id", F.explode(spans).alias("__s"))
+               .select("__id", F.col("__s.p").alias("__p"),
+                       F.col("__s.h").alias("__h")))
+    pos = _retain_cache(pos)
+    per_span = (pos.groupBy("__h")
+                   .agg(F.count_distinct("__id").alias("__docs"),
+                        F.min(F.struct(F.col("__id"),
+                                       F.col("__p"))).alias("__keep")))
+    dup = per_span.filter(F.col("__docs") >= 2)
+    if max_span_freq is not None:
+        dup = dup.filter(F.col("__docs") <= max_span_freq)
+    removed = (pos.join(dup.select("__h", "__keep"), "__h")
+                  .filter(~((F.col("__id") == F.col("__keep.__id"))
+                            & (F.col("__p") == F.col("__keep.__p")))))
+    starts = (removed.groupBy("__id")
+              .agg(F.sort_array(F.collect_set("__p")).alias("__starts"),
+                   F.count(F.lit(1)).alias("__nrs")))
+    out = df.join(starts.withColumnRenamed("__id", id_col),
+                  id_col, "left")
+    sarr = F.coalesce(F.col("__starts"),
+                      F.expr("array()").cast("array<int>"))
+    kept = F.filter(
+        words,
+        lambda w, i: ~F.exists(sarr,
+                               lambda s: (s <= i) & (i <= s + n - 1)))
+    norm = F.concat_ws(" ", words)
+    new_text = F.concat_ws(" ", kept)
+    frac = F.round(
+        F.when(F.length(norm) > 0,
+               (F.length(norm) - F.length(new_text))
+               / F.length(norm).cast("double"))
+         .otherwise(F.lit(0.0)), 6)
+    return (out.withColumn("n_words", F.size(words).cast("long"))
+               .withColumn("n_words_removed",
+                           (F.size(words) - F.size(kept)).cast("long"))
+               .withColumn("n_spans_removed",
+                           F.coalesce(F.col("__nrs"),
+                                      F.lit(0)).cast("long"))
+               .withColumn("removed_char_frac", frac)
+               .withColumn(text_col, new_text)
+               .drop("__starts", "__nrs"))
+
+
 # ---------------------------------------------------------------------------
 # asymmetric n-gram containment (near-superset detection)
 

@@ -1424,22 +1424,25 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str,
     import os as _os
 
     spark = corpus.sparkSession
+    rpath = _os.path.join(index_path, "rotation.json")
+    rot = None
     if rotate:
         codes, coarse, books, rot = ivfpq_train_encode_rotated(
             corpus, id_col, vec_col, ncells=ncells, m=m, ksub=ksub,
             coarse_iters=coarse_iters, pq_iters=pq_iters,
             balance=balance, quantize=quantize)
-        _os.makedirs(index_path, exist_ok=True)
-        rpath = _os.path.join(index_path, "rotation.json")
-        with open(rpath + ".tmp", "w") as fh:
-            _json.dump({"u": [float(x) for x in rot[0]],
-                        "perm": [int(p) for p in rot[1]]}, fh)
-        _os.replace(rpath + ".tmp", rpath)
     else:
         codes, coarse, books = ivfpq_train_encode(
             corpus, id_col, vec_col, ncells=ncells, m=m, ksub=ksub,
             coarse_iters=coarse_iters, pq_iters=pq_iters,
             quantize=quantize)
+        # Rebuilding a previously rotated index in place must clear the
+        # rotation marker, else add/query/rebalance would rotate
+        # residuals against codebooks trained on UNROTATED residuals.
+        try:
+            _os.unlink(rpath)
+        except FileNotFoundError:
+            pass
     spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(coarse)],
         "cell int, center array<double>").coalesce(1) \
@@ -1462,6 +1465,15 @@ def ivfpq_index_build(corpus: DataFrame, index_path: str,
         codes.write.mode("overwrite").partitionBy("cell") \
             .parquet(codes_path)
         n = spark.read.parquet(codes_path).count()
+    if rotate:
+        # rotation.json is published LAST, after coarse/codebooks/codes
+        # all land: a mid-build crash over an existing plain index can
+        # never pair a fresh rotation marker with stale unrotated
+        # quantizers (the marker's absence IS the plain-index contract).
+        with open(rpath + ".tmp", "w") as fh:
+            _json.dump({"u": [float(x) for x in rot[0]],
+                        "perm": [int(p) for p in rot[1]]}, fh)
+        _os.replace(rpath + ".tmp", rpath)
     return {"n_vectors": int(n), "ncells": ncells, "m": m, "ksub": ksub,
             "transactional": bool(transactional),
             "rotate": bool(rotate)}

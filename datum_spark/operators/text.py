@@ -424,7 +424,8 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
       beyond each value's first: ``Σ_dup (count−1)·len / Σ len``.
     - ``top_{2,3,4}gram_char_frac`` — the most frequent word n-gram's
       character coverage ``count·len(gram) / len(join(words))``;
-      the top gram is deterministic (count DESC, len DESC, gram ASC).
+      the top gram is deterministic (count DESC, len DESC, gram DESC
+      — the same ORDER BY the x214 oracle replays).
     - ``dup_{5..10}gram_char_frac`` — character coverage of all
       n-grams occurring more than once, ``Σ count·len(gram) / total``,
       CAPPED at 1.0 — an overlap-agnostic upper bound of the paper's

@@ -94,7 +94,9 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
                           lang_models: dict | None = None,
                           allowed_langs=None,
                           unigram_vocab: list | None = None,
-                          max_nats_per_token: float | None = None
+                          max_nats_per_token: float | None = None,
+                          lang_col: str | None = None,
+                          span_dedup_n: int | None = None
                           ) -> tuple[DataFrame, dict]:
     """Run the full corpus pipeline and write token-balanced shards.
 
@@ -120,9 +122,17 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     score ≥ ``min_quality`` (reinterpreted as the probability
     threshold) — the CCNet-style curation posture, still one map-only
     stage.  Docs with zero tokens are dropped (nothing to score on),
-    matching the heuristic's behavior on empty text.  Passing the
-    literal string ``"gopher"`` instead gates on the published Gopher
-    rule conjunction (``operators.text.gopher_rules``, r12).
+    matching the heuristic's behavior on empty text.  Passing a
+    rule-set sentinel instead gates on a published rule conjunction
+    (see :func:`_quality_gate`): ``"gopher"`` (Rae 2021 §A1.1, r12),
+    ``"c4"`` (Raffel 2020 §2.2, r13), ``"gopher_rep"`` (Rae 2021
+    §A1.2, r13), or ``"gopher+rep"`` (both Gopher tables, r13 — runs
+    as two funnel stages so the report shows ``rows_quality`` for the
+    page-shape family and ``rows_repetition`` for the repetition
+    family).  ``lang_col`` (optional) names an existing language
+    column that keys Gopher's stop-word rule; when absent and the
+    langid gate is enabled, the stage-0 prediction is reused
+    automatically (never the silent English default).
 
     ``lang_models`` + ``allowed_langs`` (optional) enable the
     LANGUAGE-ID gate as stage 0 — the first pass of a multilingual
@@ -136,6 +146,15 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     :func:`operators.unigram.unigram_doc_scores`; ``rows_perplexity``
     in the funnel).  Both gates are semi joins on a scored id set —
     the corpus text rides through untouched.
+
+    ``span_dedup_n`` (optional, r13) enables SPAN-level dedup after
+    the doc-level dedup stage — the ExactSubstr action of Lee et al.
+    2022 (:func:`operators.dedup.remove_duplicated_spans`, word
+    ``n``-gram spans): surviving docs are REWRITTEN dropping
+    cross-document duplicated spans (keep-first deterministic) and
+    docs left empty are dropped.  Funnel rows: ``rows_span_dedup``
+    (docs with any words left) and ``span_words_removed`` (total
+    words cut).
     """
     if workdir is not None:
         return _build_training_corpus_resumable(
@@ -143,7 +162,7 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
             source_col, min_quality, dedup_threshold, contamination_ngram,
             source_weights, default_weight, workdir, run_id,
             quality_model, lang_models, allowed_langs,
-            unigram_vocab, max_nats_per_token)
+            unigram_vocab, max_nats_per_token, lang_col, span_dedup_n)
     from .operators.dedup import benchmark_contamination, near_dup_clusters
     from .operators.packing import write_training_shards
     from .operators.sampling import mix_sources_md5
@@ -151,23 +170,53 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
 
     report: dict = {"rows_in": docs.count()}
 
+    # Gopher's stop-word rule is language-keyed: use the caller's
+    # lang_col if given, else attach the langid stage's own prediction
+    # when both gates run (ADVICE r12 — never silently apply the
+    # English stop list to a multilingual corpus)
+    wants_lang = quality_model in ("gopher", "gopher+rep")
+    attach = ("__langid_pred" if wants_lang and lang_col is None
+              and lang_models is not None and allowed_langs else None)
+    eff_lang = lang_col if lang_col is not None else attach
+
     # 0. language gate (optional) — the multilingual first pass
     gated = None
     if lang_models is not None and allowed_langs:
         docs = gated = _langid_gate(docs, id_col, text_col, lang_models,
-                                    allowed_langs).persist()
+                                    allowed_langs,
+                                    attach=attach).persist()
         report["rows_langid"] = docs.count()
 
-    # 1. quality gate (map-only; learned when a model is supplied)
-    q = _quality_gate(docs, id_col, text_col, min_quality, quality_model)
-    q = q.persist()
-    report["rows_quality"] = q.count()
-    if gated is not None:
-        # release the langid boundary once the quality count has
-        # consumed it — every other stage unpersists its predecessor;
-        # without this the corpus-sized gated frame is held for the
-        # rest of the session (ADVICE r12)
-        gated.unpersist()
+    # 1. quality gate (map-only; learned when a model is supplied).
+    # "gopher+rep" runs as TWO gates so the funnel reports what each
+    # rule family dropped (rows_quality = page-shape, rows_repetition
+    # = within-document repetition)
+    if quality_model == "gopher+rep":
+        q1 = _quality_gate(docs, id_col, text_col, min_quality,
+                           "gopher", lang_col=eff_lang).persist()
+        report["rows_quality"] = q1.count()
+        if gated is not None:
+            gated.unpersist()
+        q = _quality_gate(q1, id_col, text_col, min_quality,
+                          "gopher_rep")
+        if attach is not None:
+            q = q.drop(attach)
+        q = q.persist()
+        report["rows_repetition"] = q.count()
+        q1.unpersist()
+    else:
+        q = _quality_gate(docs, id_col, text_col, min_quality,
+                          quality_model, lang_col=eff_lang)
+        if attach is not None:
+            q = q.drop(attach)
+        q = q.persist()
+        report["rows_quality"] = q.count()
+        if gated is not None:
+            # release the langid boundary once the quality count has
+            # consumed it — every other stage unpersists its
+            # predecessor; without this the corpus-sized gated frame
+            # is held for the rest of the session (ADVICE r12)
+            gated.unpersist()
 
     # 1b. perplexity gate (optional) — the learned LM quality signal,
     # its own funnel row so the report shows what EACH gate dropped
@@ -194,6 +243,29 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
         report.update({f"lsh_{k}": int(v) for k, v in flood.get.items()})
     q.unpersist()
 
+    # 2b. span-level dedup (optional, r13) — the ExactSubstr ACTION of
+    # Lee et al. 2022: rewrite surviving docs dropping cross-document
+    # duplicated spans (keep-first), then drop docs left empty.  Doc-
+    # level dedup runs FIRST so whole-page duplicates never reach the
+    # span pass (the paper composes them the same way).
+    dedup_cache = deduped            # the persisted frame to release
+    if span_dedup_n is not None:
+        from .operators.dedup import remove_duplicated_spans
+
+        prev = deduped
+        rw = remove_duplicated_spans(deduped, id_col, text_col,
+                                     n=span_dedup_n).persist()
+        sums = rw.agg(
+            F.sum("n_words_removed").alias("w"),
+            F.sum(F.when(F.col("n_words") > F.col("n_words_removed"),
+                         1).otherwise(0)).alias("k")).first()
+        report["span_words_removed"] = int(sums["w"] or 0)
+        report["rows_span_dedup"] = int(sums["k"] or 0)
+        deduped = (rw.filter(F.col("n_words") > F.col("n_words_removed"))
+                     .select(*prev.columns))
+        prev.unpersist()
+        dedup_cache = rw
+
     # 3. decontamination: anti-join on the contaminated id set
     if eval_df is not None:
         contaminated = benchmark_contamination(
@@ -204,7 +276,7 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
         clean = deduped
     clean = clean.persist()
     report["rows_decontaminated"] = clean.count()
-    deduped.unpersist()
+    dedup_cache.unpersist()
 
     # 4. deterministic source mixing (md5 keep sets — reproducible)
     mixed = mix_sources_md5(clean, source_weights or {},
@@ -223,23 +295,61 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     return sharded, report
 
 
+# published-rule-set sentinels _quality_gate accepts (r13 completes
+# the family: r12 shipped "gopher" only, leaving x213/x214 audit-only)
+_RULE_SET_MODELS = ("gopher", "c4", "gopher_rep", "gopher+rep")
+
+
 def _quality_gate(docs: DataFrame, id_col: str, text_col: str,
-                  min_quality: float, quality_model) -> DataFrame:
+                  min_quality: float, quality_model,
+                  lang_col: str | None = None) -> DataFrame:
     """Heuristic filter by default; with ``quality_model=(w, b)`` the
     learned classifier's calibrated score gates instead (semi join on
-    the scored ids — scoring reads only (id, text)); with
-    ``quality_model="gopher"`` the published Gopher rule conjunction
-    gates (r12: ``operators.text.gopher_rules`` — every rule an
-    audited column, still map-only; ``min_quality`` is ignored, the
-    thresholds are the published ones)."""
+    the scored ids — scoring reads only (id, text)); with a
+    published-rule-set sentinel the corresponding conjunction from
+    ``operators.text`` gates (``min_quality`` is ignored, the
+    thresholds are the published ones):
+
+    - ``"gopher"`` — Rae 2021 §A1.1 page-shape rules
+      (:func:`~datum_spark.operators.text.gopher_rules`);
+    - ``"c4"`` — Raffel 2020 §2.2 cleaning rules
+      (:func:`~datum_spark.operators.text.c4_rules`);
+    - ``"gopher_rep"`` — Rae 2021 §A1.2 repetition rules
+      (:func:`~datum_spark.operators.text.gopher_repetition`);
+    - ``"gopher+rep"`` — the §A1.1 AND §A1.2 conjunction (the paper
+      applies both).
+
+    ``lang_col`` (rule sets only) keys Gopher's stop-word rule per
+    language instead of silently applying the English list to every
+    document.
+
+    Rule-set gating is a SEMI JOIN on the ids of passing rows, with
+    the rule columns computed on a ``(id, text[, lang])`` projection —
+    a ``docs`` frame that already carries a column named like a rule
+    output (``n_words``, ``c4_pass``, ...) passes through untouched
+    (ADVICE r12: the previous ``select(*docs.columns)`` spelling
+    returned the computed value instead of the user's data)."""
     from .operators.text import quality_score
 
-    if quality_model == "gopher":
-        from .operators.text import gopher_rules
+    if quality_model in _RULE_SET_MODELS:
+        from .operators.text import (c4_rules, gopher_repetition,
+                                     gopher_rules)
 
-        return (gopher_rules(docs, text_col)
-                .filter(F.col("gopher_pass"))
-                .select(*docs.columns))
+        cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+        scored = docs.select(*cols)
+        keep = None
+        if quality_model in ("gopher", "gopher+rep"):
+            keep = (gopher_rules(scored, text_col, lang_col=lang_col)
+                    .filter(F.col("gopher_pass")).select(id_col))
+        if quality_model == "c4":
+            keep = (c4_rules(scored, text_col)
+                    .filter(F.col("c4_pass")).select(id_col))
+        if quality_model in ("gopher_rep", "gopher+rep"):
+            rep = (gopher_repetition(scored, id_col, text_col)
+                   .filter(F.col("repetition_pass")).select(id_col))
+            keep = rep if keep is None else keep.join(rep, id_col,
+                                                      "semi")
+        return docs.join(keep, id_col, "semi")
     if quality_model is None:
         return docs.filter(quality_score(F.col(text_col)) >= min_quality)
     from .operators.classifier import quality_classifier_score
@@ -253,18 +363,27 @@ def _quality_gate(docs: DataFrame, id_col: str, text_col: str,
 
 
 def _langid_gate(docs: DataFrame, id_col: str, text_col: str,
-                 lang_models: dict, allowed_langs) -> DataFrame:
+                 lang_models: dict, allowed_langs,
+                 attach: str | None = None) -> DataFrame:
     """Keep docs whose predicted language is allowed — a semi join on
     the argmax-scored id set (one shared feature pass, map-only
-    scoring; operators/langid.py)."""
+    scoring; operators/langid.py).  ``attach`` (optional) carries the
+    predicted language back as a column of that name (the semi join
+    becomes an inner join on the same keep set — identical rows), so
+    a downstream language-keyed gate (Gopher stop words) can reuse
+    the stage-0 prediction instead of rescoring or defaulting every
+    document to English (ADVICE r12)."""
     from .operators.langid import language_classifier_score
 
     keep = (language_classifier_score(docs, lang_models, id_col,
                                       text_col)
             .filter(F.col("pred_lang").isin(
                 [str(lg) for lg in sorted(allowed_langs)]))
-            .select(id_col))
-    return docs.join(keep, id_col, "semi")
+            .select(id_col, "pred_lang"))
+    if attach is None:
+        return docs.join(keep.select(id_col), id_col, "semi")
+    return docs.join(keep.withColumnRenamed("pred_lang", attach),
+                     id_col, "inner")
 
 
 def _perplexity_gate(docs: DataFrame, id_col: str, text_col: str,
@@ -294,7 +413,9 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
                                      lang_models=None,
                                      allowed_langs=None,
                                      unigram_vocab=None,
-                                     max_nats_per_token=None
+                                     max_nats_per_token=None,
+                                     lang_col=None,
+                                     span_dedup_n=None
                                      ) -> tuple[DataFrame, dict]:
     """Checkpointed variant of :func:`build_training_corpus` — same
     stages and report keys, but the quality/dedup/decontamination
@@ -312,13 +433,21 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
     flood_box: list = []
     orig_docs = docs
 
+    # same language-column resolution as the single-pass path: the
+    # caller's lang_col, else the langid stage's attached prediction
+    wants_lang = quality_model in ("gopher", "gopher+rep")
+    attach = ("__langid_pred" if wants_lang and lang_col is None
+              and lang_models is not None and allowed_langs else None)
+    eff_lang = lang_col if lang_col is not None else attach
+
     first_resumed = None
     if lang_models is not None and allowed_langs:
         docs_in = docs
         docs, resumed = store.run(
             "langid",
             lambda: _langid_gate(docs_in, id_col, text_col,
-                                 lang_models, allowed_langs))
+                                 lang_models, allowed_langs,
+                                 attach=attach))
         first_resumed = resumed
         report["resumed_langid"] = resumed
         report["rows_langid"] = docs.count()
@@ -326,13 +455,28 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
     src = docs
     q, resumed = store.run(
         "quality",
-        lambda: _quality_gate(src, id_col, text_col, min_quality,
-                              quality_model))
+        lambda: _quality_gate(
+            src, id_col, text_col, min_quality,
+            "gopher" if quality_model == "gopher+rep" else quality_model,
+            lang_col=eff_lang))
     if first_resumed is None:
         first_resumed = resumed
     report["rows_in"] = orig_docs.count() if not first_resumed else None
     report["resumed_quality"] = resumed
     report["rows_quality"] = q.count()
+
+    if quality_model == "gopher+rep":
+        # the repetition family is its own checkpointed stage and its
+        # own funnel row, mirroring the single-pass decomposition
+        q_in = q
+        q, resumed = store.run(
+            "repetition",
+            lambda: _quality_gate(q_in, id_col, text_col, min_quality,
+                                  "gopher_rep"))
+        report["resumed_repetition"] = resumed
+        report["rows_repetition"] = q.count()
+    if attach is not None:
+        q = q.drop(attach)
 
     if unigram_vocab is not None and max_nats_per_token is not None:
         q_in = q
@@ -359,6 +503,26 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
     if flood_box:
         # the checkpoint commit was the action, so .get is safe here
         report.update({f"lsh_{k}": int(v) for k, v in flood_box[0].get.items()})
+
+    if span_dedup_n is not None:
+        from .operators.dedup import remove_duplicated_spans
+
+        d_in = deduped
+        # the checkpoint commits the REWRITE with its audit columns,
+        # so a resumed run recovers both funnel metrics from the table
+        rw, resumed = store.run(
+            "span_dedup",
+            lambda: remove_duplicated_spans(d_in, id_col, text_col,
+                                            n=span_dedup_n))
+        report["resumed_span_dedup"] = resumed
+        sums = rw.agg(
+            F.sum("n_words_removed").alias("w"),
+            F.sum(F.when(F.col("n_words") > F.col("n_words_removed"),
+                         1).otherwise(0)).alias("k")).first()
+        report["span_words_removed"] = int(sums["w"] or 0)
+        report["rows_span_dedup"] = int(sums["k"] or 0)
+        deduped = (rw.filter(F.col("n_words") > F.col("n_words_removed"))
+                     .select(*d_in.columns))
 
     def _decontaminate():
         if eval_df is None:

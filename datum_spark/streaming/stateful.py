@@ -421,16 +421,22 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
                 unigram_vocab: list | None = None,
                 max_nats_per_token: float | None = None,
                 quality_model=None, min_quality: float = 0.3,
-                with_funnel: bool = False):
+                with_funnel: bool = False,
+                lang_col: str | None = None):
     """Streaming daily-ingest gate — the production front door of the
     corpus pipeline: every micro-batch of INCOMING documents is
     (0) language-gated (optional, r12 — ``lang_models`` +
     ``allowed_langs``, the same stage-0 screen as the batch
-    pipeline), (0b) quality-gated (optional, r12 —
-    ``quality_model``: a learned ``(w, b)``, the literal
-    ``"gopher"`` rule conjunction, or any non-None value the batch
-    ``_quality_gate`` accepts; ``None`` — the default — applies NO
-    quality screen so pre-r12 sink behavior is unchanged),
+    pipeline), (0b) quality-gated (optional, r12/r13 —
+    ``quality_model``: a learned ``(w, b)`` or a published-rule-set
+    sentinel the batch ``_quality_gate`` accepts (``"gopher"``,
+    ``"c4"``, ``"gopher_rep"``, ``"gopher+rep"`` — the composed
+    sentinel runs as two screens with its own ``rows_repetition``
+    funnel row, exactly like the batch pipeline; ``lang_col`` names
+    a language column for Gopher's stop-word rule, and when absent
+    the langid stage's own prediction is reused); ``None`` — the
+    default — applies NO quality screen so pre-r12 sink behavior is
+    unchanged),
     (1) perplexity-gated (optional, r12 —
     ``unigram_vocab`` + ``max_nats_per_token``, the CCNet filter
     direction), (2) near-dup-screened against the STATIC corpus
@@ -452,8 +458,9 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
 
     ``with_funnel=True`` adds the batch pipeline's funnel accounting:
     one row per micro-batch (``rows_in``, ``rows_langid``,
-    ``rows_quality``, ``rows_perplexity``, ``rows_deduped``,
-    ``rows_decontaminated``; disabled gates are NULL) written
+    ``rows_quality``, ``rows_repetition``, ``rows_perplexity``,
+    ``rows_deduped``, ``rows_decontaminated``; disabled gates are
+    NULL) written
     idempotently to
     ``out_path + "/_funnel"`` — the underscore prefix keeps funnel
     rows invisible to readers of ``out_path`` (Hadoop hidden-path
@@ -474,30 +481,53 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
     from ..pipelines import _langid_gate, _perplexity_gate, \
         _quality_gate
 
+    # same language-column resolution as the batch pipeline: the
+    # caller's lang_col, else the langid stage's attached prediction
+    wants_lang = quality_model in ("gopher", "gopher+rep")
+    attach = ("__langid_pred" if wants_lang and lang_col is None
+              and lang_models is not None and allowed_langs else None)
+    eff_lang = lang_col if lang_col is not None else attach
+
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         funnel: dict[str, int | None] = {
             "rows_langid": None, "rows_quality": None,
-            "rows_perplexity": None}
+            "rows_repetition": None, "rows_perplexity": None}
         if with_funnel:
             funnel["rows_in"] = batch_df.count()
         cur = batch_df
         if lang_models is not None and allowed_langs:
             cur = _langid_gate(cur, id_col, text_col, lang_models,
-                               allowed_langs)
+                               allowed_langs, attach=attach)
             if with_funnel:
                 funnel["rows_langid"] = cur.count()
         if quality_model is not None:
             # the batch pipeline's quality stage — the "heuristic"
-            # sentinel selects the default score gate, "gopher" the
-            # rule conjunction, a (w, b) tuple the learned filter —
-            # as a per-batch static decision (r12 parity completion)
+            # sentinel selects the default score gate, a rule-set
+            # sentinel the published conjunction, a (w, b) tuple the
+            # learned filter — as a per-batch static decision
+            # (r12 parity completion; r13 adds the full sentinel
+            # family + the two-screen "gopher+rep" decomposition)
             qm = None if quality_model == "heuristic" else quality_model
-            cur = _quality_gate(cur, id_col, text_col,
-                                float(min_quality), qm)
-            if with_funnel:
-                funnel["rows_quality"] = cur.count()
+            if qm == "gopher+rep":
+                cur = _quality_gate(cur, id_col, text_col,
+                                    float(min_quality), "gopher",
+                                    lang_col=eff_lang)
+                if with_funnel:
+                    funnel["rows_quality"] = cur.count()
+                cur = _quality_gate(cur, id_col, text_col,
+                                    float(min_quality), "gopher_rep")
+                if with_funnel:
+                    funnel["rows_repetition"] = cur.count()
+            else:
+                cur = _quality_gate(cur, id_col, text_col,
+                                    float(min_quality), qm,
+                                    lang_col=eff_lang)
+                if with_funnel:
+                    funnel["rows_quality"] = cur.count()
+        if attach is not None:
+            cur = cur.drop(attach)
         if unigram_vocab is not None and max_nats_per_token is not None:
             cur = _perplexity_gate(cur, id_col, text_col,
                                    unigram_vocab, max_nats_per_token)
@@ -526,11 +556,12 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
                 spark.createDataFrame(
                     [(funnel["rows_in"], funnel["rows_langid"],
                       funnel["rows_quality"],
+                      funnel["rows_repetition"],
                       funnel["rows_perplexity"],
                       funnel["rows_deduped"],
                       funnel["rows_decontaminated"])],
                     "rows_in long, rows_langid long, "
-                    "rows_quality long, "
+                    "rows_quality long, rows_repetition long, "
                     "rows_perplexity long, rows_deduped long, "
                     "rows_decontaminated long"),
                 batch_id, out_path + "/_funnel")

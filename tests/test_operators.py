@@ -2089,3 +2089,82 @@ def test_gopher_repetition_rules(spark):
     assert not out[6]["pass_dup_5gram_char_frac"]
     # singleton top grams are not repetition
     assert out[1]["top_4gram_char_frac"] == 0.0
+
+
+def test_ivfpq_rebuild_in_place_clears_rotation(spark, tmp_path):
+    """ADVICE r13 (medium): rebuilding a previously ROTATED index in
+    place with rotate=False must clear rotation.json — otherwise
+    add/query/rebalance would rotate residuals against codebooks
+    trained on unrotated residuals.  The plain rebuild's answers must
+    be bit-equal to a fresh plain build at another path."""
+    import os
+
+    from datum_spark.operators.similarity import (
+        _ivfpq_load_rotation, ivfpq_index_build, ivfpq_index_query)
+
+    rows = [(i, [float(200 * (i % 3)) + (i % 7) * 0.01 + j * 0.001
+                 for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    path = str(tmp_path / "ix")
+    ivfpq_index_build(df, path, ncells=3, m=2, ksub=4, rotate=True)
+    assert os.path.exists(os.path.join(path, "rotation.json"))
+
+    # corpus-refresh cadence: rebuild the SAME path without rotation
+    info = ivfpq_index_build(df, path, ncells=3, m=2, ksub=4,
+                             rotate=False)
+    assert info["rotate"] is False
+    assert _ivfpq_load_rotation(path) is None     # marker cleared
+    fresh = str(tmp_path / "fresh")
+    ivfpq_index_build(df, fresh, ncells=3, m=2, ksub=4)
+    qs = df.filter("vec_id IN (0, 31, 50)")
+    a = {(r["query_id"], r["rnk"]): (r["vec_id"], r["adc"])
+         for r in ivfpq_index_query(qs, path, k=5, nprobe=2).collect()}
+    b = {(r["query_id"], r["rnk"]): (r["vec_id"], r["adc"])
+         for r in ivfpq_index_query(qs, fresh, k=5, nprobe=2).collect()}
+    assert a == b and len(a) == 15
+
+    # and the reverse refresh (plain -> rotated) re-creates the marker
+    ivfpq_index_build(df, path, ncells=3, m=2, ksub=4, rotate=True)
+    assert _ivfpq_load_rotation(path) is not None
+
+
+def test_remove_duplicated_spans_hand_cases(spark):
+    """r13 ExactSubstr action (Lee et al. 2022): keep-first span
+    removal with hand-computed expectations — the keeper occurrence
+    survives, later occurrences (cross-doc AND within-doc) lose their
+    covered positions, unrelated and empty docs pass through."""
+    from datum_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [
+        (1, "a b c d e f g h unique1 tail1"),    # keeper at (1, 0)
+        (2, "x y a b c d e f g h z w q r s t"),  # dup span at pos 2
+        (3, "solo words only here nothing shared at all"),
+        (4, ""),
+        (5, "a b c d e f g h a b c d e f g h"),  # two removed occs
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           remove_duplicated_spans(df, "doc_id", "text", n=8).collect()}
+    assert got[1]["text"] == rows[0][1]           # keeper untouched
+    assert got[1]["n_spans_removed"] == 0
+    assert got[2]["text"] == "x y z w q r s t"    # middle 8 words cut
+    assert (got[2]["n_words"], got[2]["n_words_removed"],
+            got[2]["n_spans_removed"]) == (16, 8, 1)
+    assert abs(got[2]["removed_char_frac"] - 16 / 31) < 1e-6
+    assert got[3]["text"] == rows[2][1]           # unrelated doc
+    assert got[4]["text"] == "" and got[4]["n_words"] == 0
+    assert got[5]["text"] == ""                   # fully duplicated
+    assert (got[5]["n_words_removed"], got[5]["n_spans_removed"]) \
+        == (16, 2)
+
+    # max_span_freq EXEMPTS boilerplate spans present in > cap docs
+    many = [(i, "same eight words repeated in every doc here")
+            for i in range(10, 16)]
+    df2 = spark.createDataFrame(rows + many,
+                                "doc_id long, text string")
+    capped = {r["doc_id"]: r for r in remove_duplicated_spans(
+        df2, "doc_id", "text", n=8, max_span_freq=3).collect()}
+    assert all(capped[i]["n_spans_removed"] == 0
+               for i in range(10, 16))            # 6 docs > cap 3
+    assert capped[2]["n_spans_removed"] == 1      # 2-doc span still cut

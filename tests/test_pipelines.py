@@ -216,3 +216,194 @@ def test_pipeline_langid_and_perplexity_gates(spark, corpus, tmp_path):
     for k in ("rows_langid", "rows_quality", "rows_perplexity",
               "rows_deduped", "rows_decontaminated", "rows_mixed"):
         assert r1[k] == r2[k] == report[k]
+
+
+def test_pipeline_c4_quality_gate(spark, corpus, tmp_path):
+    """quality_model="c4" gates on the published Raffel 2020 §2.2 rule
+    conjunction (r13).  The fixture text has no sentence punctuation,
+    so seed terminal punctuation into half the docs — the gate must
+    keep exactly the c4_pass set."""
+    from datum_spark.operators.text import c4_rules
+
+    docs = (corpus.filter(F.col("doc_id") >= 20)
+            .withColumn("text", F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.col("text"),
+                         F.lit(" one. two. three. four. five.")))
+                .otherwise(F.col("text"))))
+    _, report = build_training_corpus(
+        docs, None, str(tmp_path / "c4"), n_shards=2,
+        quality_model="c4")
+    expect = c4_rules(docs, "text").filter(F.col("c4_pass")).count()
+    assert report["rows_quality"] == expect
+    assert 0 < expect < report["rows_in"]      # the gate actually gates
+
+
+def test_pipeline_gopher_rep_and_composed_gates(spark, corpus, tmp_path):
+    """quality_model="gopher_rep" gates on the Rae 2021 §A1.2
+    repetition conjunction; "gopher+rep" composes §A1.1 AND §A1.2 as
+    TWO funnel stages (rows_quality = page-shape survivors,
+    rows_repetition = the conjunction) — r13 wires the x213/x214
+    audit columns into the pipeline gate."""
+    from datum_spark.operators.text import gopher_repetition, gopher_rules
+
+    docs = corpus.filter(F.col("doc_id") >= 20)
+    _, rep = build_training_corpus(
+        docs, None, str(tmp_path / "rep"), n_shards=2,
+        quality_model="gopher_rep")
+    n_rep = (gopher_repetition(docs, "doc_id", "text")
+             .filter(F.col("repetition_pass")).count())
+    assert rep["rows_quality"] == n_rep and n_rep > 0
+
+    _, both = build_training_corpus(
+        docs, None, str(tmp_path / "both"), n_shards=2,
+        quality_model="gopher+rep")
+    g_ids = (gopher_rules(docs, "text")
+             .filter(F.col("gopher_pass")).select("doc_id"))
+    n_g = g_ids.count()
+    n_both = (gopher_repetition(docs, "doc_id", "text")
+              .filter(F.col("repetition_pass")).select("doc_id")
+              .join(g_ids, "doc_id", "semi").count())
+    assert both["rows_quality"] == n_g
+    assert both["rows_repetition"] == n_both <= n_g
+    # resumable twin: the repetition family is its own checkpointed
+    # stage and both funnel rows reproduce
+    wd = str(tmp_path / "wd_both")
+    _s, r1 = build_training_corpus(docs, None, str(tmp_path / "b2"),
+                                   workdir=wd, run_id="b",
+                                   quality_model="gopher+rep")
+    _s, r2 = build_training_corpus(docs, None, str(tmp_path / "b3"),
+                                   workdir=wd, run_id="b",
+                                   quality_model="gopher+rep")
+    assert r2["resumed_quality"] and r2["resumed_repetition"]
+    assert (r1["rows_quality"], r1["rows_repetition"]) == \
+           (r2["rows_quality"], r2["rows_repetition"]) == (n_g, n_both)
+
+
+def test_quality_gate_collision_proof_and_lang_keyed(spark, corpus):
+    """ADVICE r12: (a) a docs frame that already carries a column
+    named like a rule output must pass through the gate with the
+    USER's values intact (the gate semi-joins on ids, never selects
+    the mutated frame); (b) lang_col keys Gopher's stop-word rule per
+    language instead of silently applying the English list."""
+    from datum_spark.pipelines import _quality_gate
+    from datum_spark.operators.text import gopher_rules
+
+    docs = (corpus.filter(F.col("doc_id") >= 20).limit(80)
+            .withColumn("n_words", F.lit(-7))
+            .withColumn("c4_pass", F.lit(False)))
+    for qm in ("gopher", "c4", "gopher_rep", "gopher+rep"):
+        out = _quality_gate(docs, "doc_id", "text", 0.0, qm)
+        assert out.columns == docs.columns
+        if out.count() > 0:
+            row = out.select("n_words", "c4_pass").first()
+            assert row["n_words"] == -7 and row["c4_pass"] is False
+
+    # a French doc (French stop words, zero English ones) passes the
+    # stop rule only when the gate knows its language
+    fr_text = " ".join(["le chat est sur une table trop grande pour "
+                        "les petits animaux et la maison"] * 6)
+    fr = spark.createDataFrame([(1, fr_text, "fr")],
+                               "doc_id long, text string, lang string")
+    unkeyed = _quality_gate(fr, "doc_id", "text", 0.0, "gopher")
+    keyed = _quality_gate(fr, "doc_id", "text", 0.0, "gopher",
+                          lang_col="lang")
+    assert unkeyed.count() == 0 and keyed.count() == 1
+    # and the keyed gate is exactly gopher_rules(lang_col=...)
+    assert keyed.count() == (gopher_rules(fr, "text", lang_col="lang")
+                             .filter(F.col("gopher_pass")).count())
+
+
+def test_pipeline_langid_prediction_feeds_gopher_gate(spark, corpus,
+                                                      tmp_path):
+    """When the langid stage runs and quality_model is Gopher-family,
+    the stage-0 PREDICTION keys the stop-word rule (no lang_col
+    needed), and the attached helper column never leaks into the
+    output shards (ADVICE r12)."""
+    from datum_spark.operators.langid import language_classifier_fit
+    from datum_spark.operators.text import gopher_rules
+    from datum_spark.pipelines import _langid_gate
+
+    docs = (corpus.filter(F.col("doc_id") >= 20)
+            .withColumn("text", F.concat_ws(
+                " ", F.col("text"), F.expr("repeat(lang, 10)"))))
+    models = language_classifier_fit(docs, "doc_id", "text", "lang",
+                                     n_buckets=32, steps=4, lr=2.0)
+    kw = dict(n_shards=2, lang_models=models,
+              allowed_langs={"en", "fr", "de"},
+              quality_model="gopher")
+    _s, report = build_training_corpus(docs, None,
+                                       str(tmp_path / "lg"), **kw)
+    gated = _langid_gate(docs, "doc_id", "text", models,
+                         {"en", "fr", "de"}, attach="__langid_pred")
+    expect = (gopher_rules(gated, "text", lang_col="__langid_pred")
+              .filter(F.col("gopher_pass")).count())
+    assert report["rows_langid"] == gated.count()
+    assert report["rows_quality"] == expect
+    back = spark.read.parquet(str(tmp_path / "lg"))
+    assert "__langid_pred" not in back.columns
+
+
+def test_pipeline_span_dedup_stage(spark, corpus, tmp_path):
+    """span_dedup_n wires the ExactSubstr action into the funnel after
+    doc-level dedup: surviving docs are rewritten (keep-first span
+    removal), emptied docs drop, and the report carries
+    rows_span_dedup + span_words_removed.  The resumable run resumes
+    through the new checkpoint with identical metrics."""
+    from datum_spark.operators.dedup import (near_dup_clusters,
+                                             remove_duplicated_spans)
+
+    # seed a shared boilerplate footer into a third of the docs so
+    # cross-doc spans survive the doc-level dedup (the fixture's dups
+    # are whole-document, which stage 2 already removes)
+    footer = " copyright footer shared across many pages of this site"
+    docs = (corpus.filter(F.col("doc_id") >= 20)
+            .withColumn("text", F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("text"), F.lit(footer)))
+                .otherwise(F.col("text"))))
+    kw = dict(n_shards=2, min_quality=0.0, span_dedup_n=8)
+    _s, report = build_training_corpus(docs, None,
+                                       str(tmp_path / "sp"), **kw)
+    assert "rows_span_dedup" in report
+    assert report["span_words_removed"] > 0       # fixture has dups
+    assert (report["rows_deduped"] >= report["rows_span_dedup"]
+            >= report["rows_decontaminated"])
+
+    # twin composition: doc-level dedup survivors -> span rewrite
+    clusters = near_dup_clusters(docs, "doc_id", "text",
+                                 threshold=0.5)
+    surv = docs.join(
+        clusters.filter(F.col("doc_id") == F.col("cluster_id"))
+                .select("doc_id"), "doc_id", "semi")
+    rw = remove_duplicated_spans(surv, "doc_id", "text", n=8)
+    expect_rows = rw.filter(
+        F.col("n_words") > F.col("n_words_removed")).count()
+    expect_words = rw.agg(F.sum("n_words_removed")).first()[0]
+    assert report["rows_span_dedup"] == expect_rows
+    assert report["span_words_removed"] == expect_words
+
+    # the rewritten text (not the original) reaches the shards
+    back = spark.read.parquet(str(tmp_path / "sp"))
+    assert "n_words_removed" not in back.columns  # audit cols dropped
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    changed = [r for r in back.collect()
+               if r["text"] != orig[r["doc_id"]].strip()
+               and r["text"] not in orig[r["doc_id"]]]
+    # at least one shipped doc was actually rewritten
+    rewritten = sum(1 for r in back.collect()
+                    if len(r["text"].split()) <
+                    len(orig[r["doc_id"]].split()))
+    assert rewritten > 0
+
+    # resumable: second run resumes the span stage, same metrics
+    wd = str(tmp_path / "wd_sp")
+    _s1, r1 = build_training_corpus(docs, None, str(tmp_path / "sp2"),
+                                    workdir=wd, run_id="sp", **kw)
+    _s2, r2 = build_training_corpus(docs, None, str(tmp_path / "sp3"),
+                                    workdir=wd, run_id="sp", **kw)
+    assert r1["resumed_span_dedup"] is False
+    assert r2["resumed_span_dedup"] is True
+    for k in ("rows_span_dedup", "span_words_removed",
+              "rows_decontaminated"):
+        assert r1[k] == r2[k] == report[k]

@@ -632,3 +632,45 @@ def test_kmv_sink_stream_equals_batch_and_replay_safe(spark, tmp_path):
     after = {r["source"]: list(r["kmv"])
              for r in state.read().collect()}
     assert after == want
+
+
+def test_ingest_sink_composed_quality_gate_parity(spark, tmp_path):
+    """r13: the streaming quality screen accepts the full rule-set
+    sentinel family; "gopher+rep" runs as two screens whose
+    rows_quality / rows_repetition funnel rows sum to the batch
+    decomposition, and the survivors equal the batch composition of
+    the SAME gate functions."""
+    from datum_spark.operators.dedup import incremental_near_dups_md5
+    from datum_spark.pipelines import _quality_gate
+    from datum_spark.streaming.stateful import ingest_sink
+
+    all_docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # a small corpus slice so some quality survivors are NOT near-dups
+    corpus = all_docs.filter(F.col("doc_id") < 50)
+    delta = all_docs.filter(F.col("doc_id") >= 220)
+    src_dir = str(tmp_path / "delta_in")
+    delta.repartition(3).write.parquet(src_dir)
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = str(tmp_path / "accepted")
+    q = ingest_sink(stream, corpus, None, out,
+                    str(tmp_path / "ckpt"),
+                    quality_model="gopher+rep", with_funnel=True)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    g1 = _quality_gate(delta, "doc_id", "text", 0.3, "gopher")
+    g2 = _quality_gate(g1, "doc_id", "text", 0.3, "gopher_rep")
+    dup_ids = (incremental_near_dups_md5(g2, corpus, "doc_id", "text")
+               .select(F.col("delta_id").alias("doc_id")).distinct())
+    want = {r["doc_id"] for r in
+            g2.join(dup_ids, "doc_id", "anti").collect()}
+    assert got == want and len(got) > 0
+    funnel = spark.read.parquet(out + "/_funnel")
+    sums = funnel.agg(F.sum("rows_in").alias("i"),
+                      F.sum("rows_quality").alias("q"),
+                      F.sum("rows_repetition").alias("r")).first()
+    assert sums["i"] == delta.count()
+    assert sums["q"] == g1.count()
+    assert sums["r"] == g2.count() <= sums["q"]
