@@ -6,25 +6,18 @@ sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
-(50 in every round so far).  The dict leads with the round-12 RECHECK
-set (the 4 new entries x211 gopher / x212 OPQ / x213 C4 /
-x214 repetition; the 4
-entries whose code changed this round: x207 — the multiclass fit
-vectorized into one gradient job per step, x208/x210 — histogram-
-derived tercile cuts + cached score frame, x185 — the power-iteration
-helper extraction OPQ shares; every one locally diff-run green this
+(50 in every round so far).  The dict leads with the round-13 RECHECK
+set (the new x215 span-removal entry, plus the 4 grading blocks whose
+exact-top-k cross join flipped to query-side broadcast — x186/x189/
+x190/x212, hashes unchanged; every one locally diff-run green this
 round).  After the recheck set, entries order by EVIDENCE STALENESS
 computed from the committed CORRECTNESS_r*.json artifacts themselves
 (oldest latest-check first), so each round's window automatically
-drains the stalest band — this round that is the 9 oracle-bearing
-r6-cohort leftovers (x149/x150/x152/x155/x156/x157/x18/x38/x56) and
-then the r7 band, whose alphabetical order puts the core Tier-B
-surface q08..q31 (last driver-checked r7 — the r11 VERDICT's gap #1)
-ahead of the r7 x-entries; the 50-slot window covers the recheck set,
-the whole r6 cohort, all 24 stale Tier-B queries and ~11 r7
-x-entries, with the rest of the r7 band next in line for r13.
-Rows-only entries (x37_minhash_fast et al.) sort last — the hash gate
-cannot check them anyway.
+drains the stalest band — after r12's all-green 50-entry window the
+oldest band is the 13 r7-evidence entries (x154, x158–x160, x162,
+x15, x29–x35 — the r12 VERDICT's named drain target), then the r8
+cohort.  Rows-only entries (x37_minhash_fast et al.) sort last — the
+hash gate cannot check them anyway.
 Every oracle-bearing entry has been driver-verified at least
 once (r6 closed the set); the rotation keeps the oldest evidence
 fresh without hand-curated band lists going stale.
@@ -44,17 +37,14 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-12 recheck set: new entries and entries whose code changed
+# Round-13 recheck set: new entries and entries whose code changed
 # this round (each locally diff-run green).
-_RECHECK_R12 = {
-    "x211_gopher_rules",          # new: Rae 2021 A1.1 audited columns
-    "x212_opq_recall",            # new: Householder OPQ vs plain PQ
-    "x207_language_id",           # r12: one gradient job per GD step
-    "x208_ccnet_buckets",         # r12: histogram tercile cuts
-    "x210_ccnet_by_language",     # r12: histogram cuts per group
-    "x185_pca_power",             # r12: power-iteration helper split
-    "x213_c4_rules",              # new: Raffel 2020 §2.2 audited columns
-    "x214_gopher_repetition",     # new: Rae 2021 §A1.2 repetition rules
+_RECHECK_R13 = {
+    "x215_span_removal",          # new: Lee 2022 ExactSubstr action
+    "x186_pq_recall",             # r13: query-side broadcast flip
+    "x189_ivfpq_recall",          # r13: query-side broadcast flip
+    "x190_ivfpq_refine",          # r13: query-side broadcast flip
+    "x212_opq_recall",            # r13: query-side broadcast flip
 }
 
 
@@ -84,7 +74,7 @@ _LATEST = _latest_checked()
 
 
 def _priority(name: str, has_oracle: bool) -> tuple:
-    if name in _RECHECK_R12:
+    if name in _RECHECK_R13:
         return (0, 0)                 # new / changed this round
     if not has_oracle:
         return (2, 0)                 # rows-only outside the recheck set

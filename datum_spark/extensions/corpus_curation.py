@@ -906,7 +906,10 @@ def x186(spark, sf):
         F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
     w = Window.partitionBy("qid").orderBy(d2.asc(), F.col("vec_id").asc())
-    exact = (qv.crossJoin(F.broadcast(corpus))
+    # query-side broadcast (the k-row side), corpus streams — the
+    # same orientation as similarity.py::exact_topk (ADVICE/VERDICT
+    # r12: the corpus side must never be the broadcast build side)
+    exact = (F.broadcast(qv).crossJoin(corpus)
                .withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= 10)
                .select(F.col("qid"), F.col("vec_id")))
@@ -1226,7 +1229,10 @@ def x189(spark, sf):
         F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
     w = Window.partitionBy("qid").orderBy(d2.asc(), F.col("vec_id").asc())
-    exact = (qv.crossJoin(F.broadcast(corpus))
+    # query-side broadcast (the k-row side), corpus streams — the
+    # same orientation as similarity.py::exact_topk (ADVICE/VERDICT
+    # r12: the corpus side must never be the broadcast build side)
+    exact = (F.broadcast(qv).crossJoin(corpus)
                .withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= 10)
                .select(F.col("qid"), F.col("vec_id")))
@@ -1310,7 +1316,8 @@ def x190(spark, sf):
         F.zip_with("qe", "e", lambda a, b: (a - b) * (a - b)),
         F.lit(0.0), lambda acc, x: acc + x), 6)
     w = Window.partitionBy("qid").orderBy(d2.asc(), F.col("vec_id").asc())
-    exact = (qv.crossJoin(F.broadcast(cv))
+    # query-side broadcast; the corpus-derived cv side streams
+    exact = (F.broadcast(qv).crossJoin(cv)
                .withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= 10)
                .select("qid", F.col("vec_id").alias("__ev")))
@@ -2699,7 +2706,10 @@ def x212(spark, sf):
         F.lit(0.0), lambda acc, x: acc + x), 6)
     w = Window.partitionBy("qid").orderBy(d2.asc(),
                                           F.col("vec_id").asc())
-    exact = (qv.crossJoin(F.broadcast(corpus))
+    # query-side broadcast (the k-row side), corpus streams — the
+    # same orientation as similarity.py::exact_topk (ADVICE/VERDICT
+    # r12: the corpus side must never be the broadcast build side)
+    exact = (F.broadcast(qv).crossJoin(corpus)
                .withColumn("rn", F.row_number().over(w))
                .filter(F.col("rn") <= 10)
                .select(F.col("qid"), F.col("vec_id")))
@@ -2901,3 +2911,79 @@ def x214(spark, sf):
 
     docs = load_docs(spark, sf)
     return gopher_repetition(docs).orderBy("doc_id")
+
+
+_X215_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), nz AS (
+  SELECT * FROM w WHERE len(ws) > 0
+), pos AS (
+  SELECT doc_id, s - 1 AS p,
+         md5(lower(array_to_string(ws[s:s+7], ' '))) AS h
+  FROM nz, UNNEST(generate_series(1, greatest(len(ws) - 7, 1))) AS t(s)
+), dup AS (
+  SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), ranked AS (
+  SELECT doc_id, p,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+  FROM pos JOIN dup USING (h)
+), rstarts AS (
+  SELECT doc_id, COUNT(*) AS nrs, list(p) AS ps
+  FROM ranked WHERE rn > 1 GROUP BY doc_id
+), words AS (
+  SELECT nz.doc_id, i - 1 AS wp, ws[i] AS wd,
+         len(list_filter(coalesce(r.ps, []),
+                         s -> s <= i - 1 AND i - 1 <= s + 7)) = 0 AS keep
+  FROM nz LEFT JOIN rstarts r USING (doc_id),
+       UNNEST(generate_series(1, len(ws))) AS g(i)
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         COUNT(*) FILTER (WHERE NOT keep) AS n_words_removed,
+         coalesce(string_agg(wd, ' ' ORDER BY wp) FILTER (WHERE keep),
+                  '') AS new_text,
+         string_agg(wd, ' ' ORDER BY wp) AS norm_text
+  FROM words GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_words_removed, 0) AS BIGINT)
+         AS n_words_removed,
+       CAST(coalesce(r.nrs, 0) AS BIGINT) AS n_spans_removed,
+       ROUND(CASE WHEN coalesce(len(a.norm_text), 0) > 0
+                  THEN (len(a.norm_text) - len(a.new_text))
+                       / CAST(len(a.norm_text) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS removed_char_frac,
+       md5(coalesce(a.new_text, '')) AS text_md5
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN rstarts r USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+@x("x215_span_removal", _X215_SQL)
+def x215(spark, sf):
+    """Span-level dedup ACTION (r13): the ExactSubstr remediation of
+    Lee et al. 2022 — rewrite every document dropping the word
+    positions covered by cross-document duplicated rolling 8-gram
+    spans, keep-first deterministic (the (min doc id, min position)
+    occurrence survives), with per-document removed-word /
+    removed-char audit columns.  The measurement half is x92
+    (duplicated_span_stats); this is the action half the paper's
+    headline result uses (span removal, not doc removal).  Spans
+    travel as md5 prefixes, posting lists never materialize, and the
+    oracle replays the keep-first choice, the rewrite, and every
+    audit column value-for-value (the rewritten text compares as its
+    md5).  operators/dedup.py::remove_duplicated_spans."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    docs = load_docs(spark, sf)
+    out = remove_duplicated_spans(docs, "doc_id", "text", n=8)
+    return (out.select("doc_id", "n_words", "n_words_removed",
+                       "n_spans_removed", "removed_char_frac",
+                       F.md5("text").alias("text_md5"))
+               .orderBy("doc_id"))
