@@ -45,6 +45,7 @@ _RECHECK_R13 = {
     "x189_ivfpq_recall",          # r13: query-side broadcast flip
     "x190_ivfpq_refine",          # r13: query-side broadcast flip
     "x212_opq_recall",            # r13: query-side broadcast flip
+    "x37_minhash_fast",           # r13: true-Jaccard self-grade columns
 }
 
 

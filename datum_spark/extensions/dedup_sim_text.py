@@ -140,11 +140,43 @@ def x38(spark, sf):
 def x37(spark, sf):
     """MinHash-LSH near-dups over the FULL documents table — the vectorized
     signature path (NumPy rolling hash per Arrow batch) removes the doc
-    cap the interpreted JVM version needs (x04)."""
+    cap the interpreted JVM version needs (x04).
+
+    THROUGHPUT-TWIN-ONLY by design (r13 status pin): the NumPy rolling
+    hash family is engine-specific, so the emitted pair set cannot be
+    replayed hash-for-hash by an external engine — the verified md5
+    sibling is x153 (``near_dup_clusters``, portable md5 family,
+    oracle-checked).  This entry instead SELF-GRADES: every emitted
+    pair carries its TRUE hash-free character-5-shingle Jaccard
+    (``true_jaccard``, exact set arithmetic over the same shingles the
+    signatures sketch) next to the estimate, and ``grade_ok`` pins the
+    sketch error — |est − true| within the 3σ binomial bound for 32
+    hashes (±0.27) and true ≥ threshold − the same bound.  A broken
+    hash family or banding bug surfaces as grade_ok=false rows, which
+    the rows-only driver check records."""
     docs = load(spark, sf, "documents")
-    return (dedup_mod.minhash_near_dups_fast(docs, "doc_id", "text",
+    pairs = dedup_mod.minhash_near_dups_fast(docs, "doc_id", "text",
                                              num_hashes=32, bands=8,
                                              threshold=0.5)
+    sh = dedup_mod._char_shingles(F.col("text"), 5)
+    sets = docs.select(F.col("doc_id"), sh.alias("__sh"))
+    a = sets.select(F.col("doc_id").alias("id_a"),
+                    F.col("__sh").alias("__sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"),
+                    F.col("__sh").alias("__sb"))
+    true_j = F.round(
+        F.size(F.array_intersect("__sa", "__sb"))
+        / F.size(F.array_union("__sa", "__sb")).cast("double"), 4)
+    # 3σ of a Binomial(32, j)/32 estimator is ≤ 3·0.5/√32 ≈ 0.27
+    tol = 0.27
+    return (pairs.join(a, "id_a").join(b, "id_b")
+            .withColumn("true_jaccard", true_j)
+            .withColumn("grade_ok",
+                        (F.abs(F.col("est_jaccard")
+                               - F.col("true_jaccard")) <= tol)
+                        & (F.col("true_jaccard") >= 0.5 - tol))
+            .select("id_a", "id_b", "est_jaccard", "true_jaccard",
+                    "grade_ok")
             .orderBy("id_a", "id_b"))
 
 
