@@ -46,6 +46,8 @@ _RECHECK_R13 = {
     "x190_ivfpq_refine",          # r13: query-side broadcast flip
     "x212_opq_recall",            # r13: query-side broadcast flip
     "x37_minhash_fast",           # r13: true-Jaccard self-grade columns
+    "x216_c4_line_filter",        # new: C4 line-level retention action
+    "x217_semdedup",              # new: SemDeDup keep-one-per-group action
 }
 
 

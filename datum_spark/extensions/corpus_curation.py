@@ -2987,3 +2987,64 @@ def x215(spark, sf):
                        "n_spans_removed", "removed_char_frac",
                        F.md5("text").alias("text_md5"))
                .orderBy("doc_id"))
+
+
+_X216_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         replace(replace(text, ' data ', '.' || chr(10)),
+                 ' window ', ' javascript ') AS text
+  FROM documents
+), ln AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines FROM t
+), per AS (
+  SELECT doc_id, i, lines[i] AS l,
+         regexp_matches(lines[i], '[.!?"]\s*$')
+           AND len(list_filter(string_split_regex(lines[i], '\s+'),
+                               x -> x <> '')) >= 3
+           AND NOT contains(lower(lines[i]), 'javascript') AS keep
+  FROM ln, UNNEST(generate_series(1, len(lines))) AS g(i)
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_lines,
+         COUNT(*) FILTER (WHERE keep) AS n_lines_kept,
+         coalesce(string_agg(l, chr(10) ORDER BY i)
+                    FILTER (WHERE keep), '') AS new_text
+  FROM per GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(n_lines_kept AS BIGINT) AS n_lines_kept,
+       ROUND(CASE WHEN n_lines > 0
+                  THEN (n_lines - n_lines_kept)
+                       / CAST(n_lines AS DOUBLE)
+                  ELSE 0.0 END, 6) AS removed_line_frac,
+       md5(new_text) AS text_md5
+FROM agg ORDER BY doc_id"""
+
+
+@x("x216_c4_line_filter", _X216_SQL)
+def x216(spark, sf):
+    """The C4 LINE-level retention rules as an ACTION (r13): keep only
+    lines ending in terminal punctuation, with ≥ 3 words, and free of
+    "javascript" (Raffel 2020 §2.2's line filters — x213 reports them
+    as audit fractions; this entry applies the rewrite).  The fixture
+    text is single-line, so both engines first derive a multi-line
+    variant with the same two literal replaces (word→'.\\n' creates
+    terminally-punctuated lines; word→'javascript' seeds rule-c
+    violations).  Map-side array expression per document, no shuffle;
+    the oracle replays line splitting, all three predicates, the
+    join-back and every audit column (text compared as md5).
+    operators/text.py::c4_clean_lines."""
+    from ..operators.text import c4_clean_lines
+
+    docs = (load_docs(spark, sf)
+            .withColumn("text", F.replace(
+                F.replace(F.col("text"), F.lit(" data "),
+                          F.lit(".\n")),
+                F.lit(" window "), F.lit(" javascript "))))
+    out = c4_clean_lines(docs, "text")
+    return (out.select("doc_id", "n_lines", "n_lines_kept",
+                       "removed_line_frac",
+                       F.md5("text").alias("text_md5"))
+               .orderBy("doc_id"))

@@ -1341,3 +1341,76 @@ def x199(spark, sf):
                          (F.col("split_a") != F.col("split_b"))
                           .alias("crosses"))
                  .orderBy("id_a", "id_b"))
+
+
+def _x217_oracle() -> str:
+    from ._shared import kmeans_cte_parts
+
+    parts, d2 = kmeans_cte_parts(8, 2, 64)
+    parts.append(f"""top2 AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v CROSS JOIN c2 c) WHERE rn <= 2
+)""")
+    parts.append("""cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM top2 a JOIN top2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)""")
+    parts.append("""p AS (
+  SELECT id_a, id_b FROM (
+    SELECT cand.id_a, cand.id_b,
+           ROUND(list_sum(list_transform(list_zip(va.e, vb.e),
+                                         x -> x[1]*x[2]))
+                 / (sqrt(list_sum(list_transform(va.e, x -> x*x)))
+                    * sqrt(list_sum(list_transform(vb.e, x -> x*x)))),
+                 6) AS cosine
+    FROM cand JOIN v va ON cand.id_a = va.vec_id
+              JOIN v vb ON cand.id_b = vb.vec_id)
+  WHERE cosine >= 0.45
+)""")
+    parts.append("""sym AS (
+  SELECT id_a AS u, id_b AS w FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(u, w) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+  UNION
+  SELECT r.u, s.w FROM reach r JOIN sym s ON r.w = s.u
+), comp AS (
+  SELECT u AS node, MIN(w) AS component FROM reach GROUP BY u
+)""")
+    parts.append(f"""assign AS (
+  SELECT vec_id, cid, d2 FROM (
+    SELECT v.vec_id, c.cid, {d2} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {d2}, c.cid) AS rn
+    FROM v CROSS JOIN c2 c) WHERE rn = 1
+)""")
+    final = """SELECT vec_id, cluster, d2, group_id,
+       row_number() OVER (PARTITION BY group_id
+                          ORDER BY d2 DESC, vec_id) = 1 AS keep
+FROM (
+  SELECT a.vec_id, CAST(a.cid AS INT) AS cluster, a.d2,
+         COALESCE(c.component, a.vec_id) AS group_id
+  FROM assign a LEFT JOIN comp c ON a.vec_id = c.node)
+ORDER BY vec_id"""
+    return "WITH RECURSIVE " + ",\n".join(parts) + "\n" + final
+
+
+@x("x217_semdedup", _x217_oracle())
+def x217(spark, sf):
+    """SemDeDup (Abbas et al. 2023) as a hash-verified ACTION (r13):
+    semantic-duplicate groups from the x57 pair stage (deterministic
+    Lloyd trajectory, 2-cell blocking, exact-fold cosines), one
+    survivor per group by the paper's keep rule — farthest from its
+    cluster centroid, ties by id.  One fit feeds both the pairs and
+    the keep rule; the oracle replays the full trajectory, the
+    transitive closure (recursive CTE) and the keep window.
+    operators/clustering.py::semdedup."""
+    from ..operators.clustering import semdedup
+
+    emb = load_emb(spark, sf)
+    return (semdedup(emb, "vec_id", "embedding", k=8, iters=2,
+                     threshold=0.45, probes=2)
+            .orderBy("vec_id"))

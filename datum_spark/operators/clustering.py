@@ -365,10 +365,20 @@ def semantic_dedup_pairs_verifiable(df: DataFrame,
     comparison replays identically.  The GEMM variant
     (:func:`semantic_dedup_pairs`) stays as the throughput twin.
     Returns ``(id_a, id_b, cosine)``."""
-    from pyspark.sql import functions as F
-
     v, centers, d2s_expr = _verifiable_fit(df, id_col, vec_col, k,
                                            iters, quantize)
+    return _verifiable_pairs(v, centers, d2s_expr, threshold, probes,
+                             quantize)
+
+
+def _verifiable_pairs(v, centers, d2s_expr, threshold: float,
+                      probes: int, quantize: int) -> DataFrame:
+    """Candidate-pair + cosine stage of
+    :func:`semantic_dedup_pairs_verifiable` over an already-computed
+    fit — shared with :func:`semdedup` so the action operator pays for
+    ONE deterministic Lloyd trajectory, not two."""
+    from pyspark.sql import functions as F
+
     v = v.withColumn("__d2s", d2s_expr(centers))
     topn = F.expr(f"slice({_RANKED_SQL}, 1, {max(1, probes)})")
     # the norm is a per-VECTOR quantity — fold it once here (2 rows per
@@ -397,6 +407,72 @@ def semantic_dedup_pairs_verifiable(df: DataFrame,
     return (cand.select("id_a", "id_b", cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold)
                 .dropDuplicates(["id_a", "id_b"]))
+
+
+def semdedup(df: DataFrame, id_col: str = "vec_id",
+             vec_col: str = "embedding", k: int = 8, iters: int = 2,
+             threshold: float = 0.45, probes: int = 2,
+             quantize: int = 6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a verifiable ACTION: cluster
+    the embeddings, form semantic-duplicate GROUPS from the
+    within-cell cosine-threshold pairs, and in every group KEEP
+    exactly one member — the paper's rule: the vector FARTHEST from
+    its cluster centroid survives (it anchors the group's diversity;
+    ties break by id ascending).  Everything is the deterministic
+    trajectory of :func:`kmeans_verifiable`, so the grouping, the
+    keep choice and every distance replay bit-for-bit in an external
+    engine.
+
+    Returns one row per vector: ``(id_col, cluster, d2, group_id,
+    keep)`` — ``cluster`` / ``d2`` the rank-1 assignment and its
+    rounded squared distance, ``group_id`` the duplicate group
+    (minimum member id; singletons group with themselves, always
+    kept).  :func:`semdedup_prune` applies the verdict.
+
+    Scale posture: ONE Lloyd fit feeds both the pair stage and the
+    keep rule (shared ``_verifiable_fit``); candidate volume is
+    Σ|cell|² via the ``probes``-cell blocking, never N²; components
+    run log-diameter rounds over dup edges only; the keep window
+    partitions by GROUP (dup-group-sized, bounded by the threshold's
+    selectivity — never a corpus-wide window)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from .components import dup_clusters
+
+    v, centers, d2s_expr = _verifiable_fit(df, id_col, vec_col, k,
+                                           iters, quantize)
+    pairs = _verifiable_pairs(v, centers, d2s_expr, threshold, probes,
+                              quantize)
+    comp = dup_clusters(pairs.select("id_a", "id_b"))
+    best = F.expr(_RANKED_SQL + "[0]")
+    assigned = (v.withColumn("__d2s", d2s_expr(centers))
+                 .withColumn("__best", best)
+                 .select(F.col("__id").alias(id_col),
+                         F.col("__best.c").alias("cluster"),
+                         F.col("__best.d").alias("d2")))
+    lab = (assigned.join(comp.withColumnRenamed("node", id_col),
+                         id_col, "left")
+                   .withColumn("group_id",
+                               F.coalesce("component", F.col(id_col)))
+                   .drop("component"))
+    w = (Window.partitionBy("group_id")
+               .orderBy(F.col("d2").desc(), F.col(id_col).asc()))
+    return (lab.withColumn("keep", F.row_number().over(w) == 1)
+               .select(id_col, "cluster", "d2", "group_id", "keep"))
+
+
+def semdedup_prune(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8,
+                   iters: int = 2, threshold: float = 0.45,
+                   probes: int = 2, quantize: int = 6) -> DataFrame:
+    """Apply :func:`semdedup`'s verdict: the input rows whose vector
+    survives semantic dedup (semi join on the keep set — every input
+    column rides through untouched)."""
+    keep = (semdedup(df, id_col, vec_col, k, iters, threshold, probes,
+                     quantize)
+            .filter(F.col("keep")).select(id_col))
+    return df.join(keep, id_col, "semi")
 
 
 def kmeans_verifiable(df: DataFrame, id_col: str = "vec_id",

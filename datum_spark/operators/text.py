@@ -283,6 +283,47 @@ def c4_rules(df: DataFrame, text_col: str = "text",
         & F.col("pass_brace") & F.col("pass_badwords"))
 
 
+def c4_clean_lines(df: DataFrame, text_col: str = "text",
+                   min_words_per_line: int = 3) -> DataFrame:
+    """The C4 LINE-level retention rules (Raffel et al. 2020 §2.2) as
+    an ACTION — the rewrite :func:`c4_rules` only reports as audit
+    fractions: keep exactly the lines that (a) end in a terminal
+    punctuation mark (``. ! ?`` or a closing quote — the paper's first
+    rule), (b) carry at least ``min_words_per_line`` words (paper: 3),
+    and (c) do not contain the word "javascript" (case-insensitive);
+    drop every other line and join the survivors with ``\\n``.
+
+    Returns ``df`` with ``text_col`` REWRITTEN plus audit columns
+    ``n_lines``, ``n_lines_kept`` and ``removed_line_frac`` (rounded
+    to 6 dp).  The three predicates are spelled identically to
+    :func:`c4_rules`'s ``frac_terminal_lines`` / ``frac_short_lines``
+    / ``has_javascript_line`` measures, so the audit columns and the
+    action can never disagree.
+
+    Scale shape: one map-side array expression per document — no
+    shuffle, no UDF, linear in corpus bytes."""
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(ln):
+        n_w = F.size(F.filter(F.split(ln, r"\s+"),
+                              lambda w: w != ""))
+        return (ln.rlike(_TERMINAL_LINE_RE)
+                & (n_w >= min_words_per_line)
+                & ~F.lower(ln).contains("javascript"))
+
+    kept = F.filter(lines, _keep)
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    frac = F.round(
+        F.when(n_lines > 0,
+               (n_lines - n_kept) / n_lines.cast("double"))
+         .otherwise(F.lit(0.0)), 6)
+    return (df.withColumn("n_lines", n_lines)
+              .withColumn("n_lines_kept", n_kept)
+              .withColumn("removed_line_frac", frac)
+              .withColumn(text_col, F.concat_ws("\n", kept)))
+
+
 def language_guess(col: Column) -> Column:
     """Stopword-marker language guess over the marker sets above: the
     language with the most distinct marker hits wins (ties → lexicographic

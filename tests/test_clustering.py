@@ -169,3 +169,59 @@ def test_verifiable_coreset_and_semantic_dedup(spark):
             for b in ids:
                 if a < b and round(float(sims[a, b]), 6) >= 0.9:
                     assert (a, b) in got, (a, b)
+
+
+def test_semdedup_action_keep_rule_and_prune(spark):
+    """r13 SemDeDup action: duplicate groups are the transitive closure
+    of the verifiable pair stage; exactly one survivor per group; the
+    survivor is the member FARTHEST from its cluster centroid (Abbas
+    2023's keep rule, ties by id); prune applies the verdict."""
+    import random
+
+    from datum_spark.operators.clustering import (
+        semantic_dedup_pairs_verifiable, semdedup, semdedup_prune)
+    from datum_spark.operators.components import dup_clusters
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    rows = []
+    vid = 0
+    for b in base:
+        # a tight clique of 3 near-identical vectors per base + noise
+        for j in range(3):
+            rows.append((vid, [x + j * 1e-4 for x in b]))
+            vid += 1
+    for _ in range(20):                      # singleton background
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)]))
+        vid += 1
+    df = spark.createDataFrame(rows,
+                               "vec_id bigint, embedding array<double>")
+    kw = dict(k=4, iters=2, threshold=0.999, probes=2)
+    lab = semdedup(df, "vec_id", "embedding", **kw).cache()
+    rows_l = lab.collect()
+    by_group = {}
+    for r in rows_l:
+        by_group.setdefault(r["group_id"], []).append(r)
+    # exactly one keep per group, and it is the max-(d2, -id) member
+    for g, members in by_group.items():
+        kept = [m for m in members if m["keep"]]
+        assert len(kept) == 1, g
+        want = sorted(members,
+                      key=lambda m: (-m["d2"], m["vec_id"]))[0]
+        assert kept[0]["vec_id"] == want["vec_id"], g
+    # groups equal the closure of the pair stage
+    pairs = semantic_dedup_pairs_verifiable(df, "vec_id", "embedding",
+                                            quantize=6, **kw)
+    comp = {r["node"]: r["component"]
+            for r in dup_clusters(pairs.select("id_a", "id_b"))
+            .collect()}
+    for r in rows_l:
+        assert r["group_id"] == comp.get(r["vec_id"], r["vec_id"])
+    # the cliques actually grouped (18 clique members -> 6 groups)
+    n_multi = sum(1 for g, ms in by_group.items() if len(ms) > 1)
+    assert n_multi == 6
+    # prune returns exactly the keep rows, columns untouched
+    pruned = semdedup_prune(df, "vec_id", "embedding", **kw)
+    assert pruned.columns == df.columns
+    assert ({r["vec_id"] for r in pruned.collect()}
+            == {r["vec_id"] for r in rows_l if r["keep"]})

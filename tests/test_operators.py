@@ -2168,3 +2168,31 @@ def test_remove_duplicated_spans_hand_cases(spark):
     assert all(capped[i]["n_spans_removed"] == 0
                for i in range(10, 16))            # 6 docs > cap 3
     assert capped[2]["n_spans_removed"] == 1      # 2-doc span still cut
+
+
+def test_c4_clean_lines_hand_cases(spark):
+    """r13 C4 line-level ACTION: each of the three published predicates
+    (terminal punctuation, ≥3 words, no 'javascript') drops exactly
+    its lines; survivors rejoin in order."""
+    from datum_spark.operators.text import c4_clean_lines
+
+    text = ("Good sentence here.\n"
+            "short.\n"
+            "no terminal line with words\n"
+            "Uses javascript library today.\n"
+            "Another fine line!")
+    df = spark.createDataFrame([(1, text), (2, "")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           c4_clean_lines(df, "text").collect()}
+    assert got[1]["text"] == "Good sentence here.\nAnother fine line!"
+    assert (got[1]["n_lines"], got[1]["n_lines_kept"]) == (5, 2)
+    assert abs(got[1]["removed_line_frac"] - 0.6) < 1e-9
+    # empty doc: split('') yields one empty line, dropped by the word
+    # rule -> empty rewrite, frac 1.0 over its single line
+    assert got[2]["text"] == "" and got[2]["n_lines_kept"] == 0
+
+    # predicate parity with c4_rules' audit fractions (same spellings)
+    from datum_spark.operators.text import c4_rules
+    audit = c4_rules(df, "text").filter(F.col("doc_id") == 1).first()
+    assert audit["has_javascript_line"] is True
