@@ -1083,6 +1083,7 @@ def opq_train_encode(df: DataFrame, id_col: str = "vec_id",
                      vec_col: str = "embedding", m: int = 8,
                      ksub: int = 16, iters: int = 3,
                      rot_iters: int = 8, balance: bool = False,
+                     align: bool = True,
                      quantize: int = 6):
     """Rotated PQ: train the rotation on the corpus covariance, rotate
     (map-only), then the standard fused PQ training/encoding on the
@@ -1101,8 +1102,22 @@ def opq_train_encode(df: DataFrame, id_col: str = "vec_id",
     across subspaces: on the embeddings fixture, alignment-only
     measured recall@10 0.395 vs 0.375 plain PQ vs 0.360 with the
     permutation, so alignment-only is the default and the
-    permutation is the documented skew remedy."""
+    permutation is the documented skew remedy.  The r13 2×2 sweep
+    (SCALE.md §30) measures all four (align, balance) corners on both
+    fixture shapes and pins the regimes: alignment-only is best on
+    the embeddings fixture (0.395 vs 0.375 plain; the permutation
+    costs recall there, 0.360–0.375), and on skewed variance
+    balance-ONLY is best (0.89 vs 0.205 plain) — the combination is
+    slightly WORSE than balance alone on skew (0.855: the reflection
+    perturbs the axis-aligned energy the serpentine deal exploits),
+    so the remedies should be chosen per corpus shape, not stacked.
+
+    ``align=False`` disables the Householder alignment (``u`` forced
+    to the zero vector — the formula's own identity), giving the
+    permutation-only and plain-identity corners of the sweep."""
     u, perm, _var = opq_rotation(df, vec_col, m, iters=rot_iters)
+    if not align:
+        u = [0.0] * len(u)
     if not balance:
         perm = list(range(len(u)))
     rot = opq_rotate(df.filter(F.col(vec_col).isNotNull()),
