@@ -48,6 +48,8 @@ _RECHECK_R13 = {
     "x37_minhash_fast",           # r13: true-Jaccard self-grade columns
     "x216_c4_line_filter",        # new: C4 line-level retention action
     "x217_semdedup",              # new: SemDeDup keep-one-per-group action
+    "x218_bigram_lm",             # new: interpolated bigram LM scores
+    "x219_winnowing",             # new: MOSS winnowing fingerprint overlap
 }
 
 

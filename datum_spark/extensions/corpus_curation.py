@@ -3048,3 +3048,66 @@ def x216(spark, sf):
                        "removed_line_frac",
                        F.md5("text").alias("text_md5"))
                .orderBy("doc_id"))
+
+
+_X218_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_prepend('<s>', list_filter(
+           string_split_regex(lower(text), '[^a-z]+'),
+           x -> x <> '' AND length(x) <= 16)) AS ws
+  FROM documents
+), pr AS (
+  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS g(i)
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c FROM pr GROUP BY 1, 2
+), uni AS (
+  SELECT w2 AS word, COUNT(*) AS c FROM pr GROUP BY 1
+  UNION ALL
+  SELECT '<s>', COUNT(*) FROM pr WHERE w1 = '<s>'
+), tot AS (
+  SELECT SUM(c) AS n, COUNT(*) AS v FROM uni WHERE word <> '<s>'
+), sc AS (
+  SELECT p.w1, p.w2,
+         CAST(ROUND(-ln(0.7 * CASE WHEN c1.c > 0
+                              THEN coalesce(b.c, 0) / CAST(c1.c AS DOUBLE)
+                              ELSE 0.0 END
+                   + (1 - 0.7) * (coalesce(c2.c, 0) + 1)
+                     / CAST(t.n + t.v AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS cm
+  FROM (SELECT DISTINCT w1, w2 FROM pr) p
+  LEFT JOIN bi b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni c1 ON c1.word = p.w1
+  LEFT JOIN (SELECT word, c FROM uni WHERE word <> '<s>') c2
+         ON c2.word = p.w2
+  CROSS JOIN tot t
+), agg AS (
+  SELECT doc_id, COUNT(*) AS nb, SUM(cm) AS cms
+  FROM pr JOIN sc ON pr.w1 = sc.w1 AND pr.w2 = sc.w2
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(nb AS BIGINT) AS n_bigrams,
+       cms / 1000000.0 AS total_cost,
+       (cms // nb) / 1000000.0 AS nats_per_token
+FROM agg ORDER BY doc_id"""
+
+
+@x("x218_bigram_lm", _X218_SQL)
+def x218(spark, sf):
+    """Interpolated word-BIGRAM LM perplexity (r13) — the CCNet n-gram
+    family one order above the x204 unigram signal: train the
+    (BOS-prefixed) adjacent-pair and word counts on the corpus, score
+    every document's mean ``-ln p(w2|w1)`` under
+    ``lam*bigram + (1-lam)*add-one-unigram`` (lam = 0.7).  Exact
+    integer counts end to end; the single float step per distinct
+    bigram is the 6-dp rounded log the unigram chain already replays
+    hash-stable.  Two count shuffles to train; scoring touches the
+    cost arithmetic once per DISTINCT pair and joins back size-gated.
+    operators/ngram_lm.py::bigram_lm_train / bigram_doc_scores."""
+    from ..operators.ngram_lm import bigram_doc_scores, bigram_lm_train
+
+    docs = load_docs(spark, sf)
+    model = bigram_lm_train(docs)
+    return (bigram_doc_scores(docs, model).orderBy("doc_id"))

@@ -864,3 +864,48 @@ def x193(spark, sf):
         F.substring(F.md5(nn.cast("binary")), 1, 16).alias("h"),
         (nn == F.concat(F.lit('"'), nc, F.lit("'"))).alias("roundtrip"))
         .orderBy("doc_id"))
+
+
+_X219_SQL = r"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS t FROM documents WHERE doc_id < 300
+), h AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(range(1, greatest(length(t) - 4, 1) + 1),
+                          i -> substring(t, i, 5)),
+           g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS hv
+  FROM d
+), keys AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(hv) - 7, 1) + 1),
+           i -> list_min(list_transform(
+                  range(i, least(i + 7, len(hv)) + 1),
+                  j -> hv[j] * 8 + (7 - (j - i))))) AS ks
+  FROM h
+), fp AS (
+  SELECT DISTINCT doc_id, k // 8 AS fp
+  FROM keys, UNNEST(ks) AS u(k)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b"""
+
+
+@x("x219_winnowing", _X219_SQL)
+def x219(spark, sf):
+    """Winnowing fingerprint overlap (Schleimer et al. 2003, the MOSS
+    algorithm; r13): character-5-gram hashes, window-8 rightmost-min
+    selection, cross-document pairs sharing >= 2 fingerprints with
+    their shared counts.  Portable end to end (md5-prefix hashes,
+    integer tie-break keys), so the oracle re-derives every
+    fingerprint, every selection and every pair count — unlike
+    MinHash this sketch LOCALIZES matches (guaranteed hit for any
+    shared substring of length >= w + k - 1 = 12 chars).
+    operators/dedup.py::winnow_overlap_pairs."""
+    docs = load_docs(spark, sf).filter(F.col("doc_id") < 300)
+    return (dedup_mod.winnow_overlap_pairs(docs, "doc_id", "text",
+                                           k=5, w=8, min_shared=2)
+            .orderBy("id_a", "id_b"))

@@ -896,6 +896,76 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
                .drop("__starts", "__nrs"))
 
 
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 5, w: int = 8) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003 — the MOSS algorithm): hash every character ``k``-gram, slide
+    a window of ``w`` consecutive hashes, and select each window's
+    MINIMUM hash (rightmost on ties — the paper's robust-winnowing
+    choice).  The selected set is the document's fingerprint, with the
+    guarantee that any substring match of length ≥ ``w + k − 1``
+    shares at least one fingerprint — a DENSITY-BOUNDED sketch
+    (≈ 2/(w+1) of positions) that, unlike MinHash, localizes matches.
+
+    Returns ``(id_col, fp)`` — distinct selected hashes per document
+    (docs shorter than ``k`` fingerprint their whole text).  Portable
+    hash family: the k-gram hash is the first 8 hex digits of md5 as
+    an integer, and the rightmost-min tie-break is pure integer
+    arithmetic (``h·w + (w−1−offset)``), so an external engine
+    re-derives every fingerprint value-for-value.
+
+    Scale shape: hashing + window minima are one map-side array
+    expression per document (O(chars·w) work, no shuffle); only the
+    DISTINCT (id, fp) pairs — the ≈2/(w+1)-density sketch, not the
+    text — reach the dedup exchange."""
+    t = F.lower(F.col(text_col))
+    n = F.greatest(F.length(t) - F.lit(k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n),
+                        lambda i: F.substring(t, i, k))
+    hashes = F.transform(
+        grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
+                          .cast("long"))
+    nh = F.size(hashes)
+    # per window [i, i+w-1]: min over keys h*w + (w-1-offset) — equal
+    # hashes prefer the RIGHTMOST position (smaller offset residual)
+    keys = F.transform(
+        F.sequence(F.lit(0), F.greatest(nh - w, F.lit(0))),
+        lambda i: F.array_min(F.transform(
+            F.sequence(i, F.least(i + w - 1, nh - 1)),
+            lambda j: F.element_at(hashes, j + 1) * w
+                      + (F.lit(w - 1) - (j - i)))))
+    fps = F.array_distinct(F.transform(
+        keys, lambda x: F.floor(x / F.lit(w)).cast("long")))
+    return (df.select(F.col(id_col), F.explode(fps).alias("fp"))
+              .distinct())
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
+                         k: int = 5, w: int = 8, min_shared: int = 2,
+                         max_fp_freq: int | None = None) -> DataFrame:
+    """Cross-document fingerprint overlap: pairs sharing ≥
+    ``min_shared`` winnowing fingerprints, with the shared count —
+    the MOSS match stage over :func:`winnow_fingerprints`.
+
+    One inverted-index self-join on the fingerprint value (sketch-
+    sized, never the text), partial-aggregated pair counts;
+    ``max_fp_freq`` drops fingerprints present in more docs than the
+    cap from BOTH sides (boilerplate grams — the hot-key skew guard
+    every pair generator here carries)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    if max_fp_freq is not None:
+        hot = (fps.groupBy("fp").count()
+                  .filter(F.col("count") > max_fp_freq).select("fp"))
+        fps = fps.join(hot, "fp", "left_anti")
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (a.join(b, "fp")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .filter(F.col("n_shared") >= min_shared))
+
+
 # ---------------------------------------------------------------------------
 # asymmetric n-gram containment (near-superset detection)
 

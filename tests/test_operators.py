@@ -2196,3 +2196,82 @@ def test_c4_clean_lines_hand_cases(spark):
     from datum_spark.operators.text import c4_rules
     audit = c4_rules(df, "text").filter(F.col("doc_id") == 1).first()
     assert audit["has_javascript_line"] is True
+
+
+def test_winnow_fingerprints_guarantee_and_pairs(spark):
+    """Winnowing (Schleimer 2003): any shared substring of length >=
+    w + k - 1 must share a fingerprint; disjoint texts share none;
+    the overlap stage counts shared fingerprints with the hot-fp cap."""
+    from datum_spark.operators.dedup import (winnow_fingerprints,
+                                             winnow_overlap_pairs)
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "other beginning " + shared + " different ending"),
+        (3, "completely unrelated words zebra quartz vex jumble"),
+        (4, "xy"),                       # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: set() for r in df.collect()}
+    for r in winnow_fingerprints(df, "doc_id", "text",
+                                 k=5, w=8).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    # guarantee: docs 1 and 2 share a >= 12-char substring
+    assert fps[1] & fps[2]
+    assert not (fps[1] & fps[3]) and not (fps[2] & fps[3])
+    assert len(fps[4]) == 1              # whole-short-text fingerprint
+    # density: far fewer fingerprints than k-gram positions
+    assert 0 < len(fps[1]) < len(rows[0][1]) - 4
+
+    got = {(r["id_a"], r["id_b"]): r["n_shared"]
+           for r in winnow_overlap_pairs(df, "doc_id", "text", k=5,
+                                         w=8, min_shared=2).collect()}
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == len(fps[1] & fps[2]) >= 2
+    # hot-fp cap: capping at 1 doc removes every shared fingerprint
+    assert winnow_overlap_pairs(df, "doc_id", "text", k=5, w=8,
+                                min_shared=1,
+                                max_fp_freq=1).count() == 0
+
+
+def test_bigram_lm_hand_case_and_smoothing(spark):
+    """r13 interpolated bigram LM: counts, BOS handling and the
+    micro-nat cost arithmetic verified against a hand computation;
+    unseen pairs degrade to the add-one unigram floor."""
+    import math
+
+    from datum_spark.operators.ngram_lm import (bigram_doc_scores,
+                                                bigram_lm_train)
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")],
+        "doc_id long, text string")
+    uni, bi, n, v = bigram_lm_train(df)
+    assert (n, v) == (7, 3)              # 7 words, vocab {a,b,c}
+    ud = {r["word"]: r["c"] for r in uni.collect()}
+    assert ud == {"a": 3, "b": 3, "c": 1, "<s>": 2}
+    bd = {(r["w1"], r["w2"]): r["c"] for r in bi.collect()}
+    assert bd == {("<s>", "a"): 2, ("a", "b"): 3, ("b", "a"): 1,
+                  ("b", "c"): 1}
+
+    got = {r["doc_id"]: r for r in
+           bigram_doc_scores(df, (uni, bi, n, v)).collect()}
+
+    def cost(c12, c1, c2):
+        p = 0.7 * (c12 / c1 if c1 else 0.0) + (1 - 0.7) * (c2 + 1) / 10.0
+        return round(-math.log(p) * 1e6)
+
+    # doc 1: (<s>,a) (a,b) (b,a) (a,b)
+    cm1 = (cost(2, 2, 3) + 2 * cost(3, 3, 3) + cost(1, 3, 3))
+    assert got[1]["n_bigrams"] == 4
+    assert got[1]["total_cost"] == cm1 / 1e6
+    assert got[1]["nats_per_token"] == (cm1 // 4) / 1e6
+    # unseen pair on a NEW corpus: unigram floor only
+    new = spark.createDataFrame([(9, "c a")], "doc_id long, text string")
+    r9 = bigram_doc_scores(new, (uni, bi, n, v)).first()
+    # (<s>,c): c12=0, c1=count(<s>)=2, c2=count(c)=1;
+    # (c,a):   c12=0, c1=count(c)=1,  c2=count(a)=3
+    cm9 = cost(0, 2, 1) + cost(0, 1, 3)
+    assert r9["n_bigrams"] == 2
+    assert r9["total_cost"] == cm9 / 1e6
