@@ -96,7 +96,8 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
                           unigram_vocab: list | None = None,
                           max_nats_per_token: float | None = None,
                           lang_col: str | None = None,
-                          span_dedup_n: int | None = None
+                          span_dedup_n: int | None = None,
+                          c4_line_filter: bool = False
                           ) -> tuple[DataFrame, dict]:
     """Run the full corpus pipeline and write token-balanced shards.
 
@@ -162,7 +163,8 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
             source_col, min_quality, dedup_threshold, contamination_ngram,
             source_weights, default_weight, workdir, run_id,
             quality_model, lang_models, allowed_langs,
-            unigram_vocab, max_nats_per_token, lang_col, span_dedup_n)
+            unigram_vocab, max_nats_per_token, lang_col, span_dedup_n,
+            c4_line_filter)
     from .operators.dedup import benchmark_contamination, near_dup_clusters
     from .operators.packing import write_training_shards
     from .operators.sampling import mix_sources_md5
@@ -178,6 +180,14 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     attach = ("__langid_pred" if wants_lang and lang_col is None
               and lang_models is not None and allowed_langs else None)
     eff_lang = lang_col if lang_col is not None else attach
+
+    # 0a. C4 line filter (optional, r13) — C4 §2.2 applies its LINE
+    # rules BEFORE any page-level judgement, so the rewrite runs ahead
+    # of every gate; docs left with no lines drop here (map-only; the
+    # count is the stage's funnel row)
+    if c4_line_filter:
+        docs = _c4_line_stage(docs, text_col)
+        report["rows_line_filtered"] = docs.count()
 
     # 0. language gate (optional) — the multilingual first pass
     gated = None
@@ -293,6 +303,18 @@ def build_training_corpus(docs: DataFrame, eval_df: DataFrame | None,
     report.update(write_metrics)
     clean.unpersist()
     return sharded, report
+
+
+def _c4_line_stage(docs: DataFrame, text_col: str) -> DataFrame:
+    """C4 line-retention rewrite + empty-doc drop — stage 0a of the
+    pipeline and the streaming sink (same function, no drift): the
+    text column is REWRITTEN in place (audit columns dropped after the
+    emptiness filter so downstream schemas are unchanged)."""
+    from .operators.text import c4_clean_lines
+
+    return (c4_clean_lines(docs, text_col)
+            .filter(F.col("n_lines_kept") > 0)
+            .drop("n_lines", "n_lines_kept", "removed_line_frac"))
 
 
 # published-rule-set sentinels _quality_gate accepts (r13 completes
@@ -415,7 +437,8 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
                                      unigram_vocab=None,
                                      max_nats_per_token=None,
                                      lang_col=None,
-                                     span_dedup_n=None
+                                     span_dedup_n=None,
+                                     c4_line_filter=False
                                      ) -> tuple[DataFrame, dict]:
     """Checkpointed variant of :func:`build_training_corpus` — same
     stages and report keys, but the quality/dedup/decontamination
@@ -441,6 +464,15 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
     eff_lang = lang_col if lang_col is not None else attach
 
     first_resumed = None
+    if c4_line_filter:
+        docs_lf = docs
+        docs, resumed = store.run(
+            "line_filter",
+            lambda: _c4_line_stage(docs_lf, text_col))
+        first_resumed = resumed
+        report["resumed_line_filter"] = resumed
+        report["rows_line_filtered"] = docs.count()
+
     if lang_models is not None and allowed_langs:
         docs_in = docs
         docs, resumed = store.run(
@@ -448,7 +480,8 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
             lambda: _langid_gate(docs_in, id_col, text_col,
                                  lang_models, allowed_langs,
                                  attach=attach))
-        first_resumed = resumed
+        if first_resumed is None:
+            first_resumed = resumed
         report["resumed_langid"] = resumed
         report["rows_langid"] = docs.count()
 

@@ -422,9 +422,13 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
                 max_nats_per_token: float | None = None,
                 quality_model=None, min_quality: float = 0.3,
                 with_funnel: bool = False,
-                lang_col: str | None = None):
+                lang_col: str | None = None,
+                c4_line_filter: bool = False):
     """Streaming daily-ingest gate — the production front door of the
     corpus pipeline: every micro-batch of INCOMING documents is
+    (pre) C4 line-filtered (optional, r13 — ``c4_line_filter=True``
+    rewrites each doc through the batch ``_c4_line_stage`` and drops
+    emptied docs, the paper's line-rules-first order),
     (0) language-gated (optional, r12 — ``lang_models`` +
     ``allowed_langs``, the same stage-0 screen as the batch
     pipeline), (0b) quality-gated (optional, r12/r13 —
@@ -457,10 +461,10 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
     parity test pins it across all four screens.
 
     ``with_funnel=True`` adds the batch pipeline's funnel accounting:
-    one row per micro-batch (``rows_in``, ``rows_langid``,
-    ``rows_quality``, ``rows_repetition``, ``rows_perplexity``,
-    ``rows_deduped``, ``rows_decontaminated``; disabled gates are
-    NULL) written
+    one row per micro-batch (``rows_in``, ``rows_line_filtered``,
+    ``rows_langid``, ``rows_quality``, ``rows_repetition``,
+    ``rows_perplexity``, ``rows_deduped``, ``rows_decontaminated``;
+    disabled gates are NULL) written
     idempotently to
     ``out_path + "/_funnel"`` — the underscore prefix keeps funnel
     rows invisible to readers of ``out_path`` (Hadoop hidden-path
@@ -478,8 +482,8 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
         benchmark_contamination,
         incremental_near_dups_md5,
     )
-    from ..pipelines import _langid_gate, _perplexity_gate, \
-        _quality_gate
+    from ..pipelines import _c4_line_stage, _langid_gate, \
+        _perplexity_gate, _quality_gate
 
     # same language-column resolution as the batch pipeline: the
     # caller's lang_col, else the langid stage's attached prediction
@@ -492,11 +496,18 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
         if batch_df.isEmpty():
             return
         funnel: dict[str, int | None] = {
-            "rows_langid": None, "rows_quality": None,
-            "rows_repetition": None, "rows_perplexity": None}
+            "rows_line_filtered": None, "rows_langid": None,
+            "rows_quality": None, "rows_repetition": None,
+            "rows_perplexity": None}
         if with_funnel:
             funnel["rows_in"] = batch_df.count()
         cur = batch_df
+        if c4_line_filter:
+            # C4's line rules run FIRST (the batch stage-0a order);
+            # a pure per-doc rewrite, so stream == batch trivially
+            cur = _c4_line_stage(cur, text_col)
+            if with_funnel:
+                funnel["rows_line_filtered"] = cur.count()
         if lang_models is not None and allowed_langs:
             cur = _langid_gate(cur, id_col, text_col, lang_models,
                                allowed_langs, attach=attach)
@@ -554,13 +565,16 @@ def ingest_sink(stream_docs: DataFrame, corpus: DataFrame,
             spark = batch_df.sparkSession
             _idempotent_batch_write(
                 spark.createDataFrame(
-                    [(funnel["rows_in"], funnel["rows_langid"],
+                    [(funnel["rows_in"],
+                      funnel["rows_line_filtered"],
+                      funnel["rows_langid"],
                       funnel["rows_quality"],
                       funnel["rows_repetition"],
                       funnel["rows_perplexity"],
                       funnel["rows_deduped"],
                       funnel["rows_decontaminated"])],
-                    "rows_in long, rows_langid long, "
+                    "rows_in long, rows_line_filtered long, "
+                    "rows_langid long, "
                     "rows_quality long, rows_repetition long, "
                     "rows_perplexity long, rows_deduped long, "
                     "rows_decontaminated long"),

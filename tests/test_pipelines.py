@@ -407,3 +407,42 @@ def test_pipeline_span_dedup_stage(spark, corpus, tmp_path):
     for k in ("rows_span_dedup", "span_words_removed",
               "rows_decontaminated"):
         assert r1[k] == r2[k] == report[k]
+
+
+def test_pipeline_c4_line_filter_stage(spark, corpus, tmp_path):
+    """c4_line_filter=True rewrites docs through C4's line rules BEFORE
+    every gate, drops emptied docs, and reports rows_line_filtered; the
+    resumable run resumes through the new first checkpoint."""
+    from datum_spark.operators.text import c4_clean_lines
+
+    docs = (corpus.filter(F.col("doc_id") >= 20)
+            .withColumn("text", F.when(
+                F.col("doc_id") % 2 == 0,
+                F.regexp_replace(F.col("text"), " data ", ".\n"))
+                .otherwise(F.col("text"))))
+    kw = dict(n_shards=2, min_quality=0.0, c4_line_filter=True)
+    _s, report = build_training_corpus(docs, None,
+                                       str(tmp_path / "lf"), **kw)
+    expect_docs = (c4_clean_lines(docs, "text")
+                   .filter(F.col("n_lines_kept") > 0))
+    n_expect = expect_docs.count()
+    assert report["rows_line_filtered"] == n_expect
+    assert 0 < n_expect < report["rows_in"]      # the stage gates
+    # the REWRITTEN text feeds downstream stages and the shards
+    back = spark.read.parquet(str(tmp_path / "lf"))
+    assert "n_lines_kept" not in back.columns
+    kept_text = {r["doc_id"]: r["text"] for r in expect_docs.collect()}
+    for r in back.collect():
+        assert r["text"] == kept_text[r["doc_id"]]
+
+    # resumable twin resumes the line_filter checkpoint
+    wd = str(tmp_path / "wd_lf")
+    _s1, r1 = build_training_corpus(docs, None, str(tmp_path / "lf2"),
+                                    workdir=wd, run_id="lf", **kw)
+    _s2, r2 = build_training_corpus(docs, None, str(tmp_path / "lf3"),
+                                    workdir=wd, run_id="lf", **kw)
+    assert r1["resumed_line_filter"] is False
+    assert r2["resumed_line_filter"] is True
+    assert (r1["rows_line_filtered"] == r2["rows_line_filtered"]
+            == n_expect)
+    assert r2["rows_in"] is None         # first stage resumed

@@ -674,3 +674,43 @@ def test_ingest_sink_composed_quality_gate_parity(spark, tmp_path):
     assert sums["i"] == delta.count()
     assert sums["q"] == g1.count()
     assert sums["r"] == g2.count() <= sums["q"]
+
+
+def test_ingest_sink_c4_line_filter_parity(spark, tmp_path):
+    """r13: the streaming pre-stage line filter equals the batch
+    composition of the SAME _c4_line_stage (per-doc rewrite — parity
+    is structural), with its own funnel row."""
+    from datum_spark.operators.dedup import incremental_near_dups_md5
+    from datum_spark.pipelines import _c4_line_stage
+    from datum_spark.streaming.stateful import ingest_sink
+
+    all_docs = (spark.read.parquet(f"{SF}/documents.parquet")
+                .withColumn("text", F.regexp_replace(
+                    F.col("text"), " data ", ".\n")))
+    corpus = all_docs.filter(F.col("doc_id") < 50)
+    delta = all_docs.filter(F.col("doc_id") >= 220)
+    src_dir = str(tmp_path / "delta_in")
+    delta.repartition(2).write.parquet(src_dir)
+    stream = (spark.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = str(tmp_path / "accepted")
+    q = ingest_sink(stream, corpus, None, out, str(tmp_path / "ckpt"),
+                    c4_line_filter=True, with_funnel=True)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["doc_id"], r["text"]) for r in
+           spark.read.parquet(out).collect()}
+
+    lf = _c4_line_stage(delta, "text")
+    dup_ids = (incremental_near_dups_md5(lf, corpus, "doc_id", "text")
+               .select(F.col("delta_id").alias("doc_id")).distinct())
+    keep = lf.join(dup_ids, "doc_id", "anti")
+    want = {(r["doc_id"], r["text"]) for r in keep.collect()}
+    assert got == want and len(got) > 0
+    funnel = spark.read.parquet(out + "/_funnel")
+    sums = funnel.agg(F.sum("rows_in").alias("i"),
+                      F.sum("rows_line_filtered").alias("lf"),
+                      F.sum("rows_quality").alias("q")).first()
+    assert sums["i"] == delta.count()
+    assert sums["lf"] == lf.count() < sums["i"]
+    assert sums["q"] is None             # quality gate off
