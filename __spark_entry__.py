@@ -50,6 +50,7 @@ _RECHECK_R13 = {
     "x217_semdedup",              # new: SemDeDup keep-one-per-group action
     "x218_bigram_lm",             # new: interpolated bigram LM scores
     "x219_winnowing",             # new: MOSS winnowing fingerprint overlap
+    "x220_c4_span_dedup",         # new: C4 3-sentence span dedup action
 }
 
 

@@ -3111,3 +3111,83 @@ def x218(spark, sf):
     docs = load_docs(spark, sf)
     model = bigram_lm_train(docs)
     return (bigram_doc_scores(docs, model).orderBy("doc_id"))
+
+
+_X220_SQL = r"""
+WITH t AS (
+  SELECT doc_id, replace(text, ' data ', '. ') AS text FROM documents
+), w AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           string_split_regex(text, '[.!?]+'), s -> trim(s)),
+           x -> x <> '') AS ws
+  FROM t
+), nz AS (
+  SELECT * FROM w WHERE len(ws) > 0
+), pos AS (
+  SELECT doc_id, s - 1 AS p,
+         md5(lower(array_to_string(ws[s:s+2], ' '))) AS h
+  FROM nz, UNNEST(generate_series(1, greatest(len(ws) - 2, 1))) AS g(s)
+), dup AS (
+  SELECT h FROM pos GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+), ranked AS (
+  SELECT doc_id, p,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+  FROM pos JOIN dup USING (h)
+), rstarts AS (
+  SELECT doc_id, COUNT(*) AS nrs, list(p) AS ps
+  FROM ranked WHERE rn > 1 GROUP BY doc_id
+), sents AS (
+  SELECT nz.doc_id, i - 1 AS wp, ws[i] AS wd,
+         len(list_filter(coalesce(r.ps, []),
+                         s -> s <= i - 1 AND i - 1 <= s + 2)) = 0 AS keep
+  FROM nz LEFT JOIN rstarts r USING (doc_id),
+       UNNEST(generate_series(1, len(ws))) AS g(i)
+), agg AS (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         COUNT(*) FILTER (WHERE NOT keep) AS n_words_removed,
+         coalesce(string_agg(wd, '. ' ORDER BY wp) FILTER (WHERE keep),
+                  '') AS new_text,
+         string_agg(wd, '. ' ORDER BY wp) AS norm_text
+  FROM sents GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_words_removed, 0) AS BIGINT)
+         AS n_words_removed,
+       CAST(coalesce(r.nrs, 0) AS BIGINT) AS n_spans_removed,
+       ROUND(CASE WHEN coalesce(len(a.norm_text), 0) > 0
+                  THEN (len(a.norm_text) - len(a.new_text))
+                       / CAST(len(a.norm_text) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS removed_char_frac,
+       md5(coalesce(a.new_text, '')) AS text_md5
+FROM documents d
+LEFT JOIN agg a USING (doc_id)
+LEFT JOIN rstarts r USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+@x("x220_c4_span_dedup", _X220_SQL)
+def x220(spark, sf):
+    """C4 §2.2's published DEDUP step as an action (r13): "remove all
+    but one of any three-sentence span occurring more than once" —
+    remove_duplicated_spans with unit="sentence", n=3, keep-first
+    deterministic, completing the C4 trifecta (x213 page rules, x216
+    line rules, this span dedup).  The fixture text is unpunctuated,
+    so both engines first derive sentences with the same literal
+    replace; the oracle replays the sentence split, the keep-first
+    choice, the rewrite (md5-compared) and every audit column.
+    operators/dedup.py::remove_duplicated_spans(unit='sentence')."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    docs = (load_docs(spark, sf)
+            .withColumn("text", F.replace(F.col("text"),
+                                          F.lit(" data "),
+                                          F.lit(". "))))
+    out = remove_duplicated_spans(docs, "doc_id", "text", n=3,
+                                  unit="sentence")
+    return (out.select("doc_id", "n_words", "n_words_removed",
+                       "n_spans_removed", "removed_char_frac",
+                       F.md5("text").alias("text_md5"))
+               .orderBy("doc_id"))

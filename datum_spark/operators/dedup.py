@@ -801,8 +801,8 @@ def duplicated_span_stats(df: DataFrame, id_col: str, text_col: str,
 
 def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
                             n: int = 8,
-                            max_span_freq: int | None = None
-                            ) -> DataFrame:
+                            max_span_freq: int | None = None,
+                            unit: str = "word") -> DataFrame:
     """Span-level dedup ACTION — the ExactSubstr remediation of
     "Deduplicating Training Data Makes Language Models Better" (Lee
     et al., 2022), whose measurement half is
@@ -841,9 +841,29 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
     and ``max_span_freq`` additionally EXEMPTS spans present in more
     documents than the cap (boilerplate language, not duplication —
     the same cap semantics as the stats operator).
+
+    ``unit="sentence"`` (r13) switches the token unit from whitespace
+    words to terminal-punctuation sentences (``[.!?]+`` split,
+    trimmed; survivors rejoin with ``". "``) — with ``n=3`` this is
+    exactly C4 §2.2's published dedup step ("we removed all but one
+    of any three-sentence span occurring more than once"), completing
+    the C4 trifecta next to the page rules (``text.c4_rules``) and
+    line rules (``text.c4_clean_lines``).  Same keep-first semantics,
+    same two-shuffle shape; the audit columns keep their names
+    (``n_words`` then counts sentences).
     """
-    words = F.filter(F.split(F.col(text_col), r"\s+"),
-                     lambda t: t != "")
+    if unit == "word":
+        words = F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda t: t != "")
+        joiner = " "
+    elif unit == "sentence":
+        words = F.filter(
+            F.transform(F.split(F.col(text_col), r"[.!?]+"),
+                        lambda s: F.trim(s)),
+            lambda t: t != "")
+        joiner = ". "
+    else:
+        raise ValueError(f"unknown span unit: {unit!r}")
     base = (df.select(F.col(id_col).alias("__id"), words.alias("__w"))
               .filter(F.size("__w") > 0))
     idx = F.sequence(F.lit(0), F.greatest(F.size("__w") - n, F.lit(0)))
@@ -878,8 +898,8 @@ def remove_duplicated_spans(df: DataFrame, id_col: str, text_col: str,
         words,
         lambda w, i: ~F.exists(sarr,
                                lambda s: (s <= i) & (i <= s + n - 1)))
-    norm = F.concat_ws(" ", words)
-    new_text = F.concat_ws(" ", kept)
+    norm = F.concat_ws(joiner, words)
+    new_text = F.concat_ws(joiner, kept)
     frac = F.round(
         F.when(F.length(norm) > 0,
                (F.length(norm) - F.length(new_text))

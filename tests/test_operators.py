@@ -2275,3 +2275,29 @@ def test_bigram_lm_hand_case_and_smoothing(spark):
     cm9 = cost(0, 2, 1) + cost(0, 1, 3)
     assert r9["n_bigrams"] == 2
     assert r9["total_cost"] == cm9 / 1e6
+
+
+def test_remove_duplicated_spans_sentence_unit(spark):
+    """unit='sentence', n=3 is C4 §2.2's dedup step: a 3-sentence span
+    occurring in two docs survives only at its keep-first occurrence;
+    rejoin uses '. '."""
+    from datum_spark.operators.dedup import remove_duplicated_spans
+
+    span = "First common one. Second common two! Third common three?"
+    rows = [
+        (1, span + " Tail only here."),
+        (2, "Own opener for doc two. " + span + " Different tail."),
+        (3, "Nothing shared at all. Fully distinct sentences here."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in remove_duplicated_spans(
+        df, "doc_id", "text", n=3, unit="sentence").collect()}
+    # doc 1 keeps the span (keeper) + its tail, normalized join
+    assert got[1]["text"] == ("First common one. Second common two. "
+                              "Third common three. Tail only here")
+    assert got[1]["n_spans_removed"] == 0
+    # doc 2 loses the 3 covered sentences, keeps opener + tail
+    assert got[2]["text"] == "Own opener for doc two. Different tail"
+    assert (got[2]["n_words"], got[2]["n_words_removed"]) == (5, 3)
+    assert got[2]["n_spans_removed"] == 1
+    assert got[3]["n_words_removed"] == 0
