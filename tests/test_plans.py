@@ -475,3 +475,48 @@ def test_opq_rotate_plan_is_map_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan[:1500]
     assert "EvalPython" not in plan
+
+
+def test_c4_clean_lines_plan_is_map_only(spark):
+    """x216: the C4 line-retention rewrite is one map-side array
+    expression — no Exchange, no join, no Python in the plan."""
+    from datum_spark.operators.text import c4_clean_lines
+    from datum_spark.tierb import load
+
+    docs = load(spark, SF, "documents")
+    df = c4_clean_lines(docs, "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:1500]
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_winnow_fingerprints_plan_shape(spark):
+    """x219: fingerprint selection is map-side (hashing + window
+    minima inside the array expression); the only exchange in the
+    whole fingerprint stage is the final DISTINCT on the sketch."""
+    from datum_spark.operators.dedup import winnow_fingerprints
+    from datum_spark.tierb import load
+
+    docs = load(spark, SF, "documents")
+    df = winnow_fingerprints(docs, "doc_id", "text", k=5, w=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1, plan[:2000]   # distinct only
+    assert "EvalPython" not in plan
+
+
+def test_remove_duplicated_spans_plan_shape(spark):
+    """x215/x220: the ExactSubstr action is the documented two-shuffle
+    shape — span-hash aggregation and the removed-starts collect — and
+    the final rewrite join keeps the doc side streaming (hash or
+    broadcast equi-join, never a cartesian)."""
+    from datum_spark.operators.dedup import remove_duplicated_spans
+    from datum_spark.tierb import load
+
+    docs = load(spark, SF, "documents")
+    df = remove_duplicated_spans(docs, "doc_id", "text", n=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    # partial+final aggregation on the span hash (map-side combine)
+    assert "partial_count" in plan or "HashAggregate" in plan
