@@ -4,18 +4,25 @@ runs, as ONE function with a self-reporting metrics trail.
 
 Stage order (each stage is the scale-safe variant measured in SCALE.md):
 
-1. **Quality filter** — heuristic `quality_score` threshold (map-only
-   JVM expressions, no UDF).
-2. **Dedup** — `near_dup_clusters` (exact-collapse → MinHash over
-   distinct texts → components → map-back; SCALE.md §10), keep the
-   minimum-id representative of every cluster.
-3. **Decontamination** — drop docs sharing word n-grams with the
-   held-out eval set (`benchmark_contamination`, broadcast eval side).
-4. **Source mixing** — deterministic md5 keep/drop re-weighting
-   (`mix_sources_md5`; reproducible from the data alone).
-5. **Tokenize + pack + shard** — whitespace token counts, then
-   `write_training_shards` (token-balanced contiguous hive shards via
-   the distributed prefix sum), metrics observed on the write job.
+0a. **C4 line filter** (optional, r13) — line-retention rewrite BEFORE
+    every gate (`text.c4_clean_lines`; the paper's order).
+0.  **Language gate** (optional) — multiclass langid semi join.
+1.  **Quality filter** — heuristic `quality_score` threshold, a learned
+    classifier, or a published rule-set conjunction (gopher / c4 /
+    gopher_rep / gopher+rep), all map-only scoring; plus the optional
+    CCNet perplexity gate (1b).
+2.  **Dedup** — `near_dup_clusters` (exact-collapse → MinHash over
+    distinct texts → components → map-back; SCALE.md §10), keep the
+    minimum-id representative of every cluster; optionally followed by
+    SPAN-level dedup (2b, r13 — the Lee 2022 ExactSubstr action,
+    `dedup.remove_duplicated_spans`).
+3.  **Decontamination** — drop docs sharing word n-grams with the
+    held-out eval set (`benchmark_contamination`, broadcast eval side).
+4.  **Source mixing** — deterministic md5 keep/drop re-weighting
+    (`mix_sources_md5`; reproducible from the data alone).
+5.  **Tokenize + pack + shard** — whitespace token counts, then
+    `write_training_shards` (token-balanced contiguous hive shards via
+    the distributed prefix sum), metrics observed on the write job.
 
 Every stage is a pure DataFrame transformation until the final write;
 counts come from ONE `Observation`-instrumented pass per boundary (no
