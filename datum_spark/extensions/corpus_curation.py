@@ -3191,3 +3191,120 @@ def x220(spark, sf):
                        "n_spans_removed", "removed_char_frac",
                        F.md5("text").alias("text_md5"))
                .orderBy("doc_id"))
+
+
+_X221_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         coalesce(list_sum(list_transform(
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       x -> x <> ''),
+           w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))),
+           0) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         ROUND(206.835
+               - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
+               - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
+       END AS flesch_ease,
+       CASE WHEN n_words > 0 THEN
+         ROUND(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+               + 11.8 * (n_syllables / CAST(n_words AS DOUBLE))
+               - 15.59, 4)
+       END AS fk_grade
+FROM m ORDER BY doc_id"""
+
+
+@x("x221_readability", _X221_SQL)
+def x221(spark, sf):
+    """Flesch reading-ease + Flesch–Kincaid grade (r13) as audited
+    per-document columns — the classic readability screens, computed
+    with the engine's deterministic sentence proxy ([.!?]+ runs) and
+    the dictionary-free vowel-group syllable heuristic.  Map-side
+    regexp/array expressions only; the oracle replays every count and
+    both published formulas.  operators/text.py::readability_scores."""
+    from ..operators.text import readability_scores
+
+    docs = load_docs(spark, sf)
+    return (readability_scores(docs, "text")
+            .select("doc_id", "n_words", "n_sentences", "n_syllables",
+                    "flesch_ease", "fk_grade")
+            .orderBy("doc_id"))
+
+
+_X222_SQL = r"""
+WITH w AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), c AS (
+  SELECT g, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), t AS (
+  SELECT g, SUM(c) AS t FROM c GROUP BY 1
+), j AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         a.c AS ca, ta.t AS ta, b.c AS cb, tb.t AS tb
+  FROM c a JOIN c b ON a.word = b.word AND a.g < b.g
+  JOIN t ta ON ta.g = a.g
+  JOIN t tb ON tb.g = b.g
+), terms AS (
+  SELECT group_a, group_b, ca, ta, cb, tb,
+         CAST(ROUND(0.5 * (
+           (ca / CAST(ta AS DOUBLE))
+             * ln(2.0 * (ca / CAST(ta AS DOUBLE))
+                  / ((ca / CAST(ta AS DOUBLE))
+                     + (cb / CAST(tb AS DOUBLE))))
+           + (cb / CAST(tb AS DOUBLE))
+             * ln(2.0 * (cb / CAST(tb AS DOUBLE))
+                  / ((ca / CAST(ta AS DOUBLE))
+                     + (cb / CAST(tb AS DOUBLE))))) * 1e12, 0)
+           AS BIGINT) AS pico
+  FROM j
+)
+, agg AS (
+  SELECT group_a, group_b,
+         COUNT(*) AS n_shared_words,
+         SUM(pico) AS tp, SUM(ca) AS sa, SUM(cb) AS sb
+  FROM terms GROUP BY 1, 2
+), pairs AS (
+  SELECT ta.g AS group_a, tb.g AS group_b, ta.t AS ta, tb.t AS tb
+  FROM t ta JOIN t tb ON ta.g < tb.g
+)
+SELECT p.group_a, p.group_b,
+       CAST(coalesce(a.n_shared_words, 0) AS BIGINT) AS n_shared_words,
+       ROUND(coalesce(a.tp, 0) / 1e12
+             + 0.5 * ln(2.0)
+               * (1.0 - coalesce(a.sa, 0) / CAST(p.ta AS DOUBLE))
+             + 0.5 * ln(2.0)
+               * (1.0 - coalesce(a.sb, 0) / CAST(p.tb AS DOUBLE)), 6)
+         AS jsd
+FROM pairs p
+LEFT JOIN agg a ON a.group_a = p.group_a AND a.group_b = p.group_b
+ORDER BY p.group_a, p.group_b"""
+
+
+@x("x222_source_divergence", _X222_SQL)
+def x222(spark, sf):
+    """Pairwise Jensen–Shannon divergence between per-source word
+    distributions (r13) — the mixture-design diagnostic: near-zero
+    pairs are redundant under source weighting, high pairs carry
+    distinct signal.  Per-shared-word terms accumulate as integer
+    pico-nats (the x218 float-order discipline) and each side's
+    missing mass closes the formula from exact count ratios; the
+    oracle replays counts, terms and the closure.
+    operators/text.py::source_divergence."""
+    from ..operators.text import source_divergence
+
+    docs = load_docs(spark, sf)
+    return (source_divergence(docs, "source", "text")
+            .orderBy("group_a", "group_b"))

@@ -324,6 +324,119 @@ def c4_clean_lines(df: DataFrame, text_col: str = "text",
               .withColumn(text_col, F.concat_ws("\n", kept)))
 
 
+def readability_scores(df: DataFrame, text_col: str = "text"
+                       ) -> DataFrame:
+    """Flesch reading-ease and Flesch–Kincaid grade level (Flesch
+    1948 / Kincaid 1975) as audited per-document columns — the
+    classic readability screens corpus-curation pipelines bucket on:
+
+    - ``n_words`` (whitespace words), ``n_sentences`` (terminal-
+      punctuation runs ``[.!?]+``, min 1 — the same deterministic
+      proxy as :func:`c4_rules`), ``n_syllables`` (vowel-group runs
+      ``[aeiouy]+`` per word, min 1 per word — the standard
+      dictionary-free heuristic);
+    - ``flesch_ease`` = 206.835 − 1.015·(W/S) − 84.6·(SY/W) and
+      ``fk_grade`` = 0.39·(W/S) + 11.8·(SY/W) − 15.59, both rounded
+      to 4 dp; zero-word docs score NULL (nothing to read).
+
+    Scale shape: every column is one map-side regexp/array
+    expression — no shuffle, no UDF, linear in corpus bytes."""
+    text = F.col(text_col)
+    words = _words(text)
+    n_w = F.size(words).cast("long")
+    n_s = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)),
+        F.lit(1)).cast("long")
+    syl = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+            F.lit(1)).cast("long"))
+    wps = n_w.cast("double") / n_s.cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    out = (df.withColumn("n_words", n_w)
+             .withColumn("n_sentences", n_s)
+             .withColumn("n_syllables", syl))
+    ease = F.when(F.col("n_words") > 0, F.round(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4))
+    grade = F.when(F.col("n_words") > 0, F.round(
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4))
+    return (out.withColumn("flesch_ease", ease)
+               .withColumn("fk_grade", grade))
+
+
+def source_divergence(df: DataFrame, group_col: str = "source",
+                      text_col: str = "text") -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between the WORD
+    distributions of each pair of corpus groups (sources, languages,
+    snapshots) — the mixture-design diagnostic: a near-zero JSD pair
+    is redundant under source weighting, a high one carries distinct
+    signal.  Returns ``(group_a, group_b, n_shared_words, jsd)`` for
+    every unordered pair, JSD in nats (0 ≤ jsd ≤ ln 2), rounded 6 dp.
+
+    Portable float discipline: per-shared-word JSD terms accumulate
+    as integer PICO-nats (×10¹²) so the sum is independent of float
+    order (the x218 micro-nat discipline), and each side's
+    missing-mass term closes the formula from EXACT integer count
+    ratios: ``jsd = Σ_shared t(w) + (ln2/2)·(1−Σc_a/T_a) +
+    (ln2/2)·(1−Σc_b/T_b)``.
+
+    Scale shape: one (group, word) count aggregation (map-side
+    combined), one equi-join on the word between the two group slices
+    of that count table (vocabulary-sized, never corpus-sized), one
+    G²-row final aggregate."""
+    import math
+
+    words = (df.select(F.col(group_col).alias("g"),
+                       F.explode(_words(F.col(text_col)))
+                        .alias("word")))
+    counts = words.groupBy("g", "word").agg(
+        F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("t"))
+    a = (counts.join(totals, "g")
+         .select(F.col("g").alias("group_a"), "word",
+                 F.col("c").alias("ca"), F.col("t").alias("ta")))
+    b = (counts.join(totals, "g")
+         .select(F.col("g").alias("group_b"), "word",
+                 F.col("c").alias("cb"), F.col("t").alias("tb")))
+    j = (a.join(b, "word")
+          .filter(F.col("group_a") < F.col("group_b")))
+    p = F.col("ca") / F.col("ta").cast("double")
+    q = F.col("cb") / F.col("tb").cast("double")
+    term = (F.lit(0.5) * (p * F.log(F.lit(2.0) * p / (p + q))
+                          + q * F.log(F.lit(2.0) * q / (p + q))))
+    pico = F.round(term * F.lit(1e12), 0).cast("long")
+    ln2h = 0.5 * math.log(2.0)
+    agg = (j.groupBy("group_a", "group_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_words"),
+                 F.sum(pico).alias("__t"),
+                 F.sum("ca").alias("__sa"),
+                 F.sum("cb").alias("__sb")))
+    # every unordered pair appears, even word-DISJOINT ones (no shared
+    # row survives the inner join, but their jsd is exactly ln 2 from
+    # the missing-mass closure) — the pair frame is group-count-sized
+    pairs = (F.broadcast(totals.select(F.col("g").alias("group_a"),
+                                       F.col("t").alias("__ta")))
+             .crossJoin(F.broadcast(
+                 totals.select(F.col("g").alias("group_b"),
+                               F.col("t").alias("__tb"))))
+             .filter(F.col("group_a") < F.col("group_b")))
+    full = pairs.join(agg, ["group_a", "group_b"], "left")
+    jsd = F.round(
+        F.coalesce(F.col("__t"), F.lit(0)) / F.lit(1e12)
+        + F.lit(ln2h) * (F.lit(1.0)
+                         - F.coalesce(F.col("__sa"), F.lit(0))
+                         / F.col("__ta").cast("double"))
+        + F.lit(ln2h) * (F.lit(1.0)
+                         - F.coalesce(F.col("__sb"), F.lit(0))
+                         / F.col("__tb").cast("double")), 6)
+    return full.select(
+        "group_a", "group_b",
+        F.coalesce(F.col("n_shared_words"),
+                   F.lit(0)).cast("long").alias("n_shared_words"),
+        jsd.alias("jsd"))
+
+
 def language_guess(col: Column) -> Column:
     """Stopword-marker language guess over the marker sets above: the
     language with the most distinct marker hits wins (ties → lexicographic

@@ -2301,3 +2301,51 @@ def test_remove_duplicated_spans_sentence_unit(spark):
     assert (got[2]["n_words"], got[2]["n_words_removed"]) == (5, 3)
     assert got[2]["n_spans_removed"] == 1
     assert got[3]["n_words_removed"] == 0
+
+
+def test_readability_scores_hand_case(spark):
+    """Flesch formulas against a hand computation on a known sentence
+    pair; empty docs score NULL."""
+    from datum_spark.operators.text import readability_scores
+
+    # 8 words, 2 sentences, syllables: the(1)+cat(1)+sat(1)+here(2)
+    # +it(1)+was(1)+a(1)+mat(1)=9  (vowel-group runs, min 1)
+    df = spark.createDataFrame(
+        [(1, "The cat sat here. It was a mat!"), (2, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           readability_scores(df, "text").collect()}
+    r = got[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) \
+        == (8, 2, 9)
+    wps, spw = 8 / 2, 9 / 8
+    assert r["flesch_ease"] == round(206.835 - 1.015 * wps
+                                     - 84.6 * spw, 4)
+    assert r["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 4)
+    assert got[2]["flesch_ease"] is None and got[2]["n_words"] == 0
+
+
+def test_source_divergence_properties(spark):
+    """JSD is 0 for identical distributions, ln 2 for disjoint ones,
+    strictly between for partial overlap — and symmetric by
+    construction (one unordered row per pair)."""
+    import math
+
+    from datum_spark.operators.text import source_divergence
+
+    rows = [
+        (1, "alpha beta gamma alpha", "s1"),
+        (2, "alpha beta gamma alpha", "s2"),      # identical to s1
+        (3, "delta epsilon zeta", "s3"),          # disjoint
+        (4, "alpha beta delta", "s4"),            # partial overlap
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, "
+                                     "source string")
+    got = {(r["group_a"], r["group_b"]): r for r in
+           source_divergence(df, "source", "text").collect()}
+    assert got[("s1", "s2")]["jsd"] == 0.0
+    assert got[("s1", "s3")]["jsd"] == round(math.log(2.0), 6)
+    assert got[("s1", "s3")]["n_shared_words"] == 0
+    mid = got[("s1", "s4")]["jsd"]
+    assert 0.0 < mid < math.log(2.0)
+    assert len(got) == 6                          # C(4,2) pairs
