@@ -53,6 +53,7 @@ _RECHECK_R13 = {
     "x220_c4_span_dedup",         # new: C4 3-sentence span dedup action
     "x221_readability",           # new: Flesch / FK readability columns
     "x222_source_divergence",     # new: per-source word-dist JSD matrix
+    "q32_recursive_spine",        # new: Spark 4 WITH RECURSIVE gateway
 }
 
 

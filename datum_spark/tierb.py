@@ -495,3 +495,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {name: " ".join(sql.split())
             for name, (_, sql) in QUERIES.items() if sql is not None}
+
+
+@q("q32_recursive_spine", """
+WITH RECURSIVE spine(m) AS (
+  SELECT DATE '1992-01-01'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE m < DATE '1998-12-01'
+), mo AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(o_totalprice), 2) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT s.m AS month,
+       CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+       COALESCE(mo.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN mo ON mo.m = s.m
+ORDER BY month""")
+def q32(spark, sf):
+    """Recursive CTE through the SQL gateway (Spark 4's WITH
+    RECURSIVE): generate the 1992-01..1998-12 month spine by
+    recursion, left-join monthly order counts/revenue, zero-fill the
+    gaps — the calendar gap-fill every reporting stack needs, and the
+    one Tier-B construct that was inexpressible before Spark 4.  The
+    recursion is 84 driver-side ladder steps over ONE ROW each; the
+    real work (the monthly aggregate) is a single partial+final
+    hash aggregation."""
+    load(spark, sf, "orders").createOrReplaceTempView("q32_orders")
+    return spark.sql("""
+        WITH RECURSIVE spine(m) AS (
+          SELECT DATE '1992-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM spine
+          WHERE m < DATE '1998-12-01'
+        ), mo AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 COUNT(*) AS n_orders,
+                 ROUND(SUM(o_totalprice), 2) AS revenue
+          FROM q32_orders GROUP BY 1
+        )
+        SELECT s.m AS month,
+               CAST(COALESCE(mo.n_orders, 0) AS BIGINT) AS n_orders,
+               COALESCE(mo.revenue, 0.0) AS revenue
+        FROM spine s LEFT JOIN mo ON mo.m = s.m
+        ORDER BY month""")
