@@ -54,6 +54,7 @@ _RECHECK_R13 = {
     "x221_readability",           # new: Flesch / FK readability columns
     "x222_source_divergence",     # new: per-source word-dist JSD matrix
     "q32_recursive_spine",        # new: Spark 4 WITH RECURSIVE gateway
+    "x223_zipf_diagnostics",      # new: per-source Zipf corpus health
 }
 
 

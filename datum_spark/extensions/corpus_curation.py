@@ -3308,3 +3308,65 @@ def x222(spark, sf):
     docs = load_docs(spark, sf)
     return (source_divergence(docs, "source", "text")
             .orderBy("group_a", "group_b"))
+
+
+_X223_SQL = r"""
+WITH w AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), c AS (
+  SELECT g, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), base AS (
+  SELECT g, SUM(c) AS n_words, COUNT(*) AS n_distinct_words,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS h
+  FROM c GROUP BY g
+), top AS (
+  SELECT g, c, rnk FROM (
+    SELECT g, c,
+           ROW_NUMBER() OVER (PARTITION BY g
+                              ORDER BY c DESC, word ASC) AS rnk
+    FROM c) WHERE rnk <= 500
+), reg AS (
+  SELECT g, COUNT(*) AS n,
+         SUM(CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * 1e12, 0) AS BIGINT))
+           AS sx,
+         SUM(CAST(ROUND(ln(CAST(c AS DOUBLE)) * 1e12, 0) AS BIGINT))
+           AS sy,
+         SUM(CAST(ROUND(ln(CAST(rnk AS DOUBLE))
+                        * ln(CAST(c AS DOUBLE)) * 1e12, 0) AS BIGINT))
+           AS sxy,
+         SUM(CAST(ROUND(ln(CAST(rnk AS DOUBLE))
+                        * ln(CAST(rnk AS DOUBLE)) * 1e12, 0) AS BIGINT))
+           AS sxx
+  FROM top GROUP BY g
+)
+SELECT b.g AS source,
+       CAST(b.n_words AS BIGINT) AS n_words,
+       CAST(b.n_distinct_words AS BIGINT) AS n_distinct_words,
+       ROUND(b.h / CAST(b.n_distinct_words AS DOUBLE), 6)
+         AS hapax_frac,
+       ROUND((CAST(r.n AS DOUBLE) * (r.sxy / 1e12)
+              - (r.sx / 1e12) * (r.sy / 1e12))
+             / (CAST(r.n AS DOUBLE) * (r.sxx / 1e12)
+                - (r.sx / 1e12) * (r.sx / 1e12)), 4) AS zipf_slope
+FROM base b JOIN reg r ON b.g = r.g
+ORDER BY source"""
+
+
+@x("x223_zipf_diagnostics", _X223_SQL)
+def x223(spark, sf):
+    """Per-source Zipf-law diagnostics (r13): hapax fraction and the
+    least-squares log-rank/log-frequency slope of each source's
+    top-500 words — the corpus-health screen that flags synthetic or
+    templated slices (natural text sits near slope −1).  Regression
+    terms accumulate as integer pico-units (float-order-immune) and
+    the slope assembles from exact integers; the oracle replays the
+    counts, the deterministic rank, every term and the closed form.
+    operators/text.py::zipf_diagnostics."""
+    from ..operators.text import zipf_diagnostics
+
+    docs = load_docs(spark, sf)
+    return (zipf_diagnostics(docs, "source", "text", top_k=500)
+            .orderBy("source"))

@@ -437,6 +437,75 @@ def source_divergence(df: DataFrame, group_col: str = "source",
         jsd.alias("jsd"))
 
 
+def zipf_diagnostics(df: DataFrame, group_col: str = "source",
+                     text_col: str = "text",
+                     top_k: int = 500) -> DataFrame:
+    """Per-group Zipf-law diagnostics — the corpus-health screen that
+    flags synthetic/spammy/templated slices: natural language puts the
+    log-rank/log-frequency fit of the top words near slope −1; boiler-
+    plate floods flatten it, keyword stuffing steepens it.  Returns
+    ``(group, n_words, n_distinct_words, hapax_frac, zipf_slope)``:
+
+    - ``hapax_frac`` — fraction of distinct words occurring once
+      (rounded 6 dp; exact integer counts);
+    - ``zipf_slope`` — the least-squares slope of ``ln count`` on
+      ``ln rank`` over the group's ``top_k`` most frequent words
+      (rank ties broken by word ASC — deterministic), rounded 4 dp.
+
+    Portable float discipline: per-word regression terms (x, y, xy,
+    x²) accumulate as integer PICO units (×10¹², the x218/x222
+    discipline) so the sums are independent of float order; the slope
+    assembles from those exact integers in one closed-form
+    expression.
+
+    Scale shape: one (group, word) count aggregation; the rank window
+    partitions by GROUP over its vocabulary (vocabulary-sized, never
+    corpus rows) and only ``top_k`` rows per group reach the
+    regression aggregate."""
+    from pyspark.sql import Window
+
+    words = (df.select(F.col(group_col).alias("g"),
+                       F.explode(_words(F.col(text_col)))
+                        .alias("word")))
+    counts = words.groupBy("g", "word").agg(
+        F.count(F.lit(1)).alias("c"))
+    base = counts.groupBy("g").agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("__h"))
+    w = Window.partitionBy("g").orderBy(F.col("c").desc(),
+                                        F.col("word").asc())
+    top = (counts.withColumn("rnk", F.row_number().over(w))
+                 .filter(F.col("rnk") <= top_k))
+    x = F.log(F.col("rnk").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+
+    def pico(col):
+        return F.round(col * F.lit(1e12), 0).cast("long")
+
+    reg = (top.select("g", pico(x).alias("__x"), pico(y).alias("__y"),
+                      pico(x * y).alias("__xy"),
+                      pico(x * x).alias("__xx"))
+              .groupBy("g")
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.sum("__x").alias("__sx"), F.sum("__y").alias("__sy"),
+                   F.sum("__xy").alias("__sxy"),
+                   F.sum("__xx").alias("__sxx")))
+    n = F.col("__n").cast("double")
+    sx = F.col("__sx") / F.lit(1e12)
+    sy = F.col("__sy") / F.lit(1e12)
+    sxy = F.col("__sxy") / F.lit(1e12)
+    sxx = F.col("__sxx") / F.lit(1e12)
+    slope = F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+    return (base.join(reg, "g")
+            .select(F.col("g").alias(group_col), "n_words",
+                    "n_distinct_words",
+                    F.round(F.col("__h")
+                            / F.col("n_distinct_words").cast("double"),
+                            6).alias("hapax_frac"),
+                    slope.alias("zipf_slope")))
+
+
 def language_guess(col: Column) -> Column:
     """Stopword-marker language guess over the marker sets above: the
     language with the most distinct marker hits wins (ties → lexicographic

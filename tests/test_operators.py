@@ -2349,3 +2349,28 @@ def test_source_divergence_properties(spark):
     mid = got[("s1", "s4")]["jsd"]
     assert 0.0 < mid < math.log(2.0)
     assert len(got) == 6                          # C(4,2) pairs
+
+
+def test_zipf_diagnostics_properties(spark):
+    """A Zipf-distributed synthetic group fits slope ~ -1; a uniform
+    (templated) group fits ~ 0; hapax fraction counts singletons."""
+    rows = []
+    # group Z: word w_r appears round(1000/r) times, r = 1..30
+    for r in range(1, 31):
+        rows.extend([(len(rows) + i, f"w{r:02d}", "zipf")
+                     for i in range(round(1000 / r))])
+    # group U: 30 words, 20 occurrences each (flat)
+    for r in range(1, 31):
+        rows.extend([(10_000 + len(rows) + i, f"u{r:02d}", "flat")
+                     for i in range(20)])
+    df = (spark.createDataFrame(rows, "i long, word string, g string")
+          .groupBy("i", "g")
+          .agg(F.first("word").alias("text")))
+    # one word per row -> word counts equal construction counts
+    from datum_spark.operators.text import zipf_diagnostics
+    got = {r["g"]: r for r in
+           zipf_diagnostics(df, "g", "text", top_k=30).collect()}
+    assert -1.1 < got["zipf"]["zipf_slope"] < -0.9
+    assert abs(got["flat"]["zipf_slope"]) < 0.05
+    assert got["flat"]["hapax_frac"] == 0.0
+    assert got["zipf"]["n_distinct_words"] == 30
