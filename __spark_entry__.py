@@ -55,6 +55,8 @@ _RECHECK_R13 = {
     "x222_source_divergence",     # new: per-source word-dist JSD matrix
     "q32_recursive_spine",        # new: Spark 4 WITH RECURSIVE gateway
     "x223_zipf_diagnostics",      # new: per-source Zipf corpus health
+    "x224_event_anomalies",       # new: hour-of-day z-score screen
+    "x225_mg_heavy_hitters",      # new: Misra-Gries, self-graded bounds
 }
 
 

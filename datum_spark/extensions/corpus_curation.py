@@ -3370,3 +3370,99 @@ def x223(spark, sf):
     docs = load_docs(spark, sf)
     return (zipf_diagnostics(docs, "source", "text", top_k=500)
             .orderBy("source"))
+
+
+_X224_SQL = r"""
+WITH hourly AS (
+  SELECT event_type AS t, CAST(date_trunc('hour', ts) AS TIMESTAMP)
+           AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), base AS (
+  SELECT t, EXTRACT(hour FROM h) AS hod,
+         COUNT(*) AS m, SUM(n) AS s1, SUM(n * n) AS s2
+  FROM hourly GROUP BY 1, 2
+), j AS (
+  SELECT hourly.t, hourly.h, hourly.n, base.m, base.s1, base.s2
+  FROM hourly JOIN base
+    ON hourly.t = base.t AND EXTRACT(hour FROM hourly.h) = base.hod
+)
+SELECT t AS event_type, h, n,
+       ROUND(s1 / CAST(m AS DOUBLE), 6) AS mu,
+       ROUND(sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                           - (s1 / CAST(m AS DOUBLE))
+                             * (s1 / CAST(m AS DOUBLE)), 0.0)), 6)
+         AS sigma,
+       CASE WHEN m > 1 AND sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                 - (s1 / CAST(m AS DOUBLE))
+                   * (s1 / CAST(m AS DOUBLE)), 0.0)) > 0
+            THEN ROUND((n - s1 / CAST(m AS DOUBLE))
+                       / sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                              - (s1 / CAST(m AS DOUBLE))
+                                * (s1 / CAST(m AS DOUBLE)), 0.0)), 4)
+       END AS z,
+       CASE WHEN m > 1 AND sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                 - (s1 / CAST(m AS DOUBLE))
+                   * (s1 / CAST(m AS DOUBLE)), 0.0)) > 0
+            THEN abs(ROUND((n - s1 / CAST(m AS DOUBLE))
+                       / sqrt(greatest(s2 / CAST(m AS DOUBLE)
+                              - (s1 / CAST(m AS DOUBLE))
+                                * (s1 / CAST(m AS DOUBLE)), 0.0)), 4))
+                 > 3.0
+       END AS is_anomaly
+FROM j ORDER BY event_type, h"""
+
+
+@x("x224_event_anomalies", _X224_SQL)
+def x224(spark, sf):
+    """Hour-of-day seasonal-baseline anomaly screen over the event
+    stream (r13): per-type hourly counts z-scored against that wall
+    hour's own observed mean/std — the ops-analytics screen for
+    traffic spikes/outages.  Every statistic derives from exact
+    integer count sums (Σn, Σn² per baseline cell), so mean, std, z
+    and the flag replay bit-for-bit.
+    operators/events.py::hourly_anomalies."""
+    from ..operators.events import hourly_anomalies
+
+    ev = load(spark, sf, "events")
+    return (hourly_anomalies(ev, "event_type", "ts", z_thresh=3.0)
+            .orderBy("event_type", "h"))
+
+
+@x("x225_mg_heavy_hitters", None)  # partition-order-sensitive estimates
+def x225(spark, sf):
+    """Misra–Gries heavy hitters over the event-type stream (r13) —
+    the deterministic-GUARANTEE member of the sketch family next to
+    CMS (x178-band) and KMV: k counters per partition, driver merge,
+    error ≤ N/(k+1).  Estimates are partition-order-sensitive
+    (rows-only by design, like x04/x37); the GUARANTEES are not and
+    SELF-GRADE here against exact counts: ``within_bound`` pins
+    ``0 ≤ true − est ≤ N/(k+1)`` per emitted item, and every type
+    with true frequency above the bound must appear (missed heavy
+    terms surface as rows with ``est`` NULL and ``covered`` false).
+    operators/sketches.py::mg_heavy_hitters."""
+    from ..operators.sketches import mg_heavy_hitters
+
+    ev = load(spark, sf, "events")
+    items, n = mg_heavy_hitters(ev, "event_type", k=4)
+    bound = n / 5.0
+    sk = spark.createDataFrame(
+        [(t, int(c)) for t, c in items] or [(None, None)],
+        "term string, est long")
+    exact = (ev.filter(F.col("event_type").isNotNull())
+               .groupBy(F.col("event_type").alias("term"))
+               .agg(F.count(F.lit(1)).alias("true_count")))
+    joined = (exact.join(sk, "term", "full_outer")
+              .withColumn("bound", F.round(F.lit(bound), 4))
+              .withColumn("heavy", F.col("true_count") > bound)
+              .withColumn(
+                  "within_bound",
+                  F.when(F.col("est").isNotNull(),
+                         (F.col("est") <= F.col("true_count"))
+                         & (F.col("true_count") - F.col("est")
+                            <= bound)))
+              .withColumn("covered",
+                          ~F.col("heavy") | F.col("est").isNotNull()))
+    return (joined.filter(F.col("est").isNotNull() | F.col("heavy"))
+            .select("term", "est", "true_count", "bound", "heavy",
+                    "within_bound", "covered")
+            .orderBy("term"))

@@ -112,3 +112,57 @@ def debounce(events: DataFrame, key_cols: list[str] | None = None,
     return (events.withColumn("__nb", new_burst)
                   .filter(F.col("__nb") == 1)
                   .drop("__nb"))
+
+
+def hourly_anomalies(events: DataFrame, type_col: str = "event_type",
+                     ts_col: str = "ts",
+                     z_thresh: float = 3.0) -> DataFrame:
+    """Seasonal-baseline anomaly screen over an event stream: count
+    events per (type, hour), build each type's HOUR-OF-DAY baseline
+    (population mean/std of the observed hourly counts at that wall
+    hour — the daily-seasonality profile), and z-score every hour
+    against its own baseline.  ``is_anomaly`` flags |z| > ``z_thresh``
+    (NULL z when the baseline is degenerate: one observation or zero
+    variance).
+
+    Returns ``(type_col, h, n, mu, sigma, z, is_anomaly)`` — ``mu``/
+    ``sigma`` rounded 6 dp, ``z`` 4 dp.  Every statistic derives from
+    exact INTEGER count sums (Σn, Σn² per baseline cell), so the
+    result replays bit-for-bit in any engine — no float-order noise,
+    no sampling.
+
+    Baseline note: hours with ZERO events contribute no baseline row
+    (the screen models observed-activity hours; a silent-hour detector
+    needs the q32-style spine join first).
+
+    Scale shape: one (type, hour) count aggregation (map-side
+    combined, corpus-sized input → hours-sized output), one (type,
+    hour-of-day) 24-row-per-type baseline aggregation, one
+    hours-sized join back.  Nothing corpus-sized past the first
+    exchange."""
+    h = F.date_trunc("hour", F.col(ts_col))
+    hourly = (events.groupBy(F.col(type_col).alias("__t"),
+                             h.alias("h"))
+                    .agg(F.count(F.lit(1)).alias("n")))
+    hod = F.hour("h")
+    base = (hourly.groupBy(F.col("__t").alias("__bt"),
+                           hod.alias("__hod"))
+                  .agg(F.count(F.lit(1)).alias("__m"),
+                       F.sum("n").alias("__s1"),
+                       F.sum(F.col("n") * F.col("n")).alias("__s2")))
+    j = (hourly.join(base, (F.col("__t") == F.col("__bt"))
+                     & (F.hour(F.col("h")) == F.col("__hod")))
+               .select("__t", "h", "n", "__m", "__s1", "__s2"))
+    m = F.col("__m").cast("double")
+    mu = F.col("__s1") / m
+    var = F.greatest(F.col("__s2") / m - mu * mu, F.lit(0.0))
+    sigma = F.sqrt(var)
+    z = F.when((F.col("__m") > 1) & (sigma > 0),
+               F.round((F.col("n") - mu) / sigma, 4))
+    return (j.select(F.col("__t").alias(type_col), "h", "n",
+                     F.round(mu, 6).alias("mu"),
+                     F.round(sigma, 6).alias("sigma"),
+                     z.alias("z"))
+             .withColumn("is_anomaly",
+                         F.when(F.col("z").isNotNull(),
+                                F.abs("z") > float(z_thresh))))

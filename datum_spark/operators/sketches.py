@@ -221,3 +221,59 @@ def bloom_might_contain(col, words: list[int], n_bits: int = 4096,
                        / F.pow(F.lit(2.0), (p % 32).cast("double")))
         cond = cond & (down % 2 == 1)
     return cond
+
+
+def mg_heavy_hitters(df: DataFrame, term_col: str, k: int = 16):
+    """Misra–Gries frequent-items sketch (Misra & Gries 1982), the
+    deterministic heavy-hitter guarantee in O(k) space: one
+    ``mapInPandas`` pass builds a k-counter summary PER PARTITION
+    (bounded memory however large the key space — the regime where
+    the exact groupBy's shuffle is the problem), the driver merges
+    the ≤ k·partitions summary rows by counter addition and one final
+    MG reduction.
+
+    Returns ``(items, n_total)``: ``items`` = list of ``(term,
+    est)`` with ``est ≤ true_count`` and ``true_count − est ≤
+    n_total/(k+1)`` — so every term with true frequency >
+    n_total/(k+1) is GUARANTEED present (the classic MG bound,
+    preserved under summary merging per Agarwal et al. 2013).
+    Estimates depend on partitioning (the sketch is order-sensitive);
+    the GUARANTEE does not — x225 self-grades it against exact
+    counts.
+
+    Driver traffic: ≤ k rows per partition — never the key space."""
+    import pandas as pd
+
+    def summarize(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v in pdf[term_col].astype(str):
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = [t for t in counters
+                            if counters[t] == 1]
+                    for t in counters:
+                        counters[t] -= 1
+                    for t in dead:
+                        del counters[t]
+        yield pd.DataFrame({"term": list(counters),
+                            "cnt": list(counters.values())})
+
+    n_total = df.filter(F.col(term_col).isNotNull()).count()
+    rows = (df.select(F.col(term_col))
+              .filter(F.col(term_col).isNotNull())
+              .mapInPandas(summarize, "term string, cnt long")
+              .collect())
+    merged: dict = {}
+    for r in rows:
+        merged[r["term"]] = merged.get(r["term"], 0) + int(r["cnt"])
+    if len(merged) > k:
+        # MG reduction of the merged summary: subtract the (k+1)-th
+        # largest count, drop non-positives (Agarwal 2013 §3.1)
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {t: c - cut for t, c in merged.items() if c - cut > 0}
+    items = sorted(merged.items(), key=lambda tc: (-tc[1], tc[0]))
+    return items, int(n_total)

@@ -2374,3 +2374,54 @@ def test_zipf_diagnostics_properties(spark):
     assert abs(got["flat"]["zipf_slope"]) < 0.05
     assert got["flat"]["hapax_frac"] == 0.0
     assert got["zipf"]["n_distinct_words"] == 30
+
+
+def test_hourly_anomalies_flags_spike(spark):
+    """A planted 10x spike in one hour z-scores far above its
+    hour-of-day baseline; normal hours stay unflagged; degenerate
+    baselines (single observation) yield NULL z."""
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1, 9, 0, 0)
+    # 17 days: a single outlier among n-1 equal values z-scores at
+    # exactly sqrt(n-1) = 4 (> the 3.0 gate; 10 days would sit AT 3)
+    for day in range(17):
+        n = 50 if day == 7 else 5         # day 7 spikes 10x
+        for i in range(n):
+            rows.append(("click", base + dt.timedelta(days=day,
+                                                      seconds=i)))
+    rows.append(("rare", base))           # single observation
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    from datum_spark.operators.events import hourly_anomalies
+    got = hourly_anomalies(df, "event_type", "ts").collect()
+    spikes = [r for r in got if r["is_anomaly"]]
+    assert len(spikes) == 1 and spikes[0]["n"] == 50
+    rare = [r for r in got if r["event_type"] == "rare"][0]
+    assert rare["z"] is None and rare["is_anomaly"] is None
+    normal = [r for r in got if r["event_type"] == "click"
+              and r["n"] == 5]
+    assert len(normal) == 16
+    assert all(not r["is_anomaly"] for r in normal)
+
+
+def test_mg_heavy_hitters_guarantees(spark):
+    """Misra-Gries invariants on a skewed stream: est <= true,
+    true - est <= N/(k+1), and every item above the bound appears —
+    regardless of partitioning (checked at two partition counts)."""
+    rows = ([("hot",)] * 600 + [("warm",)] * 200
+            + [(f"cold{i}",) for i in range(200)])
+    from datum_spark.operators.sketches import mg_heavy_hitters
+    for parts in (1, 7):
+        df = spark.createDataFrame(rows, "t string").repartition(parts)
+        items, n = mg_heavy_hitters(df, "t", k=4)
+        assert n == 1000
+        bound = n / 5
+        est = dict(items)
+        true = {"hot": 600, "warm": 200}
+        for t, e in est.items():
+            tc = true.get(t, 1)
+            assert 0 <= tc - e <= bound, (parts, t, e)
+        for t, tc in true.items():
+            if tc > bound:
+                assert t in est, (parts, t)        # hot must appear
