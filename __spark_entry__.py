@@ -57,6 +57,7 @@ _RECHECK_R13 = {
     "x223_zipf_diagnostics",      # new: per-source Zipf corpus health
     "x224_event_anomalies",       # new: hour-of-day z-score screen
     "x225_mg_heavy_hitters",      # new: Misra-Gries, self-graded bounds
+    "x226_ab_test",               # new: two-proportion experiment readout
 }
 
 

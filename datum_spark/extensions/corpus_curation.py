@@ -3466,3 +3466,70 @@ def x225(spark, sf):
             .select("term", "est", "true_count", "bound", "heavy",
                     "within_bound", "covered")
             .orderBy("term"))
+
+
+_X226_SQL = r"""
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS e,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS c
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+), v AS (
+  SELECT CAST(('0x' || substring(md5('ab-' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS vr, c
+  FROM pu WHERE e = 1
+), agg AS (
+  SELECT SUM(CASE WHEN vr = 0 THEN 1 END) AS n_a,
+         SUM(CASE WHEN vr = 0 THEN c END) AS conv_a,
+         SUM(CASE WHEN vr = 1 THEN 1 END) AS n_b,
+         SUM(CASE WHEN vr = 1 THEN c END) AS conv_b
+  FROM v
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       ROUND(conv_a / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(conv_b / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND
+                 sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - (conv_a + conv_b)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))) > 0
+            THEN ROUND((conv_a / CAST(n_a AS DOUBLE)
+                        - conv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - (conv_a + conv_b)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))), 4)
+       END AS z_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 AND
+                 sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 - (conv_a + conv_b)
+                               / CAST(n_a + n_b AS DOUBLE))
+                      * (1.0 / CAST(n_a AS DOUBLE)
+                         + 1.0 / CAST(n_b AS DOUBLE))) > 0
+            THEN abs(ROUND((conv_a / CAST(n_a AS DOUBLE)
+                        - conv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - (conv_a + conv_b)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE))), 4)) > 1.96
+       END AS significant
+FROM agg"""
+
+
+@x("x226_ab_test", _X226_SQL)
+def x226(spark, sf):
+    """Deterministic A/B experiment readout (r13): exposed users split
+    by portable md5 bucket, per-variant view→purchase conversion
+    rates, pooled two-proportion z statistic and the 5% two-sided
+    verdict — every formula input an exact integer count, the whole
+    readout replayed in DuckDB.  operators/events.py::ab_test_summary."""
+    from ..operators.events import ab_test_summary
+
+    ev = load(spark, sf, "events")
+    return ab_test_summary(ev, "user_id", "event_type",
+                           exposure="view", conversion="purchase")

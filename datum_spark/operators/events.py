@@ -166,3 +166,63 @@ def hourly_anomalies(events: DataFrame, type_col: str = "event_type",
              .withColumn("is_anomaly",
                          F.when(F.col("z").isNotNull(),
                                 F.abs("z") > float(z_thresh))))
+
+
+def ab_test_summary(events: DataFrame, user_col: str = "user_id",
+                    type_col: str = "event_type",
+                    exposure: str = "view",
+                    conversion: str = "purchase",
+                    salt: str = "ab") -> DataFrame:
+    """Deterministic A/B experiment readout: split EXPOSED users into
+    two variants by md5 bucket (``md5(salt-user) % 2`` — the repo's
+    portable split discipline, reproducible from the data alone),
+    measure each variant's conversion rate (exposed users with ≥ 1
+    ``conversion`` event), and test the difference with the pooled
+    two-proportion z statistic:
+
+        z = (p_a − p_b) / sqrt(p(1−p)(1/n_a + 1/n_b)),  p pooled.
+
+    Returns ONE row ``(n_a, conv_a, rate_a, n_b, conv_b, rate_b,
+    z_stat, significant)`` — rates 6 dp, z 4 dp, ``significant`` =
+    |z| > 1.96 (two-sided 5%); NULL z on a degenerate split (an empty
+    variant or pooled rate 0/1).  Every input to the formula is an
+    exact integer count, so the whole readout replays bit-for-bit.
+
+    Scale shape: one distinct-user aggregation per role (exposure /
+    conversion flags fold map-side), then a 2-row variant aggregate —
+    nothing user-cardinality-sized leaves the first exchange."""
+    bucket = (F.conv(F.substring(F.md5(F.concat_ws(
+        "-", F.lit(salt), F.col(user_col).cast("string"))), 1, 8),
+        16, 10).cast("long") % 2)
+    per_user = (events.filter(F.col(type_col).isin(exposure, conversion))
+                .groupBy(user_col)
+                .agg(F.max(F.when(F.col(type_col) == exposure, 1)
+                           .otherwise(0)).alias("__e"),
+                     F.max(F.when(F.col(type_col) == conversion, 1)
+                           .otherwise(0)).alias("__c"))
+                .filter(F.col("__e") == 1)
+                .select(bucket.alias("__v"), "__c"))
+    var = (per_user.groupBy("__v")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("__c").alias("conv")))
+    row = var.agg(
+        F.sum(F.when(F.col("__v") == 0, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("__v") == 0, F.col("conv"))).alias("conv_a"),
+        F.sum(F.when(F.col("__v") == 1, F.col("n"))).alias("n_b"),
+        F.sum(F.when(F.col("__v") == 1, F.col("conv"))).alias("conv_b"))
+    na, ca = F.col("n_a").cast("double"), F.col("conv_a").cast("double")
+    nb, cb = F.col("n_b").cast("double"), F.col("conv_b").cast("double")
+    pa, pb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool)
+                * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    z = F.when((F.col("n_a") > 0) & (F.col("n_b") > 0) & (se > 0),
+               F.round((pa - pb) / se, 4))
+    return (row.withColumn("rate_a", F.round(pa, 6))
+               .withColumn("rate_b", F.round(pb, 6))
+               .withColumn("z_stat", z)
+               .withColumn("significant",
+                           F.when(F.col("z_stat").isNotNull(),
+                                  F.abs("z_stat") > 1.96))
+               .select("n_a", "conv_a", "rate_a", "n_b", "conv_b",
+                       "rate_b", "z_stat", "significant"))

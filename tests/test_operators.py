@@ -2425,3 +2425,41 @@ def test_mg_heavy_hitters_guarantees(spark):
         for t, tc in true.items():
             if tc > bound:
                 assert t in est, (parts, t)        # hot must appear
+
+
+def test_ab_test_summary_hand_case(spark):
+    """Two-proportion z against a hand computation; the md5 split is
+    deterministic, so the variant counts are reproducible facts."""
+    import datetime as dt
+    import hashlib
+    import math
+
+    rows = []
+    ts = dt.datetime(2024, 3, 1)
+    for u in range(200):
+        rows.append((u, "view", ts))
+        # conversion by construction: even users convert at 50%,
+        # odd at 25% (deterministic on user id)
+        if (u % 2 == 0 and u % 4 == 0) or (u % 2 == 1 and u % 8 == 1):
+            rows.append((u, "purchase", ts))
+    df = spark.createDataFrame(rows, "user_id long, event_type string, "
+                                     "ts timestamp")
+    from datum_spark.operators.events import ab_test_summary
+    r = ab_test_summary(df, "user_id", "event_type").first()
+
+    def variant(u):
+        return int(hashlib.md5(f"ab-{u}".encode()).hexdigest()[:8],
+                   16) % 2
+
+    conv = {u for u in range(200)
+            if (u % 2 == 0 and u % 4 == 0)
+            or (u % 2 == 1 and u % 8 == 1)}
+    n_a = sum(1 for u in range(200) if variant(u) == 0)
+    c_a = sum(1 for u in conv if variant(u) == 0)
+    n_b, c_b = 200 - n_a, len(conv) - c_a
+    assert (r["n_a"], r["conv_a"], r["n_b"], r["conv_b"]) \
+        == (n_a, c_a, n_b, c_b)
+    pa, pb, p = c_a / n_a, c_b / n_b, (c_a + c_b) / 200
+    z = (pa - pb) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
+    assert r["z_stat"] == round(z, 4)
+    assert r["significant"] == (abs(round(z, 4)) > 1.96)
