@@ -58,6 +58,7 @@ _RECHECK_R13 = {
     "x224_event_anomalies",       # new: hour-of-day z-score screen
     "x225_mg_heavy_hitters",      # new: Misra-Gries, self-graded bounds
     "x226_ab_test",               # new: two-proportion experiment readout
+    "x227_recency_sample",        # new: md5-coin time-decay thinning
 }
 
 

@@ -3533,3 +3533,39 @@ def x226(spark, sf):
     ev = load(spark, sf, "events")
     return ab_test_summary(ev, "user_id", "event_type",
                            exposure="view", conversion="purchase")
+
+
+_X227_SQL = r"""
+WITH ref AS (
+  SELECT MAX(ts) AS r FROM events
+), kept AS (
+  SELECT e.event_type, e.ts
+  FROM events e CROSS JOIN ref
+  WHERE CAST(('0x' || substring(md5('recency-' ||
+               CAST(e.user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          / 4294967296.0
+        < pow(2.0, -((epoch(ref.r) - epoch(e.ts)) / 86400.0) / 7.0)
+)
+SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS n
+FROM kept GROUP BY 1, 2 ORDER BY event_type, day"""
+
+
+@x("x227_recency_sample", _X227_SQL)
+def x227(spark, sf):
+    """Deterministic recency-weighted thinning (r13): every event
+    survives with probability 2^(-age/half-life) against the corpus
+    max timestamp, decided by the portable md5 coin — the freshness
+    bias a web-corpus mix applies, reproducible from the data alone
+    (per-(type, day) survivor counts compared).
+    operators/sampling.py::recency_weighted_sample."""
+    from ..operators.sampling import recency_weighted_sample
+
+    ev = load(spark, sf, "events")
+    kept = recency_weighted_sample(ev, "user_id", "ts",
+                                   half_life_days=7.0)
+    return (kept.groupBy("event_type",
+                         F.to_date(F.date_trunc("day", "ts"))
+                          .alias("day"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy("event_type", "day"))

@@ -433,3 +433,37 @@ def temperature_rates(df: DataFrame, source_col: str = "source",
     # rounding would flip keep decisions on an exact .5 tie)
     from .similarity import _round_half_away
     return {s: _round_half_away(r, quantize) for s, r in rates.items()}
+
+
+def recency_weighted_sample(df: DataFrame, key_col: str,
+                            ts_col: str = "ts",
+                            half_life_days: float = 30.0,
+                            ref_ts=None,
+                            salt: str = "recency") -> DataFrame:
+    """Deterministic RECENCY-weighted thinning — the freshness bias a
+    news/web corpus mix applies before training: each row survives
+    with probability ``2^(-age_days / half_life_days)`` (age measured
+    against ``ref_ts``, default the corpus maximum timestamp), decided
+    by the portable md5 coin ``md5_bucket / 2^32 < p_keep``.
+    Membership is a pure function of (key, salt, timestamps), so the
+    sample is reproducible from the data alone and auditable in any
+    engine — no RNG, no partition sensitivity (the
+    :func:`mix_sources_md5` discipline applied to time decay).
+
+    Returns the surviving rows unchanged.  Scale shape: one scalar
+    max-timestamp aggregate broadcast-crossed onto the corpus (the
+    q23 scalar-subquery pattern; skipped when ``ref_ts`` is given),
+    then one map-side filter."""
+    if ref_ts is None:
+        mx = df.agg(F.max(ts_col).alias("__ref"))
+        base = df.crossJoin(F.broadcast(mx))
+        ref = F.col("__ref")
+    else:
+        base = df
+        ref = F.lit(ref_ts)
+    age_days = ((ref.cast("double") - F.col(ts_col).cast("double"))
+                / F.lit(86400.0))
+    p_keep = F.pow(F.lit(2.0), -age_days / F.lit(float(half_life_days)))
+    u = md5_bucket(F.col(key_col), salt) / F.lit(4294967296.0)
+    out = base.filter(u < p_keep)
+    return out.drop("__ref") if ref_ts is None else out

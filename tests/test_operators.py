@@ -2463,3 +2463,33 @@ def test_ab_test_summary_hand_case(spark):
     z = (pa - pb) / math.sqrt(p * (1 - p) * (1 / n_a + 1 / n_b))
     assert r["z_stat"] == round(z, 4)
     assert r["significant"] == (abs(round(z, 4)) > 1.96)
+
+
+def test_recency_weighted_sample_deterministic_and_decaying(spark):
+    """Membership is a pure function of (key, salt, ts): identical
+    across partitionings; survival decays with age (~2x per half-life
+    on a uniform fixture)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 6, 30)
+    rows = [(i, base - dt.timedelta(days=(i % 30)))
+            for i in range(3000)]
+    from datum_spark.operators.sampling import recency_weighted_sample
+    df1 = spark.createDataFrame(rows, "k long, ts timestamp")
+    df2 = df1.repartition(13)
+    a = {r["k"] for r in recency_weighted_sample(
+        df1, "k", "ts", half_life_days=10.0).collect()}
+    b = {r["k"] for r in recency_weighted_sample(
+        df2, "k", "ts", half_life_days=10.0).collect()}
+    assert a == b and 0 < len(a) < 3000
+    # ~100 keys per age day; survivors at age 0-4 vs 20-24 should
+    # differ by roughly 2^2 = 4 (half-life 10 d); assert direction
+    # and a loose band, not the exact binomial draw
+    young = sum(1 for k in a if k % 30 < 5)
+    old = sum(1 for k in a if 20 <= k % 30 < 25)
+    assert young > 1.8 * old
+    # explicit ref_ts pins membership without the corpus max scan
+    c = {r["k"] for r in recency_weighted_sample(
+        df1, "k", "ts", half_life_days=10.0,
+        ref_ts=base).collect()}
+    assert c == a
