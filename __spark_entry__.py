@@ -59,6 +59,7 @@ _RECHECK_R13 = {
     "x225_mg_heavy_hitters",      # new: Misra-Gries, self-graded bounds
     "x226_ab_test",               # new: two-proportion experiment readout
     "x227_recency_sample",        # new: md5-coin time-decay thinning
+    "x228_hard_negatives",        # new: banded contrastive negatives
 }
 
 

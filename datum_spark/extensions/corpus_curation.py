@@ -3569,3 +3569,45 @@ def x227(spark, sf):
                           .alias("day"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .orderBy("event_type", "day"))
+
+
+_X228_SQL = r"""
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> x / sqrt(list_sum(list_transform(embedding,
+                                                 y -> y * y)))) AS e
+  FROM embeddings
+  WHERE list_sum(list_transform(embedding, y -> y * y)) > 0
+), q AS (
+  SELECT vec_id, e FROM v WHERE vec_id < 20
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND(list_sum(list_transform(list_zip(q.e, c.e),
+                                       p -> p[1] * p[2])), 6) AS cosine
+  FROM q JOIN v c ON q.vec_id <> c.vec_id
+), band AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC)
+           AS INT) AS rnk
+  FROM scored WHERE cosine >= 0.3 AND cosine < 0.9
+)
+SELECT query_id, neighbor_id, cosine, rnk
+FROM band WHERE rnk <= 5 ORDER BY query_id, rnk"""
+
+
+@x("x228_hard_negatives", _X228_SQL)
+def x228(spark, sf):
+    """Hard-negative mining for contrastive training (r13): per query
+    the 5 most similar corpus vectors INSIDE the band 0.3 ≤ cos < 0.9
+    — confusable but below the near-dup ceiling (the DPR recipe);
+    self-pairs excluded, rank deterministic.  The oracle replays
+    normalization, the exact fold, the band and the window.
+    operators/similarity.py::hard_negatives."""
+    from ..operators.similarity import hard_negatives
+
+    emb = load_emb(spark, sf)
+    return (hard_negatives(emb.filter(F.col("vec_id") < 20), emb,
+                           k=5, sim_lo=0.3, sim_hi=0.9)
+            .orderBy("query_id", "rnk"))

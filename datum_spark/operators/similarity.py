@@ -2223,3 +2223,47 @@ def ivfpq_rebalance_pending(index_path: str) -> dict | None:
             return _json2.load(fh)
     except (OSError, ValueError):
         return None
+
+
+def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   sim_lo: float = 0.3, sim_hi: float = 0.9,
+                   query_id: str = "vec_id",
+                   query_vec: str = "embedding",
+                   corpus_id: str = "vec_id",
+                   corpus_vec: str = "embedding",
+                   round_to: int = 6) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    retrieval-training recipe): for every query, the ``k`` MOST
+    similar corpus vectors inside the band ``sim_lo ≤ cosine <
+    sim_hi`` — similar enough to be confusable (hard), below the
+    near-duplicate ceiling (so positives/duplicates never leak into
+    the negative set; the band top is the same threshold a dedup pass
+    would use).  Self-pairs (same id) are excluded.
+
+    Returns ``(query_id, neighbor_id, cosine, rnk)``, rank 1 = hardest
+    (cosine DESC, id ASC — deterministic, replayable).  The band
+    filter runs BEFORE ranking, so the window ranks only in-band
+    candidates.
+
+    Scale shape: :func:`cosine_top_k`'s orientation — query side
+    broadcast, corpus streams, map-side normalization; at corpus
+    scale swap the scoring stage for the IVF/LSH paths and keep the
+    same band + rank (the band is a filter on any scorer's output)."""
+    q = (queries.filter(_nonzero_vec(F.col(query_vec)))
+         .select(F.col(query_id).alias("query_id"),
+                 _normalize_col(F.col(query_vec).cast("array<double>"))
+                 .alias("__qv")))
+    c = (corpus.filter(_nonzero_vec(F.col(corpus_vec)))
+         .select(F.col(corpus_id).alias("neighbor_id"),
+                 _normalize_col(F.col(corpus_vec).cast("array<double>"))
+                 .alias("__cv")))
+    cos = F.round(_dot_expr(F.col("__qv"), F.col("__cv")), round_to)
+    scored = (F.broadcast(q).crossJoin(c)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", cos.alias("cosine"))
+              .filter((F.col("cosine") >= float(sim_lo))
+                      & (F.col("cosine") < float(sim_hi))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+                  .filter(F.col("rnk") <= k))

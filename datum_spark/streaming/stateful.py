@@ -670,3 +670,58 @@ def kmv_sink(stream: DataFrame, term_col: str, group_cols: list[str],
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .start())
+
+
+def mg_sink(stream: DataFrame, term_col: str, state_table,
+            checkpoint_dir: str, k: int = 16):
+    """Streaming heavy hitters: fold each micro-batch's Misra–Gries
+    summary into a persistent k-counter state
+    (:class:`~datum_spark.sources.snapshots.SnapshotTable`; one atomic
+    versioned overwrite per batch, so readers always see a complete
+    sketch and can time-travel the heavy-hitter history).
+
+    The fold is MG summary MERGE (counter addition + one reduction —
+    Agarwal et al. 2013), which preserves the deterministic guarantee
+    over the whole stream: ``est ≤ true`` and ``true − est ≤
+    N_total/(k+1)``, so every term above that bound is present no
+    matter how the stream was batched — the same cross-batching
+    contract as ``kmv_sink``, pinned by the guarantee-parity test.
+    Unlike KMV the fold is NOT idempotent (re-adding counts double-
+    counts), so a ``last_batch`` watermark column makes at-least-once
+    replays no-ops.
+
+    State size: ≤ k counter rows + the watermark — bytes.  Returns
+    the started StreamingQuery; caller awaits/stops it."""
+    from ..operators.sketches import mg_heavy_hitters
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        try:
+            rows = state_table.read().collect()      # ≤ k rows
+        except ValueError:
+            rows = []
+        last = max((r["last_batch"] for r in rows), default=-1)
+        if batch_id <= last:
+            return                       # replay: already folded
+        items, n = mg_heavy_hitters(batch_df, term_col, k=k)
+        merged: dict = {r["term"]: int(r["est"]) for r in rows}
+        for t, c in items:
+            merged[t] = merged.get(t, 0) + c
+        if len(merged) > k:
+            cut = sorted(merged.values(), reverse=True)[k]
+            merged = {t: c - cut for t, c in merged.items()
+                      if c - cut > 0}
+        n_total = (int(rows[0]["n_total"]) if rows else 0) + n
+        out = spark.createDataFrame(
+            [(t, int(c), n_total, int(batch_id))
+             for t, c in sorted(merged.items())],
+            "term string, est long, n_total long, last_batch long")
+        state_table.overwrite(out)
+
+    return (stream.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

