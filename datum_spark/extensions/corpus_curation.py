@@ -3611,3 +3611,40 @@ def x228(spark, sf):
     return (hard_negatives(emb.filter(F.col("vec_id") < 20), emb,
                            k=5, sim_lo=0.3, sim_hi=0.9)
             .orderBy("query_id", "rnk"))
+
+
+_X229_SQL = r"""
+WITH b AS (
+  SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM customer
+), p AS (
+  SELECT a.c_nationkey, a.c_mktsegment,
+         a.c_custkey AS id_a, bb.c_custkey AS id_b,
+         levenshtein(a.c_name, bb.c_name) AS dist
+  FROM b a JOIN b bb
+    ON a.c_nationkey = bb.c_nationkey
+   AND a.c_mktsegment = bb.c_mktsegment
+   AND a.c_custkey < bb.c_custkey
+)
+SELECT c_nationkey, c_mktsegment, id_a, id_b, CAST(dist AS INT)
+         AS dist
+FROM p WHERE dist <= 1
+ORDER BY c_nationkey, c_mktsegment, id_a, id_b"""
+
+
+@x("x229_record_linkage", _X229_SQL)
+def x229(spark, sf):
+    """Relational record linkage (r13): the Fellegi–Sunter blocking
+    recipe over STRUCTURED rows — candidate pairs form only within
+    (nation, segment) blocks, survive on phone edit distance ≤ 2 —
+    the entity-resolution sibling of the text dedup family.  Exact
+    Levenshtein both engines; blocking bounds the pair volume and an
+    over-full-block cap keeps the skew observable.
+    operators/dedup.py::blocked_record_pairs."""
+    from ..operators.dedup import blocked_record_pairs
+
+    cust = load(spark, sf, "customer")
+    return (blocked_record_pairs(cust, "c_custkey",
+                                 ["c_nationkey", "c_mktsegment"],
+                                 "c_name", max_dist=1)
+            .withColumn("dist", F.col("dist").cast("int"))
+            .orderBy("c_nationkey", "c_mktsegment", "id_a", "id_b"))

@@ -1297,3 +1297,46 @@ def incremental_near_dups_md5(delta: DataFrame, corpus: DataFrame,
                 .withColumn("est_jaccard", est)
                 .filter(F.col("est_jaccard") >= threshold)
                 .select("delta_id", "corpus_id", "est_jaccard"))
+
+
+def blocked_record_pairs(df: DataFrame, id_col: str,
+                         block_cols: list[str], text_col: str,
+                         max_dist: int = 2,
+                         max_block_size: int | None = 10_000
+                         ) -> DataFrame:
+    """Relational record linkage (Fellegi–Sunter blocking stage): the
+    classic entity-resolution recipe for STRUCTURED rows, next to the
+    text-corpus dedup family — candidate pairs form only WITHIN a
+    blocking key (never all-pairs), then survive on edit distance:
+    ``levenshtein(text_a, text_b) ≤ max_dist``.
+
+    Returns ``(id_a, id_b, dist)`` with ``id_a < id_b`` and the block
+    columns carried through — deterministic and portable (Levenshtein
+    is exact; both Spark and DuckDB implement the same metric).
+
+    Scale shape: one hash exchange on the block key, a within-block
+    self-join (Σ|block|², the quantity blocking exists to bound), one
+    edit-distance filter.  ``max_block_size`` drops OVER-FULL blocks
+    from pairing — observable skew guard, same cap semantics as the
+    LSH band buckets: a block holding half the table is a bad blocking
+    key, not a candidate set."""
+    cols = [F.col(c) for c in block_cols]
+    base = df.select(F.col(id_col).alias("__id"), *block_cols,
+                     F.col(text_col).alias("__t"))
+    if max_block_size is not None:
+        sizes = (base.groupBy(*block_cols)
+                     .agg(F.count(F.lit(1)).alias("__bs"))
+                     .filter(F.col("__bs") <= max_block_size)
+                     .drop("__bs"))
+        base = base.join(sizes, block_cols, "semi")
+    a = base.select(*[F.col(c) for c in block_cols],
+                    F.col("__id").alias("id_a"),
+                    F.col("__t").alias("__ta"))
+    b = base.select(*[F.col(c) for c in block_cols],
+                    F.col("__id").alias("id_b"),
+                    F.col("__t").alias("__tb"))
+    return (a.join(b, block_cols)
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("dist", F.levenshtein("__ta", "__tb"))
+             .filter(F.col("dist") <= int(max_dist))
+             .select(*block_cols, "id_a", "id_b", "dist"))

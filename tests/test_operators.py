@@ -2493,3 +2493,27 @@ def test_recency_weighted_sample_deterministic_and_decaying(spark):
         df1, "k", "ts", half_life_days=10.0,
         ref_ts=base).collect()}
     assert c == a
+
+
+def test_blocked_record_pairs_hand_case(spark):
+    """Blocking bounds the candidate set (cross-block near-identical
+    names never pair); edit distance gates within blocks; the
+    over-full-block cap drops flooded keys observably."""
+    rows = [
+        (1, "ann smith", "A"), (2, "ann smyth", "A"),   # dist 1
+        (3, "ann smith", "B"),                          # other block
+        (4, "zzz totally", "A"),                        # far
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    from datum_spark.operators.dedup import blocked_record_pairs
+    got = {(r["id_a"], r["id_b"]): r["dist"] for r in
+           blocked_record_pairs(df, "id", ["blk"], "name",
+                                max_dist=2).collect()}
+    assert got == {(1, 2): 1}        # cross-block (1,3) never pairs
+    # flooded block dropped by the cap
+    flood = df.unionByName(spark.createDataFrame(
+        [(100 + i, "ann smith", "A") for i in range(10)],
+        "id long, name string, blk string"))
+    capped = blocked_record_pairs(flood, "id", ["blk"], "name",
+                                  max_dist=2, max_block_size=5)
+    assert capped.count() == 0       # block A over cap, B a singleton
