@@ -51,7 +51,6 @@ _RECHECK_R13 = {
     "x218_bigram_lm",             # new: interpolated bigram LM scores
     "x219_winnowing",             # new: MOSS winnowing fingerprint overlap
     "x220_c4_span_dedup",         # new: C4 3-sentence span dedup action
-    "x221_readability",           # new: Flesch / FK readability columns
     "x222_source_divergence",     # new: per-source word-dist JSD matrix
     "q32_recursive_spine",        # new: Spark 4 WITH RECURSIVE gateway
     "x223_zipf_diagnostics",      # new: per-source Zipf corpus health

@@ -3105,6 +3105,10 @@ def x218(spark, sf):
     bigram is the 6-dp rounded log the unigram chain already replays
     hash-stable.  Two count shuffles to train; scoring touches the
     cost arithmetic once per DISTINCT pair and joins back size-gated.
+    x132 is the inline add-one twin (trained-on-self, avg logprob);
+    this one is the TRAINABLE model — fit on corpus A, score corpus B
+    (unseen pairs degrade to the unigram floor) — with the BOS context
+    and the interpolation CCNet's n-gram filter uses.
     operators/ngram_lm.py::bigram_lm_train / bigram_doc_scores."""
     from ..operators.ngram_lm import bigram_doc_scores, bigram_lm_train
 
@@ -3193,54 +3197,6 @@ def x220(spark, sf):
                .orderBy("doc_id"))
 
 
-_X221_SQL = r"""
-WITH m AS (
-  SELECT doc_id,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
-                         x -> x <> '')) AS n_words,
-         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
-           AS n_sentences,
-         coalesce(list_sum(list_transform(
-           list_filter(string_split_regex(lower(text), '\s+'),
-                       x -> x <> ''),
-           w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))),
-           0) AS n_syllables
-  FROM documents
-)
-SELECT doc_id,
-       CAST(n_words AS BIGINT) AS n_words,
-       CAST(n_sentences AS BIGINT) AS n_sentences,
-       CAST(n_syllables AS BIGINT) AS n_syllables,
-       CASE WHEN n_words > 0 THEN
-         ROUND(206.835
-               - 1.015 * (n_words / CAST(n_sentences AS DOUBLE))
-               - 84.6 * (n_syllables / CAST(n_words AS DOUBLE)), 4)
-       END AS flesch_ease,
-       CASE WHEN n_words > 0 THEN
-         ROUND(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
-               + 11.8 * (n_syllables / CAST(n_words AS DOUBLE))
-               - 15.59, 4)
-       END AS fk_grade
-FROM m ORDER BY doc_id"""
-
-
-@x("x221_readability", _X221_SQL)
-def x221(spark, sf):
-    """Flesch reading-ease + Flesch–Kincaid grade (r13) as audited
-    per-document columns — the classic readability screens, computed
-    with the engine's deterministic sentence proxy ([.!?]+ runs) and
-    the dictionary-free vowel-group syllable heuristic.  Map-side
-    regexp/array expressions only; the oracle replays every count and
-    both published formulas.  operators/text.py::readability_scores."""
-    from ..operators.text import readability_scores
-
-    docs = load_docs(spark, sf)
-    return (readability_scores(docs, "text")
-            .select("doc_id", "n_words", "n_sentences", "n_syllables",
-                    "flesch_ease", "fk_grade")
-            .orderBy("doc_id"))
-
-
 _X222_SQL = r"""
 WITH w AS (
   SELECT source AS g,
@@ -3301,7 +3257,9 @@ def x222(spark, sf):
     distinct signal.  Per-shared-word terms accumulate as integer
     pico-nats (the x218 float-order discipline) and each side's
     missing mass closes the formula from exact count ratios; the
-    oracle replays counts, terms and the closure.
+    oracle replays counts, terms and the closure.  Complements the
+    numeric-drift PSI entry: that screens a FEATURE distribution,
+    this screens the token distribution itself.
     operators/text.py::source_divergence."""
     from ..operators.text import source_divergence
 
@@ -3527,7 +3485,10 @@ def x226(spark, sf):
     by portable md5 bucket, per-variant view→purchase conversion
     rates, pooled two-proportion z statistic and the 5% two-sided
     verdict — every formula input an exact integer count, the whole
-    readout replayed in DuckDB.  operators/events.py::ab_test_summary."""
+    readout replayed in DuckDB.  x139 is the sibling readout (an
+    UNCONDITIONED heavy-purchaser split, z only); this one conditions
+    on exposure, adds the significance verdict, and ships as a
+    reusable operator.  operators/events.py::ab_test_summary."""
     from ..operators.events import ab_test_summary
 
     ev = load(spark, sf, "events")
@@ -3557,7 +3518,8 @@ def x227(spark, sf):
     survives with probability 2^(-age/half-life) against the corpus
     max timestamp, decided by the portable md5 coin — the freshness
     bias a web-corpus mix applies, reproducible from the data alone
-    (per-(type, day) survivor counts compared).
+    (per-(type, day) survivor counts compared).  x111 SCORES rows by
+    the same decay; this one SAMPLES by it (keep/drop membership).
     operators/sampling.py::recency_weighted_sample."""
     from ..operators.sampling import recency_weighted_sample
 

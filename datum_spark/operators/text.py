@@ -328,7 +328,11 @@ def readability_scores(df: DataFrame, text_col: str = "text"
                        ) -> DataFrame:
     """Flesch reading-ease and Flesch–Kincaid grade level (Flesch
     1948 / Kincaid 1975) as audited per-document columns — the
-    classic readability screens corpus-curation pipelines bucket on:
+    LIBRARY companion of the x144 entry (which pins the corpus-level
+    Flesch twin against DuckDB): this operator adds the FK grade and
+    a per-word syllable floor (every word counts ≥ 1 syllable; x144's
+    whole-text vowel-run proxy undercounts vowel-free tokens), for
+    curriculum difficulty bucketing:
 
     - ``n_words`` (whitespace words), ``n_sentences`` (terminal-
       punctuation runs ``[.!?]+``, min 1 — the same deterministic
