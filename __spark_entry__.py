@@ -60,6 +60,7 @@ _RECHECK_R13 = {
     "x227_recency_sample",        # new: md5-coin time-decay thinning
     "x228_hard_negatives",        # new: banded contrastive negatives
     "x229_record_linkage",        # new: blocked Levenshtein pairs
+    "x230_hashed_embedding_knn",  # new: feature-hash text->similarity
 }
 
 

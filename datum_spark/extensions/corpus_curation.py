@@ -3610,3 +3610,74 @@ def x229(spark, sf):
                                  "c_name", max_dist=1)
             .withColumn("dist", F.col("dist").cast("int"))
             .orderBy("c_nationkey", "c_mktsegment", "id_a", "id_b"))
+
+
+_X230_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+), comp AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5('fh-' || word), 1, 8)) AS BIGINT)
+           % 64 AS i,
+         SUM(CASE WHEN CAST(('0x' || substring(md5('fh-s-' || word),
+                                               1, 8)) AS BIGINT)
+                       % 2 = 0
+                  THEN 1 ELSE -1 END) AS v
+  FROM w GROUP BY 1, 2
+), nrm AS (
+  SELECT doc_id, sqrt(SUM(v * v)) AS n FROM comp GROUP BY doc_id
+), q AS (
+  SELECT doc_id, i, v FROM comp WHERE doc_id < 10
+), dots AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         SUM(q.v * c.v) AS dot
+  FROM q JOIN comp c ON q.i = c.i AND q.doc_id <> c.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT d.query_id, d.neighbor_id,
+         ROUND(d.dot / (na.n * nb.n), 6) AS cosine
+  FROM dots d
+  JOIN nrm na ON na.doc_id = d.query_id
+  JOIN nrm nb ON nb.doc_id = d.neighbor_id
+  WHERE na.n > 0 AND nb.n > 0
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rnk AS INT) AS rnk
+FROM (SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC,
+                                         neighbor_id ASC) AS rnk
+      FROM scored)
+WHERE rnk <= 3 ORDER BY query_id, rnk"""
+
+
+@x("x230_hashed_embedding_knn", _X230_SQL)
+def x230(spark, sf):
+    """Feature-hashing embeddings bridging text into the similarity
+    family (r13): md5-signed 64-dim hashed word-count vectors
+    (Weinberger 2009 — model-free, deterministic), then exact top-3
+    cosine neighbors per query doc.  INTEGER components make every
+    dot product order-immune exact arithmetic; the oracle re-derives
+    the hashes, signs, components, norms, cosines and ranks.
+    operators/similarity.py::feature_hash_embedding."""
+    from ..operators.similarity import (cosine_top_k,
+                                        feature_hash_embedding)
+
+    docs = load_docs(spark, sf)
+    emb = feature_hash_embedding(docs, "doc_id", "text", dim=64,
+                                 normalize=False)
+    q = emb.filter(F.col("doc_id") < 10)
+    out = cosine_top_k(q, emb, k=4, query_id="doc_id",
+                       query_vec="embedding", corpus_id="doc_id",
+                       corpus_vec="embedding", round_to=6)
+    w = (Window.partitionBy("query_id")
+               .orderBy(F.col("cosine").desc(),
+                        F.col("neighbor_id").asc()))
+    return (out.filter(F.col("query_id") != F.col("neighbor_id"))
+               .withColumn("rnk", F.row_number().over(w))
+               .filter(F.col("rnk") <= 3)
+               .select("query_id", "neighbor_id", "cosine", "rnk")
+               .orderBy("query_id", "rnk"))

@@ -2267,3 +2267,55 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
         F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rnk", F.row_number().over(w))
                   .filter(F.col("rnk") <= k))
+
+
+def feature_hash_embedding(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", dim: int = 64,
+                           salt: str = "fh",
+                           normalize: bool = True) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al. 2009):
+    every word hashes to a dimension (md5 % dim) with an md5-derived
+    ±1 sign, counts accumulate per dimension, optionally L2-normalize
+    — a model-free, deterministic, engine-portable text embedding
+    that bridges the text tables into the similarity family
+    (:func:`cosine_top_k`, :func:`semdedup`, the LSH/IVF paths) when
+    no learned embedding column exists.
+
+    Returns ``(id_col, embedding array<double>)``; zero-word
+    documents emit no row (nothing to hash).  With
+    ``normalize=False`` the components are exact INTEGERS (signed
+    count sums), so downstream dot products are order-immune exact
+    arithmetic — the spelling an external engine replays bit-for-bit.
+
+    Scale shape: one (id, dimension) count aggregation (map-side
+    combined; at most ``dim`` rows per doc), then a per-doc
+    map-assembly into the dense vector — no UDF, no vocabulary state,
+    O(corpus tokens) total."""
+    from ..operators.sampling import md5_bucket
+
+    words = (df.select(F.col(id_col).alias("__id"),
+                       F.explode(F.filter(
+                           F.split(F.lower(F.col(text_col)), r"\s+"),
+                           lambda t: t != "")).alias("__w")))
+    idx = (md5_bucket(F.col("__w"), salt) % dim).cast("int")
+    sign = F.when(md5_bucket(F.col("__w"), salt + "-s") % 2 == 0,
+                  F.lit(1)).otherwise(F.lit(-1))
+    comp = (words.select("__id", idx.alias("__i"), sign.alias("__s"))
+                 .groupBy("__id", "__i")
+                 .agg(F.sum("__s").alias("__v")))
+    m = (comp.groupBy("__id")
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("__i", "__v"))).alias("__m")))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(F.element_at("__m", i), F.lit(0))
+                   .cast("double"))
+    out = m.select(F.col("__id").alias(id_col), dense.alias("embedding"))
+    if not normalize:
+        return out
+    norm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x * x),
+        F.lit(0.0), lambda acc, x: acc + x))
+    unit = F.when(norm > 0, F.transform(
+        "embedding", lambda x: F.round(x / norm, 6)))
+    return out.select(id_col, unit.alias("embedding"))

@@ -2517,3 +2517,29 @@ def test_blocked_record_pairs_hand_case(spark):
     capped = blocked_record_pairs(flood, "id", ["blk"], "name",
                                   max_dist=2, max_block_size=5)
     assert capped.count() == 0       # block A over cap, B a singleton
+
+
+def test_feature_hash_embedding_properties(spark):
+    """Hashed embeddings are deterministic across partitionings,
+    integer-valued when unnormalized, unit-length when normalized,
+    and word-order-insensitive (bag-of-words by construction)."""
+    rows = [(1, "alpha beta gamma alpha"), (2, "gamma alpha alpha beta"),
+            (3, "totally different words here"), (4, "")]
+    from datum_spark.operators.similarity import feature_hash_embedding
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    raw = {r["doc_id"]: list(r["embedding"]) for r in
+           feature_hash_embedding(df, dim=16,
+                                  normalize=False).collect()}
+    raw2 = {r["doc_id"]: list(r["embedding"]) for r in
+            feature_hash_embedding(df.repartition(5), dim=16,
+                                   normalize=False).collect()}
+    assert raw == raw2
+    assert raw[1] == raw[2]              # same bag of words
+    assert all(v == int(v) for v in raw[1])
+    assert raw[1] != raw[3]
+    unit = {r["doc_id"]: list(r["embedding"]) for r in
+            feature_hash_embedding(df, dim=16).collect()}
+    n = sum(v * v for v in unit[1]) ** 0.5
+    assert abs(n - 1.0) < 1e-4
+    # zero-word docs emit no row (nothing to hash)
+    assert 4 not in unit and 4 not in raw
