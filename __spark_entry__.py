@@ -61,6 +61,7 @@ _RECHECK_R13 = {
     "x228_hard_negatives",        # new: banded contrastive negatives
     "x229_record_linkage",        # new: blocked Levenshtein pairs
     "x230_hashed_embedding_knn",  # new: feature-hash text->similarity
+    "x231_incremental_rollup",    # new: abelian rollup maintenance
 }
 
 

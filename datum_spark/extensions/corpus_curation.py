@@ -3681,3 +3681,44 @@ def x230(spark, sf):
                .filter(F.col("rnk") <= 3)
                .select("query_id", "neighbor_id", "cosine", "rnk")
                .orderBy("query_id", "rnk"))
+
+
+_X231_SQL = r"""
+WITH net AS (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 6 <> 0
+)
+SELECT o_orderpriority,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_o_totalprice
+FROM net GROUP BY 1 ORDER BY o_orderpriority"""
+
+
+@x("x231_incremental_rollup", _X231_SQL)
+def x231(spark, sf):
+    """Incremental rollup maintenance (r13): three change batches —
+    insert keys ≡0 (mod 3), insert keys ≡1, then DELETE the ≡0 (mod 6)
+    half of the first batch — folded through
+    :func:`operators.cdc.rollup_fold`; the maintained per-priority
+    count/sum rollup must equal a direct GROUP BY over the net row
+    set (the abelian-fold contract: additive aggregates never need
+    the fact table re-scanned).  Sums fold at 2-dp-rounded output
+    only; the internal folds carry full doubles on both paths.
+    operators/cdc.py::rollup_fold."""
+    from ..operators.cdc import rollup_fold
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    b1 = (o.filter(F.col("o_orderkey") % 3 == 0)
+           .withColumn("op", F.lit("I")))
+    b2 = (o.filter(F.col("o_orderkey") % 3 == 1)
+           .withColumn("op", F.lit("I")))
+    b3 = (o.filter(F.col("o_orderkey") % 6 == 0)
+           .withColumn("op", F.lit("D")))
+    r = None
+    for b in (b1, b2, b3):
+        r = rollup_fold(r, b, ["o_orderpriority"], ["o_totalprice"])
+    return (r.select("o_orderpriority", "n",
+                     F.round("sum_o_totalprice", 2)
+                      .alias("sum_o_totalprice"))
+             .orderBy("o_orderpriority"))

@@ -73,3 +73,48 @@ def apply_changes(snapshot: DataFrame, changes: DataFrame,
          .otherwise(F.col(c)).alias(c)
         for c in payload]
     return alive.select(*cols)
+
+
+def rollup_fold(prev: DataFrame | None, changes: DataFrame,
+                keys: list[str], sum_cols: list[str],
+                op_col: str = "op") -> DataFrame:
+    """Incremental MAINTENANCE of an additive rollup (count + sums per
+    key) from a change batch — the materialized-aggregate update that
+    lets a 100 TB warehouse keep its rollups fresh WITHOUT
+    re-aggregating the fact table: additive aggregates are abelian
+    under insert/delete, so folding ``+row`` / ``−row`` deltas into
+    the previous rollup equals a full recompute over the net row set,
+    batch by batch, in any order of batching.
+
+    ``changes`` carries ``op_col`` ∈ {'I', 'D'} (an update is D+I —
+    the :func:`apply_changes` convention); ``prev`` is the previous
+    rollup (``None`` bootstraps from an empty one).  Returns the new
+    rollup ``(keys..., n, sum_<col>...)`` with zero-count keys
+    DROPPED (a fully-deleted key leaves the rollup, exactly like the
+    recompute).
+
+    Scale shape: one partial-aggregated exchange over the CHANGE
+    batch (delta-sized, never fact-sized), one keyed outer merge with
+    the previous rollup (rollup-sized).  Non-additive aggregates
+    (min/max, distinct) are out of contract — they need the fact
+    table or a sketch (KMV) on delete."""
+    sgn = F.when(F.col(op_col) == "I", F.lit(1)) \
+           .when(F.col(op_col) == "D", F.lit(-1))
+    d = (changes.groupBy(*keys)
+         .agg(F.sum(sgn).alias("__dn"),
+              *[F.sum(sgn * F.col(c)).alias(f"__ds_{c}")
+                for c in sum_cols]))
+    if prev is None:
+        out = d.select(
+            *keys, F.col("__dn").alias("n"),
+            *[F.col(f"__ds_{c}").alias(f"sum_{c}")
+              for c in sum_cols])
+        return out.filter(F.col("n") != 0)
+    merged = prev.join(d, keys, "full_outer")
+    n = (F.coalesce(F.col("n"), F.lit(0))
+         + F.coalesce(F.col("__dn"), F.lit(0)))
+    sums = [(F.coalesce(F.col(f"sum_{c}"), F.lit(0.0))
+             + F.coalesce(F.col(f"__ds_{c}"), F.lit(0.0)))
+            .alias(f"sum_{c}") for c in sum_cols]
+    return (merged.select(*keys, n.alias("n"), *sums)
+                  .filter(F.col("n") != 0))

@@ -70,3 +70,32 @@ def test_no_extra_shuffle_between_window_and_join(spark, snap):
     plan = _apply(snap, ch)._jdf.queryExecution().executedPlan().toString()
     # one exchange for the window partitioning, one for the snapshot side
     assert plan.count("Exchange hashpartitioning(k") <= 2
+
+
+def test_rollup_fold_abelian_and_zero_drop(spark):
+    """Folding change batches in ANY batching equals the recompute
+    over the net rows; fully-deleted keys leave the rollup; updates
+    ride as D+I."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.operators.cdc import rollup_fold
+
+    rows = [("a", 10.0, "I"), ("a", 20.0, "I"), ("b", 5.0, "I"),
+            ("c", 7.0, "I"), ("c", 7.0, "D"),        # c net-deleted
+            ("a", 10.0, "D"), ("a", 11.0, "I")]      # update 10 -> 11
+    df = spark.createDataFrame(rows, "k string, v double, op string")
+
+    def fold(batches):
+        r = None
+        for b in batches:
+            r = rollup_fold(r, b, ["k"], ["v"])
+        return {t["k"]: (t["n"], round(t["sum_v"], 6))
+                for t in r.collect()}
+
+    one = fold([df])
+    per_row = fold([df.filter(F.monotonically_increasing_id() >= 0)
+                    .limit(7)])          # same frame, one batch
+    split = fold([df.filter(F.col("v") <= 7.0),
+                  df.filter(F.col("v") > 7.0)])
+    assert one == split == per_row
+    assert one == {"a": (2, 31.0), "b": (1, 5.0)}    # c dropped
