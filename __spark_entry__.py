@@ -62,6 +62,7 @@ _RECHECK_R13 = {
     "x229_record_linkage",        # new: blocked Levenshtein pairs
     "x230_hashed_embedding_knn",  # new: feature-hash text->similarity
     "x231_incremental_rollup",    # new: abelian rollup maintenance
+    "x232_gate_agreement",        # new: Cohen's kappa between screens
 }
 
 

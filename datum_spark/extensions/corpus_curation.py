@@ -3722,3 +3722,63 @@ def x231(spark, sf):
                      F.round("sum_o_totalprice", 2)
                       .alias("sum_o_totalprice"))
              .orderBy("o_orderpriority"))
+
+
+_X232_SQL = r"""
+WITH lab AS (
+  SELECT CASE WHEN len(list_filter(string_split_regex(lower(text),
+                                                      '\s+'),
+                                   x -> x <> '')) >= 50
+              THEN 1 ELSE 0 END AS a,
+         CASE WHEN length(text) >= 500 THEN 1 ELSE 0 END AS b
+  FROM documents
+), c AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n_tt,
+         SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n_tf,
+         SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n_ft,
+         SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n_ff
+  FROM lab
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_tt AS BIGINT) AS n_tt,
+       CAST(n_tf AS BIGINT) AS n_tf, CAST(n_ft AS BIGINT) AS n_ft,
+       CAST(n_ff AS BIGINT) AS n_ff,
+       ROUND((n_tt + n_ff) / CAST(n AS DOUBLE), 6) AS p_o,
+       ROUND(((n_tt + n_tf) / CAST(n AS DOUBLE))
+             * ((n_tt + n_ft) / CAST(n AS DOUBLE))
+             + (1.0 - (n_tt + n_tf) / CAST(n AS DOUBLE))
+               * (1.0 - (n_tt + n_ft) / CAST(n AS DOUBLE)), 6) AS p_e,
+       CASE WHEN ((n_tt + n_tf) / CAST(n AS DOUBLE))
+                 * ((n_tt + n_ft) / CAST(n AS DOUBLE))
+                 + (1.0 - (n_tt + n_tf) / CAST(n AS DOUBLE))
+                   * (1.0 - (n_tt + n_ft) / CAST(n AS DOUBLE)) < 1.0
+            THEN ROUND(((n_tt + n_ff) / CAST(n AS DOUBLE)
+                        - (((n_tt + n_tf) / CAST(n AS DOUBLE))
+                           * ((n_tt + n_ft) / CAST(n AS DOUBLE))
+                           + (1.0 - (n_tt + n_tf) / CAST(n AS DOUBLE))
+                             * (1.0 - (n_tt + n_ft)
+                                / CAST(n AS DOUBLE))))
+                 / (1.0 - (((n_tt + n_tf) / CAST(n AS DOUBLE))
+                           * ((n_tt + n_ft) / CAST(n AS DOUBLE))
+                           + (1.0 - (n_tt + n_tf) / CAST(n AS DOUBLE))
+                             * (1.0 - (n_tt + n_ft)
+                                / CAST(n AS DOUBLE)))), 4)
+       END AS kappa
+FROM c"""
+
+
+@x("x232_gate_agreement", _X232_SQL)
+def x232(spark, sf):
+    """Cohen's kappa between two quality screens (r13) — the
+    redundancy readout a curation stack runs before stacking gates
+    (does the second gate add signal or re-label the first?): here
+    Gopher's ≥ 50-words rule vs the ≥ 500-chars length floor, 2×2
+    confusion + observed/chance agreement + kappa from exact integer
+    counts.  operators/classifier.py::gate_agreement."""
+    from ..operators.classifier import gate_agreement
+
+    docs = load_docs(spark, sf)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+    return gate_agreement(docs, F.size(words) >= 50,
+                          F.length("text") >= 500)

@@ -383,3 +383,47 @@ def calibration_bins(scored: DataFrame, score_col: str = "score",
                                              - F.col("frac_pos")),
                                        quantize))
             .orderBy("bin"))
+
+
+def gate_agreement(df: DataFrame, label_a, label_b,
+                   name_a: str = "a", name_b: str = "b") -> DataFrame:
+    """Inter-gate agreement readout — Cohen's kappa between two
+    boolean screens (e.g. the heuristic quality gate vs the Gopher
+    rule conjunction): the redundancy check that tells a curation
+    stack whether a second gate adds signal or just re-labels the
+    first one's decisions.
+
+    ``label_a`` / ``label_b`` are boolean Columns evaluated on ``df``.
+    Returns ONE row: the 2×2 confusion counts (``n_tt``, ``n_tf``,
+    ``n_ft``, ``n_ff``), observed agreement ``p_o``, chance agreement
+    ``p_e`` (from the marginals), and ``kappa = (p_o − p_e)/(1 −
+    p_e)`` (NULL when p_e = 1 — a degenerate all-one-cell table).
+    Every input to the formulas is an exact integer count, so the
+    readout replays bit-for-bit; rates rounded 6 dp, kappa 4 dp.
+
+    One map-side label projection + one 4-cell aggregate — no
+    shuffle beyond the global reduce."""
+    a = label_a.cast("int")
+    b = label_b.cast("int")
+    row = df.select(a.alias("__a"), b.alias("__b")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when((F.col("__a") == 1) & (F.col("__b") == 1), 1)
+              .otherwise(0)).alias("n_tt"),
+        F.sum(F.when((F.col("__a") == 1) & (F.col("__b") == 0), 1)
+              .otherwise(0)).alias("n_tf"),
+        F.sum(F.when((F.col("__a") == 0) & (F.col("__b") == 1), 1)
+              .otherwise(0)).alias("n_ft"),
+        F.sum(F.when((F.col("__a") == 0) & (F.col("__b") == 0), 1)
+              .otherwise(0)).alias("n_ff"))
+    n = F.col("n").cast("double")
+    po = (F.col("n_tt") + F.col("n_ff")) / n
+    pa1 = (F.col("n_tt") + F.col("n_tf")) / n
+    pb1 = (F.col("n_tt") + F.col("n_ft")) / n
+    pe = pa1 * pb1 + (F.lit(1.0) - pa1) * (F.lit(1.0) - pb1)
+    kappa = F.when(pe < 1.0,
+                   F.round((po - pe) / (F.lit(1.0) - pe), 4))
+    return (row.withColumn("p_o", F.round(po, 6))
+               .withColumn("p_e", F.round(pe, 6))
+               .withColumn("kappa", kappa)
+               .select("n", "n_tt", "n_tf", "n_ft", "n_ff",
+                       "p_o", "p_e", "kappa"))

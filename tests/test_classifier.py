@@ -236,3 +236,25 @@ def test_sgd_audit_sink_replays_averaging(spark):
         assert abs(w_replay - av[0]["w_sum"]) < 1e-9
         assert abs(b_replay - av[0]["b"]) < 1e-9
         assert len({r["shard"] for r in sh}) == len(sh)
+
+
+def test_gate_agreement_kappa_properties(spark):
+    """kappa = 1 on identical gates, ~0 on independent ones, NULL on a
+    degenerate single-cell table; confusion counts exact."""
+    from pyspark.sql import functions as F
+
+    from datum_spark.operators.classifier import gate_agreement
+
+    df = spark.range(1000)
+    # identical gates
+    r = gate_agreement(df, F.col("id") % 2 == 0,
+                       F.col("id") % 2 == 0).first()
+    assert r["kappa"] == 1.0 and r["n_tf"] == r["n_ft"] == 0
+    # independent gates (id%2 vs id//2%2): kappa == 0 exactly on this
+    # balanced construction
+    r2 = gate_agreement(df, F.col("id") % 2 == 0,
+                        (F.col("id") / 2).cast("long") % 2 == 0).first()
+    assert abs(r2["kappa"]) < 0.01
+    # degenerate: both gates always true -> p_e = 1 -> NULL kappa
+    r3 = gate_agreement(df, F.lit(True), F.lit(True)).first()
+    assert r3["kappa"] is None and r3["n_tt"] == 1000
