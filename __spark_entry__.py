@@ -63,6 +63,7 @@ _RECHECK_R13 = {
     "x230_hashed_embedding_knn",  # new: feature-hash text->similarity
     "x231_incremental_rollup",    # new: abelian rollup maintenance
     "x232_gate_agreement",        # new: Cohen's kappa between screens
+    "x233_jl_projection",         # new: md5-sign JL distance audit
 }
 
 

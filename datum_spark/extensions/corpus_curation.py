@@ -3782,3 +3782,77 @@ def x232(spark, sf):
                      lambda t: t != "")
     return gate_agreement(docs, F.size(words) >= 50,
                           F.length("text") >= 500)
+
+
+_X233_SQL = r"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id < 10
+), comp AS (
+  SELECT vec_id, j,
+         ROUND(list_sum(list_transform(range(1, 65),
+           i -> CASE WHEN substring(md5('jl-jl-'
+                        || CAST(i - 1 AS VARCHAR) || '-'
+                        || CAST(j AS VARCHAR)), 1, 1)
+                     IN ('0','2','4','6','8','a','c','e')
+                     THEN e[i] ELSE -e[i] END)) / sqrt(16.0), 6) AS y
+  FROM v, generate_series(0, 15) AS g(j)
+), proj AS (
+  SELECT vec_id, list(y ORDER BY j) AS p FROM comp GROUP BY vec_id
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(sqrt(list_sum(list_transform(list_zip(va.e, vb.e),
+               x -> (x[1] - x[2]) * (x[1] - x[2])))), 4) AS d_orig,
+         ROUND(sqrt(list_sum(list_transform(list_zip(pa.p, pb.p),
+               x -> (x[1] - x[2]) * (x[1] - x[2])))), 4) AS d_proj
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  JOIN proj pa ON pa.vec_id = a.vec_id
+  JOIN proj pb ON pb.vec_id = b.vec_id
+)
+SELECT id_a, id_b, d_orig, d_proj,
+       ROUND(d_proj / d_orig, 4) AS ratio
+FROM pairs WHERE d_orig > 0
+ORDER BY id_a, id_b"""
+
+
+@x("x233_jl_projection", _X233_SQL)
+def x233(spark, sf):
+    """Johnson–Lindenstrauss projection audit (r13): 64 → 16 dims via
+    the deterministic md5 ±1 sign matrix (Achlioptas 2003 — no RNG,
+    no stored matrix; any engine re-derives every sign), with the
+    per-pair distance-distortion ratios the JL lemma bounds — the
+    cheap pre-reduction in front of the exact/LSH/IVF scorers.  The
+    oracle re-derives signs, projections, both distances and the
+    ratios.  operators/similarity.py::jl_project."""
+    from ..operators.similarity import jl_project
+
+    emb = (load_emb(spark, sf).filter(F.col("vec_id") < 10)
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                    .alias("embedding")))
+    proj = jl_project(emb, "embedding", out_dim=16).withColumnRenamed(
+        "embedding", "p")
+    a = emb.select(F.col("vec_id").alias("id_a"),
+                   F.col("embedding").alias("__ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"),
+                   F.col("embedding").alias("__eb"))
+    pa = proj.select(F.col("vec_id").alias("id_a"),
+                     F.col("p").alias("__pa"))
+    pb = proj.select(F.col("vec_id").alias("id_b"),
+                     F.col("p").alias("__pb"))
+    def dist(x, y):
+        return F.round(F.sqrt(F.aggregate(
+            F.zip_with(x, y, lambda u, v: (u - v) * (u - v)),
+            F.lit(0.0), lambda acc, t: acc + t)), 4)
+    pairs = (F.broadcast(a).crossJoin(b)
+             .filter(F.col("id_a") < F.col("id_b"))
+             .join(pa, "id_a").join(pb, "id_b")
+             .select("id_a", "id_b",
+                     dist(F.col("__ea"), F.col("__eb")).alias("d_orig"),
+                     dist(F.col("__pa"), F.col("__pb")).alias("d_proj")))
+    return (pairs.filter(F.col("d_orig") > 0)
+            .withColumn("ratio", F.round(F.col("d_proj")
+                                         / F.col("d_orig"), 4))
+            .orderBy("id_a", "id_b"))

@@ -2319,3 +2319,45 @@ def feature_hash_embedding(df: DataFrame, id_col: str = "doc_id",
     unit = F.when(norm > 0, F.transform(
         "embedding", lambda x: F.round(x / norm, 6)))
     return out.select(id_col, unit.alias("embedding"))
+
+
+def _jl_sign(salt: str, i: int, j: int) -> int:
+    """±1 from the md5 of 'jl-<salt>-<i>-<j>' (first hex digit even →
+    +1) — the portable convention any engine re-derives."""
+    import hashlib
+    h = hashlib.md5(f"jl-{salt}-{i}-{j}".encode()).hexdigest()
+    return 1 if h[0] in "02468ace" else -1
+
+
+def jl_project(df: DataFrame, vec_col: str = "embedding",
+               out_dim: int = 16, salt: str = "jl",
+               in_dim: int | None = None,
+               quantize: int = 6) -> DataFrame:
+    """Johnson–Lindenstrauss random projection with a DETERMINISTIC
+    ±1 sign matrix (Achlioptas 2003's database-friendly variant):
+    ``y_j = Σ_i x_i · s_ij / √k`` with ``s_ij`` derived from md5 — no
+    RNG, no stored matrix, any engine re-derives every sign.  The JL
+    lemma bounds pairwise-distance distortion at k = O(log n / ε²);
+    use as the cheap pre-reduction in front of the exact/LSH/IVF
+    paths when the raw dimension is the cost driver.
+
+    Returns ``df`` with ``vec_col`` REPLACED by the k-dim projection
+    (each component rounded to ``quantize`` dp).  The sign matrix is
+    built driver-side (d × k ints) and embedded as plan literals —
+    one map-side expression, no shuffle, no UDF."""
+    import math
+
+    if in_dim is None:
+        row = df.select(F.size(vec_col).alias("d")).first()
+        in_dim = int(row["d"])
+    rk = math.sqrt(out_dim)
+    cols = []
+    for j in range(out_dim):
+        signs = "array(" + ",".join(
+            f"{_jl_sign(salt, i, j)}D" for i in range(in_dim)) + ")"
+        cols.append(
+            f"round(aggregate(zip_with({vec_col}, {signs}, "
+            f"(a, b) -> a * b), cast(0.0 as double), "
+            f"(acc, x) -> acc + x) / {rk!r}D, {int(quantize)})")
+    proj = F.expr("array(" + ",".join(cols) + ")")
+    return df.withColumn(vec_col, proj)

@@ -2543,3 +2543,39 @@ def test_feature_hash_embedding_properties(spark):
     assert abs(n - 1.0) < 1e-4
     # zero-word docs emit no row (nothing to hash)
     assert 4 not in unit and 4 not in raw
+
+
+def test_jl_project_distortion_bound(spark):
+    """JL projection preserves pairwise distances within the lemma's
+    practical band at k=32 on 200 random 64-dim vectors (ratios
+    concentrate near 1), and the md5 sign matrix is deterministic
+    across partitionings."""
+    import random
+
+    from datum_spark.operators.similarity import jl_project
+
+    rng = random.Random(11)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<double>")
+    p1 = {r["vec_id"]: list(r["embedding"]) for r in
+          jl_project(df, out_dim=32).collect()}
+    p2 = {r["vec_id"]: list(r["embedding"]) for r in
+          jl_project(df.repartition(7), out_dim=32).collect()}
+    assert p1 == p2
+    orig = {i: v for i, v in rows}
+
+    def d(u, v):
+        return sum((a - b) ** 2 for a, b in zip(u, v)) ** 0.5
+
+    ratios = []
+    ids = sorted(p1)[:30]
+    for x in ids:
+        for y in ids:
+            if x < y:
+                ratios.append(d(p1[x], p1[y]) / d(orig[x], orig[y]))
+    # k=32: typical distortion well inside ±50%, centered near 1
+    assert 0.5 < min(ratios) and max(ratios) < 1.5
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.15
