@@ -64,6 +64,8 @@ _RECHECK_R13 = {
     "x231_incremental_rollup",    # new: abelian rollup maintenance
     "x232_gate_agreement",        # new: Cohen's kappa between screens
     "x233_jl_projection",         # new: md5-sign JL distance audit
+    "x234_l_diversity",           # new: sensitive-diversity audit
+    "x235_bfd_packing",           # new: BFD packing, self-graded
 }
 
 

@@ -3856,3 +3856,83 @@ def x233(spark, sf):
             .withColumn("ratio", F.round(F.col("d_proj")
                                          / F.col("d_orig"), 4))
             .orderBy("id_a", "id_b"))
+
+
+_X234_SQL = r"""
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment,
+         COUNT(*) AS sz,
+         COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+           AS n_sensitive
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COUNT(*) FILTER (WHERE n_sensitive < 3) AS BIGINT)
+         AS classes_lt_l,
+       CAST(COALESCE(SUM(sz) FILTER (WHERE n_sensitive < 3), 0)
+            AS BIGINT) AS rows_at_risk,
+       CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity
+FROM g"""
+
+
+@x("x234_l_diversity", _X234_SQL)
+def x234(spark, sf):
+    """l-diversity audit (l=3) — the k-anonymity follow-up (x134):
+    a class can be large yet still leak when everyone in it shares
+    the SENSITIVE value, so each (nation, segment) class must carry
+    ≥ l distinct sensitive buckets (account-balance thousands here).
+    One keyed aggregate with a distinct-count, then the 1-row risk
+    summary — class-table-bounded, never row-bounded."""
+    c = load(spark, sf, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("sz"),
+               F.count_distinct(bucket).alias("n_sensitive")))
+    lt = F.col("n_sensitive") < 3
+    return g.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.count_if(lt).alias("classes_lt_l"),
+        F.coalesce(F.sum(F.when(lt, F.col("sz"))), F.lit(0))
+         .cast("long").alias("rows_at_risk"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"))
+
+
+@x("x235_bfd_packing", None)  # pack ids are partition-order-sensitive
+def x235(spark, sf):
+    """Best-Fit-Decreasing sequence packing (r13; Ding et al. 2024's
+    fewer-truncations recipe) — SELF-GRADED rows-only summary: pack
+    ids depend on partitioning, the INVARIANTS do not.  Grades:
+    ``budget_ok`` (no bin exceeds the budget — naive contiguous
+    packing overflows 50% of its packs on this fixture, i.e. would
+    truncate), ``waste_frac`` (1 − tokens/(bins·budget)), and
+    ``bins_over_min`` vs the ceil(total/budget) lower bound.
+    operators/packing.py::pack_documents_bfd."""
+    from ..operators.packing import pack_documents_bfd
+    from ..operators.text import with_token_count
+
+    # NO ensure_parallelism fan-out here: per-partition BFD waste is
+    # a function of docs-per-partition, and the fixture is tiny — at
+    # 32 splits each partition holds ~16 docs and under-fills its
+    # bins (measured waste 14% vs 0.9% single-split).  Real corpora
+    # hold millions of docs per partition, where per-partition BFD
+    # approaches the global optimum; the fixture entry grades the
+    # algorithm, not the split count.
+    docs = with_token_count(load(spark, sf, "documents"), "text",
+                            "n_tokens")
+    docs = docs.withColumn("n_tokens", F.col("n_tokens").cast("long"))
+    budget = 200
+    packed = pack_documents_bfd(docs, "doc_id", "n_tokens",
+                                budget=budget)
+    bins = (packed.groupBy("pack_id")
+                  .agg(F.sum("n_tokens").alias("t")))
+    return (bins.agg(
+        F.sum(F.lit(1)).alias("n_bins"),
+        F.sum("t").alias("total_tokens"),
+        F.max("t").alias("max_bin_tokens"),
+        (F.max("t") <= budget).alias("budget_ok"),
+        F.round(F.lit(1.0) - F.sum("t")
+                / (F.count(F.lit(1)) * budget).cast("double"), 4)
+         .alias("waste_frac"),
+        (F.count(F.lit(1))
+         - F.ceil(F.sum("t") / F.lit(float(budget))))
+        .alias("bins_over_min")))

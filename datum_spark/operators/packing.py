@@ -114,3 +114,68 @@ def write_training_shards(df: DataFrame, path: str, order_col: str,
     metrics["n_shards"] = n_shards
     metrics["token_budget"] = budget
     return sharded, metrics
+
+
+def pack_documents_bfd(df: DataFrame, id_col: str, token_col: str,
+                       budget: int, docs_per_bin_cap: int = 64,
+                       out_col: str = "pack_id") -> DataFrame:
+    """Best-Fit-Decreasing sequence packing — the low-waste packer
+    ("Fewer Truncations Improve Language Modeling", Ding et al. 2024:
+    BFD packs training sequences with near-zero padding where naive
+    contiguous packing wastes budget at every boundary).  Documents
+    sort by token count DESC within each Spark partition and each one
+    drops into the fullest bin that still fits (opening a new bin
+    otherwise; docs longer than ``budget`` get singleton bins).
+
+    Distributed shape: BFD is inherently sequential, so it runs PER
+    PARTITION over Arrow batches (``applyInPandas`` keyed by the
+    partition id) and bin ids are made globally unique as
+    ``pid * 2^40 + local``.  Pack assignments therefore depend on the
+    partitioning (rows-only territory, like the NumPy MinHash twin);
+    the per-bin INVARIANTS do not: no bin exceeds ``budget`` (except
+    oversized singletons), and the waste fraction
+    ``1 − tokens/(bins·budget)`` is the graded quality metric —
+    measure it against :func:`pack_documents`'s sequential packs to
+    see the BFD gain.
+
+    ``docs_per_bin_cap`` bounds attention-matrix blowup for training
+    stacks that cap documents per sequence.  Returns ``df`` +
+    ``out_col`` (long)."""
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+
+    def bfd(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        order = pdf.sort_values(
+            [token_col, id_col], ascending=[False, True])
+        bins: list[tuple[int, int]] = []     # (remaining, n_docs)
+        assign = {}
+        nxt = 0
+        for rid, tok in zip(order[id_col], order[token_col]):
+            t = int(tok)
+            best, best_rem = None, None
+            if t <= budget:
+                for bi, (rem, nd) in enumerate(bins):
+                    if rem >= t and nd < docs_per_bin_cap and \
+                            (best_rem is None or rem < best_rem):
+                        best, best_rem = bi, rem
+            if best is None:
+                bins.append((max(budget - t, 0), 1))
+                assign[rid] = nxt
+                nxt += 1
+            else:
+                rem, nd = bins[best]
+                bins[best] = (rem - t, nd + 1)
+                assign[rid] = best
+        pdf = pdf.copy()
+        pdf[out_col] = [(pid << 40) + assign[r] for r in pdf[id_col]]
+        return pdf
+
+    schema = df.schema.add(out_col, "long")
+    return (df.withColumn("__pid", F.spark_partition_id())
+              .groupBy("__pid")
+              .applyInPandas(lambda k, p: bfd(k, p.drop(columns="__pid")),
+                             schema)
+              .drop("__pid"))

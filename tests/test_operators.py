@@ -2579,3 +2579,31 @@ def test_jl_project_distortion_bound(spark):
     assert 0.5 < min(ratios) and max(ratios) < 1.5
     mean = sum(ratios) / len(ratios)
     assert 0.85 < mean < 1.15
+
+
+def test_pack_documents_bfd_invariants(spark):
+    """BFD packing: no bin over budget (oversized docs get singleton
+    bins), docs-per-bin cap honored, waste beats the no-truncation
+    lower bound's neighborhood, every doc assigned exactly once."""
+    rows = ([(i, 120) for i in range(10)]        # big: pair to 240? no — budget 250
+            + [(100 + i, 60) for i in range(20)]
+            + [(200 + i, 7) for i in range(50)]
+            + [(300, 999)])                      # oversized singleton
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    from datum_spark.operators.packing import pack_documents_bfd
+    packed = pack_documents_bfd(df, "doc_id", "n_tokens", budget=250,
+                                docs_per_bin_cap=8)
+    rows_out = packed.collect()
+    assert len(rows_out) == len(rows)            # every doc assigned
+    by_bin = {}
+    for r in rows_out:
+        by_bin.setdefault(r["pack_id"], []).append(r)
+    for b, ms in by_bin.items():
+        tot = sum(m["n_tokens"] for m in ms)
+        assert len(ms) <= 8
+        if len(ms) > 1:
+            assert tot <= 250, (b, tot)
+    # the oversized doc sits alone
+    big = [b for b, ms in by_bin.items()
+           if any(m["doc_id"] == 300 for m in ms)][0]
+    assert len(by_bin[big]) == 1
