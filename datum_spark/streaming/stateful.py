@@ -725,3 +725,51 @@ def mg_sink(stream: DataFrame, term_col: str, state_table,
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .start())
+
+
+def rollup_sink(changes: DataFrame, state_table, checkpoint_dir: str,
+                keys: list[str], sum_cols: list[str],
+                op_col: str = "op"):
+    """Streaming materialized-rollup maintenance: fold each
+    micro-batch of I/D changes into a persisted additive rollup
+    (:func:`~datum_spark.operators.cdc.rollup_fold` — count + sums
+    per key) stored in a versioned
+    :class:`~datum_spark.sources.snapshots.SnapshotTable`; readers
+    always see a complete rollup and can time-travel its history.
+
+    Because the fold is ABELIAN, the state after consuming the stream
+    equals the batch recompute over the net row set regardless of
+    batching — the cross-batching contract of ``kmv_sink``/
+    ``mg_sink``, pinned by the parity test.  The fold is NOT
+    idempotent (re-adding a batch double-counts), so a
+    ``__last_batch`` watermark column makes at-least-once replays
+    no-ops.
+
+    State size: |keys| rows.  Returns the started StreamingQuery."""
+    from ..operators.cdc import rollup_fold
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            cur = state_table.read()
+            have = cur.limit(1).count() > 0
+        except ValueError:
+            cur, have = None, False
+        if have:
+            last = cur.agg(F.max("__last_batch")).first()[0]
+            if last is not None and batch_id <= last:
+                return                   # replay: already folded
+            prev = cur.drop("__last_batch")
+        else:
+            prev = None
+        nxt = rollup_fold(prev, batch_df, keys, sum_cols,
+                          op_col=op_col)
+        state_table.overwrite(
+            nxt.withColumn("__last_batch", F.lit(int(batch_id))))
+
+    return (changes.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

@@ -765,3 +765,61 @@ def test_mg_sink_guarantees_and_replay_guard(spark, tmp_path):
     after = sorted((r["term"], r["est"])
                    for r in state.read().collect())
     assert after == before
+
+
+def test_rollup_sink_stream_equals_recompute(spark, tmp_path):
+    """r13 streaming rollup maintenance: after consuming an I/D change
+    stream in micro-batches, the persisted rollup equals the GROUP BY
+    recompute over the net rows (abelian fold), and a replayed batch
+    id is a no-op."""
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import rollup_sink
+
+    o = (spark.read.parquet(f"{SF}/orders.parquet")
+         .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+    b1 = (o.filter(F.col("o_orderkey") % 3 == 0)
+           .withColumn("op", F.lit("I")))
+    b2 = (o.filter(F.col("o_orderkey") % 6 == 0)
+           .withColumn("op", F.lit("D")))
+    src = tmp_path / "chg"
+    src.mkdir()
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    whole = spark.read.option("recursiveFileLookup", "true") \
+                 .parquet(str(src))
+    state = SnapshotTable.create(spark, str(tmp_path / "state"))
+    q = rollup_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 1)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        state, str(tmp_path / "ckpt"), ["o_orderpriority"],
+        ["o_totalprice"])
+    q.processAllAvailable()
+    q.stop()
+    got = {r["o_orderpriority"]: (r["n"], round(r["sum_o_totalprice"],
+                                                2))
+           for r in state.read().collect()}
+    net = (o.filter((F.col("o_orderkey") % 3 == 0)
+                    & (F.col("o_orderkey") % 6 != 0))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("s")))
+    want = {r["o_orderpriority"]: (r["n"], r["s"])
+            for r in net.collect()}
+    assert got == want and len(want) > 0
+
+    # replay of the whole stream under a fresh checkpoint: batch ids
+    # restart at 0 <= last watermark -> every fold is a no-op
+    before = got
+    q2 = rollup_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 2)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        state, str(tmp_path / "ckpt2"), ["o_orderpriority"],
+        ["o_totalprice"])
+    q2.processAllAvailable()
+    q2.stop()
+    after = {r["o_orderpriority"]: (r["n"],
+                                    round(r["sum_o_totalprice"], 2))
+             for r in state.read().collect()}
+    assert after == before
