@@ -945,19 +945,26 @@ def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
     hashes = F.transform(
         grams, lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10)
                           .cast("long"))
-    nh = F.size(hashes)
+    # MATERIALIZE the hash array before the window pass: Catalyst does
+    # not CSE subexpressions through lambda functions, so referencing
+    # the `hashes` expression inside the window lambda re-evaluates
+    # the ENTIRE md5 pass per window element — O(chars²·w) md5 calls
+    # (measured: 52.9 s for 300 sf0.1 docs vs ~1 s materialized; the
+    # minhash_signature lesson above, re-learned)
+    base = df.select(F.col(id_col), hashes.alias("__h"))
+    nh = F.size(F.col("__h"))
     # per window [i, i+w-1]: min over keys h*w + (w-1-offset) — equal
     # hashes prefer the RIGHTMOST position (smaller offset residual)
     keys = F.transform(
         F.sequence(F.lit(0), F.greatest(nh - w, F.lit(0))),
         lambda i: F.array_min(F.transform(
             F.sequence(i, F.least(i + w - 1, nh - 1)),
-            lambda j: F.element_at(hashes, j + 1) * w
+            lambda j: F.element_at(F.col("__h"), j + 1) * w
                       + (F.lit(w - 1) - (j - i)))))
     fps = F.array_distinct(F.transform(
         keys, lambda x: F.floor(x / F.lit(w)).cast("long")))
-    return (df.select(F.col(id_col), F.explode(fps).alias("fp"))
-              .distinct())
+    return (base.select(F.col(id_col), F.explode(fps).alias("fp"))
+                .distinct())
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str, text_col: str,
