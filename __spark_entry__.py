@@ -51,7 +51,8 @@ _RECHECK_R13 = {
     "x189_ivfpq_recall",          # r13: query-side broadcast flip
     "x190_ivfpq_refine",          # r13: query-side broadcast flip
     "x212_opq_recall",            # r13: query-side broadcast flip
-    "x37_minhash_fast",           # r13: true-Jaccard self-grade columns
+    "x37_minhash_fast",           # r13: reverted to its pinned shape
+    "x236_minhash_fast_graded",   # new: graded twin (true-Jaccard audit)
     "x216_c4_line_filter",        # new: C4 line-level retention action
     "x217_semdedup",              # new: SemDeDup keep-one-per-group action
     "x218_bigram_lm",             # new: interpolated bigram LM scores
