@@ -11,11 +11,12 @@ set: the 20 NEW r13 entries (q32 recursive CTE; x215/x220 span-removal
 actions; x216 C4 line filter; x217 SemDeDup; x218 bigram LM; x219
 winnowing; x222-x224 corpus/event diagnostics; x225-x235 sketches,
 experiment readouts, sampling, linkage, hashed embeddings, rollup
-maintenance, privacy and packing audits), the 4 grading blocks whose
-exact-top-k cross join flipped to query-side broadcast (x186/x189/
-x190/x212, hashes unchanged) and x37's new self-grade columns — every
-one locally diff-run green this round (the closing full sweep is
-recorded in BASELINE.md).  After the recheck set, entries order by
+maintenance, privacy and packing audits; x236 the graded MinHash
+twin), the 4 grading blocks whose exact-top-k cross join flipped to
+query-side broadcast (x186/x189/x190/x212, hashes unchanged) and x37
+(reverted to its pinned pre-r13 shape after the grade moved to x236)
+— every one locally diff-run green this round (the closing full sweep
+is recorded in BASELINE.md).  After the recheck set, entries order by
 EVIDENCE STALENESS
 computed from the committed CORRECTNESS_r*.json artifacts themselves
 (oldest latest-check first), so each round's window automatically
