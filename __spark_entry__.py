@@ -74,6 +74,8 @@ _RECHECK_R13 = {
     "x233_jl_projection",         # new: md5-sign JL distance audit
     "x234_l_diversity",           # new: sensitive-diversity audit
     "x235_bfd_packing",           # new: BFD packing, self-graded
+    "x237_ewma_drift",            # new: per-key EWMA drift fold
+    "x238_cusum_changepoints",    # new: CUSUM changepoint screen
 }
 
 

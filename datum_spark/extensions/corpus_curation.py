@@ -3936,3 +3936,113 @@ def x235(spark, sf):
         (F.count(F.lit(1))
          - F.ceil(F.sum("t") / F.lit(float(budget))))
         .alias("bins_over_min")))
+
+
+# Scalar folds ONLY: duckdb 1.0's list_reduce evaluates multi-field
+# struct-lambda fields sequentially against a MUTATING accumulator
+# (a field listed later reads the earlier field's NEW value), so a
+# struct-state replay of Spark's functional F.aggregate silently
+# diverges.  The replay instead recomputes each prefix with an
+# order-quirk-free scalar fold (O(n²) in the oracle only); every
+# prefix repeats Spark's exact IEEE op sequence, so the running
+# values still match bit-for-bit.
+_X237_SQL = r"""
+WITH s AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list({'t': ts, 'e': event_id, 'v': value})),
+           r -> r.v) AS vals
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), f AS (
+  SELECT user_id, len(vals) AS n,
+         list_reduce(vals, (a, x) -> 0.7*a + 0.3*x) AS ewma_raw,
+         CASE WHEN len(vals) > 1 THEN
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(2, len(vals) + 1), i ->
+               abs(vals[i] - list_reduce(vals[1:i-1],
+                                         (a, x) -> 0.7*a + 0.3*x)))),
+             (a, x) -> a + x)
+         END AS err_sum
+  FROM s
+)
+SELECT user_id, CAST(n AS BIGINT) AS n_events,
+       ROUND(ewma_raw, 6) AS ewma_last,
+       CASE WHEN n > 1 THEN ROUND(err_sum / (n - 1.0), 6) END AS mae_1step
+FROM f ORDER BY user_id"""
+
+
+@x("x237_ewma_drift", _X237_SQL)
+def x237(spark, sf):
+    """Per-user EWMA drift rollup (r13): final smoothed spend level
+    (pandas ``ewm(alpha=0.3, adjust=False)`` semantics) plus the mean
+    absolute one-step-ahead forecast error — the self-predictability
+    screen behind "did this entity's behaviour drift".  ONE hash
+    shuffle on the key, then an O(n) JVM-side ``F.aggregate`` left
+    fold over the (ts, event_id)-sorted value array; the DuckDB
+    oracle replays the identical IEEE operation order with
+    ``list_reduce``, so every double matches bit-for-bit before the
+    6-dp display rounding.  operators/timeseries.py::ewma_summary."""
+    from ..operators.timeseries import ewma_summary
+
+    ev = load(spark, sf, "events")
+    return ewma_summary(ev, "user_id", "ts", "value", alpha=0.3)
+
+
+_X238_SQL = r"""
+WITH s AS (
+  SELECT user_id,
+         list_transform(
+           list_sort(list({'t': ts, 'e': event_id, 'v': value})),
+           r -> r.v) AS vals
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), m AS (
+  SELECT user_id, vals, CAST(len(vals) AS DOUBLE) AS nd,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vals),
+                     (a, x) -> a + x) AS s1,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(vals, x -> x * x)), (a, x) -> a + x) AS s2
+  FROM s
+), d AS (
+  SELECT user_id, vals, nd, s1 / nd AS mu,
+         sqrt(greatest(
+           (s2 - s1 * s1 / nd) / nullif(nd - 1.0, 0.0), 0.0)) AS sd
+  FROM m
+), g AS (
+  SELECT user_id, nd, sd,
+         list_transform(range(1, len(vals) + 1), i ->
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(vals[1:i],
+               x -> (x - mu) / nullif(sd, 0.0) - 0.5)),
+             (a, x) -> greatest(0.0, a + x))) AS gs
+  FROM d
+)
+SELECT user_id, CAST(nd AS BIGINT) AS n_events,
+       CASE WHEN nd >= 2 AND sd > 0
+            THEN CAST(len(list_filter(gs, v -> v > 4.0)) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS n_alarms,
+       CASE WHEN nd >= 2 AND sd > 0
+            THEN list_min(list_transform(gs, (v, i) ->
+                   CASE WHEN v > 4.0 THEN CAST(i AS BIGINT) END))
+            END AS first_alarm,
+       CASE WHEN nd >= 2 AND sd > 0 THEN ROUND(list_max(gs), 6)
+            END AS g_max
+FROM g ORDER BY user_id"""
+
+
+@x("x238_cusum_changepoints", _X238_SQL)
+def x238(spark, sf):
+    """Per-user one-sided standardized CUSUM changepoint screen (r13;
+    Page 1954): g_t = max(0, g_{t-1} + (x_t-mu)/sd - 0.5), alarm when
+    g_t > 4.  The key's own moments come from the SAME sorted-array
+    fold on both engines (never the engines' parallel SUM, whose
+    summation order differs), so the standardization and every
+    threshold crossing are bit-identical; keys with n < 2 or sd = 0
+    report zero alarms and NULL stats.  Same single-shuffle O(n) fold
+    shape as x237.  operators/timeseries.py::cusum_summary."""
+    from ..operators.timeseries import cusum_summary
+
+    ev = load(spark, sf, "events")
+    return cusum_summary(ev, "user_id", "ts", "value",
+                         slack=0.5, threshold=4.0)
