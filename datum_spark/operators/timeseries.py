@@ -41,15 +41,28 @@ def _sorted_vals(df: DataFrame, key_col: str, ts_col: str,
                       F.transform("recs", lambda r: r["v"]).alias("vals")))
 
 
-def _ewma_fold(vals: Column, alpha: float) -> Column:
+def _ewma_fold(vals: Column, alpha: float,
+               seed_s: Column | None = None,
+               seed_e: Column | None = None) -> Column:
     """Left fold of s_t = (1-a)*s_{t-1} + a*x_t with s_1 = x_1, carrying
     the absolute one-step forecast error sum.  Null-seeded so the first
     element initialises the state through coalesce — the same trick the
-    DuckDB oracle uses with a prepended ``{s: NULL, e: 0.0}`` record."""
+    DuckDB oracle uses with a prepended ``{s: NULL, e: 0.0}`` record.
+
+    ``seed_s``/``seed_e`` (optional Columns) CONTINUE a prior fold
+    instead of starting one: with a non-null ``seed_s`` the first
+    element is treated as a forecast step from that level — exactly
+    the state a batch fold would carry at that point, which is what
+    makes the streaming twin (``streaming.stateful.ewma_sink``) equal
+    its batch recompute.  A null ``seed_s`` degrades to a fresh fold,
+    so one code path serves both."""
     packed = F.transform(
         vals, lambda v: F.struct(v.alias("s"), F.lit(0.0).alias("e")))
-    init = F.struct(F.lit(None).cast("double").alias("s"),
-                    F.lit(0.0).alias("e"))
+    init = F.struct(
+        (seed_s if seed_s is not None
+         else F.lit(None).cast("double")).cast("double").alias("s"),
+        (seed_e if seed_e is not None
+         else F.lit(0.0)).cast("double").alias("e"))
     a = float(alpha)
     return F.aggregate(
         packed, init,

@@ -773,3 +773,112 @@ def rollup_sink(changes: DataFrame, state_table, checkpoint_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .start())
+
+
+def ewma_sink(stream: DataFrame, state_table, checkpoint_dir: str,
+              key_col: str, ts_col: str, value_col: str,
+              alpha: float = 0.3, tie_col: str = "event_id"):
+    """Streaming EWMA drift maintenance: continue each key's exact
+    :func:`~datum_spark.operators.timeseries.ewma_summary` fold across
+    micro-batches, persisting per-key ``(n_events, s, err_sum,
+    last_t, last_e, n_late)`` in a versioned
+    :class:`~datum_spark.sources.snapshots.SnapshotTable` (one atomic
+    overwrite per batch — readers always see a complete state and can
+    time-travel the drift history).
+
+    REUSES the batch fold (``timeseries._ewma_fold`` with its seed
+    columns) rather than reimplementing it, so batch/stream drift is
+    structurally impossible — after consuming a time-ordered stream
+    the state equals ``ewma_summary`` over the concatenation (the
+    parity test pins it).  The fold is order-sensitive, NOT abelian:
+    the contract requires per-key time-ordered ingest ACROSS batches
+    (the snapshot_sink cadence); within a batch order is free (each
+    batch is sorted per key).  A point at or before the state's
+    per-key (ts, tie) high-water mark is late under that contract —
+    it is DROPPED deterministically and counted in ``n_late`` (the
+    observability column; a growing n_late says the source violates
+    the ordering assumption, not that data silently vanished).  Not
+    idempotent, so a ``__last_batch`` watermark makes at-least-once
+    replays no-ops.
+
+    State size: one row per key.  Returns the started StreamingQuery."""
+    from ..operators.timeseries import _ewma_fold
+
+    a = float(alpha)
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            cur = state_table.read()
+            have = cur.limit(1).count() > 0
+        except ValueError:
+            cur, have = None, False
+        if have:
+            last = cur.agg(F.max("__last_batch")).first()[0]
+            if last is not None and batch_id <= last:
+                return                   # replay: already folded
+            prev = cur.drop("__last_batch")
+        else:
+            prev = None
+        rec = F.struct(F.col(ts_col).alias("t"),
+                       F.col(tie_col).alias("e"),
+                       F.col(value_col).cast("double").alias("v"))
+        g = (batch_df.filter(F.col(value_col).isNotNull())
+                     .groupBy(key_col)
+                     .agg(F.sort_array(F.collect_list(rec))
+                           .alias("recs")))
+        if prev is None:
+            t_type = batch_df.schema[ts_col].dataType.simpleString()
+            e_type = batch_df.schema[tie_col].dataType.simpleString()
+            j = g
+            for c, t in (("n_events", "long"), ("s", "double"),
+                         ("err_sum", "double"), ("last_t", t_type),
+                         ("last_e", e_type), ("n_late", "long")):
+                j = j.withColumn(c, F.lit(None).cast(t))
+        else:
+            j = g.join(prev, on=key_col, how="full_outer")
+
+        def _is_fresh(r):
+            newer = (F.struct(r["t"].alias("a"), r["e"].alias("b"))
+                     > F.struct(F.col("last_t").alias("a"),
+                                F.col("last_e").alias("b")))
+            return F.coalesce(newer, F.lit(True))
+
+        j = j.withColumn("_fresh", F.filter(F.col("recs"), _is_fresh)) \
+             .withColumn("_n_new",
+                         F.coalesce(F.size("_fresh"), F.lit(0))
+                          .cast("long")) \
+             .withColumn("_n_late",
+                         (F.coalesce(F.size("recs"), F.lit(0))
+                          - F.coalesce(F.size("_fresh"), F.lit(0)))
+                         .cast("long"))
+        folded = _ewma_fold(
+            F.transform("_fresh", lambda r: r["v"]), a,
+            seed_s=F.col("s"),
+            seed_e=F.coalesce(F.col("err_sum"), F.lit(0.0)))
+        has_new = F.col("_n_new") > 0
+        tail = F.element_at("_fresh", -1)
+        out = j.select(
+            key_col,
+            (F.coalesce(F.col("n_events"), F.lit(0))
+             + F.col("_n_new")).alias("n_events"),
+            F.when(has_new, folded["s"]).otherwise(F.col("s"))
+             .alias("s"),
+            F.when(has_new, folded["e"])
+             .otherwise(F.coalesce(F.col("err_sum"), F.lit(0.0)))
+             .alias("err_sum"),
+            F.when(has_new, tail["t"]).otherwise(F.col("last_t"))
+             .alias("last_t"),
+            F.when(has_new, tail["e"]).otherwise(F.col("last_e"))
+             .alias("last_e"),
+            (F.coalesce(F.col("n_late"), F.lit(0)) + F.col("_n_late"))
+             .alias("n_late"))
+        state_table.overwrite(
+            out.withColumn("__last_batch", F.lit(int(batch_id))))
+
+    return (stream.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

@@ -823,3 +823,113 @@ def test_rollup_sink_stream_equals_recompute(spark, tmp_path):
                                     round(r["sum_o_totalprice"], 2))
              for r in state.read().collect()}
     assert after == before
+
+
+def test_ewma_sink_stream_equals_batch(spark, tmp_path):
+    """r13 streaming EWMA maintenance: after consuming a time-ordered
+    event stream in micro-batches, the persisted per-key state equals
+    the batch ewma_summary fold over the whole input (same fold code,
+    seeded continuation), a replayed batch id is a no-op, and a late
+    point is dropped-and-counted, never silently folded."""
+    from datum_spark.operators.timeseries import ewma_summary
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import ewma_sink
+
+    ev = (read_parquet_normalized(spark, f"{SF}/events.parquet")
+          .select("user_id", "ts", "event_id", "value"))
+    src = tmp_path / "ev"
+    src.mkdir()
+    # cut by ts so the three files are time-ordered across the stream
+    # (the sink's documented ingest contract)
+    all_ts = [r[0] for r in ev.orderBy("ts").select("ts").collect()]
+    t1, t2 = all_ts[len(all_ts) // 3], all_ts[2 * len(all_ts) // 3]
+    (ev.filter(F.col("ts") < t1).coalesce(1)
+       .write.parquet(str(src / "f1")))
+    (ev.filter((F.col("ts") >= t1) & (F.col("ts") < t2)).coalesce(1)
+       .write.parquet(str(src / "f2")))
+    (ev.filter(F.col("ts") >= t2).coalesce(1)
+       .write.parquet(str(src / "f3")))
+    whole = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(str(src)))
+    state = SnapshotTable.create(spark, str(tmp_path / "state"))
+    q = ewma_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 1)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        state, str(tmp_path / "ckpt"),
+        "user_id", "ts", "value", alpha=0.3)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user_id"]: (r["n_events"], round(r["s"], 6),
+                          round(r["err_sum"], 6), r["n_late"])
+           for r in state.read().collect()}
+    want = {}
+    for r in ewma_summary(ev, "user_id", "ts", "value",
+                          alpha=0.3).collect():
+        err = (0.0 if r["mae_1step"] is None
+               else r["mae_1step"] * (r["n_events"] - 1))
+        want[r["user_id"]] = (r["n_events"], r["ewma_last"],
+                              round(err, 4), 0)
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert got[k][0] == want[k][0], k          # n_events
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-5), k
+        assert got[k][3] == 0, k                   # no late drops
+
+    # replay with a fresh checkpoint: batch ids restart at 0, every
+    # fold is a no-op
+    before = {r["user_id"]: (r["n_events"], r["s"])
+              for r in state.read().collect()}
+    q2 = ewma_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 2)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        state, str(tmp_path / "ckpt2"),
+        "user_id", "ts", "value", alpha=0.3)
+    q2.processAllAvailable()
+    q2.stop()
+    after = {r["user_id"]: (r["n_events"], r["s"])
+             for r in state.read().collect()}
+    assert after == before
+
+
+def test_ewma_sink_drops_and_counts_late_points(spark, tmp_path):
+    """A point at or before a key's (ts, tie) high-water mark violates
+    the ordered-ingest contract: it must be dropped from the fold and
+    surfaced in n_late."""
+    import pandas as pd
+
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import ewma_sink
+
+    t0 = pd.Timestamp("2024-01-01")
+    b1 = pd.DataFrame({
+        "user_id": [1, 1], "ts": [t0, t0 + pd.Timedelta(minutes=1)],
+        "event_id": [0, 1], "value": [10.0, 20.0]})
+    b2 = pd.DataFrame({
+        "user_id": [1, 1],
+        "ts": [t0 + pd.Timedelta(seconds=30),      # LATE: before hwm
+               t0 + pd.Timedelta(minutes=2)],
+        "event_id": [2, 3], "value": [99.0, 40.0]})
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "f2"))
+    whole = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(str(src)))
+    state = SnapshotTable.create(spark, str(tmp_path / "state"))
+    q = ewma_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 1)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        state, str(tmp_path / "ckpt"),
+        "user_id", "ts", "value", alpha=0.3)
+    q.processAllAvailable()
+    q.stop()
+    r = state.read().collect()[0]
+    # fold over 10, 20, 40 only: s = .7*(.7*10+.3*20)+.3*40 = 21.4
+    assert r["n_events"] == 3 and r["n_late"] == 1
+    assert r["s"] == pytest.approx(0.7 * (0.7 * 10 + 0.3 * 20)
+                                   + 0.3 * 40, abs=1e-9)
+    assert r["err_sum"] == pytest.approx(abs(20 - 10)
+                                         + abs(40 - 13.0), abs=1e-9)
