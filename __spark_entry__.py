@@ -76,6 +76,7 @@ _RECHECK_R13 = {
     "x235_bfd_packing",           # new: BFD packing, self-graded
     "x237_ewma_drift",            # new: per-key EWMA drift fold
     "x238_cusum_changepoints",    # new: CUSUM changepoint screen
+    "x239_cuped",                 # new: CUPED variance-reduced A/B
 }
 
 

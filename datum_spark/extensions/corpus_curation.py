@@ -4046,3 +4046,67 @@ def x238(spark, sf):
     ev = load(spark, sf, "events")
     return cusum_summary(ev, "user_id", "ts", "value",
                          slack=0.5, threshold=4.0)
+
+
+_X239_SQL = r"""
+WITH pu AS (
+  SELECT user_id,
+         ROUND(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN value END), 0.0), 4) AS x,
+         ROUND(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                                 THEN value END), 0.0), 4) AS y,
+         CAST(('0x' || substring(md5('cuped-' || CAST(user_id AS VARCHAR)),
+                                 1, 8)) AS BIGINT) % 2 AS t
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id
+), m AS (
+  SELECT COUNT(*) AS n, SUM(t) AS n_t,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy,
+         SUM(CASE WHEN t = 1 THEN x END) AS stx,
+         SUM(CASE WHEN t = 1 THEN y END) AS sty,
+         SUM(CASE WHEN t = 0 THEN x END) AS scx,
+         SUM(CASE WHEN t = 0 THEN y END) AS scy
+  FROM pu
+), d AS (
+  SELECT n, n_t,
+         CAST(n_t AS DOUBLE) AS nt,
+         CAST(n AS DOUBLE) - CAST(n_t AS DOUBLE) AS nc,
+         (sxx - sx*sx/CAST(n AS DOUBLE))
+           / nullif(CAST(n AS DOUBLE) - 1.0, 0.0) AS var_x,
+         (syy - sy*sy/CAST(n AS DOUBLE))
+           / nullif(CAST(n AS DOUBLE) - 1.0, 0.0) AS var_y,
+         (sxy - sx*sy/CAST(n AS DOUBLE))
+           / nullif(CAST(n AS DOUBLE) - 1.0, 0.0) AS cov,
+         stx, sty, scx, scy
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(n_t AS BIGINT) AS n_treat,
+       CAST(n - n_t AS BIGINT) AS n_ctrl,
+       ROUND(cov / nullif(var_x, 0.0), 6) AS theta,
+       CASE WHEN nt > 0 AND nc > 0
+            THEN ROUND(sty/nt - scy/nc, 6) END AS diff_raw,
+       CASE WHEN nt > 0 AND nc > 0
+            THEN ROUND((sty/nt - scy/nc)
+                       - (cov / nullif(var_x, 0.0))
+                         * (stx/nt - scx/nc), 6) END AS diff_cuped,
+       ROUND(100.0 * (cov*cov) / nullif(var_x*var_y, 0.0), 4)
+         AS var_reduction_pct
+FROM d"""
+
+
+@x("x239_cuped", _X239_SQL)
+def x239(spark, sf):
+    """CUPED variance-reduced experiment readout (r13; Deng 2013):
+    pre-period activity as the control covariate for the experiment
+    metric, pooled theta = cov/var, md5-bucket arms — diff_raw vs
+    diff_cuped plus the theoretical variance-reduction percentage
+    (100·rho²).  Completes the experimentation family: x139 raw
+    split, x226 exposure-conditioned z-test, x239 sensitivity boost.
+    Per-user metrics 4-dp-rounded so the user grain is
+    noise-collapsed on both engines; one user aggregation then one
+    1-row moment aggregate.  operators/events.py::cuped_summary."""
+    from ..operators.events import cuped_summary
+
+    ev = load(spark, sf, "events")
+    return cuped_summary(ev, "2024-01-16 00:00:00")
