@@ -77,6 +77,7 @@ _RECHECK_R13 = {
     "x237_ewma_drift",            # new: per-key EWMA drift fold
     "x238_cusum_changepoints",    # new: CUSUM changepoint screen
     "x239_cuped",                 # new: CUPED variance-reduced A/B
+    "x240_poisson_bootstrap",     # new: one-pass bootstrap CI
 }
 
 

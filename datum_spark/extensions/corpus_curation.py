@@ -4110,3 +4110,59 @@ def x239(spark, sf):
 
     ev = load(spark, sf, "events")
     return cuped_summary(ev, "2024-01-16 00:00:00")
+
+
+def _x240_sql() -> str:
+    """Oracle SQL generated from the SAME POISSON1_CUM constants the
+    operator uses, so the inverse-CDF thresholds are literal-identical
+    in both engines."""
+    from ..operators.sampling import POISSON1_CUM
+
+    case = "CASE\n"
+    for i, c in enumerate(POISSON1_CUM):
+        case += f"      WHEN u < {c!r} THEN {i}\n"
+    case += f"      ELSE {len(POISSON1_CUM)} END"
+    return f"""
+WITH src AS (
+  SELECT CAST(event_id AS VARCHAR) AS id, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), reps AS (
+  SELECT i AS b FROM range(0, 40) t(i)
+), w AS (
+  SELECT b, v,
+    {case} AS w
+  FROM (
+    SELECT b, v,
+      CAST(('0x' || substring(md5('boot-' || id || '-'
+                                  || CAST(b AS VARCHAR)), 1, 8))
+           AS BIGINT) / 4294967296.0 AS u
+    FROM src, reps)
+), m AS (
+  SELECT b, ROUND(SUM(w*v) / NULLIF(SUM(w), 0), 6) AS m
+  FROM w GROUP BY b
+), s AS (
+  SELECT COUNT(*) AS n_rows, ROUND(AVG(v), 6) AS point_mean FROM src
+)
+SELECT CAST(s.n_rows AS BIGINT) AS n_rows, s.point_mean,
+       ROUND(AVG(m.m), 6) AS boot_mean,
+       ROUND(quantile_cont(m.m, 0.025), 6) AS ci_lo,
+       ROUND(quantile_cont(m.m, 0.975), 6) AS ci_hi,
+       CAST(COUNT(m.m) AS BIGINT) AS reps
+FROM m, s GROUP BY s.n_rows, s.point_mean"""
+
+
+@x("x240_poisson_bootstrap", _x240_sql())
+def x240(spark, sf):
+    """One-pass Poisson bootstrap CI for the mean event value (r13;
+    Chamandy 2012 — THE uncertainty method when the corpus can't be
+    resampled): 40 deterministic md5-coin Poisson(1) replicate
+    weights in a single scan, replicate means, interpolated 95%
+    percentile interval.  The B-fold explode is map-side and the
+    partial agg combines to 40 rows per task, so the shuffle is B
+    rows regardless of corpus size.
+    operators/sampling.py::poisson_bootstrap_mean."""
+    from ..operators.sampling import poisson_bootstrap_mean
+
+    ev = load(spark, sf, "events")
+    return poisson_bootstrap_mean(ev, "value", "event_id",
+                                  reps=40, level=0.95)

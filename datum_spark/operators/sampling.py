@@ -467,3 +467,66 @@ def recency_weighted_sample(df: DataFrame, key_col: str,
     u = md5_bucket(F.col(key_col), salt) / F.lit(4294967296.0)
     out = base.filter(u < p_keep)
     return out.drop("__ref") if ref_ts is None else out
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative probabilities), shared
+# verbatim with the DuckDB oracle so the weight of every (row,
+# replicate) pair is the same exact integer in both engines.
+POISSON1_CUM = (0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238462,
+                0.9963401531726563, 0.9994058151824183,
+                0.999916758850712, 0.9999897508033253)
+
+
+def poisson_bootstrap_mean(df: DataFrame, value_col: str, id_col: str,
+                           reps: int = 40, level: float = 0.95,
+                           salt: str = "boot") -> DataFrame:
+    """One-pass Poisson bootstrap for the mean — the scalable
+    bootstrap (Chamandy et al., Google 2012 "Estimating uncertainty
+    for massive data streams"): resampling-with-replacement is
+    impossible over a corpus that doesn't fit anywhere, but each
+    row's multiplicity in replicate b is ~Poisson(1), so B weighted
+    partial sums in ONE scan reproduce the bootstrap distribution.
+
+    Deterministic twist: the Poisson draw is the portable md5 coin
+    (``md5(salt-id-b) / 2^32``) pushed through the shared
+    :data:`POISSON1_CUM` inverse-CDF table, so every weight — and
+    therefore the whole CI — is reproducible from the data alone in
+    any engine.  Returns ONE row ``(n_rows, point_mean, boot_mean,
+    ci_lo, ci_hi, reps)``: the plain mean, the mean of the replicate
+    means, and the interpolated percentile interval at ``level``.
+
+    Scale shape: the B-fold posexplode is MAP-side (xB work, no
+    extra scan); the partial aggregation combines to ``reps`` rows
+    per task, so the shuffle carries B rows per partition no matter
+    the corpus size; replicate means round 6 dp before the exact
+    percentile over the B-row (driver-safe) replicate table."""
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(reps) - 1))).alias("b")
+    rows = (df.filter(F.col(value_col).isNotNull())
+              .select(F.col(id_col).cast("string").alias("__id"),
+                      F.col(value_col).cast("double").alias("__v"))
+              .select("__id", "__v", b))
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+            "-", F.lit(salt), F.col("__id"),
+            F.col("b").cast("string"))), 1, 8), 16, 10)
+          .cast("double") / F.lit(4294967296.0))
+    w = F.lit(len(POISSON1_CUM))
+    for i in range(len(POISSON1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CUM[i]), F.lit(i)).otherwise(w)
+    rep = (rows.select("b", w.cast("double").alias("__w"), "__v")
+               .groupBy("b")
+               .agg(F.round(F.try_divide(
+                        F.sum(F.col("__w") * F.col("__v")),
+                        F.sum("__w")), 6).alias("m")))
+    q_lo, q_hi = (1.0 - float(level)) / 2.0, 1.0 - (1.0 - level) / 2.0
+    stats = df.filter(F.col(value_col).isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(F.avg(F.col(value_col).cast("double")), 6)
+         .alias("point_mean"))
+    ci = rep.agg(
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.percentile("m", F.lit(q_lo)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(q_hi)), 6).alias("ci_hi"),
+        F.count(F.lit(1)).cast("long").alias("reps"))
+    return stats.crossJoin(F.broadcast(ci)).select(
+        "n_rows", "point_mean", "boot_mean", "ci_lo", "ci_hi", "reps")

@@ -2607,3 +2607,29 @@ def test_pack_documents_bfd_invariants(spark):
     big = [b for b, ms in by_bin.items()
            if any(m["doc_id"] == 300 for m in ms)][0]
     assert len(by_bin[big]) == 1
+
+
+def test_poisson_bootstrap_ci_covers_mean(spark):
+    """Bootstrap CI sanity: on iid data the 95% interval surrounds the
+    point mean, has positive width that shrinks with sample size, and
+    the replicate machinery is deterministic across runs."""
+    import numpy as np
+    import pandas as pd
+
+    from datum_spark.operators.sampling import poisson_bootstrap_mean
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({"id": range(2000),
+                        "v": rng.normal(50.0, 10.0, 2000)})
+    df = spark.createDataFrame(pdf)
+    r = poisson_bootstrap_mean(df, "v", "id", reps=40).collect()[0]
+    assert r["n_rows"] == 2000 and r["reps"] == 40
+    assert r["ci_lo"] < r["point_mean"] < r["ci_hi"]
+    # width ~ 2*1.96*sigma/sqrt(n) ~ 0.88; generous band
+    assert 0.3 < r["ci_hi"] - r["ci_lo"] < 2.5
+    r2 = poisson_bootstrap_mean(df, "v", "id", reps=40).collect()[0]
+    assert r == r2          # md5 coins: bit-identical reruns
+
+    small = poisson_bootstrap_mean(df.limit(100), "v", "id",
+                                   reps=40).collect()[0]
+    assert (small["ci_hi"] - small["ci_lo"]) > (r["ci_hi"] - r["ci_lo"])
