@@ -78,6 +78,8 @@ _RECHECK_R13 = {
     "x238_cusum_changepoints",    # new: CUSUM changepoint screen
     "x239_cuped",                 # new: CUPED variance-reduced A/B
     "x240_poisson_bootstrap",     # new: one-pass bootstrap CI
+    "x241_ks_drift",              # new: exact two-sample KS test
+    "x242_mannwhitney",           # new: rank-sum test, midrank ties
 }
 
 

@@ -4166,3 +4166,121 @@ def x240(spark, sf):
     ev = load(spark, sf, "events")
     return poisson_bootstrap_mean(ev, "value", "event_id",
                                   reps=40, level=0.95)
+
+
+_X241_SQL = r"""
+WITH src AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS a,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), roll AS (
+  SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM src GROUP BY v
+), c AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS inc_a,
+         SUM(cb) OVER (ORDER BY v) AS inc_b
+  FROM roll
+), tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM roll),
+d AS (
+  SELECT v, na, nb,
+         abs(inc_a / CAST(na AS DOUBLE)
+             - inc_b / CAST(nb AS DOUBLE)) AS d
+  FROM c, tot
+), mx AS (SELECT MAX(d) AS d_raw FROM d)
+SELECT CAST(d.na AS BIGINT) AS n_a, CAST(d.nb AS BIGINT) AS n_b,
+       ROUND(mx.d_raw, 6) AS d_stat,
+       ROUND(MIN(d.v), 6) AS d_at,
+       ROUND(LEAST(1.0,
+             2.0 * exp(-2.0
+                       * (CAST(d.na AS DOUBLE) * d.nb
+                          / CAST(d.na + d.nb AS DOUBLE))
+                       * mx.d_raw * mx.d_raw)), 6) AS p_value
+FROM d, mx WHERE d.d = mx.d_raw
+GROUP BY d.na, d.nb, mx.d_raw"""
+
+
+@x("x241_ks_drift", _X241_SQL)
+def x241(spark, sf):
+    """Two-sample Kolmogorov–Smirnov drift test (r13): did the event
+    value distribution SHIFT between the first and second half of the
+    month — the exact sup-|ECDF diff| over the per-distinct-value
+    rollup, its location, and the asymptotic p bound.  The cumulative
+    counts come from the curriculum-style distributed prefix sum
+    (range partition → subtotals → broadcast offsets), never a
+    single-partition window; every ECDF step is a ratio of exact
+    integer counts.  operators/twosample.py::ks_2sample."""
+    from ..operators.twosample import ks_2sample
+
+    ev = load(spark, sf, "events")
+    g = ev.withColumn(
+        "g", F.when(F.col("ts")
+                    < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                    "pre").otherwise("post"))
+    return ks_2sample(g, "g", "value", "pre")
+
+
+_X242_SQL = r"""
+WITH src AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN 1 ELSE 0 END AS a,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), roll AS (
+  SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM src GROUP BY v
+), c AS (
+  SELECT v, ca, cb, ca + cb AS t,
+         SUM(ca + cb) OVER (ORDER BY v) - (ca + cb) AS cumn
+  FROM roll
+), agg AS (
+  SELECT SUM(ca) AS n_a, SUM(cb) AS n_b,
+         SUM(CAST(ca AS DOUBLE)
+             * (CAST(cumn AS DOUBLE)
+                + (CAST(t AS DOUBLE) + 1.0) / 2.0)) AS ra,
+         SUM(CAST(t AS DOUBLE) * t * t - CAST(t AS DOUBLE))
+           AS tie_term
+  FROM c
+), s AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn,
+         ra, tie_term
+  FROM agg
+), f AS (
+  SELECT n_a, n_b,
+         ra - nad * (nad + 1.0) / 2.0 AS u,
+         sqrt(greatest(
+           nad * nbd / 12.0
+           * ((nn + 1.0)
+              - tie_term / nullif(nn * (nn - 1.0), 0.0)), 0.0)) AS sd,
+         nad, nbd
+  FROM s
+)
+SELECT n_a, n_b, ROUND(u, 6) AS u_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 AND sd > 0
+            THEN ROUND((u - nad * nbd / 2.0) / nullif(sd, 0.0), 6)
+            END AS z_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 AND sd > 0
+            THEN abs(ROUND((u - nad * nbd / 2.0)
+                           / nullif(sd, 0.0), 6)) > 1.96
+            END AS significant
+FROM f"""
+
+
+@x("x242_mannwhitney", _X242_SQL)
+def x242(spark, sf):
+    """Mann–Whitney U rank test on the same temporal split as x241
+    (r13): midrank ties from the shared cumulative rollup, U from the
+    A rank-sum, tie-corrected normal z, |z| > 1.96 verdict.  Every
+    rank sum is integers-and-halves over exact counts — zero FP-order
+    hazard, so the whole statistic replays bit-for-bit.  The
+    nonparametric sibling of x239's CUPED mean contrast.
+    operators/twosample.py::mann_whitney_u."""
+    from ..operators.twosample import mann_whitney_u
+
+    ev = load(spark, sf, "events")
+    g = ev.withColumn(
+        "g", F.when(F.col("ts")
+                    < F.lit("2024-01-16 00:00:00").cast("timestamp"),
+                    "pre").otherwise("post"))
+    return mann_whitney_u(g, "g", "value", "pre")

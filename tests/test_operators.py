@@ -2633,3 +2633,82 @@ def test_poisson_bootstrap_ci_covers_mean(spark):
     small = poisson_bootstrap_mean(df.limit(100), "v", "id",
                                    reps=40).collect()[0]
     assert (small["ci_hi"] - small["ci_lo"]) > (r["ci_hi"] - r["ci_lo"])
+
+
+def test_ks_and_mannwhitney_match_reference(spark):
+    """KS D/location and MW U/z against a pure-numpy reference on a
+    planted shift with heavy ties (2-dp rounded normals)."""
+    import numpy as np
+    import pandas as pd
+
+    from datum_spark.operators.twosample import (ks_2sample,
+                                                 mann_whitney_u)
+
+    rng = np.random.RandomState(5)
+    A = np.round(rng.normal(0, 1, 500), 2)
+    B = np.round(rng.normal(0.3, 1, 700), 2)
+    pdf = pd.DataFrame({"g": ["a"] * 500 + ["b"] * 700,
+                        "v": np.concatenate([A, B])})
+    df = spark.createDataFrame(pdf)
+    ks = ks_2sample(df, "g", "v", "a").collect()[0]
+    mw = mann_whitney_u(df, "g", "v", "a").collect()[0]
+
+    allv = np.sort(np.unique(pdf.v))
+    ea = np.searchsorted(np.sort(A), allv, side="right") / len(A)
+    eb = np.searchsorted(np.sort(B), allv, side="right") / len(B)
+    d = np.abs(ea - eb)
+    D = d.max()
+    assert ks.n_a == 500 and ks.n_b == 700
+    assert ks.d_stat == pytest.approx(D, abs=1e-6)
+    assert ks.d_at == pytest.approx(float(allv[d >= D - 1e-12].min()),
+                                    abs=1e-6)
+    assert ks.p_value < 1e-6                   # strong planted shift
+
+    ranks = pdf.v.rank(method="average")
+    na, nb = 500.0, 700.0
+    U = ranks[:500].sum() - na * (na + 1) / 2
+    _, t = np.unique(pdf.v, return_counts=True)
+    var = na * nb / 12 * ((na + nb + 1)
+                          - (t ** 3 - t).sum()
+                          / ((na + nb) * (na + nb - 1)))
+    z = (U - na * nb / 2) / np.sqrt(var)
+    assert mw.u_stat == pytest.approx(U, abs=1e-9)   # exact halves
+    assert mw.z_stat == pytest.approx(z, abs=1e-5)
+    assert mw.significant is True
+
+
+def test_twosample_no_shift_not_significant(spark):
+    """Identical distributions: tiny D, |z| small, not significant."""
+    import numpy as np
+    import pandas as pd
+
+    from datum_spark.operators.twosample import (ks_2sample,
+                                                 mann_whitney_u)
+
+    rng = np.random.RandomState(9)
+    v = np.round(rng.normal(10, 2, 1600), 2)
+    pdf = pd.DataFrame({"g": ["a", "b"] * 800, "v": v})
+    df = spark.createDataFrame(pdf)
+    ks = ks_2sample(df, "g", "v", "a").collect()[0]
+    mw = mann_whitney_u(df, "g", "v", "a").collect()[0]
+    assert ks.d_stat < 0.1
+    assert mw.significant is False
+
+
+def test_twosample_degenerate_guards(spark):
+    """Empty side and all-tied values: NULL z/verdict, no errors."""
+    import pandas as pd
+
+    from datum_spark.operators.twosample import (ks_2sample,
+                                                 mann_whitney_u)
+
+    tied = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "b", "a", "b"], "v": [3.0] * 4}))
+    r = mann_whitney_u(tied, "g", "v", "a").collect()[0]
+    assert r.z_stat is None and r.significant is None
+    k = ks_2sample(tied, "g", "v", "a").collect()[0]
+    assert k.d_stat == 0.0
+    one = spark.createDataFrame(
+        pd.DataFrame({"g": ["a", "a"], "v": [1.0, 2.0]}))
+    r1 = mann_whitney_u(one, "g", "v", "a").collect()[0]
+    assert r1.n_b == 0 and r1.z_stat is None
