@@ -80,6 +80,7 @@ _RECHECK_R13 = {
     "x240_poisson_bootstrap",     # new: one-pass bootstrap CI
     "x241_ks_drift",              # new: exact two-sample KS test
     "x242_mannwhitney",           # new: rank-sum test, midrank ties
+    "x243_grouped_ks_fdr",        # new: one-vs-rest KS + BH FDR
 }
 
 

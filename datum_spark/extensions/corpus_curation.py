@@ -4284,3 +4284,70 @@ def x242(spark, sf):
                     < F.lit("2024-01-16 00:00:00").cast("timestamp"),
                     "pre").otherwise("post"))
     return mann_whitney_u(g, "g", "value", "pre")
+
+
+_X243_SQL = r"""
+WITH roll AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v, COUNT(*) AS c
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY event_type, value
+), allv AS (
+  SELECT v, SUM(c) AS ct FROM roll GROUP BY v
+), ac AS (
+  SELECT v, ct, SUM(ct) OVER (ORDER BY v) - ct AS cum_ct FROM allv
+), tot AS (SELECT g, SUM(c) AS n FROM roll GROUP BY g),
+nn AS (SELECT SUM(c) AS n_all FROM roll),
+per AS (
+  SELECT r.g, r.v, r.c, t.n, nn.n_all, ac.ct, ac.cum_ct,
+         SUM(r.c) OVER (PARTITION BY r.g ORDER BY r.v) AS cum_g
+  FROM roll r JOIN ac ON r.v = ac.v JOIN tot t ON r.g = t.g, nn
+), pg AS (
+  SELECT g, n, n_all, MAX(greatest(
+    abs(cum_g / CAST(n AS DOUBLE)
+        - (cum_ct + ct - cum_g)
+          / nullif(CAST(n_all - n AS DOUBLE), 0.0)),
+    abs((cum_g - c) / CAST(n AS DOUBLE)
+        - (cum_ct - (cum_g - c))
+          / nullif(CAST(n_all - n AS DOUBLE), 0.0)))) AS d_raw
+  FROM per GROUP BY g, n, n_all
+), sc AS (
+  SELECT g, CAST(n AS BIGINT) AS n,
+         ROUND(d_raw, 6) AS d_stat,
+         ROUND(LEAST(1.0, 2.0 * exp(-2.0
+            * (CAST(n AS DOUBLE) * (n_all - n) / CAST(n_all AS DOUBLE))
+            * d_raw * d_raw)), 6) AS p_value
+  FROM pg
+), rk AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, g) AS bh_rank,
+         COUNT(*) OVER () AS n_groups
+  FROM sc
+), ck AS (
+  SELECT *,
+         ROUND(CAST(bh_rank AS DOUBLE) * 0.05
+               / CAST(n_groups AS DOUBLE), 6) AS bh_cutoff,
+         CASE WHEN p_value <= CAST(bh_rank AS DOUBLE) * 0.05
+                              / CAST(n_groups AS DOUBLE)
+              THEN bh_rank END AS pass_rank
+  FROM rk
+)
+SELECT g AS event_type, n, d_stat, p_value,
+       CAST(bh_rank AS BIGINT) AS bh_rank, bh_cutoff,
+       COALESCE(bh_rank <= MAX(pass_rank) OVER (), FALSE) AS flagged
+FROM ck ORDER BY bh_rank"""
+
+
+@x("x243_grouped_ks_fdr", _X243_SQL)
+def x243(spark, sf):
+    """Multi-group drift screen with FDR control (r13): every event
+    type's value distribution KS-tested against the rest of the
+    corpus in ONE pass (inclusive + pre-jump diff candidates cover
+    the whole pooled sup), then Benjamini–Hochberg step-up across the
+    type battery — the which-source-drifted monitoring sweep where
+    uncorrected per-group p-values multiply into false alarms.
+    Global cumulative via the distributed prefix sum; per-group
+    cumulative bounded by per-group distinct values; BH over the
+    bounded group count.  operators/twosample.py::grouped_ks_screen."""
+    from ..operators.twosample import grouped_ks_screen
+
+    ev = load(spark, sf, "events")
+    return grouped_ks_screen(ev, "event_type", "value", alpha=0.05)

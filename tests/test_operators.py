@@ -2712,3 +2712,50 @@ def test_twosample_degenerate_guards(spark):
         pd.DataFrame({"g": ["a", "a"], "v": [1.0, 2.0]}))
     r1 = mann_whitney_u(one, "g", "v", "a").collect()[0]
     assert r1.n_b == 0 and r1.z_stat is None
+
+
+def test_grouped_ks_screen_matches_pairwise_and_flags_drift(spark):
+    """Grouped KS == per-group ks_2sample on the same data (the
+    inclusive+pre-jump candidates cover the pooled sup), the planted
+    drifted group is flagged, stable groups are not, and BH ranks are
+    consistent with p order."""
+    import numpy as np
+    import pandas as pd
+
+    from datum_spark.operators.twosample import (grouped_ks_screen,
+                                                 ks_2sample)
+
+    rng = np.random.RandomState(21)
+    frames = []
+    for g in ("a", "b", "c", "d"):
+        loc = 3.0 if g == "d" else 0.0        # planted drift in d
+        frames.append(pd.DataFrame(
+            {"g": g, "v": np.round(rng.normal(loc, 1, 400), 2)}))
+    pdf = pd.concat(frames)
+    df = spark.createDataFrame(pdf)
+    out = {r["g"]: r for r in
+           grouped_ks_screen(df, "g", "v").collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    for g in ("a", "b", "c", "d"):
+        two = ks_2sample(
+            df.withColumn("grp",
+                          (df["g"] == g).cast("string")),
+            "grp", "v", "true").collect()[0]
+        assert out[g]["d_stat"] == pytest.approx(two["d_stat"],
+                                                 abs=1e-6), g
+    # one-vs-rest: the drifted group carries the LARGEST D (and is
+    # flagged); a/b/c also see nonzero D because d contaminates their
+    # complement — that is the screen's semantics, not a bug
+    assert out["d"]["flagged"] is True
+    assert out["d"]["d_stat"] == max(r["d_stat"] for r in out.values())
+    ps = sorted(out.values(), key=lambda r: r["bh_rank"])
+    assert [r["p_value"] for r in ps] == sorted(
+        r["p_value"] for r in ps)
+
+    # no drift anywhere: nothing flagged
+    calm = pd.concat([pd.DataFrame(
+        {"g": g, "v": np.round(rng.normal(0, 1, 400), 2)})
+        for g in ("a", "b", "c", "d")])
+    calm_out = grouped_ks_screen(
+        spark.createDataFrame(calm), "g", "v").collect()
+    assert all(r["flagged"] is False for r in calm_out)
