@@ -7,17 +7,19 @@ DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
 (50 in every round so far).  The dict leads with the round-13 RECHECK
-set: the 20 NEW r13 entries (q32 recursive CTE; x215/x220 span-removal
+set: the 27 NEW r13 entries (q32 recursive CTE; x215/x220 span-removal
 actions; x216 C4 line filter; x217 SemDeDup; x218 bigram LM; x219
 winnowing; x222-x224 corpus/event diagnostics; x225-x235 sketches,
 experiment readouts, sampling, linkage, hashed embeddings, rollup
 maintenance, privacy and packing audits; x236 the graded MinHash
-twin), the 4 grading blocks whose exact-top-k cross join flipped to
-query-side broadcast (x186/x189/x190/x212, hashes unchanged) and x37
-(reverted to its pinned pre-r13 shape after the grade moved to x236)
-— every one locally diff-run green this round (the closing full sweep
-is recorded in BASELINE.md).  After the recheck set, entries order by
-EVIDENCE STALENESS
+twin; x237/x238 EWMA + CUSUM time-series folds; x239 CUPED; x240
+Poisson bootstrap CI; x241-x243 KS / Mann-Whitney / grouped-KS+BH
+drift tests), the 4 grading blocks whose exact-top-k cross join
+flipped to query-side broadcast (x186/x189/x190/x212, hashes
+unchanged) and x37 (reverted to its pinned pre-r13 shape after the
+grade moved to x236) — every one locally diff-run green this round
+(the closing full sweep is recorded in BASELINE.md).  After the
+recheck set, entries order by EVIDENCE STALENESS
 computed from the committed CORRECTNESS_r*.json artifacts themselves
 (oldest latest-check first), so each round's window automatically
 drains the stalest band — after r12's all-green 50-entry window the
