@@ -14,7 +14,7 @@ experiment readouts, sampling, linkage, hashed embeddings, rollup
 maintenance, privacy and packing audits; x236 the graded MinHash
 twin; x237/x238 EWMA + CUSUM time-series folds; x239 CUPED; x240
 Poisson bootstrap CI; x241-x243 KS / Mann-Whitney / grouped-KS+BH
-drift tests), the 4 grading blocks whose exact-top-k cross join
+drift tests; x244 exact ROC AUC), the 4 grading blocks whose exact-top-k cross join
 flipped to query-side broadcast (x186/x189/x190/x212, hashes
 unchanged) and x37 (reverted to its pinned pre-r13 shape after the
 grade moved to x236) — every one locally diff-run green this round
@@ -83,6 +83,7 @@ _RECHECK_R13 = {
     "x241_ks_drift",              # new: exact two-sample KS test
     "x242_mannwhitney",           # new: rank-sum test, midrank ties
     "x243_grouped_ks_fdr",        # new: one-vs-rest KS + BH FDR
+    "x244_auc",                   # new: exact midrank ROC AUC
 }
 
 

@@ -4351,3 +4351,69 @@ def x243(spark, sf):
 
     ev = load(spark, sf, "events")
     return grouped_ks_screen(ev, "event_type", "value", alpha=0.05)
+
+
+_X244_SQL = r"""
+WITH w AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT CAST(lang = 'en' AS INT) AS label,
+         LEAST(len(list_filter(ws, x -> x IN ('the', 'a')))
+               * 8.0 / len(ws), 1.0) AS score
+  FROM w WHERE len(ws) > 0
+), roll AS (
+  SELECT score AS v, SUM(label) AS ca, SUM(1 - label) AS cb
+  FROM s GROUP BY score
+), c AS (
+  SELECT v, ca, cb,
+         SUM(ca + cb) OVER (ORDER BY v) - (ca + cb) AS cumn
+  FROM roll
+), agg AS (
+  SELECT SUM(ca) AS npos, SUM(cb) AS nneg,
+         SUM(CAST(ca AS DOUBLE)
+             * (CAST(cumn AS DOUBLE)
+                + (CAST(ca + cb AS DOUBLE) + 1.0) / 2.0)) AS ra
+  FROM c
+)
+SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+       CASE WHEN npos > 0 AND nneg > 0 THEN
+         ROUND((ra - CAST(npos AS DOUBLE)
+                     * (CAST(npos AS DOUBLE) + 1.0) / 2.0)
+               / nullif(CAST(npos AS DOUBLE)
+                        * CAST(nneg AS DOUBLE), 0.0), 6) END AS auc,
+       CASE WHEN npos > 0 AND nneg > 0 THEN
+         ROUND(2.0 * ((ra - CAST(npos AS DOUBLE)
+                       * (CAST(npos AS DOUBLE) + 1.0) / 2.0)
+               / nullif(CAST(npos AS DOUBLE)
+                        * CAST(nneg AS DOUBLE), 0.0)) - 1.0, 6)
+       END AS gini
+FROM agg"""
+
+
+@x("x244_auc", _X244_SQL)
+def x244(spark, sf):
+    """Exact ROC AUC of the x194 score/label pairing (r13): does the
+    scaled English-stopword share RANK ``lang = 'en'`` documents above
+    the rest — the threshold-free discrimination readout next to
+    x194's calibration audit (a score can rank perfectly yet be
+    miscalibrated, and vice versa).  Midrank tie handling over the
+    per-distinct-score rollup; rank sums are integers-and-halves, so
+    the statistic replays bit-for-bit.
+    operators/classifier.py::auc_exact."""
+    from ..operators.classifier import auc_exact
+
+    docs = load_docs(spark, sf)
+    words = F.filter(F.split(F.lower(F.col("text")), r"\s+"),
+                     lambda t: t != "")
+    d = (docs.withColumn("__ws", words)
+             .filter(F.size("__ws") > 0)
+             .select((F.col("lang") == "en").cast("int").alias("label"),
+                     F.least(
+                         F.size(F.filter(F.col("__ws"),
+                                         lambda w: w.isin("the", "a")))
+                         * 8.0 / F.size("__ws"),
+                         F.lit(1.0)).alias("score")))
+    return auc_exact(d, "score", "label")

@@ -427,3 +427,49 @@ def gate_agreement(df: DataFrame, label_a, label_b,
                .withColumn("kappa", kappa)
                .select("n", "n_tt", "n_tf", "n_ft", "n_ff",
                        "p_o", "p_e", "kappa"))
+
+
+def auc_exact(scored: DataFrame, score_col: str = "score",
+              label_col: str = "label",
+              round_to: int = 6) -> DataFrame:
+    """Exact ROC AUC by the rank statistic — the threshold-free
+    companion of :func:`calibration_bins` (x194 audits whether scores
+    mean what they say; this audits whether they RANK):
+
+        AUC = (R₊ − n₊(n₊+1)/2) / (n₊·n₋),
+
+    with R₊ the positive class's midrank sum (ties share their
+    average rank — the trapezoidal ROC convention).  Returns ONE row
+    ``(n_pos, n_neg, auc, gini)`` (gini = 2·AUC − 1); NULL on a
+    single-class input.
+
+    Reuses the two-sample machinery
+    (:func:`~datum_spark.operators.twosample._cumulative_rollup`, the
+    distributed prefix sum over the per-distinct-score rollup), so the
+    shuffle is score-cardinality-sized and every rank sum is
+    integers-and-halves over exact counts — zero FP-order hazard, the
+    oracle replays bit-for-bit."""
+    from .twosample import _cumulative_rollup
+
+    c = _cumulative_rollup(
+        scored.select(F.col(label_col).cast("long").alias("__l"),
+                      F.col(score_col)),
+        "__l", score_col, 1)
+    t = F.col("ca") + F.col("cb")
+    cumn = F.col("cum_a") + F.col("cum_b")
+    midrank = cumn.cast("double") + (t.cast("double") + 1.0) / 2.0
+    agg = c.agg(F.sum("ca").cast("long").alias("n_pos"),
+                F.sum("cb").cast("long").alias("n_neg"),
+                F.sum(F.col("ca").cast("double") * midrank).alias("ra"))
+    np_ = F.col("n_pos").cast("double")
+    nn_ = F.col("n_neg").cast("double")
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    auc = F.when(ok, F.round(
+        (F.col("ra") - np_ * (np_ + 1.0) / 2.0)
+        / F.nullif(np_ * nn_, F.lit(0.0)), round_to))
+    return agg.select(
+        "n_pos", "n_neg", auc.alias("auc"),
+        F.when(ok, F.round(F.lit(2.0) * (
+            (F.col("ra") - np_ * (np_ + 1.0) / 2.0)
+            / F.nullif(np_ * nn_, F.lit(0.0))) - F.lit(1.0),
+            round_to)).alias("gini"))

@@ -258,3 +258,34 @@ def test_gate_agreement_kappa_properties(spark):
     # degenerate: both gates always true -> p_e = 1 -> NULL kappa
     r3 = gate_agreement(df, F.lit(True), F.lit(True)).first()
     assert r3["kappa"] is None and r3["n_tt"] == 1000
+
+
+def test_auc_exact_matches_reference_and_guards(spark):
+    """AUC vs a numpy midrank computation on tied scores; perfect
+    separation -> 1.0; random labels ~0.5; single class -> NULL."""
+    import numpy as np
+    import pandas as pd
+
+    from datum_spark.operators.classifier import auc_exact
+
+    rng = np.random.RandomState(13)
+    pos = np.round(rng.normal(0.7, 0.15, 300).clip(0, 1), 2)
+    neg = np.round(rng.normal(0.4, 0.15, 500).clip(0, 1), 2)
+    pdf = pd.DataFrame({"label": [1] * 300 + [0] * 500,
+                        "score": np.concatenate([pos, neg])})
+    r = auc_exact(spark.createDataFrame(pdf)).collect()[0]
+    ranks = pdf.score.rank(method="average")
+    ref = (ranks[:300].sum() - 300 * 301 / 2) / (300.0 * 500.0)
+    assert r.n_pos == 300 and r.n_neg == 500
+    assert r.auc == pytest.approx(ref, abs=1e-6)
+    assert r.gini == pytest.approx(2 * ref - 1, abs=1e-6)
+    assert 0.8 < r.auc < 1.0
+
+    perfect = spark.createDataFrame(pd.DataFrame(
+        {"label": [1] * 5 + [0] * 5,
+         "score": [0.9, 0.8, 0.7, 0.65, 0.6, 0.4, 0.3, 0.2, 0.1, 0.0]}))
+    assert auc_exact(perfect).collect()[0].auc == 1.0
+
+    one_class = spark.createDataFrame(pd.DataFrame(
+        {"label": [1, 1], "score": [0.3, 0.6]}))
+    assert auc_exact(one_class).collect()[0].auc is None
