@@ -136,6 +136,105 @@ def ewma(df: DataFrame, key_col: str, ts_col: str, value_col: str,
                     F.col("p.sm").alias(out_col))
 
 
+def _cusum_fold(vals: Column, mu: Column, sd: Column,
+                slack: float, threshold: float,
+                seed=None, idx_offset: Column | None = None) -> Column:
+    """The CUSUM left fold over a sorted value array: state struct
+    ``(g, al, fi, gm)`` = (running statistic, alarm count, first-alarm
+    1-based position, max statistic).  ``seed`` (optional struct
+    Column) CONTINUES a prior fold — the state a batch fold would
+    carry at that point, which is what makes the streaming sink
+    (``streaming.stateful.cusum_sink``) equal its batch recompute;
+    ``idx_offset`` shifts element positions so ``fi`` stays a
+    whole-stream index across batches."""
+    k, h = float(slack), float(threshold)
+    off = idx_offset if idx_offset is not None else F.lit(0)
+    elems = F.transform(
+        vals,
+        lambda x, i: F.struct(
+            ((x - mu) / F.nullif(sd, F.lit(0.0))
+             - F.lit(k)).alias("g"),
+            F.lit(0).cast("long").alias("al"),
+            (i + F.lit(1) + off).cast("long").alias("fi"),
+            F.lit(0.0).alias("gm")))
+    init = seed if seed is not None else F.struct(
+        F.lit(0.0).alias("g"),
+        F.lit(0).cast("long").alias("al"),
+        F.lit(0).cast("long").alias("fi"),
+        F.lit(0.0).alias("gm"))
+
+    def merge(acc, e):
+        g2 = F.greatest(F.lit(0.0), acc["g"] + e["g"])
+        hit = (g2 > F.lit(h))
+        return F.struct(
+            g2.alias("g"),
+            (acc["al"] + hit.cast("long")).alias("al"),
+            F.when(acc["fi"] > 0, acc["fi"])
+             .when(hit, e["fi"]).otherwise(F.lit(0).cast("long"))
+             .alias("fi"),
+            F.greatest(acc["gm"], g2).alias("gm"))
+
+    return F.aggregate(elems, init, merge)
+
+
+def cusum_reference(df: DataFrame, key_col: str, ts_col: str,
+                    value_col: str,
+                    tie_col: str = "event_id") -> DataFrame:
+    """Per-key reference moments ``(key, mu, sd)`` from a calibration
+    window — the deployment mode of Page's CUSUM: freeze μ/σ on an
+    in-control period, then monitor new data against them (the
+    self-calibrating :func:`cusum_summary` is the retrospective
+    audit).  Computed by the same sorted-array fold, so they are
+    engine-reproducible; σ=0 / n<2 keys carry sd NULL (consumers skip
+    them)."""
+    s = _sorted_vals(df, key_col, ts_col, value_col, tie_col)
+    vals = F.col("vals")
+    nd = F.size(vals).cast("double")
+    s1 = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(F.transform(vals, lambda x: x * x), F.lit(0.0),
+                     lambda a, x: a + x)
+    m = s.select(key_col, nd.alias("nd"), s1.alias("s1"),
+                 s2.alias("s2"))
+    mu = F.col("s1") / F.col("nd")
+    var = F.try_divide(F.col("s2") - F.col("s1") * F.col("s1")
+                       / F.col("nd"),
+                       F.col("nd") - F.lit(1.0))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return m.select(key_col, mu.alias("mu"),
+                    F.nullif(sd, F.lit(0.0)).alias("sd"))
+
+
+def cusum_monitor(df: DataFrame, ref: DataFrame, key_col: str,
+                  ts_col: str, value_col: str, slack: float = 0.5,
+                  threshold: float = 4.0, tie_col: str = "event_id",
+                  round_to: int = 6) -> DataFrame:
+    """Batch CUSUM against FIXED reference moments (the
+    :func:`cusum_reference` contract): per key, fold the
+    (ts, tie)-sorted values with the reference μ/σ.  Returns
+    ``(key, n_events, n_alarms, first_alarm, g_max)``; keys missing
+    from ``ref`` (or with NULL sd) report zero alarms and NULL stats.
+    This is the batch twin the streaming ``cusum_sink`` is
+    parity-tested against."""
+    s = _sorted_vals(df, key_col, ts_col, value_col, tie_col)
+    m = s.join(ref.select(key_col, "mu", "sd"), key_col, "left")
+    folded = _cusum_fold(F.col("vals"), F.col("mu"), F.col("sd"),
+                         slack, threshold)
+    ok = F.col("sd").isNotNull()
+    return (m.select(key_col,
+                     F.size("vals").cast("long").alias("n_events"),
+                     ok.alias("_ok"), folded.alias("_f"))
+             .select(key_col, "n_events",
+                     F.when(F.col("_ok"), F.col("_f.al"))
+                      .otherwise(F.lit(0).cast("long"))
+                      .alias("n_alarms"),
+                     F.when(F.col("_ok") & (F.col("_f.fi") > 0),
+                            F.col("_f.fi")).alias("first_alarm"),
+                     F.when(F.col("_ok"),
+                            F.round(F.col("_f.gm"), round_to))
+                      .alias("g_max"))
+             .orderBy(key_col))
+
+
 def cusum_summary(df: DataFrame, key_col: str, ts_col: str,
                   value_col: str, slack: float = 0.5,
                   threshold: float = 4.0, tie_col: str = "event_id",
@@ -170,31 +269,8 @@ def cusum_summary(df: DataFrame, key_col: str, ts_col: str,
     m = m.select(key_col, "vals", "nd", mu.alias("mu"),
                  F.sqrt(F.greatest(var, F.lit(0.0))).alias("sd"))
     k, h = float(slack), float(threshold)
-    elems = F.transform(
-        "vals",
-        lambda x, i: F.struct(
-            ((x - F.col("mu")) / F.nullif(F.col("sd"), F.lit(0.0))
-             - F.lit(k)).alias("g"),
-            F.lit(0).cast("long").alias("al"),
-            (i + F.lit(1)).cast("long").alias("fi"),
-            F.lit(0.0).alias("gm")))
-    init = F.struct(F.lit(0.0).alias("g"),
-                    F.lit(0).cast("long").alias("al"),
-                    F.lit(0).cast("long").alias("fi"),
-                    F.lit(0.0).alias("gm"))
-
-    def merge(acc, e):
-        g2 = F.greatest(F.lit(0.0), acc["g"] + e["g"])
-        hit = (g2 > F.lit(h))
-        return F.struct(
-            g2.alias("g"),
-            (acc["al"] + hit.cast("long")).alias("al"),
-            F.when(acc["fi"] > 0, acc["fi"])
-             .when(hit, e["fi"]).otherwise(F.lit(0).cast("long"))
-             .alias("fi"),
-            F.greatest(acc["gm"], g2).alias("gm"))
-
-    folded = F.aggregate(elems, init, merge)
+    folded = _cusum_fold(F.col("vals"), F.col("mu"), F.col("sd"),
+                         k, h)
     ok = (F.col("nd") >= 2) & (F.col("sd") > 0)
     return (m.select(key_col, F.col("nd").cast("long").alias("n_events"),
                      ok.alias("_ok"), folded.alias("_f"))

@@ -853,12 +853,16 @@ def ewma_sink(stream: DataFrame, state_table, checkpoint_dir: str,
                          (F.coalesce(F.size("recs"), F.lit(0))
                           - F.coalesce(F.size("_fresh"), F.lit(0)))
                          .cast("long"))
-        folded = _ewma_fold(
-            F.transform("_fresh", lambda r: r["v"]), a,
-            seed_s=F.col("s"),
-            seed_e=F.coalesce(F.col("err_sum"), F.lit(0.0)))
+        # materialize BEFORE the renaming select (same LCA hazard as
+        # cusum_sink: the select aliases "s"/"err_sum" that the fold's
+        # seed references)
+        j = j.withColumn("_folded", _ewma_fold(
+                F.transform("_fresh", lambda r: r["v"]), a,
+                seed_s=F.col("s"),
+                seed_e=F.coalesce(F.col("err_sum"), F.lit(0.0)))) \
+             .withColumn("_tail", F.element_at("_fresh", -1))
+        folded, tail = F.col("_folded"), F.col("_tail")
         has_new = F.col("_n_new") > 0
-        tail = F.element_at("_fresh", -1)
         out = j.select(
             key_col,
             (F.coalesce(F.col("n_events"), F.lit(0))
@@ -868,6 +872,135 @@ def ewma_sink(stream: DataFrame, state_table, checkpoint_dir: str,
             F.when(has_new, folded["e"])
              .otherwise(F.coalesce(F.col("err_sum"), F.lit(0.0)))
              .alias("err_sum"),
+            F.when(has_new, tail["t"]).otherwise(F.col("last_t"))
+             .alias("last_t"),
+            F.when(has_new, tail["e"]).otherwise(F.col("last_e"))
+             .alias("last_e"),
+            (F.coalesce(F.col("n_late"), F.lit(0)) + F.col("_n_late"))
+             .alias("n_late"))
+        state_table.overwrite(
+            out.withColumn("__last_batch", F.lit(int(batch_id))))
+
+    return (stream.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())
+
+
+def cusum_sink(stream: DataFrame, ref: DataFrame, state_table,
+               checkpoint_dir: str, key_col: str, ts_col: str,
+               value_col: str, slack: float = 0.5,
+               threshold: float = 4.0, tie_col: str = "event_id"):
+    """Streaming CUSUM monitoring: continue each key's
+    :func:`~datum_spark.operators.timeseries.cusum_monitor` fold
+    across micro-batches against FIXED reference moments (``ref`` =
+    ``(key, mu, sd)`` from
+    :func:`~datum_spark.operators.timeseries.cusum_reference`'s
+    in-control calibration window — the actual deployment mode of
+    Page's chart), persisting per-key ``(n_events, g, n_alarms,
+    first_alarm, g_max, last_t, last_e, n_late)`` in a versioned
+    :class:`~datum_spark.sources.snapshots.SnapshotTable`.
+
+    REUSES the batch fold (``timeseries._cusum_fold`` with its seed
+    struct and index offset) so batch/stream drift is structurally
+    impossible — after consuming a time-ordered stream the state
+    equals ``cusum_monitor`` over the concatenation, with
+    ``first_alarm`` a WHOLE-STREAM 1-based position (the index offset
+    rides the stored ``n_events``).  Same ingest contract and
+    bookkeeping as ``ewma_sink``: per-key time-ordered batches, late
+    points dropped-and-counted in ``n_late``, ``__last_batch`` replay
+    watermark.  Keys with no ``ref`` row (or NULL sd) never alarm but
+    still count events.  Returns the started StreamingQuery."""
+    from ..operators.timeseries import _cusum_fold
+
+    refc = ref.select(F.col(key_col), F.col("mu"), F.col("sd"))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            cur = state_table.read()
+            have = cur.limit(1).count() > 0
+        except ValueError:
+            cur, have = None, False
+        if have:
+            last = cur.agg(F.max("__last_batch")).first()[0]
+            if last is not None and batch_id <= last:
+                return                   # replay: already folded
+            prev = cur.drop("__last_batch")
+        else:
+            prev = None
+        rec = F.struct(F.col(ts_col).alias("t"),
+                       F.col(tie_col).alias("e"),
+                       F.col(value_col).cast("double").alias("v"))
+        g = (batch_df.filter(F.col(value_col).isNotNull())
+                     .groupBy(key_col)
+                     .agg(F.sort_array(F.collect_list(rec))
+                           .alias("recs")))
+        if prev is None:
+            t_type = batch_df.schema[ts_col].dataType.simpleString()
+            e_type = batch_df.schema[tie_col].dataType.simpleString()
+            j = g
+            for c, t in (("n_events", "long"), ("g", "double"),
+                         ("n_alarms", "long"), ("first_alarm", "long"),
+                         ("g_max", "double"), ("last_t", t_type),
+                         ("last_e", e_type), ("n_late", "long")):
+                j = j.withColumn(c, F.lit(None).cast(t))
+        else:
+            j = g.join(prev, on=key_col, how="full_outer")
+        j = j.join(refc, on=key_col, how="left")
+
+        def _is_fresh(r):
+            newer = (F.struct(r["t"].alias("a"), r["e"].alias("b"))
+                     > F.struct(F.col("last_t").alias("a"),
+                                F.col("last_e").alias("b")))
+            return F.coalesce(newer, F.lit(True))
+
+        j = j.withColumn("_fresh", F.filter(F.col("recs"), _is_fresh)) \
+             .withColumn("_n_new",
+                         F.coalesce(F.size("_fresh"), F.lit(0))
+                          .cast("long")) \
+             .withColumn("_n_late",
+                         (F.coalesce(F.size("recs"), F.lit(0))
+                          - F.coalesce(F.size("_fresh"), F.lit(0)))
+                         .cast("long"))
+        n_prior = F.coalesce(F.col("n_events"), F.lit(0))
+        seed = F.struct(
+            F.coalesce(F.col("g"), F.lit(0.0)).alias("g"),
+            F.coalesce(F.col("n_alarms"), F.lit(0).cast("long"))
+             .alias("al"),
+            F.coalesce(F.col("first_alarm"), F.lit(0).cast("long"))
+             .alias("fi"),
+            F.coalesce(F.col("g_max"), F.lit(0.0)).alias("gm"))
+        # materialize the fold BEFORE the renaming select: an outer
+        # column reference inside the fold's index lambda would
+        # otherwise resolve laterally against the select's own
+        # "n_events" alias (Spark LCA) and double-shift positions
+        j = j.withColumn("_folded", _cusum_fold(
+                F.transform("_fresh", lambda r: r["v"]),
+                F.col("mu"), F.col("sd"), slack, threshold,
+                seed=seed, idx_offset=n_prior)) \
+             .withColumn("_tail", F.element_at("_fresh", -1))
+        has_new = F.col("_n_new") > 0
+        has_ref = F.col("sd").isNotNull()
+        folded, tail = F.col("_folded"), F.col("_tail")
+        out = j.select(
+            key_col,
+            (n_prior + F.col("_n_new")).alias("n_events"),
+            F.when(has_new & has_ref, folded["g"])
+             .otherwise(F.coalesce(F.col("g"), F.lit(0.0)))
+             .alias("g"),
+            F.when(has_new & has_ref, folded["al"])
+             .otherwise(F.coalesce(F.col("n_alarms"),
+                                   F.lit(0).cast("long")))
+             .alias("n_alarms"),
+            F.when(has_new & has_ref & (folded["fi"] > 0),
+                   folded["fi"])
+             .otherwise(F.col("first_alarm")).alias("first_alarm"),
+            F.when(has_new & has_ref, folded["gm"])
+             .otherwise(F.coalesce(F.col("g_max"), F.lit(0.0)))
+             .alias("g_max"),
             F.when(has_new, tail["t"]).otherwise(F.col("last_t"))
              .alias("last_t"),
             F.when(has_new, tail["e"]).otherwise(F.col("last_e"))

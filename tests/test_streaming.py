@@ -933,3 +933,78 @@ def test_ewma_sink_drops_and_counts_late_points(spark, tmp_path):
                                    + 0.3 * 40, abs=1e-9)
     assert r["err_sum"] == pytest.approx(abs(20 - 10)
                                          + abs(40 - 13.0), abs=1e-9)
+
+
+def test_cusum_sink_stream_equals_batch_monitor(spark, tmp_path):
+    """r13 streaming CUSUM monitoring: calibrate reference moments on
+    a pre-period, stream the monitored period in time-ordered
+    micro-batches — the persisted per-key state must equal the batch
+    cusum_monitor fold over the whole monitored window (same fold
+    code, seeded continuation, whole-stream first_alarm index), and a
+    replay is a no-op."""
+    from datum_spark.operators.timeseries import (cusum_monitor,
+                                                  cusum_reference)
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import cusum_sink
+
+    ev = (read_parquet_normalized(spark, f"{SF}/events.parquet")
+          .select("user_id", "ts", "event_id", "value"))
+    all_ts = [r[0] for r in ev.orderBy("ts").select("ts").collect()]
+    t_cal = all_ts[len(all_ts) // 3]          # first third calibrates
+    t_mid = all_ts[2 * len(all_ts) // 3]
+    cal = ev.filter(F.col("ts") < t_cal)
+    mon = ev.filter(F.col("ts") >= t_cal)
+    ref = cusum_reference(cal, "user_id", "ts", "value")
+
+    src = tmp_path / "mon"
+    src.mkdir()
+    (mon.filter(F.col("ts") < t_mid).coalesce(1)
+        .write.parquet(str(src / "f1")))
+    (mon.filter(F.col("ts") >= t_mid).coalesce(1)
+        .write.parquet(str(src / "f2")))
+    whole = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(str(src)))
+    state = SnapshotTable.create(spark, str(tmp_path / "state"))
+    q = cusum_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 1)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        ref, state, str(tmp_path / "ckpt"),
+        "user_id", "ts", "value")
+    q.processAllAvailable()
+    q.stop()
+    got = {r["user_id"]: (r["n_events"], r["n_alarms"],
+                          r["first_alarm"], round(r["g_max"], 6),
+                          r["n_late"])
+           for r in state.read().collect()}
+    want = {r["user_id"]: (r["n_events"], r["n_alarms"],
+                           r["first_alarm"], r["g_max"])
+            for r in cusum_monitor(mon, ref, "user_id", "ts",
+                                   "value").collect()}
+    assert set(got) == set(want) and len(want) > 0
+    alarms_total = 0
+    for k in want:
+        assert got[k][0] == want[k][0], k            # n_events
+        assert got[k][1] == want[k][1], k            # n_alarms
+        assert got[k][2] == want[k][2], k            # first_alarm
+        if want[k][3] is not None:
+            assert got[k][3] == pytest.approx(want[k][3],
+                                              abs=1e-6), k
+        assert got[k][4] == 0, k                     # no late drops
+        alarms_total += want[k][1]
+    assert alarms_total > 0      # the monitored period actually fires
+
+    before = got
+    q2 = cusum_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 2)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        ref, state, str(tmp_path / "ckpt2"),
+        "user_id", "ts", "value")
+    q2.processAllAvailable()
+    q2.stop()
+    after = {r["user_id"]: (r["n_events"], r["n_alarms"],
+                            r["first_alarm"], round(r["g_max"], 6),
+                            r["n_late"])
+             for r in state.read().collect()}
+    assert after == before
