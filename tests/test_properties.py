@@ -5,6 +5,7 @@ Each hypothesis example costs a Spark job, so max_examples is kept small —
 the point is randomized coverage of thresholds and limits, not volume.
 """
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -320,3 +321,97 @@ def test_dbscan_random_equals_bruteforce(spark, seed):
     got = {r["id"]: (r["cluster"], r["is_core"])
            for r in dbscan(df, "id", "x", "y", eps, min_pts).collect()}
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_ewma_random_series_matches_pandas(spark, seed):
+    """r13 property: the EWMA fold equals pandas ewm(adjust=False) on
+    random multi-key series with random lengths and alphas."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from datum_spark.operators.timeseries import ewma_summary
+
+    rng = random.Random(seed)
+    alpha = rng.choice([0.1, 0.3, 0.5, 0.9])
+    rows = []
+    for uid in range(rng.randrange(1, 4)):
+        n = rng.randrange(1, 30)
+        for i in range(n):
+            rows.append((uid,
+                         pd.Timestamp("2024-01-01")
+                         + pd.Timedelta(minutes=i), i,
+                         round(rng.uniform(-100, 100), 3)))
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "eid", "v"])
+    out = (ewma_summary(spark.createDataFrame(pdf), "k", "ts", "v",
+                        alpha=alpha, tie_col="eid")
+           .toPandas().set_index("k"))
+    for uid, grp in pdf.groupby("k"):
+        s = grp.sort_values(["ts", "eid"]).v
+        e = s.ewm(alpha=alpha, adjust=False).mean()
+        assert out.loc[uid, "ewma_last"] == pytest.approx(
+            e.iloc[-1], abs=1e-6)
+        if len(s) > 1:
+            mae = float(np.abs(s.values[1:] - e.values[:-1]).mean())
+            assert out.loc[uid, "mae_1step"] == pytest.approx(
+                mae, abs=1e-6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_mannwhitney_random_matches_reference(spark, seed):
+    """r13 property: MW U/z equal the midrank reference on random tied
+    data, and U_a + U_b == n_a*n_b (the rank-sum identity)."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from datum_spark.operators.twosample import mann_whitney_u
+
+    rng = random.Random(seed)
+    na, nb = rng.randrange(2, 40), rng.randrange(2, 40)
+    vals = [round(rng.uniform(0, 5), 1) for _ in range(na + nb)]
+    pdf = pd.DataFrame({"g": ["a"] * na + ["b"] * nb, "v": vals})
+    df = spark.createDataFrame(pdf)
+    ra = mann_whitney_u(df, "g", "v", "a").collect()[0]
+    rb = mann_whitney_u(df, "g", "v", "b").collect()[0]
+    ranks = pdf.v.rank(method="average")
+    U = float(ranks[:na].sum() - na * (na + 1) / 2)
+    assert ra.u_stat == pytest.approx(U, abs=1e-9)
+    assert ra.u_stat + rb.u_stat == pytest.approx(na * nb, abs=1e-9)
+    if ra.z_stat is not None and rb.z_stat is not None:
+        assert ra.z_stat == pytest.approx(-rb.z_stat, abs=2e-6)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_ks_random_matches_numpy_ecdf(spark, seed):
+    """r13 property: KS D equals the numpy ECDF sup-diff on random
+    tied data; D in [0, 1]; identical samples give D = 0."""
+    import random
+
+    import numpy as np
+    import pandas as pd
+
+    from datum_spark.operators.twosample import ks_2sample
+
+    rng = random.Random(seed)
+    na, nb = rng.randrange(2, 40), rng.randrange(2, 40)
+    A = np.array([round(rng.uniform(0, 3), 1) for _ in range(na)])
+    B = np.array([round(rng.uniform(0, 3), 1) for _ in range(nb)])
+    pdf = pd.DataFrame({"g": ["a"] * na + ["b"] * nb,
+                        "v": np.concatenate([A, B])})
+    r = ks_2sample(spark.createDataFrame(pdf), "g", "v", "a").collect()[0]
+    allv = np.unique(pdf.v)
+    ea = np.searchsorted(np.sort(A), allv, side="right") / na
+    eb = np.searchsorted(np.sort(B), allv, side="right") / nb
+    D = float(np.abs(ea - eb).max())
+    assert r.d_stat == pytest.approx(D, abs=1e-6)
+    assert 0.0 <= r.d_stat <= 1.0
