@@ -590,3 +590,55 @@ def _build_training_corpus_resumable(docs, eval_df, out_path, n_shards,
         n_shards=n_shards)
     report.update(write_metrics)
     return sharded, report
+
+
+def corpus_drift_report(old_docs: DataFrame, new_docs: DataFrame,
+                        text_col: str = "text",
+                        length_hi: float = 5000.0) -> dict:
+    """Snapshot-over-snapshot drift readout — the monitoring sweep run
+    before a new corpus crawl replaces the previous one, composing the
+    engine's drift detectors over ONE tagged union:
+
+    - ``length_ks_d`` / ``length_ks_p``: exact two-sample KS on the
+      character-length distribution (:func:`operators.twosample.ks_2sample`),
+    - ``length_psi``: Population Stability Index over fixed-width
+      length buckets ``[0, length_hi)``
+      (:func:`operators.profile.distribution_psi`; < 0.1 stable,
+      > 0.25 shifted),
+    - ``word_jsd`` / ``n_shared_words``: Jensen–Shannon divergence
+      between the two word distributions
+      (:func:`operators.text.source_divergence`; 0 ≤ jsd ≤ ln 2),
+    - ``n_old`` / ``n_new``: row counts.
+
+    Every component is an already-oracle-checked operator
+    (x241 / x90-family PSI / x222), so the report inherits their
+    correctness evidence; all outputs are bounded scalars — safe to
+    collect at any corpus size."""
+    from .operators.profile import distribution_psi
+    from .operators.text import source_divergence
+    from .operators.twosample import ks_2sample
+
+    u = (old_docs.select(F.lit("old").alias("__snap"),
+                         F.col(text_col).alias("__text"),
+                         F.length(text_col).cast("double")
+                          .alias("__len"))
+         .unionByName(
+             new_docs.select(F.lit("new").alias("__snap"),
+                             F.col(text_col).alias("__text"),
+                             F.length(text_col).cast("double")
+                              .alias("__len"))))
+    ks = ks_2sample(u, "__snap", "__len", "old").collect()[0]
+    psi = (distribution_psi(u, "__len", "__snap", "old", "new",
+                            lo=0.0, hi=float(length_hi))
+           .agg(F.round(F.sum("psi"), 6).alias("p")).first()["p"])
+    jsd_rows = source_divergence(u, "__snap", "__text").collect()
+    jsd = jsd_rows[0] if jsd_rows else None
+    return {
+        "n_old": int(ks["n_a"]), "n_new": int(ks["n_b"]),
+        "length_ks_d": float(ks["d_stat"]),
+        "length_ks_p": float(ks["p_value"]),
+        "length_psi": float(psi) if psi is not None else None,
+        "word_jsd": (float(jsd["jsd"]) if jsd is not None else None),
+        "n_shared_words": (int(jsd["n_shared_words"])
+                           if jsd is not None else 0),
+    }

@@ -446,3 +446,33 @@ def test_pipeline_c4_line_filter_stage(spark, corpus, tmp_path):
     assert (r1["rows_line_filtered"] == r2["rows_line_filtered"]
             == n_expect)
     assert r2["rows_in"] is None         # first stage resumed
+
+
+def test_corpus_drift_report_stable_vs_shifted(spark):
+    """r13 drift report: identical snapshots read as stable on every
+    detector; a snapshot with longer documents and new vocabulary
+    fires all three (KS, PSI, JSD)."""
+    import pandas as pd
+
+    from datum_spark.pipelines import corpus_drift_report
+
+    base = pd.DataFrame({
+        "doc_id": range(200),
+        "text": [("common words alpha beta gamma delta " * (3 + i % 4))
+                 .strip() for i in range(200)]})
+    old = spark.createDataFrame(base)
+    same = corpus_drift_report(old, spark.createDataFrame(base.copy()))
+    assert same["n_old"] == same["n_new"] == 200
+    assert same["length_ks_d"] == 0.0
+    assert same["length_psi"] < 0.01
+    assert same["word_jsd"] < 0.01
+
+    shifted = pd.DataFrame({
+        "doc_id": range(200),
+        "text": [("novel tokens epsilon zeta theta iota kappa " * (9 + i % 4))
+                 .strip() for i in range(200)]})
+    drift = corpus_drift_report(old, spark.createDataFrame(shifted))
+    assert drift["length_ks_d"] > 0.5
+    assert drift["length_ks_p"] < 0.01
+    assert drift["length_psi"] > 0.25
+    assert drift["word_jsd"] > 0.3
