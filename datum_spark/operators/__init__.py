@@ -45,6 +45,8 @@ from .curriculum import (epoch_shuffle, grouped_global_position,
 from .events import debounce, funnel, retention_cohorts, user_features
 from .graph import label_propagation, pagerank
 from .metrics import observe
+from .timeseries import cusum_monitor, cusum_reference, cusum_summary, ewma, ewma_summary
+from .twosample import grouped_ks_screen, ks_2sample, mann_whitney_u
 from .expectations import check_expectations, enforce_expectations
 from .text import (
     char_entropy,
@@ -78,6 +80,8 @@ __all__ = [
     "simhash_near_dups", "ngram_jaccard_pairs", "fuzzy_near_dups",
     "embedding_cosine_dups",
     "cosine_top_k", "embedding_covariance", "ivf_cosine_top_k",
+    "ewma", "ewma_summary", "cusum_summary", "cusum_reference",
+    "cusum_monitor", "ks_2sample", "mann_whitney_u", "grouped_ks_screen",
     "ivf_index_build", "ivf_index_add", "ivf_index_query",
     "lsh_cosine_top_k",
     "with_token_count", "with_quality_score", "with_language_guess",
