@@ -4126,17 +4126,19 @@ def _x240_sql() -> str:
 WITH src AS (
   SELECT CAST(event_id AS VARCHAR) AS id, CAST(value AS DOUBLE) AS v
   FROM events WHERE value IS NOT NULL
-), reps AS (
-  SELECT i AS b FROM range(0, 40) t(i)
 ), w AS (
   SELECT b, v,
     {case} AS w
   FROM (
-    SELECT b, v,
+    SELECT blk * 4 + lane AS b, v,
       CAST(('0x' || substring(md5('boot-' || id || '-'
-                                  || CAST(b AS VARCHAR)), 1, 8))
+                                  || CAST(blk AS VARCHAR)),
+                              lane * 8 + 1, 8))
            AS BIGINT) / 4294967296.0 AS u
-    FROM src, reps)
+    FROM src,
+         (SELECT i AS blk FROM range(0, 10) t(i)),
+         (SELECT j AS lane FROM range(0, 4) t2(j)))
+  WHERE b < 40
 ), m AS (
   SELECT b, ROUND(SUM(w*v) / NULLIF(SUM(w), 0), 6) AS m
   FROM w GROUP BY b

@@ -489,26 +489,40 @@ def poisson_bootstrap_mean(df: DataFrame, value_col: str, id_col: str,
     partial sums in ONE scan reproduce the bootstrap distribution.
 
     Deterministic twist: the Poisson draw is the portable md5 coin
-    (``md5(salt-id-b) / 2^32``) pushed through the shared
-    :data:`POISSON1_CUM` inverse-CDF table, so every weight — and
-    therefore the whole CI — is reproducible from the data alone in
-    any engine.  Returns ONE row ``(n_rows, point_mean, boot_mean,
-    ci_lo, ci_hi, reps)``: the plain mean, the mean of the replicate
-    means, and the interpolated percentile interval at ``level``.
+    pushed through the shared :data:`POISSON1_CUM` inverse-CDF table,
+    so every weight — and therefore the whole CI — is reproducible
+    from the data alone in any engine.  One md5 feeds FOUR replicate
+    coins (its 128 bits split into four 32-bit lanes:
+    ``u(row, b) = lane b%4 of md5(salt-id-(b//4))``) — 4× less
+    hashing per scan, the dominant cost at corpus scale.  Returns ONE
+    row ``(n_rows, point_mean, boot_mean, ci_lo, ci_hi, reps)``: the
+    plain mean, the mean of the replicate means, and the interpolated
+    percentile interval at ``level``.
 
     Scale shape: the B-fold posexplode is MAP-side (xB work, no
-    extra scan); the partial aggregation combines to ``reps`` rows
-    per task, so the shuffle carries B rows per partition no matter
-    the corpus size; replicate means round 6 dp before the exact
-    percentile over the B-row (driver-safe) replicate table."""
-    b = F.explode(F.sequence(F.lit(0), F.lit(int(reps) - 1))).alias("b")
+    extra scan, B/4 hashes); the partial aggregation combines to
+    ``reps`` rows per task, so the shuffle carries B rows per
+    partition no matter the corpus size; replicate means round 6 dp
+    before the exact percentile over the B-row (driver-safe)
+    replicate table."""
+    n_blocks = (int(reps) + 3) // 4
+    blk = F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("blk")
+    lane = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("lane")
     rows = (df.filter(F.col(value_col).isNotNull())
               .select(F.col(id_col).cast("string").alias("__id"),
                       F.col(value_col).cast("double").alias("__v"))
-              .select("__id", "__v", b))
-    u = (F.conv(F.substring(F.md5(F.concat_ws(
-            "-", F.lit(salt), F.col("__id"),
-            F.col("b").cast("string"))), 1, 8), 16, 10)
+              .select("__id", "__v", blk)
+              .select("__id", "__v", "blk",
+                      F.md5(F.concat_ws(
+                          "-", F.lit(salt), F.col("__id"),
+                          F.col("blk").cast("string"))).alias("__h"))
+              .select("__id", "__v", "blk", "__h", lane)
+              .select("__id", "__v",
+                      (F.col("blk") * 4 + F.col("lane")).alias("b"),
+                      F.substring("__h", F.col("lane") * 8 + 1,
+                                  F.lit(8)).alias("__hx"))
+              .filter(F.col("b") < int(reps)))
+    u = (F.conv(F.col("__hx"), 16, 10)
           .cast("double") / F.lit(4294967296.0))
     w = F.lit(len(POISSON1_CUM))
     for i in range(len(POISSON1_CUM) - 1, -1, -1):
