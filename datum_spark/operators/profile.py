@@ -88,23 +88,40 @@ def distribution_psi(df: DataFrame, value_col: str, group_col: str,
     groupBy of ≤ ``buckets``+2 × 2 rows per task, a tiny pivot — nothing
     data-proportional leaves the mappers, so it runs unchanged at 100 TB.
     """
-    width = (hi - lo) / buckets
-    v = F.col(value_col)
-    bucket = (F.when(v < lo, 0)
-               .when(v >= hi, buckets + 1)
-               .otherwise(F.width_bucket(v, F.lit(lo), F.lit(hi),
-                                         F.lit(buckets))))
     g = F.col(group_col)
     counts = (df.filter(g.isin([group_a, group_b]))
-                .select(bucket.alias("bucket"), g.alias("__g"))
+                .select(psi_bucket(value_col, lo, hi, buckets)
+                         .alias("bucket"), g.alias("__g"))
                 .groupBy("bucket")
                 .agg(F.sum(F.when(F.col("__g") == group_a, 1).otherwise(0))
                       .alias("__ca"),
                      F.sum(F.when(F.col("__g") == group_b, 1).otherwise(0))
                       .alias("__cb")))
-    # totals via an unpartitioned frame over the ALREADY-AGGREGATED bucket
-    # table (≤ buckets+2 rows) — bounded input, so the single-task window
-    # is safe at any data scale
+    return psi_from_bucket_counts(counts, lo, hi, buckets)
+
+
+def psi_bucket(value_col, lo: float, hi: float, buckets: int):
+    """The fixed-width PSI bucket expression (clamped end buckets 0 and
+    ``buckets``+1) — shared by :func:`distribution_psi`, the streaming
+    ``psi_sink`` and any consumer that pre-aggregates counts, so every
+    path bins identically."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    return (F.when(v < lo, 0)
+             .when(v >= hi, buckets + 1)
+             .otherwise(F.width_bucket(v, F.lit(lo), F.lit(hi),
+                                       F.lit(buckets))))
+
+
+def psi_from_bucket_counts(counts: DataFrame, lo: float, hi: float,
+                           buckets: int) -> DataFrame:
+    """The PSI formula over an already-aggregated bucket count table
+    ``(bucket, __ca, __cb)`` — extracted so batch
+    (:func:`distribution_psi`) and streaming (``stateful.psi_sink``)
+    compute the IDENTICAL smoothed index from the same integer counts
+    (structural parity, the ingest-gate discipline).  Totals run over
+    the ≤ ``buckets``+2-row table — bounded input, so the single-task
+    window is safe at any data scale."""
+    width = (hi - lo) / buckets
     ta = F.sum("__ca").over(Window.partitionBy())
     tb = F.sum("__cb").over(Window.partitionBy())
     nb = F.lit(float(buckets + 2))

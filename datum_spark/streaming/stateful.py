@@ -1015,3 +1015,77 @@ def cusum_sink(stream: DataFrame, ref: DataFrame, state_table,
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .start())
+
+
+def psi_sink(stream: DataFrame, ref_counts: DataFrame, state_table,
+             checkpoint_dir: str, value_col: str,
+             lo: float = 0.0, hi: float = 1000.0, buckets: int = 10):
+    """Streaming distribution-drift monitoring: maintain the ingest
+    stream's fixed-width bucket histogram of ``value_col`` in a
+    versioned :class:`~datum_spark.sources.snapshots.SnapshotTable`
+    and compare it per batch against a FROZEN reference histogram
+    (``ref_counts`` = ``(bucket, __ca)`` from the in-control corpus,
+    binned with the SAME
+    :func:`~datum_spark.operators.profile.psi_bucket` expression).
+
+    The state fold is bucket-count ADDITION — abelian, so any
+    batching equals the batch recompute (parity-pinned), with the
+    ``__last_batch`` watermark making at-least-once replays no-ops.
+    Every state version also carries the current drift readout:
+    per-bucket PSI contributions and the total, computed by the SAME
+    :func:`~datum_spark.operators.profile.psi_from_bucket_counts`
+    the batch operator uses — formula drift is structurally
+    impossible.  State size: ≤ ``buckets``+2 rows.  Returns the
+    started StreamingQuery; read the latest PSI with
+    ``state_table.read()`` (``psi_total`` column, constant per
+    version)."""
+    from ..operators.profile import psi_bucket, psi_from_bucket_counts
+
+    ref = ref_counts.select("bucket", F.col("__ca").cast("long")
+                            .alias("__ca"))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            cur = state_table.read()
+            have = cur.limit(1).count() > 0
+        except ValueError:
+            cur, have = None, False
+        if have:
+            last = cur.agg(F.max("__last_batch")).first()[0]
+            if last is not None and batch_id <= last:
+                return                   # replay: already folded
+            prev = cur.select("bucket", "__cb")
+        else:
+            prev = None
+        b = (batch_df.filter(F.col(value_col).isNotNull())
+                     .select(psi_bucket(value_col, lo, hi, buckets)
+                              .alias("bucket"))
+                     .groupBy("bucket")
+                     .agg(F.count(F.lit(1)).alias("__new")))
+        if prev is not None:
+            b = (prev.join(b, "bucket", "full_outer")
+                     .select("bucket",
+                             (F.coalesce(F.col("__cb"), F.lit(0))
+                              + F.coalesce(F.col("__new"), F.lit(0)))
+                             .alias("__new")))
+        counts = (ref.join(b, "bucket", "full_outer")
+                     .select("bucket",
+                             F.coalesce(F.col("__ca"), F.lit(0))
+                              .alias("__ca"),
+                             F.coalesce(F.col("__new"), F.lit(0))
+                              .alias("__cb")))
+        from pyspark.sql import Window
+
+        out = psi_from_bucket_counts(counts, lo, hi, buckets)
+        total = F.sum("psi").over(Window.partitionBy())
+        state_table.overwrite(
+            out.withColumn("psi_total", F.round(total, 6))
+               .withColumn("__last_batch", F.lit(int(batch_id))))
+
+    return (stream.writeStream
+            .foreachBatch(_apply)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

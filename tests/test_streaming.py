@@ -1008,3 +1008,73 @@ def test_cusum_sink_stream_equals_batch_monitor(spark, tmp_path):
                             r["n_late"])
              for r in state.read().collect()}
     assert after == before
+
+
+def test_psi_sink_stream_equals_batch_psi(spark, tmp_path):
+    """r13 streaming PSI drift monitor: after consuming the stream in
+    micro-batches, the persisted per-bucket PSI table equals
+    distribution_psi over (reference rows + all streamed rows) — the
+    abelian count fold plus the SHARED formula function; replay is a
+    no-op and a planted shift pushes psi_total past 0.25."""
+    from datum_spark.operators.profile import (distribution_psi,
+                                               psi_bucket)
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import psi_sink
+
+    ev = (read_parquet_normalized(spark, f"{SF}/events.parquet")
+          .select("event_id", "ts", "value"))
+    all_ts = [r[0] for r in ev.orderBy("ts").select("ts").collect()]
+    t_cal, t_mid = (all_ts[len(all_ts) // 3],
+                    all_ts[2 * len(all_ts) // 3])
+    lo, hi, bk = 0.0, 200.0, 10
+    refd = ev.filter(F.col("ts") < t_cal)
+    mon = ev.filter(F.col("ts") >= t_cal).withColumn(
+        "value", F.col("value") * 2.0)          # planted scale shift
+    ref_counts = (refd.filter(F.col("value").isNotNull())
+                  .select(psi_bucket("value", lo, hi, bk)
+                           .alias("bucket"))
+                  .groupBy("bucket")
+                  .agg(F.count(F.lit(1)).alias("__ca")))
+    src = tmp_path / "mon"
+    src.mkdir()
+    (mon.filter(F.col("ts") < t_mid).coalesce(1)
+        .write.parquet(str(src / "f1")))
+    (mon.filter(F.col("ts") >= t_mid).coalesce(1)
+        .write.parquet(str(src / "f2")))
+    whole = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(str(src)))
+    state = SnapshotTable.create(spark, str(tmp_path / "state"))
+    q = psi_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 1)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        ref_counts, state, str(tmp_path / "ckpt"),
+        "value", lo=lo, hi=hi, buckets=bk)
+    q.processAllAvailable()
+    q.stop()
+    got = {r["bucket"]: (r["__ca"], r["__cb"], round(r["psi"], 9))
+           for r in state.read().collect()}
+    batch_union = (refd.select(F.lit("ref").alias("__g"), "value")
+                   .unionByName(mon.select(F.lit("live").alias("__g"),
+                                           "value")))
+    want = {r["bucket"]: (r["__ca"], r["__cb"], round(r["psi"], 9))
+            for r in distribution_psi(batch_union, "value", "__g",
+                                      "ref", "live",
+                                      lo=lo, hi=hi, buckets=bk)
+            .collect()}
+    assert got == want and len(want) > 0
+    psi_total = state.read().select("psi_total").first()[0]
+    assert psi_total > 0.25      # the x2 shift reads as "shifted"
+
+    before = got
+    q2 = psi_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 2)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        ref_counts, state, str(tmp_path / "ckpt2"),
+        "value", lo=lo, hi=hi, buckets=bk)
+    q2.processAllAvailable()
+    q2.stop()
+    after = {r["bucket"]: (r["__ca"], r["__cb"], round(r["psi"], 9))
+             for r in state.read().collect()}
+    assert after == before
