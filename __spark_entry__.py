@@ -7,7 +7,7 @@ DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
 (50 in every round so far).  The dict leads with the round-13 RECHECK
-set: the 27 NEW r13 entries (q32 recursive CTE; x215/x220 span-removal
+set: the 30 NEW r13 entries (q32 recursive CTE; x215/x220 span-removal
 actions; x216 C4 line filter; x217 SemDeDup; x218 bigram LM; x219
 winnowing; x222-x224 corpus/event diagnostics; x225-x235 sketches,
 experiment readouts, sampling, linkage, hashed embeddings, rollup

@@ -191,9 +191,9 @@ def ab_test_summary(events: DataFrame, user_col: str = "user_id",
     Scale shape: one distinct-user aggregation per role (exposure /
     conversion flags fold map-side), then a 2-row variant aggregate —
     nothing user-cardinality-sized leaves the first exchange."""
-    bucket = (F.conv(F.substring(F.md5(F.concat_ws(
-        "-", F.lit(salt), F.col(user_col).cast("string"))), 1, 8),
-        16, 10).cast("long") % 2)
+    from .sampling import md5_bucket
+
+    bucket = md5_bucket(F.col(user_col), salt) % 2
     per_user = (events.filter(F.col(type_col).isin(exposure, conversion))
                 .groupBy(user_col)
                 .agg(F.max(F.when(F.col(type_col) == exposure, 1)
@@ -255,10 +255,10 @@ def cuped_summary(events: DataFrame, cut_ts: str,
     moment-based oracles.  Scale shape: one user-grain aggregation
     (map-side partial), then a single 1-row moment aggregate; nothing
     user-cardinality-sized crosses the second exchange."""
+    from .sampling import md5_bucket
+
     cut = F.lit(cut_ts).cast("timestamp")
-    bucket = (F.conv(F.substring(F.md5(F.concat_ws(
-        "-", F.lit(salt), F.col(user_col).cast("string"))), 1, 8),
-        16, 10).cast("long") % 2)
+    bucket = md5_bucket(F.col(user_col), salt) % 2
     per_user = (events.filter(F.col(value_col).isNotNull())
                 .groupBy(user_col)
                 .agg(F.round(F.coalesce(F.sum(

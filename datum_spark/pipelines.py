@@ -618,16 +618,30 @@ def corpus_drift_report(old_docs: DataFrame, new_docs: DataFrame,
     from .operators.text import source_divergence
     from .operators.twosample import ks_2sample
 
-    u = (old_docs.select(F.lit("old").alias("__snap"),
-                         F.col(text_col).alias("__text"),
-                         F.length(text_col).cast("double")
-                          .alias("__len"))
-         .unionByName(
-             new_docs.select(F.lit("new").alias("__snap"),
-                             F.col(text_col).alias("__text"),
-                             F.length(text_col).cast("double")
-                              .alias("__len"))))
-    ks = ks_2sample(u, "__snap", "__len", "old").collect()[0]
+    from .util import retain_cache
+
+    u = retain_cache(
+        old_docs.select(F.lit("old").alias("__snap"),
+                        F.col(text_col).alias("__text"),
+                        F.length(text_col).cast("double")
+                         .alias("__len"))
+        .unionByName(
+            new_docs.select(F.lit("new").alias("__snap"),
+                            F.col(text_col).alias("__text"),
+                            F.length(text_col).cast("double")
+                             .alias("__len"))))
+    ks_rows = ks_2sample(u, "__snap", "__len", "old").collect()
+    ks = ks_rows[0] if ks_rows else None
+    if ks is None or ks["n_a"] is None or ks["n_b"] is None:
+        # degenerate snapshot (either side empty / all-NULL text):
+        # report the counts and no statistics instead of crashing the
+        # monitoring sweep
+        n_old = old_docs.filter(F.col(text_col).isNotNull()).count()
+        n_new = new_docs.filter(F.col(text_col).isNotNull()).count()
+        return {"n_old": n_old, "n_new": n_new,
+                "length_ks_d": None, "length_ks_p": None,
+                "length_psi": None, "word_jsd": None,
+                "n_shared_words": 0, "degenerate": True}
     psi = (distribution_psi(u, "__len", "__snap", "old", "new",
                             lo=0.0, hi=float(length_hi))
            .agg(F.round(F.sum("psi"), 6).alias("p")).first()["p"])

@@ -775,6 +775,72 @@ def rollup_sink(changes: DataFrame, state_table, checkpoint_dir: str,
             .start())
 
 
+def _state_or_replay(state_table, batch_id: int):
+    """Shared sink-state preamble: read the persisted state with the
+    ``__last_batch`` at-least-once replay guard.  Returns
+    ``(prev, is_replay)`` — ``prev`` is the state frame without the
+    watermark column (None when no state exists yet)."""
+    try:
+        cur = state_table.read()
+        have = cur.limit(1).count() > 0
+    except ValueError:
+        cur, have = None, False
+    if not have:
+        return None, False
+    last = cur.agg(F.max("__last_batch")).first()[0]
+    if last is not None and batch_id <= last:
+        return None, True
+    return cur.drop("__last_batch"), False
+
+
+def _seeded_series_batch(batch_df: DataFrame, prev, key_col: str,
+                         ts_col: str, tie_col: str, value_col: str,
+                         state_cols):
+    """Shared scaffolding of the seeded-fold sinks (``ewma_sink`` /
+    ``cusum_sink``): per-key (ts, tie)-sorted batch arrays outer-joined
+    with prior state (null state columns on the first batch), the
+    (last_t, last_e) high-water-mark freshness filter with
+    dropped-late counting, and the batch tail record (ANSI-safe
+    ``try_element_at`` — an all-late batch leaves ``_fresh`` empty).
+    ``state_cols`` are ``(name, type)`` pairs; the sentinels
+    ``"__TS__"``/``"__TIE__"`` resolve from the batch schema.  The
+    caller adds its fold via a SEPARATE ``withColumn`` (never inside a
+    renaming select — the documented lambda lateral-alias hazard)."""
+    rec = F.struct(F.col(ts_col).alias("t"),
+                   F.col(tie_col).alias("e"),
+                   F.col(value_col).cast("double").alias("v"))
+    g = (batch_df.filter(F.col(value_col).isNotNull())
+                 .groupBy(key_col)
+                 .agg(F.sort_array(F.collect_list(rec))
+                       .alias("recs")))
+    if prev is None:
+        t_type = batch_df.schema[ts_col].dataType.simpleString()
+        e_type = batch_df.schema[tie_col].dataType.simpleString()
+        j = g
+        for c, t in state_cols:
+            t = {"__TS__": t_type, "__TIE__": e_type}.get(t, t)
+            j = j.withColumn(c, F.lit(None).cast(t))
+    else:
+        j = g.join(prev, on=key_col, how="full_outer")
+
+    def _is_fresh(r):
+        newer = (F.struct(r["t"].alias("a"), r["e"].alias("b"))
+                 > F.struct(F.col("last_t").alias("a"),
+                            F.col("last_e").alias("b")))
+        return F.coalesce(newer, F.lit(True))
+
+    return (j.withColumn("_fresh", F.filter(F.col("recs"), _is_fresh))
+             .withColumn("_n_new",
+                         F.coalesce(F.size("_fresh"), F.lit(0))
+                          .cast("long"))
+             .withColumn("_n_late",
+                         (F.coalesce(F.size("recs"), F.lit(0))
+                          - F.coalesce(F.size("_fresh"), F.lit(0)))
+                         .cast("long"))
+             .withColumn("_tail", F.try_element_at("_fresh",
+                                                   F.lit(-1))))
+
+
 def ewma_sink(stream: DataFrame, state_table, checkpoint_dir: str,
               key_col: str, ts_col: str, value_col: str,
               alpha: float = 0.3, tie_col: str = "event_id"):
@@ -809,58 +875,21 @@ def ewma_sink(stream: DataFrame, state_table, checkpoint_dir: str,
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            cur = state_table.read()
-            have = cur.limit(1).count() > 0
-        except ValueError:
-            cur, have = None, False
-        if have:
-            last = cur.agg(F.max("__last_batch")).first()[0]
-            if last is not None and batch_id <= last:
-                return                   # replay: already folded
-            prev = cur.drop("__last_batch")
-        else:
-            prev = None
-        rec = F.struct(F.col(ts_col).alias("t"),
-                       F.col(tie_col).alias("e"),
-                       F.col(value_col).cast("double").alias("v"))
-        g = (batch_df.filter(F.col(value_col).isNotNull())
-                     .groupBy(key_col)
-                     .agg(F.sort_array(F.collect_list(rec))
-                           .alias("recs")))
-        if prev is None:
-            t_type = batch_df.schema[ts_col].dataType.simpleString()
-            e_type = batch_df.schema[tie_col].dataType.simpleString()
-            j = g
-            for c, t in (("n_events", "long"), ("s", "double"),
-                         ("err_sum", "double"), ("last_t", t_type),
-                         ("last_e", e_type), ("n_late", "long")):
-                j = j.withColumn(c, F.lit(None).cast(t))
-        else:
-            j = g.join(prev, on=key_col, how="full_outer")
-
-        def _is_fresh(r):
-            newer = (F.struct(r["t"].alias("a"), r["e"].alias("b"))
-                     > F.struct(F.col("last_t").alias("a"),
-                                F.col("last_e").alias("b")))
-            return F.coalesce(newer, F.lit(True))
-
-        j = j.withColumn("_fresh", F.filter(F.col("recs"), _is_fresh)) \
-             .withColumn("_n_new",
-                         F.coalesce(F.size("_fresh"), F.lit(0))
-                          .cast("long")) \
-             .withColumn("_n_late",
-                         (F.coalesce(F.size("recs"), F.lit(0))
-                          - F.coalesce(F.size("_fresh"), F.lit(0)))
-                         .cast("long"))
-        # materialize BEFORE the renaming select (same LCA hazard as
-        # cusum_sink: the select aliases "s"/"err_sum" that the fold's
-        # seed references)
+        prev, is_replay = _state_or_replay(state_table, batch_id)
+        if is_replay:
+            return                       # replay: already folded
+        j = _seeded_series_batch(
+            batch_df, prev, key_col, ts_col, tie_col, value_col,
+            (("n_events", "long"), ("s", "double"),
+             ("err_sum", "double"), ("last_t", "__TS__"),
+             ("last_e", "__TIE__"), ("n_late", "long")))
+        # fold materialized BEFORE the renaming select (the documented
+        # lambda lateral-alias hazard: the select aliases "s"/"err_sum"
+        # that the fold's seed references)
         j = j.withColumn("_folded", _ewma_fold(
                 F.transform("_fresh", lambda r: r["v"]), a,
                 seed_s=F.col("s"),
-                seed_e=F.coalesce(F.col("err_sum"), F.lit(0.0)))) \
-             .withColumn("_tail", F.element_at("_fresh", -1))
+                seed_e=F.coalesce(F.col("err_sum"), F.lit(0.0))))
         folded, tail = F.col("_folded"), F.col("_tail")
         has_new = F.col("_n_new") > 0
         out = j.select(
@@ -919,52 +948,18 @@ def cusum_sink(stream: DataFrame, ref: DataFrame, state_table,
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            cur = state_table.read()
-            have = cur.limit(1).count() > 0
-        except ValueError:
-            cur, have = None, False
-        if have:
-            last = cur.agg(F.max("__last_batch")).first()[0]
-            if last is not None and batch_id <= last:
-                return                   # replay: already folded
-            prev = cur.drop("__last_batch")
-        else:
-            prev = None
-        rec = F.struct(F.col(ts_col).alias("t"),
-                       F.col(tie_col).alias("e"),
-                       F.col(value_col).cast("double").alias("v"))
-        g = (batch_df.filter(F.col(value_col).isNotNull())
-                     .groupBy(key_col)
-                     .agg(F.sort_array(F.collect_list(rec))
-                           .alias("recs")))
-        if prev is None:
-            t_type = batch_df.schema[ts_col].dataType.simpleString()
-            e_type = batch_df.schema[tie_col].dataType.simpleString()
-            j = g
-            for c, t in (("n_events", "long"), ("g", "double"),
-                         ("n_alarms", "long"), ("first_alarm", "long"),
-                         ("g_max", "double"), ("last_t", t_type),
-                         ("last_e", e_type), ("n_late", "long")):
-                j = j.withColumn(c, F.lit(None).cast(t))
-        else:
-            j = g.join(prev, on=key_col, how="full_outer")
+        prev, is_replay = _state_or_replay(state_table, batch_id)
+        if is_replay:
+            return                       # replay: already folded
+        # the ref join rides on prev when it exists; on the first
+        # batch the scaffold's null state columns come first, then ref
+        j = _seeded_series_batch(
+            batch_df, prev, key_col, ts_col, tie_col, value_col,
+            (("n_events", "long"), ("g", "double"),
+             ("n_alarms", "long"), ("first_alarm", "long"),
+             ("g_max", "double"), ("last_t", "__TS__"),
+             ("last_e", "__TIE__"), ("n_late", "long")))
         j = j.join(refc, on=key_col, how="left")
-
-        def _is_fresh(r):
-            newer = (F.struct(r["t"].alias("a"), r["e"].alias("b"))
-                     > F.struct(F.col("last_t").alias("a"),
-                                F.col("last_e").alias("b")))
-            return F.coalesce(newer, F.lit(True))
-
-        j = j.withColumn("_fresh", F.filter(F.col("recs"), _is_fresh)) \
-             .withColumn("_n_new",
-                         F.coalesce(F.size("_fresh"), F.lit(0))
-                          .cast("long")) \
-             .withColumn("_n_late",
-                         (F.coalesce(F.size("recs"), F.lit(0))
-                          - F.coalesce(F.size("_fresh"), F.lit(0)))
-                         .cast("long"))
         n_prior = F.coalesce(F.col("n_events"), F.lit(0))
         seed = F.struct(
             F.coalesce(F.col("g"), F.lit(0.0)).alias("g"),
@@ -980,8 +975,7 @@ def cusum_sink(stream: DataFrame, ref: DataFrame, state_table,
         j = j.withColumn("_folded", _cusum_fold(
                 F.transform("_fresh", lambda r: r["v"]),
                 F.col("mu"), F.col("sd"), slack, threshold,
-                seed=seed, idx_offset=n_prior)) \
-             .withColumn("_tail", F.element_at("_fresh", -1))
+                seed=seed, idx_offset=n_prior))
         has_new = F.col("_n_new") > 0
         has_ref = F.col("sd").isNotNull()
         folded, tail = F.col("_folded"), F.col("_tail")
@@ -1047,18 +1041,11 @@ def psi_sink(stream: DataFrame, ref_counts: DataFrame, state_table,
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        try:
-            cur = state_table.read()
-            have = cur.limit(1).count() > 0
-        except ValueError:
-            cur, have = None, False
-        if have:
-            last = cur.agg(F.max("__last_batch")).first()[0]
-            if last is not None and batch_id <= last:
-                return                   # replay: already folded
-            prev = cur.select("bucket", "__cb")
-        else:
-            prev = None
+        prev, is_replay = _state_or_replay(state_table, batch_id)
+        if is_replay:
+            return                       # replay: already folded
+        if prev is not None:
+            prev = prev.select("bucket", "__cb")
         b = (batch_df.filter(F.col(value_col).isNotNull())
                      .select(psi_bucket(value_col, lo, hi, buckets)
                               .alias("bucket"))

@@ -476,3 +476,19 @@ def test_corpus_drift_report_stable_vs_shifted(spark):
     assert drift["length_ks_p"] < 0.01
     assert drift["length_psi"] > 0.25
     assert drift["word_jsd"] > 0.3
+
+
+def test_corpus_drift_report_degenerate_snapshot(spark):
+    """Empty new snapshot: the report returns counts + NULL statistics
+    with a degenerate marker instead of crashing the sweep."""
+    import pandas as pd
+
+    from datum_spark.pipelines import corpus_drift_report
+
+    old = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": range(5), "text": ["alpha beta"] * 5}))
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = corpus_drift_report(old, empty)
+    assert r["n_old"] == 5 and r["n_new"] == 0
+    assert r["length_ks_d"] is None and r["word_jsd"] is None
+    assert r.get("degenerate") is True

@@ -874,6 +874,7 @@ def test_ewma_sink_stream_equals_batch(spark, tmp_path):
     for k in want:
         assert got[k][0] == want[k][0], k          # n_events
         assert got[k][1] == pytest.approx(want[k][1], abs=1e-5), k
+        assert got[k][2] == pytest.approx(want[k][2], abs=1e-4), k
         assert got[k][3] == 0, k                   # no late drops
 
     # replay with a fresh checkpoint: batch ids restart at 0, every
@@ -1078,3 +1079,42 @@ def test_psi_sink_stream_equals_batch_psi(spark, tmp_path):
     after = {r["bucket"]: (r["__ca"], r["__cb"], round(r["psi"], 9))
              for r in state.read().collect()}
     assert after == before
+
+
+def test_ewma_sink_all_late_batch_survives(spark, tmp_path):
+    """A micro-batch consisting ONLY of late points for an existing
+    key must not crash the query (ANSI element_at hazard): the points
+    are dropped-and-counted and the fold state is untouched."""
+    import pandas as pd
+
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import ewma_sink
+
+    t0 = pd.Timestamp("2024-01-01")
+    b1 = pd.DataFrame({
+        "user_id": [1, 1], "ts": [t0, t0 + pd.Timedelta(minutes=2)],
+        "event_id": [0, 1], "value": [10.0, 20.0]})
+    b2 = pd.DataFrame({                       # ENTIRELY late
+        "user_id": [1, 1],
+        "ts": [t0 + pd.Timedelta(seconds=10),
+               t0 + pd.Timedelta(minutes=1)],
+        "event_id": [2, 3], "value": [99.0, 98.0]})
+    src = tmp_path / "ev"
+    src.mkdir()
+    spark.createDataFrame(b1).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2).coalesce(1).write.parquet(str(src / "f2"))
+    whole = (spark.read.option("recursiveFileLookup", "true")
+             .parquet(str(src)))
+    state = SnapshotTable.create(spark, str(tmp_path / "state"))
+    q = ewma_sink(
+        (spark.readStream.schema(whole.schema)
+         .option("maxFilesPerTrigger", 1)
+         .option("recursiveFileLookup", "true").parquet(str(src))),
+        state, str(tmp_path / "ckpt"),
+        "user_id", "ts", "value", alpha=0.3)
+    q.processAllAvailable()
+    q.stop()
+    r = state.read().collect()[0]
+    assert r["n_events"] == 2 and r["n_late"] == 2
+    assert r["s"] == pytest.approx(0.7 * 10 + 0.3 * 20, abs=1e-9)
+    assert r["last_e"] == 1          # high-water mark unmoved
