@@ -1118,3 +1118,75 @@ def test_ewma_sink_all_late_batch_survives(spark, tmp_path):
     assert r["n_events"] == 2 and r["n_late"] == 2
     assert r["s"] == pytest.approx(0.7 * 10 + 0.3 * 20, abs=1e-9)
     assert r["last_e"] == 1          # high-water mark unmoved
+
+
+class _CaptureStream:
+    """Minimal writeStream stand-in: hands the sink's foreachBatch
+    closure back to the test so per-batch folds can be driven directly
+    (fast, no streaming machinery — the contract under test is the
+    fold continuation, which lives entirely in _apply)."""
+
+    def __init__(self):
+        self.writeStream = self
+        self.fn = None
+
+    def foreachBatch(self, fn):
+        self.fn = fn
+        return self
+
+    def option(self, *a):
+        return self
+
+    def outputMode(self, *a):
+        return self
+
+    def start(self):
+        return None
+
+
+def test_ewma_sink_invariant_under_any_time_batching(spark, tmp_path):
+    """Batching invariance: for SEVERAL random time-ordered batchings
+    of the same multi-key series, the sink's final state equals the
+    batch ewma_summary fold — the 'state equals the concatenation'
+    contract for cuts the parity test's fixed 3-way split never
+    exercises (singleton batches, lopsided cuts, per-batch key
+    absence)."""
+    import random
+
+    import pandas as pd
+
+    from datum_spark.operators.timeseries import ewma_summary
+    from datum_spark.sources.snapshots import SnapshotTable
+    from datum_spark.streaming.stateful import ewma_sink
+
+    rng = random.Random(17)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for uid in range(4):
+        for i in range(rng.randrange(3, 12)):
+            rows.append((uid, t0 + pd.Timedelta(minutes=i), i,
+                         round(rng.uniform(-50, 50), 3)))
+    pdf = (pd.DataFrame(rows,
+                        columns=["user_id", "ts", "event_id", "value"])
+           .sort_values(["ts", "event_id"]).reset_index(drop=True))
+    df = spark.createDataFrame(pdf)
+    want = {r["user_id"]: (r["n_events"], round(r["ewma_last"], 6))
+            for r in ewma_summary(df, "user_id", "ts",
+                                  "value").collect()}
+
+    for trial in range(3):
+        cuts = sorted(rng.sample(range(1, len(pdf)), rng.randrange(1, 4)))
+        parts = []
+        prev = 0
+        for c in cuts + [len(pdf)]:
+            parts.append(pdf.iloc[prev:c])
+            prev = c
+        state = SnapshotTable.create(
+            spark, str(tmp_path / f"state{trial}"))
+        cap = _CaptureStream()
+        ewma_sink(cap, state, "", "user_id", "ts", "value", alpha=0.3)
+        for i, part in enumerate(p for p in parts if len(p)):
+            cap.fn(spark.createDataFrame(part), i)
+        got = {r["user_id"]: (r["n_events"], round(r["s"], 6))
+               for r in state.read().collect()}
+        assert got == want, (trial, cuts)
