@@ -107,7 +107,16 @@ def _fit_features(feat: DataFrame, n_buckets: int, steps: int,
     ``(__id, __fs, __n, __y)`` — shared by the binary quality
     classifier and the per-class fits of the multiclass language
     classifier (which computes the feature pass ONCE and reuses it for
-    every class)."""
+    every class).
+
+    The LABELED frame is cached here (not just the feature pass inside
+    ``_features``): the label side of the join re-derives its columns
+    from the corpus scan, so without this every GD step re-runs that
+    scan — ``steps`` extra corpus passes for a loop whose whole design
+    is one bounded shuffle per step."""
+    from ..util import retain_cache
+
+    feat = retain_cache(feat)
     n_docs = feat.count()
     if n_docs == 0:
         raise ValueError("no labeled documents with tokens")
@@ -162,7 +171,13 @@ def _fit_features_multi(feat: DataFrame, langs: list,
     rounding, weight update) is expression-for-expression the
     sequential :func:`_fit_features` path, so every one-vs-rest
     weight chain — and the x207 oracle that replays them — is
-    unchanged."""
+    unchanged.
+
+    Like :func:`_fit_features`, the labeled frame is cached so the
+    label-side corpus scan runs once, not once per step."""
+    from ..util import retain_cache
+
+    feat = retain_cache(feat)
     n_docs = feat.count()
     if n_docs == 0:
         raise ValueError("no labeled documents with tokens")

@@ -1342,8 +1342,17 @@ def blocked_record_pairs(df: DataFrame, id_col: str,
     b = base.select(*[F.col(c) for c in block_cols],
                     F.col("__id").alias("id_b"),
                     F.col("__t").alias("__tb"))
+    # |len(a) - len(b)| lower-bounds the edit distance: prune pairs on
+    # the cheap length test first, then run the THRESHOLD-BOUNDED
+    # Levenshtein (banded O(n·max_dist) DP instead of the full O(n·m)
+    # matrix; it returns -1 above the bound and the exact distance at
+    # or under it, so surviving rows are value-identical)
     return (a.join(b, block_cols)
              .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("dist", F.levenshtein("__ta", "__tb"))
-             .filter(F.col("dist") <= int(max_dist))
+             .filter(F.abs(F.length("__ta") - F.length("__tb"))
+                     <= int(max_dist))
+             .withColumn("dist", F.levenshtein("__ta", "__tb",
+                                               int(max_dist)))
+             .filter((F.col("dist") >= 0)
+                     & (F.col("dist") <= int(max_dist)))
              .select(*block_cols, "id_a", "id_b", "dist"))

@@ -56,39 +56,53 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # out-degree table rides the iteration unchanged; checkpoint once
-    deg = deg.localCheckpoint()
+    # out-degree table rides the iteration unchanged; fold it onto the
+    # edge list ONCE instead of re-joining it inside every iteration
+    # (the join is loop-invariant: deg is a function of e alone)
+    ed = (e.join(deg, "src")
+           .select("src", "dst", "deg").localCheckpoint())
+    # the dangling-node SET is loop-invariant too (nodes with no
+    # out-edge); for a symmetrized graph it is empty by construction,
+    # and then the per-iteration mass term is exactly 0.0 — skip the
+    # anti-join + broadcast entirely (identical arithmetic: adding
+    # 0.0/n leaves every double unchanged)
+    dang = (nodes.join(deg, nodes.node == deg.src, "left_anti")
+                 .localCheckpoint())
+    has_dangling = bool(dang.head(1))
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
     base = (1.0 - damping) / n
     check_every = 5  # convergence probe cadence (each probe is a job)
     for it in range(max_iter):
-        # dangling mass (nodes with no out-edges) rides the SAME job as
-        # the rank update via a broadcast 1-row cross join — the loop
-        # body is exactly one action per iteration (the checkpoint), no
-        # driver-side collects
-        dangling = (ranks.join(deg, ranks.node == deg.src, "left_anti")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
-                         .alias("__dm")))
-        contribs = (e.join(ranks.withColumnRenamed("node", "src"), "src")
-                     .join(deg, "src")
-                     .select("dst",
-                             (F.col("rank") / F.col("deg")).alias("c"))
-                     .groupBy("dst")
-                     .agg(F.sum("c").alias("contrib")))
+        contribs = (ed.join(ranks.withColumnRenamed("node", "src"),
+                            "src")
+                      .select("dst",
+                              (F.col("rank") / F.col("deg")).alias("c"))
+                      .groupBy("dst")
+                      .agg(F.sum("c").alias("contrib")))
+        new_ranks = nodes.join(contribs, nodes.node == contribs.dst,
+                               "left")
+        if has_dangling:
+            # dangling mass rides the SAME job as the rank update via a
+            # broadcast 1-row cross join — no driver-side collects
+            dangling = (ranks.join(dang, "node", "semi")
+                        .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                             .alias("__dm")))
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dm = F.col("__dm") / n
+        else:
+            dm = F.lit(0.0)
         # lazy checkpoint: lineage still truncates at materialization,
         # but iterations BETWEEN convergence probes fuse into one job
         # instead of paying a scheduling round trip each (5 iterations
         # of a small graph: ~10 s eager → ~2 s lazy at sf0.1)
-        new_ranks = (nodes.join(contribs, nodes.node == contribs.dst,
-                                "left")
-                     .crossJoin(F.broadcast(dangling))
+        new_ranks = (new_ranks
                      .select(
                          "node",
                          (F.lit(base)
                           + F.lit(damping)
                           * (F.coalesce(F.col("contrib"), F.lit(0.0))
-                             + F.col("__dm") / n)).alias("rank"))
+                             + dm)).alias("rank"))
                      ).localCheckpoint(eager=False)
         old = ranks
         ranks = new_ranks

@@ -66,17 +66,24 @@ def bigram_lm_train(docs: DataFrame, id_col: str = "doc_id",
     word count and ``v`` the non-BOS vocabulary size.  Two
     partial-aggregated count shuffles; nothing corpus-sized ever
     reaches the driver (the count FRAMES stay distributed)."""
+    from ..util import retain_cache
+
     pairs = _doc_bigrams(docs, id_col, text_col, max_word_len)
-    bi = (pairs.groupBy("w1", "w2")
-               .agg(F.count(F.lit(1)).alias("c")))
-    # unigram counts from the SAME pair stream (every token appears
-    # exactly once as w2 — BOS never does), plus BOS context counts
-    # (one per document with >= 1 word) folded in from the w1 side
-    uni = (pairs.groupBy(F.col("w2").alias("word"))
-                .agg(F.count(F.lit(1)).alias("c")))
-    bos = (pairs.filter(F.col("w1") == BOS)
-                .agg(F.count(F.lit(1)).alias("c"))
-                .select(F.lit(BOS).alias("word"), "c"))
+    # the bigram count table is the ONLY corpus-sized aggregation the
+    # model needs: unigram counts, BOS context counts and the totals
+    # are all exact folds OF it (every token appears exactly once as
+    # w2 — BOS never does — so Σ_w1 c(w1,w2) = c(w2); BOS contexts are
+    # Σ_w2 c(BOS,w2)).  Cache it so training is ONE corpus pass and
+    # every derived table re-aggregates the vocabulary²-bounded counts
+    # instead of re-exploding the corpus.
+    bi = retain_cache(pairs.groupBy("w1", "w2")
+                           .agg(F.count(F.lit(1)).alias("c")))
+    uni = (bi.groupBy(F.col("w2").alias("word"))
+             .agg(F.sum("c").alias("c")))
+    bos = (bi.filter(F.col("w1") == BOS)
+             .agg(F.coalesce(F.sum("c"), F.lit(0).cast("long"))
+                   .alias("c"))
+             .select(F.lit(BOS).alias("word"), "c"))
     uni = uni.unionByName(bos)
     totals = (uni.filter(F.col("word") != BOS)
                  .agg(F.sum("c").alias("n"),
@@ -98,17 +105,13 @@ def bigram_doc_scores(docs: DataFrame, model,
     pairs and words degrade smoothly (``c12 -> 0`` drops the bigram
     term, ``c2 -> 0`` leaves the add-one unigram floor), so the model
     scores any corpus, not just its training one."""
-    from ..util import gated_broadcast
+    from ..util import _GATED_BROADCAST_BYTES, estimated_bytes
 
     uni, bi, n, v = model
     pairs = _doc_bigrams(docs, id_col, text_col, max_word_len)
-    dp = pairs.select("w1", "w2").distinct()
     c1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
     c2 = uni.filter(F.col("word") != BOS) \
             .select(F.col("word").alias("w2"), F.col("c").alias("c2"))
-    scored = (dp.join(gated_broadcast(bi, probe=dp),
-                      ["w1", "w2"], "left")
-                .join(c1, "w1", "left").join(c2, "w2", "left"))
     big = F.when(
         F.coalesce(F.col("c1"), F.lit(0)) > 0,
         F.coalesce(F.col("c"), F.lit(0))
@@ -123,14 +126,35 @@ def bigram_doc_scores(docs: DataFrame, model,
     cost = F.round(-F.log(F.lit(float(lam)) * big
                           + F.lit(1.0 - float(lam)) * unig)
                    * F.lit(1_000_000.0), 0).cast("long")
-    scored = scored.select("w1", "w2", cost.alias("__cm"))
-    return (pairs.join(gated_broadcast(scored, probe=dp),
-                       ["w1", "w2"])
+    out_cols = [F.col(id_col), F.col("n_bigrams"),
+                (F.col("__cms") / F.lit(1_000_000.0))
+                .alias("total_cost"),
+                (F.expr("__cms div n_bigrams")
+                 / F.lit(1_000_000.0)).alias("nats_per_token")]
+    if estimated_bytes(bi) < _GATED_BROADCAST_BYTES:
+        # the count tables fit a broadcast: score each pair OCCURRENCE
+        # inline — three map-side broadcast joins and the cost
+        # expression in the same stage, so the only corpus-sized
+        # exchange is the per-document partial aggregation (the
+        # distinct() pre-shuffle of the whole pair stream is gone).
+        # ``cost`` is a pure function of (c, c1, c2, n, v): evaluating
+        # it per occurrence yields the exact long the distinct-pair
+        # path attaches by join — value-identical totals.
+        return (pairs.join(F.broadcast(bi), ["w1", "w2"], "left")
+                .join(F.broadcast(c1), "w1", "left")
+                .join(F.broadcast(c2), "w2", "left")
+                .groupBy(id_col)
+                .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                     F.sum(cost).alias("__cms"))
+                .select(*out_cols))
+    # vocabulary too large to broadcast (the 100 TB posture): run the
+    # cost arithmetic once per DISTINCT pair, shuffle-join it back
+    dp = pairs.select("w1", "w2").distinct()
+    scored = (dp.join(bi, ["w1", "w2"], "left")
+                .join(c1, "w1", "left").join(c2, "w2", "left")
+                .select("w1", "w2", cost.alias("__cm")))
+    return (pairs.join(scored, ["w1", "w2"])
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.sum("__cm").alias("__cms"))
-            .select(id_col, "n_bigrams",
-                    (F.col("__cms") / F.lit(1_000_000.0))
-                    .alias("total_cost"),
-                    (F.expr("__cms div n_bigrams")
-                     / F.lit(1_000_000.0)).alias("nats_per_token")))
+            .select(*out_cols))
