@@ -223,11 +223,35 @@ _CACHE_RING_CAP = 8
 
 
 def retain_cache(df):
-    """persist ``df`` and enroll it in the bounded cache ring."""
+    """persist ``df`` and enroll it in the bounded cache ring.
+
+    Enrollment dedups by PLAN EQUALITY (Catalyst ``sameResult`` over the
+    analyzed plans): Spark's CacheManager keeps ONE cache entry per
+    canonical plan, so when an operator re-derives the same frame (e.g.
+    a repeated fit over the same corpus), a second ring slot would not
+    add a second cache — but its later eviction would ``unpersist`` the
+    SHARED entry out from under every live user of that plan, turning an
+    in-flight iterative fit back into per-step recomputation (measured:
+    x202 reps erratically 5 s ↔ 13 s from exactly this).  A re-enrolled
+    plan instead refreshes its existing slot to most-recently-used."""
     cached = df.persist()
-    _CACHE_RING.append(cached)
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+    except Exception:  # noqa: BLE001 — connect-mode / mock frames
+        plan = None
+    if plan is not None:
+        for i, (old_plan, _old) in enumerate(_CACHE_RING):
+            try:
+                hit = old_plan is not None and plan.sameResult(old_plan)
+            except Exception:  # noqa: BLE001
+                hit = False
+            if hit:
+                _CACHE_RING.append(_CACHE_RING[i])
+                del _CACHE_RING[i]
+                return cached
+    _CACHE_RING.append((plan, cached))
     while len(_CACHE_RING) > _CACHE_RING_CAP:
-        old = _CACHE_RING.popleft()
+        _, old = _CACHE_RING.popleft()
         try:
             old.unpersist(False)
         except Exception:  # noqa: BLE001 — session may already be stopped
@@ -238,7 +262,7 @@ def retain_cache(df):
 def clear_operator_caches() -> None:
     """Unpersist every operator-internal cache (e.g. at pipeline end)."""
     while _CACHE_RING:
-        old = _CACHE_RING.popleft()
+        _, old = _CACHE_RING.popleft()
         try:
             old.unpersist(False)
         except Exception:  # noqa: BLE001

@@ -2759,3 +2759,34 @@ def test_grouped_ks_screen_matches_pairwise_and_flags_drift(spark):
     calm_out = grouped_ks_screen(
         spark.createDataFrame(calm), "g", "v").collect()
     assert all(r["flagged"] is False for r in calm_out)
+
+
+def test_retain_cache_ring_dedups_equal_plans(spark):
+    """Re-enrolling a plan-identical frame must reuse its ring slot
+    (refreshing it to MRU), not burn a new one: a second slot for the
+    same CacheManager entry means a later eviction unpersists a cache
+    that newer enrollees still depend on (the x202 rep pathology)."""
+    from datum_spark.util import (_CACHE_RING, clear_operator_caches,
+                                  retain_cache)
+
+    clear_operator_caches()
+    base = spark.range(100).withColumn("v", F.col("id") * 2)
+    a = retain_cache(base.groupBy((F.col("id") % 10).alias("g"))
+                         .agg(F.sum("v").alias("s")))
+    assert len(_CACHE_RING) == 1
+    # same plan, rebuilt from scratch → deduped, still one slot
+    b = retain_cache(base.groupBy((F.col("id") % 10).alias("g"))
+                         .agg(F.sum("v").alias("s")))
+    assert len(_CACHE_RING) == 1
+    assert b.count() == 10
+    # a genuinely different plan takes its own slot
+    retain_cache(base.filter(F.col("id") < 50))
+    assert len(_CACHE_RING) == 2
+    # MRU refresh: re-enrolling `a`'s plan moves it to the back, so
+    # filling the ring with distinct plans evicts the filter frame
+    # (front) before the re-enrolled aggregate
+    retain_cache(a)
+    ring_frames = [f for (_p, f) in _CACHE_RING]
+    assert ring_frames[-1].sameSemantics(a)
+    clear_operator_caches()
+    assert len(_CACHE_RING) == 0
