@@ -32,6 +32,20 @@ def load_docs(spark: SparkSession, sf: str) -> DataFrame:
     return ensure_parallelism(load(spark, sf, "documents"))
 
 
+def load_par(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    """``load`` + fan-out for entries whose per-row work dominates the
+    scan (md5 coins, edit distance, percentile buffers): the fixture
+    tables are single-row-group parquet files, so the scan — and every
+    map-side expression and partial aggregate fused into it — would
+    otherwise run as ONE task regardless of core count (r13
+    measurement: the Poisson-bootstrap md5 chain spent 6.2 of its
+    6.5 s single-threaded).  Same no-op-at-scale contract as
+    ``load_docs``/``load_emb``; only applied to entries whose
+    aggregates survive a reordered partial fold (verified per entry
+    against the DuckDB oracle at every SF)."""
+    return ensure_parallelism(load(spark, sf, name))
+
+
 EXTENSIONS: dict[str, tuple[Callable[[SparkSession, str], DataFrame],
                             str | None]] = {}
 

@@ -12,7 +12,7 @@ from ..operators import text as text_mod  # noqa: F401
 from ..tierb import load  # noqa: F401
 from ..util import ensure_parallelism  # noqa: F401
 
-from ._shared import load_docs, load_emb, x  # noqa: F401
+from ._shared import load_docs, load_emb, load_par, x  # noqa: F401
 
 
 @x("x151_contamination", """
@@ -4165,7 +4165,12 @@ def x240(spark, sf):
     operators/sampling.py::poisson_bootstrap_mean."""
     from ..operators.sampling import poisson_bootstrap_mean
 
-    ev = load(spark, sf, "events")
+    # fan the single-row-group fixture scan out to every core: the
+    # B/4 md5 coins per row dominate the scan they are fused into
+    # (r13 measurement: 6.2 of 6.5 s on one task), and every x240
+    # aggregate is a reorderable partial fold (6-dp-rounded replicate
+    # means; oracle-verified at every SF)
+    ev = load_par(spark, sf, "events")
     return poisson_bootstrap_mean(ev, "value", "event_id",
                                   reps=40, level=0.95)
 

@@ -756,17 +756,23 @@ def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
                  for s in range(m)]
 
     def with_codes(frame, vec_sql="__e"):
-        for s in range(m):
-            sub = f"slice({vec_sql}, {s * dsub + 1}, {dsub})"
-            frame = frame.withColumn(f"__d2s_{s}", F.expr(
-                f"transform({_csql(codebooks[s])}, c -> round("
-                f"aggregate(zip_with({sub}, c, (a, b) -> (a-b)*(a-b)), "
-                f"cast(0.0 as double), (acc, x) -> acc + x), "
-                f"{int(quantize)}))"))
-            frame = frame.withColumn(f"__c{s}", F.expr(
-                f"cast(array_position(__d2s_{s}, array_min(__d2s_{s})) "
-                f"- 1 as int)"))
-        return frame
+        # ONE select per layer, not a 2m-deep withColumn chain: every
+        # withColumn is a py4j round trip plus a stacked Project the
+        # optimizer must re-collapse around the m ksub-literal distance
+        # arrays — at m=8/ksub=16 that was ~0.4 s of plan build plus a
+        # comparable optimize cost PER Lloyd step, dwarfing the data
+        # work.  Same expressions, same column names, same values.
+        d2s = [F.expr(
+            f"transform({_csql(codebooks[s])}, c -> round("
+            f"aggregate(zip_with(slice({vec_sql}, {s * dsub + 1}, "
+            f"{dsub}), c, (a, b) -> (a-b)*(a-b)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x), "
+            f"{int(quantize)}))").alias(f"__d2s_{s}")
+            for s in range(m)]
+        return frame.select("*", *d2s).select("*", *[
+            F.expr(f"cast(array_position(__d2s_{s}, "
+                   f"array_min(__d2s_{s})) - 1 as int)").alias(f"__c{s}")
+            for s in range(m)])
 
     for _ in range(iters):
         upd = (with_codes(v)
@@ -793,16 +799,15 @@ def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
     from .clustering import _centers_sql
 
     # the d2s_<s> arrays land as intermediate columns first so each
-    # evaluates once per row (argmin references them twice)
-    base = df.filter(F.col(vec_col).isNotNull())
-    for s in range(m):
-        sub_sql = (f"slice(cast({vec_col} as array<double>), "
-                   f"{s * dsub + 1}, {dsub})")
-        base = base.withColumn(f"d2s_{s}", F.expr(
+    # evaluates once per row (argmin references them twice); one bulk
+    # select per layer (see with_codes above for why not withColumn)
+    base = df.filter(F.col(vec_col).isNotNull()).select("*", *[
+        F.expr(
             f"transform({_centers_sql(codebooks[s])}, c -> round("
-            f"aggregate(zip_with({sub_sql}, c, (a, b) -> (a-b)*(a-b)), "
+            f"aggregate(zip_with(slice(cast({vec_col} as array<double>), "
+            f"{s * dsub + 1}, {dsub}), c, (a, b) -> (a-b)*(a-b)), "
             f"cast(0.0 as double), (acc, x) -> acc + x), "
-            f"{int(quantize)}))"))
+            f"{int(quantize)}))").alias(f"d2s_{s}") for s in range(m)])
     out = base.select(
         F.col(id_col),
         *[F.expr(f"cast(array_position(d2s_{s}, array_min(d2s_{s})) - 1 "
@@ -947,15 +952,13 @@ def pq_index_add(delta: DataFrame, index_path: str,
     books = _pq_load_books(spark, index_path)
     m = len(books)
     dsub = len(books[0][0])
-    base = delta.filter(F.col(vec_col).isNotNull())
-    for s in range(m):
-        sub_sql = (f"slice(cast({vec_col} as array<double>), "
-                   f"{s * dsub + 1}, {dsub})")
-        base = base.withColumn(f"d2s_{s}", F.expr(
+    base = delta.filter(F.col(vec_col).isNotNull()).select("*", *[
+        F.expr(
             f"transform({_centers_sql(books[s])}, c -> round("
-            f"aggregate(zip_with({sub_sql}, c, (a, b) -> (a-b)*(a-b)), "
+            f"aggregate(zip_with(slice(cast({vec_col} as array<double>), "
+            f"{s * dsub + 1}, {dsub}), c, (a, b) -> (a-b)*(a-b)), "
             f"cast(0.0 as double), (acc, x) -> acc + x), "
-            f"{int(quantize)}))"))
+            f"{int(quantize)}))").alias(f"d2s_{s}") for s in range(m)])
     out = base.select(
         F.col(id_col),
         *[F.expr(f"cast(array_position(d2s_{s}, array_min(d2s_{s})) - 1 "
@@ -1190,15 +1193,16 @@ def _ivfpq_code_cols(frame: DataFrame, books, quantize: int,
 
     m = len(books)
     dsub = len(books[0][0])
-    for s in range(m):
-        sub_sql = f"slice({vec_sql}, {s * dsub + 1}, {dsub})"
-        frame = frame.withColumn(f"__pd2s_{s}", F.expr(
+    keep = list(frame.columns)
+    frame = frame.select("*", *[
+        F.expr(
             f"transform({_centers_sql(books[s])}, c -> round("
-            f"aggregate(zip_with({sub_sql}, c, (a, b) -> (a-b)*(a-b)), "
+            f"aggregate(zip_with(slice({vec_sql}, {s * dsub + 1}, "
+            f"{dsub}), c, (a, b) -> (a-b)*(a-b)), "
             f"cast(0.0 as double), (acc, x) -> acc + x), "
-            f"{int(quantize)}))"))
+            f"{int(quantize)}))").alias(f"__pd2s_{s}") for s in range(m)])
     return frame.select(
-        *[c for c in frame.columns if not c.startswith("__pd2s_")],
+        *keep,
         *[F.expr(f"cast(array_position(__pd2s_{s}, array_min(__pd2s_{s}))"
                  f" - 1 as int)").alias(f"code_{s}") for s in range(m)])
 
