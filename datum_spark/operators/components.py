@@ -77,14 +77,67 @@ def _checksum(directed: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["s"] or 0)
 
 
+# Directed-edge count under which the remaining star-contraction rounds
+# run as ONE collect + driver union-find instead of O(log n) rounds of
+# 3 shuffles + 2 jobs each.  This is a size-gated PHYSICAL choice, not a
+# local-mode tune: on any cluster, finishing a <=100k-edge forest on the
+# driver strictly dominates scheduling more distributed rounds, and the
+# gate reads the edge count the convergence checksum already computes
+# every round (no extra job, no extra pass at scale).
+_DRIVER_CC_EDGES = 100_000
+
+
+def _driver_components(rows) -> list:
+    """Union-find (min-id roots) over collected directed edges; returns
+    the exact row set the converged distributed star would hold: one
+    ``(node, component_min)`` row per non-root node."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            # union by min so the root is always the component minimum
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    nodes = set()
+    for r in rows:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    return [(n, find(n)) for n in sorted(nodes) if find(n) != n]
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Return ``(node, component)`` where ``component`` is the minimum node
     id in the node's connected component.  ``edges`` is any two-column
     DataFrame of undirected pairs (both ids of one orderable type);
     isolated nodes don't appear (callers union singletons if needed).
+
+    One distributed star-contraction round always runs (it is also the
+    only full pass over the raw pair list); if the surviving directed
+    edge set is small (its count rides the existing convergence
+    checksum), the remaining O(log n) rounds collapse into a driver
+    union-find over the SAME edge set — row-for-row the converged
+    star's output, since both compute (node → component minimum) over
+    the round-1 forest, which star contraction proves connectivity-
+    equivalent to the input.
     """
+    spark = edges.sparkSession
     cur = _small_star(_large_star(_symmetrize(edges))).localCheckpoint()
     prev_sum = _checksum(cur)
+    if prev_sum[0] <= _DRIVER_CC_EDGES:
+        out = _driver_components(cur.collect())
+        child_t = cur.schema["child"].dataType.simpleString()
+        parent_t = cur.schema["parent"].dataType.simpleString()
+        return spark.createDataFrame(
+            out, schema=f"node {child_t}, component {parent_t}")
     for _ in range(max_iter):
         nxt = _small_star(_large_star(_symmetrize(cur))).localCheckpoint()
         new_sum = _checksum(nxt)

@@ -54,3 +54,24 @@ def test_dup_clusters_includes_canonical(spark):
         [(2, 5), (5, 9), (20, 21)], "id_a long, id_b long")
     got = {(r["node"], r["component"]) for r in dup_clusters(pairs).collect()}
     assert got == {(2, 2), (5, 2), (9, 2), (20, 20), (21, 20)}
+
+
+def test_cc_driver_and_distributed_paths_agree(spark, monkeypatch):
+    """The size-gated driver union-find must emit row-for-row what the
+    distributed star-contraction loop converges to."""
+    from datum_spark.operators import components as comp_mod
+
+    rng = random.Random(7)
+    nodes = list(range(500))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(400)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "u long, v long")
+
+    fast = {(r["node"], r["component"])
+            for r in connected_components(df).collect()}
+    monkeypatch.setattr(comp_mod, "_DRIVER_CC_EDGES", -1)
+    slow = {(r["node"], r["component"])
+            for r in connected_components(df).collect()}
+    assert fast == slow
+    assert fast == {(n, c) for n, c in
+                    _union_find_components(edges).items() if n != c}
