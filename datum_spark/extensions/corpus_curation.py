@@ -3603,11 +3603,17 @@ def x229(spark, sf):
     over-full-block cap keeps the skew observable.
     operators/dedup.py::blocked_record_pairs."""
     from ..operators.dedup import blocked_record_pairs
+    from ..util import retain_cache
 
     cust = load(spark, sf, "customer")
-    return (blocked_record_pairs(cust, "c_custkey",
+    pairs = blocked_record_pairs(cust, "c_custkey",
                                  ["c_nationkey", "c_mktsegment"],
                                  "c_name", max_dist=1)
+    # materialize before the global sort: a range exchange SAMPLES its
+    # child to pick bounds, so an uncached pair subtree (broadcast joins
+    # + edit distances, no shuffle of its own) would execute twice —
+    # once for sampling, once for the shuffle (guide §2.4/§5)
+    return (retain_cache(pairs)
             .withColumn("dist", F.col("dist").cast("int"))
             .orderBy("c_nationkey", "c_mktsegment", "id_a", "id_b"))
 

@@ -1327,9 +1327,16 @@ def blocked_record_pairs(df: DataFrame, id_col: str,
     from pairing — observable skew guard, same cap semantics as the
     LSH band buckets: a block holding half the table is a bad blocking
     key, not a candidate set."""
+    from ..util import ensure_parallelism
+
     cols = [F.col(c) for c in block_cols]
-    base = df.select(F.col(id_col).alias("__id"), *block_cols,
-                     F.col(text_col).alias("__t"))
+    # fan the scan out first: the within-block pair loop and its edit
+    # distances run in the PROBE side's partitioning, and a small
+    # single-row-group input would pin the whole Σ|block|² comparison
+    # loop to one task (no-op at scale — guide §2.5 input skew)
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("__id"), *block_cols,
+                  F.col(text_col).alias("__t")))
     if max_block_size is not None:
         sizes = (base.groupBy(*block_cols)
                      .agg(F.count(F.lit(1)).alias("__bs"))
@@ -1353,6 +1360,9 @@ def blocked_record_pairs(df: DataFrame, id_col: str,
                      <= int(max_dist))
              .withColumn("dist", F.levenshtein("__ta", "__tb",
                                                int(max_dist)))
-             .filter((F.col("dist") >= 0)
-                     & (F.col("dist") <= int(max_dist)))
+             # bounded levenshtein returns -1 above the bound and the
+             # exact distance (<= bound) otherwise, so ">= 0" alone is
+             # the full predicate — the redundant "<= max_dist" conjunct
+             # cost a second levenshtein evaluation per surviving pair
+             .filter(F.col("dist") >= 0)
              .select(*block_cols, "id_a", "id_b", "dist"))
