@@ -707,6 +707,44 @@ def pca_top_component(df: DataFrame, vec_col: str = "embedding",
 # Product quantization (auditable twin)
 # ---------------------------------------------------------------------------
 
+def _books_sql(books) -> str:
+    """3-level SQL literal (m × ksub × dsub) for ALL sub-codebooks —
+    one parsed expression instead of m separate center literals."""
+    from .clustering import _centers_sql
+
+    return "array(" + ",".join(_centers_sql(b) for b in books) + ")"
+
+
+def _code_array_sql(books, quantize: int, vec_sql: str) -> str:
+    """All m per-subspace argmin codes as ONE array expression.
+
+    Per subspace the arithmetic is identical to the historical
+    per-column spelling (slice → zip_with squared-diff → left-to-right
+    aggregate fold → round → first-min array_position tie-break); the
+    only change is that the m chains ride a single higher-order
+    ``transform`` over the combined codebook literal, so each encode
+    layer is ONE parsed/optimized/compiled expression instead of 2m —
+    plan build and codegen were costing more than the data work at
+    every Lloyd step (guide §1.2: per-task work AND driver overhead)."""
+    m = len(books)
+    dsub = len(books[0][0])
+    assert all(len(b[0]) == dsub for b in books)
+    # ``vec_sql`` is bound ONCE per row through a 1-element transform
+    # lambda: callers pass computed vectors (rotated residuals, casts),
+    # and if the raw expression sat inside the per-subspace lambda the
+    # optimizer's project collapsing would re-evaluate it m times per
+    # row (measured: the OPQ rotated encode at 25× the cached-input
+    # cost).  A lambda variable is evaluated exactly once regardless.
+    codes = (f"transform(transform({_books_sql(books)}, (book, s) -> "
+             f"transform(book, c -> round(aggregate(zip_with("
+             f"slice(__pqv, s * {dsub} + 1, {dsub}), c, "
+             f"(a, b) -> (a-b)*(a-b)), "
+             f"cast(0.0 as double), (acc, x) -> acc + x), "
+             f"{int(quantize)}))), "
+             f"a -> cast(array_position(a, array_min(a)) - 1 as int))")
+    return f"transform(array({vec_sql}), __pqv -> {codes})[0]"
+
+
 def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
                     vec_col: str = "embedding", m: int = 8,
                     ksub: int = 16, iters: int = 3,
@@ -732,52 +770,39 @@ def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
     from pyspark.sql import functions as F
 
     from ..util import retain_cache
-    from .clustering import _centers_sql as _csql
-
-    d = df.select(F.size(vec_col)).first()[0]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    dsub = d // m
 
     # FUSED training: the m subspace trajectories are independent, but
     # each Lloyd step is the same corpus pass — so run all m argmins in
-    # one projection and fold all m×ksub×dsub center means in ONE
+    # one expression and fold all m×ksub×dsub center means in ONE
     # aggregation per iteration (posexplode position p ↦ subspace
-    # p/dsub, dim p%dsub).  4 driver jobs total instead of ~4m; every
-    # per-subspace trajectory is bit-identical to fitting it alone
-    # (same rounded distances, same lowest-cid tie-break, same rounded
-    # means — summation-order noise ≪ the 1e-quantize rounding).
+    # p/dsub, dim p%dsub).  3 driver jobs total instead of ~4m (the
+    # dimension probe rides the init collect); every per-subspace
+    # trajectory is bit-identical to fitting it alone (same rounded
+    # distances, same lowest-cid tie-break, same rounded means —
+    # summation-order noise ≪ the 1e-quantize rounding).
     v = retain_cache(
         df.select(F.col(id_col).alias("__id"),
                   F.col(vec_col).cast("array<double>").alias("__e"))
           .filter(F.col("__e").isNotNull()))
     init = v.orderBy("__id").limit(ksub).collect()
+    if not init:
+        raise ValueError("pq_train_encode: no non-null vectors")
+    d = len(init[0]["__e"])
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
     codebooks = [[list(r["__e"])[s * dsub:(s + 1) * dsub] for r in init]
                  for s in range(m)]
 
     def with_codes(frame, vec_sql="__e"):
-        # ONE select per layer, not a 2m-deep withColumn chain: every
-        # withColumn is a py4j round trip plus a stacked Project the
-        # optimizer must re-collapse around the m ksub-literal distance
-        # arrays — at m=8/ksub=16 that was ~0.4 s of plan build plus a
-        # comparable optimize cost PER Lloyd step, dwarfing the data
-        # work.  Same expressions, same column names, same values.
-        d2s = [F.expr(
-            f"transform({_csql(codebooks[s])}, c -> round("
-            f"aggregate(zip_with(slice({vec_sql}, {s * dsub + 1}, "
-            f"{dsub}), c, (a, b) -> (a-b)*(a-b)), "
-            f"cast(0.0 as double), (acc, x) -> acc + x), "
-            f"{int(quantize)}))").alias(f"__d2s_{s}")
-            for s in range(m)]
-        return frame.select("*", *d2s).select("*", *[
-            F.expr(f"cast(array_position(__d2s_{s}, "
-                   f"array_min(__d2s_{s})) - 1 as int)").alias(f"__c{s}")
-            for s in range(m)])
+        # ONE parsed expression per Lloyd step (see _code_array_sql):
+        # plan build + optimize + codegen of 2m stacked literal chains
+        # cost more than the step's data work at m=8/ksub=16
+        return frame.select("*", F.expr(
+            _code_array_sql(codebooks, quantize, vec_sql)).alias("__cs"))
 
     for _ in range(iters):
         upd = (with_codes(v)
-               .withColumn("__cs",
-                           F.array(*[f"__c{s}" for s in range(m)]))
                .select("__cs", F.posexplode("__e").alias("__p", "__x"))
                .select((F.col("__p") / dsub).cast("int").alias("__s"),
                        F.expr("__cs[cast(__p / "
@@ -791,27 +816,21 @@ def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
             nxt[r["__s"]][r["__c"]][r["__q"]] = round(r["__m"], quantize)
         codebooks = nxt
 
-    from .clustering import _centers_sql
-
     # ENCODING is one map-only projection over the corpus — every
-    # subspace's argmin evaluates against its codebook literal in the
-    # same pass (no per-subspace frames, no m-way join chain)
-    from .clustering import _centers_sql
-
-    # the d2s_<s> arrays land as intermediate columns first so each
-    # evaluates once per row (argmin references them twice); one bulk
-    # select per layer (see with_codes above for why not withColumn)
-    base = df.filter(F.col(vec_col).isNotNull()).select("*", *[
-        F.expr(
-            f"transform({_centers_sql(codebooks[s])}, c -> round("
-            f"aggregate(zip_with(slice(cast({vec_col} as array<double>), "
-            f"{s * dsub + 1}, {dsub}), c, (a, b) -> (a-b)*(a-b)), "
-            f"cast(0.0 as double), (acc, x) -> acc + x), "
-            f"{int(quantize)}))").alias(f"d2s_{s}") for s in range(m)])
+    # subspace's argmin evaluates against the combined codebook literal
+    # in the same single expression; the code array lands as one
+    # intermediate column so it evaluates once per row (the extraction
+    # Project references it m times, which blocks CollapseProject from
+    # inlining the chain m-fold).  It reads the TRAINING frame ``v``
+    # (same null-filtered rows, already cached for the Lloyd passes),
+    # so the final encode re-reads neither the scan nor any computed
+    # vector expression the caller fed in (e.g. the OPQ rotation).
+    base = v.select(
+        F.col("__id").alias(id_col),
+        F.expr(_code_array_sql(codebooks, quantize, "__e")).alias("__cs"))
     out = base.select(
         F.col(id_col),
-        *[F.expr(f"cast(array_position(d2s_{s}, array_min(d2s_{s})) - 1 "
-                 f"as int)").alias(f"code_{s}") for s in range(m)])
+        *[F.col("__cs")[s].alias(f"code_{s}") for s in range(m)])
     return out, codebooks
 
 
@@ -946,23 +965,17 @@ def pq_index_add(delta: DataFrame, index_path: str,
     rebuild on the refresh cadence.  Returns rows appended."""
     import os as _os
 
-    from .clustering import _centers_sql
-
     spark = delta.sparkSession
     books = _pq_load_books(spark, index_path)
     m = len(books)
-    dsub = len(books[0][0])
-    base = delta.filter(F.col(vec_col).isNotNull()).select("*", *[
-        F.expr(
-            f"transform({_centers_sql(books[s])}, c -> round("
-            f"aggregate(zip_with(slice(cast({vec_col} as array<double>), "
-            f"{s * dsub + 1}, {dsub}), c, (a, b) -> (a-b)*(a-b)), "
-            f"cast(0.0 as double), (acc, x) -> acc + x), "
-            f"{int(quantize)}))").alias(f"d2s_{s}") for s in range(m)])
+    base = delta.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col),
+        F.expr(_code_array_sql(
+            books, quantize,
+            f"cast({vec_col} as array<double>)")).alias("__cs"))
     out = base.select(
         F.col(id_col),
-        *[F.expr(f"cast(array_position(d2s_{s}, array_min(d2s_{s})) - 1 "
-                 f"as int)").alias(f"code_{s}") for s in range(m)])
+        *[F.col("__cs")[s].alias(f"code_{s}") for s in range(m)])
     out.write.mode("append").parquet(_os.path.join(index_path, "codes"))
     return out.count()
 
@@ -1189,22 +1202,13 @@ def _ivfpq_code_cols(frame: DataFrame, books, quantize: int,
     the same one-projection encoding as :func:`pq_train_encode`, kept
     here so the delta path (:func:`ivfpq_index_add`) and the build path
     encode through identical expressions."""
-    from .clustering import _centers_sql
-
     m = len(books)
-    dsub = len(books[0][0])
     keep = list(frame.columns)
-    frame = frame.select("*", *[
-        F.expr(
-            f"transform({_centers_sql(books[s])}, c -> round("
-            f"aggregate(zip_with(slice({vec_sql}, {s * dsub + 1}, "
-            f"{dsub}), c, (a, b) -> (a-b)*(a-b)), "
-            f"cast(0.0 as double), (acc, x) -> acc + x), "
-            f"{int(quantize)}))").alias(f"__pd2s_{s}") for s in range(m)])
+    frame = frame.select("*", F.expr(
+        _code_array_sql(books, quantize, vec_sql)).alias("__pcs"))
     return frame.select(
         *keep,
-        *[F.expr(f"cast(array_position(__pd2s_{s}, array_min(__pd2s_{s}))"
-                 f" - 1 as int)").alias(f"code_{s}") for s in range(m)])
+        *[F.col("__pcs")[s].alias(f"code_{s}") for s in range(m)])
 
 
 def ivfpq_train_encode(df: DataFrame, id_col: str = "vec_id",
