@@ -101,6 +101,109 @@ def quality_classifier_fit(df: DataFrame, id_col: str, text_col: str,
     return _fit_features(feat, n_buckets, steps, lr, quantize)
 
 
+# Total (doc, bucket) feature entries under which the GD loop runs
+# driver-side on the collected feature frame instead of as ``steps``
+# sequential Spark jobs.  A size-gated PHYSICAL choice exactly like
+# components._DRIVER_CC_EDGES: the labeled seed set is usually a
+# bounded sample even on a huge corpus, every step is a full-batch
+# fold, and scheduling 12 distributed rounds over a few thousand
+# cached rows costs ~50× the arithmetic.  2M entries ≈ tens of MB
+# collected once (the gate reads the same aggregate that the mandatory
+# n_docs probe already pays for).  Above the gate the distributed loop
+# below runs unchanged.
+_DRIVER_GD_ENTRIES = 2_000_000
+
+
+def _sql_round_vec(x, nd: int):
+    """Vectorized SQL ROUND semantics (HALF_UP on the shortest decimal
+    repr — what Spark's ``round(double, d)`` and DuckDB both compute;
+    NumPy has no decimal-string rounding, and the binary-scale
+    ``floor(x·10^d + 0.5)`` shortcut disagrees on exact-half reprs)."""
+    import decimal
+
+    import numpy as np
+
+    q = decimal.Decimal(1).scaleb(-nd)
+    out = np.empty(len(x), dtype=np.float64)
+    for i, v in enumerate(x.tolist()):
+        out[i] = float(decimal.Decimal(repr(v)).quantize(
+            q, rounding=decimal.ROUND_HALF_UP))
+    return out
+
+
+def _fit_rows_driver(rows, y_mat, n_buckets: int, steps: int,
+                     lr: float, quantize: int):
+    """The GD loop of :func:`_fit_features` / :func:`_fit_features_multi`
+    over COLLECTED feature rows — value-identical arithmetic:
+
+    - the per-doc score fold runs left-to-right over the sorted ``__fs``
+      entries (vectorized across docs, sequential across entries — the
+      same float64 op sequence as the SQL ``aggregate`` fold);
+    - ``z``/``p``/gradients round with SQL ROUND decimal semantics at
+      the same reduction points; weight updates use the same Python
+      ``round`` the distributed loop applies to collected gradients;
+    - gradient sums combine in a different order than Spark's partial
+      aggregation, exactly as Spark's order already differs from the
+      DuckDB oracle's — the 1e-``quantize`` rounding absorbs it (the
+      module's documented determinism contract).
+
+    ``y_mat`` is (n_docs × K); returns a list of K ``(weights, bias)``.
+    """
+    import numpy as np
+
+    nd = len(rows)
+    width = max(len(r["__fs"]) for r in rows)
+    bidx = np.zeros((nd, width), dtype=np.int64)
+    cnt = np.zeros((nd, width), dtype=np.float64)
+    n = np.empty(nd, dtype=np.float64)
+    for i, r in enumerate(rows):
+        fs = r["__fs"]
+        if fs:
+            bidx[i, :len(fs)] = [f["b"] for f in fs]
+            cnt[i, :len(fs)] = [f["c"] for f in fs]
+        n[i] = r["__n"]
+    k_cls = y_mat.shape[1]
+    ws = [np.zeros(n_buckets, dtype=np.float64) for _ in range(k_cls)]
+    bs = [0.0] * k_cls
+    nb = float(n_buckets)
+    flat_b = bidx.ravel()
+    for _ in range(steps):
+        for j in range(k_cls):
+            acc = np.zeros(nd, dtype=np.float64)
+            w = ws[j]
+            for k in range(width):
+                # left-to-right fold: padded tail entries add an exact
+                # +0.0 (c = 0), which is the IEEE identity
+                acc = acc + w[bidx[:, k]] * cnt[:, k]
+            z = _sql_round_vec(acc * nb / n + bs[j], quantize)
+            p = _sql_round_vec(1.0 / (1.0 + np.exp(-z)), quantize)
+            resid = p - y_mat[:, j]
+            contrib = (resid / n)[:, None] * cnt * nb
+            g = _sql_round_vec(np.bincount(
+                flat_b, weights=contrib.ravel(),
+                minlength=n_buckets) / nd, quantize)
+            gb = _sql_round_vec(
+                np.array([resid.sum() / nd]), quantize)[0]
+            # same update the distributed loop applies to collected
+            # gradient rows (Python round on Python floats — np.float64
+            # __round__ has different corner-case semantics; absent
+            # buckets have g = 0.0 and round() is idempotent on
+            # quantized floats)
+            ws[j] = np.array([round(float(w[t]) - lr * float(g[t]),
+                                    quantize)
+                              for t in range(n_buckets)])
+            bs[j] = round(bs[j] - lr * float(gb), quantize)
+    return [([float(x) for x in ws[j]], bs[j]) for j in range(k_cls)]
+
+
+def _gd_size_probe(feat: DataFrame) -> tuple[int, int]:
+    """(n_docs, total feature entries) in one job — the n_docs count
+    the fit loops already needed, plus the driver-gate volume."""
+    row = feat.agg(F.count(F.lit(1)).alias("d"),
+                   F.sum(F.size("__fs")).alias("e")).first()
+    return int(row["d"]), int(row["e"] or 0)
+
+
 def _fit_features(feat: DataFrame, n_buckets: int, steps: int,
                   lr: float, quantize: int):
     """The deterministic GD loop over a labeled feature frame
@@ -117,9 +220,17 @@ def _fit_features(feat: DataFrame, n_buckets: int, steps: int,
     from ..util import retain_cache
 
     feat = retain_cache(feat)
-    n_docs = feat.count()
+    n_docs, n_entries = _gd_size_probe(feat)
     if n_docs == 0:
         raise ValueError("no labeled documents with tokens")
+    if n_entries <= _DRIVER_GD_ENTRIES:
+        import numpy as np
+
+        rows = feat.select("__fs", "__n", "__y").collect()
+        y = np.array([[float(r["__y"])] for r in rows])
+        (w, b), = _fit_rows_driver(rows, y, n_buckets, steps, lr,
+                                   quantize)
+        return w, b
     w = [0.0] * n_buckets
     b = 0.0
     for _ in range(steps):
@@ -178,9 +289,17 @@ def _fit_features_multi(feat: DataFrame, langs: list,
     from ..util import retain_cache
 
     feat = retain_cache(feat)
-    n_docs = feat.count()
+    n_docs, n_entries = _gd_size_probe(feat)
     if n_docs == 0:
         raise ValueError("no labeled documents with tokens")
+    if n_entries <= _DRIVER_GD_ENTRIES:
+        import numpy as np
+
+        rows = feat.select("__fs", "__n", label_col).collect()
+        y = np.array([[float(r[label_col] == lg) for lg in langs]
+                      for r in rows])
+        fits = _fit_rows_driver(rows, y, n_buckets, steps, lr, quantize)
+        return {lg: fits[j] for j, lg in enumerate(langs)}
     wv = {lg: [0.0] * n_buckets for lg in langs}
     bv = {lg: 0.0 for lg in langs}
     for _ in range(steps):

@@ -289,3 +289,43 @@ def test_auc_exact_matches_reference_and_guards(spark):
     one_class = spark.createDataFrame(pd.DataFrame(
         {"label": [1, 1], "score": [0.3, 0.6]}))
     assert auc_exact(one_class).collect()[0].auc is None
+
+
+def test_driver_gd_finish_matches_distributed(spark, toy, monkeypatch):
+    """The size-gated driver GD finisher must reproduce the distributed
+    loop's weight trajectory VALUE-FOR-VALUE (binary and multiclass) —
+    same folds, same rounding points, same updates."""
+    import datum_spark.operators.classifier as clf
+
+    w_drv, b_drv = quality_classifier_fit(
+        toy, "doc_id", "text", "y", n_buckets=64, steps=6, lr=0.5)
+    monkeypatch.setattr(clf, "_DRIVER_GD_ENTRIES", -1)  # force distributed
+    w_dist, b_dist = quality_classifier_fit(
+        toy, "doc_id", "text", "y", n_buckets=64, steps=6, lr=0.5)
+    assert b_drv == b_dist
+    assert w_drv == w_dist
+
+
+def test_driver_gd_multi_matches_distributed(spark, monkeypatch):
+    import datum_spark.operators.classifier as clf
+    from datum_spark.operators.classifier import (_features,
+                                                  _fit_features_multi)
+
+    rows = [(i, "aa bb cc aa", "en") for i in range(20)] + \
+           [(i + 50, "xx yy zz yy", "fr") for i in range(20)] + \
+           [(i + 100, "mm nn oo pp", "de") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    feat = (_features(df, "doc_id", "text", 32, "t")
+            .join(df.select(F.col("doc_id").alias("__id"),
+                            F.col("lang").alias("__lang")), "__id"))
+    langs = ["de", "en", "fr"]
+    drv = _fit_features_multi(feat, langs, 32, 5, 1.0, 9)
+    monkeypatch.setattr(clf, "_DRIVER_GD_ENTRIES", -1)
+    feat2 = (_features(df, "doc_id", "text", 32, "t")
+             .join(df.select(F.col("doc_id").alias("__id"),
+                             F.col("lang").alias("__lang")), "__id"))
+    dist = _fit_features_multi(feat2, langs, 32, 5, 1.0, 9)
+    assert set(drv) == set(dist)
+    for lg in langs:
+        assert drv[lg][1] == dist[lg][1]
+        assert drv[lg][0] == dist[lg][0]
