@@ -286,6 +286,74 @@ _ARGMIN_SQL = "cast(array_position(__d2s, array_min(__d2s)) - 1 as int)"
 _RANKED_SQL = "array_sort(transform(__d2s, (d, i) -> struct(d as d, i as c)))"
 
 
+# Catalyst size estimate of the cached vector frame under which the
+# Lloyd iterations run driver-side on the collected vectors instead of
+# one Spark job per iteration — the components._DRIVER_CC_EDGES /
+# classifier._DRIVER_GD_ENTRIES size-gated physical choice applied to
+# the deterministic k-means trajectory.  The gate reads the plan
+# statistic (no extra job); above it the distributed loop is unchanged.
+_DRIVER_LLOYD_BYTES = 32 << 20
+
+
+def _driver_vectors(v):
+    """The collected vector matrix when the frame's own size estimate
+    is under the driver gate, else None."""
+    from ..util import estimated_bytes
+
+    if estimated_bytes(v) > _DRIVER_LLOYD_BYTES:
+        return None
+    import numpy as np
+
+    rows = v.select("__e").collect()
+    if not rows:
+        return None
+    return np.array([r["__e"] for r in rows], dtype=np.float64)
+
+
+def _rounded_d2_matrix(x, centers, quantize: int):
+    """Rounded squared distances (n × k), value-identical to the SQL
+    ``_d2s_sql`` expression: the per-vector fold over dimensions runs
+    left-to-right (vectorized across rows, sequential across dims —
+    the same float64 op sequence), then SQL ROUND decimal semantics."""
+    import numpy as np
+
+    from .classifier import _sql_round_vec
+
+    cm = np.asarray(centers, dtype=np.float64)
+    n, d = x.shape
+    acc = np.zeros((n, cm.shape[0]), dtype=np.float64)
+    for j in range(d):
+        diff = x[:, j, None] - cm[None, :, j]
+        acc = acc + diff * diff
+    return _sql_round_vec(acc.ravel(), quantize).reshape(n, cm.shape[0])
+
+
+def _driver_lloyd(x, centers, iters: int, quantize: int):
+    """The Lloyd iterations of :func:`_verifiable_fit` over collected
+    vectors — value-identical trajectory: rounded distances as above,
+    first-min (lowest center index) argmin, per-(cell, dim) means
+    finished with the same Python ``round`` the distributed loop
+    applies to its collected averages.  Mean sums combine in a
+    different order than Spark's partial aggregation, exactly as Spark
+    already differs from the DuckDB oracle — the 1e-quantize rounding
+    absorbs it (the x108 determinism contract)."""
+    import numpy as np
+
+    for _ in range(iters):
+        d2 = _rounded_d2_matrix(x, centers, quantize)
+        cell = np.argmin(d2, axis=1)  # first occurrence = lowest cid
+        nxt = [list(c) for c in centers]
+        for ci in range(len(centers)):
+            members = x[cell == ci]
+            if len(members):
+                cnt = float(len(members))
+                nxt[ci] = [round(float(members[:, j].sum()) / cnt,
+                                 quantize)
+                           for j in range(x.shape[1])]
+        centers = nxt
+    return centers
+
+
 def _verifiable_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
                     iters: int, quantize: int):
     """Shared deterministic-trajectory Lloyd fit (see
@@ -307,6 +375,10 @@ def _verifiable_fit(df: DataFrame, id_col: str, vec_col: str, k: int,
 
     def d2s_expr(cs):
         return _d2s_sql(cs, quantize)
+
+    x = _driver_vectors(v) if iters > 0 and centers else None
+    if x is not None:
+        return v, _driver_lloyd(x, centers, iters, quantize), d2s_expr
 
     for _ in range(iters):
         upd = (v.withColumn("__d2s", d2s_expr(centers))

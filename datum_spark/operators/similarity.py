@@ -801,20 +801,31 @@ def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
         return frame.select("*", F.expr(
             _code_array_sql(codebooks, quantize, vec_sql)).alias("__cs"))
 
-    for _ in range(iters):
-        upd = (with_codes(v)
-               .select("__cs", F.posexplode("__e").alias("__p", "__x"))
-               .select((F.col("__p") / dsub).cast("int").alias("__s"),
-                       F.expr("__cs[cast(__p / "
-                              f"{dsub} as int)]").alias("__c"),
-                       (F.col("__p") % dsub).alias("__q"), "__x")
-               .groupBy("__s", "__c", "__q")
-               .agg(F.avg("__x").alias("__m"))
-               .collect())
-        nxt = [[list(c) for c in book] for book in codebooks]
-        for r in upd:
-            nxt[r["__s"]][r["__c"]][r["__q"]] = round(r["__m"], quantize)
-        codebooks = nxt
+    from .clustering import _driver_vectors
+
+    x = _driver_vectors(v) if iters > 0 else None
+    if x is not None:
+        # size-gated driver finish (clustering._DRIVER_LLOYD_BYTES):
+        # the m per-subspace trajectories replay value-identically on
+        # the collected matrix instead of `iters` scheduled jobs
+        codebooks = _driver_pq_lloyd(x, codebooks, iters, quantize)
+    else:
+        for _ in range(iters):
+            upd = (with_codes(v)
+                   .select("__cs",
+                           F.posexplode("__e").alias("__p", "__x"))
+                   .select((F.col("__p") / dsub).cast("int").alias("__s"),
+                           F.expr("__cs[cast(__p / "
+                                  f"{dsub} as int)]").alias("__c"),
+                           (F.col("__p") % dsub).alias("__q"), "__x")
+                   .groupBy("__s", "__c", "__q")
+                   .agg(F.avg("__x").alias("__m"))
+                   .collect())
+            nxt = [[list(c) for c in book] for book in codebooks]
+            for r in upd:
+                nxt[r["__s"]][r["__c"]][r["__q"]] = round(r["__m"],
+                                                          quantize)
+            codebooks = nxt
 
     # ENCODING is one map-only projection over the corpus — every
     # subspace's argmin evaluates against the combined codebook literal
@@ -832,6 +843,38 @@ def pq_train_encode(df: DataFrame, id_col: str = "vec_id",
         F.col(id_col),
         *[F.col("__cs")[s].alias(f"code_{s}") for s in range(m)])
     return out, codebooks
+
+
+def _driver_pq_lloyd(x, codebooks, iters: int, quantize: int):
+    """The fused per-subspace Lloyd steps of :func:`pq_train_encode`
+    over the collected vector matrix — value-identical trajectory per
+    subspace: rounded subspace distances via the same left-to-right
+    fold (clustering._rounded_d2_matrix over the slice), first-min
+    argmin, per-(subspace, cell, dim) means finished with the same
+    Python ``round`` the distributed loop applies to its collected
+    averages (sum-order noise absorbed by the rounding, the documented
+    contract)."""
+    import numpy as np
+
+    from .clustering import _rounded_d2_matrix
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    for _ in range(iters):
+        nxt = [[list(c) for c in book] for book in codebooks]
+        for s in range(m):
+            xs = x[:, s * dsub:(s + 1) * dsub]
+            d2 = _rounded_d2_matrix(xs, codebooks[s], quantize)
+            cell = np.argmin(d2, axis=1)
+            for ci in range(len(codebooks[s])):
+                members = xs[cell == ci]
+                if len(members):
+                    cnt = float(len(members))
+                    nxt[s][ci] = [
+                        round(float(members[:, q].sum()) / cnt, quantize)
+                        for q in range(dsub)]
+        codebooks = nxt
+    return codebooks
 
 
 def _round_half_away(x: float, nd: int) -> float:

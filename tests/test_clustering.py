@@ -225,3 +225,33 @@ def test_semdedup_action_keep_rule_and_prune(spark):
     assert pruned.columns == df.columns
     assert ({r["vec_id"] for r in pruned.collect()}
             == {r["vec_id"] for r in rows_l if r["keep"]})
+
+
+def test_driver_lloyd_matches_distributed(spark, monkeypatch):
+    """The size-gated driver Lloyd finish must reproduce the
+    distributed deterministic-trajectory fit value-for-value."""
+    import datum_spark.operators.clustering as cl
+    from datum_spark.operators.clustering import _verifiable_fit
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 3.0 + (0.0 if i % 2
+                 else 5.0) for j in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    _, c_drv, _ = _verifiable_fit(df, "vec_id", "embedding", 4, 3, 6)
+    monkeypatch.setattr(cl, "_DRIVER_LLOYD_BYTES", -1)
+    _, c_dist, _ = _verifiable_fit(df, "vec_id", "embedding", 4, 3, 6)
+    assert c_drv == c_dist
+
+
+def test_driver_pq_lloyd_matches_distributed(spark, monkeypatch):
+    import datum_spark.operators.clustering as cl
+    from datum_spark.operators.similarity import pq_train_encode
+
+    rows = [(i, [float((i * 5 + j) % 13) / 7.0 for j in range(16)])
+            for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes_a, books_a = pq_train_encode(df, m=4, ksub=8, iters=3)
+    rows_a = sorted(map(tuple, codes_a.collect()))
+    monkeypatch.setattr(cl, "_DRIVER_LLOYD_BYTES", -1)
+    codes_b, books_b = pq_train_encode(df, m=4, ksub=8, iters=3)
+    assert books_a == books_b
+    assert rows_a == sorted(map(tuple, codes_b.collect()))
