@@ -178,12 +178,23 @@ def _fit_rows_driver(rows, y_mat, n_buckets: int, steps: int,
             z = _sql_round_vec(acc * nb / n + bs[j], quantize)
             p = _sql_round_vec(1.0 / (1.0 + np.exp(-z)), quantize)
             resid = p - y_mat[:, j]
-            contrib = (resid / n)[:, None] * cnt * nb
+            # EXACT per-term op order of the SQL gradient
+            # ``sum(((p - y) * c) * B / n)``: multiply the residual by
+            # the count FIRST, then by B, then divide by n (ADVICE r13:
+            # the previous ((p−y)/n)·c·B spelling differs by an ulp on
+            # some inputs, a nonzero chance of flipping a HALF_UP
+            # boundary vs the distributed / oracle trajectory)
+            contrib = resid[:, None] * cnt * nb / n[:, None]
             g = _sql_round_vec(np.bincount(
                 flat_b, weights=contrib.ravel(),
                 minlength=n_buckets) / nd, quantize)
+            # bias pseudo-bucket replayed exactly as the SQL spells it:
+            # c = n/B computed first, then ((p−y)·c)·B/n per term —
+            # (n/B)·B/n is 1.0 for most doubles but not all, and the
+            # driver must fork only where the distributed loop forks
             gb = _sql_round_vec(
-                np.array([resid.sum() / nd]), quantize)[0]
+                np.array([(resid * ((n / nb) * nb / n)).sum() / nd]),
+                quantize)[0]
             # same update the distributed loop applies to collected
             # gradient rows (Python round on Python floats — np.float64
             # __round__ has different corner-case semantics; absent

@@ -295,17 +295,31 @@ _RANKED_SQL = "array_sort(transform(__d2s, (d, i) -> struct(d as d, i as c)))"
 _DRIVER_LLOYD_BYTES = 32 << 20
 
 
-def _driver_vectors(v):
+def _driver_vectors(v, expansion: int = 6):
     """The collected vector matrix when the frame's own size estimate
-    is under the driver gate, else None."""
+    is under the driver gate, else None.
+
+    ``expansion`` scales the Catalyst estimate to a DRIVER-memory
+    footprint before gating (ADVICE r13): the estimate is
+    compressed-file-size based, and the collected Row objects plus the
+    float64 matrix are several times larger on the driver (measured:
+    parquet-encoded doubles ≈ 2× smaller than raw; Row boxing ≈ 3×
+    over the raw array) — the same pattern as util.gated_broadcast."""
     from ..util import estimated_bytes
 
-    if estimated_bytes(v) > _DRIVER_LLOYD_BYTES:
+    if estimated_bytes(v) * max(1, int(expansion)) > _DRIVER_LLOYD_BYTES:
         return None
     import numpy as np
 
     rows = v.select("__e").collect()
     if not rows:
+        return None
+    # ragged vector lengths (a corrupt fixture / mixed-width corpus)
+    # must fall back to the distributed loop — np.array would raise an
+    # inhomogeneous-shape ValueError (or build an object array) where
+    # the zip_with path degrades via null propagation (ADVICE r13)
+    width = len(rows[0]["__e"])
+    if any(len(r["__e"]) != width for r in rows):
         return None
     return np.array([r["__e"] for r in rows], dtype=np.float64)
 

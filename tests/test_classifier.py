@@ -329,3 +329,32 @@ def test_driver_gd_multi_matches_distributed(spark, monkeypatch):
     for lg in langs:
         assert drv[lg][1] == dist[lg][1]
         assert drv[lg][0] == dist[lg][0]
+
+
+def test_driver_gd_fuzz_matches_distributed(spark, monkeypatch):
+    """Randomized driver-vs-distributed agreement (ADVICE r13): the two
+    toy tests above use uniform doc lengths, which never exercise the
+    per-term op-order corners ((resid·c)·B/n vs (resid/n)·c·B, the
+    bias pseudo-bucket's (n/B)·B/n) — fuzz with highly varied token
+    counts and labels so any systematic fork between the paths
+    surfaces as a weight mismatch."""
+    import random
+
+    import datum_spark.operators.classifier as clf
+
+    rng = random.Random(1234)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    rows = []
+    for i in range(400):
+        n_tok = rng.choice([1, 2, 3, 7, 13, 31, 64, 97, 150, 211])
+        text = " ".join(rng.choice(vocab) for _ in range(n_tok))
+        rows.append((i, text, rng.random() < 0.4))
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+
+    w_drv, b_drv = quality_classifier_fit(
+        df, "doc_id", "text", "y", n_buckets=64, steps=4, lr=0.5)
+    monkeypatch.setattr(clf, "_DRIVER_GD_ENTRIES", -1)
+    w_dist, b_dist = quality_classifier_fit(
+        df, "doc_id", "text", "y", n_buckets=64, steps=4, lr=0.5)
+    assert b_drv == b_dist
+    assert w_drv == w_dist

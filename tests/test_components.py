@@ -75,3 +75,29 @@ def test_cc_driver_and_distributed_paths_agree(spark, monkeypatch):
     assert fast == slow
     assert fast == {(n, c) for n, c in
                     _union_find_components(edges).items() if n != c}
+
+
+def test_dup_clusters_distributed_include_roots(spark, monkeypatch):
+    """The DISTRIBUTED include_roots branch (union + distinct after the
+    star-contraction loop) must honor dup_clusters' root-row contract —
+    every component minimum self-mapped, exactly once (ADVICE r13: all
+    other tests stayed under the driver gate, so the branch was only
+    equivalent by inspection)."""
+    from datum_spark.operators import components as comp_mod
+
+    rng = random.Random(11)
+    nodes = list(range(300))
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(250)]
+    edges = [(u, v) for u, v in edges if u != v]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    fast = [(r["node"], r["component"])
+            for r in dup_clusters(df).collect()]
+    monkeypatch.setattr(comp_mod, "_DRIVER_CC_EDGES", -1)
+    slow = [(r["node"], r["component"])
+            for r in dup_clusters(df).collect()]
+    assert sorted(fast) == sorted(slow)
+    # no duplicate rows from the union+distinct, roots self-mapped
+    assert len(slow) == len(set(slow))
+    roots = {c for _, c in slow}
+    assert all((c, c) in set(slow) for c in roots)
