@@ -890,8 +890,15 @@ def x186(spark, sf):
     loss MEASURED, not asserted.  The oracle replays training, codes,
     ADC tables and both rankings."""
     from ..operators.similarity import pq_adc_topk, pq_train_encode
+    from ..util import retain_cache
 
-    emb = load_emb(spark, sf)
+    # ONE materialization of the scan + fan-out: the entry reads the
+    # corpus four ways (train, ADC queries, exact-ranking corpus and
+    # queries), and the derived frames only share the physical scan
+    # when they derive from one persisted frame — otherwise each
+    # branch re-runs the scan and its round-robin Exchange inside the
+    # same job (guide §2.4/§5; measured r14)
+    emb = retain_cache(load_emb(spark, sf))
     codes, books = pq_train_encode(emb, m=8, ksub=16, iters=2)
     qs = emb.filter(F.col("vec_id") < 20)
     adc = pq_adc_topk(qs, codes, books, k=10)

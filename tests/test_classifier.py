@@ -358,3 +358,37 @@ def test_driver_gd_fuzz_matches_distributed(spark, monkeypatch):
         df, "doc_id", "text", "y", n_buckets=64, steps=4, lr=0.5)
     assert b_drv == b_dist
     assert w_drv == w_dist
+
+
+def test_sql_round_vec_matches_decimal_reference():
+    """The vectorized fast path of _sql_round_vec must agree with the
+    pure shortest-repr HALF_UP decimal spelling value-for-value AND in
+    signbit (-0.0 for tiny negatives) — including adversarial
+    exact-half reprs, which must route through the decimal path."""
+    import decimal
+
+    import numpy as np
+
+    from datum_spark.operators.classifier import _sql_round_vec
+
+    def ref(xs, nd):
+        q = decimal.Decimal(1).scaleb(-nd)
+        return np.array([float(decimal.Decimal(repr(float(v))).quantize(
+            q, rounding=decimal.ROUND_HALF_UP)) for v in xs])
+
+    rng = np.random.default_rng(42)
+    for nd in (0, 4, 6, 9):
+        x = np.concatenate([
+            rng.normal(0, 1, 20000),
+            rng.normal(0, 1e3, 2000),
+            rng.normal(0, 1e-7, 2000),
+            # exact-half decimal reprs: the band where binary
+            # floor(x*s + 0.5) disagrees with SQL ROUND
+            np.round(rng.uniform(-10, 10, 5000), nd) + 0.5 / 10 ** nd,
+            np.round(rng.uniform(-10, 10, 5000), nd) - 0.5 / 10 ** nd,
+            np.array([2.675, -2.675, 0.5, -0.5, 1.005, -1.005,
+                      0.0, -0.0, 0.1 + 0.2]),
+        ])
+        got, want = _sql_round_vec(x, nd), ref(x, nd)
+        assert (got == want).all()
+        assert (np.signbit(got) == np.signbit(want)).all()
