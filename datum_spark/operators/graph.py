@@ -63,13 +63,20 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
         # upstream edge generation (an n-gram inverted-index self-join)
         # twice before the checkpoint could memoize it
         e = _both_directions(edges, a, b)
-    # materialize the edge list ONCE: upstream edge generation would
-    # otherwise re-execute inside every iteration's join
+    # checkpoint the edge list ONCE: upstream edge generation would
+    # otherwise re-execute inside every iteration's join.  LAZY
+    # checkpoints everywhere (r14): the plan truncates at the
+    # LogicalRDD immediately either way, but eager materialization was
+    # one scheduled job per frame — e, nodes, ed, dang, ranks plus the
+    # count and the dangling head(1) made ~7 driver round trips before
+    # the first iteration; the persisted blocks materialize once
+    # inside the first job that needs them and every later stage reads
+    # them back (same compute-once guarantee, minus the scheduling)
     e = (e.filter(F.col("src") != F.col("dst")).distinct()
-          .localCheckpoint())
+          .localCheckpoint(eager=False))
     nodes = (e.select(F.col("src").alias("node"))
               .union(e.select(F.col("dst").alias("node")))
-              .distinct()).localCheckpoint()
+              .distinct()).localCheckpoint(eager=False)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
@@ -78,17 +85,23 @@ def pagerank(edges: DataFrame, damping: float = 0.85,
     # edge list ONCE instead of re-joining it inside every iteration
     # (the join is loop-invariant: deg is a function of e alone)
     ed = (e.join(deg, "src")
-           .select("src", "dst", "deg").localCheckpoint())
+           .select("src", "dst", "deg").localCheckpoint(eager=False))
     # the dangling-node SET is loop-invariant too (nodes with no
-    # out-edge); for a symmetrized graph it is empty by construction,
-    # and then the per-iteration mass term is exactly 0.0 — skip the
-    # anti-join + broadcast entirely (identical arithmetic: adding
-    # 0.0/n leaves every double unchanged)
-    dang = (nodes.join(deg, nodes.node == deg.src, "left_anti")
-                 .localCheckpoint())
-    has_dangling = bool(dang.head(1))
+    # out-edge); for a SYMMETRIZED graph it is empty BY CONSTRUCTION
+    # (every node appearing in e has an out-edge), so the undirected
+    # path skips the anti-join probe entirely — identical arithmetic:
+    # the per-iteration mass term is exactly 0.0 and adding 0.0/n
+    # leaves every double unchanged.  Only directed graphs pay the
+    # probe.
+    if directed:
+        dang = (nodes.join(deg, nodes.node == deg.src, "left_anti")
+                     .localCheckpoint(eager=False))
+        has_dangling = bool(dang.head(1))
+    else:
+        has_dangling = False
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    ranks = (nodes.withColumn("rank", F.lit(1.0 / n))
+                  .localCheckpoint(eager=False))
     base = (1.0 - damping) / n
     check_every = 5  # convergence probe cadence (each probe is a job)
     for it in range(max_iter):
