@@ -1218,8 +1218,11 @@ def x189(spark, sf):
     quantizer trainings, the residuals, the cell-pruned ADC tables and
     both rankings value-for-value."""
     from ..operators.similarity import ivfpq_adc_topk, ivfpq_train_encode
+    from ..util import retain_cache
 
-    emb = load_emb(spark, sf)
+    # one materialized scan shared by train / ADC queries / exact
+    # ranking (the x186 pattern, r14)
+    emb = retain_cache(load_emb(spark, sf))
     codes, coarse, books = ivfpq_train_encode(
         emb, ncells=8, m=4, ksub=8, coarse_iters=2, pq_iters=2)
     qs = emb.filter((F.col("vec_id") < 12)
@@ -1303,8 +1306,11 @@ def x190(spark, sf):
     from ..operators.similarity import (ivfpq_adc_topk,
                                         ivfpq_refine_topk,
                                         ivfpq_train_encode)
+    from ..util import retain_cache
 
-    emb = load_emb(spark, sf)
+    # one materialized scan shared by train / ADC / refine gather /
+    # exact ranking (the x186 pattern, r14)
+    emb = retain_cache(load_emb(spark, sf))
     codes, coarse, books = ivfpq_train_encode(
         emb, ncells=8, m=4, ksub=8, coarse_iters=2, pq_iters=2)
     qs = emb.filter((F.col("vec_id") < 12)
@@ -2693,8 +2699,11 @@ def x212(spark, sf):
     operators/similarity.py::opq_train_encode."""
     from ..operators.similarity import (opq_adc_topk, opq_train_encode,
                                         pq_adc_topk, pq_train_encode)
+    from ..util import retain_cache
 
-    emb = load_emb(spark, sf)
+    # one materialized scan shared by BOTH trainings, both ADC query
+    # collects and the exact ranking (the x186 pattern, r14)
+    emb = retain_cache(load_emb(spark, sf))
     codes_p, books_p = pq_train_encode(emb, m=8, ksub=16, iters=2)
     codes_o, books_o, u, perm = opq_train_encode(emb, m=8, ksub=16,
                                                  iters=2)

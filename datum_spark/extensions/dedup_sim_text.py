@@ -580,7 +580,11 @@ def x27(spark, sf):
     the (query, neighbor) hits IVF shares with the exact top-5 plus a
     per-query ``recall_at_5`` column — rows > 0 is the expected state and
     a recall collapse is driver-visible as an empty result."""
-    emb = load_emb(spark, sf)
+    from ..util import retain_cache
+
+    # one materialized scan shared by the IVF path (train + probe) and
+    # the exact grading path (the x186 pattern, r14)
+    emb = retain_cache(load_emb(spark, sf))
     q = emb.filter(F.col("vec_id") < 10)
     c = emb.filter(F.col("vec_id") >= 10)
     ivf = sim_mod.ivf_cosine_top_k(q, c, k=5, centroids=32, nprobe=6,

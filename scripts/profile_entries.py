@@ -1,5 +1,5 @@
 """Profile named ``queries()`` entries: capture ``explain("formatted")``
-to ``plans/r13/<name>_<tag>.txt`` and time reps with the bench's own
+to ``plans/r14/<name>_<tag>.txt`` and time reps with the bench's own
 methodology (``.collect()``, median of reps after one warm-up, operator
 caches cleared between entries).
 
@@ -34,7 +34,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
     plans_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", "r14")
     os.makedirs(plans_dir, exist_ok=True)
 
     out: dict[str, float] = {}
