@@ -188,20 +188,25 @@ def _fit_rows_driver(rows, y_mat, n_buckets: int, steps: int,
       module's documented determinism contract).
 
     ``y_mat`` is (n_docs × K); returns a list of K ``(weights, bias)``.
+
+    ``rows`` is the ``(bidx_list, cnt_list, n)`` triple from
+    :func:`_collect_feature_matrix` — flat array columns, not nested
+    struct Rows: collecting (doc × entry) ``struct<b, c>`` Rows paid a
+    per-ELEMENT Python ``fromInternal``/Row construction (~288k nested
+    Rows ≈ 2 s on the langid fixture, more than the fit itself — r14,
+    guide §4.1: control how bytes cross the boundary).
     """
     import numpy as np
 
-    nd = len(rows)
-    width = max(len(r["__fs"]) for r in rows)
+    blists, clists, n = rows
+    nd = len(n)
+    width = max((len(b) for b in blists), default=0) or 1
     bidx = np.zeros((nd, width), dtype=np.int64)
     cnt = np.zeros((nd, width), dtype=np.float64)
-    n = np.empty(nd, dtype=np.float64)
-    for i, r in enumerate(rows):
-        fs = r["__fs"]
-        if fs:
-            bidx[i, :len(fs)] = [f["b"] for f in fs]
-            cnt[i, :len(fs)] = [f["c"] for f in fs]
-        n[i] = r["__n"]
+    for i, (bl, cl) in enumerate(zip(blists, clists)):
+        if len(bl):
+            bidx[i, :len(bl)] = bl
+            cnt[i, :len(cl)] = cl
     k_cls = y_mat.shape[1]
     ws = [np.zeros(n_buckets, dtype=np.float64) for _ in range(k_cls)]
     bs = [0.0] * k_cls
@@ -247,6 +252,23 @@ def _fit_rows_driver(rows, y_mat, n_buckets: int, steps: int,
     return [([float(x) for x in ws[j]], bs[j]) for j in range(k_cls)]
 
 
+def _collect_feature_matrix(feat: DataFrame, label_col: str):
+    """Collect the labeled feature frame for the driver GD finish as
+    FLAT array columns via Arrow: ``(bidx_list, cnt_list, n)`` plus the
+    label values, in one driver transfer.  Extracting ``__fs.b`` /
+    ``__fs.c`` (order-preserving struct-field pulls over the sorted
+    entry array) avoids materializing one Python Row per feature entry
+    on the driver; Arrow delivers the arrays as numpy values."""
+    import numpy as np
+
+    pdf = (feat.select(F.col("__fs.b").alias("__b"),
+                       F.col("__fs.c").alias("__c"),
+                       "__n", F.col(label_col).alias("__l"))
+               .toPandas())
+    n = pdf["__n"].to_numpy(dtype=np.float64)
+    return (pdf["__b"].tolist(), pdf["__c"].tolist(), n), pdf["__l"]
+
+
 def _gd_size_probe(feat: DataFrame) -> tuple[int, int]:
     """(n_docs, total feature entries) in one job — the n_docs count
     the fit loops already needed, plus the driver-gate volume."""
@@ -277,9 +299,9 @@ def _fit_features(feat: DataFrame, n_buckets: int, steps: int,
     if n_entries <= _DRIVER_GD_ENTRIES:
         import numpy as np
 
-        rows = feat.select("__fs", "__n", "__y").collect()
-        y = np.array([[float(r["__y"])] for r in rows])
-        (w, b), = _fit_rows_driver(rows, y, n_buckets, steps, lr,
+        mats, labels = _collect_feature_matrix(feat, "__y")
+        y = np.array([[float(v)] for v in labels])
+        (w, b), = _fit_rows_driver(mats, y, n_buckets, steps, lr,
                                    quantize)
         return w, b
     w = [0.0] * n_buckets
@@ -346,10 +368,10 @@ def _fit_features_multi(feat: DataFrame, langs: list,
     if n_entries <= _DRIVER_GD_ENTRIES:
         import numpy as np
 
-        rows = feat.select("__fs", "__n", label_col).collect()
-        y = np.array([[float(r[label_col] == lg) for lg in langs]
-                      for r in rows])
-        fits = _fit_rows_driver(rows, y, n_buckets, steps, lr, quantize)
+        mats, labels = _collect_feature_matrix(feat, label_col)
+        y = np.array([[float(v == lg) for lg in langs]
+                      for v in labels])
+        fits = _fit_rows_driver(mats, y, n_buckets, steps, lr, quantize)
         return {lg: fits[j] for j, lg in enumerate(langs)}
     wv = {lg: [0.0] * n_buckets for lg in langs}
     bv = {lg: 0.0 for lg in langs}
