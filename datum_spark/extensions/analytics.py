@@ -1555,8 +1555,13 @@ def _copurchase_edges(spark, sf, min_support: int = 2) -> DataFrame:
     """Canonical (p1 < p2) co-purchase part graph from lineitem: the
     x117 pair generator with a support threshold — one hash shuffle on
     l_orderkey, per-order fan-out bounded by basket size squared."""
-    it = (load(spark, sf, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
+    from ..util import retain_cache
+
+    # compute-once: the self-join's two sides are the SAME distinct
+    # subtree — uncached, the scan + distinct exchange executed twice
+    # per build (r14)
+    it = retain_cache(load(spark, sf, "lineitem")
+                      .select("l_orderkey", "l_partkey").distinct())
     a, b = it.alias("a"), it.alias("b")
     return (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
@@ -1622,7 +1627,12 @@ def x136(spark, sf):
     nodes), depth-bounded not data-bounded; the oracle replays it with a
     recursive CTE and MIN(hop)."""
     from ..operators.graph import bfs_min_hops
-    edges = _copurchase_edges(spark, sf)
+    from ..util import retain_cache
+
+    # compute-once: the edge list feeds BOTH the seed derivation and
+    # the BFS's own symmetrize checkpoint — uncached, the co-purchase
+    # self-join built twice (r14)
+    edges = retain_cache(_copurchase_edges(spark, sf))
     seeds = (edges.select(F.col("p1").alias("node"))
              .union(edges.select(F.col("p2").alias("node")))
              .filter(F.col("node") <= 25).distinct())
