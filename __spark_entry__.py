@@ -6,27 +6,19 @@ sf0.001.  ``queries()`` exposes every implemented operator from SURVEY.md §2
 DuckDB-equivalent SQL for each hash-checkable entry.
 
 Ordering: the driver hash-verifies entries in dict order up to a cap
-(50 in every round so far).  The dict leads with the round-13 RECHECK
-set: the 30 NEW r13 entries (q32 recursive CTE; x215/x220 span-removal
-actions; x216 C4 line filter; x217 SemDeDup; x218 bigram LM; x219
-winnowing; x222-x224 corpus/event diagnostics; x225-x235 sketches,
-experiment readouts, sampling, linkage, hashed embeddings, rollup
-maintenance, privacy and packing audits; x236 the graded MinHash
-twin; x237/x238 EWMA + CUSUM time-series folds; x239 CUPED; x240
-Poisson bootstrap CI; x241-x243 KS / Mann-Whitney / grouped-KS+BH
-drift tests; x244 exact ROC AUC), the 4 grading blocks whose exact-top-k cross join
-flipped to query-side broadcast (x186/x189/x190/x212, hashes
-unchanged) and x37 (reverted to its pinned pre-r13 shape after the
-grade moved to x236) — every one locally diff-run green this round
-(the closing full sweep is recorded in BASELINE.md).  After the
-recheck set, entries order by EVIDENCE STALENESS
+(50 in every round so far).  The dict leads with the round-14 RECHECK
+set: the 20 entries whose code path changed in this optimization
+round (vectorized driver ROUND in the k-means/PQ/GD finishes, Arrow
+feature collect, lazy-checkpoint pagerank, compute-once caches in the
+grading and co-purchase entries) — every one locally diff-run green
+at sf0.01 after its change, hashes unchanged by construction.  After
+the recheck set, entries order by EVIDENCE STALENESS
 computed from the committed CORRECTNESS_r*.json artifacts themselves
 (oldest latest-check first), so each round's window automatically
-drains the stalest band — after r12's all-green 50-entry window the
-oldest band is the 13 r7-evidence entries (x154, x158–x160, x162,
-x15, x29–x35 — the r12 VERDICT's named drain target), then the r8
-cohort.  Rows-only entries (x37_minhash_fast et al.) sort last — the
-hash gate cannot check them anyway.
+drains the stalest band — after the r13 window the oldest band is the
+r8-evidence cohort (geometry/overlay and LSH-family entries).
+Rows-only entries outside the recheck set sort last — the hash gate
+cannot check them anyway.
 Every oracle-bearing entry has been driver-verified at least
 once (r6 closed the set); the rotation keeps the oldest evidence
 fresh without hand-curated band lists going stale.
@@ -46,44 +38,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return tierb.QUERIES["q10_star_join"][0](spark, "/root/testdata/sf0.001")
 
 
-# Round-13 recheck set: new entries and entries whose code changed
-# this round (each locally diff-run green).
-_RECHECK_R13 = {
-    "x215_span_removal",          # new: Lee 2022 ExactSubstr action
-    "x186_pq_recall",             # r13: query-side broadcast flip
-    "x189_ivfpq_recall",          # r13: query-side broadcast flip
-    "x190_ivfpq_refine",          # r13: query-side broadcast flip
-    "x212_opq_recall",            # r13: query-side broadcast flip
-    "x37_minhash_fast",           # r13: reverted to its pinned shape
-    "x236_minhash_fast_graded",   # new: graded twin (true-Jaccard audit)
-    "x216_c4_line_filter",        # new: C4 line-level retention action
-    "x217_semdedup",              # new: SemDeDup keep-one-per-group action
-    "x218_bigram_lm",             # new: interpolated bigram LM scores
-    "x219_winnowing",             # new: MOSS winnowing fingerprint overlap
-    "x220_c4_span_dedup",         # new: C4 3-sentence span dedup action
-    "x222_source_divergence",     # new: per-source word-dist JSD matrix
-    "q32_recursive_spine",        # new: Spark 4 WITH RECURSIVE gateway
-    "x223_zipf_diagnostics",      # new: per-source Zipf corpus health
-    "x224_event_anomalies",       # new: hour-of-day z-score screen
-    "x225_mg_heavy_hitters",      # new: Misra-Gries, self-graded bounds
-    "x226_ab_test",               # new: two-proportion experiment readout
-    "x227_recency_sample",        # new: md5-coin time-decay thinning
-    "x228_hard_negatives",        # new: banded contrastive negatives
-    "x229_record_linkage",        # new: blocked Levenshtein pairs
-    "x230_hashed_embedding_knn",  # new: feature-hash text->similarity
-    "x231_incremental_rollup",    # new: abelian rollup maintenance
-    "x232_gate_agreement",        # new: Cohen's kappa between screens
-    "x233_jl_projection",         # new: md5-sign JL distance audit
-    "x234_l_diversity",           # new: sensitive-diversity audit
-    "x235_bfd_packing",           # new: BFD packing, self-graded
-    "x237_ewma_drift",            # new: per-key EWMA drift fold
-    "x238_cusum_changepoints",    # new: CUSUM changepoint screen
-    "x239_cuped",                 # new: CUPED variance-reduced A/B
-    "x240_poisson_bootstrap",     # new: one-pass bootstrap CI
-    "x241_ks_drift",              # new: exact two-sample KS test
-    "x242_mannwhitney",           # new: rank-sum test, midrank ties
-    "x243_grouped_ks_fdr",        # new: one-vs-rest KS + BH FDR
-    "x244_auc",                   # new: exact midrank ROC AUC
+# Round-14 recheck set: entries whose CODE PATH changed in this
+# optimization round (each locally diff-run green at sf0.01 after the
+# change) — the vectorized driver ROUND (k-means/PQ/GD finishes), the
+# Arrow feature collect, the lazy-checkpoint pagerank, and the
+# compute-once caches in the grading / co-purchase entries.
+_RECHECK_R14 = {
+    "x186_pq_recall",             # r14: fast round + shared base scan
+    "x189_ivfpq_recall",          # r14: fast round + shared base scan
+    "x190_ivfpq_refine",          # r14: fast round + shared base scan
+    "x212_opq_recall",            # r14: fast round + shared base scan
+    "x203_ivfpq_occupancy",       # r14: fast round (PQ driver Lloyd)
+    "x27_cosine_topk_ivf",        # r14: shared base scan (rows-only)
+    "x55_kmeans",                 # r14: fast round (rows-only)
+    "x57_semantic_dedup",         # r14: fast round (driver Lloyd)
+    "x58_coreset_sample",         # r14: fast round (driver Lloyd)
+    "x108_kmeans_verified",       # r14: fast round (driver Lloyd)
+    "x217_semdedup",              # r14: fast round (driver Lloyd)
+    "x188_quality_classifier",    # r14: GD op order + Arrow collect
+    "x207_language_id",           # r14: GD op order + Arrow collect
+    "x202_sgd_audit",             # r14: GD op order + Arrow collect
+    "x83_pagerank",               # r14: lazy checkpoints, no dangling probe
+    "x117_copurchase",            # r14: cached co-purchase distinct
+    "x120_assoc_rules",           # r14: cached co-purchase distinct
+    "x135_triangle_count",        # r14: cached co-purchase distinct
+    "x136_reachability",          # r14: cached edges + seeds reuse
+    "x129_communities",           # r14: rides the cached pair substrate
 }
 
 
@@ -113,7 +93,7 @@ _LATEST = _latest_checked()
 
 
 def _priority(name: str, has_oracle: bool) -> tuple:
-    if name in _RECHECK_R13:
+    if name in _RECHECK_R14:
         return (0, 0)                 # new / changed this round
     if not has_oracle:
         return (2, 0)                 # rows-only outside the recheck set
