@@ -38,13 +38,16 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
     # historical union-of-swapped-selves spelling scanned the upstream
     # pair-generation subtree TWICE per round (it is rarely cached and
     # often expensive: an LSH band join, a cosine threshold filter)
+    # NO distinct here: the only consumer is _large_star, whose
+    # collect_set/min aggregation absorbs duplicate edges — an explicit
+    # dedup would add a full exchange of the doubled edge list for
+    # nothing (each round's OUTPUT stays distinct via _small_star)
     return (edges.select(F.explode(F.array(
                 F.struct(F.col(a).alias("u"), F.col(b).alias("v")),
                 F.struct(F.col(b).alias("u"), F.col(a).alias("v"))))
                 .alias("__uv"))
             .select("__uv.u", "__uv.v")
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
+            .filter(F.col("u") != F.col("v")))
 
 
 def _large_star(sym: DataFrame) -> DataFrame:
@@ -53,12 +56,15 @@ def _large_star(sym: DataFrame) -> DataFrame:
     grouped = (sym.groupBy("u")
                .agg(F.min("v").alias("mn"), F.collect_set("v").alias("nbrs")))
     m = F.least(F.col("u"), F.col("mn"))
+    # NO distinct: collect_set already dedups within u, so (child,
+    # parent) rows repeat only across different u groups; _small_star's
+    # collect_set absorbs those — its closing distinct keeps each
+    # ROUND's output canonical for the convergence checksum
     return (grouped.select(
                 F.explode(F.filter("nbrs", lambda v: v > F.col("u")))
                  .alias("child"),
                 m.alias("parent"))
-            .filter(F.col("child") != F.col("parent"))
-            .distinct())
+            .filter(F.col("child") != F.col("parent")))
 
 
 def _small_star(directed: DataFrame) -> DataFrame:
