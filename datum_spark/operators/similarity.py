@@ -55,8 +55,16 @@ def _normalize_col(v):
     aggregate a second time and double the per-vector cost (measured ~2×
     on the IVF/LSH paths).
     """
+    # The norm must NOT sit inside the per-element lambda: higher-order
+    # lambdas are interpreted (no codegen), so an embedded aggregate is
+    # re-evaluated per element — O(dim²) multiply-adds per vector
+    # (measured 2× on the corpus branch at dim=64).  array_repeat
+    # evaluates its argument ONCE, so zip_with against the repeated
+    # norm is O(dim) with bit-identical per-element divisions.
     norm = F.sqrt(_dot_expr(v, v))
-    return F.when(_nonzero_vec(v), F.transform(v, lambda x: x / norm))
+    return F.when(_nonzero_vec(v),
+                  F.zip_with(v, F.array_repeat(norm, F.size(v)),
+                             lambda x, n: x / n))
 
 
 def _nonzero_vec(v):
@@ -2367,8 +2375,12 @@ def feature_hash_embedding(df: DataFrame, id_col: str = "doc_id",
     norm = F.sqrt(F.aggregate(
         F.transform("embedding", lambda x: x * x),
         F.lit(0.0), lambda acc, x: acc + x))
-    unit = F.when(norm > 0, F.transform(
-        "embedding", lambda x: F.round(x / norm, 6)))
+    # hoist the norm out of the per-element lambda via array_repeat —
+    # interpreted HOF lambdas re-evaluate embedded aggregates per
+    # element (the _normalize_col O(dim²) lesson); identical divisions
+    unit = F.when(norm > 0, F.zip_with(
+        "embedding", F.array_repeat(norm, F.size("embedding")),
+        lambda x, n: F.round(x / n, 6)))
     return out.select(id_col, unit.alias("embedding"))
 
 
