@@ -559,6 +559,42 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     # the gram arrays; released by cache-ring rotation (_retain_cache)
     base = _retain_cache(
         df.select(F.col(id_col).alias("__id"), grams.alias("__grams")))
+    if max_ngram_freq is None:
+        # COUNT-BASED exact join (r14): the intersection size of two
+        # distinct-gram sets is exactly the number of colliding
+        # postings, so Jaccard never needs the gram ARRAYS shipped to
+        # candidate pairs at all — the full inverted index self-joins,
+        # the join output feeds a map-combined (id_a, id_b) count in
+        # the same stage, and jaccard = c / (sa + sb − c) from three
+        # integers.  The PPJoin length filter (J ≥ t ⟹ min ≥ t·max,
+        # lossless; ε guards the float boundary) prunes inside the
+        # join.  vs the prefix+array-verify path: ~1/t more postings
+        # in, but the shuffle carries counted pairs instead of full
+        # gram arrays per candidate — measured 0.1 s vs 2.2 s on the
+        # x129 substrate (82k candidates of avg-52-gram docs).  With
+        # ``max_ngram_freq`` set the prefix path below still runs:
+        # dropping hot grams from a counting index would corrupt the
+        # jaccard values, while the array verification keeps them true.
+        t = float(threshold)
+        inv = base.select("__id", F.size("__grams").alias("__sz"),
+                          F.explode("__grams").alias("__g"))
+        a, b = inv.alias("a"), inv.alias("b")
+        joined = (a.join(b, (F.col("a.__g") == F.col("b.__g"))
+                         & (F.col("a.__id") < F.col("b.__id"))
+                         & (F.col("b.__sz") >= t * F.col("a.__sz")
+                            - F.lit(1e-6))
+                         & (F.col("a.__sz") >= t * F.col("b.__sz")
+                            - F.lit(1e-6)))
+                  .groupBy(F.col("a.__id").alias("id_a"),
+                           F.col("b.__id").alias("id_b"))
+                  .agg(F.count(F.lit(1)).alias("__c"),
+                       F.first("a.__sz").alias("__sa"),
+                       F.first("b.__sz").alias("__sb")))
+        jac = F.col("__c") / (F.col("__sa") + F.col("__sb")
+                              - F.col("__c"))
+        return (joined.withColumn("jaccard", jac)
+                      .filter(F.col("jaccard") >= threshold)
+                      .select("id_a", "id_b", "jaccard"))
     if prefix_filter:
         # prefix length ceil() runs on floats: subtract an epsilon so
         # t·|g| landing a hair ABOVE an integer (0.8×5 → 4.0000…02)
