@@ -63,7 +63,23 @@ _RECHECK_R14 = {
     "x120_assoc_rules",           # r14: cached co-purchase distinct
     "x135_triangle_count",        # r14: cached co-purchase distinct
     "x136_reachability",          # r14: cached edges + seeds reuse
-    "x129_communities",           # r14: rides the cached pair substrate
+    "x129_communities",           # r14: count-based jaccard substrate
+    "x03_ngram_jaccard",          # r14: count-based jaccard join
+    "x51_dup_clusters",           # r14: count-based jaccard + CC
+    "x84_fuzzy_dedup",            # r14: count-based jaccard candidates
+    "x100_golden_record",         # r14: count-based jaccard + CC
+    "x153_near_dup_clusters",     # r14: CC distinct removal
+    "x157_dedup_retention",       # r14: CC distinct removal
+    "x181_dbscan",                # r14: CC distinct removal
+    "x209_leakage_safe_split",    # r14: jaccard + CC changes
+    "x229_record_linkage",        # r14: CC distinct removal
+    "x06_embedding_dups",         # r14: normalize-lambda hoist
+    "x08_cosine_topk",            # r14: normalize-lambda hoist
+    "x192_hard_negatives",        # r14: normalize-lambda hoist
+    "x196_matryoshka_recall",     # r14: normalize-lambda hoist
+    "x197_semantic_contamination",  # r14: normalize-lambda hoist
+    "x228_hard_negatives",        # r14: normalize-lambda hoist
+    "x230_hashed_embedding_knn",  # r14: normalize-lambda hoist
 }
 
 
