@@ -297,9 +297,13 @@ def dbscan(points: DataFrame, id_col: str, x_col: str, y_col: str,
     nbr = retain_cache(
         radius_join(a, b, "__xa", "__ya", "__xb", "__yb", eps,
                     dist_col="__d").select("__ia", "__ib"))
-    core = (nbr.groupBy("__ia").agg(F.count(F.lit(1)).alias("__n"))
-               .filter(F.col("__n") >= min_pts)
-               .select(F.col("__ia").alias("__cid")))
+    # cached: the core id set is read FOUR times (both sides of the
+    # core-core edge join, the label join, the border anti-join) — one
+    # degree aggregation instead of four re-runs over the pair list
+    core = retain_cache(
+        nbr.groupBy("__ia").agg(F.count(F.lit(1)).alias("__n"))
+           .filter(F.col("__n") >= min_pts)
+           .select(F.col("__ia").alias("__cid")))
     # core-core edges -> components; isolated cores label themselves
     ce = (nbr.join(core.withColumnRenamed("__cid", "__ia"), "__ia")
              .join(core.withColumnRenamed("__cid", "__ib"), "__ib")
@@ -307,11 +311,14 @@ def dbscan(points: DataFrame, id_col: str, x_col: str, y_col: str,
              .select("__ia", "__ib"))
     from .components import connected_components
     comp = connected_components(ce)
-    core_lab = (core.join(comp.withColumnRenamed("node", "__cid"),
-                          "__cid", "left")
-                    .select(F.col("__cid").alias("__id"),
-                            F.coalesce("component", "__cid")
-                             .alias("__lab")))
+    # cached: read by the border assignment (twice) and the final label
+    # union — core-count-bounded, rides the same cache ring
+    core_lab = retain_cache(
+        core.join(comp.withColumnRenamed("node", "__cid"),
+                  "__cid", "left")
+            .select(F.col("__cid").alias("__id"),
+                    F.coalesce("component", "__cid")
+                     .alias("__lab")))
     # border: non-core neighbors of cores take the smallest core label
     border = (nbr.join(core_lab.withColumnRenamed("__id", "__ib")
                                .withColumnRenamed("__lab", "__blab"),
