@@ -2790,3 +2790,90 @@ def test_retain_cache_ring_dedups_equal_plans(spark):
     assert ring_frames[-1].sameSemantics(a)
     clear_operator_caches()
     assert len(_CACHE_RING) == 0
+
+
+def test_ngram_jaccard_count_based_matches_array_verify(spark):
+    """r14: with no hot-gram cap, ngram_jaccard_pairs computes jaccard
+    from colliding-posting COUNTS; with a (vacuously large) cap it runs
+    the legacy prefix-index + array_intersect verification.  Both must
+    produce the identical pair set and identical jaccard doubles —
+    including boundary-exact pairs the length filter could clip if the
+    float guard were wrong."""
+    from datum_spark.operators.dedup import ngram_jaccard_pairs
+    from datum_spark.util import clear_operator_caches
+
+    rows = [
+        (1, "a b c d e"),
+        (2, "a b c d f"),          # J=4/6 with doc 1
+        (3, "a b c d e"),          # J=1.0 with doc 1
+        (4, "x y"),
+        (5, "x y"),                # J=1.0 with doc 4
+        (6, "a b c d"),            # 4 grams vs doc 1's 5: J=4/5=0.8
+        (7, "q"),
+        (8, ""),                   # empty text edge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for thr in (0.5, 0.8):
+        new = sorted(map(tuple, ngram_jaccard_pairs(
+            df, "doc_id", "text", n=1, threshold=thr).collect()))
+        clear_operator_caches()
+        old = sorted(map(tuple, ngram_jaccard_pairs(
+            df, "doc_id", "text", n=1, threshold=thr,
+            max_ngram_freq=10**9).collect()))
+        clear_operator_caches()
+        assert new == old and len(new) > 0
+    # the J=0.8 boundary pair (1,6) must survive threshold 0.8 exactly
+    got = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(
+        df, "doc_id", "text", n=1, threshold=0.8).collect()}
+    clear_operator_caches()
+    assert (1, 6) in got
+
+
+def test_connected_components_duplicate_edges(spark):
+    """r14 dropped the _symmetrize/_large_star distincts (collect_set
+    absorbs duplicates).  Components over a duplicate-laden edge list
+    must equal components over its distinct reduction."""
+    from datum_spark.operators.components import connected_components
+
+    edges = [(1, 2), (2, 1), (1, 2), (2, 3), (2, 3), (4, 5),
+             (5, 4), (6, 6), (4, 5), (3, 1)]
+    dup = spark.createDataFrame(edges, "id_a long, id_b long")
+    dis = spark.createDataFrame(sorted(set(map(tuple, edges))),
+                                "id_a long, id_b long")
+    out_dup = sorted(map(tuple,
+                         connected_components(dup, include_roots=True)
+                         .collect()))
+    out_dis = sorted(map(tuple,
+                         connected_components(dis, include_roots=True)
+                         .collect()))
+    assert out_dup == out_dis
+    assert out_dup == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)]
+
+
+def test_normalize_col_hoisted_norm_bit_identical(spark):
+    """r14 hoisted the norm out of the per-element lambda via
+    array_repeat + zip_with.  Each element must still be x / norm with
+    the SAME double norm — bit-identical to the naive spelling."""
+    import math
+
+    from datum_spark.operators.similarity import _normalize_col
+
+    # NOTE: a vector like [1e-200, 1e-200] — nonzero but with an
+    # underflowing squared norm — throws DIVIDE_BY_ZERO under ANSI in
+    # BOTH the old and the hoisted spelling (verified identical); kept
+    # out of this equivalence fixture on purpose.
+    rows = [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [1e-150, 1e-150]),
+            (4, [-2.5, 7.125, 0.0]), (5, None)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {r["id"]: r["n"] for r in df.select(
+        "id", _normalize_col(F.col("v")).alias("n")).collect()}
+    for rid, vec in rows:
+        if vec is None or all(x == 0 for x in vec):
+            assert got[rid] is None
+        else:
+            norm = math.sqrt(math.fsum(x * x for x in vec))
+            # reference: the exact per-element division the old
+            # transform spelling produced (same fold order: left fold
+            # acc + x*y over zip, which fsum matches for these dims)
+            ref = [x / norm for x in vec]
+            assert got[rid] == ref
